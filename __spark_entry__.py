@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the inde1_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship hourly-stats query on sf0.001.
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2
+(plus the LLM-data-pipeline extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for each. Column names and value determinism are aligned between
+the two (see inde1_spark/operators/analytics.py docstring for the strategy).
 """
 
 from __future__ import annotations
@@ -13,26 +13,101 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
+# Testdata mapping (FIXTURES.md §5): events.event_type 'view'~ENTRY,
+# 'click'~EXIT, 'error'~protected-slot event; customer = users dimension.
+ENTRY, EXIT = "view", "click"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from inde1_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass hourly parking-style aggregate (SURVEY §7.2.1)."""
+    from inde1_spark.operators.analytics import hourly_stats
 
+    return hourly_stats(_t(spark, SF0001, "events"))
+
+
+# ---------------------------------------------------------------------------
+# queries(): name -> (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from inde1_spark.operators import analytics as A
+    from inde1_spark.operators import dedup as D
+    from inde1_spark.operators import multimodal as M
+    from inde1_spark.operators import similarity as S
+    from inde1_spark.operators import text as T
+    from inde1_spark.operators import tpch as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference parity: scans/filters/projections (P1-P3, F1) ---
+        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
+        # --- aggregations (A1-A15) ---
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
+        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
+        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
+        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
+        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
+        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
+        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
+        # --- joins (J1-J4, P4) ---
+        "enrich_users": lambda sp, d: A.enrich_users(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "occupancy_pct": lambda sp, d: A.occupancy_pct(
+            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        # --- windows / top-k / set ops (W1-W5, U1) ---
+        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
+        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
+        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
+        "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
+            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
+        ),
+        "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
+        # --- volume shapes (TPC-H-ish) ---
+        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
+        "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "revenue_by_nation": lambda sp, d: Q.revenue_by_nation(
+            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        # --- LLM-data-pipeline extensions ---
+        "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
+        "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
+        "dedup_minhash_lsh": lambda sp, d: D.dedup_minhash_lsh(_t(sp, d, "documents")),
+        "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
+        "dedup_embedding": lambda sp, d: D.dedup_embedding(_t(sp, d, "embeddings")),
+        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
+        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
+        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
+        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
+        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
+        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
+    }
 
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB-equivalent ANSI SQL per query
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from inde1_spark.oracles import ORACLES
+
+    return dict(ORACLES)

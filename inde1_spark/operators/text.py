@@ -1,0 +1,123 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All built-in expressions (split / filter / transform / aggregate / regexp /
+md5) — row-local, no shuffle except the final output, no Python UDFs. Each
+operator is a pure projection, so at 100 TB these pipeline into the scan
+with whole-stage codegen and cost one pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import int_sum_exact, ratio_round, tokens
+
+# Marker-token lists for the n-gram/stopword language heuristic. The corpus
+# vocabulary is synthetic, so the lists are assigned from it; with real text
+# these are per-language stopword lists (same plan shape and cost).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("window", "group", "batch"),
+    "en": ("the", "a", "data"),
+    "es": ("query", "value", "sort"),
+    "fr": ("table", "line", "column"),
+    "zh": ("spark", "stream", "hash"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _toks() -> Column:
+    return tokens("text")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token length."""
+    toks = _toks()
+    lens = F.transform(toks, lambda t: F.length(t))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        ratio_round(
+            int_sum_exact(lens),
+            F.greatest(F.size(toks).cast("long"), F.lit(1).cast("long")),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length score + stopword ratio.
+
+    quality = 0.5 * min(1, n_chars/500) + 0.5 * (1 - stopword_ratio); the
+    components are reported so downstream filters can re-weight without
+    rescanning. All three are integer ratios, rounded with exact integer
+    math (ratio_round): with a common denominator,
+    quality = (min(n_chars,500)*n_tokens + 500*(n_tokens-n_stop)) / (1000*n_tokens).
+    """
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    gnt = F.greatest(n_tokens, F.lit(1).cast("long"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    capped_chars = F.least(F.col("n_chars").cast("long"), F.lit(500).cast("long"))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ratio_round(n_stop, gnt, 4).alias("stop_ratio"),
+        ratio_round(capped_chars, F.lit(500).cast("long"), 4).alias("length_score"),
+        ratio_round(
+            capped_chars * gnt + F.lit(500) * (gnt - n_stop),
+            F.lit(1000) * gnt,
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-token language identification with deterministic tie-breaks.
+
+    Scores each language by marker-token occurrences; predicted language is
+    the alphabetically-first argmax. Row-local array ops — one corpus pass.
+    """
+    toks = _toks()
+
+    def _marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, _marker_filter(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # alphabetical tie-break order
+    pred = F.lit(langs[-1])
+    # fold right-to-left so earlier (alphabetically-first) langs win ties
+    for lang in reversed(langs[:-1]):
+        others = [scores[o] for o in langs if o != lang]
+        pred = F.when(scores[lang] >= F.greatest(*others), F.lit(lang)).otherwise(pred)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text.
+
+    Normalization: lowercase, strip non-alphanumerics, collapse whitespace —
+    the canonical form for fuzzy-exact dedup. A short prefix is exposed for
+    cheap bucketing.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    fp = F.md5(norm)
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )

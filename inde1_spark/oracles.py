@@ -1,0 +1,617 @@
+"""DuckDB oracle SQL for every oracle-checkable query in __spark_entry__.
+
+Each statement is the ANSI-SQL equivalent of the Spark plan with the SAME
+output column names and the SAME determinism strategy (see
+operators/analytics.py): exact decimal/fixed-point accumulation, formatted
+timestamps, total orderings. Shared constants (LSH permutations, thresholds,
+marker lists) are imported from the operator modules so the two sides cannot
+drift.
+
+Engine-portability notes encoded here:
+- DuckDB SUM(INTEGER) returns HUGEINT -> always CAST to BIGINT;
+- DuckDB CAST(double AS INT) rounds while Spark truncates -> use // or floor;
+- DuckDB epoch() is fractional -> use date_diff('second', ...) which equals
+  Spark's unix_timestamp difference;
+- row_number() is BIGINT in DuckDB, INT in Spark -> Spark side casts to long.
+"""
+
+from __future__ import annotations
+
+from inde1_spark.operators.dedup import (
+    COSINE_DEDUP_THRESHOLD,
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    MINHASH_PRIME,
+    N_BANDS,
+    N_PERM,
+    PERMS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    SIMHASH_MULT,
+)
+from inde1_spark.functions.exprs import FIXED_POINT_SCALE
+from inde1_spark.operators.similarity import (
+    K_BRUTE,
+    K_BUCKETED,
+    LSH_SIGN_DIMS,
+    N_QUERIES,
+)
+from inde1_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+ENTRY, EXIT = "view", "click"
+RATE = 2.0
+EMB_DIM = 64
+
+# -- shared SQL fragments ----------------------------------------------------
+
+_HOUR = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+_DAY = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+_TS = "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _rr(num: str, den: str, scale: int) -> str:
+    """SQL twin of exprs.ratio_round — exact integer round-half-up."""
+    p = 10**scale
+    return (
+        f"(CAST(((({num}) * {2 * p} + ({den})) // (2 * ({den}))) AS DOUBLE) / {p}.0)"
+    )
+
+
+# shingle pipeline shared by the dedup oracles (word 3-grams, distinct/doc)
+_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_FROM_INTER = """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         {jexpr} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+) WHERE jaccard >= {thr}
+"""
+
+
+def _jaccard_from_inter(thr: float) -> str:
+    return _JACCARD_FROM_INTER.format(
+        thr=thr, jexpr=_rr("i.n_inter", "sa.sz + sb.sz - i.n_inter", 6)
+    )
+
+_PERMS_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in PERMS)
+
+_FIXED_DOT = (
+    "CAST(SUM(CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    f" * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE) / {FIXED_POINT_SCALE:.1f}"
+)
+
+_NORMS = f"""
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+              * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE) / {FIXED_POINT_SCALE:.1f}) AS nrm
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY vec_id
+)
+"""
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT)"
+
+
+def _build_lang_pred() -> str:
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for idx, lang in enumerate(langs[:-1]):
+        others = ", ".join(f"score_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN score_{lang} >= GREATEST({others}) THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# -- the oracle map -----------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["filter_project"] = f"""
+SELECT event_id, {_TS} AS ts_str, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+"""
+
+ORACLES["hourly_stats"] = f"""
+SELECT {_HOUR} AS hour_ts,
+       count(*) FILTER (WHERE event_type = '{ENTRY}') AS n_entries,
+       count(*) FILTER (WHERE event_type = '{EXIT}') AS n_exits,
+       GREATEST(0, count(*) FILTER (WHERE event_type = '{ENTRY}')
+                 - count(*) FILTER (WHERE event_type = '{EXIT}')) AS occupancy,
+       ROUND(GREATEST(0, count(*) FILTER (WHERE event_type = '{ENTRY}')
+                 - count(*) FILTER (WHERE event_type = '{EXIT}')) * {RATE}, 2) AS revenue
+FROM events
+WHERE event_type IN ('{ENTRY}', '{EXIT}')
+GROUP BY 1
+"""
+
+ORACLES["group_count"] = f"""
+SELECT {_DAY} AS day, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["global_counts"] = f"""
+SELECT count(*) AS n_total,
+       count(*) FILTER (WHERE event_type = '{ENTRY}') AS n_entries,
+       count(*) FILTER (WHERE event_type = '{EXIT}') AS n_exits,
+       count(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+ORACLES["occupancy_clamped"] = f"""
+SELECT user_id,
+       GREATEST(0, CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE -1 END) AS BIGINT)) AS occupancy
+FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+GROUP BY user_id
+"""
+
+ORACLES["occupancy_asof"] = f"""
+WITH r AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_type IN ('{ENTRY}', '{EXIT}')
+    AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT event_type, count(*) AS n_keys FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+ORACLES["revenue_duration"] = f"""
+SELECT {_DAY} AS day, {_dsum('value')} * ({RATE} / 60.0) AS revenue
+FROM events WHERE event_type = '{EXIT}' GROUP BY 1
+"""
+
+ORACLES["avg_per_group"] = f"""
+SELECT {_DAY} AS day, event_type,
+       {_dsum('value')} / COUNT(value) AS avg_value,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["cumulative_series"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         count(*) FILTER (WHERE event_type = '{ENTRY}') AS d_entries,
+         count(*) FILTER (WHERE event_type = '{EXIT}') AS d_exits
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}') GROUP BY 1
+)
+SELECT day,
+       CAST(SUM(d_entries) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_entries,
+       CAST(SUM(d_exits) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_exits
+FROM daily
+"""
+
+ORACLES["daily_buckets"] = f"""
+SELECT {_DAY} AS day, count(*) AS n_events, {_dsum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+ORACLES["duration_stats"] = f"""
+SELECT event_type, min(value) AS min_value,
+       {_dsum('value')} / COUNT(value) AS avg_value,
+       max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+ORACLES["heatmap_hour"] = f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_entries
+FROM events WHERE event_type = '{ENTRY}' GROUP BY 1
+"""
+
+ORACLES["entry_exit_ratio"] = f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       count(*) FILTER (WHERE event_type = '{ENTRY}') AS n_entries,
+       count(*) FILTER (WHERE event_type = '{EXIT}') AS n_exits,
+       {_rr("count(*) FILTER (WHERE event_type = '" + ENTRY + "')",
+            "GREATEST(count(*) FILTER (WHERE event_type = '" + EXIT + "'), 1)", 4)} AS entry_exit_ratio
+FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+GROUP BY 1
+"""
+
+ORACLES["enrich_users"] = f"""
+WITH users AS (
+  SELECT c_custkey AS user_key, c_name AS user_name, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT COALESCE(user_name, 'unknown') AS user_name,
+       count(*) AS n_events,
+       {_dsum('value')} AS sum_value
+FROM events e LEFT JOIN users u ON e.user_id = u.user_key
+GROUP BY 1
+"""
+
+ORACLES["alerts"] = f"""
+WITH users AS (
+  SELECT c_custkey AS user_key, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT * FROM (
+  SELECT event_id, user_id, {_TS} AS ts_str,
+         CASE WHEN user_key IS NULL THEN 'unknown_user'
+              WHEN acctbal < 0 THEN 'unauthorized_user'
+              ELSE 'authorized' END AS violation_type
+  FROM events e LEFT JOIN users u ON e.user_id = u.user_key
+  WHERE event_type = 'error'
+) WHERE violation_type <> 'authorized'
+"""
+
+ORACLES["session_pairing"] = f"""
+WITH entries AS (
+  SELECT user_id, ts AS entry_ts, event_id AS entry_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = '{ENTRY}'
+),
+exits AS (
+  SELECT user_id, ts AS exit_ts, event_id AS exit_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = '{EXIT}'
+)
+SELECT e.user_id, e.rn,
+       strftime(entry_ts, '%Y-%m-%d %H:%M:%S') AS entry_ts_str,
+       strftime(exit_ts, '%Y-%m-%d %H:%M:%S') AS exit_ts_str,
+       ROUND(date_diff('second', entry_ts, exit_ts) / 60.0, 2) AS duration_min
+FROM entries e JOIN exits x ON e.user_id = x.user_id AND e.rn = x.rn
+"""
+
+ORACLES["occupancy_pct"] = f"""
+WITH cap AS (SELECT c_nationkey, count(*) AS capacity FROM customer GROUP BY 1),
+active AS (
+  SELECT c_nationkey, count(DISTINCT user_id) AS n_active
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  WHERE event_type = '{ENTRY}' GROUP BY 1
+)
+SELECT n_name AS nation, n_active, capacity,
+       {_rr("n_active * 100", "capacity", 4)} AS occupancy_pct
+FROM active
+JOIN cap USING (c_nationkey)
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+ORACLES["top_k_users"] = f"""
+SELECT user_id, count(*) AS n_entries
+FROM events WHERE event_type = '{ENTRY}'
+GROUP BY 1 ORDER BY n_entries DESC, user_id ASC LIMIT 10
+"""
+
+ORACLES["max_ts"] = """
+SELECT event_type, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_str,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+ORACLES["set_ops"] = f"""
+SELECT 'union' AS op, count(*) AS n FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{ENTRY}'
+  UNION
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{EXIT}'
+)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{ENTRY}'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{EXIT}'
+)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{ENTRY}'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = '{EXIT}'
+)
+"""
+
+ORACLES["rollup_nation_region"] = f"""
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       count(*) AS n_orders, {_dsum('o_totalprice')} AS sum_price
+FROM orders o
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n ON c_nationkey = n_nationkey
+JOIN region r ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+ORACLES["sessionize_gap"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       ROUND(date_diff('second', min(ts), max(ts)) / 60.0, 2) AS session_min
+FROM sess GROUP BY 1, 2
+"""
+
+ORACLES["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+       {_dsum('l_quantity')} / count(*) AS avg_qty,
+       {_dsum('l_extendedprice')} / count(*) AS avg_price,
+       {_dsum('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+ORACLES["top_revenue_orders"] = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       {_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["revenue_by_nation"] = f"""
+SELECT n_name AS nation,
+       {_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+# -- LLM-data-pipeline extensions ---------------------------------------------
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+{_jaccard_from_inter(JACCARD_THRESHOLD)}
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLES},
+dict AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+shid AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+perms(pid, a, b) AS (VALUES {_PERMS_VALUES}),
+sigs AS (
+  SELECT doc_id, pid, MIN((a * sid + b) % {MINHASH_PRIME}) AS mh
+  FROM shid CROSS JOIN perms GROUP BY doc_id, pid
+),
+bands AS (
+  SELECT doc_id, CAST(pid // {N_PERM // N_BANDS} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pid) AS sig
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+{_jaccard_from_inter(JACCARD_THRESHOLD)}
+"""
+
+_HAMMING_TERMS = " + ".join(
+    f"((xor_sig >> {j}) & 1)" for j in range(SIMHASH_BITS)
+)
+
+ORACLES["dedup_simhash"] = f"""
+WITH {_SHINGLES},
+dict AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+shid AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+per_bit AS (
+  SELECT doc_id, j,
+         CAST(SUM(CASE WHEN (((sid * {SIMHASH_MULT}) % {2**SIMHASH_BITS}) >> j) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS bit_sum
+  FROM shid, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS u(j)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit_sum >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, simhash, q, (simhash >> (q * {SIMHASH_BAND_BITS})) % {2**SIMHASH_BAND_BITS} AS bv
+  FROM sigs, UNNEST(generate_series(0, {SIMHASH_BITS // SIMHASH_BAND_BITS - 1})) AS u(q)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b ON a.q = b.q AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST({_HAMMING_TERMS} AS BIGINT) AS hamming
+  FROM (SELECT doc_a, doc_b, xor(sig_a, sig_b) AS xor_sig FROM cand)
+) WHERE hamming <= {HAMMING_MAX}
+"""
+
+ORACLES["dedup_embedding"] = f"""
+WITH {_NORMS.strip().rstrip()},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_FIXED_DOT} AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+) WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD}
+"""
+
+ORACLES["knn_brute_cosine"] = f"""
+WITH {_NORMS.strip().rstrip()},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {K_BRUTE}
+"""
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
+    for j in range(LSH_SIGN_DIMS)
+)
+
+ORACLES["knn_lsh_bucketed"] = f"""
+WITH {_NORMS.strip().rstrip()},
+buckets AS (
+  SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+  JOIN embeddings a ON a.vec_id = ba.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  WHERE ba.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {K_BUCKETED}
+"""
+
+ORACLES["text_token_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       {_rr("CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT)",
+            "GREATEST(CAST(len(toks) AS BIGINT), 1)", 4)} AS avg_token_len
+FROM toks
+"""
+
+ORACLES["text_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       {_rr("n_stop", "gnt", 4)} AS stop_ratio,
+       {_rr("capped_chars", "500", 4)} AS length_score,
+       {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS quality
+FROM m
+"""
+
+ORACLES["text_lang_id"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang AS lang_actual,
+         {", ".join(f"{_lang_score(LANG_MARKERS[lang])} AS score_{lang}" for lang in sorted(LANG_MARKERS))}
+  FROM toks
+)
+SELECT doc_id, lang_actual, {_build_lang_pred()} AS lang_pred,
+       {", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))}
+FROM scores
+"""
+
+ORACLES["text_fingerprint"] = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id, md5(n) AS fingerprint, substr(md5(n), 1, 8) AS fp_prefix
+FROM norm
+"""
+
+# DuckDB md5/substring don't accept BLOB; text here is ASCII so md5(text)
+# equals md5 over the UTF-8 payload bytes and the first 4 chars are the
+# first 4 bytes.
+ORACLES["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents
+"""

@@ -1,0 +1,80 @@
+"""Batch sources.
+
+Covers SURVEY.md §2.1 S3-S5: the reference reads time-partitioned gzip
+JSON-lines from object storage with an explicit schema
+(apps/srvc-stats/.../MainHourly.scala:63-67) and hand-builds partition paths
+(:232-236). Spark does both natively: ``spark.read.schema(...).json(glob)``
+handles gzip + PERMISSIVE malformed-row dropping (subsumes the reference's
+manual GZIPInputStream reader, MainDaily.scala:209-235), and partition-column
+predicates prune directories without driver-side listing
+(MinioService.scala:57-90 becomes unnecessary).
+
+At 100 TB: prefer the parquet tables; keep filters on partition columns
+(``event_date``/``event_hour``) so Catalyst prunes at the file index, and
+filters on data columns so the vectorized parquet reader skips row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inde1_spark.schemas import PARKING_EVENT_WIRE, TESTDATA_TABLES
+
+
+# Testdata timestamps are parquet TIMESTAMP(NANOS), which Spark's reader
+# rejects. We read them as raw nanos longs (legacy conf) and truncate to
+# microseconds — matching DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation, so
+# oracle comparisons agree to the microsecond.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata parquet table (TESTDATA.md)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all testdata tables as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def read_parking_events_json(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """Read reference-format parking events (gzip JSON-lines, nested) and
+    flatten to the analytics schema.
+
+    Mirrors the reference's scan + flatten projection
+    (MainHourly.scala:63-80): explicit schema (no inference pass), nested
+    struct fields projected to flat columns, ISO-8601 string promoted to
+    TimestampType. Malformed lines are dropped, matching the reference's
+    log-and-skip behavior (MinioService.scala:38-44).
+    """
+    mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
+    raw = spark.read.schema(PARKING_EVENT_WIRE).option("mode", mode).json(path)
+    return flatten_parking_events(raw)
+
+
+def flatten_parking_events(raw: DataFrame) -> DataFrame:
+    """Nested wire form -> flat analytics form (P3, MainHourly.scala:70-80)."""
+    return raw.select(
+        F.col("eventType").alias("event_type"),
+        F.to_timestamp("timestamp").alias("ts"),
+        F.col("vehicle.licensePlate").alias("license_plate"),
+        F.col("vehicle.vehicleType").alias("vehicle_type"),
+        F.col("vehicle.color").alias("color"),
+        F.col("parking.parkingLotId").alias("parking_lot_id"),
+        F.col("parking.parkingSpotId").alias("parking_spot_id"),
+        F.col("parking.isSlotHandicapped").alias("is_slot_handicapped"),
+        F.col("duration").alias("duration_ms"),
+    )

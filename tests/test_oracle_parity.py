@@ -1,0 +1,46 @@
+"""The driver-gate mirror: every queries() entry vs its oracle_sql() twin.
+
+Runs at sf0.001 by default (fast inner loop; set SPARK_GRAFT_TEST_SF to
+/root/testdata/sf0.01 to reproduce the driver's t2 gate exactly).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    # non-SQL-expressible ops may be absent from oracles; list them here
+    allowed_rows_only: set[str] = set()
+    assert set(missing) <= allowed_rows_only, f"queries missing oracles: {missing}"
+    stale = sorted(set(ORACLES) - set(QUERIES))
+    assert not stale, f"oracles without queries: {stale}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["hour_ts", "n_entries", "n_exits", "occupancy", "revenue"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert df.count() >= 0  # rows-only check
+        return
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert_matches_oracle(df, ORACLES[name], SF_SMOKE, duck_con=duck)
