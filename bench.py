@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() the result — forces the full
+plan without driver-side materialization of wide rows). Queries cover the
+reference-parity surface (scan/filter/agg/join/window) plus the scale-path
+LLM ops (LSH dedup, bucketed ANN).
+
+Each query runs twice and the second (steady-state) time is reported:
+single-shot numbers in a fresh JVM are dominated by C2 JIT warmup of the
+expression interpreters (±5-10s swings depending on run order), which says
+nothing about throughput on a long-lived cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + each operator family's most representative,
+# scale-relevant member.
+HEADLINE = (
+    "hourly_stats",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "session_pairing",
+    "occupancy_asof",
+    "cumulative_series",
+    "alerts",
+    "rollup_nation_region",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_brute_cosine",
+    "knn_lsh_bucketed",
+    "text_token_stats",
+    "text_fingerprint",
+)
+
+
+def main() -> None:
+    from inde1_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="inde1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with one tiny action outside timing
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, SF_DIR).count()  # warmup: JIT + shuffle-file page cache
+        spark.catalog.clearCache()  # measured run pays its own persist cost
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

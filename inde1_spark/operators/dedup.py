@@ -58,8 +58,16 @@ COSINE_DEDUP_THRESHOLD = 0.45  # testdata has no planted vector near-dups; this
 
 
 def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per document."""
-    return documents.select(
+    """(doc_id, shingle) — distinct word n-gram shingles per document.
+
+    Repartitions on doc_id before shingling: tokenize+explode is the
+    CPU-heavy step, and a small corpus arriving as one parquet file would
+    otherwise run it on a single core. One cheap shuffle of raw text buys
+    full-cluster parallelism for everything downstream (at 100 TB the scan
+    has thousands of splits and Catalyst elides this into the existing
+    exchange).
+    """
+    return documents.select("doc_id", "text").repartition("doc_id").select(
         "doc_id", F.explode(word_shingles(tokens("text"), n)).alias("shingle")
     )
 
@@ -96,19 +104,27 @@ def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataF
     """Exact Jaccard for doc pairs sharing >=1 shingle (inverted-index join).
 
     If ``pairs_filter`` (doc_a, doc_b) is given, only those pairs are scored
-    (the LSH verify path).
+    (the LSH verify path): the filter joins BEFORE the shingle intersection,
+    so the quadratic posting-list explosion never happens — cost is
+    |candidates| x |shingles per doc|, not sum(df^2) over shingles.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    if pairs_filter is not None:
-        inter = inter.join(pairs_filter, ["doc_a", "doc_b"], "left_semi")
+    if pairs_filter is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            pairs_filter.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -142,17 +158,20 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = JACCARD_THRESHO
 
 
 def minhash_signatures(sh_ids: DataFrame) -> DataFrame:
-    """(doc_id, pid, mh): minhash per permutation from shingle-id table."""
-    spark = sh_ids.sparkSession
-    perms = spark.createDataFrame(PERMS, "pid INT, a LONG, b LONG")
-    return (
-        sh_ids.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "pid")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME)
-            ).alias("mh")
-        )
+    """(doc_id, mh_0..mh_15): all minhashes in ONE aggregation pass.
+
+    Each permutation is an independent min-aggregate over the same rows, so
+    the 16 signatures cost one groupBy — no row explosion, map-side partial
+    mins, one shuffle on doc_id. (A pid-exploded variant costs 16x the
+    shuffle volume for identical results.)
+    """
+    return sh_ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"mh_{pid}"
+            )
+            for pid, a, b in PERMS
+        ]
     )
 
 
@@ -182,24 +201,36 @@ def dedup_minhash_lsh(
     planted-dup level (j~0.97) it is ~1. The band join touches only bucket
     collisions — this is the operator that replaces the quadratic pair join
     at 100 TB.
+
+    The shingle table feeds four consumers (dictionary, signatures, both
+    sides of the verify join); it is persisted so the tokenize/shingle pass
+    runs once per job instead of four times (the reference caches its reused
+    scan the same way, MainHourly.scala:89).
     """
-    sh = shingle_table(documents)
+    sh = shingle_table(documents).persist()
     sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
     sigs = minhash_signatures(sh_ids)
     rows_per_band = N_PERM // N_BANDS
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("pid") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pid", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
-    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     candidates = (
@@ -217,30 +248,26 @@ def simhash_signatures(sh_ids: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over shingle ids.
 
     bit_j(id) = (id * KNUTH_MULT mod 2^32) >> j & 1; signature bit j is the
-    sign of sum(+1/-1) over the document's shingles. Explodes |shingles| x 32
-    rows, then one groupBy — heavy but linear; production would fold the 32
-    bit-sums into a single array aggregation.
+    sign of sum(+1/-1) over the document's shingles. All 32 bit-sums are
+    independent conditional aggregates over the same rows — one groupBy,
+    map-side partials, no row explosion.
     """
-    spark = sh_ids.sparkSession
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
     h = (F.col("sid") * F.lit(SIMHASH_MULT)) % F.lit(2**32)
-    per_bit = (
-        sh_ids.withColumn("h", h)
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "j")
-        .agg(
+    bit_sums = sh_ids.withColumn("h", h).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, j) % 2") == 1, 1).otherwise(-1)
-            ).alias("bit_sum")
+                F.when(F.shiftright(F.col("h"), j) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"bs_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"bs_{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+        for j in range(SIMHASH_BITS)
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("bit_sum") >= 0, F.expr("shiftleft(cast(1 as bigint), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
 
 
 def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
@@ -252,7 +279,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     computed as an explicit 32-term bit sum (portable to the oracle; Spark
     also has bit_count for the production spelling).
     """
-    sh = shingle_table(documents)
+    sh = shingle_table(documents).persist()
     sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
     sigs = simhash_signatures(sh_ids)
 
@@ -311,7 +338,7 @@ def dedup_embedding(
     nature; the 100 TB path prefilters pairs with the sign-bucket LSH from
     ``similarity.knn_lsh_bucketed`` and verifies with this exact cosine.
     """
-    e = embeddings.select(
+    e = embeddings.repartition("vec_id").select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
     )
     a = e.select(

@@ -31,7 +31,9 @@ LSH_SIGN_DIMS = 4  # 2^4 = 16 buckets
 
 
 def _with_norm(embeddings: DataFrame) -> DataFrame:
-    return embeddings.select(
+    # repartition: vector math is CPU-bound; a single-file corpus must not
+    # pin the dot-product loop to one core (see dedup.shingle_table)
+    return embeddings.repartition("vec_id").select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
     )
 

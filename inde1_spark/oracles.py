@@ -91,7 +91,6 @@ def _jaccard_from_inter(thr: float) -> str:
         thr=thr, jexpr=_rr("i.n_inter", "sa.sz + sb.sz - i.n_inter", 6)
     )
 
-_PERMS_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in PERMS)
 
 _FIXED_DOT = (
     "CAST(SUM(CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
@@ -415,15 +414,20 @@ dict AS (
   FROM (SELECT DISTINCT shingle FROM sh)
 ),
 shid AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-perms(pid, a, b) AS (VALUES {_PERMS_VALUES}),
 sigs AS (
-  SELECT doc_id, pid, MIN((a * sid + b) % {MINHASH_PRIME}) AS mh
-  FROM shid CROSS JOIN perms GROUP BY doc_id, pid
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}" for pid, a, b in PERMS)}
+  FROM shid GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(pid // {N_PERM // N_BANDS} AS INT) AS band,
-         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pid) AS sig
-  FROM sigs GROUP BY 1, 2
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + "concat_ws(',', " + ", ".join(
+          f"CAST(mh_{b * (N_PERM // N_BANDS) + r} AS VARCHAR)"
+          for r in range(N_PERM // N_BANDS)
+      ) + ") AS sig FROM sigs"
+      for b in range(N_BANDS)
+  )}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -449,17 +453,19 @@ dict AS (
   FROM (SELECT DISTINCT shingle FROM sh)
 ),
 shid AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-per_bit AS (
-  SELECT doc_id, j,
-         CAST(SUM(CASE WHEN (((sid * {SIMHASH_MULT}) % {2**SIMHASH_BITS}) >> j) % 2 = 1
-                       THEN 1 ELSE -1 END) AS BIGINT) AS bit_sum
-  FROM shid, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS u(j)
-  GROUP BY 1, 2
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN (((sid * {SIMHASH_MULT}) % {2**SIMHASH_BITS}) >> {j}) % 2 = 1"
+             f" THEN 1 ELSE -1 END) AS BIGINT) AS bs_{j}"
+             for j in range(SIMHASH_BITS)
+         )}
+  FROM shid GROUP BY doc_id
 ),
 sigs AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN bit_sum >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-  FROM per_bit GROUP BY 1
+         CAST({" + ".join(f"(CASE WHEN bs_{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM bit_sums
 ),
 bands AS (
   SELECT doc_id, simhash, q, (simhash >> (q * {SIMHASH_BAND_BITS})) % {2**SIMHASH_BAND_BITS} AS bv
