@@ -1,0 +1,205 @@
+"""Structured Streaming pipelines mirroring the reference's live services.
+
+Three streaming surfaces (SURVEY.md §2.8, §3.2-3.3):
+
+- **alert path** (srvc-alert): parking events -> stream-static user join ->
+  violation filter -> alert records, optionally back to Kafka (T2).
+- **live slot state** (repo-events): last event per (lot, spot) maintained
+  as a streaming materialized view (T3) — via ``foreachBatch`` upsert, the
+  bounded-state replacement for the reference's unbounded in-memory maps
+  (RepoEventsApi.scala:30 grows forever; we don't replicate that).
+- **windowed stats** (srvc-stats rewritten): event-time tumbling windows
+  with a watermark (T5/T6) instead of cron + path math — late events get
+  defined semantics instead of silent miscounts.
+
+All transforms reuse the batch operators in ``operators.parking`` — the
+same DataFrame->DataFrame functions run in both modes (the engine's core
+design stance, SURVEY §7.1).
+
+Kafka wiring (S1/S2) is config-only here: the container has no broker, so
+``kafka_source``/``kafka_sink`` build the readers/writers but tests drive
+the transforms with file/memory sources instead. On a real cluster they are
+the production path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inde1_spark.operators.parking import detect_violations, valid_events
+from inde1_spark.schemas import EVENT_ENTRY, PARKING_EVENT_WIRE
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "parking-event-topic",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: Kafka source -> parsed, flattened parking-event stream.
+
+    Mirrors srvc-alert's consumer config (ParkingEventConsumer.scala:24-53):
+    string key (the plate) / JSON value. ``from_json`` with the explicit
+    wire schema (never infer on a stream); malformed values null out and are
+    dropped, matching the reference's log-and-skip.
+    """
+    from inde1_spark.sources.readers import flatten_parking_events
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), PARKING_EVENT_WIRE).alias("e")
+    ).select("e.*")
+    return flatten_parking_events(parsed).filter(F.col("event_type").isNotNull())
+
+
+def alert_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """T2: violation alerts from an event stream + static user dimension.
+
+    The static side broadcasts; every micro-batch joins against it without
+    shuffling the stream (stream-static join). Identical semantics to the
+    batch ``detect_violations`` — it IS the same function.
+    """
+    return detect_violations(events, users)
+
+
+def alerts_to_kafka_sink(alerts: DataFrame, brokers: str, topic: str = "alert-event-topic"):
+    """S2: serialize alerts to JSON keyed by plate, as the reference's
+    publisher does (AlertEventPublisher.scala:21-35)."""
+    payload = alerts.select(
+        F.col("vehicle_plate").alias("key"),
+        F.to_json(
+            F.struct(
+                "vehicle_plate", "spot_id", "lot_id", "violation_type",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+            )
+        ).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
+def windowed_stats_stream(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """T5/T6: tumbling event-time window stats with late-data handling.
+
+    Replaces the reference's cron-driven previous-hour path math
+    (MainHourly.scala:14-24, 232-236): the window is on EVENT time, the
+    watermark bounds state and defines which late events still count —
+    semantics the reference leaves undefined (T7).
+    """
+    is_entry = (F.col("event_type") == EVENT_ENTRY).cast("long")
+    return (
+        valid_events(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("parking_lot_id"))
+        .agg(
+            F.sum(is_entry).alias("nbr_entries"),
+            F.sum(1 - is_entry).alias("nbr_exit"),
+            F.greatest(
+                F.lit(0).cast("long"), F.sum(is_entry) - F.sum(1 - is_entry)
+            ).alias("occupancy"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "parking_lot_id",
+            "nbr_entries",
+            "nbr_exit",
+            "occupancy",
+        )
+    )
+
+
+class SlotStateSink:
+    """T3: streaming materialized view of the live slot map.
+
+    ``foreachBatch`` upsert of last-event-per-key into a driver-side dict
+    (stand-in for Redis HSET; swap ``_store`` for a Redis client in
+    production — the upsert contract is identical). State is bounded by the
+    keyspace (lots x spots), never by stream length: each micro-batch
+    reduces to at most one row per (lot, spot) BEFORE the upsert, executor-
+    side.
+    """
+
+    def __init__(self) -> None:
+        self._store: dict[str, dict] = {}
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from inde1_spark.operators.parking import slot_state
+
+        for row in slot_state(batch_df).collect():  # <= |lots x spots| rows
+            self._store[row["slot_key"]] = {
+                "occupied": row["occupied"],
+                "lot": row["lot"],
+                "plate": row["plate"],
+                "updated_at": row["updated_at"],
+            }
+
+    def writer(self, events: DataFrame):
+        return events.writeStream.foreachBatch(self.process_batch).outputMode("update")
+
+    def snapshot(self) -> dict[str, dict]:
+        return dict(self._store)
+
+    def lot(self, lot_id: str) -> dict[str, dict]:
+        """GET /events/{lot} equivalent (RepoEventsApi.scala:117-119)."""
+        return {k: v for k, v in self._store.items() if v["lot"] == lot_id}
+
+
+def redis_document_key(date: str, hour: int) -> str:
+    """The dashboard key contract: parking-stats:hourly:$date:$hour
+    (MainHourly.scala:245; consumed by Grafana real_time.json:181,240)."""
+    return f"parking-stats:hourly:{date}:{hour}"
+
+
+class RedisJsonSink:
+    """S6: JSON.SET-style sink behind ``foreachBatch``.
+
+    Idempotent by key (re-running a window overwrites the same document —
+    the reference relies on the same property). The client is injected; the
+    in-memory default lets tests run without Redis. In production pass a
+    ``redis.Redis`` and the same code calls JSON.SET per partition.
+    """
+
+    def __init__(self, client=None) -> None:
+        self.store: dict[str, str] = {}
+        self._client = client
+
+    def write_stats(self, stats_df: DataFrame) -> None:
+        rows = stats_df.select(
+            "date", "hour", F.to_json(F.struct(*stats_df.columns)).alias("doc")
+        ).collect()
+        for r in rows:
+            key = redis_document_key(r["date"], r["hour"])
+            if self._client is not None:
+                self._client.execute_command("JSON.SET", key, ".", r["doc"])
+            else:
+                self.store[key] = r["doc"]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from inde1_spark.operators.parking import hourly_stats
+
+        self.write_stats(hourly_stats(batch_df))
+
+
+def run_stream_once(events_stream: DataFrame, sink, checkpoint_dir: str):
+    """Drive a stream with availableNow (process everything, then stop) —
+    the test/backfill trigger; production uses processingTime."""
+    q = (
+        sink.writer(events_stream)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

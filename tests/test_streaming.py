@@ -1,0 +1,128 @@
+"""Streaming-pipeline tests: file-source streams standing in for Kafka.
+
+Each test writes the parking fixture as JSON-lines (the reference's archive
+format), streams it with ``availableNow``, and checks the streaming result
+equals the batch operator on the same data — the engine's batch/streaming
+transform-sharing contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from inde1_spark.datagen.parking import generate, to_spark
+from inde1_spark.operators import parking as P
+from inde1_spark.schemas import PARKING_EVENT_FLAT
+from inde1_spark.streaming.pipelines import (
+    SlotStateSink,
+    alert_stream,
+    redis_document_key,
+    RedisJsonSink,
+    run_stream_once,
+    windowed_stats_stream,
+)
+
+FIXTURE = generate(n_sessions=300, seed=7)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    """Fixture events written as JSON-lines files (3 chunks to force
+    multiple source splits) + the matching static DataFrames."""
+    events, users, caps = to_spark(spark, FIXTURE)
+    root = tmp_path_factory.mktemp("stream")
+    data_dir, ckpt_root = root / "data", root / "ckpt"
+    data_dir.mkdir()
+    rows = events.toJSON().collect()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        (data_dir / f"part-{i}.json").write_text("\n".join(chunk))
+    stream = (
+        spark.readStream.schema(PARKING_EVENT_FLAT)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .json(str(data_dir))
+    )
+    return stream, events, users, caps, str(ckpt_root)
+
+
+def test_alert_stream_matches_batch(spark, stream_env):
+    stream, events, users, _, ckpt = stream_env
+    got: list = []
+
+    q = (
+        alert_stream(stream, users)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt + "/alerts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = P.detect_violations(events, users).collect()
+    key = lambda r: (r["vehicle_plate"], r["ts"], r["violation_type"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_slot_state_sink_matches_batch(spark, stream_env):
+    stream, events, _, _, ckpt = stream_env
+    sink = SlotStateSink()
+    run_stream_once(stream, sink, ckpt + "/slots")
+    snap = sink.snapshot()
+    want = {r["slot_key"]: r for r in P.slot_state(events).collect()}
+    assert set(snap) == set(want)
+    for k, v in snap.items():
+        assert v["occupied"] == want[k]["occupied"]
+        assert v["plate"] == want[k]["plate"]
+    # REST-shim equivalent: per-lot filtering works
+    lots = {v["lot"] for v in snap.values()}
+    assert sum(len(sink.lot(lot)) for lot in lots) == len(snap)
+
+
+def test_windowed_stats_stream(spark, stream_env):
+    stream, events, _, _, ckpt = stream_env
+    q = (
+        windowed_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wstats")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt + "/wstats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("wstats").toPandas()
+    assert len(got) > 0
+    # equals the batch clamped-hourly occupancy (same definition, A4)
+    want = P.occupancy_clamped_hourly(events).toPandas()
+    got_m = {
+        (str(r.window_start)[:13], r.parking_lot_id): r.occupancy
+        for r in got.itertuples()
+    }
+    want_m = {
+        (f"{r.date} {r.hour:02d}", r.parking_lot_id): r.occupancy
+        for r in want.itertuples()
+    }
+    assert got_m == want_m
+
+
+def test_redis_json_sink_key_contract(spark, stream_env):
+    _, events, _, _, _ = stream_env
+    sink = RedisJsonSink()
+    sink.process_batch(events, 0)
+    assert sink.store, "sink wrote nothing"
+    sample_key = next(iter(sink.store))
+    assert sample_key.startswith("parking-stats:hourly:")
+    doc = json.loads(sink.store[sample_key])
+    assert {"date", "hour", "nbr_entries", "nbr_exit", "occupancy",
+            "revenue_simulation", "vehicle_types"} <= set(doc)
+    assert redis_document_key("2025-06-01", 7) == "parking-stats:hourly:2025-06-01:7"
