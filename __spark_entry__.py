@@ -78,6 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
         ),
         "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
+        "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
+        "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
+        "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
+        "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
+        "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
+        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
+        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
         # --- volume shapes (TPC-H-ish) ---
         "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
         "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
@@ -100,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
         "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
+        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
     }
 
 

@@ -465,6 +465,141 @@ def rollup_nation_region(
     )
 
 
+def revenue_daily_model(events: DataFrame) -> DataFrame:
+    """A7: the daily revenue model — occupied x rate x 24
+    (MainDaily.scala:127-130). Third of the reference's three mutually
+    inconsistent revenue models; kept as its own named query (SURVEY §7.4)."""
+    occupied = (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy(_day_str().alias("day"))
+        .agg(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(-1)),
+            ).alias("occupied")
+        )
+    )
+    return occupied.select(
+        "day",
+        "occupied",
+        F.round(F.col("occupied") * F.lit(RATE) * F.lit(24), 2).alias("revenue_daily"),
+    )
+
+
+def exists_check(events: DataFrame) -> DataFrame:
+    """W3: the limit-1 existence probe (MainHourly.scala:82-87) — made
+    deterministic with a total order."""
+    return (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(1)
+    )
+
+
+def string_funcs(events: DataFrame) -> DataFrame:
+    """F5: the reference's string workloads — key construction
+    (parking-stats:hourly:$date:$hour, MainHourly.scala:245), composite
+    keys ($lot-$spot, RepoEventsApi.scala:39), zero-padding (%02d,
+    MainHourly.scala:18-20), regex extraction (MainDaily.scala:47-58)."""
+    return events.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.concat_ws(
+            ":",
+            F.lit("parking-stats"),
+            F.lit("hourly"),
+            _day_str(),
+            F.lpad(F.hour("ts").cast("string"), 2, "0"),
+        ).alias("redis_key"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias(
+            "composite_key"
+        ),
+        F.regexp_extract("props", '"k": (\\d+)', 1).alias("k_extracted"),
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+    )
+
+
+def json_document(events: DataFrame) -> DataFrame:
+    """F1: hand-built JSON document strings, as the reference serializes its
+    stats (MainHourly.scala:158-171 builds JSON by string concatenation).
+    Engine-neutral by construction (to_json key ordering/whitespace varies
+    between engines; explicit concat does not)."""
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").alias("n"),
+        _dsum("value").alias("sv"),
+    )
+    return daily.select(
+        "day",
+        F.concat(
+            F.lit('{"date":"'),
+            F.col("day"),
+            F.lit('","events":'),
+            F.col("n").cast("string"),
+            F.lit(',"value":'),
+            F.col("sv").cast("string"),
+            F.lit("}"),
+        ).alias("doc"),
+    )
+
+
+def time_funcs(events: DataFrame) -> DataFrame:
+    """F2: time bucketing/arithmetic family — truncation, formatting,
+    day-of-week, previous-period arithmetic (MainHourly.scala:14-24,
+    MainDaily.scala:22-32)."""
+    return (
+        events.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_trunc"
+            ),
+            (F.dayofweek("ts") - 1).cast("long").alias("dow_sun0"),
+            F.date_format(F.col("ts") - F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss")
+            .alias("prev_hour"),
+            F.unix_timestamp("ts").alias("epoch_sec"),
+        )
+    )
+
+
+def window_funcs(events: DataFrame) -> DataFrame:
+    """W-family extension (SURVEY §2.5 'absent' row): rank / dense_rank /
+    lag / lead with explicit frames — needed by A5/A10/J2 rewrites anyway."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "user_id",
+            F.rank().over(Window.partitionBy("user_id").orderBy("event_type"))
+            .cast("long")
+            .alias("rank_by_type"),
+            F.dense_rank()
+            .over(Window.partitionBy("user_id").orderBy("event_type"))
+            .cast("long")
+            .alias("dense_rank_by_type"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.sum(F.lit(1))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running_n"),
+        )
+    )
+
+
+def approx_distinct(events: DataFrame) -> DataFrame:
+    """Approximate distinct counting (HLL sketch) per event type.
+
+    No oracle entry: sketch estimates are engine-specific by design (the
+    driver records a rows-only check). The exact twin is ``global_counts``.
+    """
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def sessionize_gap(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
     """T4 batch analogue: gap-based sessionization per user.
 

@@ -18,10 +18,13 @@ Python worker handles an Arrow batch at a time, never one row at a time.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd  # noqa: F401
 
 FEATURE_DIM = 4
 
@@ -89,18 +92,51 @@ def extract_features(documents: DataFrame, fake: bool = True) -> DataFrame:
     memory is bounded by the Arrow batch size regardless of corpus size.
     """
     src = with_binary_payload(documents)
+    dim = FEATURE_DIM
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # self-contained closure: no references to this package, so cloudpickle
+    # ships it by value and executor workers need no inde1_spark on their
+    # PYTHONPATH (a host session may drive the engine from any cwd)
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        def decode(payload: bytes) -> list[float]:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not available here"
+                )
+            if not payload:
+                return [0.0] * dim
+            n = len(payload)
+            return [
+                float(n),
+                float(payload[0]),
+                float(payload[n // 2]),
+                float(sum(payload[:16]) % 256),
+            ]
+
         for pdf in batches:
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
-                    "feature": [
-                        decode_stub(bytes(p), fake=fake) for p in pdf["payload"]
-                    ],
+                    "feature": [decode(bytes(p)) for p in pdf["payload"]],
                 }
             )
-            yield out
 
     return src.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def feature_columns(documents: DataFrame, fake: bool = True) -> DataFrame:
+    """Oracle-checkable projection of the mapInPandas feature path.
+
+    Flattens the deterministic fake feature vector to scalar columns so the
+    Arrow/pandas plumbing itself is validated against plain SQL — the
+    decode stub is engine-reproducible by construction (byte arithmetic).
+    """
+    feats = extract_features(documents, fake=fake)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )

@@ -390,6 +390,76 @@ WHERE r_name = 'ASIA'
 GROUP BY 1
 """
 
+ORACLES["revenue_daily_model"] = f"""
+WITH occ AS (
+  SELECT {_DAY} AS day,
+         GREATEST(0, CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE -1 END) AS BIGINT)) AS occupied
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}') GROUP BY 1
+)
+SELECT day, occupied, ROUND(occupied * {RATE} * 24, 2) AS revenue_daily FROM occ
+"""
+
+ORACLES["exists_check"] = f"""
+SELECT event_id, event_type FROM events WHERE event_type = '{ENTRY}'
+ORDER BY event_id LIMIT 1
+"""
+
+ORACLES["string_funcs"] = f"""
+SELECT event_id,
+       concat_ws(':', 'parking-stats', 'hourly', {_DAY},
+                 lpad(CAST(hour(ts) AS VARCHAR), 2, '0')) AS redis_key,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS composite_key,
+       regexp_extract(props, '"k": (\\d+)', 1) AS k_extracted,
+       upper(event_type) AS type_upper,
+       substring(event_type, 1, 3) AS type_prefix
+FROM events WHERE event_id < 500
+"""
+
+ORACLES["json_document"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day, count(*) AS n, {_dsum('value')} AS sv
+  FROM events GROUP BY 1
+)
+SELECT day,
+       concat('{{"date":"', day, '","events":', CAST(n AS VARCHAR),
+              ',"value":', CAST(sv AS VARCHAR), '}}') AS doc
+FROM daily
+"""
+
+ORACLES["time_funcs"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_trunc,
+       CAST(dayofweek(ts) AS BIGINT) AS dow_sun0,
+       strftime(ts - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS prev_hour,
+       CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS epoch_sec
+FROM events WHERE event_id < 200
+"""
+
+ORACLES["window_funcs"] = """
+SELECT event_id, user_id,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS rank_by_type,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS dense_rank_by_type,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(SUM(1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+_F3_TERMS = " + ".join(f"ascii(substring(text, {i}, 1))" for i in range(1, 17))
+
+ORACLES["multimodal_features"] = f"""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) AS DOUBLE) AS f0,
+       CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f1,
+       CAST(ascii(substring(text, (strlen(text) // 2) + 1, 1)) AS DOUBLE) AS f2,
+       CAST(({_F3_TERMS}) % 256 AS DOUBLE) AS f3
+FROM documents
+"""
+
 # -- LLM-data-pipeline extensions ---------------------------------------------
 
 ORACLES["dedup_exact"] = """

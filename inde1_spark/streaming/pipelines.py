@@ -192,6 +192,83 @@ class RedisJsonSink:
         self.write_stats(hourly_stats(batch_df))
 
 
+def weekly_timeseries(events: DataFrame, rate: float = 2.0) -> DataFrame:
+    """S7 feed: the weekly dashboard time series (one point per day) —
+    entries, exits, revenue, avg spend per vehicle type
+    (MainWeekly.scala:191-308; Grafana parking_stats.json:107-456)."""
+    from inde1_spark.operators.parking import session_durations, valid_events
+    from inde1_spark.schemas import EVENT_ENTRY
+
+    is_entry = (F.col("event_type") == EVENT_ENTRY).cast("long")
+    daily = (
+        valid_events(events)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(is_entry).cast("double").alias("entries"),
+            F.sum(1 - is_entry).cast("double").alias("exits"),
+        )
+    )
+    spend = F.col("duration_min") * F.lit(rate) / F.lit(60.0)
+    rev = (
+        session_durations(events)
+        .groupBy(F.date_trunc("day", "entry_ts").alias("day"))
+        .agg(F.sum(spend).alias("revenue"))
+    )
+    avgspent = (
+        session_durations(events)
+        .groupBy(F.date_trunc("day", "entry_ts").alias("day"), "vehicle_type")
+        .agg(F.avg(spend).alias("value"))
+        .select(
+            "day", F.concat(F.lit("avgspent:"), "vehicle_type").alias("attribute"), "value"
+        )
+    )
+    base = (
+        daily.join(rev, "day", "left")
+        .select(
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("entries").alias("attribute"), F.col("entries").alias("value")),
+                    F.struct(F.lit("exits").alias("attribute"), F.col("exits").alias("value")),
+                    F.struct(F.lit("revenue").alias("attribute"),
+                             F.coalesce("revenue", F.lit(0.0)).alias("value")),
+                )
+            ).alias("av"),
+        )
+        .select("day", F.col("av.attribute").alias("attribute"), F.col("av.value").alias("value"))
+    )
+    return base.unionByName(avgspent).select(
+        "attribute", F.unix_millis("day").alias("ts_ms"), F.round("value", 4).alias("value")
+    )
+
+
+class RedisTimeSeriesSink:
+    """S7: TS.ADD-style sink honoring the reference's key contract —
+    ``parking-stats:weekly:$week:{entries,exits,revenue,avgspent:$type}``
+    (MainWeekly.scala:257-308) and
+    ``parking-events:daily:$date:timeseries:$attr`` (MainDaily.scala:264-283).
+
+    Injected client (TS.CREATE retention 0 + TS.ADD per point); in-memory
+    default for tests. Writes are idempotent per (key, ts_ms).
+    """
+
+    def __init__(self, client=None) -> None:
+        self.series: dict[str, dict[int, float]] = {}
+        self._client = client
+
+    def write_weekly(self, ts_df: DataFrame, week: str) -> None:
+        for r in ts_df.collect():
+            key = f"parking-stats:weekly:{week}:{r['attribute']}"
+            if self._client is not None:
+                self._client.execute_command("TS.ADD", key, r["ts_ms"], r["value"])
+            else:
+                self.series.setdefault(key, {})[r["ts_ms"]] = r["value"]
+
+    def ts_range(self, key: str) -> list[tuple[int, float]]:
+        """TS.RANGE equivalent for the test/REST read path."""
+        return sorted(self.series.get(key, {}).items())
+
+
 def run_stream_once(events_stream: DataFrame, sink, checkpoint_dir: str):
     """Drive a stream with availableNow (process everything, then stop) —
     the test/backfill trigger; production uses processingTime."""
