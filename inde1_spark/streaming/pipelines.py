@@ -192,6 +192,35 @@ class RedisJsonSink:
         self.write_stats(hourly_stats(batch_df))
 
 
+def archive_writer(events: DataFrame, path: str, fmt: str = "parquet"):
+    """S8: the Kafka->S3 archival connector, Spark-native.
+
+    The reference runs a Confluent S3 sink with a time-based partitioner
+    (yyyy/MM/dd/HH/mm path, gzip JSON, flush.size 100k,
+    k8s/kafka/s3-sink-connector.yml:23-46). Structured Streaming replaces
+    it with ``writeStream.partitionBy`` on EVENT-time partition columns —
+    so the archive is partition-pruned by Catalyst on read (no hand-built
+    path globs, P5/S5 come free) and written exactly-once via the
+    checkpoint.
+
+    Parquet default (columnar beats gzip-JSON at 100 TB: ~5-10x smaller
+    scans with column pruning + predicate pushdown); pass fmt="json" with
+    ``.option("compression", "gzip")`` downstream for byte-compatible
+    reference parity.
+    """
+    partitioned = events.select(
+        "*",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    )
+    return (
+        partitioned.writeStream.format(fmt)
+        .partitionBy("event_date", "event_hour")
+        .option("path", path)
+        .outputMode("append")
+    )
+
+
 def weekly_timeseries(events: DataFrame, rate: float = 2.0) -> DataFrame:
     """S7 feed: the weekly dashboard time series (one point per day) —
     entries, exits, revenue, avg spend per vehicle type

@@ -122,3 +122,38 @@ def test_weekly_timeseries_key_contract(spark):
     assert pts and all(v >= 0 for _, v in pts)
     n_entries = sum(1 for e in FIXTURE.events if e["event_type"] == EVENT_ENTRY)
     assert sum(v for _, v in pts) == n_entries
+
+
+def test_archive_writer_partition_layout(spark, tmp_path):
+    """S8: streaming archive -> event-time partition dirs, pruned on read."""
+    from inde1_spark.streaming.pipelines import archive_writer
+
+    events, _, _ = to_spark(spark, FIXTURE)
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    (data_dir / "a.json").write_text("\n".join(events.toJSON().collect()))
+    stream = spark.readStream.schema(PARKING_EVENT_FLAT).json(str(data_dir))
+
+    out = str(tmp_path / "archive")
+    q = (
+        archive_writer(stream, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    archived = spark.read.parquet(out)
+    assert archived.count() == len(FIXTURE.events)
+    assert {"event_date", "event_hour"} <= set(archived.columns)
+    # partition pruning: filtering on the partition column prunes input files
+    one_hour = archived.filter(
+        (F.col("event_date") == "2025-06-01") & (F.col("event_hour") == 0)
+    )
+    plan = one_hour._jdf.queryExecution().executedPlan().toString()
+    n_pruned = one_hour.count()
+    want = sum(
+        1 for e in FIXTURE.events if e["ts"].hour == 0 and e["ts"].date().isoformat() == "2025-06-01"
+    )
+    assert n_pruned == want
+    assert "PartitionFilters" in plan
