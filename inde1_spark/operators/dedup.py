@@ -231,6 +231,9 @@ def dedup_minhash_lsh(
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # persisted: both sides of the bucket self-join read this table; without
+    # the persist the dictionary + signature pipeline runs twice
+    bands = bands.persist()
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     candidates = (
@@ -304,6 +307,8 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
             )
         ).alias("bq"),
     ).select("doc_id", "simhash", F.col("bq.q").alias("q"), F.col("bq.bv").alias("bv"))
+    # persisted: self-joined below (see dedup_minhash_lsh)
+    bands_long = bands_long.persist()
 
     ba = bands_long.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "q", "bv"
