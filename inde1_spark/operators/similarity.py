@@ -85,6 +85,102 @@ def sign_bucket(emb: F.Column, dims: int = LSH_SIGN_DIMS) -> F.Column:
     ).cast("long")
 
 
+N_PROBE = 2
+K_IVF = 3
+FP = 1e15  # fixed-point scale, shared with functions.exprs
+
+
+def _fixed_sum(col: F.Column) -> F.Column:
+    """SUM of fixed-point-scaled doubles as exact LONG, back to double."""
+    return F.sum(F.round(col * F.lit(FP), 0).cast("long")).cast("double") / F.lit(FP)
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, i, cv): cluster centroids in long form, exact means.
+
+    The ``label`` column plays the quantizer assignment (at scale labels
+    come from a trained k-means/PQ model; the engine consumes assignments —
+    training is an offline job). Per-dimension means use fixed-point sums,
+    so both engines compute bit-identical centroids.
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    )
+    return exploded.groupBy("label", "i").agg(
+        (_fixed_sum(F.col("x").cast("double")) / F.count("*")).alias("cv")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    k: int = K_IVF,
+    n_probe: int = N_PROBE,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF-style ANN: probe the ``n_probe`` nearest centroids' clusters only.
+
+    The inverted-file pattern: rank cluster centroids per query (tiny,
+    |labels| rows), then search only vectors in the probed clusters — the
+    corpus join is an equi-join on ``label``, cutting scanned vectors by
+    ~|labels|/n_probe. Exact cosine re-ranks the candidates. All arithmetic
+    is fixed-point/exact so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    cent = ivf_centroids(embeddings)
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(_fixed_sum(F.col("cv") * F.col("cv"))).alias("cnrm")
+    )
+    e = _with_norm(embeddings.select("vec_id", "embedding")).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    q_long = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"),
+                F.posexplode("embedding").alias("i", "x"))
+    )
+    qc = (
+        q_long.join(cent, "i")
+        .groupBy("query_id", "qnrm", "label")
+        .agg(_fixed_sum(F.col("x").cast("double") * F.col("cv")).alias("dot"))
+        .join(cnorm, "label")
+        .withColumn(
+            "c_cos", F.round(F.col("dot") / (F.col("qnrm") * F.col("cnrm")), 6)
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("label").asc()
+    )
+    probed = (
+        qc.withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "label")
+    )
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+        "label",
+    )
+    cand = (
+        probed.join(F.broadcast(queries), "query_id")
+        .join(corpus, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = _cosine(cand)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_lsh_bucketed(
     embeddings: DataFrame, k: int = K_BUCKETED, n_queries: int = N_QUERIES
 ) -> DataFrame:

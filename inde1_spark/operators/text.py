@@ -47,6 +47,31 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """BPE-ish subword counting: alpha runs / digits / punct as units.
+
+    The regex stands in for a merged-BPE vocabulary scan (same plan shape:
+    one regexp pass per document, no shuffle). Reports subword count,
+    distinct subwords, and subwords-per-whitespace-token (a fertility
+    proxy).
+    """
+    toks = _toks()
+    subwords = F.expr(f"regexp_extract_all(lower(text), '({BPE_PATTERN})', 0)")
+    return documents.select(
+        "doc_id",
+        F.size(subwords).cast("long").alias("n_subwords"),
+        F.size(F.array_distinct(subwords)).cast("long").alias("n_distinct_subwords"),
+        ratio_round(
+            F.size(subwords).cast("long"),
+            F.greatest(F.size(toks).cast("long"), F.lit(1).cast("long")),
+            4,
+        ).alias("fertility"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length score + stopword ratio.
 

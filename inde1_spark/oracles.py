@@ -36,7 +36,8 @@ from inde1_spark.operators.similarity import (
     LSH_SIGN_DIMS,
     N_QUERIES,
 )
-from inde1_spark.operators.text import LANG_MARKERS, STOPWORDS
+from inde1_spark.operators.similarity import K_IVF, N_PROBE
+from inde1_spark.operators.text import BPE_PATTERN, LANG_MARKERS, STOPWORDS
 
 ENTRY, EXIT = "view", "click"
 RATE = 2.0
@@ -621,6 +622,76 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {K_BUCKETED}
+"""
+
+_FIXED_SUM = (
+    lambda expr: f"(CAST(SUM(CAST(ROUND(({expr}) * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE) / {FIXED_POINT_SCALE:.1f})"
+)
+
+ORACLES["knn_ivf"] = f"""
+WITH cent AS (
+  SELECT label, i,
+         {_FIXED_SUM('CAST(embedding[i] AS DOUBLE)')} / COUNT(*) AS cv
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY label, i
+),
+cnorm AS (
+  SELECT label, sqrt({_FIXED_SUM('cv * cv')}) AS cnrm FROM cent GROUP BY label
+),
+{_NORMS.strip()},
+qc AS (
+  SELECT e.vec_id AS query_id, c.label,
+         {_FIXED_SUM('CAST(e.embedding[c.i] AS DOUBLE) * c.cv')} AS dot
+  FROM embeddings e JOIN cent c ON TRUE
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT qc.query_id, qc.label,
+           row_number() OVER (
+             PARTITION BY qc.query_id
+             ORDER BY ROUND(qc.dot / (nq.nrm * cn.cnrm), 6) DESC, qc.label ASC
+           ) AS prn
+    FROM qc
+    JOIN norms nq ON nq.vec_id = qc.query_id
+    JOIN cnorm cn ON cn.label = qc.label
+  ) WHERE prn <= {N_PROBE}
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM probed p
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.label = p.label AND b.vec_id <> a.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {K_IVF}
+"""
+
+ORACLES["text_token_bpe"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '({BPE_PATTERN})', 0) AS subwords,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(subwords) AS BIGINT) AS n_subwords,
+       CAST(len(list_distinct(subwords)) AS BIGINT) AS n_distinct_subwords,
+       {_rr("CAST(len(subwords) AS BIGINT)",
+            "GREATEST(CAST(len(toks) AS BIGINT), 1)", 4)} AS fertility
+FROM m
 """
 
 ORACLES["text_token_stats"] = f"""

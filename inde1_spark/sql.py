@@ -1,0 +1,101 @@
+"""Spark-SQL surface: every core operator is reachable as plain SQL.
+
+``register_views`` exposes the testdata tables as temp views;
+``SPARK_SQL`` holds Spark-SQL texts for representative operators. These are
+the same logical plans Catalyst builds from the DataFrame API (tested equal
+in tests/test_sql_surface.py) — a user can drive the engine entirely from
+``spark.sql`` (e.g. a JDBC/Thrift gateway) without touching the Python API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inde1_spark.schemas import TESTDATA_TABLES
+from inde1_spark.sources.readers import load_table
+
+ENTRY, EXIT = "view", "click"
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+SPARK_SQL: dict[str, str] = {
+    "hourly_stats": f"""
+        SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
+               count(IF(event_type = '{ENTRY}', 1, NULL)) AS n_entries,
+               count(IF(event_type = '{EXIT}', 1, NULL)) AS n_exits,
+               greatest(CAST(0 AS BIGINT),
+                        count(IF(event_type = '{ENTRY}', 1, NULL))
+                        - count(IF(event_type = '{EXIT}', 1, NULL))) AS occupancy,
+               round(greatest(CAST(0 AS BIGINT),
+                        count(IF(event_type = '{ENTRY}', 1, NULL))
+                        - count(IF(event_type = '{EXIT}', 1, NULL))) * CAST(2.0 AS DOUBLE), 2) AS revenue
+        FROM events
+        WHERE event_type IN ('{ENTRY}', '{EXIT}')
+        GROUP BY 1
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "heatmap_hour": f"""
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_entries
+        FROM events WHERE event_type = '{ENTRY}' GROUP BY 1
+    """,
+    "top_k_users": f"""
+        SELECT user_id, count(*) AS n_entries
+        FROM events WHERE event_type = '{ENTRY}'
+        GROUP BY 1 ORDER BY n_entries DESC, user_id ASC LIMIT 10
+    """,
+    "session_pairing": f"""
+        WITH entries AS (
+          SELECT user_id, ts AS entry_ts, event_id AS entry_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = '{ENTRY}'
+        ),
+        exits AS (
+          SELECT user_id, ts AS exit_ts, event_id AS exit_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = '{EXIT}'
+        )
+        SELECT e.user_id, CAST(e.rn AS BIGINT) AS rn,
+               date_format(entry_ts, 'yyyy-MM-dd HH:mm:ss') AS entry_ts_str,
+               date_format(exit_ts, 'yyyy-MM-dd HH:mm:ss') AS exit_ts_str,
+               round((unix_timestamp(exit_ts) - unix_timestamp(entry_ts)) / CAST(60.0 AS DOUBLE), 2) AS duration_min
+        FROM entries e JOIN exits x ON e.user_id = x.user_id AND e.rn = x.rn
+    """,
+    "revenue_by_nation": """
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """,
+}
+
+
+def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL[name])

@@ -192,6 +192,25 @@ class RedisJsonSink:
         self.write_stats(hourly_stats(batch_df))
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("license_plate", "ts"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: duplicate records arriving within the
+    watermark horizon are suppressed; state for a key is dropped once the
+    watermark passes it — O(keys-in-horizon) state, not O(stream). This is
+    the ingest-side twin of the batch ``dedup_exact`` operator (at-least-once
+    sources like Kafka + S3 connectors routinely re-deliver; the reference's
+    connector runs with errors.tolerance=all and dedupes nothing, T6).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def archive_writer(events: DataFrame, path: str, fmt: str = "parquet"):
     """S8: the Kafka->S3 archival connector, Spark-native.
 
