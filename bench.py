@@ -42,7 +42,9 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "knn_brute_cosine",
     "knn_lsh_bucketed",
+    "knn_ivf",
     "text_token_stats",
+    "text_token_bpe",
     "text_fingerprint",
 )
 
