@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
         "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
         "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
+        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
+        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
+        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
+        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
         # --- volume shapes (TPC-H-ish) ---
         "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
         "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(

@@ -600,6 +600,87 @@ def approx_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+def percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (median / p90) of the measure per event type.
+
+    ``percentile`` (exact, linear interpolation) — matches DuckDB's
+    quantile_cont on identical sorted inputs; interpolation arithmetic is
+    double-deterministic. Exact percentile requires a per-group sort: fine
+    at per-group cardinalities, use approx_percentile at 100 TB (exposed via
+    ``approx_distinct``-style rows-only query if needed).
+    """
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def corr_exact(events: DataFrame) -> DataFrame:
+    """Pearson correlation from closed-form exact sums.
+
+    Built-in ``corr`` is a one-pass streaming algorithm whose result depends
+    on accumulation order (not oracle-stable). The closed form over
+    exact-decimal sums — r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)(n·Σy²−Σy²))
+    — is order-independent and still one aggregation pass. x = hour of day,
+    y = value.
+    """
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    agg = events.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum((x).cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((y).cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r, 6).alias("corr_hour_value"),
+    )
+
+
+def value_histogram(events: DataFrame, n_buckets: int = 10, lo: float = 0.0, hi: float = 100.0) -> DataFrame:
+    """Fixed-range histogram of the measure (portable width_bucket).
+
+    bucket = clamp(floor((x - lo) / width)) in double over identical inputs —
+    engine-deterministic. One aggregation pass, map-side combinable.
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+        ),
+    )
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("bucket_lo", F.round(F.col("bucket") * F.lit(width) + F.lit(lo), 2))
+    )
+
+
+def cube_day_type(events: DataFrame) -> DataFrame:
+    """CUBE over (day, event_type) with grouping indicators — the full
+    grouping-sets surface (SURVEY §2.4 'absent' row, beyond rollup)."""
+    return (
+        events.cube(_day_str().alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_gap(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
     """T4 batch analogue: gap-based sessionization per user.
 

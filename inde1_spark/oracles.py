@@ -461,6 +461,47 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+ORACLES["corr_exact"] = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM events
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_hour_value
+FROM s
+"""
+
+ORACLES["value_histogram"] = """
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0, CAST(floor((value - 0.0) / 10.0) AS BIGINT))) AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n_events, ROUND(bucket * 10.0 + 0.0, 2) AS bucket_lo
+FROM b GROUP BY bucket
+"""
+
+ORACLES["cube_day_type"] = f"""
+SELECT COALESCE({_DAY}, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       {_dsum('value')} AS sum_value
+FROM events
+GROUP BY CUBE({_DAY}, event_type)
+"""
+
 # -- LLM-data-pipeline extensions ---------------------------------------------
 
 ORACLES["dedup_exact"] = """
