@@ -1,0 +1,123 @@
+"""Job layer: the reference's scheduled deployment units, engine-native.
+
+The reference ships three ScheduledSparkApplications (SURVEY §3): hourly
+(MainHourly — live), daily (MainDaily — cron'd, code commented out) and
+weekly (MainWeekly — same). Each here is a thin composition of the operator
+library + sinks, windowed by EVENT time instead of cron/path math — a
+backfill is just a wider filter, and re-running any window is idempotent
+because every sink key is derived from the window.
+
+Output key contracts (consumed by the reference's Grafana dashboards,
+SURVEY §3.4):
+  hourly: JSON.SET parking-stats:hourly:$date:$hour         (MainHourly.scala:245)
+  daily:  TS.ADD  parking-events:daily:$date:timeseries:$attr (MainDaily.scala:264-283)
+  weekly: TS.ADD  parking-stats:weekly:$week:{entries,exits,revenue,avgspent:$type}
+          JSON.SET parking-stats:weekly:$week:revenue-by-type (MainWeekly.scala:257-319)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inde1_spark.operators.parking import (
+    hourly_stats,
+    revenue_by_duration,
+    valid_events,
+)
+from inde1_spark.schemas import EVENT_ENTRY
+from inde1_spark.streaming.pipelines import (
+    RedisJsonSink,
+    RedisTimeSeriesSink,
+    weekly_timeseries,
+)
+
+
+def _window(events: DataFrame, start: str, end: str) -> DataFrame:
+    """Event-time window selection — replaces the reference's hand-built
+    partition paths (and their hardcoded-day bug, MainHourly.scala:233)."""
+    return events.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+
+
+def run_hourly_job(
+    events: DataFrame, start: str, end: str, sink: RedisJsonSink
+) -> int:
+    """MainHourly: aggregate documents for every hour in the window."""
+    stats = hourly_stats(_window(events, start, end))
+    sink.write_stats(stats)
+    return len(sink.store)
+
+
+def daily_timeseries(events: DataFrame, date: str) -> DataFrame:
+    """MainDaily's cumulative per-attribute series (A10): running
+    entries/exits/revenue over the day's hours, one point per hour.
+
+    Pre-aggregates to hours first, then an unbounded-preceding window over
+    <=24 rows — the scale rule from DESIGN.md §2 (never globally window raw
+    events).
+    """
+    base = valid_events(events).filter(F.to_date("ts") == F.lit(date))
+    is_entry = (F.col("event_type") == EVENT_ENTRY).cast("long")
+    hourly = base.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(is_entry).cast("double").alias("entries"),
+        F.sum(1 - is_entry).cast("double").alias("exits"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hourly.select(
+        "hour",
+        F.sum("entries").over(w).alias("entries"),
+        F.sum("exits").over(w).alias("exits"),
+        (F.sum("entries").over(w) * 2.0).alias("revenue_simulation"),
+    )
+    return cum.select(
+        "hour",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("attribute"), F.col(a).alias("value"))
+                    for a in ("entries", "exits", "revenue_simulation")
+                ]
+            )
+        ).alias("av"),
+    ).select(
+        F.col("av.attribute").alias("attribute"),
+        F.unix_millis("hour").alias("ts_ms"),
+        F.col("av.value").alias("value"),
+    )
+
+
+def run_daily_job(
+    events: DataFrame, date: str, ts_sink: RedisTimeSeriesSink
+) -> int:
+    """MainDaily: cumulative time series -> parking-events:daily keys."""
+    pts = daily_timeseries(events, date).collect()
+    for r in pts:
+        key = f"parking-events:daily:{date}:timeseries:{r['attribute']}"
+        ts_sink.series.setdefault(key, {})[r["ts_ms"]] = r["value"]
+    return len(pts)
+
+
+def run_weekly_job(
+    events: DataFrame,
+    week: str,
+    start: str,
+    end: str,
+    ts_sink: RedisTimeSeriesSink,
+    json_sink: RedisJsonSink,
+) -> dict:
+    """MainWeekly: 7-day window — daily series + revenue-by-type document."""
+    win = _window(events, start, end)
+    ts_sink.write_weekly(weekly_timeseries(win), week=week)
+    by_type = revenue_by_duration(win).groupBy("vehicle_type").agg(
+        F.round(F.sum("revenue"), 4).alias("revenue")
+    )
+    doc = {r["vehicle_type"]: r["revenue"] for r in by_type.collect()}
+    import json as _json
+
+    json_sink.store[f"parking-stats:weekly:{week}:revenue-by-type"] = _json.dumps(
+        doc, sort_keys=True
+    )
+    return doc

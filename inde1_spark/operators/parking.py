@@ -132,38 +132,47 @@ def occupancy_clamped_hourly(events: DataFrame) -> DataFrame:
 
 
 def session_durations(events: DataFrame) -> DataFrame:
-    """J2: entry<->exit pairing with defined semantics (n-th entry to n-th
-    exit per (plate, lot, spot), ordered by ts).
+    """J2/W5: entry<->exit pairing as an ordered adjacency (state-machine)
+    match: an EXIT closes the immediately preceding ENTRY of the same
+    (plate, lot, spot).
 
-    The reference zips unordered lists (MainWeekly.scala:111-128) —
-    nondeterministic; this is the documented deviation. Orphan exits (no
-    matching entry) are dropped by the inner join, matching the reference's
-    zip truncation. Duration is recomputed analytically in minutes
-    (MainWeekly.scala:120-124) and the event's own duration_ms is kept for
+    The reference zips unordered per-key lists (MainWeekly.scala:111-128) --
+    nondeterministic AND misaligned by unmatched exits: a head-truncated
+    orphan EXIT shifts every later row_number pairing for that key (observed
+    as negative durations). Adjacency pairing via lag() is immune: an orphan
+    EXIT's predecessor is not an ENTRY, so it simply doesn't pair -- exactly
+    the keyed-state semantics of the streaming sessionizer
+    (streaming.stateful.sessionize_stream), so batch and stream agree. One
+    window shuffle per key; duration recomputed analytically in minutes
+    (MainWeekly.scala:120-124) with the event's own duration_ms kept for
     comparison (the ms-vs-minutes unit bug, SURVEY §1.5).
     """
     key = ["license_plate", "parking_lot_id", "parking_spot_id"]
-    entries = (
-        events.filter(F.col("event_type") == EVENT_ENTRY)
-        .select(*key, "vehicle_type", F.col("ts").alias("entry_ts"))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy(*key).orderBy("entry_ts")))
-    )
-    exits = (
-        events.filter(F.col("event_type") == EVENT_EXIT)
-        .select(*key, F.col("ts").alias("exit_ts"), "duration_ms")
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy(*key).orderBy("exit_ts")))
-    )
-    return entries.join(exits, [*key, "rn"]).select(
+    w = Window.partitionBy(*key).orderBy("ts")
+    flagged = valid_events(events).select(
         *key,
         "vehicle_type",
-        "entry_ts",
-        "exit_ts",
+        "event_type",
+        "ts",
         "duration_ms",
-        (
-            (F.unix_millis("exit_ts") - F.unix_millis("entry_ts")) / 60_000.0
-        ).alias("duration_min"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        flagged.filter(
+            (F.col("event_type") == EVENT_EXIT)
+            & (F.col("prev_type") == EVENT_ENTRY)
+        )
+        .select(
+            *key,
+            "vehicle_type",
+            F.col("prev_ts").alias("entry_ts"),
+            F.col("ts").alias("exit_ts"),
+            "duration_ms",
+            (
+                (F.unix_millis("ts") - F.unix_millis("prev_ts")) / 60_000.0
+            ).alias("duration_min"),
+        )
     )
 
 

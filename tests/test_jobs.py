@@ -1,0 +1,64 @@
+"""Job-layer tests: the hourly/daily/weekly deployment units end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.datagen.parking import generate, to_spark
+from inde1_spark.jobs import run_daily_job, run_hourly_job, run_weekly_job
+from inde1_spark.schemas import EVENT_ENTRY
+from inde1_spark.streaming.pipelines import RedisJsonSink, RedisTimeSeriesSink
+
+FIXTURE = generate(n_sessions=400, seed=17)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ev, _, _ = to_spark(spark, FIXTURE)
+    return ev.cache()
+
+
+def test_hourly_job_idempotent(events):
+    sink = RedisJsonSink()
+    n1 = run_hourly_job(events, "2025-06-01 00:00:00", "2025-06-02 00:00:00", sink)
+    assert n1 > 0
+    sample = next(iter(sink.store))
+    assert sample.startswith("parking-stats:hourly:2025-06-01:")
+    before = dict(sink.store)
+    # re-running the same window overwrites the same keys (idempotent)
+    n2 = run_hourly_job(events, "2025-06-01 00:00:00", "2025-06-02 00:00:00", sink)
+    assert n2 == n1 and sink.store == before
+
+
+def test_daily_job_series_monotone(events):
+    sink = RedisTimeSeriesSink()
+    n = run_daily_job(events, "2025-06-01", sink)
+    assert n > 0
+    entries = sink.ts_range("parking-events:daily:2025-06-01:timeseries:entries")
+    assert entries
+    values = [v for _, v in entries]
+    assert values == sorted(values)  # cumulative series is monotone
+    n_entries_day1 = sum(
+        1
+        for e in FIXTURE.events
+        if e["event_type"] == EVENT_ENTRY and e["ts"].date().isoformat() == "2025-06-01"
+    )
+    assert values[-1] == n_entries_day1
+
+
+def test_weekly_job_contract(events):
+    ts_sink, json_sink = RedisTimeSeriesSink(), RedisJsonSink()
+    doc = run_weekly_job(
+        events, "2025-22", "2025-06-01 00:00:00", "2025-06-08 00:00:00",
+        ts_sink, json_sink,
+    )
+    assert doc and all(v >= 0 for v in doc.values())
+    stored = json.loads(json_sink.store["parking-stats:weekly:2025-22:revenue-by-type"])
+    assert stored == doc
+    assert ts_sink.ts_range("parking-stats:weekly:2025-22:revenue")
