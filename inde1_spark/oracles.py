@@ -461,6 +461,30 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["asof_join"] = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id AS oid, 0 AS side, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = '{ENTRY}'
+  UNION ALL
+  SELECT user_id, ts, event_id AS oid, 1 AS side, NULL AS view_id, NULL AS view_ts
+  FROM events WHERE event_type = 'error'
+),
+carried AS (
+  SELECT user_id, ts, oid, side,
+         last_value(view_id IGNORE NULLS) OVER w AS prior_view_id,
+         last_value(view_ts IGNORE NULLS) OVER w AS prior_view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, oid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT oid AS error_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts_str,
+       prior_view_id,
+       strftime(prior_view_ts, '%Y-%m-%d %H:%M:%S') AS prior_view_ts_str,
+       ROUND(date_diff('second', prior_view_ts, ts) / 60.0, 2) AS gap_min
+FROM carried WHERE side = 1
+"""
+
 ORACLES["percentiles"] = """
 SELECT event_type,
        quantile_cont(value, 0.5) AS p50,
