@@ -44,8 +44,6 @@ def kafka_source(
     wire schema (never infer on a stream); malformed values null out and are
     dropped, matching the reference's log-and-skip.
     """
-    from inde1_spark.sources.readers import flatten_parking_events
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -53,10 +51,7 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), PARKING_EVENT_WIRE).alias("e")
-    ).select("e.*")
-    return flatten_parking_events(parsed).filter(F.col("event_type").isNotNull())
+    return parse_kafka_value(raw)
 
 
 def alert_stream(events: DataFrame, users: DataFrame) -> DataFrame:
@@ -67,6 +62,49 @@ def alert_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     batch ``detect_violations`` — it IS the same function.
     """
     return detect_violations(events, users)
+
+
+def parse_kafka_value(raw: DataFrame) -> DataFrame:
+    """Kafka value bytes -> flattened parking events (the testable core of
+    ``kafka_source``; works on any DataFrame with a ``value`` column)."""
+    from inde1_spark.sources.readers import flatten_parking_events
+
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), PARKING_EVENT_WIRE).alias("e")
+    ).select("e.*")
+    return flatten_parking_events(parsed).filter(F.col("event_type").isNotNull())
+
+
+# Severity mapping from the notifier (srvc-notifier/.../AlertEventSubscriber.
+# scala:85-91): violation type -> severity for the downstream webhook.
+SEVERITY_MAP = {
+    "unauthorized_user": "HIGH",
+    "unknown_user": "MEDIUM",
+}
+
+
+def with_severity(alerts: DataFrame) -> DataFrame:
+    """T2 tail: attach notifier severity + rendered message
+    (AlertEventSubscriber.scala:85-91, DiscordNotifier.scala:22-57)."""
+    sev = F.when(
+        F.col("violation_type") == "unauthorized_user", F.lit("HIGH")
+    ).when(F.col("violation_type") == "unknown_user", F.lit("MEDIUM")).otherwise(
+        F.lit("LOW")
+    )
+    return alerts.select(
+        "*",
+        sev.alias("severity"),
+        F.concat(
+            F.lit("Vehicle "),
+            F.col("vehicle_plate"),
+            F.lit(" violation ("),
+            F.col("violation_type"),
+            F.lit(") at "),
+            F.col("lot_id"),
+            F.lit("/"),
+            F.col("spot_id"),
+        ).alias("message"),
+    )
 
 
 def alerts_to_kafka_sink(alerts: DataFrame, brokers: str, topic: str = "alert-event-topic"):
