@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
         "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
+        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
     }
 
 

@@ -46,6 +46,16 @@ PERMS = [
 ]
 JACCARD_THRESHOLD = 0.8
 
+# Production path uses a deeper signature: 32 perms x 8 bands of 4 raises
+# banding recall at j=0.95 from ~0.9993 (a deterministic miss was observed
+# at 16x4) to 1 - 5e-7. Cost: 32 min-aggregates in the same single groupBy.
+FAST_N_PERM = 32
+FAST_N_BANDS = 8
+PERMS_FAST = [
+    (i, (2246822519 * (i + 3)) % MINHASH_PRIME, (3266489917 * (i + 11) + 5) % MINHASH_PRIME)
+    for i in range(FAST_N_PERM)
+]
+
 # SimHash parameters (32-bit signature, 4 bands x 8 bits; Hamming<=3 implies
 # at least one intact band by pigeonhole, so the band join has full recall).
 SIMHASH_BITS = 32
@@ -157,12 +167,14 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = JACCARD_THRESHO
     )
 
 
-def minhash_signatures(sh_ids: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_15): all minhashes in ONE aggregation pass.
+def minhash_signatures(
+    sh_ids: DataFrame, perms: list[tuple[int, int, int]] = PERMS
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): all minhashes in ONE aggregation pass.
 
     Each permutation is an independent min-aggregate over the same rows, so
-    the 16 signatures cost one groupBy — no row explosion, map-side partial
-    mins, one shuffle on doc_id. (A pid-exploded variant costs 16x the
+    k signatures cost one groupBy — no row explosion, map-side partial
+    mins, one shuffle on doc_id. (A pid-exploded variant costs k x the
     shuffle volume for identical results.)
     """
     return sh_ids.groupBy("doc_id").agg(
@@ -170,7 +182,7 @@ def minhash_signatures(sh_ids: DataFrame) -> DataFrame:
             F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
                 f"mh_{pid}"
             )
-            for pid, a, b in PERMS
+            for pid, a, b in perms
         ]
     )
 
@@ -180,13 +192,15 @@ def minhash_signatures_fast(documents: DataFrame, n: int = 3) -> DataFrame:
 
     Same LSH math as ``minhash_signatures`` but the shingle id is a 64-bit
     hash computed row-locally — no sorted dictionary, no extra join, fully
-    scalable. Not oracle-checkable (xxhash64 is Spark-specific), covered by
-    pytest invariant tests instead.
+    scalable — and the signature is deeper (PERMS_FAST: 32 perms, 8 bands)
+    for near-certain recall at the dup threshold. Not oracle-checkable
+    (xxhash64 is Spark-specific); pinned by the recall test against the
+    exact ground truth instead (tests/test_dedup_fast_path.py).
     """
     sh = shingle_table(documents, n).select(
         "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
     )
-    return minhash_signatures(sh)
+    return minhash_signatures(sh, perms=PERMS_FAST)
 
 
 def dedup_minhash_lsh(

@@ -127,6 +127,57 @@ def extract_features(documents: DataFrame, fake: bool = True) -> DataFrame:
     return src.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+# sized so testdata documents (~150-1500 bytes) produce multiple frames —
+# the 1->N expansion is the thing under test
+FRAME_BYTES = 100
+
+
+def sample_frames(documents: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling: one row per fixed-size chunk of the payload (the
+    video-frame / audio-window expansion pattern, 1 -> N rows).
+
+    ``mapInPandas`` yields multiple output rows per input row — the shape a
+    real frame sampler has (decode + sample happens where the stub is).
+    Deterministic fake 'frames' = byte slices + md5, so the expansion
+    plumbing is oracle-checkable end-to-end. At scale the expansion factor
+    multiplies rows, not bytes read (payload column is read once per task).
+    """
+    src = with_binary_payload(documents)
+    fb = frame_bytes
+
+    def _frames(batches):
+        import hashlib
+
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = max(1, (len(data) + fb - 1) // fb)
+                for i in range(n):
+                    chunk = data[i * fb : (i + 1) * fb]
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_bytes": len(chunk),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        _frames,
+        schema="doc_id long, frame_idx int, frame_bytes long, frame_md5 string",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_bytes",
+        "frame_md5",
+    )
+
+
 def feature_columns(documents: DataFrame, fake: bool = True) -> DataFrame:
     """Oracle-checkable projection of the mapInPandas feature path.
 

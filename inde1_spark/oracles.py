@@ -817,6 +817,22 @@ SELECT doc_id, md5(n) AS fingerprint, substr(md5(n), 1, 8) AS fp_prefix
 FROM norm
 """
 
+from inde1_spark.operators.multimodal import FRAME_BYTES
+
+ORACLES["multimodal_frames"] = f"""
+WITH frames AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS frame_idx,
+         substring(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS chunk
+  FROM documents,
+       UNNEST(generate_series(0, CAST(GREATEST(0, (strlen(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES} - 1) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(strlen(chunk) AS BIGINT) AS frame_bytes,
+       md5(chunk) AS frame_md5
+FROM frames
+"""
+
 # DuckDB md5/substring don't accept BLOB; text here is ASCII so md5(text)
 # equals md5 over the UTF-8 payload bytes and the first 4 chars are the
 # first 4 bytes.
