@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
         "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
         "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
+        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
         "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
         "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),

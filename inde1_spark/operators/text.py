@@ -128,6 +128,52 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+SPLIT_MULT = 2654435761  # Knuth multiplicative hash — engine-portable
+TRAIN_PCT, VAL_PCT = 80, 10  # train/val/test = 80/10/10
+
+
+def train_test_split(documents: DataFrame) -> DataFrame:
+    """Deterministic, reproducible dataset splitting by key hash.
+
+    split(doc) = f(doc_id) — stable across runs, engines and partitionings
+    (``df.sample`` is seed-and-partitioning dependent; hash-mod is the
+    reproducible spelling a training pipeline needs). Returns per-(lang,
+    split) counts so stratification quality is visible.
+    """
+    h = (F.col("doc_id") * F.lit(SPLIT_MULT)) % F.lit(100)
+    split = (
+        F.when(h < TRAIN_PCT, F.lit("train"))
+        .when(h < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        documents.groupBy(F.col("lang"), split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
+    """Stratified sampling: top-N docs per language by hashed rank.
+
+    Hash-ordered row_number per stratum — deterministic, no shuffle beyond
+    the per-stratum window, and the sample is stable under data growth for
+    existing keys. The training-data use: balanced per-language subsets
+    from a skewed corpus.
+    """
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") * F.lit(SPLIT_MULT)) % F.lit(1_000_003)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        documents.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= per_lang)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over the normalized text.
 

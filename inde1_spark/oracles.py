@@ -37,7 +37,14 @@ from inde1_spark.operators.similarity import (
     N_QUERIES,
 )
 from inde1_spark.operators.similarity import K_IVF, N_PROBE
-from inde1_spark.operators.text import BPE_PATTERN, LANG_MARKERS, STOPWORDS
+from inde1_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    SPLIT_MULT,
+    STOPWORDS,
+    TRAIN_PCT,
+    VAL_PCT,
+)
 
 ENTRY, EXIT = "view", "click"
 RATE = 2.0
@@ -805,6 +812,30 @@ scores AS (
 SELECT doc_id, lang_actual, {_build_lang_pred()} AS lang_pred,
        {", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))}
 FROM scores
+"""
+
+ORACLES["train_test_split"] = f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * {SPLIT_MULT}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN (doc_id * {SPLIT_MULT}) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS n_chars
+FROM s GROUP BY 1, 2
+"""
+
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {SPLIT_MULT}) % 1000003 ASC, doc_id ASC
+         ) AS BIGINT) AS rnk
+  FROM documents
+) WHERE rnk <= 20
 """
 
 ORACLES["text_fingerprint"] = """
