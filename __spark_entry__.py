@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
         "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
         "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
+        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
+            _t(sp, d, "documents")
+        ),
         "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
         "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),

@@ -128,30 +128,64 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-SPLIT_MULT = 2654435761  # Knuth multiplicative hash — engine-portable
 TRAIN_PCT, VAL_PCT = 80, 10  # train/val/test = 80/10/10
+
+
+def hash_bucket(key: Column, mod: int) -> Column:
+    """Engine-portable pseudorandom bucket: first 8 md5 hex chars -> int % mod.
+
+    md5 yields identical lowercase hex in Spark and DuckDB, so both engines
+    assign identical buckets. Unlike a multiplicative `(id*c) % m` (a cyclic
+    permutation of the id — consecutive ids round-robin across buckets),
+    md5 is avalanche-mixed: bucket(id) and bucket(id+1) are independent,
+    which is what makes hash-split contamination-safe for id-correlated
+    inputs (consecutive ids from one crawl/shard).
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % F.lit(mod)
+    )
+
+
+def _split_label(h: Column) -> Column:
+    return (
+        F.when(h < TRAIN_PCT, F.lit("train"))
+        .when(h < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
 
 
 def train_test_split(documents: DataFrame) -> DataFrame:
     """Deterministic, reproducible dataset splitting by key hash.
 
-    split(doc) = f(doc_id) — stable across runs, engines and partitionings
-    (``df.sample`` is seed-and-partitioning dependent; hash-mod is the
-    reproducible spelling a training pipeline needs). Returns per-(lang,
-    split) counts so stratification quality is visible.
+    split(doc) = f(md5(doc_id)) — stable across runs, engines and
+    partitionings (``df.sample`` is seed-and-partitioning dependent;
+    hash-mod is the reproducible spelling a training pipeline needs).
+    Returns per-(lang, split) counts so stratification quality is visible.
     """
-    h = (F.col("doc_id") * F.lit(SPLIT_MULT)) % F.lit(100)
-    split = (
-        F.when(h < TRAIN_PCT, F.lit("train"))
-        .when(h < TRAIN_PCT + VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = _split_label(hash_bucket(F.col("doc_id"), 100))
     return (
         documents.groupBy(F.col("lang"), split.alias("split"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("n_chars"),
         )
+    )
+
+
+def train_test_split_grouped(documents: DataFrame, group_col: str = "source") -> DataFrame:
+    """Contamination-safe split: bucket on the GROUP key, not the doc id.
+
+    All documents sharing ``group_col`` (source / crawl / dedup-cluster id)
+    land on the same side, so near-duplicates within a group can never
+    straddle train/test — the property per-document splitting destroys.
+    Returns per-split doc/group/char counts for leakage auditing.
+    """
+    split = _split_label(hash_bucket(F.col(group_col), 100))
+    return documents.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(group_col).cast("long").alias("n_groups"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("n_chars"),
     )
 
 
@@ -165,7 +199,7 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    h = (F.col("doc_id") * F.lit(SPLIT_MULT)) % F.lit(1_000_003)
+    h = hash_bucket(F.col("doc_id"), 1_000_003)
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         documents.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -40,7 +40,6 @@ from inde1_spark.operators.similarity import K_IVF, N_PROBE
 from inde1_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
-    SPLIT_MULT,
     STOPWORDS,
     TRAIN_PCT,
     VAL_PCT,
@@ -814,11 +813,17 @@ SELECT doc_id, lang_actual, {_build_lang_pred()} AS lang_pred,
 FROM scores
 """
 
+# Engine-portable md5 bucket (operators/text.py:hash_bucket): md5 hex is
+# identical in both engines; DuckDB parses the 0x-prefixed substring as int.
+def _hash_bucket_sql(key: str, mod: int) -> str:
+    return f"(CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {mod})"
+
+
 ORACLES["train_test_split"] = f"""
 WITH s AS (
   SELECT lang, n_chars,
-         CASE WHEN (doc_id * {SPLIT_MULT}) % 100 < {TRAIN_PCT} THEN 'train'
-              WHEN (doc_id * {SPLIT_MULT}) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+         CASE WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT + VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
@@ -827,12 +832,26 @@ SELECT lang, split, count(*) AS n_docs,
 FROM s GROUP BY 1, 2
 """
 
+ORACLES["train_test_split_grouped"] = f"""
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN {_hash_bucket_sql('source', 100)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_hash_bucket_sql('source', 100)} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS n_chars
+FROM s GROUP BY 1
+"""
+
 ORACLES["stratified_sample"] = f"""
 SELECT doc_id, lang, rnk FROM (
   SELECT doc_id, lang,
          CAST(row_number() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * {SPLIT_MULT}) % 1000003 ASC, doc_id ASC
+           ORDER BY {_hash_bucket_sql('doc_id', 1000003)} ASC, doc_id ASC
          ) AS BIGINT) AS rnk
   FROM documents
 ) WHERE rnk <= 20
