@@ -103,8 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
         "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
         "dedup_minhash_lsh": lambda sp, d: D.dedup_minhash_lsh(_t(sp, d, "documents")),
+        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
         "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
         "dedup_embedding": lambda sp, d: D.dedup_embedding(_t(sp, d, "embeddings")),
+        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
+            _t(sp, d, "embeddings")
+        ),
         "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
         "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
         "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),

@@ -39,7 +39,8 @@ HEADLINE = (
     "alerts",
     "rollup_nation_region",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_fast",  # production xxhash64 path (no global-sort dictionary)
+    "dedup_embedding_lsh",
     "knn_brute_cosine",
     "knn_lsh_bucketed",
     "knn_ivf",

@@ -66,6 +66,29 @@ HAMMING_MAX = 3
 COSINE_DEDUP_THRESHOLD = 0.45  # testdata has no planted vector near-dups; this
 # surfaces the top-0.01% most-similar pairs (14 pairs at sf0.01)
 
+# Persisted intermediates registry: operators stay pure plan builders, but
+# self-joined intermediates (shingles, band tables) are persisted so the
+# tokenize/signature pipeline runs once per job. Long-lived sessions call
+# ``release_persisted()`` after consuming the result; otherwise cached
+# blocks accumulate across invocations (bench.py's clearCache also works).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate cached by dedup operators; returns the
+    number of handles released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 
 def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-gram shingles per document.
@@ -203,29 +226,14 @@ def minhash_signatures_fast(documents: DataFrame, n: int = 3) -> DataFrame:
     return minhash_signatures(sh, perms=PERMS_FAST)
 
 
-def dedup_minhash_lsh(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """MinHash+LSH near-dup detection with exact-Jaccard verification.
+def banded_signature(sigs: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, sig): minhash columns folded into per-band bucket keys.
 
-    shingle -> 16 minhashes -> 4 bands of 4 -> band-bucket join for candidate
-    pairs -> exact Jaccard on candidates only -> >= threshold.
-
-    At j=0.8 the candidate probability is 1-(1-0.8^4)^4 = 0.93; at the
-    planted-dup level (j~0.97) it is ~1. The band join touches only bucket
-    collisions — this is the operator that replaces the quadratic pair join
-    at 100 TB.
-
-    The shingle table feeds four consumers (dictionary, signatures, both
-    sides of the verify join); it is persisted so the tokenize/shingle pass
-    runs once per job instead of four times (the reference caches its reused
-    scan the same way, MainHourly.scala:89).
+    Shared by the oracle-deterministic and production LSH paths (and the
+    recall test) — one spelling of the banding math.
     """
-    sh = shingle_table(documents).persist()
-    sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
-    sigs = minhash_signatures(sh_ids)
-    rows_per_band = N_PERM // N_BANDS
-    bands = sigs.select(
+    rows_per_band = n_perm // n_bands
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -240,21 +248,81 @@ def dedup_minhash_lsh(
                             ],
                         ).alias("sig"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    # persisted: both sides of the bucket self-join read this table; without
-    # the persist the dictionary + signature pipeline runs twice
-    bands = bands.persist()
+
+
+def band_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): distinct pairs sharing >=1 (band, sig) bucket.
+
+    The band table feeds both sides of the bucket self-join, so it is
+    persisted (registry above) — without it the signature pipeline runs
+    twice.
+    """
+    bands = _persist(bands)
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    candidates = (
+    return (
         ba.join(bb, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup detection with exact-Jaccard verification.
+
+    shingle -> 16 minhashes -> 4 bands of 4 -> band-bucket join for candidate
+    pairs -> exact Jaccard on candidates only -> >= threshold.
+
+    At j=0.8 the candidate probability is 1-(1-0.8^4)^4 = 0.93; at the
+    planted-dup level (j~0.97) it is ~1. The band join touches only bucket
+    collisions — this is the operator that replaces the quadratic pair join
+    at 100 TB.
+
+    ORACLE VARIANT: shingle ids come from the sorted global dictionary so
+    DuckDB reproduces signatures bit-for-bit; the dictionary's global sort
+    is a single-task bottleneck at scale. The production spelling is
+    ``dedup_minhash_fast`` (xxhash64 ids, no dictionary, deeper signature) —
+    same banding, same exact verify, no global sort.
+
+    The shingle table feeds four consumers (dictionary, signatures, both
+    sides of the verify join); it is persisted so the tokenize/shingle pass
+    runs once per job instead of four times (the reference caches its reused
+    scan the same way, MainHourly.scala:89).
+    """
+    sh = _persist(shingle_table(documents))
+    sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
+    candidates = band_candidates(banded_signature(minhash_signatures(sh_ids), N_PERM, N_BANDS))
+    return _pair_jaccard(sh, pairs_filter=candidates).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def dedup_minhash_fast(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = 3
+) -> DataFrame:
+    """Production MinHash+LSH dedup: the 100 TB path, end to end.
+
+    xxhash64 shingle ids (row-local, no global-sort dictionary, no extra
+    join) -> 32 minhashes -> 8 bands of 4 -> bucket join -> exact-Jaccard
+    verify. Banding miss probability at j=0.95 is ~5e-7 per pair, so the
+    output equals the exact ``dedup_ngram_jaccard`` ground truth with
+    near-certainty — pinned by tests/test_dedup_fast_path.py; gated
+    rows-only (xxhash64 has no DuckDB twin).
+    """
+    sh = _persist(shingle_table(documents, n))
+    sh_ids = sh.select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
+    )
+    candidates = band_candidates(
+        banded_signature(minhash_signatures(sh_ids, perms=PERMS_FAST), FAST_N_PERM, FAST_N_BANDS)
     )
     return _pair_jaccard(sh, pairs_filter=candidates).filter(
         F.col("jaccard") >= threshold
@@ -296,7 +364,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     computed as an explicit 32-term bit sum (portable to the oracle; Spark
     also has bit_count for the production spelling).
     """
-    sh = shingle_table(documents).persist()
+    sh = _persist(shingle_table(documents))
     sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
     sigs = simhash_signatures(sh_ids)
 
@@ -322,7 +390,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
         ).alias("bq"),
     ).select("doc_id", "simhash", F.col("bq.q").alias("q"), F.col("bq.bv").alias("bv"))
     # persisted: self-joined below (see dedup_minhash_lsh)
-    bands_long = bands_long.persist()
+    bands_long = _persist(bands_long)
 
     ba = bands_long.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "q", "bv"
@@ -354,8 +422,8 @@ def dedup_embedding(
 
     Brute-force pair join with row-local exact dot products (zip_with +
     decimal accumulate — no explode, no per-element shuffle). Quadratic by
-    nature; the 100 TB path prefilters pairs with the sign-bucket LSH from
-    ``similarity.knn_lsh_bucketed`` and verifies with this exact cosine.
+    nature — this is the exact GROUND TRUTH; the scale path is
+    ``dedup_embedding_lsh`` (sign-bucket candidates, no cross join).
     """
     e = embeddings.repartition("vec_id").select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
@@ -371,6 +439,65 @@ def dedup_embedding(
         F.col("nrm").alias("nrm_b"),
     )
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def dedup_embedding_lsh(
+    embeddings: DataFrame,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+    dims: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup via sign-bucket LSH + exact-cosine verify.
+
+    The scale path promised by ``dedup_embedding``'s docstring, as code:
+    each vector gets a bucket from the sign pattern of its leading ``dims``
+    coordinates; one side multi-probes (its own bucket plus every
+    one-bit-flip neighbor, so pairs within Hamming<=1 of each other are
+    candidates), the other side is keyed by its exact bucket. Candidate
+    generation is a plain equi-join on the bucket key — Catalyst shuffles
+    it, AQE skew-splits it, nothing is quadratic. Exact decimal cosine
+    verifies candidates, so every emitted pair is exact; only recall is
+    approximate (pairs differing in >1 leading sign are unseen — the
+    standard LSH trade, tested against the brute ground truth).
+
+    Deterministic end to end (sign buckets + exact cosine), so the DuckDB
+    oracle reproduces it bit-for-bit — unlike the minhash fast path this
+    scale operator is fully hash-gated.
+    """
+    from inde1_spark.operators.similarity import LSH_SIGN_DIMS, sign_bucket
+
+    d = LSH_SIGN_DIMS if dims is None else dims
+    e = embeddings.repartition("vec_id").select(
+        "vec_id",
+        "embedding",
+        norm_exact(F.col("embedding")).alias("nrm"),
+        sign_bucket(F.col("embedding"), d).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(2**j)) for j in range(d)]
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(probes).alias("probe"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("bucket"),
+    )
+    # each candidate pair matches on exactly ONE probe value (the probe list
+    # per vector is distinct), so no post-join dedup is needed
+    pairs = a.join(b, a["probe"] == b["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )

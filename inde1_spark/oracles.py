@@ -641,6 +641,45 @@ SELECT vec_a, vec_b, cos_sim FROM (
 ) WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD}
 """
 
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
+    for j in range(LSH_SIGN_DIMS)
+)
+
+# Multi-probe sign-bucket candidates (operators/dedup.py:dedup_embedding_lsh):
+# probe list = own bucket + every one-bit flip of the leading-dim signs.
+_PROBE_LIST = ", ".join(
+    ["bucket"] + [f"xor(bucket, {2**j})" for j in range(LSH_SIGN_DIMS)]
+)
+
+ORACLES["dedup_embedding_lsh"] = f"""
+WITH {_NORMS.strip().rstrip()},
+buckets AS (
+  SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
+),
+probes AS (
+  SELECT vec_id, unnest([{_PROBE_LIST}]) AS probe FROM buckets
+),
+cand AS (
+  SELECT pa.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM probes pa JOIN buckets bb ON pa.probe = bb.bucket AND pa.vec_id < bb.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, {_FIXED_DOT} AS dot
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+) WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD}
+"""
+
 ORACLES["knn_brute_cosine"] = f"""
 WITH {_NORMS.strip().rstrip()},
 dots AS (
@@ -661,11 +700,6 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= {K_BRUTE}
 """
-
-_BUCKET_EXPR = " + ".join(
-    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
-    for j in range(LSH_SIGN_DIMS)
-)
 
 ORACLES["knn_lsh_bucketed"] = f"""
 WITH {_NORMS.strip().rstrip()},

@@ -47,10 +47,15 @@ def assert_plan(
     max_scans: int | None = None,
     require_broadcast_joins: int | None = None,
     forbid_sort_merge: bool = False,
+    forbid_cartesian: bool = False,
     require_pushed_filter: str | None = None,
 ) -> PlanReport:
     """Assert structural properties of a query's physical plan."""
     r = plan_report(df)
+    if forbid_cartesian and (
+        r.nested_loop_joins or "CartesianProduct" in r.raw
+    ):
+        raise AssertionError(f"unexpected cartesian/nested-loop join:\n{r.raw}")
     if max_exchanges is not None and r.exchanges > max_exchanges:
         raise AssertionError(f"{r.exchanges} exchanges > {max_exchanges}:\n{r.raw}")
     if max_scans is not None and r.parquet_scans > max_scans:

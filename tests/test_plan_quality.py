@@ -49,3 +49,29 @@ def test_cumulative_series_preaggregates(spark):
     # the unbounded window must sit above the aggregate (2 exchanges max:
     # daily agg + single-partition window), never over raw events
     assert_plan(Q["cumulative_series"](spark, SF_SMOKE), max_exchanges=2, max_scans=1)
+
+
+def test_dedup_embedding_lsh_no_cartesian(spark):
+    # the scale path must stay a bucket equi-join; a planner regression back
+    # to the brute crossJoin shape fails here (dedup_embedding — the labeled
+    # ground truth — is the only operator allowed a cartesian)
+    assert_plan(Q["dedup_embedding_lsh"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_dedup_minhash_fast_no_cartesian_no_global_sort(spark):
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = assert_plan(Q["dedup_minhash_fast"](spark, SF_SMOKE), forbid_cartesian=True)
+    # the production path must not inherit the oracle variant's global-sort
+    # dictionary: no single-partition window (row_number over all shingles)
+    assert "partial_row_number" not in r.raw.lower()
+    release_persisted()
+
+
+def test_knn_ivf_no_cartesian(spark):
+    # IVF probe is a tiny window + equi-join on label; never all-pairs
+    assert_plan(Q["knn_ivf"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_knn_lsh_bucketed_no_cartesian(spark):
+    assert_plan(Q["knn_lsh_bucketed"](spark, SF_SMOKE), forbid_cartesian=True)
