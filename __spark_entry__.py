@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
         "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
+        ),
         "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
         "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
         "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),

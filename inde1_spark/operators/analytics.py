@@ -486,6 +486,37 @@ def revenue_daily_model(events: DataFrame) -> DataFrame:
     )
 
 
+VEHICLE_TYPES = ("car", "truck", "motorcycle", "van", "suv")
+
+
+def weekly_revenue_by_type(events: DataFrame) -> DataFrame:
+    """The weekly revenue-by-type document (MainWeekly.scala:310-319) — the
+    one reference output with no hash-gated twin until round 2.
+
+    Per (ISO week, vehicle type): duration-model revenue, average spend and
+    exit count. The type dimension is derived from the event payload
+    (props.k mod |types|, the testdata stand-in for vehicle.vehicleType).
+    Exact-decimal sums; avg = exact-sum/count then one rate scaling, so
+    both engines multiply the same two doubles.
+    """
+    vtype = F.element_at(
+        F.array(*[F.lit(t) for t in VEHICLE_TYPES]),
+        (F.get_json_object("props", "$.k").cast("long") % F.lit(len(VEHICLE_TYPES)) + 1).cast("int"),
+    )
+    return (
+        events.filter(F.col("event_type") == EXIT_TYPE)
+        .groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            vtype.alias("vtype"),
+        )
+        .agg(
+            (_dsum("value") * F.lit(RATE / 60.0)).alias("revenue"),
+            ((_dsum("value") / F.count("value")) * F.lit(RATE / 60.0)).alias("avg_spent"),
+            F.count("*").alias("n_exits"),
+        )
+    )
+
+
 def exists_check(events: DataFrame) -> DataFrame:
     """W3: the limit-1 existence probe (MainHourly.scala:82-87) — made
     deterministic with a total order."""

@@ -190,6 +190,25 @@ SELECT {_DAY} AS day, {_dsum('value')} * ({RATE} / 60.0) AS revenue
 FROM events WHERE event_type = '{EXIT}' GROUP BY 1
 """
 
+from inde1_spark.operators.analytics import VEHICLE_TYPES
+
+_VTYPE_LIST = ", ".join(f"'{t}'" for t in VEHICLE_TYPES)
+
+ORACLES["weekly_revenue_by_type"] = f"""
+WITH exits AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         [{_VTYPE_LIST}][CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              % {len(VEHICLE_TYPES)} + 1 AS INT)] AS vtype,
+         value
+  FROM events WHERE event_type = '{EXIT}'
+)
+SELECT week, vtype,
+       {_dsum('value')} * ({RATE} / 60.0) AS revenue,
+       ({_dsum('value')} / COUNT(value)) * ({RATE} / 60.0) AS avg_spent,
+       count(*) AS n_exits
+FROM exits GROUP BY 1, 2
+"""
+
 ORACLES["avg_per_group"] = f"""
 SELECT {_DAY} AS day, event_type,
        {_dsum('value')} / COUNT(value) AS avg_value,
@@ -706,14 +725,17 @@ WITH {_NORMS.strip().rstrip()},
 buckets AS (
   SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
 ),
+qprobes AS (
+  SELECT vec_id, unnest([{_PROBE_LIST}]) AS probe
+  FROM buckets WHERE vec_id < {N_QUERIES}
+),
 dots AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
-  FROM buckets ba
-  JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
-  JOIN embeddings a ON a.vec_id = ba.vec_id
+  FROM qprobes qa
+  JOIN buckets bb ON qa.probe = bb.bucket AND qa.vec_id <> bb.vec_id
+  JOIN embeddings a ON a.vec_id = qa.vec_id
   JOIN embeddings b ON b.vec_id = bb.vec_id,
        UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
-  WHERE ba.vec_id < {N_QUERIES}
   GROUP BY 1, 2
 ),
 scored AS (

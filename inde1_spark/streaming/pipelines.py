@@ -31,10 +31,33 @@ from inde1_spark.operators.parking import detect_violations, valid_events
 from inde1_spark.schemas import EVENT_ENTRY, PARKING_EVENT_WIRE
 
 
+# Reference topic names: parking-event-topic is produced by srvc-io
+# (Main.scala:30-47) and consumed by srvc-alert (ParkingEventConsumer.
+# scala:24-53); alert-event-topic is produced by the alert publisher
+# (AlertEventPublisher.scala:21-35).
+PARKING_EVENT_TOPIC = "parking-event-topic"
+ALERT_EVENT_TOPIC = "alert-event-topic"
+
+
+def kafka_source_options(
+    brokers: str,
+    topic: str = PARKING_EVENT_TOPIC,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The exact option set the S1 reader is built with — a pure function
+    so the wiring is unit-testable without a broker
+    (tests/test_kafka_wiring.py)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
-    topic: str = "parking-event-topic",
+    topic: str = PARKING_EVENT_TOPIC,
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """S1: Kafka source -> parsed, flattened parking-event stream.
@@ -46,9 +69,7 @@ def kafka_source(
     """
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
     )
     return parse_kafka_value(raw)
@@ -107,10 +128,17 @@ def with_severity(alerts: DataFrame) -> DataFrame:
     )
 
 
-def alerts_to_kafka_sink(alerts: DataFrame, brokers: str, topic: str = "alert-event-topic"):
-    """S2: serialize alerts to JSON keyed by plate, as the reference's
-    publisher does (AlertEventPublisher.scala:21-35)."""
-    payload = alerts.select(
+def kafka_sink_options(brokers: str, topic: str = ALERT_EVENT_TOPIC) -> dict[str, str]:
+    """The exact option set the S2 writer is built with (pure, testable)."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def alert_kafka_payload(alerts: DataFrame) -> DataFrame:
+    """(key, value) Kafka records for the alert stream: key = plate (the
+    reference's partitioning key), value = the publisher's JSON document
+    (AlertEventPublisher.scala:21-35). Pure transform — testable on a batch
+    DataFrame without a broker."""
+    return alerts.select(
         F.col("vehicle_plate").alias("key"),
         F.to_json(
             F.struct(
@@ -119,10 +147,15 @@ def alerts_to_kafka_sink(alerts: DataFrame, brokers: str, topic: str = "alert-ev
             )
         ).alias("value"),
     )
+
+
+def alerts_to_kafka_sink(alerts: DataFrame, brokers: str, topic: str = ALERT_EVENT_TOPIC):
+    """S2: serialize alerts to JSON keyed by plate, as the reference's
+    publisher does (AlertEventPublisher.scala:21-35)."""
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
+        alert_kafka_payload(alerts)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, topic))
     )
 
 
@@ -176,6 +209,16 @@ class SlotStateSink:
         from inde1_spark.operators.parking import slot_state
 
         for row in slot_state(batch_df).collect():  # <= |lots x spots| rows
+            cur = self._store.get(row["slot_key"])
+            if (
+                cur is not None
+                and cur["updated_at"] is not None
+                and row["updated_at"] is not None
+                and row["updated_at"] < cur["updated_at"]
+            ):
+                # late/out-of-order micro-batch (normal with Kafka): never
+                # regress a slot to an older state than what's stored
+                continue
             self._store[row["slot_key"]] = {
                 "occupied": row["occupied"],
                 "lot": row["lot"],
@@ -203,31 +246,94 @@ def redis_document_key(date: str, hour: int) -> str:
 class RedisJsonSink:
     """S6: JSON.SET-style sink behind ``foreachBatch``.
 
-    Idempotent by key (re-running a window overwrites the same document —
-    the reference relies on the same property). The client is injected; the
-    in-memory default lets tests run without Redis. In production pass a
-    ``redis.Redis`` and the same code calls JSON.SET per partition.
+    Two write paths with different correctness contracts:
+
+    - ``write_stats(stats_df)``: overwrite documents from an already-FULL
+      hourly aggregate (the batch ``run_hourly_job`` path). Idempotent by
+      key — re-running a window overwrites the same document, the property
+      the reference relies on.
+    - ``process_batch``: the streaming path. An hour routinely spans
+      micro-batches, and clamped per-lot occupancy is NOT additive, so the
+      sink read-merges at the finest ADDITIVE grain — raw entry/exit
+      counts per (date, hour, lot, vehicle_type) — and rebuilds each
+      affected document from the merged counts (occupancy re-clamped
+      after the merge, which is the only order that is exact). In
+      production the merge state lives in Redis itself (HINCRBY the raw
+      counts, then JSON.SET the rebuilt doc); the in-memory dict mirrors
+      that contract for tests.
     """
 
     def __init__(self, client=None) -> None:
         self.store: dict[str, str] = {}
         self._client = client
+        # (date, hour, lot, vehicle_type) -> [entries, exits]; additive grain
+        self._counts: dict[tuple, list[int]] = {}
 
     def write_stats(self, stats_df: DataFrame) -> None:
         rows = stats_df.select(
             "date", "hour", F.to_json(F.struct(*stats_df.columns)).alias("doc")
         ).collect()
         for r in rows:
-            key = redis_document_key(r["date"], r["hour"])
-            if self._client is not None:
-                self._client.execute_command("JSON.SET", key, ".", r["doc"])
-            else:
-                self.store[key] = r["doc"]
+            self._put(redis_document_key(r["date"], r["hour"]), r["doc"])
+
+    def _put(self, key: str, doc: str) -> None:
+        if self._client is not None:
+            self._client.execute_command("JSON.SET", key, ".", doc)
+        else:
+            self.store[key] = doc
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from inde1_spark.operators.parking import hourly_stats
+        import json as _json
 
-        self.write_stats(hourly_stats(batch_df))
+        from inde1_spark.operators.parking import RATE_PER_HOUR, valid_events
+        from inde1_spark.schemas import EVENT_ENTRY
+
+        is_entry = (F.col("event_type") == EVENT_ENTRY).cast("long")
+        partials = (
+            valid_events(batch_df)
+            .groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("date"),
+                F.hour("ts").alias("hour"),
+                "parking_lot_id",
+                "vehicle_type",
+            )
+            .agg(F.sum(is_entry).alias("e"), F.sum(1 - is_entry).alias("x"))
+            .collect()  # <= |hours x lots x types| rows per batch
+        )
+        touched: set[tuple] = set()
+        for r in partials:
+            k = (r["date"], r["hour"], r["parking_lot_id"], r["vehicle_type"])
+            cur = self._counts.setdefault(k, [0, 0])
+            cur[0] += r["e"]
+            cur[1] += r["x"]
+            touched.add((r["date"], r["hour"]))
+        for date, hour in sorted(touched):
+            lots: dict[str, list[int]] = {}
+            vtypes: dict[str, int] = {}
+            for (d, h, lot, vt), (e, x) in self._counts.items():
+                if (d, h) != (date, hour):
+                    continue
+                le = lots.setdefault(lot, [0, 0])
+                le[0] += e
+                le[1] += x
+                vtypes[vt] = vtypes.get(vt, 0) + e + x
+            occupancy = {lot: max(0, e - x) for lot, (e, x) in sorted(lots.items())}
+            total_occupied = sum(occupancy.values())
+            doc = _json.dumps(
+                {
+                    "date": date,
+                    "hour": hour,
+                    "nbr_entries": sum(e for e, _ in lots.values()),
+                    "nbr_exit": sum(x for _, x in lots.values()),
+                    "occupancy": occupancy,
+                    "revenue_simulation": round(total_occupied * RATE_PER_HOUR, 2),
+                    "vehicle_types": dict(sorted(vtypes.items())),
+                }
+            )
+            self._put(redis_document_key(date, hour), doc)
+
+    def writer(self, events: DataFrame):
+        return events.writeStream.foreachBatch(self.process_batch).outputMode("append")
 
 
 def dedup_stream(
@@ -294,16 +400,19 @@ def weekly_timeseries(events: DataFrame, rate: float = 2.0) -> DataFrame:
             F.sum(1 - is_entry).cast("double").alias("exits"),
         )
     )
-    spend = F.col("duration_min") * F.lit(rate) / F.lit(60.0)
+    # decimal sums (determinism invariant, DESIGN §3): double accumulation is
+    # partition-order dependent; sum exact, scale by rate/60 once at the end
+    dsum_min = F.sum(F.col("duration_min").cast("decimal(18,6)")).cast("double")
+    spend_scale = F.lit(rate / 60.0)
     rev = (
         session_durations(events)
         .groupBy(F.date_trunc("day", "entry_ts").alias("day"))
-        .agg(F.sum(spend).alias("revenue"))
+        .agg((dsum_min * spend_scale).alias("revenue"))
     )
     avgspent = (
         session_durations(events)
         .groupBy(F.date_trunc("day", "entry_ts").alias("day"), "vehicle_type")
-        .agg(F.avg(spend).alias("value"))
+        .agg(((dsum_min / F.count("duration_min")) * spend_scale).alias("value"))
         .select(
             "day", F.concat(F.lit("avgspent:"), "vehicle_type").alias("attribute"), "value"
         )

@@ -1,0 +1,53 @@
+"""ANN recall bounds vs the exact brute-force baseline.
+
+The testdata embeddings are unstructured random vectors: true top-3
+neighbors sit at cosine ~0.3-0.45 (nearly orthogonal), which is the
+worst case for any LSH family — sign agreement per leading dim is barely
+above 1/2. Absolute recall is therefore modest by construction; what the
+tests pin is (a) a floor at the gated config and (b) that multi-probe
+strictly beats single-probe on identical buckets (the property that
+justifies its (dims+1)x probe cost). On real near-dup corpora
+(cos >= 0.9) the same operator's recall approaches 1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.operators.similarity import knn_brute_cosine, knn_lsh_bucketed
+from inde1_spark.sources.readers import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_multiprobe_recall_floor_and_gain(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    brute = _pairs(knn_brute_cosine(emb, k=3))
+    assert brute
+
+    single = _pairs(knn_lsh_bucketed(emb, k=3, multiprobe=False))
+    multi = _pairs(knn_lsh_bucketed(emb, k=3, multiprobe=True))
+
+    r_single = len(brute & single) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    # measured at sf0.01: 0.183 single vs 0.517 multi (deterministic data)
+    assert r_multi >= 0.45, f"multi-probe recall regressed: {r_multi:.3f}"
+    assert r_multi > r_single, (
+        f"multi-probe must beat single-probe: {r_multi:.3f} <= {r_single:.3f}"
+    )
+
+
+def test_deeper_buckets_still_return_k(spark):
+    """The scale config (more sign bits -> exponentially smaller buckets)
+    must keep returning k rows per query — multi-probe plus bucket
+    occupancy at sf0.01 guarantees candidates exist."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = knn_lsh_bucketed(emb, k=3, dims=8, multiprobe=True)
+    per_query = {r["query_id"] for r in got.collect()}
+    assert len(per_query) == 20  # every query answered

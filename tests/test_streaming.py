@@ -126,3 +126,42 @@ def test_redis_json_sink_key_contract(spark, stream_env):
     assert {"date", "hour", "nbr_entries", "nbr_exit", "occupancy",
             "revenue_simulation", "vehicle_types"} <= set(doc)
     assert redis_document_key("2025-06-01", 7) == "parking-stats:hourly:2025-06-01:7"
+
+
+def test_redis_json_sink_multibatch_hour_exact(spark, stream_env):
+    """An hour spanning micro-batches must end with FULL counts, not the
+    last batch's partials (ADVICE r1): the sink merges at the additive
+    grain and re-clamps occupancy after the merge, so the final documents
+    equal the batch hourly_stats on the union of all batches."""
+    stream, events, _, _, ckpt = stream_env
+    sink = RedisJsonSink()
+    q = (
+        sink.writer(stream)
+        .option("checkpointLocation", ckpt + "/jsondoc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want_rows = P.hourly_stats(events).collect()
+    assert len(sink.store) == len(want_rows)
+    for r in want_rows:
+        doc = json.loads(sink.store[redis_document_key(r["date"], r["hour"])])
+        assert doc["nbr_entries"] == r["nbr_entries"]
+        assert doc["nbr_exit"] == r["nbr_exit"]
+        assert doc["occupancy"] == dict(r["occupancy"])
+        assert doc["revenue_simulation"] == r["revenue_simulation"]
+        assert doc["vehicle_types"] == dict(r["vehicle_types"])
+
+
+def test_slot_state_sink_ignores_late_batches(spark, stream_env):
+    """A micro-batch containing only older events must not regress slot
+    state (out-of-order delivery is normal with Kafka)."""
+    _, events, _, _, _ = stream_env
+    cutoff = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    older = events.filter(F.col("ts") < F.lit(cutoff))
+    sink = SlotStateSink()
+    sink.process_batch(events, 0)  # full, newest state
+    want = sink.snapshot()
+    sink.process_batch(older, 1)  # replayed/late batch: strictly older
+    assert sink.snapshot() == want
