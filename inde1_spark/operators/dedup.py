@@ -449,55 +449,90 @@ def dedup_embedding(
     )
 
 
+EMB_BAND_BITS = 8   # sign bits per band -> 256 buckets per band
+EMB_N_BANDS = 8     # bands * bits = 64 = EMB_DIM: every coordinate used once
+
+
+def sign_bands(emb: F.Column, n_bands: int = EMB_N_BANDS, band_bits: int = EMB_BAND_BITS) -> F.Column:
+    """Banded sign signature: band q = integer from the sign pattern of
+    coordinates [q*band_bits, (q+1)*band_bits). Row-local, no UDF."""
+    return F.array(
+        *[
+            sum(
+                F.when(
+                    F.element_at(emb, q * band_bits + j + 1) >= 0, F.lit(2**j)
+                ).otherwise(F.lit(0))
+                for j in range(band_bits)
+            ).cast("long")
+            for q in range(n_bands)
+        ]
+    )
+
+
 def dedup_embedding_lsh(
     embeddings: DataFrame,
     threshold: float = COSINE_DEDUP_THRESHOLD,
-    dims: int | None = None,
+    n_bands: int = EMB_N_BANDS,
+    band_bits: int = EMB_BAND_BITS,
 ) -> DataFrame:
-    """Embedding near-dup via sign-bucket LSH + exact-cosine verify.
+    """Embedding near-dup via banded sign-LSH + exact-cosine verify.
 
     The scale path promised by ``dedup_embedding``'s docstring, as code:
-    each vector gets a bucket from the sign pattern of its leading ``dims``
-    coordinates; one side multi-probes (its own bucket plus every
-    one-bit-flip neighbor, so pairs within Hamming<=1 of each other are
-    candidates), the other side is keyed by its exact bucket. Candidate
-    generation is a plain equi-join on the bucket key — Catalyst shuffles
-    it, AQE skew-splits it, nothing is quadratic. Exact decimal cosine
-    verifies candidates, so every emitted pair is exact; only recall is
-    approximate (pairs differing in >1 leading sign are unseen — the
-    standard LSH trade, tested against the brute ground truth).
+    ``n_bands`` independent hash tables, each keyed by the sign pattern of
+    ``band_bits`` coordinates (the MinHash/SimHash banding layout applied
+    to random-hyperplane LSH). A pair is a candidate iff some band matches
+    exactly — per-band bucket occupancy is corpus/2^band_bits, so the band
+    join scans ~corpus^2 * n_bands / 2^band_bits pairs instead of all
+    pairs, and recall at true near-dup similarity (cos >= 0.9, per-bit
+    agreement ~0.86) is 1-(1-0.86^8)^8 ~ 0.94. (A single-table multi-probe
+    layout needs ~20x more candidates for the same recall — measured 27 s
+    vs 2 s at sf0.1.) Each pair is emitted by its FIRST matching band only
+    (earlier-band values are compared in the join filter), so no distinct
+    shuffle and no re-join. Exact decimal cosine verifies candidates:
+    precision is exact, recall is the documented LSH trade.
 
-    Deterministic end to end (sign buckets + exact cosine), so the DuckDB
+    Deterministic end to end (sign bands + exact cosine), so the DuckDB
     oracle reproduces it bit-for-bit — unlike the minhash fast path this
     scale operator is fully hash-gated.
     """
-    from inde1_spark.operators.similarity import LSH_SIGN_DIMS, sign_bucket
-
-    d = LSH_SIGN_DIMS if dims is None else dims
     e = embeddings.repartition("vec_id").select(
         "vec_id",
         "embedding",
         norm_exact(F.col("embedding")).alias("nrm"),
-        sign_bucket(F.col("embedding"), d).alias("bucket"),
+        sign_bands(F.col("embedding"), n_bands, band_bits).alias("bands"),
     )
-    probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(2**j)) for j in range(d)]
+    banded = e.select(
+        "vec_id", "embedding", "nrm", "bands", F.posexplode("bands").alias("q", "bv")
     )
-    a = e.select(
+    a = banded.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
-        F.explode(probes).alias("probe"),
+        F.col("bands").alias("bands_a"),
+        "q",
+        "bv",
     )
-    b = e.select(
+    b = banded.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-        F.col("bucket"),
+        F.col("bands").alias("bands_b"),
+        "q",
+        "bv",
     )
-    # each candidate pair matches on exactly ONE probe value (the probe list
-    # per vector is distinct), so no post-join dedup is needed
-    pairs = a.join(b, a["probe"] == b["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    # emit each pair only at its first matching band: all earlier bands differ
+    first_match = F.forall(
+        F.zip_with(
+            F.slice(F.col("bands_a"), 1, F.col("q")),
+            F.slice(F.col("bands_b"), 1, F.col("q")),
+            lambda x, y: x != y,
+        ),
+        lambda z: z,
+    )
+    pairs = (
+        a.join(b, ["q", "bv"])
+        .filter((F.col("vec_a") < F.col("vec_b")) & first_match)
+    )
     cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )

@@ -671,17 +671,27 @@ _PROBE_LIST = ", ".join(
     ["bucket"] + [f"xor(bucket, {2**j})" for j in range(LSH_SIGN_DIMS)]
 )
 
+# Banded sign signature (operators/dedup.py:sign_bands): band q is the
+# integer from the sign pattern of coordinates [q*bits, (q+1)*bits). Spark
+# emits each pair at its first matching band; DISTINCT here yields the same
+# pair set (any-band-matches semantics).
+from inde1_spark.operators.dedup import EMB_BAND_BITS, EMB_N_BANDS
+
+_EMB_BAND_EXPR = " + ".join(
+    f"(CASE WHEN embedding[q*{EMB_BAND_BITS} + {j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
+    for j in range(EMB_BAND_BITS)
+)
+
 ORACLES["dedup_embedding_lsh"] = f"""
 WITH {_NORMS.strip().rstrip()},
-buckets AS (
-  SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
-),
-probes AS (
-  SELECT vec_id, unnest([{_PROBE_LIST}]) AS probe FROM buckets
+bands AS (
+  SELECT vec_id, q, CAST({_EMB_BAND_EXPR} AS BIGINT) AS bv
+  FROM embeddings, UNNEST(generate_series(0, {EMB_N_BANDS - 1})) AS t(q)
 ),
 cand AS (
-  SELECT pa.vec_id AS vec_a, bb.vec_id AS vec_b
-  FROM probes pa JOIN buckets bb ON pa.probe = bb.bucket AND pa.vec_id < bb.vec_id
+  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM bands ba JOIN bands bb
+    ON ba.q = bb.q AND ba.bv = bb.bv AND ba.vec_id < bb.vec_id
 ),
 dots AS (
   SELECT c.vec_a, c.vec_b, {_FIXED_DOT} AS dot
