@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import analytics as A
+    from inde1_spark.operators import corpus as C
     from inde1_spark.operators import dedup as D
     from inde1_spark.operators import multimodal as M
     from inde1_spark.operators import similarity as S
@@ -63,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
         # --- joins (J1-J4, P4) ---
         "enrich_users": lambda sp, d: A.enrich_users(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
             _t(sp, d, "events"), _t(sp, d, "customer")
         ),
         "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
@@ -125,6 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
+        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
+        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
+        "contamination_check": lambda sp, d: C.contamination_check(
+            _t(sp, d, "documents")
+        ),
+        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
+        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
         "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
         "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),

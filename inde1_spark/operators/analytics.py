@@ -307,6 +307,59 @@ def enrich_users(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+TTL_BASE = "2024-01-01 00:00:00"  # temp-user registration epoch (testdata)
+TTL_SPREAD_HOURS = 720            # expiries spread across the event month
+
+
+def users_with_ttl(customer: DataFrame) -> DataFrame:
+    """The user dimension with SETEX-style expiry modeled as event-time
+    validity (UserService.scala:75-82: createTemporaryUser stores the user
+    with a TTL; an expired key is simply absent on the next GET).
+
+    Same dimension as ``enrich_users`` (c_custkey % 3 != 0); every fifth
+    user is temporary, valid until a deterministic per-user deadline
+    (custkey-spread across the event month). ``valid_until`` NULL means
+    permanent. Snapshot-at-event-time is then a join predicate, not a
+    mutable store.
+    """
+    valid_until = F.when(
+        F.col("c_custkey") % 5 == 0,
+        F.to_timestamp(F.lit(TTL_BASE))
+        + F.make_interval(
+            hours=(F.col("c_custkey") % TTL_SPREAD_HOURS).cast("int")
+        ),
+    )
+    return customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_name").alias("user_name"),
+        valid_until.alias("valid_until"),
+    )
+
+
+def enrich_users_ttl(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """J1 + TTL: enrichment against the expiring user dimension.
+
+    An event joins its user only while the user's key is still live at the
+    event's timestamp — the per-event Redis GET the reference does would
+    miss an expired SETEX key, so events after ``valid_until`` resolve to
+    the unknown-user path. Broadcast hash join on the equi key with the
+    validity window as the residual condition: the fact side never
+    shuffles, identical plan shape to ``enrich_users``.
+    """
+    users = users_with_ttl(customer)
+    cond = (events.user_id == users.user_key) & (
+        users.valid_until.isNull() | (events.ts < users.valid_until)
+    )
+    return (
+        events.join(F.broadcast(users), cond, "left")
+        .groupBy(F.coalesce("user_name", F.lit("unknown")).alias("user_name"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
 def alerts(events: DataFrame, customer: DataFrame) -> DataFrame:
     """P4+J1: violation detection (ParkingEventConsumer.scala:77-101).
 

@@ -1,0 +1,234 @@
+"""Corpus-preparation operators for a training-data pipeline.
+
+The ops a 100 TB pretraining pipeline runs between "raw documents" and
+"training shards": token-budget packing, vocabulary statistics, train/test
+contamination auditing, source mixture sampling, and outlier trimming.
+All built-in JVM expressions over one or two corpus passes — the only
+shuffles are the ones the semantics require (a groupBy on the n-gram key,
+a window per packer/stratum), each keyed to spread evenly at scale.
+
+Determinism: every numeric output follows DESIGN.md §3 (exact integer /
+decimal accumulation, ratio_round) so the DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import ratio_round, tokens, word_shingles
+from inde1_spark.operators.text import TRAIN_PCT, VAL_PCT, _split_label, hash_bucket
+
+PACK_BUDGET = 2048  # tokens per training shard
+PACK_PACKERS = 8    # parallel packer lanes (raise with cluster size)
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = PACK_BUDGET, packers: int = PACK_PACKERS
+) -> DataFrame:
+    """Token-budget packing: concatenate-and-chunk documents into shards.
+
+    The standard pretraining layout: documents are laid end-to-end in a
+    deterministic pseudorandom order and cut every ``budget`` tokens; a
+    document belongs to the shard its first token lands in. One global
+    sequence would serialize on a single cumulative sum, so the corpus is
+    first split into ``packers`` independent lanes by document hash — each
+    lane packs in parallel (its window is partitioned BY the lane), which
+    is exactly how N writer tasks would emit N shard streams at scale.
+
+    Output per document: lane, shard within the lane, and the token offset
+    where the document starts — enough for a writer to materialize shards
+    without re-deriving the order.
+    """
+    toks = tokens("text")
+    h = hash_bucket(F.col("doc_id"), 1_000_003)
+    base = documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), packers).alias("packer"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    off = cum % F.lit(budget)
+    return base.select(
+        "doc_id",
+        "packer",
+        ((cum - off) / F.lit(budget)).cast("long").alias("shard"),
+        off.alias("tok_offset"),
+        "n_tokens",
+    )
+
+
+NGRAM_N = 2
+NGRAM_TOP_K = 50
+
+
+def ngram_vocab(
+    documents: DataFrame, n: int = NGRAM_N, k: int = NGRAM_TOP_K
+) -> DataFrame:
+    """Top-k n-gram frequency table (the vocabulary-building corpus pass).
+
+    Non-distinct n-grams per document (frequency counting, unlike the
+    dedup shingles) -> explode -> count by gram -> distributed top-k.
+    The ordering is (count desc, ngram asc) + limit, which Spark executes
+    as TakeOrdered — per-partition partial top-k merged on the driver, no
+    global sort of the vocabulary. Rank is attached after the limit, over
+    k rows only.
+    """
+    toks = tokens("text")
+    spans = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            spans,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return counted.select(
+        F.row_number().over(w).cast("long").alias("rank"), "ngram", "n_occurrences"
+    )
+
+
+CONTAM_NGRAM = 5
+
+
+def contamination_check(documents: DataFrame, n: int = CONTAM_NGRAM) -> DataFrame:
+    """Train->test contamination audit: word n-gram overlap per test doc.
+
+    Recomputes the hash split (same function as ``train_test_split``),
+    builds the distinct-shingle inverted index of the TRAIN side, and
+    counts, for every TEST document, how many of its distinct shingles
+    appear anywhere in train. The shingle equi-join is the same
+    inverted-index shape as ``dedup_ngram_jaccard`` — candidates meet on
+    the shingle key, nothing quadratic. Test docs with no shingles (< n
+    tokens) are kept with zero counts.
+    """
+    split = _split_label(hash_bucket(F.col("doc_id"), 100))
+    toks = tokens("text")
+    with_split = documents.select(
+        "doc_id", split.alias("split"), word_shingles(toks, n).alias("shingles")
+    )
+    train_set = (
+        with_split.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    test_docs = with_split.filter(F.col("split") == "test")
+    test_shingles = test_docs.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    per_doc = (
+        test_shingles.join(train_set, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias("n_contaminated"),
+        )
+    )
+    return (
+        test_docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias("n_contaminated"),
+            ratio_round(
+                F.coalesce("n_contaminated", F.lit(0).cast("long")),
+                F.greatest(
+                    F.coalesce("n_shingles", F.lit(0).cast("long")),
+                    F.lit(1).cast("long"),
+                ),
+                4,
+            ).alias("contamination"),
+        )
+    )
+
+
+MIXTURE_RATES = (100, 50, 25, 10)  # keep-percent by source index mod 4
+
+
+def mixture_rate(source: Column) -> Column:
+    """Per-source keep rate: sources are weighted by their index mod 4
+    (the testdata stand-in for a curated mixture table: some sources kept
+    whole, others downsampled)."""
+    idx = F.regexp_extract(source, "([0-9]+)$", 1).cast("long")
+    arr = F.array(*[F.lit(r) for r in MIXTURE_RATES])
+    return F.element_at(arr, (idx % len(MIXTURE_RATES) + 1).cast("int")).cast("long")
+
+
+def mixture_sample(documents: DataFrame) -> DataFrame:
+    """Source-mixture sampling: keep each document with its source's rate.
+
+    The data-mixing step of a training pipeline: every source gets a keep
+    percentage, documents are kept iff an engine-portable hash of
+    (source, doc_id) falls under it — reproducible across runs, engines
+    and partitionings, unlike ``df.sample``. Reports per-source kept/total
+    so the realized mixture is auditable against the target rates.
+    """
+    rate = mixture_rate(F.col("source"))
+    keep = hash_bucket(
+        F.concat_ws(":", F.col("source"), F.col("doc_id")), 100
+    ) < rate
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.max(rate).alias("rate_pct"),
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(keep, F.col("n_chars")).otherwise(0).cast("decimal(18,0)")
+            )
+            .cast("long")
+            .alias("n_chars_kept"),
+        )
+    )
+
+
+TRIM_PCT = 5
+
+
+def trim_outliers(documents: DataFrame, pct: int = TRIM_PCT) -> DataFrame:
+    """Rank-based length trimming: drop the shortest and longest ``pct``
+    percent of documents per language.
+
+    Quantile filters on real pipelines use exact ranks, not interpolated
+    percentiles (engine-ambiguous at boundaries): cut = floor(N*pct/100)
+    rows off each tail of the (n_chars, doc_id) order. Per-language window
+    + count — one shuffle on the language key. Reports survivors and the
+    surviving length range per language.
+    """
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = documents.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count("*").over(w_all).cast("long").alias("n_in"),
+    )
+    cut = (F.col("n_in") * pct - (F.col("n_in") * pct) % 100) / F.lit(100)
+    kept = ranked.filter(
+        (F.col("r") > cut) & (F.col("r") <= F.col("n_in") - cut)
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_in").alias("n_in"),
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("sum_chars"),
+    )

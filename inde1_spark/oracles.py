@@ -959,3 +959,145 @@ SELECT doc_id,
        lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
 FROM documents
 """
+
+# -- corpus-preparation operators (operators/corpus.py) ----------------------
+
+from inde1_spark.operators.analytics import TTL_BASE, TTL_SPREAD_HOURS
+from inde1_spark.operators.corpus import (
+    CONTAM_NGRAM,
+    MIXTURE_RATES,
+    NGRAM_N,
+    NGRAM_TOP_K,
+    PACK_BUDGET,
+    PACK_PACKERS,
+    TRIM_PCT,
+)
+
+ORACLES["enrich_users_ttl"] = f"""
+WITH users AS (
+  SELECT c_custkey AS user_key, c_name AS user_name,
+         CASE WHEN c_custkey % 5 = 0
+              THEN TIMESTAMP '{TTL_BASE}' + INTERVAL 1 HOUR * (c_custkey % {TTL_SPREAD_HOURS})
+         END AS valid_until
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT COALESCE(user_name, 'unknown') AS user_name,
+       count(*) AS n_events,
+       {_dsum('value')} AS sum_value
+FROM events e LEFT JOIN users u
+  ON e.user_id = u.user_key
+ AND (u.valid_until IS NULL OR e.ts < u.valid_until)
+GROUP BY 1
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         {_hash_bucket_sql('doc_id', PACK_PACKERS)} AS packer,
+         {_hash_bucket_sql('doc_id', 1000003)} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, packer, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY packer ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM base
+)
+SELECT doc_id, CAST(packer AS BIGINT) AS packer,
+       CAST((cum - cum % {PACK_BUDGET}) / {PACK_BUDGET} AS BIGINT) AS shard,
+       CAST(cum % {PACK_BUDGET} AS BIGINT) AS tok_offset,
+       n_tokens
+FROM c
+"""
+
+_NGRAM_CONCAT = " || ' ' || ".join(f"tk[i+{j}]" for j in range(NGRAM_N))
+
+ORACLES["ngram_vocab"] = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, GREATEST(len(tk) - {NGRAM_N - 1}, 0)),
+           i -> {_NGRAM_CONCAT})) AS ngram
+  FROM toks
+),
+counted AS (
+  SELECT ngram, count(*) AS n_occurrences FROM grams GROUP BY 1
+  ORDER BY 2 DESC, 1 ASC LIMIT {NGRAM_TOP_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS BIGINT) AS "rank",
+       ngram, n_occurrences
+FROM counted
+"""
+
+ORACLES["contamination_check"] = f"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
+  FROM sp, UNNEST(generate_series(1, len(toks) - {CONTAM_NGRAM - 1})) AS u(i)
+  WHERE len(toks) >= {CONTAM_NGRAM}
+),
+train_set AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_shingles,
+         CAST(COALESCE(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated
+  FROM sh t LEFT JOIN train_set tr ON t.shingle = tr.shingle
+  WHERE t.split = 'test'
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_contaminated, 0) AS n_contaminated,
+       {_rr('COALESCE(p.n_contaminated, 0)', 'GREATEST(COALESCE(p.n_shingles, 0), 1)', 4)} AS contamination
+FROM sp s LEFT JOIN per_doc p ON p.doc_id = s.doc_id
+WHERE s.split = 'test'
+"""
+
+_RATE_LIST = ", ".join(str(r) for r in MIXTURE_RATES)
+
+ORACLES["mixture_sample"] = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         CAST([{_RATE_LIST}][CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                                  % {len(MIXTURE_RATES)} + 1 AS INT)] AS BIGINT) AS rate,
+         {_hash_bucket_sql("concat(source, ':', CAST(doc_id AS VARCHAR))", 100)} AS hb
+  FROM documents
+)
+SELECT source,
+       max(rate) AS rate_pct,
+       count(*) AS n_total,
+       CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(CASE WHEN hb < rate THEN n_chars ELSE 0 END AS DECIMAL(18,0))) AS BIGINT) AS n_chars_kept
+FROM d GROUP BY 1
+"""
+
+ORACLES["trim_outliers"] = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in
+  FROM documents
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE r > (n_in * {TRIM_PCT} - (n_in * {TRIM_PCT}) % 100) / 100
+    AND r <= n_in - (n_in * {TRIM_PCT} - (n_in * {TRIM_PCT}) % 100) / 100
+)
+SELECT lang, max(n_in) AS n_in, count(*) AS n_kept,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars
+FROM kept GROUP BY 1
+"""

@@ -1,0 +1,135 @@
+"""Semantic tests for the corpus-preparation operators (operators/corpus.py)
+and the TTL'd user dimension. Oracle parity is covered by
+test_oracle_parity.py; these pin the semantics the SQL twins can't express:
+packing-order replay, boundary-exact TTL expiry, planted contamination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from inde1_spark.operators.analytics import enrich_users_ttl
+from inde1_spark.operators.corpus import (
+    MIXTURE_RATES,
+    PACK_BUDGET,
+    contamination_check,
+    mixture_sample,
+    pack_sequences,
+    trim_outliers,
+)
+from inde1_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _py_bucket(key, mod: int) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
+
+
+def test_pack_sequences_replays_exactly(spark):
+    """The packing must equal a sequential python replay of each lane:
+    docs laid end-to-end in (hash, doc_id) order, cut every budget tokens."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: (r["packer"], r["shard"], r["tok_offset"], r["n_tokens"])
+        for r in pack_sequences(docs).collect()
+    }
+    assert set(got) == set(toks)
+
+    lanes: dict[int, list[int]] = {}
+    for doc_id in toks:
+        lanes.setdefault(_py_bucket(doc_id, 8), []).append(doc_id)
+    for packer, ids in lanes.items():
+        cum = 0
+        for doc_id in sorted(ids, key=lambda i: (_py_bucket(i, 1_000_003), i)):
+            want = (packer, cum // PACK_BUDGET, cum % PACK_BUDGET, toks[doc_id])
+            assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
+            cum += toks[doc_id]
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    """Assignment is a pure function of the data, not the physical layout."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    one = sorted(tuple(r) for r in pack_sequences(docs.repartition(1)).collect())
+    many = sorted(tuple(r) for r in pack_sequences(docs.repartition(13)).collect())
+    assert one == many
+
+
+def test_contamination_check_plants_and_finds(spark):
+    """A test-split doc sharing a 5-gram with a train-split doc must score
+    n_contaminated >= 1; a test doc with unique text must score 0."""
+    # pick ids landing in the right splits (split = f(md5(doc_id)))
+    train_id = next(i for i in range(1000) if _py_bucket(i, 100) < 80)
+    test_ids = [i for i in range(1000) if _py_bucket(i, 100) >= 90]
+    hit_id, clean_id = test_ids[0], test_ids[1]
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (train_id, f"prefix words {shared} suffix words here"),
+        (hit_id, f"unrelated opening {shared} closing run"),
+        (clean_id, "entirely fresh vocabulary nothing shared at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in contamination_check(docs).collect()}
+    assert set(got) == {hit_id, clean_id}  # only test-split docs reported
+    assert got[hit_id]["n_contaminated"] >= 1
+    assert got[hit_id]["contamination"] > 0.0
+    assert got[clean_id]["n_contaminated"] == 0
+    assert got[clean_id]["contamination"] == 0.0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["source"]: r for r in mixture_sample(docs).collect()}
+    total = docs.count()
+    assert sum(r["n_total"] for r in rows.values()) == total
+    for src, r in rows.items():
+        assert r["rate_pct"] in MIXTURE_RATES
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        if r["rate_pct"] == 100:
+            assert r["n_kept"] == r["n_total"]  # rate-100 sources kept whole
+    # deterministic under physical layout
+    again = {r["source"]: r for r in mixture_sample(docs.repartition(13)).collect()}
+    assert {s: tuple(r) for s, r in rows.items()} == {
+        s: tuple(r) for s, r in again.items()
+    }
+
+
+def test_trim_outliers_counts(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    in_counts = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for r in trim_outliers(docs).collect():
+        n = in_counts[r["lang"]]
+        cut = (n * 5) // 100
+        assert r["n_in"] == n
+        assert r["n_kept"] == n - 2 * cut
+        assert r["min_chars"] <= r["max_chars"]
+
+
+def test_enrich_users_ttl_boundary_exact(spark):
+    """SETEX semantics at the boundary: an event strictly before
+    valid_until resolves the user; at/after valid_until the key is gone."""
+    # custkey 10: temp user (10 % 5 == 0, 10 % 3 != 0), expires base + 10h
+    users = spark.createDataFrame(
+        [(10, "Customer#10", 1.0)], ["c_custkey", "c_name", "c_acctbal"]
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:59:59", 10, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:00:00", 10, "view", 1.0, "{}"),
+            (3, "2024-01-01 11:00:00", 10, "view", 1.0, "{}"),
+        ],
+        ["event_id", "ts_s", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {r["user_name"]: r["n_events"] for r in enrich_users_ttl(events, users).collect()}
+    assert got == {"Customer#10": 1, "unknown": 2}
