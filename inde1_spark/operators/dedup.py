@@ -541,3 +541,82 @@ def dedup_embedding_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment: near-dup pairs -> connected components -> keepers
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 6  # unrolled rounds; reach ~2^rounds hops (see docstring)
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", rounds: int = CC_ROUNDS
+) -> DataFrame:
+    """Min-label connected components over an undirected pair list.
+
+    The step every dedup pipeline needs between "near-dup pairs" and "which
+    docs to drop": transitively-connected docs form one cluster, labeled by
+    its smallest member id. Each round propagates the min label one hop
+    (edge join + min-aggregate) and then pointer-jumps (label <- label's
+    label), so reach roughly doubles per round: ``rounds`` = 6 resolves any
+    component of diameter ~2^6 — far beyond real near-dup clusters, which
+    are dense (LSH pairs within a band bucket are near-cliques, diameter
+    2-3). The loop is UNROLLED into one declarative DAG: no eager actions,
+    no mutable state, shuffles only on doc-id keys (GraphFrames'
+    large-star/small-star is the same dance).
+
+    Lineage control: each round references the previous labels twice, so a
+    naive unroll hands the analyzer a tree that doubles twice per round
+    (4^rounds copies of the pair-generation subplan — observed as a
+    plan-time JVM OOM). Lazy ``localCheckpoint(eager=False)`` on the pair
+    list and on each round's labels turns them into lineage leaves: the
+    plan stays O(rounds), nothing materializes until the caller's action,
+    and each round's result is computed exactly once when it does.
+    """
+    pairs = pairs.localCheckpoint(eager=False)
+    nodes = (
+        pairs.select(F.col(src).alias("doc_id"))
+        .union(pairs.select(F.col(dst).alias("doc_id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        jump = labels.select(
+            F.col("doc_id").alias("lkey"), F.col("label").alias("plabel")
+        )
+        labels = labels.join(jump, labels.label == jump.lkey, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+        )
+        labels = labels.localCheckpoint(eager=False)
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Near-dup cluster assignment: Jaccard pairs -> components -> sizes.
+
+    Composes the exact pair ground truth with connected components; the
+    cluster id doubles as the canonical keeper (smallest doc_id), so
+    "drop duplicates" downstream is ``filter(doc_id != cluster_id)``.
+    Only docs that participate in at least one near-dup pair appear.
+    """
+    cc = connected_components(dedup_ngram_jaccard(documents))
+    sizes = cc.groupBy(F.col("cluster_id").alias("cid")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return cc.join(sizes, cc.cluster_id == sizes.cid).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

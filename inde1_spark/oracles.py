@@ -1101,3 +1101,29 @@ SELECT lang, max(n_in) AS n_in, count(*) AS n_kept,
        CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars
 FROM kept GROUP BY 1
 """
+
+# Transitive closure via recursive CTE: cluster id = min reachable doc id
+# over the undirected near-dup pair graph (operators/dedup.py:
+# connected_components unrolls the same fixpoint as min-label rounds).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES.strip().rstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.doc_id
+),
+lab AS (SELECT doc_id, min(anc) AS cluster_id FROM reach GROUP BY 1),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN csizes s USING (cluster_id)
+"""

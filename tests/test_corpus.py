@@ -133,3 +133,14 @@ def test_enrich_users_ttl_boundary_exact(spark):
     ).withColumn("ts", F.col("ts_s").cast("timestamp"))
     got = {r["user_name"]: r["n_events"] for r in enrich_users_ttl(events, users).collect()}
     assert got == {"Customer#10": 1, "unknown": 2}
+
+
+def test_connected_components_transitive_chains(spark):
+    """A long path (diameter >> 1) and a separate pair must resolve to
+    min-id labels — the transitivity the pair list alone doesn't give."""
+    from inde1_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 40)]  # path 1-2-...-40
+    pairs = spark.createDataFrame(chain + [(100, 101)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {**{i: 1 for i in range(1, 41)}, 100: 100, 101: 100}
