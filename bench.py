@@ -47,6 +47,9 @@ HEADLINE = (
     "text_token_stats",
     "text_token_bpe",
     "text_fingerprint",
+    "pack_sequences",
+    "contamination_check",
+    "mixture_sample",
 )
 
 

@@ -79,6 +79,12 @@ def ngram_vocab(
     as TakeOrdered — per-partition partial top-k merged on the driver, no
     global sort of the vocabulary. Rank is attached after the limit, over
     k rows only.
+
+    Formulation note: a posexplode + lead-window spelling is ~3x faster on
+    local[32] (codegen vs interpreted HOF) but shuffles the full token
+    stream on doc_id before the gram count — a second corpus-volume
+    exchange. This row-local spelling keeps the gram groupBy as the only
+    corpus-volume shuffle, the right trade at cluster scale.
     """
     toks = tokens("text")
     spans = F.sequence(F.lit(1), F.size(toks) - (n - 1))

@@ -115,3 +115,94 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_stream_tws(events: DataFrame) -> DataFrame:
+    """The same sessionizer on Spark 4's ``transformWithStateInPandas``.
+
+    T3/T4 via the successor API to ``applyInPandasWithState``: typed state
+    variables (ValueState) + first-class event-time timers replace the
+    single state tuple + setTimeoutTimestamp. Semantics are identical to
+    ``sessionize_stream`` (pytest asserts equality with the batch pairing
+    and with the old API); worth having both because the reference's
+    ConcurrentHashMap state (RepoEventsApi.scala:38-69) maps naturally to
+    named state variables, and new state features (TTL, map/list state,
+    initial state) only land on this API. Same 100 TB posture: state
+    partitioned by key hash, RocksDB-backed, bounded by open sessions.
+
+    Environment note: the TWS state server speaks protobuf between JVM and
+    Python; this container has no ``google.protobuf``, so execution is
+    pytest-skipped here (plan construction is still asserted). On a normal
+    cluster install (protobuf ships with the pyspark[connect] extras) the
+    equality test runs as written.
+
+    The processor is a self-contained closure (stdlib + pandas only):
+    cloudpickle ships it by value, executors never import this package.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    entry_type, exit_type = EVENT_ENTRY, EVENT_EXIT
+    abandon_ms = ABANDON_TIMEOUT_MS
+    cols = [
+        "license_plate", "parking_lot_id", "parking_spot_id",
+        "entry_ts", "exit_ts", "duration_min",
+    ]
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._entry = handle.getValueState("entry_us", "entry_us long")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: PLC0415 — worker-side import
+
+            plate, lot, spot = key
+            entry_us = self._entry.get()[0] if self._entry.exists() else 0
+            out: list[dict] = []
+            batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+            for _, row in batch.iterrows():
+                ts_us = int(row["ts"].value // 1_000)
+                if row["event_type"] == entry_type:
+                    entry_us = ts_us
+                elif row["event_type"] == exit_type and entry_us:
+                    out.append(
+                        {
+                            "license_plate": plate,
+                            "parking_lot_id": lot,
+                            "parking_spot_id": spot,
+                            "entry_ts": pd.Timestamp(entry_us, unit="us"),
+                            "exit_ts": pd.Timestamp(ts_us, unit="us"),
+                            "duration_min": (ts_us - entry_us) / 60_000_000.0,
+                        }
+                    )
+                    entry_us = 0
+            if entry_us:
+                self._entry.update((entry_us,))
+                # event-time timer: watermark past entry+30min evicts state
+                self._handle.registerTimer(entry_us // 1000 + abandon_ms)
+            elif self._entry.exists():
+                self._entry.clear()
+            if out:
+                yield pd.DataFrame(out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # abandoned entry (no exit before the deadline): drop the state
+            self._entry.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("license_plate", "parking_lot_id", "parking_spot_id")
+        .transformWithStateInPandas(
+            _SessionProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

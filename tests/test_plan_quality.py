@@ -75,3 +75,27 @@ def test_knn_ivf_no_cartesian(spark):
 
 def test_knn_lsh_bucketed_no_cartesian(spark):
     assert_plan(Q["knn_lsh_bucketed"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_pack_sequences_single_shuffle_single_scan(spark):
+    # hash lanes + in-lane window: one exchange on the packer key, one scan
+    assert_plan(Q["pack_sequences"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_ngram_vocab_topk_no_global_sort(spark):
+    # top-k must be TakeOrdered (partial per-partition top-k), never a
+    # global Sort of the whole vocabulary
+    r = assert_plan(Q["ngram_vocab"](spark, SF_SMOKE), max_scans=1)
+    assert "TakeOrderedAndProject" in r.raw
+
+
+def test_contamination_check_no_cartesian(spark):
+    # the shingle overlap is an inverted-index equi-join, never all-pairs
+    assert_plan(Q["contamination_check"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_enrich_users_ttl_broadcast(spark):
+    # TTL residual condition must not demote the dimension hop to SMJ/NLJ
+    r = plan_report(Q["enrich_users_ttl"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins == 1 and r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
