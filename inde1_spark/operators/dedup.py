@@ -210,7 +210,27 @@ def minhash_signatures(
     )
 
 
-def minhash_signatures_fast(documents: DataFrame, n: int = 3) -> DataFrame:
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The hot-shingle skew guard for the inverted-index and LSH paths:
+    boilerplate n-grams (headers, licenses, navigation chrome) appear in
+    millions of documents, carry no dedup signal, and their posting lists
+    dominate both the pair join (df^2 pairs) and the band buckets. A
+    window-free spelling: count df per shingle (map-side partial
+    aggregation), broadcast-join nothing — the filter rides the same
+    shuffle as the count.
+    """
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+        .select(*sh.columns)
+    )
+
+
+def minhash_signatures_fast(
+    documents: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
     """Production signature path: xxhash64 shingles, no global dictionary.
 
     Same LSH math as ``minhash_signatures`` but the shingle id is a 64-bit
@@ -219,8 +239,16 @@ def minhash_signatures_fast(documents: DataFrame, n: int = 3) -> DataFrame:
     for near-certain recall at the dup threshold. Not oracle-checkable
     (xxhash64 is Spark-specific); pinned by the recall test against the
     exact ground truth instead (tests/test_dedup_fast_path.py).
+
+    ``max_shingle_df`` enables the hot-shingle cap (``cap_shingle_df``) —
+    at corpus scale ALWAYS set it (a boilerplate shingle shared by 1M docs
+    adds 10^12 candidate pairs and zero signal); default off so the gated
+    sf0.01 output is bit-stable against the ground-truth equality test.
     """
-    sh = shingle_table(documents, n).select(
+    sh = shingle_table(documents, n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh = sh.select(
         "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
     )
     return minhash_signatures(sh, perms=PERMS_FAST)

@@ -1,0 +1,54 @@
+"""Materialization writers: the storage layouts that buy back shuffles.
+
+``tests/test_bucketing.py`` proves the claim (orders<->lineitem join drops
+from 2 exchanges to 0 when both sides are bucketed on the join key); this
+module is the production API for creating those layouts. At 100 TB the
+one-time bucketed write is amortized across every subsequent co-located
+join and aggregation on the bucket key — the standard warehouse-side
+answer to "this query always shuffles on the same key".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) parquet table.
+
+    Joins and groupBys on ``key`` between tables bucketed with the SAME
+    bucket count read co-located: no exchange, and with ``sort=True`` no
+    sort either (SortMergeJoin runs directly on the sorted buckets).
+    Bucket count rule of thumb: data_size / bucket_count ~ 100-200 MB per
+    bucket file at the largest consumer's scale; use the same count across
+    the tables that join.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).saveAsTable(table)
+
+
+def materialize_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` partitioned by low-cardinality columns (date/hour/...).
+
+    The layout behind partition pruning: a reader filtering on
+    ``partition_cols`` scans only matching directories (the archive writer
+    in streaming/pipelines.py emits the same layout for the event stream).
+    Keep partition cardinality in the thousands, not millions — tiny
+    partitions turn the listing itself into the bottleneck.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -89,6 +89,49 @@ SPARK_SQL: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY 1
     """,
+    "train_test_split": """
+        WITH s AS (
+          SELECT lang, n_chars,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT lang, n_chars,
+                       CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS b
+                FROM documents)
+        )
+        SELECT lang, split, count(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS n_chars
+        FROM s GROUP BY lang, split
+    """,
+    "mixture_sample": """
+        WITH d AS (
+          SELECT source, n_chars,
+                 CAST(element_at(array(100, 50, 25, 10),
+                      CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS INT)) AS BIGINT) AS rate,
+                 CAST(conv(substring(md5(concat_ws(':', source, CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 AS hb
+          FROM documents
+        )
+        SELECT source, max(rate) AS rate_pct, count(*) AS n_total,
+               CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(CASE WHEN hb < rate THEN n_chars ELSE 0 END AS DECIMAL(18,0))) AS BIGINT) AS n_chars_kept
+        FROM d GROUP BY source
+    """,
+    "trim_outliers": """
+        WITH ranked AS (
+          SELECT lang, n_chars,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM ranked
+          WHERE r > (n_in * 5 - (n_in * 5) % 100) / 100
+            AND r <= n_in - (n_in * 5 - (n_in * 5) % 100) / 100
+        )
+        SELECT lang, max(n_in) AS n_in, count(*) AS n_kept,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars
+        FROM kept GROUP BY lang
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1

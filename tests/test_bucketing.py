@@ -23,22 +23,16 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
+    from inde1_spark.sources.writers import materialize_bucketed
+
     wh = tmp_path_factory.mktemp("warehouse")
     orders = load_table(spark, SF_SMOKE, "orders")
     lineitem = load_table(spark, SF_SMOKE, "lineitem")
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", str(wh / "orders_b"))
-        .saveAsTable("orders_b")
+    materialize_bucketed(
+        orders, "orders_b", str(wh / "orders_b"), "o_orderkey", buckets=8
     )
-    (
-        lineitem.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", str(wh / "lineitem_b"))
-        .saveAsTable("lineitem_b")
+    materialize_bucketed(
+        lineitem, "lineitem_b", str(wh / "lineitem_b"), "l_orderkey", buckets=8
     )
     yield spark
     spark.sql("DROP TABLE IF EXISTS orders_b")

@@ -72,3 +72,34 @@ def test_release_persisted_frees_cached_intermediates(spark):
     assert released >= 2  # shingle table + band table
     assert jsc.getPersistentRDDs().size() == 0
     assert D.release_persisted() == 0  # idempotent
+
+
+def test_hot_shingle_cap_drops_boilerplate_only(spark):
+    """cap_shingle_df must remove exactly the shingles above the df cap and
+    leave true near-dup pairs findable: two planted near-dups sharing
+    low-df shingles survive; a boilerplate shingle spanning every doc is
+    dropped from the index."""
+    from inde1_spark.operators.dedup import cap_shingle_df, shingle_table
+
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"unique{i} text body number {i} " + boiler) for i in range(20)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_table(docs)
+    capped = cap_shingle_df(sh, max_df=10)
+
+    surviving = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert "all rights reserved" not in surviving  # df=20 > cap
+    assert "quick brown fox" in surviving  # df=2: real dedup signal
+    # the planted pair still shares enough shingles to be found
+    both = (
+        capped.filter(F.col("doc_id").isin(100, 101))
+        .groupBy("shingle")
+        .count()
+        .filter(F.col("count") == 2)
+        .count()
+    )
+    assert both >= 5
