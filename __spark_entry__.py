@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
         "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
         "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
+        "range_join_windows": lambda sp, d: A.range_join_windows(
+            _t(sp, d, "events")
+        ),
         # --- volume shapes (TPC-H-ish) ---
         "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
         "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(

@@ -858,3 +858,69 @@ def sessionize_gap(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
         F.round((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60.0, 2)
         .alias("session_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join (the general form of P5 time-range filtering)
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_HOURS = (0, 6, 12, 18)  # four windows per day...
+RANGE_WINDOW_MIN = 90                # ...of 90 minutes each
+
+
+def maintenance_windows(events: DataFrame) -> DataFrame:
+    """Deterministic interval dimension derived from the event span: four
+    90-minute windows per day (the testdata stand-in for a maintenance /
+    promo / outage calendar)."""
+    days = events.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    wins = days.select(
+        "day", F.explode(F.array(*[F.lit(h) for h in RANGE_WINDOW_HOURS])).alias("h")
+    )
+    start = F.col("day") + F.make_interval(hours=F.col("h").cast("int"))
+    end = start + F.make_interval(mins=F.lit(RANGE_WINDOW_MIN))
+    return wins.select(
+        F.concat_ws(
+            ":", F.date_format("day", "yyyy-MM-dd"), F.col("h").cast("string")
+        ).alias("window_id"),
+        start.alias("w_start"),
+        end.alias("w_end"),
+    )
+
+
+def range_join_windows(events: DataFrame) -> DataFrame:
+    """Events aggregated into overlapping time windows via a bucketed
+    range join.
+
+    Spark has no native range-join optimization; a naive ``ts BETWEEN
+    start AND end`` theta-join plans as BroadcastNestedLoopJoin (every
+    event probes every window). The scale spelling: expand each interval
+    to the hour buckets it covers, equi-join events on their own hour
+    bucket, and keep the range predicate as a residual filter. The join is
+    a hash join on the bucket key — candidates are only the events in
+    hours the window touches, and the same trick works for any
+    granularity (pick the bucket ~= median interval length). Exact decimal
+    sums for the oracle hash.
+    """
+    wins = maintenance_windows(events)
+    wb = wins.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", F.col("w_end") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    ev = events.select(
+        "event_id", "ts", "value", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    joined = ev.join(F.broadcast(wb), "bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )

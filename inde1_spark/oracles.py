@@ -1127,3 +1127,22 @@ csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM lab l JOIN csizes s USING (cluster_id)
 """
+
+# Range/interval join (operators/analytics.py:range_join_windows): DuckDB
+# can afford the plain inequality join at oracle scale; Spark buckets it.
+from inde1_spark.operators.analytics import RANGE_WINDOW_HOURS, RANGE_WINDOW_MIN
+
+_RWH_LIST = ", ".join(str(h) for h in RANGE_WINDOW_HOURS)
+
+ORACLES["range_join_windows"] = f"""
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+wins AS (
+  SELECT strftime(day, '%Y-%m-%d') || ':' || CAST(h AS VARCHAR) AS window_id,
+         day + INTERVAL 1 HOUR * h AS w_start,
+         day + INTERVAL 1 HOUR * h + INTERVAL {RANGE_WINDOW_MIN} MINUTE AS w_end
+  FROM days, UNNEST([{_RWH_LIST}]) AS t(h)
+)
+SELECT window_id, count(*) AS n_events, {_dsum('value')} AS sum_value
+FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1
+"""

@@ -99,3 +99,10 @@ def test_enrich_users_ttl_broadcast(spark):
     r = plan_report(Q["enrich_users_ttl"](spark, SF_SMOKE))
     assert r.broadcast_hash_joins == 1 and r.sort_merge_joins == 0
     assert r.nested_loop_joins == 0
+
+
+def test_range_join_bucketed_not_nested_loop(spark):
+    # a naive ts-BETWEEN theta join plans as BroadcastNestedLoopJoin; the
+    # bucketed spelling must stay a hash join on the hour-bucket key
+    r = assert_plan(Q["range_join_windows"](spark, SF_SMOKE), forbid_cartesian=True)
+    assert r.broadcast_hash_joins >= 1
