@@ -475,3 +475,63 @@ def run_stream_once(events_stream: DataFrame, sink, checkpoint_dir: str):
     )
     q.awaitTermination(300)
     return q
+
+
+SS_JOIN_MAX_SESSION = "30 minutes"  # exit must land within this of its entry
+SS_JOIN_WATERMARK = "10 minutes"
+
+
+def session_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: the entry stream joined to the exit
+    stream of the same (plate, lot, spot) within a session-length bound.
+
+    T2's general form — TWO unbounded streams joined on key + event-time
+    range, the Structured Streaming feature the stateful sessionizer does
+    by hand. Both sides carry watermarks and the join condition bounds
+    exit_ts to (entry_ts, entry_ts + max_session], which is what lets the
+    state store evict: an entry older than watermark - max_session can
+    never match again and is dropped. Without the time bound the join
+    state grows with the stream — the same unbounded-map mistake as the
+    reference's eventHistory (RepoEventsApi.scala:30).
+
+    Join semantics (ALL pairs within the bound, not n-th-to-n-th) differ
+    from ``sessionize_stream`` by design; the pytest pins stream == batch
+    for the SAME predicate, the engine's transform-sharing contract.
+    """
+    entries = (
+        events.filter(F.col("event_type") == EVENT_ENTRY)
+        .select(
+            "license_plate",
+            "parking_lot_id",
+            "parking_spot_id",
+            F.col("ts").alias("entry_ts"),
+        )
+        .withWatermark("entry_ts", SS_JOIN_WATERMARK)
+    )
+    exits = (
+        events.filter(F.col("event_type") == "PARKING_EXIT")
+        .select(
+            F.col("license_plate").alias("x_plate"),
+            F.col("parking_lot_id").alias("x_lot"),
+            F.col("parking_spot_id").alias("x_spot"),
+            F.col("ts").alias("exit_ts"),
+        )
+        .withWatermark("exit_ts", SS_JOIN_WATERMARK)
+    )
+    cond = (
+        (entries.license_plate == exits.x_plate)
+        & (entries.parking_lot_id == exits.x_lot)
+        & (entries.parking_spot_id == exits.x_spot)
+        & (exits.exit_ts > entries.entry_ts)
+        & (exits.exit_ts <= entries.entry_ts + F.expr(f"INTERVAL {SS_JOIN_MAX_SESSION}"))
+    )
+    return entries.join(exits, cond, "inner").select(
+        "license_plate",
+        "parking_lot_id",
+        "parking_spot_id",
+        "entry_ts",
+        "exit_ts",
+        (
+            (F.unix_timestamp("exit_ts") - F.unix_timestamp("entry_ts")) / 60.0
+        ).alias("duration_min"),
+    )

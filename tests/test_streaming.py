@@ -165,3 +165,52 @@ def test_slot_state_sink_ignores_late_batches(spark, stream_env):
     want = sink.snapshot()
     sink.process_batch(older, 1)  # replayed/late batch: strictly older
     assert sink.snapshot() == want
+
+
+def test_stream_stream_session_join_matches_batch(spark, stream_env, tmp_path):
+    """T2 general form: the watermarked stream-stream interval join must
+    equal the batch join with the identical predicate (transform-sharing
+    contract); the time bound is what keeps join state evictable.
+
+    Chunks are written TIME-ORDERED (a Kafka replay in offset~time order):
+    unlike the stateful sessionizer — whose watermark only drives state
+    eviction — a stream-stream join genuinely DROPS inputs later than the
+    watermark, so feeding it chunks shuffled across hours would lose pairs
+    by design, not by bug."""
+    from inde1_spark.streaming.pipelines import session_join_stream
+
+    _, events, _, _, _ = stream_env
+    rows = [r["js"] for r in events.select(F.to_json(F.struct("*")).alias("js"))
+            .orderBy("ts").collect()]
+    data_dir = tmp_path / "ordered"
+    data_dir.mkdir()
+    third = max(1, len(rows) // 3)
+    base_mtime = 1_700_000_000
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(chunk))
+        # FileStreamSource orders files by MTIME; same-millisecond writes tie
+        # and can replay chunks out of order, making whole chunks "late" —
+        # pin strictly increasing mtimes so replay order is the time order
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    stream = (
+        spark.readStream.schema(PARKING_EVENT_FLAT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+
+    got: list = []
+    q = (
+        session_join_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = session_join_stream(events).collect()  # same code path, batch input
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0
