@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the determinism-critical helpers.
+
+The oracle hash gate depends on a handful of expression helpers being
+EXACTLY equal to their mathematical spec on every input, not just the
+fixture values — these properties pin that. Each example batches many
+generated cases into one DataFrame so a property costs a few Spark jobs,
+not hundreds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import ratio_round, word_shingles, tokens
+from inde1_spark.operators.text import hash_bucket
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_round_half_up(num: int, den: int, scale: int) -> float:
+    q = (Decimal(num) / Decimal(den)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**8),
+            st.integers(min_value=1, max_value=10**8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_ratio_round_equals_decimal_half_up(spark, pairs):
+    """ratio_round must equal Decimal ROUND_HALF_UP for every ratio —
+    including the .xxx5 boundaries where engine round() functions differ."""
+    df = spark.createDataFrame(pairs, ["num", "den"])
+    got = {
+        (r["num"], r["den"]): r["rr"]
+        for r in df.select(
+            "num", "den", ratio_round(F.col("num"), F.col("den"), 4).alias("rr")
+        ).collect()
+    }
+    for num, den in pairs:
+        assert got[(num, den)] == _py_round_half_up(num, den, 4), (num, den)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**62),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                min_size=0,
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_hash_bucket_equals_reference_md5(spark, keys):
+    """The engine-portable bucket must equal the plain-hashlib spelling for
+    arbitrary keys (ints and ascii text) — what makes splits reproducible
+    across engines."""
+    rows = [(str(i), k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame([(i, str(k)) for i, k in rows], ["i", "k"])
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", hash_bucket(F.col("k"), 1009).alias("b")).collect()
+    }
+    for i, k in rows:
+        want = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 1009
+        assert got[i] == want, (k,)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=200,
+    )
+)
+@SETTINGS
+def test_decimal_sum_partition_order_invariant(spark, values):
+    """The decimal-sum spelling must give bit-identical results under any
+    physical partitioning (plain double sums do not)."""
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    dsum = F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+    one = df.repartition(1).agg(dsum.alias("s")).collect()[0]["s"]
+    many = df.repartition(7).agg(dsum.alias("s")).collect()[0]["s"]
+    assert one == many
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_word_shingles_equal_python_spec(spark, texts):
+    """word_shingles == the zip-based python spec: distinct word 3-grams,
+    empty for docs with fewer than 3 tokens (guards sequence()'s
+    descending-range behavior)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(tokens("text"), 3).alias("sh")
+        ).collect()
+    }
+    for i, t in rows:
+        toks = [w for w in t.split(" ") if w]
+        want = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        assert got[i] == want, (t,)
