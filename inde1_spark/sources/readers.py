@@ -78,3 +78,42 @@ def flatten_parking_events(raw: DataFrame) -> DataFrame:
         F.col("parking.isSlotHandicapped").alias("is_slot_handicapped"),
         F.col("duration").alias("duration_ms"),
     )
+
+
+def read_parking_events_csv(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """CSV ingress for the FLAT analytics schema (header, explicit types).
+
+    Same contract as the JSON reader: explicit schema — never an inference
+    pass, which at 100 TB costs a full extra scan — and DROPMALFORMED for
+    the log-and-skip behavior. CSV carries no nesting, so the file holds
+    the flat form directly; gzip/zstd are transparent by extension, and a
+    directory of part files parallelizes like any other file source.
+
+    Caveat (CSV parser column pruning): malformed detection only runs for
+    columns a query actually reads — a bare ``count()`` parses nothing and
+    drops nothing, so row counts over CSV must project at least one
+    not-null-required column.
+    """
+    from inde1_spark.schemas import PARKING_EVENT_FLAT
+
+    mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
+    return (
+        spark.read.schema(PARKING_EVENT_FLAT)
+        .option("header", "true")
+        .option("mode", mode)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning contract as parquet.
+
+    ORC is the other columnar format a warehouse migration brings along;
+    Spark's vectorized ORC reader gives the same PushedFilters + column
+    pruning the parquet plans are pinned on (asserted in
+    tests/test_formats.py). No schema argument: columnar footers carry it.
+    """
+    return spark.read.orc(path)
