@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
         "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
         "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
+        "embedding_quantize": lambda sp, d: S.embedding_quantize(
+            _t(sp, d, "embeddings")
+        ),
         "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
         "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
         "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),

@@ -241,3 +241,45 @@ def knn_lsh_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+QUANT_LEVELS = 127  # symmetric int8
+
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the ANN memory-reduction
+    step (4x smaller than float32; IVF/LSH candidate scans read quantized
+    codes, exact re-rank reads the full vectors).
+
+    scale = max|x| / 127; q_i = floor(x_i/scale + 0.5). ``floor(+0.5)``
+    instead of ``round()`` because engine round() semantics differ at
+    .5 boundaries (DESIGN §3); floor on IEEE doubles is exact in both.
+    Output is audit-shaped: the scale and max absolute dequantization
+    error as floor-truncated nano-units (BIGINT — engine round() on raw
+    doubles is the DESIGN §3 ambiguity; multiply+floor is exact IEEE in
+    both engines), plus an md5 over the code array (cheap equality
+    evidence without hashing 64 array cells through the driver).
+    Row-local, one corpus pass.
+    """
+    x = F.col("embedding")
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = max_abs / F.lit(float(QUANT_LEVELS))
+    q = F.transform(
+        x,
+        lambda v: F.when(
+            max_abs == 0.0, F.lit(0).cast("long")
+        ).otherwise(F.floor(v.cast("double") / scale + F.lit(0.5))),
+    )
+    err = F.array_max(
+        F.zip_with(
+            q, x, lambda qi, xi: F.abs(qi.cast("double") * scale - xi.cast("double"))
+        )
+    )
+    return embeddings.select(
+        "vec_id",
+        F.floor(scale * F.lit(1e9)).cast("long").alias("scale_nano"),
+        F.md5(F.array_join(F.transform(q, lambda v: v.cast("string")), ",")).alias(
+            "q_md5"
+        ),
+        F.floor(err * F.lit(1e9)).cast("long").alias("max_err_nano"),
+    )

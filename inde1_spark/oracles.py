@@ -1146,3 +1146,29 @@ SELECT window_id, count(*) AS n_events, {_dsum('value')} AS sum_value
 FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY 1
 """
+
+# Symmetric int8 quantization (operators/similarity.py:embedding_quantize):
+# floor(x/scale + 0.5) codes; floor-truncated nano-unit scale/error outputs
+# (engine round() on raw doubles is ambiguous; multiply+floor is exact).
+from inde1_spark.operators.similarity import QUANT_LEVELS
+
+ORACLES["embedding_quantize"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, embedding, max_abs,
+         max_abs / {QUANT_LEVELS}.0 AS scale,
+         list_transform(embedding, v -> CASE WHEN max_abs = 0 THEN 0
+             ELSE CAST(floor(CAST(v AS DOUBLE) / (max_abs / {QUANT_LEVELS}.0) + 0.5) AS BIGINT) END) AS q
+  FROM base
+)
+SELECT vec_id,
+       CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano,
+       md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_md5,
+       CAST(floor(list_max(list_transform(list_zip(q, embedding),
+            z -> abs(CAST(z[1] AS DOUBLE) * scale - CAST(z[2] AS DOUBLE)))) * 1e9) AS BIGINT) AS max_err_nano
+FROM scaled
+"""

@@ -17,6 +17,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from inde1_spark.operators.similarity import knn_brute_cosine, knn_lsh_bucketed
 from inde1_spark.sources.readers import load_table
 from tests.conftest import SF_ORACLE
@@ -51,3 +53,29 @@ def test_deeper_buckets_still_return_k(spark):
     got = knn_lsh_bucketed(emb, k=3, dims=8, multiprobe=True)
     per_query = {r["query_id"] for r in got.collect()}
     assert len(per_query) == 20  # every query answered
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On data with real cluster structure (which the random testdata
+    vectors lack — measured IVF recall there is ~the n_probe/n_cells
+    baseline, 0.217 vs 0.2), probing nearest centroids must recover
+    nearly all true neighbors: 10 well-separated clusters, labels = true
+    cluster, top-3 neighbors are in-cluster by construction."""
+    import numpy as np
+
+    from inde1_spark.operators.similarity import knn_ivf
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(10, 64)) * 10.0
+    rows = []
+    for vid in range(200):
+        c = vid % 10
+        v = centers[c] + rng.normal(size=64) * 0.05
+        rows.append((vid, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>"), "label"
+    )
+    brute = _pairs(knn_brute_cosine(emb, k=3))
+    ivf = _pairs(knn_ivf(emb, k=3))
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.95, f"IVF recall on clustered data: {recall:.3f}"
