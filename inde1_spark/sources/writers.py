@@ -42,6 +42,7 @@ def materialize_partitioned(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    dynamic: bool = True,
 ) -> None:
     """Write ``df`` partitioned by low-cardinality columns (date/hour/...).
 
@@ -50,5 +51,17 @@ def materialize_partitioned(
     in streaming/pipelines.py emits the same layout for the event stream).
     Keep partition cardinality in the thousands, not millions — tiny
     partitions turn the listing itself into the bottleneck.
+
+    ``dynamic=True`` (dynamic partition overwrite) makes backfills
+    idempotent at the partition grain: re-running one day's job replaces
+    ONLY the partitions present in ``df`` — static overwrite would wipe
+    the whole table first, the classic backfill data-loss trap.
     """
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

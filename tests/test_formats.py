@@ -67,3 +67,34 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("event_type" in f for f in r.pushed_filters), r.raw
     assert "ReadSchema" in r.raw
     assert q.count() == events.filter(F.col("event_type") == "PARKING_ENTRY").count()
+
+
+def test_dynamic_partition_overwrite_is_partition_idempotent(spark, tmp_path):
+    """Re-running one day's backfill must replace only that day's
+    partition; static overwrite would wipe the other days (the classic
+    backfill data-loss trap dynamic mode exists for)."""
+    from inde1_spark.sources.writers import materialize_partitioned
+
+    events, _, _ = to_spark(spark, FIXTURE)
+    daily = events.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    out = str(tmp_path / "daily")
+    materialize_partitioned(daily, out, ["event_date"])
+    days = sorted(r["event_date"] for r in
+                  spark.read.parquet(out).select("event_date").distinct().collect())
+    assert len(days) >= 1
+    total_before = spark.read.parquet(out).count()
+
+    # "re-run" the first day only, with half its rows (a corrected backfill)
+    d0 = days[0]
+    redo = daily.filter(F.col("event_date") == d0).limit(
+        daily.filter(F.col("event_date") == d0).count() // 2
+    )
+    n_redo = redo.count()
+    materialize_partitioned(redo, out, ["event_date"])
+
+    after = spark.read.parquet(out)
+    assert sorted(r["event_date"] for r in
+                  after.select("event_date").distinct().collect()) == days
+    assert after.filter(F.col("event_date") == d0).count() == n_redo
+    other_before = total_before - daily.filter(F.col("event_date") == d0).count()
+    assert after.filter(F.col("event_date") != d0).count() == other_before
