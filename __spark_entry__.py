@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
         "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
         "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
+        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
+        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
+        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
         "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
         "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
             _t(sp, d, "documents")

@@ -28,8 +28,8 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
     return F.filter(F.split(col, sep), lambda t: t != F.lit(""))
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token array (row-local).
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """All word n-grams of a token array, in order, duplicates kept.
 
     Uses O(1) ``element_at`` per gram position (an ``F.slice`` spelling is
     O(len) per position -> quadratic per document and ~5x slower end-to-end
@@ -43,9 +43,14 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (row-local)."""
+    return F.array_distinct(word_ngrams(toks, n))
 
 
 def _fixed(term: Column) -> Column:

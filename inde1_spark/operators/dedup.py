@@ -71,7 +71,7 @@ COSINE_DEDUP_THRESHOLD = 0.45  # testdata has no planted vector near-dups; this
 # tokenize/signature pipeline runs once per job. Long-lived sessions call
 # ``release_persisted()`` after consuming the result; otherwise cached
 # blocks accumulate across invocations (bench.py's clearCache also works).
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: list = []  # DataFrames (cache-manager) or java RDDs (checkpoint)
 
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -80,12 +80,29 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _lazy_checkpoint(df: DataFrame) -> DataFrame:
+    # localCheckpoint persists the underlying RDD OUTSIDE the cache manager
+    # (DataFrame.unpersist can't see it), so register the LogicalRDD's java
+    # RDD handle for release_persisted() to unpersist directly.
+    df = df.localCheckpoint(eager=False)
+    try:
+        _PERSISTED.append(df._jdf.queryExecution().analyzed().rdd())
+    except Exception:
+        _PERSISTED.append(df)  # plan shape changed: best-effort fallback
+    return df
+
+
 def release_persisted() -> int:
-    """Unpersist every intermediate cached by dedup operators; returns the
-    number of handles released."""
+    """Unpersist every intermediate cached by dedup operators (cached
+    DataFrames and localCheckpoint lineage leaves); returns the number of
+    handles released. Call only after the consuming action — a checkpointed
+    plan re-executed after release would have lost its lineage leaf."""
     n = len(_PERSISTED)
-    for df in _PERSISTED:
-        df.unpersist()
+    for h in _PERSISTED:
+        if isinstance(h, DataFrame):
+            h.unpersist()
+        else:
+            h.unpersist(False)
     _PERSISTED.clear()
     return n
 
@@ -602,7 +619,7 @@ def connected_components(
     plan stays O(rounds), nothing materializes until the caller's action,
     and each round's result is computed exactly once when it does.
     """
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = _lazy_checkpoint(pairs)
     nodes = (
         pairs.select(F.col(src).alias("doc_id"))
         .union(pairs.select(F.col(dst).alias("doc_id")))
@@ -629,7 +646,7 @@ def connected_components(
             "doc_id",
             F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
         )
-        labels = labels.localCheckpoint(eager=False)
+        labels = _lazy_checkpoint(labels)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from inde1_spark.functions.exprs import int_sum_exact, ratio_round, tokens
+from inde1_spark.functions.exprs import (
+    int_sum_exact,
+    ratio_round,
+    tokens,
+    word_ngrams,
+)
 
 # Marker-token lists for the n-gram/stopword language heuristic. The corpus
 # vocabulary is synthetic, so the lists are assigned from it; with real text
@@ -205,6 +210,150 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
         documents.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= per_lang)
         .select("doc_id", "lang", "rnk")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate token/n-gram fractions.
+
+    The filters that catch boilerplate and degenerate (looping) generations
+    in pretraining corpora (Rae et al. 2021 §A1.1): fraction of duplicate
+    tokens, fraction held by the single most frequent token, duplicate
+    2-gram/3-gram fractions. Everything is row-local array math (the
+    top-token count is an O(distinct x tokens) nested scan over one row's
+    arrays — bounded by document length, never a shuffle), so the whole
+    operator is a pure projection that pipelines into the corpus scan.
+    """
+    toks = _toks()
+    one = F.lit(1).cast("long")
+    n_tok = F.size(toks).cast("long")
+    gnt = F.greatest(n_tok, one)
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    g2, g3 = word_ngrams(toks, 2), word_ngrams(toks, 3)
+    n2 = F.size(g2).cast("long")
+    n2d = F.size(F.array_distinct(g2)).cast("long")
+    n3 = F.size(g3).cast("long")
+    n3d = F.size(F.array_distinct(g3)).cast("long")
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ratio_round(n_tok - n_dis, gnt, 4).alias("dup_token_frac"),
+        ratio_round(top_cnt, gnt, 4).alias("top_token_frac"),
+        ratio_round(n2 - n2d, F.greatest(n2, one), 4).alias("dup_2gram_frac"),
+        ratio_round(n3 - n3d, F.greatest(n3, one), 4).alias("dup_3gram_frac"),
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 table A1): token-count window,
+# mean-word-length window, minimum distinct-stopword hits. Integer-exact
+# comparisons (mean length bounds multiplied through by the denominator)
+# so the keep flag is bit-identical across engines.
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 50, 100_000
+GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX = 3, 10
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher quality-rule flags + the combined keep decision per document.
+
+    Each rule is reported as its own boolean so downstream filters can
+    re-weight or audit rejection reasons without a rescan; ``keep`` is the
+    conjunction. Mean-word-length bounds are evaluated as
+    ``min*n <= sum_len <= max*n`` — exact integer math, no float ratio.
+    """
+    toks = _toks()
+    n_tok = F.size(toks).cast("long")
+    sum_len = int_sum_exact(F.transform(toks, lambda t: F.length(t)))
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    ).cast("long")
+    flag_len = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    flag_mean_len = (sum_len >= F.lit(GOPHER_MEAN_LEN_MIN) * n_tok) & (
+        sum_len <= F.lit(GOPHER_MEAN_LEN_MAX) * n_tok
+    )
+    flag_stop = n_stop_distinct >= GOPHER_MIN_STOP_HITS
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        flag_len.alias("flag_len"),
+        flag_mean_len.alias("flag_mean_len"),
+        flag_stop.alias("flag_stop"),
+        (flag_len & flag_mean_len & flag_stop).alias("keep"),
+    )
+
+
+# Conservative cross-engine regexes (no lookaround — Java regex and RE2
+# agree on these): emails, and long digit runs as the id/phone stand-in.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_ID_RE = "[0-9]{7,}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: count + redact emails and long digit runs.
+
+    One regexp pass per pattern, row-local, applied before any text leaves
+    the pipeline. The redacted text itself stays distributed; the output
+    carries counts, the redacted length, and an md5 fingerprint of the
+    redacted form so the gate can hash-verify the rewrite without shipping
+    full documents through the compare.
+    """
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_ID_RE,
+        "<ID>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_ID_RE)).cast("long").alias("n_ids"),
+        F.length(red).cast("long").alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def line_quality(documents: DataFrame) -> DataFrame:
+    """C4-style line-shape metrics: terminal punctuation, bullets, ellipses.
+
+    Line-structured quality signals (Raffel et al. 2020 §2.2): fraction of
+    non-empty lines ending in terminal punctuation, starting with a bullet,
+    ending with an ellipsis, or having fewer than 3 words. Row-local array
+    filters over the line split — one corpus pass, no shuffle.
+    """
+    one = F.lit(1).cast("long")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: l != F.lit(""))
+    n_lines = F.size(lines).cast("long")
+    gnl = F.greatest(n_lines, one)
+
+    def _frac(pred):
+        return ratio_round(F.size(F.filter(lines, pred)).cast("long"), gnl, 4)
+
+    punct = _frac(
+        lambda l: l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+    )
+    bullet = _frac(lambda l: l.startswith("- ") | l.startswith("* "))
+    ellipsis = _frac(lambda l: l.endswith("..."))
+    short = _frac(
+        lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != F.lit(""))) < 3
+    )
+    return documents.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        punct.alias("terminal_punct_frac"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        short.alias("short_line_frac"),
     )
 
 

@@ -933,6 +933,108 @@ SELECT doc_id, md5(n) AS fingerprint, substr(md5(n), 1, 8) AS fp_prefix
 FROM norm
 """
 
+from inde1_spark.operators.text import PII_EMAIL_RE, PII_ID_RE
+from inde1_spark.operators.text import (
+    GOPHER_MEAN_LEN_MAX,
+    GOPHER_MEAN_LEN_MIN,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_TOKENS,
+)
+
+ORACLES["text_repetition"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_dis,
+         CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+             d -> len(list_filter(toks, t -> t = d)))), 0) AS BIGINT) AS top_cnt,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM toks
+)
+SELECT doc_id, n_tok AS n_tokens,
+       {_rr("n_tok - n_dis", "gnt", 4)} AS dup_token_frac,
+       {_rr("top_cnt", "gnt", 4)} AS top_token_frac,
+       {_rr("CAST(len(g2) AS BIGINT) - CAST(len(list_distinct(g2)) AS BIGINT)",
+            "GREATEST(CAST(len(g2) AS BIGINT), 1)", 4)} AS dup_2gram_frac,
+       {_rr("CAST(len(g3) AS BIGINT) - CAST(len(list_distinct(g3)) AS BIGINT)",
+            "GREATEST(CAST(len(g3) AS BIGINT), 1)", 4)} AS dup_3gram_frac
+FROM m
+"""
+
+ORACLES["text_gopher"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_len,
+         CAST(len(list_intersect(list_distinct(toks), [{_STOP_LIST}])) AS BIGINT) AS n_stop_distinct
+  FROM toks
+)
+SELECT doc_id, n_tok AS n_tokens, n_stop_distinct,
+       (n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS}) AS flag_len,
+       (sum_len >= {GOPHER_MEAN_LEN_MIN} * n_tok AND sum_len <= {GOPHER_MEAN_LEN_MAX} * n_tok) AS flag_mean_len,
+       (n_stop_distinct >= {GOPHER_MIN_STOP_HITS}) AS flag_stop,
+       ((n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS})
+        AND (sum_len >= {GOPHER_MEAN_LEN_MIN} * n_tok AND sum_len <= {GOPHER_MEAN_LEN_MAX} * n_tok)
+        AND (n_stop_distinct >= {GOPHER_MIN_STOP_HITS})) AS keep
+FROM m
+"""
+
+ORACLES["pii_redact"] = f"""
+WITH red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_ID_RE}', '<ID>', 'g') AS r
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_ID_RE}')) AS BIGINT) AS n_ids,
+       CAST(strlen(r) AS BIGINT) AS n_chars_redacted,
+       md5(r) AS redacted_fp
+FROM red
+"""
+
+ORACLES["text_lines"] = f"""
+WITH l AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS L
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(L) AS BIGINT) AS n_lines,
+         GREATEST(CAST(len(L) AS BIGINT), 1) AS gnl,
+         CAST(len(list_filter(L, x -> suffix(x, '.') OR suffix(x, '!')
+                                   OR suffix(x, '?') OR suffix(x, '"'))) AS BIGINT) AS p,
+         CAST(len(list_filter(L, x -> prefix(x, '- ') OR prefix(x, '* '))) AS BIGINT) AS b,
+         CAST(len(list_filter(L, x -> suffix(x, '...'))) AS BIGINT) AS e,
+         CAST(len(list_filter(L, x -> len(list_filter(string_split(x, ' '),
+                                                      w -> w <> '')) < 3)) AS BIGINT) AS s
+  FROM l
+)
+SELECT doc_id, n_lines,
+       {_rr("p", "gnl", 4)} AS terminal_punct_frac,
+       {_rr("b", "gnl", 4)} AS bullet_frac,
+       {_rr("e", "gnl", 4)} AS ellipsis_frac,
+       {_rr("s", "gnl", 4)} AS short_line_frac
+FROM m
+"""
+
 from inde1_spark.operators.multimodal import FRAME_BYTES
 
 ORACLES["multimodal_frames"] = f"""

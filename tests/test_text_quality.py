@@ -1,0 +1,109 @@
+"""Planted-data semantics for the quality-filter family.
+
+The synthetic corpus has no newlines, punctuation, digits or emails, so the
+oracle-parity gate only proves cross-engine consistency there; these tests
+plant documents that exercise every branch (duplicate n-grams, PII hits,
+line shapes, Gopher rule boundaries) and pin the exact expected values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.operators.text import (
+    GOPHER_MIN_TOKENS,
+    gopher_rules,
+    line_quality,
+    pii_redact,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_repetition_exact_fractions(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_docs(spark, ["a a a b", "x y z"])).collect()
+    }
+    r = out[0]  # tokens [a,a,a,b]: 2 dup of 4; top 'a' 3/4
+    assert r["n_tokens"] == 4
+    assert r["dup_token_frac"] == 0.5
+    assert r["top_token_frac"] == 0.75
+    # 2-grams [a a, a a, a b]: 1 dup of 3; 3-grams [a a a, a a b]: none
+    assert r["dup_2gram_frac"] == 0.3333
+    assert r["dup_3gram_frac"] == 0.0
+    r = out[1]  # all unique
+    assert (r["dup_token_frac"], r["top_token_frac"]) == (0.0, 0.3333)
+    assert (r["dup_2gram_frac"], r["dup_3gram_frac"]) == (0.0, 0.0)
+
+
+def test_gopher_token_count_boundary(spark):
+    # 'the a' supplies 2 distinct stopwords; pad with 4-char filler tokens
+    # (mean length stays in [3, 10] despite the 1-char 'a') to land exactly
+    # at 49 vs 50 tokens.
+    pad_short = " ".join(["data"] * (GOPHER_MIN_TOKENS - 3))
+    pad_ok = " ".join(["data"] * (GOPHER_MIN_TOKENS - 2))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            _docs(spark, [f"the a {pad_short}", f"the a {pad_ok}"])
+        ).collect()
+    }
+    assert out[0]["n_tokens"] == GOPHER_MIN_TOKENS - 1
+    assert not out[0]["flag_len"] and not out[0]["keep"]
+    assert out[1]["n_tokens"] == GOPHER_MIN_TOKENS
+    assert out[1]["flag_len"] and out[1]["flag_mean_len"] and out[1]["flag_stop"]
+    assert out[1]["keep"]
+
+
+def test_gopher_mean_len_and_stopword_rules(spark):
+    pad = " ".join(["data"] * 60)
+    long_words = " ".join(["abcdefghijklmnop"] * 60)  # mean len 16 > 10
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            _docs(spark, [f"the {pad}", f"the a {long_words}"])
+        ).collect()
+    }
+    assert out[0]["n_stop_distinct"] == 1  # only 'the' -> stop rule fails
+    assert out[0]["flag_len"] and out[0]["flag_mean_len"]
+    assert not out[0]["flag_stop"] and not out[0]["keep"]
+    assert not out[1]["flag_mean_len"] and not out[1]["keep"]
+
+
+def test_pii_redact_counts_and_fingerprint(spark):
+    text = "reach me at jo.smith+x@mail.example.org or 41551234567 today"
+    expected = "reach me at <EMAIL> or <ID> today"
+    r = pii_redact(_docs(spark, [text])).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_ids"] == 1
+    assert r["n_chars_redacted"] == len(expected)
+    assert r["redacted_fp"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_pii_redact_leaves_clean_text_alone(spark):
+    text = "no personal data here just words"
+    r = pii_redact(_docs(spark, [text])).collect()[0]
+    assert (r["n_emails"], r["n_ids"]) == (0, 0)
+    assert r["redacted_fp"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_line_quality_shapes(spark):
+    text = "Good sentence.\n- bullet\nmore stuff here...\nhi\n\n"
+    r = line_quality(_docs(spark, [text])).collect()[0]
+    assert r["n_lines"] == 4  # empty lines dropped
+    # '.' terminal counts the ellipsis line too (C4 counts any '.')
+    assert r["terminal_punct_frac"] == 0.5
+    assert r["bullet_frac"] == 0.25
+    assert r["ellipsis_frac"] == 0.25
+    # 'Good sentence.' (2), '- bullet' (2) and 'hi' (1) are all < 3 words
+    assert r["short_line_frac"] == 0.75
