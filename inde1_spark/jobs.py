@@ -100,6 +100,60 @@ def run_daily_job(
     return len(pts)
 
 
+def corpus_prep(documents: DataFrame) -> DataFrame:
+    """The pretraining-corpus preparation pipeline as ONE declarative plan:
+    quality filter -> exact dedup -> split assignment.
+
+    Composes the operator library the way a training-data job would:
+
+    1. Gopher rule filter (``gopher_rules.keep``) drops degenerate docs;
+    2. exact dedup keeps the smallest doc_id per md5(text) — one shuffle
+       on the fixed-width hash, never on raw text;
+    3. contamination-safe split via the md5 bucket of the GROUP key
+       (``source``), so near-dups from one crawl never straddle train/test.
+
+    Everything stays lazy until the caller's write/collect: Catalyst sees
+    the whole pipeline and pushes the quality projections into the scan.
+    Returns the surviving documents with ``split`` attached.
+    """
+    from inde1_spark.operators.dedup import dedup_exact
+    from inde1_spark.operators.text import _split_label, gopher_rules, hash_bucket
+
+    kept = documents.join(
+        gopher_rules(documents).filter("keep").select("doc_id"), "doc_id"
+    )
+    survivors = dedup_exact(kept).select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = kept.join(survivors, "doc_id")
+    return deduped.withColumn(
+        "split", _split_label(hash_bucket(F.col("source"), 100))
+    )
+
+
+def run_corpus_prep_job(documents: DataFrame, out_dir: str) -> dict:
+    """Materialize the prepared corpus partitioned by split.
+
+    Split-partitioned parquet is the layout a trainer reads (train readers
+    prune to ``split=train`` directories); dynamic partition overwrite keeps
+    re-runs idempotent per split. Returns audit counts (input, kept,
+    survivors, per-split docs) — the numbers a data card needs.
+    """
+    from inde1_spark.sources.writers import materialize_partitioned
+
+    prepared = corpus_prep(documents)
+    materialize_partitioned(prepared, out_dir, ["split"])
+    spark = documents.sparkSession
+    out = spark.read.parquet(out_dir)
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "n_input": documents.count(),
+        "n_output": sum(per_split.values()),
+        "per_split": per_split,
+    }
+
+
 def run_weekly_job(
     events: DataFrame,
     week: str,

