@@ -41,6 +41,7 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash_fast",  # production xxhash64 path (no global-sort dictionary)
     "dedup_embedding_lsh",
+    "dedup_spans",
     "knn_brute_cosine",
     "knn_lsh_bucketed",
     "knn_ivf",
@@ -69,10 +70,16 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, SF_DIR).count()  # warmup: JIT + shuffle-file page cache
-        spark.catalog.clearCache()  # measured run pays its own persist cost
-        t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # steady state = best of 2 measured runs (single-run wall swings
+        # ±50% on some queries from JIT/GC scheduling noise in one JVM);
+        # each measured run pays its own persist cost after clearCache
+        best, n = float("inf"), 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

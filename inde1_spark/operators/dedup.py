@@ -385,6 +385,68 @@ def dedup_minhash_fast(
     )
 
 
+SPAN_TOKENS = 15  # non-overlapping token window = the dedup unit
+
+
+def dedup_spans(documents: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Span-level dedup: drop repeated token windows corpus-wide (C4-style).
+
+    The sub-document dedup step of web-corpus pipelines (Raffel et al. 2020
+    §2.2 dedupe repeated three-sentence spans; RefinedWeb's substring
+    variant): the corpus is cut into non-overlapping ``span_tokens``-token
+    windows, and every occurrence of a span after its first (in the total
+    order (doc_id, span_idx)) is removed. Returns per-doc span counts and
+    the md5 of the cleaned text (kept spans joined in order) — the rewrite
+    is verified by hash without shipping documents through the compare.
+
+    Scale shape: first-occurrence is ``min(struct(doc_id, span_idx))`` per
+    span — a map-side-combinable aggregate followed by an equi-join back,
+    NOT a ``row_number() OVER (PARTITION BY span)`` window: a boilerplate
+    span repeated millions of times would funnel one window partition
+    through one task, while the min-agg combines locally and AQE can split
+    the skewed join. The exploded span table feeds both the aggregate and
+    the join, so it is persisted (registry above).
+    """
+    toks = tokens("text")
+    n_sp = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_sp, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = _persist(
+        documents.select("doc_id", spans.alias("spans")).select(
+            "doc_id", F.posexplode("spans").alias("span_idx", "span")
+        )
+    )
+    first = exploded.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first")
+    )
+    marked = exploded.join(first, "span").withColumn(
+        "is_first",
+        F.struct("doc_id", "span_idx") == F.col("first"),
+    )
+    kept = F.when(
+        F.col("is_first"), F.struct(F.col("span_idx"), F.col("span"))
+    )  # null (skipped by collect_list) for removed spans
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.count(F.when(F.col("is_first"), 1)).cast("long").alias("n_spans_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["span"]
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+
+
 def simhash_signatures(sh_ids: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over shingle ids.
 

@@ -933,6 +933,34 @@ SELECT doc_id, md5(n) AS fingerprint, substr(md5(n), 1, 8) AS fp_prefix
 FROM norm
 """
 
+from inde1_spark.operators.dedup import SPAN_TOKENS
+
+# first-occurrence = rn 1 over the unique total order (doc_id, span_idx) —
+# equivalent to the engine's skew-safe min(struct) spelling
+ORACLES["dedup_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+         array_to_string(list_slice(toks, i*{SPAN_TOKENS}+1, i*{SPAN_TOKENS}+{SPAN_TOKENS}), ' ') AS span
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(toks) / {SPAN_TOKENS}.0) AS INT))) AS u(i)
+  WHERE len(toks) > 0
+),
+marked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_spans_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')) AS clean_fp
+FROM marked GROUP BY doc_id
+"""
+
 from inde1_spark.operators.text import PII_EMAIL_RE, PII_ID_RE
 from inde1_spark.operators.text import (
     GOPHER_MEAN_LEN_MAX,

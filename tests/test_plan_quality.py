@@ -113,3 +113,12 @@ def test_quality_filter_family_zero_shuffle(spark):
     # scan — at corpus scale these pipeline into the read and cost one pass
     for name in ("text_repetition", "text_gopher", "pii_redact", "text_lines"):
         assert_plan(Q[name](spark, SF_SMOKE), max_exchanges=0, max_scans=1)
+
+
+def test_dedup_spans_no_cartesian(spark):
+    # span first-occurrence must stay min-agg + equi-join (skew-safe), never
+    # a nested-loop shape
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["dedup_spans"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()

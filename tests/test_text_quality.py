@@ -107,3 +107,23 @@ def test_line_quality_shapes(spark):
     assert r["ellipsis_frac"] == 0.25
     # 'Good sentence.' (2), '- bullet' (2) and 'hi' (1) are all < 3 words
     assert r["short_line_frac"] == 0.75
+
+
+def test_dedup_spans_removes_repeats_keeps_first(spark):
+    from inde1_spark.operators.dedup import dedup_spans, release_persisted
+
+    first15 = " ".join(f"w{i}" for i in range(15))
+    rest0 = " ".join(f"w{i}" for i in range(15, 30))
+    rest1 = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"{first15} {rest0}"), (1, f"{first15} {rest1}")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs).collect()}
+    release_persisted()
+    # doc 0 owns both its spans (first occurrence); doc 1 loses its copy of
+    # the shared first-15-token span and keeps only its own tail
+    assert (out[0]["n_spans"], out[0]["n_spans_kept"]) == (2, 2)
+    assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (2, 1)
+    assert out[0]["clean_fp"] == hashlib.md5(f"{first15} {rest0}".encode()).hexdigest()
+    assert out[1]["clean_fp"] == hashlib.md5(rest1.encode()).hexdigest()
