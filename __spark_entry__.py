@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
         "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
         "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
+        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
+        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
         "dedup_embedding": lambda sp, d: D.dedup_embedding(_t(sp, d, "embeddings")),
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
             _t(sp, d, "embeddings")

@@ -385,6 +385,65 @@ def dedup_minhash_fast(
     )
 
 
+# MOSS-style relatedness: shared fingerprints / smaller fingerprint set.
+# Exact integer threshold DEN*n_shared >= NUM*min(|A|,|B|) — no float at
+# the decision boundary. 7/20 = 0.35 sits between the corpus's unrelated-
+# pair ceiling (~0.33, common-vocabulary noise) and the planted near-dup
+# band (~0.42-0.57), measured at sf0.01.
+WINNOW_OVERLAP_NUM, WINNOW_OVERLAP_DEN = 7, 20
+WINNOW_MAX_FP_DF = 64  # document-frequency cap: drop ubiquitous fingerprints
+
+
+def dedup_winnow(
+    documents: DataFrame, max_fp_df: int = WINNOW_MAX_FP_DF
+) -> DataFrame:
+    """Winnowing-based near-dup pairs: docs whose winnowed rolling-hash
+    fingerprint sets overlap strongly (the MOSS scheme applied corpus-wide).
+
+    Complements MinHash: winnowing guarantees any shared substring of
+    length >= k+w-1 chars leaves a shared fingerprint, so it catches
+    verbatim-passage overlap (quotes, boilerplate reuse) that token-set
+    Jaccard dilutes away on long documents. Inverted-index equi-join on
+    fingerprint with a document-frequency cap (ubiquitous fingerprints
+    carry no signal and drive df^2 join blowup — same guard as
+    cap_shingle_df); pairs scored by shared-count / smaller-set-size.
+    """
+    from inde1_spark.operators.text import winnow_fp_table
+
+    fp = winnow_fp_table(documents)
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    fp = fp.join(df_counts.filter(F.col("df") <= max_fp_df), "fp").select(
+        "doc_id", "fp"
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(WINNOW_OVERLAP_DEN) * F.col("n_shared")
+            >= F.lit(WINNOW_OVERLAP_NUM) * F.least("sz_a", "sz_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            ratio_round(F.col("n_shared"), F.least("sz_a", "sz_b"), 4).alias(
+                "overlap"
+            ),
+        )
+    )
+
+
 SPAN_TOKENS = 15  # non-overlapping token window = the dedup unit
 
 

@@ -357,6 +357,99 @@ def line_quality(documents: DataFrame) -> DataFrame:
     )
 
 
+# Winnowing parameters (Schleimer et al. 2003, "local algorithms for
+# document fingerprinting"): char k-gram polynomial hashes, min per sliding
+# window of w hashes. Guarantee: any shared substring of length >= k+w-1
+# contributes at least one shared fingerprint.
+WINNOW_K, WINNOW_W = 5, 4
+WINNOW_BASE, WINNOW_PRIME = 257, 1_000_000_007
+
+
+def _let(expr: Column, fn) -> Column:
+    """Bind ``expr`` once and reference it cheaply inside ``fn``.
+
+    Higher-order functions run interpreted with no common-subexpression
+    elimination, so an expression referenced N times in one projection is
+    computed N times; routing it through a 1-element transform makes it a
+    lambda variable — evaluated once, then a cheap slot lookup.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _gram_hashes(text: Column, k: int = WINNOW_K) -> Column:
+    """Polynomial rolling-hash values of every char k-gram, row-local.
+
+    h(i) = (((c_i*B + c_{i+1})*B + ...)*B + c_{i+k-1}) mod P with per-step
+    mod — exact long arithmetic, bit-identical in Spark and DuckDB
+    (prototyped both; codepoints via ascii()/unicode()). Computed per
+    position (O(n*k), not the O(n) rolling update — vectorized form has no
+    carry-across-positions state, and k is constant).
+    """
+
+    def _h(i: Column) -> Column:
+        e = F.ascii(text.substr(i, F.lit(1))).cast("long")
+        for j in range(1, k):
+            e = (
+                e * F.lit(WINNOW_BASE)
+                + F.ascii(text.substr(i + F.lit(j), F.lit(1))).cast("long")
+            ) % F.lit(WINNOW_PRIME)
+        return e
+
+    n = F.length(text)
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - F.lit(k) + 1), _h)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _winnow_minima(hashes: Column, w: int = WINNOW_W) -> Column:
+    """Sorted distinct window-minima of the hash sequence (the fingerprint
+    set). Windows slide by 1; fewer than w hashes -> one window over all."""
+    return _let(
+        hashes,
+        lambda h: F.when(
+            F.size(h) > 0,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(h) - w + 1, F.lit(1))
+                        ),
+                        lambda t: F.array_min(F.slice(h, t, w)),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+
+
+def winnow_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per document.
+
+    Reports the gram count, the fingerprint-set size, and the md5 of the
+    sorted fingerprint list (set equality checkable without shipping the
+    sets). Row-local array math — one corpus pass, no shuffle.
+    """
+    fp = _winnow_minima(_gram_hashes(F.col("text")))
+    return documents.select(
+        "doc_id",
+        F.size(_gram_hashes(F.col("text"))).cast("long").alias("n_grams"),
+        F.size(fp).cast("long").alias("n_fp"),
+        _let(
+            fp,
+            lambda m: F.md5(
+                F.concat_ws(",", F.transform(m, lambda x: x.cast("string")))
+            ),
+        ).alias("fp_md5"),
+    )
+
+
+def winnow_fp_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp): exploded distinct winnowed fingerprints — the inverted
+    index feeding ``dedup_winnow``'s pair join."""
+    fp = _winnow_minima(_gram_hashes(F.col("text")))
+    return documents.select("doc_id", F.explode(fp).alias("fp"))
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over the normalized text.
 

@@ -933,7 +933,83 @@ SELECT doc_id, md5(n) AS fingerprint, substr(md5(n), 1, 8) AS fp_prefix
 FROM norm
 """
 
-from inde1_spark.operators.dedup import SPAN_TOKENS
+from inde1_spark.operators.dedup import (
+    SPAN_TOKENS,
+    WINNOW_MAX_FP_DF,
+    WINNOW_OVERLAP_DEN,
+    WINNOW_OVERLAP_NUM,
+)
+from inde1_spark.operators.text import (
+    WINNOW_BASE,
+    WINNOW_K,
+    WINNOW_PRIME,
+    WINNOW_W,
+)
+
+
+def _winnow_hash_expr() -> str:
+    e = "CAST(unicode(substr(text, i, 1)) AS BIGINT)"
+    for j in range(1, WINNOW_K):
+        e = (
+            f"(({e}) * {WINNOW_BASE} + "
+            f"CAST(unicode(substr(text, i+{j}, 1)) AS BIGINT)) % {WINNOW_PRIME}"
+        )
+    return e
+
+
+# char k-gram rolling hashes -> window minima (operators/text.py winnowing);
+# range() is exclusive-end where Spark's sequence() is inclusive
+_WINNOW_CTE = f"""
+hashes AS (
+  SELECT doc_id,
+         CASE WHEN strlen(text) >= {WINNOW_K}
+              THEN list_transform(range(1, strlen(text) - {WINNOW_K} + 2),
+                                  i -> {_winnow_hash_expr()})
+              ELSE CAST([] AS BIGINT[]) END AS h
+  FROM documents
+),
+minima AS (
+  SELECT doc_id,
+         CASE WHEN len(h) > 0
+              THEN list_sort(list_distinct(list_transform(
+                     range(1, GREATEST(len(h) - {WINNOW_W} + 1, 1) + 1),
+                     t -> list_min(list_slice(h, t, t + {WINNOW_W} - 1)))))
+              ELSE CAST([] AS BIGINT[]) END AS m
+  FROM hashes
+)
+"""
+
+ORACLES["text_winnow"] = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id,
+       CAST(len(h) AS BIGINT) AS n_grams,
+       CAST(len(m) AS BIGINT) AS n_fp,
+       md5(array_to_string(m, ',')) AS fp_md5
+FROM hashes JOIN minima USING (doc_id)
+"""
+
+ORACLES["dedup_winnow"] = f"""
+WITH {_WINNOW_CTE},
+fp AS (SELECT doc_id, UNNEST(m) AS fp FROM minima),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_FP_DF})
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       {_rr("n_shared", "LEAST(sa.sz, sb.sz)", 4)} AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {WINNOW_OVERLAP_DEN} * n_shared >= {WINNOW_OVERLAP_NUM} * LEAST(sa.sz, sb.sz)
+"""
 
 # first-occurrence = rn 1 over the unique total order (doc_id, span_idx) —
 # equivalent to the engine's skew-safe min(struct) spelling

@@ -122,3 +122,11 @@ def test_dedup_spans_no_cartesian(spark):
 
     assert_plan(Q["dedup_spans"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_dedup_winnow_no_cartesian(spark):
+    assert_plan(Q["dedup_winnow"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_text_winnow_zero_shuffle(spark):
+    assert_plan(Q["text_winnow"](spark, SF_SMOKE), max_exchanges=0, max_scans=1)

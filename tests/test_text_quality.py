@@ -127,3 +127,36 @@ def test_dedup_spans_removes_repeats_keeps_first(spark):
     assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (2, 1)
     assert out[0]["clean_fp"] == hashlib.md5(f"{first15} {rest0}".encode()).hexdigest()
     assert out[1]["clean_fp"] == hashlib.md5(rest1.encode()).hexdigest()
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: a shared substring of length >= k+w-1 (= 8 here)
+    # leaves at least one shared fingerprint, however different the rest
+    from inde1_spark.operators.text import WINNOW_K, WINNOW_W, winnow_fp_table
+
+    assert WINNOW_K + WINNOW_W - 1 == 8
+    shared = "QUOTEDPASSAGE"  # 13 chars > 8
+    docs = spark.createDataFrame(
+        [(0, f"aaaa {shared} bbbb"), (1, f"zzzz yyyy {shared}")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fp_table(docs).collect()
+    s0 = {r["fp"] for r in fps if r["doc_id"] == 0}
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    assert s0 & s1
+
+
+def test_winnow_dedup_matches_planted_near_dups(spark):
+    from inde1_spark.operators.dedup import dedup_ngram_jaccard, dedup_winnow
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(docs).collect()
+    }
+    found = {(r["doc_a"], r["doc_b"]) for r in dedup_winnow(docs).collect()}
+    # precision 1 at the calibrated overlap threshold; recall may drop the
+    # rare pair whose overlap is token-level but not substring-level
+    assert found <= truth
+    assert len(found) >= len(truth) - 1
