@@ -154,6 +154,55 @@ def run_corpus_prep_job(documents: DataFrame, out_dir: str) -> dict:
     }
 
 
+def run_incremental_ingest(
+    new_docs: DataFrame, batch_id: str, ledger_dir: str, out_dir: str
+) -> dict:
+    """Incremental corpus ingestion with an exact-dup ledger, idempotent
+    per batch.
+
+    The steady-state shape of a growing training corpus: each arriving
+    batch is deduped against everything already ingested (anti-join on the
+    md5 ledger — a fixed-width hash table, never the raw text) and within
+    itself (min doc_id per hash). Both the accepted documents and the
+    ledger rows are written partitioned by ``ingest_batch`` with dynamic
+    partition overwrite, so re-running a batch — including after a crash
+    between the two writes — replaces exactly its own partitions; the
+    anti-join excludes the current batch's ledger rows so a partial
+    earlier attempt can't mask its own re-run.
+    """
+    from pyspark.errors import AnalysisException
+
+    from inde1_spark.sources.writers import materialize_partitioned
+
+    spark = new_docs.sparkSession
+    hashed = new_docs.withColumn("text_md5", F.md5("text"))
+    first = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    fresh = hashed.join(first, ["text_md5", "doc_id"])  # in-batch dedup
+    try:
+        seen = spark.read.parquet(ledger_dir).filter(
+            F.col("ingest_batch") != batch_id
+        )
+        fresh = fresh.join(seen.select("text_md5"), "text_md5", "left_anti")
+    except AnalysisException:
+        pass  # first batch: no ledger yet
+    fresh = fresh.withColumn("ingest_batch", F.lit(batch_id))
+    materialize_partitioned(fresh, out_dir, ["ingest_batch"])
+    out = spark.read.parquet(out_dir)
+    materialize_partitioned(
+        out.filter(F.col("ingest_batch") == batch_id).select(
+            "text_md5", "ingest_batch"
+        ),
+        ledger_dir,
+        ["ingest_batch"],
+    )
+    return {
+        "batch": batch_id,
+        "n_batch": new_docs.count(),
+        "n_accepted": out.filter(F.col("ingest_batch") == batch_id).count(),
+        "n_total": out.count(),
+    }
+
+
 def run_weekly_job(
     events: DataFrame,
     week: str,

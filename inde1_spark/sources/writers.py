@@ -65,3 +65,29 @@ def materialize_partitioned(
         df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def materialize_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_col`` for data skipping.
+
+    ``repartitionByRange`` gives each output file a disjoint value range and
+    ``sortWithinPartitions`` orders rows inside it, so every parquet
+    row-group's min/max stats cover a narrow slice. A reader filtering on
+    ``cluster_col`` then skips whole files/row-groups at the scan — the
+    poor man's Z-order, and the right layout for the one column most
+    queries filter by (event time, usually). Unlike ``partitionBy`` this
+    works for high-cardinality columns: the file count is fixed at
+    ``n_files``, not one directory per value.
+    """
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

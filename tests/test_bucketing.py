@@ -74,3 +74,34 @@ def test_bucketed_join_eliminates_shuffle(warehouse):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_clustered_layout_skips_files_on_range_filter(spark, tmp_path):
+    """Range-clustering on ts means a narrow ts filter touches few files;
+    the same data written round-robin spreads every range over all files."""
+    from pyspark.sql import functions as F
+
+    from inde1_spark.sources.writers import materialize_clustered
+
+    events = load_table(spark, SF_SMOKE, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 20  # ~5% slice of the time range
+
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    materialize_clustered(events, clustered, "ts", n_files=8)
+    events.repartition(8).write.parquet(scattered)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("ts") <= F.lit(cut))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    assert files_touched(clustered) <= 2  # range-disjoint files -> skip
+    assert files_touched(scattered) == 8  # every file holds every range
+    # layout is lossless
+    assert spark.read.parquet(clustered).count() == events.count()

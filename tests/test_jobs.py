@@ -97,3 +97,35 @@ def test_corpus_prep_job_end_to_end(spark, tmp_path):
     assert again == stats
     # the composed plan stays declarative: quality+dedup+split is lazy
     assert corpus_prep(docs).columns == docs.columns + ["split"]
+
+
+def test_incremental_ingest_ledger_dedup_and_idempotency(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from inde1_spark.jobs import run_incremental_ingest
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    ledger, out = str(tmp_path / "ledger"), str(tmp_path / "corpus")
+
+    s1 = run_incremental_ingest(docs, "b1", ledger, out)
+    assert 0 < s1["n_accepted"] <= n  # in-batch exact dups collapse
+    # re-running the same batch replaces its own partition: nothing doubles
+    assert run_incremental_ingest(docs, "b1", ledger, out) == s1
+    # a later batch of already-seen content is fully rejected by the ledger
+    relabeled = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    s2 = run_incremental_ingest(relabeled, "b2", ledger, out)
+    assert s2["n_accepted"] == 0
+    assert s2["n_total"] == s1["n_accepted"]
+    # genuinely new content lands
+    novel = spark.createDataFrame(
+        [(9_000_000, "entirely fresh text nobody has ingested before")],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("srcX")).withColumn(
+        "n_chars", F.length("text")
+    )
+    s3 = run_incremental_ingest(novel, "b3", ledger, out)
+    assert s3["n_accepted"] == 1
+    assert s3["n_total"] == s1["n_accepted"] + 1
