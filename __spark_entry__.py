@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
         "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
         "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
+        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
         "range_join_windows": lambda sp, d: A.range_join_windows(
             _t(sp, d, "events")
         ),

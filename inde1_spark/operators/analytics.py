@@ -684,6 +684,50 @@ def approx_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+def resample_ffill(events: DataFrame) -> DataFrame:
+    """Hourly grid resample with forward fill — the gap-filling rollup of
+    time-series stores (TimescaleDB's time_bucket_gapfill + locf).
+
+    Per event type, the last observed ``value`` in each hour (by the total
+    order (ts, event_id) — a single struct-max aggregate, no window over
+    raw events) is placed on a dense hour grid spanning the data; hours
+    with no events carry the previous hour's value forward. Scale shape:
+    the grid is hours x keys — bounded by time span and keyspace, NOT by
+    event count — so the cross join is a few thousand rows however big the
+    fact table, and the forward-fill window runs per key over that bounded
+    series. Leading hours before a key's first observation stay null.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy("event_type", hour.alias("hour")).agg(
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("last_value")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("last_value").isNotNull().alias("observed"),
+        )
+    )
+
+
 def asof_join(events: DataFrame) -> DataFrame:
     """As-of join: each 'error' event matched to the most recent prior
     'view' of the same user (J2's general form; time-series enrichment).

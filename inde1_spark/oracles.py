@@ -486,6 +486,33 @@ SELECT doc_id,
 FROM documents
 """
 
+# struct-max by (ts desc, event_id desc) == rn 1 over the same total order
+ORACLES["resample_ffill"] = """
+WITH hourly AS (
+  SELECT event_type, hour, v AS last_value FROM (
+    SELECT event_type, date_trunc('hour', ts) AS hour, value AS v,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT types.event_type, hours.hour FROM hours CROSS JOIN types)
+SELECT grid.event_type,
+       strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       last_value(hourly.last_value IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       (hourly.hour IS NOT NULL) AS observed
+FROM grid LEFT JOIN hourly
+  ON hourly.event_type = grid.event_type AND hourly.hour = grid.hour
+"""
+
 ORACLES["asof_join"] = f"""
 WITH tagged AS (
   SELECT user_id, ts, event_id AS oid, 0 AS side, event_id AS view_id, ts AS view_ts
