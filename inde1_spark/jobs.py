@@ -106,7 +106,8 @@ def corpus_prep(documents: DataFrame) -> DataFrame:
 
     Composes the operator library the way a training-data job would:
 
-    1. Gopher rule filter (``gopher_rules.keep``) drops degenerate docs;
+    1. Gopher rule filter (``gopher_keep()`` predicate, row-local in the
+       scan stage — no join) drops degenerate docs;
     2. exact dedup keeps the smallest doc_id per md5(text) — one shuffle
        on the fixed-width hash, never on raw text;
     3. contamination-safe split via the md5 bucket of the GROUP key
@@ -117,11 +118,9 @@ def corpus_prep(documents: DataFrame) -> DataFrame:
     Returns the surviving documents with ``split`` attached.
     """
     from inde1_spark.operators.dedup import dedup_exact
-    from inde1_spark.operators.text import _split_label, gopher_rules, hash_bucket
+    from inde1_spark.operators.text import _split_label, gopher_keep, hash_bucket
 
-    kept = documents.join(
-        gopher_rules(documents).filter("keep").select("doc_id"), "doc_id"
-    )
+    kept = documents.filter(gopher_keep())
     survivors = dedup_exact(kept).select(F.col("keep_doc_id").alias("doc_id"))
     deduped = kept.join(survivors, "doc_id")
     return deduped.withColumn(

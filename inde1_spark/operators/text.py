@@ -262,13 +262,11 @@ GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX = 3, 10
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_rules(documents: DataFrame) -> DataFrame:
-    """Gopher quality-rule flags + the combined keep decision per document.
+def _gopher_flags() -> tuple[Column, Column, Column, Column, Column]:
+    """(n_tok, n_stop_distinct, flag_len, flag_mean_len, flag_stop) Columns.
 
-    Each rule is reported as its own boolean so downstream filters can
-    re-weight or audit rejection reasons without a rescan; ``keep`` is the
-    conjunction. Mean-word-length bounds are evaluated as
-    ``min*n <= sum_len <= max*n`` — exact integer math, no float ratio.
+    Row-local expressions over ``text`` — usable as a direct filter predicate
+    (batch OR streaming) without the projection-then-self-join detour.
     """
     toks = _toks()
     n_tok = F.size(toks).cast("long")
@@ -283,6 +281,28 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         sum_len <= F.lit(GOPHER_MEAN_LEN_MAX) * n_tok
     )
     flag_stop = n_stop_distinct >= GOPHER_MIN_STOP_HITS
+    return n_tok, n_stop_distinct, flag_len, flag_mean_len, flag_stop
+
+
+def gopher_keep() -> Column:
+    """The combined Gopher keep decision as a plain Column predicate.
+
+    ``df.filter(gopher_keep())`` evaluates row-local inside the scan stage —
+    no shuffle, no join — and works unchanged on streaming DataFrames.
+    """
+    _, _, flag_len, flag_mean_len, flag_stop = _gopher_flags()
+    return flag_len & flag_mean_len & flag_stop
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher quality-rule flags + the combined keep decision per document.
+
+    Each rule is reported as its own boolean so downstream filters can
+    re-weight or audit rejection reasons without a rescan; ``keep`` is the
+    conjunction. Mean-word-length bounds are evaluated as
+    ``min*n <= sum_len <= max*n`` — exact integer math, no float ratio.
+    """
+    n_tok, n_stop_distinct, flag_len, flag_mean_len, flag_stop = _gopher_flags()
     return documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),

@@ -1,0 +1,100 @@
+"""Streaming corpus ingestion: the training-data pipeline as a live stream.
+
+The batch ``jobs.corpus_prep`` pipeline (quality filter -> exact dedup ->
+split assignment) re-expressed over Structured Streaming, for the ingest
+shape a crawler/firehose feeds: documents arrive continuously, the corpus
+store must only ever contain quality-filtered, deduplicated docs, and
+re-delivered documents (at-least-once sources) must not land twice.
+
+Same operator library as batch — ``gopher_keep()`` is a row-local Column
+predicate that works unchanged on a streaming DataFrame, and the dedup is
+``dropDuplicatesWithinWatermark`` on md5(text): O(hashes-in-horizon) state,
+dropped as the watermark advances, never O(stream). Deviation from batch:
+batch ``dedup_exact`` keeps the smallest doc_id per hash; the stream keeps
+the FIRST-ARRIVING doc per hash (the only option without unbounded state).
+
+At 100 TB/day the plan is scan -> filter (codegen) -> shuffle on the
+fixed-width 32-byte hash -> stateful dedup -> partitioned append; the one
+shuffle is on an avalanche-mixed key, so it spreads evenly regardless of
+how skewed the source crawl is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from inde1_spark.operators.text import _split_label, gopher_keep, hash_bucket
+
+# Wire schema for the document firehose: the batch `documents` table plus
+# the ingest event-time stamp the connector assigns at capture.
+DOCUMENT_WIRE = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+DEDUP_WATERMARK = "1 hour"
+
+
+def document_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-source document firehose (the sandbox stand-in for Kafka).
+
+    Schema is pinned (streaming file sources require it); malformed rows
+    drop via PERMISSIVE + corrupt-column filter, same policy as the batch
+    gzip-JSONL reader (S3/S4).
+    """
+    reader = spark.readStream.schema(DOCUMENT_WIRE)
+    if fmt == "json":
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.format(fmt).load(path).filter(F.col("doc_id").isNotNull())
+
+
+def corpus_prep_stream(
+    documents: DataFrame, watermark: str = DEDUP_WATERMARK
+) -> DataFrame:
+    """quality filter -> streaming exact dedup -> split assignment, one plan.
+
+    1. ``gopher_keep()`` drops degenerate docs row-locally in the scan
+       stage — rejected docs never reach the shuffle or the state store;
+    2. ``dropDuplicatesWithinWatermark`` on md5(text) suppresses re-deliveries
+       and content dups within the watermark horizon;
+    3. contamination-safe split from the md5 bucket of the GROUP key
+       (``source``), identical assignment to the batch pipeline.
+    """
+    return (
+        documents.withWatermark("ingest_ts", watermark)
+        .filter(gopher_keep())
+        .withColumn("text_md5", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .withColumn("split", _split_label(hash_bucket(F.col("source"), 100)))
+        .drop("text_md5")
+    )
+
+
+def corpus_stream_writer(prepared: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Append the prepared corpus to split-partitioned parquet, exactly-once.
+
+    Append mode + checkpointed file-sink manifest makes restarts idempotent
+    (the batch job's dynamic-partition-overwrite twin, for streams). Trainer
+    readers prune to ``split=train`` directories, same layout as batch.
+    """
+    return (
+        prepared.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("split")
+        .outputMode("append")
+    )
