@@ -738,52 +738,32 @@ def asof_join(events: DataFrame) -> DataFrame:
     scalable as-of pattern (a naive theta-join on ts <= ts explodes
     quadratically; DuckDB spells the same thing ASOF JOIN).
     """
-    right = events.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    from inde1_spark.operators.joins import asof_join as asof
+
+    views = events.filter(F.col("event_type") == ENTRY_TYPE).select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
     )
-    left = events.filter(F.col("event_type") == ENTRY_TYPE).select(
-        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
     )
-    tagged = left.select(
+    return asof(
+        errors,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=("view_id",),
+        left_order="error_id",
+        right_order="view_id",
+    ).select(
+        "error_id",
         "user_id",
-        F.col("view_ts").alias("ts"),
-        F.col("view_id").alias("oid"),
-        F.lit(0).alias("side"),
-        F.col("view_id"),
-        F.col("view_ts"),
-    ).unionByName(
-        right.select(
-            "user_id",
-            F.col("error_ts").alias("ts"),
-            F.col("error_id").alias("oid"),
-            F.lit(1).alias("side"),
-            F.lit(None).cast("long").alias("view_id"),
-            F.lit(None).cast("timestamp").alias("view_ts"),
-        )
-    )
-    # order: ts, then left before right at equal ts (strictly-prior match),
-    # then id for a total order
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "oid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        tagged.withColumn("prior_view_id", F.last("view_id", ignorenulls=True).over(w))
-        .withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select(
-            F.col("oid").alias("error_id"),
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts_str"),
-            "prior_view_id",
-            F.date_format("prior_view_ts", "yyyy-MM-dd HH:mm:ss").alias(
-                "prior_view_ts_str"
-            ),
-            F.round(
-                (F.unix_timestamp("ts") - F.unix_timestamp("prior_view_ts")) / 60.0, 2
-            ).alias("gap_min"),
-        )
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts_str"),
+        F.col("asof_view_id").alias("prior_view_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_view_ts_str"),
+        F.round(
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")) / 60.0, 2
+        ).alias("gap_min"),
     )
 
 
