@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
         "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
+        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
         "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
         "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
         "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),

@@ -238,3 +238,30 @@ def trim_outliers(documents: DataFrame, pct: int = TRIM_PCT) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("sum_chars"),
     )
+
+
+SHARD_COUNT = 32  # shards per epoch; raise so a shard ~1-4 GB at corpus scale
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = SHARD_COUNT) -> DataFrame:
+    """Deterministic global shuffle: assign every document a training shard
+    and a position within it.
+
+    Trainers need the corpus in pseudorandom order, reproducibly —
+    ``df.orderBy(rand(seed))`` is partitioning-dependent and a full global
+    sort. Instead: shard = md5 bucket of doc_id (avalanche-mixed, so any
+    id-correlated input structure is destroyed), pos = rank of md5(doc_id)
+    within the shard. One shuffle on the shard key + a per-shard sort;
+    shards are independent, so at 100 TB each sorts locally in its own
+    task (size ``n_shards`` so a shard fits one task ~1-4 GB).
+    """
+    from inde1_spark.operators.text import hash_bucket
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = hash_bucket(F.col("doc_id"), n_shards)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select("doc_id", shard.alias("shard"), h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

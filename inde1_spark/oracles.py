@@ -1405,3 +1405,15 @@ SELECT vec_id,
             z -> abs(CAST(z[1] AS DOUBLE) * scale - CAST(z[2] AS DOUBLE)))) * 1e9) AS BIGINT) AS max_err_nano
 FROM scaled
 """
+
+
+ORACLES["shuffle_shards"] = f"""
+WITH s AS (
+  SELECT doc_id, {_hash_bucket_sql('doc_id', 32)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM s
+"""

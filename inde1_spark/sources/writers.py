@@ -91,3 +91,41 @@ def materialize_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction: rewrite ``src`` into ~``target_mb`` files.
+
+    Streaming appends and per-batch writers accumulate kilobyte-scale
+    files; at 100 TB the scan then pays per-file open/footer overhead and
+    the driver holds millions of file statuses. Target file count =
+    ceil(total_bytes / target_mb); round-robin ``repartition`` balances
+    bytes across output files regardless of input skew. Sizes come from
+    the Hadoop FileSystem API, so the same code runs on HDFS/S3/local.
+    Writes to ``dst`` (atomic swap is the caller's rename) and returns the
+    audit counts a compaction ledger records.
+    """
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    df = spark.read.parquet(src)
+    files_before = len(df.inputFiles())
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
+    return {
+        "files_before": files_before,
+        "files_after": len(spark.read.parquet(dst).inputFiles()),
+        "bytes": int(total),
+        "target_files": n,
+    }

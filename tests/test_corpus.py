@@ -144,3 +144,25 @@ def test_connected_components_transitive_chains(spark):
     pairs = spark.createDataFrame(chain + [(100, 101)], ["doc_a", "doc_b"])
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {**{i: 1 for i in range(1, 41)}, 100: 100, 101: 100}
+
+
+def test_shuffle_shards_dense_and_mixed(spark):
+    """Every doc appears once; positions are dense 1..N per shard; and the
+    assignment is avalanche-mixed, not id-periodic (consecutive doc_ids do
+    not round-robin across shards)."""
+    from inde1_spark.operators.corpus import shuffle_shards
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(docs, n_shards=8).collect()
+    assert len(out) == 400
+    assert len({r["doc_id"] for r in out}) == 400
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    shard_of = {r["doc_id"]: r["shard"] for r in out}
+    periodic = sum(
+        1 for i in range(399) if (shard_of[i + 1] - shard_of[i]) % 8 == 1
+    )
+    assert periodic < 120  # id-periodic assignment would make this 399
