@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda sp, d: D.dedup_minhash_lsh(_t(sp, d, "documents")),
         "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
         "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
+        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_fast(_t(sp, d, "documents")),
         "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
         "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
         "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),

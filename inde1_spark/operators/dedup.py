@@ -543,8 +543,39 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     """
     sh = _persist(shingle_table(documents))
     sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
-    sigs = simhash_signatures(sh_ids)
+    return _simhash_pairs(simhash_signatures(sh_ids), max_hamming)
 
+
+def dedup_simhash_fast(
+    documents: DataFrame,
+    max_hamming: int = HAMMING_MAX,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Production SimHash path: xxhash64 shingle ids, no global dictionary.
+
+    Same banding and Hamming verify as ``dedup_simhash``, but the shingle
+    id is hashed row-locally (``abs(xxhash64) % 2^31-1``, the minhash-fast
+    convention) — no sorted dictionary, no dictionary join, nothing
+    serializes through one task at corpus scale. Not oracle-checkable
+    (xxhash64 is Spark-specific): gated rows-only, pinned by the recall
+    test against the exact n-gram-Jaccard ground truth. ``max_shingle_df``
+    caps hot boilerplate shingles (always set it at corpus scale).
+    """
+    sh = shingle_table(documents)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh_ids = sh.select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MINHASH_PRIME)).alias("sid")
+    )
+    return _simhash_pairs(simhash_signatures(sh_ids), max_hamming)
+
+
+def _simhash_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded candidate join + exact Hamming verify over (doc_id, simhash).
+
+    4 bands x 8 bits: Hamming <= 3 flips at most 3 bands, so at least one
+    band matches exactly — full recall without the quadratic pair scan.
+    """
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     band_cols = [
         (

@@ -103,3 +103,20 @@ def test_hot_shingle_cap_drops_boilerplate_only(spark):
         .count()
     )
     assert both >= 5
+
+
+def test_fast_simhash_recall_and_precision(spark):
+    """``dedup_simhash_fast`` (xxhash64 ids, no dictionary) must behave like
+    a SimHash: >=90% of exact-Jaccard near-dup pairs found (Hamming<=3 is
+    an approximation — neither id scheme reaches recall 1 on this corpus),
+    and >=90% of reported pairs are true near-dups."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"]) for r in D.dedup_ngram_jaccard(docs).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]) for r in D.dedup_simhash_fast(docs).collect()
+    }
+    assert truth and fast
+    assert len(truth & fast) / len(truth) >= 0.9
+    assert len(truth & fast) / len(fast) >= 0.9
