@@ -27,6 +27,8 @@ def test_every_query_has_oracle():
         "approx_distinct",  # HLL sketch is engine-specific
         "dedup_minhash_fast",  # xxhash64 ids have no DuckDB twin; pinned by
         # tests/test_dedup_fast_path.py (output == exact ground truth)
+        "dedup_simhash_fast",  # same: xxhash64 term ids, pinned by
+        # tests/test_dedup_fast_path.py against the dictionary variant
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracles: {missing}"
     stale = sorted(set(ORACLES) - set(QUERIES))
