@@ -110,6 +110,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
             _t(sp, d, "orders"), _t(sp, d, "lineitem")
         ),
+        "forecast_revenue": lambda sp, d: Q.forecast_revenue(_t(sp, d, "lineitem")),
+        "order_priority_check": lambda sp, d: Q.order_priority_check(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "customer_order_distribution": lambda sp, d: Q.customer_order_distribution(
+            _t(sp, d, "customer"), _t(sp, d, "orders")
+        ),
+        "promo_revenue": lambda sp, d: Q.promo_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
+        "top_supplier": lambda sp, d: Q.top_supplier(
+            _t(sp, d, "supplier"), _t(sp, d, "lineitem")
+        ),
+        "customers_without_orders": lambda sp, d: Q.customers_without_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders")
+        ),
         # --- LLM-data-pipeline extensions ---
         "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
         "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),

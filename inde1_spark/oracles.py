@@ -416,6 +416,79 @@ WHERE r_name = 'ASIA'
 GROUP BY 1
 """
 
+ORACLES["forecast_revenue"] = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24.0
+"""
+
+ORACLES["order_priority_check"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1
+"""
+
+ORACLES["customer_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (
+    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+ORACLES["promo_revenue"] = f"""
+SELECT 100.0
+       * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       / {_dsum('l_extendedprice * (1.0 - l_discount)')} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+ORACLES["top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_dsum('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+ORACLES["customers_without_orders"] = f"""
+WITH avg_bal AS (
+  SELECT {_dsum('c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       {_dsum('c_acctbal')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
+"""
+
 ORACLES["revenue_daily_model"] = f"""
 WITH occ AS (
   SELECT {_DAY} AS day,

@@ -28,7 +28,15 @@ class PlanReport:
 
 
 def plan_report(df: DataFrame) -> PlanReport:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # default spark.sql.maxMetadataStringLength=100 truncates PushedFilters
+    # mid-list; widen while rendering so the pins see every pushed predicate
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.maxMetadataStringLength", "100")
+    conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set("spark.sql.maxMetadataStringLength", prev)
     return PlanReport(
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         sort_merge_joins=plan.count("SortMergeJoin"),

@@ -51,6 +51,37 @@ def test_cumulative_series_preaggregates(spark):
     assert_plan(Q["cumulative_series"](spark, SF_SMOKE), max_exchanges=2, max_scans=1)
 
 
+def test_forecast_revenue_pushdown_single_pass(spark):
+    # Q6 shape: all predicates reach the scan; one scan, one exchange
+    assert_plan(
+        Q["forecast_revenue"](spark, SF_SMOKE),
+        max_exchanges=1,
+        max_scans=1,
+        require_pushed_filter="l_shipdate",
+    )
+
+
+def test_order_priority_semi_join_shape(spark):
+    # Q4 shape: EXISTS must plan as a semi join, never inner + distinct
+    r = plan_report(Q["order_priority_check"](spark, SF_SMOKE))
+    assert "leftsemi" in r.raw.lower()
+
+
+def test_customers_without_orders_anti_join(spark):
+    # Q22 shape: NOT EXISTS plans as anti join, never a distinct-join
+    # workaround; the only nested-loop is the benign 1-row scalar broadcast
+    r = plan_report(Q["customers_without_orders"](spark, SF_SMOKE))
+    assert "leftanti" in r.raw.lower()
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1  # the avg_bal scalar comparison only
+
+
+def test_promo_revenue_broadcast(spark):
+    # part joins broadcast at test SF; no sort-merge fallback
+    r = plan_report(Q["promo_revenue"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 1 and r.sort_merge_joins == 0
+
+
 def test_dedup_embedding_lsh_no_cartesian(spark):
     # the scale path must stay a bucket equi-join; a planner regression back
     # to the brute crossJoin shape fails here (dedup_embedding — the labeled
