@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import corpus as C
     from inde1_spark.operators import dedup as D
     from inde1_spark.operators import multimodal as M
+    from inde1_spark.operators import scoring as SC
     from inde1_spark.operators import similarity as S
     from inde1_spark.operators import text as T
     from inde1_spark.operators import tpch as Q
@@ -147,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": lambda sp, d: S.embedding_quantize(
             _t(sp, d, "embeddings")
         ),
+        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
+        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
+        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
         "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
         "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
         "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),

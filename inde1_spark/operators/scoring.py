@@ -1,0 +1,212 @@
+"""Relevance / language-model scoring over the documents corpus.
+
+The scoring passes a training-data pipeline runs after filtering and before
+mixing: TF-IDF term weighting (keyword extraction, topic balance), BM25
+retrieval scoring against a probe query (decontamination-by-retrieval,
+eval-set mining), and unigram log-probability (the CCNet-style "perplexity"
+quality signal, here with the corpus itself as the LM).
+
+Scale shape: one corpus-volume shuffle each (the (doc, term) frequency
+groupBy — map-side partials absorb the zipfian term skew before the
+exchange), then vocabulary-volume joins on the term key. BM25 prefilters to
+the query's terms BEFORE the shuffle, so its frequency table is |matching
+docs| x |query terms|, not corpus-sized.
+
+Determinism (DESIGN.md §3): the only transcendental is ln(), snapped to a
+fixed-point long immediately (`_log_scaled`) so every downstream product,
+sum, and comparison is exact integer math; per-doc accumulation sums longs
+(order-independent), and the final score is one integer/integer double
+division (IEEE-exact, engine-identical). DuckDB twins mirror this digit for
+digit — see oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inde1_spark.functions.exprs import tokens
+
+LOG_SCALE = 1_000_000_000  # ln() snapped to nano precision
+TFIDF_TOP_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("query", "join", "stream")  # probe terms for the gate query
+BM25_TOP_K = 20
+SCORE_SCALE = 1_000_000  # per-term contributions snapped to micro precision
+
+
+def _log_scaled(x: Column) -> Column:
+    """ln(x) as a fixed-point long (nano precision).
+
+    ln() itself is libm-identical across engines for the same double input;
+    snapping to a long right away means no later float op can compound a
+    sub-ulp divergence into a rank flip or hash mismatch.
+    """
+    return F.round(F.log(x) * F.lit(float(LOG_SCALE)), 0).cast("long")
+
+
+def _term_freq(documents: DataFrame, only_terms: tuple[str, ...] | None = None) -> DataFrame:
+    """(doc_id, term, tf, dl): the corpus frequency pass.
+
+    Document length is computed row-locally BEFORE the explode and carried
+    through the groupBy key, so no doc_id self-join is ever needed. With
+    ``only_terms`` the filter runs inside the array (row-local) so the
+    exchange only carries matching tokens.
+    """
+    toks = tokens("text")
+    if only_terms is not None:
+        kept = F.filter(toks, lambda t: t.isin(*only_terms))
+    else:
+        kept = toks
+    return (
+        documents.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(kept).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf from the corpus frequency pass; df = rows per term of that same
+    table (a document contributes 1 per distinct term by construction);
+    idf = ln(N/df) snapped to a long, so the ranking key tf*idf_scaled is
+    exact integer math — ties (equal tf and df) break on term asc. The
+    tf<->df join shuffles on the term key; at corpus scale the vocabulary
+    is zipfian, and AQE's skew-join split handles the head terms (the df
+    side is 1 row per term, never hot).
+    """
+    tf = _term_freq(documents)
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("idf_scaled", _log_scaled(F.col("n_docs") / F.col("df")))
+        .withColumn("score_key", F.col("tf") * F.col("idf_scaled"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_key").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            F.col("df").alias("doc_freq"),
+            (F.col("score_key").cast("double") / F.lit(float(LOG_SCALE))).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def bm25_score(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 score against a fixed term query.
+
+    Okapi BM25: score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5)). The token stream is
+    prefiltered to the query terms row-locally, so the only corpus-volume
+    work is the scan; the frequency table is tiny and every subsequent join
+    broadcasts. avgdl is an exact decimal ratio; per-term contributions are
+    snapped to fixed-point longs and summed exactly, so the top-k order is
+    engine-stable (ties break on doc_id asc).
+    """
+    tf = _term_freq(documents, only_terms=query)
+    stats = documents.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(tokens("text")).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = _log_scaled(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    ).alias("idf_scaled")
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(stats))
+        .withColumn("idf_scaled", idf)
+        .withColumn(
+            "denom",
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                (F.col("idf_scaled").cast("double") / F.lit(float(LOG_SCALE)))
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / F.col("denom")
+                * F.lit(float(SCORE_SCALE)),
+                0,
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        (F.sum("contrib").cast("double") / F.lit(float(SCORE_SCALE))).alias(
+            "bm25"
+        ),
+        F.count("*").cast("long").alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document average unigram log-probability (quality signal).
+
+    The corpus is its own language model: P(t) = count(t)/total_tokens.
+    avg_logprob(d) = sum_i ln P(t_i) / dl, tokens counted with
+    multiplicity. The (doc, term) frequency table joins the vocabulary on
+    the term key — joining tf (distinct terms per doc) instead of the raw
+    token stream cuts the join input by the average within-doc repetition
+    factor; the per-doc sum weights each ln P by tf. All accumulation is
+    long-exact; the final divide is one integer-derived double op.
+
+    Low (very negative) scores = rare-token soup; near-zero = stopword
+    soup — the standard CCNet band-filter signal.
+    """
+    tf = _term_freq(documents)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("n_occ"))
+    total = vocab.agg(F.sum("n_occ").cast("double").alias("total_toks"))
+    lp = (
+        tf.join(vocab, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lp_scaled",
+            _log_scaled(F.col("n_occ").cast("double") / F.col("total_toks")),
+        )
+    )
+    return (
+        lp.groupBy("doc_id", "dl")
+        .agg(F.sum(F.col("tf") * F.col("lp_scaled")).alias("lp_sum"))
+        .filter(F.col("dl") > 0)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            (
+                F.col("lp_sum").cast("double")
+                / F.lit(float(LOG_SCALE))
+                / F.col("dl").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

@@ -489,6 +489,102 @@ WHERE c_acctbal > avg_bal
 GROUP BY 1
 """
 
+# -- relevance / LM scoring (operators/scoring.py) ---------------------------
+# ln() is snapped to a fixed-point long (LOG_SCALE) on both sides; every
+# later product/sum is exact integer math, the final divide is one
+# integer-derived double op. Expression nesting mirrors the Spark side
+# left-to-right so float ops execute in the identical order.
+
+from inde1_spark.operators.scoring import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    BM25_TOP_K,
+    LOG_SCALE,
+    SCORE_SCALE,
+    TFIDF_TOP_K,
+)
+
+_TF = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok AS term,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(toks) AS u(tok)
+  {tok_filter}
+  GROUP BY 1, 2, 3
+)
+"""
+
+_QTERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH {_TF.format(tok_filter='')},
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf * CAST(round(ln(n.n_docs / dfq.df) * {LOG_SCALE}.0, 0) AS BIGINT)
+           AS score_key
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT doc_id,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       term, tf, df AS doc_freq,
+       CAST(score_key AS DOUBLE) / {LOG_SCALE}.0 AS tfidf
+FROM scored
+WINDOW w AS (PARTITION BY doc_id ORDER BY score_key DESC, term ASC)
+QUALIFY row_number() OVER w <= {TFIDF_TOP_K}
+"""
+
+ORACLES["bm25_score"] = f"""
+WITH {_TF.format(tok_filter=f'WHERE tok IN ({_QTERMS})')},
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (CAST(CAST(round(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                            * {LOG_SCALE}.0, 0) AS BIGINT) AS DOUBLE) / {LOG_SCALE}.0)
+           * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+           * {SCORE_SCALE}.0, 0) AS BIGINT) AS c
+  FROM tf JOIN dfq USING (term), stats
+)
+SELECT doc_id,
+       CAST(SUM(c) AS DOUBLE) / {SCORE_SCALE}.0 AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM contrib GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+ORACLES["unigram_logprob"] = f"""
+WITH {_TF.format(tok_filter='')},
+vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occ FROM tf GROUP BY 1),
+total AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS total_toks FROM vocab),
+lp AS (
+  SELECT tf.doc_id, tf.dl, tf.tf,
+         CAST(round(ln(CAST(vocab.n_occ AS DOUBLE) / total.total_toks)
+                    * {LOG_SCALE}.0, 0) AS BIGINT) AS lp_scaled
+  FROM tf JOIN vocab USING (term), total
+)
+SELECT doc_id, dl AS n_tokens,
+       CAST(SUM(tf * lp_scaled) AS DOUBLE) / {LOG_SCALE}.0 / CAST(dl AS DOUBLE)
+         AS avg_logprob
+FROM lp
+WHERE dl > 0
+GROUP BY doc_id, dl
+"""
+
 ORACLES["revenue_daily_model"] = f"""
 WITH occ AS (
   SELECT {_DAY} AS day,

@@ -82,6 +82,20 @@ def test_promo_revenue_broadcast(spark):
     assert r.broadcast_hash_joins >= 1 and r.sort_merge_joins == 0
 
 
+def test_bm25_prefilters_before_shuffle(spark):
+    # the query-term filter must run row-local (inside the array) so only
+    # matching tokens reach the exchange; df/stats joins broadcast
+    r = plan_report(Q["bm25_score"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins >= 1
+
+
+def test_unigram_logprob_no_cartesian(spark):
+    # vocab join is a term-key equi-join; the only cross is the 1-row total
+    r = plan_report(Q["unigram_logprob"](spark, SF_SMOKE))
+    assert r.nested_loop_joins <= 1 and "CartesianProduct" not in r.raw
+
+
 def test_dedup_embedding_lsh_no_cartesian(spark):
     # the scale path must stay a bucket equi-join; a planner regression back
     # to the brute crossJoin shape fails here (dedup_embedding — the labeled
