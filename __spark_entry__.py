@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import corpus as C
     from inde1_spark.operators import dedup as D
     from inde1_spark.operators import multimodal as M
+    from inde1_spark.operators import clustering as CL
     from inde1_spark.operators import scoring as SC
     from inde1_spark.operators import similarity as S
     from inde1_spark.operators import text as T
@@ -142,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
             _t(sp, d, "embeddings")
         ),
+        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
+        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
         "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
         "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
         "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),

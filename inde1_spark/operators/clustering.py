@@ -1,0 +1,215 @@
+"""Embedding clustering (Lloyd's k-means) and SemDeDup-style cluster dedup.
+
+The semantic-dedup recipe for a 100 TB corpus (Abbas et al., "SemDeDup",
+2023): cluster the embedding space cheaply, then look for near-duplicates
+only WITHIN a cluster — the cluster key turns the quadratic all-pairs
+problem into |cluster|^2 work per key, the same candidate-generation move
+as the band joins in operators/dedup.py but driven by geometry instead of
+hashes.
+
+K-means is built as a declarative iterative plan (like
+dedup.connected_components): each Lloyd iteration is
+
+  assign:  nearest centroid computed ROW-LOCALLY — the k centroids travel
+           to the data as one broadcast row of (cid, vec) structs and
+           argmin is an array fold, so assignment adds ZERO shuffles at
+           any corpus size;
+  update:  per-dimension mean via posexplode -> groupBy (cid, dim) —
+           map-side partial aggregation collapses each task's output to
+           at most k*dims rows, so the exchange carries kilobytes no
+           matter how large the corpus is.
+
+Determinism (DESIGN.md §3): distances are fixed-point longs (per-element
+IEEE double ops snapped to 1e12 scale, summed exactly); argmin ties break
+on centroid id via struct ordering; centroid means are exact decimal sums
+divided once in double. The DuckDB oracle unrolls the same iterations
+CTE-for-CTE (oracles.py), so the gate hash-checks the whole trajectory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inde1_spark.operators.dedup import COSINE_DEDUP_THRESHOLD
+from inde1_spark.functions.exprs import dot_exact, norm_exact
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+DIST_SCALE = 1_000_000_000_000  # (x-y)^2 terms snapped to pico precision
+SNAP_SCALE = 1_000_000_000  # centroid components live at nano precision
+
+
+def _dist_scaled(emb: Column, cvec: Column) -> Column:
+    """Exact fixed-point squared L2 distance between a float-array point
+    and a double-array centroid, as a LONG (order-independent sum)."""
+    # floor(t*S + 0.5), not round(t*S): Spark's round() works on the
+    # shortest-decimal representation while DuckDB rounds the binary value —
+    # they disagree ~1e-4 of the time on squared-difference terms. floor is
+    # pure IEEE on the binary double in both engines, so the snapped longs
+    # are unconditionally identical.
+    terms = F.zip_with(
+        emb,
+        cvec,
+        lambda x, y: F.floor(
+            (x.cast("double") - y) * (x.cast("double") - y)
+            * F.lit(float(DIST_SCALE))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _init_centroids(embeddings: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeding: the k lowest vec_ids are the starting
+    centroids, identified by their seed id (no RNG to reproduce)."""
+    return (
+        embeddings.orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+        )
+    )
+
+
+def _assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster, dist_scaled): row-local nearest centroid.
+
+    Centroids collapse to ONE row (array_sort fixes collect_list's
+    nondeterministic order), broadcast onto the corpus; per-point argmin is
+    array_min over (dist, cid) structs — lexicographic struct ordering
+    gives smallest distance, then smallest cid on ties.
+    """
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _dist_scaled(F.col("embedding"), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best")["cid"].alias("cluster"),
+            F.col("best")["d"].alias("dist_scaled"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-dimension mean in scaled-integer space.
+
+    A decimal-sum/count mean is NOT engine-portable: decimal->double
+    conversion is double-rounded differently by Spark (BigDecimal) and
+    DuckDB (int128/10^s), flipping the last ulp on ~1e-4 of values. So the
+    mean never leaves integer space: snap each component to a fixed-point
+    long (offset +1.0 keeps it nonnegative, so integer division semantics
+    can't diverge), sum exactly, round-half-up by integer division, and
+    produce the centroid double with ONE exact long->double conversion and
+    ONE IEEE division. Clusters that lost every member disappear
+    (standard Lloyd's).
+    """
+    by_dim = assigned.select(
+        F.col("cluster").alias("cid"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(float(SNAP_SCALE))
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("dim", "vs"),
+    )
+    num = F.col("s") * 2 + F.col("n")
+    den = F.col("n") * 2
+    m_scaled = (num - num % den).cast("double") / den.cast("double")
+    means = (
+        by_dim.groupBy("cid", "dim")
+        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
+        .select(
+            "cid",
+            "dim",
+            (m_scaled / F.lit(float(SNAP_SCALE)) - F.lit(1.0)).alias("m"),
+        )
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd iterations.
+
+    Returns (vec_id, cluster, dist_scaled) under the final centroids —
+    cluster ids are the seed vec_ids, so the output is stable across
+    engines and runs. The iterative plan is a linear CTE chain (each
+    assign feeds exactly one update), so plan size grows linearly in
+    ``iters`` — no checkpointing needed at these depths.
+    """
+    cents = _init_centroids(embeddings, k)
+    for _ in range(iters):
+        cents = _update(_assign(embeddings, cents))
+    return _assign(embeddings, cents).select("vec_id", "cluster", "dist_scaled")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup: exact-cosine near-dup pairs restricted to a k-means cluster.
+
+    The pair join is an equi-join on the cluster key — |cluster|^2 work per
+    key instead of corpus^2 (k spreads the quadratic; raise k with corpus
+    size so clusters stay bounded). Precision equals the brute-force
+    ``dedup_embedding`` on every within-cluster pair; pairs split across
+    clusters are the recall trade, exactly as in the SemDeDup paper.
+    """
+    asg = kmeans_assign(embeddings, k, iters)
+    pts = asg.join(embeddings, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        norm_exact(F.col("embedding")).alias("nrm"),
+    )
+    a = pts.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = pts.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(
+        b,
+        (a.cluster == b.cluster_b) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster", "vec_a", "vec_b", "cos_sim")
+    )

@@ -567,6 +567,101 @@ ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
 
+# -- k-means / SemDeDup (operators/clustering.py) ----------------------------
+# The oracle unrolls the Lloyd iterations CTE-for-CTE: assign = fixed-point
+# squared-L2 argmin (ties on cid), update = exact decimal per-dim mean.
+
+from inde1_spark.operators.clustering import (
+    DIST_SCALE,
+    KMEANS_ITERS,
+    KMEANS_K,
+    SNAP_SCALE,
+)
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+    # floor(t*S + 0.5) mirrors clustering._dist_scaled — binary-IEEE on both
+    # engines, unlike round() (shortest-repr vs binary divergence)
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, {n}), i -> "
+        "CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+        f" * {DIST_SCALE}.0 + 0.5) AS BIGINT))) AS BIGINT)"
+    ).format(n=dim + 1)
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT e.vec_id, e.embedding, c.cid AS cluster, {d2} AS d
+  FROM embeddings e, c{i} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1
+)"""
+        )
+        if i == iters:
+            break
+        parts.append(
+            f"""m{i} AS (
+  SELECT cluster AS cid, i - 1 AS dim,
+         CAST(SUM(CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0)
+                             * {SNAP_SCALE}.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{i}, UNNEST(generate_series(1, {dim})) AS u(i)
+  GROUP BY 1, 2
+)""",
+        )
+        parts.append(
+            f"""mm{i} AS (
+  SELECT cid, dim,
+         CAST(s * 2 + n - (s * 2 + n) % (n * 2) AS DOUBLE)
+           / CAST(n * 2 AS DOUBLE) / {SNAP_SCALE}.0 - 1.0 AS m
+  FROM m{i}
+)""",
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cid, list(m ORDER BY dim) AS cvec FROM mm{i} GROUP BY cid)"
+        )
+    return ",\n".join(parts)
+
+
+ORACLES["kmeans_assign"] = f"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)}
+SELECT vec_id, cluster, d AS dist_scaled FROM a{KMEANS_ITERS}
+"""
+
+ORACLES["semdedup"] = f"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
+asg AS (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
+{_NORMS.strip().strip(',').rstrip()},
+pairs AS (
+  SELECT pa.cluster, pa.vec_id AS vec_a, pb.vec_id AS vec_b
+  FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+),
+dots AS (
+  SELECT p.cluster, p.vec_a, p.vec_b,
+         CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE)
+              * CAST(eb.embedding[i] AS DOUBLE)
+              * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE)
+           / {FIXED_POINT_SCALE:.1f} AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2, 3
+)
+SELECT cluster, vec_a, vec_b, cos_sim FROM (
+  SELECT d.cluster, d.vec_a, d.vec_b,
+         ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+) WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD}
+"""
+
 ORACLES["unigram_logprob"] = f"""
 WITH {_TF.format(tok_filter='')},
 vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occ FROM tf GROUP BY 1),

@@ -82,6 +82,27 @@ def test_promo_revenue_broadcast(spark):
     assert r.broadcast_hash_joins >= 1 and r.sort_merge_joins == 0
 
 
+def test_kmeans_assign_row_local_argmin(spark):
+    # assignment is a 1-row centroid broadcast + array fold: the only
+    # nested-loop joins are those benign 1-row broadcasts (one per assign),
+    # and nothing ever sort-merges or cartesian-products the corpus
+    from inde1_spark.operators.clustering import KMEANS_ITERS
+
+    r = plan_report(Q["kmeans_assign"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+    assert r.nested_loop_joins <= KMEANS_ITERS + 1
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    # the within-cluster pair join must be a hash equi-join on the cluster
+    # key — a regression to the brute all-pairs shape shows up as a
+    # cartesian product over the corpus
+    r = plan_report(Q["semdedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    assert r.broadcast_hash_joins + r.sort_merge_joins >= 1
+
+
 def test_bm25_prefilters_before_shuffle(spark):
     # the query-term filter must run row-local (inside the array) so only
     # matching tokens reach the exchange; df/stats joins broadcast
