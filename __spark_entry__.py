@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
         "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_fast(_t(sp, d, "documents")),
         "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
+        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
         "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
         "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
         "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
@@ -163,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
         "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
         "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
+        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
+        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
         "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
         "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
             _t(sp, d, "documents")

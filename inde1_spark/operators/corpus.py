@@ -207,6 +207,30 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
 TRIM_PCT = 5
 
 
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus inventory: docs, tokens, chars, and doc share.
+
+    The first query anyone runs on a new crawl dump ("what's in here, and
+    how is it distributed?"). One shuffle keyed on source; token counting
+    is row-local before the exchange. The share ratio is exact integer
+    round-half-up (ratio_round) against a 1-row broadcast total, so the
+    output hashes identically in any engine.
+    """
+    per = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("total_docs"))
+    return per.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        ratio_round(F.col("n_docs"), F.col("total_docs"), 6).alias("doc_share"),
+    )
+
+
 def trim_outliers(documents: DataFrame, pct: int = TRIM_PCT) -> DataFrame:
     """Rank-based length trimming: drop the shortest and longest ``pct``
     percent of documents per language.

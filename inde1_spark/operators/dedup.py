@@ -822,6 +822,33 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def dedup_keep_best(documents: DataFrame) -> DataFrame:
+    """Representative selection: keep the best-quality doc per dup cluster.
+
+    The step after clustering that real pipelines run instead of
+    keep-smallest-id: rank cluster members by the heuristic quality score
+    (text.quality_score — exact integer ratios, so the ranking key is
+    engine-stable) and keep the top one, ties on doc_id asc. One window
+    per cluster key — clusters are near-dup groups, so partitions are
+    tiny and skew-free by construction.
+    """
+    from inde1_spark.operators.text import quality_score
+
+    clusters = dedup_clusters(documents)
+    q = quality_score(documents).select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def dedup_clusters(documents: DataFrame) -> DataFrame:
     """Near-dup cluster assignment: Jaccard pairs -> components -> sizes.
 

@@ -104,6 +104,34 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+QUALITY_BINS = 10
+
+
+def quality_bins(documents: DataFrame, n_bins: int = QUALITY_BINS) -> DataFrame:
+    """Histogram of the quality score in fixed-width bins.
+
+    The corpus-curation dashboard query ("how much mass sits below the
+    filter threshold?"). Fixed-width binning is row-local (floor of
+    quality*n_bins, top edge clamped into the last bin) — unlike ntile,
+    which would funnel the corpus through one global sort partition. One
+    map-side-combined shuffle of n_bins rows. quality is an exact 4-decimal
+    ratio, so quality*n_bins and its floor are engine-identical.
+    """
+    q = quality_score(documents)
+    bin_col = F.least(
+        F.floor(F.col("quality") * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        q.select(bin_col.alias("bin"), "n_tokens")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-token language identification with deterministic tie-breaks.
 

@@ -567,6 +567,83 @@ ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
 
+# -- corpus curation compositions --------------------------------------------
+
+_QUALITY_CTES = """
+qtoks AS (
+  SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(toks, t -> t IN ({stop}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM qtoks
+)
+"""
+
+ORACLES["dedup_keep_best"] = f"""
+WITH RECURSIVE {_SHINGLES.strip().rstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.doc_id
+),
+lab AS (SELECT doc_id, min(anc) AS cluster_id FROM reach GROUP BY 1),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+{_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS quality
+  FROM qm
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size, q.quality,
+       (row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY q.quality DESC, l.doc_id ASC) = 1) AS keep
+FROM lab l
+JOIN csizes s USING (cluster_id)
+JOIN q ON q.doc_id = l.doc_id
+"""
+
+ORACLES["quality_bins"] = f"""
+WITH {_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id, n_tokens,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS quality
+  FROM qm
+)
+SELECT LEAST(CAST(floor(quality * 10.0) AS BIGINT), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM q GROUP BY 1
+"""
+
+ORACLES["source_stats"] = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+           AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per)
+SELECT source, n_docs, n_tokens, n_chars,
+       {_rr("n_docs", "total_docs", 6)} AS doc_share
+FROM per, tot
+"""
+
 # -- k-means / SemDeDup (operators/clustering.py) ----------------------------
 # The oracle unrolls the Lloyd iterations CTE-for-CTE: assign = fixed-point
 # squared-L2 argmin (ties on cid), update = exact decimal per-dim mean.
