@@ -51,6 +51,13 @@ HEADLINE = (
     "pack_sequences",
     "contamination_check",
     "mixture_sample",
+    "order_priority_check",   # fact-fact semi join
+    "customer_order_distribution",  # outer join + two-level agg
+    "tfidf_top_terms",        # corpus frequency pass + term join + window
+    "bm25_score",             # prefiltered retrieval scoring
+    "unigram_logprob",        # corpus LM scoring
+    "kmeans_assign",          # iterative clustering (3 Lloyd rounds)
+    "semdedup",               # cluster-scoped embedding dedup
 )
 
 

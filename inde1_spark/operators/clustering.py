@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from inde1_spark.operators.dedup import COSINE_DEDUP_THRESHOLD
+from inde1_spark.operators.dedup import COSINE_DEDUP_THRESHOLD, _lazy_checkpoint
 from inde1_spark.functions.exprs import dot_exact, norm_exact
 
 KMEANS_K = 8
@@ -182,29 +182,48 @@ def semdedup(
     ``dedup_embedding`` on every within-cluster pair; pairs split across
     clusters are the recall trade, exactly as in the SemDeDup paper.
     """
-    asg = kmeans_assign(embeddings, k, iters)
-    pts = asg.join(embeddings, "vec_id").select(
-        "vec_id",
-        "cluster",
-        "embedding",
-        norm_exact(F.col("embedding")).alias("nrm"),
+    # the self-join below references the assignment twice; a lazy
+    # localCheckpoint makes the k-means chain a lineage leaf so Lloyd's
+    # iterations run once, not once per join side (still no eager action —
+    # CLAUDE.md invariant)
+    asg = _lazy_checkpoint(kmeans_assign(embeddings, k, iters))
+
+    # candidate-first verify (same shape as dedup_minhash): the cluster
+    # self-join emits ID-ONLY pairs — with k coarse keys it runs on at most
+    # k tasks, which is fine for row pairing but would serialize the exact
+    # cosine math (interpreted array folds) onto k cores. So candidates are
+    # re-spread across the full shuffle width BEFORE the payload joins; the
+    # cosine filter needs the embedding columns, so it cannot push below
+    # the repartition, and verification runs at full parallelism.
+    a = asg.select(F.col("cluster"), F.col("vec_id").alias("vec_a"))
+    b = asg.select(
+        F.col("cluster").alias("cluster_b"), F.col("vec_id").alias("vec_b")
     )
-    a = pts.select(
-        F.col("cluster"),
+    # explicit partition COUNT, not just keys: candidate rows are tiny in
+    # bytes but expensive in CPU (64-element folds each), and AQE's
+    # byte-based coalescing would happily merge them onto one core
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pair_ids = (
+        a.join(b, (a.cluster == b.cluster_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select("cluster", "vec_a", "vec_b")
+        .repartition(n_part, "vec_a", "vec_b")
+    )
+    e = embeddings.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = pts.select(
-        F.col("cluster").alias("cluster_b"),
+    eb = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(
-        b,
-        (a.cluster == b.cluster_b) & (F.col("vec_a") < F.col("vec_b")),
-    )
+    pairs = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
     cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
