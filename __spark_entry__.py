@@ -38,6 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER IS LOAD-BEARING: the driver's correctness gate verifies the
+    FIRST 50 entries (CORRECTNESS_r01/r02 key lists == positions 1-50).
+    Entries that have never received a driver row come first; the long-green
+    reference-parity queries (green in r01 AND r02) rotate behind the window
+    and stay pinned locally by tests/test_oracle_parity.py, which
+    parametrizes ALL entries regardless of position.
+    """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
     from inde1_spark.operators import dedup as D
@@ -49,6 +56,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import tpch as Q
 
     return {
+        # ================= gate window (first 50) =========================
+        # --- scale-path dedup (never driver-verified before r03) ---
+        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
+        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_fast(_t(sp, d, "documents")),
+        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
+            _t(sp, d, "embeddings")
+        ),
+        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
+        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
+        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
+        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
+        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
+        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
+        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
+        # --- scoring ---
+        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
+        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
+        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
+        # --- similarity search ---
+        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
+        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
+        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
+        "embedding_quantize": lambda sp, d: S.embedding_quantize(
+            _t(sp, d, "embeddings")
+        ),
+        # --- text analysis ---
+        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
+        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
+        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
+        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
+        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
+        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
+        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
+        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
+        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
+        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
+        # --- splits / corpus prep ---
+        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
+        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
+            _t(sp, d, "documents")
+        ),
+        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
+        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
+        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
+        "contamination_check": lambda sp, d: C.contamination_check(
+            _t(sp, d, "documents")
+        ),
+        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
+        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
+        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
+        # --- multimodal plumbing ---
+        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
+        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
+        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
+        # --- sketch contract (r02 row was err=no_oracle; now oracle-checked) ---
+        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
+        # --- new in r03 (slots 42-50) ---
+        "chunk_tokens": lambda sp, d: C.chunk_tokens(_t(sp, d, "documents")),
+        "dsir_sample": lambda sp, d: C.dsir_sample(_t(sp, d, "documents")),
+        "quality_ntile": lambda sp, d: T.quality_ntile(_t(sp, d, "documents")),
+        "cross_source_overlap": lambda sp, d: C.cross_source_overlap(
+            _t(sp, d, "documents")
+        ),
+        "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
+            _t(sp, d, "embeddings")
+        ),
+        "term_cooccurrence": lambda sp, d: SC.term_cooccurrence(_t(sp, d, "documents")),
+        "length_mad_outliers": lambda sp, d: C.length_mad_outliers(
+            _t(sp, d, "documents")
+        ),
+        "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
+        "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
+            _t(sp, d, "documents"), max_shingle_df=64
+        ),
+        # ============== end gate window ===================================
+        # Long-green reference-parity queries (hash-green in r01 AND r02;
+        # pinned locally by tests/test_oracle_parity.py on every run).
         # --- reference parity: scans/filters/projections (P1-P3, F1) ---
         "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
         # --- aggregations (A1-A15) ---
@@ -93,7 +178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
         "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
         "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
-        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
         "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
         "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
         "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
@@ -128,60 +212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": lambda sp, d: Q.customers_without_orders(
             _t(sp, d, "customer"), _t(sp, d, "orders")
         ),
-        # --- LLM-data-pipeline extensions ---
+        # --- exact dedup + labeled ground-truth twins (hash-green r01+r02) ---
         "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
         "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
-        "dedup_minhash_lsh": lambda sp, d: D.dedup_minhash_lsh(_t(sp, d, "documents")),
-        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
-        "dedup_simhash": lambda sp, d: D.dedup_simhash(_t(sp, d, "documents")),
-        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_fast(_t(sp, d, "documents")),
-        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
-        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
-        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
-        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
-        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
-        "dedup_embedding": lambda sp, d: D.dedup_embedding(_t(sp, d, "embeddings")),
-        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
-            _t(sp, d, "embeddings")
-        ),
-        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
-        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
-        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
-        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
-        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
-        "embedding_quantize": lambda sp, d: S.embedding_quantize(
-            _t(sp, d, "embeddings")
-        ),
-        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
-        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
-        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
-        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
-        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
-        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
-        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
-        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
-        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
-        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
-        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
-        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
-        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
-        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
-        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
-        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
+        # Oracle twins of the scale-path dedups: bit-reproducible in DuckDB
+        # (dictionary ids / exact pair join) but NOT the plans to run at
+        # corpus scale — the default names (dedup_minhash_lsh, dedup_simhash,
+        # dedup_embedding) now delegate to the fast paths.
+        "dedup_minhash_oracle": lambda sp, d: D.dedup_minhash_oracle(
             _t(sp, d, "documents")
         ),
-        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
-        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
-        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
-        "contamination_check": lambda sp, d: C.contamination_check(
+        "dedup_simhash_oracle": lambda sp, d: D.dedup_simhash_oracle(
             _t(sp, d, "documents")
         ),
-        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
-        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
-        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
-        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
-        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
-        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
+        "dedup_embedding_oracle": lambda sp, d: D.dedup_embedding_oracle(
+            _t(sp, d, "embeddings")
+        ),
     }
 
 

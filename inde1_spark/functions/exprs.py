@@ -79,6 +79,20 @@ def norm_exact(a: Column) -> Column:
     )
 
 
+def ratio_scaled(num: Column, den: Column, scale: int) -> Column:
+    """round_half_up(num/den * 10^scale) as an exact LONG.
+
+    The integer numerator behind ``ratio_round`` — useful when the scaled
+    ratio itself is the decision value (e.g. an acceptance threshold
+    compared against a hash bucket), where dividing back to a double and
+    re-multiplying would reintroduce binary-representation ambiguity.
+    """
+    p = 10**scale
+    a = num.cast("long") * F.lit(2 * p) + den.cast("long")
+    b = den.cast("long") * F.lit(2)
+    return ((a - a % b) / b).cast("long")  # exact integer division
+
+
 def ratio_round(num: Column, den: Column, scale: int) -> Column:
     """Round-half-up of an integer ratio num/den, done in exact integer math.
 

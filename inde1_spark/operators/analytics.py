@@ -675,12 +675,28 @@ def window_funcs(events: DataFrame) -> DataFrame:
 def approx_distinct(events: DataFrame) -> DataFrame:
     """Approximate distinct counting (HLL sketch) per event type.
 
-    No oracle entry: sketch estimates are engine-specific by design (the
-    driver records a rows-only check). The exact twin is ``global_counts``.
+    The raw sketch estimate is engine-specific (Spark HLL++ vs DuckDB HLL),
+    so the gate-checkable output is the sketch's CONTRACT, not its value:
+    ``approx_within_5pct`` asserts |approx - exact| <= 5% * exact with the
+    sketch run at rsd=0.01 (HLL++ is deterministic for fixed data, so this
+    is a stable boolean, and the oracle emits the contract as TRUE). The
+    exact count rides along as the value being estimated. The purely exact
+    twin is ``global_counts``.
     """
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+            "exact_users",
+        )
     )
 
 
@@ -947,4 +963,32 @@ def range_join_windows(events: DataFrame) -> DataFrame:
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_events"),
         _dsum("value").alias("sum_value"),
+    )
+
+
+DOC_LANGS = ("de", "en", "es", "fr", "zh")  # pivot columns, pinned
+
+
+def pivot_source_lang(documents: DataFrame) -> DataFrame:
+    """Pivot / crosstab: documents per (source, language) as a wide table.
+
+    The relational pivot operator (reference-class engines expose it as
+    PIVOT; Spark as ``groupBy().pivot()``). The language list is PINNED —
+    passing explicit values skips Catalyst's values-discovery job (an extra
+    distinct + collect over the corpus) and makes the output schema static,
+    which is what a 100 TB single-pass pivot needs. One map-side-combined
+    shuffle on the source key; missing cells are zero-filled so the wide
+    row hashes deterministically.
+    """
+    return (
+        documents.groupBy("source")
+        .pivot("lang", list(DOC_LANGS))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang)
+                for lang in DOC_LANGS
+            ],
+        )
     )

