@@ -40,6 +40,7 @@ HEADLINE = (
     "rollup_nation_region",
     "dedup_exact",
     "dedup_minhash_fast",  # production xxhash64 path (no global-sort dictionary)
+    "dedup_minhash_capped",  # same path with the corpus-scale hot-shingle cap
     "dedup_embedding_lsh",
     "dedup_spans",
     "knn_brute_cosine",
@@ -58,6 +59,10 @@ HEADLINE = (
     "unigram_logprob",        # corpus LM scoring
     "kmeans_assign",          # iterative clustering (3 Lloyd rounds)
     "semdedup",               # cluster-scoped embedding dedup
+    "chunk_tokens",           # corpus-volume-multiplying projection (r03)
+    "term_cooccurrence",      # capped within-doc pair join + PMI (r03)
+    "cross_source_overlap",   # source-level inverted-index join (r03)
+    "embedding_dim_stats",    # per-dim fixed-point reduction (r03)
 )
 
 

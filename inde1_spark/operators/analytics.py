@@ -973,22 +973,19 @@ def pivot_source_lang(documents: DataFrame) -> DataFrame:
     """Pivot / crosstab: documents per (source, language) as a wide table.
 
     The relational pivot operator (reference-class engines expose it as
-    PIVOT; Spark as ``groupBy().pivot()``). The language list is PINNED —
-    passing explicit values skips Catalyst's values-discovery job (an extra
-    distinct + collect over the corpus) and makes the output schema static,
-    which is what a 100 TB single-pass pivot needs. One map-side-combined
-    shuffle on the source key; missing cells are zero-filled so the wide
-    row hashes deterministically.
+    PIVOT; Spark as ``groupBy().pivot()``). The language list is PINNED:
+    dynamic pivots need a values-discovery job (distinct + collect over the
+    corpus) before the plan even exists. With the values known, the pivot
+    is spelled as conditional aggregates — the same logical form
+    ``pivot()`` lowers to, but in ONE map-side-combined exchange on the
+    source key (Spark's two-phase PivotFirst plan costs a second exchange
+    for nothing when values are pinned; plan-pinned at max_exchanges=1).
+    Cells with no rows are exact zeros, so the wide row hashes
+    deterministically.
     """
-    return (
-        documents.groupBy("source")
-        .pivot("lang", list(DOC_LANGS))
-        .agg(F.count(F.lit(1)))
-        .select(
-            "source",
-            *[
-                F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang)
-                for lang in DOC_LANGS
-            ],
-        )
+    return documents.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("lang") == lang, 1)).alias(lang)
+            for lang in DOC_LANGS
+        ]
     )

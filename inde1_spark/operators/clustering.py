@@ -36,6 +36,27 @@ from inde1_spark.functions.exprs import dot_exact, norm_exact
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+TARGET_CLUSTER_ROWS = 4096  # aim |cluster| ~ this; semdedup work is sum|c|^2
+
+
+def scale_k(corpus_rows: int, target: int = TARGET_CLUSTER_ROWS) -> int:
+    """Corpus-scale preset for ``k``: ceil(rows / target), clamped.
+
+    SemDeDup's pair join costs sum |cluster|^2 ~= rows * target when
+    clusters hold ~``target`` rows each — LINEAR in corpus size, which is
+    the whole point of cluster-scoped dedup. The gate queries keep the toy
+    k=8 (the DuckDB oracle unrolls Lloyd's CTE-for-CTE and 8 seeds keep
+    that tractable); any corpus-sized run should pass
+    ``k=scale_k(df.count())`` instead. Honest ceiling: broadcast centroids
+    cost k * dims * 8 bytes — past k ~ 10^5 (tens of MB) switch to a
+    two-level scheme (cluster the centroids, route points through the
+    coarse level; both levels reuse this operator unchanged). Lower clamp
+    keeps tiny corpora from degenerating to k=1.
+    """
+    import math
+
+    k = max(8, math.ceil(corpus_rows / target))
+    return min(k, 1 << 17, max(1, corpus_rows))
 DIST_SCALE = 1_000_000_000_000  # (x-y)^2 terms snapped to pico precision
 SNAP_SCALE = 1_000_000_000  # centroid components live at nano precision
 

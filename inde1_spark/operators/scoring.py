@@ -259,8 +259,14 @@ def term_cooccurrence(documents: DataFrame, k: int = COOC_TOP_K) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.md5(F.col("term")).asc(), F.col("term").asc()
     )
-    kept = kept.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= COOC_DOC_CAP
+    # persisted: kept feeds BOTH sides of the pair self-join below — without
+    # it the tokenize/df/cap pipeline runs twice (dedup.py registry pattern)
+    from inde1_spark.operators.dedup import _persist
+
+    kept = _persist(
+        kept.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= COOC_DOC_CAP
+        )
     )
     a = kept.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     b = kept.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))

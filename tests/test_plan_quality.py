@@ -196,3 +196,74 @@ def test_dedup_winnow_no_cartesian(spark):
 
 def test_text_winnow_zero_shuffle(spark):
     assert_plan(Q["text_winnow"](spark, SF_SMOKE), max_exchanges=0, max_scans=1)
+
+
+def test_chunk_tokens_zero_shuffle(spark):
+    # chunking is sequence+explode+slice — a pure projection that pipelines
+    # into the scan; any exchange here would shuffle corpus x chunk volume
+    assert_plan(Q["chunk_tokens"](spark, SF_SMOKE), max_exchanges=0, max_scans=1)
+
+
+def test_dsir_sample_single_shuffle(spark):
+    # row-local accept + one per-language aggregate
+    assert_plan(Q["dsir_sample"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_cross_source_overlap_no_cartesian(spark):
+    # source-pair overlap must stay a shingle-keyed inverted-index join
+    assert_plan(Q["cross_source_overlap"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_term_cooccurrence_no_cartesian_topk(spark):
+    # within-doc pairing is a doc_id equi-join (bounded by the per-doc cap);
+    # the only nested-loops are benign 1-row corpus-total broadcasts (df-band
+    # filter + PMI denominator), and top-k is TakeOrdered, never a global
+    # sort of the pair table
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["term_cooccurrence"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    # 2 real 1-row NLJs; explain() re-prints the persisted subtree's plan,
+    # so its total-broadcast counts once more in the raw text
+    assert r.nested_loop_joins <= 3
+    assert "TakeOrderedAndProject" in r.raw
+    release_persisted()
+
+
+def test_embedding_dim_stats_single_shuffle(spark):
+    # posexplode + groupBy(dim) with map-side partials: one exchange whose
+    # payload is dims x partitions rows, never corpus volume
+    assert_plan(
+        Q["embedding_dim_stats"](spark, SF_SMOKE), max_exchanges=1, max_scans=1
+    )
+
+
+def test_length_mad_outliers_histogram_windows(spark):
+    # median/MAD run over per-language VALUE HISTOGRAMS; documents are never
+    # globally sorted, and the bounds come back as broadcasts
+    r = plan_report(Q["length_mad_outliers"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+
+
+def test_pivot_source_lang_single_pass(spark):
+    # pinned pivot values: one scan, one exchange, no values-discovery job
+    assert_plan(Q["pivot_source_lang"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_quality_ntile_histogram_not_row_sort(spark):
+    # terciles come from the value histogram: the corpus-volume work is one
+    # aggregate; windows sort <=10k histogram rows per language
+    r = plan_report(Q["quality_ntile"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+
+
+def test_dedup_minhash_capped_no_cartesian_no_global_sort(spark):
+    # the capped production config must keep the fast path's plan shape:
+    # the df cap rides the shingle groupBy, adding no dictionary sort
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = assert_plan(Q["dedup_minhash_capped"](spark, SF_SMOKE), forbid_cartesian=True)
+    assert "partial_row_number" not in r.raw.lower()
+    release_persisted()
