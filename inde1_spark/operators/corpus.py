@@ -366,18 +366,24 @@ def cross_source_overlap(
     counts. Posting lists are bounded by the source count (thousands, not
     documents), and the cap bounds the pair fan-out per shingle, so the
     join stays collision-sized at corpus scale. Overlap ratio is exact
-    (``ratio_round`` vs the smaller source's shingle set).
+    (``ratio_round`` vs the smaller source's shingle set). The deduped
+    (source, shingle) table feeds four consumers (df counts, sizes, both
+    join sides) — persisted via the dedup.py registry so the
+    tokenize/shingle/distinct pass runs once.
     """
-    sh = (
+    from inde1_spark.operators.dedup import _persist
+
+    sh = _persist(
         documents.select(
             "source",
             F.explode(word_shingles(tokens("text"), n)).alias("shingle"),
-        )
-        .distinct()
+        ).distinct()
     )
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = sh.join(dfc.filter(F.col("df") <= max_df), "shingle").select(
-        "source", "shingle"
+    kept = _persist(
+        sh.join(dfc.filter(F.col("df") <= max_df), "shingle").select(
+            "source", "shingle"
+        )
     )
     sizes = kept.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
     a = kept.select(F.col("source").alias("source_a"), "shingle")
