@@ -132,6 +132,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents"), max_shingle_df=64
         ),
         # ============== end gate window ===================================
+        # New in r03 but past the window — first in line for the r04
+        # rotation; oracle-checked locally on every pytest run meanwhile.
+        "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
+            _t(sp, d, "supplier"), _t(sp, d, "lineitem"), _t(sp, d, "orders"),
+            _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "nation_market_share": lambda sp, d: Q.nation_market_share(
+            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
+            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
+        ),
+        "product_type_profit": lambda sp, d: Q.product_type_profit(
+            _t(sp, d, "part"), _t(sp, d, "supplier"), _t(sp, d, "nation"),
+            _t(sp, d, "lineitem"), _t(sp, d, "orders")
+        ),
+        "returned_item_losses": lambda sp, d: Q.returned_item_losses(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem"),
+            _t(sp, d, "nation")
+        ),
+        "late_shipment_priority": lambda sp, d: Q.late_shipment_priority(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "small_qty_revenue": lambda sp, d: Q.small_qty_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
+        "large_volume_customers": lambda sp, d: Q.large_volume_customers(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
         # Long-green reference-parity queries (hash-green in r01 AND r02;
         # pinned locally by tests/test_oracle_parity.py on every run).
         # --- reference parity: scans/filters/projections (P1-P3, F1) ---

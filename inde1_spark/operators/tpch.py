@@ -254,3 +254,307 @@ def revenue_by_nation(
             F.count("*").alias("n_items"),
         )
     )
+
+
+def cross_nation_volume(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two nations, by direction/year.
+
+    The double-dimension-hop join (supplier->nation and customer->nation on
+    the SAME tiny table, aliased twice) with a symmetric pair filter. Both
+    nation hops broadcast; the only corpus-volume exchange remains
+    orders<->lineitem on orderkey. The pair filter runs AFTER the broadcast
+    joins but on broadcast-resolved columns, so it costs one row-local
+    predicate — no shuffle is spent discarding the other nation pairs.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    target_nation: str = "NATION_1",
+    target_region: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q8 shape: market share — a conditional-sum ratio per year.
+
+    Revenue delivered into a customer region, split by whether the SUPPLIER
+    sits in the target nation: share(year) = sum(rev if supp_nation=T) /
+    sum(rev). Both sums are exact decimal accumulations; the share divides
+    the two resulting doubles once, so the ratio is engine-identical
+    without any integer-ratio machinery. Joins: the region>nation>customer
+    chain and the supplier->nation hop all broadcast.
+    """
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("r_name") == target_region)
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == target_nation, rev).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("target_rev"),
+            dsum(rev).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "target_rev",
+            "total_rev",
+            (F.col("target_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year.
+
+    profit = disc revenue - retail cost of goods (the schema has no
+    partsupp table, so p_retailprice * quantity stands in for
+    ps_supplycost — same join/agg shape, documented deviation). The part
+    filter broadcasts and prunes the fact rows before the orders join;
+    decimal sums keep signed profit exact.
+    """
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    filtered_part = part.filter(F.col("p_type") == p_type)
+    return (
+        lineitem.join(
+            F.broadcast(filtered_part), lineitem.l_partkey == part.p_partkey
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-merchandise revenue.
+
+    Quarter of orders x returned lines (l_returnflag = 'R'), revenue per
+    customer, deterministic top-k (revenue desc, custkey asc). The
+    returnflag filter prunes the fact scan; customer/nation broadcast; the
+    orderkey join is the one large exchange.
+    """
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(quarter, returned.l_orderkey == quarter.o_orderkey)
+        .join(F.broadcast(customer), quarter.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment audit by priority class.
+
+    Lines shipped more than 90 days after their order date during 1996,
+    counted per linestatus with urgent/high priority split out (the schema
+    has no shipmode/commitdate; shipdate-vs-orderdate lateness against
+    linestatus keeps the join + dual-conditional-count shape). One
+    orderkey join; both counts ride one aggregation pass.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.count(F.when(high, 1)).alias("high_line_count"),
+        F.count(F.when(~high, 1)).alias("low_line_count"),
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17 shape: per-part average threshold + self-referential filter.
+
+    Average yearly revenue lost if small-quantity orders (below half the
+    part's average quantity) moved to bulk: the per-part avg is an
+    aggregate over the SAME fact rows the filter scans — spelled as agg +
+    re-join on partkey (the aggregate-pushdown shape), never a correlated
+    per-row subquery. The brand filter broadcasts and prunes both sides.
+    avg = exact decimal sum / count, so the 0.5*avg threshold is
+    engine-identical.
+    """
+    branded = part.filter(F.col("p_brand") == brand)
+    fact = lineitem.join(
+        F.broadcast(branded), lineitem.l_partkey == part.p_partkey
+    )
+    per_part = fact.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    small = fact.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("pk")
+    ).filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    return small.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 200,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate + enrich + top-k.
+
+    Orders whose total quantity exceeds ``min_qty``: aggregate lineitem by
+    orderkey FIRST (map-side partials collapse each order's lines before
+    the exchange), filter on the sum, then join the order/customer detail
+    onto the few survivors — the join input is |qualifying orders|, not
+    |lineitem|. Deterministic top-k on (totalprice desc, orderkey asc).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(float(min_qty)))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            F.col("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def brand_filtered_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicate (OR of ANDs).
+
+    Three brand/size/quantity bands OR-ed together across the part
+    dimension and the fact table — the predicate-pushdown stress test: the
+    quantity bounds (the only fact-side conjuncts common to all branches)
+    push to the lineitem scan, the rest evaluates row-local after the
+    broadcast join; nothing falls back to a nested-loop.
+    """
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & sz.between(1, 15)
+            & q.between(1.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & sz.between(10, 30)
+            & q.between(10.0, 30.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & sz.between(20, 50)
+            & q.between(20.0, 50.0)
+        )
+    )
+    return (
+        lineitem.filter(q.between(1.0, 50.0))
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -2002,3 +2002,135 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# -- round-3 TPC-H shapes ----------------------------------------------------
+
+ORACLES["cross_nation_volume"] = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       strftime(l.l_shipdate, '%Y') AS l_year,
+       {_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["nation_market_share"] = f"""
+WITH base AS (
+  SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+         ns.n_name AS supp_nation,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'ASIA'
+),
+agg AS (
+  SELECT o_year,
+         {_dsum("CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0.0 END")} AS target_rev,
+         {_dsum("rev")} AS total_rev
+  FROM base GROUP BY o_year
+)
+SELECT o_year, target_rev, total_rev, target_rev / total_rev AS mkt_share
+FROM agg
+"""
+
+ORACLES["product_type_profit"] = f"""
+SELECT n.n_name AS nation,
+       strftime(o.o_orderdate, '%Y') AS o_year,
+       {_dsum("l.l_extendedprice * (1.0 - l.l_discount) - p.p_retailprice * l.l_quantity")} AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+ORACLES["returned_item_losses"] = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["late_shipment_priority"] = """
+SELECT l.l_linestatus,
+       CAST(COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS high_line_count,
+       CAST(COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+ORACLES["small_qty_revenue"] = f"""
+WITH fact AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#1'
+),
+per_part AS (
+  SELECT l_partkey AS pk,
+         {_dsum("l_quantity")} / COUNT(*) AS avg_qty
+  FROM fact GROUP BY l_partkey
+)
+SELECT {_dsum("f.l_extendedprice")} / 7.0 AS avg_yearly
+FROM fact f
+JOIN per_part pp ON f.l_partkey = pp.pk
+WHERE f.l_quantity < 0.5 * pp.avg_qty
+"""
+
+ORACLES["large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum("l_quantity")} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_dsum("l_quantity")} > 200.0
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["brand_filtered_revenue"] = f"""
+SELECT {_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20.0 AND 50.0)
+"""

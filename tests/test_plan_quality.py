@@ -267,3 +267,62 @@ def test_dedup_minhash_capped_no_cartesian_no_global_sort(spark):
     r = assert_plan(Q["dedup_minhash_capped"](spark, SF_SMOKE), forbid_cartesian=True)
     assert "partial_row_number" not in r.raw.lower()
     release_persisted()
+
+
+def test_cross_nation_volume_all_dims_broadcast(spark):
+    # two aliased nation hops + supplier + customer all broadcast; the only
+    # corpus-volume exchange is orders<->lineitem
+    r = plan_report(Q["cross_nation_volume"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 4
+    assert "CartesianProduct" not in r.raw
+
+
+def test_nation_market_share_broadcast_chain(spark):
+    r = plan_report(Q["nation_market_share"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 5
+    assert "CartesianProduct" not in r.raw
+
+
+def test_product_type_profit_part_filter_prunes_first(spark):
+    # the filtered part broadcast must sit below the orders join so the
+    # type filter prunes fact rows before the big exchange
+    r = plan_report(Q["product_type_profit"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 3
+    assert "CartesianProduct" not in r.raw
+
+
+def test_returned_item_losses_topk_pushdown(spark):
+    # returnflag pushes to the lineitem scan; top-k is TakeOrdered
+    r = assert_plan(
+        Q["returned_item_losses"](spark, SF_SMOKE),
+        require_pushed_filter="l_returnflag",
+    )
+    assert "TakeOrderedAndProject" in r.raw
+
+
+def test_late_shipment_no_cartesian(spark):
+    # the lateness predicate is a join RESIDUAL on the orderkey equi-join,
+    # never a theta-join fallback
+    assert_plan(Q["late_shipment_priority"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_small_qty_revenue_agg_join_shape(spark):
+    # per-part avg + re-join: equi-joins only, brand filter pushes to part
+    assert_plan(Q["small_qty_revenue"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_large_volume_customers_preagg_topk(spark):
+    # lineitem aggregates BEFORE any join (the HAVING survivors drive the
+    # joins) and the top-k is TakeOrdered
+    r = assert_plan(Q["large_volume_customers"](spark, SF_SMOKE), forbid_cartesian=True)
+    assert "TakeOrderedAndProject" in r.raw
+
+
+def test_brand_filtered_revenue_qty_pushdown(spark):
+    # the common quantity band is the one fact-side conjunct that must reach
+    # the parquet scan; the OR-of-ANDs evaluates after the broadcast join
+    r = assert_plan(
+        Q["brand_filtered_revenue"](spark, SF_SMOKE),
+        require_pushed_filter="l_quantity",
+    )
+    assert r.broadcast_hash_joins >= 1
