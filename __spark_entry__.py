@@ -162,6 +162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "lang_confusion": lambda sp, d: T.lang_confusion(_t(sp, d, "documents")),
+        "vocab_coverage": lambda sp, d: SC.vocab_coverage(_t(sp, d, "documents")),
+        "token_entropy": lambda sp, d: SC.token_entropy(_t(sp, d, "documents")),
+        "dup_rate_by_source": lambda sp, d: C.dup_rate_by_source(
+            _t(sp, d, "documents")
+        ),
         # Long-green reference-parity queries (hash-green in r01 AND r02;
         # pinned locally by tests/test_oracle_parity.py on every run).
         # --- reference parity: scans/filters/projections (P1-P3, F1) ---

@@ -501,3 +501,40 @@ def shuffle_shards(documents: DataFrame, n_shards: int = SHARD_COUNT) -> DataFra
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Where does duplication concentrate? Near-dup document rate per source.
+
+    Joins the exact n-gram-Jaccard ground-truth pairs back onto the source
+    dimension: a document is 'dup' if it appears in any near-dup pair.
+    The pair table is collision-sized (inverted-index join, never
+    quadratic); the explode-distinct of pair endpoints is bounded by
+    2x|pairs|; the final count is one groupBy on source. At corpus scale
+    swap the ground-truth pair source for ``dedup_minhash_fast`` — same
+    downstream plan (documented; the gate variant keeps the oracle-exact
+    pair set).
+    """
+    from inde1_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(documents)
+    dup_ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("long"))
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            ratio_round(F.col("n_dup_docs"), F.col("n_docs"), 4).alias("dup_rate"),
+        )
+    )

@@ -295,3 +295,82 @@ def term_cooccurrence(documents: DataFrame, k: int = COOC_TOP_K) -> DataFrame:
         )
         .limit(k)
     )
+
+
+VOCAB_TOP_K = 20
+
+
+def vocab_coverage(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Token coverage of the top-k vocabulary: what fraction of all token
+    occurrences a k-entry vocab explains (the tokenizer-budget question).
+
+    One corpus-volume term shuffle builds the count table; it feeds both
+    the top-k (TakeOrdered — per-partition partial top-k, no global sort)
+    and the corpus total, so it is persisted (registry pattern). Output is
+    one audit row; coverage is an exact integer ratio.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.dedup import _persist
+
+    counts = _persist(
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    top = (
+        counts.orderBy(F.col("n_occ").desc(), F.col("term").asc())
+        .limit(k)
+        .agg(F.sum("n_occ").cast("long").alias("covered_tokens"))
+    )
+    total = counts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("n_occ").cast("long").alias("total_tokens"),
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.lit(k).cast("long").alias("vocab_k"),
+            "n_terms",
+            "covered_tokens",
+            "total_tokens",
+            ratio_round(F.col("covered_tokens"), F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of the corpus unigram distribution (vocab-diversity
+    signal; near-zero = one token dominates, ln|V| = uniform).
+
+    entropy = ln N - (1/N) * sum_t c_t ln c_t — the second form needs one
+    pass over the VOCABULARY (1 row per term), not the token stream. Each
+    term's c*ln(c) is snapped to a nano-long (the _log_scaled convention)
+    and summed exactly, so the corpus-wide sum is order-independent; the
+    final expression does the same long->double conversions in any engine.
+    """
+    counts = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    per_term = counts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("n_occ").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_occ") * _log_scaled(F.col("n_occ").cast("double")))
+        .cast("long")
+        .alias("sum_clnc_nano"),
+    )
+    return per_term.select(
+        "n_terms",
+        "total_tokens",
+        (
+            (
+                _log_scaled(F.col("total_tokens").cast("double")).cast("double")
+                - F.col("sum_clnc_nano").cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+            / F.lit(float(LOG_SCALE))
+        ).alias("entropy"),
+    )

@@ -588,3 +588,18 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID audit: the confusion matrix of predicted vs labeled lang.
+
+    The acceptance test every language classifier gets before it gates a
+    corpus: counts per (actual, predicted) cell. Builds on ``lang_id``'s
+    row-local scoring, so the only shuffle is the final tiny groupBy
+    (|langs|^2 cells at most, map-side combined).
+    """
+    return (
+        lang_id(documents)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

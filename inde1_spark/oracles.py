@@ -2134,3 +2134,88 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
        AND l.l_quantity BETWEEN 20.0 AND 50.0)
 """
+
+
+# -- round-3 audit operators -------------------------------------------------
+
+ORACLES["lang_confusion"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT lang AS lang_actual,
+         {", ".join(f"{_lang_score(LANG_MARKERS[lang])} AS score_{lang}" for lang in sorted(LANG_MARKERS))}
+  FROM toks
+)
+SELECT lang_actual, {_build_lang_pred()} AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scores GROUP BY 1, 2
+"""
+
+_TERM_COUNTS = """
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY 1
+)
+"""
+
+ORACLES["vocab_coverage"] = f"""
+WITH {_TERM_COUNTS},
+top AS (
+  SELECT CAST(SUM(n_occ) AS BIGINT) AS covered_tokens FROM (
+    SELECT n_occ FROM counts ORDER BY n_occ DESC, term ASC LIMIT 20
+  )
+),
+total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(n_occ) AS BIGINT) AS total_tokens
+  FROM counts
+)
+SELECT CAST(20 AS BIGINT) AS vocab_k, n_terms, covered_tokens, total_tokens,
+       {_rr("covered_tokens", "total_tokens", 6)} AS coverage
+FROM top, total
+"""
+
+ORACLES["token_entropy"] = f"""
+WITH {_TERM_COUNTS},
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(n_occ) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_occ * CAST(round(ln(CAST(n_occ AS DOUBLE)) * {LOG_SCALE}.0, 0)
+                               AS BIGINT)) AS BIGINT) AS sum_clnc_nano
+  FROM counts
+)
+SELECT n_terms, total_tokens,
+       (CAST(CAST(round(ln(CAST(total_tokens AS DOUBLE)) * {LOG_SCALE}.0, 0)
+                  AS BIGINT) AS DOUBLE)
+        - CAST(sum_clnc_nano AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+       / {LOG_SCALE}.0 AS entropy
+FROM agg
+"""
+
+ORACLES["dup_rate_by_source"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+dups AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs
+  )
+),
+agg AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(dups.doc_id) AS BIGINT) AS n_dup_docs
+  FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+  GROUP BY 1
+)
+SELECT source, n_docs, n_dup_docs, {_rr("n_dup_docs", "n_docs", 4)} AS dup_rate
+FROM agg
+"""

@@ -326,3 +326,32 @@ def test_brand_filtered_revenue_qty_pushdown(spark):
         require_pushed_filter="l_quantity",
     )
     assert r.broadcast_hash_joins >= 1
+
+
+def test_vocab_coverage_topk_no_global_sort(spark):
+    # the persisted count table feeds top-k (TakeOrdered) and the total;
+    # nothing sorts the vocabulary globally
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["vocab_coverage"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in r.raw
+    assert r.sort_merge_joins == 0
+    release_persisted()
+
+
+def test_token_entropy_vocab_pass(spark):
+    # entropy reduces over the vocabulary table: term groupBy + 1-row agg,
+    # never a second pass over the token stream
+    assert_plan(Q["token_entropy"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_dup_rate_by_source_no_cartesian(spark):
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["dup_rate_by_source"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
+
+
+def test_lang_confusion_single_shuffle(spark):
+    # row-local scoring + one tiny groupBy
+    assert_plan(Q["lang_confusion"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
