@@ -81,7 +81,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     is zipfian, and AQE's skew-join split handles the head terms (the df
     side is 1 row per term, never hot).
     """
-    tf = _term_freq(documents)
+    from inde1_spark.operators.dedup import _persist
+
+    # tf feeds the df count AND the scoring join: persist so the
+    # tokenize/explode/groupBy corpus pass runs once (registry pattern)
+    tf = _persist(_term_freq(documents))
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -185,7 +189,10 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     Low (very negative) scores = rare-token soup; near-zero = stopword
     soup — the standard CCNet band-filter signal.
     """
-    tf = _term_freq(documents)
+    from inde1_spark.operators.dedup import _persist
+
+    # tf feeds the vocabulary AND the scoring join: one corpus pass, not two
+    tf = _persist(_term_freq(documents))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("n_occ"))
     total = vocab.agg(F.sum("n_occ").cast("double").alias("total_toks"))
     lp = (
