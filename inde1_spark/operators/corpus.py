@@ -86,15 +86,9 @@ def ngram_vocab(
     exchange. This row-local spelling keeps the gram groupBy as the only
     corpus-volume shuffle, the right trade at cluster scale.
     """
-    toks = tokens("text")
-    spans = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            spans,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from inde1_spark.functions.exprs import word_ngrams
+
+    grams = word_ngrams(tokens("text"), n)
     counted = (
         documents.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
@@ -366,24 +360,34 @@ def cross_source_overlap(
     counts. Posting lists are bounded by the source count (thousands, not
     documents), and the cap bounds the pair fan-out per shingle, so the
     join stays collision-sized at corpus scale. Overlap ratio is exact
-    (``ratio_round`` vs the smaller source's shingle set). The deduped
-    (source, shingle) table feeds four consumers (df counts, sizes, both
-    join sides) — persisted via the dedup.py registry so the
-    tokenize/shingle/distinct pass runs once.
-    """
-    from inde1_spark.operators.dedup import _persist
+    (``ratio_round`` vs the smaller source's shingle set).
 
-    sh = _persist(
-        documents.select(
+    Plan-sharing note: the deduped (source, shingle) table feeds four
+    consumers (the cap, the sizes, both join sides). A groupBy+join cap
+    spelling makes each consumer its own subtree and the shingle pipeline
+    runs 4x (measured 6.9 s cold at sf0.1); spelling the cap as a COUNT
+    window over the shingle key gives every consumer the IDENTICAL
+    exchange subtree, which Catalyst deduplicates via ReusedExchange — the
+    tokenize/shingle/distinct pass runs once, no persist, no action
+    (2.9 s cold). The window partition is a shingle's posting list,
+    bounded by the source count — never corpus-sized.
+    """
+    # repartition before shingling — the dedup.shingle_table rule: a
+    # single-file corpus otherwise runs the CPU-heavy explode on one core
+    sh = (
+        documents.select("doc_id", "source", "text")
+        .repartition("doc_id")
+        .select(
             "source",
             F.explode(word_shingles(tokens("text"), n)).alias("shingle"),
-        ).distinct()
-    )
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = _persist(
-        sh.join(dfc.filter(F.col("df") <= max_df), "shingle").select(
-            "source", "shingle"
         )
+        .distinct()
+    )
+    w_sh = Window.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df", F.count("*").over(w_sh))
+        .filter(F.col("df") <= max_df)
+        .select("source", "shingle")
     )
     sizes = kept.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
     a = kept.select(F.col("source").alias("source_a"), "shingle")
@@ -397,8 +401,8 @@ def cross_source_overlap(
     sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
     return (
-        shared.join(sa, "source_a")
-        .join(sb, "source_b")
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
         .select(
             "source_a",
             "source_b",
