@@ -494,7 +494,12 @@ def dedup_spans(documents: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFra
     the skewed join. The exploded span table feeds both the aggregate and
     the join, so it is persisted (registry above).
     """
-    toks = tokens("text")
+    # tokenize into a REAL column first: a lambda that captures the raw
+    # tokens("text") expression re-runs the whole tokenize per span
+    # (interpreted HOFs have no CSE — the word_ngrams lesson); a column
+    # reference is free to re-read
+    tokenized = documents.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
     n_sp = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
     spans = F.when(
         F.size(toks) > 0,
@@ -506,7 +511,7 @@ def dedup_spans(documents: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFra
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = _persist(
-        documents.select("doc_id", spans.alias("spans")).select(
+        tokenized.select("doc_id", spans.alias("spans")).select(
             "doc_id", F.posexplode("spans").alias("span_idx", "span")
         )
     )
