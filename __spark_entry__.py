@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "dedup_incremental": lambda sp, d: D.dedup_incremental(
+            _t(sp, d, "documents")
+        ),
         "lang_confusion": lambda sp, d: T.lang_confusion(_t(sp, d, "documents")),
         "vocab_coverage": lambda sp, d: SC.vocab_coverage(_t(sp, d, "documents")),
         "token_entropy": lambda sp, d: SC.token_entropy(_t(sp, d, "documents")),

@@ -2219,3 +2219,42 @@ agg AS (
 SELECT source, n_docs, n_dup_docs, {_rr("n_dup_docs", "n_docs", 4)} AS dup_rate
 FROM agg
 """
+
+
+ORACLES["dedup_incremental"] = f"""
+WITH {_SHINGLES},
+split AS (
+  SELECT doc_id, ({_hash_bucket_sql('doc_id', 100)}) < 10 AS is_batch
+  FROM documents
+),
+inter AS (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_idx, count(*) AS n_inter
+  FROM sh a
+  JOIN split spa ON a.doc_id = spa.doc_id AND spa.is_batch
+  JOIN sh b ON a.shingle = b.shingle
+  JOIN split spb ON b.doc_id = spb.doc_id AND NOT spb.is_batch
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_new, doc_idx,
+         {_rr("i.n_inter", "sa.sz + sb.sz - i.n_inter", 6)} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_new
+  JOIN sizes sb ON sb.doc_id = i.doc_idx
+),
+qual AS (SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}),
+best AS (
+  SELECT doc_new, doc_idx, jaccard FROM (
+    SELECT doc_new, doc_idx, jaccard,
+           row_number() OVER (PARTITION BY doc_new
+                              ORDER BY jaccard DESC, doc_idx DESC) AS rn
+    FROM qual
+  ) WHERE rn = 1
+)
+SELECT s.doc_id AS doc_new,
+       b.doc_idx AS dup_of,
+       b.jaccard AS jaccard,
+       b.doc_new IS NULL AS admit
+FROM split s LEFT JOIN best b ON s.doc_id = b.doc_new
+WHERE s.is_batch
+"""

@@ -355,3 +355,12 @@ def test_dup_rate_by_source_no_cartesian(spark):
 def test_lang_confusion_single_shuffle(spark):
     # row-local scoring + one tiny groupBy
     assert_plan(Q["lang_confusion"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    # batch x index candidates meet on the shingle key (inverted index);
+    # cost is proportional to the increment, never the corpus squared
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["dedup_incremental"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
