@@ -120,3 +120,26 @@ def test_fast_simhash_recall_and_precision(spark):
     assert truth and fast
     assert len(truth & fast) / len(truth) >= 0.9
     assert len(truth & fast) / len(fast) >= 0.9
+
+
+def test_capped_minhash_equal_when_cap_loose_subset_when_tight(spark):
+    """The df cap prunes CANDIDATE GENERATION only; verify scores true
+    Jaccard. So: a loose cap (64 > max df at this SF) changes nothing,
+    and a binding cap can only LOSE pairs, never invent or rescore them
+    (precision preserved, recall traded — the documented contract)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_minhash_fast(docs).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_minhash_fast(docs, max_shingle_df=64).collect()
+    }
+    assert loose == base
+    tight = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_minhash_fast(docs, max_shingle_df=3).collect()
+    }
+    assert tight <= base
+    D.release_persisted()
