@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "approx_percentiles": lambda sp, d: A.approx_percentiles(
+            _t(sp, d, "events")
+        ),
         "dedup_incremental": lambda sp, d: D.dedup_incremental(
             _t(sp, d, "documents")
         ),

@@ -989,3 +989,42 @@ def pivot_source_lang(documents: DataFrame) -> DataFrame:
             for lang in DOC_LANGS
         ]
     )
+
+
+def approx_percentiles(events: DataFrame) -> DataFrame:
+    """Sketch percentiles with their accuracy CONTRACT asserted against
+    exact — the 100 TB path ``percentiles``'s docstring promises.
+
+    ``approx_percentile`` (KLL-style rank sketch, single pass, mergeable —
+    the per-group sort exact percentile needs doesn't exist at corpus
+    scale) returns an actual data value within rank error n/accuracy. The
+    sketch value itself is engine-specific, so the gate checks the
+    contract: the approximation must land within 1% of the group's value
+    RANGE of the exact interpolated percentile (deterministic for fixed
+    data — the sketch has no RNG). Exact values ride along.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("ap"),
+            F.max("value").alias("vmax"),
+            F.min("value").alias("vmin"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.element_at("ap", 1) - F.col("p50"))
+                <= 0.01 * (F.col("vmax") - F.col("vmin"))
+            ).alias("p50_within_tol"),
+            (
+                F.abs(F.element_at("ap", 2) - F.col("p90"))
+                <= 0.01 * (F.col("vmax") - F.col("vmin"))
+            ).alias("p90_within_tol"),
+            "p50",
+            "p90",
+            "n",
+        )
+    )

@@ -2258,3 +2258,16 @@ SELECT s.doc_id AS doc_new,
 FROM split s LEFT JOIN best b ON s.doc_id = b.doc_new
 WHERE s.is_batch
 """
+
+
+# approx_percentiles: sketch values are engine-specific; the oracle asserts
+# the accuracy contract (within 1% of the value range) plus the exact twins.
+ORACLES["approx_percentiles"] = """
+SELECT event_type,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
