@@ -542,3 +542,44 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
             ratio_round(F.col("n_dup_docs"), F.col("n_docs"), 4).alias("dup_rate"),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    P(doc in sample) increases with its weight (here n_chars — favor long
+    documents), computed distributed with NO RNG state.
+
+    Each doc gets key = ln(u)/w with u a hash-derived uniform in (0,1];
+    the k largest keys ARE the weighted sample — the classic distributed
+    one-pass spelling (per-partition top-k merges associatively, so Spark
+    executes it as TakeOrdered — no global sort, no sequential reservoir).
+    Engine-portable: u comes from the md5 bucket hash (identical in
+    DuckDB) and ln is snapped to nano-longs before the weight division
+    (libm agrees to 1 ulp; the snap removes even that) — the ranking
+    can't flip. Rank is attached over k rows only, after the limit.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (h + F.lit(1)) / F.lit(4294967297.0)  # (0, 1]: 2^32 + 1 denominator
+    # ln() is libm-identical across engines except for rare 1-ulp cases —
+    # snap to nano-longs first (the _log_scaled convention); the snap
+    # absorbs any sub-ulp divergence before it can flip a rank or a hash
+    lnu_nano = F.round(F.log(u) * F.lit(1e9), 0).cast("long")
+    key = lnu_nano.cast("double") / F.lit(1e9) / F.col("n_chars").cast("double")
+    picked = (
+        documents.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return picked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "n_chars",
+        "es_key",
+    )

@@ -2271,3 +2271,20 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY 1
 """
+
+
+ORACLES["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CAST(round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                             / 4294967297.0) * 1e9, 0) AS BIGINT) AS DOUBLE)
+           / 1e9 / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+),
+picked AS (
+  SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 50
+)
+SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, n_chars, es_key
+FROM picked
+"""

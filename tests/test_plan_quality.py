@@ -364,3 +364,10 @@ def test_dedup_incremental_no_cartesian(spark):
 
     assert_plan(Q["dedup_incremental"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_weighted_sample_takeordered(spark):
+    # the E-S top-k must be TakeOrdered (associative per-partition merge),
+    # never a global sort of the corpus
+    r = assert_plan(Q["weighted_sample"](spark, SF_SMOKE), max_scans=1)
+    assert "TakeOrderedAndProject" in r.raw
