@@ -98,3 +98,19 @@ def corpus_stream_writer(prepared: DataFrame, out_dir: str, checkpoint_dir: str)
         .partitionBy("split")
         .outputMode("append")
     )
+
+
+def chunk_stream(prepared: DataFrame) -> DataFrame:
+    """Context-window chunking as a streaming stage.
+
+    ``chunk_tokens`` is a stateless row-local projection (sequence ->
+    explode -> slice), so it applies to the prepared stream UNCHANGED —
+    chunk prep runs inline with ingest instead of as a second batch pass
+    over the corpus store. No watermark, no state: each micro-batch chunks
+    its own documents. The 1->N row expansion is legal in streaming append
+    mode (flatMap-shaped projections are), and output volume stays
+    ~chunk/stride x input per batch.
+    """
+    from inde1_spark.operators.corpus import chunk_tokens
+
+    return chunk_tokens(prepared)

@@ -115,3 +115,38 @@ def test_corpus_stream_restart_no_redelivery(spark, doc_env, tmp_path):
 
     assert spark.read.parquet(out).count() == n1
     assert n1 > 0
+
+
+def test_chunk_stream_matches_batch(spark, doc_env, tmp_path):
+    """The streaming chunker must emit exactly the batch chunk set for the
+    same admitted documents (stateless projection => trivially exact)."""
+    from inde1_spark.operators.corpus import chunk_tokens
+    from inde1_spark.streaming.corpus import chunk_stream
+
+    data_dir, docs, _, _ = doc_env
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    stream = document_stream(spark, data_dir)
+    q = (
+        chunk_stream(corpus_prep_stream(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = chunk_tokens(corpus_prep(docs))
+    # doc_ids differ for the planted dup (first-arrival vs min-id); compare
+    # the chunk CONTENT multiset
+    got_set = sorted(
+        (r["chunk_idx"], r["tok_start"], r["chunk_len"], r["chunk_text"])
+        for r in got.collect()
+    )
+    want_set = sorted(
+        (r["chunk_idx"], r["tok_start"], r["chunk_len"], r["chunk_text"])
+        for r in want.collect()
+    )
+    assert got_set == want_set and len(got_set) > 0
