@@ -162,6 +162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "cluster_balance": lambda sp, d: CL.cluster_balance(
+            _t(sp, d, "embeddings")
+        ),
+        "embedding_outliers": lambda sp, d: S.embedding_outliers(
+            _t(sp, d, "embeddings")
+        ),
         "weighted_sample": lambda sp, d: C.weighted_sample(_t(sp, d, "documents")),
         "approx_percentiles": lambda sp, d: A.approx_percentiles(
             _t(sp, d, "events")

@@ -253,3 +253,32 @@ def semdedup(
         .filter(F.col("cos_sim") >= threshold)
         .select("cluster", "vec_a", "vec_b", "cos_sim")
     )
+
+
+def cluster_balance(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Cluster-size audit after Lloyd's: the health check that decides
+    whether SemDeDup's Sum|cluster|^2 pair join is safe to run.
+
+    Per cluster: member count, share of corpus (exact integer ratio), and
+    the mean scaled distance to the centroid (exact integer division) — a
+    mega-cluster or a near-empty k shows up here before it burns a pair
+    join. One kB-sized aggregate over the assignment.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    asg = kmeans_assign(embeddings, k, iters)
+    per = asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist_scaled").cast("long").alias("sum_dist"),
+    )
+    total = per.agg(F.sum("n_members").cast("long").alias("n_total"))
+    m = F.col("sum_dist") * 2 + F.col("n_members")
+    den = F.col("n_members") * 2
+    return per.join(F.broadcast(total)).select(
+        "cluster",
+        "n_members",
+        ratio_round(F.col("n_members"), F.col("n_total"), 4).alias("share"),
+        ((m - m % den) / den).cast("long").alias("mean_dist_scaled"),
+    )

@@ -327,3 +327,42 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
             "max_v",
         )
     )
+
+
+NORM_OUTLIER_PCT = 20  # flag norms more than this % away from the corpus mean
+
+
+def embedding_outliers(
+    embeddings: DataFrame, pct: int = NORM_OUTLIER_PCT
+) -> DataFrame:
+    """Norm-based embedding outlier audit: vectors whose L2 norm sits more
+    than ``pct`` percent from the corpus mean norm (broken encoders emit
+    zero / exploded vectors; cosine similarity silently hides them).
+
+    Norms are exact fixed-point (norm_exact); the mean norm is one 1-row
+    broadcast (sum/count of exact values, single double division); the
+    comparison is |norm - mean| * 100 > pct * mean on engine-identical
+    doubles. Row-local except the 1-row aggregate — one corpus pass.
+    """
+    e = embeddings.select(
+        "vec_id", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    stats = e.agg(
+        (
+            F.sum(
+                # floor(x+0.5), not round(x): engine round() semantics
+                # diverge on .5 boundaries (DESIGN §3); floor is IEEE-exact
+                F.floor(F.col("nrm") * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1e9)
+        ).alias("mean_nrm")
+    )
+    return (
+        e.join(F.broadcast(stats))
+        .filter(
+            F.abs(F.col("nrm") - F.col("mean_nrm")) * F.lit(100.0)
+            > F.lit(float(pct)) * F.col("mean_nrm")
+        )
+        .select("vec_id", "nrm", "mean_nrm")
+    )

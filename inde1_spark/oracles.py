@@ -2288,3 +2288,31 @@ SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS r
        doc_id, n_chars, es_key
 FROM picked
 """
+
+
+ORACLES["cluster_balance"] = f"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
+per AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d) AS BIGINT) AS sum_dist
+  FROM a{KMEANS_ITERS} GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n_total FROM per)
+SELECT cluster, n_members,
+       {_rr("n_members", "n_total", 4)} AS share,
+       CAST((sum_dist * 2 + n_members) // (n_members * 2) AS BIGINT)
+         AS mean_dist_scaled
+FROM per, tot
+"""
+
+ORACLES["embedding_outliers"] = f"""
+WITH {_NORMS.strip().rstrip()},
+stats AS (
+  SELECT CAST(SUM(CAST(floor(nrm * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_nrm
+  FROM norms
+)
+SELECT vec_id, nrm, mean_nrm
+FROM norms, stats
+WHERE ABS(nrm - mean_nrm) * 100.0 > 20.0 * mean_nrm
+"""
