@@ -140,3 +140,34 @@ def test_word_shingles_equal_python_spec(spark, texts):
             " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
         } if len(toks) >= 3 else set()
         assert got[i] == want, (t,)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_word_ngrams_equal_python_spec_ordered(spark, texts, n):
+    """word_ngrams (zip-of-shifted-slices spelling) == the sliding-window
+    python spec: ALL n-grams in order, duplicates kept, empty below n
+    tokens — for every n, including n=1."""
+    from inde1_spark.functions.exprs import word_ngrams
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select(
+            "doc_id", word_ngrams(tokens("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in rows:
+        toks = [w for w in t.split(" ") if w]
+        want = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        assert got[i] == want, (t, n)
