@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "cluster_balance": lambda sp, d: CL.cluster_balance(
             _t(sp, d, "embeddings")
         ),

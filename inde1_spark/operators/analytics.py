@@ -1028,3 +1028,70 @@ def approx_percentiles(events: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+EWMA_ALPHA_PCT = 30  # smoothing weight, percent (alpha = 0.3)
+
+
+def ewma_series(events: DataFrame, alpha_pct: int = EWMA_ALPHA_PCT) -> DataFrame:
+    """Exponentially weighted moving average of the daily value series per
+    event type — the smoothing pass of every monitoring dashboard.
+
+    EWMA is inherently sequential (e_t = a*x_t + (1-a)*e_{t-1}), which is
+    exactly what a distributed engine must NOT do over raw events. The
+    scale spelling: aggregate the corpus to the bounded per-key daily
+    series first (one map-side-combined shuffle; 30 rows per key however
+    big the fact table), then fold the ORDERED series row-locally inside
+    one array aggregate per key. State never exceeds |days| per key.
+
+    Determinism: daily sums are exact decimals; the fold carries the EWMA
+    as a MICRO-SCALED LONG (floor(x*1e6+0.5) — IEEE-exact both engines,
+    round() is not), so every step re-derives the same long from the same
+    doubles in the same order in any engine. The DuckDB twin is a
+    recursive CTE over the same day ranks.
+    """
+    a = alpha_pct / 100.0
+    daily = (
+        events.groupBy("event_type", _day_str().alias("day"))
+        .agg(_dsum("value").alias("v"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("prev_micro"),
+        F.lit(True).alias("first"),
+        F.array().cast("array<struct<day:string,ewma_micro:bigint>>").alias("out"),
+    )
+    def _step(acc, x):
+        e_new = F.when(
+            acc["first"],
+            F.floor(x["v"] * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).otherwise(
+            F.floor(
+                (
+                    F.lit(a) * x["v"]
+                    + F.lit(1.0 - a) * (acc["prev_micro"].cast("double") / F.lit(1e6))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        return F.struct(
+            e_new.alias("prev_micro"),
+            F.lit(False).alias("first"),
+            F.concat(
+                acc["out"],
+                F.array(F.struct(x["day"].alias("day"), e_new.alias("ewma_micro"))),
+            ).alias("out"),
+        )
+    folded = series.select(
+        "event_type",
+        F.aggregate(F.col("s"), init, _step)["out"].alias("out"),
+    )
+    ex = folded.select("event_type", F.explode("out").alias("o"))
+    return ex.select(
+        "event_type",
+        F.col("o")["day"].alias("day"),
+        (F.col("o")["ewma_micro"].cast("double") / F.lit(1e6)).alias("ewma"),
+    )

@@ -2316,3 +2316,32 @@ SELECT vec_id, nrm, mean_nrm
 FROM norms, stats
 WHERE ABS(nrm - mean_nrm) * 100.0 > 20.0 * mean_nrm
 """
+
+
+from inde1_spark.operators.analytics import EWMA_ALPHA_PCT
+
+_EW_A = EWMA_ALPHA_PCT / 100.0
+
+ORACLES["ewma_series"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, {_DAY} AS day, {_dsum("value")} AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+e AS (
+  SELECT event_type, day, rn,
+         CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS ewma_micro
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.rn,
+         CAST(floor(({_EW_A!r} * r.v
+                     + {1.0 - _EW_A!r} * (CAST(e.ewma_micro AS DOUBLE) / 1e6))
+                    * 1e6 + 0.5) AS BIGINT)
+  FROM ranked r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, day, CAST(ewma_micro AS DOUBLE) / 1e6 AS ewma FROM e
+"""

@@ -371,3 +371,10 @@ def test_weighted_sample_takeordered(spark):
     # never a global sort of the corpus
     r = assert_plan(Q["weighted_sample"](spark, SF_SMOKE), max_scans=1)
     assert "TakeOrderedAndProject" in r.raw
+
+
+def test_ewma_series_bounded_state(spark):
+    # EWMA folds the BOUNDED per-key daily series (one agg shuffle + one
+    # per-key array fold) — never a sequential pass over raw events; the
+    # whole plan is two exchanges (daily agg, series collect) and one scan
+    assert_plan(Q["ewma_series"](spark, SF_SMOKE), max_exchanges=2, max_scans=1)
