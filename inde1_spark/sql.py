@@ -136,6 +136,30 @@ SPARK_SQL: dict[str, str] = {
         SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1
     """,
+    "pivot_source_lang": """
+        SELECT source,
+               coalesce(de, CAST(0 AS BIGINT)) AS de,
+               coalesce(en, CAST(0 AS BIGINT)) AS en,
+               coalesce(es, CAST(0 AS BIGINT)) AS es,
+               coalesce(fr, CAST(0 AS BIGINT)) AS fr,
+               coalesce(zh, CAST(0 AS BIGINT)) AS zh
+        FROM (SELECT source, lang FROM documents)
+        PIVOT (count(1) FOR lang IN ('de' AS de, 'en' AS en, 'es' AS es,
+                                     'fr' AS fr, 'zh' AS zh))
+    """,
+    "weighted_sample": """
+        WITH keyed AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(CAST(round(ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1)
+                                    / 4294967297.0) * 1e9, 0) AS BIGINT) AS DOUBLE)
+                   / 1e9 / CAST(n_chars AS DOUBLE) AS es_key
+          FROM documents
+        ),
+        picked AS (SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 50)
+        SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, n_chars, es_key
+        FROM picked
+    """,
 }
 
 
