@@ -335,34 +335,49 @@ NORM_OUTLIER_PCT = 20  # flag norms more than this % away from the corpus mean
 def embedding_outliers(
     embeddings: DataFrame, pct: int = NORM_OUTLIER_PCT
 ) -> DataFrame:
-    """Norm-based embedding outlier audit: vectors whose L2 norm sits more
-    than ``pct`` percent from the corpus mean norm (broken encoders emit
+    """Norm audit: corpus norm envelope + count of vectors whose L2 norm
+    sits more than ``pct`` percent from the mean (broken encoders emit
     zero / exploded vectors; cosine similarity silently hides them).
 
-    Norms are exact fixed-point (norm_exact); the mean norm is one 1-row
-    broadcast (sum/count of exact values, single double division); the
-    comparison is |norm - mean| * 100 > pct * mean on engine-identical
-    doubles. Row-local except the 1-row aggregate — one corpus pass.
+    One-row audit shape (not a filtered row set — a clean unit-normalized
+    corpus would legitimately emit zero rows and prove nothing): n_vecs,
+    mean/min/max norm, outlier count. Norms are exact fixed-point
+    (norm_exact); the mean divides the floor(x*1e9+0.5)-snapped long sum
+    once (round() diverges on .5 boundaries, floor is IEEE-exact both
+    engines); the outlier predicate compares engine-identical doubles.
+    Row-local except the final 1-row aggregate — one corpus pass.
     """
-    e = embeddings.select(
-        "vec_id", norm_exact(F.col("embedding")).alias("nrm")
-    )
+    nrm_nano = F.floor(
+        norm_exact(F.col("embedding")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    e = embeddings.select("vec_id", nrm_nano.alias("nn"))
     stats = e.agg(
-        (
-            F.sum(
-                # floor(x+0.5), not round(x): engine round() semantics
-                # diverge on .5 boundaries (DESIGN §3); floor is IEEE-exact
-                F.floor(F.col("nrm") * F.lit(1e9) + F.lit(0.5)).cast("long")
-            ).cast("double")
-            / F.count("*").cast("double")
-            / F.lit(1e9)
-        ).alias("mean_nrm")
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("nn").cast("long").alias("sum_nano"),
+        F.min("nn").alias("min_nano"),
+        F.max("nn").alias("max_nano"),
     )
-    return (
+    mean = F.col("sum_nano").cast("double") / F.col("n_vecs").cast("double")
+    counted = (
         e.join(F.broadcast(stats))
-        .filter(
-            F.abs(F.col("nrm") - F.col("mean_nrm")) * F.lit(100.0)
-            > F.lit(float(pct)) * F.col("mean_nrm")
+        .select(
+            "vec_id",
+            "n_vecs",
+            "min_nano",
+            "max_nano",
+            "sum_nano",
+            (
+                F.abs(F.col("nn").cast("double") - mean) * F.lit(100.0)
+                > F.lit(float(pct)) * mean
+            ).alias("is_outlier"),
         )
-        .select("vec_id", "nrm", "mean_nrm")
+        .groupBy("n_vecs", "min_nano", "max_nano", "sum_nano")
+        .agg(F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"))
+    )
+    return counted.select(
+        "n_vecs",
+        (F.col("sum_nano").cast("double") / F.col("n_vecs").cast("double") / F.lit(1e9)).alias("mean_nrm"),
+        (F.col("min_nano").cast("double") / F.lit(1e9)).alias("min_nrm"),
+        (F.col("max_nano").cast("double") / F.lit(1e9)).alias("max_nrm"),
+        "n_outliers",
     )

@@ -2307,14 +2307,24 @@ FROM per, tot
 
 ORACLES["embedding_outliers"] = f"""
 WITH {_NORMS.strip().rstrip()},
+nn AS (SELECT vec_id, CAST(floor(nrm * 1e9 + 0.5) AS BIGINT) AS nn FROM norms),
 stats AS (
-  SELECT CAST(SUM(CAST(floor(nrm * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_nrm
-  FROM norms
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(nn) AS BIGINT) AS sum_nano,
+         MIN(nn) AS min_nano, MAX(nn) AS max_nano
+  FROM nn
 )
-SELECT vec_id, nrm, mean_nrm
-FROM norms, stats
-WHERE ABS(nrm - mean_nrm) * 100.0 > 20.0 * mean_nrm
+SELECT n_vecs,
+       CAST(sum_nano AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e9 AS mean_nrm,
+       CAST(min_nano AS DOUBLE) / 1e9 AS min_nrm,
+       CAST(max_nano AS DOUBLE) / 1e9 AS max_nrm,
+       CAST(SUM(CASE WHEN ABS(CAST(nn AS DOUBLE)
+                              - CAST(sum_nano AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                          * 100.0
+                     > 20.0 * (CAST(sum_nano AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM nn, stats
+GROUP BY n_vecs, sum_nano, min_nano, max_nano
 """
 
 
