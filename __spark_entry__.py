@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
+        "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
         "cluster_balance": lambda sp, d: CL.cluster_balance(
             _t(sp, d, "embeddings")
         ),

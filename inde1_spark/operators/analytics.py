@@ -1033,23 +1033,11 @@ def approx_percentiles(events: DataFrame) -> DataFrame:
 EWMA_ALPHA_PCT = 30  # smoothing weight, percent (alpha = 0.3)
 
 
-def ewma_series(events: DataFrame, alpha_pct: int = EWMA_ALPHA_PCT) -> DataFrame:
-    """Exponentially weighted moving average of the daily value series per
-    event type — the smoothing pass of every monitoring dashboard.
-
-    EWMA is inherently sequential (e_t = a*x_t + (1-a)*e_{t-1}), which is
-    exactly what a distributed engine must NOT do over raw events. The
-    scale spelling: aggregate the corpus to the bounded per-key daily
-    series first (one map-side-combined shuffle; 30 rows per key however
-    big the fact table), then fold the ORDERED series row-locally inside
-    one array aggregate per key. State never exceeds |days| per key.
-
-    Determinism: daily sums are exact decimals; the fold carries the EWMA
-    as a MICRO-SCALED LONG (floor(x*1e6+0.5) — IEEE-exact both engines,
-    round() is not), so every step re-derives the same long from the same
-    doubles in the same order in any engine. The DuckDB twin is a
-    recursive CTE over the same day ranks.
-    """
+def _ewma_folded(events: DataFrame, alpha_pct: int) -> DataFrame:
+    """(event_type, out): per-key ordered daily series folded to
+    array<struct<day, v, prev_micro, ewma_micro>> — prev_micro is the
+    PRE-update state (the one-step-ahead forecast for that day; 0-and-first
+    for the opening day). Shared by ewma_series and ewma_anomaly."""
     a = alpha_pct / 100.0
     daily = (
         events.groupBy("event_type", _day_str().alias("day"))
@@ -1058,11 +1046,13 @@ def ewma_series(events: DataFrame, alpha_pct: int = EWMA_ALPHA_PCT) -> DataFrame
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
     )
+    out_t = "array<struct<day:string,v:double,prev_micro:bigint,ewma_micro:bigint>>"
     init = F.struct(
         F.lit(0).cast("long").alias("prev_micro"),
         F.lit(True).alias("first"),
-        F.array().cast("array<struct<day:string,ewma_micro:bigint>>").alias("out"),
+        F.array().cast(out_t).alias("out"),
     )
+
     def _step(acc, x):
         e_new = F.when(
             acc["first"],
@@ -1082,16 +1072,88 @@ def ewma_series(events: DataFrame, alpha_pct: int = EWMA_ALPHA_PCT) -> DataFrame
             F.lit(False).alias("first"),
             F.concat(
                 acc["out"],
-                F.array(F.struct(x["day"].alias("day"), e_new.alias("ewma_micro"))),
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        F.when(acc["first"], F.lit(None).cast("long"))
+                        .otherwise(acc["prev_micro"])
+                        .alias("prev_micro"),
+                        e_new.alias("ewma_micro"),
+                    )
+                ),
             ).alias("out"),
         )
-    folded = series.select(
-        "event_type",
-        F.aggregate(F.col("s"), init, _step)["out"].alias("out"),
+
+    return series.select(
+        "event_type", F.aggregate(F.col("s"), init, _step)["out"].alias("out")
     )
+
+
+
+
+def ewma_series(events: DataFrame, alpha_pct: int = EWMA_ALPHA_PCT) -> DataFrame:
+    """Exponentially weighted moving average of the daily value series per
+    event type — the smoothing pass of every monitoring dashboard.
+
+    EWMA is inherently sequential (e_t = a*x_t + (1-a)*e_{t-1}), which is
+    exactly what a distributed engine must NOT do over raw events. The
+    scale spelling: aggregate the corpus to the bounded per-key daily
+    series first (one map-side-combined shuffle; 30 rows per key however
+    big the fact table), then fold the ORDERED series row-locally inside
+    one array aggregate per key. State never exceeds |days| per key.
+
+    Determinism: daily sums are exact decimals; the fold carries the EWMA
+    as a MICRO-SCALED LONG (floor(x*1e6+0.5) — IEEE-exact both engines,
+    round() is not), so every step re-derives the same long from the same
+    doubles in the same order in any engine. The DuckDB twin is a
+    recursive CTE over the same day ranks.
+    """
+    folded = _ewma_folded(events, alpha_pct)
     ex = folded.select("event_type", F.explode("out").alias("o"))
     return ex.select(
         "event_type",
         F.col("o")["day"].alias("day"),
         (F.col("o")["ewma_micro"].cast("double") / F.lit(1e6)).alias("ewma"),
+    )
+
+
+ANOMALY_PCT = 40  # flag days whose value misses the EWMA forecast by > 40%
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    alpha_pct: int = EWMA_ALPHA_PCT,
+    tol_pct: int = ANOMALY_PCT,
+) -> DataFrame:
+    """Forecast-residual anomaly detection on the daily value series: a day
+    is anomalous when its value misses the previous day's EWMA (the
+    one-step-ahead forecast) by more than ``tol_pct`` percent — the
+    metric-alerting pattern (the reference alerts per event; this alerts
+    per TREND break).
+
+    Same bounded-series fold as ``ewma_series`` (the helper carries the
+    pre-update forecast per day); the flag compares engine-identical
+    doubles derived from the snapped longs. Opening days have no forecast
+    and are never flagged. Output is the flagged days only, with their
+    forecast and realized value.
+    """
+    folded = _ewma_folded(events, alpha_pct)
+    ex = folded.select("event_type", F.explode("out").alias("o"))
+    forecast = F.col("o")["prev_micro"].cast("double") / F.lit(1e6)
+    v = F.col("o")["v"]
+    return (
+        ex.filter(
+            F.col("o")["prev_micro"].isNotNull()
+            & (
+                F.abs(v - forecast) * F.lit(100.0)
+                > F.lit(float(tol_pct)) * forecast
+            )
+        )
+        .select(
+            "event_type",
+            F.col("o")["day"].alias("day"),
+            v.alias("value"),
+            forecast.alias("forecast"),
+        )
     )

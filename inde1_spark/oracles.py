@@ -2355,3 +2355,35 @@ e AS (
 )
 SELECT event_type, day, CAST(ewma_micro AS DOUBLE) / 1e6 AS ewma FROM e
 """
+
+
+ORACLES["ewma_anomaly"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, {_DAY} AS day, {_dsum("value")} AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+e AS (
+  SELECT event_type, day, rn, v,
+         CAST(NULL AS BIGINT) AS prev_micro,
+         CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS ewma_micro
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.rn, r.v,
+         e.ewma_micro AS prev_micro,
+         CAST(floor(({_EW_A!r} * r.v
+                     + {1.0 - _EW_A!r} * (CAST(e.ewma_micro AS DOUBLE) / 1e6))
+                    * 1e6 + 0.5) AS BIGINT)
+  FROM ranked r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, day, v AS value,
+       CAST(prev_micro AS DOUBLE) / 1e6 AS forecast
+FROM e
+WHERE prev_micro IS NOT NULL
+  AND ABS(v - CAST(prev_micro AS DOUBLE) / 1e6) * 100.0
+      > 40.0 * (CAST(prev_micro AS DOUBLE) / 1e6)
+"""
