@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
+        "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
         "cluster_balance": lambda sp, d: CL.cluster_balance(

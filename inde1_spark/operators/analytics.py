@@ -1157,3 +1157,83 @@ def ewma_anomaly(
             forecast.alias("forecast"),
         )
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """Ordered-funnel conversion: users whose FIRST occurrence of each step
+    strictly follows their first occurrence of the previous step — the
+    product-analytics funnel as one aggregation pass.
+
+    Per-user state is four conditional MINs in a single groupBy (no joins,
+    no per-step subqueries — the self-join spelling scans the corpus once
+    per step); the step predicate chain evaluates row-locally on the
+    per-user row, and the final rollup is a 1-row aggregate exploded into
+    one row per step. Strict < on the (engine-identical, us-truncated)
+    timestamps keeps the order test deterministic; equal first-times do
+    not count as progression. Conversion is exact integer round vs the
+    step-1 population.
+    """
+    firsts = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+        for i, s in enumerate(FUNNEL_STEPS)
+    ]
+    per_user = events.groupBy("user_id").agg(*firsts)
+    done = [F.col("t0").isNotNull()]
+    for i in range(1, len(FUNNEL_STEPS)):
+        done.append(done[i - 1] & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    counts = per_user.agg(
+        *[F.sum(d.cast("long")).cast("long").alias(f"c{i}") for i, d in enumerate(done)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    ex = counts.select(F.col("c0").alias("base"), F.explode(rows).alias("r"))
+    return ex.select(
+        F.col("r")["step"].alias("step"),
+        F.col("r")["step_name"].alias("step_name"),
+        F.col("r")["n_users"].alias("n_users"),
+        ratio_round(
+            F.col("r")["n_users"], F.greatest(F.col("base"), F.lit(1).cast("long")), 4
+        ).alias("conversion"),
+    )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def retention_cohorts(
+    events: DataFrame, max_offset: int = RETENTION_MAX_OFFSET
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active day,
+    counted on each subsequent day they return (offset 0..max_offset).
+
+    The standard growth-analytics triangle. Distinct (user, day) first —
+    the corpus collapses to at most users x days rows before anything
+    else; the cohort join is an equi-join on the user key (same key as the
+    preceding groupBy, so it rides the same partitioning); the final count
+    is map-side-combined over a (cohorts x offsets)-bounded key space.
+    """
+    activity = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    joined = activity.join(first, "user_id")
+    off = F.datediff(F.col("d"), F.col("cohort_d"))
+    return (
+        joined.filter(off <= max_offset)
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

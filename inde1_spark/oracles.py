@@ -2387,3 +2387,36 @@ WHERE prev_micro IS NOT NULL
   AND ABS(v - CAST(prev_micro AS DOUBLE) / 1e6) * 100.0
       > 40.0 * (CAST(prev_micro AS DOUBLE) / 1e6)
 """
+
+
+ORACLES["funnel_steps"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM per_user
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, c0 AS n_users, (CAST((((c0) * 20000 + (GREATEST(c0, 1))) // (2 * (GREATEST(c0, 1)))) AS DOUBLE) / 10000.0) AS conversion FROM c UNION ALL SELECT CAST(2 AS BIGINT) AS step, 'view' AS step_name, c1 AS n_users, (CAST((((c1) * 20000 + (GREATEST(c0, 1))) // (2 * (GREATEST(c0, 1)))) AS DOUBLE) / 10000.0) AS conversion FROM c UNION ALL SELECT CAST(3 AS BIGINT) AS step, 'click' AS step_name, c2 AS n_users, (CAST((((c2) * 20000 + (GREATEST(c0, 1))) // (2 * (GREATEST(c0, 1)))) AS DOUBLE) / 10000.0) AS conversion FROM c UNION ALL SELECT CAST(4 AS BIGINT) AS step, 'purchase' AS step_name, c3 AS n_users, (CAST((((c3) * 20000 + (GREATEST(c0, 1))) // (2 * (GREATEST(c0, 1)))) AS DOUBLE) / 10000.0) AS conversion FROM c
+"""
+
+ORACLES["retention_cohorts"] = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+firsts AS (SELECT user_id, MIN(d) AS cohort_d FROM activity GROUP BY 1)
+SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_d, a.d) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_d, a.d) <= 7
+GROUP BY 1, 2
+"""

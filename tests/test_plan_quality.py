@@ -378,3 +378,13 @@ def test_ewma_series_bounded_state(spark):
     # per-key array fold) — never a sequential pass over raw events; the
     # whole plan is two exchanges (daily agg, series collect) and one scan
     assert_plan(Q["ewma_series"](spark, SF_SMOKE), max_exchanges=2, max_scans=1)
+
+
+def test_funnel_steps_single_pass(spark):
+    # four conditional mins in ONE groupBy — never a scan or join per step
+    assert_plan(Q["funnel_steps"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_retention_cohorts_same_key_join(spark):
+    # the cohort join is an equi-join on the user key; nothing cartesian
+    assert_plan(Q["retention_cohorts"](spark, SF_SMOKE), forbid_cartesian=True)
