@@ -136,6 +136,28 @@ SPARK_SQL: dict[str, str] = {
         SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1
     """,
+    "funnel_steps": """
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+          FROM per_user
+        )
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, c0 AS n_users,
+               CAST(((c0 * 20000 + GREATEST(c0, 1)) DIV (2 * GREATEST(c0, 1))) AS DOUBLE) / 10000.0 AS conversion FROM c
+        UNION ALL SELECT 2, 'view', c1, CAST(((c1 * 20000 + GREATEST(c0, 1)) DIV (2 * GREATEST(c0, 1))) AS DOUBLE) / 10000.0 FROM c
+        UNION ALL SELECT 3, 'click', c2, CAST(((c2 * 20000 + GREATEST(c0, 1)) DIV (2 * GREATEST(c0, 1))) AS DOUBLE) / 10000.0 FROM c
+        UNION ALL SELECT 4, 'purchase', c3, CAST(((c3 * 20000 + GREATEST(c0, 1)) DIV (2 * GREATEST(c0, 1))) AS DOUBLE) / 10000.0 FROM c
+    """,
     "pivot_source_lang": """
         SELECT source,
                coalesce(de, CAST(0 AS BIGINT)) AS de,
