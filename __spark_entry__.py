@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
         "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
+        "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
         "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),

@@ -1237,3 +1237,37 @@ def retention_cohorts(
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the sequence-model summary behind
+    "what do users do after X" questions.
+
+    One window pass per user in (ts, event_id) total order pairs each
+    event with its successor (lead — state never leaves the executor),
+    then a map-side-combined count over the |types|^2 key space. The
+    row probability is an exact integer ratio against the from-type
+    total, joined back from a types-sized broadcast.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        ratio_round(F.col("n"), F.col("tot"), 4).alias("p"),
+    )

@@ -2420,3 +2420,20 @@ FROM activity a JOIN firsts f ON a.user_id = f.user_id
 WHERE date_diff('day', f.cohort_d, a.d) <= 7
 GROUP BY 1, 2
 """
+
+
+ORACLES["transition_matrix"] = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, {_rr("c.n", "t.tot", 4)} AS p
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""

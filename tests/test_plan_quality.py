@@ -388,3 +388,9 @@ def test_funnel_steps_single_pass(spark):
 def test_retention_cohorts_same_key_join(spark):
     # the cohort join is an equi-join on the user key; nothing cartesian
     assert_plan(Q["retention_cohorts"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_transition_matrix_single_window_pass(spark):
+    # one per-user window + a types^2 count; the totals hop broadcasts
+    r = assert_plan(Q["transition_matrix"](spark, SF_SMOKE), max_scans=1)
+    assert r.sort_merge_joins == 0
