@@ -1247,8 +1247,10 @@ def transition_matrix(events: DataFrame) -> DataFrame:
     One window pass per user in (ts, event_id) total order pairs each
     event with its successor (lead — state never leaves the executor),
     then a map-side-combined count over the |types|^2 key space. The
-    row probability is an exact integer ratio against the from-type
-    total, joined back from a types-sized broadcast.
+    from-type total comes from a window over the COUNT table (|types|^2
+    rows however large the corpus — a join spelling would re-derive the
+    count subtree and scan the corpus twice), and the row probability is
+    an exact integer ratio.
     """
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -1264,10 +1266,10 @@ def transition_matrix(events: DataFrame) -> DataFrame:
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").cast("long").alias("n")
     )
-    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
-    return counts.join(F.broadcast(totals), "from_type").select(
+    tot = F.sum("n").over(Window.partitionBy("from_type")).cast("long")
+    return counts.select(
         "from_type",
         "to_type",
         "n",
-        ratio_round(F.col("n"), F.col("tot"), 4).alias("p"),
+        ratio_round(F.col("n"), tot, 4).alias("p"),
     )
