@@ -1273,3 +1273,47 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         "n",
         ratio_round(F.col("n"), tot, 4).alias("p"),
     )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Daily time-weighted average of the measure per event type — the
+    time-series aggregate (TimescaleDB's time_weight with last-observation-
+    carried-forward) that a plain AVG gets wrong on irregular samples: a
+    value that HELD for ten minutes must weigh ten times one that held for
+    a minute.
+
+    Each observation carries its value until the next observation of the
+    same type (lead over the per-type (ts, event_id) total order — one
+    window pass); the holding interval is clipped to its calendar day (the
+    portion crossing midnight is dropped rather than split — one output
+    row per observation keeps the plan join-free; the day-splitting
+    variant is an explode over a 2-element array, same shape). Weighted
+    sums accumulate value x held-seconds as exact decimals; the division
+    happens once per (type, day).
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    day_end = F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")
+    held_until = F.least(nxt, day_end)
+    secs = (
+        F.unix_timestamp(held_until) - F.unix_timestamp(F.col("ts"))
+    ).cast("long")
+    obs = events.select(
+        "event_type",
+        _day_str().alias("day"),
+        F.col("value"),
+        secs.alias("held_secs"),
+    ).filter(F.col("held_secs") > 0)
+    return obs.groupBy("event_type", "day").agg(
+        F.sum(F.col("held_secs").cast("decimal(18,0)")).cast("long").alias("total_secs"),
+        (
+            F.sum(
+                (F.col("value") * F.col("held_secs").cast("double")).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.sum(F.col("held_secs").cast("decimal(18,0)")).cast("double")
+        ).alias("twa_value"),
+    )

@@ -2437,3 +2437,22 @@ totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 
 SELECT c.from_type, c.to_type, c.n, {_rr("c.n", "t.tot", 4)} AS p
 FROM counts c JOIN totals t ON c.from_type = t.from_type
 """
+
+
+ORACLES["time_weighted_avg"] = f"""
+WITH obs AS (
+  SELECT event_type, {_DAY} AS day, value,
+         date_diff('second', ts,
+                   LEAST(lead(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts ASC, event_id ASC),
+                         date_trunc('day', ts) + INTERVAL 1 DAY)) AS held_secs
+  FROM events
+)
+SELECT event_type, day,
+       CAST(SUM(CAST(held_secs AS DECIMAL(18,0))) AS BIGINT) AS total_secs,
+       CAST(SUM(CAST(value * CAST(held_secs AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(SUM(CAST(held_secs AS DECIMAL(18,0))) AS DOUBLE) AS twa_value
+FROM obs
+WHERE held_secs > 0
+GROUP BY 1, 2
+"""

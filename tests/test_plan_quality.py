@@ -394,3 +394,8 @@ def test_transition_matrix_single_window_pass(spark):
     # one per-user window + a types^2 count; the totals hop broadcasts
     r = assert_plan(Q["transition_matrix"](spark, SF_SMOKE), max_scans=1)
     assert r.sort_merge_joins == 0
+
+
+def test_time_weighted_avg_single_pass(spark):
+    # one per-type window + one (type, day) aggregate; no joins, one scan
+    assert_plan(Q["time_weighted_avg"](spark, SF_SMOKE), max_scans=1)
