@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
         "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
         "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
+        "gap_histogram": lambda sp, d: A.gap_histogram(_t(sp, d, "events")),
         "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),

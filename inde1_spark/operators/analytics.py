@@ -1317,3 +1317,52 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
             / F.sum(F.col("held_secs").cast("decimal(18,0)")).cast("double")
         ).alias("twa_value"),
     )
+
+
+GAP_BUCKETS = (10, 60, 600, 3600, 86400)  # seconds: <=10s, <=1m, <=10m, <=1h, <=1d
+
+
+def gap_histogram(events: DataFrame) -> DataFrame:
+    """Inter-arrival time distribution per event type: how long between
+    consecutive events of the same type — the burstiness/liveness profile
+    behind capacity planning and watermark sizing.
+
+    One lead-window pass in the per-type total order computes each gap in
+    whole seconds (unix_timestamp diffs — both engines floor); bucketing
+    is a row-local CASE over fixed edges (log-spaced buckets, the
+    latency-histogram convention), and the final count is map-side-
+    combined over a types x buckets key space. Gap share is an exact
+    integer ratio via a per-type window over the bucket table.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_expr = (
+        F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+    ).cast("long")
+    # bucket over the PROJECTED gap column (a Column built from the raw
+    # window expression would not resolve after the projection)
+    gap = F.col("gap")
+    bucket = F.lit(f"<={GAP_BUCKETS[0]}s")
+    for lo, label in [
+        (GAP_BUCKETS[i], f"<={GAP_BUCKETS[i + 1]}s")
+        for i in range(len(GAP_BUCKETS) - 1)
+    ]:
+        bucket = F.when(gap > lo, F.lit(label)).otherwise(bucket)
+    bucket = F.when(gap > GAP_BUCKETS[-1], F.lit(f">{GAP_BUCKETS[-1]}s")).otherwise(
+        bucket
+    )
+    counts = (
+        events.select("event_type", gap_expr.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+    )
+    tot = F.sum("n_gaps").over(Window.partitionBy("event_type")).cast("long")
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n_gaps",
+        ratio_round(F.col("n_gaps"), tot, 4).alias("share"),
+    )

@@ -2456,3 +2456,21 @@ FROM obs
 WHERE held_secs > 0
 GROUP BY 1, 2
 """
+
+
+ORACLES["gap_histogram"] = """
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts ASC, event_id ASC)) AS gap
+  FROM events
+),
+counts AS (
+  SELECT event_type, CASE WHEN gap > 86400 THEN '>86400s' WHEN gap > 3600 THEN '<=86400s' WHEN gap > 600 THEN '<=3600s' WHEN gap > 60 THEN '<=600s' WHEN gap > 10 THEN '<=60s' ELSE '<=10s' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_gaps,
+       (CAST((((n_gaps) * 20000 + (SUM(n_gaps) OVER (PARTITION BY event_type))) // (2 * (SUM(n_gaps) OVER (PARTITION BY event_type)))) AS DOUBLE) / 10000.0) AS share
+FROM counts
+"""

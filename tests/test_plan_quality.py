@@ -399,3 +399,8 @@ def test_transition_matrix_single_window_pass(spark):
 def test_time_weighted_avg_single_pass(spark):
     # one per-type window + one (type, day) aggregate; no joins, one scan
     assert_plan(Q["time_weighted_avg"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_gap_histogram_single_pass(spark):
+    # one per-type lead window + a types x buckets count; one scan, no joins
+    assert_plan(Q["gap_histogram"](spark, SF_SMOKE), max_scans=1)
