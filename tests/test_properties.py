@@ -171,3 +171,43 @@ def test_word_ngrams_equal_python_spec_ordered(spark, texts, n):
             " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
         ]
         assert got[i] == want, (t, n)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=8),   # chunk
+    st.integers(min_value=1, max_value=8),   # stride
+)
+@SETTINGS
+def test_chunk_tokens_equal_python_spec(spark, texts, chunk, stride):
+    """chunk_tokens == the sliding-window python spec for arbitrary
+    chunk/stride combinations (stride > chunk = gaps, stride < chunk =
+    overlap): starts at 1, 1+stride, ...; lengths clipped at the end;
+    text is the joined token slice; empty docs emit nothing."""
+    from inde1_spark.operators.corpus import chunk_tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["tok_start"], r["chunk_len"], r["chunk_text"])
+        for r in chunk_tokens(df, chunk=chunk, stride=stride).collect()
+    )
+    want = []
+    for i, t in rows:
+        toks = [w for w in t.split(" ") if w]
+        for start in range(1, len(toks) + 1, stride):
+            ln = min(chunk, len(toks) - start + 1)
+            want.append(
+                (
+                    i,
+                    (start - 1) // stride,
+                    start,
+                    ln,
+                    " ".join(toks[start - 1 : start - 1 + ln]),
+                )
+            )
+    assert got == sorted(want), (texts, chunk, stride)
