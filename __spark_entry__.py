@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
         "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
         "gap_histogram": lambda sp, d: A.gap_histogram(_t(sp, d, "events")),
+        "weekly_growth": lambda sp, d: A.weekly_growth(_t(sp, d, "events")),
+        "attribution_first_touch": lambda sp, d: A.attribution_first_touch(
+            _t(sp, d, "events")
+        ),
         "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),

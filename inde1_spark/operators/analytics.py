@@ -1366,3 +1366,62 @@ def gap_histogram(events: DataFrame) -> DataFrame:
         "n_gaps",
         ratio_round(F.col("n_gaps"), tot, 4).alias("share"),
     )
+
+
+def weekly_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week growth of event volume and value per event type —
+    the trend table behind every KPI review.
+
+    Weekly totals first (map-side-combined; weeks x types rows however
+    big the corpus), then one lag window over the bounded weekly series.
+    Growth = (cur - prev) / prev on exact decimal-derived doubles —
+    identical inputs, one IEEE division, engine-identical. Opening weeks
+    (no prev) report null growth rather than a fake zero.
+    """
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    weekly = events.groupBy("event_type", week.alias("week_start")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("week_start").asc())
+    prev_n = F.lag("n_events").over(w)
+    prev_v = F.lag("sum_value").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        "sum_value",
+        ((F.col("n_events") - prev_n).cast("double") / prev_n.cast("double")).alias(
+            "events_growth"
+        ),
+        ((F.col("sum_value") - prev_v) / prev_v).alias("value_growth"),
+    )
+
+
+def attribution_first_touch(events: DataFrame) -> DataFrame:
+    """First-touch attribution: purchases credited to the type of the
+    user's FIRST-ever event — the marketing-attribution primitive.
+
+    One window pass tags every event with its user's first event type
+    (first_value over the per-user (ts, event_id) total order — state
+    stays on the executor); purchases then count by that tag, with an
+    exact integer share of all purchases via a window over the tiny
+    attribution table.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.withColumn("first_touch", F.first("event_type").over(w))
+    counts = (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )
+    tot = F.sum("n_purchases").over(Window.partitionBy()).cast("long")
+    return counts.select(
+        "first_touch",
+        "n_purchases",
+        ratio_round(F.col("n_purchases"), tot, 4).alias("share"),
+    )

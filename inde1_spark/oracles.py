@@ -2474,3 +2474,40 @@ SELECT event_type, bucket, n_gaps,
        (CAST((((n_gaps) * 20000 + (SUM(n_gaps) OVER (PARTITION BY event_type))) // (2 * (SUM(n_gaps) OVER (PARTITION BY event_type)))) AS DOUBLE) / 10000.0) AS share
 FROM counts
 """
+
+
+# weekly_growth: Spark's date_trunc('week') is ISO-Monday; DuckDB date_trunc
+# 'week' is also Monday-based — same boundary.
+ORACLES["weekly_growth"] = f"""
+WITH weekly AS (
+  SELECT event_type,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {_dsum("value")} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_start, n_events, sum_value,
+       CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+         / CAST(lag(n_events) OVER w AS DOUBLE) AS events_growth,
+       (sum_value - lag(sum_value) OVER w) / lag(sum_value) OVER w AS value_growth
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start ASC)
+"""
+
+ORACLES["attribution_first_touch"] = f"""
+WITH tagged AS (
+  SELECT event_type,
+         first_value(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS first_touch
+  FROM events
+),
+counts AS (
+  SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT first_touch, n_purchases,
+       {_rr("n_purchases", "SUM(n_purchases) OVER ()", 4)} AS share
+FROM counts
+"""

@@ -404,3 +404,12 @@ def test_time_weighted_avg_single_pass(spark):
 def test_gap_histogram_single_pass(spark):
     # one per-type lead window + a types x buckets count; one scan, no joins
     assert_plan(Q["gap_histogram"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_weekly_growth_bounded_window(spark):
+    # lag runs over the weeks x types aggregate, never raw events
+    assert_plan(Q["weekly_growth"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_attribution_first_touch_single_pass(spark):
+    assert_plan(Q["attribution_first_touch"](spark, SF_SMOKE), max_scans=1)
