@@ -1425,3 +1425,44 @@ def attribution_first_touch(events: DataFrame) -> DataFrame:
         "n_purchases",
         ratio_round(F.col("n_purchases"), tot, 4).alias("share"),
     )
+
+
+def dau_wau(events: DataFrame) -> DataFrame:
+    """Daily and trailing-7-day active users with the DAU/WAU stickiness
+    ratio — the canonical engagement metric.
+
+    Distinct (user, day) first (the corpus collapses to users x days);
+    each active day then CONTRIBUTES to its 7 trailing windows via a
+    row-local sequence+explode — an equi-groupBy on the window day, where
+    the naive spelling (days x activity with a BETWEEN condition) is a
+    nested-loop theta join. Distinct users per window day = one more
+    distinct on the 7x-expanded bounded table. Stickiness is an exact
+    integer ratio.
+    """
+    activity = events.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    contrib = (
+        activity.select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wd"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("wd").agg(F.count("*").cast("long").alias("wau"))
+    dau = activity.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.wd)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            ratio_round(F.col("dau"), F.col("wau"), 4).alias("stickiness"),
+        )
+    )

@@ -2511,3 +2511,20 @@ SELECT first_touch, n_purchases,
        {_rr("n_purchases", "SUM(n_purchases) OVER ()", 4)} AS share
 FROM counts
 """
+
+
+ORACLES["dau_wau"] = f"""
+WITH activity AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+contrib AS (
+  SELECT DISTINCT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wd,
+         user_id
+  FROM activity
+),
+wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY 1),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY 1)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       {_rr("dau.dau", "wau.wau", 4)} AS stickiness
+FROM dau JOIN wau ON dau.d = wau.wd
+"""

@@ -413,3 +413,9 @@ def test_weekly_growth_bounded_window(spark):
 
 def test_attribution_first_touch_single_pass(spark):
     assert_plan(Q["attribution_first_touch"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_dau_wau_no_theta_join(spark):
+    # trailing-window membership via sequence+explode equi-group — the
+    # BETWEEN-join spelling would plan a nested-loop over days x activity
+    assert_plan(Q["dau_wau"](spark, SF_SMOKE), forbid_cartesian=True)
