@@ -136,6 +136,18 @@ SPARK_SQL: dict[str, str] = {
         SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1
     """,
+    "retention_cohorts": """
+        WITH activity AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        ),
+        firsts AS (SELECT user_id, MIN(d) AS cohort_d FROM activity GROUP BY user_id)
+        SELECT date_format(f.cohort_d, 'yyyy-MM-dd') AS cohort_day,
+               CAST(datediff(a.d, f.cohort_d) AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM activity a JOIN firsts f ON a.user_id = f.user_id
+        WHERE datediff(a.d, f.cohort_d) <= 7
+        GROUP BY 1, 2
+    """,
     "funnel_steps": """
         WITH per_user AS (
           SELECT user_id,
