@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_histogram": lambda sp, d: A.gap_histogram(_t(sp, d, "events")),
         "weekly_growth": lambda sp, d: A.weekly_growth(_t(sp, d, "events")),
         "dau_wau": lambda sp, d: A.dau_wau(_t(sp, d, "events")),
+        "cumulative_users": lambda sp, d: A.cumulative_users(_t(sp, d, "events")),
         "attribution_first_touch": lambda sp, d: A.attribution_first_touch(
             _t(sp, d, "events")
         ),

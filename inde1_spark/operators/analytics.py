@@ -1466,3 +1466,28 @@ def dau_wau(events: DataFrame) -> DataFrame:
             ratio_round(F.col("dau"), F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve.
+
+    Cumulative COUNT DISTINCT is the classic hard aggregate (naively a
+    re-scan per day); the scale spelling assigns each user their FIRST
+    active day (one groupBy on the user key), counts new users per day,
+    and runs one cumulative sum over the bounded day series. Exact, one
+    corpus-volume shuffle, and the window sees |days| rows.
+    """
+    first = (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"))
+    )
+    per_day = first.groupBy(
+        F.date_format("first_d", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("new_users"))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
+    )

@@ -2528,3 +2528,21 @@ SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
        {_rr("dau.dau", "wau.wau", 4)} AS stickiness
 FROM dau JOIN wau ON dau.d = wau.wd
 """
+
+
+ORACLES["cumulative_users"] = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_d
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT strftime(first_d, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day
+"""

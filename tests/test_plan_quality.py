@@ -419,3 +419,9 @@ def test_dau_wau_no_theta_join(spark):
     # trailing-window membership via sequence+explode equi-group — the
     # BETWEEN-join spelling would plan a nested-loop over days x activity
     assert_plan(Q["dau_wau"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_cumulative_users_first_appearance_shape(spark):
+    # cumulative distinct via first-appearance: one user-key shuffle + a
+    # days-bounded window, one scan
+    assert_plan(Q["cumulative_users"](spark, SF_SMOKE), max_scans=1)
