@@ -997,36 +997,41 @@ def approx_percentiles(events: DataFrame) -> DataFrame:
 
     ``approx_percentile`` (KLL-style rank sketch, single pass, mergeable —
     the per-group sort exact percentile needs doesn't exist at corpus
-    scale) returns an actual data value within rank error n/accuracy. The
-    sketch value itself is engine-specific, so the gate checks the
-    contract: the approximation must land within 1% of the group's value
-    RANGE of the exact interpolated percentile (deterministic for fixed
-    data — the sketch has no RNG). Exact values ride along.
+    scale) returns an actual data value whose RANK is within n/accuracy of
+    the target rank. The sketch value itself is engine-specific, so the
+    gate checks that rank contract directly: re-rank the returned value
+    against the group (count of values strictly below / at most it) and
+    assert its rank interval overlaps ``[q*n - n/acc - 1, q*n + n/acc + 1]``.
+    Unlike a value-range tolerance, this holds for ANY distribution at ANY
+    scale factor — it is the algorithm's published guarantee, so the
+    DuckDB oracle's literal TRUE is sound. Exact percentiles ride along.
     """
+    acc = 10000
+    ap = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr(f"approx_percentile(value, array(0.5, 0.9), {acc})").alias("ap"),
+        F.count("*").alias("n"),
+    )
+    err = F.ceil(F.col("n") / F.lit(acc)) + 1  # +1 absorbs floor/ceil edges
+
+    def _rank_ok(q: float, idx: int):
+        v = F.element_at("ap", idx)
+        below = F.sum(F.when(F.col("value") < v, 1).otherwise(0))
+        at_most = F.sum(F.when(F.col("value") <= v, 1).otherwise(0))
+        target = F.lit(q) * F.col("n")
+        # value occupies ranks [below+1, at_most]; contract: that interval
+        # overlaps [target - err, target + err]
+        return (below + 1 <= target + err) & (at_most >= target - err)
+
     return (
-        events.groupBy("event_type")
+        events.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type", "p50", "p90", "ap", "n")
         .agg(
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.9)").alias("p90"),
-            F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("ap"),
-            F.max("value").alias("vmax"),
-            F.min("value").alias("vmin"),
-            F.count("*").alias("n"),
+            _rank_ok(0.5, 1).alias("p50_within_tol"),
+            _rank_ok(0.9, 2).alias("p90_within_tol"),
         )
-        .select(
-            "event_type",
-            (
-                F.abs(F.element_at("ap", 1) - F.col("p50"))
-                <= 0.01 * (F.col("vmax") - F.col("vmin"))
-            ).alias("p50_within_tol"),
-            (
-                F.abs(F.element_at("ap", 2) - F.col("p90"))
-                <= 0.01 * (F.col("vmax") - F.col("vmin"))
-            ).alias("p90_within_tol"),
-            "p50",
-            "p90",
-            "n",
-        )
+        .select("event_type", "p50_within_tol", "p90_within_tol", "p50", "p90", "n")
     )
 
 
@@ -1184,8 +1189,15 @@ def funnel_steps(events: DataFrame) -> DataFrame:
     done = [F.col("t0").isNotNull()]
     for i in range(1, len(FUNNEL_STEPS)):
         done.append(done[i - 1] & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    # when/otherwise(0), not a bare cast: the predicate is NULL (not false)
+    # for a user whose prior steps completed but step-i never happened, and
+    # an all-NULL SUM is NULL while the oracle's SUM(CASE ... ELSE 0 END)
+    # is 0 — spell the count so degenerate funnels agree exactly.
     counts = per_user.agg(
-        *[F.sum(d.cast("long")).cast("long").alias(f"c{i}") for i, d in enumerate(done)]
+        *[
+            F.sum(F.when(d, 1).otherwise(0)).cast("long").alias(f"c{i}")
+            for i, d in enumerate(done)
+        ]
     )
     rows = F.array(
         *[

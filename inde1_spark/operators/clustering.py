@@ -274,11 +274,17 @@ def cluster_balance(
         F.sum("dist_scaled").cast("long").alias("sum_dist"),
     )
     total = per.agg(F.sum("n_members").cast("long").alias("n_total"))
-    m = F.col("sum_dist") * 2 + F.col("n_members")
-    den = F.col("n_members") * 2
-    return per.join(F.broadcast(total)).select(
-        "cluster",
-        "n_members",
-        ratio_round(F.col("n_members"), F.col("n_total"), 4).alias("share"),
-        ((m - m % den) / den).cast("long").alias("mean_dist_scaled"),
+    # round-half-up(sum/n) = (2*sum + n) div (2*n); `div` stays in LONG
+    # arithmetic end-to-end (a float `/` would lose integer precision past
+    # 2^53 and drift off the DuckDB oracle's exact `//`).
+    return (
+        per.join(F.broadcast(total))
+        .withColumn("_m", F.col("sum_dist") * 2 + F.col("n_members"))
+        .withColumn("_den", F.col("n_members") * 2)
+        .select(
+            "cluster",
+            "n_members",
+            ratio_round(F.col("n_members"), F.col("n_total"), 4).alias("share"),
+            F.expr("_m div _den").cast("long").alias("mean_dist_scaled"),
+        )
     )

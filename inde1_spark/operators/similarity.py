@@ -293,12 +293,12 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     posexplode keeps each value with its coordinate index, and the groupBy
     on the 64-key dimension reduces with map-side partials — the exchange
     carries dims x partitions rows, never corpus volume. Accumulation is
-    fixed-point (value x 1e15 rounded to LONG, summed exactly — the
-    dot_exact convention), so the per-dim sums are bit-identical in any
-    engine and any partitioning; the mean divides once at the end. At
-    corpus scale swap the LONG accumulator for DECIMAL(38,0) (1e15-scaled
-    values overflow 2^63 past ~9k rows x 1.0-magnitude dims — fine at the
-    gate SFs, documented so nobody ships it unchanged).
+    fixed-point (value x 1e15 rounded to LONG, summed in DECIMAL(38,0) —
+    a LONG accumulator would wrap silently past ~9k rows x 1.0-magnitude
+    dims while DuckDB's HUGEINT promotion would hard-error, an asymmetric
+    failure). The exact sum is emitted as a STRING (DuckDB fetches wide
+    decimals as lossy float64, strings compare exactly); the mean divides
+    once at the end in double.
     """
     from inde1_spark.functions.exprs import FIXED_POINT_SCALE
 
@@ -310,16 +310,16 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         ex.groupBy((F.col("dim") + 1).cast("long").alias("dim"))
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
-            F.sum(fx).cast("long").alias("sum_fixed"),
+            F.sum(fx.cast("decimal(38,0)")).alias("sum_dec"),
             F.min(F.col("v").cast("double")).alias("min_v"),
             F.max(F.col("v").cast("double")).alias("max_v"),
         )
         .select(
             "dim",
             "n_vecs",
-            "sum_fixed",
+            F.col("sum_dec").cast("string").alias("sum_fixed"),
             (
-                F.col("sum_fixed").cast("double")
+                F.col("sum_dec").cast("double")
                 / F.col("n_vecs").cast("double")
                 / F.lit(FIXED_POINT_SCALE)
             ).alias("mean_v"),

@@ -1893,17 +1893,20 @@ JOIN sizes sb ON source_b = sb.source
 
 ORACLES["embedding_dim_stats"] = f"""
 WITH agg AS (
+  -- SUM(BIGINT) promotes to HUGEINT in DuckDB: exact at any scale, the
+  -- twin of the Spark side's DECIMAL(38,0) accumulator. The exact sum is
+  -- compared as VARCHAR (wide decimals fetch as lossy float64 in pandas).
   SELECT CAST(i AS BIGINT) AS dim,
          CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
-                             * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS BIGINT) AS sum_fixed,
+         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                        * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS sum_huge,
          MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
          MAX(CAST(embedding[i] AS DOUBLE)) AS max_v
   FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
   GROUP BY i
 )
-SELECT dim, n_vecs, sum_fixed,
-       CAST(sum_fixed AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {FIXED_POINT_SCALE:.1f} AS mean_v,
+SELECT dim, n_vecs, CAST(sum_huge AS VARCHAR) AS sum_fixed,
+       CAST(sum_huge AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {FIXED_POINT_SCALE:.1f} AS mean_v,
        min_v, max_v
 FROM agg
 """
