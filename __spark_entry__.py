@@ -59,7 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= gate window (first 50) =========================
         # --- scale-path dedup (never driver-verified before r03) ---
         "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
-        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_fast(_t(sp, d, "documents")),
+        # contract shape (ground-truth count + recall/precision booleans):
+        # the raw pair output is engine-specific, see dedup_simhash_contract
+        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
+            _t(sp, d, "documents")
+        ),
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
             _t(sp, d, "embeddings")
         ),

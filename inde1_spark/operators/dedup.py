@@ -385,9 +385,11 @@ def dedup_minhash_fast(
     join) -> 32 minhashes (zero-shuffle array projection, see
     ``minhash_signatures_fast``) -> 8 bands of 4 -> bucket join ->
     exact-Jaccard verify. Banding miss probability at j=0.95 is ~5e-7 per
-    pair, so the output equals the exact ``dedup_ngram_jaccard`` ground
-    truth with near-certainty — pinned by tests/test_dedup_fast_path.py;
-    gated rows-only (xxhash64 has no DuckDB twin). The only shuffles left
+    pair, so the output EQUALS the exact ``dedup_ngram_jaccard`` ground
+    truth (pinned by tests/test_dedup_fast_path.py) — which makes the
+    ground-truth SQL itself a valid hash-grade DuckDB oracle for this
+    query even though xxhash64 has no DuckDB twin: every pair row and
+    jaccard value is verified, not just counts. The only shuffles left
     are the band-bucket join and the candidate verify — both bounded by
     collisions, not corpus size.
 
@@ -601,10 +603,13 @@ def dedup_simhash_fast(
     Same banding and Hamming verify as ``dedup_simhash``, but the shingle
     id is hashed row-locally (``abs(xxhash64) % 2^31-1``, the minhash-fast
     convention) — no sorted dictionary, no dictionary join, nothing
-    serializes through one task at corpus scale. Not oracle-checkable
-    (xxhash64 is Spark-specific): gated rows-only, pinned by the recall
-    test against the exact n-gram-Jaccard ground truth. ``max_shingle_df``
-    caps hot boilerplate shingles (always set it at corpus scale).
+    serializes through one task at corpus scale. The pair output is not
+    oracle-checkable (xxhash64 is Spark-specific and Hamming<=3 only
+    approximates the Jaccard truth), so the gate verifies
+    ``dedup_simhash_contract`` — exact ground-truth count plus >=90%
+    recall/precision booleans — and the recall pytest pins the same
+    bound. ``max_shingle_df`` caps hot boilerplate shingles (always set
+    it at corpus scale).
     """
     sh = shingle_table(documents)
     if max_shingle_df is not None:
@@ -665,6 +670,60 @@ def _simhash_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_MIN_RECALL_PCT = 90
+SIMHASH_MIN_PRECISION_PCT = 90
+
+
+def dedup_simhash_contract(
+    documents: DataFrame,
+    max_hamming: int = HAMMING_MAX,
+    min_recall_pct: int = SIMHASH_MIN_RECALL_PCT,
+    min_precision_pct: int = SIMHASH_MIN_PRECISION_PCT,
+) -> DataFrame:
+    """Accuracy contract for the production SimHash path, DuckDB-checkable.
+
+    ``dedup_simhash_fast``'s pair output is engine-specific (xxhash64 term
+    ids feed the signature, and Hamming<=3 is an approximation of the
+    Jaccard ground truth — unlike MinHash-fast there is no exact-verify
+    step that forces equality). What IS checkable is the quality contract
+    the recall pytest pins: against the exact n-gram-Jaccard ground truth,
+    recall and precision are both >= 90% on this corpus. This query emits
+    the exact ground-truth pair count (hash-verified against the oracle's
+    identical SQL) next to the contract booleans, the approx_distinct
+    pattern: the engine-specific side is asserted, the exact side is
+    value-checked. The thresholds are corpus-measured (SimHash carries no
+    distribution-free guarantee vs token Jaccard), same epistemic status
+    as the pytest pin — a regression in the fast path flips a boolean and
+    breaks the gate hash.
+
+    Both pair sets are bounded by true-duplicate density (candidate-first
+    plans, no cartesians); the three counts are 1-row aggregates and the
+    final join is a 1x1x1 cross of literal rows.
+    """
+    fast = _persist(
+        dedup_simhash_fast(documents, max_hamming).select("doc_a", "doc_b")
+    )
+    truth = _persist(dedup_ngram_jaccard(documents).select("doc_a", "doc_b"))
+    matched = fast.join(truth, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count("*").cast("long").alias("n_ground_truth_dups"))
+    nf = fast.agg(F.count("*").cast("long").alias("n_found"))
+    nm = matched.agg(F.count("*").cast("long").alias("n_matched"))
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(nm)
+        .select(
+            "n_ground_truth_dups",
+            (
+                F.col("n_matched") * 100
+                >= F.col("n_ground_truth_dups") * min_recall_pct
+            ).alias("recall_ok"),
+            (F.col("n_matched") * 100 >= F.col("n_found") * min_precision_pct).alias(
+                "precision_ok"
+            ),
+        )
     )
 
 

@@ -982,6 +982,35 @@ inter AS (
 {_jaccard_from_inter(JACCARD_THRESHOLD)}
 """
 
+# Fast-path oracles (r03 verdict item 2). dedup_minhash_fast's exact-Jaccard
+# verify plus full banding recall make its output EQUAL the exact ground
+# truth (pinned by tests/test_dedup_fast_path.py), so the strongest check is
+# the ground-truth SQL itself: every pair row and jaccard value is hashed,
+# even though the xxhash64 candidate generation has no DuckDB twin. The
+# capped production config only prunes candidate generation and the cap is
+# above every shingle df on this corpus (same pytest pins loose == base), so
+# it shares the oracle.
+ORACLES["dedup_minhash_fast"] = ORACLES["dedup_ngram_jaccard"]
+ORACLES["dedup_minhash_capped"] = ORACLES["dedup_ngram_jaccard"]
+
+# SimHash-fast has no exact-verify step (Hamming<=3 approximates Jaccard),
+# so its gate entry emits the contract shape: exact ground-truth pair count
+# (value-checked here) + recall/precision >= 90% booleans (asserted by the
+# engine, corpus-measured — the approx_distinct pattern).
+ORACLES["dedup_simhash_fast"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)})
+SELECT CAST(count(*) AS BIGINT) AS n_ground_truth_dups,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+FROM pairs
+"""
+
 _HAMMING_TERMS = " + ".join(
     f"((xor_sig >> {j}) & 1)" for j in range(SIMHASH_BITS)
 )

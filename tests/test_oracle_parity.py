@@ -22,15 +22,11 @@ ORACLES = entrymod.oracle_sql()
 
 def test_every_query_has_oracle():
     missing = sorted(set(QUERIES) - set(ORACLES))
-    # non-SQL-expressible ops may be absent from oracles; list them here
-    allowed_rows_only: set[str] = {
-        "dedup_minhash_fast",  # xxhash64 ids have no DuckDB twin; pinned by
-        # tests/test_dedup_fast_path.py (output == exact ground truth)
-        "dedup_minhash_capped",  # the max_shingle_df=64 production config of
-        # the same xxhash64 path (cap only prunes candidate generation)
-        "dedup_simhash_fast",  # same: xxhash64 term ids, pinned by
-        # tests/test_dedup_fast_path.py against the dictionary variant
-    }
+    # non-SQL-expressible ops may be absent from oracles; list them here.
+    # Empty since r04: the minhash fast paths hash against the exact
+    # ground-truth SQL (output equality pinned by test_dedup_fast_path),
+    # and simhash-fast gates through its contract query.
+    allowed_rows_only: set[str] = set()
     assert set(missing) <= allowed_rows_only, f"queries missing oracles: {missing}"
     stale = sorted(set(ORACLES) - set(QUERIES))
     assert not stale, f"oracles without queries: {stale}"
