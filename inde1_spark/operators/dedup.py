@@ -986,10 +986,14 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
 INCR_BATCH_PCT = 10  # hash share of the corpus standing in for "today's shard"
 
 
+INCR_MAX_SHINGLE_DF = 64  # hot-shingle cap for the candidate join
+
+
 def dedup_incremental(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     batch_pct: int = INCR_BATCH_PCT,
+    max_shingle_df: int | None = INCR_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Incremental dedup: score an incoming shard against the existing
     corpus index only — the daily-ingest shape of a production pipeline
@@ -1005,24 +1009,58 @@ def dedup_incremental(
     match: keep iff no index doc clears the Jaccard threshold. At real
     scale the index side is the persisted/bucketed shingle table the
     admission pipeline maintains; the plan is unchanged.
+
+    ``max_shingle_df`` (default ON — this is the production config) caps
+    hot shingles in CANDIDATE GENERATION only: one boilerplate shingle
+    present in nearly every index doc would otherwise make a single
+    posting list corpus-sized and the batch x index join quadratic. The
+    Jaccard verify then re-scores candidates over the UNCAPPED shingle
+    table (exact n_inter, exact set sizes), so the cap cannot invent or
+    rescore a pair — only lose candidates whose entire similarity lives
+    in boilerplate (the minhash-fast contract; on the clean synthetic
+    corpus the cap is a no-op and the gate hash-checks the capped plan
+    against the exact uncapped oracle).
     """
     from inde1_spark.operators.text import hash_bucket
 
     sh = _persist(shingle_table(documents))
     is_batch = hash_bucket(F.col("doc_id"), 100) < batch_pct
     split = documents.select("doc_id", is_batch.alias("is_batch"))
-    batch_sh = sh.join(
-        split.filter(F.col("is_batch")).select("doc_id"), "doc_id"
-    ).select(F.col("doc_id").alias("doc_new"), "shingle")
-    index_sh = sh.join(
-        split.filter(~F.col("is_batch")).select("doc_id"), "doc_id"
-    ).select(F.col("doc_id").alias("doc_idx"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        batch_sh.join(index_sh, "shingle")
-        .groupBy("doc_new", "doc_idx")
-        .agg(F.count("*").alias("n_inter"))
+    batch_ids = split.filter(F.col("is_batch")).select("doc_id")
+    index_ids = split.filter(~F.col("is_batch")).select("doc_id")
+    batch_sh = sh.join(batch_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_new"), "shingle"
     )
+    index_sh = sh.join(index_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_idx"), "shingle"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is None:
+        inter = (
+            batch_sh.join(index_sh, "shingle")
+            .groupBy("doc_new", "doc_idx")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        capped = cap_shingle_df(sh, max_shingle_df)
+        cand = (
+            capped.join(batch_ids, "doc_id")
+            .select(F.col("doc_id").alias("doc_new"), "shingle")
+            .join(
+                capped.join(index_ids, "doc_id").select(
+                    F.col("doc_id").alias("doc_idx"), "shingle"
+                ),
+                "shingle",
+            )
+            .select("doc_new", "doc_idx")
+            .distinct()
+        )
+        inter = (
+            cand.join(batch_sh, "doc_new")
+            .join(index_sh, ["doc_idx", "shingle"])
+            .groupBy("doc_new", "doc_idx")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_idx"), F.col("sz").alias("sz_b"))
     jac = ratio_round(

@@ -143,3 +143,52 @@ def test_capped_minhash_equal_when_cap_loose_subset_when_tight(spark):
     }
     assert tight <= base
     D.release_persisted()
+
+
+def test_incremental_cap_noop_on_clean_corpus(spark):
+    """dedup_incremental defaults to the capped candidate join (the
+    production config); on the synthetic corpus no shingle df exceeds the
+    cap, so the capped output must EQUAL the uncapped exact one — the
+    contract that keeps the gate entry hash-green against the uncapped
+    oracle."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    capped = {tuple(r) for r in D.dedup_incremental(docs).collect()}
+    uncapped = {
+        tuple(r) for r in D.dedup_incremental(docs, max_shingle_df=None).collect()
+    }
+    assert capped == uncapped
+    D.release_persisted()
+
+
+def test_incremental_cap_bounds_boilerplate_posting(spark):
+    """A boilerplate shingle spanning every doc must NOT create candidate
+    pairs under the cap, while a true near-dup pair (batch doc vs index
+    doc) still verifies with its exact uncapped Jaccard."""
+    boiler = " copyright terms of service apply here"
+    rows = [(i, f"filler{i} words body number {i} item{i}" + boiler) for i in range(30)]
+    # a batch/index near-dup pair sharing real content; hash_bucket(doc_id)
+    # decides the split, so scan ids until one lands in the batch side
+    from inde1_spark.operators.text import hash_bucket
+    from pyspark.sql import functions as F
+
+    ids = spark.range(1000, 1100).select(
+        F.col("id"), hash_bucket(F.col("id"), 100).alias("b")
+    )
+    pair = ids.collect()
+    batch_id = next(r["id"] for r in pair if r["b"] < D.INCR_BATCH_PCT)
+    index_id = next(r["id"] for r in pair if r["b"] >= D.INCR_BATCH_PCT)
+    near = "the quick brown fox jumps over the lazy dog every single morning"
+    rows += [(batch_id, near + " today"), (index_id, near + " tonight")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = {
+        r["doc_new"]: (r["dup_of"], r["admit"])
+        for r in D.dedup_incremental(docs, threshold=0.5, max_shingle_df=10).collect()
+    }
+    assert out[batch_id] == (index_id, False)  # real dup found despite cap
+    # boilerplate-only batch docs are admitted: the hot shingles are capped
+    # out of candidate generation and their true Jaccard is below threshold
+    for doc_new, (dup_of, admit) in out.items():
+        if doc_new != batch_id:
+            assert admit and dup_of is None
+    D.release_persisted()
