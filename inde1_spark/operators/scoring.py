@@ -70,7 +70,27 @@ def _term_freq(documents: DataFrame, only_terms: tuple[str, ...] | None = None) 
     )
 
 
-def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+def shared_term_freq(documents: DataFrame) -> DataFrame:
+    """Persisted (doc_id, term, tf, dl) table for MULTI-op scoring sessions.
+
+    Build once, pass as ``tf_table`` to ``tfidf_top_terms`` and
+    ``unigram_logprob`` so the tokenize/explode/groupBy pass runs once for
+    the whole pipeline (2.6s -> 1.1s warm at sf0.1). Deliberately NOT the
+    default inside the operators: a single-query plan pays the cache
+    build/serialization and never reuses it (unigram_logprob regressed 16%
+    the round an unconditional persist landed — r03 verdict). Release via
+    dedup.release_persisted().
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    return _persist(_term_freq(documents))
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = TFIDF_TOP_K,
+    tf_table: DataFrame | None = None,
+) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
     tf from the corpus frequency pass; df = rows per term of that same
@@ -80,15 +100,13 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     tf<->df join shuffles on the term key; at corpus scale the vocabulary
     is zipfian, and AQE's skew-join split handles the head terms (the df
     side is 1 row per term, never hot).
-    """
-    from inde1_spark.operators.dedup import _persist
 
-    # tf feeds the df aggregate AND the scoring join. Persisted: on a warm
-    # cache the tokenize/explode/groupBy pass runs once (2.6s -> 1.1s at
-    # sf0.1); on a COLD single action AQE races both consumer stages and the
-    # benefit disappears locally — but the cache write costs ~nothing, and
-    # on a real cluster any serialized stage order reuses it.
-    tf = _persist(_term_freq(documents))
+    tf feeds the df aggregate AND the scoring join; within one plan
+    Spark's ReuseExchange dedupes the repeated subtree, so the single-query
+    path stays persist-free. Pass ``tf_table=shared_term_freq(docs)`` when
+    several scoring ops run in one session.
+    """
+    tf = tf_table if tf_table is not None else _term_freq(documents)
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -178,7 +196,9 @@ def bm25_score(
     return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
 
 
-def unigram_logprob(documents: DataFrame) -> DataFrame:
+def unigram_logprob(
+    documents: DataFrame, tf_table: DataFrame | None = None
+) -> DataFrame:
     """Per-document average unigram log-probability (quality signal).
 
     The corpus is its own language model: P(t) = count(t)/total_tokens.
@@ -191,12 +211,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
 
     Low (very negative) scores = rare-token soup; near-zero = stopword
     soup — the standard CCNet band-filter signal.
-    """
-    from inde1_spark.operators.dedup import _persist
 
-    # tf feeds the vocabulary AND the scoring join (see tfidf_top_terms
-    # persist note: warm-cache 2x win, cold-local neutral)
-    tf = _persist(_term_freq(documents))
+    Single-query plans stay persist-free (ReuseExchange covers the tf
+    double-consumption); pass ``tf_table=shared_term_freq(docs)`` to share
+    the frequency pass across several scoring ops in one session.
+    """
+    tf = tf_table if tf_table is not None else _term_freq(documents)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("n_occ"))
     total = vocab.agg(F.sum("n_occ").cast("double").alias("total_toks"))
     lp = (
