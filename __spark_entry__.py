@@ -39,11 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER IS LOAD-BEARING: the driver's correctness gate verifies the
-    FIRST 50 entries (CORRECTNESS_r01/r02 key lists == positions 1-50).
-    Entries that have never received a driver row come first; the long-green
-    reference-parity queries (green in r01 AND r02) rotate behind the window
-    and stay pinned locally by tests/test_oracle_parity.py, which
-    parametrizes ALL entries regardless of position.
+    FIRST 50 entries. Rotation policy (CLAUDE.md invariant): entries that
+    have never received a driver row come first, then entries whose output
+    changed since their last driver row, then re-confirmations of the
+    oldest greens. Everything behind the window stays pinned locally by
+    tests/test_oracle_parity.py, which parametrizes ALL entries.
+
+    r04 window: the 28 r03-new operators (never driver-verified), the 3
+    fast-dedup entries converted from rows-only to hash-grade this round,
+    embedding_dim_stats (output schema changed this round), and 18
+    re-confirmations of reference-parity queries last verified in r02.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -57,87 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- scale-path dedup (never driver-verified before r03) ---
-        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
-        # contract shape (ground-truth count + recall/precision booleans):
-        # the raw pair output is engine-specific, see dedup_simhash_contract
-        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
-            _t(sp, d, "documents")
-        ),
-        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
-            _t(sp, d, "embeddings")
-        ),
-        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
-        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
-        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
-        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
-        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
-        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
-        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
-        # --- scoring ---
-        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
-        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
-        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
-        # --- similarity search ---
-        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
-        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
-        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
-        "embedding_quantize": lambda sp, d: S.embedding_quantize(
-            _t(sp, d, "embeddings")
-        ),
-        # --- text analysis ---
-        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
-        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
-        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
-        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
-        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
-        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
-        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
-        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
-        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
-        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
-        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
-        # --- splits / corpus prep ---
-        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
-        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
-            _t(sp, d, "documents")
-        ),
-        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
-        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
-        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
-        "contamination_check": lambda sp, d: C.contamination_check(
-            _t(sp, d, "documents")
-        ),
-        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
-        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
-        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
-        # --- multimodal plumbing ---
-        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
-        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
-        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
-        # --- sketch contract (r02 row was err=no_oracle; now oracle-checked) ---
-        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
-        # --- new in r03 (slots 42-50) ---
-        "chunk_tokens": lambda sp, d: C.chunk_tokens(_t(sp, d, "documents")),
-        "dsir_sample": lambda sp, d: C.dsir_sample(_t(sp, d, "documents")),
-        "quality_ntile": lambda sp, d: T.quality_ntile(_t(sp, d, "documents")),
-        "cross_source_overlap": lambda sp, d: C.cross_source_overlap(
-            _t(sp, d, "documents")
-        ),
-        "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
-            _t(sp, d, "embeddings")
-        ),
-        "term_cooccurrence": lambda sp, d: SC.term_cooccurrence(_t(sp, d, "documents")),
-        "length_mad_outliers": lambda sp, d: C.length_mad_outliers(
-            _t(sp, d, "documents")
-        ),
-        "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
-        "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
-            _t(sp, d, "documents"), max_shingle_df=64
-        ),
-        # ============== end gate window ===================================
-        # New in r03 but past the window — first in line for the r04
-        # rotation; oracle-checked locally on every pytest run meanwhile.
+        # --- never driver-verified: TPC-H shapes (new in r03) ---
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
             _t(sp, d, "supplier"), _t(sp, d, "lineitem"), _t(sp, d, "orders"),
             _t(sp, d, "customer"), _t(sp, d, "nation")
@@ -166,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
+        # --- never driver-verified: product analytics (new in r03) ---
         "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
         "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
         "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
@@ -179,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
+        # --- never driver-verified: audits / sampling / sketches (r03) ---
         "cluster_balance": lambda sp, d: CL.cluster_balance(
             _t(sp, d, "embeddings")
         ),
@@ -198,61 +125,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": lambda sp, d: C.dup_rate_by_source(
             _t(sp, d, "documents")
         ),
-        # Long-green reference-parity queries (hash-green in r01 AND r02;
-        # pinned locally by tests/test_oracle_parity.py on every run).
-        # --- reference parity: scans/filters/projections (P1-P3, F1) ---
-        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
-        # --- aggregations (A1-A15) ---
-        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
-        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
-        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
-        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
-        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
-        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
-        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
-        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
-        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
-        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
-        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
-        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
-        # --- joins (J1-J4, P4) ---
-        "enrich_users": lambda sp, d: A.enrich_users(
-            _t(sp, d, "events"), _t(sp, d, "customer")
+        # --- converted rows-only -> hash-grade this round (r04) ---
+        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
+        "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
+            _t(sp, d, "documents"), max_shingle_df=64
         ),
+        # contract shape (ground-truth count + recall/precision booleans):
+        # the raw pair output is engine-specific, see dedup_simhash_contract
+        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
+            _t(sp, d, "documents")
+        ),
+        # --- output schema changed this round (decimal/string sum) ---
+        "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
+            _t(sp, d, "embeddings")
+        ),
+        # --- re-confirmations: oldest greens (last driver row r02) ---
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
         "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
             _t(sp, d, "events"), _t(sp, d, "customer")
         ),
-        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
-        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
-        "occupancy_pct": lambda sp, d: A.occupancy_pct(
-            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
         ),
-        # --- windows / top-k / set ops (W1-W5, U1) ---
-        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
-        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
-        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
+        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
+        "range_join_windows": lambda sp, d: A.range_join_windows(
+            _t(sp, d, "events")
+        ),
+        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
+        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
+        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
+        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
         "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
             _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
         ),
         "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
-        "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
-        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
-            _t(sp, d, "events")
-        ),
-        "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
+        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
+        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
         "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
+        # ============== end gate window ===================================
+        # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
+        # pinned locally by tests/test_oracle_parity.py every run).
+        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
+            _t(sp, d, "embeddings")
+        ),
+        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
+        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
+        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
+        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
+        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
+        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
+        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
+        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
+        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
+        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
+        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
+        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
+        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
+        "embedding_quantize": lambda sp, d: S.embedding_quantize(
+            _t(sp, d, "embeddings")
+        ),
+        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
+        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
+        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
+        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
+        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
+        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
+        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
+        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
+        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
+        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
+        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
+        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
+            _t(sp, d, "documents")
+        ),
+        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
+        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
+        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
+        "contamination_check": lambda sp, d: C.contamination_check(
+            _t(sp, d, "documents")
+        ),
+        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
+        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
+        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
+        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
+        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
+        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
+        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
+        "chunk_tokens": lambda sp, d: C.chunk_tokens(_t(sp, d, "documents")),
+        "dsir_sample": lambda sp, d: C.dsir_sample(_t(sp, d, "documents")),
+        "quality_ntile": lambda sp, d: T.quality_ntile(_t(sp, d, "documents")),
+        "cross_source_overlap": lambda sp, d: C.cross_source_overlap(
+            _t(sp, d, "documents")
+        ),
+        "term_cooccurrence": lambda sp, d: SC.term_cooccurrence(_t(sp, d, "documents")),
+        "length_mad_outliers": lambda sp, d: C.length_mad_outliers(
+            _t(sp, d, "documents")
+        ),
+        "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
+        # Long-green reference-parity queries (hash-green in r01 AND r02;
+        # pinned locally by tests/test_oracle_parity.py on every run).
+        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
+        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
+        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
+        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
+        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
+        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
+        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
+        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
+        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
+        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
+        "enrich_users": lambda sp, d: A.enrich_users(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "occupancy_pct": lambda sp, d: A.occupancy_pct(
+            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
+        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
+        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
+        "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
+        "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
         "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
         "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
-        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
-        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
-        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
-        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
-        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
-        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
-        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
-        "range_join_windows": lambda sp, d: A.range_join_windows(
-            _t(sp, d, "events")
-        ),
         # --- volume shapes (TPC-H-ish) ---
         "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
         "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
@@ -284,7 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Oracle twins of the scale-path dedups: bit-reproducible in DuckDB
         # (dictionary ids / exact pair join) but NOT the plans to run at
         # corpus scale — the default names (dedup_minhash_lsh, dedup_simhash,
-        # dedup_embedding) now delegate to the fast paths.
+        # dedup_embedding) delegate to the fast paths.
         "dedup_minhash_oracle": lambda sp, d: D.dedup_minhash_oracle(
             _t(sp, d, "documents")
         ),
