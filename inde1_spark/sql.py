@@ -16,6 +16,170 @@ from inde1_spark.sources.readers import load_table
 
 ENTRY, EXIT = "view", "click"
 
+# Shared SQL fragments for the scale-path families (same constants as the
+# DataFrame operators; the SQL is built with loops exactly like oracles.py).
+_TOKS = "filter(split(text, ' '), t -> t <> '')"
+_FX = "CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * 1e15, 0) AS BIGINT)"
+_DOT_EXACT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    + _FX.format(x="x", y="y")
+    + "), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e15"
+)
+_NORM_EXACT = (
+    "sqrt(CAST(aggregate(transform({a}, x -> "
+    + _FX.format(x="x", y="x")
+    + "), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e15)"
+)
+
+
+def _sql_ratio_round(num: str, den: str, scale: int) -> str:
+    """SQL twin of exprs.ratio_round: exact integer round-half-up."""
+    p = 10**scale
+    a = f"(CAST({num} AS BIGINT) * {2 * p} + CAST({den} AS BIGINT))"
+    b = f"(CAST({den} AS BIGINT) * 2)"
+    return f"(CAST(({a} - {a} % {b}) AS DOUBLE) / CAST({b} AS DOUBLE) / {p}.0)"
+
+
+def _minhash_fast_sql() -> str:
+    """dedup_minhash_fast as one Spark-SQL statement: xxhash64 shingle ids,
+    32 min-aggregates in one GROUP BY, 8x4 banding, bucket self-join,
+    exact-Jaccard verify on candidates (dedup.py constants PERMS_FAST)."""
+    from inde1_spark.operators.dedup import (
+        FAST_N_BANDS,
+        FAST_N_PERM,
+        JACCARD_THRESHOLD,
+        MINHASH_PRIME,
+        PERMS_FAST,
+    )
+
+    rows_per_band = FAST_N_PERM // FAST_N_BANDS
+    mins = ",\n         ".join(
+        f"MIN(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}"
+        for pid, a, b in PERMS_FAST
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS sig FROM sigs"
+        for b in range(FAST_N_BANDS)
+    )
+    jac = _sql_ratio_round("i.n_inter", "sa.sz + sb.sz - i.n_inter", 6)
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+          LATERAL VIEW explode(CASE WHEN size(toks) >= 3
+                                    THEN sequence(0, size(toks) - 3)
+                                    ELSE array() END) s AS i
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        shid AS (
+          SELECT doc_id, abs(xxhash64(shingle)) % {MINHASH_PRIME} AS sid FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id,
+         {mins}
+          FROM shid GROUP BY doc_id
+        ),
+        bands AS ({bands}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _knn_lsh_sql() -> str:
+    """knn_lsh_bucketed as Spark SQL: sign-bucket LSH + one-flip multiprobe
+    + exact-cosine re-rank (similarity.py constants)."""
+    from inde1_spark.operators.similarity import (
+        K_BUCKETED,
+        LSH_SIGN_DIMS,
+        N_QUERIES,
+    )
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{j}] >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(LSH_SIGN_DIMS)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"bucket ^ {2**j}" for j in range(LSH_SIGN_DIMS)]
+    )
+    dot = _DOT_EXACT.format(a="emb_q", b="emb_n")
+    nrm = _NORM_EXACT.format(a="embedding")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {nrm} AS nrm,
+                 CAST({bucket} AS BIGINT) AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS emb_q, nrm AS nrm_q,
+                 explode(array({probes})) AS bucket
+          FROM e WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 round(({dot}) / (q.nrm_q * n.nrm), 6) AS cos_sim
+          FROM q JOIN (SELECT vec_id, embedding AS emb_n, nrm, bucket FROM e) n
+            ON q.bucket = n.bucket
+          WHERE q.query_id <> n.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {K_BUCKETED}
+    """
+
+
+def _tfidf_sql() -> str:
+    """tfidf_top_terms as Spark SQL: one (doc, term) frequency pass, df from
+    the same table, nano-snapped idf, exact integer ranking key."""
+    from inde1_spark.operators.scoring import LOG_SCALE, TFIDF_TOP_K
+
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(size({_TOKS}) AS BIGINT) AS dl,
+                       explode({_TOKS}) AS term
+                FROM documents)
+          GROUP BY doc_id, dl, term
+        ),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                 tf.tf * CAST(round(ln(nd.n_docs / dft.df) * {LOG_SCALE}.0, 0) AS BIGINT)
+                   AS score_key
+          FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df AS doc_freq,
+               CAST(score_key AS DOUBLE) / {LOG_SCALE}.0 AS tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_key DESC, term ASC) AS rank
+              FROM scored)
+        WHERE rank <= {TFIDF_TOP_K}
+    """
+
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
@@ -194,6 +358,10 @@ SPARK_SQL: dict[str, str] = {
                doc_id, n_chars, es_key
         FROM picked
     """,
+    # --- scale-path families (dedup / ANN / scoring), r03 verdict item 5 ---
+    "dedup_minhash_fast": _minhash_fast_sql(),
+    "knn_lsh_bucketed": _knn_lsh_sql(),
+    "tfidf_top_terms": _tfidf_sql(),
 }
 
 
