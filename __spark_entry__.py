@@ -167,6 +167,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
         "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
         # ============== end gate window ===================================
+        # New in r04 — first in line for the r05 rotation; oracle-checked
+        # locally on every pytest run meanwhile.
+        "min_cost_supplier": lambda sp, d: Q.min_cost_supplier(
+            _t(sp, d, "part"), _t(sp, d, "lineitem"), _t(sp, d, "supplier"),
+            _t(sp, d, "nation"), _t(sp, d, "region")
+        ),
+        "supplier_count_by_part_attr": lambda sp, d: Q.supplier_count_by_part_attr(
+            _t(sp, d, "lineitem"), _t(sp, d, "part"), _t(sp, d, "supplier")
+        ),
+        "excess_qty_suppliers": lambda sp, d: Q.excess_qty_suppliers(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
+        ),
+        "sole_late_supplier": lambda sp, d: Q.sole_late_supplier(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

@@ -558,3 +558,197 @@ def brand_filtered_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part (the correlated scalar
+    subquery), spelled as a window min.
+
+    The testdata has no partsupp table (reference parity note), so the
+    observed average sale price per (part, supplier) from lineitem stands in
+    for ps_supplycost — the plan shape is identical: build the per-(part,
+    supplier) cost table once, then pick each part's min-cost row with a
+    window instead of re-running a correlated subquery per part (the
+    rewrite every engine does to Q2). Cost is an exact integer-scaled
+    ratio (cents x 10^4 per unit), so the min and its tie-break
+    (suppkey asc) are engine-deterministic. Region filter prunes the
+    supplier side before the fact join; dimensions broadcast.
+    """
+    from pyspark.sql import Window
+    from inde1_spark.functions.exprs import ratio_scaled
+
+    eur_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    brass = part.filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_brand")
+    cost = (
+        lineitem.join(F.broadcast(brass), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur_supp), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            # explicit round before the long cast: Spark CAST(double AS
+            # BIGINT) truncates while DuckDB rounds — round() agrees
+            ratio_scaled(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")),
+                F.sum(F.round(F.col("l_quantity"), 0).cast("long")),
+                4,
+            ).alias("cost_scaled")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("cost_scaled").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "cost_scaled",
+        )
+        .orderBy(F.col("p_partkey").asc())
+        .limit(k)
+    )
+
+
+def supplier_count_by_part_attr(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute, with an
+    excluded-supplier anti-join.
+
+    How many distinct suppliers ship each (brand, size band): the
+    distinct aggregate every catalog query needs. Suppliers in deficit
+    (s_acctbal < 0 — the stand-in for Q16's complaints list; no comment
+    column in the schema) are removed with an ANTI join before counting,
+    and one brand is excluded by predicate — both prune BEFORE the
+    count-distinct shuffle. The lineitem bridge stands in for partsupp
+    (no such table in the testdata). count(DISTINCT) shuffles (attrs,
+    suppkey) once, then counts per attrs — two-phase, no row explosion.
+    """
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    sized = part.filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey",
+        "p_brand",
+        (F.floor(F.col("p_size") / 10) * 10).cast("long").alias("size_band"),
+    )
+    bridged = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        bridged.groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def excess_qty_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part's
+    flow (the nested IN-subquery chain, spelled as pre-aggregate + join).
+
+    A supplier qualifies if for some CONTESTED part (>= 2 suppliers that
+    year) they shipped more than 75% of the part's total 1996 volume.
+    Both sides of the comparison are aggregates over the same fact rows:
+    per-(part, supplier) sums and per-part totals, joined on partkey —
+    never a correlated subquery per supplier. Quantities are
+    integer-valued doubles, summed as longs, so the 75% threshold
+    (spelled x4 > total x3, integer math) is exact. The year filter
+    pushes to the scan; the qualifying pair set collapses to DISTINCT
+    suppliers before the name join (semi-join shape).
+    """
+    year = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q"),
+    )
+    per_pair = year.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("supp_qty")
+    )
+    per_part = year.groupBy("l_partkey").agg(
+        F.sum("q").alias("part_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    hot = (
+        per_pair.join(per_part, "l_partkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("supp_qty") * 4 > F.col("part_qty") * 3)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        hot.join(supplier, hot.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+def sole_late_supplier(
+    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS double correlation —
+    suppliers who were the ONLY late shipper in a multi-supplier order.
+
+    The schema has no commitdate/receiptdate, so "late" is shipped more
+    than 60 days after the order date. Q21's two correlated subqueries
+    (another supplier exists in the order; no other supplier was late)
+    collapse into per-order aggregates: distinct suppliers and distinct
+    LATE suppliers per order, computed in one pass over the joined fact.
+    An order contributes iff n_supp >= 2 and n_late_supp == 1, and the
+    blame lands on that one late supplier (max of the late-only key —
+    exact, since there is exactly one). No self-join of lineitem against
+    itself, no per-row subquery: two aggregate shuffles on orderkey.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )

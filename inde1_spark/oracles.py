@@ -2578,3 +2578,110 @@ SELECT day, new_users,
                                  AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM per_day
 """
+
+
+# -- round-4 TPC-H shapes ----------------------------------------------------
+
+# SQL twin of exprs.ratio_scaled (p=10^4): exact integer round-half-up of
+# num/den * 10^4 as BIGINT.
+_RS4 = (
+    "CAST(((({num}) * 20000 + ({den})) - (({num}) * 20000 + ({den}))"
+    " % (2 * ({den}))) // (2 * ({den})) AS BIGINT)"
+)
+
+ORACLES["min_cost_supplier"] = f"""
+WITH eur_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+brass AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+),
+cost AS (
+  SELECT l.l_partkey, b.p_brand, s.s_suppkey, s.s_name, s.n_name,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS num,
+         SUM(CAST(round(l.l_quantity) AS BIGINT)) AS den
+  FROM lineitem l
+  JOIN brass b ON l.l_partkey = b.p_partkey
+  JOIN eur_supp s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT l_partkey, p_brand, s_suppkey, s_name, n_name,
+         {_RS4.format(num="num", den="den")} AS cost_scaled,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY {_RS4.format(num="num", den="den")} ASC, s_suppkey ASC
+         ) AS rn
+  FROM cost
+)
+SELECT l_partkey AS p_partkey, p_brand, s_suppkey, s_name, n_name, cost_scaled
+FROM ranked WHERE rn = 1
+ORDER BY p_partkey ASC LIMIT 20
+"""
+
+ORACLES["supplier_count_by_part_attr"] = """
+WITH sized AS (
+  SELECT p_partkey, p_brand,
+         CAST(FLOOR(p_size / 10) * 10 AS BIGINT) AS size_band
+  FROM part WHERE p_brand <> 'Brand#1'
+)
+SELECT p.p_brand, p.size_band,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN sized p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+ORACLES["excess_qty_suppliers"] = """
+WITH y AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+per_pair AS (
+  SELECT l_partkey, l_suppkey, SUM(q) AS supp_qty FROM y GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, SUM(q) AS part_qty,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM y GROUP BY 1
+),
+hot AS (
+  SELECT DISTINCT pp.l_suppkey
+  FROM per_pair pp JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+  WHERE pt.n_supp >= 2 AND pp.supp_qty * 4 > pt.part_qty * 3
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM hot h
+JOIN supplier s ON h.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+ORACLES["sole_late_supplier"] = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1
+),
+blamed AS (
+  SELECT late_supp, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1 GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, b.numwait
+FROM blamed b JOIN supplier s ON b.late_supp = s.s_suppkey
+ORDER BY b.numwait DESC, s.s_suppkey ASC LIMIT 20
+"""

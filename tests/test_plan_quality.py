@@ -425,3 +425,47 @@ def test_cumulative_users_first_appearance_shape(spark):
     # cumulative distinct via first-appearance: one user-key shuffle + a
     # days-bounded window, one scan
     assert_plan(Q["cumulative_users"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_min_cost_supplier_broadcasts(spark):
+    # Q2 shape: both dimension hops broadcast; the window-min rewrite never
+    # re-runs a correlated subquery or falls back to SMJ on the fact side
+    assert_plan(
+        Q["min_cost_supplier"](spark, SF_SMOKE),
+        require_broadcast_joins=2,
+        forbid_sort_merge=True,
+        forbid_cartesian=True,
+    )
+
+
+def test_supplier_count_broadcast_anti(spark):
+    # Q16 shape: sized-part join and excluded-supplier ANTI join both
+    # broadcast; the count-distinct is the only fact-volume shuffle
+    r = assert_plan(
+        Q["supplier_count_by_part_attr"](spark, SF_SMOKE),
+        require_broadcast_joins=2,
+        forbid_sort_merge=True,
+    )
+    assert "BroadcastHashJoin" in r.raw and "LeftAnti" in r.raw
+
+
+def test_excess_qty_suppliers_no_cartesian(spark):
+    # Q20 shape: threshold comparison is a partkey equi-join of two
+    # aggregates over the same year slice — no correlated rescan
+    assert_plan(
+        Q["excess_qty_suppliers"](spark, SF_SMOKE),
+        forbid_cartesian=True,
+        require_pushed_filter="l_shipdate",
+    )
+
+
+def test_sole_late_supplier_single_fact_pass(spark):
+    # Q21 shape: the EXISTS/NOT-EXISTS pair collapses into ONE aggregation
+    # pass over the joined fact — no lineitem self-join (2 fact-side scans
+    # would betray the correlated spelling)
+    r = assert_plan(
+        Q["sole_late_supplier"](spark, SF_SMOKE),
+        forbid_cartesian=True,
+        max_scans=3,  # lineitem + orders + supplier, each once
+    )
+    assert r.raw.count("Scan parquet") <= 3
