@@ -182,6 +182,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_late_supplier": lambda sp, d: Q.sole_late_supplier(
             _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
         ),
+        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
+            _t(sp, d, "events")
+        ),
+        "grouping_sets_revenue": lambda sp, d: A.grouping_sets_revenue(
+            _t(sp, d, "events")
+        ),
+        "holt_linear": lambda sp, d: A.holt_linear(_t(sp, d, "events")),
+        "zscore_anomaly": lambda sp, d: A.zscore_anomaly(_t(sp, d, "events")),
+        "dedup_levenshtein": lambda sp, d: D.dedup_levenshtein(
+            _t(sp, d, "documents")
+        ),
+        "top_ngrams_per_lang": lambda sp, d: T.top_ngrams_per_lang(
+            _t(sp, d, "documents")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

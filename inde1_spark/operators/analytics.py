@@ -1503,3 +1503,232 @@ def cumulative_users(events: DataFrame) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
     )
+
+
+ROLLING_DAYS = 7
+
+
+def rolling_daily_revenue(
+    events: DataFrame, window_days: int = ROLLING_DAYS
+) -> DataFrame:
+    """Trailing ``window_days``-day rolling sum/avg of the daily value
+    series per event type — the moving-average line on every dashboard.
+
+    The corpus collapses to the bounded per-(type, day) series FIRST (one
+    map-side-combined shuffle), so the RANGE window frame slides over at
+    most |days| rows per key — never raw events. The frame key is the
+    integer day number, so RANGE BETWEEN n-1 PRECEDING covers calendar
+    gaps correctly (a ROWS frame would silently span missing days).
+
+    Determinism: daily sums snap to micro-longs before the window; the
+    frame then sums LONGS (exact in any accumulation order — engines
+    disagree on float windowed-sum algorithms: sliding accumulators and
+    segment trees reorder the additions) and divides once at the end.
+    """
+    daily = events.groupBy(
+        "event_type", _day_str().alias("day")
+    ).agg(
+        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro")
+    )
+    day_idx = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_idx)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("v_micro").cast("double") / F.lit(1e6)).alias("value"),
+        (F.sum("v_micro").over(w).cast("double") / F.lit(1e6)).alias(
+            "rolling_sum"
+        ),
+        (
+            F.sum("v_micro").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+            / F.lit(1e6)
+        ).alias("rolling_avg"),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    )
+
+
+def grouping_sets_revenue(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((day, type), (day), ()) — the arbitrary-
+    subset grouping surface beyond ROLLUP/CUBE (which fix the lattice).
+
+    One aggregation pass expands each input row into the three grouping
+    sets (Spark's Expand node), so the three granularities cost one
+    shuffle, not three scans + union. NULL group keys are sentineled to
+    'ALL' (the cube_day_type convention) so the wide rows hash
+    deterministically.
+    """
+    return (
+        events.groupingSets(
+            [["day", "event_type"], ["day"], []],
+            _day_str().alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+HOLT_ALPHA_PCT = 30  # level smoothing weight
+HOLT_BETA_PCT = 10   # trend smoothing weight
+
+
+def holt_linear(
+    events: DataFrame,
+    alpha_pct: int = HOLT_ALPHA_PCT,
+    beta_pct: int = HOLT_BETA_PCT,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily value
+    series per event type, with the one-step-ahead forecast — EWMA's big
+    sibling for trending metrics (EWMA lags a trend forever; Holt tracks
+    it).
+
+    l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1});
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1};  forecast_{t+1} = l_t + b_t.
+    Initialization: l_1 = y_1, b_1 = 0.
+
+    Same scale shape as ``ewma_series``: the recurrence is sequential, so
+    it folds over the BOUNDED per-key daily series (one agg shuffle, then
+    a row-local array aggregate; state = 2 longs per key). Level and
+    trend are carried as micro-scaled longs (floor(x*1e6+0.5)), so each
+    step derives the same longs from the same doubles in any engine; the
+    DuckDB twin is a recursive CTE over the same day ranks.
+    """
+    a = alpha_pct / 100.0
+    g = beta_pct / 100.0
+    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
+        _dsum("value").alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    out_t = (
+        "array<struct<day:string,v:double,level_micro:bigint,"
+        "trend_micro:bigint>>"
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("l_micro"),
+        F.lit(0).cast("long").alias("b_micro"),
+        F.lit(True).alias("first"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, x):
+        l_new = F.when(
+            acc["first"], F.floor(x["v"] * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).otherwise(
+            F.floor(
+                (
+                    F.lit(a) * x["v"]
+                    + F.lit(1.0 - a)
+                    * (
+                        (acc["l_micro"] + acc["b_micro"]).cast("double")
+                        / F.lit(1e6)
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        b_new = F.when(acc["first"], F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (
+                    F.lit(g) * ((l_new - acc["l_micro"]).cast("double") / F.lit(1e6))
+                    + F.lit(1.0 - g) * (acc["b_micro"].cast("double") / F.lit(1e6))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        return F.struct(
+            l_new.alias("l_micro"),
+            b_new.alias("b_micro"),
+            F.lit(False).alias("first"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        l_new.alias("level_micro"),
+                        b_new.alias("trend_micro"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = series.select(
+        "event_type", F.aggregate(F.col("s"), init, _step)["out"].alias("out")
+    )
+    ex = folded.select("event_type", F.explode("out").alias("o"))
+    return ex.select(
+        "event_type",
+        F.col("o")["day"].alias("day"),
+        F.col("o")["v"].alias("value"),
+        (F.col("o")["level_micro"].cast("double") / F.lit(1e6)).alias("level"),
+        (F.col("o")["trend_micro"].cast("double") / F.lit(1e6)).alias("trend"),
+        (
+            (F.col("o")["level_micro"] + F.col("o")["trend_micro"]).cast("double")
+            / F.lit(1e6)
+        ).alias("forecast_next"),
+    )
+
+
+ZSCORE_THRESHOLD = 2  # flag days more than 2 sigma from the mean
+
+
+def zscore_anomaly(
+    events: DataFrame, threshold: int = ZSCORE_THRESHOLD
+) -> DataFrame:
+    """Daily values more than ``threshold`` standard deviations from their
+    event type's mean — the stationary-metric outlier pass (EWMA/Holt
+    flag trend breaks; this flags level breaks against the whole series).
+
+    Two bounded aggregations: the corpus collapses to per-(type, day)
+    micro-long sums, then per-type moments. The second moment accumulates
+    in DECIMAL(38,0) (micro-scaled squares overflow LONG past ~9e3-sized
+    daily values); mean and sigma derive from the exact sums with the
+    same double ops in both engines, so the flag predicate is
+    engine-identical. Output is flagged days only, with their z-numerator
+    and the band.
+    """
+    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
+        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("m")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("m").cast("decimal(38,0)").alias("sum_m"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sum_m2"),
+    )
+    mean = F.col("sum_m").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("sum_m2").cast("double") / F.col("n_days").cast("double")
+        - mean * mean
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    dev = F.abs(F.col("m").cast("double") - mean)
+    band = F.lit(float(threshold)) * F.sqrt(var)
+    return (
+        joined.filter(dev > band)
+        .select(
+            "event_type",
+            "day",
+            (F.col("m").cast("double") / F.lit(1e6)).alias("value"),
+            (mean / F.lit(1e6)).alias("mean_value"),
+            (F.sqrt(var) / F.lit(1e6)).alias("stddev_value"),
+            "n_days",
+        )
+    )

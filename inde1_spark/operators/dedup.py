@@ -1090,3 +1090,57 @@ def dedup_incremental(
             F.col("best").isNull().alias("admit"),
         )
     )
+
+
+LEV_MAX_EDIT_PCT = 20     # pairs within 20% edit distance of the longer text
+LEV_MAX_SHINGLE_DF = 64   # hot-shingle cap for candidate generation
+
+
+def dedup_levenshtein(
+    documents: DataFrame,
+    max_edit_pct: int = LEV_MAX_EDIT_PCT,
+    max_shingle_df: int = LEV_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: candidates from the df-capped shingle
+    inverted index, verified with character-level Levenshtein — the family
+    member that catches CHARACTER-level mutation (OCR noise, typo farms,
+    template fills) that token-set Jaccard under-counts (one typo kills
+    three shingles) and MinHash inherits.
+
+    Candidate generation is the capped posting-list join (never a
+    cartesian); the verify computes levenshtein(a, b) once per candidate
+    pair and keeps pairs within ``max_edit_pct`` percent of the longer
+    text (exact integer predicate: lev*100 <= pct*max_len). At corpus
+    scale bound the verify cost by capping compared length (substring) or
+    using Spark's thresholded levenshtein(l, r, max) early exit — at gate
+    scale documents are short enough to compare whole.
+    """
+    sh = cap_shingle_df(shingle_table(documents), max_shingle_df)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = documents.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.length("text").cast("long").alias("len_a"),
+    )
+    tb = documents.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.length("text").cast("long").alias("len_b"),
+    )
+    lev = F.levenshtein("text_a", "text_b").cast("long")
+    max_len = F.greatest("len_a", "len_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", lev)
+        .withColumn("max_len", max_len)
+        .filter(F.col("edit_distance") * 100 <= F.lit(max_edit_pct) * F.col("max_len"))
+        .select("doc_a", "doc_b", "edit_distance", "max_len")
+    )

@@ -8,7 +8,7 @@ with whole-stage codegen and cost one pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inde1_spark.functions.exprs import (
@@ -602,4 +602,39 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         lang_id(documents)
         .groupBy("lang_actual", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TOP_NGRAM_N = 2
+TOP_NGRAM_K = 5
+
+
+def top_ngrams_per_lang(
+    documents: DataFrame, n: int = TOP_NGRAM_N, k: int = TOP_NGRAM_K
+) -> DataFrame:
+    """Top-k word n-grams per language by occurrence (multiplicity kept) —
+    the corpus-characterization pass (boilerplate phrases, collocations,
+    per-language register) and the seed list for n-gram-based filters.
+
+    One (lang, ngram) shuffle with map-side partials absorbs the zipfian
+    head; the per-language top-k is a window row_number over the bounded
+    count table, ties broken (count desc, ngram asc) so the cut is
+    engine-deterministic. The n-gram expansion uses the zip-of-shifted-
+    slices spelling (exprs.word_ngrams) — no interpreted-lambda blowup.
+    """
+    from inde1_spark.functions.exprs import tokens, word_ngrams
+
+    grams = documents.select(
+        "lang", F.explode(word_ngrams(tokens("text"), n)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occ").desc(), F.col("ngram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "ngram", "n_occ")
     )

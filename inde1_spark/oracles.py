@@ -2685,3 +2685,171 @@ SELECT s.s_suppkey, s.s_name, b.numwait
 FROM blamed b JOIN supplier s ON b.late_supp = s.s_suppkey
 ORDER BY b.numwait DESC, s.s_suppkey ASC LIMIT 20
 """
+
+
+# -- round-4 new operators ---------------------------------------------------
+
+from inde1_spark.operators.analytics import (
+    HOLT_ALPHA_PCT,
+    HOLT_BETA_PCT,
+    ROLLING_DAYS,
+    ZSCORE_THRESHOLD,
+)
+
+ORACLES["rolling_daily_revenue"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, v_micro,
+         SUM(v_micro) OVER (
+           PARTITION BY event_type
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+           RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW
+         ) AS rs,
+         COUNT(*) OVER (
+           PARTITION BY event_type
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+           RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW
+         ) AS nd
+  FROM daily
+)
+SELECT event_type, day,
+       CAST(v_micro AS DOUBLE) / 1e6 AS value,
+       CAST(rs AS DOUBLE) / 1e6 AS rolling_sum,
+       CAST(rs AS DOUBLE) / CAST(nd AS DOUBLE) / 1e6 AS rolling_avg,
+       CAST(nd AS BIGINT) AS n_days_in_window
+FROM w
+"""
+
+ORACLES["grouping_sets_revenue"] = f"""
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum("value")} AS sum_value
+FROM (SELECT {_DAY} AS day, event_type, value FROM events)
+GROUP BY GROUPING SETS ((day, event_type), (day), ())
+"""
+
+_H_A = HOLT_ALPHA_PCT / 100.0
+_H_G = HOLT_BETA_PCT / 100.0
+_H_LNEW = (
+    f"CAST(floor(({_H_A!r} * r.v"
+    f" + {1.0 - _H_A!r} * (CAST(h.l_micro + h.b_micro AS DOUBLE) / 1e6))"
+    f" * 1e6 + 0.5) AS BIGINT)"
+)
+_H_BNEW = (
+    f"CAST(floor(({_H_G!r} * (CAST(({_H_LNEW}) - h.l_micro AS DOUBLE) / 1e6)"
+    f" + {1.0 - _H_G!r} * (CAST(h.b_micro AS DOUBLE) / 1e6))"
+    f" * 1e6 + 0.5) AS BIGINT)"
+)
+
+ORACLES["holt_linear"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, {_DAY} AS day, {_dsum("value")} AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+h AS (
+  SELECT event_type, day, v, rn,
+         CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS l_micro,
+         CAST(0 AS BIGINT) AS b_micro
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.v, r.rn,
+         {_H_LNEW} AS l_micro,
+         {_H_BNEW} AS b_micro
+  FROM ranked r JOIN h ON r.event_type = h.event_type AND r.rn = h.rn + 1
+)
+SELECT event_type, day, v AS value,
+       CAST(l_micro AS DOUBLE) / 1e6 AS level,
+       CAST(b_micro AS DOUBLE) / 1e6 AS trend,
+       CAST(l_micro + b_micro AS DOUBLE) / 1e6 AS forecast_next
+FROM h
+"""
+
+ORACLES["zscore_anomaly"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(m) AS sum_m,
+         SUM(CAST(m AS HUGEINT) * m) AS sum_m2
+  FROM daily GROUP BY 1
+),
+j AS (
+  SELECT d.event_type, d.day, d.m, s.n_days,
+         CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean,
+         CAST(s.sum_m2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+           - (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+             * (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE)) AS var
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+)
+SELECT event_type, day,
+       CAST(m AS DOUBLE) / 1e6 AS value,
+       mean / 1e6 AS mean_value,
+       sqrt(var) / 1e6 AS stddev_value,
+       n_days
+FROM j
+WHERE abs(CAST(m AS DOUBLE) - mean) > {float(ZSCORE_THRESHOLD)!r} * sqrt(var)
+"""
+
+from inde1_spark.operators.dedup import LEV_MAX_EDIT_PCT, LEV_MAX_SHINGLE_DF
+
+ORACLES["dedup_levenshtein"] = f"""
+WITH {_SHINGLES},
+dfc AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+  ) WHERE df <= {LEV_MAX_SHINGLE_DF}
+),
+shc AS (SELECT doc_id, shingle FROM sh JOIN dfc USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, edit_distance, max_len FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+         CAST(GREATEST(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN documents ta ON ta.doc_id = c.doc_a
+  JOIN documents tb ON tb.doc_id = c.doc_b
+)
+WHERE edit_distance * 100 <= {LEV_MAX_EDIT_PCT} * max_len
+"""
+
+from inde1_spark.operators.text import TOP_NGRAM_K
+
+ORACLES["top_ngrams_per_lang"] = f"""
+WITH toks AS (
+  SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT lang, array_to_string(toks[i:i+1], ' ') AS ngram
+  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occ
+  FROM grams GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, ngram, n_occ,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_occ DESC, ngram ASC) AS rank
+  FROM counts
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, ngram, n_occ
+FROM ranked WHERE rank <= {TOP_NGRAM_K}
+"""

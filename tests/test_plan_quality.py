@@ -469,3 +469,51 @@ def test_sole_late_supplier_single_fact_pass(spark):
         max_scans=3,  # lineitem + orders + supplier, each once
     )
     assert r.raw.count("Scan parquet") <= 3
+
+
+def test_rolling_daily_revenue_preaggregates(spark):
+    # the RANGE window slides over the bounded per-(type, day) series —
+    # daily agg + per-type window = 2 exchanges over one scan, never a
+    # window over raw events
+    assert_plan(
+        Q["rolling_daily_revenue"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
+    )
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    # three grouping sets ride ONE Expand + one aggregation shuffle —
+    # never three scans + union
+    r = assert_plan(
+        Q["grouping_sets_revenue"](spark, SF_SMOKE), max_exchanges=1, max_scans=1
+    )
+    assert "Expand" in r.raw
+
+
+def test_holt_linear_bounded_fold(spark):
+    # Holt folds the bounded per-key daily series: daily agg + series
+    # collect, one scan (the ewma_series contract)
+    assert_plan(Q["holt_linear"](spark, SF_SMOKE), max_exchanges=2, max_scans=1)
+
+
+def test_zscore_anomaly_broadcast_stats(spark):
+    # per-type moments broadcast back onto the bounded daily table —
+    # no sort-merge, no cartesian
+    assert_plan(
+        Q["zscore_anomaly"](spark, SF_SMOKE),
+        require_broadcast_joins=1,
+        forbid_sort_merge=True,
+        forbid_cartesian=True,
+    )
+
+
+def test_dedup_levenshtein_no_cartesian(spark):
+    # candidates come from the capped shingle inverted index; the
+    # levenshtein verify runs on the candidate equi-join only
+    assert_plan(Q["dedup_levenshtein"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_top_ngrams_single_count_shuffle(spark):
+    # one (lang, ngram) count shuffle + the bounded per-lang window
+    assert_plan(
+        Q["top_ngrams_per_lang"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
+    )
