@@ -63,6 +63,10 @@ HEADLINE = (
     "term_cooccurrence",      # capped within-doc pair join + PMI (r03)
     "cross_source_overlap",   # source-level inverted-index join (r03)
     "embedding_dim_stats",    # per-dim fixed-point reduction (r03)
+    "sole_late_supplier",     # Q21 double-correlation as one agg pass (r04)
+    "min_cost_supplier",      # Q2 correlated-subquery-as-window-min (r04)
+    "rolling_daily_revenue",  # RANGE-frame rolling window (r04)
+    "dedup_levenshtein",      # edit-distance verify over capped candidates (r04)
 )
 
 

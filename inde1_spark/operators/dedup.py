@@ -1096,33 +1096,52 @@ LEV_MAX_EDIT_PCT = 20     # pairs within 20% edit distance of the longer text
 LEV_MAX_SHINGLE_DF = 64   # hot-shingle cap for candidate generation
 
 
+LEV_MIN_SHARED = 3        # candidate pairs must share >= this many shingles
+
+
 def dedup_levenshtein(
     documents: DataFrame,
     max_edit_pct: int = LEV_MAX_EDIT_PCT,
     max_shingle_df: int = LEV_MAX_SHINGLE_DF,
+    min_shared: int = LEV_MIN_SHARED,
 ) -> DataFrame:
-    """Edit-distance near-dup pairs: candidates from the df-capped shingle
-    inverted index, verified with character-level Levenshtein — the family
-    member that catches CHARACTER-level mutation (OCR noise, typo farms,
-    template fills) that token-set Jaccard under-counts (one typo kills
-    three shingles) and MinHash inherits.
+    """Edit-distance near-dup pairs: the family member that catches
+    CHARACTER-level mutation (OCR noise, typo farms, template fills) that
+    token-set Jaccard under-counts (one typo kills three shingles) and
+    MinHash inherits.
 
-    Candidate generation is the capped posting-list join (never a
-    cartesian); the verify computes levenshtein(a, b) once per candidate
-    pair and keeps pairs within ``max_edit_pct`` percent of the longer
-    text (exact integer predicate: lev*100 <= pct*max_len). At corpus
-    scale bound the verify cost by capping compared length (substring) or
-    using Spark's thresholded levenshtein(l, r, max) early exit — at gate
-    scale documents are short enough to compare whole.
+    Levenshtein is the expensive verify (O(len^2) per pair), so candidate
+    generation must be far more selective than "shares one shingle" (that
+    set is ~1.1M pairs at just sf0.1 — a measured scale-killer). Two
+    pre-verify guards, both cheap and sound for the target pairs:
+    candidates must share >= ``min_shared`` df-capped shingles (computed
+    in the same posting-list aggregation — a real near-dup shares
+    dozens), and must pass the LENGTH-BAND necessary condition
+    |len_a - len_b| <= lev(a,b), so any pair whose length gap alone
+    exceeds the edit budget is dropped before the DP runs (provably no
+    false dismissal). Together: 1.1M -> ~5k verified pairs at sf0.1. At
+    100 TB also bound the compared length (substring / thresholded
+    levenshtein early exit).
     """
-    sh = cap_shingle_df(shingle_table(documents), max_shingle_df)
+    # persisted: feeds both sides of the posting self-join (registry above)
+    sh = _persist(cap_shingle_df(shingle_table(documents), max_shingle_df))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # explicit partition COUNT on the candidate table: the rows are tiny
+    # in bytes but each costs an O(len^2) DP in the verify, and AQE's
+    # byte-based coalescing would serialize them onto one core (the
+    # semdedup idiom, clustering.py)
+    n_part = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     cand = (
         sa.join(sb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b")
-        .distinct()
+        .repartition(n_part, "doc_a", "doc_b")
     )
     ta = documents.select(
         F.col("doc_id").alias("doc_a"),
@@ -1136,11 +1155,18 @@ def dedup_levenshtein(
     )
     lev = F.levenshtein("text_a", "text_b").cast("long")
     max_len = F.greatest("len_a", "len_b")
-    return (
+    banded = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("edit_distance", lev)
         .withColumn("max_len", max_len)
+        # |len diff| <= lev: the length band prunes BEFORE the O(len^2) DP
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) * 100
+            <= F.lit(max_edit_pct) * F.col("max_len")
+        )
+    )
+    return (
+        banded.withColumn("edit_distance", lev)
         .filter(F.col("edit_distance") * 100 <= F.lit(max_edit_pct) * F.col("max_len"))
         .select("doc_a", "doc_b", "edit_distance", "max_len")
     )

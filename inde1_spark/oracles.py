@@ -2803,7 +2803,11 @@ FROM j
 WHERE abs(CAST(m AS DOUBLE) - mean) > {float(ZSCORE_THRESHOLD)!r} * sqrt(var)
 """
 
-from inde1_spark.operators.dedup import LEV_MAX_EDIT_PCT, LEV_MAX_SHINGLE_DF
+from inde1_spark.operators.dedup import (
+    LEV_MAX_EDIT_PCT,
+    LEV_MAX_SHINGLE_DF,
+    LEV_MIN_SHARED,
+)
 
 ORACLES["dedup_levenshtein"] = f"""
 WITH {_SHINGLES},
@@ -2814,16 +2818,24 @@ dfc AS (
 ),
 shc AS (SELECT doc_id, shingle FROM sh JOIN dfc USING (shingle)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, edit_distance, max_len FROM (
-  SELECT c.doc_a, c.doc_b,
-         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+  GROUP BY 1, 2 HAVING count(*) >= {LEV_MIN_SHARED}
+),
+banded AS (
+  SELECT c.doc_a, c.doc_b, ta.text AS text_a, tb.text AS text_b,
          CAST(GREATEST(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
   FROM cand c
   JOIN documents ta ON ta.doc_id = c.doc_a
   JOIN documents tb ON tb.doc_id = c.doc_b
+  WHERE abs(length(ta.text) - length(tb.text)) * 100
+        <= {LEV_MAX_EDIT_PCT} * GREATEST(length(ta.text), length(tb.text))
+)
+SELECT doc_a, doc_b, edit_distance, max_len FROM (
+  SELECT doc_a, doc_b,
+         CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+         max_len
+  FROM banded
 )
 WHERE edit_distance * 100 <= {LEV_MAX_EDIT_PCT} * max_len
 """
