@@ -196,6 +196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_per_lang": lambda sp, d: T.top_ngrams_per_lang(
             _t(sp, d, "documents")
         ),
+        "distinct_rollup_hll": lambda sp, d: A.distinct_rollup_hll(
+            _t(sp, d, "events")
+        ),
+        "dedup_containment": lambda sp, d: D.dedup_containment(
+            _t(sp, d, "documents")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

@@ -1732,3 +1732,50 @@ def zscore_anomaly(
             "n_days",
         )
     )
+
+
+HLL_TOL_PCT = 5  # DataSketches HLL (lgK=12) std error ~1.6%; 5% band
+
+
+def distinct_rollup_hll(events: DataFrame, tol_pct: int = HLL_TOL_PCT) -> DataFrame:
+    """Weekly distinct users via MERGEABLE per-day HLL sketches — the
+    pattern that makes distinct-count rollups feasible at 100 TB: exact
+    countDistinct needs every key in one shuffle per window, while
+    sketches aggregate once per day (bytes per partition) and re-merge
+    into ANY coarser window without touching raw data again. This is how
+    a real pipeline serves daily AND weekly AND monthly actives from one
+    pass.
+
+    Gate contract (the approx_distinct pattern): exact weekly distincts
+    ride along hash-checked; the sketch estimate is asserted within
+    ``tol_pct`` percent of exact (DataSketches HLL is deterministic for
+    fixed input — no RNG — so the boolean is stable), because the
+    estimate's exact value is engine-specific.
+    """
+    daily = events.groupBy(
+        "event_type", _day_str().alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    week = F.date_format(
+        F.date_trunc("week", F.to_date("day")), "yyyy-MM-dd"
+    ).alias("week_start")
+    weekly_sk = daily.groupBy("event_type", week).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    weekly_exact = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return (
+        weekly_exact.join(weekly_sk, ["event_type", "week_start"])
+        .select(
+            "event_type",
+            "week_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+                <= F.lit(tol_pct) * F.col("exact_users")
+            ).alias("approx_within_tol"),
+        )
+    )

@@ -1170,3 +1170,73 @@ def dedup_levenshtein(
         .filter(F.col("edit_distance") * 100 <= F.lit(max_edit_pct) * F.col("max_len"))
         .select("doc_a", "doc_b", "edit_distance", "max_len")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9   # smaller doc's shingles covered by the pair
+CONT_MAX_SHINGLE_DF = 64
+CONT_MIN_SHARED = 3
+
+
+def dedup_containment(
+    documents: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int = CONT_MAX_SHINGLE_DF,
+    min_shared: int = CONT_MIN_SHARED,
+) -> DataFrame:
+    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) >= threshold —
+    the ASYMMETRIC-duplication detector. Jaccard divides by the union, so
+    a short document quoted wholesale inside a long one scores near zero
+    and survives every Jaccard-based pass; containment normalizes by the
+    smaller set and catches quote-inclusion, excerpt farms, and
+    wrapper-page reuse.
+
+    Same bounded candidate machinery as the siblings: df-capped posting
+    join, >= ``min_shared`` shared shingles to enter the verify (a
+    contained doc shares nearly all of its shingles by definition, so
+    the floor cannot lose a qualifying pair with >= min_shared/threshold
+    shingles), then exact intersection and set sizes over the uncapped
+    table. Containment and Jaccard are both emitted (exact integer
+    ratios) so downstream policy can distinguish symmetric near-dups
+    from true containment.
+    """
+    sh = _persist(shingle_table(documents))
+    capped = cap_shingle_df(sh, max_shingle_df)
+    ca = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            ratio_round(F.col("n_inter"), F.least("sz_a", "sz_b"), 6),
+        )
+        .withColumn(
+            "jaccard",
+            ratio_round(
+                F.col("n_inter"),
+                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )

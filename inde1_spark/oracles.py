@@ -2865,3 +2865,49 @@ ranked AS (
 SELECT lang, CAST(rank AS BIGINT) AS rank, ngram, n_occ
 FROM ranked WHERE rank <= {TOP_NGRAM_K}
 """
+
+
+ORACLES["distinct_rollup_hll"] = """
+SELECT event_type,
+       strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_tol
+FROM events GROUP BY 1, 2
+"""
+
+from inde1_spark.operators.dedup import (
+    CONT_MAX_SHINGLE_DF,
+    CONT_MIN_SHARED,
+    CONTAINMENT_THRESHOLD,
+)
+
+ORACLES["dedup_containment"] = f"""
+WITH {_SHINGLES},
+dfc AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+  ) WHERE df <= {CONT_MAX_SHINGLE_DF}
+),
+shc AS (SELECT doc_id, shingle FROM sh JOIN dfc USING (shingle)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {CONT_MIN_SHARED}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, containment, jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         {_rr("i.n_inter", "LEAST(sa.sz, sb.sz)", 6)} AS containment,
+         {_rr("i.n_inter", "sa.sz + sb.sz - i.n_inter", 6)} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""

@@ -517,3 +517,21 @@ def test_top_ngrams_single_count_shuffle(spark):
     assert_plan(
         Q["top_ngrams_per_lang"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
     )
+
+
+def test_distinct_rollup_hll_sketch_merge(spark):
+    # the weekly estimate must come from MERGED per-day sketches
+    # (hll_union_agg over hll_sketch_agg), not a re-scan with
+    # approx_count_distinct — the mergeability is the point
+    df = Q["distinct_rollup_hll"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+    assert_plan(df, forbid_cartesian=True)
+
+
+def test_dedup_containment_candidate_first(spark):
+    # capped candidate generation + uncapped re-score; no cartesian
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["dedup_containment"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
