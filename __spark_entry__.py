@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda sp, d: D.dedup_containment(
             _t(sp, d, "documents")
         ),
+        "hopping_window_stats": lambda sp, d: A.hopping_window_stats(
+            _t(sp, d, "events")
+        ),
+        "pagerank_dup_graph": lambda sp, d: D.pagerank_dup_graph(
+            _t(sp, d, "documents")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

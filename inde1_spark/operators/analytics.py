@@ -1779,3 +1779,37 @@ def distinct_rollup_hll(events: DataFrame, tol_pct: int = HLL_TOL_PCT) -> DataFr
             ).alias("approx_within_tol"),
         )
     )
+
+
+HOP_WINDOW_MIN = 60
+HOP_SLIDE_MIN = 30
+
+
+def hopping_window_stats(
+    events: DataFrame,
+    window_min: int = HOP_WINDOW_MIN,
+    slide_min: int = HOP_SLIDE_MIN,
+) -> DataFrame:
+    """Overlapping (hopping) event-time windows: 60-minute stats sliding
+    every 30 minutes — the smooth-dashboard variant of the tumbling T5
+    buckets (a spike at a boundary never falls between windows).
+
+    ``F.window(ts, size, slide)`` expands each event into its
+    size/slide covering windows row-locally (a 2x multiplier here) and
+    the aggregation rides one map-side-combined shuffle keyed by
+    (window, type) — same cost model as the tumbling bucket, scaled by
+    the overlap factor. Epoch-aligned windows, exact decimal sums,
+    formatted boundaries.
+    """
+    w = F.window(F.col("ts"), f"{window_min} minutes", f"{slide_min} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

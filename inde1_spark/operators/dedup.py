@@ -1240,3 +1240,71 @@ def dedup_containment(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment", "jaccard")
     )
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_dup_graph(
+    documents: DataFrame,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over the near-duplicate graph: which documents sit at the
+    CENTER of duplication clusters (high rank = the canonical/most-copied
+    text; leaves = one-off variants). Complements the connected-component
+    pass (`dedup_clusters` says WHICH docs group; this ranks WITHIN and
+    across groups) — the keep-best policy for star-shaped template farms
+    where min-label or quality picks a leaf.
+
+    The iterative-join family member beyond label propagation: ranks
+    update as r = (1-d)/N + d * sum(r_u / deg_u) over in-edges, ``iters``
+    rounds. Each round is one edge join + one aggregate — at corpus scale
+    both shuffle on the node key and AQE handles hub skew. The rank chain
+    is lazily checkpointed per round (kmeans/components invariant: plan
+    stays linear, no eager action). Ranks are nano-scaled longs, the
+    per-edge contribution is an exact integer division, and the damping
+    update re-derives the same long from the same doubles in both engines
+    — the DuckDB twin unrolls the same rounds as chained CTEs.
+    """
+    pairs = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
+    edges = _persist(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    total = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    rank = deg.join(F.broadcast(total)).select(
+        "u",
+        "deg",
+        "n_nodes",
+        F.floor(F.lit(1e9) / F.col("n_nodes") + F.lit(0.5))
+        .cast("long")
+        .alias("r_nano"),
+    )
+    for _ in range(iters):
+        contrib = edges.join(rank, "u").select(
+            F.col("v").alias("u"), F.expr("r_nano div deg").alias("c")
+        )
+        s = contrib.groupBy("u").agg(F.sum("c").cast("long").alias("s_nano"))
+        rank = _lazy_checkpoint(
+            rank.join(s, "u", "left").select(
+                "u",
+                "deg",
+                "n_nodes",
+                F.floor(
+                    (F.lit(1.0 - PAGERANK_DAMPING) / F.col("n_nodes")) * F.lit(1e9)
+                    + F.lit(PAGERANK_DAMPING)
+                    * F.coalesce(F.col("s_nano"), F.lit(0).cast("long"))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("r_nano"),
+            )
+        )
+    return rank.select(
+        F.col("u").alias("doc_id"),
+        "deg",
+        (F.col("r_nano").cast("double") / F.lit(1e9)).alias("pagerank"),
+    )

@@ -2911,3 +2911,72 @@ SELECT doc_a, doc_b, containment, jaccard FROM (
 )
 WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
+
+
+from inde1_spark.operators.analytics import HOP_SLIDE_MIN, HOP_WINDOW_MIN
+
+_HOP_S = HOP_SLIDE_MIN * 60
+_HOP_W = HOP_WINDOW_MIN * 60
+_HOP_K = _HOP_W // _HOP_S  # covering windows per event
+
+ORACLES["hopping_window_stats"] = f"""
+WITH expanded AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(ts) / {_HOP_S}) AS BIGINT) * {_HOP_S}
+                      - o.k * {_HOP_S}) AS ws
+  FROM events,
+       (SELECT unnest(generate_series(0, {_HOP_K - 1})) AS k) o
+  WHERE CAST(floor(epoch(ts) / {_HOP_S}) AS BIGINT) * {_HOP_S} - o.k * {_HOP_S}
+        + {_HOP_W} > epoch(ts)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL {_HOP_W} SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum("value")} AS sum_value
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+from inde1_spark.operators.dedup import PAGERANK_DAMPING, PAGERANK_ITERS
+
+_PR_D = PAGERANK_DAMPING
+
+
+def _pagerank_ctes(iters: int) -> str:
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.v AS u, CAST(SUM(r.r // r.deg) AS BIGINT) AS s\n"
+            f"          FROM edges e JOIN r{i} r ON e.u = r.u GROUP BY 1),\n"
+            f"r{i + 1} AS (SELECT d.u, d.deg,\n"
+            f"            CAST(floor(({1.0 - _PR_D!r} / t.n) * 1e9\n"
+            f"                       + {_PR_D!r} * COALESCE(s.s, 0) + 0.5) AS BIGINT) AS r\n"
+            f"            FROM deg d CROSS JOIN tot t LEFT JOIN s{i} s ON s.u = d.u)"
+        )
+    return ",\n".join(parts)
+
+
+ORACLES["pagerank_dup_graph"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (
+  SELECT d.u, d.deg, CAST(floor(1e9 / t.n + 0.5) AS BIGINT) AS r
+  FROM deg d CROSS JOIN tot t
+),
+{_pagerank_ctes(PAGERANK_ITERS)}
+SELECT u AS doc_id, deg, CAST(r AS DOUBLE) / 1e9 AS pagerank
+FROM r{PAGERANK_ITERS}
+"""

@@ -535,3 +535,20 @@ def test_dedup_containment_candidate_first(spark):
 
     assert_plan(Q["dedup_containment"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_hopping_window_single_pass(spark):
+    # the 2x window expansion is row-local; one shuffle keyed by
+    # (window, type), one scan
+    assert_plan(
+        Q["hopping_window_stats"](spark, SF_SMOKE), max_exchanges=1, max_scans=1
+    )
+
+
+def test_pagerank_no_cartesian(spark):
+    # 5 rank rounds of edge join + aggregate, lazily checkpointed; no
+    # cartesian anywhere in the unrolled chain
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["pagerank_dup_graph"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
