@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dup_graph": lambda sp, d: D.pagerank_dup_graph(
             _t(sp, d, "documents")
         ),
+        "json_props_audit": lambda sp, d: A.json_props_audit(_t(sp, d, "events")),
+        "conversion_lag_histogram": lambda sp, d: A.conversion_lag_histogram(
+            _t(sp, d, "events")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

@@ -1813,3 +1813,99 @@ def hopping_window_stats(
             "sum_value",
         )
     )
+
+
+def json_props_audit(events: DataFrame) -> DataFrame:
+    """Schema/type audit of the semi-structured ``props`` JSON column: per
+    (key, inferred value type) presence counts and coverage, plus the
+    exact sum of integer-valued entries — the drift detector every
+    event pipeline needs before anyone writes ``get_json_object`` with a
+    hardcoded path (F1 surface, generalized: the reference hand-walks its
+    JSON; this audits it).
+
+    Keys are enumerated generically (``from_json`` to map<string,string>
+    then explode — no hardcoded schema), so new keys and type drift show
+    up as new rows, not silent nulls. Type inference is a regex on the
+    value TEXT (engine-neutral; a JSON-type function would differ across
+    engines). One row-local expansion + one tiny (key, type) aggregate.
+    """
+    total = events.agg(F.count("*").cast("long").alias("n_total"))
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "value")
+    )
+    vtype = (
+        F.when(F.col("value").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("value").rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+        .otherwise("string")
+    )
+    typed = kv.withColumn("vtype", vtype)
+    return (
+        typed.groupBy("key", "vtype")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("vtype") == "int", F.col("value").cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("sum_int_values"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "vtype",
+            "n_rows",
+            ratio_round(F.col("n_rows"), F.col("n_total"), 4).alias("coverage"),
+            "sum_int_values",
+        )
+    )
+
+
+CONVERSION_FROM, CONVERSION_TO = "signup", "purchase"
+
+
+def conversion_lag_histogram(
+    events: DataFrame,
+    from_type: str = CONVERSION_FROM,
+    to_type: str = CONVERSION_TO,
+) -> DataFrame:
+    """Distribution of time-to-convert: minutes between a user's first
+    ``from_type`` and first strictly-later ``to_type`` event, bucketed on
+    product-meaningful boundaries (hour / day / week / longer) — the
+    growth-analytics companion to funnel_steps (the funnel says HOW MANY
+    convert; this says HOW FAST).
+
+    One conditional-min aggregation per user (the funnel_steps shape —
+    no self-join per step), then a row-local bucket projection and a
+    4-row count. Lag is exact integer minutes (floor of the second diff,
+    both engines); bucket ids make the output order-stable.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == from_type, F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == to_type, F.col("ts"))).alias("t1"),
+    )
+    lag_min = F.floor(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / F.lit(60.0)
+    ).cast("long")
+    converted = per_user.filter(
+        F.col("t0").isNotNull() & F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).withColumn("lag_min", lag_min)
+    bucket_id = (
+        F.when(F.col("lag_min") <= 60, 1)
+        .when(F.col("lag_min") <= 1440, 2)
+        .when(F.col("lag_min") <= 10080, 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    bucket = (
+        F.when(F.col("lag_min") <= 60, "within_hour")
+        .when(F.col("lag_min") <= 1440, "within_day")
+        .when(F.col("lag_min") <= 10080, "within_week")
+        .otherwise("over_week")
+    )
+    return (
+        converted.select(bucket_id.alias("bucket_id"), bucket.alias("bucket"))
+        .groupBy("bucket_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

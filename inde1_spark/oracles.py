@@ -2980,3 +2980,52 @@ r0 AS (
 SELECT u AS doc_id, deg, CAST(r AS DOUBLE) / 1e9 AS pagerank
 FROM r{PAGERANK_ITERS}
 """
+
+
+ORACLES["json_props_audit"] = f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+kv AS (
+  SELECT key, json_extract_string(props, '$.' || key) AS value
+  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+),
+typed AS (
+  SELECT key,
+         CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 'int'
+              WHEN regexp_full_match(value, '-?[0-9]*\\.[0-9]+') THEN 'float'
+              ELSE 'string' END AS vtype,
+         value
+  FROM kv
+)
+SELECT key, vtype, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_rr("COUNT(*)", "MAX(t.n_total)", 4)} AS coverage,
+       CAST(SUM(CASE WHEN vtype = 'int' THEN CAST(value AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS sum_int_values
+FROM typed CROSS JOIN tot t
+GROUP BY 1, 2
+"""
+
+from inde1_spark.operators.analytics import CONVERSION_FROM, CONVERSION_TO
+
+ORACLES["conversion_lag_histogram"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{CONVERSION_FROM}' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = '{CONVERSION_TO}' THEN ts END) AS t1
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT CAST(floor(date_diff('second', t0, t1) / 60.0) AS BIGINT) AS lag_min
+  FROM per_user
+  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+)
+SELECT bucket_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+  SELECT CASE WHEN lag_min <= 60 THEN 1 WHEN lag_min <= 1440 THEN 2
+              WHEN lag_min <= 10080 THEN 3 ELSE 4 END AS bucket_id,
+         CASE WHEN lag_min <= 60 THEN 'within_hour'
+              WHEN lag_min <= 1440 THEN 'within_day'
+              WHEN lag_min <= 10080 THEN 'within_week'
+              ELSE 'over_week' END AS bucket
+  FROM lagged
+)
+GROUP BY 1, 2
+"""

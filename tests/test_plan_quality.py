@@ -552,3 +552,21 @@ def test_pagerank_no_cartesian(spark):
 
     assert_plan(Q["pagerank_dup_graph"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_json_props_audit_single_pass(spark):
+    # generic key expansion is row-local; one (key, vtype) aggregate; the
+    # only join is the 1-row total broadcast (a keyless BroadcastNestedLoop
+    # by construction — fine for a scalar, so no cartesian pin here)
+    r = assert_plan(
+        Q["json_props_audit"](spark, SF_SMOKE),
+        max_scans=2,
+        forbid_sort_merge=True,
+    )
+    assert "Generate explode" in r.raw
+
+
+def test_conversion_lag_single_pass(spark):
+    # conditional mins per user in ONE groupBy (funnel_steps shape), then
+    # a 4-row bucket count
+    assert_plan(Q["conversion_lag_histogram"](spark, SF_SMOKE), max_scans=1)
