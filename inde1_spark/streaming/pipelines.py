@@ -535,3 +535,40 @@ def session_join_stream(events: DataFrame) -> DataFrame:
             (F.unix_timestamp("exit_ts") - F.unix_timestamp("entry_ts")) / 60.0
         ).alias("duration_min"),
     )
+
+
+def hopping_stats_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T5 variant: OVERLAPPING (hopping) event-time windows on the stream —
+    a 60-minute view sliding every 30, so a boundary spike never falls
+    between windows (the batch twin is ``analytics.hopping_window_stats``).
+
+    ``window(ts, size, slide)`` expands each event into its covering
+    windows row-locally before the stateful aggregation; state is bounded
+    by (windows-in-watermark-horizon x lots), and the watermark both
+    admits late events and expires window state — the same guarantees as
+    the tumbling path, scaled by the overlap factor.
+    """
+    is_entry = (F.col("event_type") == EVENT_ENTRY).cast("long")
+    return (
+        valid_events(events)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("parking_lot_id")
+        )
+        .agg(
+            F.sum(is_entry).alias("nbr_entries"),
+            F.sum(1 - is_entry).alias("nbr_exit"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "parking_lot_id",
+            "nbr_entries",
+            "nbr_exit",
+        )
+    )

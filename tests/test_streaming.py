@@ -214,3 +214,53 @@ def test_stream_stream_session_join_matches_batch(spark, stream_env, tmp_path):
     key = lambda r: tuple(r)
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(want) > 0
+
+
+def test_hopping_stats_stream_matches_batch(spark, stream_env):
+    """Overlapping-window stream equals the identical batch expansion:
+    every event lands in exactly window/slide windows on both paths."""
+    from inde1_spark.streaming.pipelines import hopping_stats_stream, valid_events
+    from pyspark.sql import functions as F
+
+    stream, events, _, _, ckpt = stream_env
+    q = (
+        hopping_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hopstats")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt + "/hopstats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r.window_start), str(r.window_end), r.parking_lot_id): (
+            r.nbr_entries,
+            r.nbr_exit,
+        )
+        for r in spark.table("hopstats").toPandas().itertuples()
+    }
+    is_entry = (F.col("event_type") == "PARKING_ENTRY").cast("long")
+    want_df = (
+        valid_events(events)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "parking_lot_id")
+        .agg(
+            F.sum(is_entry).alias("nbr_entries"),
+            F.sum(1 - is_entry).alias("nbr_exit"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "parking_lot_id",
+            "nbr_entries",
+            "nbr_exit",
+        )
+    )
+    want = {
+        (str(r.window_start), str(r.window_end), r.parking_lot_id): (
+            r.nbr_entries,
+            r.nbr_exit,
+        )
+        for r in want_df.toPandas().itertuples()
+    }
+    assert got == want and len(got) > 0
