@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag_histogram": lambda sp, d: A.conversion_lag_histogram(
             _t(sp, d, "events")
         ),
+        "daily_trend_regression": lambda sp, d: A.daily_trend_regression(
+            _t(sp, d, "events")
+        ),
+        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

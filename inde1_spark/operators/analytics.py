@@ -1909,3 +1909,70 @@ def conversion_lag_histogram(
         .groupBy("bucket_id", "bucket")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def daily_trend_regression(events: DataFrame) -> DataFrame:
+    """Least-squares linear trend of the daily value series per event type:
+    slope (value/day) and intercept from the closed form — the "is this
+    metric growing" number behind every KPI review, computed exactly.
+
+    The corpus collapses to per-(type, day) micro-long sums; the four
+    regression moments (Σx, Σy, Σxy, Σx²) accumulate as exact integers
+    (day index x micro value fits decimal(38,0)), so slope and intercept
+    are single engine-identical double divisions at the end. x is the day
+    number since epoch — no per-key renumbering, so the slope unit is
+    value-per-calendar-day and gaps cost nothing.
+    """
+    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
+        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("y_micro")
+    )
+    x = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")).cast("long")
+    m = daily.select(
+        "event_type",
+        x.alias("x"),
+        "y_micro",
+    )
+    stats = m.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_micro").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y_micro")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return stats.select(
+        "event_type",
+        "n_days",
+        (slope / F.lit(1e6)).alias("slope_per_day"),
+        (intercept / F.lit(1e6)).alias("intercept"),
+    )
+
+
+def dow_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile per event type: event counts and
+    exact mean value for each weekday — the seasonality baseline that
+    tells a Monday dip from an incident (and feeds dow-adjusted anomaly
+    thresholds).
+
+    One map-side-combined shuffle over a (types x 7)-bounded key space;
+    the mean divides an exact decimal sum once. Weekday numbering is
+    ISO (1=Monday), identical in both engines via the formatted day.
+    """
+    dow = F.dayofweek(F.col("ts"))  # Sunday=1 .. Saturday=7
+    iso = ((dow + 5) % 7 + 1).cast("long")  # ISO: Monday=1 .. Sunday=7
+    return (
+        events.groupBy("event_type", iso.alias("iso_dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            _dsum("value").alias("sum_value"),
+            (_dsum("value") / F.count("*")).alias("mean_value"),
+        )
+    )

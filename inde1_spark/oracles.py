@@ -3029,3 +3029,47 @@ SELECT bucket_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
 )
 GROUP BY 1, 2
 """
+
+
+ORACLES["daily_trend_regression"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y_micro
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) AS x,
+         y_micro
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS sx, SUM(y_micro) AS sy,
+         SUM(CAST(x AS HUGEINT) * y_micro) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM m GROUP BY 1
+)
+SELECT event_type, n_days,
+       ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1e6 AS slope_per_day,
+       ((CAST(sy AS DOUBLE)
+         - ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        / CAST(n_days AS DOUBLE)) / 1e6 AS intercept
+FROM stats
+"""
+
+ORACLES["dow_profile"] = f"""
+SELECT event_type,
+       CAST(isodow(ts) AS BIGINT) AS iso_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum("value")} AS sum_value,
+       {_dsum("value")} / COUNT(*) AS mean_value
+FROM events GROUP BY 1, 2
+"""

@@ -570,3 +570,15 @@ def test_conversion_lag_single_pass(spark):
     # conditional mins per user in ONE groupBy (funnel_steps shape), then
     # a 4-row bucket count
     assert_plan(Q["conversion_lag_histogram"](spark, SF_SMOKE), max_scans=1)
+
+
+def test_daily_trend_two_bounded_aggs(spark):
+    # daily collapse + per-type moments: 2 exchanges, 1 scan, no joins
+    assert_plan(
+        Q["daily_trend_regression"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
+    )
+
+
+def test_dow_profile_single_shuffle(spark):
+    # (type x 7)-bounded key space, one map-side-combined shuffle
+    assert_plan(Q["dow_profile"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
