@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
+        "join_key_skew": lambda sp, d: A.join_key_skew(_t(sp, d, "events")),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

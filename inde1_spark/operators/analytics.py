@@ -1976,3 +1976,47 @@ def dow_profile(events: DataFrame) -> DataFrame:
             (_dsum("value") / F.count("*")).alias("mean_value"),
         )
     )
+
+
+SKEW_TOP_K = 5
+
+
+def join_key_skew(events: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
+    """Shuffle-key skew audit for the user_id key: hottest keys with their
+    corpus share, next to the uniform-share baseline — the pre-flight
+    check before keying a 100 TB shuffle (a key holding >> 1/n_keys of
+    the rows needs salting or AQE skew-join; this measures instead of
+    guessing, and is what `functions/skew.py:salted_join` is FOR).
+
+    One map-side-combined count per key, a TakeOrdered top-k (no global
+    sort), and a broadcast of the 3-number corpus totals. Shares are
+    exact integer ratios; ties break on key asc so the top-k cut is
+    engine-stable.
+    """
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("n_total"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("user_id").asc()).limit(k)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+            ).cast("long"),
+        )
+        .join(F.broadcast(totals))
+        .select(
+            "rank",
+            "user_id",
+            "n_rows",
+            ratio_round(F.col("n_rows"), F.col("n_total"), 6).alias("share"),
+            ratio_round(F.lit(1), F.col("n_keys"), 6).alias("uniform_share"),
+            "n_keys",
+            "max_rows",
+        )
+    )

@@ -3073,3 +3073,29 @@ SELECT event_type,
        {_dsum("value")} / COUNT(*) AS mean_value
 FROM events GROUP BY 1, 2
 """
+
+
+from inde1_spark.operators.analytics import SKEW_TOP_K
+
+ORACLES["join_key_skew"] = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_rows) AS BIGINT) AS n_total,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows
+  FROM counts
+),
+top AS (
+  SELECT user_id, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS BIGINT)
+           AS rank
+  FROM counts ORDER BY n_rows DESC, user_id ASC LIMIT {SKEW_TOP_K}
+)
+SELECT t.rank, t.user_id, t.n_rows,
+       {_rr("t.n_rows", "x.n_total", 6)} AS share,
+       {_rr("1", "x.n_keys", 6)} AS uniform_share,
+       x.n_keys, x.max_rows
+FROM top t CROSS JOIN tot x
+"""

@@ -582,3 +582,10 @@ def test_daily_trend_two_bounded_aggs(spark):
 def test_dow_profile_single_shuffle(spark):
     # (type x 7)-bounded key space, one map-side-combined shuffle
     assert_plan(Q["dow_profile"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_join_key_skew_takeordered(spark):
+    # the hot-key cut must be TakeOrdered (per-partition partial top-k),
+    # never a global sort of the key census
+    r = assert_plan(Q["join_key_skew"](spark, SF_SMOKE), max_scans=1)
+    assert "TakeOrderedAndProject" in r.raw
