@@ -586,6 +586,7 @@ def test_dow_profile_single_shuffle(spark):
 
 def test_join_key_skew_takeordered(spark):
     # the hot-key cut must be TakeOrdered (per-partition partial top-k),
-    # never a global sort of the key census
-    r = assert_plan(Q["join_key_skew"](spark, SF_SMOKE), max_scans=1)
+    # never a global sort of the key census; two scans (top-k + totals
+    # branches — each collapses to the key census before anything wide)
+    r = assert_plan(Q["join_key_skew"](spark, SF_SMOKE), max_scans=2)
     assert "TakeOrderedAndProject" in r.raw
