@@ -1508,6 +1508,17 @@ def cumulative_users(events: DataFrame) -> DataFrame:
 ROLLING_DAYS = 7
 
 
+def _daily_micro(events: DataFrame, alias: str) -> DataFrame:
+    """(event_type, day, <alias>): per-(type, day) exact decimal value sums
+    snapped to MICRO-LONGS — the shared determinism-critical collapse the
+    rolling/z-score/trend operators fold over (floor(x*1e6+0.5) is
+    IEEE-exact in both engines; DESIGN.md §3). One spelling, one place to
+    keep in sync with the oracles' shared _dsum/_DAY fragments."""
+    return events.groupBy("event_type", _day_str().alias("day")).agg(
+        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias(alias)
+    )
+
+
 def rolling_daily_revenue(
     events: DataFrame, window_days: int = ROLLING_DAYS
 ) -> DataFrame:
@@ -1525,13 +1536,7 @@ def rolling_daily_revenue(
     disagree on float windowed-sum algorithms: sliding accumulators and
     segment trees reorder the additions) and divides once at the end.
     """
-    daily = events.groupBy(
-        "event_type", _day_str().alias("day")
-    ).agg(
-        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("v_micro")
-    )
+    daily = _daily_micro(events, "v_micro")
     day_idx = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date"))
     w = (
         Window.partitionBy("event_type")
@@ -1701,22 +1706,22 @@ def zscore_anomaly(
     daily values); mean and sigma derive from the exact sums with the
     same double ops in both engines, so the flag predicate is
     engine-identical. Output is flagged days only, with their z-numerator
-    and the band.
+    and the band. Variance is clamped at zero on BOTH sides: an all-equal
+    large-magnitude series cancels catastrophically and the computed var
+    can land epsilon-negative, where Spark's sqrt yields NaN but DuckDB's
+    hard-errors — an asymmetric failure without the clamp.
     """
-    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
-        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("m")
-    )
+    daily = _daily_micro(events, "m")
     stats = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum("m").cast("decimal(38,0)").alias("sum_m"),
         F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sum_m2"),
     )
     mean = F.col("sum_m").cast("double") / F.col("n_days").cast("double")
-    var = (
+    var = F.greatest(
         F.col("sum_m2").cast("double") / F.col("n_days").cast("double")
-        - mean * mean
+        - mean * mean,
+        F.lit(0.0),
     )
     joined = daily.join(F.broadcast(stats), "event_type")
     dev = F.abs(F.col("m").cast("double") - mean)
@@ -1843,9 +1848,12 @@ def json_props_audit(events: DataFrame) -> DataFrame:
         typed.groupBy("key", "vtype")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
+            # try_cast, not cast: an int-REGEX match wider than int64 must
+            # degrade to NULL (both engines), not crash the audit under
+            # ANSI mode — drifted data is exactly what this op is for
             F.sum(
                 F.when(
-                    F.col("vtype") == "int", F.col("value").cast("long")
+                    F.col("vtype") == "int", F.col("value").try_cast("long")
                 ).otherwise(F.lit(0).cast("long"))
             )
             .cast("long")
@@ -1921,13 +1929,12 @@ def daily_trend_regression(events: DataFrame) -> DataFrame:
     (day index x micro value fits decimal(38,0)), so slope and intercept
     are single engine-identical double divisions at the end. x is the day
     number since epoch — no per-key renumbering, so the slope unit is
-    value-per-calendar-day and gaps cost nothing.
+    value-per-calendar-day and gaps cost nothing. Types active on fewer
+    than 2 days are excluded (a one-point series has no slope; without
+    the guard the zero denominator THROWS under Spark's ANSI mode while
+    DuckDB returns NULL — the gate would diverge exactly there).
     """
-    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
-        F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("y_micro")
-    )
+    daily = _daily_micro(events, "y_micro")
     x = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")).cast("long")
     m = daily.select(
         "event_type",
@@ -1940,7 +1947,7 @@ def daily_trend_regression(events: DataFrame) -> DataFrame:
         F.sum("y_micro").cast("decimal(38,0)").alias("sy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y_micro")).alias("sxy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-    )
+    ).filter(F.col("n_days") >= 2)
     n = F.col("n_days").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")

@@ -150,13 +150,40 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing >=1 shingle (inverted-index join).
+def _shared_shingle_candidates(
+    sh: DataFrame, min_shared: int = 1, repartition_to: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing >= ``min_shared`` shingles of ``sh``
+    (pass the df-CAPPED table — the posting self-join is the part the cap
+    bounds). ``repartition_to`` forces the partition COUNT for consumers
+    whose per-pair verify is CPU-heavy (AQE's byte-based coalescing would
+    serialize a tiny candidate table onto one core). One spelling for the
+    levenshtein/containment family — keep in sync with the oracle CTEs.
+    """
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    if repartition_to:
+        cand = cand.repartition(repartition_to, "doc_a", "doc_b")
+    return cand
 
-    If ``pairs_filter`` (doc_a, doc_b) is given, only those pairs are scored
-    (the LSH verify path): the filter joins BEFORE the shingle intersection,
-    so the quadratic posting-list explosion never happens — cost is
-    |candidates| x |shingles per doc|, not sum(df^2) over shingles.
+
+def _pair_overlap(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_inter, sz_a, sz_b): exact shingle intersection and
+    set sizes for doc pairs (inverted-index join over the UNCAPPED table).
+
+    If ``pairs_filter`` (doc_a, doc_b) is given, only those pairs are
+    scored (the candidate-first verify path): the filter joins BEFORE the
+    shingle intersection, so the quadratic posting-list explosion never
+    happens — cost is |candidates| x |shingles per doc|, not sum(df^2)
+    over shingles.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -177,18 +204,19 @@ def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataF
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            ratio_round(
-                F.col("n_inter"),
-                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
-                6,
-            ).alias("jaccard"),
-        )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over ``_pair_overlap`` (see there for the cost model)."""
+    return _pair_overlap(sh, pairs_filter).select(
+        "doc_a",
+        "doc_b",
+        ratio_round(
+            F.col("n_inter"),
+            F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -1125,24 +1153,12 @@ def dedup_levenshtein(
     """
     # persisted: feeds both sides of the posting self-join (registry above)
     sh = _persist(cap_shingle_df(shingle_table(documents), max_shingle_df))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # explicit partition COUNT on the candidate table: the rows are tiny
-    # in bytes but each costs an O(len^2) DP in the verify, and AQE's
-    # byte-based coalescing would serialize them onto one core (the
-    # semdedup idiom, clustering.py)
+    # explicit partition COUNT: each candidate costs an O(len^2) DP in the
+    # verify, so the tiny table must spread across cores (semdedup idiom)
     n_part = int(
         documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    cand = (
-        sa.join(sb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-        .select("doc_a", "doc_b")
-        .repartition(n_part, "doc_a", "doc_b")
-    )
+    cand = _shared_shingle_candidates(sh, min_shared, repartition_to=n_part)
     ta = documents.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("text_a"),
@@ -1200,31 +1216,9 @@ def dedup_containment(
     from true containment.
     """
     sh = _persist(shingle_table(documents))
-    capped = cap_shingle_df(sh, max_shingle_df)
-    ca = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    cb = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
-        ca.join(cb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-        .select("doc_a", "doc_b")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cand = _shared_shingle_candidates(cap_shingle_df(sh, max_shingle_df), min_shared)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_overlap(sh, pairs_filter=cand)
         .withColumn(
             "containment",
             ratio_round(F.col("n_inter"), F.least("sz_a", "sz_b"), 6),

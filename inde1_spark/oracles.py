@@ -2789,9 +2789,10 @@ stats AS (
 j AS (
   SELECT d.event_type, d.day, d.m, s.n_days,
          CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean,
-         CAST(s.sum_m2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
-           - (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE))
-             * (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE)) AS var
+         GREATEST(CAST(s.sum_m2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+                  - (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                    * (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE)),
+                  0.0) AS var
   FROM daily d JOIN stats s ON d.event_type = s.event_type
 )
 SELECT event_type, day,
@@ -2840,7 +2841,7 @@ SELECT doc_a, doc_b, edit_distance, max_len FROM (
 WHERE edit_distance * 100 <= {LEV_MAX_EDIT_PCT} * max_len
 """
 
-from inde1_spark.operators.text import TOP_NGRAM_K
+from inde1_spark.operators.text import TOP_NGRAM_K, TOP_NGRAM_N
 
 ORACLES["top_ngrams_per_lang"] = f"""
 WITH toks AS (
@@ -2848,9 +2849,9 @@ WITH toks AS (
   FROM documents
 ),
 grams AS (
-  SELECT lang, array_to_string(toks[i:i+1], ' ') AS ngram
-  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-  WHERE len(toks) >= 2
+  SELECT lang, array_to_string(toks[i:i+{TOP_NGRAM_N - 1}], ' ') AS ngram
+  FROM toks, UNNEST(generate_series(1, len(toks) - {TOP_NGRAM_N - 1})) AS u(i)
+  WHERE len(toks) >= {TOP_NGRAM_N}
 ),
 counts AS (
   SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occ
@@ -2952,7 +2953,7 @@ def _pagerank_ctes(iters: int) -> str:
             f"          FROM edges e JOIN r{i} r ON e.u = r.u GROUP BY 1),\n"
             f"r{i + 1} AS (SELECT d.u, d.deg,\n"
             f"            CAST(floor(({1.0 - _PR_D!r} / t.n) * 1e9\n"
-            f"                       + {_PR_D!r} * COALESCE(s.s, 0) + 0.5) AS BIGINT) AS r\n"
+            f"                       + {_PR_D!r} * CAST(COALESCE(s.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS r\n"
             f"            FROM deg d CROSS JOIN tot t LEFT JOIN s{i} s ON s.u = d.u)"
         )
     return ",\n".join(parts)
@@ -2985,7 +2986,9 @@ FROM r{PAGERANK_ITERS}
 ORACLES["json_props_audit"] = f"""
 WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
 kv AS (
-  SELECT key, json_extract_string(props, '$.' || key) AS value
+  -- bracket-quoted path: a key containing '.' must address the key
+  -- literally, not a nested path (schema drift is the point of the audit)
+  SELECT key, json_extract_string(props, '$."' || key || '"') AS value
   FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
 ),
 typed AS (
@@ -2998,7 +3001,7 @@ typed AS (
 )
 SELECT key, vtype, CAST(COUNT(*) AS BIGINT) AS n_rows,
        {_rr("COUNT(*)", "MAX(t.n_total)", 4)} AS coverage,
-       CAST(SUM(CASE WHEN vtype = 'int' THEN CAST(value AS BIGINT) ELSE 0 END)
+       CAST(SUM(CASE WHEN vtype = 'int' THEN TRY_CAST(value AS BIGINT) ELSE 0 END)
             AS BIGINT) AS sum_int_values
 FROM typed CROSS JOIN tot t
 GROUP BY 1, 2
@@ -3050,6 +3053,7 @@ stats AS (
          SUM(CAST(x AS HUGEINT) * y_micro) AS sxy,
          SUM(CAST(x AS HUGEINT) * x) AS sxx
   FROM m GROUP BY 1
+  HAVING COUNT(*) >= 2
 )
 SELECT event_type, n_days,
        ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -1,0 +1,65 @@
+"""Edge cases pinned by the r04 code review: degenerate inputs must not
+crash under ANSI mode or diverge asymmetrically between engines."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_trend_single_day_type_excluded_not_crashed(spark):
+    """A type active on ONE day has a zero slope denominator: ANSI Spark
+    would throw DIVIDE_BY_ZERO while DuckDB returns NULL — the guard
+    excludes it on both sides instead."""
+    from inde1_spark.operators.analytics import daily_trend_regression
+
+    t = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    d = datetime.timedelta
+    rows = [
+        (1, t, 1, "solo", 5.0, "{}"),          # one day only
+        (2, t, 2, "pair", 1.0, "{}"),
+        (3, t + d(days=1), 3, "pair", 2.0, "{}"),
+    ]
+    out = {r["event_type"]: r for r in daily_trend_regression(_events(spark, rows)).collect()}
+    assert "solo" not in out
+    assert out["pair"]["n_days"] == 2 and abs(out["pair"]["slope_per_day"] - 1.0) < 1e-9
+
+
+def test_zscore_constant_series_no_nan_rows(spark):
+    """All-equal daily values: variance cancels to ~0 (possibly epsilon
+    negative); the clamp keeps sqrt defined and no day is flagged."""
+    from inde1_spark.operators.analytics import zscore_anomaly
+
+    t = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    d = datetime.timedelta
+    rows = [(i, t + d(days=i), i, "flat", 1e6, "{}") for i in range(5)]
+    assert zscore_anomaly(_events(spark, rows)).count() == 0
+
+
+def test_json_audit_drifted_props_no_crash(spark):
+    """Dotted keys and beyond-int64 int-looking values are exactly the
+    drift the audit exists for: classified, not crashed (try_cast)."""
+    from inde1_spark.operators.analytics import json_props_audit
+
+    t = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 1, "view", 1.0, '{"a.b": 5}'),
+        (2, t, 2, "view", 1.0, '{"k": 99999999999999999999}'),
+        (3, t, 3, "view", 1.0, '{"k": 7}'),
+    ]
+    out = {(r["key"], r["vtype"]): r for r in json_props_audit(_events(spark, rows)).collect()}
+    assert out[("a.b", "int")]["n_rows"] == 1
+    assert ("k", "int") in out and out[("k", "int")]["n_rows"] == 2
+    # the overflowing value degrades to NULL inside the sum, 7 survives
+    assert out[("k", "int")]["sum_int_values"] in (7, None)
