@@ -211,3 +211,36 @@ def test_chunk_tokens_equal_python_spec(spark, texts, chunk, stride):
                 )
             )
     assert got == sorted(want), (texts, chunk, stride)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**8),
+            st.integers(min_value=1, max_value=10**8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_ratio_scaled_equals_decimal_half_up_long(spark, pairs):
+    """ratio_scaled (the integer numerator behind ratio_round, load-bearing
+    in min_cost_supplier's cost key) must equal round_half_up(num/den*10^4)
+    as an exact integer on every input."""
+    from inde1_spark.functions.exprs import ratio_scaled
+
+    df = spark.createDataFrame(pairs, ["num", "den"])
+    got = {
+        (r["num"], r["den"]): r["rs"]
+        for r in df.select(
+            "num", "den", ratio_scaled(F.col("num"), F.col("den"), 4).alias("rs")
+        ).collect()
+    }
+    for num, den in pairs:
+        want = int(
+            (Decimal(num) * 10**4 / Decimal(den)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[(num, den)] == want, (num, den)
