@@ -82,20 +82,28 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action outside timing
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    from inde1_spark.operators.dedup import release_persisted
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, SF_DIR).count()  # warmup: JIT + shuffle-file page cache
         # steady state = best of 2 measured runs (single-run wall swings
         # ±50% on some queries from JIT/GC scheduling noise in one JVM);
-        # each measured run pays its own persist cost after clearCache
+        # each measured run pays its own persist cost after clearCache.
+        # release_persisted between queries: clearCache drops cache-manager
+        # blocks but NOT lazy-localCheckpoint RDDs (kmeans/components
+        # chains), which would otherwise accumulate across 38 queries and
+        # GC-pressure the tail of the run
         best, n = float("inf"), 0
         for _ in range(2):
             spark.catalog.clearCache()
+            release_persisted()
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        release_persisted()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
