@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
         "join_key_skew": lambda sp, d: A.join_key_skew(_t(sp, d, "events")),
+        "shingle_novelty": lambda sp, d: C.shingle_novelty(
+            _t(sp, d, "documents")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

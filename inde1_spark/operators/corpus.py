@@ -583,3 +583,53 @@ def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFra
         "n_chars",
         "es_key",
     )
+
+
+NOVELTY_N_BATCHES = 10
+
+
+def shingle_novelty(
+    documents: DataFrame, n_batches: int = NOVELTY_N_BATCHES
+) -> DataFrame:
+    """Content novelty per ingestion batch: the fraction of each batch's
+    distinct shingles never seen in ANY earlier batch — the freshness
+    curve that tells a healthy crawl (high novelty) from re-crawling the
+    same sites (novelty decaying to the boilerplate floor), and sizes how
+    much an incremental dedup pass (dedup_incremental) will actually
+    admit.
+
+    Batches are an md5 hash split of doc_id (the testdata's stand-in for
+    arrival order, same device as train_test_split). Per shingle the
+    FIRST batch is one min-aggregate over the shingle table; per batch,
+    novel = shingles whose first batch is this one, seen = distinct
+    shingles present — both ride one more aggregate each, so the whole
+    audit is two shingle-key shuffles and a k-row output. Exact integer
+    ratios.
+    """
+    sh = documents.select(
+        (hash_bucket(F.col("doc_id"), n_batches)).alias("batch"),
+        F.explode(word_shingles(tokens("text"))).alias("shingle"),
+    )
+    per = sh.distinct()  # (batch, shingle) presence
+    firsts = per.groupBy("shingle").agg(F.min("batch").alias("first_batch"))
+    seen = per.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_shingles_seen")
+    )
+    novel = firsts.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count("*").cast("long").alias("n_shingles_novel")
+    )
+    return (
+        seen.join(novel, "batch", "left")
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            "n_shingles_seen",
+            F.coalesce("n_shingles_novel", F.lit(0).cast("long")).alias(
+                "n_shingles_novel"
+            ),
+            ratio_round(
+                F.coalesce("n_shingles_novel", F.lit(0).cast("long")),
+                F.col("n_shingles_seen"),
+                4,
+            ).alias("novelty"),
+        )
+    )

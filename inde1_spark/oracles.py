@@ -3103,3 +3103,31 @@ SELECT t.rank, t.user_id, t.n_rows,
        x.n_keys, x.max_rows
 FROM top t CROSS JOIN tot x
 """
+
+
+from inde1_spark.operators.corpus import NOVELTY_N_BATCHES
+
+ORACLES["shingle_novelty"] = f"""
+WITH {_SHINGLES},
+b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {NOVELTY_N_BATCHES} AS BIGINT) AS batch
+  FROM documents
+),
+per AS (
+  SELECT DISTINCT b.batch, sh.shingle FROM sh JOIN b USING (doc_id)
+),
+firsts AS (SELECT shingle, MIN(batch) AS first_batch FROM per GROUP BY 1),
+seen AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_shingles_seen FROM per GROUP BY 1
+),
+novel AS (
+  SELECT first_batch AS batch, CAST(COUNT(*) AS BIGINT) AS n_shingles_novel
+  FROM firsts GROUP BY 1
+)
+SELECT s.batch, s.n_shingles_seen,
+       COALESCE(n.n_shingles_novel, 0) AS n_shingles_novel,
+       {_rr("COALESCE(n.n_shingles_novel, 0)", "s.n_shingles_seen", 4)} AS novelty
+FROM seen s LEFT JOIN novel n ON n.batch = s.batch
+"""

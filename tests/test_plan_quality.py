@@ -590,3 +590,9 @@ def test_join_key_skew_takeordered(spark):
     # branches — each collapses to the key census before anything wide)
     r = assert_plan(Q["join_key_skew"](spark, SF_SMOKE), max_scans=2)
     assert "TakeOrderedAndProject" in r.raw
+
+
+def test_shingle_novelty_two_shuffles(spark):
+    # presence distinct + (first-batch, per-batch) aggregates: bounded
+    # shingle-key shuffles, no cartesian
+    assert_plan(Q["shingle_novelty"](spark, SF_SMOKE), forbid_cartesian=True, max_scans=1)
