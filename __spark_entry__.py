@@ -330,13 +330,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": lambda sp, d: Q.customers_without_orders(
             _t(sp, d, "customer"), _t(sp, d, "orders")
         ),
-        # --- exact dedup + labeled ground-truth twins (hash-green r01+r02) ---
+        # --- exact dedup (hash-green r01+r02) ---
         "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
         "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
-        # Oracle twins of the scale-path dedups: bit-reproducible in DuckDB
-        # (dictionary ids / exact pair join) but NOT the plans to run at
-        # corpus scale — the default names (dedup_minhash_lsh, dedup_simhash,
-        # dedup_embedding) delegate to the fast paths.
+    }
+
+
+def test_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bit-reproducible DuckDB twins of the scale-path dedups — TEST
+    INFRASTRUCTURE, deliberately NOT part of the engine's query surface.
+
+    Their plans are scale-killers by construction (a single-task sorted
+    shingle dictionary for the minhash/simhash twins, a cartesian pair
+    join for the embedding twin) and exist only to reproduce the fast
+    paths' math digit-for-digit in DuckDB; the production names
+    (dedup_minhash_lsh / dedup_simhash / dedup_embedding) delegate to the
+    fast paths, whose gate entries hash against exact-ground-truth /
+    contract oracles directly. Pinned locally on every pytest run by
+    tests/test_oracle_parity.py, same harness as queries().
+    """
+    from inde1_spark.operators import dedup as D
+
+    return {
         "dedup_minhash_oracle": lambda sp, d: D.dedup_minhash_oracle(
             _t(sp, d, "documents")
         ),
@@ -357,3 +372,9 @@ def oracle_sql() -> dict[str, str]:
     from inde1_spark.oracles import ORACLES
 
     return dict(ORACLES)
+
+
+def test_only_oracle_sql() -> dict[str, str]:
+    from inde1_spark.oracles import TEST_ONLY_ORACLES
+
+    return dict(TEST_ONLY_ORACLES)

@@ -3131,3 +3131,13 @@ SELECT s.batch, s.n_shingles_seen,
        {_rr("COALESCE(n.n_shingles_novel, 0)", "s.n_shingles_seen", 4)} AS novelty
 FROM seen s LEFT JOIN novel n ON n.batch = s.batch
 """
+
+
+# Bit-reproducible twins of the scale-path dedups: test infrastructure
+# (single-task dictionary sort / cartesian by construction), kept OUT of
+# the production oracle registry and pinned by the parity tests via
+# __spark_entry__.test_only_queries().
+TEST_ONLY_ORACLES = {
+    k: ORACLES.pop(k)
+    for k in ("dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_embedding_oracle")
+}

@@ -18,6 +18,10 @@ from tests.conftest import SF_SMOKE, assert_matches_oracle
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+# test-only ground-truth twins ride the same parity harness but are NOT
+# part of the driver-facing query surface (scale-killer plans by design)
+QUERIES.update(entrymod.test_only_queries())
+ORACLES.update(entrymod.test_only_oracle_sql())
 
 
 def test_every_query_has_oracle():
