@@ -362,6 +362,44 @@ SPARK_SQL: dict[str, str] = {
     "dedup_minhash_fast": _minhash_fast_sql(),
     "knn_lsh_bucketed": _knn_lsh_sql(),
     "tfidf_top_terms": _tfidf_sql(),
+    # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
+    "hopping_window_stats": """
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               date_format(w.end, 'yyyy-MM-dd HH:mm:ss') AS window_end,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (SELECT window(ts, '60 minutes', '30 minutes') AS w, event_type, value
+              FROM events)
+        GROUP BY w, event_type
+    """,
+    "rolling_daily_revenue": """
+        WITH daily AS (
+          SELECT event_type,
+                 date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            * 1e6 + 0.5) AS BIGINT) AS v_micro
+          FROM events GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT event_type, day, v_micro,
+                 SUM(v_micro) OVER (
+                   PARTITION BY event_type
+                   ORDER BY datediff(to_date(day), DATE '1970-01-01')
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rs,
+                 COUNT(*) OVER (
+                   PARTITION BY event_type
+                   ORDER BY datediff(to_date(day), DATE '1970-01-01')
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS nd
+          FROM daily
+        )
+        SELECT event_type, day,
+               CAST(v_micro AS DOUBLE) / 1e6 AS value,
+               CAST(rs AS DOUBLE) / 1e6 AS rolling_sum,
+               CAST(rs AS DOUBLE) / CAST(nd AS DOUBLE) / 1e6 AS rolling_avg,
+               CAST(nd AS BIGINT) AS n_days_in_window
+        FROM w
+    """,
 }
 
 
