@@ -125,3 +125,29 @@ def ratio_round(num: Column, den: Column, scale: int) -> Column:
 def int_sum_exact(arr: Column) -> Column:
     """Sum of an int-array (e.g. token lengths) as LONG."""
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+
+def dec_to_double_exact(x: Column) -> Column:
+    """DECIMAL(38,0) -> DOUBLE via base-10^15 digit split — deterministic
+    across engines where a direct cast is NOT.
+
+    DuckDB's wide-integer-to-double conversion (HUGEINT and DECIMAL paths
+    both) is not correctly rounded for ~0.4% of values past 2^53
+    (measured; e.g. -12833214174417642 converts 1 ulp off), so any oracle
+    hash over a mean/ratio of a wide exact sum is a latent flip. This
+    spelling only ever converts integers < 2^53 (each exact in ANY
+    engine) and reconstructs with the same three IEEE ops on both sides:
+    t1*1e30 + t2*1e15 + t3, left-associative. The result is within 1 ulp
+    of correctly-rounded and — the property that matters — bit-identical
+    in Spark and DuckDB. SQL twin: oracles._dec2d.
+    """
+    p = F.lit(10**15)
+    t3 = (x % p).cast("long")
+    x1 = ((x - x % p) / p).cast("decimal(38,0)")
+    t2 = (x1 % p).cast("long")
+    t1 = ((x1 - x1 % p) / p).cast("long")
+    return (
+        t1.cast("double") * F.lit(1e30)
+        + t2.cast("double") * F.lit(1e15)
+        + t3.cast("double")
+    )

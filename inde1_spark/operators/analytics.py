@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from inde1_spark.functions.exprs import ratio_round
+from inde1_spark.functions.exprs import dec_to_double_exact, ratio_round
 
 ENTRY_TYPE = "view"
 EXIT_TYPE = "click"
@@ -1717,9 +1717,12 @@ def zscore_anomaly(
         F.sum("m").cast("decimal(38,0)").alias("sum_m"),
         F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sum_m2"),
     )
-    mean = F.col("sum_m").cast("double") / F.col("n_days").cast("double")
+    # digit-split conversions: sum_m2 (micro^2-scaled) exceeds 2^53 at any
+    # realistic scale and DuckDB's direct wide-int casts are not correctly
+    # rounded there (exprs.dec_to_double_exact)
+    mean = dec_to_double_exact(F.col("sum_m")) / F.col("n_days").cast("double")
     var = F.greatest(
-        F.col("sum_m2").cast("double") / F.col("n_days").cast("double")
+        dec_to_double_exact(F.col("sum_m2")) / F.col("n_days").cast("double")
         - mean * mean,
         F.lit(0.0),
     )
@@ -1949,10 +1952,11 @@ def daily_trend_regression(events: DataFrame) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     ).filter(F.col("n_days") >= 2)
     n = F.col("n_days").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
+    # digit-split conversions (identity below 2^53; sxy/sxx go far above)
+    sx = dec_to_double_exact(F.col("sx"))
+    sy = dec_to_double_exact(F.col("sy"))
+    sxy = dec_to_double_exact(F.col("sxy"))
+    sxx = dec_to_double_exact(F.col("sxx"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     return stats.select(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from inde1_spark.functions.exprs import dot_exact, norm_exact
+from inde1_spark.functions.exprs import dec_to_double_exact, dot_exact, norm_exact
 
 N_QUERIES = 20  # queries() uses vec_id < 20 as the query set
 K_BRUTE = 5
@@ -303,9 +303,13 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     from inde1_spark.functions.exprs import FIXED_POINT_SCALE
 
     ex = embeddings.select(F.posexplode("embedding").alias("dim", "v"))
-    fx = F.round(F.col("v").cast("double") * F.lit(FIXED_POINT_SCALE), 0).cast(
-        "long"
-    )
+    # floor(x + 0.5), NOT round(): Spark rounds the shortest decimal
+    # representation while DuckDB rounds the binary value — they disagree
+    # exactly on .5-boundary doubles (observed: 2/64 dims off by one unit
+    # at sf0.1, a 1-ulp mean divergence). floor is IEEE-exact both engines.
+    fx = F.floor(
+        F.col("v").cast("double") * F.lit(FIXED_POINT_SCALE) + F.lit(0.5)
+    ).cast("long")
     return (
         ex.groupBy((F.col("dim") + 1).cast("long").alias("dim"))
         .agg(
@@ -318,8 +322,11 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
             "dim",
             "n_vecs",
             F.col("sum_dec").cast("string").alias("sum_fixed"),
+            # digit-split conversion, not a direct cast: DuckDB's wide-int
+            # -> double casts are not correctly rounded past 2^53 (exprs.
+            # dec_to_double_exact docstring; observed 1-ulp mean_v flips)
             (
-                F.col("sum_dec").cast("double")
+                dec_to_double_exact(F.col("sum_dec"))
                 / F.col("n_vecs").cast("double")
                 / F.lit(FIXED_POINT_SCALE)
             ).alias("mean_v"),

@@ -60,6 +60,23 @@ def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+def _dec2d(x: str) -> str:
+    """SQL twin of exprs.dec_to_double_exact: wide exact integer -> double
+    via base-10^15 digit split (DuckDB's direct wide-int casts are not
+    correctly rounded past 2^53). The split runs in HUGEINT (// on
+    DECIMAL silently returns DOUBLE); % first, then exactly-divisible
+    // — DuckDB's % truncates (sign of dividend) while // floors, so the
+    divide must only ever see exactly-divisible numerators."""
+    P = 10**15
+    xh = f"CAST({x} AS HUGEINT)"
+    x1 = f"(({xh}) - (({xh}) % {P})) // {P}"
+    return (
+        f"(CAST((({x1}) - (({x1}) % {P})) // {P} AS DOUBLE) * 1e30"
+        f" + CAST(({x1}) % {P} AS DOUBLE) * 1e15"
+        f" + CAST(({xh}) % {P} AS DOUBLE))"
+    )
+
+
 def _rr(num: str, den: str, scale: int) -> str:
     """SQL twin of exprs.ratio_round — exact integer round-half-up."""
     p = 10**scale
@@ -1927,15 +1944,15 @@ WITH agg AS (
   -- compared as VARCHAR (wide decimals fetch as lossy float64 in pandas).
   SELECT CAST(i AS BIGINT) AS dim,
          CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
-                        * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS sum_huge,
+         SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                        * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS sum_huge,
          MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
          MAX(CAST(embedding[i] AS DOUBLE)) AS max_v
   FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
   GROUP BY i
 )
 SELECT dim, n_vecs, CAST(sum_huge AS VARCHAR) AS sum_fixed,
-       CAST(sum_huge AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {FIXED_POINT_SCALE:.1f} AS mean_v,
+       {_dec2d("sum_huge")} / CAST(n_vecs AS DOUBLE) / {FIXED_POINT_SCALE:.1f} AS mean_v,
        min_v, max_v
 FROM agg
 """
@@ -2788,10 +2805,10 @@ stats AS (
 ),
 j AS (
   SELECT d.event_type, d.day, d.m, s.n_days,
-         CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean,
-         GREATEST(CAST(s.sum_m2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
-                  - (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE))
-                    * (CAST(s.sum_m AS DOUBLE) / CAST(s.n_days AS DOUBLE)),
+         {_dec2d("s.sum_m")} / CAST(s.n_days AS DOUBLE) AS mean,
+         GREATEST({_dec2d("s.sum_m2")} / CAST(s.n_days AS DOUBLE)
+                  - ({_dec2d("s.sum_m")} / CAST(s.n_days AS DOUBLE))
+                    * ({_dec2d("s.sum_m")} / CAST(s.n_days AS DOUBLE)),
                   0.0) AS var
   FROM daily d JOIN stats s ON d.event_type = s.event_type
 )
@@ -3056,15 +3073,15 @@ stats AS (
   HAVING COUNT(*) >= 2
 )
 SELECT event_type, n_days,
-       ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1e6 AS slope_per_day,
-       ((CAST(sy AS DOUBLE)
-         - ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+       ((CAST(n_days AS DOUBLE) * {_dec2d("sxy")}
+         - {_dec2d("sx")} * {_dec2d("sy")})
+        / (CAST(n_days AS DOUBLE) * {_dec2d("sxx")}
+           - {_dec2d("sx")} * {_dec2d("sx")})) / 1e6 AS slope_per_day,
+       (({_dec2d("sy")}
+         - ((CAST(n_days AS DOUBLE) * {_dec2d("sxy")}
+             - {_dec2d("sx")} * {_dec2d("sy")})
+            / (CAST(n_days AS DOUBLE) * {_dec2d("sxx")}
+               - {_dec2d("sx")} * {_dec2d("sx")})) * {_dec2d("sx")})
         / CAST(n_days AS DOUBLE)) / 1e6 AS intercept
 FROM stats
 """
@@ -3141,3 +3158,4 @@ TEST_ONLY_ORACLES = {
     k: ORACLES.pop(k)
     for k in ("dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_embedding_oracle")
 }
+
