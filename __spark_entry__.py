@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": lambda sp, d: C.shingle_novelty(
             _t(sp, d, "documents")
         ),
+        "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
+            _t(sp, d, "events")
+        ),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(

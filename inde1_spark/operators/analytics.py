@@ -2031,3 +2031,27 @@ def join_key_skew(events: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
             "max_rows",
         )
     )
+
+
+def value_percentile_ranks(events: DataFrame) -> DataFrame:
+    """percent_rank and cume_dist of each day's total value within its
+    event type — "was Tuesday a top-decile day?" as a first-class column
+    (the relative-standing view the z-score pass normalizes away).
+
+    Exercises the remaining rank-family window functions over the
+    BOUNDED per-(type, day) series (the corpus collapses first — the
+    window never sees raw events). Both functions are rank-derived
+    ratios of small integers, so their doubles are engine-identical;
+    ordering ties on equal daily values break nowhere because the rank
+    functions themselves define tie semantics (equal values share a
+    rank) identically in both engines.
+    """
+    daily = _daily_micro(events, "m")
+    w = Window.partitionBy("event_type").orderBy(F.col("m").asc())
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("m").cast("double") / F.lit(1e6)).alias("value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )

@@ -3159,3 +3159,17 @@ TEST_ONLY_ORACLES = {
     for k in ("dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_embedding_oracle")
 }
 
+
+
+ORACLES["value_percentile_ranks"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(m AS DOUBLE) / 1e6 AS value,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY m ASC) AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY m ASC) AS cume_dist
+FROM daily
+"""

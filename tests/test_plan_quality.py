@@ -599,3 +599,11 @@ def test_shingle_novelty_two_shuffles(spark):
     assert_plan(
         Q["shingle_novelty"](spark, SF_SMOKE), forbid_cartesian=True, max_scans=2
     )
+
+
+def test_value_percentile_ranks_bounded_window(spark):
+    # percent_rank/cume_dist slide over the bounded daily series — daily
+    # agg + per-type window, one scan
+    assert_plan(
+        Q["value_percentile_ranks"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
+    )
