@@ -47,8 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r04 window: the 28 r03-new operators (never driver-verified), the 3
     fast-dedup entries converted from rows-only to hash-grade this round,
-    embedding_dim_stats (output schema changed this round), and 18
-    re-confirmations of reference-parity queries last verified in r02.
+    embedding_dim_stats (output schema changed this round), and 18 of the
+    21 r04-new operators (the other 3 — rolling_daily_revenue, dow_profile,
+    value_percentile_ranks — head the r05 queue right behind the window;
+    no re-confirmation slots this round because the never-verified backlog
+    fills all 50).
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -139,36 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
             _t(sp, d, "embeddings")
         ),
-        # --- re-confirmations: oldest greens (last driver row r02) ---
-        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
-        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
-        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
-        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
-        "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
-            _t(sp, d, "events"), _t(sp, d, "customer")
-        ),
-        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
-        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
-            _t(sp, d, "events")
-        ),
-        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
-        "range_join_windows": lambda sp, d: A.range_join_windows(
-            _t(sp, d, "events")
-        ),
-        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
-        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
-        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
-        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
-        "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
-            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
-        ),
-        "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
-        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
-        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
-        "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
-        # ============== end gate window ===================================
-        # New in r04 — first in line for the r05 rotation; oracle-checked
-        # locally on every pytest run meanwhile.
+        # --- never driver-verified: new in r04 (18 of 21; 3 deferred) ---
         "min_cost_supplier": lambda sp, d: Q.min_cost_supplier(
             _t(sp, d, "part"), _t(sp, d, "lineitem"), _t(sp, d, "supplier"),
             _t(sp, d, "nation"), _t(sp, d, "region")
@@ -181,9 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sole_late_supplier": lambda sp, d: Q.sole_late_supplier(
             _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
-        ),
-        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
-            _t(sp, d, "events")
         ),
         "grouping_sets_revenue": lambda sp, d: A.grouping_sets_revenue(
             _t(sp, d, "events")
@@ -215,14 +186,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend_regression": lambda sp, d: A.daily_trend_regression(
             _t(sp, d, "events")
         ),
-        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
         "join_key_skew": lambda sp, d: A.join_key_skew(_t(sp, d, "events")),
         "shingle_novelty": lambda sp, d: C.shingle_novelty(
             _t(sp, d, "documents")
         ),
+        # ============== end gate window ===================================
+        # r05 rotation queue, in order: the 3 r04-new entries deferred for
+        # window space (simple window/groupby shapes, strongest local pins),
+        # then anything added later this round, then re-confirmations.
+        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
+            _t(sp, d, "events")
+        ),
+        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
         "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
             _t(sp, d, "events")
         ),
+        # Reference-parity block (last driver rows r01/r02; pinned locally by
+        # tests/test_oracle_parity.py every run).
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
+        "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
+        ),
+        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
+        "range_join_windows": lambda sp, d: A.range_join_windows(
+            _t(sp, d, "events")
+        ),
+        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
+        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
+        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
+        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
+        "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
+            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
+        ),
+        "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
+        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
+        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
+        "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
         # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
         # pinned locally by tests/test_oracle_parity.py every run).
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
