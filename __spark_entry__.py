@@ -201,6 +201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
             _t(sp, d, "events")
         ),
+        # New in r04 (after the rotation commit) — behind the 3 deferred
+        # entries in the r05 queue.
+        "nation_stock_value": lambda sp, d: Q.nation_stock_value(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -754,3 +754,80 @@ def sole_late_supplier(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(k)
     )
+
+
+def nation_stock_value(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_3",
+    fraction_ppm: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of one nation's
+    inventory value (the HAVING-vs-global-scalar-subquery query).
+
+    The testdata has no partsupp, so per-part shipped value
+    (sum of extendedprice, in exact cents) from the target nation's
+    suppliers stands in for supplycost x availqty — the plan shape is
+    Q11's: aggregate once per part, derive the global threshold FROM THE
+    SAME bounded per-part table (a second tiny aggregate, broadcast as a
+    one-row cross join), and filter — the fact table is scanned exactly
+    once, and the correlated scalar subquery every engine rewrites into
+    that broadcast never re-runs per group. A part qualifies if its value
+    exceeds ``fraction_ppm`` parts-per-million of the nation total,
+    compared in exact integer cross-multiplication (value x 1e6 >
+    total x ppm; cents sums are exact longs via decimal accumulation —
+    DESIGN §3 wide-sum rule). share_ppm (exact integer division) gives
+    relative weight without a float ratio.
+
+    Reference parity: the reference exposes this shape through its SQL
+    surface (SURVEY §2 free-join/agg rows); scale note: the nation filter
+    prunes the supplier dim BEFORE the fact join (broadcast), so the
+    shuffle carries only the target nation's rows.
+    """
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .filter(F.col("n_name") == target_nation)
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp), lineitem.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("value_cents"))
+    )
+    # the global total as an unbounded window over the BOUNDED per-part
+    # table (one single-partition exchange of n_parts tiny rows), not a
+    # second aggregate branch — the agg+cross-join spelling duplicates the
+    # whole fact subtree in the plan (ReuseExchange dedupes the shuffle at
+    # runtime but the scan still plans twice; the transition_matrix lesson)
+    from pyspark.sql import Window
+
+    total_w = F.sum(F.col("value_cents").cast("decimal(38,0)")).over(
+        Window.partitionBy()
+    ).cast("long")
+    # decimal(38,0) cross-multiplication: value_cents x 1e6 overflows LONG
+    # once a part's value passes ~9e12 cents (certain at corpus scale);
+    # Spark ANSI would throw, DuckDB's BIGINT*BIGINT hard-errors — the
+    # wide-integer promotion sidesteps both (DESIGN §3)
+    v_dec = F.col("value_cents").cast("decimal(38,0)")
+    t_dec = F.col("total_cents").cast("decimal(38,0)")
+    return (
+        per_part.withColumn("total_cents", total_w)
+        .filter(v_dec * 1_000_000 > t_dec * fraction_ppm)
+        .select(
+            "l_partkey",
+            "value_cents",
+            # exact integer quotient (values nonneg, so truncation ==
+            # floor == DuckDB HUGEINT //)
+            F.expr(
+                "CAST(CAST(value_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -3173,3 +3173,22 @@ SELECT event_type, day,
        cume_dist() OVER (PARTITION BY event_type ORDER BY m ASC) AS cume_dist
 FROM daily
 """
+
+ORACLES["nation_stock_value"] = """
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem l JOIN nat_supp ns ON l.l_suppkey = ns.s_suppkey
+  GROUP BY 1
+),
+total AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per_part)
+SELECT p.l_partkey, p.value_cents,
+       CAST((CAST(p.value_cents AS HUGEINT) * 1000000) // t.total_cents AS BIGINT)
+         AS share_ppm
+FROM per_part p, total t
+WHERE CAST(p.value_cents AS HUGEINT) * 1000000 > CAST(t.total_cents AS HUGEINT) * 1000
+"""

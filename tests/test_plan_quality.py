@@ -607,3 +607,17 @@ def test_value_percentile_ranks_bounded_window(spark):
     assert_plan(
         Q["value_percentile_ranks"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
     )
+
+
+def test_nation_stock_value_single_fact_pass(spark):
+    # Q11 shape: the HAVING's global total is an unbounded window over the
+    # BOUNDED per-part table — never a second aggregate branch duplicating
+    # the fact subtree; supplier prunes to the target nation BEFORE the
+    # fact join and broadcasts
+    assert_plan(
+        Q["nation_stock_value"](spark, SF_SMOKE),
+        require_broadcast_joins=2,  # nation into supplier, nat_supp into fact
+        forbid_sort_merge=True,
+        forbid_cartesian=True,
+        max_scans=3,  # lineitem + supplier + nation, each once
+    )
