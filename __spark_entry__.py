@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_stock_value": lambda sp, d: Q.nation_stock_value(
             _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
         ),
+        "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
+            _t(sp, d, "documents")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -67,6 +67,8 @@ HEADLINE = (
     "min_cost_supplier",      # Q2 correlated-subquery-as-window-min (r04)
     "rolling_daily_revenue",  # RANGE-frame rolling window (r04)
     "dedup_levenshtein",      # edit-distance verify over capped candidates (r04)
+    "similarity_join_allpairs",  # exact prefix-filtered Jaccard join (r04)
+    "nation_stock_value",     # Q11 HAVING-vs-global via bounded window (r04)
 )
 
 

@@ -1308,3 +1308,78 @@ def pagerank_dup_graph(
         "deg",
         (F.col("r_nano").cast("double") / F.lit(1e9)).alias("pagerank"),
     )
+
+
+ALLPAIRS_THRESHOLD = JACCARD_THRESHOLD  # same contract as the MinHash family
+
+
+def similarity_join_allpairs(
+    documents: DataFrame, threshold: float = ALLPAIRS_THRESHOLD
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (AllPairs /
+    PPJoin, Xiao et al. WWW'08): every doc pair with shingle-set Jaccard
+    >= ``threshold`` — the third spelling of the near-dup contract, and
+    the exact-at-scale one. ``dedup_ngram_jaccard`` is exact but joins
+    every co-occurring shingle (quadratic in posting length);
+    ``dedup_minhash_fast`` is subquadratic but probabilistic; prefix
+    filtering is exact AND subquadratic, so its output EQUALS the ground
+    truth and shares its oracle.
+
+    Order each document's shingles by GLOBAL document frequency ascending
+    (rarest first, ties by shingle); a pair at Jaccard >= t must share a
+    shingle within the first |d| - ceil(t|d|) + 1 of both docs (sharing
+    none leaves the overlap short of t even if the entire remainder
+    matches), so the inverted index is built over prefixes only — and
+    rarest-first makes those prefix posting lists the SHORTEST in the
+    corpus: boilerplate shingles land deep in every suffix and never
+    enter the index (the df-cap effect, derived instead of configured).
+    A size band (t x max <= min, exact integers) prunes further; exact
+    intersection over the full shingle table verifies survivors. All
+    integer math; no false negatives.
+
+    Scale shape: df ranking is one shingle shuffle + a bounded per-doc
+    window; candidates are an equi-join on prefix shingles; verify cost
+    is |candidates| x shingles-per-doc. At 100 TB add PPJoin's positional
+    upper-bound filter to tighten candidates further.
+    """
+    t10 = int(round(threshold * 10))
+    sh = _persist(shingle_table(documents))
+    df_sh = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    ranked = sh.join(df_sh, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("shingle").asc()
+            )
+        )
+        .alias("pos"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    # prefix length |d| - ceil(t|d|) + 1, ceil as exact integer div
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.expr(f"(n_sh * {t10} + 9) div 10") + F.lit(1)
+    ).select("doc_id", "shingle", "n_sh")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size band: Jaccard >= t forces min >= t x max (exact ints)
+            & (F.least("n_a", "n_b") * 10 >= F.greatest("n_a", "n_b") * t10)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(sh, pairs_filter=cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -3192,3 +3192,10 @@ SELECT p.l_partkey, p.value_cents,
 FROM per_part p, total t
 WHERE CAST(p.value_cents AS HUGEINT) * 1000000 > CAST(t.total_cents AS HUGEINT) * 1000
 """
+
+# Ground truth IS the oracle: prefix filtering has no false negatives
+# (Xiao et al. WWW'08 — a qualifying pair must share a shingle inside both
+# df-ordered prefixes), so similarity_join_allpairs' output equals the
+# exact shingle-set Jaccard join and every pair row hashes. Same oracle as
+# the MinHash family: three engine paths, one contract.
+ORACLES["similarity_join_allpairs"] = ORACLES["dedup_ngram_jaccard"]

@@ -192,3 +192,21 @@ def test_incremental_cap_bounds_boilerplate_posting(spark):
         if doc_new != batch_id:
             assert admit and dup_of is None
     D.release_persisted()
+
+
+def test_allpairs_output_equals_ground_truth(spark):
+    """Prefix filtering is exact (no false negatives — Xiao et al.
+    WWW'08), so similarity_join_allpairs must EQUAL the exact Jaccard
+    ground truth, values included, on the corpus with planted near-dups."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_ngram_jaccard(docs).collect()
+    }
+    assert truth
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.similarity_join_allpairs(docs).collect()
+    }
+    assert got == truth
+    D.release_persisted()

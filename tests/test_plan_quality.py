@@ -621,3 +621,16 @@ def test_nation_stock_value_single_fact_pass(spark):
         forbid_cartesian=True,
         max_scans=3,  # lineitem + supplier + nation, each once
     )
+
+
+def test_similarity_join_allpairs_no_cartesian_no_global_sort(spark):
+    # prefix filtering must stay an equi-join on prefix shingles: no
+    # cartesian, no global sort (the df ranking is a PER-DOC window, so a
+    # single-partition window would betray a dictionary-style spelling)
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = assert_plan(
+        Q["similarity_join_allpairs"](spark, SF_SMOKE), forbid_cartesian=True
+    )
+    assert "partial_row_number" not in r.raw.lower()
+    release_persisted()

@@ -244,3 +244,33 @@ def test_ratio_scaled_equals_decimal_half_up_long(spark, pairs):
             )
         )
         assert got[(num, den)] == want, (num, den)
+
+
+@given(
+    st.data(),
+    st.integers(min_value=6, max_value=10),  # threshold t10 (0.6..1.0)
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_theorem_pure_python(data, t10):
+    """The theorem similarity_join_allpairs rests on: under ANY global
+    token order, two sets with Jaccard >= t share an element within the
+    first |x| - ceil(t|x|) + 1 elements of both (so indexing prefixes
+    only loses nothing). Checked against brute force on random sets."""
+    universe = list(range(20))
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=12))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=12))
+    inter, union = len(a & b), len(a | b)
+    if inter * 10 < t10 * union:  # pair below threshold: theorem silent
+        return
+    order = data.draw(st.permutations(universe))
+    rank = {tok: i for i, tok in enumerate(order)}
+
+    def prefix(s):
+        n = len(s)
+        p = n - ((n * t10 + 9) // 10) + 1
+        return set(sorted(s, key=lambda x: rank[x])[:p])
+
+    assert prefix(a) & prefix(b), (
+        f"qualifying pair escaped both prefixes: {sorted(a)}, {sorted(b)}, "
+        f"t={t10/10}, order={order}"
+    )
