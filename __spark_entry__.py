@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
             _t(sp, d, "documents")
         ),
+        "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
+            _t(sp, d, "events")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -2055,3 +2055,84 @@ def value_percentile_ranks(events: DataFrame) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+def changepoint_meanshift(events: DataFrame) -> DataFrame:
+    """Single change-point detection: the split of each event type's daily
+    series that maximizes the between-segment mean shift — binary
+    segmentation's first cut (the batch answer to "when did the level
+    change?", complementing `zscore_anomaly`'s point outliers and
+    `ewma_anomaly`'s drift alerts).
+
+    The CUSUM-style likelihood statistic for a mean change at split k is
+    n1*n2/n * (m1 - m2)^2; dropping the constant 1/n and clearing the
+    fractions gives stat_k = (s1*n2 - s2*n1)^2 / (n1*n2) — prefix sums s
+    and counts only, so the whole scan is ONE cumulative-window pass over
+    the BOUNDED per-(type, day) series (micro-long exact sums; the corpus
+    collapses first, the window never sees raw events). No sequential
+    fold, no recursion: every candidate split is scored independently
+    from prefix sums — the spelling that parallelizes, unlike the
+    literal CUSUM recurrence.
+
+    Determinism: s fits micro-longs; the cross-term (s1*n2 - s2*n1)^2 is
+    promoted to decimal(38,0) (HUGEINT in the oracle) BEFORE squaring —
+    micro-scaled daily sums square past 2^63 immediately (DESIGN §3); the
+    quotient and the segment means are exact integer divisions of
+    nonnegative values (floor == truncate, so Spark div == DuckDB //).
+    At extreme daily volumes (~1e18 micros) the square would pass 38
+    digits: drop the fixed-point scale to millis there — the statistic's
+    argmax is scale-invariant.
+    """
+    daily = _daily_micro(events, "m")
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pref = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).alias("k"),
+        F.sum("m").over(w).alias("s1"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("m").over(wall).alias("stot"),
+    )
+    d = (
+        F.col("s1").cast("decimal(38,0)") * (F.col("n") - F.col("k"))
+        - (F.col("stot") - F.col("s1")).cast("decimal(38,0)") * F.col("k")
+    )
+    # spell d as a real column first so the squared expression references
+    # one projection (no duplicated expression trees in codegen)
+    scored = (
+        pref.filter(F.col("k") < F.col("n"))  # split needs a nonempty tail
+        .withColumn("d", d)
+        # NOT `div`: Spark's IntegralDivide on decimal operands returns
+        # BIGINT and silently WRAPS past 2^63 (measured) — floor-divide
+        # via mod-subtract (numerator exactly divisible, so the decimal
+        # division is exact; operands nonneg, so mod == floor semantics)
+        .withColumn(
+            "stat",
+            F.expr(
+                "CAST((d * d - (d * d) % (CAST(k AS DECIMAL(38,0)) * (n - k)))"
+                " / (CAST(k AS DECIMAL(38,0)) * (n - k)) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),  # last day of the BEFORE segment
+            F.col("k").cast("long").alias("n_before"),
+            (F.col("n") - F.col("k")).cast("long").alias("n_after"),
+            (
+                F.expr("CAST(s1 DIV k AS BIGINT)").cast("double") / F.lit(1e6)
+            ).alias("mean_before"),
+            (
+                F.expr("CAST((stot - s1) DIV (n - k) AS BIGINT)").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_after"),
+            dec_to_double_exact(F.col("stat")).alias("shift_stat"),
+        )
+    )

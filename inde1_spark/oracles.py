@@ -3199,3 +3199,40 @@ WHERE CAST(p.value_cents AS HUGEINT) * 1000000 > CAST(t.total_cents AS HUGEINT) 
 # exact shingle-set Jaccard join and every pair row hashes. Same oracle as
 # the MinHash family: three engine paths, one contract.
 ORACLES["similarity_join_allpairs"] = ORACLES["dedup_ngram_jaccard"]
+
+ORACLES["changepoint_meanshift"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+),
+pref AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(SUM(m) OVER w AS BIGINT) AS s1,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS stot
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT *,
+         CAST(s1 AS HUGEINT) * (n - k) - CAST(stot - s1 AS HUGEINT) * k AS d
+  FROM pref WHERE k < n
+),
+st AS (
+  SELECT *, (d * d) // (CAST(k AS HUGEINT) * (n - k)) AS stat FROM scored
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY stat DESC, k ASC) AS rn
+  FROM st
+)
+SELECT event_type, day AS split_day,
+       k AS n_before, (n - k) AS n_after,
+       CAST(CAST(CAST(s1 AS HUGEINT) // k AS BIGINT) AS DOUBLE) / 1e6 AS mean_before,
+       CAST(CAST(CAST(stot - s1 AS HUGEINT) // (n - k) AS BIGINT) AS DOUBLE) / 1e6 AS mean_after,
+       {_dec2d('stat')} AS shift_stat
+FROM best WHERE rn = 1
+"""

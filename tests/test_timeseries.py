@@ -38,3 +38,39 @@ def test_resample_ffill_fills_gaps_and_keeps_leading_nulls(spark):
     assert b(6)["value_ffill"] is None
     assert b(7)["value_ffill"] == 4.0 and b(7)["observed"]
     assert b(8)["value_ffill"] == 4.0 and not b(8)["observed"]
+
+
+def test_changepoint_meanshift_finds_planted_level_break(spark):
+    from datetime import timedelta
+
+    from inde1_spark.operators.analytics import changepoint_meanshift
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # type 'shift': 10 days at ~5.0, then 10 days at ~50.0 — split must land
+    # on day 10 (the last low day); noise below the jump keeps argmax stable
+    for d in range(20):
+        for j in range(3):
+            eid += 1
+            level = 5.0 if d < 10 else 50.0
+            rows.append(
+                (eid, t0 + timedelta(days=d, minutes=j), 1, "shift",
+                 level + 0.25 * j, "{}")
+            )
+    # type 'flat': constant level — any split scores 0; tie-break picks k=1
+    for d in range(6):
+        eid += 1
+        rows.append((eid, t0 + timedelta(days=d), 2, "flat", 7.0, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["event_type"]: r for r in changepoint_meanshift(events).collect()}
+    s = out["shift"]
+    assert s["split_day"] == "2024-03-10"  # last BEFORE-segment day
+    assert s["n_before"] == 10 and s["n_after"] == 10
+    assert abs(s["mean_before"] - 15.75) < 1e-9   # 3 events/day summed
+    assert abs(s["mean_after"] - 150.75) < 1e-9
+    assert s["shift_stat"] > 0
+    f = out["flat"]
+    assert f["shift_stat"] == 0.0 and f["n_before"] == 1  # k=1 tie-break
