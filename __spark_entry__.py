@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
             _t(sp, d, "events")
         ),
+        "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
+            _t(sp, d, "embeddings")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -388,3 +388,112 @@ def embedding_outliers(
         (F.col("max_nano").cast("double") / F.lit(1e9)).alias("max_nrm"),
         "n_outliers",
     )
+
+
+DIM_CORR_TOP_K = 20
+
+
+def embedding_dim_corr(embeddings: DataFrame, k: int = DIM_CORR_TOP_K) -> DataFrame:
+    """Top-k most-correlated embedding dimension PAIRS: the redundancy
+    audit behind dimensionality decisions (two dims with |corr| near 1
+    carry one dimension of signal — prune or re-project before paying
+    2x in every downstream distance computation; also the first flag
+    for a collapsed/degenerate encoder).
+
+    Pearson corr from exact integer moments: each vector's components
+    snap to 1e15-fixed longs ONCE into a projected array column (the
+    HOF-lambda CSE rule — lambdas index the materialized array, never
+    re-derive it), the upper-triangle products explode row-locally
+    (d*(d-1)/2 = 2016 structs per row at d=64), and one map-side-combined
+    shuffle of 2016 keys accumulates sum(x*y) in decimal(38,0) — the
+    per-term product is promoted BEFORE multiplying (1e15-scaled longs
+    square past 2^63 per term). Per-dim moments reduce to 64 rows and
+    broadcast back onto the pair table; numerator and variances stay in
+    exact decimals, convert via the base-1e15 digit split, and only the
+    final sqrt/divide run in (engine-identical IEEE) doubles. Constant
+    dims (zero variance) are excluded — both engines would otherwise
+    divide by zero, asymmetrically.
+
+    Scale: the exchange carries 2016 keys x partitions, never corpus
+    volume; explode cost is d^2/2 per row at the scan (CPU-bound, embar-
+    rassingly parallel). At ~1e9 vectors the decimal(38,0) accumulators
+    approach 38 digits: lower the fixed-point scale (corr is scale-
+    invariant) or shard the sum.
+    """
+    from inde1_spark.functions.exprs import FIXED_POINT_SCALE, dec_to_double_exact
+
+    fx = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(
+            v.cast("double") * F.lit(FIXED_POINT_SCALE) + F.lit(0.5)
+        ).cast("long"),
+    )
+    emb = embeddings.select(fx.alias("fx"))
+    d = F.size(F.col("fx"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("fx"), i).cast("decimal(38,0)")
+                        * F.element_at(F.col("fx"), j)
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        emb.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("xy").alias("sxy"),
+        )
+    )
+    dims = (
+        emb.select(F.posexplode("fx").alias("dim0", "x"))
+        .select((F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        )
+    )
+    da = dims.select(
+        F.col("dim").alias("i"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    db = dims.select(
+        F.col("dim").alias("j"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    n = F.col("n_vecs").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx_a") * F.col("sx_b")
+    va = n * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a")
+    vb = n * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b")
+    scored = (
+        pairs.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .withColumn("num", num)
+        .withColumn("va", va)
+        .withColumn("vb", vb)
+        .filter((F.col("va") > 0) & (F.col("vb") > 0))
+        .select(
+            F.col("i").cast("long").alias("dim_a"),
+            F.col("j").cast("long").alias("dim_b"),
+            "n_vecs",
+            (
+                dec_to_double_exact(F.col("num"))
+                / (
+                    F.sqrt(dec_to_double_exact(F.col("va")))
+                    * F.sqrt(dec_to_double_exact(F.col("vb")))
+                )
+            ).alias("corr"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("corr")).desc(), F.col("dim_a").asc(), F.col("dim_b").asc()
+    ).limit(k)

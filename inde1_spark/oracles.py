@@ -3236,3 +3236,42 @@ SELECT event_type, day AS split_day,
        {_dec2d('stat')} AS shift_stat
 FROM best WHERE rn = 1
 """
+
+ORACLES["embedding_dim_corr"] = f"""
+WITH fx AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings
+),
+pairs AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(fx[i] AS HUGEINT) * fx[j]) AS sxy
+  FROM fx,
+       UNNEST(generate_series(1, {EMB_DIM - 1})) AS u(i),
+       UNNEST(generate_series(2, {EMB_DIM})) AS w(j)
+  WHERE j > i
+  GROUP BY 1, 2
+),
+dims AS (
+  SELECT i AS dim,
+         SUM(CAST(fx[i] AS HUGEINT)) AS sx,
+         SUM(CAST(fx[i] AS HUGEINT) * fx[i]) AS sxx
+  FROM fx, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.i, p.j, p.n_vecs,
+         CAST(p.n_vecs AS HUGEINT) * p.sxy - a.sx * b.sx AS num,
+         CAST(p.n_vecs AS HUGEINT) * a.sxx - a.sx * a.sx AS va,
+         CAST(p.n_vecs AS HUGEINT) * b.sxx - b.sx * b.sx AS vb
+  FROM pairs p JOIN dims a ON a.dim = p.i JOIN dims b ON b.dim = p.j
+  WHERE (CAST(p.n_vecs AS HUGEINT) * a.sxx - a.sx * a.sx) > 0
+    AND (CAST(p.n_vecs AS HUGEINT) * b.sxx - b.sx * b.sx) > 0
+)
+SELECT CAST(i AS BIGINT) AS dim_a, CAST(j AS BIGINT) AS dim_b, n_vecs,
+       {_dec2d('num')} / (sqrt({_dec2d('va')}) * sqrt({_dec2d('vb')})) AS corr
+FROM scored
+ORDER BY abs({_dec2d('num')} / (sqrt({_dec2d('va')}) * sqrt({_dec2d('vb')}))) DESC,
+         dim_a ASC, dim_b ASC
+LIMIT 20
+"""

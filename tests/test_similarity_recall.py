@@ -79,3 +79,27 @@ def test_ivf_recall_on_clustered_data(spark):
     ivf = _pairs(knn_ivf(emb, k=3))
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.95, f"IVF recall on clustered data: {recall:.3f}"
+
+
+def test_embedding_dim_corr_finds_planted_copy_dim(spark):
+    """A dimension duplicated into another must rank first with corr 1.0;
+    an exact negated copy must show corr -1.0."""
+    import random
+
+    from inde1_spark.operators.similarity import embedding_dim_corr
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(200):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        v[3] = v[1]       # planted copy: dims 2 & 4 (1-based) corr == 1
+        v[5] = -v[2]      # planted negation: dims 3 & 6 corr == -1
+        rows.append((vid, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_dim_corr(emb, k=3).collect()
+    top2 = {(r["dim_a"], r["dim_b"]): r["corr"] for r in out[:2]}
+    assert set(top2) == {(2, 4), (3, 6)}
+    assert abs(abs(top2[(2, 4)]) - 1.0) < 1e-9
+    assert abs(top2[(3, 6)] + 1.0) < 1e-9
+    # the third-ranked pair is genuine noise: well below the planted pair
+    assert abs(out[2]["corr"]) < 0.5
