@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
             _t(sp, d, "embeddings")
         ),
+        "tokenizer_fertility": lambda sp, d: T.tokenizer_fertility(
+            _t(sp, d, "documents")
+        ),
+        "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

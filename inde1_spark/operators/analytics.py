@@ -2136,3 +2136,75 @@ def changepoint_meanshift(events: DataFrame) -> DataFrame:
             dec_to_double_exact(F.col("stat")).alias("shift_stat"),
         )
     )
+
+
+ZORDER_BITS = 10        # per-dimension resolution (2^10 cells)
+ZORDER_BUCKETS = 64     # target file/bucket count
+
+
+def zorder_layout(
+    events: DataFrame,
+    bits: int = ZORDER_BITS,
+    n_buckets: int = ZORDER_BUCKETS,
+) -> DataFrame:
+    """Z-order (Morton) layout audit: bucket the fact table by the
+    interleaved bits of (event-time hour, user_id) and report each
+    bucket's row count and min/max envelope in BOTH dimensions — the
+    multi-dimensional clustering decision behind file skipping. Writing
+    files in these buckets makes every file's footer min/max tight in
+    BOTH time and user, so EITHER predicate prunes scans (a time-sorted
+    layout prunes time filters only; user filters read everything).
+    The envelope widths ARE the audit: narrow in both = skipping works.
+
+    Both dims normalize to 2^bits cells via exact integer math over a
+    broadcast 1-row corpus min/max (the benign scalar cross join — the
+    unigram_logprob shape), the interleave is a fixed sum of shifted
+    bits (whole-stage codegen'd, no UDF), and the per-bucket reduce is
+    one map-side-combined shuffle of <= n_buckets keys. At 100 TB this
+    is the audit you run BEFORE paying the repartitionByRange(zval)
+    rewrite; the write itself is the same plan + a range partitioner.
+    """
+    hour = F.expr("unix_timestamp(ts) div 3600").cast("long")
+    base = events.select(
+        F.col("user_id").cast("long").alias("uid"), hour.alias("h")
+    )
+    lims = base.agg(
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+        F.min("uid").alias("u_min"),
+        F.max("uid").alias("u_max"),
+    )
+    hx = F.expr("CAST(((h - h_min) * {c}) div (h_max - h_min + 1) AS BIGINT)".format(c=1 << bits))
+    ux = F.expr("CAST(((uid - u_min) * {c}) div (u_max - u_min + 1) AS BIGINT)".format(c=1 << bits))
+    scaled = base.join(F.broadcast(lims)).select(
+        "uid", "h", hx.alias("hx"), ux.alias("ux")
+    )
+    # Morton interleave: hx bits land on even positions, ux bits on odd —
+    # a fixed arithmetic sum (engine-neutral: no engine-specific bit ops)
+    z = sum(
+        (
+            F.expr(f"(hx div {1 << b}) % 2") * F.lit(1 << (2 * b))
+            + F.expr(f"(ux div {1 << b}) % 2") * F.lit(1 << (2 * b + 1))
+        )
+        for b in range(bits)
+    ).cast("long")
+    return (
+        scaled.withColumn("z", z)
+        .select(F.expr(f"CAST(z div {(1 << (2 * bits)) // n_buckets} AS BIGINT)").alias("bucket"), "uid", "h")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+            F.min("uid").alias("u_lo"),
+            F.max("uid").alias("u_hi"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            (F.col("h_hi") - F.col("h_lo")).alias("h_span"),
+            (F.col("u_hi") - F.col("u_lo")).alias("u_span"),
+            "h_lo",
+            "u_lo",
+        )
+    )

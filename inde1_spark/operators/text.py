@@ -638,3 +638,54 @@ def top_ngrams_per_lang(
         .filter(F.col("rank") <= k)
         .select("lang", "rank", "ngram", "n_occ")
     )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility audit: bytes/subword,
+    chars/subword, and subwords per whitespace token — the multilingual
+    cost sheet (a language whose fertility runs 2x pays 2x of every
+    token budget: context windows, training steps, serving latency).
+    `token_count_bpe` scores documents; this rolls the corpus up to the
+    per-language planning numbers.
+
+    One zero-join aggregation over per-doc projections: the BPE-ish
+    regex pass runs row-local at the scan, the groupBy reduces to the
+    bounded language key set with map-side partials. Totals accumulate
+    as longs (counts bounded by corpus bytes, far inside 2^63 at any
+    SF); ratios are exact 4-decimal integer roundings.
+    """
+    subwords = F.expr(f"regexp_extract_all(lower(text), '({BPE_PATTERN})', 0)")
+    toks = _toks()
+    per_doc = documents.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(subwords).cast("long").alias("n_subwords"),
+    )
+    one = F.lit(1).cast("long")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_subwords").alias("total_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_bytes",
+            "total_subwords",
+            ratio_round(
+                F.col("total_bytes"), F.greatest(F.col("total_subwords"), one), 4
+            ).alias("bytes_per_subword"),
+            ratio_round(
+                F.col("total_chars"), F.greatest(F.col("total_subwords"), one), 4
+            ).alias("chars_per_subword"),
+            ratio_round(
+                F.col("total_subwords"), F.greatest(F.col("total_tokens"), one), 4
+            ).alias("fertility"),
+        )
+    )

@@ -3275,3 +3275,59 @@ ORDER BY abs({_dec2d('num')} / (sqrt({_dec2d('va')}) * sqrt({_dec2d('vb')}))) DE
          dim_a ASC, dim_b ASC
 LIMIT 20
 """
+
+ORACLES["tokenizer_fertility"] = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         CAST(len(regexp_extract_all(lower(text), '({BPE_PATTERN})', 0)) AS BIGINT) AS n_subwords
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_subwords) AS BIGINT) AS total_subwords
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, total_bytes, total_subwords,
+       {_rr("total_bytes", "GREATEST(total_subwords, 1)", 4)} AS bytes_per_subword,
+       {_rr("total_chars", "GREATEST(total_subwords, 1)", 4)} AS chars_per_subword,
+       {_rr("total_subwords", "GREATEST(total_tokens, 1)", 4)} AS fertility
+FROM agg
+"""
+
+ORACLES["zorder_layout"] = f"""
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events
+),
+lims AS (
+  SELECT min(h) AS h_min, max(h) AS h_max,
+         min(uid) AS u_min, max(uid) AS u_max
+  FROM base
+),
+scaled AS (
+  SELECT uid, h,
+         ((h - h_min) * 1024) // (h_max - h_min + 1) AS hx,
+         ((uid - u_min) * 1024) // (u_max - u_min + 1) AS ux
+  FROM base, lims
+),
+zed AS (
+  SELECT uid, h,
+         ({" + ".join(f"((hx // {1 << b}) % 2) * {1 << (2 * b)} + ((ux // {1 << b}) % 2) * {1 << (2 * b + 1)}" for b in range(10))}) AS z
+  FROM scaled
+)
+SELECT CAST(z // {(1 << 20) // 64} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(h) - min(h) AS BIGINT) AS h_span,
+       CAST(max(uid) - min(uid) AS BIGINT) AS u_span,
+       CAST(min(h) AS BIGINT) AS h_lo,
+       CAST(min(uid) AS BIGINT) AS u_lo
+FROM zed GROUP BY 1
+"""
