@@ -219,6 +219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
+        "bigram_logprob": lambda sp, d: SC.bigram_logprob(_t(sp, d, "documents")),
+        "percentile_rollup_kll": lambda sp, d: A.percentile_rollup_kll(
+            _t(sp, d, "events")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

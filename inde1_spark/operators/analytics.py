@@ -2208,3 +2208,82 @@ def zorder_layout(
             "u_lo",
         )
     )
+
+
+KLL_K = 800          # sketch size; published 99%-conf rank error ~0.5%
+KLL_TOL_RANK_PCT = 2  # contract tolerance: ~4x the published bound
+
+
+def percentile_rollup_kll(
+    events: DataFrame, tol_rank_pct: int = KLL_TOL_RANK_PCT
+) -> DataFrame:
+    """Weekly p50/p90 from MERGED per-day KLL sketches —
+    ``distinct_rollup_hll``'s quantile sibling, and the only way percentile
+    rollups exist at 100 TB: exact per-window percentiles re-sort raw data
+    for every window, while KLL aggregates each day once (bytes per
+    group) and re-merges into ANY coarser window. One pipeline serves
+    daily, weekly, and monthly latency/size percentiles from one pass.
+
+    Gate contract (the approx_distinct pattern): exact weekly percentiles
+    over the micro-long values ride along hash-checked; each sketch
+    quantile is asserted by its published RANK guarantee — re-rank the
+    returned value against the window's values and require the rank
+    interval to overlap target +/- ``tol_rank_pct`` percent of n (KLL
+    compaction is randomized, so the VALUE is not even run-stable; the
+    rank bound at 4x the 99%-confidence width is what the algorithm
+    guarantees with overwhelming margin — distribution- and
+    scale-independent, per the approx_percentiles rank-contract rule).
+    """
+    m = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+        "week_start"
+    )
+    base = events.select("event_type", week, _day_str().alias("day"), m.alias("m"))
+    daily = base.groupBy("event_type", "week_start", "day").agg(
+        F.expr(f"kll_sketch_agg_bigint(m, {KLL_K})").alias("sk")
+    )
+    weekly_sk = daily.groupBy("event_type", "week_start").agg(
+        F.expr("kll_merge_agg_bigint(sk)").alias("sk")
+    ).select(
+        "event_type",
+        "week_start",
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").alias("ap50"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias("ap90"),
+    )
+    exact = base.groupBy("event_type", "week_start").agg(
+        F.expr("percentile(m, 0.5)").alias("p50_micro"),
+        F.expr("percentile(m, 0.9)").alias("p90_micro"),
+        F.count("*").alias("n"),
+    )
+    joined = base.join(
+        F.broadcast(exact.join(weekly_sk, ["event_type", "week_start"])),
+        ["event_type", "week_start"],
+    )
+    err = F.ceil(F.col("n") * F.lit(tol_rank_pct) / F.lit(100)) + 1
+
+    def _rank_ok(q: float, v):
+        below = F.sum(F.when(F.col("m") < v, 1).otherwise(0))
+        at_most = F.sum(F.when(F.col("m") <= v, 1).otherwise(0))
+        target = F.lit(q) * F.col("n")
+        return (below + 1 <= target + err) & (at_most >= target - err)
+
+    return (
+        joined.groupBy(
+            "event_type", "week_start", "p50_micro", "p90_micro", "ap50", "ap90", "n"
+        )
+        .agg(
+            _rank_ok(0.5, F.col("ap50")).alias("p50_within_tol"),
+            _rank_ok(0.9, F.col("ap90")).alias("p90_within_tol"),
+        )
+        .select(
+            "event_type",
+            "week_start",
+            (F.col("p50_micro") / F.lit(1e6)).alias("p50"),
+            (F.col("p90_micro") / F.lit(1e6)).alias("p90"),
+            "n",
+            "p50_within_tol",
+            "p90_within_tol",
+        )
+    )

@@ -405,3 +405,63 @@ def token_entropy(documents: DataFrame) -> DataFrame:
             / F.lit(float(LOG_SCALE))
         ).alias("entropy"),
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document average bigram conditional log-probability — the
+    first-order Markov upgrade of ``unigram_logprob``: ln P(w2 | w1) with
+    P = c(w1 w2) / c(w1 ·), both counts from the corpus itself. Documents
+    whose transitions are corpus-typical score near zero; rare-transition
+    soup (shuffled text, boilerplate stitched mid-sentence, OCR breaks)
+    scores very negative even when every individual WORD is common — the
+    failure mode the unigram score is blind to.
+
+    MLE needs no smoothing here by construction: every scored bigram came
+    from the corpus, so its count is >= 1 and the probability is never
+    zero. The per-(doc, bigram) table reduces once (dl carried through
+    the key — no doc self-join), the corpus bigram vocabulary and the
+    left-word totals are two more map-side-combined reductions over
+    bigram keys, and everything joins back on equi-keys. ln snaps to
+    nano-longs immediately (`_log_scaled`), the per-doc accumulation is
+    long-exact, and one integer-derived double division ends the plan.
+
+    Scale: three shuffles on (bigram / w1 / doc) keys, all AQE-splittable;
+    hot bigrams ("of the") are just big counters, never join blowups.
+    """
+    from inde1_spark.functions.exprs import word_ngrams
+
+    toks = tokens("text")
+    bf = (
+        documents.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(word_ngrams(tokens("text"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "dl", "bigram")
+        .agg(F.count("*").cast("long").alias("bf"))
+    )
+    vocab = bf.groupBy("bigram").agg(F.sum("bf").cast("long").alias("c_ab"))
+    lefts = vocab.select(
+        F.substring_index("bigram", " ", 1).alias("w1"), "c_ab"
+    ).groupBy("w1").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    scored_vocab = vocab.withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    ).join(lefts, "w1").withColumn(
+        "lp_scaled",
+        _log_scaled(F.col("c_ab").cast("double") / F.col("c_a").cast("double")),
+    )
+    return (
+        bf.join(scored_vocab.select("bigram", "lp_scaled"), "bigram")
+        .groupBy("doc_id", "dl")
+        .agg(F.sum(F.col("bf") * F.col("lp_scaled")).alias("lp_sum"))
+        .filter(F.col("dl") >= 2)
+        .select(
+            "doc_id",
+            (F.col("dl") - 1).alias("n_bigrams"),
+            (
+                F.col("lp_sum").cast("double")
+                / F.lit(float(LOG_SCALE))
+                / (F.col("dl") - 1).cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

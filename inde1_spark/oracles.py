@@ -3331,3 +3331,51 @@ SELECT CAST(z // {(1 << 20) // 64} AS BIGINT) AS bucket,
        CAST(min(uid) AS BIGINT) AS u_lo
 FROM zed GROUP BY 1
 """
+
+ORACLES["bigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+bf AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         toks[i] || ' ' || toks[i + 1] AS bigram,
+         CAST(count(*) AS BIGINT) AS bf
+  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2, 3
+),
+vocab AS (SELECT bigram, CAST(SUM(bf) AS BIGINT) AS c_ab FROM bf GROUP BY 1),
+lefts AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+  FROM vocab GROUP BY 1
+),
+sv AS (
+  SELECT bigram,
+         CAST(round(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+                    * {LOG_SCALE}.0, 0) AS BIGINT) AS lp_scaled
+  FROM vocab JOIN lefts ON split_part(vocab.bigram, ' ', 1) = lefts.w1
+)
+SELECT doc_id, CAST(dl - 1 AS BIGINT) AS n_bigrams,
+       CAST(SUM(bf * lp_scaled) AS DOUBLE) / {LOG_SCALE}.0
+         / CAST(dl - 1 AS DOUBLE) AS avg_logprob
+FROM bf JOIN sv USING (bigram)
+WHERE dl >= 2
+GROUP BY doc_id, dl
+"""
+
+ORACLES["percentile_rollup_kll"] = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS m
+  FROM events
+)
+SELECT event_type, week_start,
+       quantile_cont(m, 0.5) / 1e6 AS p50,
+       quantile_cont(m, 0.9) / 1e6 AS p90,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol
+FROM base GROUP BY 1, 2
+"""
