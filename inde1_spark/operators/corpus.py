@@ -633,3 +633,83 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def source_drift_ks(documents: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit per source: the KS
+    statistic between each source's quality-score distribution and the
+    REST of the corpus — "which feeds changed shape", the go/no-go for
+    mixture re-weighting and the standard ingestion drift alarm
+    (`dup_rate_by_source` catches copying; this catches distribution
+    shift that duplicates nothing).
+
+    KS needs both CDFs on a shared value grid; quality_scaled lives in
+    [0, 10000], so the grid is DOMAIN-bounded (observed distinct values),
+    never corpus-bounded — the sources x grid expansion is a broadcast
+    cross join of two tiny tables, and every cumulative window runs over
+    at most |grid| rows per source. D = max_q |F_s(q) - F_r(q)| is
+    computed as exact integer cross-multiplication |cum_s*n_r - cum_r*n_s|
+    (promoted to decimal(38,0): the product is corpus^2-sized), the
+    argmax breaks ties on the smallest q, and the final ratio is one
+    exact floor division. Sources covering the whole corpus (n_r = 0)
+    are excluded: a one-source corpus has no rest to drift from.
+    """
+    from inde1_spark.operators.text import quality_parts
+
+    _, _, q_scaled = quality_parts()
+    counts = (
+        documents.select("source", q_scaled.alias("q"))
+        .groupBy("source", "q")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    qgrid = counts.select("q").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    total = srcs.agg(F.sum("n_s").cast("long").alias("n_all"))
+    perq = counts.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
+    cum_all_tbl = perq.select(
+        "q", F.sum("cq").over(Window.orderBy("q")).cast("long").alias("cum_all")
+    )
+    filled = (
+        srcs.join(F.broadcast(qgrid))
+        .join(counts, ["source", "q"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    cum_s = (
+        F.sum("c").over(Window.partitionBy("source").orderBy("q")).cast("long")
+    )
+    j = (
+        filled.withColumn("cum_s", cum_s)
+        .join(F.broadcast(cum_all_tbl), "q")
+        .join(F.broadcast(total))
+        .filter(F.col("n_s") < F.col("n_all"))
+        .withColumn(
+            "num",
+            F.abs(
+                F.col("cum_s").cast("decimal(38,0)")
+                * (F.col("n_all") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")).cast("decimal(38,0)")
+                * F.col("n_s")
+            ),
+        )
+    )
+    pick = Window.partitionBy("source").orderBy(
+        F.col("num").desc(), F.col("q").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (
+                F.expr(
+                    "CAST((num * 1000000 - (num * 1000000) %"
+                    " (CAST(n_s AS DECIMAL(38,0)) * (n_all - n_s)))"
+                    " / (CAST(n_s AS DECIMAL(38,0)) * (n_all - n_s))"
+                    " AS BIGINT)"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("ks"),
+            F.col("q").alias("at_quality_scaled"),
+        )
+    )

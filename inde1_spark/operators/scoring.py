@@ -465,3 +465,60 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: least-squares
+    slope/intercept of ln(freq) vs ln(rank) for the top ``top_n`` terms —
+    the one-row corpus-health fingerprint (natural language sits near
+    slope -1; template/synthetic text flattens the head, boilerplate
+    floods steepen it; a drifting slope between crawls is an early
+    ingestion alarm).
+
+    The vocabulary reduces once (map-side combined), the top-n selection
+    is TakeOrdered (deterministic tie-break on the term), and ranking
+    the n surviving rows is a bounded single-partition window. Both
+    regression coordinates snap to nano-longs (`_log_scaled`), moments
+    accumulate as exact decimal(38,0) (nano-long products pass 2^63
+    immediately), and the closed form runs in engine-identical doubles
+    after digit-split conversion (the daily_trend_regression spelling).
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    vocab = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    ranked = vocab.select(
+        _log_scaled(
+            F.row_number()
+            .over(Window.orderBy(F.col("n_occ").desc(), F.col("term").asc()))
+            .cast("double")
+        ).alias("x"),
+        _log_scaled(F.col("n_occ").cast("double")).alias("y"),
+    )
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n_terms") >= 2)
+    n = F.col("n_terms").cast("double")
+    sx = dec_to_double_exact(F.col("sx"))
+    sy = dec_to_double_exact(F.col("sy"))
+    sxy = dec_to_double_exact(F.col("sxy"))
+    sxx = dec_to_double_exact(F.col("sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return stats.select(
+        "n_terms",
+        slope.alias("zipf_slope"),
+        (intercept / F.lit(float(LOG_SCALE))).alias("ln_c"),
+    )

@@ -3379,3 +3379,96 @@ SELECT event_type, week_start,
        TRUE AS p90_within_tol
 FROM base GROUP BY 1, 2
 """
+
+ORACLES["source_drift_ks"] = f"""
+WITH qtoks AS (
+  SELECT source, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT source,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM qtoks
+),
+scoredq AS (
+  SELECT source,
+         {_rs("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS q
+  FROM qm
+),
+counts AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c FROM scoredq GROUP BY 1, 2),
+qgrid AS (SELECT DISTINCT q FROM counts),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+total AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM srcs),
+perq AS (SELECT q, CAST(SUM(c) AS BIGINT) AS cq FROM counts GROUP BY 1),
+cum_all_tbl AS (
+  SELECT q, CAST(SUM(cq) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+  FROM perq
+),
+filled AS (
+  SELECT s.source, s.n_s, g.q, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN qgrid g
+  LEFT JOIN counts c ON c.source = s.source AND c.q = g.q
+),
+cums AS (
+  SELECT source, n_s, q,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+  FROM filled
+),
+j AS (
+  SELECT f.source, f.n_s, f.q, f.cum_s, a.cum_all, t.n_all,
+         abs(CAST(f.cum_s AS HUGEINT) * (t.n_all - f.n_s)
+             - CAST(a.cum_all - f.cum_s AS HUGEINT) * f.n_s) AS num
+  FROM cums f JOIN cum_all_tbl a ON a.q = f.q, total t
+  WHERE f.n_s < t.n_all
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY num DESC, q ASC) AS rn
+  FROM j
+)
+SELECT source, n_s AS n_docs,
+       CAST(CAST((num * 1000000) // (CAST(n_s AS HUGEINT) * (n_all - n_s))
+            AS BIGINT) AS DOUBLE) / 1e6 AS ks,
+       q AS at_quality_scaled
+FROM best WHERE rn = 1
+"""
+
+ORACLES["zipf_fit"] = f"""
+WITH vocab AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n_occ
+  FROM (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+  GROUP BY 1
+  ORDER BY n_occ DESC, term ASC
+  LIMIT 1000
+),
+ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n_occ DESC, term ASC)
+                           AS DOUBLE)) * {LOG_SCALE}.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n_occ AS DOUBLE)) * {LOG_SCALE}.0, 0) AS BIGINT) AS y
+  FROM vocab
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM ranked
+)
+SELECT n_terms,
+       (CAST(n_terms AS DOUBLE) * {_dec2d('sxy')} - {_dec2d('sx')} * {_dec2d('sy')})
+         / (CAST(n_terms AS DOUBLE) * {_dec2d('sxx')} - {_dec2d('sx')} * {_dec2d('sx')})
+         AS zipf_slope,
+       (({_dec2d('sy')} - ((CAST(n_terms AS DOUBLE) * {_dec2d('sxy')} - {_dec2d('sx')} * {_dec2d('sy')})
+         / (CAST(n_terms AS DOUBLE) * {_dec2d('sxx')} - {_dec2d('sx')} * {_dec2d('sx')})) * {_dec2d('sx')})
+         / CAST(n_terms AS DOUBLE)) / {LOG_SCALE}.0 AS ln_c
+FROM stats WHERE n_terms >= 2
+"""
