@@ -634,3 +634,33 @@ def test_similarity_join_allpairs_no_cartesian_no_global_sort(spark):
     )
     assert "partial_row_number" not in r.raw.lower()
     release_persisted()
+
+
+def test_changepoint_meanshift_single_scan_bounded_windows(spark):
+    # all split scoring runs over the bounded daily table: one scan, one
+    # agg exchange + the per-type window exchange + the final pick — the
+    # raw corpus never enters a window
+    assert_plan(
+        Q["changepoint_meanshift"](spark, SF_SMOKE), max_scans=1, max_exchanges=3
+    )
+
+
+def test_bigram_logprob_no_cartesian(spark):
+    # vocab and left-count joins are equi-joins on bigram/w1 keys
+    assert_plan(Q["bigram_logprob"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_source_drift_ks_only_bounded_grid_cross(spark):
+    # the only non-equi join is the DOMAIN-bounded sources x quality-grid
+    # expansion plus the 1-row total broadcast — never a corpus-sized cross
+    r = plan_report(Q["source_drift_ks"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    assert r.nested_loop_joins <= 2  # grid build + scalar total
+    assert r.sort_merge_joins == 0
+
+
+def test_zipf_fit_takeordered_vocab(spark):
+    # top-n vocabulary must be TakeOrdered, never a global sort of the
+    # full vocabulary
+    r = assert_plan(Q["zipf_fit"](spark, SF_SMOKE), max_scans=1)
+    assert "TakeOrderedAndProject" in r.raw
