@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "source_drift_ks": lambda sp, d: C.source_drift_ks(_t(sp, d, "documents")),
         "zipf_fit": lambda sp, d: SC.zipf_fit(_t(sp, d, "documents")),
+        "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
+            _t(sp, d, "embeddings")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

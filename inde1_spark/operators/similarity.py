@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from inde1_spark.functions.exprs import dec_to_double_exact, dot_exact, norm_exact
+from inde1_spark.functions.exprs import (
+    dec_to_double_exact,
+    dot_exact,
+    norm_exact,
+    ratio_round,
+)
 
 N_QUERIES = 20  # queries() uses vec_id < 20 as the query set
 K_BRUTE = 5
@@ -497,3 +502,48 @@ def embedding_dim_corr(embeddings: DataFrame, k: int = DIM_CORR_TOP_K) -> DataFr
     return scored.orderBy(
         F.abs(F.col("corr")).desc(), F.col("dim_a").asc(), F.col("dim_b").asc()
     ).limit(k)
+
+
+def ann_recall_eval(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
+    """Recall@k of the production ANN path against the exact baseline,
+    per query — the eval harness as a first-class operator: every index
+    rebuild / parameter change ships with this number or it doesn't ship
+    (the multiprobe/recall tradeoff is invisible until measured on the
+    real corpus, not a fixture).
+
+    Joins `knn_lsh_bucketed`'s top-k against `knn_brute_cosine`'s for the
+    same query set and reports hits@k / recall per query plus the exact
+    ranks involved — a LEFT join from truth so a recall miss shows as a
+    zero, never a silently absent row. All counts are integers; recall
+    is an exact 4-decimal ratio. Cost: both operands are top-k tables
+    (queries x k rows) — the join is trivially bounded regardless of
+    corpus size; the operands themselves are the operators being audited.
+    """
+    truth = knn_brute_cosine(embeddings, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_lsh_bucketed(embeddings, k=k).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.neighbor_id == approx.ann_neighbor),
+        "left",
+    ).select(
+        truth.query_id.alias("qid"),
+        F.col("ann_neighbor").isNotNull().alias("hit"),
+    )
+    return (
+        hits.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "hits",
+            ratio_round(F.col("hits"), F.col("k"), 4).alias("recall"),
+        )
+    )

@@ -3472,3 +3472,18 @@ SELECT n_terms,
          / CAST(n_terms AS DOUBLE)) / {LOG_SCALE}.0 AS ln_c
 FROM stats WHERE n_terms >= 2
 """
+
+# Composed from the two knn oracles (each a complete SELECT, so they nest
+# as parenthesized subqueries; DuckDB allows WITH inside them). Truth is
+# the brute top-k re-cut to the ANN path's k so recall@k compares
+# like-for-like.
+ORACLES["ann_recall_eval"] = f"""
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       {_rr("SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)", "count(*)", 4)} AS recall
+FROM (SELECT query_id, neighbor_id FROM ({ORACLES["knn_brute_cosine"]}) WHERE rank <= {K_BUCKETED}) t
+LEFT JOIN (SELECT query_id, neighbor_id FROM ({ORACLES["knn_lsh_bucketed"]})) a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+"""
