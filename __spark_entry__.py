@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
             _t(sp, d, "embeddings")
         ),
+        "chunk_dedup_cdc": lambda sp, d: D.chunk_dedup_cdc(_t(sp, d, "documents")),
+        "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
+            _t(sp, d, "documents")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -1383,3 +1383,188 @@ def similarity_join_allpairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# Content-defined chunking: boundary probability 1/CDC_AVG_CHUNK per word
+# position -> expected chunk length ~CDC_AVG_CHUNK words; md5-bucket rule so
+# the DuckDB twin reproduces boundaries exactly (operators/text.py:hash_bucket).
+CDC_AVG_CHUNK = 16
+CDC_MIN_WORDS = 4  # FastCDC-style floor: a 1-word shared "chunk" is noise
+CDC_TOP_K = 200
+
+
+def chunk_dedup_cdc(
+    documents: DataFrame,
+    avg_chunk: int = CDC_AVG_CHUNK,
+    min_words: int = CDC_MIN_WORDS,
+    top_k: int = CDC_TOP_K,
+) -> DataFrame:
+    """Chunk-level dedup via content-defined chunking (CDC): split every
+    document at CONTENT-determined boundaries, hash each chunk, and
+    surface chunks shared across documents — the sub-document complement
+    to whole-doc MinHash (reference scope: INDE1 dedups whole records;
+    a training corpus needs to find the license header pasted into 10k
+    otherwise-distinct files, which no whole-doc Jaccard threshold
+    catches and fixed-offset blocking misses after one inserted word).
+
+    The CDC property (rsync/LBFS/FastCDC family, here at word
+    granularity): a boundary falls before word ``i`` whenever the hash
+    bucket of the bigram ``(w[i-1], w[i])`` over ``avg_chunk`` buckets is
+    0, so boundaries depend only on LOCAL content — insert a paragraph
+    and every downstream chunk boundary re-synchronizes, unlike
+    fixed-size blocks where one edit shifts every subsequent block hash.
+    Expected chunk length is ``avg_chunk`` words.
+
+    Plan shape: chunking is entirely ROW-LOCAL array math (boundary
+    positions -> zip with shifted ends -> slice+join), so the corpus pass
+    stays in one projection; only (chunk_hash, n_words) rows — never
+    chunk text — reach the single groupBy shuffle, and the shared-chunk
+    ranking is TakeOrdered top-k, no global sort. Hot boilerplate chunks
+    are exactly what the operator reports, and the map-side partial
+    aggregation absorbs their key skew. Lambdas index projected column
+    references (toks) per the HOF-CSE rule.
+    """
+    toks_col = tokens("text")
+    d = documents.select("doc_id", toks_col.alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n = F.size(F.col("toks"))
+    bigram_bucket = lambda i: (  # noqa: E731 — local expression builder
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i - 1),
+                        F.element_at(F.col("toks"), i),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(avg_chunk)
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.when(
+            n >= 2,
+            F.filter(
+                F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+                lambda i: bigram_bucket(i) == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    with_starts = d.select("doc_id", "toks", starts.alias("bp"))
+    # end of chunk k = next start - 1, last chunk ends at n
+    ends = F.concat(
+        F.transform(
+            F.slice(
+                F.col("bp"), 2, F.greatest(F.size("bp") - 1, F.lit(1))
+            ),
+            lambda x: x - 1,
+        ),
+        F.array(F.size("toks")),
+    )
+    chunks = F.zip_with(
+        F.col("bp"),
+        ends,
+        lambda s, e: F.struct(
+            (e - s + F.lit(1)).cast("long").alias("nw"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), s, e - s + F.lit(1))
+                )
+            ).alias("h"),
+        ),
+    )
+    ch = (
+        with_starts.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.nw").alias("n_words"),
+            F.col("c.h").alias("chunk_hash"),
+        )
+        # floor BEFORE the shuffle: sub-minimum chunks never leave the map side
+        .filter(F.col("n_words") >= min_words)
+    )
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.min("n_words").alias("n_words"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return shared.orderBy(
+        F.col("n_docs").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("chunk_hash").asc(),
+    ).limit(top_k)
+
+
+def dup_graph_transitivity(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Transitivity audit of the near-duplicate graph: how often does
+    A~B and B~C imply A~C at the working threshold? Near-duplicate
+    similarity is NOT transitive (a chain of 0.8-Jaccard hops can span
+    arbitrarily different texts), yet `dedup_clusters` merges by
+    connected components — exactly right when transitivity is high,
+    catastrophic over-merging (one giant cluster eats the corpus) when
+    it collapses. This one-row audit is the number that says which
+    regime the corpus is in before a destructive keep-one-per-cluster
+    pass runs.
+
+    Global clustering coefficient over the exact-Jaccard edge set:
+    triangles via the ordered two-hop join (a<b<c — each triangle
+    counted once), wedges as sum(deg*(deg-1))/2, transitivity =
+    3*triangles/wedges. The edge set is persisted once and reused by
+    the three edge scans; at corpus scale every join is an equi-join on
+    a node key (AQE skew-splits hub nodes) and the output is one row.
+    All counts exact longs; the ratio is exact integer round-half-up.
+    """
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("u"))
+        .union(edges.select(F.col("doc_b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    deg_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long").alias("wedges2"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    out = (
+        deg_stats.join(F.broadcast(tri))
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            F.expr("wedges2 div 2").cast("long").alias("n_wedges"),
+            "n_triangles",
+            ratio_round(
+                F.col("n_triangles") * 3,
+                F.greatest(F.expr("wedges2 div 2"), F.lit(1)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+    return out

@@ -3487,3 +3487,76 @@ LEFT JOIN (SELECT query_id, neighbor_id FROM ({ORACLES["knn_lsh_bucketed"]})) a
   ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
 GROUP BY 1
 """
+
+# -- content-defined chunking + dup-graph audits (r04 session 2) -------------
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    CDC_AVG_CHUNK,
+    CDC_MIN_WORDS,
+    CDC_TOP_K,
+)
+
+# Twin of operators/dedup.py:chunk_dedup_cdc. Boundary rule and chunk texts
+# are engine-identical: md5 hex + space-joined token slices; the HAVING
+# mirrors the engine's post-shuffle n_docs filter, the WHERE the map-side
+# min-words floor.
+ORACLES["chunk_dedup_cdc"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_concat([1], list_filter(generate_series(2, len(toks)),
+           i -> (CAST(concat('0x', substr(md5(
+                   list_extract(toks, i-1) || ' ' || list_extract(toks, i)
+                 ), 1, 8)) AS BIGINT) % {CDC_AVG_CHUNK}) = 0)) AS bp
+  FROM toks WHERE len(toks) >= 1
+),
+ch AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(bp)), k ->
+           struct_pack(
+             nw := CAST((CASE WHEN k < len(bp) THEN list_extract(bp, k+1) - 1 ELSE n END)
+                        - list_extract(bp, k) + 1 AS BIGINT),
+             h := md5(array_to_string(
+                    toks[list_extract(bp, k) :
+                         (CASE WHEN k < len(bp) THEN list_extract(bp, k+1) - 1 ELSE n END)], ' '))
+           ))) AS c
+  FROM b
+)
+SELECT c.h AS chunk_hash, min(c.nw) AS n_words,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM ch WHERE c.nw >= {CDC_MIN_WORDS}
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC LIMIT {CDC_TOP_K}
+"""
+
+# Twin of operators/dedup.py:dup_graph_transitivity over the exact-Jaccard
+# edge set (the dedup_ngram_jaccard oracle nests as a subquery).
+ORACLES["dup_graph_transitivity"] = f"""
+WITH edges AS (SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})),
+deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT doc_a AS u FROM edges UNION ALL SELECT doc_b AS u FROM edges
+  ) GROUP BY 1
+),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(deg*(deg-1)), 0) AS BIGINT) AS wedges2,
+         CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_degree
+  FROM deg
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.doc_b = e2.doc_a
+       JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT ds.n_nodes, ne.n_edges, ds.max_degree,
+       CAST(ds.wedges2 // 2 AS BIGINT) AS n_wedges, tri.n_triangles,
+       {_rr("tri.n_triangles * 3", "GREATEST(ds.wedges2 // 2, 1)", 6)} AS transitivity
+FROM ds, tri, ne
+"""

@@ -664,3 +664,21 @@ def test_zipf_fit_takeordered_vocab(spark):
     # full vocabulary
     r = assert_plan(Q["zipf_fit"](spark, SF_SMOKE), max_scans=1)
     assert "TakeOrderedAndProject" in r.raw
+
+
+def test_chunk_dedup_cdc_row_local_chunking(spark):
+    # chunking is row-local array math: repartition + chunk-hash groupBy
+    # (+ the distinct-count expansion) are the only exchanges, and no join
+    # of any kind appears — chunk text never survives past the projection
+    r = plan_report(Q["chunk_dedup_cdc"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    assert r.exchanges <= 4
+    assert "TakeOrderedAndProject" in r.raw
+
+
+def test_dup_graph_transitivity_equi_joins_only(spark):
+    # the triangle pass joins on node keys; the only nested-loop is the
+    # benign 1-row audit assembly (broadcast of single-row aggregates)
+    r = plan_report(Q["dup_graph_transitivity"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
