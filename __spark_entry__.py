@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
             _t(sp, d, "documents")
         ),
+        "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
+        "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
+            _t(sp, d, "embeddings")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -547,3 +547,133 @@ def ann_recall_eval(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
             ratio_round(F.col("hits"), F.col("k"), 4).alias("recall"),
         )
     )
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+RRF_SCALE = 10**12  # contributions as exact integers: RRF_SCALE div (c+rank)
+
+
+def knn_rrf_fusion(
+    embeddings: DataFrame, k: int = K_BUCKETED, c: int = RRF_C
+) -> DataFrame:
+    """Reciprocal-rank fusion of the two production ANN paths: a neighbor
+    scores sum(1/(c + rank)) over the lists that surface it (LSH bucket
+    probe + IVF cluster probe), and the fused top-k re-ranks on that. The
+    two indexes fail differently — LSH loses neighbors straddling a sign
+    boundary, IVF loses neighbors in un-probed clusters — so rank fusion
+    recovers recall neither path has alone (the standard retrieval
+    ensembling move, and the same machinery that later fuses dense-ANN
+    with BM25 lists).
+
+    Determinism: contributions are EXACT integers ``RRF_SCALE div
+    (c+rank)`` summed as longs (at most one term per list — never a
+    float-order hazard), and the fused ranking breaks ties
+    (score, n_lists) desc then neighbor_id. Cost: both operands are
+    top-k tables (|Q| x k rows each), so fusion adds one bounded groupBy
+    regardless of corpus size — the expensive parts ARE the audited ANN
+    operators themselves.
+    """
+    contrib = F.expr(f"{RRF_SCALE} div ({c} + rank)").cast("long")
+    lsh = knn_lsh_bucketed(embeddings, k=k).select(
+        "query_id", "neighbor_id", contrib.alias("c")
+    )
+    ivf = knn_ivf(embeddings, k=k).select(
+        "query_id", "neighbor_id", contrib.alias("c")
+    )
+    u = lsh.unionByName(ivf)
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum("c").cast("long").alias("rrf_scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("n_lists").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            "n_lists",
+            (F.col("rrf_scaled").cast("double") / F.lit(float(RRF_SCALE))).alias(
+                "rrf_score"
+            ),
+        )
+    )
+
+
+RP_OUT_DIMS = 16  # 64 -> 16: JL-style sign random projection
+
+
+def embedding_random_projection(
+    embeddings: DataFrame, out_dims: int = RP_OUT_DIMS
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a ±1
+    sign matrix (Achlioptas' database-friendly projection): out_j =
+    sum_i s_ij * x_i, with the sign s_ij derived from md5(i || '_' || j)
+    parity — a seedless, engine-portable "random" matrix, so the DuckDB
+    twin reproduces every output bit. The 4x-narrower vectors feed the
+    cheap end of a two-stage ANN (project -> coarse candidate distance ->
+    exact re-rank on the full vector), the same memory/recall lever as
+    ``embedding_quantize`` but along dims instead of precision.
+
+    Plan: the sign matrix is built from ONE corpus row (limit(1) +
+    sequence explode — out_dims rows of a d-length sign array) and
+    broadcast; each vector row then computes all projections row-locally
+    (zip_with + exact fixed-point aggregate) after snapping components to
+    1e15-fixed longs ONCE into a projected column (HOF-CSE rule). No
+    shuffle at all on the corpus side — output is |corpus| x out_dims
+    rows in long form. Projection sums stay exact longs (|sum| <=
+    d * 1e15 * max|x|, far under 2^63); the single final divide is
+    IEEE-identical in both engines.
+    """
+    fx = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(
+            v.cast("double") * F.lit(FP) + F.lit(0.5)
+        ).cast("long"),
+    )
+    sign = lambda i, j: (  # noqa: E731 — md5-parity ±1, engine-portable
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", i.cast("string"), j.cast("string"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+    )
+    d = F.size(F.col("embedding"))
+    signs = (
+        embeddings.limit(1)
+        .select(
+            d.alias("d"),
+            F.explode(F.sequence(F.lit(1), F.lit(out_dims))).alias("proj_dim"),
+        )
+        .select(
+            F.col("proj_dim").cast("long").alias("proj_dim"),
+            F.transform(
+                F.sequence(F.lit(1), F.col("d")),
+                lambda i: sign(i, F.col("proj_dim")),
+            ).alias("s"),
+        )
+    )
+    vecs = embeddings.repartition("vec_id").select("vec_id", fx.alias("fx"))
+    proj = vecs.join(F.broadcast(signs)).select(
+        "vec_id",
+        "proj_dim",
+        (
+            F.aggregate(
+                F.zip_with(F.col("fx"), F.col("s"), lambda x, sgn: x * sgn),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(FP)
+        ).alias("proj_val"),
+    )
+    return proj

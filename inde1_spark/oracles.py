@@ -3560,3 +3560,64 @@ SELECT ds.n_nodes, ne.n_edges, ds.max_degree,
        {_rr("tri.n_triangles * 3", "GREATEST(ds.wedges2 // 2, 1)", 6)} AS transitivity
 FROM ds, tri, ne
 """
+
+from inde1_spark.operators.similarity import (  # noqa: E402
+    RP_OUT_DIMS,
+    RRF_C,
+    RRF_SCALE,
+)
+
+# Twin of operators/similarity.py:knn_rrf_fusion — composed from the two
+# ANN oracles; contributions are exact integer divisions, so the fused
+# score is a sum of at most two exact longs.
+ORACLES["knn_rrf_fusion"] = f"""
+WITH u AS (
+  SELECT query_id, neighbor_id,
+         CAST({RRF_SCALE} // ({RRF_C} + rank) AS BIGINT) AS c
+  FROM ({ORACLES["knn_lsh_bucketed"]})
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST({RRF_SCALE} // ({RRF_C} + rank) AS BIGINT) AS c
+  FROM ({ORACLES["knn_ivf"]})
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(count(*) AS BIGINT) AS n_lists,
+         CAST(SUM(c) AS BIGINT) AS rrf_scaled
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, fused_rank, n_lists,
+       CAST(rrf_scaled AS DOUBLE) / {RRF_SCALE}.0 AS rrf_score
+FROM (
+  SELECT query_id, neighbor_id, n_lists, rrf_scaled,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_scaled DESC, n_lists DESC, neighbor_id ASC
+         ) AS BIGINT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {K_BUCKETED}
+"""
+
+# Twin of operators/similarity.py:embedding_random_projection. The md5-parity
+# sign matrix and fixed-point sums are engine-identical; the one BIGINT cast
+# before DOUBLE avoids DuckDB's non-correctly-rounded HUGEINT->double path.
+ORACLES["embedding_random_projection"] = f"""
+WITH fx AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings
+),
+signs AS (
+  SELECT j, i,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+              % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM UNNEST(generate_series(1, {RP_OUT_DIMS})) AS t(j),
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+)
+SELECT vec_id, CAST(j AS BIGINT) AS proj_dim,
+       CAST(CAST(SUM(list_extract(fx, i) * s) AS BIGINT) AS DOUBLE)
+         / {FIXED_POINT_SCALE:.1f} AS proj_val
+FROM fx, signs GROUP BY 1, 2
+"""

@@ -682,3 +682,24 @@ def test_dup_graph_transitivity_equi_joins_only(spark):
     r = plan_report(Q["dup_graph_transitivity"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
+
+
+def test_rrf_fusion_bounded_overhead(spark):
+    # fusion adds only bounded work on top of the two ANN operands: no
+    # cartesian anywhere, and no sort-merge joins beyond the one the
+    # knn_ivf operand already carries (its label re-attach self-join)
+    r = plan_report(Q["knn_rrf_fusion"](spark, SF_SMOKE))
+    assert r.sort_merge_joins <= 1
+    assert "CartesianProduct" not in r.raw
+
+
+def test_random_projection_no_corpus_shuffle(spark):
+    # the sign matrix broadcasts (the 16-row nested-loop build is the
+    # benign one); the corpus side computes projections row-locally —
+    # no sort-merge join, no aggregation shuffle at all, and only the
+    # explicit width repartition + the 1-row sign build as exchanges
+    r = plan_report(Q["embedding_random_projection"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1
+    assert r.raw.lower().count("hashaggregate") == 0
+    assert r.exchanges <= 3
