@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
             _t(sp, d, "documents")
         ),
+        "cdc_doc_overlap": lambda sp, d: D.cdc_doc_overlap(_t(sp, d, "documents")),
         "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
         "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
             _t(sp, d, "embeddings")

@@ -1393,19 +1393,12 @@ CDC_MIN_WORDS = 4  # FastCDC-style floor: a 1-word shared "chunk" is noise
 CDC_TOP_K = 200
 
 
-def chunk_dedup_cdc(
+def cdc_chunk_table(
     documents: DataFrame,
     avg_chunk: int = CDC_AVG_CHUNK,
     min_words: int = CDC_MIN_WORDS,
-    top_k: int = CDC_TOP_K,
 ) -> DataFrame:
-    """Chunk-level dedup via content-defined chunking (CDC): split every
-    document at CONTENT-determined boundaries, hash each chunk, and
-    surface chunks shared across documents — the sub-document complement
-    to whole-doc MinHash (reference scope: INDE1 dedups whole records;
-    a training corpus needs to find the license header pasted into 10k
-    otherwise-distinct files, which no whole-doc Jaccard threshold
-    catches and fixed-offset blocking misses after one inserted word).
+    """(doc_id, chunk_hash, n_words): content-defined chunks per document.
 
     The CDC property (rsync/LBFS/FastCDC family, here at word
     granularity): a boundary falls before word ``i`` whenever the hash
@@ -1413,16 +1406,15 @@ def chunk_dedup_cdc(
     0, so boundaries depend only on LOCAL content — insert a paragraph
     and every downstream chunk boundary re-synchronizes, unlike
     fixed-size blocks where one edit shifts every subsequent block hash.
-    Expected chunk length is ``avg_chunk`` words.
+    Expected chunk length is ``avg_chunk`` words; chunks shorter than
+    ``min_words`` are dropped on the map side (FastCDC-style floor — a
+    1-word shared "chunk" is noise).
 
-    Plan shape: chunking is entirely ROW-LOCAL array math (boundary
-    positions -> zip with shifted ends -> slice+join), so the corpus pass
-    stays in one projection; only (chunk_hash, n_words) rows — never
-    chunk text — reach the single groupBy shuffle, and the shared-chunk
-    ranking is TakeOrdered top-k, no global sort. Hot boilerplate chunks
-    are exactly what the operator reports, and the map-side partial
-    aggregation absorbs their key skew. Lambdas index projected column
-    references (toks) per the HOF-CSE rule.
+    Chunking is entirely ROW-LOCAL array math (boundary positions -> zip
+    with shifted ends -> slice+join), so the corpus pass stays in one
+    projection and only (chunk_hash, n_words) rows — never chunk text —
+    survive it. Lambdas index projected column references (toks) per the
+    HOF-CSE rule.
     """
     toks_col = tokens("text")
     d = documents.select("doc_id", toks_col.alias("toks")).filter(
@@ -1480,7 +1472,7 @@ def chunk_dedup_cdc(
             ).alias("h"),
         ),
     )
-    ch = (
+    return (
         with_starts.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -1490,6 +1482,28 @@ def chunk_dedup_cdc(
         # floor BEFORE the shuffle: sub-minimum chunks never leave the map side
         .filter(F.col("n_words") >= min_words)
     )
+
+
+def chunk_dedup_cdc(
+    documents: DataFrame,
+    avg_chunk: int = CDC_AVG_CHUNK,
+    min_words: int = CDC_MIN_WORDS,
+    top_k: int = CDC_TOP_K,
+) -> DataFrame:
+    """Chunk-level dedup via content-defined chunking: hash every CDC
+    chunk and surface chunks shared across documents — the sub-document
+    complement to whole-doc MinHash (reference scope: INDE1 dedups whole
+    records; a training corpus needs to find the license header pasted
+    into 10k otherwise-distinct files, which no whole-doc Jaccard
+    threshold catches and fixed-offset blocking misses after one
+    inserted word).
+
+    Plan shape: row-local chunking (see ``cdc_chunk_table``), one
+    groupBy shuffle of (chunk_hash, n_words) rows, TakeOrdered top-k —
+    no global sort. Hot boilerplate chunks are exactly what the operator
+    reports, and the map-side partial aggregation absorbs their key skew.
+    """
+    ch = cdc_chunk_table(documents, avg_chunk, min_words)
     shared = (
         ch.groupBy("chunk_hash")
         .agg(
@@ -1568,3 +1582,84 @@ def dup_graph_transitivity(
         )
     )
     return out
+
+
+CDC_OVERLAP_MAX_DF = 64  # boilerplate guard: chunks in more docs carry no signal
+CDC_OVERLAP_THRESHOLD = 0.5  # containment: shared words / smaller doc's words
+
+
+def cdc_doc_overlap(
+    documents: DataFrame,
+    avg_chunk: int = CDC_AVG_CHUNK,
+    min_words: int = CDC_MIN_WORDS,
+    max_chunk_df: int = CDC_OVERLAP_MAX_DF,
+    threshold: float = CDC_OVERLAP_THRESHOLD,
+) -> DataFrame:
+    """Document-pair PARTIAL-overlap detection: containment of shared CDC
+    chunk mass — shared_words / min(doc words) over content-defined
+    chunks. Finds the doc that embeds half of another doc (quote farms,
+    aggregators, version-N+1 articles), which whole-doc Jaccard scores
+    near zero when the host doc is large — the asymmetric case
+    ``dedup_containment``'s shingle variant covers at n-gram granularity,
+    here at paragraph-ish granularity where the pair-join volume is
+    ~avg_chunk x smaller.
+
+    The overlap metric is defined over chunks appearing in at most
+    ``max_chunk_df`` documents (df cap on BOTH candidate generation and
+    scoring — boilerplate chunks are not "overlap", they're chrome; the
+    DuckDB twin applies the identical cap, so the gate hashes the whole
+    contract). Distinct chunk sets per doc; word masses count each
+    distinct chunk once.
+
+    Plan: row-local chunking -> (doc, chunk) distinct -> df-capped
+    inverted-index pair join (equi-join on chunk_hash, posting lists
+    bounded by the cap, AQE skew-splits the rest) -> one pair aggregate.
+    The chunk table is persisted once and reused by the doc-mass,
+    df-count and pair scans. Exact integer masses; exact-rounded ratio.
+    """
+    dch = _persist(
+        cdc_chunk_table(documents, avg_chunk, min_words)
+        .groupBy("doc_id", "chunk_hash")
+        .agg(F.min("n_words").alias("n_words"))
+    )
+    keep = (
+        dch.groupBy("chunk_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_chunk_df)
+        .select("chunk_hash")
+    )
+    capped = dch.join(keep, "chunk_hash")
+    w = capped.groupBy("doc_id").agg(
+        F.sum("n_words").cast("long").alias("w_total"),
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), "chunk_hash", F.col("n_words").alias("nw")
+    )
+    b = capped.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_chunks"),
+            F.sum("nw").cast("long").alias("shared_words"),
+        )
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("w_total").alias("w_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("w_total").alias("w_b"))
+    scored = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_chunks",
+            "shared_words",
+            "w_a",
+            "w_b",
+            ratio_round(
+                F.col("shared_words"), F.least("w_a", "w_b"), 6
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)

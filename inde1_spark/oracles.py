@@ -3496,12 +3496,12 @@ from inde1_spark.operators.dedup import (  # noqa: E402
     CDC_TOP_K,
 )
 
-# Twin of operators/dedup.py:chunk_dedup_cdc. Boundary rule and chunk texts
-# are engine-identical: md5 hex + space-joined token slices; the HAVING
-# mirrors the engine's post-shuffle n_docs filter, the WHERE the map-side
+# Shared CDC chunk-table fragment (twin of operators/dedup.py:
+# cdc_chunk_table). Boundary rule and chunk texts are engine-identical:
+# md5 hex + space-joined token slices; the trailing WHERE is the map-side
 # min-words floor.
-ORACLES["chunk_dedup_cdc"] = f"""
-WITH toks AS (
+_CDC_CHUNKS = f"""
+toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
 ),
@@ -3524,12 +3524,22 @@ ch AS (
                          (CASE WHEN k < len(bp) THEN list_extract(bp, k+1) - 1 ELSE n END)], ' '))
            ))) AS c
   FROM b
+),
+cdc AS (
+  SELECT doc_id, c.nw AS n_words, c.h AS chunk_hash
+  FROM ch WHERE c.nw >= {CDC_MIN_WORDS}
 )
-SELECT c.h AS chunk_hash, min(c.nw) AS n_words,
+"""
+
+# Twin of operators/dedup.py:chunk_dedup_cdc; the HAVING mirrors the
+# engine's post-shuffle n_docs filter.
+ORACLES["chunk_dedup_cdc"] = f"""
+WITH {_CDC_CHUNKS.strip()}
+SELECT chunk_hash, min(n_words) AS n_words,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occurrences,
        min(doc_id) AS first_doc_id
-FROM ch WHERE c.nw >= {CDC_MIN_WORDS}
+FROM cdc
 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC LIMIT {CDC_TOP_K}
 """
@@ -3620,4 +3630,43 @@ SELECT vec_id, CAST(j AS BIGINT) AS proj_dim,
        CAST(CAST(SUM(list_extract(fx, i) * s) AS BIGINT) AS DOUBLE)
          / {FIXED_POINT_SCALE:.1f} AS proj_val
 FROM fx, signs GROUP BY 1, 2
+"""
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    CDC_OVERLAP_MAX_DF,
+    CDC_OVERLAP_THRESHOLD,
+)
+
+# Twin of operators/dedup.py:cdc_doc_overlap — the df cap applies to both
+# candidate generation and scoring, same contract as the engine.
+ORACLES["cdc_doc_overlap"] = f"""
+WITH {_CDC_CHUNKS.strip()},
+dch AS (
+  SELECT doc_id, chunk_hash, CAST(min(n_words) AS BIGINT) AS n_words
+  FROM cdc GROUP BY 1, 2
+),
+keep AS (
+  SELECT chunk_hash FROM dch GROUP BY 1 HAVING count(*) <= {CDC_OVERLAP_MAX_DF}
+),
+capped AS (
+  SELECT dch.* FROM dch JOIN keep USING (chunk_hash)
+),
+w AS (
+  SELECT doc_id, CAST(SUM(n_words) AS BIGINT) AS w_total FROM capped GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_chunks,
+         CAST(SUM(a.n_words) AS BIGINT) AS shared_words
+  FROM capped a JOIN capped b
+    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_chunks, shared_words,
+       wa.w_total AS w_a, wb.w_total AS w_b,
+       {_rr("shared_words", "LEAST(wa.w_total, wb.w_total)", 6)} AS containment
+FROM pairs
+JOIN w wa ON wa.doc_id = doc_a
+JOIN w wb ON wb.doc_id = doc_b
+WHERE {_rr("shared_words", "LEAST(wa.w_total, wb.w_total)", 6)} >= {CDC_OVERLAP_THRESHOLD}
 """

@@ -703,3 +703,11 @@ def test_random_projection_no_corpus_shuffle(spark):
     assert r.nested_loop_joins <= 1
     assert r.raw.lower().count("hashaggregate") == 0
     assert r.exchanges <= 3
+
+
+def test_cdc_doc_overlap_capped_equi_join(spark):
+    # the pair join meets on chunk_hash only (df-capped posting lists);
+    # no sort-merge fallback, no cartesian anywhere
+    r = plan_report(Q["cdc_doc_overlap"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
