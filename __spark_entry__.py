@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
             _t(sp, d, "embeddings")
         ),
+        "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -677,3 +677,150 @@ def embedding_random_projection(
         ).alias("proj_val"),
     )
     return proj
+
+
+COARSE_FP = 1e12  # coarse-stage fixed point: 16-dim sums of squared
+# projections (|p| can reach d * max|x|) must stay far inside int64;
+# 1e12 keeps worst-case 16 * (64^2) * 1e12 ~ 6.6e16 << 2^63 while a
+# coarse RANKING loses nothing from 3 fewer exact digits.
+RP_COARSE_FACTOR = 8  # coarse candidates per final k: wide enough to cover a
+# whole tight cluster (recall 1.0 on clustered fixtures at k=3; see
+# tests/test_similarity_recall.py) while keeping the exact re-rank bounded
+
+
+def knn_two_stage(
+    embeddings: DataFrame,
+    k: int = K_BUCKETED,
+    n_queries: int = N_QUERIES,
+    out_dims: int = RP_OUT_DIMS,
+    coarse_factor: int = RP_COARSE_FACTOR,
+) -> DataFrame:
+    """Two-stage exact-rerank ANN: rank the corpus by cosine over the
+    ``out_dims``-dim random projection (4x less arithmetic + memory per
+    candidate — the compressed-scan stage every PQ/OPQ system runs),
+    keep ``coarse_factor * k`` candidates per query, then re-rank JUST
+    those on the full vectors with exact cosine. The third production
+    ANN shape next to bucketed LSH (prunes by hash equality) and IVF
+    (prunes by centroid): this one scans everything cheaply and prunes
+    by coarse score — no recall cliff from bucket/cluster boundaries,
+    cost linear in corpus size with a 4x-smaller constant.
+
+    Determinism: projections are exact fixed-point longs (md5-parity
+    signs, see ``embedding_random_projection``); the coarse stage snaps
+    per-pair products with floor(x*1e12+0.5) (floor, not round — DESIGN
+    §3 .5-boundary rule) and breaks ties by neighbor_id; the final
+    ranking is the same exact-cosine spelling as ``knn_brute_cosine``.
+    Plan: the sign matrix is a 1-row broadcast; projections compute
+    row-locally; the coarse scan broadcasts the (tiny) projected query
+    side; only |Q| x coarse_factor x k rows reach the full-vector join.
+    """
+    fx = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(FP) + F.lit(0.5)).cast("long"),
+    )
+    sign = lambda i, j: (  # noqa: E731 — md5-parity ±1 (same rule as RP)
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", i.cast("string"), j.cast("string"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+    )
+    d = F.size(F.col("embedding"))
+    smat_df = embeddings.limit(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(out_dims)),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), d), lambda i: sign(i, j)
+            ),
+        ).alias("smat")
+    )
+    with_fx = (
+        embeddings.repartition("vec_id")
+        .select("vec_id", "embedding", fx.alias("fx"))
+        .crossJoin(F.broadcast(smat_df))
+    )
+    # projected vector as doubles (ps/1e15), then its coarse norm — each
+    # stage projects its inputs to columns first (HOF-CSE rule)
+    pvec = F.transform(
+        F.col("smat"),
+        lambda s: F.aggregate(
+            F.zip_with(F.col("fx"), s, lambda x, sgn: x * sgn),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(FP),
+    )
+    csq = F.transform(
+        F.col("pv"), lambda x: F.floor(x * x * F.lit(COARSE_FP) + F.lit(0.5)).cast("long")
+    )
+    e = with_fx.select("vec_id", "embedding", pvec.alias("pv")).select(
+        "vec_id",
+        "embedding",
+        "pv",
+        F.sqrt(
+            F.aggregate(csq, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+            / F.lit(COARSE_FP)
+        ).alias("cnrm"),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pv").alias("pv_q"),
+        F.col("cnrm").alias("cnrm_q"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("pv").alias("pv_n"),
+        F.col("cnrm").alias("cnrm_n"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(
+            F.col("pv_q"),
+            F.col("pv_n"),
+            lambda x, y: F.floor(x * y * F.lit(COARSE_FP) + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double") / F.lit(COARSE_FP)
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "c_cos", F.round(cdot / (F.col("cnrm_q") * F.col("cnrm_n")), 6)
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= coarse_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    full = _with_norm(embeddings)
+    fq = full.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    fn = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
+    scored = _cosine(cand.join(F.broadcast(fq), "query_id").join(fn, "neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

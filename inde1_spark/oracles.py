@@ -3670,3 +3670,81 @@ JOIN w wa ON wa.doc_id = doc_a
 JOIN w wb ON wb.doc_id = doc_b
 WHERE {_rr("shared_words", "LEAST(wa.w_total, wb.w_total)", 6)} >= {CDC_OVERLAP_THRESHOLD}
 """
+
+
+from inde1_spark.operators.similarity import (  # noqa: E402
+    COARSE_FP,
+    RP_COARSE_FACTOR,
+)
+
+# Twin of operators/similarity.py:knn_two_stage — coarse cosine over the
+# md5-sign projection (floor-snapped 1e12 fixed point), exact re-rank on
+# the full vectors (same _FIXED_DOT/_NORMS spelling as the other knn twins).
+ORACLES["knn_two_stage"] = f"""
+WITH fx AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings
+),
+signs AS (
+  SELECT j, i,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+              % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM UNNEST(generate_series(1, {RP_OUT_DIMS})) AS t(j),
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+),
+proj AS (
+  SELECT vec_id, j,
+         CAST(CAST(SUM(list_extract(fx, i) * s) AS BIGINT) AS DOUBLE)
+           / {FIXED_POINT_SCALE:.1f} AS pv
+  FROM fx, signs GROUP BY 1, 2
+),
+cn AS (
+  SELECT vec_id,
+         sqrt(CAST(CAST(SUM(CAST(floor(pv * pv * {COARSE_FP:.1f} + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / {COARSE_FP:.1f}) AS cnrm
+  FROM proj GROUP BY 1
+),
+coarse AS (
+  SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id,
+         CAST(CAST(SUM(CAST(floor(pa.pv * pb.pv * {COARSE_FP:.1f} + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / {COARSE_FP:.1f} AS cdot
+  FROM proj pa JOIN proj pb ON pa.j = pb.j AND pa.vec_id <> pb.vec_id
+  WHERE pa.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY ROUND(c.cdot / (na.cnrm * nb.cnrm), 6) DESC, c.neighbor_id ASC
+           ) AS crn
+    FROM coarse c
+    JOIN cn na ON na.vec_id = c.query_id
+    JOIN cn nb ON nb.vec_id = c.neighbor_id
+  ) WHERE crn <= {RP_COARSE_FACTOR * K_BUCKETED}
+),
+{_NORMS.strip().lstrip()},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM cand p
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = p.neighbor_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {K_BUCKETED}
+"""

@@ -711,3 +711,13 @@ def test_cdc_doc_overlap_capped_equi_join(spark):
     r = plan_report(Q["cdc_doc_overlap"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
+
+
+def test_knn_two_stage_bounded_rerank(spark):
+    # coarse scan is the only corpus-wide pass (broadcast query side);
+    # the exact re-rank joins only the bounded candidate set — no
+    # sort-merge join over full vectors, no unbounded cartesian beyond
+    # the labeled coarse broadcast scan
+    r = plan_report(Q["knn_two_stage"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw

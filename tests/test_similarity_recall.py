@@ -103,3 +103,41 @@ def test_embedding_dim_corr_finds_planted_copy_dim(spark):
     assert abs(top2[(3, 6)] + 1.0) < 1e-9
     # the third-ranked pair is genuine noise: well below the planted pair
     assert abs(out[2]["corr"]) < 0.5
+
+
+def test_two_stage_recall_on_clustered_data(spark):
+    """On data with real neighborhood structure, the coarse projection
+    isolates the right cluster and the exact re-rank recovers ALL true
+    neighbors once the candidate budget covers the cluster (factor 8 x
+    k=3 = 24 > the 20-member clusters): recall must be ~1. On the
+    worst-case random testdata vectors the coarse ranking is near-blind
+    by construction (neighbor cosine gaps far below 16-dim JL
+    distortion; measured 0.15 at factor 3, 0.33 at factor 8) — the same
+    caveat the IVF test documents; candidate coverage must still grow
+    monotonically with the coarse factor there."""
+    import numpy as np
+
+    from inde1_spark.operators.similarity import knn_two_stage
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(10, 64)) * 10.0
+    rows = []
+    for vid in range(200):
+        c = vid % 10
+        v = centers[c] + rng.normal(size=64) * 0.05
+        rows.append((vid, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>"), "label"
+    )
+    brute = _pairs(knn_brute_cosine(emb, k=3))
+    two = _pairs(knn_two_stage(emb, k=3))
+    recall = len(brute & two) / len(brute)
+    assert recall >= 0.95, f"two-stage recall on clustered data: {recall:.3f}"
+
+    # worst-case random vectors: wider coarse budget => more true
+    # neighbors survive to the exact re-rank
+    emb_r = load_table(spark, SF_ORACLE, "embeddings")
+    brute_r = _pairs(knn_brute_cosine(emb_r, k=3))
+    narrow = _pairs(knn_two_stage(emb_r, k=3, coarse_factor=3))
+    wide = _pairs(knn_two_stage(emb_r, k=3, coarse_factor=8))
+    assert len(brute_r & wide) > len(brute_r & narrow)
