@@ -1397,8 +1397,11 @@ def cdc_chunk_table(
     documents: DataFrame,
     avg_chunk: int = CDC_AVG_CHUNK,
     min_words: int = CDC_MIN_WORDS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, chunk_hash, n_words): content-defined chunks per document.
+    """(doc_id, [carry...], chunk_hash, n_words): content-defined chunks
+    per document. ``carry`` columns pass through unchanged (e.g. the
+    event-time stamp a streaming caller needs to keep its watermark).
 
     The CDC property (rsync/LBFS/FastCDC family, here at word
     granularity): a boundary falls before word ``i`` whenever the hash
@@ -1417,7 +1420,7 @@ def cdc_chunk_table(
     HOF-CSE rule.
     """
     toks_col = tokens("text")
-    d = documents.select("doc_id", toks_col.alias("toks")).filter(
+    d = documents.select("doc_id", *carry, toks_col.alias("toks")).filter(
         F.size("toks") >= 1
     )
     n = F.size(F.col("toks"))
@@ -1449,7 +1452,7 @@ def cdc_chunk_table(
             ),
         ).otherwise(F.array().cast("array<int>")),
     )
-    with_starts = d.select("doc_id", "toks", starts.alias("bp"))
+    with_starts = d.select("doc_id", *carry, "toks", starts.alias("bp"))
     # end of chunk k = next start - 1, last chunk ends at n
     ends = F.concat(
         F.transform(
@@ -1473,9 +1476,10 @@ def cdc_chunk_table(
         ),
     )
     return (
-        with_starts.select("doc_id", F.explode(chunks).alias("c"))
+        with_starts.select("doc_id", *carry, F.explode(chunks).alias("c"))
         .select(
             "doc_id",
+            *carry,
             F.col("c.nw").alias("n_words"),
             F.col("c.h").alias("chunk_hash"),
         )

@@ -114,3 +114,30 @@ def chunk_stream(prepared: DataFrame) -> DataFrame:
     from inde1_spark.operators.corpus import chunk_tokens
 
     return chunk_tokens(prepared)
+
+
+def novel_chunk_stream(
+    documents: DataFrame, watermark: str = DEDUP_WATERMARK
+) -> DataFrame:
+    """Chunk-level novelty feed: every CDC chunk's FIRST appearance within
+    the watermark horizon — sub-document dedup on the live firehose (the
+    streaming face of ``dedup.chunk_dedup_cdc``). A re-crawled page whose
+    boilerplate matches yesterday's crawl contributes only its genuinely
+    new paragraphs downstream; consumers get a stream of novel content
+    mass instead of re-delivered chrome.
+
+    ``cdc_chunk_table`` is a stateless row-local projection (boundary
+    positions -> slice -> hash), so it applies to the stream UNCHANGED
+    with the event-time column carried through; the only state is
+    ``dropDuplicatesWithinWatermark`` keyed on the 32-byte chunk hash —
+    O(chunks-in-horizon), dropped as the watermark advances, and the
+    shuffle key is avalanche-mixed so crawl skew never concentrates
+    state. Same first-arrival-wins deviation from batch as
+    ``corpus_prep_stream`` (batch keeps min doc_id per chunk).
+    """
+    from inde1_spark.operators.dedup import cdc_chunk_table
+
+    ch = cdc_chunk_table(
+        documents.withWatermark("ingest_ts", watermark), carry=("ingest_ts",)
+    )
+    return ch.dropDuplicatesWithinWatermark(["chunk_hash"])

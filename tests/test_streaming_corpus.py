@@ -150,3 +150,32 @@ def test_chunk_stream_matches_batch(spark, doc_env, tmp_path):
         for r in want.collect()
     )
     assert got_set == want_set and len(got_set) > 0
+
+
+def test_novel_chunk_stream_matches_batch_distinct(spark, doc_env):
+    """The streamed novelty feed must emit each qualifying CDC chunk
+    exactly once (first arrival), i.e. the same chunk-hash SET as the
+    batch chunk table's distinct — the planted duplicate doc contributes
+    nothing, the degenerate doc has no >=min_words chunks."""
+    from inde1_spark.operators.dedup import cdc_chunk_table
+    from inde1_spark.streaming.corpus import novel_chunk_stream
+
+    data_dir, docs, ckpt, out = doc_env
+    stream = document_stream(spark, data_dir)
+    q = (
+        novel_chunk_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out + "_chunks")
+        .option("checkpointLocation", ckpt + "/chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out + "_chunks")
+    want = cdc_chunk_table(docs).select("chunk_hash").distinct()
+    got_set = {r["chunk_hash"] for r in got.select("chunk_hash").collect()}
+    want_set = {r["chunk_hash"] for r in want.collect()}
+    assert got_set == want_set
+    assert got.count() == len(got_set)  # exactly-once per chunk hash
