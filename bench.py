@@ -69,6 +69,9 @@ HEADLINE = (
     "dedup_levenshtein",      # edit-distance verify over capped candidates (r04)
     "similarity_join_allpairs",  # exact prefix-filtered Jaccard join (r04)
     "nation_stock_value",     # Q11 HAVING-vs-global via bounded window (r04)
+    "chunk_dedup_cdc",        # row-local CDC chunking + chunk-hash groupBy (r04)
+    "cdc_doc_overlap",        # df-capped chunk inverted-index pair join (r04)
+    "knn_two_stage",          # coarse projection scan + exact re-rank (r04)
 )
 
 
