@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "embeddings")
         ),
         "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
+        "mixture_temperature": lambda sp, d: C.mixture_temperature(
+            _t(sp, d, "documents")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -713,3 +713,78 @@ def source_drift_ks(documents: DataFrame) -> DataFrame:
             F.col("q").alias("at_quality_scaled"),
         )
     )
+
+
+TEMP_BUDGET_PCT = 50  # overall keep budget for the temperature-flattened mix
+TEMP_RATE_SCALE = 1_000_000  # per-source keep rates as exact ppm thresholds
+
+
+def mixture_temperature(
+    documents: DataFrame, budget_pct: int = TEMP_BUDGET_PCT
+) -> DataFrame:
+    """Temperature-flattened source mixing at alpha = 0.5: target source
+    shares proportional to sqrt(n_s) instead of n_s — the multilingual /
+    multi-source rebalancing move (GPT-3 / XLM-R style) that upsamples
+    the long tail's SHARE without duplicating rows, by thinning dominant
+    sources harder. alpha is fixed at 0.5 because sqrt is the one
+    fractional power IEEE guarantees correctly rounded — an arbitrary
+    pow() differs between libm implementations and would break the
+    engine/oracle hash (DESIGN §3).
+
+    Per-source keep rate: r_s = budget * N * w_s / n_s with w_s =
+    sqrt(n_s)/sum(sqrt), capped at 1 and materialized as an exact ppm
+    threshold — sqrt snaps to a nano-grid long first, the share arithmetic
+    runs in DECIMAL(38,0) with the mod-subtract floor-div spelling
+    (decimal `div` wraps, CLAUDE invariant), and membership is the
+    engine-portable md5 bucket over (source, doc_id). Audit-shaped
+    output: per source, the rate, kept/total counts and the realized
+    share — one corpus pass + a k-row broadcast of source stats.
+    """
+    stats = documents.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    qs = F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    per = stats.select("source", "n_s", qs.alias("q_s"))
+    tot = per.agg(
+        F.sum("n_s").cast("long").alias("n_total"),
+        F.sum("q_s").cast("long").alias("q_total"),
+    )
+    # rate_ppm = floor(budget_pct/100 * n_total * q_s * 1e6 / (q_total * n_s)),
+    # capped at 1e6 — exact decimal floor division
+    num = (
+        F.col("n_total").cast("decimal(38,0)")
+        * F.col("q_s").cast("decimal(38,0)")
+        * F.lit(budget_pct * TEMP_RATE_SCALE).cast("decimal(38,0)")
+    )
+    den = (
+        F.col("q_total").cast("decimal(38,0)")
+        * F.col("n_s").cast("decimal(38,0)")
+        * F.lit(100).cast("decimal(38,0)")
+    )
+    rate = F.least(
+        ((num - num % den) / den).cast("long"), F.lit(TEMP_RATE_SCALE).cast("long")
+    )
+    rated = per.join(F.broadcast(tot)).select(
+        "source", "n_s", "n_total", rate.alias("rate_ppm")
+    )
+    keep = (
+        hash_bucket(
+            F.concat_ws(":", F.col("source"), F.col("doc_id")), TEMP_RATE_SCALE
+        )
+        < F.col("rate_ppm")
+    )
+    kept = (
+        documents.join(F.broadcast(rated), "source")
+        .groupBy("source", "n_s", "n_total", "rate_ppm")
+        .agg(F.sum(keep.cast("long")).cast("long").alias("n_kept"))
+    )
+    return kept.select(
+        "source",
+        F.col("n_s").alias("n_total_source"),
+        "rate_ppm",
+        "n_kept",
+        ratio_round(F.col("n_s"), F.col("n_total"), 6).alias("share_before"),
+        ratio_round(F.col("n_kept"), F.greatest(F.col("n_total"), F.lit(1)), 6).alias(
+            "share_of_corpus_kept"
+        ),
+    )

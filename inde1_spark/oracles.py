@@ -3748,3 +3748,50 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= {K_BUCKETED}
 """
+
+from inde1_spark.operators.corpus import (  # noqa: E402
+    TEMP_BUDGET_PCT,
+    TEMP_RATE_SCALE,
+)
+
+# Twin of operators/corpus.py:mixture_temperature. sqrt is correctly
+# rounded in both engines; the share arithmetic runs in HUGEINT with the
+# mod-subtract floor-div spelling (positive operands, so DuckDB's
+# truncating % agrees with Spark's).
+ORACLES["mixture_temperature"] = f"""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+),
+per AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q_s
+  FROM stats
+),
+tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+         CAST(SUM(q_s) AS BIGINT) AS q_total
+  FROM per
+),
+rated AS (
+  SELECT source, n_s, n_total,
+         LEAST(CAST((num - (num % den)) // den AS BIGINT),
+               {TEMP_RATE_SCALE}) AS rate_ppm
+  FROM (
+    SELECT source, n_s, n_total,
+           CAST(n_total AS HUGEINT) * q_s * {TEMP_BUDGET_PCT * TEMP_RATE_SCALE} AS num,
+           CAST(q_total AS HUGEINT) * n_s * 100 AS den
+    FROM per, tot
+  )
+),
+kept AS (
+  SELECT d.source, r.n_s, r.n_total, r.rate_ppm,
+         CAST(SUM(CASE WHEN {_hash_bucket_sql("d.source || ':' || CAST(d.doc_id AS VARCHAR)", TEMP_RATE_SCALE)} < r.rate_ppm
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents d JOIN rated r USING (source)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, n_s AS n_total_source, rate_ppm, n_kept,
+       {_rr("n_s", "n_total", 6)} AS share_before,
+       {_rr("n_kept", "GREATEST(n_total, 1)", 6)} AS share_of_corpus_kept
+FROM kept
+"""

@@ -166,3 +166,25 @@ def test_shuffle_shards_dense_and_mixed(spark):
         1 for i in range(399) if (shard_of[i + 1] - shard_of[i]) % 8 == 1
     )
     assert periodic < 120  # id-periodic assignment would make this 399
+
+
+def test_mixture_temperature_flattens_skewed_sources(spark):
+    """On a 9:1 skewed corpus the sqrt-temperature rates must thin the
+    dominant source harder (rate_big < rate_small), pull the kept mixture
+    toward balance (kept share ratio strictly flatter than 9:1), and
+    respect the rate cap."""
+    from inde1_spark.operators.corpus import mixture_temperature
+
+    rows = [(i, f"doc {i} text", "en", "big", 10) for i in range(900)]
+    rows += [(i + 1000, f"doc {i} text", "en", "small", 10) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in mixture_temperature(docs).collect()}
+    big, small = out["big"], out["small"]
+    assert small["rate_ppm"] > big["rate_ppm"]
+    assert small["rate_ppm"] <= 1_000_000
+    # raw ratio 9.0; sqrt-flattened target ratio is 3.0 — realized kept
+    # ratio must land well under the raw ratio
+    kept_ratio = big["n_kept"] / max(small["n_kept"], 1)
+    assert kept_ratio < 6.0, f"kept ratio not flattened: {kept_ratio:.2f}"
