@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": lambda sp, d: C.mixture_temperature(
             _t(sp, d, "documents")
         ),
+        "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

@@ -689,3 +689,52 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+HASHVEC_DIMS = 64  # feature-hashing width (matches the embeddings table dim)
+
+
+def hash_vectorize(documents: DataFrame, dims: int = HASHVEC_DIMS) -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick, Weinberger et
+    al. 2009): every token maps to a dimension by md5 bucket and
+    contributes ±1 by an INDEPENDENT md5 parity bit, giving each document
+    a fixed-width sparse vector with no vocabulary dictionary — the
+    vectorizer that never needs a fit pass, a shared vocab broadcast, or
+    an OOV story, which is why it scales to an unbounded crawl stream.
+    The signed variant keeps hash collisions unbiased (E[collision
+    contribution] = 0). Output bridges the text side to every embedding
+    operator: (doc_id, dim, val, val_norm) in sparse long form, L2
+    normalization included.
+
+    Plan: tokenize+explode, one groupBy shuffle on (doc_id, dim), then
+    the per-doc norm rides a window over the SAME doc_id key. Signs and
+    dims come from different hex ranges of one md5 per token occurrence.
+    All counts exact longs; norm = sqrt of an exact integer; the
+    normalized value divides two engine-identical doubles. Zero-sum
+    dimensions (exact ±1 cancellation) drop — output is the sparse
+    support, and the norm is over the support by construction.
+    """
+    md = F.md5(F.col("token"))
+    dim = (
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long") % F.lit(dims) + 1
+    ).alias("dim")
+    sign = F.when(
+        F.conv(F.substring(md, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    tok = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    sums = (
+        tok.select("doc_id", dim, sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    w = Window.partitionBy("doc_id")
+    nrm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(w).cast("double"))
+    return sums.select(
+        "doc_id",
+        "dim",
+        "val",
+        (F.col("val").cast("double") / nrm).alias("val_norm"),
+    )

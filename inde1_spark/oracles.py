@@ -3795,3 +3795,31 @@ SELECT source, n_s AS n_total_source, rate_ppm, n_kept,
        {_rr("n_kept", "GREATEST(n_total, 1)", 6)} AS share_of_corpus_kept
 FROM kept
 """
+
+from inde1_spark.operators.text import HASHVEC_DIMS  # noqa: E402
+
+# Twin of operators/text.py:hash_vectorize — dim and sign come from
+# different hex ranges of the same md5; counts are exact integers, the
+# norm is sqrt of an exact integer, and val/norm divides two
+# engine-identical doubles.
+ORACLES["hash_vectorize"] = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+mapped AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % {HASHVEC_DIMS}) + 1 AS dim,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 9, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+sums AS (
+  SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(s) AS BIGINT) AS val
+  FROM mapped GROUP BY 1, 2 HAVING SUM(s) <> 0
+)
+SELECT doc_id, dim, val,
+       CAST(val AS DOUBLE)
+         / sqrt(CAST(SUM(val * val) OVER (PARTITION BY doc_id) AS DOUBLE)) AS val_norm
+FROM sums
+"""

@@ -721,3 +721,11 @@ def test_knn_two_stage_bounded_rerank(spark):
     r = plan_report(Q["knn_two_stage"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
+
+
+def test_hash_vectorize_single_scan_two_keyed_exchanges(spark):
+    # tokenize/explode/sign are row-local; the only exchanges are the
+    # (doc_id, dim) aggregation and the doc_id window re-key — no joins
+    r = plan_report(Q["hash_vectorize"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    assert r.exchanges <= 2
