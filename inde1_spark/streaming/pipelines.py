@@ -572,3 +572,41 @@ def hopping_stats_stream(
             "nbr_exit",
         )
     )
+
+
+SESSION_GAP = "30 minutes"
+SESSION_WATERMARK = "2 hours"
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = SESSION_GAP,
+    watermark: str = SESSION_WATERMARK,
+) -> DataFrame:
+    """T4 on the NATIVE session-window aggregation: per-plate event-time
+    sessions that merge while events arrive within ``gap`` of each other
+    — the engine-managed complement to the custom keyed-state sessionizer
+    (``stateful.sessionize_stream`` pairs entry/exit semantically; this
+    one gives activity sessions with zero user code, which is the right
+    tool when "session" just means a burst of activity).
+
+    State is per open session and closes as the watermark passes a
+    session's end + gap, so memory tracks ACTIVE plates only — never
+    stream history. Works identically on a batch DataFrame (same
+    expression, no watermark needed), which is what the stream==batch
+    test pins. Append mode: a session emits exactly once, when it can no
+    longer grow.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("license_plate")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "license_plate",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -264,3 +264,53 @@ def test_hopping_stats_stream_matches_batch(spark, stream_env):
         for r in want_df.toPandas().itertuples()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, stream_env, tmp_path):
+    """Native session_window sessions: streamed append-mode output must
+    equal the same expression evaluated in batch. A far-future flush
+    event advances the watermark so every real session emits before
+    availableNow drains; the flush plate's own (still-open) session is
+    excluded from the comparison on both sides."""
+    from pyspark.sql import functions as F
+
+    from inde1_spark.schemas import PARKING_EVENT_FLAT
+    from inde1_spark.streaming.pipelines import session_window_stream
+
+    _, events, _, _, _ = stream_env
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rows = events.toJSON().collect()
+    (data_dir / "part-0.json").write_text("\n".join(rows))
+    flush = events.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit("__FLUSH__").alias("license_plate"),
+        *[c for c in events.columns if c != "license_plate"],
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    (data_dir / "part-1.json").write_text("\n".join(flush.toJSON().collect()))
+
+    stream = (
+        spark.readStream.schema(PARKING_EVENT_FLAT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        session_window_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # withWatermark is a no-op on a batch DataFrame, so the same plan
+    # builder IS the batch twin
+    want = session_window_stream(events)
+    key = lambda r: (
+        r["license_plate"], str(r["session_start"]), str(r["session_end"]), r["n_events"]
+    )
+    got_set = {key(r) for r in got if r["license_plate"] != "__FLUSH__"}
+    want_set = {key(r) for r in want.collect()}
+    assert got_set == want_set
+    assert len(got_set) > 0
