@@ -677,11 +677,15 @@ def test_chunk_dedup_cdc_row_local_chunking(spark):
 
 
 def test_dup_graph_transitivity_equi_joins_only(spark):
-    # the triangle pass joins on node keys; the only nested-loop is the
-    # benign 1-row audit assembly (broadcast of single-row aggregates)
+    # the triangle pass joins on node keys — equi-joins throughout (hash
+    # or sort-merge both fine at scale; WHICH one Catalyst picks depends
+    # on the persisted edge table's stats and varies with cache state, so
+    # the pin only forbids the genuinely scale-broken shapes): no
+    # cartesian, and nested-loops only for the benign 1-row audit
+    # assembly broadcasts
     r = plan_report(Q["dup_graph_transitivity"](spark, SF_SMOKE))
-    assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
+    assert r.nested_loop_joins <= 2
 
 
 def test_rrf_fusion_bounded_overhead(spark):
