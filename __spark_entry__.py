@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
+        "embedding_top_component": lambda sp, d: S.embedding_top_component(
+            _t(sp, d, "embeddings")
+        ),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

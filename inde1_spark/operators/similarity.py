@@ -824,3 +824,223 @@ def knn_two_stage(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+POWER_ITERS = 8
+PI_V_SCALE = 1e6  # iterate in micro-units: |u_i| <= 64 * 1e6, squares sum
+# to <= 64 * (6.4e7)^2 ~ 2.6e17 — comfortably exact in int64
+
+
+def embedding_top_component(
+    embeddings: DataFrame, iters: int = POWER_ITERS
+) -> DataFrame:
+    """Top principal component of the embedding covariance by POWER
+    ITERATION, fully deterministic — the anisotropy audit: a top
+    component explaining a large share of total variance means the
+    encoder collapsed toward a dominant direction (the classic
+    "embeddings degenerate into a cone" failure) and every cosine
+    downstream is mostly measuring that one axis. ``embedding_dim_corr``
+    sees pairwise redundancy; this sees the global one-direction story
+    pairwise correlations can miss.
+
+    Two-part plan. (1) Corpus pass: the same exact integer moments as
+    ``embedding_dim_corr`` (row-local upper-triangle explode, 2016-key +
+    64-key map-side-combined shuffles) assemble the scaled covariance
+    M = n*Sxy - Sx*Sy in DECIMAL — exact. (2) Iteration: M is 64x64 —
+    it collapses to ONE row (a map of 4096 entries -> array-of-arrays),
+    and all ``iters`` multiply-normalize rounds run as row-local array
+    folds on that single row. No per-iteration shuffle, no driver
+    action, no lazy checkpoint needed: the unrolled expression chain is
+    linear and the corpus never re-enters after the moments pass.
+
+    Determinism (DESIGN §3): M converts to engine-identical doubles via
+    the digit-split and normalizes by its exact max |entry|; each
+    mat-vec term snaps floor(m*x+0.5) to a long so per-iteration sums
+    are order-free exact integers; the vector renormalizes onto a 1e6
+    grid with the same floor rule; ties in the argmax loading break on
+    the lower dim. Convergence is NOT required for the gate — both
+    engines run the identical trajectory. Output: one audit row
+    (n_vecs, explained_share of total variance, top|loading| dim and
+    its loading, iters).
+    """
+    from inde1_spark.functions.exprs import FIXED_POINT_SCALE, dec_to_double_exact
+
+    fx = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(
+            v.cast("double") * F.lit(FIXED_POINT_SCALE) + F.lit(0.5)
+        ).cast("long"),
+    )
+    emb = embeddings.select(fx.alias("fx"))
+    d = F.size(F.col("fx"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("fx"), i).cast("decimal(38,0)")
+                        * F.element_at(F.col("fx"), j)
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    from inde1_spark.operators.dedup import _persist
+
+    pairs = (
+        emb.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("n_vecs"), F.sum("xy").alias("sxy"))
+    )
+    # the moment tables are tiny (64 / 2016 rows) but feed 4+ plan branches
+    # each; without a persist every branch re-expands its subtree back to
+    # the parquet scan (measured 15 corpus scans in the unpersisted plan —
+    # vs exactly the 2 moment passes with them)
+    dims = _persist(
+        emb.select(F.posexplode("fx").alias("dim0", "x"))
+        .select((F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_d"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        )
+    )
+    da = dims.select(
+        F.col("dim").alias("i"), F.col("sx").alias("sx_a")
+    )
+    db = dims.select(F.col("dim").alias("j"), F.col("sx").alias("sx_b"))
+    nd = F.col("n_vecs").cast("decimal(38,0)")
+    offd = (
+        pairs.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            "i",
+            "j",
+            dec_to_double_exact(nd * F.col("sxy") - F.col("sx_a") * F.col("sx_b")).alias(
+                "v"
+            ),
+        )
+    )
+    offd = _persist(offd)
+    mirror = offd.select(F.col("j").alias("i"), F.col("i").alias("j"), "v")
+    ndd = F.col("n_d").cast("decimal(38,0)")
+    diag_dec = (ndd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("vd")
+    diag = dims.select(
+        F.col("dim").alias("i"), F.col("dim").alias("j"), diag_dec
+    ).select("i", "j", dec_to_double_exact(F.col("vd")).alias("v"))
+    allm = offd.unionByName(mirror).unionByName(diag)
+    scalars = dims.agg(
+        F.max("n_d").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("dims"),
+        dec_to_double_exact(F.sum(ndd * F.col("sxx") - F.col("sx") * F.col("sx"))).alias(
+            "trace"
+        ),
+    )
+    mrow = (
+        allm.join(F.broadcast(allm.agg(F.max(F.abs(F.col("v"))).alias("mx"))))
+        .select("i", "j", (F.col("v") / F.col("mx")).alias("m"), "mx")
+        .groupBy("mx")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("i") * 1000 + F.col("j")).alias("k"), F.col("m")
+                    )
+                )
+            ).alias("mm")
+        )
+        .join(F.broadcast(scalars))
+    )
+    # matrix rows + v0 on the single row; every iteration projects its
+    # result to a column first (HOF-CSE rule keeps the chain linear)
+    dd = F.col("dims").cast("int")
+    mat = F.transform(
+        F.sequence(F.lit(1), dd),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), dd),
+            lambda j: F.element_at(F.col("mm"), (i * 1000 + j).cast("bigint")),
+        ),
+    )
+    v0 = F.transform(
+        F.sequence(F.lit(1), dd), lambda _: F.lit(int(PI_V_SCALE)).cast("long")
+    )
+    cur = mrow.select("n_vecs", "trace", "mx", mat.alias("mat"), v0.alias("v"))
+    for _ in range(iters):
+        u = F.transform(
+            F.col("mat"),
+            lambda row: F.aggregate(
+                F.zip_with(
+                    row,
+                    F.col("v"),
+                    lambda m, x: F.floor(m * x.cast("double") + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ),
+        )
+        cur = cur.select("n_vecs", "trace", "mx", "mat", u.alias("u"))
+        nrm = F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col("u"), F.lit(0).cast("long"), lambda a, x: a + x * x
+                ).cast("double")
+            ),
+            F.lit(1e-12),
+        )
+        vn = F.transform(
+            F.col("u"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(PI_V_SCALE) / nrm + F.lit(0.5)
+            ).cast("long"),
+        )
+        cur = cur.select("n_vecs", "trace", "mx", "mat", vn.alias("v"))
+    # Rayleigh quotient from one more snapped mat-vec
+    u = F.transform(
+        F.col("mat"),
+        lambda row: F.aggregate(
+            F.zip_with(
+                row,
+                F.col("v"),
+                lambda m, x: F.floor(m * x.cast("double") + F.lit(0.5)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+    )
+    cur = cur.select("n_vecs", "trace", "mx", "mat", "v", u.alias("u"))
+    num = F.aggregate(
+        F.zip_with(F.col("v"), F.col("u"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    lam = num.cast("double") / den.cast("double") * F.col("mx")
+    vmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    top_dim = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.size("v")),
+            lambda i: F.abs(F.element_at(F.col("v"), i)) == vmax,
+        ),
+        1,
+    )
+    return cur.select(
+        "n_vecs",
+        (lam / F.col("trace")).alias("explained_share"),
+        top_dim.cast("long").alias("top_dim"),
+        (
+            F.element_at(F.col("v"), top_dim).cast("double") / F.lit(PI_V_SCALE)
+        ).alias("top_loading"),
+        F.lit(iters).cast("long").alias("n_iters"),
+    )

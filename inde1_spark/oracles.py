@@ -3823,3 +3823,98 @@ SELECT doc_id, dim, val,
          / sqrt(CAST(SUM(val * val) OVER (PARTITION BY doc_id) AS DOUBLE)) AS val_norm
 FROM sums
 """
+
+from inde1_spark.operators.similarity import (  # noqa: E402
+    PI_V_SCALE,
+    POWER_ITERS,
+)
+
+# Twin of operators/similarity.py:embedding_top_component — the power
+# iteration unrolls as chained CTEs (one mat-vec + renormalize per round),
+# every step snapped to exact integers exactly like the engine.
+def _top_component_sql(iters: int = POWER_ITERS) -> str:
+    vs = f"{PI_V_SCALE:.1f}"
+    head = f"""
+WITH fx AS MATERIALIZED (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(fx[i] AS HUGEINT) * fx[j]) AS sxy
+  FROM fx,
+       UNNEST(generate_series(1, {EMB_DIM - 1})) AS u(i),
+       UNNEST(generate_series(2, {EMB_DIM})) AS w(j)
+  WHERE j > i
+  GROUP BY 1, 2
+),
+dims AS MATERIALIZED (
+  SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n_d,
+         SUM(CAST(fx[i] AS HUGEINT)) AS sx,
+         SUM(CAST(fx[i] AS HUGEINT) * fx[i]) AS sxx
+  FROM fx, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1
+),
+offd AS MATERIALIZED (
+  SELECT p.i, p.j,
+         {_dec2d('CAST(p.n_vecs AS HUGEINT) * p.sxy - a.sx * b.sx')} AS v
+  FROM pairs p JOIN dims a ON a.dim = p.i JOIN dims b ON b.dim = p.j
+),
+m_all AS MATERIALIZED (
+  SELECT i, j, v FROM offd
+  UNION ALL SELECT j AS i, i AS j, v FROM offd
+  UNION ALL SELECT dim AS i, dim AS j,
+         {_dec2d('CAST(n_d AS HUGEINT) * sxx - sx * sx')} AS v
+  FROM dims
+),
+mxs AS MATERIALIZED (SELECT MAX(abs(v)) AS mx FROM m_all),
+mt AS MATERIALIZED (SELECT i, j, v / mx AS m FROM m_all, mxs),
+tr AS (
+  SELECT MAX(n_d) AS n_vecs,
+         {_dec2d('SUM(CAST(n_d AS HUGEINT) * sxx - sx * sx)')} AS trace
+  FROM dims
+),
+v0 AS MATERIALIZED (SELECT j, CAST({int(PI_V_SCALE)} AS BIGINT) AS x
+       FROM UNNEST(generate_series(1, {EMB_DIM})) AS t(j))"""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+u{t} AS MATERIALIZED (
+  SELECT mt.i,
+         CAST(SUM(CAST(floor(mt.m * CAST({prev}.x AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM mt JOIN {prev} ON {prev}.j = mt.j GROUP BY 1
+),
+n{t} AS MATERIALIZED (SELECT GREATEST(sqrt(CAST(CAST(SUM(u * u) AS BIGINT) AS DOUBLE)), 1e-12) AS ng FROM u{t}),
+v{t} AS MATERIALIZED (
+  SELECT i AS j, CAST(floor(CAST(u AS DOUBLE) * {vs} / ng + 0.5) AS BIGINT) AS x
+  FROM u{t}, n{t}
+)""")
+        prev = f"v{t}"
+    tail = f"""
+uf AS MATERIALIZED (
+  SELECT mt.i,
+         CAST(SUM(CAST(floor(mt.m * CAST({prev}.x AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS u
+  FROM mt JOIN {prev} ON {prev}.j = mt.j GROUP BY 1
+),
+ray AS MATERIALIZED (
+  SELECT CAST(SUM({prev}.x * uf.u) AS BIGINT) AS num,
+         CAST(SUM({prev}.x * {prev}.x) AS BIGINT) AS den
+  FROM {prev} JOIN uf ON uf.i = {prev}.j
+),
+vmax AS MATERIALIZED (SELECT MAX(abs(x)) AS vm FROM {prev}),
+top AS MATERIALIZED (
+  SELECT MIN(j) AS top_dim FROM {prev}, vmax WHERE abs(x) = vm
+)
+SELECT tr.n_vecs,
+       (CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE) * mxs.mx) / tr.trace AS explained_share,
+       CAST(top.top_dim AS BIGINT) AS top_dim,
+       CAST((SELECT x FROM {prev} WHERE j = top.top_dim) AS DOUBLE) / {vs} AS top_loading,
+       CAST({iters} AS BIGINT) AS n_iters
+FROM tr, ray, mxs, top
+"""
+    return head + "," + ",".join(steps) + "," + tail
+
+
+ORACLES["embedding_top_component"] = _top_component_sql()

@@ -733,3 +733,19 @@ def test_hash_vectorize_single_scan_two_keyed_exchanges(spark):
     r = plan_report(Q["hash_vectorize"](spark, SF_SMOKE))
     assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
     assert r.exchanges <= 2
+
+
+def test_top_component_corpus_enters_twice_only(spark):
+    # the corpus feeds the two moment passes (pair products + per-dim),
+    # both persisted — the plan STRING still prints the scan inside each
+    # InMemoryRelation so a textual scan count is meaningless here; what
+    # is pinned: the moment tables ARE cached (InMemoryTableScan present,
+    # so each computes once) and the iteration rounds add no cartesian /
+    # sort-merge shapes
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["embedding_top_component"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in r.raw
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+    release_persisted()

@@ -141,3 +141,24 @@ def test_two_stage_recall_on_clustered_data(spark):
     narrow = _pairs(knn_two_stage(emb_r, k=3, coarse_factor=3))
     wide = _pairs(knn_two_stage(emb_r, k=3, coarse_factor=8))
     assert len(brute_r & wide) > len(brute_r & narrow)
+
+
+def test_top_component_finds_planted_direction(spark):
+    """Vectors dominated by one axis: the power iteration must put the
+    top loading on that dimension and report a large explained share;
+    on the random corpus the share sits near the isotropic 1/64 floor."""
+    import random
+
+    from inde1_spark.operators.similarity import embedding_top_component
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(300):
+        v = [rng.uniform(-0.1, 0.1) for _ in range(16)]
+        v[4] += rng.choice([-1.0, 1.0]) * 3.0  # dominant axis: dim 5 (1-based)
+        rows.append((vid, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_top_component(emb).collect()[0]
+    assert out["top_dim"] == 5
+    assert out["explained_share"] > 0.9
+    assert abs(out["top_loading"]) > 0.99  # eigenvector ~ e_5
