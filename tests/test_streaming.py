@@ -314,3 +314,30 @@ def test_session_window_stream_matches_batch(spark, stream_env, tmp_path):
     want_set = {key(r) for r in want.collect()}
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+def test_throttled_alert_stream_one_page_per_pair(spark, stream_env, tmp_path):
+    """With a throttle horizon wider than the whole fixture, each
+    (plate, violation_type) pair must page exactly once — and every pair
+    the batch detector finds must still page."""
+    from inde1_spark.streaming.pipelines import throttled_alert_stream
+
+    stream, events, users, _, _ = stream_env
+    got: list = []
+    q = (
+        throttled_alert_stream(stream, users, throttle="24 hours")
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want_pairs = {
+        (r["vehicle_plate"], r["violation_type"])
+        for r in P.detect_violations(events, users).collect()
+    }
+    got_pairs = [(r["vehicle_plate"], r["violation_type"]) for r in got]
+    assert set(got_pairs) == want_pairs
+    assert len(got_pairs) == len(set(got_pairs)), "a pair paged twice"
+    assert len(got_pairs) > 0
