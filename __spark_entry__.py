@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_component": lambda sp, d: S.embedding_top_component(
             _t(sp, d, "embeddings")
         ),
+        "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

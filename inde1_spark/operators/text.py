@@ -738,3 +738,74 @@ def hash_vectorize(documents: DataFrame, dims: int = HASHVEC_DIMS) -> DataFrame:
         "val",
         (F.col("val").cast("double") / nrm).alias("val_norm"),
     )
+
+
+DOC_KNN_K = 3
+DOC_KNN_QUERIES = 10
+
+
+def doc_knn_hashed(
+    documents: DataFrame,
+    k: int = DOC_KNN_K,
+    n_queries: int = DOC_KNN_QUERIES,
+    dims: int = HASHVEC_DIMS,
+) -> DataFrame:
+    """Document cosine kNN over the feature-hashed vectors — text-side
+    similarity search with NO embedding model: ``hash_vectorize`` gives
+    every doc a 64-dim signed profile and this ranks neighbors by cosine
+    over it, the classical bag-of-hashed-words retrieval baseline every
+    dense-embedding index gets compared against (and the fallback when
+    no encoder exists for a language/domain).
+
+    Sparse formulation: the dot product is an equi-join on the dimension
+    key restricted to the (tiny, broadcast) query side — the corpus
+    streams through one broadcast hash join, no shuffle skew on the
+    64-value key. Pairs sharing NO dimension are omitted (their dot is
+    0; with 64 dims real documents virtually always overlap — and both
+    engines apply the identical rule, so the gate hashes). Dot products
+    are exact integer sums; norms are sqrt of exact integers; ties break
+    by neighbor id.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    # three consumers (norms + both join sides): persist or each re-runs
+    # the tokenize/explode/aggregate pipeline from the scan
+    base = _persist(hash_vectorize(documents, dims).select("doc_id", "dim", "val"))
+    norms = base.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val")).cast("double")).alias("nrm")
+    )
+    a = base.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("val").alias("val_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("neighbor_id"), "dim", F.col("val").alias("val_b")
+    )
+    dots = (
+        F.broadcast(a)
+        .join(b, "dim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("val_a") * F.col("val_b")).cast("long").alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nn = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nrm_n")
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nrm_q") * F.col("nrm_n")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

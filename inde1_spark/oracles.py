@@ -3918,3 +3918,47 @@ FROM tr, ray, mxs, top
 
 
 ORACLES["embedding_top_component"] = _top_component_sql()
+
+from inde1_spark.operators.text import DOC_KNN_K, DOC_KNN_QUERIES  # noqa: E402
+
+# Twin of operators/text.py:doc_knn_hashed — the same sparse dim-join dot
+# product over the hash_vectorize profile; exact integer dots, sqrt-of-
+# integer norms.
+ORACLES["doc_knn_hashed"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+sums AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % {HASHVEC_DIMS}) + 1 AS BIGINT) AS dim,
+         CAST(SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 9, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM tok GROUP BY 1, 2
+  HAVING SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 9, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END) <> 0
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, sqrt(CAST(CAST(SUM(val * val) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM sums GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < {DOC_KNN_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(dot AS DOUBLE) / (qa.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms qa ON qa.doc_id = query_id
+  JOIN norms nb ON nb.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {DOC_KNN_K}
+"""

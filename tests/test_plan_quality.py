@@ -749,3 +749,15 @@ def test_top_component_corpus_enters_twice_only(spark):
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
     release_persisted()
+
+
+def test_doc_knn_hashed_broadcast_dim_join(spark):
+    # the tiny query profile broadcasts; the corpus streams through hash
+    # joins — no sort-merge fallback, no cartesian on the 64-value dim key
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["doc_knn_hashed"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 2
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+    release_persisted()
