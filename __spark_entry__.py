@@ -193,7 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============== end gate window ===================================
         # r05 rotation queue, in order: the 3 r04-new entries deferred for
         # window space (simple window/groupby shapes, strongest local pins),
-        # then anything added later this round, then re-confirmations.
+        # then the r04-session-2 additions (nation_stock_value ...
+        # doc_knn_hashed — all locally hash-green at sf0.001/0.01 and the
+        # session-2 ops also at sf0.1), then re-confirmations.
         "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
             _t(sp, d, "events")
         ),
