@@ -466,7 +466,7 @@ def embedding_dim_corr(embeddings: DataFrame, k: int = DIM_CORR_TOP_K) -> DataFr
         .groupBy("dim")
         .agg(
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         )
     )
     da = dims.select(
@@ -829,6 +829,11 @@ def knn_two_stage(
 POWER_ITERS = 8
 PI_V_SCALE = 1e6  # iterate in micro-units: |u_i| <= 64 * 1e6, squares sum
 # to <= 64 * (6.4e7)^2 ~ 2.6e17 — comfortably exact in int64
+PI_MOMENT_SCALE = 1e6  # moment fixed point: the eigen-direction is
+# scale-invariant, so the moments don't need embedding_dim_corr's 1e15
+# digits — at 1e6 the per-row pair products are cheap LONG multiplies
+# (codegen) instead of BigDecimal ops (measured 8.7 s -> far less at
+# sf0.1), and each term (<= 1e12 * max|x|^2) stays far inside int64
 
 
 def embedding_top_component(
@@ -863,52 +868,54 @@ def embedding_top_component(
     (n_vecs, explained_share of total variance, top|loading| dim and
     its loading, iters).
     """
-    from inde1_spark.functions.exprs import FIXED_POINT_SCALE, dec_to_double_exact
+    from inde1_spark.functions.exprs import dec_to_double_exact
 
     fx = F.transform(
         F.col("embedding"),
         lambda v: F.floor(
-            v.cast("double") * F.lit(FIXED_POINT_SCALE) + F.lit(0.5)
+            v.cast("double") * F.lit(PI_MOMENT_SCALE) + F.lit(0.5)
         ).cast("long"),
-    )
-    emb = embeddings.select(fx.alias("fx"))
-    d = F.size(F.col("fx"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), d - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, d),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(F.col("fx"), i).cast("decimal(38,0)")
-                        * F.element_at(F.col("fx"), j)
-                    ).alias("xy"),
-                ),
-            ),
-        )
     )
     from inde1_spark.operators.dedup import _persist
 
+    # pair moments via a co-partitioned SELF-JOIN of the exploded
+    # (vec_id, dim, x) table, not a row-local upper-triangle lambda
+    # explode (embedding_dim_corr's spelling): nested HOF lambdas run
+    # INTERPRETED, and d^2/2 interpreted struct builds per row dominated
+    # the runtime (measured 6x slower than this codegen join+partial-agg
+    # at sf0.1). The trade: this shuffles 64 x corpus rows once (the
+    # dedup family already accepts corpus-volume explodes for shingles);
+    # the partial aggregation still collapses the join output to 2016
+    # keys in-stage, so the second exchange is tiny.
+    ex = _persist(
+        embeddings.repartition("vec_id")
+        .select("vec_id", fx.alias("fx"))
+        .select("vec_id", F.posexplode("fx").alias("dim0", "x"))
+        .select("vec_id", (F.col("dim0") + 1).alias("i"), "x")
+    )
+    ea = ex.select("vec_id", "i", F.col("x").alias("xa"))
+    eb = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
     pairs = (
-        emb.select(F.explode(pair_structs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
+        ea.join(eb, "vec_id")
+        .filter(F.col("i") < F.col("j"))
         .groupBy("i", "j")
-        .agg(F.count("*").cast("long").alias("n_vecs"), F.sum("xy").alias("sxy"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            # LONG multiply on purpose (see PI_MOMENT_SCALE); promotion
+            # to decimal happens once, at the sum
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
+        )
     )
     # the moment tables are tiny (64 / 2016 rows) but feed 4+ plan branches
-    # each; without a persist every branch re-expands its subtree back to
-    # the parquet scan (measured 15 corpus scans in the unpersisted plan —
-    # vs exactly the 2 moment passes with them)
+    # each; the persists keep every branch reading the computed tables
+    # instead of re-expanding back to the scan
     dims = _persist(
-        emb.select(F.posexplode("fx").alias("dim0", "x"))
-        .select((F.col("dim0") + 1).alias("dim"), "x")
+        ex.select(F.col("i").alias("dim"), "x")
         .groupBy("dim")
         .agg(
             F.count("*").cast("long").alias("n_d"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         )
     )
     da = dims.select(

@@ -3825,6 +3825,7 @@ FROM sums
 """
 
 from inde1_spark.operators.similarity import (  # noqa: E402
+    PI_MOMENT_SCALE,
     PI_V_SCALE,
     POWER_ITERS,
 )
@@ -3837,7 +3838,7 @@ def _top_component_sql(iters: int = POWER_ITERS) -> str:
     head = f"""
 WITH fx AS MATERIALIZED (
   SELECT list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
+           x -> CAST(floor(CAST(x AS DOUBLE) * {PI_MOMENT_SCALE:.1f} + 0.5) AS BIGINT)) AS fx
   FROM embeddings
 ),
 pairs AS MATERIALIZED (
