@@ -72,6 +72,8 @@ HEADLINE = (
     "chunk_dedup_cdc",        # row-local CDC chunking + chunk-hash groupBy (r04)
     "cdc_doc_overlap",        # df-capped chunk inverted-index pair join (r04)
     "knn_two_stage",          # coarse projection scan + exact re-rank (r04)
+    "hash_vectorize",         # feature-hashing corpus vectorizer (r04)
+    "embedding_top_component",  # power-iteration covariance audit (r04)
 )
 
 
