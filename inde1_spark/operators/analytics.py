@@ -2287,3 +2287,97 @@ def percentile_rollup_kll(
             "p90_within_tol",
         )
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation — the classic product-analytics user partition:
+    per user, Recency (days since last event vs the corpus max day),
+    Frequency (event count) and Monetary (whole-unit floor of spend),
+    each cut at its corpus-wide tercile, users grouped into the 27
+    (r, f, m) segments. The marketing-automation staple the reference's
+    per-user tables would feed.
+
+    A naive ``ntile(3)`` funnels every user through one sort partition;
+    instead each metric collapses to a VALUE HISTOGRAM (recency is
+    bounded by the corpus time span in days, frequency and floored spend
+    by per-user activity — all small integer domains), the tercile
+    boundary comes from the histogram's running count (quality_ntile's
+    pattern), and the per-user pass just compares against three
+    broadcast thresholds. Corpus-volume work: ONE user groupBy; the
+    windows sort value rows, never users. All metrics and thresholds
+    are exact integers — ties share a value row and land in one tercile
+    deterministically. Boundary rule: tercile k holds values v with
+    count(<= v) * 3 > (k-1) * total, i.e. t1 = min v with cum*3 >=
+    total; label = 1 + (v > t1) + (v > t2).
+    """
+    per = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.floor(F.sum(F.col("value").cast("decimal(18,6)")))
+            .cast("long")
+            .alias("mon"),
+        )
+    )
+    ref = events.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    per = per.join(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("ref_day", "last_day").cast("long").alias("rec"),
+        "freq",
+        "mon",
+    )
+    metrics = per.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("rec").alias("name"), F.col("rec").alias("value")),
+                F.struct(F.lit("freq").alias("name"), F.col("freq").alias("value")),
+                F.struct(F.lit("mon").alias("name"), F.col("mon").alias("value")),
+            )
+        ).alias("m")
+    ).select("m.name", "m.value")
+    hist = metrics.groupBy("name", "value").agg(F.count("*").cast("long").alias("n"))
+    w_cum = (
+        Window.partitionBy("name")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("name")
+    cum = F.sum("n").over(w_cum)
+    tot = F.sum("n").over(w_all)
+    marked = hist.select(
+        "name",
+        "value",
+        (cum * 3 >= tot).alias("ge1"),
+        (cum * 3 >= tot * 2).alias("ge2"),
+    )
+    th = marked.groupBy("name").agg(
+        F.min(F.when(F.col("ge1"), F.col("value"))).alias("t1"),
+        F.min(F.when(F.col("ge2"), F.col("value"))).alias("t2"),
+    )
+    th1 = th.agg(
+        *[
+            F.max(F.when(F.col("name") == nm, F.col(c))).alias(f"{nm}_{c}")
+            for nm in ("rec", "freq", "mon")
+            for c in ("t1", "t2")
+        ]
+    )
+
+    def seg(v: str, nm: str):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(f"{nm}_t1")).cast("int")
+            + (F.col(v) > F.col(f"{nm}_t2")).cast("int")
+        ).cast("long")
+
+    labeled = per.join(F.broadcast(th1)).select(
+        "user_id",
+        seg("rec", "rec").alias("r_seg"),
+        seg("freq", "freq").alias("f_seg"),
+        seg("mon", "mon").alias("m_seg"),
+        "mon",
+    )
+    return labeled.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("mon").cast("long").alias("monetary_total"),
+    )

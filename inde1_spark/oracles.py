@@ -3963,3 +3963,60 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= {DOC_KNN_K}
 """
+
+# Twin of operators/analytics.py:rfm_segments — histogram terciles with the
+# identical inclusive-cum boundary rule; all metrics exact integers.
+ORACLES["rfm_segments"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+              (SELECT CAST(max(ts) AS DATE) FROM events)) AS BIGINT) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS mon
+  FROM events GROUP BY user_id
+),
+metrics AS (
+  SELECT 'rec' AS name, rec AS value FROM per
+  UNION ALL SELECT 'freq', freq FROM per
+  UNION ALL SELECT 'mon', mon FROM per
+),
+hist AS (
+  SELECT name, value, CAST(count(*) AS BIGINT) AS n
+  FROM metrics GROUP BY 1, 2
+),
+marked AS (
+  SELECT name, value,
+         (SUM(n) OVER (PARTITION BY name ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+          >= SUM(n) OVER (PARTITION BY name)) AS ge1,
+         (SUM(n) OVER (PARTITION BY name ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3
+          >= SUM(n) OVER (PARTITION BY name) * 2) AS ge2
+  FROM hist
+),
+th AS (
+  SELECT name,
+         MIN(CASE WHEN ge1 THEN value END) AS t1,
+         MIN(CASE WHEN ge2 THEN value END) AS t2
+  FROM marked GROUP BY 1
+),
+th1 AS (
+  SELECT MAX(CASE WHEN name = 'rec' THEN t1 END) AS rec_t1,
+         MAX(CASE WHEN name = 'rec' THEN t2 END) AS rec_t2,
+         MAX(CASE WHEN name = 'freq' THEN t1 END) AS freq_t1,
+         MAX(CASE WHEN name = 'freq' THEN t2 END) AS freq_t2,
+         MAX(CASE WHEN name = 'mon' THEN t1 END) AS mon_t1,
+         MAX(CASE WHEN name = 'mon' THEN t2 END) AS mon_t2
+  FROM th
+),
+labeled AS (
+  SELECT CAST(1 + CAST(rec > rec_t1 AS INT) + CAST(rec > rec_t2 AS INT) AS BIGINT) AS r_seg,
+         CAST(1 + CAST(freq > freq_t1 AS INT) + CAST(freq > freq_t2 AS INT) AS BIGINT) AS f_seg,
+         CAST(1 + CAST(mon > mon_t1 AS INT) + CAST(mon > mon_t2 AS INT) AS BIGINT) AS m_seg,
+         mon
+  FROM per, th1
+)
+SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(mon) AS BIGINT) AS monetary_total
+FROM labeled GROUP BY 1, 2, 3
+"""

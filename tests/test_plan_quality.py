@@ -761,3 +761,13 @@ def test_doc_knn_hashed_broadcast_dim_join(spark):
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
     release_persisted()
+
+
+def test_rfm_segments_no_user_sort(spark):
+    # terciles come from value histograms: the windows sort value rows,
+    # never users — no sort-merge join, and the user-side passes are one
+    # groupBy plus broadcast threshold joins
+    r = plan_report(Q["rfm_segments"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+    assert r.broadcast_hash_joins + r.nested_loop_joins >= 1  # thresholds broadcast
