@@ -2381,3 +2381,64 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         F.sum("mon").cast("long").alias("monetary_total"),
     )
+
+
+LTV_MAX_WEEKS = 8
+
+
+def cohort_ltv(events: DataFrame, max_weeks: int = LTV_MAX_WEEKS) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per signup cohort
+    by week-since-first-active — the monetary complement to
+    ``retention_cohorts`` (that one says WHO comes back; this says what
+    they are WORTH as they age, the payback-period number acquisition
+    spend is judged against).
+
+    One user groupBy finds the cohort day; the value join rides the same
+    user key; weekly revenue reduces over the (cohorts x weeks)-bounded
+    key space with exact decimal sums; and the cumulative curve is a
+    running window over that BOUNDED aggregate, never over events.
+    ltv_per_user divides two exact integers (cents / cohort size) with
+    the exact round-half-up rule.
+    """
+    first = (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_d"))
+    )
+    sized = first.groupBy("cohort_d").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    week = F.floor(F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_d")) / 7)
+    weekly = (
+        events.join(first, "user_id")
+        .filter(week <= max_weeks)
+        .groupBy(
+            "cohort_d",
+            week.cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_d")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_cents").over(w)
+    return (
+        weekly.withColumn("cum_cents", cum)
+        .join(F.broadcast(sized), "cohort_d")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            "cohort_users",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("week_revenue"),
+            (F.col("cum_cents").cast("double") / F.lit(100.0)).alias("cum_revenue"),
+            ratio_round(F.col("cum_cents"), F.col("cohort_users") * 100, 4).alias(
+                "ltv_per_user"
+            ),
+        )
+    )

@@ -4020,3 +4020,35 @@ SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users,
        CAST(SUM(mon) AS BIGINT) AS monetary_total
 FROM labeled GROUP BY 1, 2, 3
 """
+
+from inde1_spark.operators.analytics import LTV_MAX_WEEKS  # noqa: E402
+
+# Twin of operators/analytics.py:cohort_ltv — exact decimal cents, bounded
+# running window, exact round-half-up per-user LTV.
+ORACLES["cohort_ltv"] = f"""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_d FROM events GROUP BY 1
+),
+sized AS (
+  SELECT cohort_d, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts GROUP BY 1
+),
+weekly AS (
+  SELECT f.cohort_d,
+         CAST(date_diff('day', f.cohort_d, date_trunc('day', e.ts)) // 7 AS BIGINT) AS week_offset,
+         CAST(floor(SUM(CAST(e.value AS DECIMAL(18,6))) * 100) AS BIGINT) AS rev_cents
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE date_diff('day', f.cohort_d, date_trunc('day', e.ts)) // 7 <= {LTV_MAX_WEEKS}
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_d, week_offset, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_d ORDER BY week_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM weekly
+)
+SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_day, c.week_offset, s.cohort_users,
+       CAST(c.rev_cents AS DOUBLE) / 100.0 AS week_revenue,
+       CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+       {_rr("c.cum_cents", "s.cohort_users * 100", 4)} AS ltv_per_user
+FROM cum c JOIN sized s USING (cohort_d)
+"""
