@@ -466,7 +466,7 @@ def embedding_dim_corr(embeddings: DataFrame, k: int = DIM_CORR_TOP_K) -> DataFr
         .groupBy("dim")
         .agg(
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         )
     )
     da = dims.select(
