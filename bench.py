@@ -74,6 +74,7 @@ HEADLINE = (
     "knn_two_stage",          # coarse projection scan + exact re-rank (r04)
     "hash_vectorize",         # feature-hashing corpus vectorizer (r04)
     "embedding_top_component",  # power-iteration covariance audit (r04)
+    "rfm_segments",           # histogram-tercile user segmentation (r04)
 )
 
 
