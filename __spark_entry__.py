@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
         "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
         "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
+        "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),

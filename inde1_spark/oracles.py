@@ -4052,3 +4052,37 @@ SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_day, c.week_offset, s.cohort_u
        {_rr("c.cum_cents", "s.cohort_users * 100", 4)} AS ltv_per_user
 FROM cum c JOIN sized s USING (cohort_d)
 """
+
+from inde1_spark.operators.analytics import BURSTINESS_MIN_EVENTS  # noqa: E402
+
+# Twin of operators/analytics.py:user_burstiness — gaps via integer
+# date_diff seconds (DuckDB epoch() is fractional), HUGEINT moments,
+# digit-split conversion, clamped variance.
+ORACLES["user_burstiness"] = f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second',
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+         AS BIGINT) AS gap_s
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(gap_s AS HUGEINT)) AS sx,
+         SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sxx
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT user_id, n_gaps,
+         {_dec2d('sx')} / CAST(n_gaps AS DOUBLE) AS mu,
+         sqrt(GREATEST({_dec2d('CAST(n_gaps AS HUGEINT) * sxx - sx * sx')}, 0.0))
+           / CAST(n_gaps AS DOUBLE) AS sigma
+  FROM m
+)
+SELECT user_id, n_gaps,
+       ROUND(mu, 6) AS mean_gap_s,
+       ROUND(sigma, 6) AS sigma_gap_s,
+       CASE WHEN sigma + mu > 0 THEN ROUND((sigma - mu) / (sigma + mu), 6)
+            ELSE 0.0 END AS burstiness
+FROM s WHERE n_gaps >= {BURSTINESS_MIN_EVENTS - 1}
+"""

@@ -74,3 +74,32 @@ def test_changepoint_meanshift_finds_planted_level_break(spark):
     assert s["shift_stat"] > 0
     f = out["flat"]
     assert f["shift_stat"] == 0.0 and f["n_before"] == 1  # k=1 tie-break
+
+
+def test_burstiness_separates_metronome_from_bursts(spark):
+    """A perfectly regular user must score B = -1 (sigma = 0); a
+    burst-and-silence user must score clearly higher; both must beat the
+    min-events exclusion while a 2-event user is dropped."""
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import user_burstiness
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(20):  # metronome: exactly 60 s apart
+        rows.append((eid, t0 + timedelta(seconds=60 * i), "metro", "view", 1.0))
+        eid += 1
+    bursty_offsets = [0, 1, 2, 3, 4, 3600, 3601, 3602, 3603, 7200]
+    for off in bursty_offsets:  # two tight bursts + long silences
+        rows.append((eid, t0 + timedelta(seconds=off), "burst", "view", 1.0))
+        eid += 1
+    rows.append((eid, t0, "tiny", "view", 1.0))
+    rows.append((eid + 1, t0 + timedelta(seconds=9), "tiny", "view", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in user_burstiness(df).collect()}
+    assert set(out) == {"metro", "burst"}  # 'tiny' (1 gap) excluded
+    assert out["metro"]["burstiness"] == -1.0
+    assert out["burst"]["burstiness"] > 0.3
