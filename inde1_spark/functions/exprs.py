@@ -122,6 +122,20 @@ def ratio_round(num: Column, den: Column, scale: int) -> Column:
     return q / F.lit(float(p))
 
 
+def dec_floordiv(a: Column, b: Column) -> Column:
+    """Exact floor division of nonnegative DECIMAL(38,0) operands.
+
+    Spark's `div` on DECIMAL operands returns BIGINT and silently WRAPS
+    past 2^63 (no ANSI error — CLAUDE.md wide-decimal rule), so wide
+    floor division must be spelled ``(a - a % b) / b``: the numerator is
+    an exact multiple of ``b``, the decimal divide is therefore lossless,
+    and no step ever narrows to LONG. Result is DECIMAL (scale 6 under
+    Spark's division typing); cast at the call site if a LONG is wanted
+    and provably in range.
+    """
+    return (a - a % b) / b
+
+
 def int_sum_exact(arr: Column) -> Column:
     """Sum of an int-array (e.g. token lengths) as LONG."""
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))

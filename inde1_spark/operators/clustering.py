@@ -266,25 +266,34 @@ def cluster_balance(
     mega-cluster or a near-empty k shows up here before it burns a pair
     join. One kB-sized aggregate over the assignment.
     """
-    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.functions.exprs import dec_floordiv, ratio_round
 
     asg = kmeans_assign(embeddings, k, iters)
     per = asg.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members"),
-        F.sum("dist_scaled").cast("long").alias("sum_dist"),
+        F.sum(F.col("dist_scaled").cast("decimal(38,0)")).alias("sum_dist"),
     )
     total = per.agg(F.sum("n_members").cast("long").alias("n_total"))
-    # round-half-up(sum/n) = (2*sum + n) div (2*n); `div` stays in LONG
-    # arithmetic end-to-end (a float `/` would lose integer precision past
-    # 2^53 and drift off the DuckDB oracle's exact `//`).
+    # round-half-up(sum/n) = (2*sum + n) floordiv (2*n), accumulated and
+    # divided in DECIMAL(38,0): a LONG `div` would silently WRAP past 2^63
+    # (CLAUDE.md wide-decimal rule), and a float `/` would lose integer
+    # precision past 2^53 and drift off the DuckDB oracle's exact `//`.
+    # Floor division on decimals is spelled (a - a % b) / b — the quotient
+    # is an exact integer, so the decimal divide is lossless; the final
+    # cast back to LONG is safe (mean distance <= max single distance).
     return (
         per.join(F.broadcast(total))
-        .withColumn("_m", F.col("sum_dist") * 2 + F.col("n_members"))
-        .withColumn("_den", F.col("n_members") * 2)
+        .withColumn(
+            "_m",
+            (F.col("sum_dist") * 2 + F.col("n_members")).cast("decimal(38,0)"),
+        )
+        .withColumn("_den", (F.col("n_members") * 2).cast("decimal(38,0)"))
         .select(
             "cluster",
             "n_members",
             ratio_round(F.col("n_members"), F.col("n_total"), 4).alias("share"),
-            F.expr("_m div _den").cast("long").alias("mean_dist_scaled"),
+            dec_floordiv(F.col("_m"), F.col("_den"))
+            .cast("long")
+            .alias("mean_dist_scaled"),
         )
     )

@@ -1555,10 +1555,14 @@ def dup_graph_transitivity(
         .groupBy("u")
         .agg(F.count("*").cast("long").alias("deg"))
     )
+    # coalesce to 0 so an empty edge set (zero near-dup pairs) still emits
+    # the oracle's COALESCE(SUM(...),0)/COALESCE(MAX(...),0) row, not NULLs
     deg_stats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long").alias("wedges2"),
-        F.max("deg").cast("long").alias("max_degree"),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1)), F.lit(0)
+        ).cast("long").alias("wedges2"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias("max_degree"),
     )
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))

@@ -91,7 +91,11 @@ def sign_bucket(emb: F.Column, dims: int = LSH_SIGN_DIMS) -> F.Column:
 
 
 N_PROBE = 2
-K_IVF = 3
+# K_IVF is deliberately the SAME constant as K_BUCKETED: knn_rrf_fusion
+# fuses the two lists at one k, and its DuckDB oracle nests the knn_ivf
+# oracle (pinned at K_IVF) under a K_BUCKETED fused-rank filter — deriving
+# one from the other keeps the fusion path and its oracle in lockstep.
+K_IVF = K_BUCKETED
 FP = 1e15  # fixed-point scale, shared with functions.exprs
 
 
@@ -622,9 +626,13 @@ def embedding_random_projection(
     sequence explode — out_dims rows of a d-length sign array) and
     broadcast; each vector row then computes all projections row-locally
     (zip_with + exact fixed-point aggregate) after snapping components to
-    1e15-fixed longs ONCE into a projected column (HOF-CSE rule). No
-    shuffle at all on the corpus side — output is |corpus| x out_dims
-    rows in long form. Projection sums stay exact longs (|sum| <=
+    1e15-fixed longs ONCE into a projected column (HOF-CSE rule). The one
+    corpus-side exchange is a deliberate width-pinning
+    ``repartition("vec_id")``: the interpreted per-row aggregate is the
+    CPU cost here, and without an explicit repartition AQE's byte-based
+    coalescing would collapse the small vector table onto a few cores
+    (same invariant as the dedup verify stages). Output is
+    |corpus| x out_dims rows in long form. Projection sums stay exact longs (|sum| <=
     d * 1e15 * max|x|, far under 2^63); the single final divide is
     IEEE-identical in both engines.
     """

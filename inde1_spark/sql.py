@@ -181,6 +181,50 @@ def _tfidf_sql() -> str:
     """
 
 
+def _cdc_sql() -> str:
+    """chunk_dedup_cdc as Spark SQL: content-defined boundaries from word-pair
+    md5 parity, per-chunk hashes, cross-doc chunk frequency (dedup.py
+    constants CDC_AVG_CHUNK / CDC_MIN_WORDS / CDC_TOP_K — interpolated so a
+    constant change cannot desync this twin from the operator)."""
+    from inde1_spark.operators.dedup import CDC_AVG_CHUNK, CDC_MIN_WORDS, CDC_TOP_K
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, toks, size(toks) AS n,
+                 concat(array(1),
+                   CASE WHEN size(toks) >= 2 THEN
+                     filter(sequence(2, greatest(size(toks), 2)),
+                       i -> (CAST(conv(substring(md5(concat_ws(' ',
+                               element_at(toks, i - 1), element_at(toks, i))),
+                               1, 8), 16, 10) AS BIGINT) % {CDC_AVG_CHUNK}) = 0)
+                   ELSE CAST(array() AS array<int>) END) AS bp
+          FROM toks WHERE size(toks) >= 1
+        ),
+        ch AS (
+          SELECT doc_id,
+                 inline(zip_with(bp,
+                   concat(transform(slice(bp, 2, greatest(size(bp) - 1, 1)),
+                                    x -> x - 1),
+                          array(n)),
+                   (s, e) -> named_struct(
+                     'nw', CAST(e - s + 1 AS BIGINT),
+                     'h', md5(concat_ws(' ', slice(toks, s, e - s + 1))))))
+          FROM b
+        )
+        SELECT h AS chunk_hash, min(nw) AS n_words,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS first_doc_id
+        FROM ch WHERE nw >= {CDC_MIN_WORDS}
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC LIMIT {CDC_TOP_K}
+    """
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -359,41 +403,7 @@ SPARK_SQL: dict[str, str] = {
         FROM picked
     """,
     # --- scale-path families (dedup / ANN / scoring), r03 verdict item 5 ---
-    "chunk_dedup_cdc": """
-        WITH toks AS (
-          SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS toks
-          FROM documents
-        ),
-        b AS (
-          SELECT doc_id, toks, size(toks) AS n,
-                 concat(array(1),
-                   CASE WHEN size(toks) >= 2 THEN
-                     filter(sequence(2, greatest(size(toks), 2)),
-                       i -> (CAST(conv(substring(md5(concat_ws(' ',
-                               element_at(toks, i - 1), element_at(toks, i))),
-                               1, 8), 16, 10) AS BIGINT) % 16) = 0)
-                   ELSE CAST(array() AS array<int>) END) AS bp
-          FROM toks WHERE size(toks) >= 1
-        ),
-        ch AS (
-          SELECT doc_id,
-                 inline(zip_with(bp,
-                   concat(transform(slice(bp, 2, greatest(size(bp) - 1, 1)),
-                                    x -> x - 1),
-                          array(n)),
-                   (s, e) -> named_struct(
-                     'nw', CAST(e - s + 1 AS BIGINT),
-                     'h', md5(concat_ws(' ', slice(toks, s, e - s + 1))))))
-          FROM b
-        )
-        SELECT h AS chunk_hash, min(nw) AS n_words,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-               CAST(count(*) AS BIGINT) AS n_occurrences,
-               min(doc_id) AS first_doc_id
-        FROM ch WHERE nw >= 4
-        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-        ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC LIMIT 200
-    """,
+    "chunk_dedup_cdc": _cdc_sql(),
     "dedup_minhash_fast": _minhash_fast_sql(),
     "knn_lsh_bucketed": _knn_lsh_sql(),
     "tfidf_top_terms": _tfidf_sql(),

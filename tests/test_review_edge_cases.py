@@ -63,3 +63,51 @@ def test_json_audit_drifted_props_no_crash(spark):
     assert ("k", "int") in out and out[("k", "int")]["n_rows"] == 2
     # the overflowing value degrades to NULL inside the sum, 7 survives
     assert out[("k", "int")]["sum_int_values"] in (7, None)
+
+
+def test_dec_floordiv_past_2_63_no_wrap(spark):
+    """The wide-decimal floor-div spelling must stay exact ABOVE 2^63,
+    where a LONG `div` silently wraps (CLAUDE.md rule). Checked against
+    Python's arbitrary-precision `//` at adversarial magnitudes."""
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    cases = [
+        (2**63 + 12345, 7),                  # just past the long wrap point
+        (10**37 - 1, 10**18 + 3),            # near decimal(38,0) capacity
+        (2 * (2**62) + 41, 2 * 41),          # the cluster_balance shape (2s+n, 2n)
+        (999, 1000),                         # floor to 0
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in cases], "a string, b string"
+    ).select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    got = [
+        int(r["q"])
+        for r in df.select(
+            dec_floordiv(F.col("a"), F.col("b")).cast("decimal(38,0)").alias("q")
+        ).collect()
+    ]
+    assert got == [a // b for a, b in cases]
+
+
+def test_cluster_balance_decimal_mean_matches_python(spark):
+    """cluster_balance's mean_dist_scaled is round-half-up(sum/n) in exact
+    decimal arithmetic — replay the full operator against Python ints."""
+    from inde1_spark.operators.clustering import cluster_balance, kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["cluster"]: r for r in cluster_balance(emb, k=3, iters=2).collect()}
+    asg = kmeans_assign(emb, 3, 2).collect()
+    sums, counts = {}, {}
+    for r in asg:
+        sums[r["cluster"]] = sums.get(r["cluster"], 0) + r["dist_scaled"]
+        counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
+    for c, n in counts.items():
+        expect = (2 * sums[c] + n) // (2 * n)  # round-half-up(sum/n)
+        assert out[c]["mean_dist_scaled"] == expect
+        assert out[c]["n_members"] == n
