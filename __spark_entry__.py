@@ -45,13 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r04 window: the 28 r03-new operators (never driver-verified), the 3
-    fast-dedup entries converted from rows-only to hash-grade this round,
-    embedding_dim_stats (output schema changed this round), and 18 of the
-    21 r04-new operators (the other 3 — rolling_daily_revenue, dow_profile,
-    value_percentile_ranks — head the r05 queue right behind the window;
-    no re-confirmation slots this round because the never-verified backlog
-    fills all 50).
+    r05 window: the 27 remaining never-driver-verified operators (the 3
+    deferred from r04 plus the 24 added late in r04), then 23
+    re-confirmations of the OLDEST greens (last driver rows r01/r02).
+    With this window, every production entry has >=1 lifetime driver row —
+    the 4-round rotation debt retires here. No outputs changed since their
+    last driver row this round (arithmetic hardening in r05 is
+    value-preserving; pinned by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -65,7 +65,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: TPC-H shapes (new in r03) ---
+        # --- never driver-verified: deferred from the r04 window ---
+        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
+            _t(sp, d, "events")
+        ),
+        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
+        "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
+            _t(sp, d, "events")
+        ),
+        # --- never driver-verified: added late in r04 ---
+        "nation_stock_value": lambda sp, d: Q.nation_stock_value(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
+        ),
+        "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
+            _t(sp, d, "documents")
+        ),
+        "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
+            _t(sp, d, "events")
+        ),
+        "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
+            _t(sp, d, "embeddings")
+        ),
+        "tokenizer_fertility": lambda sp, d: T.tokenizer_fertility(
+            _t(sp, d, "documents")
+        ),
+        "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
+        "bigram_logprob": lambda sp, d: SC.bigram_logprob(_t(sp, d, "documents")),
+        "percentile_rollup_kll": lambda sp, d: A.percentile_rollup_kll(
+            _t(sp, d, "events")
+        ),
+        "source_drift_ks": lambda sp, d: C.source_drift_ks(_t(sp, d, "documents")),
+        "zipf_fit": lambda sp, d: SC.zipf_fit(_t(sp, d, "documents")),
+        "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
+            _t(sp, d, "embeddings")
+        ),
+        "chunk_dedup_cdc": lambda sp, d: D.chunk_dedup_cdc(_t(sp, d, "documents")),
+        "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
+            _t(sp, d, "documents")
+        ),
+        "cdc_doc_overlap": lambda sp, d: D.cdc_doc_overlap(_t(sp, d, "documents")),
+        "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
+        "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
+            _t(sp, d, "embeddings")
+        ),
+        "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
+        "mixture_temperature": lambda sp, d: C.mixture_temperature(
+            _t(sp, d, "documents")
+        ),
+        "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
+        "embedding_top_component": lambda sp, d: S.embedding_top_component(
+            _t(sp, d, "embeddings")
+        ),
+        "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
+        "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
+        "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
+        "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
+        # --- re-confirmations: oldest greens (last driver rows r01/r02) ---
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
+        ),
+        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
+        "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
+        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
+        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
+        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
+        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
+        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
+        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
+        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
+        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
+        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
+        "enrich_users": lambda sp, d: A.enrich_users(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "occupancy_pct": lambda sp, d: A.occupancy_pct(
+            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
+        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
+        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
+        # ============== end gate window ===================================
+        # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
             _t(sp, d, "supplier"), _t(sp, d, "lineitem"), _t(sp, d, "orders"),
             _t(sp, d, "customer"), _t(sp, d, "nation")
@@ -94,7 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
-        # --- never driver-verified: product analytics (new in r03) ---
         "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
         "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
         "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
@@ -108,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
         "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
         "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
-        # --- never driver-verified: audits / sampling / sketches (r03) ---
         "cluster_balance": lambda sp, d: CL.cluster_balance(
             _t(sp, d, "embeddings")
         ),
@@ -128,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": lambda sp, d: C.dup_rate_by_source(
             _t(sp, d, "documents")
         ),
-        # --- converted rows-only -> hash-grade this round (r04) ---
         "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
         "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
             _t(sp, d, "documents"), max_shingle_df=64
@@ -138,11 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
             _t(sp, d, "documents")
         ),
-        # --- output schema changed this round (decimal/string sum) ---
         "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
             _t(sp, d, "embeddings")
         ),
-        # --- never driver-verified: new in r04 (18 of 21; 3 deferred) ---
         "min_cost_supplier": lambda sp, d: Q.min_cost_supplier(
             _t(sp, d, "part"), _t(sp, d, "lineitem"), _t(sp, d, "supplier"),
             _t(sp, d, "nation"), _t(sp, d, "region")
@@ -190,79 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": lambda sp, d: C.shingle_novelty(
             _t(sp, d, "documents")
         ),
-        # ============== end gate window ===================================
-        # r05 rotation queue, in order: the 3 r04-new entries deferred for
-        # window space (simple window/groupby shapes, strongest local pins),
-        # then the r04-session-2 additions (nation_stock_value ...
-        # doc_knn_hashed — all locally hash-green at sf0.001/0.01 and the
-        # session-2 ops also at sf0.1), then re-confirmations.
-        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
-            _t(sp, d, "events")
-        ),
-        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
-        "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
-            _t(sp, d, "events")
-        ),
-        # New in r04 (after the rotation commit) — behind the 3 deferred
-        # entries in the r05 queue.
-        "nation_stock_value": lambda sp, d: Q.nation_stock_value(
-            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
-        ),
-        "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
-            _t(sp, d, "documents")
-        ),
-        "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
-            _t(sp, d, "events")
-        ),
-        "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
-            _t(sp, d, "embeddings")
-        ),
-        "tokenizer_fertility": lambda sp, d: T.tokenizer_fertility(
-            _t(sp, d, "documents")
-        ),
-        "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
-        "bigram_logprob": lambda sp, d: SC.bigram_logprob(_t(sp, d, "documents")),
-        "percentile_rollup_kll": lambda sp, d: A.percentile_rollup_kll(
-            _t(sp, d, "events")
-        ),
-        "source_drift_ks": lambda sp, d: C.source_drift_ks(_t(sp, d, "documents")),
-        "zipf_fit": lambda sp, d: SC.zipf_fit(_t(sp, d, "documents")),
-        "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
-            _t(sp, d, "embeddings")
-        ),
-        "chunk_dedup_cdc": lambda sp, d: D.chunk_dedup_cdc(_t(sp, d, "documents")),
-        "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
-            _t(sp, d, "documents")
-        ),
-        "cdc_doc_overlap": lambda sp, d: D.cdc_doc_overlap(_t(sp, d, "documents")),
-        "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
-        "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
-            _t(sp, d, "embeddings")
-        ),
-        "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
-        "mixture_temperature": lambda sp, d: C.mixture_temperature(
-            _t(sp, d, "documents")
-        ),
-        "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
-        "embedding_top_component": lambda sp, d: S.embedding_top_component(
-            _t(sp, d, "embeddings")
-        ),
-        "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
-        "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
-        "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
-        "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
         # Reference-parity block (last driver rows r01/r02; pinned locally by
         # tests/test_oracle_parity.py every run).
-        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
-        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
-        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
-        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
         "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
             _t(sp, d, "events"), _t(sp, d, "customer")
-        ),
-        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
-        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
-            _t(sp, d, "events")
         ),
         "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
         "range_join_windows": lambda sp, d: A.range_join_windows(
@@ -341,34 +356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
         # Long-green reference-parity queries (hash-green in r01 AND r02;
         # pinned locally by tests/test_oracle_parity.py on every run).
-        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
-        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
-        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
-        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
-        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
-        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
-        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
-        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
-        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
-        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
-        "enrich_users": lambda sp, d: A.enrich_users(
-            _t(sp, d, "events"), _t(sp, d, "customer")
-        ),
-        "occupancy_pct": lambda sp, d: A.occupancy_pct(
-            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
-        ),
-        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
-        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
-        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
         "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
         "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
         "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
         # --- volume shapes (TPC-H-ish) ---
-        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
-        "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
-            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
         "revenue_by_nation": lambda sp, d: Q.revenue_by_nation(
             _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
             _t(sp, d, "orders"), _t(sp, d, "lineitem")
