@@ -2,21 +2,27 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "reps": {name: [sec, ...]}, "delta_vs_prior_best": {...}}
 
 Each query is executed to completion (count() the result — forces the full
 plan without driver-side materialization of wide rows). Queries cover the
 reference-parity surface (scan/filter/agg/join/window) plus the scale-path
 LLM ops (LSH dedup, bucketed ANN).
 
-Each query runs twice and the second (steady-state) time is reported:
-single-shot numbers in a fresh JVM are dominated by C2 JIT warmup of the
-expression interpreters (±5-10s swings depending on run order), which says
-nothing about throughput on a long-lived cluster.
+Noise robustness (r04 verdict): single-shot numbers in a fresh JVM are
+dominated by C2 JIT warmup, and even steady-state runs drift ±15% with JVM/
+sandbox scheduling noise. Each query therefore runs one untimed warmup and
+THREE measured steady-state reps; the reported number is the MEDIAN rep
+(robust to a one-off GC stall in either direction), every rep is kept in
+the output, and a delta section compares each median against the best
+number any prior round recorded (BENCH_r*.json) so a real plan regression
+cannot hide inside the environmental band.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -25,6 +31,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# flag ratios beyond the r04-measured environmental drift band
+DELTA_FLAG_RATIO = 1.25
 
 # Headline set: the flagship + each operator family's most representative,
 # scale-relevant member.
@@ -78,6 +87,30 @@ HEADLINE = (
 )
 
 
+def _prior_best(sf: object) -> dict[str, float]:
+    """Per-query best (min) seconds over every prior round's BENCH file.
+
+    The driver's BENCH_r*.json wraps this script's JSON line under
+    ``parsed``; accept both that shape and the raw line. Only rounds run
+    at the SAME scale factor are comparable.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        payload = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+        if payload.get("sf") != sf:
+            continue
+        for name, sec in (payload.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
+
 def main() -> None:
     from inde1_spark.session import get_spark
 
@@ -93,34 +126,57 @@ def main() -> None:
     from inde1_spark.operators.dedup import release_persisted
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, SF_DIR).count()  # warmup: JIT + shuffle-file page cache
-        # steady state = best of 2 measured runs (single-run wall swings
-        # ±50% on some queries from JIT/GC scheduling noise in one JVM);
-        # each measured run pays its own persist cost after clearCache.
+        # Each measured rep pays its own persist cost after clearCache.
         # release_persisted between queries: clearCache drops cache-manager
         # blocks but NOT lazy-localCheckpoint RDDs (kmeans/components
-        # chains), which would otherwise accumulate across 38 queries and
-        # GC-pressure the tail of the run
-        best, n = float("inf"), 0
-        for _ in range(2):
+        # chains), which would otherwise accumulate across the run and
+        # GC-pressure its tail.
+        rs: list[float] = []
+        n = 0
+        for _ in range(N_REPS):
             spark.catalog.clearCache()
             release_persisted()
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.perf_counter() - t0, 3))
+        reps[name] = rs
+        timings[name] = sorted(rs)[len(rs) // 2]  # median rep
         release_persisted()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {rs} ({n} rows)",
+            file=sys.stderr,
+        )
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    prior = _prior_best(sf)
+    common = {k: v for k, v in timings.items() if k in prior}
+    delta = {
+        "prior_best_sec": {k: prior[k] for k in common},
+        "ratio": {k: round(common[k] / prior[k], 3) for k in common},
+        "flagged_over_ratio": {
+            k: round(common[k] / prior[k], 3)
+            for k in common
+            if common[k] / prior[k] > DELTA_FLAG_RATIO
+        },
+        "flag_threshold": DELTA_FLAG_RATIO,
+        "n_common": len(common),
+        "common_total_sec": round(sum(common.values()), 3),
+        "common_prior_best_total_sec": round(sum(prior[k] for k in common), 3),
+    }
+
     result = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
+        "reps": reps,
+        "delta_vs_prior_best": delta,
     }
     print(json.dumps(result))
     spark.stop()
