@@ -181,6 +181,143 @@ def _tfidf_sql() -> str:
     """
 
 
+def _bm25_sql() -> str:
+    """bm25_score as one Spark-SQL statement: row-local query-term filter
+    before the explode, tiny broadcastable frequency tables, nano-snapped
+    idf and micro-snapped per-term contributions summed as exact longs
+    (scoring.py constants interpolated — same anti-desync rule as the
+    other twins)."""
+    from inde1_spark.operators.scoring import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_K,
+        LOG_SCALE,
+        SCORE_SCALE,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    ls, ss = f"{float(LOG_SCALE)!r}D", f"{float(SCORE_SCALE)!r}D"
+    k1, b = f"{BM25_K1!r}D", f"{BM25_B!r}D"
+    k1p1, omb = f"{BM25_K1 + 1.0!r}D", f"{1.0 - BM25_B!r}D"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(size(toks) AS BIGINT) AS dl,
+                       explode(filter(toks, t -> t IN ({terms}))) AS term
+                FROM toks)
+          GROUP BY doc_id, dl, term
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(size(toks) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+          FROM toks
+        ),
+        dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(round(
+                   (CAST(CAST(round(ln((stats.n_docs - dfq.df + 0.5D) / (dfq.df + 0.5D))
+                                    * {ls}, 0) AS BIGINT) AS DOUBLE) / {ls})
+                   * (CAST(tf.tf AS DOUBLE) * {k1p1})
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {k1} * ({omb} + {b} * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+                   * {ss}, 0) AS BIGINT) AS c
+          FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS DOUBLE) / {ss} AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {BM25_TOP_K}
+    """
+
+
+def _knn_two_stage_sql() -> str:
+    """knn_two_stage as one Spark-SQL statement: md5-parity sign projection
+    to 16 dims, coarse cosine scan keeping coarse_factor*k candidates,
+    exact-cosine re-rank on the full vectors (similarity.py constants)."""
+    from inde1_spark.operators.similarity import (
+        COARSE_FP,
+        K_BUCKETED,
+        N_QUERIES,
+        RP_COARSE_FACTOR,
+        RP_OUT_DIMS,
+    )
+
+    cfp = f"{float(COARSE_FP)!r}D"
+    sign = (
+        "CASE WHEN CAST(conv(substring(md5(concat_ws('_', CAST(i AS STRING),"
+        " CAST(j AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0"
+        " THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+    )
+    dot = _DOT_EXACT.format(a="emb_q", b="emb_n")
+    nrm = _NORM_EXACT.format(a="embedding")
+    return f"""
+        WITH smat AS (
+          SELECT transform(sequence(1, {RP_OUT_DIMS}),
+                   j -> transform(sequence(1, size(embedding)), i -> {sign})) AS smat
+          FROM (SELECT embedding FROM embeddings LIMIT 1)
+        ),
+        pv AS (
+          SELECT vec_id,
+                 transform(smat, s -> CAST(aggregate(
+                   zip_with(fx, s, (x, sgn) -> x * sgn),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / 1.0E15D) AS pv
+          FROM (SELECT vec_id,
+                       transform(embedding, x ->
+                         CAST(floor(CAST(x AS DOUBLE) * 1.0E15D + 0.5D) AS BIGINT)) AS fx
+                FROM embeddings) CROSS JOIN smat
+        ),
+        e AS (
+          SELECT vec_id, pv,
+                 sqrt(CAST(aggregate(
+                   transform(pv, x -> CAST(floor(x * x * {cfp} + 0.5D) AS BIGINT)),
+                   CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / {cfp}) AS cnrm
+          FROM pv
+        ),
+        coarse AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 round((CAST(aggregate(
+                     zip_with(q.pv, n.pv, (x, y) ->
+                       CAST(floor(x * y * {cfp} + 0.5D) AS BIGINT)),
+                     CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / {cfp})
+                   / (q.cnrm * n.cnrm), 6) AS c_cos
+          FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+          CROSS JOIN e n
+          WHERE q.vec_id <> n.vec_id
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY c_cos DESC, neighbor_id ASC) AS crn
+                FROM coarse)
+          WHERE crn <= {RP_COARSE_FACTOR * K_BUCKETED}
+        ),
+        full AS (
+          SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(({dot}) / (fq.nrm_q * fn.nrm), 6) AS cos_sim
+          FROM cand c
+          JOIN (SELECT vec_id, embedding AS emb_q, nrm AS nrm_q FROM full) fq
+            ON fq.vec_id = c.query_id
+          JOIN (SELECT vec_id, embedding AS emb_n, nrm FROM full) fn
+            ON fn.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {K_BUCKETED}
+    """
+
+
 def _cdc_sql() -> str:
     """chunk_dedup_cdc as Spark SQL: content-defined boundaries from word-pair
     md5 parity, per-chunk hashes, cross-doc chunk frequency (dedup.py
@@ -407,6 +544,9 @@ SPARK_SQL: dict[str, str] = {
     "dedup_minhash_fast": _minhash_fast_sql(),
     "knn_lsh_bucketed": _knn_lsh_sql(),
     "tfidf_top_terms": _tfidf_sql(),
+    # --- r04 verdict item 5: remaining headline scale paths as SQL ---
+    "bm25_score": _bm25_sql(),
+    "knn_two_stage": _knn_two_stage_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
