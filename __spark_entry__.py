@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         # ============== end gate window ===================================
+        # r06 rotation queue head: new in r05, never driver-verified.
+        "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -788,3 +788,64 @@ def mixture_temperature(
             "share_of_corpus_kept"
         ),
     )
+
+
+def gini_token_concentration(documents: DataFrame) -> DataFrame:
+    """Per-source Gini coefficient of document token counts — the
+    inequality audit behind mixture balancing: a source whose token mass
+    is concentrated in a few giant documents (G -> 1) contributes far
+    less DIVERSITY per sampled token than its row count suggests, and
+    packing/trimming decisions (``pack_sequences``, ``trim_outliers``)
+    behave very differently on it than on a uniform source (G -> 0).
+
+    Scale spelling: the textbook rank formula G = (2*sum(i*x_i) -
+    (n+1)*sum(x)) / (n*sum(x)) needs a full per-source sort, which at
+    corpus scale serializes each source onto one task. Token counts are
+    small integers, so the sort is collapsed to the VALUE HISTOGRAM:
+    group by (source, n_tokens) -> cnt, one tiny per-source window over
+    DISTINCT values for the cumulative count m below each value, and the
+    tied-block rank sum in closed form: sum of i*x over a block of cnt
+    equal values after m smaller ones is x*cnt*(2m+cnt+1)/2. The window
+    now runs over |distinct lengths| rows per source (bounded), not
+    |docs|. All moments accumulate in DECIMAL(38,0) (rank*value products
+    pass 2^63 at corpus scale) and the final ratio is the exact decimal
+    round-half-up spelling; empty-token sources emit G = 0.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    x = F.size(tokens("text")).cast("long")
+    grp = (
+        documents.select("source", x.alias("x"))
+        .groupBy("source", "x")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grp.withColumn(
+        "m", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # S = 2 * sum(rank*x): x*cnt*(2m+cnt+1) summed per source
+    s_term = d("x") * d("cnt") * (d("m") * 2 + d("cnt") + 1)
+    agg = cum.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(d("x") * d("cnt")).alias("sx"),
+        F.sum(s_term).alias("s2"),
+    )
+    num = (F.col("s2") - (d("n_docs") + 1) * F.col("sx")).cast("decimal(38,0)")
+    den = (d("n_docs") * F.col("sx")).cast("decimal(38,0)")
+    g_scaled = dec_floordiv(
+        (num * 2_000_000 + den).cast("decimal(38,0)"),
+        (den * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sx").cast("long").alias("n_tokens"),
+        F.when(F.col("sx") == 0, F.lit(0.0))
+        .otherwise(g_scaled.cast("double") / F.lit(1e6))
+        .alias("gini"),
+    )

@@ -4086,3 +4086,35 @@ SELECT user_id, n_gaps,
             ELSE 0.0 END AS burstiness
 FROM s WHERE n_gaps >= {BURSTINESS_MIN_EVENTS - 1}
 """
+
+ORACLES["gini_token_concentration"] = """
+WITH perdoc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS x
+  FROM documents
+),
+grp AS (
+  SELECT source, x, CAST(count(*) AS BIGINT) AS cnt FROM perdoc GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, x, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (
+           PARTITION BY source ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS m
+  FROM grp
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         SUM(CAST(x AS HUGEINT) * cnt) AS sx,
+         SUM(CAST(x AS HUGEINT) * cnt * (2 * CAST(m AS HUGEINT) + cnt + 1)) AS s2
+  FROM cum GROUP BY 1
+)
+SELECT source, n_docs, CAST(sx AS BIGINT) AS n_tokens,
+       CASE WHEN sx = 0 THEN 0.0 ELSE
+         CAST(CAST(((s2 - (CAST(n_docs AS HUGEINT) + 1) * sx) * 2000000
+                    + CAST(n_docs AS HUGEINT) * sx)
+                   // (2 * CAST(n_docs AS HUGEINT) * sx) AS BIGINT) AS DOUBLE) / 1e6
+       END AS gini
+FROM agg
+"""

@@ -771,3 +771,14 @@ def test_rfm_segments_no_user_sort(spark):
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
     assert r.broadcast_hash_joins + r.nested_loop_joins >= 1  # thresholds broadcast
+
+
+def test_gini_token_concentration_histogram_window(spark):
+    # one corpus scan; the window runs over the (source, n_tokens) VALUE
+    # HISTOGRAM, never over per-doc rows: histogram groupBy + per-source
+    # window + final per-source agg = 3 keyed exchanges max
+    assert_plan(
+        Q["gini_token_concentration"](spark, SF_SMOKE),
+        max_exchanges=3,
+        max_scans=1,
+    )
