@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
             _t(sp, d, "documents")
         ),
+        "minhash_est_jaccard": lambda sp, d: D.minhash_est_jaccard(
+            _t(sp, d, "documents")
+        ),
+        "embedding_isotropy": lambda sp, d: S.embedding_isotropy(
+            _t(sp, d, "embeddings")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

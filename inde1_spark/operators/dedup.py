@@ -32,6 +32,7 @@ from inde1_spark.functions.exprs import (
     dot_exact,
     norm_exact,
     ratio_round,
+    ratio_scaled,
     tokens,
     word_shingles,
 )
@@ -1671,3 +1672,82 @@ def cdc_doc_overlap(
         )
     )
     return scored.filter(F.col("containment") >= threshold)
+
+
+def minhash_est_jaccard(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Estimator-quality audit of the production MinHash configuration:
+    signature-ESTIMATED Jaccard (matching permutations / 32) next to the
+    EXACT Jaccard on every banded candidate pair. This is the number that
+    justifies the band/permutation choice before anyone trusts the
+    estimate at corpus scale — E[est] = J, and the observed |est - J|
+    distribution is the empirical check of that contract (plus of the
+    band recall curve P(candidate) = 1-(1-J^4)^8 at the working
+    threshold).
+
+    Shingle ids here are md5-derived (``conv(substring(md5(s),1,8))``),
+    NOT the xxhash64 production ids: the md5 spelling is equally
+    dictionary-free and row-local (no global sort, fully scalable) and
+    is reproducible in DuckDB, so the whole audit — candidates,
+    signatures, estimates, errors — hash-checks against the oracle
+    rather than gating rows-only. Same banding math and the same
+    candidate-first verify join as ``dedup_minhash_fast``; the only
+    extra cost over a dedup pass is the 32-column signature equality
+    per candidate. Error arithmetic is exact ppm integers end-to-end
+    (est_ppm = matches * 31250 since 10^6/32 is integral; jac_ppm is
+    the exact scaled ratio), divided back to doubles only for output.
+    """
+    sh = _persist(shingle_table(documents, n))
+    sid = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sh_ids = sh.select("doc_id", sid.alias("sid"))
+    sigs = _persist(minhash_signatures(sh_ids, PERMS_FAST))
+    cand = band_candidates(banded_signature(sigs, FAST_N_PERM, FAST_N_BANDS))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(FAST_N_PERM)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(FAST_N_PERM)
+    ).cast("long")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    est_ppm = (F.col("n_match_perms") * F.lit(1_000_000 // FAST_N_PERM)).cast("long")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    jac_ppm = ratio_scaled(F.col("n_inter"), union, 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("n_match_perms"))
+        # left join: a hash-collision candidate with zero shared shingles
+        # must stay in the audit (est > 0, exact = 0), not silently drop
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("est_ppm", est_ppm)
+        .withColumn("jac_ppm", jac_ppm)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match_perms",
+            (F.col("est_ppm").cast("double") / F.lit(1e6)).alias("est_jaccard"),
+            (F.col("jac_ppm").cast("double") / F.lit(1e6)).alias("jaccard"),
+            (
+                F.abs(F.col("est_ppm") - F.col("jac_ppm")).cast("double") / F.lit(1e6)
+            ).alias("abs_err"),
+        )
+    )

@@ -4118,3 +4118,111 @@ SELECT source, n_docs, CAST(sx AS BIGINT) AS n_tokens,
        END AS gini
 FROM agg
 """
+
+# minhash_est_jaccard: md5-hash shingle ids (engine-portable AND
+# dictionary-free), the production 32-perm/8-band signature, banded
+# candidates, estimated-vs-exact Jaccard in exact ppm integers.
+from inde1_spark.operators.dedup import FAST_N_BANDS, FAST_N_PERM, PERMS_FAST  # noqa: E402
+
+ORACLES["minhash_est_jaccard"] = f"""
+WITH {_SHINGLES},
+shid AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+           % {MINHASH_PRIME} AS sid
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}" for pid, a, b in PERMS_FAST)}
+  FROM shid GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + "concat_ws(',', " + ", ".join(
+          f"CAST(mh_{b * (FAST_N_PERM // FAST_N_BANDS) + r} AS VARCHAR)"
+          for r in range(FAST_N_PERM // FAST_N_BANDS)
+      ) + ") AS sig FROM sigs"
+      for b in range(FAST_N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+matches AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(FAST_N_PERM))} AS BIGINT)
+           AS n_match_perms
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.n_match_perms,
+       CAST(m.n_match_perms * {1_000_000 // FAST_N_PERM} AS DOUBLE) / 1e6 AS est_jaccard,
+       CAST(jac_ppm AS DOUBLE) / 1e6 AS jaccard,
+       CAST(abs(m.n_match_perms * {1_000_000 // FAST_N_PERM} - jac_ppm) AS DOUBLE) / 1e6 AS abs_err
+FROM (
+  SELECT m.doc_a, m.doc_b, m.n_match_perms,
+         ((COALESCE(i.n_inter, 0) * 2000000
+           + (sa.sz + sb.sz - COALESCE(i.n_inter, 0)))
+          // (2 * (sa.sz + sb.sz - COALESCE(i.n_inter, 0)))) AS jac_ppm
+  FROM matches m
+  LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+  JOIN sizes sa ON sa.doc_id = m.doc_a
+  JOIN sizes sb ON sb.doc_id = m.doc_b
+) m
+"""
+
+# embedding_isotropy: staged exact-integer isotropy ratios; every floor
+# stage (1e15 linear grid, 1e12 squared grid, /n, /1e12, /1e18) mirrors the
+# Spark operator digit-for-digit. The per-dim sum s CAN be negative: both
+# engines compute (s - s % n) / n where % truncates identically, and the
+# numerator is exactly divisible, so // returns the same truncated quotient
+# on both sides regardless of sign (the non-divisible-negative floor/trunc
+# asymmetry the _dec2d docstring warns about never arises here).
+ORACLES["embedding_isotropy"] = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e15 + 0.5) AS BIGINT)) AS fx,
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 + 0.5)
+                AS BIGINT))) AS q
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(q AS HUGEINT)) AS qsum
+  FROM base
+),
+dims AS (
+  SELECT i AS dim, SUM(CAST(fx[i] AS HUGEINT)) AS s
+  FROM base, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1
+),
+mm AS (
+  SELECT SUM(((s - (s % t.n_vecs)) // t.n_vecs)
+             * ((s - (s % t.n_vecs)) // t.n_vecs)) AS mm,
+         MAX(t.n_vecs) AS n_vecs, MAX(t.qsum) AS qsum
+  FROM dims, tot t
+)
+SELECT n_vecs,
+       CAST(((qsum * 2000000 + CAST(n_vecs AS HUGEINT) * 1000000000000)
+             // (2 * CAST(n_vecs AS HUGEINT) * 1000000000000)) AS DOUBLE) / 1e6
+         AS mean_sq_norm,
+       CAST((((mm // 1000000000000) * 2000000 + 1000000000000000000)
+             // (CAST(2 AS HUGEINT) * 1000000000000000000)) AS DOUBLE) / 1e6
+         AS sq_norm_of_mean,
+       CAST((((mm // 1000000000000000000) * 2000000 + (qsum // n_vecs))
+             // (2 * (qsum // n_vecs))) AS DOUBLE) / 1e6
+         AS isotropy
+FROM mm
+"""

@@ -782,3 +782,22 @@ def test_gini_token_concentration_histogram_window(spark):
         max_exchanges=3,
         max_scans=1,
     )
+
+
+def test_minhash_est_jaccard_no_cartesian(spark):
+    # every join is keyed (band+sig bucket, doc_a/doc_b, shingle): the
+    # audit must cost no more than a dedup pass plus a signature equality
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["minhash_est_jaccard"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
+
+
+def test_embedding_isotropy_single_scan(spark):
+    # two corpus scans (linear-grid dims pass + row-local energy pass),
+    # then only tiny tables move: the 64-key dim shuffle, the 1-row total,
+    # its broadcast onto the 64 dims, and the final 1-row fold. Corpus
+    # volume is never shuffled at all — both passes reduce map-side.
+    assert_plan(
+        Q["embedding_isotropy"](spark, SF_SMOKE), max_exchanges=4, max_scans=2
+    )
