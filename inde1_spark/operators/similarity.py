@@ -1059,3 +1059,83 @@ def embedding_top_component(
         ).alias("top_loading"),
         F.lit(iters).cast("long").alias("n_iters"),
     )
+
+
+def embedding_isotropy(embeddings: DataFrame) -> DataFrame:
+    """One-row isotropy audit: how far the corpus mean vector sits from
+    the origin relative to typical vector energy. isotropy =
+    ||mean(x)||^2 / E[||x||^2] is 0 for a centered cloud and approaches
+    1 when the encoder collapses everything onto one ray — the cheap
+    one-pass companion to ``embedding_top_component`` (which names the
+    collapsed DIRECTION; this names the degree), and the standard
+    precondition check before cosine-based dedup/ANN: a high value means
+    every pairwise cosine is inflated by the common component.
+
+    Exactness at scale, staged to stay inside DECIMAL(38,0) (and DuckDB's
+    HUGEINT, same ~1.7e38 cap): linear sums S_j accumulate on the 1e15
+    grid per dimension (64-key map-side-combined shuffle); squared energy
+    accumulates ROW-LOCALLY on the 1e12 grid (a 1e15 grid squared would
+    overflow at ~1e5 rows); mean components are floor(S_j/n) back on the
+    1e15 grid before squaring; and the final ratios are exact decimal
+    round-half-up at 6 dp with floor-stage rescales (1e12/1e18) so no
+    numerator ever exceeds ~1e30. Every floor stage is mirrored digit-
+    for-digit in the DuckDB twin. No sqrt anywhere — both outputs are
+    squared quantities, so no float rounding hazard exists at all.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    fx15 = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(FP) + F.lit(0.5)).cast("long"),
+    )
+    q12 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                v.cast("double") * v.cast("double") * F.lit(1e12) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = embeddings.select("vec_id", fx15.alias("fx"), q12.alias("q"))
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("qsum"),
+    )
+    dims = (
+        base.select(F.posexplode("fx").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mj = dec_floordiv(F.col("s"), d38(F.col("n_vecs"))).cast("decimal(38,0)")
+    mm = dims.join(F.broadcast(tot)).agg(
+        F.sum(d38(mj * mj)).alias("mm"),
+        F.max("n_vecs").alias("n_vecs"),
+        F.max("qsum").alias("qsum"),
+    )
+    p6 = 1_000_000
+    rr = lambda num, den: (  # noqa: E731 — exact decimal round-half-up, 6 dp
+        dec_floordiv(
+            (num * p6 * 2 + den).cast("decimal(38,0)"),
+            (den * 2).cast("decimal(38,0)"),
+        ).cast("long").cast("double") / F.lit(1e6)
+    )
+    mean_sq = rr(F.col("qsum"), d38(F.col("n_vecs")) * F.lit(10**12).cast("decimal(38,0)"))
+    mm24 = dec_floordiv(F.col("mm"), F.lit(10**12).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    sq_mean = rr(mm24, F.lit(10**18).cast("decimal(38,0)"))
+    # isotropy = (mm/1e30) / (qsum/(n*1e12)) = floor(mm/1e18) / floor(qsum/n)
+    mm12 = dec_floordiv(F.col("mm"), F.lit(10**18).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    g = dec_floordiv(F.col("qsum"), d38(F.col("n_vecs"))).cast("decimal(38,0)")
+    iso = rr(mm12, g)
+    return mm.select(
+        F.col("n_vecs"),
+        mean_sq.alias("mean_sq_norm"),
+        sq_mean.alias("sq_norm_of_mean"),
+        iso.alias("isotropy"),
+    )

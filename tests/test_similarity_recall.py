@@ -162,3 +162,23 @@ def test_top_component_finds_planted_direction(spark):
     assert out["top_dim"] == 5
     assert out["explained_share"] > 0.9
     assert abs(out["top_loading"]) > 0.99  # eigenvector ~ e_5
+
+
+def test_isotropy_separates_collapsed_from_centered(spark):
+    """A corpus collapsed onto one ray must score isotropy ~1; a sign-
+    symmetric (centered) corpus must score ~0."""
+    from inde1_spark.operators.similarity import embedding_isotropy
+
+    collapsed = spark.createDataFrame(
+        [(i, [1.0 + (i % 3) * 0.01] * 8) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    row = embedding_isotropy(collapsed).collect()[0]
+    assert row["isotropy"] > 0.99
+    centered = spark.createDataFrame(
+        [(i, [(1.0 if i % 2 else -1.0)] * 8) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    row = embedding_isotropy(centered).collect()[0]
+    assert row["isotropy"] < 0.01
+    assert row["mean_sq_norm"] == 8.0  # all-ones vectors: ||x||^2 = 8 exactly
