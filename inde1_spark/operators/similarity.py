@@ -845,7 +845,7 @@ PI_MOMENT_SCALE = 1e6  # moment fixed point: the eigen-direction is
 
 
 def embedding_top_component(
-    embeddings: DataFrame, iters: int = POWER_ITERS
+    embeddings: DataFrame, iters: int = POWER_ITERS, moments: str = "join"
 ) -> DataFrame:
     """Top principal component of the embedding covariance by POWER
     ITERATION, fully deterministic — the anisotropy audit: a top
@@ -886,40 +886,84 @@ def embedding_top_component(
     )
     from inde1_spark.operators.dedup import _persist
 
-    # pair moments via a co-partitioned SELF-JOIN of the exploded
-    # (vec_id, dim, x) table, not a row-local upper-triangle lambda
-    # explode (embedding_dim_corr's spelling): nested HOF lambdas run
-    # INTERPRETED, and d^2/2 interpreted struct builds per row dominated
-    # the runtime (measured 6x slower than this codegen join+partial-agg
-    # at sf0.1). The trade: this shuffles 64 x corpus rows once (the
-    # dedup family already accepts corpus-volume explodes for shingles);
-    # the partial aggregation still collapses the join output to 2016
-    # keys in-stage, so the second exchange is tiny.
-    ex = _persist(
-        embeddings.repartition("vec_id")
-        .select("vec_id", fx.alias("fx"))
-        .select("vec_id", F.posexplode("fx").alias("dim0", "x"))
-        .select("vec_id", (F.col("dim0") + 1).alias("i"), "x")
-    )
-    ea = ex.select("vec_id", "i", F.col("x").alias("xa"))
-    eb = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
-    pairs = (
-        ea.join(eb, "vec_id")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            F.count("*").cast("long").alias("n_vecs"),
-            # LONG multiply on purpose (see PI_MOMENT_SCALE); promotion
-            # to decimal happens once, at the sum
-            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
+    if moments == "join":
+        # pair moments via a co-partitioned SELF-JOIN of the exploded
+        # (vec_id, dim, x) table, not a row-local upper-triangle lambda
+        # explode (embedding_dim_corr's spelling): nested HOF lambdas run
+        # INTERPRETED, and d^2/2 interpreted struct builds per row dominated
+        # the runtime (measured 6x slower than this codegen join+partial-agg
+        # at sf0.1, d=64). The trade: this shuffles d x corpus rows once
+        # (the dedup family already accepts corpus-volume explodes for
+        # shingles); the partial aggregation still collapses the join
+        # output to d*(d-1)/2 keys in-stage, so the second exchange is
+        # tiny. CROSSOVER: the join's shuffle grows linearly in d while
+        # the HOF's interpreted CPU grows as d^2 row-locally with ZERO
+        # corpus shuffle — past d ~ 256 (or when cluster network, not
+        # CPU, is the binding constraint) pass moments="hof" to flip to
+        # the row-local spelling; both paths produce identical moments
+        # (pinned by tests/test_similarity_recall.py).
+        ex = _persist(
+            embeddings.repartition("vec_id")
+            .select("vec_id", fx.alias("fx"))
+            .select("vec_id", F.posexplode("fx").alias("dim0", "x"))
+            .select("vec_id", (F.col("dim0") + 1).alias("i"), "x")
         )
-    )
-    # the moment tables are tiny (64 / 2016 rows) but feed 4+ plan branches
-    # each; the persists keep every branch reading the computed tables
-    # instead of re-expanding back to the scan
+        ea = ex.select("vec_id", "i", F.col("x").alias("xa"))
+        eb = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+        pairs = (
+            ea.join(eb, "vec_id")
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(
+                F.count("*").cast("long").alias("n_vecs"),
+                # LONG multiply on purpose (see PI_MOMENT_SCALE); promotion
+                # to decimal happens once, at the sum
+                F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
+            )
+        )
+        dim_src = ex.select(F.col("i").alias("dim"), "x")
+    elif moments == "hof":
+        # row-local upper-triangle explode (embedding_dim_corr's spelling):
+        # zero corpus-side shuffle, d^2/2 interpreted struct builds per row.
+        # Same LONG products, same decimal promotion at the sum — moments
+        # are bit-identical to the join path.
+        emb_fx = embeddings.repartition("vec_id").select(fx.alias("fx"))
+        dd = F.size(F.col("fx"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), dd - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, dd),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            F.element_at(F.col("fx"), i)
+                            * F.element_at(F.col("fx"), j)
+                        ).alias("xy"),
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            emb_fx.select(F.explode(pair_structs).alias("p"))
+            .select("p.i", "p.j", "p.xy")
+            .groupBy("i", "j")
+            .agg(
+                F.count("*").cast("long").alias("n_vecs"),
+                F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
+            )
+        )
+        dim_src = emb_fx.select(F.posexplode("fx").alias("dim0", "x")).select(
+            (F.col("dim0") + 1).alias("dim"), "x"
+        )
+    else:  # pragma: no cover - guard against typo'd mode strings
+        raise ValueError(f"moments must be 'join' or 'hof', got {moments!r}")
+    # the moment tables are tiny (d / d*(d-1)/2 rows) but feed 4+ plan
+    # branches each; the persists keep every branch reading the computed
+    # tables instead of re-expanding back to the scan
     dims = _persist(
-        ex.select(F.col("i").alias("dim"), "x")
-        .groupBy("dim")
+        dim_src.groupBy("dim")
         .agg(
             F.count("*").cast("long").alias("n_d"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),

@@ -182,3 +182,35 @@ def test_isotropy_separates_collapsed_from_centered(spark):
     row = embedding_isotropy(centered).collect()[0]
     assert row["isotropy"] < 0.01
     assert row["mean_sq_norm"] == 8.0  # all-ones vectors: ||x||^2 = 8 exactly
+
+
+def test_top_component_hof_equals_join_64_and_128_dims(spark):
+    """The two moments spellings (codegen self-join vs row-local HOF
+    upper-triangle) must produce the IDENTICAL audit row — the crossover
+    past d~256 is a pure cost trade, never a numeric one. Checked at the
+    production d=64 shape and a d=128 synthetic."""
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.similarity import embedding_top_component
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "embeddings")
+    a = embedding_top_component(docs, moments="join").collect()
+    release_persisted()
+    b = embedding_top_component(docs, moments="hof").collect()
+    release_persisted()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    wide = spark.createDataFrame(
+        [
+            (i, [float(((i * 31 + j * 7) % 11) - 5) / 5.0 for j in range(128)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a = embedding_top_component(wide, moments="join").collect()
+    release_persisted()
+    b = embedding_top_component(wide, moments="hof").collect()
+    release_persisted()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["n_vecs"] == 60
