@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": lambda sp, d: S.embedding_isotropy(
             _t(sp, d, "embeddings")
         ),
+        "knn_pq": lambda sp, d: S.knn_pq(_t(sp, d, "embeddings")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -84,6 +84,8 @@ HEADLINE = (
     "hash_vectorize",         # feature-hashing corpus vectorizer (r04)
     "embedding_top_component",  # power-iteration covariance audit (r04)
     "rfm_segments",           # histogram-tercile user segmentation (r04)
+    "knn_pq",                 # product-quantization ADC scan (r05)
+    "minhash_est_jaccard",    # estimated-vs-exact Jaccard audit (r05)
 )
 
 

@@ -30,6 +30,7 @@ from inde1_spark.functions.exprs import (
 )
 
 N_QUERIES = 20  # queries() uses vec_id < 20 as the query set
+EMB_DIM = 64    # testdata embedding width (shared with oracles.EMB_DIM)
 K_BRUTE = 5
 K_BUCKETED = 3
 LSH_SIGN_DIMS = 4  # 2^4 = 16 buckets
@@ -1182,4 +1183,132 @@ def embedding_isotropy(embeddings: DataFrame) -> DataFrame:
         mean_sq.alias("mean_sq_norm"),
         sq_mean.alias("sq_norm_of_mean"),
         iso.alias("isotropy"),
+    )
+
+
+PQ_M = 4   # subspaces: 64 dims -> 4 x 16-dim sub-vectors
+PQ_K = 8   # centroids per subspace codebook -> codes are 4 x 3 bits
+PQ_DIST_SCALE = 1e12  # squared-difference terms snapped to pico precision
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    k: int = K_BUCKETED,
+    n_queries: int = N_QUERIES,
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): split each
+    vector into ``m_sub`` sub-vectors, quantize each against a per-
+    subspace codebook of ``k_cent`` centroids, and rank neighbors by the
+    ASYMMETRIC distance — the query's exact per-centroid distance table
+    looked up at each neighbor's codes and summed. The memory-compression
+    end of the ANN family: a 64-dim float corpus collapses to m_sub
+    small codes per vector (here 4 x 3 bits), so the compressed scan
+    touches ~50x less data than ``knn_brute_cosine`` while the distance
+    estimate stays unbiased per subspace — the fourth production shape
+    next to bucketed LSH (hash pruning), IVF (centroid pruning) and
+    two-stage (projection pruning).
+
+    Codebooks are the ``k_cent`` lowest-vec_id vectors sliced per
+    subspace (the same deterministic no-RNG seeding as
+    ``clustering._init_centroids``; a production build would refine each
+    subspace codebook with ``clustering`` Lloyd rounds — the machinery
+    composes, the seeding keeps the DuckDB twin CTE-tractable). Plan:
+    the codebook collapses to ONE broadcast row; encoding is a row-local
+    argmin fold per subspace (zero shuffle at any corpus size, ties to
+    the lower centroid); the ADC scan broadcasts the |Q| query rows with
+    their exact distance tables and ranks with one bounded window.
+    Determinism: squared-difference terms snap floor(t*1e12+0.5) to
+    longs (the kmeans rule — round() is engine-ambiguous), sums are
+    exact integer folds, and the final estimate divides once to double.
+    """
+    sub_dim = EMB_DIM // m_sub
+    seeds = (
+        embeddings.orderBy(F.col("vec_id").asc())
+        .limit(k_cent)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    cb = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("seed_id", "cvec"))).alias("cb")
+    )
+
+    def sub(vec, m):  # 1-based slice of subspace m (0-based m)
+        return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+    def d2(a, b):  # exact fixed-point squared L2 between two sub-vectors
+        terms = F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(PQ_DIST_SCALE)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    # codes[m] = argmin_c d2(sub_m(x), sub_m(codebook[c])) + 1 (1-based)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k_cent)),
+                lambda c: F.struct(
+                    d2(
+                        sub(F.col("embedding"), m),
+                        sub(F.element_at(F.col("cb"), c)["cvec"], m),
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+    enc = embeddings.repartition("vec_id").join(F.broadcast(cb)).select(
+        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
+    )
+    # query-side exact distance table: dt[m][c] (longs)
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.sequence(F.lit(1), F.lit(k_cent)),
+            lambda c: d2(
+                sub(F.col("embedding"), m),
+                sub(F.element_at(F.col("cb"), c)["cvec"], m),
+            ),
+        ),
+    )
+    q = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb))
+        .select(F.col("vec_id").alias("query_id"), dtab.alias("dt"))
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("dt"), F.col("codes"), lambda t, c: F.element_at(t, c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (est.cast("double") / F.lit(PQ_DIST_SCALE)).alias("est_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "est_sq_dist")
     )

@@ -4226,3 +4226,54 @@ SELECT n_vecs,
          AS isotropy
 FROM mm
 """
+
+# knn_pq: deterministic seeded codebooks (lowest vec_ids), per-subspace
+# argmin codes (tie -> lower centroid), asymmetric-distance scan. The
+# per-(vector, subspace, centroid) distance table vd serves BOTH encoding
+# (argmin per vector) and the query-side lookup, exactly like the Spark
+# operator's shared d2 spelling.
+from inde1_spark.operators.similarity import N_QUERIES as _PQ_NQ  # noqa: E402
+from inde1_spark.operators.similarity import PQ_K, PQ_M  # noqa: E402
+from inde1_spark.operators.similarity import K_BUCKETED as _PQ_K_OUT  # noqa: E402
+
+_PQ_SUBDIM = EMB_DIM // PQ_M
+ORACLES["knn_pq"] = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+vd AS (
+  SELECT e.vec_id, m.m, s.c,
+         SUM(CAST(floor((CAST(e.embedding[m.m * {_PQ_SUBDIM} + u.j] AS DOUBLE)
+                         - s.cvec[m.m * {_PQ_SUBDIM} + u.j])
+                        * (CAST(e.embedding[m.m * {_PQ_SUBDIM} + u.j] AS DOUBLE)
+                           - s.cvec[m.m * {_PQ_SUBDIM} + u.j])
+                        * 1e12 + 0.5) AS BIGINT)) AS d
+  FROM embeddings e,
+       (SELECT i - 1 AS m FROM UNNEST(generate_series(1, {PQ_M})) AS t(i)) m,
+       seeds s,
+       UNNEST(generate_series(1, {_PQ_SUBDIM})) AS u(j)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM vd
+  ) WHERE rn = 1
+),
+est AS (
+  SELECT qd.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(qd.d) AS est
+  FROM codes n
+  JOIN vd qd ON qd.m = n.m AND qd.c = n.c
+  WHERE qd.vec_id < {_PQ_NQ} AND qd.vec_id <> n.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(est AS DOUBLE) / 1e12 AS est_sq_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY est, neighbor_id) AS rank
+      FROM est)
+WHERE rank <= {_PQ_K_OUT}
+"""

@@ -801,3 +801,11 @@ def test_embedding_isotropy_single_scan(spark):
     assert_plan(
         Q["embedding_isotropy"](spark, SF_SMOKE), max_exchanges=4, max_scans=2
     )
+
+
+def test_knn_pq_rowlocal_encode_broadcast_scan(spark):
+    # codebook and query tables broadcast; encoding is a row-local fold
+    # (no corpus shuffle beyond the width-pinning repartition); ranking
+    # is one bounded window. No sort-merge join anywhere.
+    r = assert_plan(Q["knn_pq"](spark, SF_SMOKE), forbid_sort_merge=True)
+    assert r.broadcast_hash_joins + r.nested_loop_joins >= 2  # cb + queries

@@ -214,3 +214,23 @@ def test_top_component_hof_equals_join_64_and_128_dims(spark):
     release_persisted()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0]["n_vecs"] == 60
+
+
+def test_pq_clustered_neighbors_from_own_cluster(spark):
+    """Three tight, well-separated clusters: quantized distances must keep
+    every query's top-k inside its own cluster (the neighborhood-
+    preservation contract a PQ index must satisfy to be useful)."""
+    from inde1_spark.operators.similarity import knn_pq
+
+    rows = []
+    for cl in range(3):
+        base = [float(cl * 10 + (j % 5)) for j in range(64)]
+        for i in range(12):
+            rows.append(
+                (cl * 100 + i, [v + (i % 3) * 0.01 for v in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_pq(emb, k=3, n_queries=3).collect()
+    assert len(out) == 9  # queries 0,1,2 (cluster 0) x top-3
+    for r in out:
+        assert r["neighbor_id"] < 100  # all neighbors stay in cluster 0
