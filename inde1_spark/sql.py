@@ -318,6 +318,68 @@ def _knn_two_stage_sql() -> str:
     """
 
 
+def _knn_ivf_sql() -> str:
+    """knn_ivf as one Spark-SQL statement: fixed-point centroid means from
+    the label assignment, coarse centroid ranking, probe the top clusters,
+    exact-cosine re-rank (similarity.py constants)."""
+    from inde1_spark.operators.similarity import K_IVF, N_PROBE, N_QUERIES
+
+    fs = lambda expr: (  # noqa: E731 — twin of similarity._fixed_sum
+        f"(CAST(SUM(CAST(round(({expr}) * 1.0E15D, 0) AS BIGINT)) AS DOUBLE)"
+        " / 1.0E15D)"
+    )
+    dot = _DOT_EXACT.format(a="emb_q", b="emb_n")
+    nrm = _NORM_EXACT.format(a="embedding")
+    return f"""
+        WITH ex AS (
+          SELECT label, vec_id, pos + 1 AS i, CAST(x AS DOUBLE) AS x
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+        ),
+        cent AS (
+          SELECT label, i, {fs("x")} / COUNT(*) AS cv
+          FROM ex GROUP BY label, i
+        ),
+        cnorm AS (
+          SELECT label, sqrt({fs("cv * cv")}) AS cnrm FROM cent GROUP BY label
+        ),
+        e AS (
+          SELECT vec_id, label, embedding, {nrm} AS nrm FROM embeddings
+        ),
+        qc AS (
+          SELECT q.vec_id AS query_id, c.label, {fs("q.x * c.cv")} AS dot
+          FROM (SELECT * FROM ex WHERE vec_id < {N_QUERIES}) q
+          JOIN cent c ON q.i = c.i
+          GROUP BY q.vec_id, c.label
+        ),
+        probed AS (
+          SELECT query_id, label FROM (
+            SELECT qc.query_id, qc.label,
+                   row_number() OVER (
+                     PARTITION BY qc.query_id
+                     ORDER BY round(qc.dot / (nq.nrm * cn.cnrm), 6) DESC,
+                              qc.label ASC) AS prn
+            FROM qc
+            JOIN e nq ON nq.vec_id = qc.query_id
+            JOIN cnorm cn ON cn.label = qc.label
+          ) WHERE prn <= {N_PROBE}
+        ),
+        scored AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 round(({dot}) / (fq.nrm * n.nrm), 6) AS cos_sim
+          FROM probed p
+          JOIN (SELECT vec_id, embedding AS emb_q, nrm FROM e) fq
+            ON fq.vec_id = p.query_id
+          JOIN (SELECT vec_id, label, embedding AS emb_n, nrm FROM e) n
+            ON n.label = p.label AND n.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {K_IVF}
+    """
+
+
 def _cdc_sql() -> str:
     """chunk_dedup_cdc as Spark SQL: content-defined boundaries from word-pair
     md5 parity, per-chunk hashes, cross-doc chunk frequency (dedup.py
@@ -547,6 +609,7 @@ SPARK_SQL: dict[str, str] = {
     # --- r04 verdict item 5: remaining headline scale paths as SQL ---
     "bm25_score": _bm25_sql(),
     "knn_two_stage": _knn_two_stage_sql(),
+    "knn_ivf": _knn_ivf_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
