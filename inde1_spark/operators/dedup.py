@@ -1751,3 +1751,37 @@ def minhash_est_jaccard(documents: DataFrame, n: int = 3) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+def dup_cluster_histogram(documents: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution — the one-screen audit of how
+    duplication is STRUCTURED: a long tail of pairs (mirrors, reposts)
+    deduplicates safely, while a few giant clusters (template farms, or
+    transitivity collapse — see ``dup_graph_transitivity``) mean
+    keep-one-per-cluster would delete real content. Per observed cluster
+    size: how many clusters and how many documents; docs in no near-dup
+    pair appear as the size-1 row, so the doc counts always sum to the
+    corpus.
+
+    Plan: the cluster assignment's own bounded output (docs-in-pairs
+    rows) aggregates to at most |distinct sizes| rows; the singleton row
+    joins two 1-row counts. Nothing here touches corpus volume beyond
+    what ``dedup_clusters`` already does.
+    """
+    cl = dedup_clusters(documents)
+    hist = cl.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    total = documents.agg(F.count("*").cast("long").alias("n_total"))
+    in_cl = cl.agg(F.count("*").cast("long").alias("n_in"))
+    singles = (
+        total.join(F.broadcast(in_cl))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_in")).alias("n_clusters"),
+            (F.col("n_total") - F.col("n_in")).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return hist.unionByName(singles)

@@ -4277,3 +4277,38 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM est)
 WHERE rank <= {_PQ_K_OUT}
 """
+
+# dup_cluster_histogram: the dedup_clusters recursive-CTE machinery plus a
+# size histogram and the singleton (never-duplicated) row.
+ORACLES["dup_cluster_histogram"] = f"""
+WITH RECURSIVE {_SHINGLES.strip().rstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.doc_id
+),
+lab AS (SELECT doc_id, min(anc) AS cluster_id FROM reach GROUP BY 1),
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1),
+hist AS (
+  SELECT cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+  FROM csizes GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+incl AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM lab)
+SELECT * FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in
+FROM tot, incl WHERE n_total - n_in > 0
+"""
