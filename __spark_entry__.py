@@ -153,7 +153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         # ============== end gate window ===================================
-        # r06 rotation queue head: new in r05, never driver-verified.
+        # r06 rotation queue head: the 5 operators new in r05, never
+        # driver-verified (locally hash-green at sf0.001 AND sf0.01);
+        # fill the remaining 45 r06 slots with re-confirmations of the
+        # oldest greens not re-confirmed in r05 (the r01/r02 entries
+        # behind this queue, then the oldest r03 block).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
             _t(sp, d, "documents")
         ),

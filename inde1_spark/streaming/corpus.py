@@ -141,3 +141,129 @@ def novel_chunk_stream(
         documents.withWatermark("ingest_ts", watermark), carry=("ingest_ts",)
     )
     return ch.dropDuplicatesWithinWatermark(["chunk_hash"])
+
+
+def near_dup_stream(
+    documents: DataFrame,
+    index: DataFrame,
+    threshold: float | None = None,
+    watermark: str = DEDUP_WATERMARK,
+) -> DataFrame:
+    """Near-duplicate DETECTIONS against a standing index, on the live
+    firehose — the streaming face of ``dedup.dedup_incremental``: each
+    arriving document emits one row per index document it near-duplicates
+    (word-3-gram Jaccard >= threshold), or nothing if it is novel. An
+    admission gate is then a trivial consumer (suppress doc_ids seen on
+    this feed); keeping the operator pair-shaped avoids a second layer of
+    streaming state for the verdict aggregate.
+
+    Plan, and why it needs NO streaming aggregation at all:
+    1. signatures compute ROW-LOCALLY on the arriving document — the
+       shingle->md5-sid array is materialized once per row (HOF-CSE
+       rule) and each of the 32 permutation minima is an array fold;
+       no explode/groupBy, so no shuffle and no state;
+    2. the 8 band keys explode statelessly (1 -> 8 rows) and equi-join
+       the STATIC index band table (stream-static joins are stateless);
+       at scale that table is the parquet the admission pipeline
+       maintains, bucketed by (band, sig);
+    3. the exact verify is ALSO row-local: candidates join the static
+       per-doc distinct-shingle ARRAY table and score
+       |array_intersect| / |union| with the same exact integer
+       ``ratio_round`` as batch — no pair groupBy, because set
+       intersection happens inside the row;
+    4. the only state is ``dropDuplicatesWithinWatermark`` on the pair
+       key (a candidate pair surfaces once per colliding band).
+    Same banding recall contract as ``dedup_minhash_fast`` (md5 sids,
+    PERMS_FAST, 8x4 bands); the verify makes precision exact.
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens, word_shingles
+    from inde1_spark.operators.dedup import (
+        FAST_N_BANDS,
+        FAST_N_PERM,
+        JACCARD_THRESHOLD,
+        MINHASH_PRIME,
+        PERMS_FAST,
+        banded_signature,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    # --- static side: band table + per-doc distinct shingle arrays ---
+    idx_sh = shingle_table(index)
+    idx_sids = idx_sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_PRIME)
+        ).alias("sid"),
+    )
+    idx_bands = banded_signature(
+        minhash_signatures(idx_sids, PERMS_FAST), FAST_N_PERM, FAST_N_BANDS
+    ).select(F.col("doc_id").alias("doc_idx"), "band", "sig")
+    idx_arr = index.select(
+        F.col("doc_id").alias("doc_idx"),
+        word_shingles(tokens("text")).alias("sh_idx"),
+    )
+    # --- stream side: row-local signature -> exploded band keys ---
+    rows_per_band = FAST_N_PERM // FAST_N_BANDS
+    sids = F.transform(
+        F.col("sh_new"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME),
+    )
+    base = (
+        documents.withWatermark("ingest_ts", watermark)
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            "ingest_ts",
+            word_shingles(tokens("text")).alias("sh_new"),
+        )
+        .filter(F.size("sh_new") > 0)
+        .withColumn("sids", sids)
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("sids"),
+                lambda s: (F.lit(a) * s + F.lit(b)) % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"mh_{pid}")
+        for pid, a, b in PERMS_FAST
+    ]
+    with_sig = base.select("doc_new", "ingest_ts", "sh_new", *mh)
+    bands = with_sig.select(
+        "doc_new",
+        "ingest_ts",
+        "sh_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(FAST_N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_new", "ingest_ts", "sh_new",
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    )
+    cand = bands.join(idx_bands, ["band", "sig"]).join(idx_arr, "doc_idx")
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_idx")))
+    union = F.size("sh_new") + F.size("sh_idx") - inter
+    scored = cand.select(
+        "doc_new",
+        "doc_idx",
+        "ingest_ts",
+        ratio_round(inter, union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= thr)
+    return scored.dropDuplicatesWithinWatermark(["doc_new", "doc_idx"])

@@ -179,3 +179,59 @@ def test_novel_chunk_stream_matches_batch_distinct(spark, doc_env):
     want_set = {r["chunk_hash"] for r in want.collect()}
     assert got_set == want_set
     assert got.count() == len(got_set)  # exactly-once per chunk hash
+
+
+def test_near_dup_stream_matches_exact_ground_truth(spark, tmp_path):
+    """Stream the 10%-hash batch slice against the 90% static index: the
+    detection feed must equal the EXACT cross-split Jaccard pair set
+    (banding recall 1 on this corpus, verify precision exact), with the
+    same jaccard values as the ground truth."""
+    from inde1_spark.operators.dedup import (
+        INCR_BATCH_PCT,
+        dedup_ngram_jaccard,
+        release_persisted,
+    )
+    from inde1_spark.operators.text import hash_bucket
+    from inde1_spark.streaming.corpus import document_stream, near_dup_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_batch = hash_bucket(F.col("doc_id"), 100) < INCR_BATCH_PCT
+    batch = docs.filter(is_batch)
+    index = docs.filter(~is_batch)
+
+    # exact ground truth: cross-split near-dup pairs, either orientation
+    truth = {}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in dedup_ngram_jaccard(docs).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in batch_ids) != (b in batch_ids):
+            new, idx = (a, b) if a in batch_ids else (b, a)
+            truth[(new, idx)] = r["jaccard"]
+    assert truth, "fixture must contain cross-split near-dups"
+    release_persisted()
+
+    data_dir = tmp_path / "feed"
+    data_dir.mkdir()
+    feed = batch.withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id") % 3600),
+    )
+    rows = feed.toJSON().collect()
+    half = len(rows) // 2
+    (data_dir / "a.json").write_text("\n".join(rows[:half]))
+    (data_dir / "b.json").write_text("\n".join(rows[half:]))
+
+    got_rows: list = []
+    q = (
+        near_dup_stream(document_stream(spark, str(data_dir)), index)
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r["doc_new"], r["doc_idx"]): r["jaccard"] for r in got_rows}
+    assert got == truth
+    assert len(got_rows) == len(got)  # band collisions deduped
