@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": lambda sp, d: D.dup_cluster_histogram(
             _t(sp, d, "documents")
         ),
+        "ttr_profile": lambda sp, d: T.ttr_profile(_t(sp, d, "documents")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

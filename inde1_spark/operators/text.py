@@ -809,3 +809,46 @@ def doc_knn_hashed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ttr_profile(documents: DataFrame) -> DataFrame:
+    """Per-source type-token-ratio profile — the lexical-diversity quality
+    signal: templated/spun content repeats its vocabulary (TTR -> 0)
+    while natural prose sits in a band, so a source whose mean TTR drifts
+    low is producing boilerplate even when every Gopher rule passes.
+    Complements ``repetition_stats`` (which sees within-doc n-gram loops)
+    with a vocabulary-level view that is robust to reordering.
+
+    Exactness: per-doc TTR = |distinct tokens| / |tokens| becomes an
+    exact ppm long (``ratio_scaled``); the per-source mean is the exact
+    round-half-up of an integer sum over the doc count, and min/max stay
+    on the ppm grid — every emitted double is an exact small-integer /
+    1e6. Zero-token docs are excluded (both engines would divide by
+    zero, asymmetrically). Plan: one scan, row-local array ops
+    (array_distinct never leaves the row), one map-side-combined
+    groupBy on the source key.
+    """
+    from inde1_spark.functions.exprs import ratio_round, ratio_scaled, tokens
+
+    toks = tokens("text")
+    per = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    ).filter(F.col("n_toks") > 0)
+    ppm = ratio_scaled(F.col("n_types"), F.col("n_toks"), 6)
+    per = per.withColumn("ttr_ppm", ppm)
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        ratio_round(F.sum("ttr_ppm"), F.count("*"), 0)
+        .cast("double")
+        .alias("mean_ttr_ppm"),
+        (F.min("ttr_ppm").cast("double") / F.lit(1e6)).alias("min_ttr"),
+        (F.max("ttr_ppm").cast("double") / F.lit(1e6)).alias("max_ttr"),
+    ).select(
+        "source",
+        "n_docs",
+        (F.col("mean_ttr_ppm") / F.lit(1e6)).alias("mean_ttr"),
+        "min_ttr",
+        "max_ttr",
+    )

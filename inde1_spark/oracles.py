@@ -4312,3 +4312,24 @@ UNION ALL
 SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in
 FROM tot, incl WHERE n_total - n_in > 0
 """
+
+ORACLES["ttr_profile"] = """
+WITH per AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+  FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents)
+  WHERE len(toks) > 0
+),
+ppm AS (
+  SELECT source, ((n_types * 2000000 + n_toks) // (2 * n_toks)) AS ttr_ppm
+  FROM per
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(((SUM(ttr_ppm) * 2 + count(*)) // (2 * count(*))) AS DOUBLE) / 1e6
+         AS mean_ttr,
+       CAST(MIN(ttr_ppm) AS DOUBLE) / 1e6 AS min_ttr,
+       CAST(MAX(ttr_ppm) AS DOUBLE) / 1e6 AS max_ttr
+FROM ppm GROUP BY 1
+"""
