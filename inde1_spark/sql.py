@@ -380,6 +380,65 @@ def _knn_ivf_sql() -> str:
     """
 
 
+def _knn_pq_sql() -> str:
+    """knn_pq as one Spark-SQL statement: seeded per-subspace codebooks,
+    row-local argmin encoding, asymmetric-distance scan (similarity.py
+    constants)."""
+    from inde1_spark.operators.similarity import (
+        EMB_DIM,
+        K_BUCKETED,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+    )
+
+    sub = EMB_DIM // PQ_M
+    d2 = lambda a, b: (  # noqa: E731 — twin of similarity.knn_pq's d2
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * 1.0E12D + 0.5D) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    qsub = f"slice(embedding, m * {sub} + 1, {sub})"
+    csub = f"slice(element_at(cb, c).cvec, m * {sub} + 1, {sub})"
+    return f"""
+        WITH cb AS (
+          SELECT array_sort(collect_list(named_struct('seed_id', vec_id,
+                   'cvec', transform(embedding, x -> CAST(x AS DOUBLE))))) AS cb
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {PQ_K})
+        ),
+        enc AS (
+          SELECT vec_id AS neighbor_id,
+                 transform(sequence(0, {PQ_M - 1}), m ->
+                   (array_min(transform(sequence(1, {PQ_K}), c ->
+                     named_struct('d', {d2(qsub, csub)}, 'c', c)))).c) AS codes
+          FROM embeddings CROSS JOIN cb
+        ),
+        q AS (
+          SELECT vec_id AS query_id,
+                 transform(sequence(0, {PQ_M - 1}), m ->
+                   transform(sequence(1, {PQ_K}), c -> {d2(qsub, csub)})) AS dt
+          FROM embeddings CROSS JOIN cb WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+          SELECT q.query_id, e.neighbor_id,
+                 CAST(aggregate(zip_with(q.dt, e.codes,
+                        (t, c) -> element_at(t, c)),
+                      CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE)
+                   / 1.0E12D AS est_sq_dist
+          FROM q CROSS JOIN enc e WHERE q.query_id <> e.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, est_sq_dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY est_sq_dist ASC,
+                                                    neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {K_BUCKETED}
+    """
+
+
 def _cdc_sql() -> str:
     """chunk_dedup_cdc as Spark SQL: content-defined boundaries from word-pair
     md5 parity, per-chunk hashes, cross-doc chunk frequency (dedup.py
@@ -610,6 +669,7 @@ SPARK_SQL: dict[str, str] = {
     "bm25_score": _bm25_sql(),
     "knn_two_stage": _knn_two_stage_sql(),
     "knn_ivf": _knn_ivf_sql(),
+    "knn_pq": _knn_pq_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
