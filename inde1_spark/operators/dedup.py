@@ -1785,3 +1785,32 @@ def dup_cluster_histogram(documents: DataFrame) -> DataFrame:
         .filter(F.col("n_docs") > 0)
     )
     return hist.unionByName(singles)
+
+
+def cdc_chunk_stats(
+    documents: DataFrame,
+    avg_chunk: int = CDC_AVG_CHUNK,
+    min_words: int = CDC_MIN_WORDS,
+) -> DataFrame:
+    """Health audit of the content-defined chunker: the chunk-length
+    value histogram with per-length dedup ratios. CDC's guarantees rest
+    on its length distribution — expected length ``avg_chunk`` with a
+    geometric tail — so a histogram that skews short (degenerate
+    boundary hash), long (boilerplate defeating the bigram rule) or
+    bimodal (mixed tokenization) says the avg_chunk/min_words constants
+    are wrong for this corpus BEFORE a chunk-level dedup pass trusts
+    them. n_distinct/n_chunks per length is the dedup leverage curve:
+    lengths where occurrences far exceed distinct hashes are where
+    chunk dedup will actually save bytes.
+
+    Plan: the row-local chunk projection, then one groupBy on the
+    small-integer length key; the distinct counts expand to
+    (n_words, hash) partials map-side, so the exchange carries distinct
+    chunk hashes once, never occurrence volume.
+    """
+    ch = cdc_chunk_table(documents, avg_chunk, min_words)
+    return ch.groupBy(F.col("n_words").cast("long").alias("n_words")).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_hash").cast("long").alias("n_distinct_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

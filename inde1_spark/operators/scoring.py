@@ -522,3 +522,64 @@ def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
         slope.alias("zipf_slope"),
         (intercept / F.lit(float(LOG_SCALE))).alias("ln_c"),
     )
+
+
+# rank cutoffs sized to the synthetic corpus' 31-term vocabulary (a real
+# corpus would run (1e3, 1e4, 1e5)); cutoffs beyond the vocab emit no row
+COVERAGE_CUTOFFS = (5, 10, 25)
+
+
+def vocab_coverage_curve(
+    documents: DataFrame, cutoffs: tuple[int, ...] = COVERAGE_CUTOFFS
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary — the curve behind
+    "how big a tokenizer vocab do we need": at each rank cutoff, what
+    share of ALL corpus tokens the k most frequent terms cover. A corpus
+    whose top-1000 covers 95% is headline-compressible (and vulnerable
+    to boilerplate skew); one where coverage grows slowly needs the
+    long-tail vocab a byte-level tokenizer provides. Companion to
+    ``zipf_fit`` (which fits the same ranked curve's slope).
+
+    Plan: term frequencies (one map-side-combined shuffle), then ONLY
+    the top-``max(cutoffs)`` rows via TakeOrdered — the single-partition
+    cumulative window runs over a bounded table (1000 rows at any corpus
+    size), never the vocabulary. Coverage is an exact integer ratio of
+    long token counts; ties at a cutoff boundary break (freq desc, term
+    asc), both engines identically. Cutoffs beyond the vocabulary size
+    emit no row (mirrored in the oracle).
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens
+
+    vocab = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    total = vocab.agg(F.sum("n_occ").cast("long").alias("total_toks"))
+    top = vocab.orderBy(F.col("n_occ").desc(), F.col("term").asc()).limit(
+        max(cutoffs)
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("n_occ").desc(), F.col("term").asc())
+        )
+        .cast("long")
+        .alias("rank_cutoff"),
+        F.sum("n_occ").over(w).cast("long").alias("covered_toks"),
+    )
+    return (
+        ranked.filter(F.col("rank_cutoff").isin(*[int(c) for c in cutoffs]))
+        .join(F.broadcast(total))
+        .select(
+            "rank_cutoff",
+            "covered_toks",
+            "total_toks",
+            ratio_round(F.col("covered_toks"), F.col("total_toks"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -4333,3 +4333,40 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(MAX(ttr_ppm) AS DOUBLE) / 1e6 AS max_ttr
 FROM ppm GROUP BY 1
 """
+
+ORACLES["cdc_chunk_stats"] = f"""
+WITH {_CDC_CHUNKS.strip()}
+SELECT CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM cdc GROUP BY 1
+"""
+
+from inde1_spark.operators.scoring import COVERAGE_CUTOFFS  # noqa: E402
+
+_COV_CUTS = ", ".join(str(c) for c in COVERAGE_CUTOFFS)
+ORACLES["vocab_coverage_curve"] = f"""
+WITH vocab AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS n_occ
+  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents), UNNEST(toks) AS u(tok)
+  GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total_toks FROM vocab),
+top AS (
+  SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, term ASC) AS rank_cutoff
+  FROM vocab ORDER BY n_occ DESC, term ASC LIMIT {max(COVERAGE_CUTOFFS)}
+),
+ranked AS (
+  SELECT CAST(rank_cutoff AS BIGINT) AS rank_cutoff,
+         CAST(SUM(n_occ) OVER (ORDER BY rank_cutoff
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS covered_toks
+  FROM top
+)
+SELECT rank_cutoff, covered_toks, total_toks,
+       {_rr("covered_toks", "total_toks", 6)} AS coverage
+FROM ranked, total
+WHERE rank_cutoff IN ({_COV_CUTS})
+"""
