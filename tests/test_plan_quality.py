@@ -809,3 +809,34 @@ def test_knn_pq_rowlocal_encode_broadcast_scan(spark):
     # is one bounded window. No sort-merge join anywhere.
     r = assert_plan(Q["knn_pq"](spark, SF_SMOKE), forbid_sort_merge=True)
     assert r.broadcast_hash_joins + r.nested_loop_joins >= 2  # cb + queries
+
+
+def test_ttr_profile_single_scan_single_shuffle(spark):
+    # row-local array_distinct + one map-side-combined source groupBy
+    assert_plan(Q["ttr_profile"](spark, SF_SMOKE), max_exchanges=1, max_scans=1)
+
+
+def test_vocab_coverage_curve_takeordered_bounded_window(spark):
+    # top-k via TakeOrdered; the cumulative window only ever sees the
+    # bounded top-k table, never the vocabulary. Two scan branches (total
+    # + top-k), both pruned to the text column.
+    r = assert_plan(Q["vocab_coverage_curve"](spark, SF_SMOKE), max_scans=2)
+    assert "TakeOrderedAndProject" in r.raw
+
+
+def test_cdc_chunk_stats_rowlocal_chunking(spark):
+    # chunking never explodes across rows before the length-key groupBy;
+    # no joins at all in this plan
+    r = assert_plan(Q["cdc_chunk_stats"](spark, SF_SMOKE), max_scans=1)
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+
+
+def test_dup_cluster_histogram_no_cartesian(spark):
+    # corpus-volume joins stay keyed; the only nested-loops are the two
+    # benign 1-row count broadcasts (total x in-clusters singleton row)
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["dup_cluster_histogram"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    assert r.nested_loop_joins <= 2
+    release_persisted()
