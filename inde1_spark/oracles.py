@@ -4370,3 +4370,55 @@ SELECT rank_cutoff, covered_toks, total_toks,
 FROM ranked, total
 WHERE rank_cutoff IN ({_COV_CUTS})
 """
+
+from inde1_spark.operators.analytics import MERGE_TARGET_MIN, MERGE_UPDATE_PCT  # noqa: E402
+
+ORACLES["merge_upsert"] = f"""
+WITH target AS (
+  SELECT doc_id, text AS text_old FROM documents
+  WHERE {_hash_bucket_sql("doc_id", 100)} >= {MERGE_TARGET_MIN}
+),
+feed AS (
+  SELECT doc_id, text || ' [rev]' AS text_new FROM documents
+  WHERE {_hash_bucket_sql("doc_id", 100)} < {MERGE_UPDATE_PCT}
+),
+merged AS (
+  SELECT COALESCE(t.doc_id, f.doc_id) AS doc_id, t.text_old, f.text_new
+  FROM target t FULL OUTER JOIN feed f USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN text_old IS NULL THEN 'insert'
+            WHEN text_new IS NULL THEN 'keep'
+            ELSE 'update' END AS op,
+       CAST(length(COALESCE(text_new, text_old)) AS BIGINT) AS n_chars_merged,
+       md5(COALESCE(text_new, text_old)) AS content_md5
+FROM merged
+"""
+
+ORACLES["scd2_intervals"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS attr,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT user_id, ts, attr,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, version, min(ts) AS from_ts,
+         CAST(count(*) AS BIGINT) AS n_events, min(attr) AS attr
+  FROM ver GROUP BY 1, 2
+)
+SELECT user_id, version, attr, n_events,
+       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY version),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM iv
+"""

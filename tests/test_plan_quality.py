@@ -840,3 +840,18 @@ def test_dup_cluster_histogram_no_cartesian(spark):
     assert "CartesianProduct" not in r.raw
     assert r.nested_loop_joins <= 2
     release_persisted()
+
+
+def test_merge_upsert_single_equi_join(spark):
+    # MERGE is one full-outer equi-join on the id key (full outer cannot
+    # broadcast, so SMJ is the correct shape); never a cartesian
+    r = plan_report(Q["merge_upsert"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw and r.nested_loop_joins == 0
+    assert r.sort_merge_joins <= 1
+
+
+def test_scd2_intervals_user_windows_no_join(spark):
+    # gaps-and-islands over per-user windows: no joins at all
+    r = plan_report(Q["scd2_intervals"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.broadcast_hash_joins == 0
