@@ -2612,3 +2612,50 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
             "valid_to"
         ),
     )
+
+
+def scd2_asof_enrich(events: DataFrame) -> DataFrame:
+    """As-of dimension enrichment against the SCD2 history: every event
+    joined to the attribute version that was VALID AT ITS TIMESTAMP —
+    "answer yesterday's question with yesterday's attributes", the query
+    shape SCD2 exists for (a latest-state KV join silently rewrites
+    history; the reference's S9 dimension has exactly that blind spot).
+
+    Audit form: the enrichment re-derives each event's own state, so the
+    output aggregates per (user, attr-at-event) and the n_consistent
+    column (attr_at_event == event's own type) doubles as the join's
+    self-check — it equals n_events except where several same-timestamp
+    events open versions at one instant (the [from, to) boundary assigns
+    the whole tied instant to the newest version, deterministically in
+    both engines). Plan: intervals come
+    from ``scd2_intervals`` (per-user windows); the as-of hop is a
+    user_id EQUI-join with the [valid_from, valid_to) residual filter —
+    per-user version counts are small, so the join fans out by versions
+    per user, never by time range (the same keyed-join discipline as
+    ``range_join_windows``; AQE skew-splits hot users).
+    """
+    iv = scd2_intervals(events)
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("type_at_event"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    joined = (
+        ev.join(iv, "user_id")
+        .filter(
+            (F.col("ts_str") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts_str") < F.col("valid_to")))
+        )
+    )
+    return joined.groupBy("user_id", F.col("attr").alias("attr_at_event")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("attr") == F.col("type_at_event"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_consistent"),
+        F.min("ts_str").alias("first_ts"),
+        F.max("ts_str").alias("last_ts"),
+    )

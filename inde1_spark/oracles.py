@@ -4422,3 +4422,49 @@ SELECT user_id, version, attr, n_events,
                 '%Y-%m-%d %H:%M:%S') AS valid_to
 FROM iv
 """
+
+ORACLES["scd2_asof_enrich"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS attr,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT user_id, ts, attr,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version
+  FROM flagged
+),
+iv0 AS (
+  SELECT user_id, version, min(ts) AS from_ts, min(attr) AS attr
+  FROM ver GROUP BY 1, 2
+),
+iv AS (
+  SELECT user_id, attr,
+         strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY version),
+                  '%Y-%m-%d %H:%M:%S') AS valid_to
+  FROM iv0
+),
+ev AS (
+  SELECT event_id, user_id, event_type AS type_at_event,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+  FROM events
+),
+joined AS (
+  SELECT ev.user_id, iv.attr, ev.type_at_event, ev.ts_str
+  FROM ev JOIN iv ON ev.user_id = iv.user_id
+  WHERE ev.ts_str >= iv.valid_from
+    AND (iv.valid_to IS NULL OR ev.ts_str < iv.valid_to)
+)
+SELECT user_id, attr AS attr_at_event,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN attr = type_at_event THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent,
+       min(ts_str) AS first_ts, max(ts_str) AS last_ts
+FROM joined GROUP BY 1, 2
+"""
