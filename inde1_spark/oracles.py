@@ -4468,3 +4468,8 @@ SELECT user_id, attr AS attr_at_event,
        min(ts_str) AS first_ts, max(ts_str) AS last_ts
 FROM joined GROUP BY 1, 2
 """
+
+# salted_group_count merges salted partials back to the IDENTICAL
+# aggregate, so it shares the plain group_count oracle: the hash gate
+# proves the salt-and-merge spelling loses nothing.
+ORACLES["salted_group_count"] = ORACLES["group_count"]

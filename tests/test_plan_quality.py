@@ -855,3 +855,11 @@ def test_scd2_intervals_user_windows_no_join(spark):
     r = plan_report(Q["scd2_intervals"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
     assert r.broadcast_hash_joins == 0
+
+
+def test_salted_group_count_two_stage(spark):
+    # exactly the two aggregation exchanges salting promises: the wide
+    # salted partial and the bounded merge; one scan
+    assert_plan(
+        Q["salted_group_count"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
+    )
