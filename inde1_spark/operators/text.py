@@ -852,3 +852,94 @@ def ttr_profile(documents: DataFrame) -> DataFrame:
         "min_ttr",
         "max_ttr",
     )
+
+
+BPE_LEARN_ROUNDS = 4
+_BPE_D = "\x1f"  # symbol delimiter: never occurs in whitespace-split tokens
+
+
+def bpe_learn_merges(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> DataFrame:
+    """LEARN byte-pair-encoding merges from the corpus — the tokenizer-
+    TRAINING step (Sennrich et al. 2016), not just token counting: each
+    round counts adjacent-symbol pairs across the word vocabulary
+    (weighted by word frequency), promotes the most frequent pair to a
+    new symbol, and rewrites the vocabulary. Output: one row per learned
+    merge (round, left, right, merged symbol, weighted count) — the
+    artifact an actual tokenizer build ships.
+
+    The classic BPE scale trick makes this cluster-friendly: after ONE
+    corpus-volume pass (word frequencies), every iteration runs on the
+    WORD VOCABULARY table — orders of magnitude smaller than the corpus
+    — so the per-round plan is a small explode + groupBy + 1-row argmax
+    broadcast + row-local rewrite. Rewrites use delimiter-fenced literal
+    replace applied twice (adjacent occurrences share a fence character,
+    so alternate occurrences merge on the first pass and the survivors —
+    now isolated — on the second; merged symbols can never participate
+    again, which makes two passes equal to the canonical left-to-right
+    greedy merge). Argmax ties break to the lexicographically largest
+    pair via struct-max — identical in both engines, and the whole
+    trajectory (pairs, counts, rewrites) is mirrored CTE-for-CTE by the
+    DuckDB twin, so the gate hashes the learned merges exactly.
+    """
+    from inde1_spark.functions.exprs import tokens
+
+    D = _BPE_D
+    vocab = (
+        documents.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    sym0 = F.concat(
+        F.lit(D),
+        F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), D),
+        F.lit(D),
+    )
+    vocab = vocab.select("w", "freq", sym0.alias("sym"))
+
+    out = None
+    for r in range(1, rounds + 1):
+        arr = F.filter(F.split(F.col("sym"), D), lambda s: s != F.lit(""))
+        with_arr = vocab.select("freq", arr.alias("a"))
+        pair = F.zip_with(
+            F.slice(F.col("a"), 1, F.greatest(F.size("a") - 1, F.lit(0))),
+            F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(D), y),
+        )
+        counts = (
+            with_arr.select("freq", F.explode(pair).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = counts.agg(F.max(F.struct("cnt", "p")).alias("b")).select(
+            F.col("b.p").alias("p"), F.col("b.cnt").alias("cnt")
+        )
+        parts = F.split(F.col("p"), D)
+        best = best.select(
+            "p",
+            "cnt",
+            F.element_at(parts, 1).alias("left_sym"),
+            F.element_at(parts, 2).alias("right_sym"),
+        ).filter(F.col("p").isNotNull())
+        merge_row = best.select(
+            F.lit(r).cast("long").alias("round"),
+            "left_sym",
+            "right_sym",
+            F.concat(F.col("left_sym"), F.col("right_sym")).alias("merged"),
+            F.col("cnt").alias("weighted_count"),
+        )
+        out = merge_row if out is None else out.unionByName(merge_row)
+        pat = F.concat(F.lit(D), F.col("p"), F.lit(D))
+        rep = F.concat(
+            F.lit(D), F.col("left_sym"), F.col("right_sym"), F.lit(D)
+        )
+        vocab = (
+            vocab.join(F.broadcast(best))
+            .select(
+                "w",
+                "freq",
+                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias(
+                    "sym"
+                ),
+            )
+        )
+    return out

@@ -4473,3 +4473,54 @@ FROM joined GROUP BY 1, 2
 # aggregate, so it shares the plain group_count oracle: the hash gate
 # proves the salt-and-merge spelling loses nothing.
 ORACLES["salted_group_count"] = ORACLES["group_count"]
+
+
+def _bpe_merges_sql() -> str:
+    """DuckDB twin of text.bpe_learn_merges: the merge-learning trajectory
+    unrolled CTE-for-CTE (argmax ORDER BY cnt DESC, pair DESC LIMIT 1 ==
+    Spark's struct-max; the double fenced replace mirrors exactly)."""
+    from inde1_spark.operators.text import BPE_LEARN_ROUNDS
+
+    d = "chr(31)"
+    ctes = [
+        f"""v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         {d} || array_to_string(regexp_extract_all(w, '.'), chr(31)) || {d} AS sym
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)"""
+    ]
+    rounds = list(range(1, BPE_LEARN_ROUNDS + 1))
+    for r in rounds:
+        prev = f"v{r - 1}"
+        ctes.append(f"""c{r} AS (
+  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(a) - 1),
+             i -> list_extract(a, i) || {d} || list_extract(a, i + 1))) AS p
+    FROM (SELECT freq, list_filter(string_split(sym, chr(31)), s -> s <> '') AS a
+          FROM {prev})
+  ) GROUP BY 1
+)""")
+        ctes.append(
+            f"b{r} AS (SELECT p, cnt FROM c{r} ORDER BY cnt DESC, p DESC LIMIT 1)"
+        )
+        ctes.append(f"""v{r} AS (
+  SELECT w, freq,
+         replace(replace(sym, {d} || b.p || {d}, {d} || replace(b.p, chr(31), '') || {d}),
+                 {d} || b.p || {d}, {d} || replace(b.p, chr(31), '') || {d}) AS sym
+  FROM {prev}, b{r} b
+)""")
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       string_split(p, chr(31))[1] AS left_sym,
+       string_split(p, chr(31))[2] AS right_sym,
+       replace(p, chr(31), '') AS merged,
+       cnt AS weighted_count
+FROM b{r}"""
+        for r in rounds
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["bpe_learn_merges"] = _bpe_merges_sql()

@@ -160,3 +160,31 @@ def test_winnow_dedup_matches_planted_near_dups(spark):
     # rare pair whose overlap is token-level but not substring-level
     assert found <= truth
     assert len(found) >= len(truth) - 1
+
+
+def test_bpe_learns_planted_merges(spark):
+    """'th' dominates the pair counts, then the learned 'th' symbol pairs
+    with 'e': the two-round trajectory must follow exactly."""
+    from inde1_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the"] * 10 + ["than"] * 5))], "doc_id long, text string"
+    )
+    got = {r["round"]: (r["left_sym"], r["right_sym"], r["merged"]) for r in
+           bpe_learn_merges(docs, rounds=2).collect()}
+    assert got[1] == ("t", "h", "th")
+    assert got[2] == ("th", "e", "the")
+
+
+def test_bpe_merge_is_left_to_right_greedy(spark):
+    """'aaaa' under pair (a,a) must merge to [aa, aa] — the double fenced
+    replace must equal canonical greedy, so round 2 merges (aa, aa)."""
+    from inde1_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = {r["round"]: (r["left_sym"], r["right_sym"]) for r in
+           bpe_learn_merges(docs, rounds=2).collect()}
+    assert got[1] == ("a", "a")
+    assert got[2] == ("aa", "aa")
