@@ -858,7 +858,7 @@ BPE_LEARN_ROUNDS = 4
 _BPE_D = "\x1f"  # symbol delimiter: never occurs in whitespace-split tokens
 
 
-def bpe_learn_merges(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> DataFrame:
+def _bpe_chain(documents: DataFrame, rounds: int):
     """LEARN byte-pair-encoding merges from the corpus — the tokenizer-
     TRAINING step (Sennrich et al. 2016), not just token counting: each
     round counts adjacent-symbol pairs across the word vocabulary
@@ -942,4 +942,56 @@ def bpe_learn_merges(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> Da
                 ),
             )
         )
+    return out, vocab
+
+
+def bpe_learn_merges(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> DataFrame:
+    """See ``_bpe_chain`` — the learned merge table (public gate entry)."""
+    out, _ = _bpe_chain(documents, rounds)
     return out
+
+
+def bpe_apply(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> DataFrame:
+    """APPLY the learned BPE merges back to the corpus: per document, the
+    word count, the resulting subword count and the fertility ratio
+    (subwords per word) — the measurement that closes the tokenizer-
+    training loop (learn merges -> segment the corpus -> check the token
+    budget the merges actually buy). At a real vocab size this is how a
+    candidate tokenizer is A/B-costed before committing to it.
+
+    Plan: the merge learning already reduced segmentation to the WORD
+    VOCABULARY (every occurrence of a word segments identically), so
+    application is a token explode + one equi-join on the word key
+    against the final vocabulary table — corpus-volume work is the
+    explode and a doc_id re-aggregation, both map-side-combinable; no
+    per-document re-segmentation ever runs. Fertility is the exact ppm
+    ratio (DESIGN §3).
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens
+
+    _, vocab = _bpe_chain(documents, rounds)
+    seg = vocab.select(
+        "w",
+        F.size(
+            F.filter(F.split(F.col("sym"), _BPE_D), lambda x: x != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_sub"),
+    )
+    ex = documents.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return (
+        ex.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            ratio_round(F.col("n_subwords"), F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )

@@ -4475,10 +4475,9 @@ FROM joined GROUP BY 1, 2
 ORACLES["salted_group_count"] = ORACLES["group_count"]
 
 
-def _bpe_merges_sql() -> str:
-    """DuckDB twin of text.bpe_learn_merges: the merge-learning trajectory
-    unrolled CTE-for-CTE (argmax ORDER BY cnt DESC, pair DESC LIMIT 1 ==
-    Spark's struct-max; the double fenced replace mirrors exactly)."""
+def _bpe_ctes() -> tuple[list, list]:
+    """Shared CTE chain for the BPE twins: v0 (word vocab + char symbols)
+    then per round the pair counts, the argmax and the rewritten vocab."""
     from inde1_spark.operators.text import BPE_LEARN_ROUNDS
 
     d = "chr(31)"
@@ -4520,7 +4519,45 @@ def _bpe_merges_sql() -> str:
 FROM b{r}"""
         for r in rounds
     ]
+    return ctes, selects
+
+
+def _bpe_merges_sql() -> str:
+    """DuckDB twin of text.bpe_learn_merges: the merge-learning trajectory
+    unrolled CTE-for-CTE (argmax ORDER BY cnt DESC, pair DESC LIMIT 1 ==
+    Spark's struct-max; the double fenced replace mirrors exactly)."""
+    ctes, selects = _bpe_ctes()
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_apply_sql() -> str:
+    """DuckDB twin of text.bpe_apply: segment every token by joining the
+    FINAL vocabulary of the shared chain; per-doc counts + exact ratio."""
+    from inde1_spark.operators.text import BPE_LEARN_ROUNDS
+
+    ctes, _ = _bpe_ctes()
+    final = f"v{BPE_LEARN_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+, seg AS (
+  SELECT w, CAST(len(list_filter(string_split(sym, chr(31)), s -> s <> ''))
+           AS BIGINT) AS n_sub
+  FROM {final}
+),
+ex AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+  FROM ex JOIN seg USING (w) GROUP BY 1
+)
+SELECT doc_id, n_words, n_subwords,
+       {{rr}} AS fertility
+FROM agg""".format(rr=_rr("n_subwords", "n_words", 6))
+    )
+
+
 ORACLES["bpe_learn_merges"] = _bpe_merges_sql()
+ORACLES["bpe_apply"] = _bpe_apply_sql()
