@@ -1312,3 +1312,52 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "est_sq_dist")
     )
+
+
+def ann_paths_recall(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
+    """One-table recall@k shootout of EVERY production ANN path against
+    the exact cosine baseline — the index-selection sheet: bucketed LSH
+    (hash pruning), IVF (centroid pruning), two-stage (projection
+    pruning) and PQ (compressed-domain ranking) each trade recall
+    differently, and the right index is a per-corpus decision that this
+    audit makes with one query. PQ is expected to trail here — it ranks
+    by quantized L2 against a cosine truth — which is exactly the
+    methodological gap the row makes visible.
+
+    Cost: the truth table is |Q| x k rows computed once and persisted;
+    each method contributes a bounded top-k table and one tiny equi-join.
+    The expensive parts are the audited operators themselves.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    truth = _persist(
+        knn_brute_cosine(embeddings, k=k).select("query_id", "neighbor_id")
+    )
+    methods = [
+        ("ivf", knn_ivf(embeddings, k=k)),
+        ("lsh_bucketed", knn_lsh_bucketed(embeddings, k=k)),
+        ("pq", knn_pq(embeddings, k=k)),
+        ("two_stage", knn_two_stage(embeddings, k=k)),
+    ]
+    out = None
+    total = truth.agg(F.count("*").cast("long").alias("total"))
+    for name, df in methods:
+        hits = (
+            truth.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count("*").cast("long").alias("hits"))
+        )
+        row = (
+            hits.join(F.broadcast(total))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                F.col("hits"),
+                F.col("total"),
+                ratio_round(F.col("hits"), F.col("total"), 4).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -4561,3 +4561,29 @@ FROM agg""".format(rr=_rr("n_subwords", "n_words", 6))
 
 ORACLES["bpe_learn_merges"] = _bpe_merges_sql()
 ORACLES["bpe_apply"] = _bpe_apply_sql()
+
+
+# ann_paths_recall: every ANN oracle joined against the brute-cosine truth
+# at one k — method rows union'd, exact integer recall.
+def _ann_paths_recall_sql() -> str:
+    k = K_BUCKETED
+    truth = f"(SELECT query_id, neighbor_id FROM ({ORACLES['knn_brute_cosine']}) WHERE rank <= {k})"
+    methods = [
+        ("ivf", ORACLES["knn_ivf"]),
+        ("lsh_bucketed", ORACLES["knn_lsh_bucketed"]),
+        ("pq", ORACLES["knn_pq"]),
+        ("two_stage", ORACLES["knn_two_stage"]),
+    ]
+    rows = []
+    for name, sql in methods:
+        rows.append(f"""
+SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM {truth} t
+             JOIN ({sql}) m ON m.query_id = t.query_id
+                           AND m.neighbor_id = t.neighbor_id) AS BIGINT) AS hits,
+       CAST((SELECT count(*) FROM {truth}) AS BIGINT) AS total,
+       {_rr(f"(SELECT count(*) FROM {truth} t JOIN ({sql}) m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id)", f"(SELECT count(*) FROM {truth})", 4)} AS recall""")
+    return "\nUNION ALL\n".join(rows)
+
+
+ORACLES["ann_paths_recall"] = _ann_paths_recall_sql()
