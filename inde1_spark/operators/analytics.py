@@ -2692,3 +2692,51 @@ def salted_group_count(events: DataFrame, salts: int = SALT_BUCKETS) -> DataFram
     return partial.groupBy("day", "event_type").agg(
         F.sum("c").cast("long").alias("n_events")
     )
+
+
+KANON_THRESHOLDS = (2, 5, 10)
+
+
+def kanonymity_audit(
+    events: DataFrame, thresholds: tuple[int, ...] = KANON_THRESHOLDS
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    pre-flight before any event-level export: a row whose QI equivalence
+    class has fewer than k members is re-identifiable by linkage, and
+    the share of such rows is the number a release decision needs. QI
+    here is (event_type, hour-of-day, coarse value bucket) — the
+    dimensions an outside observer plausibly knows; the operator is a
+    pure function of the QI choice, so swapping columns is a one-line
+    caller change.
+
+    Per threshold k: how many equivalence classes and what share of ROWS
+    sit below k. Plan: one groupBy on the QI (map-side combined), then a
+    threshold sweep over the bounded class-size table — a second tiny
+    aggregate per k, never a second corpus pass. Exact integer counts
+    and ratios throughout.
+    """
+    qi = events.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_bucket"),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    total = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
+    out = None
+    for k in thresholds:
+        below = qi.filter(F.col("class_size") < k).agg(
+            F.count("*").cast("long").alias("n_classes_below"),
+            F.coalesce(F.sum("class_size"), F.lit(0))
+            .cast("long")
+            .alias("n_rows_below"),
+        )
+        row = below.join(F.broadcast(total)).select(
+            F.lit(k).cast("long").alias("k"),
+            "n_classes_below",
+            "n_rows_below",
+            "n_rows",
+            ratio_round(F.col("n_rows_below"), F.col("n_rows"), 6).alias(
+                "share_rows_below"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -4587,3 +4587,32 @@ SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
 
 
 ORACLES["ann_paths_recall"] = _ann_paths_recall_sql()
+
+
+from inde1_spark.operators.analytics import KANON_THRESHOLDS  # noqa: E402
+
+
+def _kanonymity_sql() -> str:
+    rows = []
+    for k in KANON_THRESHOLDS:
+        rows.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) FILTER (WHERE class_size < {k}) AS BIGINT) AS n_classes_below,
+       CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < {k}), 0) AS BIGINT)
+         AS n_rows_below,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       {_rr(f"COALESCE(SUM(class_size) FILTER (WHERE class_size < {k}), 0)", "SUM(class_size)", 6)}
+         AS share_rows_below
+FROM qi""")
+    return (
+        """WITH qi AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(floor(value / 10.0) AS BIGINT) AS value_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM events GROUP BY 1, 2, 3
+)"""
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+ORACLES["kanonymity_audit"] = _kanonymity_sql()
