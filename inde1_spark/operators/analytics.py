@@ -2740,3 +2740,49 @@ def kanonymity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+LDIV_THRESHOLDS = (2, 3, 5)
+
+
+def ldiversity_audit(
+    events: DataFrame, thresholds: tuple[int, ...] = LDIV_THRESHOLDS
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a QI class
+    can have MANY rows (k-anonymous) while every row shares one
+    sensitive value, so membership alone discloses it (the homogeneity
+    attack). Per QI equivalence class (same tuple as
+    ``kanonymity_audit``), count DISTINCT sensitive values (the user
+    identity here); per l threshold, report classes and row share whose
+    diversity falls below l. Same bounded plan shape: one QI groupBy
+    carrying a distinct count, then a threshold sweep over the class
+    table.
+    """
+    qi = events.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("user_id").cast("long").alias("n_sensitive"),
+    )
+    total = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
+    out = None
+    for l_thr in thresholds:
+        below = qi.filter(F.col("n_sensitive") < l_thr).agg(
+            F.count("*").cast("long").alias("n_classes_below"),
+            F.coalesce(F.sum("class_size"), F.lit(0))
+            .cast("long")
+            .alias("n_rows_below"),
+        )
+        row = below.join(F.broadcast(total)).select(
+            F.lit(l_thr).cast("long").alias("l"),
+            "n_classes_below",
+            "n_rows_below",
+            "n_rows",
+            ratio_round(F.col("n_rows_below"), F.col("n_rows"), 6).alias(
+                "share_rows_below"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -4616,3 +4616,33 @@ FROM qi""")
 
 
 ORACLES["kanonymity_audit"] = _kanonymity_sql()
+
+
+from inde1_spark.operators.analytics import LDIV_THRESHOLDS  # noqa: E402
+
+
+def _ldiversity_sql() -> str:
+    rows = []
+    for l_thr in LDIV_THRESHOLDS:
+        rows.append(f"""
+SELECT CAST({l_thr} AS BIGINT) AS l,
+       CAST(count(*) FILTER (WHERE n_sensitive < {l_thr}) AS BIGINT) AS n_classes_below,
+       CAST(COALESCE(SUM(class_size) FILTER (WHERE n_sensitive < {l_thr}), 0) AS BIGINT)
+         AS n_rows_below,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       {_rr(f"COALESCE(SUM(class_size) FILTER (WHERE n_sensitive < {l_thr}), 0)", "SUM(class_size)", 6)}
+         AS share_rows_below
+FROM qi""")
+    return (
+        """WITH qi AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(floor(value / 10.0) AS BIGINT) AS value_bucket,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+  FROM events GROUP BY 1, 2, 3
+)"""
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+ORACLES["ldiversity_audit"] = _ldiversity_sql()
