@@ -1814,3 +1814,46 @@ def cdc_chunk_stats(
         F.countDistinct("chunk_hash").cast("long").alias("n_distinct_chunks"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """WHO duplicates WHOM: the near-dup pair set rolled up to a
+    source-pair matrix — pairs, involved docs and mean similarity per
+    (source, source) cell. The provenance view of duplication: a hot
+    off-diagonal cell is one source republishing another (mirror,
+    scraper, syndication) and the right fix is a source-level rule, not
+    per-document dedup; hot diagonal cells are self-templated sources.
+    Complements ``corpus.cross_source_overlap`` (shingle-level overlap
+    mass) with the verified near-dup relation.
+
+    Plan: the exact pair set (posting-list join, df-bounded as always)
+    joined twice to the tiny (doc_id, source) projection; the matrix
+    groupBy is bounded by |sources|^2. Mean jaccard is an exact ppm
+    integer mean (sum of exact ppm values / count, round-half-up).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    pairs = dedup_ngram_jaccard(documents)
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")),
+            "doc_b",
+        )
+        # ppm snap is exact: jaccard is q/1e6 by construction (ratio_round)
+        .withColumn(
+            "jac_ppm", F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
+        F.countDistinct("doc_b").cast("long").alias("n_docs_b"),
+        ratio_round(F.sum("jac_ppm"), F.count("*") * 1_000_000, 6).alias(
+            "mean_jaccard"
+        ),
+    )

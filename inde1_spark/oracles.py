@@ -4646,3 +4646,29 @@ FROM qi""")
 
 
 ORACLES["ldiversity_audit"] = _ldiversity_sql()
+
+
+# cross_source_dup_matrix: the exact-Jaccard pair oracle labeled by source
+# on both sides, rolled up per source pair with an exact ppm mean.
+ORACLES["cross_source_dup_matrix"] = f"""
+WITH {_SHINGLES.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+labeled AS (
+  SELECT p.doc_a, p.doc_b, sa.source AS source_a, sb.source AS source_b,
+         CAST(floor(p.jaccard * 1e6 + 0.5) AS BIGINT) AS jac_ppm
+  FROM pairs p
+  JOIN documents sa ON sa.doc_id = p.doc_a
+  JOIN documents sb ON sb.doc_id = p.doc_b
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b,
+       {_rr("SUM(jac_ppm)", "count(*) * 1000000", 6)} AS mean_jaccard
+FROM labeled GROUP BY 1, 2
+"""
