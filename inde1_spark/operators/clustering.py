@@ -297,3 +297,107 @@ def cluster_balance(
             .alias("mean_dist_scaled"),
         )
     )
+
+
+def cluster_separation(embeddings: DataFrame) -> DataFrame:
+    """Davies-Bouldin-style separation audit over the label assignment
+    (the same externally-trained quantizer labels ``knn_ivf`` consumes):
+    per cluster, the mean squared distance of members to their own
+    centroid, the nearest other centroid, and the separation ratio
+    (scatter_i + scatter_j) / d^2(centroid_i, centroid_j) — above ~1 the
+    two clusters overlap and every label-pruned operator built on this
+    assignment (IVF probing, SemDeDup's within-cluster pairs) starts
+    leaking neighbors across the boundary. Deliberately SQUARED-space
+    (no sqrt anywhere): ratios stay exact integer arithmetic end-to-end,
+    and the overlap verdict is ordinal, not metric.
+
+    Plan: centroids are ``ivf_centroids``' exact fixed-point means,
+    collapsed to ONE broadcast row; member scatter is a row-local fold
+    (zero shuffle, kmeans idiom) reduced per label; the centroid-pair
+    table is |labels|^2 rows of row-local folds. Scatter means divide in
+    DECIMAL(38,0) per the wide-decimal rule.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+    from inde1_spark.operators.similarity import ivf_centroids
+
+    cents = (
+        ivf_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+    one = cents.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("label", "cvec")))
+        ).alias("cmap")
+    )
+    d_own = _dist_scaled(
+        F.col("embedding"), F.element_at(F.col("cmap"), F.col("label"))
+    )
+    scatter = (
+        embeddings.join(F.broadcast(one))
+        .select("label", d_own.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        )
+        .select(
+            "label",
+            "n_members",
+            # round-half-up(sum/n) in decimal: msd stays on the 1e12 grid
+            dec_floordiv(
+                (F.col("sd") * 2 + F.col("n_members")).cast("decimal(38,0)"),
+                (F.col("n_members").cast("decimal(38,0)") * 2).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("msd"),
+        )
+    )
+    ca = cents.select(F.col("label").alias("la"), F.col("cvec").alias("va"))
+    cb = cents.select(F.col("label").alias("lb"), F.col("cvec").alias("vb"))
+    cd = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            _dist_scaled(F.col("va"), F.col("vb")).alias("d2"),
+        )
+    )
+    nearest = (
+        cd.groupBy("la")
+        .agg(F.min(F.struct("d2", "lb")).alias("m"))
+        .select(
+            F.col("la").alias("label"),
+            F.col("m.lb").alias("nearest_label"),
+            F.col("m.d2").alias("d2_nearest"),
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la2"), F.col("msd").alias("msd_a"))
+    sb = scatter.select(F.col("label").alias("nearest_label"), F.col("msd").alias("msd_b"))
+    from inde1_spark.functions.exprs import ratio_round
+
+    return (
+        scatter.join(nearest, "label")
+        .join(F.broadcast(sb), "nearest_label")
+        .select(
+            "label",
+            "n_members",
+            (F.col("msd").cast("double") / F.lit(float(DIST_SCALE))).alias(
+                "mean_sq_dist"
+            ),
+            "nearest_label",
+            (F.col("d2_nearest").cast("double") / F.lit(float(DIST_SCALE))).alias(
+                "nearest_sq_dist"
+            ),
+            ratio_round(
+                F.col("msd") + F.col("msd_b"),
+                F.greatest(F.col("d2_nearest"), F.lit(1)),
+                6,
+            ).alias("sep_ratio"),
+        )
+    )

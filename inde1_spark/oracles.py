@@ -4672,3 +4672,51 @@ SELECT source_a, source_b,
        {_rr("SUM(jac_ppm)", "count(*) * 1000000", 6)} AS mean_jaccard
 FROM labeled GROUP BY 1, 2
 """
+
+
+# cluster_separation: fixed-point centroids (knn_ivf oracle's cent CTE),
+# row-summed member scatter, pairwise centroid distances, DB-style
+# squared-space ratio — all exact integers.
+ORACLES["cluster_separation"] = f"""
+WITH cent AS (
+  SELECT label, i,
+         {_FIXED_SUM('CAST(embedding[i] AS DOUBLE)')} / COUNT(*) AS cv
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY label, i
+),
+member_d AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(floor((CAST(e.embedding[c.i] AS DOUBLE) - c.cv)
+                        * (CAST(e.embedding[c.i] AS DOUBLE) - c.cv)
+                        * 1e12 + 0.5) AS BIGINT)) AS d
+  FROM embeddings e JOIN cent c ON c.label = e.label
+  GROUP BY 1, 2
+),
+scatter AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+         CAST((2 * SUM(CAST(d AS HUGEINT)) + count(*))
+              // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS msd
+  FROM member_d GROUP BY 1
+),
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM(CAST(floor((a.cv - b.cv) * (a.cv - b.cv) * 1e12 + 0.5) AS BIGINT)) AS d2
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+),
+nearest AS (
+  SELECT la AS label, lb AS nearest_label, d2 AS d2_nearest FROM (
+    SELECT la, lb, d2,
+           row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rn
+    FROM cd
+  ) WHERE rn = 1
+)
+SELECT s.label, s.n_members,
+       CAST(s.msd AS DOUBLE) / 1e12 AS mean_sq_dist,
+       n.nearest_label,
+       CAST(n.d2_nearest AS DOUBLE) / 1e12 AS nearest_sq_dist,
+       {_rr("s.msd + sb.msd", "GREATEST(n.d2_nearest, 1)", 6)} AS sep_ratio
+FROM scatter s
+JOIN nearest n ON n.label = s.label
+JOIN scatter sb ON sb.label = n.nearest_label
+"""
