@@ -2786,3 +2786,55 @@ def ldiversity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def tcloseness_audit(events: DataFrame) -> DataFrame:
+    """t-closeness — the third rung of the privacy ladder: a class can be
+    k-anonymous AND l-diverse while its sensitive-value DISTRIBUTION
+    still leaks (all-but-one member in the top value bucket reveals a
+    lot about each member). Per QI class (event_type, hour-of-day), the
+    total-variation distance between the class-conditional distribution
+    of the sensitive attribute (coarse value bucket) and the global
+    distribution: t = sum_v |p_c(v) - p(v)| / 2, computed as EXACT
+    integer cross-multiplication |n_cv*N - n_v*n_c| in DECIMAL (the
+    products pass 2^63 at corpus scale) over the bounded class x value
+    grid — absent (class, value) cells contribute |0 - n_v*n_c|, so the
+    grid is built explicitly (classes x distinct buckets, both bounded).
+    One corpus groupBy; everything after runs on kilobyte tables.
+    """
+    sens = F.floor(F.col("value") / 10.0).cast("long").alias("v")
+    cell = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod"), sens
+    ).agg(F.count("*").cast("long").alias("n_cv"))
+    cls = cell.groupBy("event_type", "hod").agg(
+        F.sum("n_cv").cast("long").alias("n_c")
+    )
+    glob_v = cell.groupBy("v").agg(F.sum("n_cv").cast("long").alias("n_v"))
+    total = cell.agg(F.sum("n_cv").cast("long").alias("n_total"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    grid = (
+        cls.crossJoin(F.broadcast(glob_v))
+        .join(cell, ["event_type", "hod", "v"], "left")
+        .withColumn("n_cv", F.coalesce(F.col("n_cv"), F.lit(0)).cast("long"))
+        .join(F.broadcast(total))
+    )
+    term = F.abs(d("n_cv") * d("n_total") - d("n_v") * d("n_c"))
+    per_class = grid.groupBy("event_type", "hod").agg(
+        F.max("n_c").alias("n_rows"),
+        F.sum(term).alias("tv_num"),
+        F.max("n_total").alias("nt"),
+    )
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    num = (F.col("tv_num") * 1_000_000 * 2 + d("n_rows") * 2 * d("nt")).cast(
+        "decimal(38,0)"
+    )
+    den = (d("n_rows") * 2 * d("nt") * 2).cast("decimal(38,0)")
+    return per_class.select(
+        "event_type",
+        "hod",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (dec_floordiv(num, den).cast("long").cast("double") / F.lit(1e6)).alias(
+            "t_closeness"
+        ),
+    )

@@ -4720,3 +4720,37 @@ FROM scatter s
 JOIN nearest n ON n.label = s.label
 JOIN scatter sb ON sb.label = n.nearest_label
 """
+
+
+ORACLES["tcloseness_audit"] = """
+WITH cell AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(floor(value / 10.0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n_cv
+  FROM events GROUP BY 1, 2, 3
+),
+cls AS (SELECT event_type, hod, CAST(SUM(n_cv) AS BIGINT) AS n_c
+        FROM cell GROUP BY 1, 2),
+glob_v AS (SELECT v, CAST(SUM(n_cv) AS BIGINT) AS n_v FROM cell GROUP BY 1),
+total AS (SELECT CAST(SUM(n_cv) AS BIGINT) AS n_total FROM cell),
+grid AS (
+  SELECT c.event_type, c.hod, c.n_c, g.v, g.n_v,
+         COALESCE(cc.n_cv, 0) AS n_cv, t.n_total
+  FROM cls c CROSS JOIN glob_v g
+  LEFT JOIN cell cc ON cc.event_type = c.event_type AND cc.hod = c.hod
+                   AND cc.v = g.v
+  CROSS JOIN total t
+),
+per_class AS (
+  SELECT event_type, hod, MAX(n_c) AS n_rows,
+         SUM(abs(CAST(n_cv AS HUGEINT) * n_total
+                 - CAST(n_v AS HUGEINT) * n_c)) AS tv_num,
+         MAX(n_total) AS nt
+  FROM grid GROUP BY 1, 2
+)
+SELECT event_type, hod, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(CAST((tv_num * 1000000 * 2 + CAST(n_rows AS HUGEINT) * 2 * nt)
+            // (CAST(n_rows AS HUGEINT) * 2 * nt * 2) AS BIGINT) AS DOUBLE) / 1e6
+         AS t_closeness
+FROM per_class
+"""
