@@ -2838,3 +2838,67 @@ def tcloseness_audit(events: DataFrame) -> DataFrame:
             "t_closeness"
         ),
     )
+
+
+BOOT_REPLICATES = 32
+# Poisson(1) inverse-CDF cutoffs on the 32-bit md5 grid (cumulative
+# e^-1/k! scaled by 2^32, truncated) — identical literals in the oracle,
+# so replicate weights are engine-exact. Residual mass (~2e-5) maps to 8.
+_POISSON_CUTS = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+)
+
+
+def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_REPLICATES) -> DataFrame:
+    """Poisson bootstrap of the value mean — THE bootstrap that scales
+    (Chamandy et al., Google 2012): classic resampling needs n draws
+    per replicate coordinated globally, but Poisson(1) per-row weights
+    are independent, so all ``b`` replicates compute in ONE pass with a
+    b-key aggregate. Output: one row per replicate (its effective row
+    count and mean) — the spread across replicates IS the sampling
+    distribution, and any CI is a quantile over these b numbers.
+
+    Determinism: the weight is the Poisson(1) inverse CDF evaluated on
+    the 32-bit md5 of (event_id, replicate) against precomputed integer
+    cutoffs (no RNG, engine-identical); values snap to the micro grid
+    and accumulate in DECIMAL; each replicate mean is one exact
+    round-half-up. Cost: a b-fold row expansion — embarrassingly
+    parallel, the documented price of the method (b trades off CI
+    resolution against compute; the aggregate itself is b keys).
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    xi = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ex = events.select("event_id", xi.alias("xi")).select(
+        "event_id", "xi", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("event_id"), F.col("rep"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        F.when(u >= F.lit(c), 1).otherwise(0) for c in _POISSON_CUTS
+    ).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        ex.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(d(F.col("w") * F.col("xi"))).alias("swx"),
+        )
+        .filter(F.col("n_eff") > 0)
+    )
+    mean_micro = dec_floordiv(
+        (F.col("swx") * 2 + d(F.col("n_eff"))).cast("decimal(38,0)"),
+        (d(F.col("n_eff")) * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    return agg.select(
+        F.col("rep").cast("long").alias("rep"),
+        "n_eff",
+        (mean_micro.cast("double") / F.lit(1e6)).alias("mean_value"),
+    )

@@ -4754,3 +4754,41 @@ SELECT event_type, hod, CAST(n_rows AS BIGINT) AS n_rows,
          AS t_closeness
 FROM per_class
 """
+
+
+from inde1_spark.operators.analytics import _POISSON_CUTS, BOOT_REPLICATES  # noqa: E402
+
+_PW = " + ".join(
+    f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in _POISSON_CUTS
+)
+ORACLES["bootstrap_mean_ci"] = f"""
+WITH ex AS (
+  SELECT event_id,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xi,
+         r.rep
+  FROM events,
+       (SELECT i - 1 AS rep
+        FROM UNNEST(generate_series(1, {BOOT_REPLICATES})) AS t(i)) r
+),
+wt AS (
+  SELECT rep, xi,
+         CAST({_PW} AS BIGINT) AS w
+  FROM (SELECT rep, xi,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || '_' ||
+                    CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        FROM ex)
+),
+agg AS (
+  SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+         SUM(CAST(w AS HUGEINT) * xi) AS swx
+  FROM wt GROUP BY 1 HAVING SUM(w) > 0
+)
+SELECT CAST(rep AS BIGINT) AS rep, n_eff,
+       -- mod-subtract spelling: DuckDB's bare // FLOORS while the Spark
+       -- twin's decimal (a - a%b)/b TRUNCATES; they only agree when the
+       -- remainder is removed first (negative means would otherwise flip)
+       CAST(CAST(((swx * 2 + n_eff) - ((swx * 2 + n_eff) % (CAST(n_eff AS HUGEINT) * 2)))
+                 // (CAST(n_eff AS HUGEINT) * 2) AS BIGINT)
+            AS DOUBLE) / 1e6 AS mean_value
+FROM agg
+"""
