@@ -2710,36 +2710,51 @@ def kanonymity_audit(
     caller change.
 
     Per threshold k: how many equivalence classes and what share of ROWS
-    sit below k. Plan: one groupBy on the QI (map-side combined), then a
-    threshold sweep over the bounded class-size table — a second tiny
-    aggregate per k, never a second corpus pass. Exact integer counts
-    and ratios throughout.
+    sit below k. Plan: one groupBy on the QI (map-side combined), then
+    ALL thresholds as conditional sums in a single second aggregate —
+    one corpus scan total (a per-threshold filter-union would rescan the
+    source once per k; plan-pinned against that regression) — exploded
+    back to threshold rows. Exact integer counts and ratios throughout.
     """
     qi = events.groupBy(
         "event_type",
         F.hour("ts").cast("long").alias("hod"),
         F.floor(F.col("value") / 10.0).cast("long").alias("value_bucket"),
     ).agg(F.count("*").cast("long").alias("class_size"))
-    total = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
-    out = None
+    aggs = [F.sum("class_size").cast("long").alias("n_rows")]
     for k in thresholds:
-        below = qi.filter(F.col("class_size") < k).agg(
-            F.count("*").cast("long").alias("n_classes_below"),
-            F.coalesce(F.sum("class_size"), F.lit(0))
-            .cast("long")
-            .alias("n_rows_below"),
+        below = F.col("class_size") < k
+        aggs.append(
+            F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(f"nc_{k}")
         )
-        row = below.join(F.broadcast(total)).select(
-            F.lit(k).cast("long").alias("k"),
-            "n_classes_below",
-            "n_rows_below",
+        aggs.append(
+            F.sum(F.when(below, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias(f"nr_{k}")
+        )
+    one = qi.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"nc_{k}").alias("n_classes_below"),
+                F.col(f"nr_{k}").alias("n_rows_below"),
+            )
+            for k in thresholds
+        ]
+    )
+    return (
+        one.select("n_rows", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.k").alias("k"),
+            F.col("r.n_classes_below").alias("n_classes_below"),
+            F.col("r.n_rows_below").alias("n_rows_below"),
             "n_rows",
-            ratio_round(F.col("n_rows_below"), F.col("n_rows"), 6).alias(
+            ratio_round(F.col("r.n_rows_below"), F.col("n_rows"), 6).alias(
                 "share_rows_below"
             ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 LDIV_THRESHOLDS = (2, 3, 5)
@@ -2766,26 +2781,40 @@ def ldiversity_audit(
         F.count("*").cast("long").alias("class_size"),
         F.countDistinct("user_id").cast("long").alias("n_sensitive"),
     )
-    total = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
-    out = None
+    aggs = [F.sum("class_size").cast("long").alias("n_rows")]
     for l_thr in thresholds:
-        below = qi.filter(F.col("n_sensitive") < l_thr).agg(
-            F.count("*").cast("long").alias("n_classes_below"),
-            F.coalesce(F.sum("class_size"), F.lit(0))
-            .cast("long")
-            .alias("n_rows_below"),
+        below = F.col("n_sensitive") < l_thr
+        aggs.append(
+            F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(f"nc_{l_thr}")
         )
-        row = below.join(F.broadcast(total)).select(
-            F.lit(l_thr).cast("long").alias("l"),
-            "n_classes_below",
-            "n_rows_below",
+        aggs.append(
+            F.sum(F.when(below, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias(f"nr_{l_thr}")
+        )
+    one = qi.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(l_thr).cast("long").alias("l"),
+                F.col(f"nc_{l_thr}").alias("n_classes_below"),
+                F.col(f"nr_{l_thr}").alias("n_rows_below"),
+            )
+            for l_thr in thresholds
+        ]
+    )
+    return (
+        one.select("n_rows", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.l").alias("l"),
+            F.col("r.n_classes_below").alias("n_classes_below"),
+            F.col("r.n_rows_below").alias("n_rows_below"),
             "n_rows",
-            ratio_round(F.col("n_rows_below"), F.col("n_rows"), 6).alias(
+            ratio_round(F.col("r.n_rows_below"), F.col("n_rows"), 6).alias(
                 "share_rows_below"
             ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def tcloseness_audit(events: DataFrame) -> DataFrame:
@@ -2797,31 +2826,37 @@ def tcloseness_audit(events: DataFrame) -> DataFrame:
     of the sensitive attribute (coarse value bucket) and the global
     distribution: t = sum_v |p_c(v) - p(v)| / 2, computed as EXACT
     integer cross-multiplication |n_cv*N - n_v*n_c| in DECIMAL (the
-    products pass 2^63 at corpus scale) over the bounded class x value
-    grid — absent (class, value) cells contribute |0 - n_v*n_c|, so the
-    grid is built explicitly (classes x distinct buckets, both bounded).
-    One corpus groupBy; everything after runs on kilobyte tables.
+    products pass 2^63 at corpus scale). Absent (class, value) cells are
+    handled WITHOUT materializing a grid: their contribution is
+    sum_{v absent} n_v*n_c = (N - sum_{v in class} n_v) * n_c, so the
+    whole statistic comes from the present cells alone. One corpus
+    groupBy, then window sums over the bounded cell table (class totals,
+    value totals, grand total — no joins, no rescans; plan-pinned to a
+    single scan).
     """
     sens = F.floor(F.col("value") / 10.0).cast("long").alias("v")
     cell = events.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hod"), sens
     ).agg(F.count("*").cast("long").alias("n_cv"))
-    cls = cell.groupBy("event_type", "hod").agg(
-        F.sum("n_cv").cast("long").alias("n_c")
+    w_cls = Window.partitionBy("event_type", "hod")
+    w_v = Window.partitionBy("v")
+    w_all = Window.partitionBy()
+    cell = (
+        cell.withColumn("n_c", F.sum("n_cv").over(w_cls).cast("long"))
+        .withColumn("n_v", F.sum("n_cv").over(w_v).cast("long"))
+        .withColumn("n_total", F.sum("n_cv").over(w_all).cast("long"))
     )
-    glob_v = cell.groupBy("v").agg(F.sum("n_cv").cast("long").alias("n_v"))
-    total = cell.agg(F.sum("n_cv").cast("long").alias("n_total"))
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    grid = (
-        cls.crossJoin(F.broadcast(glob_v))
-        .join(cell, ["event_type", "hod", "v"], "left")
-        .withColumn("n_cv", F.coalesce(F.col("n_cv"), F.lit(0)).cast("long"))
-        .join(F.broadcast(total))
-    )
     term = F.abs(d("n_cv") * d("n_total") - d("n_v") * d("n_c"))
-    per_class = grid.groupBy("event_type", "hod").agg(
+    per_class = cell.groupBy("event_type", "hod").agg(
         F.max("n_c").alias("n_rows"),
-        F.sum(term).alias("tv_num"),
+        # present cells + the closed-form absent-cell mass
+        (
+            F.sum(term)
+            + (
+                F.max(d("n_total")) - F.sum(d("n_v"))
+            ) * F.max(d("n_c"))
+        ).alias("tv_num"),
         F.max("n_total").alias("nt"),
     )
     from inde1_spark.functions.exprs import dec_floordiv

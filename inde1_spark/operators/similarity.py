@@ -1342,9 +1342,11 @@ def ann_paths_recall(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
     out = None
     total = truth.agg(F.count("*").cast("long").alias("total"))
     for name, df in methods:
+        # both operands are |Q| x k rows; the hint matters because Spark
+        # cannot size a computed top-k and would fall back to sort-merge
         hits = (
             truth.join(
-                df.select("query_id", "neighbor_id"),
+                F.broadcast(df.select("query_id", "neighbor_id")),
                 ["query_id", "neighbor_id"],
             )
             .agg(F.count("*").cast("long").alias("hits"))

@@ -863,3 +863,49 @@ def test_salted_group_count_two_stage(spark):
     assert_plan(
         Q["salted_group_count"](spark, SF_SMOKE), max_exchanges=2, max_scans=1
     )
+
+
+def test_privacy_audits_single_qi_groupby(spark):
+    # one corpus groupBy on the QI, then only bounded class-table sweeps
+    for name in ("kanonymity_audit", "ldiversity_audit"):
+        assert_plan(Q[name](spark, SF_SMOKE), max_scans=1)
+
+
+def test_tcloseness_bounded_grid_only(spark):
+    # the class x value grid is bounded; corpus volume passes once
+    r = plan_report(Q["tcloseness_audit"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    assert r.parquet_scans <= 1
+
+
+def test_bootstrap_single_pass_b_key_aggregate(spark):
+    # the b-fold expansion is row-local; one scan, one b-key exchange
+    assert_plan(
+        Q["bootstrap_mean_ci"](spark, SF_SMOKE), max_exchanges=1, max_scans=1
+    )
+
+
+def test_cross_source_dup_matrix_no_cartesian(spark):
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["cross_source_dup_matrix"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()
+
+
+def test_cluster_separation_rowlocal_scatter(spark):
+    # scatter is a row-local fold against the broadcast centroid map; the
+    # only nested-loops/crosses are 1-row or |labels|-row broadcasts
+    r = plan_report(Q["cluster_separation"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+
+
+def test_ann_paths_recall_bounded_joins(spark):
+    # the audit's own hit joins are broadcast; the one sort-merge allowed
+    # is INSIDE the audited knn_ivf operand (its corpus-side label join)
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["ann_paths_recall"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+    assert r.sort_merge_joins <= 1
+    release_persisted()
