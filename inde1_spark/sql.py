@@ -439,6 +439,24 @@ def _knn_pq_sql() -> str:
     """
 
 
+def _salted_group_count_sql() -> str:
+    """salted_group_count as Spark SQL: the two-stage hot-key-skew
+    aggregation spelling (analytics.py constants)."""
+    from inde1_spark.operators.analytics import SALT_BUCKETS
+
+    return f"""
+        WITH p AS (
+          SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 event_type,
+                 pmod(xxhash64(event_id), {SALT_BUCKETS}) AS _salt,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT day, event_type, CAST(SUM(c) AS BIGINT) AS n_events
+        FROM p GROUP BY 1, 2
+    """
+
+
 def _cdc_sql() -> str:
     """chunk_dedup_cdc as Spark SQL: content-defined boundaries from word-pair
     md5 parity, per-chunk hashes, cross-doc chunk frequency (dedup.py
@@ -670,6 +688,7 @@ SPARK_SQL: dict[str, str] = {
     "knn_two_stage": _knn_two_stage_sql(),
     "knn_ivf": _knn_ivf_sql(),
     "knn_pq": _knn_pq_sql(),
+    "salted_group_count": _salted_group_count_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
