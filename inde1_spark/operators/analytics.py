@@ -2937,3 +2937,66 @@ def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_REPLICATES) -> DataFrame:
         "n_eff",
         (mean_micro.cast("double") / F.lit(1e6)).alias("mean_value"),
     )
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of the daily revenue series:
+    value = trend + weekly seasonal + residual — the classical-
+    decomposition baseline behind anomaly triage (is this spike trend,
+    Saturday, or actually anomalous?). Trend is the centered 7-day
+    moving average (emitted only where the full window exists, the
+    classical edge rule); the seasonal component is the day-of-week mean
+    of the detrended series; the residual is what remains.
+
+    Exactness: daily values snap to micro-longs once; the 7-day mean and
+    the per-dow mean are exact integer round-half-up; every emitted
+    double is a micro-grid integer / 1e6. Scale: one corpus-volume
+    groupBy to days, then ALL windows run over the bounded daily series
+    (pre-aggregate-before-window, the cumulative_series discipline).
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_micro")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.select(
+        "day",
+        "v_micro",
+        F.count("*").over(w7).alias("n_win"),
+        F.sum("v_micro").over(w7).alias("s_win"),
+    ).filter(F.col("n_win") == 7)
+    num = F.col("s_win") * 2 + F.lit(7)
+    den = F.lit(14)
+    trend = ((num - num % den) / den).cast("long")
+    det = with_trend.select(
+        "day",
+        "v_micro",
+        trend.alias("trend_micro"),
+        (F.col("v_micro") - trend).alias("det_micro"),
+        F.dayofweek(F.to_date("day")).cast("long").alias("dow"),
+    )
+    wd = Window.partitionBy("dow")
+    snum = F.sum("det_micro").over(wd) * 2 + F.count("*").over(wd)
+    sden = F.count("*").over(wd) * 2
+    # det sums can be negative: trunc-division spelling, mirrored exactly
+    seasonal = ((snum - snum % sden) / sden).cast("long")
+    out = det.select(
+        "day",
+        "dow",
+        (F.col("v_micro").cast("double") / F.lit(1e6)).alias("value"),
+        (F.col("trend_micro").cast("double") / F.lit(1e6)).alias("trend"),
+        seasonal.alias("seas_micro"),
+        (F.col("det_micro") - seasonal).alias("resid_micro"),
+    )
+    return out.select(
+        "day",
+        "dow",
+        "value",
+        "trend",
+        (F.col("seas_micro").cast("double") / F.lit(1e6)).alias("seasonal"),
+        (F.col("resid_micro").cast("double") / F.lit(1e6)).alias("residual"),
+    )

@@ -4792,3 +4792,48 @@ SELECT CAST(rep AS BIGINT) AS rep, n_eff,
             AS DOUBLE) / 1e6 AS mean_value
 FROM agg
 """
+
+
+# seasonal_decompose: centered-7 trend + dow seasonal + residual, all on
+# the micro grid. DuckDB EXTRACT(dow) is 0-based Sunday while Spark's
+# dayofweek is 1-based Sunday — the +1 aligns them. det sums can be
+# negative: trunc-division via the mod-subtract spelling on both sides.
+ORACLES["seasonal_decompose"] = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, v_micro,
+         COUNT(*) OVER win AS n_win,
+         CAST(SUM(v_micro) OVER win AS HUGEINT) AS s_win
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, v_micro,
+         CAST(((s_win * 2 + 7) - ((s_win * 2 + 7) % 14)) // 14 AS BIGINT)
+           AS trend_micro,
+         v_micro - CAST(((s_win * 2 + 7) - ((s_win * 2 + 7) % 14)) // 14 AS BIGINT)
+           AS det_micro,
+         CAST(EXTRACT(dow FROM CAST(day AS DATE)) + 1 AS BIGINT) AS dow
+  FROM w WHERE n_win = 7
+),
+seas AS (
+  SELECT *,
+         CAST(SUM(CAST(det_micro AS HUGEINT)) OVER (PARTITION BY dow) AS HUGEINT) AS sd,
+         CAST(COUNT(*) OVER (PARTITION BY dow) AS HUGEINT) AS cd
+  FROM det
+)
+SELECT day, dow,
+       CAST(v_micro AS DOUBLE) / 1e6 AS value,
+       CAST(trend_micro AS DOUBLE) / 1e6 AS trend,
+       CAST(CAST(((sd * 2 + cd) - ((sd * 2 + cd) % (cd * 2))) // (cd * 2) AS BIGINT)
+            AS DOUBLE) / 1e6 AS seasonal,
+       CAST(det_micro
+            - CAST(((sd * 2 + cd) - ((sd * 2 + cd) % (cd * 2))) // (cd * 2) AS BIGINT)
+            AS DOUBLE) / 1e6 AS residual
+FROM seas
+"""
