@@ -3000,3 +3000,87 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
         (F.col("seas_micro").cast("double") / F.lit(1e6)).alias("seasonal"),
         (F.col("resid_micro").cast("double") / F.lit(1e6)).alias("residual"),
     )
+
+
+PSI_LOG_SCALE = 1_000_000  # micro-snapped logs keep every product in decimal range
+
+
+def value_drift_psi(events: DataFrame) -> DataFrame:
+    """Population Stability Index of the value distribution, first time
+    half vs second — the model-monitoring drift standard next to the KS
+    test (``source_drift_ks``): KS answers "did the distribution move",
+    PSI weights WHERE it moved by information content (sum over buckets
+    of (p1-p2)*ln(p1/p2)), with the industry rule of thumb <0.1 stable /
+    >0.25 retrain. Per event_type, over coarse value buckets, halves
+    split at the exact midpoint of the observed time range.
+
+    Determinism: Laplace +1 smoothing over the union of buckets (the
+    standard zero-cell fix, and it makes every log argument finite);
+    each log is a ratio of exact longs (counts stay below 2^53, so the
+    long->double conversions are exact in BOTH engines — a product form
+    like n1*N2 would pass 2^53 and hit DuckDB's non-correctly-rounded
+    wide-int casts), micro-snapped immediately; per-bucket contributions
+    are exact decimal ratios on the micro grid (provably nonnegative —
+    (p1-p2) and ln(p1/p2) share sign — so round-half-up is safe), summed
+    as longs. One corpus groupBy; the sweep runs on the bounded
+    (type, bucket) table.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    rng = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    mid = (F.col("t0") + F.expr("(t1 - t0) div 2")).alias("mid")
+    cells = (
+        events.join(F.broadcast(rng.select(mid)))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.unix_timestamp("ts") < F.col("mid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(F.unix_timestamp("ts") >= F.col("mid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n2"),
+        )
+        .withColumn("n1s", F.col("n1") + 1)
+        .withColumn("n2s", F.col("n2") + 1)
+    )
+    w = Window.partitionBy("event_type")
+    cells = cells.withColumn("t1s", F.sum("n1s").over(w).cast("long")).withColumn(
+        "t2s", F.sum("n2s").over(w).cast("long")
+    )
+    lmicro = (
+        F.round(F.log(F.col("n1s").cast("double") / F.col("n2s").cast("double"))
+                * F.lit(float(PSI_LOG_SCALE)), 0)
+        + F.round(F.log(F.col("t2s").cast("double") / F.col("t1s").cast("double"))
+                  * F.lit(float(PSI_LOG_SCALE)), 0)
+    ).cast("long")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = d("n1s") * d("t2s") - d("n2s") * d("t1s")
+    num = (diff * lmicro.cast("decimal(38,0)")).cast("decimal(38,0)")
+    den = (d("t1s") * d("t2s") * PSI_LOG_SCALE).cast("decimal(38,0)")
+    # contributions on the NANO grid: per-bucket PSI terms on a stable
+    # corpus sit below 1e-6 and a micro grid would flush them all to zero;
+    # diff * lmicro * 1e3 stays inside decimal(38,0) even at 1e13 counts
+    c_nano = dec_floordiv(
+        (num * 1000 * 2 + den).cast("decimal(38,0)"),
+        (den * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    return (
+        cells.withColumn("c_nano", c_nano)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n1").cast("long").alias("n_first"),
+            F.sum("n2").cast("long").alias("n_second"),
+            F.count("*").cast("long").alias("n_buckets"),
+            (F.sum("c_nano").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )

@@ -4837,3 +4837,52 @@ SELECT day, dow,
             AS DOUBLE) / 1e6 AS residual
 FROM seas
 """
+
+
+# value_drift_psi: micro-snapped ratio-of-longs logs (never a >2^53
+# product inside a double cast), exact decimal per-bucket contributions.
+ORACLES["value_drift_psi"] = """
+WITH rng AS (
+  SELECT CAST(EXTRACT(epoch FROM MIN(ts)) AS BIGINT) AS t0,
+         CAST(EXTRACT(epoch FROM MAX(ts)) AS BIGINT) AS t1
+  FROM events
+),
+cells AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN CAST(EXTRACT(epoch FROM ts) AS BIGINT)
+                            < r.t0 + (r.t1 - r.t0) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(EXTRACT(epoch FROM ts) AS BIGINT)
+                            >= r.t0 + (r.t1 - r.t0) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM events, rng r GROUP BY 1, 2
+),
+sm AS (
+  SELECT event_type, bucket, n1, n2, n1 + 1 AS n1s, n2 + 1 AS n2s,
+         CAST(SUM(n1 + 1) OVER (PARTITION BY event_type) AS BIGINT) AS t1s,
+         CAST(SUM(n2 + 1) OVER (PARTITION BY event_type) AS BIGINT) AS t2s
+  FROM cells
+),
+contrib AS (
+  SELECT event_type, n1, n2,
+         (CAST(round(ln(CAST(n1s AS DOUBLE) / CAST(n2s AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+          + CAST(round(ln(CAST(t2s AS DOUBLE) / CAST(t1s AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+           AS lmicro,
+         CAST(n1s AS HUGEINT) * t2s - CAST(n2s AS HUGEINT) * t1s AS diff,
+         CAST(t1s AS HUGEINT) * t2s * 1000000 AS den
+  FROM sm
+),
+cm AS (
+  SELECT event_type, n1, n2,
+         CAST(((diff * lmicro * 1000 * 2 + den)
+               - ((diff * lmicro * 1000 * 2 + den) % (den * 2)))
+              // (den * 2) AS BIGINT) AS c_nano
+  FROM contrib
+)
+SELECT event_type,
+       CAST(SUM(n1) AS BIGINT) AS n_first,
+       CAST(SUM(n2) AS BIGINT) AS n_second,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c_nano) AS DOUBLE) / 1e9 AS psi
+FROM cm GROUP BY 1
+"""
