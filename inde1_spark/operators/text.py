@@ -995,3 +995,60 @@ def bpe_apply(documents: DataFrame, rounds: int = BPE_LEARN_ROUNDS) -> DataFrame
             ),
         )
     )
+
+
+def modality_agreement(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = DOC_KNN_K,
+    n_queries: int = DOC_KNN_QUERIES,
+) -> DataFrame:
+    """Cross-modality retrieval consistency: for each query document, how
+    much of its text-side top-k (feature-hashed cosine, no encoder)
+    agrees with its embedding-side top-k (sign-LSH ANN). The multimodal
+    pipeline health check: high agreement means the encoder mostly
+    re-ranks lexical similarity (cheap text retrieval may suffice);
+    near-zero agreement means either the encoder captures semantics the
+    text baseline misses — or one side is broken, which is why this is
+    an audit and not a metric to maximize. Assumes the testdata
+    alignment doc_id == vec_id (FIXTURES §5).
+
+    Cost: both operands are bounded top-k tables; the overlap join and
+    the per-query counts are trivially bounded at any corpus size — the
+    expensive parts are the audited retrieval operators themselves.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.similarity import knn_lsh_bucketed
+
+    t = doc_knn_hashed(documents, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    e = (
+        knn_lsh_bucketed(embeddings, k=k)
+        .filter(F.col("query_id") < n_queries)
+        .select("query_id", "neighbor_id")
+    )
+    spine = (
+        t.select("query_id").union(e.select("query_id")).distinct()
+    )
+    nt = t.groupBy("query_id").agg(F.count("*").cast("long").alias("n_text"))
+    ne = e.groupBy("query_id").agg(F.count("*").cast("long").alias("n_emb"))
+    na = (
+        t.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_agree"))
+    )
+    return (
+        spine.join(nt, "query_id", "left")
+        .join(ne, "query_id", "left")
+        .join(na, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_text"), F.lit(0)).cast("long").alias("n_text"),
+            F.coalesce(F.col("n_emb"), F.lit(0)).cast("long").alias("n_emb"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            ratio_round(
+                F.coalesce(F.col("n_agree"), F.lit(0)), F.lit(k), 4
+            ).alias("agreement"),
+        )
+    )

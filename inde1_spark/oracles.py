@@ -4886,3 +4886,39 @@ SELECT event_type,
        CAST(SUM(c_nano) AS DOUBLE) / 1e9 AS psi
 FROM cm GROUP BY 1
 """
+
+
+# modality_agreement: the two retrieval oracles joined per query over the
+# shared query range; zero-overlap queries survive via the spine.
+def _modality_agreement_sql() -> str:
+    from inde1_spark.operators.text import DOC_KNN_K, DOC_KNN_QUERIES
+
+    t = f"(SELECT query_id, neighbor_id FROM ({ORACLES['doc_knn_hashed']}))"
+    e = (
+        f"(SELECT query_id, neighbor_id FROM ({ORACLES['knn_lsh_bucketed']})"
+        f" WHERE query_id < {DOC_KNN_QUERIES})"
+    )
+    return f"""
+WITH t AS {t},
+e AS {e},
+spine AS (SELECT DISTINCT query_id FROM (SELECT query_id FROM t
+          UNION ALL SELECT query_id FROM e)),
+nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_text FROM t GROUP BY 1),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_emb FROM e GROUP BY 1),
+na AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_agree
+       FROM t JOIN e ON e.query_id = t.query_id
+                    AND e.neighbor_id = t.neighbor_id
+       GROUP BY 1)
+SELECT s.query_id,
+       COALESCE(nt.n_text, 0) AS n_text,
+       COALESCE(ne.n_emb, 0) AS n_emb,
+       COALESCE(na.n_agree, 0) AS n_agree,
+       {_rr("COALESCE(na.n_agree, 0)", str(DOC_KNN_K), 4)} AS agreement
+FROM spine s
+LEFT JOIN nt ON nt.query_id = s.query_id
+LEFT JOIN ne ON ne.query_id = s.query_id
+LEFT JOIN na ON na.query_id = s.query_id
+"""
+
+
+ORACLES["modality_agreement"] = _modality_agreement_sql()
