@@ -153,9 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         # ============== end gate window ===================================
-        # r06 rotation queue head: the 24 operators new in r05, never
+        # r06 rotation queue head: the operators new in r05, never
         # driver-verified (each locally hash-green at sf0.001 AND sf0.01);
-        # fill the remaining 26 r06 slots with re-confirmations of the
+        # fill the remaining r06 slots with re-confirmations of the
         # oldest greens not re-confirmed in r05 (the r01/r02 entries
         # behind this queue, then the oldest r03 block).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_psi": lambda sp, d: A.value_drift_psi(_t(sp, d, "events")),
         "modality_agreement": lambda sp, d: T.modality_agreement(
             _t(sp, d, "documents"), _t(sp, d, "embeddings")
+        ),
+        "heavy_hitters_cms": lambda sp, d: A.heavy_hitters_cms(
+            _t(sp, d, "events")
         ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).

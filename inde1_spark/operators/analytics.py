@@ -3084,3 +3084,96 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
             (F.sum("c_nano").cast("double") / F.lit(1e9)).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms: Count-Min heavy-hitter audit (mergeable linear sketch)
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 10
+
+
+def heavy_hitters_cms(
+    events: DataFrame,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Heavy-hitter counts via MERGED per-day Count-Min sketches (Cormode
+    & Muthukrishnan 2005) — the frequency sibling of ``distinct_rollup_hll``
+    (distincts) and ``percentile_rollup_kll`` (quantiles). Per-key counts
+    at 100 TB cannot keep every key per window, but a rows x width counter
+    grid aggregates each day into a bounded table and re-merges into ANY
+    coarser window by SUMMING counters (the sketch is linear in the
+    input). est(key) = min over rows of counter[r][h_r(key)] never
+    undercounts; overcount is collision mass, ~n/width per row in
+    expectation and <= 2n/width for the min w.h.p.
+
+    Unlike the HLL/KLL entries, the whole audit hash-gates EXACTLY: bucket
+    indexes come from md5 hex ranges (engine-portable, seed-free) and
+    counters are exact longs, so the estimate itself is deterministic in
+    both engines — no accuracy-contract indirection. ``within_markov_bound``
+    (overcount*width <= 2*n_total) is likewise deterministic data both
+    engines compute identically, not a tolerance that could flake.
+
+    Plan: one rows-x row-expansion projection feeding a map-side-combined
+    groupBy (day x rows x width keys — bounded), a bounded sketch merge,
+    then the exact top-k keys (TakeOrderedAndProject) probe the merged
+    sketch via a broadcast hash join; nothing after the first aggregation
+    touches raw data. The raw table is scanned twice only because the
+    audit carries the exact ground truth next to the estimate; a
+    production rollup keeps the sketch pass alone.
+    """
+    key = F.col("user_id").cast("string")
+    r = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("r")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("key"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).alias("bucket")
+    merged = (
+        events.select(_day_str().alias("day"), key.alias("key"))
+        .select("day", "key", r)
+        .select("day", "key", "r", bucket)
+        .groupBy("day", "r", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("counter"))
+    )
+
+    exact = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    total = events.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    topk = (
+        exact.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    probes = (
+        topk.select(
+            "user_id", "exact_cnt", "n_total", key.alias("key")
+        )
+        .select("user_id", "exact_cnt", "n_total", "key", r)
+        .select("user_id", "exact_cnt", "n_total", "r", bucket)
+    )
+    return (
+        probes.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("user_id", "exact_cnt", "n_total")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+            (
+                (F.col("cms_est") - F.col("exact_cnt")) * F.lit(width)
+                <= F.lit(2) * F.col("n_total")
+            ).alias("within_markov_bound"),
+        )
+    )

@@ -4922,3 +4922,57 @@ LEFT JOIN na ON na.query_id = s.query_id
 
 
 ORACLES["modality_agreement"] = _modality_agreement_sql()
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    CMS_ROWS,
+    CMS_TOP_K,
+    CMS_WIDTH,
+)
+
+# Twin of operators/analytics.py:heavy_hitters_cms — same md5 bucket
+# arithmetic, exact long counters, so the sketch ESTIMATE (not just the
+# ground truth) matches bit-for-bit; the Markov-bound boolean is
+# deterministic data on both sides.
+ORACLES["heavy_hitters_cms"] = f"""
+WITH keyed AS (
+  SELECT {_DAY} AS day, CAST(user_id AS VARCHAR) AS key, user_id
+  FROM events
+),
+hashed AS (
+  SELECT day, r,
+         CAST(concat('0x', substr(md5(concat(r, ':', key)), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM keyed, UNNEST(generate_series(0, {CMS_ROWS - 1})) AS u(r)
+),
+daily AS (
+  SELECT day, r, bucket, COUNT(*) AS c FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS counter FROM daily GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+topk AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_TOP_K}
+),
+probes AS (
+  SELECT t.user_id, t.exact_cnt, r,
+         CAST(concat('0x', substr(md5(concat(r, ':', CAST(t.user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM topk t, UNNEST(generate_series(0, {CMS_ROWS - 1})) AS u(r)
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(m.counter) AS cms_est
+  FROM probes p JOIN merged m ON m.r = p.r AND m.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT e.user_id, e.exact_cnt, e.cms_est,
+       e.cms_est - e.exact_cnt AS overcount,
+       (e.cms_est - e.exact_cnt) * {CMS_WIDTH} <= 2 * t.n_total
+         AS within_markov_bound
+FROM est e, total t
+"""

@@ -909,3 +909,18 @@ def test_ann_paths_recall_bounded_joins(spark):
     assert "CartesianProduct" not in r.raw
     assert r.sort_merge_joins <= 1
     release_persisted()
+
+
+def test_heavy_hitters_cms_bounded_probe(spark):
+    # sketch build collapses map-side to day x rows x width keys; the
+    # estimate probe is a BROADCAST join against the <=rows*width merged
+    # sketch (never a shuffle of raw events a third way); the only
+    # nested-loop is the benign 1-row n_total broadcast
+    r = assert_plan(
+        Q["heavy_hitters_cms"](spark, SF_SMOKE),
+        max_exchanges=6,
+        max_scans=3,
+        require_broadcast_joins=1,
+        forbid_sort_merge=True,
+    )
+    assert r.nested_loop_joins <= 1
