@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import dedup as D
     from inde1_spark.operators import multimodal as M
     from inde1_spark.operators import clustering as CL
+    from inde1_spark.operators import joins as J
     from inde1_spark.operators import scoring as SC
     from inde1_spark.operators import similarity as S
     from inde1_spark.operators import text as T
@@ -206,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "heavy_hitters_cms": lambda sp, d: A.heavy_hitters_cms(
             _t(sp, d, "events")
+        ),
+        "bloom_prefilter_join": lambda sp, d: J.bloom_prefilter_join(
+            _t(sp, d, "orders"), _t(sp, d, "customer")
         ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).

@@ -4976,3 +4976,59 @@ SELECT e.user_id, e.exact_cnt, e.cms_est,
          AS within_markov_bound
 FROM est e, total t
 """
+
+
+from inde1_spark.operators.joins import BLOOM_BITS, BLOOM_HASHES  # noqa: E402
+
+# Twin of operators/joins.py:bloom_prefilter_join — identical md5 bit
+# indexes and 32-bit word masks, so the filter contents, the pass set,
+# and the measured FPR all match bit-for-bit. The oracle spells the
+# probe as an explode + word join (value-correct, not scale-shaped).
+ORACLES["bloom_prefilter_join"] = f"""
+WITH keys AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0),
+hashed AS (
+  SELECT CAST(concat('0x', substr(md5(concat(j, ':', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT)
+           % {BLOOM_BITS} AS idx
+  FROM keys, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(j)
+),
+words AS (
+  SELECT idx // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
+  FROM hashed GROUP BY 1
+),
+build AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set FROM words),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+probe AS (
+  SELECT o.o_orderkey AS rid, o.o_custkey AS pkey,
+         (k.key IS NOT NULL) AS matched
+  FROM orders o LEFT JOIN keys k ON k.key = o.o_custkey
+),
+ph AS (
+  SELECT rid, matched,
+         CAST(concat('0x', substr(md5(concat(j, ':', CAST(pkey AS VARCHAR))), 1, 8)) AS BIGINT)
+           % {BLOOM_BITS} AS idx
+  FROM probe, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(j)
+),
+pm AS (
+  SELECT ph.rid, ph.matched,
+         CAST(COUNT(*) FILTER (WHERE
+           (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(ph.idx % 32 AS INT))) <> 0
+         ) AS BIGINT) AS nhits
+  FROM ph LEFT JOIN words w ON w.word = ph.idx // 32
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+         CAST(SUM(CASE WHEN nhits = {BLOOM_HASHES} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+         CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+         CAST(SUM(CASE WHEN nhits = {BLOOM_HASHES} AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         CAST(SUM(CASE WHEN matched AND nhits < {BLOOM_HASHES} THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+  FROM pm
+)
+SELECT nk.n_keys, b.bits_set,
+       {_rr("b.bits_set", str(BLOOM_BITS), 6)} AS fill_ratio,
+       a.n_probe, a.n_pass_bloom, a.n_true_match, a.n_false_pos,
+       a.false_negatives,
+       {_rr("a.n_false_pos", "GREATEST(a.n_probe - a.n_true_match, 1)", 6)} AS fpr
+FROM agg a, build b, nk
+"""

@@ -924,3 +924,16 @@ def test_heavy_hitters_cms_bounded_probe(spark):
         forbid_sort_merge=True,
     )
     assert r.nested_loop_joins <= 1
+
+
+def test_bloom_prefilter_fact_side_projection(spark):
+    # the FACT side must learn membership as a row-local projection: one
+    # broadcast hash join for the matched flag, 1-row broadcasts for the
+    # filter/count rows, and NEVER a sort-merge (i.e. never a fact-side
+    # shuffle on a data-dependent key); repeated scans are all of the
+    # small build dimension
+    r = plan_report(Q["bloom_prefilter_join"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins >= 1
+    assert "CartesianProduct" not in r.raw
+    assert r.exchanges <= 14
