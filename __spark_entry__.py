@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": lambda sp, d: J.bloom_prefilter_join(
             _t(sp, d, "orders"), _t(sp, d, "customer")
         ),
+        "keyword_textrank": lambda sp, d: T.keyword_textrank(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

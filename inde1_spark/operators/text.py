@@ -1052,3 +1052,128 @@ def modality_agreement(
             ).alias("agreement"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# keyword_textrank: corpus keyword extraction via PageRank on the word graph
+# ---------------------------------------------------------------------------
+
+TEXTRANK_WINDOW = 3  # co-occurrence window in token positions
+TEXTRANK_VOCAB = 500  # graph nodes capped to the top-V content words
+TEXTRANK_ITERS = 8
+TEXTRANK_TOP_K = 25
+TEXTRANK_MIN_LEN = 4  # content-word filter: no stopword list needed
+TEXTRANK_DAMPING = 0.85
+
+
+def keyword_textrank(
+    documents: DataFrame,
+    window: int = TEXTRANK_WINDOW,
+    vocab_cap: int = TEXTRANK_VOCAB,
+    iters: int = TEXTRANK_ITERS,
+    k: int = TEXTRANK_TOP_K,
+    min_len: int = TEXTRANK_MIN_LEN,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — the graph-centrality
+    keyword signal that frequency ranking misses (a term that co-occurs
+    with MANY distinct central terms outranks an equally-frequent term
+    that repeats inside one template). Complements ``tfidf_top_terms``
+    (per-doc contrast) and ``term_cooccurrence`` (pairwise PMI) with a
+    global importance score.
+
+    Scale shape: pair generation is ROW-LOCAL (the ``word_ngrams``
+    zip-of-shifted-slices spelling — no positional self-join, no
+    interpreted per-position lambda re-evaluating the tokenizer), the
+    graph is capped to the top-``vocab_cap`` content words (TakeOrdered,
+    never a vocabulary sort), and each PageRank round is one edge join +
+    one aggregate over a <=vocab_cap-node edge table, lazily
+    checkpointed per the kmeans/components invariant. Rank arithmetic is
+    the ``pagerank_dup_graph`` nano-long contract: per-edge contribution
+    (r_nano * w) div wout is exact (r_nano <= ~1e9 and corpus pair
+    weights keep the product far from 2^63; re-check if a single pair
+    ever exceeds ~1e9 co-occurrences), and the damping update re-derives
+    the same long from the same IEEE doubles in both engines.
+    """
+    from inde1_spark.operators.dedup import _lazy_checkpoint, _persist
+
+    toksc = F.filter(tokens("text"), lambda t: F.length(t) >= min_len)
+    docs = documents.select("doc_id", toksc.alias("toks"))
+    sz = F.size(F.col("toks"))
+    pair_arrays = []
+    for off in range(1, window):
+        z = F.filter(
+            F.arrays_zip(
+                F.col("toks").alias("a"),
+                F.slice(
+                    F.col("toks"), off + 1, F.greatest(sz - off, F.lit(1))
+                ).alias("b"),
+            ),
+            lambda s: s["b"].isNotNull(),
+        )
+        pair_arrays.append(z)
+    pairs = (
+        docs.select(F.explode(F.concat(*pair_arrays)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    vocab = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_cap)
+        .select("token")
+    )
+    edges = _persist(
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .join(
+            F.broadcast(vocab.withColumnRenamed("token", "u")), "u", "semi"
+        )
+        .join(
+            F.broadcast(vocab.withColumnRenamed("token", "v")), "v", "semi"
+        )
+    )
+    wout = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wout"))
+    total = wout.agg(F.count("*").cast("double").alias("n_nodes"))
+    rank = wout.join(F.broadcast(total)).select(
+        "u",
+        "wout",
+        "n_nodes",
+        F.floor(F.lit(1e9) / F.col("n_nodes") + F.lit(0.5))
+        .cast("long")
+        .alias("r_nano"),
+    )
+    for _ in range(iters):
+        contrib = edges.join(rank, "u").select(
+            F.col("v").alias("u"), F.expr("(r_nano * w) div wout").alias("c")
+        )
+        s = contrib.groupBy("u").agg(F.sum("c").cast("long").alias("s_nano"))
+        rank = _lazy_checkpoint(
+            rank.join(s, "u", "left").select(
+                "u",
+                "wout",
+                "n_nodes",
+                F.floor(
+                    (F.lit(1.0 - TEXTRANK_DAMPING) / F.col("n_nodes"))
+                    * F.lit(1e9)
+                    + F.lit(TEXTRANK_DAMPING)
+                    * F.coalesce(F.col("s_nano"), F.lit(0).cast("long"))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("r_nano"),
+            )
+        )
+    return (
+        rank.orderBy(F.desc("r_nano"), F.asc("u"))
+        .limit(k)
+        .select(
+            F.col("u").alias("token"),
+            F.col("wout").alias("cooc_weight"),
+            (F.col("r_nano").cast("double") / F.lit(1e9)).alias("textrank"),
+        )
+    )

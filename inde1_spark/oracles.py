@@ -5032,3 +5032,74 @@ SELECT nk.n_keys, b.bits_set,
        {_rr("a.n_false_pos", "GREATEST(a.n_probe - a.n_true_match, 1)", 6)} AS fpr
 FROM agg a, build b, nk
 """
+
+
+from inde1_spark.operators.text import (  # noqa: E402
+    TEXTRANK_DAMPING,
+    TEXTRANK_ITERS,
+    TEXTRANK_MIN_LEN,
+    TEXTRANK_TOP_K,
+    TEXTRANK_VOCAB,
+    TEXTRANK_WINDOW,
+)
+
+
+def _textrank_ctes(iters: int) -> str:
+    d = TEXTRANK_DAMPING
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.v AS u, CAST(SUM((r.r * e.w) // r.wout) AS BIGINT) AS s\n"
+            f"          FROM edges e JOIN r{i} r ON e.u = r.u GROUP BY 1),\n"
+            f"r{i + 1} AS (SELECT d.u, d.wout,\n"
+            f"            CAST(floor(({1.0 - d!r} / t.n) * 1e9\n"
+            f"                       + {d!r} * CAST(COALESCE(s.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS r\n"
+            f"            FROM wout d CROSS JOIN tot t LEFT JOIN s{i} s ON s.u = d.u)"
+        )
+    return ",\n".join(parts)
+
+
+# Twin of operators/text.py:keyword_textrank — positional self-join spells
+# the row-local zip-of-shifted-slices pair generation (offsets 1..W-1),
+# then the weighted nano-long PageRank unrolls as chained CTEs exactly
+# like the pagerank_dup_graph twin.
+_TEXTRANK_OFFS = ", ".join(str(o) for o in range(1, TEXTRANK_WINDOW))
+ORACLES["keyword_textrank"] = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) >= {TEXTRANK_MIN_LEN}) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+  FROM docs
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM pos GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {TEXTRANK_VOCAB}
+  )
+),
+prs AS (
+  SELECT p1.token AS a, p2.token AS b
+  FROM pos p1 JOIN pos p2
+    ON p2.doc_id = p1.doc_id AND p2.pos - p1.pos IN ({_TEXTRANK_OFFS})
+  WHERE p1.token <> p2.token
+),
+dir AS (SELECT a AS u, b AS v FROM prs UNION ALL SELECT b, a FROM prs),
+edges AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM dir
+  WHERE u IN (SELECT token FROM vocab) AND v IN (SELECT token FROM vocab)
+  GROUP BY 1, 2
+),
+wout AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wout),
+r0 AS (
+  SELECT d.u, d.wout, CAST(floor(1e9 / t.n + 0.5) AS BIGINT) AS r
+  FROM wout d CROSS JOIN tot t
+),
+{_textrank_ctes(TEXTRANK_ITERS)}
+SELECT u AS token, wout AS cooc_weight, CAST(r AS DOUBLE) / 1e9 AS textrank
+FROM r{TEXTRANK_ITERS}
+ORDER BY r DESC, u ASC LIMIT {TEXTRANK_TOP_K}
+"""

@@ -937,3 +937,12 @@ def test_bloom_prefilter_fact_side_projection(spark):
     assert r.broadcast_hash_joins >= 1
     assert "CartesianProduct" not in r.raw
     assert r.exchanges <= 14
+
+
+def test_keyword_textrank_no_cartesian(spark):
+    # row-local pair generation + vocab-capped graph; rank rounds are
+    # edge join + aggregate, lazily checkpointed — no cartesian anywhere
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["keyword_textrank"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()

@@ -188,3 +188,23 @@ def test_bpe_merge_is_left_to_right_greedy(spark):
            bpe_learn_merges(docs, rounds=2).collect()}
     assert got[1] == ("a", "a")
     assert got[2] == ("aa", "aa")
+
+
+def test_textrank_hub_outranks_equal_frequency_cycle(spark):
+    # hubword co-occurs with 8 DISTINCT partners; loopword/echoword form an
+    # isolated 2-cycle with the SAME total frequency as hubword. Frequency
+    # ranking ties them; TextRank centrality must put the hub first.
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.text import keyword_textrank
+
+    hub_docs = [f"hubword partner{c}" for c in "abcdefgh"]
+    cycle_docs = ["loopword echoword"] * 8
+    out = {
+        r["token"]: r["textrank"]
+        for r in keyword_textrank(
+            _docs(spark, hub_docs + cycle_docs), k=50
+        ).collect()
+    }
+    release_persisted()
+    assert "hubword" in out and "loopword" in out
+    assert out["hubword"] > out["loopword"]
