@@ -3177,3 +3177,114 @@ def heavy_hitters_cms(
             ).alias("within_markov_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence: Pearson chi-square contingency audit (type x weekday)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(events: DataFrame) -> DataFrame:
+    """Pearson chi-square independence audit of the event_type x ISO
+    weekday contingency table — the categorical member of the drift/
+    dependence family (``source_drift_ks`` tests a continuous
+    distribution, ``value_drift_psi`` a binned one; this tests whether
+    two CATEGORICAL factors are associated at all, the go/no-go before
+    anyone builds dow-adjusted thresholds per type).
+
+    Determinism (micro-grid contract): expected counts snap to the micro
+    grid as round_half_up(R*C*1e6/N) in decimal(38,0) (never a float
+    product — R*C reaches 1e24 at 1e12 events), each cell's contribution
+    (O*1e6 - E_micro)^2 / (E_micro*1e6) snaps the same way (squares stay
+    under 1e36 < decimal(38,0)), and the statistic is a SUM of exact
+    longs divided by 1e6 once. The DuckDB twin runs the identical
+    integer arithmetic in HUGEINT.
+
+    Plan: ONE map-side-combined shuffle to the (types x 7)-bounded cell
+    table; margins and the global statistic ride windows over those
+    bounded cells — the raw table is never touched twice.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    dow = F.dayofweek(F.col("ts"))
+    iso = ((dow + 5) % 7 + 1).cast("long")
+    raw = events.groupBy("event_type", iso.alias("iso_dow")).agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    # densify: a chi-square over the SPARSE table silently drops every
+    # (O=0, E>0) cell's contribution — the planted 2x2 design scores
+    # 3e-5 instead of 60 without this. Densification stays ON the
+    # bounded aggregated table (no second raw scan): per-type dow->count
+    # maps, exploded against the global observed-dow set. All-empty
+    # rows/columns stay out by construction, so no E=0 cell exists.
+    per_type = raw.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("iso_dow", "observed"))
+        ).alias("obs_map")
+    )
+    wg0 = Window.partitionBy()
+    dows_arr = F.array_distinct(
+        F.flatten(F.collect_list(F.map_keys("obs_map")).over(wg0))
+    )
+    cells = per_type.select(
+        "event_type", "obs_map", dows_arr.alias("all_dows")
+    ).select(
+        "event_type", "obs_map", F.explode("all_dows").alias("iso_dow")
+    ).select(
+        "event_type",
+        "iso_dow",
+        F.coalesce(
+            F.element_at("obs_map", F.col("iso_dow")), F.lit(0).cast("long")
+        ).alias("observed"),
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("iso_dow")
+    wg = Window.partitionBy()
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    cells = cells.select(
+        "event_type",
+        "iso_dow",
+        "observed",
+        d(F.sum("observed").over(wr)).alias("row_tot"),
+        d(F.sum("observed").over(wc)).alias("col_tot"),
+        d(F.sum("observed").over(wg)).alias("n_total"),
+        F.size(F.collect_set("event_type").over(wg)).cast("long").alias("n_types"),
+        F.size(F.collect_set("iso_dow").over(wg)).cast("long").alias("n_dows"),
+    )
+    e_micro = dec_floordiv(
+        (
+            F.col("row_tot") * F.col("col_tot") * F.lit(1_000_000) * 2
+            + F.col("n_total")
+        ).cast("decimal(38,0)"),
+        (F.col("n_total") * 2).cast("decimal(38,0)"),
+    ).cast("decimal(38,0)")
+    cells = cells.withColumn("e_micro", e_micro)
+    diff = (d(F.col("observed")) * F.lit(1_000_000) - F.col("e_micro")).cast(
+        "decimal(38,0)"
+    )
+    # ((O-E)*1e6)^2 / (E*1e6) = contrib * 1e6 — dividing by e_micro alone
+    # keeps the result micro-scaled; greatest(.,1) guards the degenerate
+    # rounds-to-zero expected cell (CLAUDE.md denominator rule)
+    den = F.greatest(F.col("e_micro"), F.lit(1).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    contrib_micro = dec_floordiv(
+        (diff * diff * 2 + den).cast("decimal(38,0)"),
+        (den * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    cells = cells.withColumn("contrib_micro", contrib_micro)
+    dof = (F.col("n_types") - 1) * (F.col("n_dows") - 1)
+    return cells.select(
+        "event_type",
+        "iso_dow",
+        "observed",
+        (F.col("e_micro").cast("double") / F.lit(1e6)).alias("expected"),
+        (F.col("contrib_micro").cast("double") / F.lit(1e6)).alias("contrib"),
+        (
+            F.sum("contrib_micro").over(wg).cast("double") / F.lit(1e6)
+        ).alias("chi2"),
+        dof.alias("dof"),
+    )

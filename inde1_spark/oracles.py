@@ -5103,3 +5103,52 @@ SELECT u AS token, wout AS cooc_weight, CAST(r AS DOUBLE) / 1e9 AS textrank
 FROM r{TEXTRANK_ITERS}
 ORDER BY r DESC, u ASC LIMIT {TEXTRANK_TOP_K}
 """
+
+
+# Twin of operators/analytics.py:chi2_independence — identical micro-grid
+# integer arithmetic in HUGEINT (round-half-up via (a*2+b)//(2b)).
+ORACLES["chi2_independence"] = """
+WITH cells0 AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  -- densified: zero cells contribute (0-E)^2/E like any other
+  SELECT g.event_type, g.iso_dow, COALESCE(c.observed, 0) AS observed
+  FROM (SELECT t.event_type, d.iso_dow
+        FROM (SELECT DISTINCT event_type FROM cells0) t,
+             (SELECT DISTINCT iso_dow FROM cells0) d) g
+  LEFT JOIN cells0 c
+    ON c.event_type = g.event_type AND c.iso_dow = g.iso_dow
+),
+m AS (
+  SELECT event_type, iso_dow, observed,
+         CAST(SUM(observed) OVER (PARTITION BY event_type) AS HUGEINT) AS row_tot,
+         CAST(SUM(observed) OVER (PARTITION BY iso_dow) AS HUGEINT) AS col_tot,
+         CAST(SUM(observed) OVER () AS HUGEINT) AS n_total
+  FROM cells
+),
+e AS (
+  SELECT *,
+         (row_tot * col_tot * 1000000 * 2 + n_total) // (n_total * 2) AS e_micro
+  FROM m
+),
+c AS (
+  -- ((O-E)*1e6)^2 // E_micro keeps the contribution micro-scaled;
+  -- GREATEST guards a rounds-to-zero expected cell
+  SELECT *,
+         CAST(((CAST(observed AS HUGEINT) * 1000000 - e_micro)
+               * (CAST(observed AS HUGEINT) * 1000000 - e_micro) * 2
+               + GREATEST(e_micro, 1))
+              // (GREATEST(e_micro, 1) * 2) AS BIGINT) AS contrib_micro
+  FROM e
+)
+SELECT event_type, iso_dow, observed,
+       CAST(e_micro AS DOUBLE) / 1e6 AS expected,
+       CAST(contrib_micro AS DOUBLE) / 1e6 AS contrib,
+       CAST(SUM(contrib_micro) OVER () AS DOUBLE) / 1e6 AS chi2,
+       (SELECT (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT iso_dow) - 1)
+        FROM cells) AS dof
+FROM c
+"""

@@ -946,3 +946,12 @@ def test_keyword_textrank_no_cartesian(spark):
 
     assert_plan(Q["keyword_textrank"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_chi2_independence_single_scan(spark):
+    # one shuffle to the (types x 7) cell table; margins and the global
+    # statistic ride windows over those bounded cells — raw events are
+    # scanned exactly once
+    assert_plan(
+        Q["chi2_independence"](spark, SF_SMOKE), max_exchanges=5, max_scans=1
+    )

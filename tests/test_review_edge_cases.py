@@ -111,3 +111,27 @@ def test_cluster_balance_decimal_mean_matches_python(spark):
         expect = (2 * sums[c] + n) // (2 * n)  # round-half-up(sum/n)
         assert out[c]["mean_dist_scaled"] == expect
         assert out[c]["n_members"] == n
+
+
+def test_chi2_independence_planted_contingency(spark):
+    """Fully-dependent 2x2 design: type A only on Monday, type B only on
+    Tuesday, 30 events each. E = 15 for every cell, every contribution
+    (30-15)^2/15 or (0-15)^2/15 = 15, chi2 = 60, dof = 1."""
+    import datetime as dt
+
+    from inde1_spark.operators.analytics import chi2_independence
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, 0, i % 60), "A") for i in range(30)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 2, 10, 0, i % 60), "B")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = chi2_independence(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["expected"] == 15.0
+        assert r["contrib"] == 15.0
+        assert r["chi2"] == 60.0
+        assert r["dof"] == 1
