@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": lambda sp, d: A.chi2_independence(
             _t(sp, d, "events")
         ),
+        "acf_daily": lambda sp, d: A.acf_daily(_t(sp, d, "events")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

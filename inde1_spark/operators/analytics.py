@@ -3288,3 +3288,108 @@ def chi2_independence(events: DataFrame) -> DataFrame:
         ).alias("chi2"),
         dof.alias("dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# acf_daily: autocorrelation function of the daily series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14
+
+
+def acf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..``max_lag`` — the lag-structure fingerprint that closes the
+    time-series family: ``dow_profile``/``seasonal_decompose`` ASSUME a
+    weekly cycle, the ACF shows whether one exists (a lag-7 peak) and
+    what else does (lag-1 momentum for EWMA/Holt parameter choices,
+    slow decay = trend the changepoint test will otherwise flag).
+
+    Exactness: the mean-centered convention multiplied through by n so
+    every factor is an exact integer — r_l = sum_t (n*x_t - S)(n*x_{t+l}
+    - S) / sum_t (n*x_t - S)^2 with x on the micro grid (the n^2
+    cancels). Products stay inside decimal(38,0) (|n*x - S| <= ~1e18 at
+    1e3 days of 1e12-micro revenue, squared 1e36); the final ratio
+    converts both wide sums via dec_to_double_exact (never a raw
+    >2^53 cast — CLAUDE.md rule) and divides two engine-identical
+    doubles once. Zero-variance series guard: den clamps to 1 (every
+    numerator is then 0 anyway).
+
+    Plan: one corpus-volume groupBy to days, then everything — global
+    moments, the ``max_lag`` lead columns, the lag explode, the per-lag
+    aggregate — runs over the BOUNDED daily series
+    (pre-aggregate-before-window discipline).
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_micro")
+    )
+    wg = Window.partitionBy()
+    w = Window.orderBy("day")
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    base = daily.select(
+        "day",
+        F.count("*").over(wg).cast("long").alias("n_days"),
+        (
+            d38(F.count("*").over(wg)) * F.col("v_micro")
+            - d38(F.sum("v_micro").over(wg))
+        )
+        .cast("decimal(38,0)")
+        .alias("diff"),
+    )
+    leads = base.select(
+        "day",
+        "n_days",
+        "diff",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lag).cast("long").alias("lag"),
+                    F.lead("diff", lag).over(w).alias("dl"),
+                )
+                for lag in range(1, max_lag + 1)
+            ]
+        ).alias("lags"),
+    )
+    # den must bind BEFORE the explode: a same-projection window would
+    # evaluate over the exploded rows (each diff repeated max_lag times,
+    # inflating den exactly max_lag-fold — caught by the oracle gate)
+    with_den = leads.select(
+        "n_days",
+        "diff",
+        "lags",
+        F.sum((d38(F.col("diff")) * F.col("diff")).cast("decimal(38,0)"))
+        .over(wg)
+        .cast("decimal(38,0)")
+        .alias("den"),
+    )
+    exploded = with_den.select(
+        "n_days", "diff", "den", F.explode("lags").alias("p")
+    ).filter(F.col("p.dl").isNotNull())
+    per_lag = exploded.groupBy(F.col("p.lag").alias("lag")).agg(
+        F.max("n_days").alias("n_days"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((d38(F.col("diff")) * F.col("p.dl")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.max("den").alias("den"),
+    )
+    den_safe = F.greatest(F.col("den"), F.lit(1).cast("decimal(38,0)"))
+    return per_lag.select(
+        "lag",
+        "n_days",
+        "n_pairs",
+        (
+            dec_to_double_exact(F.col("num"))
+            / dec_to_double_exact(den_safe.cast("decimal(38,0)"))
+        ).alias("acf"),
+    )

@@ -5152,3 +5152,41 @@ SELECT event_type, iso_dow, observed,
         FROM cells) AS dof
 FROM c
 """
+
+
+from inde1_spark.operators.analytics import ACF_MAX_LAG  # noqa: E402
+
+# Twin of operators/analytics.py:acf_daily — identical n-scaled integer
+# moments in HUGEINT; the final ratio converts both wide sums through
+# the base-10^15 digit split (_dec2d) before ONE double division.
+ORACLES["acf_daily"] = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT day,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+         CAST(COUNT(*) OVER () AS HUGEINT) * v_micro
+           - CAST(SUM(v_micro) OVER () AS HUGEINT) AS diff,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+den AS (SELECT CAST(SUM(diff * diff) AS HUGEINT) AS den FROM base),
+prs AS (
+  SELECT l.lag, a.n_days, a.diff AS d0, b.diff AS dl
+  FROM base a
+  JOIN UNNEST(generate_series(1, {ACF_MAX_LAG})) AS l(lag) ON TRUE
+  JOIN base b ON b.t = a.t + l.lag
+),
+per_lag AS (
+  SELECT lag, MAX(n_days) AS n_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(d0 * dl) AS HUGEINT) AS num
+  FROM prs GROUP BY 1
+)
+SELECT p.lag, p.n_days, p.n_pairs,
+       {_dec2d("p.num")} / {_dec2d("GREATEST(d.den, 1)")} AS acf
+FROM per_lag p, den d
+"""

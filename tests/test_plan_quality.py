@@ -955,3 +955,10 @@ def test_chi2_independence_single_scan(spark):
     assert_plan(
         Q["chi2_independence"](spark, SF_SMOKE), max_exchanges=5, max_scans=1
     )
+
+
+def test_acf_daily_preaggregates(spark):
+    # one corpus-volume groupBy to days; moments, the lead columns, the
+    # lag explode and the per-lag aggregate all ride the bounded daily
+    # series — raw events scanned once
+    assert_plan(Q["acf_daily"](spark, SF_SMOKE), max_exchanges=5, max_scans=1)

@@ -103,3 +103,27 @@ def test_burstiness_separates_metronome_from_bursts(spark):
     assert set(out) == {"metro", "burst"}  # 'tiny' (1 gap) excluded
     assert out["metro"]["burstiness"] == -1.0
     assert out["burst"]["burstiness"] > 0.3
+
+
+def test_acf_weekly_cycle_peaks_at_lag_7(spark):
+    """12 weeks of a pure weekly pattern: the ACF must peak at lag 7 (and
+    14) and sit clearly above the off-cycle lags."""
+    import datetime as dt
+
+    from inde1_spark.operators.analytics import acf_daily
+
+    pattern = [100.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i), "view",
+         pattern[i % 7])
+        for i in range(84)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    acf = {r["lag"]: r["acf"] for r in acf_daily(df).collect()}
+    assert len(acf) == 14
+    assert acf[7] > 0.8 and acf[14] > 0.7
+    assert acf[7] > acf[1] and acf[7] > acf[6] and acf[7] > acf[8]
+    for lag in (1, 2, 3, 4, 5, 6):
+        assert acf[lag] < 0.1
