@@ -3393,3 +3393,88 @@ def acf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
             / dec_to_double_exact(den_safe.cast("decimal(38,0)"))
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall: nonparametric monotonic-trend test on the daily series
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over the daily revenue series —
+    the NONPARAMETRIC companion to ``daily_trend_regression``: the
+    least-squares slope assumes linearity and is dragged by one outlier
+    day, while S = sum_{i<j} sign(x_j - x_i) detects ANY monotonic drift
+    and is rank-robust. Standard normal approximation with the tie
+    correction and continuity correction: Var(S) = [n(n-1)(2n+5) -
+    sum t(t-1)(2t+5)]/18, Z = (S -/+ 1)/sqrt(Var).
+
+    Determinism: S and 18*Var(S) are exact integers (longs — n is the
+    DAY count, bounded by the calendar, so n^3 stays tiny); Z divides
+    two doubles built from them with IEEE-exact ops (sqrt is correctly
+    rounded in both engines); the variance clamps at 0 per the CLAUDE.md
+    rule before sqrt (DuckDB hard-errors on sqrt(negative)). The
+    trend_5pct boolean (|Z| > 1.96) is deterministic data, not a
+    tolerance.
+
+    Plan: one corpus-volume groupBy to days; the pair join is a
+    self-join of the BOUNDED daily series (time-bounded, not
+    data-bounded — ~10^3 days even at 100 TB, 10^6 pairs), the same
+    boundedness argument as the other daily-series operators.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    s_row = (
+        a.join(b, F.col("da") < F.col("db"))
+        .groupBy()
+        .agg(
+            F.sum(F.signum(F.col("vb") - F.col("va")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_value_groups"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+    )
+    n = F.col("n_days")
+    var18 = F.greatest(
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term"), F.lit(0).cast("long")
+    )
+    z = F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double")
+               / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+        ).when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1).cast("double")
+               / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+        ).otherwise(F.lit(0.0))
+    return (
+        ties.crossJoin(F.broadcast(s_row))
+        .withColumn("var18", var18)
+        .select(
+            "n_days",
+            "n_value_groups",
+            "s_stat",
+            (F.col("var18").cast("double") / F.lit(18.0)).alias("var_s"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(1.96)).alias("trend_5pct"),
+        )
+    )

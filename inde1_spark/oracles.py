@@ -5190,3 +5190,46 @@ SELECT p.lag, p.n_days, p.n_pairs,
        {_dec2d("p.num")} / {_dec2d("GREATEST(d.den, 1)")} AS acf
 FROM per_lag p, den d
 """
+
+
+# Twin of operators/analytics.py:mann_kendall — same exact-integer S and
+# 18*Var(S), same IEEE sqrt/divide chain, variance clamped before sqrt.
+ORACLES["mann_kendall"] = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(sign(b.v - a.v)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+ties AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_value_groups,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS n_days
+  FROM ties
+),
+v18 AS (
+  SELECT a.n_days, a.n_value_groups, s.s_stat,
+         GREATEST(a.n_days * (a.n_days - 1) * (2 * a.n_days + 5)
+                  - a.tie_term, 0) AS var18
+  FROM agg a, s
+),
+zed AS (
+  SELECT n_days, n_value_groups, s_stat,
+         CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+         CASE WHEN s_stat > 0
+                THEN CAST(s_stat - 1 AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              WHEN s_stat < 0
+                THEN CAST(s_stat + 1 AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS z
+  FROM v18
+)
+SELECT n_days, n_value_groups, s_stat, var_s, z, ABS(z) > 1.96 AS trend_5pct
+FROM zed
+"""

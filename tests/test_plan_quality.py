@@ -962,3 +962,12 @@ def test_acf_daily_preaggregates(spark):
     # lag explode and the per-lag aggregate all ride the bounded daily
     # series — raw events scanned once
     assert_plan(Q["acf_daily"](spark, SF_SMOKE), max_exchanges=5, max_scans=1)
+
+
+def test_mann_kendall_bounded_pair_join(spark):
+    # the pair join is over the BOUNDED daily series (time-bounded), one
+    # raw scan per branch (day-agg reused by pairs/ties); no cartesian of
+    # raw events — the pair join keys on the bounded theta condition only
+    r = plan_report(Q["mann_kendall"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 3
+    assert r.sort_merge_joins == 0

@@ -127,3 +127,28 @@ def test_acf_weekly_cycle_peaks_at_lag_7(spark):
     assert acf[7] > acf[1] and acf[7] > acf[6] and acf[7] > acf[8]
     for lag in (1, 2, 3, 4, 5, 6):
         assert acf[lag] < 0.1
+
+
+def test_mann_kendall_monotonic_and_flat(spark):
+    """Strictly increasing daily series: S = n(n-1)/2, strong positive
+    trend. All-equal series: S=0, Var=0 (all ties), z=0, no trend."""
+    import datetime as dt
+
+    from inde1_spark.operators.analytics import mann_kendall
+
+    def _events(values):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 3, 1, 9) + dt.timedelta(days=i), "view", v)
+                for i, v in enumerate(values)
+            ],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    up = mann_kendall(_events([float(10 + i) for i in range(30)])).collect()[0]
+    assert up["s_stat"] == 30 * 29 // 2
+    assert up["z"] > 5.0 and up["trend_5pct"]
+
+    flat = mann_kendall(_events([7.0] * 30)).collect()[0]
+    assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
+    assert flat["z"] == 0.0 and not flat["trend_5pct"]
