@@ -3095,6 +3095,38 @@ CMS_WIDTH = 256
 CMS_TOP_K = 10
 
 
+def _cms_bucket(width: int):
+    """md5-derived Count-Min bucket for columns (r, key) — engine-portable
+    and a pure projection, so it works unchanged on a streaming frame."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("key"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).alias("bucket")
+
+
+def cms_bucketed(
+    events: DataFrame, rows: int = CMS_ROWS, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The pre-aggregation CMS projection: one (r, bucket) row per sketch
+    row per event — shared by the batch build (``heavy_hitters_cms``) and
+    the streaming maintenance path (``streaming.pipelines.
+    cms_sketch_stream``), which differ only in how they aggregate it
+    (day-merge vs incremental stateful count; the sketch is linear, so
+    both yield identical counters)."""
+    key = F.col("user_id").cast("string")
+    r = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("r")
+    return (
+        events.select(key.alias("key"))
+        .select("key", r)
+        .select("r", "key", _cms_bucket(width))
+        .select("r", "bucket")
+    )
+
+
 def heavy_hitters_cms(
     events: DataFrame,
     rows: int = CMS_ROWS,
@@ -3128,14 +3160,7 @@ def heavy_hitters_cms(
     """
     key = F.col("user_id").cast("string")
     r = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("r")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("key"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % width
-    ).alias("bucket")
+    bucket = _cms_bucket(width)
     merged = (
         events.select(_day_str().alias("day"), key.alias("key"))
         .select("day", "key", r)

@@ -635,3 +635,28 @@ def throttled_alert_stream(
         .withWatermark("ts", throttle)
         .dropDuplicatesWithinWatermark(["vehicle_plate", "violation_type"])
     )
+
+
+def cms_sketch_stream(events: DataFrame, rows: int | None = None,
+                      width: int | None = None) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the sketch family's
+    streaming member (T5/T8 x the mergeable-sketch rollups): the SAME
+    md5 counter grid as ``analytics.heavy_hitters_cms``, updated
+    incrementally by ONE bounded stateful aggregation. State is the
+    sketch itself (rows x width counters, ~1024 rows) regardless of key
+    cardinality — the reason CMS is the streaming frequency structure:
+    per-key streaming counts hold O(keys) state, this holds O(1).
+
+    Because the sketch is LINEAR, incremental micro-batch counters equal
+    the batch build at every point in time (pytest pins stream ==
+    batch); heavy-hitter estimates read the grid exactly like the batch
+    probe path. Complete output mode is correct AND cheap: the result
+    table IS the bounded sketch.
+    """
+    from inde1_spark.operators.analytics import CMS_ROWS, CMS_WIDTH, cms_bucketed
+
+    return (
+        cms_bucketed(events, rows or CMS_ROWS, width or CMS_WIDTH)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("counter"))
+    )

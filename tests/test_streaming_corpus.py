@@ -235,3 +235,52 @@ def test_near_dup_stream_matches_exact_ground_truth(spark, tmp_path):
     got = {(r["doc_new"], r["doc_idx"]): r["jaccard"] for r in got_rows}
     assert got == truth
     assert len(got_rows) == len(got)  # band collisions deduped
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The CMS counter grid is linear: incremental micro-batch maintenance
+    must land on exactly the counters the batch build produces."""
+    from inde1_spark.operators.analytics import cms_bucketed
+    from inde1_spark.streaming.pipelines import cms_sketch_stream
+
+    rows = [(i, 100 + (i * 7) % 23) for i in range(400)]
+    batch = spark.createDataFrame(rows, "event_id long, user_id long")
+
+    data_dir = tmp_path / "cms_data"
+    data_dir.mkdir()
+    json_rows = batch.toJSON().collect()
+    third = max(1, len(json_rows) // 3)
+    for i in range(3):
+        chunk = json_rows[i * third : (i + 1) * third if i < 2 else len(json_rows)]
+        (data_dir / f"part-{i}.json").write_text("\n".join(chunk))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+
+    final: dict = {}
+
+    def grab(df, _id):
+        final.clear()
+        final.update({(r["r"], r["bucket"]): r["counter"] for r in df.collect()})
+
+    q = (
+        cms_sketch_stream(stream)
+        .writeStream.foreachBatch(grab)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in cms_bucketed(batch)
+        .groupBy("r", "bucket")
+        .count()
+        .withColumnRenamed("count", "counter")
+        .collect()
+    }
+    assert final == want and len(want) > 0
