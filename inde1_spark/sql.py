@@ -501,6 +501,56 @@ def _cdc_sql() -> str:
     """
 
 
+def _heavy_hitters_cms_sql() -> str:
+    """heavy_hitters_cms as ONE Spark SQL query: per-day Count-Min grids,
+    merged by summing counters, probed by the exact top-k (analytics.py
+    CMS_* constants — interpolated so a constant change cannot desync
+    this twin from the operator)."""
+    from inde1_spark.operators.analytics import CMS_ROWS, CMS_TOP_K, CMS_WIDTH
+
+    bucket = (
+        "CAST(conv(substring(md5(concat_ws(':', r, CAST({key} AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+    return f"""
+        WITH hashed AS (
+          SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day, r,
+                 {bucket.format(key="user_id")} AS bucket
+          FROM events LATERAL VIEW explode(sequence(0, {CMS_ROWS - 1})) t AS r
+        ),
+        merged AS (
+          SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS counter
+          FROM (SELECT day, r, bucket, COUNT(*) AS c
+                FROM hashed GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM events GROUP BY 1
+        ),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+        topk AS (
+          SELECT user_id, exact_cnt FROM exact
+          ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_TOP_K}
+        ),
+        probes AS (
+          SELECT t.user_id, t.exact_cnt, r,
+                 {bucket.format(key="t.user_id")} AS bucket
+          FROM topk t LATERAL VIEW explode(sequence(0, {CMS_ROWS - 1})) x AS r
+        ),
+        est AS (
+          SELECT p.user_id, p.exact_cnt, MIN(m.counter) AS cms_est
+          FROM probes p JOIN merged m ON m.r = p.r AND m.bucket = p.bucket
+          GROUP BY 1, 2
+        )
+        SELECT e.user_id, e.exact_cnt, e.cms_est,
+               e.cms_est - e.exact_cnt AS overcount,
+               (e.cms_est - e.exact_cnt) * {CMS_WIDTH} <= 2 * t.n_total
+                 AS within_markov_bound
+        FROM est e CROSS JOIN total t
+    """
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -689,6 +739,7 @@ SPARK_SQL: dict[str, str] = {
     "knn_ivf": _knn_ivf_sql(),
     "knn_pq": _knn_pq_sql(),
     "salted_group_count": _salted_group_count_sql(),
+    "heavy_hitters_cms": _heavy_hitters_cms_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
