@@ -86,6 +86,9 @@ HEADLINE = (
     "rfm_segments",           # histogram-tercile user segmentation (r04)
     "knn_pq",                 # product-quantization ADC scan (r05)
     "minhash_est_jaccard",    # estimated-vs-exact Jaccard audit (r05)
+    "keyword_textrank",       # iterative graph rank over the word graph (r05)
+    "bloom_prefilter_join",   # runtime-filter pruning, fact side projection-only (r05)
+    "heavy_hitters_cms",      # mergeable-sketch frequency rollup (r05)
 )
 
 
