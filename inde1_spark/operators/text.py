@@ -1125,11 +1125,18 @@ def keyword_textrank(
         .limit(vocab_cap)
         .select("token")
     )
+    # canonicalize BEFORE the aggregate: grouping (min,max) halves the
+    # shuffle BYTES vs union-both-directions-then-group, and the mirror
+    # into (u,v)+(v,u) runs on the aggregated (vocab-bounded) table.
+    # Identical edge multiset; wall-neutral on local[32] (A/B 3.85s vs
+    # 3.86s at sf0.1 — single-box shuffle is memcpy) but half the
+    # network volume where a cluster actually pays for it
+    canon = pairs.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count("*").cast("long").alias("w"))
     edges = _persist(
-        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("w"))
+        canon.select("u", "v", "w")
+        .union(canon.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .join(
             F.broadcast(vocab.withColumnRenamed("token", "u")), "u", "semi"
         )
