@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "acf_daily": lambda sp, d: A.acf_daily(_t(sp, d, "events")),
         "mann_kendall": lambda sp, d: A.mann_kendall(_t(sp, d, "events")),
+        "benford_deviation": lambda sp, d: A.benford_deviation(
+            _t(sp, d, "events")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -3503,3 +3503,102 @@ def mann_kendall(events: DataFrame) -> DataFrame:
             (F.abs(z) > F.lit(1.96)).alias("trend_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benford_deviation: first-significant-digit data-quality audit
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed in Python so both
+# engines compare against the IDENTICAL integer constants (no runtime
+# float log whose ulp could differ between engines)
+BENFORD_EXPECTED_PPM: tuple[int, ...] = tuple(
+    int(round(__import__("math").log10(1.0 + 1.0 / d) * 1e6))
+    for d in range(1, 10)
+)
+
+
+def benford_deviation(events: DataFrame) -> DataFrame:
+    """Benford first-significant-digit audit of the value column — the
+    classic fabricated/synthetic-data smell test (real multiplicative
+    quantities lead with 1 ~30% of the time; invented or uniformly
+    generated numbers don't). Emits per-digit observed share vs the
+    Benford expectation and the total-variation distance — the one-row
+    go/no-go a data-quality pipeline thresholds on.
+
+    Determinism: the first digit comes from the MICRO-LONG value's
+    decimal string (never floor(log10(double)) — log ulps differ between
+    engines at decade boundaries); expected shares are integer ppm
+    constants precomputed in Python and shared with the oracle; shares
+    are exact ratio_scaled ppm; deviations and the TV distance are pure
+    long arithmetic. All 9 digits are densified onto an explicit spine
+    (the chi2_independence lesson: zero cells must contribute).
+
+    Plan: one scan -> one map-side-combined groupBy to <=9 digit rows;
+    the spine, expectation join and TV distance ride the bounded table.
+    """
+    from inde1_spark.functions.exprs import ratio_scaled
+
+    m = F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    counts = (
+        events.select(m.alias("m"))
+        .filter(F.col("m") > 0)
+        .select(
+            F.substring(F.col("m").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    # densify without re-branching counts (the chi2_independence lesson,
+    # single-scan form): ONE global row holding the digit->count map and
+    # the total, exploded onto the full 1..9 spine
+    one = counts.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("digit", "n_obs"))).alias(
+            "om"
+        ),
+        F.sum("n_obs").cast("long").alias("n_total"),
+    )
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_EXPECTED_PPM]),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    dense = (
+        one.select(
+            "om",
+            "n_total",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+        )
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            "n_total",
+            F.coalesce(
+                F.element_at("om", F.col("digit").cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_obs"),
+            expected.alias("expected_ppm"),
+        )
+        .withColumn(
+            "share_ppm",
+            ratio_scaled(
+                F.col("n_obs"), F.greatest(F.col("n_total"), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "dev_ppm", F.col("share_ppm") - F.col("expected_ppm")
+        )
+    )
+    wg = Window.partitionBy()
+    return dense.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        (F.col("share_ppm").cast("double") / F.lit(1e6)).alias("share"),
+        (F.col("expected_ppm").cast("double") / F.lit(1e6)).alias("expected"),
+        "dev_ppm",
+        (
+            F.floor(F.sum(F.abs(F.col("dev_ppm"))).over(wg) / F.lit(2))
+            .cast("long")
+        ).alias("tv_ppm"),
+    )

@@ -5233,3 +5233,44 @@ zed AS (
 SELECT n_days, n_value_groups, s_stat, var_s, z, ABS(z) > 1.96 AS trend_5pct
 FROM zed
 """
+
+
+from inde1_spark.operators.analytics import BENFORD_EXPECTED_PPM  # noqa: E402
+
+# Twin of operators/analytics.py:benford_deviation — the SAME precomputed
+# integer ppm expectations, string-derived first digits (no float log),
+# exact ppm shares and TV distance.
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in enumerate(BENFORD_EXPECTED_PPM, start=1)
+)
+ORACLES["benford_deviation"] = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM (SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS m
+        FROM events)
+  WHERE m > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts),
+spine AS (
+  SELECT t.n_total, CAST(u.d AS BIGINT) AS digit
+  FROM tot t, UNNEST(generate_series(1, 9)) AS u(d)
+),
+exp_tbl AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS e(digit, expected_ppm)),
+dense AS (
+  SELECT s.digit, s.n_total, COALESCE(c.n_obs, 0) AS n_obs,
+         CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+         (COALESCE(c.n_obs, 0) * 2000000 + GREATEST(s.n_total, 1))
+           // (2 * GREATEST(s.n_total, 1)) AS share_ppm
+  FROM spine s
+  LEFT JOIN counts c ON c.digit = s.digit
+  JOIN exp_tbl e ON e.digit = s.digit
+)
+SELECT digit, n_obs, n_total,
+       CAST(share_ppm AS DOUBLE) / 1e6 AS share,
+       CAST(expected_ppm AS DOUBLE) / 1e6 AS expected,
+       share_ppm - expected_ppm AS dev_ppm,
+       CAST(floor(CAST(SUM(ABS(share_ppm - expected_ppm)) OVER () AS DOUBLE)
+                  / 2) AS BIGINT) AS tv_ppm
+FROM dense
+"""

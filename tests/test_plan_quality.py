@@ -971,3 +971,11 @@ def test_mann_kendall_bounded_pair_join(spark):
     r = plan_report(Q["mann_kendall"](spark, SF_SMOKE))
     assert r.parquet_scans <= 3
     assert r.sort_merge_joins == 0
+
+
+def test_benford_single_scan(spark):
+    # one scan -> <=9 digit rows; spine, expectation join and TV distance
+    # all ride the bounded table
+    assert_plan(
+        Q["benford_deviation"](spark, SF_SMOKE), max_exchanges=6, max_scans=1
+    )

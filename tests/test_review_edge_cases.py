@@ -135,3 +135,30 @@ def test_chi2_independence_planted_contingency(spark):
         assert r["contrib"] == 15.0
         assert r["chi2"] == 60.0
         assert r["dof"] == 1
+
+
+def test_benford_densifies_and_pins_exact_shares(spark):
+    """All values lead with digit 1: digits 2-9 must still appear (zero
+    cells contribute to TV). Uniform 1..9: every share exactly 1/9."""
+    from inde1_spark.operators.analytics import (
+        BENFORD_EXPECTED_PPM,
+        benford_deviation,
+    )
+
+    ones = spark.createDataFrame(
+        [(i, float(10 ** (i % 3))) for i in range(6)],
+        "event_id long, value double",
+    )  # 1, 10, 100 repeated: every value leads with 1
+    out = {r["digit"]: r for r in benford_deviation(ones).collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["n_obs"] == 6 and out[1]["share"] == 1.0
+    for d in range(2, 10):
+        assert out[d]["n_obs"] == 0 and out[d]["dev_ppm"] == -BENFORD_EXPECTED_PPM[d - 1]
+
+    uniform = spark.createDataFrame(
+        [(i, float(1 + i % 9)) for i in range(9)], "event_id long, value double"
+    )
+    u = {r["digit"]: r for r in benford_deviation(uniform).collect()}
+    for d in range(1, 10):
+        assert u[d]["n_obs"] == 1
+        assert u[d]["dev_ppm"] == 111111 - BENFORD_EXPECTED_PPM[d - 1]
