@@ -274,3 +274,32 @@ def test_prefix_filter_theorem_pure_python(data, t10):
         f"qualifying pair escaped both prefixes: {sorted(a)}, {sorted(b)}, "
         f"t={t10/10}, order={order}"
     )
+
+
+@given(
+    build=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                   min_size=1, max_size=60, unique=True),
+    probe_extra=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                         min_size=0, max_size=60),
+)
+@SETTINGS
+def test_bloom_prefilter_never_false_negative(spark, build, probe_extra):
+    """The Bloom guarantee, property form: for ANY build key set and ANY
+    probe set, every true member passes the filter (false_negatives == 0)
+    and the pass set is a superset of the match set."""
+    from inde1_spark.operators.joins import bloom_prefilter_join
+
+    customer = spark.createDataFrame(
+        [(k, -1.0) for k in build], "c_custkey long, c_acctbal double"
+    )
+    probes = list(build) + probe_extra
+    orders = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probes)], "o_orderkey long, o_custkey long"
+    )
+    row = bloom_prefilter_join(orders, customer).collect()[0]
+    assert row["false_negatives"] == 0
+    assert row["n_true_match"] == len(build) + sum(
+        1 for k in probe_extra if k in set(build)
+    )
+    assert row["n_pass_bloom"] >= row["n_true_match"]
+    assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_true_match"]
