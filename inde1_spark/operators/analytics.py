@@ -3602,3 +3602,98 @@ def benford_deviation(events: DataFrame) -> DataFrame:
             .cast("long")
         ).alias("tv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# runs_test: Wald-Wolfowitz randomness test on the daily series
+# ---------------------------------------------------------------------------
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily revenue series against its
+    mean — the randomness check that closes the daily-series statistics
+    tier: ``acf_daily`` measures LINEAR lag dependence, ``mann_kendall``
+    monotonic drift; the runs test catches any non-randomness that shows
+    up as too-few runs (clustering/regimes) or too-many (oscillation),
+    including patterns both of the others score near zero.
+
+    Above/below the MEAN, not the median: sign_t = (n*x_t > S) is an
+    exact integer comparison (the acf_daily n-scaling trick), so no
+    quantile definition enters the contract. R = observed runs (exact,
+    via one lag over the ordered bounded series); with n1 above and n2
+    below, E[R] = 1 + 2*n1*n2/n and Var[R] = 2*n1*n2*(2*n1*n2 - n) /
+    (n^2*(n-1)); z = (R - E)/sqrt(Var). E, Var and z are doubles built
+    from exact longs with IEEE ops (sqrt correctly rounded both
+    engines); Var clamps at 0 pre-sqrt per the engine-asymmetry rules,
+    and the degenerate all-one-side series (n1*n2 = 0) emits z = 0.
+
+    Plan: one corpus-volume groupBy to days; the sign sequence, the lag,
+    and the run count ride windows over the BOUNDED daily series.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    wg = Window.partitionBy()
+    w = Window.orderBy("day")
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    signs = daily.select(
+        "day",
+        F.count("*").over(wg).cast("long").alias("n_days"),
+        (
+            d38(F.count("*").over(wg)) * F.col("v")
+            > d38(F.sum("v").over(wg))
+        ).alias("above"),
+    )
+    flips = signs.select(
+        "n_days",
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.groupBy().agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(~F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_days").cast("double")
+    p2 = (F.lit(2.0) * F.col("n_above") * F.col("n_below")).cast("double")
+    e_runs = F.lit(1.0) + p2 / n
+    var_num = p2 * (p2 - n)
+    # denominator clamps (n=1 day) and the var>0 guard both run BEFORE
+    # any division a when() condition would still evaluate — double/0 is
+    # an engine asymmetry (Spark Inf vs DuckDB NULL), never reach it
+    var = F.greatest(
+        var_num / (n * n * F.greatest(n - F.lit(1.0), F.lit(1.0))),
+        F.lit(0.0),
+    )
+    z = F.when(
+        (F.col("n_above") == 0) | (F.col("n_below") == 0) | (var <= 0),
+        F.lit(0.0),
+    ).otherwise((F.col("n_runs").cast("double") - e_runs) / F.sqrt(var))
+    return agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        e_runs.alias("expected_runs"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("nonrandom_5pct"),
+    )

@@ -5274,3 +5274,57 @@ SELECT digit, n_obs, n_total,
                   / 2) AS BIGINT) AS tv_ppm
 FROM dense
 """
+
+
+# Twin of operators/analytics.py:runs_test — exact integer runs/counts,
+# the same IEEE double chain for E/Var/z, same degenerate guards.
+ORACLES["runs_test"] = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+signs AS (
+  SELECT day,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+         (CAST(COUNT(*) OVER () AS HUGEINT) * v
+            > CAST(SUM(v) OVER () AS HUGEINT)) AS above
+  FROM daily
+),
+flips AS (
+  SELECT n_days, above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                OR lag(above) OVER (ORDER BY day) <> above
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+agg AS (
+  SELECT MAX(n_days) AS n_days,
+         CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM flips
+),
+calc AS (
+  SELECT *, CAST(n_days AS DOUBLE) AS n,
+         2.0 * n_above * n_below AS p2
+  FROM agg
+),
+vv AS (
+  SELECT *,
+         1.0 + p2 / n AS e_runs,
+         GREATEST(p2 * (p2 - n) / (n * n * GREATEST(n - 1.0, 1.0)), 0.0)
+           AS var_r
+  FROM calc
+),
+zed AS (
+  SELECT n_days, n_above, n_below, n_runs, e_runs,
+         CASE WHEN n_above = 0 OR n_below = 0 OR var_r <= 0 THEN 0.0
+              ELSE (CAST(n_runs AS DOUBLE) - e_runs) / sqrt(var_r) END AS z
+  FROM vv
+)
+SELECT n_days, n_above, n_below, n_runs, e_runs AS expected_runs, z,
+       ABS(z) > 1.96 AS nonrandom_5pct
+FROM zed
+"""

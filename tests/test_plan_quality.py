@@ -979,3 +979,9 @@ def test_benford_single_scan(spark):
     assert_plan(
         Q["benford_deviation"](spark, SF_SMOKE), max_exchanges=6, max_scans=1
     )
+
+
+def test_runs_test_preaggregates(spark):
+    # one corpus-volume groupBy to days; signs, the lag and the run count
+    # all ride windows over the bounded daily series
+    assert_plan(Q["runs_test"](spark, SF_SMOKE), max_exchanges=4, max_scans=1)

@@ -152,3 +152,31 @@ def test_mann_kendall_monotonic_and_flat(spark):
     flat = mann_kendall(_events([7.0] * 30)).collect()[0]
     assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
     assert flat["z"] == 0.0 and not flat["trend_5pct"]
+
+
+def test_runs_test_oscillation_and_regimes(spark):
+    """Alternating series: maximal runs (n) -> large positive z. Two-regime
+    series (half high, half low): 2 runs -> large negative z."""
+    import datetime as dt
+
+    from inde1_spark.operators.analytics import runs_test
+
+    def _events(values):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 5, 1, 8) + dt.timedelta(days=i), "view", v)
+                for i, v in enumerate(values)
+            ],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    osc = runs_test(_events([10.0 if i % 2 else 90.0 for i in range(40)])).collect()[0]
+    assert osc["n_runs"] == 40 and osc["n_above"] == 20
+    assert osc["z"] > 5.0 and osc["nonrandom_5pct"]
+
+    reg = runs_test(_events([90.0] * 20 + [10.0] * 20)).collect()[0]
+    assert reg["n_runs"] == 2
+    assert reg["z"] < -5.0 and reg["nonrandom_5pct"]
+
+    flat = runs_test(_events([5.0] * 10)).collect()[0]
+    assert flat["z"] == 0.0 and not flat["nonrandom_5pct"]
