@@ -551,6 +551,74 @@ def _heavy_hitters_cms_sql() -> str:
     """
 
 
+def _bloom_prefilter_sql() -> str:
+    """bloom_prefilter_join as ONE Spark SQL query: word-ORed filter from
+    the selective build side, row-local 3-probe membership on the fact
+    side (joins.py BLOOM_* constants interpolated)."""
+    from inde1_spark.operators.joins import BLOOM_BITS, BLOOM_HASHES
+
+    def idx(j: int, key: str) -> str:
+        return (
+            f"CAST(conv(substring(md5(concat_ws(':', {j}, CAST({key} AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS}"
+        )
+
+    hits = " AND ".join(
+        f"((coalesce(element_at(bm, CAST(shiftright(h{j}, 5) AS BIGINT)),"
+        f" CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(h{j} % 32 AS INT))) != 0)"
+        for j in range(BLOOM_HASHES)
+    )
+    hcols = ", ".join(f"{idx(j, 'pkey')} AS h{j}" for j in range(BLOOM_HASHES))
+    return f"""
+        WITH keys AS (
+          SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+        ),
+        hashed AS (
+          SELECT {idx('j', 'key')} AS idx
+          FROM (SELECT key, j FROM keys
+                LATERAL VIEW explode(sequence(0, {BLOOM_HASHES - 1})) t AS j)
+        ),
+        words AS (
+          SELECT CAST(shiftright(idx, 5) AS BIGINT) AS word,
+                 bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))) AS bits
+          FROM hashed GROUP BY 1
+        ),
+        bloom AS (
+          SELECT map_from_entries(collect_list(struct(word, bits))) AS bm,
+                 CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set
+          FROM words
+        ),
+        nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+        probe AS (
+          SELECT o.o_custkey AS pkey, (k.key IS NOT NULL) AS matched
+          FROM orders o LEFT JOIN keys k ON k.key = o.o_custkey
+        ),
+        f AS (
+          SELECT matched, bits_set, ({hits}) AS passed
+          FROM (SELECT p.*, b.bm, b.bits_set, {hcols}
+                FROM probe p CROSS JOIN bloom b)
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+                 CAST(SUM(IF(passed, 1, 0)) AS BIGINT) AS n_pass_bloom,
+                 CAST(SUM(IF(matched, 1, 0)) AS BIGINT) AS n_true_match,
+                 CAST(SUM(IF(passed AND NOT matched, 1, 0)) AS BIGINT) AS n_false_pos,
+                 CAST(SUM(IF(matched AND NOT passed, 1, 0)) AS BIGINT) AS false_negatives,
+                 MIN(bits_set) AS bits_set
+          FROM f
+        )
+        SELECT nk.n_keys, agg.bits_set,
+               {_sql_ratio_round("agg.bits_set", str(BLOOM_BITS), 6)} AS fill_ratio,
+               agg.n_probe, agg.n_pass_bloom, agg.n_true_match,
+               agg.n_false_pos, agg.false_negatives,
+               {_sql_ratio_round("agg.n_false_pos",
+                                 "GREATEST(agg.n_probe - agg.n_true_match, CAST(1 AS BIGINT))",
+                                 6)} AS fpr
+        FROM agg CROSS JOIN nk
+    """
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -740,6 +808,7 @@ SPARK_SQL: dict[str, str] = {
     "knn_pq": _knn_pq_sql(),
     "salted_group_count": _salted_group_count_sql(),
     "heavy_hitters_cms": _heavy_hitters_cms_sql(),
+    "bloom_prefilter_join": _bloom_prefilter_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
