@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "runs_test": lambda sp, d: A.runs_test(_t(sp, d, "events")),
+        "join_cardinality_audit": lambda sp, d: A.join_cardinality_audit(
+            _t(sp, d, "events")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -3697,3 +3697,60 @@ def runs_test(events: DataFrame) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("nonrandom_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality_audit: estimate a join's output size BEFORE running it
+# ---------------------------------------------------------------------------
+
+
+def join_cardinality_audit(events: DataFrame) -> DataFrame:
+    """Exact output-cardinality audit for the user_id self-join — the
+    planner statistic you compute BEFORE keying a 100 TB join:
+    |A JOIN A on k| = sum_k c(k)^2, so one cheap per-key count pass
+    predicts whether the session-pairing / dedup-candidate join ahead is
+    linear-ish or an explosion, and the skew factor (estimate vs the
+    uniform-keys baseline n^2/n_keys) says whether salting is needed
+    before any shuffle is attempted. This is the measured form of the
+    cardinality estimate a cost-based optimizer guesses at.
+
+    Determinism: the estimate accumulates c^2 in decimal(38,0) (c^2
+    reaches 1e24 at 1e12-row hot keys; a LONG would wrap silently where
+    DuckDB's HUGEINT hard-errors — the dim_stats asymmetry) and is
+    emitted BOTH as an exact string (wide decimals hash exactly as
+    strings) and as a double via the base-10^15 digit split. The skew
+    factor divides digit-split doubles in a fixed op order.
+
+    Plan: one map-side-combined groupBy to the key histogram, one
+    bounded aggregate over it. The audited join itself is never run.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = counts.groupBy().agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.sum((d38(F.col("c")) * F.col("c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("est_dec"),
+    )
+    n2 = (d38(F.col("n_rows")) * F.col("n_rows")).cast("decimal(38,0)")
+    skew = (
+        dec_to_double_exact(F.col("est_dec"))
+        / dec_to_double_exact(n2)
+        * F.col("n_keys").cast("double")
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.col("est_dec").cast("string").alias("est_join_rows"),
+        dec_to_double_exact(F.col("est_dec")).alias("est_join_rows_approx"),
+        skew.alias("skew_factor"),
+    )

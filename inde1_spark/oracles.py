@@ -5328,3 +5328,27 @@ SELECT n_days, n_above, n_below, n_runs, e_runs AS expected_runs, z,
        ABS(z) > 1.96 AS nonrandom_5pct
 FROM zed
 """
+
+
+# Twin of operators/analytics.py:join_cardinality_audit — HUGEINT c^2
+# accumulation, string emission for the wide exact estimate, digit-split
+# doubles for the approx/skew columns in the same op order.
+ORACLES["join_cardinality_audit"] = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS est_dec
+  FROM counts
+)
+SELECT n_rows, n_keys, max_key_rows,
+       CAST(est_dec AS VARCHAR) AS est_join_rows,
+       {_dec2d("est_dec")} AS est_join_rows_approx,
+       {_dec2d("est_dec")}
+         / {_dec2d("CAST(n_rows AS HUGEINT) * n_rows")}
+         * CAST(n_keys AS DOUBLE) AS skew_factor
+FROM agg
+"""

@@ -985,3 +985,13 @@ def test_runs_test_preaggregates(spark):
     # one corpus-volume groupBy to days; signs, the lag and the run count
     # all ride windows over the bounded daily series
     assert_plan(Q["runs_test"](spark, SF_SMOKE), max_exchanges=4, max_scans=1)
+
+
+def test_join_cardinality_audit_single_scan(spark):
+    # the audit of a join must not itself join: one scan, one key
+    # histogram, one bounded aggregate
+    assert_plan(
+        Q["join_cardinality_audit"](spark, SF_SMOKE),
+        max_exchanges=2,
+        max_scans=1,
+    )

@@ -162,3 +162,17 @@ def test_benford_densifies_and_pins_exact_shares(spark):
     for d in range(1, 10):
         assert u[d]["n_obs"] == 1
         assert u[d]["dev_ppm"] == 111111 - BENFORD_EXPECTED_PPM[d - 1]
+
+
+def test_join_cardinality_audit_exact_small_case(spark):
+    """Counts [3,2,1]: est = 9+4+1 = 14, uniform baseline 36/3 = 12,
+    skew = 14/12."""
+    from inde1_spark.operators.analytics import join_cardinality_audit
+
+    rows = [(i, u) for i, u in enumerate([1] * 3 + [2] * 2 + [3])]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    r = join_cardinality_audit(df).collect()[0]
+    assert r["n_rows"] == 6 and r["n_keys"] == 3 and r["max_key_rows"] == 3
+    assert r["est_join_rows"] == "14"
+    assert r["est_join_rows_approx"] == 14.0
+    assert abs(r["skew_factor"] - 14.0 / 12.0) < 1e-12
