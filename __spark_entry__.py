@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_audit": lambda sp, d: A.join_cardinality_audit(
             _t(sp, d, "events")
         ),
+        "audience_overlap": lambda sp, d: A.audience_overlap(
+            _t(sp, d, "events")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

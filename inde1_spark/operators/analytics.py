@@ -3754,3 +3754,88 @@ def join_cardinality_audit(events: DataFrame) -> DataFrame:
         dec_to_double_exact(F.col("est_dec")).alias("est_join_rows_approx"),
         skew.alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audience_overlap: pairwise event-type audience matrix
+# ---------------------------------------------------------------------------
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    users do both, with Jaccard and containment — the product-analytics
+    view behind "do purchasers also click?" and the feature-correlation
+    pre-check before funnel design. Zero-overlap pairs are densified in
+    (their absence IS the finding).
+
+    Scale shape: ONE corpus-volume shuffle to per-user sorted type sets;
+    pair counts explode row-locally from each user's set (<= |types|^2/2
+    structs per user, types is a bounded vocabulary), totals explode the
+    same sets, and the full pair grid rebuilds row-locally from the
+    one-row type->count map (the benford/chi2 densify pattern) — no
+    user-keyed join anywhere. Jaccard/containment are exact
+    ratio_rounds of exact longs.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    usersets = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+
+    def _pairs(arr):
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.greatest(F.size(arr), F.lit(1))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    p = (
+        usersets.select(F.explode(_pairs(F.col("ts"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    one = (
+        usersets.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("n"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("t", "n"))).alias("tm")
+        )
+    )
+    grid = one.select(
+        "tm", F.explode(_pairs(F.sort_array(F.map_keys("tm")))).alias("p")
+    ).select(
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.element_at("tm", F.col("p.a")).alias("n_a"),
+        F.element_at("tm", F.col("p.b")).alias("n_b"),
+    )
+    dense = grid.join(F.broadcast(p), ["a", "b"], "left").select(
+        F.col("a").alias("type_a"),
+        F.col("b").alias("type_b"),
+        "n_a",
+        "n_b",
+        F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return dense.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        ratio_round(F.col("n_both"), F.greatest(union, F.lit(1)), 6).alias(
+            "jaccard"
+        ),
+        ratio_round(
+            F.col("n_both"),
+            F.greatest(F.least("n_a", "n_b"), F.lit(1)),
+            6,
+        ).alias("containment"),
+    )

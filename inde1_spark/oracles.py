@@ -5352,3 +5352,32 @@ SELECT n_rows, n_keys, max_key_rows,
          * CAST(n_keys AS DOUBLE) AS skew_factor
 FROM agg
 """
+
+
+# Twin of operators/analytics.py:audience_overlap — plain distinct +
+# self-join + dense type grid; identical exact ratio arithmetic.
+ORACLES["audience_overlap"] = f"""
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         ta.n AS n_a, tb.n AS n_b
+  FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+),
+dense AS (
+  SELECT g.type_a, g.type_b, g.n_a, g.n_b, COALESCE(p.n_both, 0) AS n_both
+  FROM grid g LEFT JOIN p
+    ON p.type_a = g.type_a AND p.type_b = g.type_b
+)
+SELECT type_a, type_b, n_a, n_b, n_both,
+       {_rr("n_both", "GREATEST(n_a + n_b - n_both, 1)", 6)} AS jaccard,
+       {_rr("n_both", "GREATEST(LEAST(n_a, n_b), 1)", 6)} AS containment
+FROM dense
+"""

@@ -995,3 +995,15 @@ def test_join_cardinality_audit_single_scan(spark):
         max_exchanges=2,
         max_scans=1,
     )
+
+
+def test_audience_overlap_no_user_join(spark):
+    # pair counts explode row-locally from per-user sets; the only join
+    # is the broadcast of the bounded pair table onto the bounded grid —
+    # never a user-keyed join of the fact table with itself
+    r = assert_plan(
+        Q["audience_overlap"](spark, SF_SMOKE),
+        max_scans=3,
+        forbid_sort_merge=True,
+    )
+    assert r.broadcast_hash_joins >= 1

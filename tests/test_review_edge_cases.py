@@ -176,3 +176,18 @@ def test_join_cardinality_audit_exact_small_case(spark):
     assert r["est_join_rows"] == "14"
     assert r["est_join_rows_approx"] == 14.0
     assert abs(r["skew_factor"] - 14.0 / 12.0) < 1e-12
+
+
+def test_audience_overlap_dense_and_exact(spark):
+    """Users: u1 does A+B, u2 does A, u3 does C. Pair (A,B): both=1,
+    jaccard 1/2. Pair (A,C) and (B,C): zero overlap but PRESENT."""
+    from inde1_spark.operators.analytics import audience_overlap
+
+    rows = [(1, 1, "A"), (2, 1, "B"), (3, 2, "A"), (4, 3, "C")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {(r["type_a"], r["type_b"]): r for r in audience_overlap(df).collect()}
+    assert sorted(out) == [("A", "B"), ("A", "C"), ("B", "C")]
+    ab = out[("A", "B")]
+    assert ab["n_a"] == 2 and ab["n_b"] == 1 and ab["n_both"] == 1
+    assert ab["jaccard"] == 0.5 and ab["containment"] == 1.0
+    assert out[("A", "C")]["n_both"] == 0 and out[("A", "C")]["jaccard"] == 0.0
