@@ -849,3 +849,100 @@ def gini_token_concentration(documents: DataFrame) -> DataFrame:
         .otherwise(g_scaled.cast("double") / F.lit(1e6))
         .alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_emd: 1-D Wasserstein drift per source (KS's integrated companion)
+# ---------------------------------------------------------------------------
+
+
+def quality_emd(documents: DataFrame) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) distance between each source's
+    quality distribution and the REST of the corpus — ``source_drift_ks``
+    measures the WORST single gap between the CDFs, this integrates ALL
+    of them (W1 = integral |F_s - F_r| dq): a source whose distribution
+    shifted a little everywhere alarms here while KS barely moves, and
+    vice versa for one sharp kink. Emitted in quality-scaled units and
+    normalized by the observed domain span.
+
+    Same scale shape as the KS audit: the grid is DOMAIN-bounded
+    (observed distinct quality values), per-source CDFs ride windows
+    over at most |grid| rows, and the integrand is the exact integer
+    cross-multiplication |cum_s*n_r - cum_r*n_s| times the exact grid
+    step, accumulated in decimal(38,0) and floor-divided once at the
+    end (micro grid). Sources covering the whole corpus are excluded.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+    from inde1_spark.operators.text import quality_parts
+
+    _, _, q_scaled = quality_parts()
+    counts = (
+        documents.select("source", q_scaled.alias("q"))
+        .groupBy("source", "q")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    qgrid = counts.select("q").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    total = srcs.agg(F.sum("n_s").cast("long").alias("n_all"))
+    perq = counts.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
+    cum_all_tbl = perq.select(
+        "q", F.sum("cq").over(Window.orderBy("q")).cast("long").alias("cum_all")
+    )
+    filled = (
+        srcs.join(F.broadcast(qgrid))
+        .join(counts, ["source", "q"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    ws = Window.partitionBy("source").orderBy("q")
+    j = (
+        filled.withColumn("cum_s", F.sum("c").over(ws).cast("long"))
+        .withColumn("dq", F.coalesce(F.lead("q").over(ws) - F.col("q"), F.lit(0)))
+        .join(F.broadcast(cum_all_tbl), "q")
+        .join(F.broadcast(total))
+        .filter(F.col("n_s") < F.col("n_all"))
+        .withColumn(
+            "num",
+            F.abs(
+                F.col("cum_s").cast("decimal(38,0)")
+                * (F.col("n_all") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")).cast("decimal(38,0)")
+                * F.col("n_s")
+            ),
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.max("n_all").alias("n_all"),
+        F.sum((F.col("num") * F.col("dq")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("snd"),
+        (F.max("q") - F.min("q")).cast("long").alias("span"),
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    den = (d38(F.col("n_docs")) * (F.col("n_all") - F.col("n_docs"))).cast(
+        "decimal(38,0)"
+    )
+    emd_micro = dec_floordiv(
+        (F.col("snd") * 1_000_000 * 2 + den).cast("decimal(38,0)"),
+        (den * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    den_n = (den * F.greatest(F.col("span"), F.lit(1))).cast("decimal(38,0)")
+    norm_micro = dec_floordiv(
+        (F.col("snd") * 1_000_000 * 2 + den_n).cast("decimal(38,0)"),
+        (den_n * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    return (
+        agg.withColumn("emd_micro", emd_micro)
+        .withColumn("norm_micro", norm_micro)
+        .select(
+            "source",
+            "n_docs",
+            (F.col("emd_micro").cast("double") / F.lit(1e6)).alias(
+                "emd_quality_units"
+            ),
+            (F.col("norm_micro").cast("double") / F.lit(1e6)).alias("emd_norm"),
+        )
+    )

@@ -5381,3 +5381,75 @@ SELECT type_a, type_b, n_a, n_b, n_both,
        {_rr("n_both", "GREATEST(LEAST(n_a, n_b), 1)", 6)} AS containment
 FROM dense
 """
+
+
+# Twin of operators/corpus.py:quality_emd — same grid/CDF machinery as the
+# KS twin, integrand summed with the exact grid step, round-half-up micro
+# divisions matching the engine's dec_floordiv spelling.
+ORACLES["quality_emd"] = f"""
+WITH qtoks AS (
+  SELECT source, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT source,
+         GREATEST(CAST(len(toks) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM qtoks
+),
+scoredq AS (
+  SELECT source,
+         {_rs("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS q
+  FROM qm
+),
+counts AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c FROM scoredq GROUP BY 1, 2),
+qgrid AS (SELECT DISTINCT q FROM counts),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+total AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM srcs),
+perq AS (SELECT q, CAST(SUM(c) AS BIGINT) AS cq FROM counts GROUP BY 1),
+cum_all_tbl AS (
+  SELECT q, CAST(SUM(cq) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+  FROM perq
+),
+filled AS (
+  SELECT s.source, s.n_s, g.q, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN qgrid g
+  LEFT JOIN counts c ON c.source = s.source AND c.q = g.q
+),
+cums AS (
+  SELECT source, n_s, q,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s,
+         COALESCE(lead(q) OVER (PARTITION BY source ORDER BY q) - q, 0) AS dq
+  FROM filled
+),
+j AS (
+  SELECT f.source, f.n_s, f.q, f.dq, f.cum_s, a.cum_all, t.n_all,
+         abs(CAST(f.cum_s AS HUGEINT) * (t.n_all - f.n_s)
+             - CAST(a.cum_all - f.cum_s AS HUGEINT) * f.n_s) AS num
+  FROM cums f JOIN cum_all_tbl a ON a.q = f.q, total t
+  WHERE f.n_s < t.n_all
+),
+agg AS (
+  SELECT source, MAX(n_s) AS n_docs, MAX(n_all) AS n_all,
+         CAST(SUM(num * dq) AS HUGEINT) AS snd,
+         CAST(MAX(q) - MIN(q) AS BIGINT) AS span
+  FROM j GROUP BY 1
+),
+calc AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS HUGEINT) * (n_all - n_docs) AS den,
+         CAST(n_docs AS HUGEINT) * (n_all - n_docs) * GREATEST(span, 1) AS den_n,
+         snd
+  FROM agg
+)
+SELECT source, n_docs,
+       CAST(CAST((snd * 1000000 * 2 + den) // (den * 2) AS BIGINT) AS DOUBLE)
+         / 1e6 AS emd_quality_units,
+       CAST(CAST((snd * 1000000 * 2 + den_n) // (den_n * 2) AS BIGINT) AS DOUBLE)
+         / 1e6 AS emd_norm
+FROM calc
+"""

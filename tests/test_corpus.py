@@ -188,3 +188,27 @@ def test_mixture_temperature_flattens_skewed_sources(spark):
     # ratio must land well under the raw ratio
     kept_ratio = big["n_kept"] / max(small["n_kept"], 1)
     assert kept_ratio < 6.0, f"kept ratio not flattened: {kept_ratio:.2f}"
+
+
+def test_quality_emd_shifted_source_scores_higher(spark):
+    """A source whose quality distribution matches the rest scores ~0 EMD;
+    a source with systematically longer (higher-quality-score) docs
+    scores strictly higher — and EMD is bounded by the domain span."""
+    from inde1_spark.operators.corpus import quality_emd
+
+    base = "alpha beta gamma delta epsilon"
+    rows = []
+    i = 0
+    for src in ("same_a", "same_b"):  # identical distributions
+        for _ in range(20):
+            rows.append((i, base, "en", src, len(base))); i += 1
+    for _ in range(20):  # shifted: much longer docs -> higher capped_chars
+        txt = " ".join(["omega"] * 80)
+        rows.append((i, txt, "en", "shifted", len(txt))); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in quality_emd(docs).collect()}
+    assert out["shifted"]["emd_quality_units"] > out["same_a"]["emd_quality_units"]
+    assert 0.0 <= out["same_a"]["emd_norm"] <= 1.0
+    assert 0.0 <= out["shifted"]["emd_norm"] <= 1.0

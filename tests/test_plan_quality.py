@@ -1007,3 +1007,11 @@ def test_audience_overlap_no_user_join(spark):
         forbid_sort_merge=True,
     )
     assert r.broadcast_hash_joins >= 1
+
+
+def test_quality_emd_domain_bounded_grid(spark):
+    # same shape contract as the KS audit: the sources x grid expansion is
+    # a broadcast cross of two tiny tables; no sort-merge, no cartesian of
+    # corpus-sized inputs (the one nested-loop is the bounded grid cross)
+    r = plan_report(Q["quality_emd"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
