@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "quality_emd": lambda sp, d: C.quality_emd(_t(sp, d, "documents")),
+        "markov_stationary": lambda sp, d: A.markov_stationary(
+            _t(sp, d, "events")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -3839,3 +3839,90 @@ def audience_overlap(events: DataFrame) -> DataFrame:
             6,
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary: asymptotic occupancy of the behavior chain
+# ---------------------------------------------------------------------------
+
+MARKOV_DAMPING = 0.85
+MARKOV_ITERS = 8
+
+
+def markov_stationary(
+    events: DataFrame,
+    iters: int = MARKOV_ITERS,
+) -> DataFrame:
+    """Damped stationary distribution of the user behavior chain — where
+    the process SPENDS ITS TIME asymptotically, which
+    ``transition_matrix`` (one-step probabilities) doesn't answer: a
+    state can have many inbound edges yet be transient. Damping (the
+    PageRank teleport, alpha = 0.85) guarantees a unique stationary
+    vector even when the raw chain is periodic or reducible — the same
+    reason web ranking needs it.
+
+    Arithmetic is the ``pagerank_dup_graph`` nano-long contract: the
+    per-edge mass transfer (pi_nano * c) div row_tot is an exact integer
+    (pi_nano <= ~1e9, c a corpus count — re-check if a single transition
+    pair ever exceeds ~1e9 occurrences), and the damping update
+    re-derives the same long from the same IEEE doubles in both
+    engines; the DuckDB twin unrolls the rounds as chained CTEs. Every
+    iteration is a join of two <=|types|^2-row tables — the corpus is
+    touched once to build the count matrix.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("u"),
+            F.lead("event_type").over(w).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    edges = pairs.groupBy("u", "v").agg(F.count("*").cast("long").alias("c"))
+    rowtot = edges.groupBy("u").agg(F.sum("c").cast("long").alias("tot"))
+    states = (
+        edges.select(F.col("u").alias("s"))
+        .union(edges.select(F.col("v").alias("s")))
+        .distinct()
+    )
+    n_states = states.agg(F.count("*").cast("double").alias("k"))
+    pi = states.join(F.broadcast(n_states)).select(
+        "s",
+        "k",
+        F.floor(F.lit(1e9) / F.col("k") + F.lit(0.5)).cast("long").alias("p_nano"),
+    )
+    from inde1_spark.operators.dedup import _lazy_checkpoint, _persist
+
+    # persist the count matrix (each loop reference would otherwise
+    # re-embed the corpus window pass) and lazily checkpoint the pi chain
+    # (kmeans/components invariant: plan stays linear, no eager action)
+    em = _persist(edges.join(rowtot, "u"))
+    for _ in range(iters):
+        contrib = em.join(
+            pi.select(F.col("s").alias("u"), "p_nano"), "u"
+        ).select(
+            F.col("v").alias("s"), F.expr("(p_nano * c) div tot").alias("m")
+        )
+        inc = contrib.groupBy("s").agg(F.sum("m").cast("long").alias("m_nano"))
+        pi = _lazy_checkpoint(
+            pi.join(inc, "s", "left").select(
+                "s",
+                "k",
+                F.floor(
+                    (F.lit(1.0 - MARKOV_DAMPING) / F.col("k")) * F.lit(1e9)
+                    + F.lit(MARKOV_DAMPING)
+                    * F.coalesce(F.col("m_nano"), F.lit(0).cast("long"))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("p_nano"),
+            )
+        )
+    return pi.join(F.broadcast(rowtot.withColumnRenamed("u", "s")), "s", "left").select(
+        F.col("s").alias("state"),
+        F.coalesce("tot", F.lit(0).cast("long")).alias("n_out_transitions"),
+        (F.col("p_nano").cast("double") / F.lit(1e9)).alias("stationary_p"),
+    )

@@ -5453,3 +5453,55 @@ SELECT source, n_docs,
          / 1e6 AS emd_norm
 FROM calc
 """
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    MARKOV_DAMPING,
+    MARKOV_ITERS,
+)
+
+
+def _markov_ctes(iters: int) -> str:
+    d = MARKOV_DAMPING
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"m{i} AS (SELECT e.v AS s, CAST(SUM((p.p * e.c) // e.tot) AS BIGINT) AS m\n"
+            f"          FROM em e JOIN p{i} p ON p.s = e.u GROUP BY 1),\n"
+            f"p{i + 1} AS (SELECT st.s,\n"
+            f"            CAST(floor(({1.0 - d!r} / k.k) * 1e9\n"
+            f"                       + {d!r} * CAST(COALESCE(m.m, 0) AS DOUBLE) + 0.5) AS BIGINT) AS p\n"
+            f"            FROM states st CROSS JOIN k LEFT JOIN m{i} m ON m.s = st.s)"
+        )
+    return ",\n".join(parts)
+
+
+# Twin of operators/analytics.py:markov_stationary — the damped power
+# iteration unrolled as chained CTEs with the identical nano-long mass
+# transfers.
+ORACLES["markov_stationary"] = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type AS u,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE v IS NOT NULL GROUP BY 1, 2
+),
+rowtot AS MATERIALIZED (SELECT u, CAST(SUM(c) AS BIGINT) AS tot FROM edges GROUP BY 1),
+em AS MATERIALIZED (SELECT e.u, e.v, e.c, r.tot FROM edges e JOIN rowtot r ON r.u = e.u),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT u AS s FROM edges
+                          UNION ALL SELECT v FROM edges)
+),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM states),
+p0 AS (
+  SELECT st.s, CAST(floor(1e9 / k.k + 0.5) AS BIGINT) AS p
+  FROM states st CROSS JOIN k
+),
+{_markov_ctes(MARKOV_ITERS)}
+SELECT p.s AS state, COALESCE(r.tot, 0) AS n_out_transitions,
+       CAST(p.p AS DOUBLE) / 1e9 AS stationary_p
+FROM p{MARKOV_ITERS} p LEFT JOIN rowtot r ON r.u = p.s
+"""

@@ -1015,3 +1015,12 @@ def test_quality_emd_domain_bounded_grid(spark):
     # corpus-sized inputs (the one nested-loop is the bounded grid cross)
     r = plan_report(Q["quality_emd"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
+
+
+def test_markov_stationary_no_cartesian(spark):
+    # corpus touched once for the count matrix; every rank round joins
+    # two bounded tables, persisted + lazily checkpointed
+    from inde1_spark.operators.dedup import release_persisted
+
+    assert_plan(Q["markov_stationary"](spark, SF_SMOKE), forbid_cartesian=True)
+    release_persisted()

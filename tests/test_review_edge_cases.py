@@ -191,3 +191,26 @@ def test_audience_overlap_dense_and_exact(spark):
     assert ab["n_a"] == 2 and ab["n_b"] == 1 and ab["n_both"] == 1
     assert ab["jaccard"] == 0.5 and ab["containment"] == 1.0
     assert out[("A", "C")]["n_both"] == 0 and out[("A", "C")]["jaccard"] == 0.0
+
+
+def test_markov_stationary_favors_absorbing_ish_state(spark):
+    """Chain A->B always, B->B twice as often as B->A: the process spends
+    most of its time in B, which one-step transition_matrix can't say."""
+    import datetime as dt
+
+    from inde1_spark.operators.analytics import markov_stationary
+    from inde1_spark.operators.dedup import release_persisted
+
+    seq = ("A B B B " * 10).split()
+    rows = [
+        (i, dt.datetime(2024, 7, 1) + dt.timedelta(minutes=i), 1, s)
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["state"]: r["stationary_p"] for r in markov_stationary(df).collect()}
+    release_persisted()
+    assert set(out) == {"A", "B"}
+    assert out["B"] > 2 * out["A"]
+    assert abs(out["A"] + out["B"] - 1.0) < 0.05
