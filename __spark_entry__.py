@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": lambda sp, d: A.markov_stationary(
             _t(sp, d, "events")
         ),
+        "heaps_fit": lambda sp, d: SC.heaps_fit(_t(sp, d, "documents")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

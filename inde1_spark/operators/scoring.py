@@ -583,3 +583,87 @@ def vocab_coverage_curve(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heaps_fit: vocabulary-growth (Heaps' law) exponent
+# ---------------------------------------------------------------------------
+
+HEAPS_BUCKETS = 64
+
+
+def heaps_fit(documents: DataFrame, buckets: int = HEAPS_BUCKETS) -> DataFrame:
+    """Heaps'-law fit V(n) ~ K * n^beta of vocabulary size against corpus
+    token count — ``zipf_fit``'s growth-side companion (the two exponents
+    are theoretically linked): natural text sits near beta ~ 0.4-0.6,
+    template/synthetic corpora saturate early (low beta), OCR noise or
+    id-like junk inflates it toward 1. Between crawls, a moving beta is
+    the "the tail changed" alarm, and the fit is what sizes open-vocab
+    budgets before a tokenizer is trained.
+
+    The growth curve needs V at many prefix sizes WITHOUT re-scanning
+    per prefix: docs land in ``buckets`` md5 buckets (avalanche-mixed,
+    order-free), each term keeps the MIN bucket it appears in (one
+    map-side-combined reduce — a term is "new" exactly at its min
+    bucket), and both cumulative curves (tokens per bucket, new terms
+    per bucket) ride a window over the <=``buckets``-row table. The
+    log-log least squares reuses the zipf spelling: nano-long
+    coordinates, decimal(38,0) moments, digit-split doubles.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+    from inde1_spark.operators.text import hash_bucket
+
+    ex = documents.select(
+        hash_bucket(F.col("doc_id"), buckets).alias("b"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    new_terms = (
+        ex.groupBy("term")
+        .agg(F.min("b").cast("long").alias("mb"))
+        .groupBy("mb")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    tok = ex.groupBy("b").agg(F.count("*").cast("long").alias("n_tok"))
+    # LEFT join, not FULL: a term's min bucket holds >= 1 token by
+    # construction, so new_terms' buckets are a subset of tok's — and a
+    # left join keeps the bounded build side broadcastable (a full outer
+    # would force a sort-merge)
+    grid = (
+        tok.join(F.broadcast(new_terms), tok["b"] == new_terms["mb"], "left")
+        .select(
+            tok["b"].alias("b"),
+            F.col("n_tok"),
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        )
+    )
+    wc = Window.orderBy("b")
+    pts = (
+        grid.select(
+            F.sum("n_tok").over(wc).cast("long").alias("cum_tok"),
+            F.sum("n_new").over(wc).cast("long").alias("cum_v"),
+        )
+        .filter((F.col("cum_tok") > 0) & (F.col("cum_v") > 0))
+        .select(
+            _log_scaled(F.col("cum_tok").cast("double")).alias("x"),
+            _log_scaled(F.col("cum_v").cast("double")).alias("y"),
+        )
+    )
+    stats = pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n_points") >= 2)
+    n = F.col("n_points").cast("double")
+    sx = dec_to_double_exact(F.col("sx"))
+    sy = dec_to_double_exact(F.col("sy"))
+    sxy = dec_to_double_exact(F.col("sxy"))
+    sxx = dec_to_double_exact(F.col("sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return stats.select(
+        "n_points",
+        slope.alias("heaps_beta"),
+        (intercept / F.lit(float(LOG_SCALE))).alias("ln_k"),
+    )

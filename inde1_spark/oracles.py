@@ -5505,3 +5505,61 @@ SELECT p.s AS state, COALESCE(r.tot, 0) AS n_out_transitions,
        CAST(p.p AS DOUBLE) / 1e9 AS stationary_p
 FROM p{MARKOV_ITERS} p LEFT JOIN rowtot r ON r.u = p.s
 """
+
+
+from inde1_spark.operators.scoring import HEAPS_BUCKETS  # noqa: E402
+
+# Twin of operators/scoring.py:heaps_fit — identical md5 buckets, min-
+# bucket first-appearance trick, nano-log coordinates and digit-split
+# regression (the zipf twin's spelling).
+ORACLES["heaps_fit"] = f"""
+WITH ex AS MATERIALIZED (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {HEAPS_BUCKETS} AS b,
+         t.term
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+),
+new_terms AS (
+  SELECT mb, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT term, CAST(MIN(b) AS BIGINT) AS mb FROM ex GROUP BY 1)
+  GROUP BY 1
+),
+tok AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tok FROM ex GROUP BY 1),
+grid AS (
+  SELECT COALESCE(tok.b, new_terms.mb) AS b,
+         COALESCE(n_tok, 0) AS n_tok,
+         COALESCE(n_new, 0) AS n_new
+  FROM tok FULL JOIN new_terms ON new_terms.mb = tok.b
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(cum_tok AS DOUBLE)) * {LOG_SCALE}.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cum_v AS DOUBLE)) * {LOG_SCALE}.0, 0) AS BIGINT) AS y
+  FROM (
+    SELECT CAST(SUM(n_tok) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+           CAST(SUM(n_new) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
+    FROM grid
+  )
+  WHERE cum_tok > 0 AND cum_v > 0
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT n_points,
+       (CAST(n_points AS DOUBLE) * {_dec2d('sxy')} - {_dec2d('sx')} * {_dec2d('sy')})
+         / (CAST(n_points AS DOUBLE) * {_dec2d('sxx')} - {_dec2d('sx')} * {_dec2d('sx')})
+         AS heaps_beta,
+       (({_dec2d('sy')} - ((CAST(n_points AS DOUBLE) * {_dec2d('sxy')} - {_dec2d('sx')} * {_dec2d('sy')})
+         / (CAST(n_points AS DOUBLE) * {_dec2d('sxx')} - {_dec2d('sx')} * {_dec2d('sx')})) * {_dec2d('sx')})
+         / CAST(n_points AS DOUBLE)) / {LOG_SCALE}.0 AS ln_k
+FROM stats WHERE n_points >= 2
+"""

@@ -212,3 +212,22 @@ def test_quality_emd_shifted_source_scores_higher(spark):
     assert out["shifted"]["emd_quality_units"] > out["same_a"]["emd_quality_units"]
     assert 0.0 <= out["same_a"]["emd_norm"] <= 1.0
     assert 0.0 <= out["shifted"]["emd_norm"] <= 1.0
+
+
+def test_heaps_beta_separates_saturating_from_growing_vocab(spark):
+    """Every doc reuses the same 5 words -> V saturates, beta ~ 0. Every
+    doc brings fresh words -> V grows linearly with tokens, beta ~ 1."""
+    from inde1_spark.operators.scoring import heaps_fit
+
+    sat = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(200)],
+        "doc_id long, text string",
+    )
+    grow = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(200)],
+        "doc_id long, text string",
+    )
+    b_sat = heaps_fit(sat).collect()[0]["heaps_beta"]
+    b_grow = heaps_fit(grow).collect()[0]["heaps_beta"]
+    assert b_sat < 0.2
+    assert b_grow > 0.9

@@ -1024,3 +1024,11 @@ def test_markov_stationary_no_cartesian(spark):
 
     assert_plan(Q["markov_stationary"](spark, SF_SMOKE), forbid_cartesian=True)
     release_persisted()
+
+
+def test_heaps_fit_bounded_curve(spark):
+    # two reduces over the exploded pass (min-bucket per term, tokens per
+    # bucket); cumulative curves and the regression ride the <=64-row
+    # bucket table — no per-prefix re-scan, no joins beyond the bounded
+    # bucket grid
+    assert_plan(Q["heaps_fit"](spark, SF_SMOKE), max_scans=2, forbid_sort_merge=True)
