@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "heaps_fit": lambda sp, d: SC.heaps_fit(_t(sp, d, "documents")),
+        "log_odds_distinctive_terms": lambda sp, d: SC.log_odds_distinctive_terms(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

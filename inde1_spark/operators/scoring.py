@@ -667,3 +667,111 @@ def heaps_fit(documents: DataFrame, buckets: int = HEAPS_BUCKETS) -> DataFrame:
         slope.alias("heaps_beta"),
         (intercept / F.lit(float(LOG_SCALE))).alias("ln_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log_odds_distinctive_terms: what vocabulary makes each source ITSELF
+# ---------------------------------------------------------------------------
+
+FW_VOCAB = 500
+FW_TOP_K = 3
+
+
+def log_odds_distinctive_terms(
+    documents: DataFrame,
+    vocab_cap: int = FW_VOCAB,
+    k: int = FW_TOP_K,
+) -> DataFrame:
+    """Per-source distinctive terms via z-scored log-odds with a Dirichlet
+    prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the
+    principled answer to "what vocabulary distinguishes source X":
+    raw-frequency contrast over-weights common words and TF-IDF
+    over-weights rarities; the informative-prior log-odds z-score
+    handles both tails, which is why it's the standard for corpus
+    comparison. Per source, the top-``k`` terms by z against the REST
+    of the corpus.
+
+    delta_t = ln((y_st + a)/(n_s + A - y_st - a))
+            - ln((y_rt + a)/(n_r + A - y_rt - a)), a = 1, A = |vocab|;
+    var ~ 1/(y_st + a) + 1/(y_rt + a); z = delta/sqrt(var).
+
+    Determinism: every count is an exact long; each log's ARGUMENT is a
+    division of exact-int doubles (engine-identical), each ln snaps to
+    a nano-long immediately (`_log_scaled` — the zipf/PSI precedent),
+    delta is a difference of nano-longs, and z divides two
+    engine-identical doubles once. Ranking ties break (z desc via the
+    nano-exact delta/var ordering, term asc).
+
+    Plan: vocabulary capped to the top-``vocab_cap`` corpus terms
+    (TakeOrdered + broadcast semi-join); per-(source, term) counts are
+    one map-side-combined shuffle; corpus term totals ride a window
+    over the capped vocab; top-k per source is one bounded window.
+    """
+    ex = documents.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(vocab_cap)
+        .select("term")
+    )
+    st = (
+        ex.join(F.broadcast(vocab), "term", "semi")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("y_st"))
+    )
+    wt = Window.partitionBy("term")
+    wsrc = Window.partitionBy("source")
+    wg = Window.partitionBy()
+    cts = st.select(
+        "source",
+        "term",
+        "y_st",
+        F.sum("y_st").over(wt).cast("long").alias("y_t"),
+        F.sum("y_st").over(wsrc).cast("long").alias("n_s"),
+        F.sum("y_st").over(wg).cast("long").alias("n_all"),
+        F.size(F.collect_set("term").over(wg)).cast("long").alias("v"),
+    )
+
+    def _lo(y, n):
+        num = (y + 1).cast("double")
+        den = (n + F.col("v") - y - 1).cast("double")
+        return _log_scaled(num / den)
+
+    y_r = F.col("y_t") - F.col("y_st")
+    n_r = F.col("n_all") - F.col("n_s")
+    delta_nano = _lo(F.col("y_st"), F.col("n_s")) - _lo(y_r, n_r)
+    var = (
+        F.lit(1.0) / (F.col("y_st") + 1).cast("double")
+        + F.lit(1.0) / (y_r + 1).cast("double")
+    )
+    scored = cts.select(
+        "source",
+        "term",
+        "y_st",
+        (F.col("y_t") - F.col("y_st")).alias("y_rest"),
+        delta_nano.alias("delta_nano"),
+        var.alias("var_lo"),
+    ).withColumn(
+        "z",
+        (F.col("delta_nano").cast("double") / F.lit(float(LOG_SCALE)))
+        / F.sqrt(F.col("var_lo")),
+    )
+    pick = Window.partitionBy("source").orderBy(
+        F.col("delta_nano").desc(), F.col("var_lo").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= k)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rank"),
+            "term",
+            "y_st",
+            "y_rest",
+            (F.col("delta_nano").cast("double") / F.lit(float(LOG_SCALE))).alias(
+                "log_odds_delta"
+            ),
+            "z",
+        )
+    )

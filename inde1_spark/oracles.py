@@ -5563,3 +5563,58 @@ SELECT n_points,
          / CAST(n_points AS DOUBLE)) / {LOG_SCALE}.0 AS ln_k
 FROM stats WHERE n_points >= 2
 """
+
+
+from inde1_spark.operators.scoring import FW_TOP_K, FW_VOCAB  # noqa: E402
+
+# Twin of operators/scoring.py:log_odds_distinctive_terms — identical
+# nano-snapped logs over divisions of exact-int doubles, identical
+# informative-prior arithmetic and tie-breaks.
+ORACLES["log_odds_distinctive_terms"] = f"""
+WITH ex AS MATERIALIZED (
+  SELECT source, t.term
+  FROM (
+    SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS n FROM ex GROUP BY 1
+    ORDER BY n DESC, term ASC LIMIT {FW_VOCAB}
+  )
+),
+st AS MATERIALIZED (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_st
+  FROM ex WHERE term IN (SELECT term FROM vocab)
+  GROUP BY 1, 2
+),
+cts AS (
+  SELECT source, term, y_st,
+         CAST(SUM(y_st) OVER (PARTITION BY term) AS BIGINT) AS y_t,
+         CAST(SUM(y_st) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(SUM(y_st) OVER () AS BIGINT) AS n_all,
+         (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM st) AS v
+  FROM st
+),
+scored AS (
+  SELECT source, term, y_st, y_t - y_st AS y_rest,
+         CAST(round(ln(CAST(y_st + 1 AS DOUBLE)
+                       / CAST(n_s + v - y_st - 1 AS DOUBLE)) * 1e9, 0) AS BIGINT)
+         - CAST(round(ln(CAST((y_t - y_st) + 1 AS DOUBLE)
+                         / CAST((n_all - n_s) + v - (y_t - y_st) - 1 AS DOUBLE))
+                      * 1e9, 0) AS BIGINT) AS delta_nano,
+         1.0 / CAST(y_st + 1 AS DOUBLE)
+           + 1.0 / CAST((y_t - y_st) + 1 AS DOUBLE) AS var_lo
+  FROM cts
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY delta_nano DESC, var_lo ASC, term ASC) AS rn
+  FROM scored
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, term, y_st, y_rest,
+       CAST(delta_nano AS DOUBLE) / 1e9 AS log_odds_delta,
+       (CAST(delta_nano AS DOUBLE) / 1e9) / sqrt(var_lo) AS z
+FROM best WHERE rn <= {FW_TOP_K}
+"""

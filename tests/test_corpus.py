@@ -231,3 +231,24 @@ def test_heaps_beta_separates_saturating_from_growing_vocab(spark):
     b_grow = heaps_fit(grow).collect()[0]["heaps_beta"]
     assert b_sat < 0.2
     assert b_grow > 0.9
+
+
+def test_log_odds_finds_the_planted_source_marker(spark):
+    """A term that dominates ONE source and barely appears elsewhere must
+    rank first for that source with a clearly positive z."""
+    from inde1_spark.operators.scoring import log_odds_distinctive_terms
+
+    rows = []
+    i = 0
+    for _ in range(30):
+        rows.append((i, "shibboleth common filler words here", "en", "marked", 35)); i += 1
+    for _ in range(30):
+        rows.append((i, "common filler words here again", "en", "plain", 29)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = log_odds_distinctive_terms(docs).collect()
+    top_marked = [r for r in out if r["source"] == "marked" and r["rank"] == 1][0]
+    assert top_marked["term"] == "shibboleth"
+    assert top_marked["z"] > 2.0
+    assert top_marked["y_st"] == 30 and top_marked["y_rest"] == 0

@@ -1032,3 +1032,10 @@ def test_heaps_fit_bounded_curve(spark):
     # bucket table — no per-prefix re-scan, no joins beyond the bounded
     # bucket grid
     assert_plan(Q["heaps_fit"](spark, SF_SMOKE), max_scans=2, forbid_sort_merge=True)
+
+
+def test_log_odds_bounded_windows(spark):
+    # capped vocab via TakeOrdered + broadcast semi; margins ride windows
+    # over the (sources x vocab)-bounded count table — no sort-merge
+    r = plan_report(Q["log_odds_distinctive_terms"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
