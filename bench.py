@@ -89,6 +89,9 @@ HEADLINE = (
     "keyword_textrank",       # iterative graph rank over the word graph (r05)
     "bloom_prefilter_join",   # runtime-filter pruning, fact side projection-only (r05)
     "heavy_hitters_cms",      # mergeable-sketch frequency rollup (r05)
+    "heaps_fit",              # one-pass vocabulary-growth curve (r05)
+    "log_odds_distinctive_terms",  # capped-vocab source comparison (r05)
+    "markov_stationary",      # bounded-matrix damped power iteration (r05)
 )
 
 
