@@ -237,6 +237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_distinctive_terms": lambda sp, d: SC.log_odds_distinctive_terms(
             _t(sp, d, "documents")
         ),
+        "pareto_frontier": lambda sp, d: A.pareto_frontier(_t(sp, d, "part")),
+        "interval_coverage": lambda sp, d: A.interval_coverage(
+            _t(sp, d, "events")
+        ),
+        "user_streaks": lambda sp, d: A.user_streaks(_t(sp, d, "events")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -3926,3 +3926,161 @@ def markov_stationary(
         F.coalesce("tot", F.lit(0).cast("long")).alias("n_out_transitions"),
         (F.col("p_nano").cast("double") / F.lit(1e9)).alias("stationary_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / interval / streak tier: classic OLAP shapes the reference's
+# ranking+pairing queries (MainWeekly.scala top-k, session zip) gesture at
+# but never generalize — spelled here as bounded-window plans, no self-joins.
+# ---------------------------------------------------------------------------
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: minimize price, maximize
+    size — "no other part is both cheaper and at least as large".
+
+    The naive spelling is a quadratic NOT-EXISTS self-join; this is the
+    sort-based sweep instead: reduce to the PRICE-DOMAIN table first
+    (groupBy exact cents — the only N-sized pass, map-side combinable),
+    keep the max size per price point (same-price smaller sizes are
+    dominated by definition), then one ordered cummax sweep keeps a point
+    iff its size strictly exceeds every strictly-cheaper point's best
+    size. Equal-size-at-higher-price is dominated (size == prev cummax
+    -> dropped); the strictness cases all collapse correctly because the
+    per-price reduce ran first.
+
+    Scale: the sweep window runs over the price DOMAIN (distinct cent
+    values — bounded by the price range, ~1e5 rows at any corpus size),
+    not over N; the N-sized work is one combinable groupBy. Prices are
+    snapped to exact integer cents (floor(x*100+0.5)) so the double
+    key is engine-portable and the domain is provably finite.
+    """
+    pts = (
+        part.select(
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            "p_size",
+        )
+        .groupBy("cents", "p_size")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+    wp = Window.partitionBy("cents").orderBy(F.col("p_size").desc())
+    best = (
+        pts.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    # bounded global sweep: input is the reduced price-domain table
+    ws = (
+        Window.orderBy(F.col("cents").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        best.withColumn("prev_best", F.max("p_size").over(ws))
+        .filter(F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
+        .select(
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("price"),
+            F.col("p_size").cast("long").alias("max_size"),
+            "n_parts",
+        )
+        .orderBy("price")
+    )
+
+
+def interval_coverage(events: DataFrame) -> DataFrame:
+    """Sweep-line union of busy intervals per user: total COVERED seconds
+    counting overlaps once, vs the raw busy-sum that double-counts them.
+
+    Intervals come from the deterministic n-th-entry/n-th-exit pairing
+    (``session_pairing`` semantics, MainWeekly.scala:111-128 resolution);
+    inverted pairs (exit before entry) are dropped. The union is the
+    gaps-and-islands sweep: order a user's intervals by (start, end), a
+    new island starts where start > cummax(previous ends), island id =
+    running sum of the flags, then one groupBy per island. Every window
+    is partitioned by user_id — state is bounded per key, nothing global.
+
+    Output per user: interval count, island (merged-busy-period) count,
+    covered seconds, and overlap seconds (busy-sum minus covered — the
+    double-booking signal the reference's alert rule hints at).
+    """
+    w_ent = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    entries = (
+        events.filter(F.col("event_type") == ENTRY_TYPE)
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_ent))
+        .select("user_id", "rn", F.unix_timestamp("ts").alias("s"))
+    )
+    exits = (
+        events.filter(F.col("event_type") == EXIT_TYPE)
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_ent))
+        .select("user_id", "rn", F.unix_timestamp("ts").alias("e"))
+    )
+    iv = entries.join(exits, ["user_id", "rn"]).filter(F.col("e") > F.col("s"))
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        iv.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.count("*").cast("long").alias("n_iv"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("busy"),
+            (F.max("e") - F.min("s")).cast("long").alias("covered"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("covered_sec"),
+            (F.sum("busy") - F.sum("covered")).cast("long").alias("overlap_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    histogram (streak length -> user count) — the classic gaps-and-islands
+    date trick: on a user's DISTINCT sorted activity days, day_number
+    minus row_number is constant exactly along a consecutive run, so one
+    partitioned window plus a groupBy finds every streak with no self-join
+    and no day-range explode.
+
+    Scale: distinct (user, day) is the only corpus-sized intermediate
+    (combinable groupBy); the window is partitioned per user and the
+    histogram output is bounded by the longest streak in days.
+    """
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_id"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    streaks = (
+        days.withColumn("grp", F.col("day_id") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("long").alias("len"))
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return (
+        longest.groupBy("max_streak")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("max_streak").alias("streak_days"), "n_users")
+        .orderBy("streak_days")
+    )

@@ -5618,3 +5618,105 @@ SELECT source, CAST(rn AS BIGINT) AS rank, term, y_st, y_rest,
        (CAST(delta_nano AS DOUBLE) / 1e9) / sqrt(var_lo) AS z
 FROM best WHERE rn <= {FW_TOP_K}
 """
+
+
+# Twin of operators/analytics.py:pareto_frontier — identical cents snap,
+# per-price max-size reduce, and strict cummax sweep over the price domain.
+ORACLES["pareto_frontier"] = """
+WITH pts AS (
+  SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents, p_size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+best AS (
+  SELECT cents, p_size, n_parts,
+         row_number() OVER (PARTITION BY cents ORDER BY p_size DESC) AS rk
+  FROM pts
+),
+sweep AS (
+  SELECT cents, p_size, n_parts,
+         max(p_size) OVER (ORDER BY cents ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+  FROM best WHERE rk = 1
+)
+SELECT CAST(cents AS DOUBLE) / 100.0 AS price,
+       CAST(p_size AS BIGINT) AS max_size, n_parts
+FROM sweep WHERE prev_best IS NULL OR p_size > prev_best
+ORDER BY price
+"""
+
+
+# Twin of operators/analytics.py:interval_coverage — identical rn pairing
+# (session_pairing semantics), epoch-second snap, and island sweep.
+ORACLES["interval_coverage"] = """
+WITH entries AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'view'
+),
+exits AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+),
+iv AS (
+  SELECT en.user_id, en.s, ex.e
+  FROM entries en JOIN exits ex ON en.user_id = ex.user_id AND en.rn = ex.rn
+  WHERE ex.e > en.s
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, island,
+         CAST(COUNT(*) AS BIGINT) AS n_iv,
+         CAST(SUM(e - s) AS BIGINT) AS busy,
+         CAST(MAX(e) - MIN(s) AS BIGINT) AS covered
+  FROM (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+  )
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered) AS BIGINT) AS covered_sec,
+       CAST(SUM(busy) - SUM(covered) AS BIGINT) AS overlap_sec
+FROM islands
+GROUP BY 1
+ORDER BY user_id
+"""
+
+
+# Twin of operators/analytics.py:user_streaks — identical distinct-day
+# reduce and day_id - row_number island key.
+ORACLES["user_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_id
+  FROM events
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM (
+    SELECT user_id,
+           day_id - row_number() OVER (PARTITION BY user_id ORDER BY day_id) AS grp
+    FROM days
+  )
+  GROUP BY 1, 2
+),
+longest AS (
+  SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY 1
+)
+SELECT max_streak AS streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM longest GROUP BY 1 ORDER BY streak_days
+"""

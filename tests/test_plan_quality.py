@@ -1039,3 +1039,29 @@ def test_log_odds_bounded_windows(spark):
     # over the (sources x vocab)-bounded count table — no sort-merge
     r = plan_report(Q["log_odds_distinctive_terms"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
+
+
+def test_pareto_frontier_domain_sweep(spark):
+    # the only N-sized work is one combinable groupBy; the frontier sweep
+    # (global ordered window) runs over the reduced price-domain table —
+    # one scan, no joins at all
+    r = assert_plan(
+        Q["pareto_frontier"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+    assert r.broadcast_hash_joins == 0 and r.nested_loop_joins == 0
+
+
+def test_interval_coverage_partitioned_sweep(spark):
+    # rn-pairing is the session_pairing co-partitioned join; every sweep
+    # window partitions by user_id (bounded state) — no global window, no
+    # cartesian
+    assert_plan(Q["interval_coverage"](spark, SF_SMOKE), forbid_cartesian=True)
+
+
+def test_user_streaks_no_joins(spark):
+    # distinct (user, day) reduce -> per-user window -> two groupBys; the
+    # whole plan is join-free
+    r = assert_plan(
+        Q["user_streaks"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+    assert r.broadcast_hash_joins == 0 and r.nested_loop_joins == 0
