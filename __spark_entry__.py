@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "user_streaks": lambda sp, d: A.user_streaks(_t(sp, d, "events")),
+        "symspell_neighbors": lambda sp, d: T.symspell_neighbors(
+            _t(sp, d, "part"), "p_name"
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

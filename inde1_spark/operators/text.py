@@ -1184,3 +1184,79 @@ def keyword_textrank(
             (F.col("r_nano").cast("double") / F.lit(1e9)).alias("textrank"),
         )
     )
+
+
+SYMSPELL_MAX_LEN = 16    # deletion keys per term = len+1; bounds fanout
+SYMSPELL_KEY_DF = 1000   # hot-key cap: a deletion shared by more terms is
+                         # boilerplate (e.g. the '' key of 1-char terms at a
+                         # huge alphabet) — dropping it is a documented,
+                         # deterministic recall trade, the dedup-family rule
+
+
+def symspell_neighbors(
+    df: DataFrame, text_col: str = "text", key_df_cap: int = SYMSPELL_KEY_DF
+) -> DataFrame:
+    """Edit-distance-1 vocabulary neighbor pairs via the SymSpell
+    deletion-neighborhood join — typo/variant candidate mining without a
+    quadratic vocab self-join.
+
+    Key set of a term = the term itself plus every single-character
+    deletion. Any two terms at edit distance <= 1 provably share a key
+    (deletion: the shorter IS a key of the longer; substitution: deleting
+    the edited position from both yields the same string), so joining on
+    keys loses nothing — the pigeonhole guarantee ``test_text_units``
+    pins with planted typos. Sharing a key only bounds distance by 2,
+    so candidates pass one exact ``levenshtein`` verify — computed on
+    candidate PAIRS only, never vocab x vocab.
+
+    Scale: keys are linear in vocab x term length (<= len+1 each, length
+    capped); the join is posting-list-shaped with a hot-key df cap; the
+    N-sized corpus work is one combinable term-count groupBy. In a real
+    cleaning pipeline, filter the output to rare-term_a/frequent-term_b
+    pairs for spell-fix candidates — the synthetic vocab has no typo
+    skew, so the operator reports every neighbor pair with both counts
+    and leaves the thresholding to the caller.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.length("term") <= SYMSPELL_MAX_LEN)
+    )
+    from inde1_spark.operators.dedup import _persist
+
+    term = F.col("term")
+    # three consumers (hot-key counts + both join sides) would each re-run
+    # the corpus vocab pass — persist the tiny vocab-x-length key table so
+    # the corpus is scanned once
+    keys = _persist(vocab.select(
+        "term",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(term)),
+                    lambda i: F.concat(
+                        term.substr(F.lit(1), i),
+                        term.substr(i + F.lit(2), F.length(term)),
+                    ),
+                )
+            )
+        ).alias("key"),
+    ))
+    ok = keys.groupBy("key").agg(F.count("*").alias("kdf")).filter(
+        F.col("kdf") <= F.lit(key_df_cap)
+    )
+    k = keys.join(ok.select("key"), "key")
+    a = k.select("key", F.col("term").alias("term_a"), F.col("n").alias("n_a"))
+    b = k.select("key", F.col("term").alias("term_b"), F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("term_a", "term_b") <= 1)
+        .orderBy("term_a", "term_b")
+    )

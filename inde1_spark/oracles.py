@@ -5720,3 +5720,38 @@ longest AS (
 SELECT max_streak AS streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM longest GROUP BY 1 ORDER BY streak_days
 """
+
+
+from inde1_spark.operators.text import SYMSPELL_KEY_DF, SYMSPELL_MAX_LEN  # noqa: E402
+
+# Twin of operators/text.py:symspell_neighbors — identical deletion-key
+# generation, hot-key cap, and candidate-only levenshtein verify; runs on
+# the part-name vocabulary (the one testdata vocab with ed-1 pairs).
+ORACLES["symspell_neighbors"] = f"""
+WITH vocab AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT list_filter(string_split(p_name, ' '), x -> x <> '') AS toks
+    FROM part
+  ), UNNEST(toks) AS t(term)
+  GROUP BY 1
+),
+keys AS (
+  SELECT term, n, k.key
+  FROM (
+    SELECT term, n,
+           list_distinct(list_transform(range(0, length(term) + 1),
+             i -> substr(term, 1, i) || substr(term, i + 2, length(term)))) AS ks
+    FROM vocab WHERE length(term) <= {SYMSPELL_MAX_LEN}
+  ), UNNEST(ks) AS k(key)
+),
+ok AS (SELECT key FROM keys GROUP BY 1 HAVING COUNT(*) <= {SYMSPELL_KEY_DF}),
+cand AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.term < b.term
+  WHERE a.key IN (SELECT key FROM ok)
+)
+SELECT term_a, term_b, n_a, n_b FROM cand
+WHERE levenshtein(term_a, term_b) <= 1
+ORDER BY term_a, term_b
+"""

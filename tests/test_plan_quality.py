@@ -1065,3 +1065,15 @@ def test_user_streaks_no_joins(spark):
         Q["user_streaks"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
     )
     assert r.broadcast_hash_joins == 0 and r.nested_loop_joins == 0
+
+
+def test_symspell_single_corpus_pass(spark):
+    # the persisted key table feeds all three consumers (hot-key counts +
+    # both join sides): one corpus scan, posting-list joins, no cartesian
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = assert_plan(Q["symspell_neighbors"](spark, SF_SMOKE), forbid_cartesian=True)
+    # the printed plan repeats the scan subtree per consumer; the cache
+    # node is the proof the corpus pass physically runs once
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    release_persisted()

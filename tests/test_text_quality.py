@@ -208,3 +208,64 @@ def test_textrank_hub_outranks_equal_frequency_cycle(spark):
     release_persisted()
     assert "hubword" in out and "loopword" in out
     assert out["hubword"] > out["loopword"]
+
+
+def test_symspell_finds_all_planted_ed1_pairs(spark):
+    # the pigeonhole guarantee: every edit-distance-1 pair (deletion,
+    # insertion, substitution) shares a deletion key, so the candidate
+    # join equals the quadratic levenshtein ground truth for ed <= 1
+    from pyspark.sql import functions as F
+
+    from inde1_spark.operators.text import symspell_neighbors
+
+    texts = [
+        "spark spark spark sprak",      # transposition = ed 2: must NOT pair
+        "batch batch btch",             # deletion
+        "window windoe",                # substitution
+        "stream streams",               # insertion
+        "table cable fable",            # substitution cluster
+        "query query",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r.term_a, r.term_b)
+        for r in symspell_neighbors(docs, "text").collect()
+    }
+    vocab = [
+        r.term
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("term")
+        ).distinct().collect()
+    ]
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("batch", "btch") in got and ("stream", "streams") in got
+    assert ("windoe", "window") in got and ("cable", "fable") in got
+    assert ("spark", "sprak") not in got  # transposition is ed 2
+
+
+def test_symspell_hot_key_cap_binds(spark):
+    # every 1-char term shares the '' deletion key; with the cap below the
+    # bucket size the whole bucket drops — deterministic recall trade
+    from inde1_spark.operators.text import symspell_neighbors
+
+    docs = _docs(spark, ["a b c d e f"])
+    assert symspell_neighbors(docs, "text", key_df_cap=3).count() == 0
+    # uncapped, single-char terms all pair (ed 1 via substitution)
+    assert symspell_neighbors(docs, "text").count() == 15
