@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_neighbors": lambda sp, d: T.symspell_neighbors(
             _t(sp, d, "part"), "p_name"
         ),
+        "mutual_nearest_neighbors": lambda sp, d: S.mutual_nearest_neighbors(
+            _t(sp, d, "embeddings")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -1363,3 +1363,42 @@ def ann_paths_recall(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def mutual_nearest_neighbors(
+    embeddings: DataFrame, dims: int = LSH_SIGN_DIMS
+) -> DataFrame:
+    """Mutual top-1 pairs over the WHOLE corpus: (a, b) survives iff b is
+    a's nearest retrieved neighbor AND a is b's — the reciprocal-match
+    criterion behind bitext mining and contrastive-pair selection
+    (margin-based mining keeps reciprocal matches; one-directional
+    nearest-neighbor lists are dominated by hubs, which reciprocity
+    filters out for free).
+
+    Candidates come from the production multiprobe sign-LSH path with
+    EVERY vector as a query (k = 1), so the search stays a bucket-keyed
+    equi-join — corpus x corpus is never formed; cost per vector tracks
+    bucket occupancy x (dims+1) probes, tunable by ``dims`` exactly like
+    ``knn_lsh_bucketed``. The top-1 table is persisted once and consumed
+    from cache in both join directions. Symmetric by construction
+    (exact-decimal dot is direction-independent), so the pair is emitted
+    once with vec_a < vec_b.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    nn = _persist(
+        knn_lsh_bucketed(embeddings, k=1, n_queries=2**62, dims=dims).select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    rev = nn.select(
+        F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+    )
+    return (
+        nn.join(rev, ["vec_a", "vec_b"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -5755,3 +5755,45 @@ SELECT term_a, term_b, n_a, n_b FROM cand
 WHERE levenshtein(term_a, term_b) <= 1
 ORDER BY term_a, term_b
 """
+
+
+# Twin of operators/similarity.py:mutual_nearest_neighbors — the
+# knn_lsh_bucketed candidate/scoring pipeline with EVERY vector as a
+# query and k = 1, then the reciprocal self-join.
+ORACLES["mutual_nearest_neighbors"] = f"""
+WITH {_NORMS.strip().rstrip()},
+buckets AS (
+  SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
+),
+qprobes AS (
+  SELECT vec_id, unnest([{_PROBE_LIST}]) AS probe FROM buckets
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM qprobes qa
+  JOIN buckets bb ON qa.probe = bb.bucket AND qa.vec_id <> bb.vec_id
+  JOIN embeddings a ON a.vec_id = qa.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+),
+top1 AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 1
+)
+SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b, f.cos_sim
+FROM top1 f JOIN top1 r
+  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+WHERE f.query_id < f.neighbor_id
+ORDER BY vec_a, vec_b
+"""

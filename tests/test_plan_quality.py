@@ -1077,3 +1077,15 @@ def test_symspell_single_corpus_pass(spark):
     # node is the proof the corpus pass physically runs once
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     release_persisted()
+
+
+def test_mutual_nn_bucketed_never_cartesian(spark):
+    # all-vectors-as-queries still rides the bucket-keyed equi-join; the
+    # persisted top-1 table feeds both reciprocal join sides from cache
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = assert_plan(
+        Q["mutual_nearest_neighbors"](spark, SF_SMOKE), forbid_cartesian=True
+    )
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    release_persisted()

@@ -234,3 +234,33 @@ def test_pq_clustered_neighbors_from_own_cluster(spark):
     assert len(out) == 9  # queries 0,1,2 (cluster 0) x top-3
     for r in out:
         assert r["neighbor_id"] < 100  # all neighbors stay in cluster 0
+
+
+def test_mutual_nn_keeps_reciprocal_pairs_drops_hub(spark):
+    # planted geometry: two tight reciprocal pairs plus a hub that is
+    # nearest neighbor TO several points without any of them being ITS
+    # nearest — reciprocity must keep the pairs and exclude the hub edges
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.similarity import mutual_nearest_neighbors
+
+    def v(*head):
+        out = list(head) + [0.0] * (64 - len(head))
+        return out
+
+    rows = [
+        (0, v(1.0, 0.02), 0),        # pair A
+        (1, v(1.0, 0.03), 0),        # pair A'
+        (2, v(-1.0, 0.0, 1.0), 1),   # pair B
+        (3, v(-1.0, 0.0, 1.01), 1),  # pair B'
+        (4, v(0.0, 1.0), 2),         # hub: closest thing to 5 and 6,
+        (5, v(0.30, 1.0, 0.3), 2),   # but 4's own nearest is 6 while
+        (6, v(-0.28, 1.0, 0.3), 2),  # 5's and 6's nearest is 4 -> only
+                                     # (4,6) can be reciprocal, (4,5) not
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r.vec_a, r.vec_b) for r in mutual_nearest_neighbors(emb).collect()
+    }
+    release_persisted()
+    assert (0, 1) in got and (2, 3) in got
+    assert (4, 5) not in got
