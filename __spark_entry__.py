@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nearest_neighbors": lambda sp, d: S.mutual_nearest_neighbors(
             _t(sp, d, "embeddings")
         ),
+        "quality_quantile_normalize": lambda sp, d: C.quality_quantile_normalize(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -946,3 +946,113 @@ def quality_emd(documents: DataFrame) -> DataFrame:
             (F.col("norm_micro").cast("double") / F.lit(1e6)).alias("emd_norm"),
         )
     )
+
+
+QNORM_SCALE = 1_000_000_000  # nano-grid CDF positions (exact integers)
+
+
+def quality_quantile_normalize(documents: DataFrame) -> DataFrame:
+    """Cross-source quantile normalization of the quality score: map each
+    source's score distribution onto the POOLED corpus distribution, so a
+    filter threshold means the same thing for every source — the
+    calibration step heterogeneous-corpus curation needs before a single
+    quality cutoff is defensible (a web source's 0.6 and a books source's
+    0.6 are different quantiles of different distributions).
+
+    Rank-based mapping on VALUE-DOMAIN tables only: quality is an exact
+    4-decimal ratio, so per-source and pooled distributions reduce to
+    bounded (source x <=10001-value) histograms — every window here runs
+    over that grid, never over documents (the quality_ntile rule). Each
+    source value's Hazen CDF position ((2*cum - cnt) / 2n, exact nano
+    integers via wide-decimal floor-div) is mapped through the pooled
+    left-continuous inverse CDF by the union-and-backfill as-of trick:
+    pooled grid rows are tagged into every source's partition, one
+    ordered window back-fills the last pooled value at-or-below the
+    source position, with the pooled minimum as the left-edge fallback.
+
+    Output is the bounded mapping table (source, quality -> norm_quality,
+    with doc counts); applying it to documents is one broadcast join.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    from inde1_spark.operators.text import _quality_col
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def cdf_nano(cum, cnt, n):
+        num = d38(F.lit(2) * cum - cnt) * d38(F.lit(QNORM_SCALE))
+        den = d38(F.lit(2) * n)
+        return ((num - num % den) / den).cast("long")
+
+    # the one corpus-sized pass; persisted because the pooled histogram,
+    # the per-source totals and the union all derive from it
+    vals = _persist(
+        documents.select("source", _quality_col().alias("quality"))
+        .groupBy("source", "quality")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_s = vals.groupBy("source").agg(F.sum("n_docs").cast("long").alias("n_s"))
+    src = (
+        vals.withColumn("cum", F.sum("n_docs").over(w_s).cast("long"))
+        .join(F.broadcast(n_s), "source")
+        .select(
+            "source",
+            "quality",
+            "n_docs",
+            cdf_nano(F.col("cum"), F.col("n_docs"), F.col("n_s")).alias("cdf"),
+            F.lit(0).alias("is_global"),
+            F.lit(None).cast("double").alias("gq"),
+        )
+    )
+    glob = vals.groupBy("quality").agg(F.sum("n_docs").cast("long").alias("n_g"))
+    w_g = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    n_all = glob.agg(F.sum("n_g").cast("long").alias("n_all"))
+    gcdf = (
+        glob.withColumn("cum", F.sum("n_g").over(w_g).cast("long"))
+        .join(F.broadcast(n_all))
+        .select(
+            F.col("quality").alias("gq"),
+            cdf_nano(F.col("cum"), F.col("n_g"), F.col("n_all")).alias("cdf"),
+        )
+    )
+    gx = (
+        vals.select("source")
+        .distinct()
+        .join(F.broadcast(gcdf))
+        .select(
+            "source",
+            F.lit(None).cast("double").alias("quality"),
+            F.lit(None).cast("long").alias("n_docs"),
+            "cdf",
+            F.lit(1).alias("is_global"),
+            "gq",
+        )
+    )
+    gmin = glob.agg(F.min("quality").alias("g_min"))
+    w_u = Window.partitionBy("source").orderBy(
+        F.col("cdf").asc(), F.col("is_global").desc()
+    )
+    return (
+        src.unionByName(gx)
+        .withColumn(
+            "mapped",
+            F.last("gq", ignorenulls=True).over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("is_global") == 0)
+        .join(F.broadcast(gmin))
+        .select(
+            "source",
+            "quality",
+            "n_docs",
+            F.coalesce("mapped", "g_min").alias("norm_quality"),
+        )
+        .orderBy("source", "quality")
+    )

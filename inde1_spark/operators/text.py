@@ -94,6 +94,19 @@ def quality_parts() -> tuple[Column, Column, Column]:
     return n_tokens, ratio_round(num, den, 4), ratio_scaled(num, den, 4)
 
 
+def _quality_col() -> Column:
+    """The 4-decimal exact quality ratio as a bare column (the same
+    expression ``quality_score`` emits), for operators that need the score
+    alongside columns quality_score's fixed output schema drops."""
+    toks = _toks()
+    gnt = F.greatest(F.size(toks).cast("long"), F.lit(1).cast("long"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    capped = F.least(F.col("n_chars").cast("long"), F.lit(500).cast("long"))
+    return ratio_round(
+        capped * gnt + F.lit(500) * (gnt - n_stop), F.lit(1000) * gnt, 4
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length score + stopword ratio.
 

@@ -5797,3 +5797,78 @@ FROM top1 f JOIN top1 r
 WHERE f.query_id < f.neighbor_id
 ORDER BY vec_a, vec_b
 """
+
+
+from inde1_spark.operators.corpus import QNORM_SCALE  # noqa: E402
+
+# Twin of operators/corpus.py:quality_quantile_normalize — identical
+# value-domain histograms, Hazen nano-CDF via HUGEINT floor-div, and
+# union-and-backfill inverse-CDF mapping.
+ORACLES["quality_quantile_normalize"] = f"""
+WITH toks AS (
+  SELECT source, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+m AS (
+  SELECT source,
+         GREATEST(CAST(len(tk) AS BIGINT), 1) AS gnt,
+         CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         LEAST(n_chars, 500) AS capped_chars
+  FROM toks
+),
+vals AS (
+  SELECT source,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)}
+           AS quality,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM m GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_s FROM vals GROUP BY 1),
+src AS (
+  SELECT v.source, v.quality, v.n_docs,
+         CAST(((CAST(2 * cum - n_docs AS HUGEINT) * {QNORM_SCALE}
+                - (CAST(2 * cum - n_docs AS HUGEINT) * {QNORM_SCALE})
+                  % CAST(2 * n_s AS HUGEINT))
+               / CAST(2 * n_s AS HUGEINT)) AS BIGINT) AS cdf,
+         0 AS is_global, CAST(NULL AS DOUBLE) AS gq
+  FROM (
+    SELECT source, quality, n_docs,
+           CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY quality
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM vals
+  ) v JOIN ns ON ns.source = v.source
+),
+gdist AS (
+  SELECT quality, CAST(SUM(n_docs) AS BIGINT) AS n_g FROM vals GROUP BY 1
+),
+gcdf AS (
+  SELECT quality AS gq,
+         CAST(((CAST(2 * cum - n_g AS HUGEINT) * {QNORM_SCALE}
+                - (CAST(2 * cum - n_g AS HUGEINT) * {QNORM_SCALE})
+                  % CAST(2 * n_all AS HUGEINT))
+               / CAST(2 * n_all AS HUGEINT)) AS BIGINT) AS cdf
+  FROM (
+    SELECT quality, n_g,
+           CAST(SUM(n_g) OVER (ORDER BY quality
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(n_g) OVER () AS BIGINT) AS n_all
+    FROM gdist
+  )
+),
+gx AS (
+  SELECT s.source, CAST(NULL AS DOUBLE) AS quality,
+         CAST(NULL AS BIGINT) AS n_docs, g.cdf, 1 AS is_global, g.gq
+  FROM (SELECT DISTINCT source FROM vals) s CROSS JOIN gcdf g
+),
+u AS (
+  SELECT *, last_value(gq IGNORE NULLS) OVER (PARTITION BY source
+           ORDER BY cdf ASC, is_global DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mapped
+  FROM (SELECT * FROM src UNION ALL BY NAME SELECT * FROM gx)
+)
+SELECT source, quality, n_docs,
+       COALESCE(mapped, (SELECT MIN(quality) FROM gdist)) AS norm_quality
+FROM u WHERE is_global = 0
+ORDER BY source, quality
+"""

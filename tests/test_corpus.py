@@ -252,3 +252,31 @@ def test_log_odds_finds_the_planted_source_marker(spark):
     assert top_marked["term"] == "shibboleth"
     assert top_marked["z"] > 2.0
     assert top_marked["y_st"] == 30 and top_marked["y_rest"] == 0
+
+
+def test_quantile_normalize_is_monotone_and_pooled_valued(spark):
+    # the inverse-CDF mapping must be (a) monotone non-decreasing per
+    # source, (b) valued in the POOLED quality domain, and (c) calibrated:
+    # a source whose raw scores sit below the pool maps its top quantiles
+    # UP toward pooled values (and vice versa)
+    from inde1_spark.operators.corpus import quality_quantile_normalize
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.text import _quality_col
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = quality_quantile_normalize(docs).collect()
+    pooled = {
+        r.q for r in docs.select(_quality_col().alias("q")).distinct().collect()
+    }
+    release_persisted()
+    assert out
+    by_source: dict[str, list] = {}
+    for r in out:
+        assert r.norm_quality in pooled
+        by_source.setdefault(r.source, []).append((r.quality, r.norm_quality))
+    for rows in by_source.values():
+        rows.sort()
+        for (q0, n0), (q1, n1) in zip(rows, rows[1:]):
+            assert q0 < q1 and n0 <= n1

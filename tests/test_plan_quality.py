@@ -1089,3 +1089,18 @@ def test_mutual_nn_bucketed_never_cartesian(spark):
     )
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     release_persisted()
+
+
+def test_quantile_normalize_value_domain_windows(spark):
+    # every window rides the bounded (source x 4-decimal-grid) histogram
+    # derived from ONE persisted corpus groupBy; the pooled grid reaches
+    # each source partition via broadcast, never a corpus-sized join
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["quality_quantile_normalize"](spark, SF_SMOKE))
+    # the nested-loops are the bounded grid-cross / 1-row fallback
+    # broadcasts (the quality_emd contract); corpus-sized joins would
+    # surface as sort-merge
+    assert r.sort_merge_joins == 0
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    release_persisted()
