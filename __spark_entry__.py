@@ -251,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_normalize": lambda sp, d: C.quality_quantile_normalize(
             _t(sp, d, "documents")
         ),
+        "session_paths": lambda sp, d: A.session_paths(_t(sp, d, "events")),
+        "kaplan_meier_retention": lambda sp, d: A.kaplan_meier_retention(
+            _t(sp, d, "events")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

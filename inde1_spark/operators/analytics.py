@@ -4084,3 +4084,167 @@ def user_streaks(events: DataFrame) -> DataFrame:
         .select(F.col("max_streak").alias("streak_days"), "n_users")
         .orderBy("streak_days")
     )
+
+
+PATH_MAX_STEPS = 8   # truncate each session's path to its first 8 steps
+PATH_TOP_K = 20
+PATH_GAP_MIN = 60    # sessionize_gap's session boundary
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = PATH_GAP_MIN,
+    max_steps: int = PATH_MAX_STEPS,
+    k: int = PATH_TOP_K,
+) -> DataFrame:
+    """Top-k behavioral paths: the ordered event-type sequence of each
+    gap-defined session, truncated to its first ``max_steps`` steps —
+    the full-journey view ``transition_matrix`` (one-step) and
+    ``funnel_steps`` (one fixed path) both project away.
+
+    Sessions reuse the sessionize_gap islands; each session's path is
+    assembled ROW-LOCALLY (array_sort of collected (ts, event_id, type)
+    structs, slice, concat) so ordering needs no second window, and the
+    total order (ts, event_id) makes the string engine-identical. Path
+    cardinality is bounded by |types|^max_steps in theory but by observed
+    journeys in practice; the top-k is a TakeOrdered, never a global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = flagged.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                max_steps,
+            ),
+        ).alias("path"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+KM_CHURN_GAP_DAYS = 7  # quiet for > this before corpus end = churned
+KM_LOG_ZERO = -(10**18)  # absorbing sentinel: everyone-at-risk-churned row
+
+
+def kaplan_meier_retention(
+    events: DataFrame, churn_gap_days: int = KM_CHURN_GAP_DAYS
+) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes with right-censoring —
+    the statistically honest retention curve: a user still active near
+    the end of the observation window hasn't churned, they're CENSORED,
+    and naive retention (``retention_cohorts``) silently treats them as
+    lost. KM removes censored users from the at-risk set without
+    counting them as deaths: S(t) = prod_{u <= t} (1 - d_u / n_u).
+
+    Churn definition: last activity more than ``churn_gap_days`` before
+    the corpus max day (the quiet-user heuristic); the observed time for
+    churned users is last_day - first_day, for censored users
+    max_day - first_day. One per-user min/max pass is the only
+    corpus-sized work; the risk table and the cumulative product (as a
+    nano-snapped log sum — exact long arithmetic, no engine-libm exp)
+    ride the bounded duration grid. S(t) = exp(log_survival).
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    # persisted: the corpus-end aggregate and the observation table both
+    # consume the per-user lifetime pass — one corpus scan, not two
+    per_user = _persist(
+        events.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+    )
+    maxd = per_user.agg(F.max("last_d").alias("max_d"))
+    obs = per_user.join(F.broadcast(maxd)).select(
+        F.when(
+            F.col("last_d") < F.col("max_d") - F.lit(churn_gap_days),
+            F.col("last_d") - F.col("first_d"),
+        )
+        .otherwise(F.col("max_d") - F.col("first_d"))
+        .alias("t"),
+        F.when(
+            F.col("last_d") < F.col("max_d") - F.lit(churn_gap_days), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    # bounded duration-grid windows: at-risk = suffix sum, survival = the
+    # cumulative nano-log of (n-d)/n (exact longs; ln snapped per step)
+    w_ord = Window.orderBy("t")
+    at_risk = F.sum(F.col("n_churned") + F.col("n_censored")).over(
+        w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    step_log = F.round(
+        F.log(
+            (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    # d == n would be ln(0): Spark yields NULL, DuckDB hard-errors (the
+    # engine-asymmetry rule) — use an absorbing sentinel (survival is
+    # exactly 0 from that row on; exp(-1e9) underflows to 0.0)
+    step = F.when(
+        (F.col("n_churned") > 0) & (F.col("n_at_risk") > F.col("n_churned")),
+        step_log,
+    ).when(
+        F.col("n_churned") > 0, F.lit(KM_LOG_ZERO)
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        grid.withColumn("n_at_risk", at_risk.cast("long"))
+        .withColumn("step", step)
+        .withColumn(
+            "log_survival",
+            (
+                F.sum("step")
+                .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.lit(1e9)
+            ),
+        )
+        .select(
+            F.col("t").alias("duration_days"),
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            "log_survival",
+        )
+        .orderBy("duration_days")
+    )

@@ -5872,3 +5872,88 @@ SELECT source, quality, n_docs,
 FROM u WHERE is_global = 0
 ORDER BY source, quality
 """
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    KM_CHURN_GAP_DAYS,
+    KM_LOG_ZERO,
+    PATH_MAX_STEPS,
+    PATH_TOP_K,
+)
+
+# Twin of operators/analytics.py:session_paths — the sessionize_gap
+# islands, order-stable list aggregation, identical slice/concat.
+ORACLES["session_paths"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id), ts) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list_slice(
+           list(event_type ORDER BY ts, event_id), 1, {PATH_MAX_STEPS}), '>')
+           AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOP_K}
+"""
+
+
+# Twin of operators/analytics.py:kaplan_meier_retention — identical churn
+# rule, suffix-sum risk set, nano-log steps with the absorbing sentinel.
+ORACLES["kaplan_meier_retention"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_d,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_d
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(last_d) AS max_d FROM per_user),
+obs AS (
+  SELECT CASE WHEN last_d < max_d - {KM_CHURN_GAP_DAYS}
+              THEN last_d - first_d ELSE max_d - first_d END AS t,
+         CASE WHEN last_d < max_d - {KM_CHURN_GAP_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM per_user CROSS JOIN mx
+),
+grid AS (
+  SELECT t, CAST(SUM(churned) AS BIGINT) AS n_churned,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t, n_churned, n_censored,
+         CAST(SUM(n_churned + n_censored) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM grid
+),
+steps AS (
+  SELECT t, n_at_risk, n_churned, n_censored,
+         CASE WHEN n_churned > 0 AND n_at_risk > n_churned
+              THEN CAST(round(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                     / CAST(n_at_risk AS DOUBLE)) * 1e9, 0) AS BIGINT)
+              WHEN n_churned > 0 THEN CAST({KM_LOG_ZERO} AS BIGINT)
+              ELSE 0 END AS step
+  FROM risk
+)
+SELECT t AS duration_days, n_at_risk, n_churned, n_censored,
+       CAST(SUM(step) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9
+         AS log_survival
+FROM steps ORDER BY duration_days
+"""

@@ -1104,3 +1104,26 @@ def test_quantile_normalize_value_domain_windows(spark):
     assert r.sort_merge_joins == 0
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     release_persisted()
+
+
+def test_session_paths_rowlocal_assembly(spark):
+    # path assembly is array_sort/slice/concat inside the session groupBy
+    # — one corpus window + one aggregation, top-k via TakeOrdered, no
+    # joins, no global sort
+    r = assert_plan(
+        Q["session_paths"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+    assert "TakeOrdered" in r.raw
+    assert r.broadcast_hash_joins == 0 and r.nested_loop_joins == 0
+
+
+def test_kaplan_meier_bounded_grid(spark):
+    # one per-user min/max pass; risk table + log-sum windows ride the
+    # bounded duration grid; the corpus-end join is a 1-row broadcast
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["kaplan_meier_retention"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    # the persisted per-user lifetime table feeds both consumers
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    release_persisted()

@@ -180,3 +180,89 @@ def test_runs_test_oscillation_and_regimes(spark):
 
     flat = runs_test(_events([5.0] * 10)).collect()[0]
     assert flat["z"] == 0.0 and not flat["nonrandom_5pct"]
+
+
+def test_kaplan_meier_censoring_vs_naive(spark):
+    # A churns at t=2 (quiet >7d before the day-20 corpus end); B and C
+    # are still active near the end -> CENSORED at their observed spans,
+    # removed from risk without counting as deaths
+    import math
+
+    from inde1_spark.operators.analytics import kaplan_meier_retention
+
+    def e(i, day, uid):
+        return (i, datetime(2024, 1, 1 + day, 12, 0, 0), uid, "view", 1.0, "{}")
+
+    rows = [
+        e(1, 0, 1), e(2, 2, 1),            # A: t=2, churned
+        e(3, 0, 2), e(4, 16, 2),           # B: last day 16 > 13 -> censored, t=20
+        e(5, 0, 3), e(6, 20, 3),           # C: censored, t=20
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.duration_days: r for r in kaplan_meier_retention(events).collect()}
+    assert out[2].n_at_risk == 3 and out[2].n_churned == 1
+    assert out[20].n_churned == 0 and out[20].n_censored == 2
+    # S(2) = 2/3 exactly (one nano-snapped log step)
+    assert abs(out[2].log_survival - math.log(2 / 3)) < 2e-9
+    # censored rows never move the curve
+    assert out[20].log_survival == out[2].log_survival
+
+
+def test_kaplan_meier_absorbing_zero_when_everyone_churns(spark):
+    from inde1_spark.operators.analytics import kaplan_meier_retention
+
+    def e(i, day, uid):
+        return (i, datetime(2024, 1, 1 + day, 12, 0, 0), uid, "view", 1.0, "{}")
+
+    # both users churn at t=1; one lone censored user defines the window end
+    rows = [
+        e(1, 0, 1), e(2, 1, 1),
+        e(3, 0, 2), e(4, 1, 2),
+        e(5, 20, 3),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.duration_days: r for r in kaplan_meier_retention(events).collect()}
+    # at t=1 the at-risk set is 2 churned + 0 censored... plus user 3 at
+    # t=0? user 3: first=last=20 -> censored t=0. So risk at t=1 is 2.
+    assert out[1].n_at_risk == 2 and out[1].n_churned == 2
+    assert out[1].log_survival <= -1e8  # absorbing sentinel: S = 0
+
+
+def test_session_paths_orders_and_truncates(spark):
+    from inde1_spark.operators.analytics import session_paths
+
+    base = datetime(2024, 5, 1, 9, 0, 0)
+
+    def e(i, minutes, uid, typ):
+        return (
+            i,
+            datetime(2024, 5, 1, 9 + minutes // 60, minutes % 60, 0),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1, session 1: a>b>c (tight); session 2 after a >60min gap: a
+        e(1, 0, 1, "a"), e(2, 1, 1, "b"), e(3, 2, 1, "c"),
+        e(4, 120, 1, "a"),
+        # user 2: same a>b>c journey
+        e(5, 0, 2, "a"), e(6, 5, 2, "b"), e(7, 6, 2, "c"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.path: r.n_sessions for r in session_paths(events).collect()}
+    assert out == {"a>b>c": 2, "a": 1}
+    # truncation: a 10-step session keeps its first 8 types
+    long_rows = [e(i, i, 9, t) for i, t in enumerate("abcdefghij")]
+    events2 = spark.createDataFrame(
+        long_rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    paths = [r.path for r in session_paths(events2).collect()]
+    assert paths == ["a>b>c>d>e>f>g>h"]
