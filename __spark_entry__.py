@@ -255,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_retention": lambda sp, d: A.kaplan_meier_retention(
             _t(sp, d, "events")
         ),
+        "asof_join_forward": lambda sp, d: A.asof_join_forward(
+            _t(sp, d, "events")
+        ),
+        "cross_source_perplexity": lambda sp, d: SC.cross_source_perplexity(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

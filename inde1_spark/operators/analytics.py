@@ -4248,3 +4248,46 @@ def kaplan_meier_retention(
         )
         .orderBy("duration_days")
     )
+
+
+ASOF_FWD_TOLERANCE_SEC = 3600
+
+
+def asof_join_forward(
+    events: DataFrame, tolerance_sec: int = ASOF_FWD_TOLERANCE_SEC
+) -> DataFrame:
+    """Forward as-of: each 'error' event matched to the NEXT 'view' of the
+    same user within a tolerance — the time-to-recovery enrichment that is
+    ``asof_join``'s mirror image (backward = state at event time; forward
+    = first reaction after it). Same union-and-window plan: one shuffle on
+    the key, no range explode; beyond-tolerance matches null out, every
+    error row survives exactly once (left-outer semantics).
+    """
+    from inde1_spark.operators.joins import asof_join as asof
+
+    views = events.filter(F.col("event_type") == ENTRY_TYPE).select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    j = asof(
+        errors,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=("view_id",),
+        direction="forward",
+        tolerance_sec=tolerance_sec,
+        left_order="error_id",
+    )
+    return j.select(
+        "user_id",
+        "error_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.col("asof_view_id").alias("next_view_id"),
+        (F.unix_timestamp("asof_ts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("recovery_sec"),
+    ).orderBy("user_id", "error_id")

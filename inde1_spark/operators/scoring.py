@@ -775,3 +775,90 @@ def log_odds_distinctive_terms(
             "z",
         )
     )
+
+
+def cross_source_perplexity(documents: DataFrame) -> DataFrame:
+    """Cross-source LM drift matrix: average cross-entropy (nats/token) of
+    each source's text under every other source's add-1 unigram LM — the
+    language-model-level view of corpus heterogeneity that quality_emd
+    (score drift) and log_odds_distinctive_terms (term drift) don't give:
+    H(B|A) >> H(B|B) means source B is linguistically foreign to A's
+    model, the signal behind domain-mixture and curriculum decisions.
+
+    Never materializes the sources x vocab probability grid: with add-1
+    smoothing, ln p_A(t) = ln(c_A(t)+1) - ln(n_A+V), and absent terms
+    contribute ln(1) = 0 — so the per-pair sum needs only the INNER join
+    of the two sources' term tables, and the smoothing constant folds
+    into one per-source scalar. One corpus term-count pass (persisted,
+    three consumers); everything after is bounded by vocab x sources.
+    Arithmetic: nano-snapped logs, wide-decimal products and floor-div —
+    exact in both engines.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    st = _persist(
+        documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ns = st.groupBy("source").agg(F.sum("c").cast("long").alias("n_toks"))
+    vocab = st.select("term").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    lm = st.select(
+        F.col("source").alias("train_source"),
+        "term",
+        _log_scaled(F.col("c").cast("double") + F.lit(1.0)).alias("lsc"),
+    )
+    tf = st.select(
+        F.col("source").alias("eval_source"), "term", F.col("c").alias("tf")
+    )
+    pair_sums = (
+        tf.join(lm, "term")
+        .groupBy("train_source", "eval_source")
+        .agg(
+            F.sum(d38(F.col("tf")) * d38(F.col("lsc"))).alias("s"),
+            F.count("*").cast("long").alias("shared_terms"),
+        )
+    )
+    grid = (
+        ns.select(F.col("source").alias("train_source"), F.col("n_toks").alias("n_train"))
+        .join(F.broadcast(vocab))
+        .select(
+            "train_source",
+            _log_scaled((F.col("n_train") + F.col("v")).cast("double")).alias(
+                "lsc_tot"
+            ),
+        )
+        .join(
+            F.broadcast(
+                ns.select(
+                    F.col("source").alias("eval_source"),
+                    F.col("n_toks").alias("n_eval_tokens"),
+                )
+            )
+        )
+    )
+    num = d38(F.col("n_eval_tokens")) * d38(F.col("lsc_tot")) - F.coalesce(
+        F.col("s"), F.lit(0).cast("decimal(38,0)")
+    )
+    den = d38(F.col("n_eval_tokens"))
+    return (
+        grid.join(pair_sums, ["train_source", "eval_source"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            "n_eval_tokens",
+            F.coalesce("shared_terms", F.lit(0).cast("long")).alias(
+                "shared_terms"
+            ),
+            (
+                ((num - num % den) / den).cast("long").cast("double")
+                / F.lit(1e9)
+            ).alias("avg_xent"),
+        )
+        .orderBy("train_source", "eval_source")
+    )

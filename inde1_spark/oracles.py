@@ -5957,3 +5957,91 @@ SELECT t AS duration_days, n_at_risk, n_churned, n_censored,
          AS log_survival
 FROM steps ORDER BY duration_days
 """
+
+
+from inde1_spark.operators.analytics import ASOF_FWD_TOLERANCE_SEC  # noqa: E402
+
+# Twin of operators/analytics.py:asof_join_forward — the backward twin's
+# union-and-window spelling, time-reversed, with the tolerance null-out.
+ORACLES["asof_join_forward"] = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id AS oid, 0 AS side, event_id AS view_id,
+         ts AS view_ts
+  FROM events WHERE event_type = '{ENTRY}'
+  UNION ALL
+  SELECT user_id, ts, event_id AS oid, 1 AS side, NULL AS view_id,
+         NULL AS view_ts
+  FROM events WHERE event_type = 'error'
+),
+carried AS (
+  SELECT user_id, ts, oid, side,
+         last_value(view_id IGNORE NULLS) OVER w AS next_view_id0,
+         last_value(view_ts IGNORE NULLS) OVER w AS next_view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, oid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tol AS (
+  SELECT user_id, ts, oid,
+         CASE WHEN CAST(floor(epoch(next_view_ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT)
+                <= {ASOF_FWD_TOLERANCE_SEC}
+              THEN next_view_id0 END AS next_view_id,
+         CASE WHEN CAST(floor(epoch(next_view_ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT)
+                <= {ASOF_FWD_TOLERANCE_SEC}
+              THEN CAST(floor(epoch(next_view_ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) END AS recovery_sec
+  FROM carried WHERE side = 1
+)
+SELECT user_id, oid AS error_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       next_view_id, recovery_sec
+FROM tol ORDER BY user_id, error_id
+"""
+
+
+# Twin of operators/scoring.py:cross_source_perplexity — identical add-1
+# decomposition (inner-join term sums + per-source smoothing scalar),
+# nano-snapped logs, HUGEINT products and floor-div.
+ORACLES["cross_source_perplexity"] = f"""
+WITH st AS MATERIALIZED (
+  SELECT source, t.term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+  GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_toks FROM st GROUP BY 1),
+vsz AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM st),
+pair_sums AS (
+  SELECT lm.source AS train_source, tf.source AS eval_source,
+         CAST(SUM(CAST(tf.c AS HUGEINT)
+           * CAST(round(ln(CAST(lm.c + 1 AS DOUBLE)) * {LOG_SCALE}.0, 0)
+                  AS BIGINT)) AS HUGEINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM st tf JOIN st lm ON tf.term = lm.term
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.source AS train_source,
+         CAST(round(ln(CAST(a.n_toks + v AS DOUBLE)) * {LOG_SCALE}.0, 0)
+              AS BIGINT) AS lsc_tot,
+         b.source AS eval_source, b.n_toks AS n_eval_tokens
+  FROM ns a CROSS JOIN ns b CROSS JOIN vsz
+)
+SELECT g.train_source, g.eval_source, g.n_eval_tokens,
+       COALESCE(p.shared_terms, 0) AS shared_terms,
+       CAST(CAST(((CAST(g.n_eval_tokens AS HUGEINT) * g.lsc_tot
+                   - COALESCE(p.s, 0)
+                   - (CAST(g.n_eval_tokens AS HUGEINT) * g.lsc_tot
+                      - COALESCE(p.s, 0))
+                     % CAST(g.n_eval_tokens AS HUGEINT))
+                  / CAST(g.n_eval_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+         / {LOG_SCALE}.0 AS avg_xent
+FROM grid g
+LEFT JOIN pair_sums p
+  ON p.train_source = g.train_source AND p.eval_source = g.eval_source
+ORDER BY g.train_source, g.eval_source
+"""

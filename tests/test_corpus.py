@@ -280,3 +280,35 @@ def test_quantile_normalize_is_monotone_and_pooled_valued(spark):
         rows.sort()
         for (q0, n0), (q1, n1) in zip(rows, rows[1:]):
             assert q0 < q1 and n0 <= n1
+
+
+def test_cross_perplexity_self_lower_than_foreign(spark):
+    # a source is always better modeled by its own LM: H(B|B) < H(B|A)
+    # when A's vocabulary is disjoint; shared_terms sees through it
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.scoring import cross_source_perplexity
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "web", 27),
+        (2, "beta alpha alpha gamma beta", "en", "web", 27),
+        (3, "delta epsilon zeta delta", "en", "books", 22),
+        (4, "epsilon delta zeta zeta", "en", "books", 21),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {
+        (r.train_source, r.eval_source): r
+        for r in cross_source_perplexity(docs).collect()
+    }
+    release_persisted()
+    assert out[("web", "books")].shared_terms == 0
+    assert out[("books", "web")].avg_xent > out[("web", "web")].avg_xent
+    assert out[("web", "books")].avg_xent > out[("books", "books")].avg_xent
+    # disjoint-vocab cross-entropy is exactly ln(n_train + V): every eval
+    # token backs off to the add-1 floor
+    import math
+
+    v = 6
+    n_books = 8
+    assert abs(out[("books", "web")].avg_xent - math.log(n_books + v)) < 2e-9

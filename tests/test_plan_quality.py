@@ -1127,3 +1127,18 @@ def test_kaplan_meier_bounded_grid(spark):
     # the persisted per-user lifetime table feeds both consumers
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     release_persisted()
+
+
+def test_cross_perplexity_inner_join_decomposition(spark):
+    # the add-1 decomposition keeps the pair sum an INNER join of the two
+    # term tables (absent terms contribute ln(1)=0) — never a sources x
+    # vocab probability grid; one persisted corpus term pass
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["cross_source_perplexity"](spark, SF_SMOKE))
+    # the ONE sort-merge is the term-key pair sum (vocab x sources on
+    # both sides — the right strategy at scale); everything else rides
+    # broadcasts of per-source scalars
+    assert r.sort_merge_joins <= 1
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    release_persisted()
