@@ -261,6 +261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_perplexity": lambda sp, d: SC.cross_source_perplexity(
             _t(sp, d, "documents")
         ),
+        "impact_postings": lambda sp, d: SC.impact_postings(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -862,3 +862,56 @@ def cross_source_perplexity(documents: DataFrame) -> DataFrame:
         )
         .orderBy("train_source", "eval_source")
     )
+
+
+IMPACT_K = 5
+IMPACT_SALTS = 8
+
+
+def impact_postings(
+    documents: DataFrame, k: int = IMPACT_K, salts: int = IMPACT_SALTS
+) -> DataFrame:
+    """Impact-ordered posting heads: for every term, the top-k documents
+    by term frequency plus the term's document/collection frequency — the
+    index artifact WAND/top-k retrieval reads instead of full posting
+    lists.
+
+    The scale problem is grouped TOP-K under Zipf skew: a plain
+    row_number window on the term partition funnels a stopword's billion
+    postings through one task. This is the two-stage salted spelling
+    (the top-k twin of ``salted_group_count``): stage 1 takes a local
+    top-k within (term, doc-derived salt) — bounded partitions, k rows
+    survive per salt; stage 2 re-ranks the <= k * salts survivors per
+    term. Exact by construction: every global top-k row is necessarily
+    in its own salt's local top-k, so the oracle is the plain one-window
+    SQL. Ties broken by doc_id; one persisted corpus frequency pass
+    feeds both the ranking and the df/cf sidecar.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    tf = _persist(
+        _term_freq(documents).select("term", "doc_id", "tf")
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    salted = tf.withColumn("salt", F.col("doc_id") % F.lit(salts))
+    w1 = Window.partitionBy("term", "salt").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    local = (
+        salted.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(stats, "term")
+        .select("term", "rank", "doc_id", "tf", "df", "cf")
+        .orderBy("term", "rank")
+    )

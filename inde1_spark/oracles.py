@@ -6045,3 +6045,34 @@ LEFT JOIN pair_sums p
   ON p.train_source = g.train_source AND p.eval_source = g.eval_source
 ORDER BY g.train_source, g.eval_source
 """
+
+
+from inde1_spark.operators.scoring import IMPACT_K  # noqa: E402
+
+# Twin of operators/scoring.py:impact_postings — the plain one-window
+# grouped top-k (the salted two-stage plan is exact, so the simple SQL is
+# its ground truth), plus the df/cf sidecar.
+ORACLES["impact_postings"] = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY 1
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         CAST(row_number() OVER (PARTITION BY term
+           ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM tf
+)
+SELECT r.term, r.rank, r.doc_id, r.tf, s.df, s.cf
+FROM ranked r JOIN stats s ON s.term = r.term
+WHERE r.rank <= {IMPACT_K}
+ORDER BY r.term, r.rank
+"""

@@ -1142,3 +1142,15 @@ def test_cross_perplexity_inner_join_decomposition(spark):
     assert r.sort_merge_joins <= 1
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     release_persisted()
+
+
+def test_impact_postings_two_stage_topk(spark):
+    # the heavy window partitions by (term, salt) — bounded under Zipf
+    # skew; the term-only window sees <= k*salts survivors; one persisted
+    # corpus frequency pass feeds ranking and the df/cf sidecar
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["impact_postings"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    assert r.raw.count("Window") >= 2  # both stages present, salted first
+    release_persisted()

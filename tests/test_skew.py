@@ -53,3 +53,34 @@ def test_salt_is_deterministic(spark):
     s1 = {r["row_id"]: r["_salt"] for r in with_salt(fact, "row_id", 8).collect()}
     s2 = {r["row_id"]: r["_salt"] for r in with_salt(fact.repartition(5), "row_id", 8).collect()}
     assert s1 == s2  # no rand(): stable across partitionings and retries
+
+
+def test_impact_postings_salted_equals_plain_topk(spark):
+    # a hot term whose top docs land in DIFFERENT salt buckets: the
+    # two-stage plan must still recover the exact global top-k
+    from pyspark.sql import functions as F
+
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.scoring import impact_postings
+
+    # doc i repeats 'hot' i times -> top-5 by tf = docs 20..16, which sit
+    # in salts 20%8..16%8 (4,3,2,1,0): all different buckets
+    rows = [
+        (i, " ".join(["hot"] * i) + " filler" + str(i), "en", "x", 10)
+        for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = [
+        (r.rank, r.doc_id, r.tf, r.df, r.cf)
+        for r in impact_postings(docs).filter(F.col("term") == "hot").collect()
+    ]
+    release_persisted()
+    assert out == [
+        (1, 20, 20, 20, 210),
+        (2, 19, 19, 20, 210),
+        (3, 18, 18, 20, 210),
+        (4, 17, 17, 20, 210),
+        (5, 16, 16, 20, 210),
+    ]
