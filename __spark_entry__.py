@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_postings": lambda sp, d: SC.impact_postings(
             _t(sp, d, "documents")
         ),
+        "profile_columns": lambda sp, d: A.profile_columns(_t(sp, d, "events")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -4291,3 +4291,92 @@ def asof_join_forward(
         .cast("long")
         .alias("recovery_sec"),
     ).orderBy("user_id", "error_id")
+
+
+PROFILE_SALTS = 16
+
+
+def profile_columns(events: DataFrame) -> DataFrame:
+    """Generic one-pass column profiler: per column, row/null/exact
+    distinct counts and the modal value — the data-quality pre-flight
+    every ingestion pipeline runs before trusting a new feed (schema
+    drift shows up as a null-rate or cardinality jump long before a job
+    fails).
+
+    Each column is projected to a CANONICAL string (longs verbatim,
+    doubles as round(x*1e6) micro-unit longs — printf %.6f would hit the
+    Java-HALF_UP vs C-half-even tie asymmetry on dyadic values —
+    timestamps as microsecond strings), melted row-locally into
+    (column, value)
+    pairs, and reduced by one combinable groupBy. The modal value uses
+    the salted two-stage top-1 (impact_postings' rule): a high-cardinality
+    column's value histogram is corpus-sized, so the heavy window
+    partitions by (column, value-derived salt) and the column-level
+    window only re-ranks <= salts survivors. Ties: count desc, value asc.
+    """
+    cols = [
+        ("event_id", F.col("event_id").cast("string")),
+        ("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        ("user_id", F.col("user_id").cast("string")),
+        ("event_type", F.col("event_type")),
+        ("value", F.round(F.col("value") * F.lit(1e6)).cast("long").cast("string")),
+        ("props", F.col("props")),
+    ]
+    melted = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column_name"), expr.alias("val")
+                    )
+                    for name, expr in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column_name", "kv.val")
+    from inde1_spark.operators.dedup import _persist
+
+    vhist = _persist(
+        melted.groupBy("column_name", "val").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+    )
+    base = vhist.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    nn = vhist.filter(F.col("val").isNotNull()).withColumn(
+        "salt",
+        F.abs(F.xxhash64("val")) % F.lit(PROFILE_SALTS),
+    )
+    w1 = Window.partitionBy("column_name", "salt").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    w2 = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    top = (
+        nn.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "salt")
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "column_name",
+            F.col("val").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return (
+        base.join(top, "column_name", "left")
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct",
+            "top_value", "top_count",
+        )
+        .orderBy("column_name")
+    )

@@ -6076,3 +6076,50 @@ FROM ranked r JOIN stats s ON s.term = r.term
 WHERE r.rank <= {IMPACT_K}
 ORDER BY r.term, r.rank
 """
+
+
+# Twin of operators/analytics.py:profile_columns — identical canonical
+# string projections; the salted two-stage top-1 is exact, so the plain
+# per-column window is its ground truth.
+ORACLES["profile_columns"] = """
+WITH melted AS MATERIALIZED (
+  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S.%f') FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  UNION ALL
+  SELECT 'value', CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props', props FROM events
+),
+vhist AS MATERIALIZED (
+  SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM melted GROUP BY 1, 2
+),
+base AS (
+  SELECT column_name,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct
+  FROM vhist GROUP BY 1
+),
+top AS (
+  SELECT column_name, val AS top_value, cnt AS top_count
+  FROM (
+    SELECT column_name, val, cnt,
+           row_number() OVER (PARTITION BY column_name
+             ORDER BY cnt DESC, val ASC) AS rk
+    FROM vhist WHERE val IS NOT NULL
+  ) WHERE rk = 1
+)
+SELECT b.column_name, b.n_rows, b.n_null, b.n_distinct,
+       t.top_value, t.top_count
+FROM base b LEFT JOIN top t ON t.column_name = b.column_name
+ORDER BY b.column_name
+"""

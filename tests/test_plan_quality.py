@@ -1154,3 +1154,16 @@ def test_impact_postings_two_stage_topk(spark):
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     assert r.raw.count("Window") >= 2  # both stages present, salted first
     release_persisted()
+
+
+def test_profile_columns_salted_mode(spark):
+    # the melt is a row-local explode into one combinable groupBy; the
+    # modal value rides the salted two-stage top-1 so a high-cardinality
+    # column's histogram never funnels through one task
+    from inde1_spark.operators.dedup import release_persisted
+
+    r = plan_report(Q["profile_columns"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
+    assert r.raw.count("Window") >= 2
+    release_persisted()
