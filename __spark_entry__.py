@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "profile_columns": lambda sp, d: A.profile_columns(_t(sp, d, "events")),
+        "market_basket_lift": lambda sp, d: A.market_basket_lift(
+            _t(sp, d, "lineitem")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

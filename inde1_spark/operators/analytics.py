@@ -4380,3 +4380,100 @@ def profile_columns(events: DataFrame) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+BASKET_CAP = 64      # parts per order entering the pair explode
+BASKET_TOP_K = 25
+
+
+def market_basket_lift(
+    lineitem: DataFrame, cap: int = BASKET_CAP, k: int = BASKET_TOP_K
+) -> DataFrame:
+    """Market-basket association pairs over order baskets: for the top-k
+    co-ordered part pairs, support, directional confidence, and lift —
+    the "customers who bought X also bought Y" staple, with lift > 1 as
+    the actually-associated (not just both-popular) signal.
+
+    Scale shape (the audience_overlap rule applied to transactions): one
+    shuffle to per-order sorted part sets, pairs explode ROW-LOCALLY
+    from each basket (quadratic only in basket size, hard-capped at
+    ``cap``; TPC-H baskets are <= 7 lines), pair counts and part counts
+    are combinable groupBys, and the final join keys on the pair's first
+    part — never an order-keyed self-join. Confidence and lift are exact
+    micro-unit ratios via wide-decimal floor-div.
+    """
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def fdiv(num, den):
+        return ((num - num % den) / den).cast("long")
+
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.groupBy().agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    part_cnt = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    sets = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= cap)
+    )
+
+    def _pairs(arr):
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.greatest(F.size(arr), F.lit(1))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    pc = (
+        sets.select(F.explode(_pairs(F.col("parts"))).alias("p"))
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    enriched = (
+        pc.join(
+            part_cnt.select(
+                F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_cnt.select(
+                F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b")
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+    )
+    m = F.lit(1_000_000)
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            fdiv(d38(F.col("n_both")) * d38(m), d38(F.col("n_a"))).alias(
+                "conf_a_to_b_micro"
+            ),
+            fdiv(
+                d38(F.col("n_both")) * d38(F.col("n_orders")) * d38(m),
+                d38(F.col("n_a")) * d38(F.col("n_b")),
+            ).alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("n_both").desc(),
+            F.col("lift_micro").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(k)
+    )

@@ -6123,3 +6123,54 @@ SELECT b.column_name, b.n_rows, b.n_null, b.n_distinct,
 FROM base b LEFT JOIN top t ON t.column_name = b.column_name
 ORDER BY b.column_name
 """
+
+
+from inde1_spark.operators.analytics import BASKET_CAP, BASKET_TOP_K  # noqa: E402
+
+# Twin of operators/analytics.py:market_basket_lift — identical basket
+# sets, ordered-pair generation, micro-unit HUGEINT floor-div ratios.
+ORACLES["market_basket_lift"] = f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+part_cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY 1
+),
+sets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM baskets GROUP BY 1
+  HAVING len(list(DISTINCT l_partkey)) <= {BASKET_CAP}
+),
+pairs AS (
+  SELECT u.p.a AS part_a, u.p.b AS part_b
+  FROM (
+    SELECT flatten(list_transform(range(1, len(parts) + 1),
+             i -> list_transform(parts[i+1:],
+                    y -> {{'a': parts[i], 'b': y}}))) AS ps
+    FROM sets
+  ), UNNEST(ps) AS u(p)
+),
+pc AS (
+  SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM pairs GROUP BY 1, 2
+),
+enriched AS (
+  SELECT pc.part_a, pc.part_b, pc.n_both, ca.c AS n_a, cb.c AS n_b, n.n_orders
+  FROM pc
+  JOIN part_cnt ca ON ca.l_partkey = pc.part_a
+  JOIN part_cnt cb ON cb.l_partkey = pc.part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, n_both, n_a, n_b,
+       CAST((CAST(n_both AS HUGEINT) * 1000000
+             - (CAST(n_both AS HUGEINT) * 1000000) % CAST(n_a AS HUGEINT))
+            / CAST(n_a AS HUGEINT) AS BIGINT) AS conf_a_to_b_micro,
+       CAST((CAST(n_both AS HUGEINT) * n_orders * 1000000
+             - (CAST(n_both AS HUGEINT) * n_orders * 1000000)
+               % (CAST(n_a AS HUGEINT) * n_b))
+            / (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro
+FROM enriched
+ORDER BY n_both DESC, lift_micro DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+"""

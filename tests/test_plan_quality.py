@@ -1167,3 +1167,13 @@ def test_profile_columns_salted_mode(spark):
     assert "InMemoryTableScan" in r.raw or "InMemoryRelation" in r.raw
     assert r.raw.count("Window") >= 2
     release_persisted()
+
+
+def test_market_basket_rowlocal_pairs(spark):
+    # pairs explode row-locally from capped basket arrays — never an
+    # order-keyed self-join; top-k via TakeOrdered
+    r = plan_report(Q["market_basket_lift"](spark, SF_SMOKE))
+    # the one nested-loop is the 1-row n_orders broadcast; part-count
+    # joins are part-keyed equi-joins
+    assert r.nested_loop_joins <= 1
+    assert "TakeOrdered" in r.raw
