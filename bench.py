@@ -92,6 +92,14 @@ HEADLINE = (
     "heaps_fit",              # one-pass vocabulary-growth curve (r05)
     "log_odds_distinctive_terms",  # capped-vocab source comparison (r05)
     "markov_stationary",      # bounded-matrix damped power iteration (r05)
+    "mutual_nearest_neighbors",  # all-vectors reciprocal top-1 via LSH (r05)
+    "impact_postings",        # salted two-stage grouped top-k (r05)
+    "profile_columns",        # one-pass generic table profiler (r05)
+    "cross_source_perplexity",  # pairwise add-1 LM drift matrix (r05)
+    "quality_quantile_normalize",  # value-grid inverse-CDF calibration (r05)
+    "symspell_neighbors",     # deletion-neighborhood ed-1 vocab join (r05)
+    "session_paths",          # row-local whole-journey top-k (r05)
+    "market_basket_lift",     # capped basket pair association (r05)
 )
 
 

@@ -619,6 +619,78 @@ def _bloom_prefilter_sql() -> str:
     """
 
 
+def _impact_postings_sql() -> str:
+    """impact_postings as Spark SQL: the salted two-stage grouped top-k
+    (scoring.py constants IMPACT_K / IMPACT_SALTS — interpolated so a
+    constant change cannot desync this twin from the operator)."""
+    from inde1_spark.operators.scoring import IMPACT_K, IMPACT_SALTS
+
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, explode({_TOKS}) AS term FROM documents)
+          GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY 1
+        ),
+        local AS (
+          SELECT term, doc_id, tf FROM (
+            SELECT term, doc_id, tf,
+                   row_number() OVER (
+                     PARTITION BY term, pmod(doc_id, {IMPACT_SALTS})
+                     ORDER BY tf DESC, doc_id ASC) AS rk
+            FROM tf
+          ) WHERE rk <= {IMPACT_K}
+        ),
+        ranked AS (
+          SELECT term, doc_id, tf,
+                 CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM local
+        )
+        SELECT r.term, r.rank, r.doc_id, r.tf, s.df, s.cf
+        FROM ranked r JOIN stats s ON s.term = r.term
+        WHERE r.rank <= {IMPACT_K}
+        ORDER BY r.term, r.rank
+    """
+
+
+def _symspell_sql() -> str:
+    """symspell_neighbors as Spark SQL: deletion-neighborhood candidate
+    join + candidate-only levenshtein verify (text.py constants)."""
+    from inde1_spark.operators.text import SYMSPELL_KEY_DF, SYMSPELL_MAX_LEN
+
+    return f"""
+        WITH vocab AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT explode(filter(split(p_name, ' '), t -> t <> '')) AS term
+                FROM part)
+          GROUP BY 1 HAVING length(term) <= {SYMSPELL_MAX_LEN}
+        ),
+        keys AS (
+          SELECT term, n, explode(array_distinct(transform(
+                   sequence(0, length(term)),
+                   i -> concat(substr(term, 1, i),
+                               substr(term, i + 2, length(term)))))) AS key
+          FROM vocab
+        ),
+        ok AS (SELECT key FROM keys GROUP BY key
+               HAVING count(*) <= {SYMSPELL_KEY_DF}),
+        cand AS (
+          SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+                 a.n AS n_a, b.n AS n_b
+          FROM keys a JOIN keys b ON a.key = b.key AND a.term < b.term
+          WHERE a.key IN (SELECT key FROM ok)
+        )
+        SELECT term_a, term_b, n_a, n_b FROM cand
+        WHERE levenshtein(term_a, term_b) <= 1
+        ORDER BY term_a, term_b
+    """
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -808,6 +880,8 @@ SPARK_SQL: dict[str, str] = {
     "knn_pq": _knn_pq_sql(),
     "salted_group_count": _salted_group_count_sql(),
     "heavy_hitters_cms": _heavy_hitters_cms_sql(),
+    "impact_postings": _impact_postings_sql(),
+    "symspell_neighbors": _symspell_sql(),
     "bloom_prefilter_join": _bloom_prefilter_sql(),
     # --- windowed analytics (r04): hopping windows + rolling RANGE frame ---
     "hopping_window_stats": """
