@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket_lift": lambda sp, d: A.market_basket_lift(
             _t(sp, d, "lineitem")
         ),
+        "new_vs_returning": lambda sp, d: A.new_vs_returning(
+            _t(sp, d, "events")
+        ),
+        "ann_mrr_ndcg": lambda sp, d: S.ann_mrr_ndcg(_t(sp, d, "embeddings")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

@@ -4477,3 +4477,46 @@ def market_basket_lift(
         )
         .limit(k)
     )
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily active users split into NEW (first-ever day) vs RETURNING —
+    the growth-quality companion to ``cumulative_users`` (total growth)
+    and ``retention_cohorts`` (per-cohort decay): a flat DAU line can
+    hide churn fully replaced by acquisition, which this split exposes.
+
+    Scale spelling: distinct (user, day) actives in one combinable
+    groupBy, each user's first day from one groupBy on the user key,
+    the NEW flag via a user-keyed equi-join (co-partitioned with the
+    actives shuffle), then a bounded per-day rollup. Never a per-day
+    re-scan, no window over users.
+    """
+    actives = (
+        events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .distinct()
+    )
+    first = actives.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        actives.join(first, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).alias("returning_users"),
+            ratio_round(
+                F.col("dau") - F.col("new_users"),
+                F.greatest(F.col("dau"), F.lit(1).cast("long")),
+                4,
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )

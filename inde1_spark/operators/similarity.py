@@ -1402,3 +1402,73 @@ def mutual_nearest_neighbors(
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _ndcg_weights(k: int) -> list[int]:
+    """Python-precomputed nano log2 position discounts, shared verbatim
+    with the DuckDB twin (the benford constant rule): no engine ever
+    computes a log for these."""
+    import math
+
+    return [round(1e9 / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def ann_mrr_ndcg(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
+    """MRR and NDCG@k of the production ANN path against the exact
+    baseline, per query — the rank-aware companions to ``ann_recall_eval``
+    (recall@k counts hits but scores a hit at rank 1 and rank k the
+    same; MRR/NDCG are what retrieval regressions actually move first).
+
+    Relevance is binary membership in the brute-force top-k, so the
+    ideal DCG is the constant prefix sum of the position discounts and
+    NDCG stays an exact integer ratio: discounts are Python-precomputed
+    nano longs injected as literals into BOTH engines, DCG sums them
+    where the retrieved rank is a hit, MRR is the exact micro reciprocal
+    of the first hit rank. Cost: a join of two (queries x k) tables —
+    bounded regardless of corpus size.
+    """
+    w = _ndcg_weights(k)
+    idcg = sum(w)
+    truth = knn_brute_cosine(embeddings, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_lsh_bucketed(embeddings, k=k).select(
+        "query_id",
+        F.col("neighbor_id").alias("ann_neighbor"),
+        "rank",
+    )
+    hits = approx.join(
+        truth,
+        (approx.query_id == truth.query_id)
+        & (approx.ann_neighbor == truth.neighbor_id),
+        "left",
+    ).select(
+        approx.query_id.alias("qid"),
+        "rank",
+        truth.neighbor_id.isNotNull().alias("hit"),
+    )
+    w_arr = F.array(*[F.lit(x).cast("long") for x in w])
+    per_q = hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("hits"),
+        F.min(F.when(F.col("hit"), F.col("rank"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(F.col("hit"), F.element_at(w_arr, F.col("rank").cast("int")))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_nano"),
+    )
+    return per_q.select(
+        "query_id",
+        "hits",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("CAST(1000000 AS BIGINT) div first_rel_rank"),
+            F.lit(0).cast("long"),
+        ).alias("mrr_micro"),
+        F.expr(f"(dcg_nano * CAST(1000000 AS BIGINT)) div CAST({idcg} AS BIGINT)")
+        .cast("long")
+        .alias("ndcg_micro"),
+    ).orderBy("query_id")

@@ -6174,3 +6174,67 @@ FROM enriched
 ORDER BY n_both DESC, lift_micro DESC, part_a ASC, part_b ASC
 LIMIT {BASKET_TOP_K}
 """
+
+
+# Twin of operators/analytics.py:new_vs_returning — identical distinct
+# actives, first-day join, and exact returning-share ratio.
+ORACLES["new_vs_returning"] = f"""
+WITH actives AS MATERIALIZED (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+first AS (
+  SELECT user_id, MIN(d) AS first_d FROM actives GROUP BY 1
+),
+daily AS (
+  SELECT strftime(a.d, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS dau,
+         CAST(SUM(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users
+  FROM actives a JOIN first f ON f.user_id = a.user_id
+  GROUP BY 1
+)
+SELECT day, dau, new_users, dau - new_users AS returning_users,
+       {_rr("dau - new_users", "GREATEST(dau, 1)", 4)} AS returning_share
+FROM daily ORDER BY day
+"""
+
+
+from inde1_spark.operators.similarity import _ndcg_weights  # noqa: E402
+
+_NDCG_W = _ndcg_weights(K_BUCKETED)
+_NDCG_CASE = "CASE t.rank " + " ".join(
+    f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_NDCG_W)
+) + " END"
+
+# Twin of operators/similarity.py:ann_mrr_ndcg — identical Python-injected
+# nano discounts, binary relevance vs the brute top-k, integer ratios.
+ORACLES["ann_mrr_ndcg"] = f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id, rank FROM ({ORACLES["knn_lsh_bucketed"]})
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["knn_brute_cosine"]})
+  WHERE rank <= {K_BUCKETED}
+),
+h AS (
+  SELECT t.query_id, t.rank,
+         CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE WHEN tr.neighbor_id IS NOT NULL
+              THEN {_NDCG_CASE} ELSE 0 END AS w
+  FROM approx t
+  LEFT JOIN truth tr
+    ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(SUM(hit) AS BIGINT) AS hits,
+         CAST(MIN(CASE WHEN hit = 1 THEN rank END) AS BIGINT)
+           AS first_rel_rank,
+         CAST(SUM(w) AS BIGINT) AS dcg_nano
+  FROM h GROUP BY 1
+)
+SELECT query_id, hits, first_rel_rank,
+       COALESCE(CAST(1000000 // first_rel_rank AS BIGINT), 0) AS mrr_micro,
+       CAST((dcg_nano * 1000000) // {sum(_NDCG_W)} AS BIGINT) AS ndcg_micro
+FROM per_q ORDER BY query_id
+"""

@@ -264,3 +264,29 @@ def test_mutual_nn_keeps_reciprocal_pairs_drops_hub(spark):
     release_persisted()
     assert (0, 1) in got and (2, 3) in got
     assert (4, 5) not in got
+
+
+def test_mrr_ndcg_bounds_and_perfect_retrieval(spark):
+    # on a corpus where LSH retrieves the exact top-k (tight clusters),
+    # MRR = 1 and NDCG = 1 exactly; metrics never exceed the perfect score
+    from inde1_spark.operators.similarity import ann_mrr_ndcg
+
+    def v(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    # two tight clusters, queries are vec_id < 20 -> pad corpus to 6 vecs
+    rows = [
+        (0, v(1.0, 0.01), 0), (1, v(1.0, 0.02), 0), (2, v(1.0, 0.03), 0),
+        (3, v(-1.0, 0.0, 1.0), 1), (4, v(-1.0, 0.0, 1.01), 1),
+        (5, v(-1.0, 0.0, 1.02), 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.query_id: r for r in ann_mrr_ndcg(emb, k=2).collect()}
+    assert out
+    for r in out.values():
+        assert 0 <= r.mrr_micro <= 1_000_000
+        assert 0 <= r.ndcg_micro <= 1_000_000
+        if r.hits == 2 and r.first_rel_rank == 1:
+            assert r.mrr_micro == 1_000_000 and r.ndcg_micro == 1_000_000
+    # within-cluster neighbors dominate: every query should be perfect here
+    assert all(r.ndcg_micro == 1_000_000 for r in out.values())
