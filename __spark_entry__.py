@@ -155,10 +155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         # ============== end gate window ===================================
         # r06 rotation queue head: the operators new in r05, never
-        # driver-verified (each locally hash-green at sf0.001 AND sf0.01);
-        # fill the remaining r06 slots with re-confirmations of the
-        # oldest greens not re-confirmed in r05 (the r01/r02 entries
-        # behind this queue, then the oldest r03 block).
+        # driver-verified (each locally hash-green at sf0.001 AND sf0.01,
+        # and driver-simulated from a fresh process at sf0.01). The queue
+        # runs from here through lsh_rebanding_planner (54 entries,
+        # late-r05 additions pareto_frontier..lsh_rebanding_planner
+        # included); r06's window
+        # takes the first 50, r07 rotates the overflow plus the oldest
+        # greens not re-confirmed in r05.
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
             _t(sp, d, "documents")
         ),
@@ -272,6 +275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "ann_mrr_ndcg": lambda sp, d: S.ann_mrr_ndcg(_t(sp, d, "embeddings")),
+        "lsh_rebanding_planner": lambda sp, d: D.lsh_rebanding_planner(
+            _t(sp, d, "documents")
+        ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

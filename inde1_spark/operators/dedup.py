@@ -1857,3 +1857,77 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
             "mean_jaccard"
         ),
     )
+
+
+PLANNER_CONFIGS = ((16, 2), (8, 4), (4, 8), (2, 16))  # b x r = 32 perms
+PLANNER_DUP_MIN_PERMS = 24  # est Jaccard >= 0.75 counts as a true dup pair
+
+
+def lsh_rebanding_planner(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Re-banding planner for the 32-perm MinHash signature: for every
+    (bands x rows) split of the SAME signature, the predicted candidate
+    volume and dup recall on THIS corpus — the measured answer to "should
+    we trade candidates for recall" before re-running dedup at scale.
+    S-curve: P(candidate | est similarity s) = 1 - (1 - s^r)^b.
+
+    Works off the md5-portable estimator audit (``minhash_est_jaccard``):
+    per-pair matching-perm counts collapse to a <= 33-row histogram
+    (k/32 is the estimated similarity), the S-curve is evaluated per k
+    with REPEATED SQUARING only (r and b are powers of two; identical
+    IEEE multiply chains in both engines — no pow()), and expectations
+    are exact sums of per-k micro-unit longs. Everything after the
+    audit's own candidate join is bounded by the histogram x 4 configs.
+    """
+    est = minhash_est_jaccard(documents, n).select("n_match_perms")
+    kh = est.groupBy(F.col("n_match_perms").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+    def sq(col, e):
+        while e > 1:
+            col = col * col
+            e //= 2
+        return col
+
+    out = None
+    for bands, rows_pb in PLANNER_CONFIGS:
+        s = F.col("k").cast("double") / F.lit(32.0)
+        p = F.lit(1.0) - sq(F.lit(1.0) - sq(s, rows_pb), bands)
+        p_micro = F.round(p * F.lit(1e6), 0).cast("long")
+        is_dup = F.col("k") >= PLANNER_DUP_MIN_PERMS
+        cfg = kh.select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(rows_pb).cast("long").alias("rows_per_band"),
+            "k",
+            "cnt",
+            p_micro.alias("p_micro"),
+            is_dup.alias("is_dup"),
+        )
+        out = cfg if out is None else out.unionByName(cfg)
+    agg = out.groupBy("bands", "rows_per_band").agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("is_dup"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("ret_micro"),
+        F.sum(
+            F.when(F.col("is_dup"), F.col("cnt") * F.col("p_micro")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_ret_micro"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        "n_dup_pairs",
+        (F.col("ret_micro").cast("double") / F.lit(1e6)).alias(
+            "expected_candidates"
+        ),
+        (
+            F.expr(
+                "dup_ret_micro div greatest(n_dup_pairs, CAST(1 AS BIGINT))"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("est_recall"),
+    ).orderBy(F.col("bands").desc())

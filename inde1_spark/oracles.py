@@ -6238,3 +6238,56 @@ SELECT query_id, hits, first_rel_rank,
        CAST((dcg_nano * 1000000) // {sum(_NDCG_W)} AS BIGINT) AS ndcg_micro
 FROM per_q ORDER BY query_id
 """
+
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    PLANNER_CONFIGS,
+    PLANNER_DUP_MIN_PERMS,
+)
+
+
+def _sq_sql(expr: str, e: int) -> str:
+    """Textual repeated squaring — the same multiply chain the operator
+    builds with Column ops, so both engines run identical IEEE products."""
+    while e > 1:
+        expr = f"({expr} * {expr})"
+        e //= 2
+    return expr
+
+
+_PLANNER_BLOCKS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       k, cnt,
+       CAST(round((1.0 - {_sq_sql(f'(1.0 - {_sq_sql("(CAST(k AS DOUBLE) / 32.0)", r)})', b)}) * 1e6, 0) AS BIGINT) AS p_micro,
+       k >= {PLANNER_DUP_MIN_PERMS} AS is_dup
+  FROM kh"""
+    for b, r in PLANNER_CONFIGS
+)
+
+# Twin of operators/dedup.py:lsh_rebanding_planner — nests the estimator
+# audit, same squaring chains, same micro-long expectations.
+ORACLES["lsh_rebanding_planner"] = f"""
+WITH kh AS (
+  SELECT n_match_perms AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({ORACLES["minhash_est_jaccard"]})
+  GROUP BY 1
+),
+cfg AS (
+{_PLANNER_BLOCKS}
+),
+agg AS (
+  SELECT bands, rows_per_band,
+         CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN is_dup THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_dup_pairs,
+         CAST(SUM(cnt * p_micro) AS BIGINT) AS ret_micro,
+         CAST(SUM(CASE WHEN is_dup THEN cnt * p_micro ELSE 0 END) AS BIGINT)
+           AS dup_ret_micro
+  FROM cfg GROUP BY 1, 2
+)
+SELECT bands, rows_per_band, n_pairs, n_dup_pairs,
+       CAST(ret_micro AS DOUBLE) / 1e6 AS expected_candidates,
+       CAST(dup_ret_micro // GREATEST(n_dup_pairs, 1) AS DOUBLE) / 1e6
+         AS est_recall
+FROM agg ORDER BY bands DESC
+"""

@@ -354,3 +354,29 @@ def test_minhash_cap_binds_on_boilerplate_corpus(spark):
     # dominated by the shared tail, so verify against the threshold matters
     assert all(p == (1000, 1001) for p in out)
     D.release_persisted()
+
+
+def test_rebanding_planner_monotone_tradeoff(spark):
+    # finer rows-per-band (sharper S-curve) can only DROP candidates and
+    # recall; the most aggressive banding must dominate both columns
+    from inde1_spark.operators.dedup import (
+        lsh_rebanding_planner,
+        release_persisted,
+    )
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = sorted(
+        (
+            (r.rows_per_band, r.expected_candidates, r.est_recall)
+            for r in lsh_rebanding_planner(docs).collect()
+        )
+    )
+    release_persisted()
+    assert len(out) == 4
+    for (r0, c0, g0), (r1, c1, g1) in zip(out, out[1:]):
+        assert r0 < r1 and c0 >= c1 and g0 >= g1
+    # the one-band-of-everything end never exceeds probability mass
+    for _, c, g in out:
+        assert 0.0 <= g <= 1.0
