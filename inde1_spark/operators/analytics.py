@@ -4520,3 +4520,52 @@ def new_vs_returning(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+HALFLIFE_DAYS = 1     # weight halves per day of age
+HALFLIFE_MAX_AGE = 62  # older events contribute exactly 0
+
+
+def halflife_popularity(
+    events: DataFrame, max_age: int = HALFLIFE_MAX_AGE
+) -> DataFrame:
+    """Recency-weighted popularity per event type: each event contributes
+    2^(-age_days), so yesterday counts half of today — the decayed
+    ranking feeds "trending" surfaces where a plain count is dominated
+    by stale volume.
+
+    The determinism trick: with a half-life of one day the weights are
+    POWERS OF TWO, so every contribution is the exact long
+    2^(max_age - age) and the score is an exact wide-decimal sum scaled
+    back by 2^-max_age — no exp(), no float accumulation, bit-identical
+    in any engine and under any partitioning. Events older than
+    ``max_age`` days contribute exactly 0 (the long would underflow).
+    One aggregation pass; the corpus-end anchor is a 1-row broadcast.
+    """
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select("event_type", day.alias("d"))
+    anchor = base.agg(F.max("d").alias("max_d"))
+    age = F.col("max_d") - F.col("d")
+    # pyspark's shiftleft() only takes a literal bit count — the SQL form
+    # accepts a column
+    w = F.when(
+        age <= max_age,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({max_age} - (max_d - d) AS INT))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        base.join(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(w.cast("decimal(38,0)")).alias("w_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (dec_to_double_exact(F.col("w_sum")) / F.lit(float(2**max_age)))
+            .alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col("event_type").asc())
+    )

@@ -6291,3 +6291,31 @@ SELECT bands, rows_per_band, n_pairs, n_dup_pairs,
          AS est_recall
 FROM agg ORDER BY bands DESC
 """
+
+
+from inde1_spark.operators.analytics import HALFLIFE_MAX_AGE  # noqa: E402
+
+# Twin of operators/analytics.py:halflife_popularity — identical exact
+# power-of-two weights, HUGEINT sum, digit-split double reconstruction.
+ORACLES["halflife_popularity"] = f"""
+WITH base AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+anchor AS (SELECT MAX(d) AS max_d FROM base),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN max_d - d <= {HALFLIFE_MAX_AGE}
+                       THEN CAST(1 AS HUGEINT)
+                            << ({HALFLIFE_MAX_AGE} - (max_d - d))
+                       ELSE 0 END) AS HUGEINT) AS w_sum
+  FROM base CROSS JOIN anchor
+  GROUP BY 1
+)
+SELECT event_type, n_events,
+       {_dec2d('w_sum')} / {float(2 ** HALFLIFE_MAX_AGE)!r} AS decayed_score
+FROM agg
+ORDER BY decayed_score DESC, event_type ASC
+"""

@@ -266,3 +266,37 @@ def test_session_paths_orders_and_truncates(spark):
     )
     paths = [r.path for r in session_paths(events2).collect()]
     assert paths == ["a>b>c>d>e>f>g>h"]
+
+
+def test_halflife_weights_are_exact_powers_of_two(spark):
+    # planted ages 0,1,2 days for one type: score = (2^0 + 2^-1 + 2^-2)
+    # exactly; an over-age event contributes exactly zero
+    from inde1_spark.operators.analytics import (
+        HALFLIFE_MAX_AGE,
+        halflife_popularity,
+    )
+
+    def e(i, day, typ):
+        return (i, datetime(2024, 6, 1 + day, 12, 0, 0), 1, typ, 1.0, "{}")
+
+    rows = [e(1, 10, "a"), e(2, 9, "a"), e(3, 8, "a")]
+    # day index 10 is the anchor; this event is max_age+1 days older
+    rows.append(
+        (
+            4,
+            datetime(2024, 3, 1, 12, 0, 0),
+            1,
+            "b",
+            1.0,
+            "{}",
+        )
+    )
+    # make the 'b' event actually over-age relative to the anchor
+    age_b = (datetime(2024, 6, 11) - datetime(2024, 3, 1)).days
+    assert age_b > HALFLIFE_MAX_AGE
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.event_type: r for r in halflife_popularity(events).collect()}
+    assert out["a"].decayed_score == 1.0 + 0.5 + 0.25
+    assert out["b"].decayed_score == 0.0
