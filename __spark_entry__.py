@@ -157,8 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 rotation queue head: the operators new in r05, never
         # driver-verified (each locally hash-green at sf0.001 AND sf0.01,
         # and driver-simulated from a fresh process at sf0.01). The queue
-        # runs from here through halflife_popularity (55 entries,
-        # late-r05 additions pareto_frontier..halflife_popularity
+        # runs from here through span_corruption_plan (56 entries,
+        # late-r05 additions pareto_frontier..span_corruption_plan
         # included); r06's window
         # takes the first 50, r07 rotates the overflow plus the oldest
         # greens not re-confirmed in r05.
@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "halflife_popularity": lambda sp, d: A.halflife_popularity(
             _t(sp, d, "events")
+        ),
+        "span_corruption_plan": lambda sp, d: C.span_corruption_plan(
+            _t(sp, d, "documents")
         ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).

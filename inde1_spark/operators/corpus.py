@@ -1056,3 +1056,59 @@ def quality_quantile_normalize(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "quality")
     )
+
+
+CORRUPT_WINDOW = 20  # one masked span per 20-token window ...
+CORRUPT_SPAN = 3     # ... of this length: exactly 15% noise density
+
+
+def span_corruption_plan(
+    documents: DataFrame,
+    window: int = CORRUPT_WINDOW,
+    span: int = CORRUPT_SPAN,
+) -> DataFrame:
+    """Deterministic span-corruption mask plan (the T5/UL2 denoising
+    objective's DATA side): for each document, the token spans to mask,
+    at exactly span/window noise density with non-overlapping spans.
+
+    The classic sampler draws span starts sequentially (rejection on
+    overlap) — a per-document sequential loop. This spelling partitions
+    each document into fixed ``window``-token windows and derives ONE
+    span offset per window from md5(doc_id, window_idx): same density
+    and mean span length, non-overlap BY CONSTRUCTION, and the whole
+    plan is a row-local HOF projection over the token array — no
+    shuffle before the explode, seedless, engine-portable (the md5
+    convention of the dedup audits), reproducible token-for-token on
+    any cluster size. Emits one row per span (doc_id, span_idx,
+    start_token 1-based, span_len) — the join-ready mask table a
+    masking/packing step consumes.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    n_win = F.floor(n / F.lit(window)).cast("int")
+    off_mod = window - span + 1
+    w_idx = F.explode(F.sequence(F.lit(0), F.col("n_win") - 1)).alias("w")
+    base = documents.select(
+        "doc_id", n.alias("n_tokens"), n_win.alias("n_win")
+    ).filter(F.col("n_win") >= 1)
+    offset = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("doc_id"), F.col("w"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(off_mod)
+    )
+    return (
+        base.select("doc_id", "n_tokens", w_idx)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("w").cast("long").alias("span_idx"),
+            (F.col("w") * window + offset + 1).cast("long").alias("start_token"),
+            F.lit(span).cast("long").alias("span_len"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )

@@ -6319,3 +6319,35 @@ SELECT event_type, n_events,
 FROM agg
 ORDER BY decayed_score DESC, event_type ASC
 """
+
+
+from inde1_spark.operators.corpus import CORRUPT_SPAN, CORRUPT_WINDOW  # noqa: E402
+
+# Twin of operators/corpus.py:span_corruption_plan — identical md5 offset
+# derivation per (doc, window).
+ORACLES["span_corruption_plan"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_tokens / {CORRUPT_WINDOW}) AS BIGINT) AS n_win
+  FROM base WHERE n_tokens >= {CORRUPT_WINDOW}
+),
+spans AS (
+  SELECT doc_id, n_tokens, u.w AS span_idx
+  FROM wins, UNNEST(range(0, n_win)) AS u(w)
+)
+SELECT doc_id, n_tokens, CAST(span_idx AS BIGINT) AS span_idx,
+       CAST(span_idx * {CORRUPT_WINDOW}
+            + (CAST(concat('0x', substr(md5(concat_ws('_',
+                 CAST(doc_id AS VARCHAR), CAST(span_idx AS VARCHAR))), 1, 8))
+               AS BIGINT) % {CORRUPT_WINDOW - CORRUPT_SPAN + 1})
+            + 1 AS BIGINT) AS start_token,
+       CAST({CORRUPT_SPAN} AS BIGINT) AS span_len
+FROM spans
+ORDER BY doc_id, span_idx
+"""

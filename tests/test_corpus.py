@@ -312,3 +312,33 @@ def test_cross_perplexity_self_lower_than_foreign(spark):
     v = 6
     n_books = 8
     assert abs(out[("books", "web")].avg_xent - math.log(n_books + v)) < 2e-9
+
+
+def test_span_corruption_nonoverlap_density_bounds(spark):
+    # spans stay inside their own window (non-overlap by construction),
+    # inside the document, and the density is exactly span/window on
+    # every full window
+    from inde1_spark.operators.corpus import (
+        CORRUPT_SPAN,
+        CORRUPT_WINDOW,
+        span_corruption_plan,
+    )
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = span_corruption_plan(docs).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        w0 = r.span_idx * CORRUPT_WINDOW + 1
+        assert w0 <= r.start_token <= w0 + CORRUPT_WINDOW - CORRUPT_SPAN
+        assert r.start_token + r.span_len - 1 <= r.n_tokens
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for spans in per_doc.values():
+        spans.sort(key=lambda r: r.span_idx)
+        # one span per full window, density = span/window exactly
+        assert [r.span_idx for r in spans] == list(range(len(spans)))
+        assert len(spans) == spans[0].n_tokens // CORRUPT_WINDOW
+        for a, b in zip(spans, spans[1:]):
+            assert a.start_token + a.span_len <= b.start_token
