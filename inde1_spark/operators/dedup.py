@@ -1931,3 +1931,65 @@ def lsh_rebanding_planner(documents: DataFrame, n: int = 3) -> DataFrame:
             / F.lit(1e6)
         ).alias("est_recall"),
     ).orderBy(F.col("bands").desc())
+
+
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 4  # peeling rounds; extra rounds past convergence are no-ops
+
+
+def kcore_dup_graph(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    ks: tuple[int, ...] = KCORE_KS,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core summary of the near-duplicate graph: iteratively peel nodes
+    of degree < k and report what survives — the DENSE-substructure
+    detector that complements ``dup_graph_transitivity``'s global number:
+    a large 3-core is a template farm / boilerplate clique (delete-all
+    candidates), while chains and stars (transitivity hazards) peel away
+    entirely.
+
+    Peeling is the standard iterative kernel: each round recomputes
+    degrees (one combinable groupBy on the endpoint union) and keeps
+    edges whose BOTH endpoints have degree >= k — two node-keyed
+    semi-joins, lazily checkpointed so the unrolled plan stays linear
+    (the connected-components invariant). ``rounds`` is fixed so the
+    DuckDB twin can unroll the same chained CTEs; rounds past the
+    fixpoint are no-ops in both engines, and the testdata graphs
+    converge in <= 3. Output: one row per k (surviving nodes/edges).
+    """
+    edges0 = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    out = None
+    for k in ks:
+        e = edges0
+        for _ in range(rounds):
+            deg = (
+                e.select(F.col("doc_a").alias("u"))
+                .union(e.select(F.col("doc_b").alias("u")))
+                .groupBy("u")
+                .agg(F.count("*").cast("long").alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= k).select("u")
+            e = _lazy_checkpoint(
+                e.join(keep.withColumnRenamed("u", "doc_a"), "doc_a").join(
+                    keep.withColumnRenamed("u", "doc_b"), "doc_b"
+                )
+            )
+        n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+        n_nodes = (
+            e.select(F.col("doc_a").alias("u"))
+            .union(e.select(F.col("doc_b").alias("u")))
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+        )
+        row = (
+            n_edges.join(n_nodes)
+            .select(
+                F.lit(k).cast("long").alias("k"), "n_nodes", "n_edges"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

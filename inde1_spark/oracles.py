@@ -6351,3 +6351,47 @@ SELECT doc_id, n_tokens, CAST(span_idx AS BIGINT) AS span_idx,
 FROM spans
 ORDER BY doc_id, span_idx
 """
+
+
+from inde1_spark.operators.dedup import KCORE_KS, KCORE_ROUNDS  # noqa: E402
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    # every CTE MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous one ~5 times — unmaterialized, the base
+    # query would be inlined 5^rounds times (measured: a 15-minute hang)
+    parts = []
+    prev = "edges0"
+    for i in range(rounds):
+        parts.append(
+            f"deg{k}_{i} AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM\n"
+            f"  (SELECT doc_a AS u FROM {prev}\n"
+            f"   UNION ALL SELECT doc_b FROM {prev}) GROUP BY 1),\n"
+            f"e{k}_{i + 1} AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM {prev} e\n"
+            f"  JOIN deg{k}_{i} da ON da.u = e.doc_a AND da.deg >= {k}\n"
+            f"  JOIN deg{k}_{i} db ON db.u = e.doc_b AND db.deg >= {k})"
+        )
+        prev = f"e{k}_{i + 1}"
+    return ",\n".join(parts)
+
+
+_KCORE_FINAL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM
+          (SELECT doc_a AS u FROM e{k}_{KCORE_ROUNDS}
+           UNION ALL SELECT doc_b FROM e{k}_{KCORE_ROUNDS})) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{k}_{KCORE_ROUNDS}) AS n_edges"""
+    for k in KCORE_KS
+)
+
+# Twin of operators/dedup.py:kcore_dup_graph — the peeling rounds unrolled
+# as chained CTEs over the exact-Jaccard edge set.
+ORACLES["kcore_dup_graph"] = f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]})
+),
+{",".join(_kcore_ctes(k, KCORE_ROUNDS) for k in KCORE_KS)}
+SELECT * FROM (
+{_KCORE_FINAL}
+) ORDER BY k
+"""

@@ -380,3 +380,28 @@ def test_rebanding_planner_monotone_tradeoff(spark):
     # the one-band-of-everything end never exceeds probability mass
     for _, c, g in out:
         assert 0.0 <= g <= 1.0
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    # planted graph: a 4-clique (3-core) plus a pendant chain — peeling
+    # must drop the chain entirely and keep the clique intact
+    from pyspark.sql import functions as F
+
+    from inde1_spark.operators.dedup import kcore_dup_graph, release_persisted
+
+    # docs 0-3: identical text (4-clique of near-dups at any threshold);
+    # docs 4-5: a near-dup pair of each other only (degree-1 after dedup
+    # against the clique text) -> peels at k=2
+    clique = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, clique, "en", "x", len(clique)) for i in range(4)]
+    pair = "iota kappa lambda mu nu xi omicron pi"
+    rows += [(4, pair, "en", "x", len(pair)), (5, pair, "en", "x", len(pair))]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.k: (r.n_nodes, r.n_edges) for r in kcore_dup_graph(docs).collect()}
+    release_persisted()
+    # 2-core: the 4-clique survives (deg 3 each); the pair (deg 1) peels
+    assert out[2] == (4, 6)
+    # 3-core: still the clique
+    assert out[3] == (4, 6)
