@@ -1993,3 +1993,66 @@ def kcore_dup_graph(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+SWEEP_THRESHOLDS_PCT = (50, 60, 70, 80, 90)
+
+
+def dedup_threshold_sweep(
+    documents: DataFrame,
+    n: int = 3,
+    thresholds_pct: tuple[int, ...] = SWEEP_THRESHOLDS_PCT,
+) -> DataFrame:
+    """Threshold-selection sweep for signature-based dedup: at each
+    candidate Jaccard cutoff, how many pairs the EXACT similarity keeps,
+    how many the 32-perm ESTIMATE keeps, and the estimator's precision/
+    recall against the exact decision — the companion planner to
+    ``lsh_rebanding_planner`` (that one picks the banding, this one
+    picks the threshold the banding must serve).
+
+    Rides the md5-portable estimator audit once (persisted inside it);
+    the sweep is five row-local predicates over the bounded candidate
+    table, so cost is one audit pass regardless of how many thresholds
+    are scored. ppm values are re-snapped to longs before comparison —
+    no float-threshold edge cases — and ratios are exact micro-unit
+    floor-divs with guarded denominators.
+    """
+    # persisted: each threshold row is a separate aggregate consumer of
+    # the (tiny) ppm pair table — without this the audit pipeline would
+    # re-run per threshold
+    est = _persist(
+        minhash_est_jaccard(documents, n).select(
+            F.round(F.col("est_jaccard") * F.lit(1e6), 0)
+            .cast("long")
+            .alias("est_ppm"),
+            F.round(F.col("jaccard") * F.lit(1e6), 0)
+            .cast("long")
+            .alias("jac_ppm"),
+        )
+    )
+    out = None
+    for t in thresholds_pct:
+        t_ppm = t * 10_000
+        ex = F.col("jac_ppm") >= t_ppm
+        es = F.col("est_ppm") >= t_ppm
+        row = est.agg(
+            F.lit(t).cast("long").alias("threshold_pct"),
+            F.sum(F.when(ex, 1).otherwise(0)).cast("long").alias("n_exact"),
+            F.sum(F.when(es, 1).otherwise(0)).cast("long").alias("n_est"),
+            F.sum(F.when(ex & es, 1).otherwise(0)).cast("long").alias("n_both"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "threshold_pct",
+        "n_exact",
+        "n_est",
+        "n_both",
+        F.expr(
+            "(n_both * CAST(1000000 AS BIGINT))"
+            " div greatest(n_est, CAST(1 AS BIGINT))"
+        ).alias("precision_micro"),
+        F.expr(
+            "(n_both * CAST(1000000 AS BIGINT))"
+            " div greatest(n_exact, CAST(1 AS BIGINT))"
+        ).alias("recall_micro"),
+    ).orderBy("threshold_pct")

@@ -6395,3 +6395,36 @@ SELECT * FROM (
 {_KCORE_FINAL}
 ) ORDER BY k
 """
+
+
+from inde1_spark.operators.dedup import SWEEP_THRESHOLDS_PCT  # noqa: E402
+
+_SWEEP_BLOCKS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({t} AS BIGINT) AS threshold_pct,
+       CAST(SUM(CASE WHEN jac_ppm >= {t * 10_000} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN est_ppm >= {t * 10_000} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_est,
+       CAST(SUM(CASE WHEN jac_ppm >= {t * 10_000}
+                      AND est_ppm >= {t * 10_000} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both
+  FROM est"""
+    for t in SWEEP_THRESHOLDS_PCT
+)
+
+# Twin of operators/dedup.py:dedup_threshold_sweep — nests the estimator
+# audit, identical ppm snaps and guarded micro floor-divs.
+ORACLES["dedup_threshold_sweep"] = f"""
+WITH est AS MATERIALIZED (
+  SELECT CAST(round(est_jaccard * 1e6, 0) AS BIGINT) AS est_ppm,
+         CAST(round(jaccard * 1e6, 0) AS BIGINT) AS jac_ppm
+  FROM ({ORACLES["minhash_est_jaccard"]})
+),
+sweep AS (
+{_SWEEP_BLOCKS}
+)
+SELECT threshold_pct, n_exact, n_est, n_both,
+       (n_both * 1000000) // GREATEST(n_est, 1) AS precision_micro,
+       (n_both * 1000000) // GREATEST(n_exact, 1) AS recall_micro
+FROM sweep ORDER BY threshold_pct
+"""

@@ -405,3 +405,42 @@ def test_kcore_peels_chain_keeps_clique(spark):
     assert out[2] == (4, 6)
     # 3-core: still the clique
     assert out[3] == (4, 6)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    # retained-pair counts are non-increasing in the threshold; the
+    # agreement count never exceeds either side; ratios stay in-range
+    from pyspark.sql import functions as F
+
+    from inde1_spark.operators.dedup import dedup_threshold_sweep, release_persisted
+
+    # planted partial-overlap docs so the sweep actually has structure:
+    # base pair is identical (j=1.0); the 'near' doc shares a prefix
+    # with base (0 < j < 1), candidacy depending on its bands
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    near = "w1 w2 w3 w4 w5 w6 w7 w8 zz yy"
+    rows = [
+        (0, base, "en", "x", len(base)),
+        (1, base, "en", "x", len(base)),
+        (2, near, "en", "x", len(near)),
+        (3, "qq rr ss tt uu vv ww xx", "en", "x", 24),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = sorted(
+        (
+            (r.threshold_pct, r.n_exact, r.n_est, r.n_both,
+             r.precision_micro, r.recall_micro)
+            for r in dedup_threshold_sweep(docs).collect()
+        )
+    )
+    release_persisted()
+    assert [t for t, *_ in out] == [50, 60, 70, 80, 90]
+    for (t0, e0, s0, b0, *_), (t1, e1, s1, b1, *_) in zip(out, out[1:]):
+        assert e0 >= e1 and s0 >= s1 and b0 >= b1
+    for _, e, s, b, p, r in out:
+        assert b <= min(e, s)
+        assert 0 <= p <= 1_000_000 and 0 <= r <= 1_000_000
+    # the identical pair survives every threshold
+    assert all(e >= 1 for _, e, *_ in out)
