@@ -238,3 +238,38 @@ def bloom_prefilter_join(
             ).alias("fpr"),
         )
     )
+
+
+BLOOM_SWEEP_CONFIGS = (
+    (1024, 3),
+    (4096, 3),   # the production default
+    (4096, 5),
+    (16384, 3),
+    (16384, 5),
+)
+
+
+def bloom_parameter_sweep(
+    orders: DataFrame,
+    customer: DataFrame,
+    configs: tuple[tuple[int, int], ...] = BLOOM_SWEEP_CONFIGS,
+) -> DataFrame:
+    """Bloom sizing sweep: the full pruning audit at several (m_bits,
+    n_hashes) configurations side by side — measured fill ratio, pass
+    rate, and exact FPR per config, on THIS workload's key and probe
+    distributions. The planner-tier answer to "is the filter sized
+    right": the analytic FPR formula assumes ideal hashing and uniform
+    probes, and the whole point of the audited operator is to replace
+    that assumption with a measurement. Each config genuinely re-probes
+    (bit indexes depend on m), so cost is |configs| audit passes — the
+    price of measuring, run at planning time, not per-query.
+    """
+    out = None
+    for m_bits, n_hashes in configs:
+        row = bloom_prefilter_join(orders, customer, m_bits, n_hashes).select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(n_hashes).cast("long").alias("n_hashes"),
+            "*",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m_bits", "n_hashes")

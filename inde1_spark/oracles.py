@@ -4984,12 +4984,15 @@ from inde1_spark.operators.joins import BLOOM_BITS, BLOOM_HASHES  # noqa: E402
 # indexes and 32-bit word masks, so the filter contents, the pass set,
 # and the measured FPR all match bit-for-bit. The oracle spells the
 # probe as an explode + word join (value-correct, not scale-shaped).
-ORACLES["bloom_prefilter_join"] = f"""
+def _bloom_audit_sql(m_bits: int, n_hashes: int) -> str:
+    """Parameterized twin of operators/joins.py:bloom_prefilter_join —
+    shared by the default-config oracle and the parameter sweep."""
+    return f"""
 WITH keys AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0),
 hashed AS (
   SELECT CAST(concat('0x', substr(md5(concat(j, ':', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT)
-           % {BLOOM_BITS} AS idx
-  FROM keys, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(j)
+           % {m_bits} AS idx
+  FROM keys, UNNEST(generate_series(0, {n_hashes - 1})) AS u(j)
 ),
 words AS (
   SELECT idx // 32 AS word,
@@ -5006,8 +5009,8 @@ probe AS (
 ph AS (
   SELECT rid, matched,
          CAST(concat('0x', substr(md5(concat(j, ':', CAST(pkey AS VARCHAR))), 1, 8)) AS BIGINT)
-           % {BLOOM_BITS} AS idx
-  FROM probe, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(j)
+           % {m_bits} AS idx
+  FROM probe, UNNEST(generate_series(0, {n_hashes - 1})) AS u(j)
 ),
 pm AS (
   SELECT ph.rid, ph.matched,
@@ -5019,19 +5022,22 @@ pm AS (
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
-         CAST(SUM(CASE WHEN nhits = {BLOOM_HASHES} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+         CAST(SUM(CASE WHEN nhits = {n_hashes} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
          CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
-         CAST(SUM(CASE WHEN nhits = {BLOOM_HASHES} AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-         CAST(SUM(CASE WHEN matched AND nhits < {BLOOM_HASHES} THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+         CAST(SUM(CASE WHEN nhits = {n_hashes} AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         CAST(SUM(CASE WHEN matched AND nhits < {n_hashes} THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
   FROM pm
 )
 SELECT nk.n_keys, b.bits_set,
-       {_rr("b.bits_set", str(BLOOM_BITS), 6)} AS fill_ratio,
+       {_rr("b.bits_set", str(m_bits), 6)} AS fill_ratio,
        a.n_probe, a.n_pass_bloom, a.n_true_match, a.n_false_pos,
        a.false_negatives,
        {_rr("a.n_false_pos", "GREATEST(a.n_probe - a.n_true_match, 1)", 6)} AS fpr
 FROM agg a, build b, nk
 """
+
+
+ORACLES["bloom_prefilter_join"] = _bloom_audit_sql(BLOOM_BITS, BLOOM_HASHES)
 
 
 from inde1_spark.operators.text import (  # noqa: E402
@@ -6428,3 +6434,14 @@ SELECT threshold_pct, n_exact, n_est, n_both,
        (n_both * 1000000) // GREATEST(n_exact, 1) AS recall_micro
 FROM sweep ORDER BY threshold_pct
 """
+
+
+from inde1_spark.operators.joins import BLOOM_SWEEP_CONFIGS  # noqa: E402
+
+# Twin of operators/joins.py:bloom_parameter_sweep — the parameterized
+# audit SQL instantiated per configuration.
+ORACLES["bloom_parameter_sweep"] = "\nUNION ALL\n".join(
+    f"SELECT CAST({m} AS BIGINT) AS m_bits, CAST({k} AS BIGINT) AS n_hashes,"
+    f" q.* FROM ({_bloom_audit_sql(m, k)}) q"
+    for m, k in BLOOM_SWEEP_CONFIGS
+) + "\nORDER BY m_bits, n_hashes"

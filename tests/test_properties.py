@@ -303,3 +303,25 @@ def test_bloom_prefilter_never_false_negative(spark, build, probe_extra):
     )
     assert row["n_pass_bloom"] >= row["n_true_match"]
     assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_true_match"]
+
+
+def test_bloom_sweep_no_false_negatives_any_config(spark):
+    # the structural guarantee holds at EVERY (m, k): a Bloom filter can
+    # only over-approximate; and growing m at fixed k cannot raise the
+    # false-positive count on the same workload
+    from inde1_spark.operators.joins import bloom_parameter_sweep
+    from inde1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    rows = bloom_parameter_sweep(orders, customer).collect()
+    assert len(rows) == 5
+    assert all(r.false_negatives == 0 for r in rows)
+    by_k: dict[int, list] = {}
+    for r in rows:
+        by_k.setdefault(r.n_hashes, []).append((r.m_bits, r.n_false_pos))
+    for pairs in by_k.values():
+        pairs.sort()
+        for (m0, fp0), (m1, fp1) in zip(pairs, pairs[1:]):
+            assert m0 < m1 and fp0 >= fp1
