@@ -106,6 +106,43 @@ BLOOM_BITS = 4096
 BLOOM_HASHES = 3
 
 
+def bloom_words(
+    df: DataFrame, key_col: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """The Bloom filter as a (word, bits) table from a key column — the
+    md5-portable bit derivation shared by the batch audit, the sizing
+    sweep, and the streaming builder. ``bit_or`` is mergeable, so the
+    same aggregation builds the filter from partition partials, from
+    per-shard unions, or incrementally from micro-batches."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("j")
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("j"), F.col(key_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    ).alias("idx")
+    return (
+        df.select(F.col(key_col), j)
+        .select(idx)
+        .select(
+            F.shiftright(F.col("idx"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
 def bloom_prefilter_join(
     orders: DataFrame,
     customer: DataFrame,
@@ -144,31 +181,7 @@ def bloom_prefilter_join(
     keys = customer.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("key")
     )
-    j = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("j")
-    idx = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("j"), F.col("key").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    ).alias("idx")
-    words = (
-        keys.select("key", j)
-        .select(idx)
-        .select(
-            F.shiftright(F.col("idx"), 5).alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
+    words = bloom_words(keys, "key", m_bits, n_hashes)
     bloom_row = words.groupBy().agg(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm"),
         F.sum(F.bit_count("bits")).cast("long").alias("bits_set"),

@@ -660,3 +660,25 @@ def cms_sketch_stream(events: DataFrame, rows: int | None = None,
         .groupBy("r", "bucket")
         .agg(F.count("*").cast("long").alias("counter"))
     )
+
+
+def bloom_build_stream(
+    keys, key_col: str = "user_id", m_bits: int | None = None,
+    n_hashes: int | None = None,
+):
+    """Streaming Bloom-filter construction — the membership-filter
+    sibling of ``cms_sketch_stream`` (both are LINEAR sketches, so
+    incremental micro-batch maintenance lands on exactly the structure
+    the batch build produces; pytest pins stream == batch word-for-word).
+    State is the filter itself (<= m_bits/32 words) regardless of key
+    cardinality; complete output mode is correct AND cheap because the
+    result table IS the bounded filter. The built (word, bits) table is
+    what ``bloom_prefilter_join``'s probe side consumes — so a
+    continuously-ingested dimension can publish a fresh pruning filter
+    every micro-batch without a batch rebuild.
+    """
+    from inde1_spark.operators.joins import BLOOM_BITS, BLOOM_HASHES, bloom_words
+
+    return bloom_words(
+        keys, key_col, m_bits or BLOOM_BITS, n_hashes or BLOOM_HASHES
+    )

@@ -284,3 +284,48 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == want and len(want) > 0
+
+
+def test_bloom_build_stream_matches_batch(spark, tmp_path):
+    """bit_or is mergeable: the filter built incrementally over three
+    micro-batches must equal the batch build word-for-word."""
+    from inde1_spark.operators.joins import bloom_words
+    from inde1_spark.streaming.pipelines import bloom_build_stream
+
+    rows = [(i, 100 + (i * 13) % 37) for i in range(300)]
+    batch = spark.createDataFrame(rows, "event_id long, user_id long")
+
+    data_dir = tmp_path / "bloom_data"
+    data_dir.mkdir()
+    json_rows = batch.toJSON().collect()
+    third = max(1, len(json_rows) // 3)
+    for i in range(3):
+        chunk = json_rows[i * third : (i + 1) * third if i < 2 else len(json_rows)]
+        (data_dir / f"part-{i}.json").write_text("\n".join(chunk))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+
+    final: dict = {}
+
+    def grab(df, _id):
+        final.clear()
+        final.update({r["word"]: r["bits"] for r in df.collect()})
+
+    q = (
+        bloom_build_stream(stream)
+        .writeStream.foreachBatch(grab)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        r["word"]: r["bits"]
+        for r in bloom_words(batch, "user_id", 4096, 3).collect()
+    }
+    assert final == want and want
