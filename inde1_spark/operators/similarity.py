@@ -1472,3 +1472,128 @@ def ann_mrr_ndcg(embeddings: DataFrame, k: int = K_BUCKETED) -> DataFrame:
         .cast("long")
         .alias("ndcg_micro"),
     ).orderBy("query_id")
+
+
+MMR_POOL = 8     # candidate pool per query (from the production LSH path)
+MMR_K = 3        # diversified results returned
+MMR_NUM = 7      # lambda = 0.7 as the exact rational 7/10; scores are
+MMR_DEN = 10     # kept as x10 integers — ordering never needs the divide
+
+
+def knn_mmr_rerank(
+    embeddings: DataFrame, pool: int = MMR_POOL, k: int = MMR_K
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    from each query's LSH candidate pool, greedily select k results
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-already-
+    selected — the diversity pass that stops a near-duplicate cluster
+    from monopolizing a result list (top-k by raw cosine returns the
+    same document three times; MMR returns it once plus two genuinely
+    different neighbors).
+
+    MMR is inherently sequential in k, so the k selection rounds are
+    UNROLLED (k is small and fixed): each round is an anti-join of the
+    pool against the selected set, one bounded max-aggregation of
+    pairwise candidate similarities, and an argmax window — all on
+    (queries x pool)-bounded tables; the corpus is only touched by the
+    candidate/pairwise-similarity stage, which is the audited LSH path
+    plus a pool^2-per-query row-local dot-product join. Determinism:
+    relevance and redundancy are micro-unit longs, and the MMR score is
+    kept as the x10 integer 7*rel - 3*red (same order as the /10 value)
+    — no integer division, so the Spark-truncates / DuckDB-floors
+    negative-division asymmetry can never bite.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast("long")  # noqa: E731
+    cands = _persist(
+        knn_lsh_bucketed(embeddings, k=pool).select(
+            "query_id", "neighbor_id", micro(F.col("cos_sim")).alias("rel")
+        )
+    )
+    e = _with_norm(embeddings)
+    a = cands.select("query_id", F.col("neighbor_id").alias("na"))
+    b = cands.select("query_id", F.col("neighbor_id").alias("nb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("na") != F.col("nb"))
+        .join(
+            e.select(
+                F.col("vec_id").alias("na"),
+                F.col("embedding").alias("emb_q"),
+                F.col("nrm").alias("nrm_q"),
+            ),
+            "na",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("nb"),
+                F.col("embedding").alias("emb_n"),
+                F.col("nrm").alias("nrm_n"),
+            ),
+            "nb",
+        )
+    )
+    psim = _persist(
+        _cosine(pairs).select(
+            "query_id", "na", "nb", micro(F.col("cos_sim")).alias("sim")
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        cands.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "neighbor_id",
+            F.col("rel").alias("rel_micro"),
+            F.lit(0).cast("long").alias("redundancy_micro"),
+        )
+    )
+    selected = out.select("query_id", F.col("neighbor_id").alias("sid"))
+    for r in range(2, k + 1):
+        rem = cands.join(
+            selected.withColumnRenamed("sid", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        red = (
+            rem.join(
+                psim.select(
+                    "query_id", F.col("na").alias("neighbor_id"), "nb", "sim"
+                ),
+                ["query_id", "neighbor_id"],
+            )
+            .join(
+                selected.select("query_id", F.col("sid").alias("nb")),
+                ["query_id", "nb"],
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("sim").alias("red"))
+        )
+        w_score = Window.partitionBy("query_id").orderBy(
+            (
+                F.lit(MMR_NUM) * F.col("rel")
+                - F.lit(MMR_DEN - MMR_NUM) * F.col("red")
+            ).desc(),
+            F.col("neighbor_id").asc(),
+        )
+        sel_r = (
+            red.withColumn("rn", F.row_number().over(w_score))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "neighbor_id",
+                F.col("rel").alias("rel_micro"),
+                F.col("red").alias("redundancy_micro"),
+            )
+        )
+        out = out.unionByName(sel_r)
+        selected = selected.unionByName(
+            sel_r.select("query_id", F.col("neighbor_id").alias("sid"))
+        )
+    return out.orderBy("query_id", "mmr_rank")

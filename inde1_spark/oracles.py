@@ -6445,3 +6445,130 @@ ORACLES["bloom_parameter_sweep"] = "\nUNION ALL\n".join(
     f" q.* FROM ({_bloom_audit_sql(m, k)}) q"
     for m, k in BLOOM_SWEEP_CONFIGS
 ) + "\nORDER BY m_bits, n_hashes"
+
+
+from inde1_spark.operators.similarity import (  # noqa: E402
+    MMR_DEN,
+    MMR_NUM,
+    MMR_POOL,
+)
+
+_MMR_A = MMR_NUM
+_MMR_B = MMR_DEN - MMR_NUM
+
+# Twin of operators/similarity.py:knn_mmr_rerank — the LSH pool at
+# k=MMR_POOL, pool^2 pairwise fixed-point cosines, and the greedy
+# selection rounds unrolled as MATERIALIZED CTEs (the kcore rule). The
+# MMR score stays the x10 integer 7*rel - 3*red: same order, no division.
+ORACLES["knn_mmr_rerank"] = f"""
+WITH {_NORMS.strip().rstrip()},
+buckets AS (
+  SELECT vec_id, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket FROM embeddings
+),
+qprobes AS (
+  SELECT vec_id, unnest([{_PROBE_LIST}]) AS probe
+  FROM buckets WHERE vec_id < {N_QUERIES}
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+  FROM qprobes qa
+  JOIN buckets bb ON qa.probe = bb.bucket AND qa.vec_id <> bb.vec_id
+  JOIN embeddings a ON a.vec_id = qa.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+),
+cands AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         CAST(round(cos_sim * 1e6, 0) AS BIGINT) AS rel
+  FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {MMR_POOL}
+),
+pdots AS (
+  SELECT c1.query_id, c1.neighbor_id AS pa, c2.neighbor_id AS pb,
+         {_FIXED_DOT} AS dot
+  FROM cands c1
+  JOIN cands c2 ON c1.query_id = c2.query_id
+              AND c1.neighbor_id <> c2.neighbor_id
+  JOIN embeddings a ON a.vec_id = c1.neighbor_id
+  JOIN embeddings b ON b.vec_id = c2.neighbor_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2, 3
+),
+psim AS MATERIALIZED (
+  SELECT p.query_id, p.pa, p.pb,
+         CAST(round(ROUND(p.dot / (wa.nrm * wb.nrm), 6) * 1e6, 0) AS BIGINT)
+           AS sim
+  FROM pdots p
+  JOIN norms wa ON wa.vec_id = p.pa
+  JOIN norms wb ON wb.vec_id = p.pb
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM cands
+  ) WHERE rn = 1
+),
+red2 AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.sim) AS red
+  FROM cands c
+  JOIN psim p ON p.query_id = c.query_id AND p.pa = c.neighbor_id
+  JOIN sel1 s ON s.query_id = p.query_id AND s.neighbor_id = p.pb
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.neighbor_id = c.neighbor_id)
+  GROUP BY 1, 2, 3
+),
+sel2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, red FROM (
+    SELECT query_id, neighbor_id, rel, red,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({_MMR_A} * rel - {_MMR_B} * red) DESC,
+                      neighbor_id ASC) AS rn
+    FROM red2
+  ) WHERE rn = 1
+),
+sel12 AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM sel1
+  UNION ALL SELECT query_id, neighbor_id FROM sel2
+),
+red3 AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.sim) AS red
+  FROM cands c
+  JOIN psim p ON p.query_id = c.query_id AND p.pa = c.neighbor_id
+  JOIN sel12 s ON s.query_id = p.query_id AND s.neighbor_id = p.pb
+  WHERE NOT EXISTS (SELECT 1 FROM sel12 s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.neighbor_id = c.neighbor_id)
+  GROUP BY 1, 2, 3
+),
+sel3 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, red FROM (
+    SELECT query_id, neighbor_id, rel, red,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({_MMR_A} * rel - {_MMR_B} * red) DESC,
+                      neighbor_id ASC) AS rn
+    FROM red3
+  ) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id,
+       rel AS rel_micro, CAST(0 AS BIGINT) AS redundancy_micro
+FROM sel1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), neighbor_id, rel, red FROM sel2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), neighbor_id, rel, red FROM sel3
+ORDER BY query_id, mmr_rank
+"""

@@ -290,3 +290,45 @@ def test_mrr_ndcg_bounds_and_perfect_retrieval(spark):
             assert r.mrr_micro == 1_000_000 and r.ndcg_micro == 1_000_000
     # within-cluster neighbors dominate: every query should be perfect here
     assert all(r.ndcg_micro == 1_000_000 for r in out.values())
+
+
+def test_mmr_breaks_up_the_duplicate_cluster(spark):
+    # a tight near-dup cluster at cos 0.9 from the query monopolizes the
+    # raw top-3; a genuinely different direction at cos 0.85 must enter
+    # the MMR list at rank 2 (its redundancy to the selected cluster rep
+    # is ~0.54, while the second copy pays redundancy 1.0)
+    from inde1_spark.operators.dedup import release_persisted
+    from inde1_spark.operators.similarity import knn_lsh_bucketed, knn_mmr_rerank
+
+    def v(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [
+        (0, v(1.0, 0.0, 0.0), 0),            # query
+        (1, v(0.9, 0.436, 0.0), 0),          # identical copies,
+        (2, v(0.9, 0.436, 0.0), 0),          # cos 0.9 to the query
+        (3, v(0.9, 0.436, 0.0), 0),
+        (4, v(0.85, -0.527, 0.0), 1),        # distinct direction, cos 0.85
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    raw = [
+        r.neighbor_id
+        for r in knn_lsh_bucketed(emb, k=3)
+        .filter("query_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    mmr = [
+        (r.mmr_rank, r.neighbor_id, r.redundancy_micro)
+        for r in knn_mmr_rerank(emb)
+        .filter("query_id = 0")
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    release_persisted()
+    assert raw == [1, 2, 3]                     # the cluster monopolizes
+    assert mmr[0][1] == 1 and mmr[0][2] == 0    # rank 1 = raw nearest
+    assert mmr[1][1] == 4                       # diversity enters at 2
+    assert mmr[2][1] == 2                       # then back to the cluster
+    # the diverse pick paid far less redundancy than a second copy would
+    assert mmr[1][2] < 600_000
