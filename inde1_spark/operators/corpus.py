@@ -1112,3 +1112,72 @@ def span_corruption_plan(
         )
         .orderBy("doc_id", "span_idx")
     )
+
+
+COVER_K = 3  # greedy max-coverage selection rounds
+
+
+def coverage_select(documents: DataFrame, k: int = COVER_K) -> DataFrame:
+    """Greedy maximum-coverage subset selection: pick documents one at a
+    time, each maximizing the count of vocabulary terms not yet covered
+    — the submodular data-curation primitive (facility-location family)
+    behind "choose the k docs that teach the most new things", with the
+    classic (1 - 1/e) greedy guarantee.
+
+    Greedy is sequential in k, so the rounds are UNROLLED (the MMR
+    rule): each round anti-joins the doc-term table against the covered
+    set (vocab-bounded, broadcastable), counts marginal gains with one
+    combinable groupBy, and takes a global argmax via TakeOrdered-style
+    window over the gains table. The doc-term table is the one
+    corpus-sized pass, persisted; already-selected docs vanish naturally
+    (their marginal gain is zero, so they produce no gain rows). Rounds
+    where every remaining doc has zero gain emit nothing — in both
+    engines. Output: selection round, doc, marginal gain, cumulative
+    covered-term count.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    dt = _persist(
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+    )
+    out = None
+    covered = None
+    for r in range(1, k + 1):
+        rem = dt if covered is None else dt.join(covered, "term", "left_anti")
+        gains = rem.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("marginal_gain")
+        )
+        # global argmax WITHOUT a single-partition window over the
+        # corpus-sized gains table: 1-row max broadcast back, min doc id
+        # breaks ties — both map-side-combinable aggregates
+        mx = gains.agg(F.max("marginal_gain").alias("mg"))
+        sel = (
+            gains.join(F.broadcast(mx))
+            .filter(F.col("marginal_gain") == F.col("mg"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.max("mg").alias("marginal_gain"),
+            )
+            # an exhausted round (every term covered) aggregates an empty
+            # table to one all-NULL row in BOTH engines — drop it
+            .filter(F.col("doc_id").isNotNull())
+        )
+        new_terms = rem.join(
+            sel.select("doc_id"), "doc_id"
+        ).select("term").distinct()
+        covered = (
+            new_terms
+            if covered is None
+            else covered.unionByName(new_terms).distinct()
+        )
+        cum = covered.agg(F.count("*").cast("long").alias("covered_terms"))
+        row = sel.join(F.broadcast(cum)).select(
+            F.lit(r).cast("long").alias("round"),
+            "doc_id",
+            "marginal_gain",
+            "covered_terms",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

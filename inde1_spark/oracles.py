@@ -6572,3 +6572,55 @@ UNION ALL
 SELECT query_id, CAST(3 AS BIGINT), neighbor_id, rel, red FROM sel3
 ORDER BY query_id, mmr_rank
 """
+
+
+from inde1_spark.operators.corpus import COVER_K  # noqa: E402
+
+
+def _cover_ctes(k: int) -> str:
+    # unrolled greedy rounds, every CTE MATERIALIZED (the kcore rule)
+    parts = []
+    prev_cov = None
+    for r in range(1, k + 1):
+        rem = (
+            "dt"
+            if prev_cov is None
+            else f"(SELECT dt.* FROM dt LEFT JOIN {prev_cov} c"
+                 f" ON c.term = dt.term WHERE c.term IS NULL)"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT doc_id,"
+            f" CAST(COUNT(*) AS BIGINT) AS marginal_gain FROM {rem} GROUP BY 1),\n"
+            f"sel{r} AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id,"
+            f" MAX(marginal_gain) AS marginal_gain FROM g{r}"
+            f" WHERE marginal_gain = (SELECT MAX(marginal_gain) FROM g{r})),\n"
+            f"cov{r} AS MATERIALIZED (SELECT DISTINCT term FROM dt"
+            f" WHERE doc_id IN (SELECT doc_id FROM sel{r})"
+            + (f" UNION SELECT term FROM {prev_cov}" if prev_cov else "")
+            + ")"
+        )
+        prev_cov = f"cov{r}"
+    return ",\n".join(parts)
+
+
+_COVER_FINAL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({r} AS BIGINT) AS round, s.doc_id, s.marginal_gain,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered_terms
+  FROM sel{r} s WHERE s.doc_id IS NOT NULL"""
+    for r in range(1, COVER_K + 1)
+)
+
+# Twin of operators/corpus.py:coverage_select — identical greedy rounds.
+ORACLES["coverage_select"] = f"""
+WITH dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.term
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(term)
+),
+{_cover_ctes(COVER_K)}
+SELECT * FROM (
+{_COVER_FINAL}
+) ORDER BY round
+"""

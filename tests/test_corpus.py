@@ -342,3 +342,26 @@ def test_span_corruption_nonoverlap_density_bounds(spark):
         assert len(spans) == spans[0].n_tokens // CORRUPT_WINDOW
         for a, b in zip(spans, spans[1:]):
             assert a.start_token + a.span_len <= b.start_token
+
+
+def test_coverage_select_greedy_semantics(spark):
+    # planted vocab: doc 1 covers 4 terms, doc 2 covers 3 NEW terms after
+    # doc 1, doc 3's terms are then fully covered -> greedy must pick
+    # (1, gain 4) then (2, gain 3) and stop emitting gain for exhausted
+    # rounds only when truly nothing remains (doc 3 still adds 1)
+    from inde1_spark.operators.corpus import coverage_select
+    from inde1_spark.operators.dedup import release_persisted
+
+    rows = [
+        (1, "a b c d", "en", "x", 7),
+        (2, "a e f g", "en", "x", 7),
+        (3, "b c h", "en", "x", 5),
+        (4, "a b", "en", "x", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = [(r.round, r.doc_id, r.marginal_gain, r.covered_terms)
+           for r in coverage_select(docs).collect()]
+    release_persisted()
+    assert out == [(1, 1, 4, 4), (2, 2, 3, 7), (3, 3, 1, 8)]
