@@ -6624,3 +6624,87 @@ SELECT * FROM (
 {_COVER_FINAL}
 ) ORDER BY round
 """
+
+
+from inde1_spark.operators.analytics import CONF_COVERAGE_PCT  # noqa: E402
+
+_CONF_SLOPE = (
+    f"((CAST(n_train AS DOUBLE) * {_dec2d('sxy')} - {_dec2d('sx')} * {_dec2d('sy')})"
+    f" / (CAST(n_train AS DOUBLE) * {_dec2d('sxx')} - {_dec2d('sx')} * {_dec2d('sx')}))"
+)
+_CONF_INTER = (
+    f"(({_dec2d('sy')} - {_CONF_SLOPE} * {_dec2d('sx')}) / CAST(n_train AS DOUBLE))"
+)
+
+# Twin of operators/analytics.py:forecast_conformal — identical split,
+# train moments, micro-unit residual snap, and order-statistic quantile.
+ORACLES["forecast_conformal"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y_micro
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT)
+           AS x,
+         y_micro
+  FROM daily
+),
+rng AS (
+  SELECT event_type, MIN(x) AS x_min, MAX(x) AS x_max,
+         MIN(x) + (MAX(x) - MIN(x)) // 2 AS x_split
+  FROM m GROUP BY 1
+),
+m2 AS (
+  SELECT m.*, r.x_min, r.x_max, r.x_split
+  FROM m JOIN rng r ON r.event_type = m.event_type
+),
+stats AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_train,
+         SUM(x) AS sx, SUM(y_micro) AS sy,
+         SUM(CAST(x AS HUGEINT) * y_micro) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM m2 WHERE x <= x_split GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+fitted AS MATERIALIZED (
+  SELECT event_type, n_train,
+         {_CONF_SLOPE} AS slope_u, {_CONF_INTER} AS inter_u
+  FROM stats
+),
+calib AS MATERIALIZED (
+  SELECT c.event_type, c.x, c.x_max,
+         CAST(round(abs(CAST(c.y_micro AS DOUBLE)
+                        - (f.inter_u + f.slope_u * c.x)), 0) AS BIGINT) AS res
+  FROM m2 c JOIN fitted f ON f.event_type = c.event_type
+  WHERE c.x > c.x_split
+),
+ranked AS (
+  SELECT event_type, res,
+         CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY res ASC, x ASC) AS BIGINT) AS rk
+  FROM calib
+),
+nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib
+       FROM calib GROUP BY 1),
+q AS (
+  SELECT r.event_type, r.res AS q_res, nc.n_calib
+  FROM ranked r JOIN nc ON nc.event_type = r.event_type
+  WHERE r.rk = LEAST(({CONF_COVERAGE_PCT} * (nc.n_calib + 1) + 99) // 100,
+                     nc.n_calib)
+)
+SELECT f.event_type, f.n_train, q.n_calib,
+       f.slope_u / 1e6 AS slope_per_day,
+       r.x_max + 1 AS next_day_x,
+       (f.inter_u + f.slope_u * (r.x_max + 1)) / 1e6 AS forecast,
+       (f.inter_u + f.slope_u * (r.x_max + 1)) / 1e6
+         - CAST(q.q_res AS DOUBLE) / 1e6 AS lo,
+       (f.inter_u + f.slope_u * (r.x_max + 1)) / 1e6
+         + CAST(q.q_res AS DOUBLE) / 1e6 AS hi
+FROM fitted f
+JOIN q ON q.event_type = f.event_type
+JOIN rng r ON r.event_type = f.event_type
+ORDER BY f.event_type
+"""

@@ -300,3 +300,30 @@ def test_halflife_weights_are_exact_powers_of_two(spark):
     out = {r.event_type: r for r in halflife_popularity(events).collect()}
     assert out["a"].decayed_score == 1.0 + 0.5 + 0.25
     assert out["b"].decayed_score == 0.0
+
+
+def test_conformal_interval_covers_and_orders(spark):
+    # structural guarantees: lo <= forecast <= hi; the quantile comes
+    # from held-out residuals, so on a noiseless linear series the
+    # interval collapses to (near) zero width
+    from inde1_spark.operators.analytics import forecast_conformal
+
+    rows = []
+    # type 'lin': exactly linear daily values -> residuals 0
+    for d in range(12):
+        rows.append((d + 1, datetime(2024, 7, 1 + d, 12), 1, "lin",
+                     10.0 + 2.0 * d, "{}"))
+    # type 'noisy': alternating +/-3 around a level
+    for d in range(12):
+        rows.append((100 + d, datetime(2024, 7, 1 + d, 12), 1, "noisy",
+                     50.0 + (3.0 if d % 2 else -3.0), "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.event_type: r for r in forecast_conformal(events).collect()}
+    for r in out.values():
+        assert r.lo <= r.forecast <= r.hi
+    assert out["lin"].hi - out["lin"].lo < 1e-3
+    assert out["noisy"].hi - out["noisy"].lo > 1.0
+    # the linear type's forecast extrapolates the trend: day 12 -> 34
+    assert abs(out["lin"].forecast - 34.0) < 1e-3
