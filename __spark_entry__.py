@@ -157,8 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 rotation queue head: the operators new in r05, never
         # driver-verified (each locally hash-green at sf0.001 AND sf0.01,
         # and driver-simulated from a fresh process at sf0.01). The queue
-        # runs from here through forecast_conformal (62 entries,
-        # late-r05 additions pareto_frontier..forecast_conformal
+        # runs from here through bbit_minhash_est (63 entries,
+        # late-r05 additions pareto_frontier..bbit_minhash_est
         # included); r06's window
         # takes the first 50, r07 rotates the overflow plus the oldest
         # greens not re-confirmed in r05.
@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "forecast_conformal": lambda sp, d: A.forecast_conformal(
             _t(sp, d, "events")
+        ),
+        "bbit_minhash_est": lambda sp, d: D.bbit_minhash_est(
+            _t(sp, d, "documents")
         ),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).

@@ -2056,3 +2056,86 @@ def dedup_threshold_sweep(
             " div greatest(n_exact, CAST(1 AS BIGINT))"
         ).alias("recall_micro"),
     ).orderBy("threshold_pct")
+
+
+BBIT_B = 1  # keep only the lowest b bits of each minhash (32x compression)
+
+
+def bbit_minhash_est(documents: DataFrame, n: int = 3, b: int = BBIT_B) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig): store only the lowest ``b``
+    bits of each of the 32 minhash values — a 32/b-fold signature
+    compression — and recover Jaccard with the collision-corrected
+    estimator J = (f - C) / (1 - C), where f is the observed b-bit match
+    fraction and C = 2^-b the random-collision floor. The audit emits,
+    per banded candidate pair, the b-bit estimate next to the full
+    32-value estimate and the exact Jaccard, so the compression's
+    accuracy cost is measured on THIS corpus before anyone ships the
+    smaller index.
+
+    Rides the md5-portable estimator audit's signatures; the only new
+    work is one masked 32-column equality per candidate pair. The
+    corrected estimate is exact ppm integer algebra: with C = 1/2^b,
+    J_ppm = ((f_matches * 2^b - 32) * 10^6) div (32 * (2^b - 1)),
+    clamped at 0 (f below the collision floor estimates negative) —
+    wide-decimal floor-div, identical in both engines.
+    """
+    sh = _persist(shingle_table(documents, n))
+    sid = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sh_ids = sh.select("doc_id", sid.alias("sid"))
+    sigs = _persist(minhash_signatures(sh_ids, PERMS_FAST))
+    cand = band_candidates(banded_signature(sigs, FAST_N_PERM, FAST_N_BANDS))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(FAST_N_PERM)],
+    )
+    mask = (1 << b) - 1
+    full_matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(FAST_N_PERM)
+    ).cast("long")
+    bbit_matches = sum(
+        F.when(
+            F.col(f"a_{i}").bitwiseAND(F.lit(mask))
+            == F.col(f"b_{i}").bitwiseAND(F.lit(mask)),
+            1,
+        ).otherwise(0)
+        for i in range(FAST_N_PERM)
+    ).cast("long")
+    pow_b = 1 << b
+    est_full_ppm = (F.col("n_full") * F.lit(1_000_000 // FAST_N_PERM)).cast(
+        "long"
+    )
+    # clamp BEFORE dividing: a sub-collision-floor match count estimates
+    # negative, and negative integer division truncates in Spark but
+    # floors in DuckDB — keeping the numerator nonnegative sidesteps it
+    est_bbit_ppm = F.expr(
+        f"(greatest(n_bbit * {pow_b} - {FAST_N_PERM}, CAST(0 AS BIGINT))"
+        f" * CAST(1000000 AS BIGINT))"
+        f" div CAST({FAST_N_PERM * (pow_b - 1)} AS BIGINT)"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            full_matches.alias("n_full"),
+            bbit_matches.alias("n_bbit"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_full",
+            "n_bbit",
+            (est_full_ppm.cast("double") / F.lit(1e6)).alias("est_full"),
+            (est_bbit_ppm.cast("double") / F.lit(1e6)).alias("est_bbit"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -6708,3 +6708,57 @@ JOIN q ON q.event_type = f.event_type
 JOIN rng r ON r.event_type = f.event_type
 ORDER BY f.event_type
 """
+
+
+from inde1_spark.operators.dedup import BBIT_B  # noqa: E402
+
+_BBIT_MASK = (1 << BBIT_B) - 1
+_BBIT_POW = 1 << BBIT_B
+
+# Twin of operators/dedup.py:bbit_minhash_est — the estimator audit's
+# exact shingle/signature/banding CTEs plus the masked equality and the
+# clamped, collision-corrected ppm estimator.
+ORACLES["bbit_minhash_est"] = f"""
+WITH {_SHINGLES},
+shid AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+           % {MINHASH_PRIME} AS sid
+  FROM sh
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}" for pid, a, b in PERMS_FAST)}
+  FROM shid GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + "concat_ws(',', " + ", ".join(
+          f"CAST(mh_{b * (FAST_N_PERM // FAST_N_BANDS) + r} AS VARCHAR)"
+          for r in range(FAST_N_PERM // FAST_N_BANDS)
+      ) + ") AS sig FROM sigs"
+      for b in range(FAST_N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(FAST_N_PERM))} AS BIGINT)
+           AS n_full,
+         CAST({" + ".join(f"(CASE WHEN (sa.mh_{i} & {_BBIT_MASK}) = (sb.mh_{i} & {_BBIT_MASK}) THEN 1 ELSE 0 END)" for i in range(FAST_N_PERM))} AS BIGINT)
+           AS n_bbit
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_full, n_bbit,
+       CAST(n_full * {1_000_000 // FAST_N_PERM} AS DOUBLE) / 1e6 AS est_full,
+       CAST((GREATEST(n_bbit * {_BBIT_POW} - {FAST_N_PERM}, 0) * 1000000)
+            // {FAST_N_PERM * (_BBIT_POW - 1)} AS DOUBLE) / 1e6 AS est_bbit
+FROM m ORDER BY doc_a, doc_b
+"""

@@ -444,3 +444,33 @@ def test_threshold_sweep_monotone_and_consistent(spark):
         assert 0 <= p <= 1_000_000 and 0 <= r <= 1_000_000
     # the identical pair survives every threshold
     assert all(e >= 1 for _, e, *_ in out)
+
+
+def test_bbit_estimator_corrects_collision_floor(spark):
+    # identical docs: all 32 low bits match -> corrected estimate exactly
+    # 1.0, same as the full estimate; unrelated docs: the 1-bit matches
+    # hover near the 50% collision floor and the corrected estimate must
+    # come out FAR below the raw match fraction (the whole point of the
+    # correction)
+    from inde1_spark.operators.dedup import bbit_minhash_est, release_persisted
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, a, "en", "x", len(a)),
+        (2, a, "en", "x", len(a)),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = bbit_minhash_est(docs).collect()
+    release_persisted()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_full == 32 and r.n_bbit == 32
+    assert r.est_full == 1.0 and r.est_bbit == 1.0
+    # the corrected estimator maps the floor itself to exactly 0
+    from inde1_spark.operators.dedup import BBIT_B
+
+    pow_b = 1 << BBIT_B
+    floor_matches = 32 // pow_b
+    assert max(floor_matches * pow_b - 32, 0) == 0
