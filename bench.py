@@ -100,6 +100,10 @@ HEADLINE = (
     "symspell_neighbors",     # deletion-neighborhood ed-1 vocab join (r05)
     "session_paths",          # row-local whole-journey top-k (r05)
     "market_basket_lift",     # capped basket pair association (r05)
+    "knn_mmr_rerank",         # diversified retrieval, unrolled greedy (r05)
+    "coverage_select",        # submodular max-coverage curation (r05)
+    "lsh_rebanding_planner",  # S-curve cost/recall planning (r05)
+    "kcore_dup_graph",        # iterative peeling, lazy checkpoints (r05)
 )
 
 

@@ -4592,11 +4592,16 @@ def forecast_conformal(events: DataFrame) -> DataFrame:
     Types need >= 2 train days (ANSI-safe denominator) and >= 1
     calibration day.
     """
+    from inde1_spark.operators.dedup import _persist
+
     daily = _daily_micro(events, "y_micro")
     x = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")).cast(
         "long"
     )
-    m = daily.select("event_type", x.alias("x"), "y_micro")
+    # persisted: rng, the train moments, and the calibration scan all
+    # fold over this tiny (types x days) table — without the cache each
+    # consumer re-runs the corpus-sized daily aggregation
+    m = _persist(daily.select("event_type", x.alias("x"), "y_micro"))
     rng = m.groupBy("event_type").agg(
         F.min("x").alias("x_min"), F.max("x").alias("x_max")
     )

@@ -1674,6 +1674,27 @@ def cdc_doc_overlap(
     return scored.filter(F.col("containment") >= threshold)
 
 
+def _fast_audit_pipeline(
+    documents: DataFrame, n: int, persist_sh: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sh, sigs, cand): the md5-portable shingle/signature/banded-candidate
+    pipeline shared by the estimator audits (minhash_est_jaccard,
+    bbit_minhash_est) — one spelling so a perm-table or banding change
+    cannot desync them. ``persist_sh`` caches the corpus-sized shingle
+    table only when the caller has multiple shingle consumers."""
+    sh = shingle_table(documents, n)
+    if persist_sh:
+        sh = _persist(sh)
+    sid = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sh_ids = sh.select("doc_id", sid.alias("sid"))
+    sigs = _persist(minhash_signatures(sh_ids, PERMS_FAST))
+    cand = band_candidates(banded_signature(sigs, FAST_N_PERM, FAST_N_BANDS))
+    return sh, sigs, cand
+
+
 def minhash_est_jaccard(documents: DataFrame, n: int = 3) -> DataFrame:
     """Estimator-quality audit of the production MinHash configuration:
     signature-ESTIMATED Jaccard (matching permutations / 32) next to the
@@ -1696,14 +1717,7 @@ def minhash_est_jaccard(documents: DataFrame, n: int = 3) -> DataFrame:
     (est_ppm = matches * 31250 since 10^6/32 is integral; jac_ppm is
     the exact scaled ratio), divided back to doubles only for output.
     """
-    sh = _persist(shingle_table(documents, n))
-    sid = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-        % F.lit(MINHASH_PRIME)
-    )
-    sh_ids = sh.select("doc_id", sid.alias("sid"))
-    sigs = _persist(minhash_signatures(sh_ids, PERMS_FAST))
-    cand = band_candidates(banded_signature(sigs, FAST_N_PERM, FAST_N_BANDS))
+    sh, sigs, cand = _fast_audit_pipeline(documents, n, persist_sh=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],
@@ -2079,14 +2093,7 @@ def bbit_minhash_est(documents: DataFrame, n: int = 3, b: int = BBIT_B) -> DataF
     clamped at 0 (f below the collision floor estimates negative) —
     wide-decimal floor-div, identical in both engines.
     """
-    sh = _persist(shingle_table(documents, n))
-    sid = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-        % F.lit(MINHASH_PRIME)
-    )
-    sh_ids = sh.select("doc_id", sid.alias("sid"))
-    sigs = _persist(minhash_signatures(sh_ids, PERMS_FAST))
-    cand = band_candidates(banded_signature(sigs, FAST_N_PERM, FAST_N_BANDS))
+    _, sigs, cand = _fast_audit_pipeline(documents, n, persist_sh=False)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],

@@ -97,14 +97,10 @@ def quality_parts() -> tuple[Column, Column, Column]:
 def _quality_col() -> Column:
     """The 4-decimal exact quality ratio as a bare column (the same
     expression ``quality_score`` emits), for operators that need the score
-    alongside columns quality_score's fixed output schema drops."""
-    toks = _toks()
-    gnt = F.greatest(F.size(toks).cast("long"), F.lit(1).cast("long"))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    capped = F.least(F.col("n_chars").cast("long"), F.lit(500).cast("long"))
-    return ratio_round(
-        capped * gnt + F.lit(500) * (gnt - n_stop), F.lit(1000) * gnt, 4
-    )
+    alongside columns quality_score's fixed output schema drops. Delegates
+    to ``quality_parts`` so the formula has exactly one spelling."""
+    _, quality, _ = quality_parts()
+    return quality
 
 
 def quality_score(documents: DataFrame) -> DataFrame:
@@ -1269,7 +1265,14 @@ def symspell_neighbors(
         .select("term_a", "term_b", "n_a", "n_b")
         .distinct()
     )
+    # explicit partition COUNT before the exact verify (CLAUDE.md rule):
+    # the candidate table is a few KB, so AQE's byte-based coalescing
+    # would run every levenshtein on one core at real-vocab scale
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     return (
-        cand.filter(F.levenshtein("term_a", "term_b") <= 1)
+        cand.repartition(n_part, "term_a", "term_b")
+        .filter(F.levenshtein("term_a", "term_b") <= 1)
         .orderBy("term_a", "term_b")
     )

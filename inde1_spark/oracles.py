@@ -5836,7 +5836,7 @@ src AS (
          CAST(((CAST(2 * cum - n_docs AS HUGEINT) * {QNORM_SCALE}
                 - (CAST(2 * cum - n_docs AS HUGEINT) * {QNORM_SCALE})
                   % CAST(2 * n_s AS HUGEINT))
-               / CAST(2 * n_s AS HUGEINT)) AS BIGINT) AS cdf,
+               // CAST(2 * n_s AS HUGEINT)) AS BIGINT) AS cdf,
          0 AS is_global, CAST(NULL AS DOUBLE) AS gq
   FROM (
     SELECT source, quality, n_docs,
@@ -5853,7 +5853,7 @@ gcdf AS (
          CAST(((CAST(2 * cum - n_g AS HUGEINT) * {QNORM_SCALE}
                 - (CAST(2 * cum - n_g AS HUGEINT) * {QNORM_SCALE})
                   % CAST(2 * n_all AS HUGEINT))
-               / CAST(2 * n_all AS HUGEINT)) AS BIGINT) AS cdf
+               // CAST(2 * n_all AS HUGEINT)) AS BIGINT) AS cdf
   FROM (
     SELECT quality, n_g,
            CAST(SUM(n_g) OVER (ORDER BY quality
@@ -6044,7 +6044,7 @@ SELECT g.train_source, g.eval_source, g.n_eval_tokens,
                    - (CAST(g.n_eval_tokens AS HUGEINT) * g.lsc_tot
                       - COALESCE(p.s, 0))
                      % CAST(g.n_eval_tokens AS HUGEINT))
-                  / CAST(g.n_eval_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+                  // CAST(g.n_eval_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
          / {LOG_SCALE}.0 AS avg_xent
 FROM grid g
 LEFT JOIN pair_sums p
@@ -6171,11 +6171,11 @@ enriched AS (
 SELECT part_a, part_b, n_both, n_a, n_b,
        CAST((CAST(n_both AS HUGEINT) * 1000000
              - (CAST(n_both AS HUGEINT) * 1000000) % CAST(n_a AS HUGEINT))
-            / CAST(n_a AS HUGEINT) AS BIGINT) AS conf_a_to_b_micro,
+            // CAST(n_a AS HUGEINT) AS BIGINT) AS conf_a_to_b_micro,
        CAST((CAST(n_both AS HUGEINT) * n_orders * 1000000
              - (CAST(n_both AS HUGEINT) * n_orders * 1000000)
                % (CAST(n_a AS HUGEINT) * n_b))
-            / (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro
 FROM enriched
 ORDER BY n_both DESC, lift_micro DESC, part_a ASC, part_b ASC
 LIMIT {BASKET_TOP_K}
