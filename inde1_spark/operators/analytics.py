@@ -4687,3 +4687,96 @@ def forecast_conformal(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MOM_RESCALE = 10_000  # micro -> centi units for the power sums
+
+
+def moments_profile(events: DataFrame) -> DataFrame:
+    """Exact higher-moment profile per event type: mean, stddev, skewness
+    and excess kurtosis — the distribution-shape audit (is the value
+    column symmetric? heavy-tailed?) that mean/variance summaries and
+    the z-score anomaly pass silently assume away.
+
+    One-pass power sums about a per-type MINIMUM pivot: residuals are
+    nonnegative by construction, so the micro->centi rescale (floor-div
+    by 10^4, bounding the fourth power inside decimal(38,0) even at
+    10^12 rows) never divides a negative — the Spark-truncates vs
+    DuckDB-floors asymmetry cannot arise. Central moments come from the
+    standard binomial shift of the raw sums, evaluated in one fixed
+    IEEE chain (digit-split conversions, sqrt only — no pow()).
+    Quantization: shape statistics are computed on 0.01-value-unit
+    residuals (documented trade; mean is full precision from the exact
+    micro sum). Types need n >= 2 and nonzero variance (ANSI-safe).
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    base = _persist(
+        events.select(
+            "event_type",
+            F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    piv = base.groupBy("event_type").agg(F.min("y").alias("y_min"))
+    r = (
+        base.join(F.broadcast(piv), "event_type")
+        .select(
+            "event_type",
+            "y",
+            F.expr(f"(y - y_min) div CAST({MOM_RESCALE} AS BIGINT)").alias("rd"),
+            "y_min",
+        )
+    )
+    stats = (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(d38(F.col("y"))).alias("s1"),
+            F.min("y_min").alias("y_min"),
+            F.sum(d38(F.col("rd"))).alias("m1"),
+            F.sum(d38(F.col("rd")) * d38(F.col("rd"))).alias("m2"),
+            F.sum(
+                d38(F.col("rd")) * d38(F.col("rd")) * d38(F.col("rd"))
+            ).alias("m3"),
+            F.sum(
+                d38(F.col("rd"))
+                * d38(F.col("rd"))
+                * d38(F.col("rd"))
+                * d38(F.col("rd"))
+            ).alias("m4"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n").cast("double")
+    a1 = dec_to_double_exact(F.col("m1")) / n
+    a2 = dec_to_double_exact(F.col("m2")) / n
+    a3 = dec_to_double_exact(F.col("m3")) / n
+    a4 = dec_to_double_exact(F.col("m4")) / n
+    mu2 = F.greatest(a2 - a1 * a1, F.lit(0.0))
+    mu3 = a3 - F.lit(3.0) * a1 * a2 + F.lit(2.0) * a1 * a1 * a1
+    mu4 = (
+        a4
+        - F.lit(4.0) * a1 * a3
+        + F.lit(6.0) * a1 * a1 * a2
+        - F.lit(3.0) * a1 * a1 * a1 * a1
+    )
+    scale = F.lit(float(MOM_RESCALE) / 1e6)  # centi units -> value units
+    return (
+        stats.filter(mu2 > 0)
+        .select(
+            "event_type",
+            "n",
+            (
+                dec_to_double_exact(F.col("s1")) / n / F.lit(1e6)
+            ).alias("mean"),
+            (F.sqrt(mu2) * scale).alias("stddev"),
+            (mu3 / (mu2 * F.sqrt(mu2))).alias("skewness"),
+            (mu4 / (mu2 * mu2) - F.lit(3.0)).alias("kurtosis_excess"),
+        )
+        .orderBy("event_type")
+    )

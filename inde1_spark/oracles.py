@@ -6762,3 +6762,65 @@ SELECT doc_a, doc_b, n_full, n_bbit,
             // {FAST_N_PERM * (_BBIT_POW - 1)} AS DOUBLE) / 1e6 AS est_bbit
 FROM m ORDER BY doc_a, doc_b
 """
+
+
+from inde1_spark.operators.analytics import MOM_RESCALE  # noqa: E402
+
+# Twin of operators/analytics.py:moments_profile — identical micro snap,
+# min-pivot nonneg residuals, centi rescale, HUGEINT power sums and the
+# digit-split binomial-shift double chain.
+ORACLES["moments_profile"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+piv AS (SELECT event_type, MIN(y) AS y_min FROM base GROUP BY 1),
+r AS (
+  SELECT b.event_type, b.y,
+         (b.y - p.y_min) // {MOM_RESCALE} AS rd, p.y_min
+  FROM base b JOIN piv p ON p.event_type = b.event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+         MIN(y_min) AS y_min,
+         CAST(SUM(CAST(rd AS HUGEINT)) AS HUGEINT) AS m1,
+         CAST(SUM(CAST(rd AS HUGEINT) * rd) AS HUGEINT) AS m2,
+         CAST(SUM(CAST(rd AS HUGEINT) * rd * rd) AS HUGEINT) AS m3,
+         CAST(SUM(CAST(rd AS HUGEINT) * rd * rd * rd) AS HUGEINT) AS m4
+  FROM r GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+mom AS (
+  SELECT event_type, n,
+         {_dec2d('s1')} / CAST(n AS DOUBLE) / 1e6 AS mean,
+         GREATEST({_dec2d('m2')} / CAST(n AS DOUBLE)
+                  - ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                    * ({_dec2d('m1')} / CAST(n AS DOUBLE)), 0.0) AS mu2,
+         {_dec2d('m3')} / CAST(n AS DOUBLE)
+           - 3.0 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m2')} / CAST(n AS DOUBLE))
+           + 2.0 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE)) AS mu3,
+         {_dec2d('m4')} / CAST(n AS DOUBLE)
+           - 4.0 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m3')} / CAST(n AS DOUBLE))
+           + 6.0 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m2')} / CAST(n AS DOUBLE))
+           - 3.0 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE))
+                 * ({_dec2d('m1')} / CAST(n AS DOUBLE)) AS mu4
+  FROM stats
+)
+SELECT event_type, n, mean,
+       sqrt(mu2) * {MOM_RESCALE / 1e6!r} AS stddev,
+       mu3 / (mu2 * sqrt(mu2)) AS skewness,
+       mu4 / (mu2 * mu2) - 3.0 AS kurtosis_excess
+FROM mom WHERE mu2 > 0
+ORDER BY event_type
+"""

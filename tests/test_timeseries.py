@@ -327,3 +327,31 @@ def test_conformal_interval_covers_and_orders(spark):
     assert out["noisy"].hi - out["noisy"].lo > 1.0
     # the linear type's forecast extrapolates the trend: day 12 -> 34
     assert abs(out["lin"].forecast - 34.0) < 1e-3
+
+
+def test_moments_profile_shapes(spark):
+    # planted shapes: a right-skewed type (one huge outlier) must show
+    # positive skew and large excess kurtosis; a symmetric two-point
+    # type has skew exactly 0 and kurtosis_excess exactly -2
+    from inde1_spark.operators.analytics import moments_profile
+    from inde1_spark.operators.dedup import release_persisted
+
+    rows = []
+    for i in range(20):
+        rows.append((i, datetime(2024, 8, 1, 10, i), 1, "skewed",
+                     1.0 if i < 19 else 1000.0, "{}"))
+    for i in range(10):
+        rows.append((100 + i, datetime(2024, 8, 1, 11, i), 1, "sym",
+                     10.0 if i % 2 else 20.0, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.event_type: r for r in moments_profile(events).collect()}
+    release_persisted()
+    sk = out["skewed"]
+    assert sk.skewness > 3.0 and sk.kurtosis_excess > 10.0
+    sym = out["sym"]
+    assert abs(sym.mean - 15.0) < 1e-6
+    assert abs(sym.skewness) < 1e-9
+    assert abs(sym.kurtosis_excess - (-2.0)) < 1e-9
+    assert abs(sym.stddev - 5.0) < 1e-3
