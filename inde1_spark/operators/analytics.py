@@ -4780,3 +4780,111 @@ def moments_profile(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MW_RESCALE = 10_000  # micro -> centi quantization for the rank grid
+
+
+def mann_whitney_pairs(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for every pair of event types:
+    does one type's value distribution stochastically dominate the
+    other's — the nonparametric two-sample test that catches median and
+    shape shifts the mean-based z-score misses, with no normality
+    assumption (the pairwise companion to the one-sample runs/KS tier).
+
+    The rank trick from the Gini/ntile family: ranks come from VALUE
+    HISTOGRAMS, never a row sort — values quantize to a 0.01-unit grid
+    above the global minimum (nonneg floor-div; quantization ties are
+    legitimate ties and get the tied-rank treatment), each pair's merged
+    histogram is bounded by the value DOMAIN, and tied-block average
+    ranks are exact integers at x2 scale (2*below + block + 1). U, its
+    null mean, and the tie-corrected variance all come from exact
+    wide-decimal sums, converted once through the digit-split chain;
+    all-tied pairs (zero variance) are excluded, ANSI-safe.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    raw = events.select("event_type", y.alias("y"))
+    gmin = raw.agg(F.min("y").alias("y_min"))
+    hist = _persist(
+        raw.join(F.broadcast(gmin))
+        .select(
+            "event_type",
+            F.expr(f"(y - y_min) div CAST({MW_RESCALE} AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    t = hist.select("event_type").distinct()
+    pairs = (
+        t.select(F.col("event_type").alias("type_a"))
+        .join(F.broadcast(t.select(F.col("event_type").alias("type_b"))))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    side_a = pairs.join(
+        hist.select(F.col("event_type").alias("type_a"), "v", F.col("cnt").alias("ca")),
+        "type_a",
+    ).select("type_a", "type_b", "v", "ca", F.lit(0).cast("long").alias("cb"))
+    side_b = pairs.join(
+        hist.select(F.col("event_type").alias("type_b"), "v", F.col("cnt").alias("cb")),
+        "type_b",
+    ).select("type_a", "type_b", "v", F.lit(0).cast("long").alias("ca"), "cb")
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("v")
+    below = F.coalesce(
+        F.sum(F.col("ca") + F.col("cb")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    m = F.col("ca") + F.col("cb")
+    rank2 = F.lit(2) * below + m + F.lit(1)
+    stats = (
+        merged.withColumn("rank2", rank2)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+            F.sum(d38(F.col("ca")) * d38(F.col("rank2"))).alias("ra2"),
+            F.sum(d38(m) * d38(m) * d38(m) - d38(m)).alias("ties"),
+        )
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    big_n = na + nb
+    u2 = dec_to_double_exact(F.col("ra2")) - na * (na + F.lit(1.0))
+    mean_u2 = na * nb
+    var_u = (
+        (na * nb / F.lit(12.0))
+        * (
+            (big_n + F.lit(1.0))
+            - dec_to_double_exact(F.col("ties"))
+            / (big_n * (big_n - F.lit(1.0)))
+        )
+    )
+    return (
+        stats.filter((F.col("na") >= 1) & (F.col("nb") >= 1))
+        .withColumn("var_u", var_u)
+        .filter(F.col("var_u") > 0)
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            (u2 / F.lit(2.0)).alias("u_a"),
+            (
+                (u2 - mean_u2) / (F.lit(2.0) * F.sqrt(F.col("var_u")))
+            ).alias("z"),
+        )
+        .orderBy("type_a", "type_b")
+    )

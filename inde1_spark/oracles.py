@@ -6824,3 +6824,73 @@ SELECT event_type, n, mean,
 FROM mom WHERE mu2 > 0
 ORDER BY event_type
 """
+
+
+from inde1_spark.operators.analytics import MW_RESCALE  # noqa: E402
+
+# Twin of operators/analytics.py:mann_whitney_pairs — identical quantized
+# histograms, x2 tied ranks, HUGEINT sums, digit-split double chain.
+ORACLES["mann_whitney_pairs"] = f"""
+WITH raw AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+gmin AS (SELECT MIN(y) AS y_min FROM raw),
+hist AS MATERIALIZED (
+  SELECT event_type, (y - y_min) // {MW_RESCALE} AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM raw CROSS JOIN gmin
+  GROUP BY 1, 2
+),
+t AS (SELECT DISTINCT event_type FROM hist),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a CROSS JOIN t b WHERE a.event_type < b.event_type
+),
+merged AS (
+  SELECT type_a, type_b, v,
+         CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT p.type_a, p.type_b, h.v, h.cnt AS ca, CAST(0 AS BIGINT) AS cb
+    FROM pairs p JOIN hist h ON h.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, h.v, CAST(0 AS BIGINT), h.cnt
+    FROM pairs p JOIN hist h ON h.event_type = p.type_b
+  )
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT type_a, type_b, v, ca, cb,
+         2 * COALESCE(SUM(ca + cb) OVER (PARTITION BY type_a, type_b
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ca + cb) + 1 AS rank2
+  FROM merged
+),
+stats AS (
+  SELECT type_a, type_b,
+         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(CAST(ca AS HUGEINT) * rank2) AS HUGEINT) AS ra2,
+         CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                  - (ca + cb)) AS HUGEINT) AS ties
+  FROM ranked GROUP BY 1, 2
+),
+scored AS (
+  SELECT type_a, type_b, na, nb,
+         {_dec2d('ra2')} - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)
+           AS u2,
+         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+           * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+              - {_dec2d('ties')}
+                / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                   * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))
+           AS var_u
+  FROM stats WHERE na >= 1 AND nb >= 1
+)
+SELECT type_a, type_b, na, nb,
+       u2 / 2.0 AS u_a,
+       (u2 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         / (2.0 * sqrt(var_u)) AS z
+FROM scored WHERE var_u > 0
+ORDER BY type_a, type_b
+"""

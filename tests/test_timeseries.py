@@ -355,3 +355,31 @@ def test_moments_profile_shapes(spark):
     assert abs(sym.skewness) < 1e-9
     assert abs(sym.kurtosis_excess - (-2.0)) < 1e-9
     assert abs(sym.stddev - 5.0) < 1e-3
+
+
+def test_mann_whitney_detects_shift_and_ignores_identical(spark):
+    # planted: type 'hi' is a +5 location shift of 'lo' -> strongly
+    # negative z for (hi, lo)... ordering is alphabetical, so the pair is
+    # (hi, lo) with A='hi' dominating: U_A large, z > 0. Identical
+    # distributions ('lo' vs 'same') give U_A = na*nb/2 and z = 0.
+    from inde1_spark.operators.analytics import mann_whitney_pairs
+    from inde1_spark.operators.dedup import release_persisted
+
+    rows = []
+    for i in range(30):
+        rows.append((i, datetime(2024, 8, 2, 10, i % 60), 1, "lo",
+                     float(i % 10), "{}"))
+        rows.append((100 + i, datetime(2024, 8, 2, 11, i % 60), 1, "hi",
+                     float(i % 10) + 5.0, "{}"))
+        rows.append((200 + i, datetime(2024, 8, 2, 12, i % 60), 1, "same",
+                     float(i % 10), "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {(r.type_a, r.type_b): r for r in mann_whitney_pairs(events).collect()}
+    release_persisted()
+    shifted = out[("hi", "lo")]
+    assert shifted.z > 3.0                     # clear dominance
+    ident = out[("lo", "same")]
+    assert abs(ident.u_a - 30 * 30 / 2) < 1e-9  # exactly the null mean
+    assert abs(ident.z) < 1e-12
