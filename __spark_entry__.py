@@ -157,8 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 rotation queue head: the operators new in r05, never
         # driver-verified (each locally hash-green at sf0.001 AND sf0.01,
         # and driver-simulated from a fresh process at sf0.01). The queue
-        # runs from here through mann_whitney_pairs (65 entries,
-        # late-r05 additions pareto_frontier..mann_whitney_pairs
+        # runs from here through theil_sen_slope (66 entries,
+        # late-r05 additions pareto_frontier..theil_sen_slope
         # included); r06's window
         # takes the first 50, r07 rotates the overflow plus the oldest
         # greens not re-confirmed in r05.
@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_pairs": lambda sp, d: A.mann_whitney_pairs(
             _t(sp, d, "events")
         ),
+        "theil_sen_slope": lambda sp, d: A.theil_sen_slope(_t(sp, d, "events")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(

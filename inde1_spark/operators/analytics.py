@@ -4888,3 +4888,59 @@ def mann_whitney_pairs(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def theil_sen_slope(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    day-to-day slopes of the daily series — Mann-Kendall's classic
+    companion (MK answers "is there a monotonic trend", Theil-Sen gives
+    its magnitude with a 29% breakdown point, where one corrupted day
+    drags the least-squares slope arbitrarily).
+
+    The pair join is within-type over the BOUNDED daily table (B days
+    -> B(B-1)/2 pairs per type — thousands, never corpus-sized), pair
+    slopes are micro-unit doubles from exact integer differences, and
+    the median is an exact lower-median order statistic (the corpus.py
+    _lower_median rule: no averaging of middle elements, so no new
+    float op) with a total (slope, x1, x2) ordering.
+    """
+    daily = _daily_micro(events, "y_micro")
+    x = F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    m = daily.select("event_type", x.alias("x"), "y_micro")
+    a = m.select("event_type", F.col("x").alias("x1"), F.col("y_micro").alias("y1"))
+    b = m.select("event_type", F.col("x").alias("x2"), F.col("y_micro").alias("y2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope_u"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope_u").asc(), F.col("x1").asc(), F.col("x2").asc()
+    )
+    counted = pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+    np = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    nd = m.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        counted.join(F.broadcast(np), "event_type")
+        .filter(F.col("rk") == F.expr("(n_pairs + 1) div CAST(2 AS BIGINT)"))
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            (F.col("slope_u") / F.lit(1e6)).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )

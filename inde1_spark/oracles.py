@@ -6894,3 +6894,40 @@ SELECT type_a, type_b, na, nb,
 FROM scored WHERE var_u > 0
 ORDER BY type_a, type_b
 """
+
+
+# Twin of operators/analytics.py:theil_sen_slope — identical bounded pair
+# join, micro-double slopes, lower-median order statistic.
+ORACLES["theil_sen_slope"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y_micro
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT)
+           AS x,
+         y_micro
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, a.x AS x1, b.x AS x2,
+         CAST(b.y_micro - a.y_micro AS DOUBLE)
+           / CAST(b.x - a.x AS DOUBLE) AS slope_u
+  FROM m a JOIN m b ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+  SELECT event_type, slope_u,
+         CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY slope_u ASC, x1 ASC, x2 ASC) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM m GROUP BY 1)
+SELECT r.event_type, nd.n_days, r.n_pairs,
+       r.slope_u / 1e6 AS theil_sen_slope
+FROM ranked r JOIN nd ON nd.event_type = r.event_type
+WHERE r.rk = (r.n_pairs + 1) // 2
+ORDER BY r.event_type
+"""

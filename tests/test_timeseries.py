@@ -383,3 +383,27 @@ def test_mann_whitney_detects_shift_and_ignores_identical(spark):
     ident = out[("lo", "same")]
     assert abs(ident.u_a - 30 * 30 / 2) < 1e-9  # exactly the null mean
     assert abs(ident.z) < 1e-12
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    # a clean slope-2 daily series with ONE corrupted day: least squares
+    # bends, Theil-Sen must still report exactly 2.0 per day
+    from inde1_spark.operators.analytics import (
+        daily_trend_regression,
+        theil_sen_slope,
+    )
+
+    rows = []
+    for d in range(11):
+        v = 10.0 + 2.0 * d if d != 10 else 500.0  # endpoint = max leverage
+        rows.append((d + 1, datetime(2024, 8, 3 + d, 12), 1, "t", v, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ts = {r.event_type: r for r in theil_sen_slope(events).collect()}["t"]
+    ols = {
+        r.event_type: r for r in daily_trend_regression(events).collect()
+    }["t"]
+    assert abs(ts.theil_sen_slope - 2.0) < 1e-9
+    assert abs(ols.slope_per_day - 2.0) > 1.0  # the outlier bent OLS
+    assert ts.n_days == 11 and ts.n_pairs == 55
