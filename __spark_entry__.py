@@ -45,13 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r05 window: the 27 remaining never-driver-verified operators (the 3
-    deferred from r04 plus the 24 added late in r04), then 23
-    re-confirmations of the OLDEST greens (last driver rows r01/r02).
-    With this window, every production entry has >=1 lifetime driver row —
-    the 4-round rotation debt retires here. No outputs changed since their
-    last driver row this round (arithmetic hardening in r05 is
-    value-preserving; pinned by tests/test_oracle_parity.py).
+    r06 window: the first 50 of the 66 operators added in r05 (none has a
+    driver row yet — r05's window was spent retiring the r01-r04 rotation
+    debt, which completed: CORRECTNESS_r05 is 50/50 green and every
+    pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
+    (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
+    any r06 additions. No pre-existing output changed this round (pinned
+    by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -66,102 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: deferred from the r04 window ---
-        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
-            _t(sp, d, "events")
-        ),
-        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
-        "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
-            _t(sp, d, "events")
-        ),
-        # --- never driver-verified: added late in r04 ---
-        "nation_stock_value": lambda sp, d: Q.nation_stock_value(
-            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
-        ),
-        "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
-            _t(sp, d, "documents")
-        ),
-        "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
-            _t(sp, d, "events")
-        ),
-        "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
-            _t(sp, d, "embeddings")
-        ),
-        "tokenizer_fertility": lambda sp, d: T.tokenizer_fertility(
-            _t(sp, d, "documents")
-        ),
-        "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
-        "bigram_logprob": lambda sp, d: SC.bigram_logprob(_t(sp, d, "documents")),
-        "percentile_rollup_kll": lambda sp, d: A.percentile_rollup_kll(
-            _t(sp, d, "events")
-        ),
-        "source_drift_ks": lambda sp, d: C.source_drift_ks(_t(sp, d, "documents")),
-        "zipf_fit": lambda sp, d: SC.zipf_fit(_t(sp, d, "documents")),
-        "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
-            _t(sp, d, "embeddings")
-        ),
-        "chunk_dedup_cdc": lambda sp, d: D.chunk_dedup_cdc(_t(sp, d, "documents")),
-        "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
-            _t(sp, d, "documents")
-        ),
-        "cdc_doc_overlap": lambda sp, d: D.cdc_doc_overlap(_t(sp, d, "documents")),
-        "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
-        "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
-            _t(sp, d, "embeddings")
-        ),
-        "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
-        "mixture_temperature": lambda sp, d: C.mixture_temperature(
-            _t(sp, d, "documents")
-        ),
-        "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
-        "embedding_top_component": lambda sp, d: S.embedding_top_component(
-            _t(sp, d, "embeddings")
-        ),
-        "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
-        "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
-        "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
-        "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
-        # --- re-confirmations: oldest greens (last driver rows r01/r02) ---
-        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
-        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
-        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
-        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
-        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
-        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
-            _t(sp, d, "events")
-        ),
-        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
-        "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
-            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
-        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
-        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
-        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
-        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
-        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
-        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
-        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
-        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
-        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
-        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
-        "enrich_users": lambda sp, d: A.enrich_users(
-            _t(sp, d, "events"), _t(sp, d, "customer")
-        ),
-        "occupancy_pct": lambda sp, d: A.occupancy_pct(
-            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
-        ),
-        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
-        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
-        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
-        # ============== end gate window ===================================
-        # r06 rotation queue head: the operators new in r05, never
-        # driver-verified (each locally hash-green at sf0.001 AND sf0.01,
-        # and driver-simulated from a fresh process at sf0.01). The queue
-        # runs from here through theil_sen_slope (66 entries,
-        # late-r05 additions pareto_frontier..theil_sen_slope
-        # included); r06's window
-        # takes the first 50, r07 rotates the overflow plus the oldest
-        # greens not re-confirmed in r05.
+        # --- never driver-verified: added in r05 (queue positions 1-50) ---
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
             _t(sp, d, "documents")
         ),
@@ -268,6 +173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "profile_columns": lambda sp, d: A.profile_columns(_t(sp, d, "events")),
+        # ============== end gate window ===================================
+        # r07 rotation queue head: the 16 r05-new operators that did not
+        # fit the r06 window (market_basket_lift..theil_sen_slope), then
+        # any operators added in r06. All locally hash-green at sf0.001
+        # AND sf0.01 via tests/test_oracle_parity.py.
         "market_basket_lift": lambda sp, d: A.market_basket_lift(
             _t(sp, d, "lineitem")
         ),
@@ -310,6 +220,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "theil_sen_slope": lambda sp, d: A.theil_sen_slope(_t(sp, d, "events")),
+        # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
+        # pinned locally by tests/test_oracle_parity.py every run).
+        # --- r05-verified: deferred from the r04 window ---
+        "rolling_daily_revenue": lambda sp, d: A.rolling_daily_revenue(
+            _t(sp, d, "events")
+        ),
+        "dow_profile": lambda sp, d: A.dow_profile(_t(sp, d, "events")),
+        "value_percentile_ranks": lambda sp, d: A.value_percentile_ranks(
+            _t(sp, d, "events")
+        ),
+        # --- never driver-verified: added late in r04 ---
+        "nation_stock_value": lambda sp, d: Q.nation_stock_value(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
+        ),
+        "similarity_join_allpairs": lambda sp, d: D.similarity_join_allpairs(
+            _t(sp, d, "documents")
+        ),
+        "changepoint_meanshift": lambda sp, d: A.changepoint_meanshift(
+            _t(sp, d, "events")
+        ),
+        "embedding_dim_corr": lambda sp, d: S.embedding_dim_corr(
+            _t(sp, d, "embeddings")
+        ),
+        "tokenizer_fertility": lambda sp, d: T.tokenizer_fertility(
+            _t(sp, d, "documents")
+        ),
+        "zorder_layout": lambda sp, d: A.zorder_layout(_t(sp, d, "events")),
+        "bigram_logprob": lambda sp, d: SC.bigram_logprob(_t(sp, d, "documents")),
+        "percentile_rollup_kll": lambda sp, d: A.percentile_rollup_kll(
+            _t(sp, d, "events")
+        ),
+        "source_drift_ks": lambda sp, d: C.source_drift_ks(_t(sp, d, "documents")),
+        "zipf_fit": lambda sp, d: SC.zipf_fit(_t(sp, d, "documents")),
+        "ann_recall_eval": lambda sp, d: S.ann_recall_eval(
+            _t(sp, d, "embeddings")
+        ),
+        "chunk_dedup_cdc": lambda sp, d: D.chunk_dedup_cdc(_t(sp, d, "documents")),
+        "dup_graph_transitivity": lambda sp, d: D.dup_graph_transitivity(
+            _t(sp, d, "documents")
+        ),
+        "cdc_doc_overlap": lambda sp, d: D.cdc_doc_overlap(_t(sp, d, "documents")),
+        "knn_rrf_fusion": lambda sp, d: S.knn_rrf_fusion(_t(sp, d, "embeddings")),
+        "embedding_random_projection": lambda sp, d: S.embedding_random_projection(
+            _t(sp, d, "embeddings")
+        ),
+        "knn_two_stage": lambda sp, d: S.knn_two_stage(_t(sp, d, "embeddings")),
+        "mixture_temperature": lambda sp, d: C.mixture_temperature(
+            _t(sp, d, "documents")
+        ),
+        "hash_vectorize": lambda sp, d: T.hash_vectorize(_t(sp, d, "documents")),
+        "embedding_top_component": lambda sp, d: S.embedding_top_component(
+            _t(sp, d, "embeddings")
+        ),
+        "doc_knn_hashed": lambda sp, d: T.doc_knn_hashed(_t(sp, d, "documents")),
+        "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
+        "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
+        "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
+        # --- re-confirmations: oldest greens (last driver rows r01/r02) ---
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
+        ),
+        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
+        "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "filter_project": lambda sp, d: A.filter_project(_t(sp, d, "events")),
+        "group_count": lambda sp, d: A.group_count(_t(sp, d, "events")),
+        "global_counts": lambda sp, d: A.global_counts(_t(sp, d, "events")),
+        "occupancy_clamped": lambda sp, d: A.occupancy_clamped(_t(sp, d, "events")),
+        "revenue_duration": lambda sp, d: A.revenue_duration(_t(sp, d, "events")),
+        "avg_per_group": lambda sp, d: A.avg_per_group(_t(sp, d, "events")),
+        "daily_buckets": lambda sp, d: A.daily_buckets(_t(sp, d, "events")),
+        "duration_stats": lambda sp, d: A.duration_stats(_t(sp, d, "events")),
+        "heatmap_hour": lambda sp, d: A.heatmap_hour(_t(sp, d, "events")),
+        "entry_exit_ratio": lambda sp, d: A.entry_exit_ratio(_t(sp, d, "events")),
+        "enrich_users": lambda sp, d: A.enrich_users(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "occupancy_pct": lambda sp, d: A.occupancy_pct(
+            _t(sp, d, "events"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
+        "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
+        "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
         # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
         # pinned locally by tests/test_oracle_parity.py every run).
         "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
