@@ -1,9 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
-   "reps": {name: [sec, ...]}, "delta_vs_prior_best": {...}}
+Prints ONE COMPACT JSON line (<=1900 chars — the driver that records
+BENCH_r{N}.json keeps only the last 2000 chars of output and parses the
+JSON from there; r05's full-detail line was ~8 KB and was lost to that
+window, `BENCH_r05.json parsed: null`):
+  {"metric": "...", "value": <total_sec_all>, "unit": "sec",
+   "queries": {core name: sec, ...}, "sf": <sf>, "n_all": N,
+   "delta": {<summary>}, "detail": "BENCH_DETAIL.json"}
+
+Full per-query medians for EVERY headline entry, the per-rep arrays, and
+the complete delta-vs-prior-best section go to BENCH_DETAIL.json (latest
+run, pretty-printed, committed per round) and are appended as one line to
+BENCH_HISTORY.jsonl (self-snapshotting run history — survives the next
+run's overwrite of BENCH_DETAIL.json).
 
 Each query is executed to completion (count() the result — forces the full
 plan without driver-side materialization of wide rows). Queries cover the
@@ -15,9 +24,10 @@ dominated by C2 JIT warmup, and even steady-state runs drift ±15% with JVM/
 sandbox scheduling noise. Each query therefore runs one untimed warmup and
 THREE measured steady-state reps; the reported number is the MEDIAN rep
 (robust to a one-off GC stall in either direction), every rep is kept in
-the output, and a delta section compares each median against the best
-number any prior round recorded (BENCH_r*.json) so a real plan regression
-cannot hide inside the environmental band.
+the detail output, and the delta section compares each median against the
+best number any prior run recorded (BENCH_r*.json + BENCH_HISTORY.jsonl)
+so a real plan regression cannot hide inside the environmental band.
+NEVER bench with a concurrent Spark workload on the box (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -107,15 +117,19 @@ HEADLINE = (
 )
 
 
-def _prior_best(sf: object) -> dict[str, float]:
-    """Per-query best (min) seconds over every prior round's BENCH file.
+# First 46 headline entries (the r04 set) go in the compact stdout line —
+# stable across rounds so the driver's BENCH_r{N} files stay comparable.
+# Later additions are benched identically but reported via BENCH_DETAIL.json.
+N_CORE_LINE = 46
+# Hard budget for the stdout line; the driver's tail window is 2000 chars.
+LINE_BUDGET = 1900
 
-    The driver's BENCH_r*.json wraps this script's JSON line under
-    ``parsed``; accept both that shape and the raw line. Only rounds run
-    at the SAME scale factor are comparable.
-    """
+
+def _payloads() -> list[dict]:
+    """Every prior recorded run: driver BENCH_r*.json (this script's line
+    wrapped under ``parsed``) plus self-snapshotted BENCH_HISTORY.jsonl."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: dict[str, float] = {}
+    out: list[dict] = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -123,6 +137,26 @@ def _prior_best(sf: object) -> dict[str, float]:
         except (OSError, ValueError):
             continue
         payload = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+        if isinstance(payload, dict):
+            out.append(payload)
+    hist = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist):
+        with open(hist) as f:
+            for line in f:
+                try:
+                    payload = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(payload, dict):
+                    out.append(payload)
+    return out
+
+
+def _prior_best(sf: object) -> dict[str, float]:
+    """Per-query best (min) seconds over every prior recorded run at the
+    SAME scale factor."""
+    best: dict[str, float] = {}
+    for payload in _payloads():
         if payload.get("sf") != sf:
             continue
         for name, sec in (payload.get("queries") or {}).items():
@@ -189,7 +223,8 @@ def main() -> None:
         "common_prior_best_total_sec": round(sum(prior[k] for k in common), 3),
     }
 
-    result = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -198,7 +233,35 @@ def main() -> None:
         "reps": reps,
         "delta_vs_prior_best": delta,
     }
-    print(json.dumps(result))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(detail) + "\n")
+
+    core = {k: timings[k] for k in HEADLINE[:N_CORE_LINE] if k in timings}
+    line_obj = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": core,
+        "sf": sf,
+        "n_all": len(timings),
+        "delta": {
+            "n_flagged": len(delta["flagged_over_ratio"]),
+            "flag_threshold": DELTA_FLAG_RATIO,
+            "n_common": delta["n_common"],
+            "common_total_sec": delta["common_total_sec"],
+            "prior_best_total_sec": delta["common_prior_best_total_sec"],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(line_obj)
+    while len(line) > LINE_BUDGET and line_obj["queries"]:
+        # deterministic safety valve: shed tail core entries, never overflow
+        line_obj["queries"].popitem()
+        line = json.dumps(line_obj)
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 
