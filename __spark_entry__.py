@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "theil_sen_slope": lambda sp, d: A.theil_sen_slope(_t(sp, d, "events")),
+        # --- added in r06 ---
+        "kruskal_wallis": lambda sp, d: A.kruskal_wallis(_t(sp, d, "events")),
+        "spearman_corr": lambda sp, d: A.spearman_corr(_t(sp, d, "lineitem")),
+        "cramers_v_matrix": lambda sp, d: A.cramers_v_matrix(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -4944,3 +4944,345 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types at once: the k-sample
+    extension of ``mann_whitney_pairs`` — one omnibus test for "do the
+    value distributions differ ANYWHERE among the k types" before (or
+    instead of) k*(k-1)/2 pairwise comparisons, with the usual
+    rank-test immunity to outliers and non-normality.
+
+    Ranks come from the shared VALUE HISTOGRAM, never a row sort (the
+    mann_whitney grid: micro-snap, shift to the global min, centi-grid
+    quantize), so the only corpus-volume shuffle is the map-side-
+    combined (event_type, v) count. Tied blocks get average ranks as
+    exact integers at x2 scale; per-group rank sums, the H numerator
+    Sum(R2_h^2/n_h) (each quotient micro-rounded half-up in
+    decimal(38,0) — the chi2 micro-grid contract), and the tie term
+    Sum(m^3 - m) all accumulate exactly, converting to IEEE doubles
+    once through the digit-split chain. All-tied data (tie correction
+    C <= 0 never happens; C = 0 only if ONE tied block spans all N) is
+    filtered, ANSI-safe.
+
+    Scale: histogram keys are bounded by the value DOMAIN (centi grid),
+    not N; everything after the first shuffle runs on that bounded
+    table. R2_h^2 reaches ~4e20 at 1e5 rows and ~4e36 at 1e9 — inside
+    decimal(38,0); past that, coarsen the grid (H is rank-based, so any
+    monotone quantization is principled).
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    raw = events.select("event_type", y.alias("y"))
+    gmin = raw.agg(F.min("y").alias("y_min"))
+    hist = (
+        raw.join(F.broadcast(gmin))
+        .select(
+            "event_type",
+            F.expr(f"(y - y_min) div CAST({MW_RESCALE} AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # merged histogram over the bounded grid -> x2-scale average ranks
+    wv = Window.orderBy("v")
+    merged = hist.groupBy("v").agg(F.sum("cnt").cast("long").alias("m"))
+    merged = merged.withColumn(
+        "rank2",
+        F.lit(2)
+        * F.coalesce(
+            F.sum("m").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )
+        + F.col("m")
+        + F.lit(1),
+    )
+    per_type = (
+        hist.join(F.broadcast(merged.select("v", "rank2")), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_h"),
+            F.sum(d38(F.col("cnt")) * d38(F.col("rank2"))).alias("r2_h"),
+        )
+    )
+    # Sum over groups of round_half_up(R2_h^2 * 1e6 / n_h), exact
+    q_h = dec_floordiv(
+        (
+            F.col("r2_h") * F.col("r2_h") * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("n_h"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("n_h")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    stats = per_type.select(
+        F.col("n_h"), q_h.cast("decimal(38,0)").alias("q_micro")
+    ).agg(
+        F.sum(d38(F.col("n_h"))).alias("n_dec"),
+        F.sum("n_h").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("q_micro").alias("s_micro"),
+    )
+    ties = merged.agg(
+        F.sum(d38(F.col("m")) * d38(F.col("m")) * d38(F.col("m")) - d38(F.col("m"))).alias(
+            "tie_sum"
+        )
+    )
+    n_d = F.col("n_total").cast("double")
+    # H = 3 * S / (N (N+1)) - 3 (N+1), with S = Sum R2_h^2 / n_h  (x2 ranks)
+    h_stat = (
+        dec_to_double_exact(F.col("s_micro")) / F.lit(1e6) * F.lit(3.0)
+        / (n_d * (n_d + F.lit(1.0)))
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    tie_c = F.lit(1.0) - dec_to_double_exact(F.col("tie_sum")) / (
+        n_d * n_d * n_d - n_d
+    )
+    return (
+        stats.join(F.broadcast(ties))
+        .filter((F.col("n_total") > F.col("k_groups")) & (F.col("k_groups") > 1))
+        .select(
+            "n_total",
+            "k_groups",
+            h_stat.alias("h_stat"),
+            tie_c.alias("tie_correction"),
+        )
+        .withColumn("h_tied", F.col("h_stat") / F.col("tie_correction"))
+        .filter(F.col("tie_correction") > 0)
+    )
+
+
+SPEARMAN_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def spearman_corr(lineitem: DataFrame) -> DataFrame:
+    """Spearman rank correlation for every pair of lineitem measure
+    columns — the monotone-dependence audit (Pearson on RANKS): robust
+    to outliers and to any monotone transform, it answers "do these
+    measures move together at all" for columns whose relationship is
+    nonlinear (price vs quantity) where raw Pearson under-reads.
+
+    Sort-free ranks, per column: the value HISTOGRAM (micro-snapped
+    longs) gets tied-block average ranks as exact x2-scale integers via
+    one cumulative window over its own distinct values, then maps back
+    onto rows by value join — broadcast for the small-domain columns
+    (quantity/discount/tax), a key shuffle for the high-cardinality
+    price column. One global aggregate then accumulates every moment
+    (4 sums, 4 sums-of-squares, 6 cross-products) in decimal(38,0) in a
+    single pass; the 6 result rows unpack row-locally from that 1-row
+    frame. rho converts through the digit-split chain with the final
+    sqrt/divide in engine-identical IEEE doubles; zero-variance columns
+    filter out (ANSI-safe).
+
+    Scale: two corpus passes (histograms, then the rank-map joins), no
+    row sort anywhere; the exchange after the join carries ONE row of
+    moments. x2 ranks stay < 2N+1, so cross-products fit decimal(38,0)
+    to ~1e15 rows.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    micro = lambda c: F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    rows = lineitem.select(*[micro(c).alias(f"v_{i}") for i, c in enumerate(SPEARMAN_COLS)])
+
+    ranked = rows
+    for i, c in enumerate(SPEARMAN_COLS):
+        hist = rows.groupBy(F.col(f"v_{i}").alias("val")).agg(
+            F.count("*").cast("long").alias("m")
+        )
+        wv = Window.orderBy("val")
+        rmap = hist.select(
+            "val",
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum("m").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0).cast("long"),
+                )
+                + F.col("m")
+                + F.lit(1)
+            ).alias(f"r_{i}"),
+        )
+        if c != "l_extendedprice":  # bounded domains broadcast; price shuffles
+            rmap = F.broadcast(rmap)
+        ranked = ranked.join(rmap, ranked[f"v_{i}"] == rmap["val"]).drop("val")
+
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(d38(F.col(f"r_{i}"))).alias(f"s_{i}"))
+        aggs.append(F.sum(d38(F.col(f"r_{i}")) * d38(F.col(f"r_{i}"))).alias(f"ss_{i}"))
+    for i in range(4):
+        for j in range(i + 1, 4):
+            aggs.append(
+                F.sum(d38(F.col(f"r_{i}")) * d38(F.col(f"r_{j}"))).alias(f"sx_{i}_{j}")
+            )
+    mom = ranked.agg(*aggs)
+
+    n = d38(F.col("n"))
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(SPEARMAN_COLS[i]).alias("col_a"),
+                F.lit(SPEARMAN_COLS[j]).alias("col_b"),
+                (n * F.col(f"sx_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}"))
+                .cast("decimal(38,0)")
+                .alias("num"),
+                (n * F.col(f"ss_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}"))
+                .cast("decimal(38,0)")
+                .alias("va"),
+                (n * F.col(f"ss_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}"))
+                .cast("decimal(38,0)")
+                .alias("vb"),
+            )
+            for i in range(4)
+            for j in range(i + 1, 4)
+        ]
+    )
+    return (
+        mom.select("n", F.explode(out).alias("p"))
+        .select("n", "p.col_a", "p.col_b", "p.num", "p.va", "p.vb")
+        .filter((F.col("va") > 0) & (F.col("vb") > 0))
+        .select(
+            "col_a",
+            "col_b",
+            "n",
+            (
+                dec_to_double_exact(F.col("num"))
+                / (
+                    F.sqrt(dec_to_double_exact(F.col("va")))
+                    * F.sqrt(dec_to_double_exact(F.col("vb")))
+                )
+            ).alias("rho"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _chi2_dense_1row(pairs_df: DataFrame, name_a: str, name_b: str) -> DataFrame:
+    """Generalized dense chi-square over a (ka, kb) categorical pair table
+    (columns ``ka``/``kb``, both LONG-or-string), returning ONE row of
+    exact micro-grid sums: the ``chi2_independence`` arithmetic with the
+    densification step (sparse tables silently drop (O=0, E>0) cells —
+    CLAUDE.md trap), reusable for any dimension pair.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    raw = pairs_df.groupBy("ka", "kb").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    per_a = raw.groupBy("ka").agg(
+        F.map_from_entries(F.collect_list(F.struct("kb", "observed"))).alias("om")
+    )
+    wg0 = Window.partitionBy()
+    all_b = F.array_distinct(F.flatten(F.collect_list(F.map_keys("om")).over(wg0)))
+    cells = (
+        per_a.select("ka", "om", all_b.alias("bs"))
+        .select("ka", "om", F.explode("bs").alias("kb"))
+        .select(
+            "ka",
+            "kb",
+            F.coalesce(F.element_at("om", F.col("kb")), F.lit(0).cast("long")).alias(
+                "observed"
+            ),
+        )
+    )
+    wr = Window.partitionBy("ka")
+    wc = Window.partitionBy("kb")
+    wg = Window.partitionBy()
+    cells = cells.select(
+        "observed",
+        d(F.sum("observed").over(wr)).alias("row_tot"),
+        d(F.sum("observed").over(wc)).alias("col_tot"),
+        d(F.sum("observed").over(wg)).alias("n_tot"),
+        F.size(F.collect_set("ka").over(wg)).cast("long").alias("r"),
+        F.size(F.collect_set("kb").over(wg)).cast("long").alias("c"),
+    )
+    e_micro = dec_floordiv(
+        (F.col("row_tot") * F.col("col_tot") * F.lit(1_000_000) * 2 + F.col("n_tot"))
+        .cast("decimal(38,0)"),
+        (F.col("n_tot") * 2).cast("decimal(38,0)"),
+    ).cast("decimal(38,0)")
+    diff = (d(F.col("observed")) * F.lit(1_000_000) - e_micro).cast("decimal(38,0)")
+    den = F.greatest(e_micro, F.lit(1).cast("decimal(38,0)")).cast("decimal(38,0)")
+    contrib = dec_floordiv(
+        (diff * diff * 2 + den).cast("decimal(38,0)"), (den * 2).cast("decimal(38,0)")
+    ).cast("long")
+    return cells.select(
+        contrib.alias("contrib_micro"), F.col("n_tot").cast("long").alias("n"), "r", "c"
+    ).groupBy("n", "r", "c").agg(
+        F.sum("contrib_micro").cast("long").alias("chi2_micro")
+    ).select(
+        F.lit(name_a).alias("dim_a"),
+        F.lit(name_b).alias("dim_b"),
+        F.col("n").alias("n_total"),
+        F.col("r").alias("card_a"),
+        F.col("c").alias("card_b"),
+        "chi2_micro",
+    )
+
+
+CRAMERS_BUCKET = 50_000_000  # micro-units: 50-unit value buckets
+
+
+def cramers_v_matrix(events: DataFrame) -> DataFrame:
+    """Cramér's V for every pair of the three categorical views of the
+    event stream — event_type, ISO weekday, and the 50-unit value bucket:
+    chi-square normalized to [0,1] so association STRENGTHS compare
+    across tables of different shape (chi2 alone grows with N and with
+    table size; V = sqrt(chi2 / (N * min(r-1, c-1))) does not). The
+    one-screen answer to "which dimensions are actually entangled"
+    before building any per-segment thresholds.
+
+    Each pair runs the generalized dense chi-square (micro-grid exact
+    integers, densified cells); the three 1-row results union. The only
+    corpus-volume work is one groupBy per pair on bounded keys
+    (types x 7 x ~7 buckets); everything downstream is windows over
+    those bounded cells.
+    """
+    dow = ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("long")
+    bucket = F.expr(
+        f"CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        f" div CAST({CRAMERS_BUCKET} AS BIGINT)"
+    )
+    base = events.select(
+        F.col("event_type"), dow.alias("iso_dow"), bucket.alias("v_bucket")
+    )
+    p1 = _chi2_dense_1row(
+        base.select(F.col("event_type").alias("ka"), F.col("iso_dow").alias("kb")),
+        "event_type",
+        "iso_dow",
+    )
+    p2 = _chi2_dense_1row(
+        base.select(F.col("event_type").alias("ka"), F.col("v_bucket").alias("kb")),
+        "event_type",
+        "v_bucket",
+    )
+    p3 = _chi2_dense_1row(
+        base.select(F.col("iso_dow").cast("string").alias("ka"), F.col("v_bucket").alias("kb")),
+        "iso_dow",
+        "v_bucket",
+    )
+    out = p1.unionByName(p2).unionByName(p3)
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1e6)
+    mind = F.least(F.col("card_a") - 1, F.col("card_b") - 1).cast("double")
+    return (
+        out.filter((F.col("card_a") > 1) & (F.col("card_b") > 1) & (F.col("n_total") > 0))
+        .select(
+            "dim_a",
+            "dim_b",
+            "n_total",
+            "card_a",
+            "card_b",
+            chi2.alias("chi2"),
+            F.sqrt(chi2 / (F.col("n_total").cast("double") * mind)).alias("cramers_v"),
+        )
+        .orderBy("dim_a", "dim_b")
+    )

@@ -6931,3 +6931,202 @@ FROM ranked r JOIN nd ON nd.event_type = r.event_type
 WHERE r.rk = (r.n_pairs + 1) // 2
 ORDER BY r.event_type
 """
+
+
+# Twin of operators/analytics.py:kruskal_wallis — identical value-histogram
+# ranks, micro-rounded per-group quotients, digit-split conversions.
+ORACLES["kruskal_wallis"] = f"""
+WITH raw AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+gmin AS (SELECT MIN(y) AS y_min FROM raw),
+hist AS MATERIALIZED (
+  SELECT event_type, (y - y_min) // {MW_RESCALE} AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM raw CROSS JOIN gmin
+  GROUP BY 1, 2
+),
+merged AS MATERIALIZED (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS m FROM hist GROUP BY 1
+),
+ranked AS (
+  SELECT v, m,
+         2 * COALESCE(SUM(m) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + m + 1 AS rank2
+  FROM merged
+),
+per_type AS (
+  SELECT h.event_type,
+         CAST(SUM(h.cnt) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(h.cnt AS HUGEINT) * r.rank2) AS HUGEINT) AS r2_h
+  FROM hist h JOIN ranked r ON r.v = h.v
+  GROUP BY 1
+),
+quot AS (
+  SELECT n_h,
+         (r2_h * r2_h * 1000000 * 2 + CAST(n_h AS HUGEINT))
+           // (CAST(n_h AS HUGEINT) * 2) AS q_micro
+  FROM per_type
+),
+stats AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(q_micro) AS HUGEINT) AS s_micro
+  FROM quot
+),
+ties AS (
+  SELECT CAST(SUM(CAST(m AS HUGEINT) * m * m - m) AS HUGEINT) AS tie_sum
+  FROM merged
+),
+scored AS (
+  SELECT n_total, k_groups,
+         {_dec2d('s_micro')} / 1e6 * 3.0
+           / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_stat,
+         1.0 - {_dec2d('tie_sum')}
+           / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+              * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))
+           AS tie_correction
+  FROM stats CROSS JOIN ties
+  WHERE n_total > k_groups AND k_groups > 1
+)
+SELECT n_total, k_groups, h_stat, tie_correction,
+       h_stat / tie_correction AS h_tied
+FROM scored WHERE tie_correction > 0
+"""
+
+
+# Twin of operators/analytics.py:spearman_corr — identical histogram ranks,
+# one-pass HUGEINT moments, digit-split + IEEE sqrt/divide emission.
+def _spearman_sql() -> str:
+    from inde1_spark.operators.analytics import SPEARMAN_COLS
+
+    snap = ", ".join(
+        f"CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v_{i}"
+        for i, c in enumerate(SPEARMAN_COLS)
+    )
+    rmaps = ",\n".join(
+        f"""r{i} AS MATERIALIZED (
+  SELECT val, 2 * COALESCE(SUM(m) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r
+  FROM (SELECT v_{i} AS val, CAST(COUNT(*) AS BIGINT) AS m
+        FROM rows_ GROUP BY 1)
+)"""
+        for i in range(4)
+    )
+    joins = " ".join(f"JOIN r{i} ON r{i}.val = rows_.v_{i}" for i in range(4))
+    rcols = ", ".join(f"r{i}.r AS r_{i}" for i in range(4))
+    sums = ", ".join(
+        f"CAST(SUM(CAST(r_{i} AS HUGEINT)) AS HUGEINT) AS s_{i}, "
+        f"CAST(SUM(CAST(r_{i} AS HUGEINT) * r_{i}) AS HUGEINT) AS ss_{i}"
+        for i in range(4)
+    )
+    cross = ", ".join(
+        f"CAST(SUM(CAST(r_{i} AS HUGEINT) * r_{j}) AS HUGEINT) AS sx_{i}_{j}"
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    parts = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = f"(CAST(n AS HUGEINT) * sx_{i}_{j} - s_{i} * s_{j})"
+            va = f"(CAST(n AS HUGEINT) * ss_{i} - s_{i} * s_{i})"
+            vb = f"(CAST(n AS HUGEINT) * ss_{j} - s_{j} * s_{j})"
+            parts.append(
+                f"SELECT '{SPEARMAN_COLS[i]}' AS col_a, "
+                f"'{SPEARMAN_COLS[j]}' AS col_b, n, "
+                f"{_dec2d(num)} / (sqrt({_dec2d(va)}) * sqrt({_dec2d(vb)})) AS rho "
+                f"FROM mom WHERE {va} > 0 AND {vb} > 0"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH rows_ AS MATERIALIZED (SELECT {snap} FROM lineitem),
+{rmaps},
+joined AS (SELECT {rcols} FROM rows_ {joins}),
+mom AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {cross} FROM joined
+)
+SELECT * FROM ({union}) ORDER BY col_a, col_b
+"""
+
+
+ORACLES["spearman_corr"] = _spearman_sql()
+
+
+# Twin of operators/analytics.py:cramers_v_matrix — densified cells, exact
+# HUGEINT micro-grid chi2 per pair, identical final double ops.
+def _cramers_sql() -> str:
+    from inde1_spark.operators.analytics import CRAMERS_BUCKET
+
+    dims = {
+        "event_type": "event_type",
+        "iso_dow": "CAST(isodow(ts) AS BIGINT)",
+        "v_bucket": (
+            "CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            f" // {CRAMERS_BUCKET}"
+        ),
+    }
+    pair_list = [
+        ("event_type", "iso_dow"),
+        ("event_type", "v_bucket"),
+        ("iso_dow", "v_bucket"),
+    ]
+    parts = []
+    for a, b in pair_list:
+        parts.append(f"""
+SELECT '{a}' AS dim_a, '{b}' AS dim_b, n_total, card_a, card_b, chi2_micro
+FROM (
+  WITH raw AS MATERIALIZED (
+    SELECT CAST({dims[a]} AS VARCHAR) AS ka, CAST({dims[b]} AS VARCHAR) AS kb,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM events GROUP BY 1, 2
+  ),
+  cells AS (
+    SELECT g.ka, g.kb, COALESCE(r.observed, 0) AS observed
+    FROM (SELECT ka FROM raw GROUP BY 1) ca
+    CROSS JOIN (SELECT kb FROM raw GROUP BY 1) cb
+    JOIN LATERAL (SELECT ca.ka AS ka, cb.kb AS kb) g ON TRUE
+    LEFT JOIN raw r ON r.ka = g.ka AND r.kb = g.kb
+  ),
+  marg AS (
+    SELECT ka, kb, observed,
+           CAST(SUM(observed) OVER (PARTITION BY ka) AS HUGEINT) AS row_tot,
+           CAST(SUM(observed) OVER (PARTITION BY kb) AS HUGEINT) AS col_tot,
+           CAST(SUM(observed) OVER () AS HUGEINT) AS n_tot,
+           CAST(COUNT(DISTINCT ka) OVER () AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT kb) OVER () AS BIGINT) AS c
+    FROM cells
+  ),
+  contrib AS (
+    SELECT n_tot, r, c,
+           (SELECT x FROM (SELECT
+              ((CAST(observed AS HUGEINT) * 1000000 - e_micro)
+               * (CAST(observed AS HUGEINT) * 1000000 - e_micro) * 2
+               + GREATEST(e_micro, 1))
+              // (GREATEST(e_micro, 1) * 2) AS x)) AS contrib_micro
+    FROM (SELECT *,
+            (row_tot * col_tot * 1000000 * 2 + n_tot) // (n_tot * 2) AS e_micro
+          FROM marg)
+  )
+  SELECT CAST(MAX(n_tot) AS BIGINT) AS n_total,
+         MAX(r) AS card_a, MAX(c) AS card_b,
+         CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+  FROM contrib
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT dim_a, dim_b, n_total, card_a, card_b,
+       CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2,
+       sqrt((CAST(chi2_micro AS DOUBLE) / 1e6)
+            / (CAST(n_total AS DOUBLE)
+               * CAST(LEAST(card_a - 1, card_b - 1) AS DOUBLE))) AS cramers_v
+FROM ({union})
+WHERE card_a > 1 AND card_b > 1 AND n_total > 0
+ORDER BY dim_a, dim_b
+"""
+
+
+ORACLES["cramers_v_matrix"] = _cramers_sql()
