@@ -224,6 +224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": lambda sp, d: A.kruskal_wallis(_t(sp, d, "events")),
         "spearman_corr": lambda sp, d: A.spearman_corr(_t(sp, d, "lineitem")),
         "cramers_v_matrix": lambda sp, d: A.cramers_v_matrix(_t(sp, d, "events")),
+        "partition_skew_audit": lambda sp, d: A.partition_skew_audit(
+            _t(sp, d, "events")
+        ),
+        "cross_correlation_lagged": lambda sp, d: A.cross_correlation_lagged(
+            _t(sp, d, "events")
+        ),
+        "sax_symbolize": lambda sp, d: A.sax_symbolize(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

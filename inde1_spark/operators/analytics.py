@@ -5286,3 +5286,246 @@ def cramers_v_matrix(events: DataFrame) -> DataFrame:
         )
         .orderBy("dim_a", "dim_b")
     )
+
+
+SKEW_SALT_TARGET = 4  # aim max-key load at <= 4x the mean per shuffle task
+
+
+def partition_skew_audit(events: DataFrame) -> DataFrame:
+    """Shuffle-skew audit for the three natural join/partition keys of the
+    event stream (user_id, event_type, calendar day): per key column, the
+    key-frequency shape that decides whether a join/groupBy on it needs
+    salting BEFORE the job runs at 100 TB — max key load, exact p99 key
+    load, skew ratio (max/mean), and the salt factor that would bring the
+    hottest key down to ~``SKEW_SALT_TARGET``x the mean task load
+    (ceil(skew/target), the number of sub-splits AQE skew-join would have
+    to make anyway).
+
+    Everything is exact: p99 comes from the key-frequency HISTOGRAM
+    (first load f with #keys(load<=f) >= ceil(0.99*n_keys), integer
+    ceil), the skew ratio is a micro-rounded decimal quotient, and the
+    salt is exact integer ceiling division — no float percentiles.
+
+    Plan: one map-side-combined groupBy per key column (the same shuffle
+    the audited join would pay once), then bounded frequency histograms;
+    the three 1-row audits union. At any scale the second stage carries
+    |distinct loads| rows, not keys.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def audit(keyed: DataFrame, name: str) -> DataFrame:
+        counts = keyed.groupBy("k").agg(F.count("*").cast("long").alias("cnt"))
+        hist = counts.groupBy("cnt").agg(F.count("*").cast("long").alias("n_keys_at"))
+        wv = Window.orderBy("cnt")
+        wg = Window.partitionBy()
+        hist = hist.select(
+            "cnt",
+            "n_keys_at",
+            F.sum("n_keys_at").over(
+                wv.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_keys"),
+            F.sum("n_keys_at").over(wg).cast("long").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("n_keys_at")).over(wg).cast("long").alias("n_rows"),
+            F.max("cnt").over(wg).alias("max_key_rows"),
+        )
+        thresh = F.expr("(99 * n_keys + 99) div CAST(100 AS BIGINT)")
+        p99 = (
+            hist.filter(F.col("cum_keys") >= thresh)
+            .groupBy("n_keys", "n_rows", "max_key_rows")
+            .agg(F.min("cnt").alias("p99_key_rows"))
+        )
+        skew_milli = dec_floordiv(
+            (
+                d38(F.col("max_key_rows")) * d38(F.col("n_keys")) * F.lit(1000) * 2
+                + d38(F.col("n_rows"))
+            ).cast("decimal(38,0)"),
+            (d38(F.col("n_rows")) * 2).cast("decimal(38,0)"),
+        ).cast("long")
+        salt = F.expr(
+            f"CAST((skew_milli + {SKEW_SALT_TARGET * 1000} - 1)"
+            f" div CAST({SKEW_SALT_TARGET * 1000} AS BIGINT) AS BIGINT)"
+        )
+        return (
+            p99.withColumn("skew_milli", skew_milli)
+            .select(
+                F.lit(name).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "p99_key_rows",
+                (F.col("skew_milli").cast("double") / F.lit(1e3)).alias("skew_ratio"),
+                F.greatest(salt, F.lit(1).cast("bigint")).alias("suggested_salt"),
+            )
+        )
+
+    a1 = audit(events.select(F.col("user_id").cast("string").alias("k")), "user_id")
+    a2 = audit(events.select(F.col("event_type").alias("k")), "event_type")
+    a3 = audit(events.select(_day_str().alias("k")), "day")
+    return a1.unionByName(a2).unionByName(a3).orderBy("key_col")
+
+
+CCF_MAX_LAG = 7
+
+
+def cross_correlation_lagged(events: DataFrame, max_lag: int = CCF_MAX_LAG) -> DataFrame:
+    """Lagged cross-correlation between the ENTRY and EXIT daily revenue
+    series (does today's entry volume predict exit volume ``lag`` days
+    out?): the two-series companion of ``acf_daily`` — the lag argmax is
+    the lead time a forecast of one series buys on the other, and a flat
+    CCF says the series are driven independently.
+
+    Each lag's Pearson runs over exactly the overlapping days, with
+    moments accumulated as exact decimals from micro-snapped daily sums
+    and the one divide/sqrt in engine-identical doubles (zero-variance
+    lags filter; ANSI-safe). The lag fan-out happens via a row-local
+    sequence explode on the pre-aggregated (bounded) daily table — the
+    corpus is scanned once for the daily aggregate and never again.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("y")
+        )
+    )
+    x = daily.filter(F.col("event_type") == ENTRY_TYPE).select(
+        "day", F.col("y").alias("xv")
+    )
+    yv = daily.filter(F.col("event_type") == EXIT_TYPE).select(
+        F.col("day").alias("yday"), F.col("y").alias("yv")
+    )
+    fan = x.select(
+        "day", "xv", F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag")
+    ).withColumn("join_day", F.col("day") + F.col("lag"))
+    pairs = fan.join(yv, fan["join_day"] == yv["yday"])
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(d38(F.col("xv"))).alias("sx"),
+        F.sum(d38(F.col("yv"))).alias("sy"),
+        F.sum(d38(F.col("xv")) * d38(F.col("yv"))).alias("sxy"),
+        F.sum(d38(F.col("xv")) * d38(F.col("xv"))).alias("sxx"),
+        F.sum(d38(F.col("yv")) * d38(F.col("yv"))).alias("syy"),
+    )
+    n = d38(F.col("n_days"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    va = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    vb = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    return (
+        mom.withColumn("num", num)
+        .withColumn("va", va)
+        .withColumn("vb", vb)
+        .filter((F.col("va") > 0) & (F.col("vb") > 0) & (F.col("n_days") >= 2))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_days",
+            (
+                dec_to_double_exact(F.col("num"))
+                / (
+                    F.sqrt(dec_to_double_exact(F.col("va")))
+                    * F.sqrt(dec_to_double_exact(F.col("vb")))
+                )
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+SAX_SEGMENT_DAYS = 5
+# breakpoints of the standard normal into 4 equiprobable bands, micro-exact
+SAX_BREAK_MICRO = 674_500  # 0.6745
+
+
+def sax_symbolize(events: DataFrame, w: int = SAX_SEGMENT_DAYS) -> DataFrame:
+    """SAX symbolization of the daily revenue series per event type:
+    Piecewise Aggregate Approximation over ``w``-day segments, z-scored
+    against the segment population and mapped to a 4-letter alphabet
+    (a<b<c<d by the standard-normal quartile breakpoints +-0.6745) — the
+    classic shape index that turns a numeric series into short strings
+    so motif mining / whole-series comparison become plain string ops
+    (Lin et al.'s SAX).
+
+    Exactness: PAA is a round-half-up integer mean of micro-snapped
+    daily sums; the z-score is (n*paa - S) / sqrt(n*SS - S^2) over exact
+    decimal segment moments (algebraically the population z, with ONE
+    digit-split conversion and one IEEE sqrt — identical in both
+    engines). Symbol assignment compares that double against the
+    +-0.6745 literals; z landing EXACTLY on a breakpoint would be
+    engine-ambiguous only if the double equaled the literal bit-for-bit,
+    which the shared arithmetic makes consistent anyway.
+
+    Plan: pre-agg to the bounded daily table FIRST (CLAUDE.md window
+    rule), segment index by integer division on the per-type day rank,
+    two bounded window passes. The corpus is touched once.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("y"))
+    seg = daily.withColumn(
+        "seg",
+        F.expr(
+            "(CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)"
+            f" AS BIGINT) - 1) div CAST({w} AS BIGINT)"
+        ),
+    )
+    paa = seg.groupBy("event_type", "seg").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+    )
+    # round-half-up integer mean at micro scale
+    paa_micro = dec_floordiv(
+        (F.col("sy") * 2 + d38(F.col("n_days"))).cast("decimal(38,0)"),
+        (d38(F.col("n_days")) * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    paa = paa.withColumn("paa_micro", paa_micro)
+    mom = paa.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_seg"),
+        F.sum(d38(F.col("paa_micro"))).alias("s"),
+        F.sum(d38(F.col("paa_micro")) * d38(F.col("paa_micro"))).alias("ss"),
+    )
+    joined = paa.join(F.broadcast(mom), "event_type")
+    zn = (d38(F.col("n_seg")) * d38(F.col("paa_micro")) - F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    zd = (d38(F.col("n_seg")) * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    z = dec_to_double_exact(zn) / F.sqrt(dec_to_double_exact(zd))
+    brk = F.lit(SAX_BREAK_MICRO / 1e6)
+    sym = (
+        F.when(F.col("z") < -brk, F.lit("a"))
+        .when(F.col("z") < F.lit(0.0), F.lit("b"))
+        .when(F.col("z") < brk, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        joined.filter(zd > 0)
+        .withColumn("z", z)
+        .select(
+            "event_type",
+            F.col("seg").cast("long").alias("seg"),
+            "n_days",
+            (F.col("paa_micro").cast("double") / F.lit(1e6)).alias("paa"),
+            "z",
+            sym.alias("symbol"),
+        )
+        .orderBy("event_type", "seg")
+    )

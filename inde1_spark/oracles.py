@@ -7130,3 +7130,151 @@ ORDER BY dim_a, dim_b
 
 
 ORACLES["cramers_v_matrix"] = _cramers_sql()
+
+
+# Twin of operators/analytics.py:partition_skew_audit — identical key-count
+# histogram percentile, HUGEINT milli-quotient, integer-ceil salt.
+def _skew_audit_sql() -> str:
+    from inde1_spark.operators.analytics import SKEW_SALT_TARGET
+
+    keys = {
+        "user_id": "CAST(user_id AS VARCHAR)",
+        "event_type": "event_type",
+        "day": "strftime(date_trunc('day', ts), '%Y-%m-%d')",
+    }
+    t = SKEW_SALT_TARGET * 1000
+    parts = []
+    for name, expr in keys.items():
+        parts.append(f"""
+SELECT '{name}' AS key_col, n_rows, n_keys, max_key_rows, p99_key_rows,
+       CAST(skew_milli AS DOUBLE) / 1e3 AS skew_ratio,
+       GREATEST((skew_milli + {t} - 1) // {t}, 1) AS suggested_salt
+FROM (
+  WITH counts AS MATERIALIZED (
+    SELECT {expr} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+  ),
+  hist AS (
+    SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys_at FROM counts GROUP BY 1
+  ),
+  cum AS (
+    SELECT cnt, n_keys_at,
+           SUM(n_keys_at) OVER (ORDER BY cnt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys,
+           CAST(SUM(n_keys_at) OVER () AS BIGINT) AS n_keys,
+           CAST(SUM(cnt * n_keys_at) OVER () AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) OVER () AS BIGINT) AS max_key_rows
+    FROM hist
+  )
+  SELECT n_keys, n_rows, max_key_rows,
+         MIN(cnt) AS p99_key_rows,
+         (CAST(MAX(max_key_rows) AS HUGEINT) * MAX(n_keys) * 1000 * 2
+          + MAX(n_rows)) // (CAST(MAX(n_rows) AS HUGEINT) * 2) AS skew_milli
+  FROM cum
+  WHERE cum_keys >= (99 * n_keys + 99) // 100
+  GROUP BY 1, 2, 3
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY key_col"
+
+
+ORACLES["partition_skew_audit"] = _skew_audit_sql()
+
+
+# Twin of operators/analytics.py:cross_correlation_lagged — identical daily
+# micro series, per-lag exact moments, digit-split + IEEE emission.
+def _ccf_sql() -> str:
+    from inde1_spark.operators.analytics import CCF_MAX_LAG
+
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+x AS (SELECT day, y AS xv FROM daily WHERE event_type = '{ENTRY}'),
+yv AS (SELECT day AS yday, y AS yv FROM daily WHERE event_type = '{EXIT}'),
+fan AS (
+  SELECT x.day, x.xv, l.lag, x.day + l.lag AS join_day
+  FROM x CROSS JOIN (SELECT unnest(range(0, {CCF_MAX_LAG} + 1)) AS lag) l
+),
+pairs AS (SELECT fan.lag, fan.xv, yv.yv FROM fan JOIN yv ON yv.yday = fan.join_day),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(xv AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(yv AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(xv AS HUGEINT) * yv) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xv AS HUGEINT) * xv) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy
+  FROM pairs GROUP BY 1
+),
+scored AS (
+  SELECT CAST(lag AS BIGINT) AS lag, n_days,
+         (CAST(n_days AS HUGEINT) * sxy - sx * sy) AS num,
+         (CAST(n_days AS HUGEINT) * sxx - sx * sx) AS va,
+         (CAST(n_days AS HUGEINT) * syy - sy * sy) AS vb
+  FROM mom
+)
+SELECT lag, n_days,
+       {_dec2d('num')} / (sqrt({_dec2d('va')}) * sqrt({_dec2d('vb')})) AS ccf
+FROM scored WHERE va > 0 AND vb > 0 AND n_days >= 2
+ORDER BY lag
+"""
+
+
+ORACLES["cross_correlation_lagged"] = _ccf_sql()
+
+
+# Twin of operators/analytics.py:sax_symbolize — identical PAA integer means,
+# exact segment moments, IEEE z and breakpoint comparisons.
+def _sax_sql() -> str:
+    from inde1_spark.operators.analytics import SAX_BREAK_MICRO, SAX_SEGMENT_DAYS
+
+    brk = SAX_BREAK_MICRO / 1e6
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+seg AS (
+  SELECT event_type, y,
+         (CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) - 1) // {SAX_SEGMENT_DAYS} AS seg
+  FROM daily
+),
+paa AS MATERIALIZED (
+  SELECT event_type, seg, CAST(COUNT(*) AS BIGINT) AS n_days,
+         (CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) * 2 + COUNT(*))
+           // (CAST(COUNT(*) AS HUGEINT) * 2) AS paa_micro
+  FROM seg GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seg,
+         CAST(SUM(CAST(paa_micro AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(paa_micro AS HUGEINT) * paa_micro) AS HUGEINT) AS ss
+  FROM paa GROUP BY 1
+),
+scored AS (
+  SELECT p.event_type, p.seg, p.n_days, p.paa_micro,
+         (CAST(m.n_seg AS HUGEINT) * p.paa_micro - m.s) AS zn,
+         (CAST(m.n_seg AS HUGEINT) * m.ss - m.s * m.s) AS zd
+  FROM paa p JOIN mom m ON m.event_type = p.event_type
+)
+SELECT event_type, seg, n_days,
+       CAST(paa_micro AS DOUBLE) / 1e6 AS paa,
+       {_dec2d('zn')} / sqrt({_dec2d('zd')}) AS z,
+       CASE WHEN {_dec2d('zn')} / sqrt({_dec2d('zd')}) < -{brk} THEN 'a'
+            WHEN {_dec2d('zn')} / sqrt({_dec2d('zd')}) < 0.0 THEN 'b'
+            WHEN {_dec2d('zn')} / sqrt({_dec2d('zd')}) < {brk} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM scored WHERE zd > 0
+ORDER BY event_type, seg
+"""
+
+
+ORACLES["sax_symbolize"] = _sax_sql()
