@@ -231,6 +231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "sax_symbolize": lambda sp, d: A.sax_symbolize(_t(sp, d, "events")),
+        "stratified_sample_mad": lambda sp, d: C.stratified_sample_mad(
+            _t(sp, d, "documents")
+        ),
+        "token_budget_curriculum": lambda sp, d: C.token_budget_curriculum(
+            _t(sp, d, "documents")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -1181,3 +1181,203 @@ def coverage_select(documents: DataFrame, k: int = COVER_K) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+STRAT_PCT_DIV = 10  # stratified budget = total_docs div 10 (a 10% sample)
+
+
+def stratified_sample_mad(documents: DataFrame, pct_div: int = STRAT_PCT_DIV) -> DataFrame:
+    """Neyman-style stratified sampling with a ROBUST dispersion weight:
+    per-source allocation proportional to N_h * MAD_h (doc count times
+    the median absolute deviation of doc length), so heterogeneous
+    sources get proportionally more of the budget than uniform ones —
+    the variance-minimizing idea of Neyman allocation with MAD standing
+    in for sigma, which keeps the whole computation in EXACT integers
+    (no sqrt, no float allocation: the CLAUDE.md determinism rule is
+    what rules sigma out, not statistics).
+
+    Medians and MADs come from per-source value HISTOGRAMS (lower
+    median at rank ceil(n/2) — no row sort); the integer allocation uses
+    largest-remainder apportionment (floor shares, then +1 to the
+    largest exact remainders, ties broken by source), capped at N_h.
+    Selection inside a stratum is the md5-prefix hash order (engine-
+    portable, seed-free): rank-by-hash <= alloc_h. The output is the
+    per-source audit row, with the selected docs' total chars as the
+    selection-identity check.
+
+    Scale: two bounded-key shuffles (per-source length histograms), one
+    per-stratum top-alloc rank; strata counts are small by construction,
+    so every window here runs over bounded tables.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    docs = documents.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    sizes = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        hist = df.groupBy("source", val).agg(F.count("*").cast("long").alias("m"))
+        ws = Window.partitionBy("source").orderBy(val)
+        cum = hist.withColumn(
+            "cum", F.sum("m").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        ).join(F.broadcast(sizes), "source")
+        return (
+            cum.filter(
+                F.col("cum") >= F.expr("(n_docs + 1) div CAST(2 AS BIGINT)")
+            )
+            .groupBy("source")
+            .agg(F.min(val).cast("long").alias(out))
+        )
+
+    med = lower_median(docs, "n_chars", "median_chars")
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("median_chars")).alias("adev")
+    )
+    mad = lower_median(dev, "adev", "mad_chars")
+    strata = (
+        sizes.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .withColumn(
+            "weight",
+            F.col("n_docs") * F.greatest(F.col("mad_chars"), F.lit(1).cast("long")),
+        )
+    )
+    wg = Window.partitionBy()
+    strata = strata.withColumn("w_total", F.sum("weight").over(wg).cast("long"))
+    strata = strata.withColumn(
+        "budget",
+        F.expr(f"CAST(SUM(n_docs) OVER () div CAST({pct_div} AS BIGINT) AS BIGINT)"),
+    )
+    bw = (d38(F.col("budget")) * d38(F.col("weight"))).cast("decimal(38,0)")
+    a0 = dec_floordiv(bw, d38(F.col("w_total"))).cast("long")
+    strata = strata.withColumn("a0", a0).withColumn(
+        "rem",
+        (bw - d38(F.col("a0")) * d38(F.col("w_total"))).cast("decimal(38,0)"),
+    )
+    strata = strata.withColumn(
+        "leftover", (F.col("budget") - F.sum("a0").over(wg)).cast("long")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    strata = strata.withColumn(
+        "alloc",
+        F.least(
+            F.col("a0")
+            + F.when(
+                F.row_number().over(wr).cast("long") <= F.col("leftover"), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+            F.col("n_docs"),
+        ),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    wsel = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    sel = (
+        docs.withColumn("rk", F.row_number().over(wsel).cast("long"))
+        .join(F.broadcast(strata.select("source", "alloc")), "source")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("n_chars").cast("long").alias("sel_chars"),
+        )
+    )
+    return (
+        strata.join(F.broadcast(sel), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "median_chars",
+            "mad_chars",
+            "weight",
+            "alloc",
+            F.coalesce(F.col("n_selected"), F.lit(0).cast("long")).alias("n_selected"),
+            F.coalesce(F.col("sel_chars"), F.lit(0).cast("long")).alias("sel_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+CURRICULUM_BUDGET_DIV = 2  # token budget = total tokens div 2 (a 50% cut)
+
+
+def token_budget_curriculum(documents: DataFrame, budget_div: int = CURRICULUM_BUDGET_DIV) -> DataFrame:
+    """Quality-first token-budget curriculum: sources ranked by mean
+    quality score, then the global token budget fills greedily down the
+    ranking — full sources until the budget breaks, a partial take at
+    the boundary source, zero after. The planning table a data-mixture
+    owner reads before a training run: what makes the cut, what gets
+    truncated, what falls out entirely.
+
+    Exact throughout: the per-source mean quality is an integer
+    quotient at nano scale (sum of 1e4-scaled quality units * 1e6 div
+    n_docs — round() on the 4dp quality doubles recovers their exact
+    integer units first), cumulative tokens are plain long sums over
+    the bounded source table, and the boundary take is
+    clamp(budget - cum_before, 0, tokens_h).
+
+    Scale: one corpus pass for per-doc token counts + quality units,
+    one bounded-key shuffle to the per-source table; the ranking window
+    runs over |sources| rows.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+    from inde1_spark.operators.text import quality_score
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    from inde1_spark.functions.exprs import tokens as _tok
+
+    q = quality_score(documents).select(
+        "doc_id",
+        F.round(F.col("quality") * F.lit(1e4), 0).cast("long").alias("q4"),
+    )
+    per_doc = documents.select(
+        "doc_id", "source", F.size(_tok("text")).cast("long").alias("n_tokens")
+    ).join(q, "doc_id")
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_h"),
+        F.sum("q4").cast("long").alias("sq4"),
+    )
+    key = dec_floordiv(
+        (d38(F.col("sq4")) * F.lit(1_000_000)).cast("decimal(38,0)"),
+        d38(F.col("n_docs")),
+    ).cast("long")
+    per_src = per_src.withColumn("q_nano", key)
+    wr = Window.orderBy(F.col("q_nano").desc(), F.col("source").asc())
+    ranked = per_src.withColumn("rank", F.row_number().over(wr).cast("long"))
+    ranked = ranked.withColumn(
+        "budget",
+        F.expr(f"CAST(SUM(tokens_h) OVER () div CAST({budget_div} AS BIGINT) AS BIGINT)"),
+    ).withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("tokens_h").over(
+                Window.orderBy(F.col("rank")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    take = F.greatest(
+        F.least(F.col("budget") - F.col("cum_before"), F.col("tokens_h")),
+        F.lit(0).cast("long"),
+    )
+    from inde1_spark.functions.exprs import ratio_round
+
+    return ranked.select(
+        "rank",
+        "source",
+        "n_docs",
+        "tokens_h",
+        (F.col("q_nano").cast("double") / F.lit(1e10)).alias("mean_quality"),
+        (F.col("cum_before") + F.col("tokens_h")).alias("cum_tokens"),
+        take.alias("take_tokens"),
+        ratio_round(take, F.col("tokens_h"), 4).alias("take_frac"),
+    ).orderBy("rank")

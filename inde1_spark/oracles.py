@@ -7278,3 +7278,142 @@ ORDER BY event_type, seg
 
 
 ORACLES["sax_symbolize"] = _sax_sql()
+
+
+# Twin of operators/corpus.py:stratified_sample_mad — histogram lower
+# medians, HUGEINT largest-remainder apportionment, md5-order selection.
+def _strat_mad_sql() -> str:
+    from inde1_spark.operators.corpus import STRAT_PCT_DIV
+
+    def lower_median(src_tbl: str, val: str, out: str) -> str:
+        return f"""(
+  SELECT source, CAST(MIN(val) AS BIGINT) AS {out}
+  FROM (
+    SELECT h.source, h.val,
+           SUM(h.m) OVER (PARTITION BY h.source ORDER BY h.val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           s.n_docs
+    FROM (SELECT source, {val} AS val, CAST(COUNT(*) AS BIGINT) AS m
+          FROM {src_tbl} GROUP BY 1, 2) h
+    JOIN sizes s ON s.source = h.source
+  ) WHERE cum >= (n_docs + 1) // 2 GROUP BY 1
+)"""
+
+    hashk = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+),
+sizes AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY 1
+),
+med AS MATERIALIZED {lower_median("docs", "n_chars", "median_chars")},
+dev AS (
+  SELECT d.source, abs(d.n_chars - m.median_chars) AS adev
+  FROM docs d JOIN med m ON m.source = d.source
+),
+mad AS MATERIALIZED {lower_median("dev", "adev", "mad_chars")},
+strata AS (
+  SELECT s.source, s.n_docs, med.median_chars, mad.mad_chars,
+         s.n_docs * GREATEST(mad.mad_chars, 1) AS weight
+  FROM sizes s JOIN med ON med.source = s.source
+  JOIN mad ON mad.source = s.source
+),
+tot AS (
+  SELECT CAST(SUM(weight) AS HUGEINT) AS w_total,
+         CAST(SUM(n_docs) AS BIGINT) // {STRAT_PCT_DIV} AS budget
+  FROM strata
+),
+a0 AS (
+  SELECT st.*, t.budget,
+         (CAST(t.budget AS HUGEINT) * st.weight) // t.w_total AS a0,
+         (CAST(t.budget AS HUGEINT) * st.weight) % t.w_total AS rem
+  FROM strata st CROSS JOIN tot t
+),
+lo AS (
+  SELECT *, budget - SUM(a0) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+  FROM a0
+),
+alloc AS (
+  SELECT source, n_docs, median_chars, mad_chars, weight,
+         LEAST(a0 + CASE WHEN rn <= leftover THEN 1 ELSE 0 END,
+               CAST(n_docs AS HUGEINT)) AS alloc
+  FROM lo
+),
+ranked_docs AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY {hashk} ASC, doc_id ASC) AS rk
+  FROM docs
+),
+sel AS (
+  SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(SUM(r.n_chars) AS BIGINT) AS sel_chars
+  FROM ranked_docs r JOIN alloc a ON a.source = r.source AND r.rk <= a.alloc
+  GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.median_chars, a.mad_chars,
+       CAST(a.weight AS BIGINT) AS weight, CAST(a.alloc AS BIGINT) AS alloc,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.sel_chars, 0) AS sel_chars
+FROM alloc a LEFT JOIN sel s ON s.source = a.source
+ORDER BY a.source
+"""
+
+
+ORACLES["stratified_sample_mad"] = _strat_mad_sql()
+
+
+# Twin of operators/corpus.py:token_budget_curriculum — exact nano-scale
+# quality ranking and integer greedy budget fill.
+def _curriculum_sql() -> str:
+    from inde1_spark.operators.corpus import CURRICULUM_BUDGET_DIV
+
+    return f"""
+WITH {_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id, n_tokens,
+         CAST(round({_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} * 1e4, 0) AS BIGINT) AS q4
+  FROM qm
+),
+per_doc AS (
+  SELECT d.source, q.n_tokens, q.q4 FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+per_src AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_h,
+         CAST(SUM(q4) AS BIGINT) AS sq4
+  FROM per_doc GROUP BY 1
+),
+keyed AS (
+  SELECT *, CAST((CAST(sq4 AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS q_nano
+  FROM per_src
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY q_nano DESC, source ASC) AS BIGINT) AS rank,
+         CAST(SUM(tokens_h) OVER () AS BIGINT) // {CURRICULUM_BUDGET_DIV} AS budget
+  FROM keyed
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(tokens_h) OVER (ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ranked
+)
+SELECT rank, source, n_docs, tokens_h,
+       CAST(q_nano AS DOUBLE) / 1e10 AS mean_quality,
+       CAST(cum_before + tokens_h AS BIGINT) AS cum_tokens,
+       CAST(GREATEST(LEAST(budget - cum_before, tokens_h), 0) AS BIGINT)
+         AS take_tokens,
+       {_rr("GREATEST(LEAST(budget - cum_before, tokens_h), 0)", "tokens_h", 4)}
+         AS take_frac
+FROM cum
+ORDER BY rank
+"""
+
+
+ORACLES["token_budget_curriculum"] = _curriculum_sql()
