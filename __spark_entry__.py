@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_curriculum": lambda sp, d: C.token_budget_curriculum(
             _t(sp, d, "documents")
         ),
+        "simhash_hamming_histogram": lambda sp, d: D.simhash_hamming_histogram(
+            _t(sp, d, "documents")
+        ),
+        "dup_link_prediction": lambda sp, d: D.dup_link_prediction(
+            _t(sp, d, "documents")
+        ),
+        "word_link_prediction": lambda sp, d: T.word_link_prediction(
+            _t(sp, d, "documents")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -2146,3 +2146,123 @@ def bbit_minhash_est(documents: DataFrame, n: int = 3, b: int = BBIT_B) -> DataF
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash_hamming_histogram(documents: DataFrame) -> DataFrame:
+    """Hamming-distance distribution over the SimHash banding candidates:
+    the threshold-setting audit for the simhash family. The banding join
+    (4x8 bands) surfaces every pair sharing a band; the histogram of
+    their exact Hamming distances shows where the duplicate mass sits —
+    a clean corpus bimodally separates (near-0 dup cloud vs ~16 random
+    cloud), and the valley between them is the right HAMMING_MAX. The
+    companion to ``lsh_rebanding_planner``, on the simhash side.
+
+    Dictionary-sid signatures (the bit-reproducible twin path), banding
+    candidates only — the histogram deliberately measures what the
+    production banding CAN see, so its tail is also the recall ceiling.
+    Cum share relative to all candidate pairs is exact integer rounding.
+
+    Scale: identical cost envelope to dedup_simhash_oracle (band join on
+    bounded band keys, hub bands skew-split by AQE) plus one bounded
+    33-key aggregate.
+    """
+    sh = _persist(shingle_table(documents))
+    sh_ids = sh.join(shingle_dict(sh), "shingle").select("doc_id", "sid")
+    pairs = _simhash_pairs(simhash_signatures(sh_ids), SIMHASH_BITS)
+    hist = pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    wv = Window.orderBy("hamming")
+    wg = Window.partitionBy()
+    return (
+        hist.select(
+            "hamming",
+            "n_pairs",
+            F.sum("n_pairs")
+            .over(wv.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_pairs"),
+            F.sum("n_pairs").over(wg).cast("long").alias("total_pairs"),
+        )
+        .select(
+            "hamming",
+            "n_pairs",
+            "cum_pairs",
+            ratio_round(F.col("cum_pairs"), F.col("total_pairs"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("hamming")
+    )
+
+
+LINKPRED_TOP_K = 20
+
+
+def dup_link_prediction(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = LINKPRED_TOP_K,
+) -> DataFrame:
+    """Link prediction on the near-duplicate graph: for every NON-edge
+    two-hop pair, the neighborhood-Jaccard score |N(u) n N(v)| /
+    |N(u) u N(v)| — the classic common-neighbors signal. High-scoring
+    non-edges are pairs the pairwise threshold missed but the graph
+    structure insists are duplicates (both near-identical to the same
+    third documents): the recall-audit list a human reviews before
+    tightening the threshold, and the quantitative answer to "is the
+    banding missing pairs transitivity would catch".
+
+    Exact edge set (``dedup_ngram_jaccard``); candidates from the
+    ordered wedge join (u < v through shared neighbor x), direct edges
+    removed by anti-join; degrees from one bounded aggregate. Top-k by
+    (score desc, pair asc) — a TakeOrdered, never a global sort.
+
+    Scale: the wedge join is the transitivity-audit join (hub nodes are
+    AQE-skew-split); candidate volume is sum(deg^2), the same envelope
+    every triangle/transitivity audit already pays. Score arithmetic is exact
+    integer micro-rounding.
+    """
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = und.groupBy(F.col("doc_a").alias("u")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    w1 = und.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("x"))
+    w2 = und.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("v"))
+    wedges = (
+        w1.join(w2, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    non_edges = wedges.join(
+        edges.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+        )
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "n_common",
+            ratio_round(
+                F.col("n_common"),
+                F.col("deg_u") + F.col("deg_v") - F.col("n_common"),
+                6,
+            ).alias("jaccard_nbrs"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_nbrs").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(k)

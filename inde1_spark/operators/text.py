@@ -1276,3 +1276,107 @@ def symspell_neighbors(
         .filter(F.levenshtein("term_a", "term_b") <= 1)
         .orderBy("term_a", "term_b")
     )
+
+
+LINKPRED_WORD_TOP_K = 20
+
+
+def word_link_prediction(
+    documents: DataFrame,
+    window: int = TEXTRANK_WINDOW,
+    min_len: int = TEXTRANK_MIN_LEN,
+    vocab_cap: int = TEXTRANK_VOCAB,
+    k: int = LINKPRED_WORD_TOP_K,
+) -> DataFrame:
+    """Second-order co-occurrence mining on the word graph: among word
+    pairs whose DIRECT co-occurrence is below the corpus mean (the weak
+    ties), rank by neighborhood Jaccard over the above-mean graph — the
+    distributional-similarity signal ("these two terms rarely appear
+    together but keep the same strong company") that powers synonym and
+    related-term discovery. Graph-structural companion to
+    ``term_cooccurrence`` (pointwise PMI) and ``keyword_textrank``
+    (global centrality).
+
+    The edge rule is RELATIVE — keep (u,v) iff w * n_edges >= sum(w),
+    an exact integer compare that scales with the corpus (an absolute
+    cutoff would silently saturate as counts grow). Neighborhoods come
+    from the kept graph; candidates from the ordered wedge join; direct
+    kept edges leave by anti-join; the score is exact micro-rounded
+    integer division and the top-k a TakeOrdered.
+
+    Scale: pair generation is row-local (zip-of-shifted-slices — the
+    HOF-CSE rule), the graph is vocab-capped, and every join past the
+    first aggregate runs on the <=cap-node edge table.
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens
+
+    toksc = F.filter(tokens("text"), lambda t: F.length(t) >= min_len)
+    docs = documents.select("doc_id", toksc.alias("toks"))
+    sz = F.size(F.col("toks"))
+    pair_arrays = []
+    for off in range(1, window):
+        z = F.filter(
+            F.arrays_zip(
+                F.col("toks").alias("a"),
+                F.slice(
+                    F.col("toks"), off + 1, F.greatest(sz - off, F.lit(1))
+                ).alias("b"),
+            ),
+            lambda s: s["b"].isNotNull(),
+        )
+        pair_arrays.append(z)
+    prs = (
+        docs.select(F.explode(F.concat(*pair_arrays)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    vocab = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_cap)
+        .select("token")
+    )
+    dirp = prs.unionAll(prs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges_w = (
+        dirp.join(F.broadcast(vocab), dirp["a"] == vocab["token"]).drop("token")
+        .join(F.broadcast(vocab), dirp["b"] == vocab["token"]).drop("token")
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    wg = Window.partitionBy()
+    edges_w = edges_w.withColumn("sum_w", F.sum("w").over(wg).cast("decimal(38,0)"))
+    edges_w = edges_w.withColumn(
+        "n_edges", F.count("*").over(wg).cast("decimal(38,0)")
+    )
+    kept = edges_w.filter(
+        F.col("w").cast("decimal(38,0)") * F.col("n_edges") >= F.col("sum_w")
+    ).select("u", "v")
+    deg = kept.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    w1 = kept.select("u", F.col("v").alias("x"))
+    w2 = kept.select(F.col("u").alias("x"), F.col("v").alias("v2"))
+    wedges = (
+        w1.join(w2, "x")
+        .filter(F.col("u") < F.col("v2"))
+        .groupBy("u", F.col("v2").alias("v"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    non_edges = wedges.join(kept, ["u", "v"], "left_anti")
+    scored = (
+        non_edges.join(deg.select("u", F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            F.col("u").alias("term_a"),
+            F.col("v").alias("term_b"),
+            "n_common",
+            ratio_round(
+                F.col("n_common"),
+                F.col("deg_u") + F.col("deg_v") - F.col("n_common"),
+                6,
+            ).alias("jaccard_nbrs"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_nbrs").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)

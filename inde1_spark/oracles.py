@@ -7417,3 +7417,173 @@ ORDER BY rank
 
 
 ORACLES["token_budget_curriculum"] = _curriculum_sql()
+
+
+# Twin of operators/dedup.py:simhash_hamming_histogram — the simhash-oracle
+# banding pipeline, grouped by exact Hamming distance.
+def _simhash_hist_sql() -> str:
+    return f"""
+WITH {_SHINGLES},
+dict AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+shid AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN (((sid * {SIMHASH_MULT}) % {2**SIMHASH_BITS}) >> {j}) % 2 = 1"
+             f" THEN 1 ELSE -1 END) AS BIGINT) AS bs_{j}"
+             for j in range(SIMHASH_BITS)
+         )}
+  FROM shid GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN bs_{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM bit_sums
+),
+bands AS (
+  SELECT doc_id, simhash, q, (simhash >> (q * {SIMHASH_BAND_BITS})) % {2**SIMHASH_BAND_BITS} AS bv
+  FROM sigs, UNNEST(generate_series(0, {SIMHASH_BITS // SIMHASH_BAND_BITS - 1})) AS u(q)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b ON a.q = b.q AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+hist AS (
+  SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+    SELECT CAST({_HAMMING_TERMS} AS BIGINT) AS hamming
+    FROM (SELECT xor(sig_a, sig_b) AS xor_sig FROM cand)
+  ) GROUP BY 1
+),
+cum AS (
+  SELECT hamming, n_pairs,
+         CAST(SUM(n_pairs) OVER (ORDER BY hamming
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs,
+         CAST(SUM(n_pairs) OVER () AS BIGINT) AS total_pairs
+  FROM hist
+)
+SELECT hamming, n_pairs, cum_pairs,
+       {_rr("cum_pairs", "total_pairs", 6)} AS cum_share
+FROM cum ORDER BY hamming
+"""
+
+
+ORACLES["simhash_hamming_histogram"] = _simhash_hist_sql()
+
+
+# Twin of operators/dedup.py:dup_link_prediction — exact Jaccard edge set,
+# ordered wedge join, anti-join, integer neighborhood-Jaccard score.
+def _linkpred_sql() -> str:
+    from inde1_spark.operators.dedup import LINKPRED_TOP_K
+
+    return f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_jaccard_from_inter(JACCARD_THRESHOLD)})
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT w1.u, w2.v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM und w1 JOIN und w2 ON w2.u = w1.v AND w1.u < w2.v
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  ANTI JOIN edges e ON e.doc_a = w.u AND e.doc_b = w.v
+),
+scored AS (
+  SELECT n.u AS doc_a, n.v AS doc_b, n.n_common,
+         {_rr("n.n_common", "du.deg + dv.deg - n.n_common", 6)} AS jaccard_nbrs
+  FROM non_edges n
+  JOIN deg du ON du.u = n.u
+  JOIN deg dv ON dv.u = n.v
+)
+SELECT * FROM scored
+ORDER BY jaccard_nbrs DESC, doc_a ASC, doc_b ASC
+LIMIT {LINKPRED_TOP_K}
+"""
+
+
+ORACLES["dup_link_prediction"] = _linkpred_sql()
+
+
+# Twin of operators/text.py:word_link_prediction — mean-thresholded word
+# graph, wedge join, anti-join, integer neighborhood-Jaccard.
+def _word_linkpred_sql() -> str:
+    from inde1_spark.operators.text import (
+        LINKPRED_WORD_TOP_K,
+        TEXTRANK_MIN_LEN,
+        TEXTRANK_VOCAB,
+    )
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) >= {TEXTRANK_MIN_LEN}) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+  FROM docs
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM pos GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {TEXTRANK_VOCAB}
+  )
+),
+prs AS (
+  SELECT p1.token AS a, p2.token AS b
+  FROM pos p1 JOIN pos p2
+    ON p2.doc_id = p1.doc_id AND p2.pos - p1.pos IN ({_TEXTRANK_OFFS})
+  WHERE p1.token <> p2.token
+),
+dir AS (SELECT a AS u, b AS v FROM prs UNION ALL SELECT b, a FROM prs),
+edges_w AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM dir
+  WHERE u IN (SELECT token FROM vocab) AND v IN (SELECT token FROM vocab)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(w) AS HUGEINT) AS sum_w, CAST(COUNT(*) AS HUGEINT) AS n_edges
+  FROM edges_w
+),
+kept AS MATERIALIZED (
+  SELECT u, v FROM edges_w CROSS JOIN tot
+  WHERE CAST(w AS HUGEINT) * n_edges >= sum_w
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM kept GROUP BY 1),
+wedges AS (
+  SELECT w1.u, w2.v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM kept w1 JOIN kept w2 ON w2.u = w1.v AND w1.u < w2.v
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT w.* FROM wedges w ANTI JOIN kept e ON e.u = w.u AND e.v = w.v
+),
+scored AS (
+  SELECT n.u AS term_a, n.v AS term_b, n.n_common,
+         {_rr("n.n_common", "du.deg + dv.deg - n.n_common", 6)} AS jaccard_nbrs
+  FROM non_edges n
+  JOIN deg du ON du.u = n.u
+  JOIN deg dv ON dv.u = n.v
+)
+SELECT * FROM scored
+ORDER BY jaccard_nbrs DESC, term_a ASC, term_b ASC
+LIMIT {LINKPRED_WORD_TOP_K}
+"""
+
+
+ORACLES["word_link_prediction"] = _word_linkpred_sql()

@@ -474,3 +474,30 @@ def test_bbit_estimator_corrects_collision_floor(spark):
     pow_b = 1 << BBIT_B
     floor_matches = 32 // pow_b
     assert max(floor_matches * pow_b - 32, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# dup_link_prediction: the production corpus has a pairs-only dup graph (zero
+# open wedges at every threshold), so its gate row proves only the empty
+# case. This planted path graph A~B~C (A !~ C) proves the operator actually
+# predicts the missing transitive edge — and with the right score.
+# ---------------------------------------------------------------------------
+
+
+def test_dup_link_prediction_predicts_missing_edge(spark):
+    """Three docs where A and C each near-duplicate B but differ from each
+    other below the threshold: the edge set is exactly {A-B, B-C}, the only
+    open wedge is (A, C), and its neighborhood Jaccard is 1.0
+    (N(A) = N(C) = {B}: 1 common / (1 + 1 - 1) union)."""
+    from inde1_spark.operators.dedup import dup_link_prediction
+
+    base = " ".join(f"w{j}" for j in range(40))
+    rows = [
+        (1, base + " " + " ".join(f"alpha{j}" for j in range(8))),
+        (2, base),
+        (3, base + " " + " ".join(f"omega{j}" for j in range(8))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_link_prediction(docs).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_common"]) for r in out] == [(1, 3, 1)]
+    assert out[0]["jaccard_nbrs"] == 1.0
