@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_link_prediction": lambda sp, d: T.word_link_prediction(
             _t(sp, d, "documents")
         ),
+        "knn_ivf_pq": lambda sp, d: S.knn_ivf_pq(_t(sp, d, "embeddings")),
+        "cube_returnflag_status": lambda sp, d: Q.cube_returnflag_status(
+            _t(sp, d, "lineitem")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -831,3 +831,36 @@ def nation_stock_value(
             ).alias("share_ppm"),
         )
     )
+
+
+def cube_returnflag_status(lineitem: DataFrame) -> DataFrame:
+    """Full CUBE over (l_returnflag, l_linestatus): every grouping set —
+    per cell, per flag, per status, and grand total — in ONE aggregation
+    pass. The grouping-sets completion of the OLAP surface next to the
+    hierarchy ROLLUP (``rollup_nation_region``): a BI layer points its
+    cross-tab straight at this, with ``grouping_id`` distinguishing the
+    margin rows from the cells.
+
+    Plan: Spark expands the cube into one Expand + single shuffle with
+    map-side partial aggregation — 4x the cell keys (all bounded here:
+    |flags| x |status| is single digits), never 4 corpus scans. Sums are
+    the exact decimal contract.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grouping_id",
+            "n_items",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )

@@ -7587,3 +7587,95 @@ LIMIT {LINKPRED_WORD_TOP_K}
 
 
 ORACLES["word_link_prediction"] = _word_linkpred_sql()
+
+
+# Twin of operators/similarity.py:knn_ivf_pq — the knn_ivf probe CTEs
+# composed with the knn_pq codes/ADC CTEs, restricted to probed cells.
+ORACLES["knn_ivf_pq"] = f"""
+WITH cent AS (
+  SELECT label, i,
+         {_FIXED_SUM('CAST(embedding[i] AS DOUBLE)')} / COUNT(*) AS cv
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY label, i
+),
+cnorm AS (
+  SELECT label, sqrt({_FIXED_SUM('cv * cv')}) AS cnrm FROM cent GROUP BY label
+),
+{_NORMS.strip()},
+qc AS (
+  SELECT e.vec_id AS query_id, c.label,
+         {_FIXED_SUM('CAST(e.embedding[c.i] AS DOUBLE) * c.cv')} AS dot
+  FROM embeddings e JOIN cent c ON TRUE
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT qc.query_id, qc.label,
+           row_number() OVER (
+             PARTITION BY qc.query_id
+             ORDER BY ROUND(qc.dot / (nq.nrm * cn.cnrm), 6) DESC, qc.label ASC
+           ) AS prn
+    FROM qc
+    JOIN norms nq ON nq.vec_id = qc.query_id
+    JOIN cnorm cn ON cn.label = qc.label
+  ) WHERE prn <= {N_PROBE}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+vd AS (
+  SELECT e.vec_id, m.m, s.c,
+         SUM(CAST(floor((CAST(e.embedding[m.m * {_PQ_SUBDIM} + u.j] AS DOUBLE)
+                         - s.cvec[m.m * {_PQ_SUBDIM} + u.j])
+                        * (CAST(e.embedding[m.m * {_PQ_SUBDIM} + u.j] AS DOUBLE)
+                           - s.cvec[m.m * {_PQ_SUBDIM} + u.j])
+                        * 1e12 + 0.5) AS BIGINT)) AS d
+  FROM embeddings e,
+       (SELECT i - 1 AS m FROM UNNEST(generate_series(1, {PQ_M})) AS t(i)) m,
+       seeds s,
+       UNNEST(generate_series(1, {_PQ_SUBDIM})) AS u(j)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vd.vec_id, e.label, vd.m, vd.c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM vd
+  ) vd JOIN embeddings e ON e.vec_id = vd.vec_id
+  WHERE vd.rn = 1
+),
+est AS (
+  SELECT qd.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(qd.d) AS est
+  FROM probed p
+  JOIN codes n ON n.label = p.label
+  JOIN vd qd ON qd.vec_id = p.query_id AND qd.m = n.m AND qd.c = n.c
+  WHERE qd.vec_id <> n.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(est AS DOUBLE) / 1e12 AS est_sq_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY est, neighbor_id) AS rank
+      FROM est)
+WHERE rank <= {K_IVF}
+"""
+
+
+# Twin of operators/tpch.py:cube_returnflag_status — one CUBE pass with
+# GROUPING_ID and the exact decimal-sum contract. DuckDB's GROUPING()
+# bit order matches Spark's (first listed column = most significant bit).
+ORACLES["cube_returnflag_status"] = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY grouping_id, returnflag, linestatus
+"""
