@@ -5529,3 +5529,227 @@ def sax_symbolize(events: DataFrame, w: int = SAX_SEGMENT_DAYS) -> DataFrame:
         )
         .orderBy("event_type", "seg")
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+def funnel_windowed(events: DataFrame, window_hours: int = FUNNEL_WINDOW_HOURS) -> DataFrame:
+    """Bounded-gap funnel: each step must follow the previous step's
+    MATCHED event within ``window_hours`` — the conversion definition
+    real product analytics uses ("viewed within a day of signing up"),
+    where the unbounded ``funnel_steps`` over-counts users who came back
+    weeks later. Earliest-qualifying semantics: at every stage the chain
+    advances on the first event of the next type inside the window, so
+    the result is the standard greedy funnel, order-deterministic.
+
+    One corpus shuffle: the user's funnel-type events collect to a
+    sorted micro-timestamp array (per-user state, bounded by per-user
+    activity — the same envelope ``session_paths`` already carries) and
+    a row-local FOLD walks it once, advancing a (stage, t_stage)
+    accumulator. Counts and conversion are exact integers; no
+    per-stage corpus re-scan, no self-joins.
+    """
+    w_us = window_hours * 3600 * 1_000_000
+    steps = list(FUNNEL_STEPS)
+    # ts is TIMESTAMP_NTZ (nanos-parquet path): micro epoch via timestampdiff
+    # (bit-equal to DuckDB's epoch_us; unix_micros rejects NTZ)
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id",
+        F.struct(
+            ts_us.alias("t"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("e"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"), F.lit(0).cast("long").alias("t")
+    )
+    fold = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (e["et"] == F.element_at(step_arr, acc["stage"] + 1))
+            & (
+                (acc["stage"] == 0)
+                | ((e["t"] > acc["t"]) & (e["t"] <= acc["t"] + F.lit(w_us)))
+            ),
+            F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("t")),
+        ).otherwise(acc),
+    )
+    stages = per_user.select(fold["stage"].cast("long").alias("stage"))
+    counts = stages.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(steps[i]).alias("event_type"),
+                F.col(f"c{i}").alias("n_users"),
+                ratio_round(
+                    F.col(f"c{i}"),
+                    F.greatest(F.col("c0"), F.lit(1).cast("long")),
+                    4,
+                ).alias("conversion"),
+            )
+            for i in range(len(steps))
+        ]
+    )
+    return (
+        counts.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.event_type", "r.n_users", "r.conversion")
+        .orderBy("step")
+    )
+
+
+HURST_WINDOW_SIZES = (5, 10, 15, 30)
+# ln(n) pre-snapped to nano longs in PYTHON and injected into BOTH engines
+# (CLAUDE.md transcendental rule: never let two libms each compute ln(n))
+HURST_LN_N_NANO = {5: 1609437912, 10: 2302585093, 15: 2708050201, 30: 3401197382}
+
+
+def hurst_exponent(events: DataFrame) -> DataFrame:
+    """Hurst exponent of the global daily revenue series via classical
+    rescaled-range (R/S) analysis: split the series into blocks of n
+    days for several n, compute each block's range-of-cumulative-
+    deviations over its standard deviation, and fit ln(mean R/S) against
+    ln(n) — H > 0.5 means long-range persistence (trends feed on
+    themselves; forecasts and anomaly thresholds must widen with
+    horizon), H < 0.5 anti-persistence, H ~ 0.5 a memoryless walk. The
+    long-memory complement to ``acf_daily`` (fixed lags) and
+    ``runs_test`` (sign randomness).
+
+    Exactness: micro-snapped daily sums; per block, n*Z_t = n*P_t - t*S1
+    keeps cumulative deviations integral (decimal(38,0)); R/S =
+    R_num / sqrt(n*SS - S1^2) converts through the digit-split chain and
+    snaps to nano-longs (the _log_scaled convention absorbs libm's
+    1-ulp); per-n means are exact integer rounding; ln(mean R/S) snaps
+    to nano; ln(n) comes from the injected literals; the OLS slope runs
+    on exact decimal moments with ONE final divide. Zero-variance blocks
+    are excluded in both engines (ANSI-safe).
+
+    Plan: one corpus pass to the bounded daily table; everything after
+    runs on <=|days| rows through bounded windows.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = (
+        events.groupBy(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+            ).alias("day")
+        )
+        .agg(F.floor(_dsum("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("y"))
+    )
+    wd = Window.orderBy("day")
+    ranked = daily.withColumn(
+        "rk", (F.row_number().over(wd) - 1).cast("long")
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(n).cast("long") for n in HURST_WINDOW_SIZES])
+    ).alias("n")
+    fan = ranked.select("rk", "y", sizes)
+    fan = fan.withColumn("blk", F.expr("rk div n")).withColumn(
+        "t", (F.col("rk") % F.col("n") + 1).cast("long")
+    )
+    wb = Window.partitionBy("n", "blk").orderBy("t")
+    blocks = fan.withColumn(
+        "p_t", F.sum("y").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    znum = blocks.join(
+        blocks.groupBy("n", "blk").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(d38(F.col("y"))).alias("s1"),
+            F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("ss"),
+        ),
+        ["n", "blk"],
+    ).filter(F.col("cnt") == F.col("n"))
+    nz = (d38(F.col("n")) * d38(F.col("p_t")) - d38(F.col("t")) * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    per_block = znum.withColumn("nz", nz).groupBy("n", "blk", "s1", "ss").agg(
+        F.max("nz").alias("z_max"),
+        F.min("nz").alias("z_min"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    var_dec = (d38(F.col("cnt")) * F.col("ss") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    rs = dec_to_double_exact(
+        (F.col("z_max") - F.col("z_min")).cast("decimal(38,0)")
+    ) / F.sqrt(dec_to_double_exact(var_dec))
+    rs_nano = F.floor(rs * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per_n = (
+        per_block.withColumn("var_dec", var_dec)
+        .filter(F.col("var_dec") > 0)
+        .withColumn("rs_nano", rs_nano)
+        .groupBy("n")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("rs_nano").cast("long").alias("sum_rs"),
+        )
+    )
+    mean_rs_nano = dec_floordiv(
+        (d38(F.col("sum_rs")) * 2 + d38(F.col("n_blocks"))).cast("decimal(38,0)"),
+        (d38(F.col("n_blocks")) * 2).cast("decimal(38,0)"),
+    ).cast("long")
+    ln_map = F.create_map(
+        *[
+            c
+            for n, v in sorted(HURST_LN_N_NANO.items())
+            for c in (F.lit(n).cast("long"), F.lit(v).cast("long"))
+        ]
+    )
+    pts = per_n.select(
+        "n",
+        mean_rs_nano.alias("mrs_nano"),
+    ).select(
+        "n",
+        F.element_at(ln_map, F.col("n")).alias("x"),
+        F.round(
+            F.log(F.col("mrs_nano").cast("double") / F.lit(1e9)) * F.lit(1e9), 0
+        )
+        .cast("long")
+        .alias("yv"),
+    ).filter(F.col("mrs_nano") > 0)
+    mom = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("yv"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("yv"))).alias("sxy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+    )
+    num = (d38(F.col("k")) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (d38(F.col("k")) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        mom.withColumn("num", num)
+        .withColumn("den", den)
+        .filter((F.col("den") > 0) & (F.col("k") >= 2))
+        .select(
+            F.col("k").alias("n_sizes"),
+            (dec_to_double_exact(F.col("num")) / dec_to_double_exact(F.col("den"))).alias(
+                "hurst"
+            ),
+        )
+    )

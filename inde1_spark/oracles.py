@@ -7679,3 +7679,129 @@ FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY grouping_id, returnflag, linestatus
 """
+
+
+# Twin of operators/analytics.py:funnel_windowed — chained earliest-
+# qualifying mins per stage (provably equal to the operator's sorted fold).
+def _funnel_windowed_sql() -> str:
+    from inde1_spark.operators.analytics import FUNNEL_STEPS, FUNNEL_WINDOW_HOURS
+
+    w_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+    steps = list(FUNNEL_STEPS)
+    ctes = [
+        f"u0 AS MATERIALIZED (SELECT user_id, MIN(epoch_us(ts)) AS t "
+        f"FROM events WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t "
+            f"FROM events e JOIN u{i-1} p ON p.user_id = e.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND epoch_us(e.ts) > p.t "
+            f"AND epoch_us(e.ts) <= p.t + {w_us} GROUP BY 1)"
+        )
+    counts = ", ".join(
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM u{i}) AS c{i}"
+        for i in range(len(steps))
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i+1} AS BIGINT) AS step, '{steps[i]}' AS event_type, "
+        f"c{i} AS n_users, {_rr(f'c{i}', 'GREATEST(c0, 1)', 4)} AS conversion "
+        f"FROM counts"
+        for i in range(len(steps))
+    )
+    return f"""
+WITH {", ".join(ctes)},
+counts AS (SELECT {counts})
+SELECT * FROM ({rows}) ORDER BY step
+"""
+
+
+ORACLES["funnel_windowed"] = _funnel_windowed_sql()
+
+
+# Twin of operators/analytics.py:hurst_exponent — identical block R/S in
+# HUGEINT, nano snaps, injected ln(n) literals, exact OLS moments.
+def _hurst_sql() -> str:
+    from inde1_spark.operators.analytics import HURST_LN_N_NANO, HURST_WINDOW_SIZES
+
+    sizes = ", ".join(str(n) for n in HURST_WINDOW_SIZES)
+    ln_case = " ".join(
+        f"WHEN n = {n} THEN {v}" for n, v in sorted(HURST_LN_N_NANO.items())
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         CAST(floor({_dsum("value")} * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS rk
+  FROM daily
+),
+fan AS (
+  SELECT r.rk, r.y, CAST(s.n AS BIGINT) AS n, r.rk // s.n AS blk,
+         (r.rk % s.n) + 1 AS t
+  FROM ranked r CROSS JOIN (SELECT unnest([{sizes}]) AS n) s
+),
+blocks AS MATERIALIZED (
+  SELECT *, CAST(SUM(y) OVER (PARTITION BY n, blk ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p_t
+  FROM fan
+),
+bstats AS (
+  SELECT n, blk, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+  FROM blocks GROUP BY 1, 2
+),
+per_block AS (
+  SELECT b.n, b.blk, st.s1, st.ss, st.cnt,
+         MAX(CAST(b.n AS HUGEINT) * b.p_t - CAST(b.t AS HUGEINT) * st.s1) AS z_max,
+         MIN(CAST(b.n AS HUGEINT) * b.p_t - CAST(b.t AS HUGEINT) * st.s1) AS z_min
+  FROM blocks b JOIN bstats st ON st.n = b.n AND st.blk = b.blk
+  WHERE st.cnt = b.n
+  GROUP BY 1, 2, 3, 4, 5
+),
+rs AS (
+  SELECT n,
+         CAST(floor({_dec2d('(z_max - z_min)')}
+              / sqrt({_dec2d('(CAST(cnt AS HUGEINT) * ss - s1 * s1)')})
+              * 1e9 + 0.5) AS BIGINT) AS rs_nano
+  FROM per_block
+  WHERE (CAST(cnt AS HUGEINT) * ss - s1 * s1) > 0
+),
+per_n AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(rs_nano) AS BIGINT) AS sum_rs
+  FROM rs GROUP BY 1
+),
+pts AS (
+  SELECT n,
+         CASE {ln_case} END AS x,
+         CAST(round(ln(CAST((CAST(sum_rs AS HUGEINT) * 2 + n_blocks)
+                       // (CAST(n_blocks AS HUGEINT) * 2) AS DOUBLE) / 1e9)
+                    * 1e9, 0) AS BIGINT) AS yv
+  FROM per_n
+  WHERE (CAST(sum_rs AS HUGEINT) * 2 + n_blocks)
+        // (CAST(n_blocks AS HUGEINT) * 2) > 0
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(yv AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * yv) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+),
+scored AS (
+  SELECT k, (CAST(k AS HUGEINT) * sxy - sx * sy) AS num,
+         (CAST(k AS HUGEINT) * sxx - sx * sx) AS den
+  FROM mom
+)
+SELECT k AS n_sizes, {_dec2d('num')} / {_dec2d('den')} AS hurst
+FROM scored WHERE den > 0 AND k >= 2
+"""
+
+
+ORACLES["hurst_exponent"] = _hurst_sql()
