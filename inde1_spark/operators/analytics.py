@@ -4976,12 +4976,16 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
     def d38(c):
         return c.cast("decimal(38,0)")
 
+    from inde1_spark.operators.dedup import _persist
+
     y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
         "long"
     )
     raw = events.select("event_type", y.alias("y"))
     gmin = raw.agg(F.min("y").alias("y_min"))
-    hist = (
+    # persisted: the bounded histogram feeds merged ranks, per-type moments
+    # and the tie term — without it each consumer re-scans the corpus
+    hist = _persist(
         raw.join(F.broadcast(gmin))
         .select(
             "event_type",

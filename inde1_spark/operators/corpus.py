@@ -1262,15 +1262,23 @@ def stratified_sample_mad(documents: DataFrame, pct_div: int = STRAT_PCT_DIV) ->
         "leftover", (F.col("budget") - F.sum("a0").over(wg)).cast("long")
     )
     wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
-    strata = strata.withColumn(
-        "alloc",
-        F.least(
-            F.col("a0")
-            + F.when(
-                F.row_number().over(wr).cast("long") <= F.col("leftover"), F.lit(1)
-            ).otherwise(F.lit(0)).cast("long"),
-            F.col("n_docs"),
-        ),
+    from inde1_spark.operators.dedup import _persist
+
+    # persisted: the |sources|-row allocation table is consumed by both the
+    # selection join and the final output — and its lineage re-derives every
+    # median/MAD histogram, so replaying it would re-scan the corpus
+    strata = _persist(
+        strata.withColumn(
+            "alloc",
+            F.least(
+                F.col("a0")
+                + F.when(
+                    F.row_number().over(wr).cast("long") <= F.col("leftover"),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long"),
+                F.col("n_docs"),
+            ),
+        )
     )
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10

@@ -1350,9 +1350,16 @@ def word_link_prediction(
     edges_w = edges_w.withColumn(
         "n_edges", F.count("*").over(wg).cast("decimal(38,0)")
     )
-    kept = edges_w.filter(
-        F.col("w").cast("decimal(38,0)") * F.col("n_edges") >= F.col("sum_w")
-    ).select("u", "v")
+    from inde1_spark.operators.dedup import _persist
+
+    # persisted: the bounded kept-edge table is consumed four times (degrees,
+    # both wedge sides, the anti-join) — without it each consumer replays the
+    # corpus-wide pair explode
+    kept = _persist(
+        edges_w.filter(
+            F.col("w").cast("decimal(38,0)") * F.col("n_edges") >= F.col("sum_w")
+        ).select("u", "v")
+    )
     deg = kept.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     w1 = kept.select("u", F.col("v").alias("x"))
     w2 = kept.select(F.col("u").alias("x"), F.col("v").alias("v2"))

@@ -1177,3 +1177,87 @@ def test_market_basket_rowlocal_pairs(spark):
     # joins are part-keyed equi-joins
     assert r.nested_loop_joins <= 1
     assert "TakeOrdered" in r.raw
+
+
+# --- r06 operators -----------------------------------------------------------
+
+
+def test_kruskal_wallis_histogram_cached_no_smj(spark):
+    # the bounded value histogram is persisted (merged ranks, per-type
+    # moments and the tie term all read the cache, not the corpus); the
+    # only joins are 1-row broadcasts
+    r = plan_report(Q["kruskal_wallis"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 3
+    assert r.sort_merge_joins == 0
+
+
+def test_spearman_small_domain_rank_maps_broadcast(spark):
+    # quantity/discount/tax rank maps broadcast; only the high-cardinality
+    # price map may shuffle-join — and nothing falls back to sort-merge
+    r = plan_report(Q["spearman_corr"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 3
+    assert r.sort_merge_joins <= 1
+
+
+def test_cramers_v_no_second_raw_scan(spark):
+    # densification must happen on the aggregated cells, never by re-scanning
+    # events; three pairs = three scans of the raw table, no more
+    assert_plan(Q["cramers_v_matrix"](spark, SF_SMOKE), max_scans=3)
+
+
+def test_partition_skew_audit_one_groupby_per_key(spark):
+    # per key column: one corpus groupBy then bounded histograms
+    assert_plan(Q["partition_skew_audit"](spark, SF_SMOKE), max_scans=3)
+
+
+def test_sax_preaggregates_before_windows(spark):
+    # daily pre-agg first (one corpus scan per moment side), segment moments
+    # broadcast back; never a raw-event window
+    r = plan_report(Q["sax_symbolize"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.broadcast_hash_joins >= 1
+
+
+def test_funnel_windowed_single_shuffle_fold(spark):
+    # one corpus scan (per-user collect) + row-local fold; no self-joins
+    r = plan_report(Q["funnel_windowed"](spark, SF_SMOKE))
+    assert r.parquet_scans == 1
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
+
+
+def test_knn_ivf_pq_no_full_adc_cross_join(spark):
+    # the ADC scan is an equi-join on label with broadcast query tables —
+    # never the full compressed-corpus cross join knn_pq pays; the <=2
+    # nested-loop joins are the benign 1-row codebook broadcasts
+    r = plan_report(Q["knn_ivf_pq"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins >= 2
+    assert r.nested_loop_joins <= 2
+
+
+def test_word_link_prediction_kept_graph_cached(spark):
+    # the mean-thresholded edge table is persisted for its four consumers
+    # (degrees, both wedge sides, anti-join) so the corpus-wide pair explode
+    # runs once; vocab filters broadcast
+    r = plan_report(Q["word_link_prediction"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 4
+    assert r.broadcast_hash_joins >= 2
+    assert r.sort_merge_joins == 0
+
+
+def test_stratified_sample_strata_cached_and_broadcast(spark):
+    # the |sources|-row allocation table is persisted (selection join +
+    # output) and every bounded stratum table broadcasts onto the doc stream
+    r = plan_report(Q["stratified_sample_mad"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 2
+    assert r.broadcast_hash_joins >= 4
+    assert r.sort_merge_joins == 0
+
+
+def test_hurst_single_daily_preagg(spark):
+    # one corpus pass per moment side to the bounded daily table; block
+    # windows run over <=|days| x |sizes| rows, never raw events
+    r = plan_report(Q["hurst_exponent"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
