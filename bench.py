@@ -114,6 +114,12 @@ HEADLINE = (
     "coverage_select",        # submodular max-coverage curation (r05)
     "lsh_rebanding_planner",  # S-curve cost/recall planning (r05)
     "kcore_dup_graph",        # iterative peeling, lazy checkpoints (r05)
+    "kruskal_wallis",         # histogram-rank k-sample test, no row sort (r06)
+    "spearman_corr",          # 4-column rank maps + one-pass moments (r06)
+    "knn_ivf_pq",             # cell-pruned compressed-domain ADC scan (r06)
+    "word_link_prediction",   # cached thresholded graph + wedge join (r06)
+    "funnel_windowed",        # single-shuffle per-user fold funnel (r06)
+    "stratified_sample_mad",  # histogram medians + largest-remainder alloc (r06)
 )
 
 
