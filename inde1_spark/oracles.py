@@ -7805,3 +7805,68 @@ FROM scored WHERE den > 0 AND k >= 2
 
 
 ORACLES["hurst_exponent"] = _hurst_sql()
+
+
+# Twin of operators/analytics.py:burst_viterbi — the identical integer L1
+# Viterbi recurrence replayed as a recursive CTE with list paths.
+def _burst_viterbi_sql() -> str:
+    from inde1_spark.operators.analytics import BURST_INIT_COST
+
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per AS MATERIALIZED (
+  SELECT d.event_type, d.day, d.c,
+         CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+           AS BIGINT) AS t,
+         s.t_days, s.s_total,
+         abs(s.t_days * d.c - s.s_total) AS e0,
+         abs(s.t_days * d.c - 2 * s.s_total) AS e1
+  FROM daily d
+  JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t_days,
+               CAST(SUM(c) AS BIGINT) AS s_total
+        FROM daily GROUP BY 1) s
+    ON s.event_type = d.event_type
+),
+it(event_type, t, c0, c1, p0, p1) AS (
+  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST({BURST_INIT_COST} AS BIGINT),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT event_type FROM per)
+  UNION ALL
+  SELECT it.event_type, e.t,
+         LEAST(it.c0, it.c1) + e.e0,
+         LEAST(it.c0 + e.s_total, it.c1) + e.e1,
+         list_append(CASE WHEN it.c0 <= it.c1 THEN it.p0 ELSE it.p1 END,
+                     CAST(0 AS BIGINT)),
+         list_append(CASE WHEN it.c0 + e.s_total < it.c1 THEN it.p0
+                          ELSE it.p1 END,
+                     CAST(1 AS BIGINT))
+  FROM it JOIN per e ON e.event_type = it.event_type AND e.t = it.t + 1
+),
+final AS (
+  SELECT i.event_type,
+         CASE WHEN i.c0 <= i.c1 THEN i.p0 ELSE i.p1 END AS states
+  FROM it i
+  JOIN (SELECT event_type, MAX(t) AS tmax FROM it GROUP BY 1) m
+    ON m.event_type = i.event_type AND m.tmax = i.t
+),
+decoded AS (
+  SELECT f.event_type,
+         generate_subscripts(f.states, 1) AS t,
+         unnest(f.states) AS in_burst
+  FROM final f
+)
+SELECT d.event_type, p.day, p.c AS n_events, CAST(d.in_burst AS BIGINT) AS in_burst
+FROM decoded d
+JOIN per p ON p.event_type = d.event_type AND p.t = d.t
+ORDER BY d.event_type, p.day
+"""
+
+
+ORACLES["burst_viterbi"] = _burst_viterbi_sql()

@@ -407,3 +407,45 @@ def test_theil_sen_robust_to_outlier_day(spark):
     assert abs(ts.theil_sen_slope - 2.0) < 1e-9
     assert abs(ols.slope_per_day - 2.0) > 1.0  # the outlier bent OLS
     assert ts.n_days == 11 and ts.n_pairs == 55
+
+
+def test_burst_viterbi_entry_penalty_separates_bursts_from_blips(spark):
+    """20 days at ~10 events/day with a planted 4-day 40/day burst and a
+    single-day 25-event blip: the automaton must label exactly the 4-day
+    run as burst (sustained rate change amortizes the entry penalty) and
+    keep the one-day blip in the base state (gamma suppresses it) —
+    the behavior a bare count > 2*mean threshold cannot reproduce."""
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import burst_viterbi
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        if 8 <= d <= 11:
+            n = 40  # burst window
+        elif d == 15:
+            n = 25  # blip
+        else:
+            n = 10
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 3, 1) + timedelta(days=d, minutes=j),
+                    100,
+                    "x",
+                    1.0,
+                    "{}",
+                )
+            )
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = sorted(burst_viterbi(events).collect(), key=lambda r: r["day"])
+    states = [r["in_burst"] for r in out]
+    assert len(states) == 20
+    assert states[8:12] == [1, 1, 1, 1]  # the planted burst
+    assert states[15] == 0  # blip suppressed by the entry penalty
+    assert sum(states) == 4  # nothing else flagged
