@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": lambda sp, d: A.funnel_windowed(_t(sp, d, "events")),
         "hurst_exponent": lambda sp, d: A.hurst_exponent(_t(sp, d, "events")),
         "burst_viterbi": lambda sp, d: A.burst_viterbi(_t(sp, d, "events")),
+        "dedup_savings_by_source": lambda sp, d: D.dedup_savings_by_source(
+            _t(sp, d, "documents")
+        ),
+        "padding_waste_sweep": lambda sp, d: C.padding_waste_sweep(
+            _t(sp, d, "documents")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -1389,3 +1389,64 @@ def token_budget_curriculum(documents: DataFrame, budget_div: int = CURRICULUM_B
         take.alias("take_tokens"),
         ratio_round(take, F.col("tokens_h"), 4).alias("take_frac"),
     ).orderBy("rank")
+
+
+PACKING_BUDGETS = (512, 1024, 2048, 4096)
+
+
+def padding_waste_sweep(documents: DataFrame, budgets: tuple = PACKING_BUDGETS) -> DataFrame:
+    """Padding-waste sweep for the per-document chunking strategy: for
+    each candidate sequence budget B, every document costs
+    ceil(tokens/B) training rows and the last row of each doc carries
+    (ceil*B - tokens) padding — the sheet that picks the context length
+    BEFORE a packing run commits (the chunk-per-doc counterpart of
+    ``pack_sequences``' concat-and-chunk lanes, which waste ~0 padding
+    but split documents across shard boundaries; this sweep prices the
+    document-preserving alternative).
+
+    One corpus pass computes per-doc token counts; the budget fan-out is
+    a row-local sequence explode BEFORE the bounded (|budgets|-key)
+    aggregate, so map-side combine collapses everything in-stage. Waste
+    share is exact ppm.
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens
+
+    toks = documents.select(F.size(tokens("text")).cast("long").alias("n_tokens"))
+    fan = toks.select(
+        "n_tokens",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in budgets])).alias(
+            "budget"
+        ),
+    )
+    n_rows = F.expr("(n_tokens + budget - 1) div budget")
+    per = fan.select(
+        "budget",
+        "n_tokens",
+        n_rows.alias("n_rows"),
+        (n_rows * F.col("budget") - F.col("n_tokens")).alias("pad"),
+    )
+    return (
+        per.groupBy("budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("n_rows").cast("long").alias("train_rows"),
+            F.sum("pad").cast("long").alias("pad_tokens"),
+        )
+        .select(
+            "budget",
+            "n_docs",
+            "tokens_total",
+            "train_rows",
+            "pad_tokens",
+            ratio_round(
+                F.col("pad_tokens"),
+                F.greatest(
+                    F.col("pad_tokens") + F.col("tokens_total"),
+                    F.lit(1).cast("long"),
+                ),
+                6,
+            ).alias("pad_share"),
+        )
+        .orderBy("budget")
+    )

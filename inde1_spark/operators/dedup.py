@@ -2266,3 +2266,58 @@ def dup_link_prediction(
     return scored.orderBy(
         F.col("jaccard_nbrs").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(k)
+
+
+def dedup_savings_by_source(documents: DataFrame) -> DataFrame:
+    """The dedup SAVINGS REPORT: per source, how many documents and
+    TOKENS a keep-best-per-cluster pass would remove — the number the
+    pipeline owner actually budgets by (storage, tokenizer throughput,
+    epoch length), rolled up by provenance so the savings can be traced
+    to the syndicating sources. Composes the exact pair ground truth ->
+    components -> quality keeper with per-doc token counts.
+
+    Exact integers throughout; removal share is ppm round-half-up. Every
+    source appears (sources with no near-dup pairs report zero savings).
+
+    Scale: the expensive part is the dedup machinery this already
+    shares (df-capped pair join, pointer-jumping components); the
+    report itself adds one token-count corpus pass and a bounded
+    source-key rollup.
+    """
+    from inde1_spark.functions.exprs import tokens
+
+    keep = dedup_keep_best(documents).select("doc_id", "keep")
+    toks = documents.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    joined = toks.join(keep, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias(
+                "n_removed"
+            ),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(~F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            "tokens_total",
+            "tokens_removed",
+            ratio_round(
+                F.col("tokens_removed"),
+                F.greatest(F.col("tokens_total"), F.lit(1).cast("long")),
+                6,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )

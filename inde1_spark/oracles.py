@@ -7870,3 +7870,95 @@ ORDER BY d.event_type, p.day
 
 
 ORACLES["burst_viterbi"] = _burst_viterbi_sql()
+
+
+# Twin of operators/dedup.py:dedup_savings_by_source — keep-best machinery
+# (reach components + quality ranking) rolled up to per-source token savings.
+ORACLES["dedup_savings_by_source"] = f"""
+WITH RECURSIVE {_SHINGLES.strip().rstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.doc_id
+),
+lab AS (SELECT doc_id, min(anc) AS cluster_id FROM reach GROUP BY 1),
+{_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)} AS quality
+  FROM qm
+),
+ranked AS (
+  SELECT l.doc_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+           ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN q ON q.doc_id = l.doc_id
+),
+tk AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+joined AS (
+  SELECT tk.source, tk.n_tokens,
+         COALESCE(r.rn = 1, TRUE) AS keep
+  FROM tk LEFT JOIN ranked r ON r.doc_id = tk.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN NOT keep THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_removed
+  FROM joined GROUP BY 1
+)
+SELECT source, n_docs, n_removed, tokens_total, tokens_removed,
+       {_rr("tokens_removed", "GREATEST(tokens_total, 1)", 6)} AS removed_share
+FROM agg ORDER BY source
+"""
+
+
+# Twin of operators/corpus.py:padding_waste_sweep — identical integer
+# ceil-division row/padding accounting per budget.
+def _padding_sweep_sql() -> str:
+    from inde1_spark.operators.corpus import PACKING_BUDGETS
+
+    budgets = ", ".join(str(b) for b in PACKING_BUDGETS)
+    return f"""
+WITH tk AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+fan AS (
+  SELECT n_tokens, CAST(b.budget AS BIGINT) AS budget,
+         (n_tokens + b.budget - 1) // b.budget AS n_rows
+  FROM tk CROSS JOIN (SELECT unnest([{budgets}]) AS budget) b
+),
+agg AS (
+  SELECT budget,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(n_rows) AS BIGINT) AS train_rows,
+         CAST(SUM(n_rows * budget - n_tokens) AS BIGINT) AS pad_tokens
+  FROM fan GROUP BY 1
+)
+SELECT budget, n_docs, tokens_total, train_rows, pad_tokens,
+       {_rr("pad_tokens", "GREATEST(pad_tokens + tokens_total, 1)", 6)} AS pad_share
+FROM agg ORDER BY budget
+"""
+
+
+ORACLES["padding_waste_sweep"] = _padding_sweep_sql()
