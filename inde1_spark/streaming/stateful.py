@@ -206,3 +206,86 @@ def sessionize_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage long, event_type string, ts timestamp"
+FUNNEL_STATE_SCHEMA = "stage long, t_us long"
+FUNNEL_WATERMARK = "10 minutes"
+
+
+def funnel_stage_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_hours: int = 24,
+) -> DataFrame:
+    """Streaming counterpart of ``analytics.funnel_windowed``: per-user
+    keyed state (stage, matched-event time) advanced by the same
+    earliest-qualifying bounded-gap rule, emitting one row per stage
+    ADVANCE as it happens — the live funnel dashboards subscribe to,
+    rather than a batch recount.
+
+    Same greedy recurrence as the batch fold, applied incrementally:
+    within a micro-batch events sort by event time; across micro-batches
+    the per-user (stage, t_us) state is exactly the batch fold's
+    accumulator after the prefix seen so far, so with event-time-ordered
+    arrival the final state EQUALS the batch decode (pinned by the
+    streaming==batch pytest). An event older than the matched stage time
+    can never advance the chain, so modest disorder degrades gracefully
+    (a conversion may be recognized later than batch would, never
+    earlier or doubly).
+
+    State is two longs per user still inside the funnel — O(active
+    users), watermark-independent; completed users stop updating.
+    """
+    w_us = window_hours * 3600 * 1_000_000
+    steps_t = tuple(steps)
+    cols = ["user_id", "stage", "event_type", "ts"]
+
+    def _advance_group(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        stage, t_us = state.get if state.exists else (0, 0)
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for _, row in rows.iterrows():
+            if stage >= len(steps_t):
+                break
+            ts_us = int(row["ts"].value // 1_000)
+            if row["event_type"] != steps_t[stage]:
+                continue
+            if stage == 0 or (t_us < ts_us <= t_us + w_us):
+                stage += 1
+                t_us = ts_us
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "stage": stage,
+                        "event_type": row["event_type"],
+                        "ts": pd.Timestamp(ts_us, unit="us"),
+                    }
+                )
+        state.update((stage, t_us))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", FUNNEL_WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_group,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -341,3 +341,81 @@ def test_throttled_alert_stream_one_page_per_pair(spark, stream_env, tmp_path):
     assert set(got_pairs) == want_pairs
     assert len(got_pairs) == len(set(got_pairs)), "a pair paged twice"
     assert len(got_pairs) > 0
+
+
+def test_funnel_stage_stream_matches_batch(spark, tmp_path):
+    """The streaming funnel's final per-user stage equals the batch
+    windowed-funnel fold over the same events, fed in event-time order
+    across three micro-batches (state must carry stages across batches:
+    users are engineered to advance in DIFFERENT files)."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import funnel_stage_stream
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, day_off, typ):
+        nonlocal eid
+        eid += 1
+        return {
+            "event_id": eid,
+            "ts": (base + timedelta(hours=day_off)).isoformat(),
+            "user_id": user,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # user 1: full conversion, each step in a different micro-batch, gaps < 24h
+    rows += [ev(1, 0, "signup"), ev(1, 20, "view"), ev(1, 40, "click"),
+             ev(1, 42, "purchase")]
+    # user 2: view arrives 48h after signup -> window broken, stage stays 1
+    rows += [ev(2, 0, "signup"), ev(2, 48, "view")]
+    # user 3: never signs up -> stage 0, no rows at all
+    rows += [ev(3, 1, "view"), ev(3, 2, "click")]
+    # user 4: signup then immediate view (same batch), then stalls
+    rows += [ev(4, 0, "signup"), ev(4, 1, "view")]
+    rows.sort(key=lambda r: r["ts"])
+
+    data_dir = tmp_path / "funnel_data"
+    data_dir.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        # the file source orders micro-batches by MODIFICATION TIME, not
+        # path: pin strictly increasing mtimes so event-time order holds
+        # across batches (the documented in-order assumption)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = {}
+    for r in got:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["stage"])
+    assert final == {1: 4, 2: 1, 4: 2}
+    # advance rows are strictly increasing per user, one per stage
+    per_user = {}
+    for r in sorted(got, key=lambda r: (r["user_id"], r["stage"])):
+        per_user.setdefault(r["user_id"], []).append(r["stage"])
+    assert per_user == {1: [1, 2, 3, 4], 2: [1], 4: [1, 2]}
