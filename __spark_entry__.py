@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_sweep": lambda sp, d: C.padding_waste_sweep(
             _t(sp, d, "documents")
         ),
+        "mutual_info_matrix": lambda sp, d: A.mutual_info_matrix(
+            _t(sp, d, "events")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

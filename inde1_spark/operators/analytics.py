@@ -5852,3 +5852,109 @@ def burst_viterbi(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def mutual_info_matrix(events: DataFrame) -> DataFrame:
+    """Mutual information (nats) for the same three categorical dimension
+    pairs as ``cramers_v_matrix`` — the information-theoretic association
+    measure that, unlike chi-square, reads directly as "how many nats of
+    one dimension the other explains", plus the normalized uncertainty
+    coefficient U = MI / H(min-entropy side) for cross-pair comparison.
+
+    Exact-enough-to-hash arithmetic: every ln runs over an INTEGER count
+    and snaps to nano-longs (the _log_scaled convention — the snap
+    absorbs libm's 1-ulp cross-engine drift), per-cell contributions
+    c_ij * (ln c_ij + ln N - ln r_i - ln c_j) accumulate in
+    decimal(38,0), and the single divide by N runs once in doubles.
+    Zero cells contribute exactly 0 (0 ln 0 = 0), so NO densification is
+    needed — the sparse aggregated table is the whole computation.
+
+    Plan: one bounded-key groupBy per pair; margins and entropies ride
+    windows over those bounded cells.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):  # nano-snapped natural log of a positive integer count
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    def mi_for(pairs_df: DataFrame, name_a: str, name_b: str) -> DataFrame:
+        cells = pairs_df.groupBy("ka", "kb").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        wr = Window.partitionBy("ka")
+        wc = Window.partitionBy("kb")
+        wg = Window.partitionBy()
+        cells = cells.select(
+            "ka",
+            "kb",
+            "c",
+            F.sum("c").over(wr).cast("long").alias("r_i"),
+            F.sum("c").over(wc).cast("long").alias("c_j"),
+            F.sum("c").over(wg).cast("long").alias("n"),
+        )
+        term = lnn(F.col("c")) + lnn(F.col("n")) - lnn(F.col("r_i")) - lnn(
+            F.col("c_j")
+        )
+        agg = cells.select(
+            "n",
+            (d38(F.col("c")) * d38(term)).alias("contrib"),
+            # marginal entropies from the SAME cells: H(A) = ln N - (1/N) sum r_i ln r_i
+            # accumulate r_i ln r_i once per distinct margin via the min-kb trick
+            F.when(
+                F.col("kb") == F.min("kb").over(wr),
+                d38(F.col("r_i")) * d38(lnn(F.col("r_i"))),
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .alias("rh"),
+            F.when(
+                F.col("ka") == F.min("ka").over(wc),
+                d38(F.col("c_j")) * d38(lnn(F.col("c_j"))),
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .alias("ch"),
+        ).groupBy("n").agg(
+            F.sum("contrib").alias("mi_sum"),
+            F.sum("rh").alias("rh_sum"),
+            F.sum("ch").alias("ch_sum"),
+        )
+        n_d = F.col("n").cast("double")
+        ln_n = F.round(F.log(n_d) * F.lit(1e9), 0).cast("long").cast("double")
+        mi = dec_to_double_exact(F.col("mi_sum")) / F.lit(1e9) / n_d
+        h_a = (ln_n - dec_to_double_exact(F.col("rh_sum")) / n_d) / F.lit(1e9)
+        h_b = (ln_n - dec_to_double_exact(F.col("ch_sum")) / n_d) / F.lit(1e9)
+        return agg.select(
+            F.lit(name_a).alias("dim_a"),
+            F.lit(name_b).alias("dim_b"),
+            F.col("n").alias("n_total"),
+            mi.alias("mi_nats"),
+            h_a.alias("h_a"),
+            h_b.alias("h_b"),
+            (mi / F.least(h_a, h_b)).alias("uncertainty"),
+        ).filter((F.col("h_a") > 0) & (F.col("h_b") > 0))
+
+    dow = ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("long")
+    bucket = F.expr(
+        f"CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        f" div CAST({CRAMERS_BUCKET} AS BIGINT)"
+    )
+    base = events.select(
+        F.col("event_type"), dow.alias("iso_dow"), bucket.alias("v_bucket")
+    )
+    p1 = mi_for(
+        base.select(F.col("event_type").alias("ka"), F.col("iso_dow").alias("kb")),
+        "event_type",
+        "iso_dow",
+    )
+    p2 = mi_for(
+        base.select(F.col("event_type").alias("ka"), F.col("v_bucket").alias("kb")),
+        "event_type",
+        "v_bucket",
+    )
+    p3 = mi_for(
+        base.select(F.col("iso_dow").alias("ka"), F.col("v_bucket").alias("kb")),
+        "iso_dow",
+        "v_bucket",
+    )
+    return p1.unionByName(p2).unionByName(p3).orderBy("dim_a", "dim_b")

@@ -7962,3 +7962,73 @@ FROM agg ORDER BY budget
 
 
 ORACLES["padding_waste_sweep"] = _padding_sweep_sql()
+
+
+# Twin of operators/analytics.py:mutual_info_matrix — identical nano-snapped
+# integer-count logs, HUGEINT contributions, same double op order.
+def _mi_matrix_sql() -> str:
+    from inde1_spark.operators.analytics import CRAMERS_BUCKET
+
+    dims = {
+        "event_type": "event_type",
+        "iso_dow": "CAST(isodow(ts) AS BIGINT)",
+        "v_bucket": (
+            "CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            f" // {CRAMERS_BUCKET}"
+        ),
+    }
+    pair_list = [
+        ("event_type", "iso_dow"),
+        ("event_type", "v_bucket"),
+        ("iso_dow", "v_bucket"),
+    ]
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    parts = []
+    for a, b in pair_list:
+        parts.append(f"""
+SELECT '{a}' AS dim_a, '{b}' AS dim_b, n_total, mi_nats, h_a, h_b,
+       mi_nats / LEAST(h_a, h_b) AS uncertainty
+FROM (
+  WITH cells0 AS MATERIALIZED (
+    SELECT CAST({dims[a]} AS VARCHAR) AS ka, CAST({dims[b]} AS VARCHAR) AS kb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+  ),
+  cells AS (
+    SELECT ka, kb, c,
+           CAST(SUM(c) OVER (PARTITION BY ka) AS BIGINT) AS r_i,
+           CAST(SUM(c) OVER (PARTITION BY kb) AS BIGINT) AS c_j,
+           CAST(SUM(c) OVER () AS BIGINT) AS n,
+           MIN(kb) OVER (PARTITION BY ka) AS min_kb,
+           MIN(ka) OVER (PARTITION BY kb) AS min_ka
+    FROM cells0
+  ),
+  agg AS (
+    SELECT n,
+           CAST(SUM(CAST(c AS HUGEINT)
+                * ({lnn('c')} + {lnn('n')} - {lnn('r_i')} - {lnn('c_j')}))
+             AS HUGEINT) AS mi_sum,
+           CAST(SUM(CASE WHEN kb = min_kb
+                THEN CAST(r_i AS HUGEINT) * {lnn('r_i')} ELSE 0 END)
+             AS HUGEINT) AS rh_sum,
+           CAST(SUM(CASE WHEN ka = min_ka
+                THEN CAST(c_j AS HUGEINT) * {lnn('c_j')} ELSE 0 END)
+             AS HUGEINT) AS ch_sum
+    FROM cells GROUP BY 1
+  )
+  SELECT n AS n_total,
+         {_dec2d('mi_sum')} / 1e9 / CAST(n AS DOUBLE) AS mi_nats,
+         (CAST({lnn('n')} AS DOUBLE) - {_dec2d('rh_sum')} / CAST(n AS DOUBLE))
+           / 1e9 AS h_a,
+         (CAST({lnn('n')} AS DOUBLE) - {_dec2d('ch_sum')} / CAST(n AS DOUBLE))
+           / 1e9 AS h_b
+  FROM agg
+) WHERE h_a > 0 AND h_b > 0""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY dim_a, dim_b"
+
+
+ORACLES["mutual_info_matrix"] = _mi_matrix_sql()
