@@ -439,6 +439,105 @@ def _knn_pq_sql() -> str:
     """
 
 
+def _knn_ivf_pq_sql() -> str:
+    """knn_ivf_pq as one Spark-SQL statement: the IVF probe ranking
+    composed with the PQ codebook/ADC CTEs, the compressed scan restricted
+    to probed cells (similarity.py constants)."""
+    from inde1_spark.operators.similarity import (
+        EMB_DIM,
+        K_IVF,
+        N_PROBE,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+    )
+
+    fs = lambda expr: (  # noqa: E731 — twin of similarity._fixed_sum
+        f"(CAST(SUM(CAST(round(({expr}) * 1.0E15D, 0) AS BIGINT)) AS DOUBLE)"
+        " / 1.0E15D)"
+    )
+    nrm = _NORM_EXACT.format(a="embedding")
+    sub = EMB_DIM // PQ_M
+    d2 = lambda a, b: (  # noqa: E731 — twin of similarity.knn_ivf_pq's d2
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * 1.0E12D + 0.5D) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    qsub = f"slice(embedding, m * {sub} + 1, {sub})"
+    csub = f"slice(element_at(cb, c).cvec, m * {sub} + 1, {sub})"
+    return f"""
+        WITH ex AS (
+          SELECT label, vec_id, pos + 1 AS i, CAST(x AS DOUBLE) AS x
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+        ),
+        cent AS (
+          SELECT label, i, {fs("x")} / COUNT(*) AS cv
+          FROM ex GROUP BY label, i
+        ),
+        cnorm AS (
+          SELECT label, sqrt({fs("cv * cv")}) AS cnrm FROM cent GROUP BY label
+        ),
+        e AS (
+          SELECT vec_id, label, {nrm} AS nrm FROM embeddings
+        ),
+        qc AS (
+          SELECT q.vec_id AS query_id, c.label, {fs("q.x * c.cv")} AS dot
+          FROM (SELECT * FROM ex WHERE vec_id < {N_QUERIES}) q
+          JOIN cent c ON q.i = c.i
+          GROUP BY q.vec_id, c.label
+        ),
+        probed AS (
+          SELECT query_id, label FROM (
+            SELECT qc.query_id, qc.label,
+                   row_number() OVER (
+                     PARTITION BY qc.query_id
+                     ORDER BY round(qc.dot / (nq.nrm * cn.cnrm), 6) DESC,
+                              qc.label ASC) AS prn
+            FROM qc
+            JOIN e nq ON nq.vec_id = qc.query_id
+            JOIN cnorm cn ON cn.label = qc.label
+          ) WHERE prn <= {N_PROBE}
+        ),
+        cb AS (
+          SELECT array_sort(collect_list(named_struct('seed_id', vec_id,
+                   'cvec', transform(embedding, x -> CAST(x AS DOUBLE))))) AS cb
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {PQ_K})
+        ),
+        enc AS (
+          SELECT vec_id AS neighbor_id, label,
+                 transform(sequence(0, {PQ_M - 1}), m ->
+                   (array_min(transform(sequence(1, {PQ_K}), c ->
+                     named_struct('d', {d2(qsub, csub)}, 'c', c)))).c) AS codes
+          FROM embeddings CROSS JOIN cb
+        ),
+        q AS (
+          SELECT vec_id AS query_id,
+                 transform(sequence(0, {PQ_M - 1}), m ->
+                   transform(sequence(1, {PQ_K}), c -> {d2(qsub, csub)})) AS dt
+          FROM embeddings CROSS JOIN cb WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+          SELECT p.query_id, n.neighbor_id,
+                 CAST(aggregate(zip_with(q.dt, n.codes,
+                        (t, c) -> element_at(t, c)),
+                      CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE)
+                   / 1.0E12D AS est_sq_dist
+          FROM probed p
+          JOIN q ON q.query_id = p.query_id
+          JOIN enc n ON n.label = p.label AND n.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, est_sq_dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY est_sq_dist ASC,
+                                                    neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {K_IVF}
+    """
+
+
 def _salted_group_count_sql() -> str:
     """salted_group_count as Spark SQL: the two-stage hot-key-skew
     aggregation spelling (analytics.py constants)."""
@@ -878,6 +977,7 @@ SPARK_SQL: dict[str, str] = {
     "knn_two_stage": _knn_two_stage_sql(),
     "knn_ivf": _knn_ivf_sql(),
     "knn_pq": _knn_pq_sql(),
+    "knn_ivf_pq": _knn_ivf_pq_sql(),
     "salted_group_count": _salted_group_count_sql(),
     "heavy_hitters_cms": _heavy_hitters_cms_sql(),
     "impact_postings": _impact_postings_sql(),
