@@ -5082,10 +5082,16 @@ def spearman_corr(lineitem: DataFrame) -> DataFrame:
     sqrt/divide in engine-identical IEEE doubles; zero-variance columns
     filter out (ANSI-safe).
 
-    Scale: two corpus passes (histograms, then the rank-map joins), no
-    row sort anywhere; the exchange after the join carries ONE row of
-    moments. x2 ranks stay < 2N+1, so cross-products fit decimal(38,0)
-    to ~1e15 rows.
+    Scale: two corpus passes (histograms, then the rank-map joins); the
+    exchange after the join carries ONE row of moments. The cumulative
+    window per rank map orders DISTINCT values, not rows — a single-task
+    sort of |distinct| entries, which is the deliberate trade: fine for
+    bounded domains (quantity/discount/tax) and for price-like columns
+    whose distinct count is domain-bounded, but a column with ~N distinct
+    values at 1e12 rows should first quantize to a coarser grid (Spearman
+    of the quantized values — the snap IS the tie-handling, and the
+    oracle quantizes identically). x2 ranks stay < 2N+1, so
+    cross-products fit decimal(38,0) to ~1e15 rows.
     """
 
     def d38(c):
