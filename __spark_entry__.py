@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_matrix": lambda sp, d: A.mutual_info_matrix(
             _t(sp, d, "events")
         ),
+        "cusum_drift": lambda sp, d: A.cusum_drift(_t(sp, d, "events")),
+        "wilcoxon_signed_rank": lambda sp, d: A.wilcoxon_signed_rank(
+            _t(sp, d, "events")
+        ),
+        "theil_index": lambda sp, d: C.theil_index(_t(sp, d, "documents")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

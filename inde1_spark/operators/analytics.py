@@ -5964,3 +5964,138 @@ def mutual_info_matrix(events: DataFrame) -> DataFrame:
         "v_bucket",
     )
     return p1.unionByName(p2).unionByName(p3).orderBy("dim_a", "dim_b")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (closed-form, window-only)
+# ---------------------------------------------------------------------------
+
+def cusum_drift(events: DataFrame) -> DataFrame:
+    """Two-sided CUSUM drift statistic over the daily event-count series —
+    the SEQUENTIAL detector that complements ``changepoint_meanshift``:
+    instead of locating the single best split retrospectively, it carries
+    the Page (1954) running statistic S_i = max(0, S_{i-1} + x_i - mu)
+    that fires the moment cumulative drift from the in-control mean
+    exceeds a threshold, which is what a production data-quality monitor
+    actually runs day over day.
+
+    The recursion is NOT unrolled: S_i has the closed form
+    P_i - min(0, min_{j<=i} P_j) with P the prefix sum of centered
+    deviations, so the whole computation is one cumulative window over
+    the bounded daily table (and the same form is what a streaming
+    incremental maintenance would checkpoint: one prefix and one running
+    extremum). Exact integers throughout: deviations are centered at
+    scale n_days (x_i * n_days - n_total), so no rational mean is ever
+    materialized. Alarm threshold = 4 daily means (4 * n_total at this
+    scale), deterministic and engine-portable.
+
+    Scale: one corpus-volume shuffle (the daily count); everything after
+    runs on |days| rows. The scaled statistic stays under 2^63 up to
+    ~1e14 events x 365 days.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.join(F.broadcast(tot))
+        .withColumn(
+            "dev", F.col("n_events") * F.col("n_days") - F.col("n_total")
+        )
+        .withColumn("p", F.sum("dev").over(w))
+    )
+    scored = scored.withColumn("runmin", F.min("p").over(w)).withColumn(
+        "runmax", F.max("p").over(w)
+    )
+    cusum_pos = F.col("p") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    cusum_neg = F.greatest(F.lit(0).cast("long"), F.col("runmax")) - F.col("p")
+    thr = F.lit(4) * F.col("n_total")
+    return scored.select(
+        "day",
+        "n_events",
+        cusum_pos.alias("cusum_pos"),
+        cusum_neg.alias("cusum_neg"),
+        (cusum_pos > thr).alias("alarm_pos"),
+        (cusum_neg > thr).alias("alarm_neg"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired daily entries vs exits)
+# ---------------------------------------------------------------------------
+
+def wilcoxon_signed_rank(events: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test on the PAIRED daily (entries, exits)
+    series — the paired complement to ``mann_whitney_pairs`` (which
+    compares independent samples): are daily entry and exit volumes
+    systematically offset, judged only by the SIGNS and RANKS of the
+    per-day differences, immune to outlier days.
+
+    Sort-free tied ranks via the value histogram of |d| (the
+    mann_whitney grid trick at x2 scale); zero differences drop per the
+    standard treatment. Everything is integer until the final z:
+    num = 4*W+ - n(n+1) and the variance denominator
+    D = 2n(n+1)(2n+1) - Sum(t^3 - t) (48x the tie-corrected variance),
+    so z = num * sqrt(3 / D) with one IEEE division and sqrt, identical
+    across engines. D > 0 for any n >= 1 (all-tied collapses to
+    3n(n+1)^2), so no degenerate-denominator guard is needed beyond
+    n_pairs > 0.
+
+    Scale: the only corpus-volume shuffle is the daily conditional agg;
+    ranks ride a window over the bounded |d| histogram.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_entry"),
+        F.sum(F.when(F.col("event_type") == EXIT_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exit"),
+    )
+    diffs = daily.select(
+        (F.col("n_entry") - F.col("n_exit")).alias("d")
+    ).filter(F.col("d") != 0)
+    hist = diffs.groupBy(F.abs(F.col("d")).alias("absd")).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("m_pos"),
+    )
+    wv = Window.orderBy("absd")
+    ranked = hist.withColumn(
+        "rank2",
+        F.lit(2)
+        * F.coalesce(
+            F.sum("m").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )
+        + F.col("m")
+        + F.lit(1),
+    )
+    agg = ranked.agg(
+        F.sum("m").cast("long").alias("n_pairs"),
+        F.sum(F.col("m_pos") * F.col("rank2")).cast("long").alias("w_plus2"),
+        F.sum((F.col("m") - F.col("m_pos")) * F.col("rank2"))
+        .cast("long")
+        .alias("w_minus2"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("long")
+        .alias("tie_sum"),
+    ).filter(F.col("n_pairs") > 0)
+    n = F.col("n_pairs")
+    num = F.lit(2) * F.col("w_plus2") - n * (n + F.lit(1))
+    den = F.lit(2) * n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1)) - F.col(
+        "tie_sum"
+    )
+    return agg.select(
+        "n_pairs",
+        "w_plus2",
+        "w_minus2",
+        "tie_sum",
+        (
+            num.cast("double")
+            * F.sqrt(F.lit(3.0) / den.cast("double"))
+        ).alias("z_stat"),
+    )

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from inde1_spark.functions.exprs import ratio_round, tokens, word_shingles
+from inde1_spark.functions.exprs import (
+    dec_to_double_exact,
+    ratio_round,
+    tokens,
+    word_shingles,
+)
 from inde1_spark.operators.text import TRAIN_PCT, VAL_PCT, _split_label, hash_bucket
 
 PACK_BUDGET = 2048  # tokens per training shard
@@ -1450,3 +1455,80 @@ def padding_waste_sweep(documents: DataFrame, budgets: tuple = PACKING_BUDGETS) 
         )
         .orderBy("budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (within/between sources)
+# ---------------------------------------------------------------------------
+
+def theil_index(documents: DataFrame) -> DataFrame:
+    """Theil T inequality of document sizes, DECOMPOSED by source — the
+    member of the concentration family that ``gini_token_concentration``
+    cannot provide: Theil is the unique inequality index that splits
+    EXACTLY into within-group + between-group terms, so a curator can
+    read "is my size imbalance a few bloated sources, or bloat inside
+    every source" from one table.
+
+    Per source g: T_g = (1/X_g) * Sum_i x_i * ln(x_i * n_g / X_g),
+    emitted with the nano-log convention (every ln runs over an INTEGER
+    product — x_i * n_g stays < 2^53 for documents under ~1e9 chars and
+    sources under ~1e4 docs at a time; past that, pre-bucket sizes) and
+    decimal(38,0) accumulation; the single divide by X_g runs once in
+    doubles. between_term = (X_g/X) * ln((X_g/X)/(n_g/N)) nano-snapped
+    the same way; Sum(share_g * theil_within) + Sum(between_term) is the
+    corpus total.
+
+    Scale: one corpus pass for the per-doc terms (map-side combined on
+    |sources| keys); the share/between arithmetic rides a broadcast of
+    the 1-row corpus total.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    base = documents.select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    ).filter(F.col("x") > 0)
+    per_src = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("x_sum"),
+    )
+    # per-doc terms need n_g and X_g alongside every row: broadcast the
+    # bounded per-source table back onto the corpus
+    terms = (
+        base.join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            (
+                d38(F.col("x"))
+                * d38(lnn(F.col("x") * F.col("n_docs")) - lnn(F.col("x_sum")))
+            ).alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("t_sum"))
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("x_sum").cast("long").alias("x_total"),
+    )
+    joined = per_src.join(terms, "source").join(F.broadcast(tot))
+    share = F.col("x_sum").cast("double") / F.col("x_total").cast("double")
+    theil_within = (
+        dec_to_double_exact(F.col("t_sum"))
+        / F.lit(1e9)
+        / F.col("x_sum").cast("double")
+    )
+    between_nano = lnn(F.col("x_sum") * F.col("n_total")) - lnn(
+        F.col("x_total") * F.col("n_docs")
+    )
+    return joined.select(
+        "source",
+        "n_docs",
+        "x_sum",
+        share.alias("size_share"),
+        theil_within.alias("theil_within"),
+        (share * between_nano.cast("double") / F.lit(1e9)).alias("between_term"),
+    ).orderBy("source")

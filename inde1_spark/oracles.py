@@ -8032,3 +8032,122 @@ FROM (
 
 
 ORACLES["mutual_info_matrix"] = _mi_matrix_sql()
+
+
+# Twin of operators/analytics.py:cusum_drift — same n_days-scaled integer
+# centering, prefix sum + running extrema closed form, 4x-mean threshold.
+ORACLES["cusum_drift"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily
+),
+pre AS (
+  SELECT day, n_events, n_total,
+         CAST(SUM(n_events * n_days - n_total)
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS p
+  FROM daily, tot
+),
+run AS (
+  SELECT *,
+         CAST(MIN(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS runmin,
+         CAST(MAX(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS runmax
+  FROM pre
+)
+SELECT day, n_events,
+       p - LEAST(CAST(0 AS BIGINT), runmin) AS cusum_pos,
+       GREATEST(CAST(0 AS BIGINT), runmax) - p AS cusum_neg,
+       (p - LEAST(CAST(0 AS BIGINT), runmin)) > 4 * n_total AS alarm_pos,
+       (GREATEST(CAST(0 AS BIGINT), runmax) - p) > 4 * n_total AS alarm_neg
+FROM run ORDER BY day
+"""
+
+
+# Twin of operators/analytics.py:wilcoxon_signed_rank — identical |d|
+# histogram x2 tied ranks, integer num/den, z = num * sqrt(3/D).
+ORACLES["wilcoxon_signed_rank"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_entry,
+         CAST(SUM(CASE WHEN event_type = '{EXIT}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exit
+  FROM events GROUP BY 1
+),
+diffs AS (
+  SELECT n_entry - n_exit AS d FROM daily WHERE n_entry <> n_exit
+),
+hist AS (
+  SELECT abs(d) AS absd, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_pos
+  FROM diffs GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         2 * COALESCE(CAST(SUM(m) OVER (ORDER BY absd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             CAST(0 AS BIGINT)) + m + 1 AS rank2
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_pairs,
+         CAST(SUM(m_pos * rank2) AS BIGINT) AS w_plus2,
+         CAST(SUM((m - m_pos) * rank2) AS BIGINT) AS w_minus2,
+         CAST(SUM(m * m * m - m) AS BIGINT) AS tie_sum
+  FROM ranked
+)
+SELECT n_pairs, w_plus2, w_minus2, tie_sum,
+       CAST(2 * w_plus2 - n_pairs * (n_pairs + 1) AS DOUBLE)
+         * sqrt(3.0 / CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
+                           - tie_sum AS DOUBLE)) AS z_stat
+FROM agg WHERE n_pairs > 0
+"""
+
+
+# Twin of operators/corpus.py:theil_index — identical nano logs over integer
+# products, HUGEINT term accumulation, same double op order.
+def _theil_sql() -> str:
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars > 0
+),
+per_src AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS x_sum
+  FROM base GROUP BY 1
+),
+terms AS (
+  SELECT b.source,
+         CAST(SUM(CAST(b.x AS HUGEINT)
+              * ({lnn('b.x * p.n_docs')} - {lnn('p.x_sum')})) AS HUGEINT)
+           AS t_sum
+  FROM base b JOIN per_src p ON b.source = p.source
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(x_sum) AS BIGINT) AS x_total
+  FROM per_src
+)
+SELECT p.source, p.n_docs, p.x_sum,
+       CAST(p.x_sum AS DOUBLE) / CAST(t.x_total AS DOUBLE) AS size_share,
+       {_dec2d('s.t_sum')} / 1e9 / CAST(p.x_sum AS DOUBLE) AS theil_within,
+       (CAST(p.x_sum AS DOUBLE) / CAST(t.x_total AS DOUBLE))
+         * CAST({lnn('p.x_sum * t.n_total')} - {lnn('t.x_total * p.n_docs')}
+                AS DOUBLE) / 1e9 AS between_term
+FROM per_src p JOIN terms s ON p.source = s.source CROSS JOIN tot t
+ORDER BY p.source
+"""
+
+
+ORACLES["theil_index"] = _theil_sql()
