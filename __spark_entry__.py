@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "theil_index": lambda sp, d: C.theil_index(_t(sp, d, "documents")),
+        "kendall_tau_matrix": lambda sp, d: A.kendall_tau_matrix(
+            _t(sp, d, "lineitem")
+        ),
+        "jsd_sources": lambda sp, d: SC.jsd_sources(_t(sp, d, "documents")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -6099,3 +6099,144 @@ def wilcoxon_signed_rank(events: DataFrame) -> DataFrame:
             * F.sqrt(F.lit(3.0) / den.cast("double"))
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b matrix (concordance from the densified 2-D histogram)
+# ---------------------------------------------------------------------------
+
+# Per-column quantization divisors on the micro grid (aligned with
+# SPEARMAN_COLS): integer units for quantity, 2000-unit buckets for the
+# high-cardinality price, percent grid for discount/tax. Tau is rank-based,
+# so any monotone quantization is principled — and the snap IS the
+# tie-handling, applied identically in the oracle.
+TAU_DIVS = (1_000_000, 2_000_000_000, 10_000, 10_000)
+
+
+def kendall_tau_matrix(lineitem: DataFrame) -> DataFrame:
+    """Kendall tau-b for every lineitem measure pair — the concordance
+    member of the correlation family (``corr_exact`` = linear,
+    ``spearman_corr`` = monotone-on-ranks): the probability a random row
+    pair is concordant minus discordant, with the tau-b tie correction.
+    Preferred over Spearman when the data is heavily tied (discount/tax
+    take ~10 distinct values), because ties are first-class in tau-b.
+
+    The naive statistic is O(N^2) row pairs. On a QUANTIZED grid it
+    collapses to the densified 2-D histogram: concordant pairs are
+    Sum_cells c(a,b) * P(a,b) with P the strict-dominance prefix count,
+    computed by two cascaded cumulative windows (over vb within va, then
+    over va within vb) on the bounded grid — never a row self-join. Tie
+    terms n1/n2 come from the marginal histograms at x2 scale; integer
+    end-to-end (decimal(38,0) for the pair counts, which reach N^2/2),
+    with ONE final IEEE divide/sqrt chain per pair, and concordant /
+    discordant emitted as strings (they overflow BIGINT past ~4e9 rows).
+
+    Scale: one corpus pass (the exploded 6-pair cell count, map-side
+    combined onto bounded keys); every window runs on the <=64x64 grid
+    per pair. Coarsen TAU_DIVS to keep grids bounded on wider domains.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    vals = lineitem.select(
+        *[
+            F.expr(
+                f"CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+                f" div CAST({TAU_DIVS[i]} AS BIGINT)"
+            ).alias(f"v_{i}")
+            for i, c in enumerate(SPEARMAN_COLS)
+        ]
+    )
+    pair_structs = [
+        F.struct(
+            F.lit(f"{SPEARMAN_COLS[i]}|{SPEARMAN_COLS[j]}").alias("pair"),
+            F.col(f"v_{i}").alias("va"),
+            F.col(f"v_{j}").alias("vb"),
+        )
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    # persisted: the bounded cell table feeds the grid, both marginals and
+    # the dominance windows — without it each consumer replays the corpus
+    # explode
+    cells = _persist(
+        vals.select(F.explode(F.array(*pair_structs)).alias("s"))
+        .select("s.pair", "s.va", "s.vb")
+        .groupBy("pair", "va", "vb")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ma = cells.groupBy("pair", "va").agg(F.sum("c").cast("long").alias("ta"))
+    mb = cells.groupBy("pair", "vb").agg(F.sum("c").cast("long").alias("tb"))
+    grid = (
+        ma.select("pair", "va")
+        .join(mb.select("pair", "vb"), "pair")
+        .join(cells, ["pair", "va", "vb"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    zero = F.lit(0).cast("long")
+    wb_lt = (
+        Window.partitionBy("pair", "va")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wb_gt = (
+        Window.partitionBy("pair", "va")
+        .orderBy(F.desc("vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.select(
+        "pair",
+        "va",
+        "vb",
+        "c",
+        F.coalesce(F.sum("c").over(wb_lt), zero).alias("cb_lt"),
+        F.coalesce(F.sum("c").over(wb_gt), zero).alias("cb_gt"),
+    )
+    wa_lt = (
+        Window.partitionBy("pair", "vb")
+        .orderBy("va")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.select(
+        "pair",
+        "c",
+        F.coalesce(F.sum("cb_lt").over(wa_lt), zero).alias("p_lt"),
+        F.coalesce(F.sum("cb_gt").over(wa_lt), zero).alias("p_gt"),
+    )
+    cd = grid.groupBy("pair").agg(
+        F.sum(d38(F.col("c")) * d38(F.col("p_lt"))).alias("conc"),
+        F.sum(d38(F.col("c")) * d38(F.col("p_gt"))).alias("disc"),
+    )
+    na = ma.groupBy("pair").agg(
+        F.sum(d38(F.col("ta")) * d38(F.col("ta") - 1)).alias("n1x2"),
+        F.sum("ta").cast("long").alias("n_rows"),
+    )
+    nb = mb.groupBy("pair").agg(
+        F.sum(d38(F.col("tb")) * d38(F.col("tb") - 1)).alias("n2x2")
+    )
+    out = cd.join(na, "pair").join(nb, "pair")
+    n0x2 = d38(F.col("n_rows")) * d38(F.col("n_rows") - 1)
+    da = (n0x2 - F.col("n1x2")).cast("decimal(38,0)")
+    db = (n0x2 - F.col("n2x2")).cast("decimal(38,0)")
+    num = (F.col("conc") - F.col("disc")).cast("decimal(38,0)")
+    return (
+        out.filter((da > 0) & (db > 0))
+        .select(
+            F.substring_index(F.col("pair"), "|", 1).alias("col_a"),
+            F.substring_index(F.col("pair"), "|", -1).alias("col_b"),
+            F.col("n_rows"),
+            F.col("conc").cast("string").alias("concordant"),
+            F.col("disc").cast("string").alias("discordant"),
+            (
+                F.lit(2.0)
+                * dec_to_double_exact(num)
+                / (
+                    F.sqrt(dec_to_double_exact(da))
+                    * F.sqrt(dec_to_double_exact(db))
+                )
+            ).alias("tau_b"),
+        )
+        .orderBy("col_a", "col_b")
+    )

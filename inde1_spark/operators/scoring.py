@@ -915,3 +915,106 @@ def impact_postings(
         .select("term", "rank", "doc_id", "tf", "df", "cf")
         .orderBy("term", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+LN2_NANO = 693147181  # round(ln(2) * 1e9) — Python-precomputed, same in oracle
+
+
+def jsd_sources(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the SYMMETRIC, bounded-[0, ln 2] member of the
+    source-comparison family: ``cross_source_perplexity`` is asymmetric
+    cross-entropy and ``source_drift_ks``/``quality_emd`` compare scalar
+    quality marginals; JSD compares the full token distributions and is
+    the standard mixture-design distance.
+
+    Exact-to-hash decomposition: with integer counts a, b and totals
+    N1, N2, each intersection term is
+        p ln(2p / (p+q)) = (a/N1) * [ln(2 a N2) - ln(a N2 + b N1)],
+    every ln over an INTEGER product (< 2^53 up to ~1e5-doc sources on
+    the test corpus; quantize counts past that), nano-snapped and
+    accumulated in decimal(38,0). One-sided terms need NO vocabulary
+    walk: a term absent from the other source contributes exactly
+    p ln 2, and those sum to (N1 - A_int) * ln2 / N1 in closed form —
+    so only the INTERSECTION equi-join is ever materialized. Source
+    pairs with disjoint vocabularies (JSD identically ln 2) drop out of
+    the join by contract.
+
+    Scale: one corpus-volume (source, term) count (map-side combined,
+    zipfian skew absorbed by the partial agg), then a vocabulary-volume
+    self-equi-join on term; per-term source fan-out is bounded by the
+    source count.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    terms = (
+        documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("n_vocab"),
+    )
+    t = terms.join(F.broadcast(totals), "source")
+    t1 = t.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("a"),
+        F.col("n_tok").alias("n1"),
+        F.col("n_vocab").alias("v1"),
+    )
+    t2 = t.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("b"),
+        F.col("n_tok").alias("n2"),
+        F.col("n_vocab").alias("v2"),
+    )
+    inter = t1.join(t2, "term").filter(F.col("source_a") < F.col("source_b"))
+    mix_ln = lnn(F.col("a") * F.col("n2") + F.col("b") * F.col("n1"))
+    g = inter.groupBy("source_a", "source_b", "n1", "n2", "v1", "v2").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum("a").cast("long").alias("a_int"),
+        F.sum("b").cast("long").alias("b_int"),
+        F.sum(
+            d38(F.col("a"))
+            * d38(lnn(F.lit(2) * F.col("a") * F.col("n2")) - mix_ln)
+        ).alias("sa"),
+        F.sum(
+            d38(F.col("b"))
+            * d38(lnn(F.lit(2) * F.col("b") * F.col("n1")) - mix_ln)
+        ).alias("sb"),
+    )
+    sa_tot = (
+        F.col("sa")
+        + d38(F.col("n1") - F.col("a_int")) * d38(F.lit(LN2_NANO))
+    ).cast("decimal(38,0)")
+    sb_tot = (
+        F.col("sb")
+        + d38(F.col("n2") - F.col("b_int")) * d38(F.lit(LN2_NANO))
+    ).cast("decimal(38,0)")
+    return g.select(
+        "source_a",
+        "source_b",
+        (F.col("v1") + F.col("v2") - F.col("n_common")).alias("n_terms_union"),
+        (
+            (
+                dec_to_double_exact(sa_tot) / F.col("n1").cast("double")
+                + dec_to_double_exact(sb_tot) / F.col("n2").cast("double")
+            )
+            / F.lit(1e9)
+            / F.lit(2.0)
+        ).alias("jsd_nats"),
+    ).orderBy("source_a", "source_b")

@@ -8151,3 +8151,138 @@ ORDER BY p.source
 
 
 ORACLES["theil_index"] = _theil_sql()
+
+
+# Twin of operators/analytics.py:kendall_tau_matrix — identical quantized
+# grid, densified dominance windows, HUGEINT pair counts, same emission.
+def _kendall_sql() -> str:
+    from inde1_spark.operators.analytics import SPEARMAN_COLS, TAU_DIVS
+
+    snap = ", ".join(
+        f"CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        f" // {TAU_DIVS[i]} AS v_{i}"
+        for i, c in enumerate(SPEARMAN_COLS)
+    )
+    ctes = [f"vals AS MATERIALIZED (SELECT {snap} FROM lineitem)"]
+    parts = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            p = f"{i}{j}"
+            ctes.append(f"""cells_{p} AS MATERIALIZED (
+  SELECT v_{i} AS va, v_{j} AS vb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+)""")
+            ctes.append(f"""ma_{p} AS MATERIALIZED (
+  SELECT va, CAST(SUM(c) AS BIGINT) AS ta FROM cells_{p} GROUP BY 1
+)""")
+            ctes.append(f"""mb_{p} AS MATERIALIZED (
+  SELECT vb, CAST(SUM(c) AS BIGINT) AS tb FROM cells_{p} GROUP BY 1
+)""")
+            ctes.append(f"""grid_{p} AS (
+  SELECT m1.va, m2.vb, COALESCE(k.c, CAST(0 AS BIGINT)) AS c
+  FROM ma_{p} m1 CROSS JOIN mb_{p} m2
+  LEFT JOIN cells_{p} k ON k.va = m1.va AND k.vb = m2.vb
+)""")
+            ctes.append(f"""g2_{p} AS (
+  SELECT va, vb, c,
+    COALESCE(CAST(SUM(c) OVER (PARTITION BY va ORDER BY vb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      CAST(0 AS BIGINT)) AS cb_lt,
+    COALESCE(CAST(SUM(c) OVER (PARTITION BY va ORDER BY vb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      CAST(0 AS BIGINT)) AS cb_gt
+  FROM grid_{p}
+)""")
+            ctes.append(f"""g3_{p} AS (
+  SELECT c,
+    COALESCE(CAST(SUM(cb_lt) OVER (PARTITION BY vb ORDER BY va
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      CAST(0 AS BIGINT)) AS p_lt,
+    COALESCE(CAST(SUM(cb_gt) OVER (PARTITION BY vb ORDER BY va
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      CAST(0 AS BIGINT)) AS p_gt
+  FROM g2_{p}
+)""")
+            ctes.append(f"""stat_{p} AS (
+  SELECT
+    (SELECT CAST(SUM(CAST(c AS HUGEINT) * p_lt) AS HUGEINT) FROM g3_{p}) AS conc,
+    (SELECT CAST(SUM(CAST(c AS HUGEINT) * p_gt) AS HUGEINT) FROM g3_{p}) AS disc,
+    (SELECT CAST(SUM(CAST(ta AS HUGEINT) * (ta - 1)) AS HUGEINT) FROM ma_{p}) AS n1x2,
+    (SELECT CAST(SUM(ta) AS BIGINT) FROM ma_{p}) AS n_rows,
+    (SELECT CAST(SUM(CAST(tb AS HUGEINT) * (tb - 1)) AS HUGEINT) FROM mb_{p}) AS n2x2
+)""")
+            n0x2 = "CAST(n_rows AS HUGEINT) * (n_rows - 1)"
+            da = f"({n0x2} - n1x2)"
+            db = f"({n0x2} - n2x2)"
+            num = "(conc - disc)"
+            parts.append(
+                f"SELECT '{SPEARMAN_COLS[i]}' AS col_a,"
+                f" '{SPEARMAN_COLS[j]}' AS col_b, n_rows,"
+                f" CAST(conc AS VARCHAR) AS concordant,"
+                f" CAST(disc AS VARCHAR) AS discordant,"
+                f" 2.0 * {_dec2d(num)}"
+                f" / (sqrt({_dec2d(da)}) * sqrt({_dec2d(db)})) AS tau_b"
+                f" FROM stat_{p} WHERE {da} > 0 AND {db} > 0"
+            )
+    with_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(parts)
+    return f"WITH {with_block}\nSELECT * FROM ({union}) ORDER BY col_a, col_b"
+
+
+ORACLES["kendall_tau_matrix"] = _kendall_sql()
+
+
+# Twin of operators/scoring.py:jsd_sources — identical integer-product nano
+# logs, closed-form one-sided ln2 mass, HUGEINT accumulation.
+def _jsd_sources_sql() -> str:
+    from inde1_spark.operators.scoring import LN2_NANO
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    mix = lnn("a * n2 + b * n1")
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab
+  FROM terms GROUP BY 1
+),
+t AS MATERIALIZED (
+  SELECT terms.source, term, c, n_tok, n_vocab
+  FROM terms JOIN totals USING (source)
+),
+inter AS (
+  SELECT t1.source AS source_a, t2.source AS source_b,
+         t1.n_tok AS n1, t2.n_tok AS n2,
+         t1.n_vocab AS v1, t2.n_vocab AS v2,
+         t1.c AS a, t2.c AS b
+  FROM t t1 JOIN t t2 ON t1.term = t2.term AND t1.source < t2.source
+),
+g AS (
+  SELECT source_a, source_b, n1, n2, v1, v2,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(a) AS BIGINT) AS a_int,
+         CAST(SUM(b) AS BIGINT) AS b_int,
+         CAST(SUM(CAST(a AS HUGEINT) * ({lnn('2 * a * n2')} - {mix}))
+           AS HUGEINT) AS sa,
+         CAST(SUM(CAST(b AS HUGEINT) * ({lnn('2 * b * n1')} - {mix}))
+           AS HUGEINT) AS sb
+  FROM inter GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT source_a, source_b, v1 + v2 - n_common AS n_terms_union,
+       ({_dec2d(f'sa + CAST(n1 - a_int AS HUGEINT) * {LN2_NANO}')}
+          / CAST(n1 AS DOUBLE)
+        + {_dec2d(f'sb + CAST(n2 - b_int AS HUGEINT) * {LN2_NANO}')}
+          / CAST(n2 AS DOUBLE)) / 1e9 / 2.0 AS jsd_nats
+FROM g ORDER BY source_a, source_b
+"""
+
+
+ORACLES["jsd_sources"] = _jsd_sources_sql()
