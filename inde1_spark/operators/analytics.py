@@ -6240,3 +6240,235 @@ def kendall_tau_matrix(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("col_a", "col_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout audit (the locality upgrade over Morton/z-order)
+# ---------------------------------------------------------------------------
+
+HILBERT_BITS = 10     # per-dimension resolution, matches ZORDER_BITS
+HILBERT_BUCKETS = 64
+
+
+def hilbert_layout(
+    events: DataFrame,
+    bits: int = HILBERT_BITS,
+    n_buckets: int = HILBERT_BUCKETS,
+) -> DataFrame:
+    """Hilbert-curve layout audit over the same (hour, user) key space as
+    ``zorder_layout`` — same bucket/envelope output shape, so the two
+    reports diff directly. Hilbert is the layout a 100 TB table actually
+    wants when both predicates matter: unlike Morton order it has NO long
+    diagonal jumps, so consecutive curve positions are always adjacent
+    cells and per-file min/max envelopes are provably tighter (the
+    measured h_span/u_span columns are the comparison).
+
+    The xy->d transform is the classic quadrant-rotation recurrence.
+    Instead of unrolling it into nested CASE columns (expression trees
+    grow 4^bits — the analyzer-OOM trap CLAUDE.md pins for iterative
+    unrolls), the per-row state (d, x, y) is PACKED into one BIGINT
+    (d*2^32 + x*2^16 + y, exact under 2^52 so even the double-backed
+    lambda arithmetic is lossless) and advanced by a row-local
+    fold — Spark ``F.aggregate`` over the descending s-powers, DuckDB
+    ``list_reduce`` over the same list, identical integer steps. No UDF,
+    no shuffle beyond the final <= n_buckets-key reduce.
+
+    Scale: identical to zorder_layout — one corpus pass + a bounded-key
+    aggregate; the fold is 10 interpreted steps per row (measured noise
+    next to the scan), and the curve value feeds the same
+    repartitionByRange write the z-order audit gates.
+    """
+    hour = F.expr("unix_timestamp(ts) div 3600").cast("long")
+    base = events.select(
+        F.col("user_id").cast("long").alias("uid"), hour.alias("h")
+    )
+    lims = base.agg(
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+        F.min("uid").alias("u_min"),
+        F.max("uid").alias("u_max"),
+    )
+    cells = 1 << bits
+    hx = F.expr(
+        f"CAST(((h - h_min) * {cells}) div (h_max - h_min + 1) AS BIGINT)"
+    )
+    ux = F.expr(
+        f"CAST(((uid - u_min) * {cells}) div (u_max - u_min + 1) AS BIGINT)"
+    )
+    scaled = base.join(F.broadcast(lims)).select(
+        "uid", "h", hx.alias("hx"), ux.alias("ux")
+    )
+
+    P16, P32 = 1 << 16, 1 << 32
+
+    def fdiv(a, p):  # exact floor-div for non-negative packed longs
+        return ((a - a % F.lit(p)) / F.lit(p)).cast("long")
+
+    steps = F.expr(
+        "array(" + ",".join(str(1 << b) for b in reversed(range(bits))) + ")"
+    )
+
+    def hstep(acc, s):
+        d = fdiv(acc, P32)
+        x = fdiv(acc, P16) % F.lit(P16)
+        y = acc % F.lit(P16)
+        rx = ((x - x % s) / s).cast("long") % F.lit(2)
+        ry = ((y - y % s) / s).cast("long") % F.lit(2)
+        quad = rx * (F.lit(3) - ry) + (F.lit(1) - rx) * ry
+        d2 = d + s * s * quad
+        xm = x % s
+        ym = y % s
+        x2 = F.when(ry == F.lit(1), xm).otherwise(
+            F.when(rx == F.lit(1), s - F.lit(1) - ym).otherwise(ym)
+        )
+        y2 = F.when(ry == F.lit(1), ym).otherwise(
+            F.when(rx == F.lit(1), s - F.lit(1) - xm).otherwise(xm)
+        )
+        return d2 * F.lit(P32) + x2 * F.lit(P16) + y2
+
+    acc0 = (F.col("hx") * F.lit(P16) + F.col("ux")).cast("long")
+    hd = fdiv(F.aggregate(steps, acc0, hstep), P32)
+    return (
+        scaled.withColumn("hv", hd)
+        .select(
+            F.expr(
+                f"CAST(hv div {(1 << (2 * bits)) // n_buckets} AS BIGINT)"
+            ).alias("bucket"),
+            "uid",
+            "h",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+            F.min("uid").alias("u_lo"),
+            F.max("uid").alias("u_hi"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            (F.col("h_hi") - F.col("h_lo")).alias("h_span"),
+            (F.col("u_hi") - F.col("u_lo")).alias("u_span"),
+            "h_lo",
+            "u_lo",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe spread homogeneity (the robust Levene variant)
+# ---------------------------------------------------------------------------
+
+def brown_forsythe(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test: do the k event-type groups have the same
+    SPREAD? The robust (median-centered) Levene variant — the
+    equal-variance precondition audit for the mean-comparison family
+    (t-tests/ANOVA assume it; ``kruskal_wallis`` sidesteps it), and the
+    variance-drift check a pipeline runs when distributions may widen
+    without moving their center.
+
+    One corpus pass builds the (type, micro-value) histogram; the group
+    medians (exact lower medians), the absolute deviations z = |y - med|,
+    and every moment after that live entirely ON the histogram — the
+    corpus is never rejoined. The F statistic follows the kruskal
+    micro-grid contract: each S_g^2/n_g quotient micro-rounded half-up
+    exactly via decimal(38,0) floor-division, between/within sums kept
+    as exact micro integers (emitted as strings — they overflow BIGINT
+    at corpus scale), ONE final IEEE divide chain for f_stat.
+
+    Scale: histogram keys bounded by the value domain; the per-type
+    cumulative window orders DISTINCT values (single-task per type —
+    coarsen the grid past ~1e6 distincts, as in spearman_corr). S_g^2
+    fits decimal(38,0) to ~1e9 rows x 1e9 micro-deviations; rescale the
+    grid beyond.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    hist = (
+        events.select("event_type", y.alias("y"))
+        .groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "y",
+        "m",
+        F.sum("m").over(wt).cast("long").alias("n_g"),
+        F.sum("m").over(wc).cast("long").alias("cum"),
+    )
+    meds = (
+        cum.filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("y").alias("med"))
+    )
+    dev = hist.join(F.broadcast(meds), "event_type").select(
+        "event_type", F.abs(F.col("y") - F.col("med")).alias("z"), "m"
+    )
+    grp = dev.groupBy("event_type").agg(
+        F.sum("m").cast("long").alias("n_g"),
+        F.sum(d38(F.col("m")) * d38(F.col("z"))).alias("s_g"),
+        F.sum(d38(F.col("m")) * d38(F.col("z")) * d38(F.col("z"))).alias(
+            "ss_g"
+        ),
+    )
+    q_micro = dec_floordiv(
+        (
+            F.col("s_g") * F.col("s_g") * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("n_g"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("n_g")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    agg = grp.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        q_micro.cast("decimal(38,0)").alias("q_micro"),
+    ).agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("s_g").alias("s_tot"),
+        F.sum("q_micro").alias("q_sum"),
+        F.sum(F.col("ss_g") * F.lit(1_000_000)).alias("ss_micro"),
+    )
+    q_tot = dec_floordiv(
+        (
+            F.col("s_tot") * F.col("s_tot") * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("n_total"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("n_total")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    fin = agg.select(
+        "n_total",
+        "k_groups",
+        (F.col("q_sum") - q_tot).cast("decimal(38,0)").alias("bss"),
+        (F.col("ss_micro") - F.col("q_sum")).cast("decimal(38,0)").alias("wss"),
+    )
+    return fin.filter(
+        (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (F.col("wss") > 0)
+    ).select(
+        "n_total",
+        "k_groups",
+        F.col("bss").cast("string").alias("bss_micro"),
+        F.col("wss").cast("string").alias("wss_micro"),
+        (
+            dec_to_double_exact(F.col("bss"))
+            / dec_to_double_exact(F.col("wss"))
+            * (F.col("n_total") - F.col("k_groups")).cast("double")
+            / (F.col("k_groups") - 1).cast("double")
+        ).alias("f_stat"),
+    )

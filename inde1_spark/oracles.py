@@ -8286,3 +8286,127 @@ FROM g ORDER BY source_a, source_b
 
 
 ORACLES["jsd_sources"] = _jsd_sources_sql()
+
+
+# Twin of operators/analytics.py:hilbert_layout — identical packed-BIGINT
+# fold (list_reduce) over the descending s-powers, same bucket/envelope agg.
+def _hilbert_sql() -> str:
+    from inde1_spark.operators.analytics import HILBERT_BITS, HILBERT_BUCKETS
+
+    cells = 1 << HILBERT_BITS
+    x = "((acc // 65536) % 65536)"
+    y = "(acc % 65536)"
+    rx = f"(({x} // s) % 2)"
+    ry = f"(({y} // s) % 2)"
+    quad = f"({rx} * (3 - {ry}) + (1 - {rx}) * {ry})"
+    d2 = f"(acc // 4294967296 + s * s * {quad})"
+    x2 = (
+        f"(CASE WHEN {ry} = 1 THEN {x} % s"
+        f" WHEN {rx} = 1 THEN s - 1 - ({y} % s)"
+        f" ELSE {y} % s END)"
+    )
+    y2 = (
+        f"(CASE WHEN {ry} = 1 THEN {y} % s"
+        f" WHEN {rx} = 1 THEN s - 1 - ({x} % s)"
+        f" ELSE {x} % s END)"
+    )
+    body = f"{d2} * 4294967296 + {x2} * 65536 + {y2}"
+    s_list = ", ".join(str(1 << b) for b in reversed(range(HILBERT_BITS)))
+    return f"""
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events
+),
+lims AS (
+  SELECT min(h) AS h_min, max(h) AS h_max,
+         min(uid) AS u_min, max(uid) AS u_max
+  FROM base
+),
+scaled AS (
+  SELECT uid, h,
+         ((h - h_min) * {cells}) // (h_max - h_min + 1) AS hx,
+         ((uid - u_min) * {cells}) // (u_max - u_min + 1) AS ux
+  FROM base, lims
+),
+hv AS (
+  SELECT uid, h,
+         list_reduce([CAST(hx * 65536 + ux AS BIGINT), {s_list}],
+                     (acc, s) -> {body}) // 4294967296 AS hv
+  FROM scaled
+)
+SELECT CAST(hv // {(1 << (2 * HILBERT_BITS)) // HILBERT_BUCKETS} AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(h) - min(h) AS BIGINT) AS h_span,
+       CAST(max(uid) - min(uid) AS BIGINT) AS u_span,
+       CAST(min(h) AS BIGINT) AS h_lo,
+       CAST(min(uid) AS BIGINT) AS u_lo
+FROM hv GROUP BY 1
+"""
+
+
+ORACLES["hilbert_layout"] = _hilbert_sql()
+
+
+# Twin of operators/analytics.py:brown_forsythe — identical histogram
+# medians, micro-grid quotients, HUGEINT between/within, same F emission.
+ORACLES["brown_forsythe"] = f"""
+WITH hist AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, y, m,
+         CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n_g,
+         CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM hist
+),
+meds AS (
+  SELECT event_type, MIN(y) AS med FROM cum
+  WHERE cum >= (n_g + 1) // 2 GROUP BY 1
+),
+dev AS (
+  SELECT h.event_type, abs(h.y - d.med) AS z, h.m
+  FROM hist h JOIN meds d USING (event_type)
+),
+grp AS (
+  SELECT event_type, CAST(SUM(m) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(m AS HUGEINT) * z) AS HUGEINT) AS s_g,
+         CAST(SUM(CAST(m AS HUGEINT) * z * z) AS HUGEINT) AS ss_g
+  FROM dev GROUP BY 1
+),
+quot AS (
+  SELECT n_g, s_g, ss_g,
+         (s_g * s_g * 1000000 * 2 + CAST(n_g AS HUGEINT))
+           // (CAST(n_g AS HUGEINT) * 2) AS q_micro
+  FROM grp
+),
+agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(s_g) AS HUGEINT) AS s_tot,
+         CAST(SUM(q_micro) AS HUGEINT) AS q_sum,
+         CAST(SUM(ss_g * 1000000) AS HUGEINT) AS ss_micro
+  FROM quot
+),
+fin AS (
+  SELECT n_total, k_groups,
+         q_sum - (s_tot * s_tot * 1000000 * 2 + CAST(n_total AS HUGEINT))
+                   // (CAST(n_total AS HUGEINT) * 2) AS bss,
+         ss_micro - q_sum AS wss
+  FROM agg
+)
+SELECT n_total, k_groups,
+       CAST(bss AS VARCHAR) AS bss_micro,
+       CAST(wss AS VARCHAR) AS wss_micro,
+       {_dec2d('bss')} / {_dec2d('wss')}
+         * CAST(n_total - k_groups AS DOUBLE)
+         / CAST(k_groups - 1 AS DOUBLE) AS f_stat
+FROM fin
+WHERE k_groups > 1 AND n_total > k_groups AND wss > 0
+"""
