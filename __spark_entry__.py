@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_sources": lambda sp, d: SC.jsd_sources(_t(sp, d, "documents")),
         "hilbert_layout": lambda sp, d: A.hilbert_layout(_t(sp, d, "events")),
         "brown_forsythe": lambda sp, d: A.brown_forsythe(_t(sp, d, "events")),
+        "holt_winters": lambda sp, d: A.holt_winters(_t(sp, d, "events")),
+        "fellegi_sunter_linkage": lambda sp, d: D.fellegi_sunter_linkage(
+            _t(sp, d, "documents")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

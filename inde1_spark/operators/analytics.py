@@ -6472,3 +6472,102 @@ def brown_forsythe(events: DataFrame) -> DataFrame:
             / (F.col("k_groups") - 1).cast("double")
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (exact dyadic-integer recursion)
+# ---------------------------------------------------------------------------
+
+HW_SEASON = 7  # weekly seasonality on the daily grid
+
+
+def holt_winters(events: DataFrame) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly season) over the
+    daily event-count series — the seasonal upgrade of ``holt_linear``:
+    one-step-ahead fits that track day-of-week shape, the forecasting
+    baseline for traffic-style series.
+
+    Exactness contract: alpha=1/2, beta=1/4, gamma=1/2 are DYADIC, the
+    state is scaled x7 (so the first-week initialization — level = the
+    week's mean — is an exact integer), and every smoothing update is a
+    TRUNCATING integer division by a power of two, spelled (a - a%k)/k
+    in both engines (Spark and DuckDB % both take the dividend's sign,
+    so truncation agrees on negative trends). No floats anywhere; the
+    fitted values hash exactly.
+
+    The recursion carries (level, trend, 7 seasonals): Spark folds ONE
+    row holding the sorted bounded daily series (the burst_viterbi
+    recipe — sequential algorithms unroll on bounded tables, never on
+    the corpus); DuckDB replays it as a list-carrying recursive CTE.
+    Scale: the corpus-volume work is the daily count; the fold is
+    O(days) on one row.
+    """
+    m = HW_SEASON
+
+    def tdiv(a, k):  # truncating dyadic division, engine-identical
+        return ((a - a % F.lit(k)) / F.lit(k)).cast("long")
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    packed = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("x")))
+        ).alias("arr")
+    ).filter(F.size("arr") >= m + 1)
+    # init on the first season: level = sum of week-1 counts (x7 mean),
+    # trend = 0, seasonal_i = 7*x_i - level
+    l0 = F.aggregate(
+        F.slice(F.col("arr"), 1, m),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["x"],
+    )
+    base = packed.select("arr", l0.alias("l0"))
+    s0 = F.transform(
+        F.slice(F.col("arr"), 1, m), lambda e: e["x"] * F.lit(m) - F.col("l0")
+    )
+    out_t = "array<struct<day:string,x:bigint,fitted:bigint>>"
+    init = F.struct(
+        F.col("l0").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        s0.alias("s"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def step(acc, e):
+        s_old = F.element_at(acc["s"], 1)
+        xp = e["x"] * F.lit(m)
+        l_new = tdiv(xp - s_old + acc["l"] + acc["b"], 2)
+        b_new = tdiv(l_new - acc["l"] + F.lit(3) * acc["b"], 4)
+        s_val = tdiv(xp - l_new + s_old, 2)
+        fitted = acc["l"] + acc["b"] + s_old
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(s_val)).alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["day"].alias("day"),
+                        e["x"].alias("x"),
+                        fitted.alias("fitted"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = base.select(
+        F.aggregate(
+            F.slice(F.col("arr"), m + 1, F.size("arr") - m),
+            init,
+            step,
+        )["out"].alias("out")
+    )
+    row = folded.select(F.explode("out").alias("r"))
+    return row.select(
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("n_events"),
+        F.col("r.fitted").alias("fitted_x7"),
+        (F.col("r.x") * F.lit(m) - F.col("r.fitted")).alias("resid_x7"),
+    ).orderBy("day")

@@ -2321,3 +2321,122 @@ def dedup_savings_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights (learned from the dedup ground truth)
+# ---------------------------------------------------------------------------
+
+FS_LEN_BAND = 256  # n_chars band width for the length-agreement feature
+
+
+def fellegi_sunter_linkage(documents: DataFrame) -> DataFrame:
+    """Fellegi-Sunter (1969) record-linkage weights learned from the
+    corpus's own near-dup ground truth — the probabilistic-matching
+    layer the dedup family was missing: given cheap field-agreement
+    features, what LOG-ODDS weight does each contribute to "same
+    record"? Downstream, unlabeled candidate pairs are scored by summing
+    the weights of their agreeing/disagreeing features — the classic
+    blocking+scoring linkage pipeline, with the minhash/shingle
+    candidates as the blocking stage.
+
+    Comparison space = all shingle-co-occurring pairs (the posting-list
+    join, never a cartesian); label = exact 3-gram Jaccard >=
+    JACCARD_THRESHOLD (the engine's dedup ground truth); features =
+    lang / source / length-band agreement. m_k = P(agree | match) and
+    u_k = P(agree | non-match) are exact count ratios; the agreement and
+    disagreement weights ln(m/u), ln((1-m)/(1-u)) are emitted through
+    nano-snapped logs of INTEGER count products (< 2^53 up to ~3e6
+    labeled pairs per side; downsample the comparison space past that).
+    Degenerate features (zero agreement mass on either side) emit NULL
+    weights identically in both engines.
+
+    Scale: the pair join is the dedup_ngram_jaccard plan (df-capped in
+    production via cap_shingle_df); the melt is 3x bounded pair rows;
+    everything after is a 3-key aggregate.
+    """
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    pairs = _pair_jaccard(shingle_table(documents))
+    meta = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {FS_LEN_BAND}").alias("lb"),
+    )
+    m1, m2 = meta.alias("m1"), meta.alias("m2")
+    feats = (
+        pairs.join(m1, F.col("doc_a") == F.col("m1.doc_id"))
+        .join(m2, F.col("doc_b") == F.col("m2.doc_id"))
+        .select(
+            (F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).alias("is_match"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lang").alias("feature"),
+                        (F.col("m1.lang") == F.col("m2.lang"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("source").alias("feature"),
+                        (F.col("m1.source") == F.col("m2.source"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("len_band").alias("feature"),
+                        (F.col("m1.lb") == F.col("m2.lb"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("is_match", "s.feature", "s.agree")
+    )
+    g = feats.groupBy("feature").agg(
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).cast("long").alias("n_match"),
+        F.sum(F.when(~F.col("is_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonmatch"),
+        F.sum(F.when(F.col("is_match"), F.col("agree")).otherwise(0))
+        .cast("long")
+        .alias("agree_m"),
+        F.sum(F.when(~F.col("is_match"), F.col("agree")).otherwise(0))
+        .cast("long")
+        .alias("agree_u"),
+    )
+    w_agree = F.when(
+        (F.col("agree_m") > 0)
+        & (F.col("agree_u") > 0)
+        & (F.col("n_match") > 0)
+        & (F.col("n_nonmatch") > 0),
+        (
+            lnn(F.col("agree_m") * F.col("n_nonmatch"))
+            - lnn(F.col("agree_u") * F.col("n_match"))
+        ).cast("double")
+        / F.lit(1e9),
+    )
+    w_disagree = F.when(
+        (F.col("n_match") - F.col("agree_m") > 0)
+        & (F.col("n_nonmatch") - F.col("agree_u") > 0)
+        & (F.col("n_match") > 0)
+        & (F.col("n_nonmatch") > 0),
+        (
+            lnn((F.col("n_match") - F.col("agree_m")) * F.col("n_nonmatch"))
+            - lnn((F.col("n_nonmatch") - F.col("agree_u")) * F.col("n_match"))
+        ).cast("double")
+        / F.lit(1e9),
+    )
+    return g.select(
+        "feature",
+        "n_match",
+        "n_nonmatch",
+        "agree_m",
+        "agree_u",
+        w_agree.alias("w_agree"),
+        w_disagree.alias("w_disagree"),
+    ).orderBy("feature")

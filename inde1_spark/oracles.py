@@ -8410,3 +8410,122 @@ SELECT n_total, k_groups,
 FROM fin
 WHERE k_groups > 1 AND n_total > k_groups AND wss > 0
 """
+
+
+# Twin of operators/analytics.py:holt_winters — the identical x7-scaled
+# truncating dyadic recursion replayed as a list-carrying recursive CTE.
+def _holt_winters_sql() -> str:
+    from inde1_spark.operators.analytics import HW_SEASON
+
+    m = HW_SEASON
+
+    def td(a: str, k: int) -> str:  # truncating division, dividend-sign %
+        return f"((({a}) - ({a}) % {k}) // {k})"
+
+    l_new = td("xp - s_old + pl + pb", 2)
+    b_new = td(f"{l_new} - pl + 3 * pb", 4)
+    s_val = td(f"xp - {l_new} + s_old", 2)
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+init AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS l FROM idx WHERE t <= {m}
+),
+s_init AS (
+  SELECT list(x * {m} - l ORDER BY t) AS s FROM idx, init WHERE t <= {m}
+),
+rec AS (
+  SELECT CAST({m} AS BIGINT) AS t, i.l AS l, CAST(0 AS BIGINT) AS b, s.s AS s,
+         CAST(NULL AS VARCHAR) AS day, CAST(NULL AS BIGINT) AS x,
+         CAST(NULL AS BIGINT) AS fitted
+  FROM init i, s_init s
+  UNION ALL
+  SELECT t, {l_new} AS l, {b_new} AS b,
+         list_append(s_prev[2:{m}], {s_val}) AS s,
+         day, x, pl + pb + s_old AS fitted
+  FROM (
+    SELECT d.t, d.day, d.x, r.l AS pl, r.b AS pb, r.s AS s_prev,
+           r.s[1] AS s_old, d.x * {m} AS xp
+    FROM rec r JOIN idx d ON d.t = r.t + 1
+  )
+)
+SELECT day, x AS n_events, fitted AS fitted_x7, x * {m} - fitted AS resid_x7
+FROM rec WHERE t > {m}
+ORDER BY day
+"""
+
+
+ORACLES["holt_winters"] = _holt_winters_sql()
+
+
+# Twin of operators/dedup.py:fellegi_sunter_linkage — identical pair space
+# (shingle posting-list join), labels, and nano-log count-product weights.
+def _fellegi_sunter_sql() -> str:
+    from inde1_spark.operators.dedup import FS_LEN_BAND
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    w_agree = (
+        f"CASE WHEN agree_m > 0 AND agree_u > 0"
+        f" AND n_match > 0 AND n_nonmatch > 0"
+        f" THEN CAST({lnn('agree_m * n_nonmatch')}"
+        f" - {lnn('agree_u * n_match')} AS DOUBLE) / 1e9 END"
+    )
+    w_disagree = (
+        f"CASE WHEN n_match - agree_m > 0 AND n_nonmatch - agree_u > 0"
+        f" AND n_match > 0 AND n_nonmatch > 0"
+        f" THEN CAST({lnn('(n_match - agree_m) * n_nonmatch')}"
+        f" - {lnn('(n_nonmatch - agree_u) * n_match')} AS DOUBLE) / 1e9 END"
+    )
+    return f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_jaccard_from_inter(0.0)}),
+basep AS MATERIALIZED (
+  SELECT p.jaccard >= {JACCARD_THRESHOLD} AS is_match,
+         d1.lang AS l1, d2.lang AS l2,
+         d1.source AS s1, d2.source AS s2,
+         CAST(d1.n_chars AS BIGINT) // {FS_LEN_BAND} AS b1,
+         CAST(d2.n_chars AS BIGINT) // {FS_LEN_BAND} AS b2
+  FROM pairs p
+  JOIN documents d1 ON d1.doc_id = p.doc_a
+  JOIN documents d2 ON d2.doc_id = p.doc_b
+),
+feats AS (
+  SELECT is_match, 'lang' AS feature, CAST(l1 = l2 AS BIGINT) AS agree
+  FROM basep
+  UNION ALL
+  SELECT is_match, 'source', CAST(s1 = s2 AS BIGINT) FROM basep
+  UNION ALL
+  SELECT is_match, 'len_band', CAST(b1 = b2 AS BIGINT) FROM basep
+),
+g AS (
+  SELECT feature,
+         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_nonmatch,
+         CAST(SUM(CASE WHEN is_match THEN agree ELSE 0 END) AS BIGINT)
+           AS agree_m,
+         CAST(SUM(CASE WHEN is_match THEN 0 ELSE agree END) AS BIGINT)
+           AS agree_u
+  FROM feats GROUP BY 1
+)
+SELECT feature, n_match, n_nonmatch, agree_m, agree_u,
+       {w_agree} AS w_agree,
+       {w_disagree} AS w_disagree
+FROM g ORDER BY feature
+"""
+
+
+ORACLES["fellegi_sunter_linkage"] = _fellegi_sunter_sql()
