@@ -1489,12 +1489,18 @@ def theil_index(documents: DataFrame) -> DataFrame:
     def lnn(c):
         return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
 
+    from inde1_spark.operators.dedup import _persist
+
     base = documents.select(
         "source", F.col("n_chars").cast("long").alias("x")
     ).filter(F.col("x") > 0)
-    per_src = base.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("x").cast("long").alias("x_sum"),
+    # persisted: the |sources|-row table feeds the per-doc term join, the
+    # corpus total and the output join — one corpus aggregation, three reads
+    per_src = _persist(
+        base.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("x").cast("long").alias("x_sum"),
+        )
     )
     # per-doc terms need n_g and X_g alongside every row: broadcast the
     # bounded per-source table back onto the corpus

@@ -958,7 +958,12 @@ def jsd_sources(documents: DataFrame) -> DataFrame:
 
     from inde1_spark.functions.exprs import dec_to_double_exact
 
-    terms = (
+    from inde1_spark.operators.dedup import _persist
+
+    # persisted: the (source, term) count table feeds the totals agg and
+    # BOTH sides of the pair self-join — without it each consumer replays
+    # the corpus tokenize+explode
+    terms = _persist(
         documents.select("source", F.explode(tokens("text")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("c"))

@@ -1261,3 +1261,84 @@ def test_hurst_single_daily_preagg(spark):
     r = plan_report(Q["hurst_exponent"](spark, SF_SMOKE))
     assert r.parquet_scans <= 2
     assert r.sort_merge_joins == 0
+
+
+def test_cusum_drift_window_only_closed_form(spark):
+    # prefix sum + running extrema over the bounded daily table; no
+    # recursion unroll, no self-join; the 1-row totals broadcast is the
+    # only (benign) nested-loop
+    r = plan_report(Q["cusum_drift"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1
+
+
+def test_wilcoxon_single_pass_histogram_ranks(spark):
+    # one corpus scan (daily conditional agg); ranks ride the bounded |d|
+    # histogram
+    assert_plan(
+        Q["wilcoxon_signed_rank"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+
+
+def test_theil_per_source_table_cached(spark):
+    # the |sources|-row per_src table is persisted for its three consumers;
+    # the per-doc join broadcasts it
+    r = plan_report(Q["theil_index"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 3
+    assert r.broadcast_hash_joins >= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_kendall_cells_cached_no_row_self_join(spark):
+    # the bounded 6-pair cell table is persisted (grid + both marginals);
+    # dominance comes from windows on the grid, never a row self-join
+    r = plan_report(Q["kendall_tau_matrix"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 3
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
+
+
+def test_jsd_term_table_cached_intersection_only(spark):
+    # the (source, term) count table is persisted for the totals agg and
+    # both self-join sides; one corpus tokenize+explode total
+    r = plan_report(Q["jsd_sources"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 3
+    assert r.parquet_scans <= 1 or r.raw.count("InMemoryTableScan") >= 3
+    assert r.sort_merge_joins == 0
+
+
+def test_hilbert_layout_fold_no_unroll(spark):
+    # same shape as zorder_layout: one corpus pass + the bounded-key
+    # bucket agg; the curve fold is row-local (no joins beyond the 1-row
+    # limits broadcast)
+    r = plan_report(Q["hilbert_layout"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1
+
+
+def test_brown_forsythe_histogram_only(spark):
+    # medians, deviations and every moment live on the (type, value)
+    # histogram; the meds join broadcasts; the corpus is never rejoined
+    r = plan_report(Q["brown_forsythe"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.broadcast_hash_joins >= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_holt_winters_bounded_fold(spark):
+    # one corpus scan to the daily agg; the recursion folds ONE row —
+    # no per-step exchanges, no joins
+    r = plan_report(Q["holt_winters"](spark, SF_SMOKE))
+    assert r.parquet_scans == 1
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
+
+
+def test_fellegi_sunter_posting_list_pairs(spark):
+    # the comparison space is the shingle posting-list join + broadcast
+    # metadata hops — never a cartesian
+    r = plan_report(Q["fellegi_sunter_linkage"](spark, SF_SMOKE))
+    assert r.nested_loop_joins == 0
+    assert "CartesianProduct" not in r.raw
