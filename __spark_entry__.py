@@ -277,6 +277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter_linkage": lambda sp, d: D.fellegi_sunter_linkage(
             _t(sp, d, "documents")
         ),
+        "anova_oneway": lambda sp, d: A.anova_oneway(_t(sp, d, "events")),
+        "dirichlet_query_likelihood": lambda sp, d: SC.dirichlet_query_likelihood(
+            _t(sp, d, "documents")
+        ),
+        "isotonic_daily": lambda sp, d: A.isotonic_daily(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

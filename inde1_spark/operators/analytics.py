@@ -6571,3 +6571,145 @@ def holt_winters(events: DataFrame) -> DataFrame:
         F.col("r.fitted").alias("fitted_x7"),
         (F.col("r.x") * F.lit(m) - F.col("r.fitted")).alias("resid_x7"),
     ).orderBy("day")
+
+
+def anova_oneway(events: DataFrame) -> DataFrame:
+    """Classic one-way ANOVA F across event types — the parametric member
+    completing the k-sample family: ``kruskal_wallis`` tests ranks,
+    ``brown_forsythe`` tests spreads, this tests MEANS under the equal-
+    variance assumption (which brown_forsythe itself audits).
+
+    Same exact micro-grid machinery as brown_forsythe, applied to the
+    raw micro values instead of median deviations: per-group
+    S_g^2/n_g quotients micro-rounded half-up in decimal(38,0),
+    between/within as exact micro integers (string-emitted), one IEEE
+    divide chain for F. Values shift to the global min first so the
+    squared sums stay small regardless of the domain's offset.
+
+    Scale: one corpus-volume groupBy onto |types| keys (map-side
+    combined); no histogram needed — moments suffice for means.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    raw = events.select("event_type", y.alias("y"))
+    gmin = raw.agg(F.min("y").alias("y_min"))
+    shifted = raw.join(F.broadcast(gmin)).select(
+        "event_type", (F.col("y") - F.col("y_min")).alias("z")
+    )
+    grp = shifted.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(d38(F.col("z"))).alias("s_g"),
+        F.sum(d38(F.col("z")) * d38(F.col("z"))).alias("ss_g"),
+    )
+    q_micro = dec_floordiv(
+        (
+            F.col("s_g") * F.col("s_g") * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("n_g"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("n_g")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    agg = grp.select(
+        "n_g", "s_g", "ss_g", q_micro.cast("decimal(38,0)").alias("q_micro")
+    ).agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("s_g").alias("s_tot"),
+        F.sum("q_micro").alias("q_sum"),
+        F.sum(F.col("ss_g") * F.lit(1_000_000)).alias("ss_micro"),
+    )
+    q_tot = dec_floordiv(
+        (
+            F.col("s_tot") * F.col("s_tot") * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("n_total"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("n_total")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    fin = agg.select(
+        "n_total",
+        "k_groups",
+        (F.col("q_sum") - q_tot).cast("decimal(38,0)").alias("bss"),
+        (F.col("ss_micro") - F.col("q_sum")).cast("decimal(38,0)").alias("wss"),
+    )
+    return fin.filter(
+        (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (F.col("wss") > 0)
+    ).select(
+        "n_total",
+        "k_groups",
+        F.col("bss").cast("string").alias("bss_micro"),
+        F.col("wss").cast("string").alias("wss_micro"),
+        (
+            dec_to_double_exact(F.col("bss"))
+            / dec_to_double_exact(F.col("wss"))
+            * (F.col("n_total") - F.col("k_groups")).cast("double")
+            / (F.col("k_groups") - 1).cast("double")
+        ).alias("f_stat"),
+    )
+
+
+def isotonic_daily(events: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) fit of the daily event-count
+    series — the PAVA regression used for trend extraction and score
+    calibration, here as the "is traffic really growing" baseline that
+    ``daily_trend_regression``'s straight line can't express.
+
+    PAVA's sequential pool-adjacent-violators loop is replaced by its
+    MINIMAX closed form: iso_i = max_{j<=i} min_{k>=i} avg(x_j..x_k),
+    which is pure window algebra on the bounded (j,k) interval grid —
+    exact micro-floored interval averages from prefix sums (decimal
+    floor-division, identical in DuckDB), a suffix-min per j, a max per
+    i. The |days|^2 inequality join is the deliberate bounded-table
+    trade (≈10^5 cells for a year of days); the corpus itself is touched
+    exactly once by the daily count.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("s"),
+    )
+    left = idx.select(
+        F.col("t").alias("j"), (F.col("s") - F.col("x")).alias("s_jm1")
+    )
+    right = idx.select(F.col("t").alias("k"), F.col("s").alias("s_k"))
+    avg_micro = dec_floordiv(
+        (
+            (F.col("s_k") - F.col("s_jm1")).cast("decimal(38,0)")
+            * F.lit(1_000_000)
+        ).cast("decimal(38,0)"),
+        (F.col("k") - F.col("j") + 1).cast("decimal(38,0)"),
+    )
+    pairs = (
+        left.join(right, F.col("k") >= F.col("j"))
+        .select("j", "k", avg_micro.cast("long").alias("a"))
+    )
+    wsuf = (
+        Window.partitionBy("j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "j", F.col("k").alias("i"), F.min("a").over(wsuf).alias("msuf")
+    )
+    iso = m.groupBy("i").agg(F.max("msuf").cast("long").alias("iso_micro"))
+    return (
+        idx.join(iso, idx["t"] == iso["i"])
+        .select("day", F.col("x").alias("n_events"), "iso_micro")
+        .orderBy("day")
+    )

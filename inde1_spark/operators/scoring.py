@@ -1023,3 +1023,93 @@ def jsd_sources(documents: DataFrame) -> DataFrame:
             / F.lit(2.0)
         ).alias("jsd_nats"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+
+DIRICHLET_MU = 2000  # the standard smoothing mass (Zhai & Lafferty 2001)
+
+
+def dirichlet_query_likelihood(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+    mu: int = DIRICHLET_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval — the language-model
+    member completing the classic scoring triple (TF-IDF, BM25, QL):
+    score(d) = Sum_q ln((c_dq + mu * c_q / N) / (|d| + mu)), the standard
+    LM ranking for decontamination-by-retrieval probes.
+
+    Hash-exact form: every ln runs over an INTEGER product —
+    ln(c_dq N + mu c_q) - ln(N (|d| + mu)) — nano-snapped. Documents
+    missing a query term contribute the closed-form smoothing-only mass,
+    so only docs CONTAINING query terms join anything: the base term
+    Sum_q ln(mu c_q) - |Q| ln(N(|d|+mu)) is row-local per doc (broadcast
+    scalar constants), and the correction joins the prefiltered (doc,
+    term) counts only. Query terms absent from the corpus drop in both
+    engines (ln 0 guard).
+
+    Scale: the BM25 prefilter shape — the (doc, term) shuffle carries
+    only query-term postings; everything else is row-local over one
+    corpus pass + a TakeOrdered top-k.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    qlist = [str(t) for t in query]
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dlen")
+    )
+    ntot = dl.agg(F.sum("dlen").cast("long").alias("n_tok"))
+    qtoks = toks.filter(F.col("term").isin(qlist))
+    cq = _persist(
+        qtoks.groupBy("term").agg(F.count("*").cast("long").alias("c_q"))
+    )
+    const = cq.join(F.broadcast(ntot)).agg(
+        F.sum(lnn(F.lit(mu) * F.col("c_q"))).cast("long").alias("base_nano"),
+        F.count("*").cast("long").alias("n_q"),
+    )
+    dq = (
+        qtoks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c_dq"))
+        .join(F.broadcast(cq), "term")
+        .join(F.broadcast(ntot))
+    )
+    delta = dq.groupBy("doc_id").agg(
+        F.sum(
+            lnn(F.col("c_dq") * F.col("n_tok") + F.lit(mu) * F.col("c_q"))
+            - lnn(F.lit(mu) * F.col("c_q"))
+        )
+        .cast("long")
+        .alias("delta_nano")
+    )
+    scored = (
+        dl.join(F.broadcast(ntot))
+        .join(F.broadcast(const))
+        .join(delta, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dlen",
+            (
+                F.col("base_nano")
+                + F.coalesce(F.col("delta_nano"), F.lit(0).cast("long"))
+                - F.col("n_q")
+                * lnn(F.col("n_tok") * (F.col("dlen") + F.lit(mu)))
+            ).alias("score_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "dlen",
+            (F.col("score_nano").cast("double") / F.lit(1e9)).alias("ql_score"),
+        )
+    )

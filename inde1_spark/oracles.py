@@ -8529,3 +8529,146 @@ FROM g ORDER BY feature
 
 
 ORACLES["fellegi_sunter_linkage"] = _fellegi_sunter_sql()
+
+
+# Twin of operators/analytics.py:anova_oneway — identical min-shifted micro
+# moments, exact quotients, same F emission as brown_forsythe.
+ORACLES["anova_oneway"] = f"""
+WITH raw AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+gmin AS (SELECT MIN(y) AS y_min FROM raw),
+grp AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(y - y_min AS HUGEINT)) AS HUGEINT) AS s_g,
+         CAST(SUM(CAST(y - y_min AS HUGEINT) * (y - y_min)) AS HUGEINT) AS ss_g
+  FROM raw, gmin GROUP BY 1
+),
+quot AS (
+  SELECT n_g, s_g, ss_g,
+         (s_g * s_g * 1000000 * 2 + CAST(n_g AS HUGEINT))
+           // (CAST(n_g AS HUGEINT) * 2) AS q_micro
+  FROM grp
+),
+agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(s_g) AS HUGEINT) AS s_tot,
+         CAST(SUM(q_micro) AS HUGEINT) AS q_sum,
+         CAST(SUM(ss_g * 1000000) AS HUGEINT) AS ss_micro
+  FROM quot
+),
+fin AS (
+  SELECT n_total, k_groups,
+         q_sum - (s_tot * s_tot * 1000000 * 2 + CAST(n_total AS HUGEINT))
+                   // (CAST(n_total AS HUGEINT) * 2) AS bss,
+         ss_micro - q_sum AS wss
+  FROM agg
+)
+SELECT n_total, k_groups,
+       CAST(bss AS VARCHAR) AS bss_micro,
+       CAST(wss AS VARCHAR) AS wss_micro,
+       {_dec2d('bss')} / {_dec2d('wss')}
+         * CAST(n_total - k_groups AS DOUBLE)
+         / CAST(k_groups - 1 AS DOUBLE) AS f_stat
+FROM fin
+WHERE k_groups > 1 AND n_total > k_groups AND wss > 0
+"""
+
+
+# Twin of operators/scoring.py:dirichlet_query_likelihood — identical
+# integer-product nano logs, closed-form smoothing-only mass, same top-k.
+def _dirichlet_ql_sql() -> str:
+    from inde1_spark.operators.scoring import (
+        BM25_QUERY,
+        BM25_TOP_K,
+        DIRICHLET_MU,
+    )
+
+    mu = DIRICHLET_MU
+    qin = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+dl AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS dlen
+  FROM documents
+),
+ntot AS (SELECT CAST(SUM(dlen) AS BIGINT) AS n_tok FROM dl),
+cq AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c_q
+  FROM toks WHERE term IN ({qin}) GROUP BY 1
+),
+cons AS (
+  SELECT CAST(SUM({lnn(f'{mu} * c_q')}) AS BIGINT) AS base_nano,
+         CAST(COUNT(*) AS BIGINT) AS n_q
+  FROM cq
+),
+dq AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c_dq
+  FROM toks WHERE term IN ({qin}) GROUP BY 1, 2
+),
+delta AS (
+  SELECT doc_id,
+         CAST(SUM({lnn(f'c_dq * n_tok + {mu} * c_q')}
+              - {lnn(f'{mu} * c_q')}) AS BIGINT) AS delta_nano
+  FROM dq JOIN cq USING (term) CROSS JOIN ntot
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.dlen,
+         base_nano + COALESCE(delta_nano, CAST(0 AS BIGINT))
+           - n_q * {lnn(f'n_tok * (dlen + {mu})')} AS score_nano
+  FROM dl d CROSS JOIN ntot CROSS JOIN cons
+  LEFT JOIN delta ON delta.doc_id = d.doc_id
+)
+SELECT doc_id, dlen, CAST(score_nano AS DOUBLE) / 1e9 AS ql_score
+FROM scored ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K}
+"""
+
+
+ORACLES["dirichlet_query_likelihood"] = _dirichlet_ql_sql()
+
+
+# Twin of operators/analytics.py:isotonic_daily — identical minimax PAVA on
+# micro-floored interval averages over the bounded (j,k) grid.
+ORACLES["isotonic_daily"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS s
+  FROM daily
+),
+pairs AS (
+  SELECT l.t AS j, r.t AS k,
+         CAST((CAST(r.s - (l.s - l.x) AS HUGEINT) * 1000000)
+              // (r.t - l.t + 1) AS BIGINT) AS a
+  FROM idx l JOIN idx r ON r.t >= l.t
+),
+m AS (
+  SELECT j, k AS i,
+         CAST(MIN(a) OVER (PARTITION BY j ORDER BY k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS msuf
+  FROM pairs
+),
+iso AS (SELECT i, CAST(MAX(msuf) AS BIGINT) AS iso_micro FROM m GROUP BY 1)
+SELECT day, x AS n_events, iso_micro
+FROM idx JOIN iso ON iso.i = idx.t
+ORDER BY day
+"""
