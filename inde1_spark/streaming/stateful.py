@@ -289,3 +289,123 @@ def funnel_stage_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift alarms (live sibling of analytics.cusum_drift)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, day string, n_events long, "
+    "cusum_pos long, cusum_neg long, alarm_pos boolean, alarm_neg boolean"
+)
+# state: current open day index, its running count, prefix sum of centered
+# deviations over CLOSED days, and the prefix's running extrema
+CUSUM_STATE_SCHEMA = (
+    "cur_day long, cnt long, prefix long, runmin long, runmax long"
+)
+CUSUM_WATERMARK = "10 minutes"
+
+
+def cusum_alarm_stream(
+    events: DataFrame, mu_per_day: int = 30, threshold_mult: int = 4
+) -> DataFrame:
+    """Live per-type CUSUM drift alarms — the streaming form of
+    ``analytics.cusum_drift``: the batch op learns the in-control mean
+    from the window it analyzes; a MONITOR runs against a FIXED trained
+    mu (``mu_per_day``) and must flag drift the day it completes, not at
+    the next batch recount. Page's recursion is exactly the
+    prefix/extrema closed form the batch op uses, so the state is five
+    longs per key: the open day, its count, and (prefix, runmin,
+    runmax) over closed days.
+
+    A day CLOSES when a later-day event for the same key arrives (the
+    natural signal in an ordered stream; availableNow tests plant a
+    far-future flush event per key, the documented convention). Days
+    with zero events are skipped — matching the batch daily series,
+    which only contains observed days. Emits one row per closed day
+    with the two one-sided statistics and their threshold flags
+    (threshold = threshold_mult * mu_per_day, integer, engine-free).
+
+    State is O(|keys|), watermark-independent; within a micro-batch rows
+    sort by event time, so modest disorder inside a day is harmless and
+    only a day-boundary straddler arriving late can shift WHICH batch
+    closes a day (never the closed day's statistic, pinned by the
+    streaming==batch pytest).
+    """
+    mu = int(mu_per_day)
+    thr = int(threshold_mult) * mu
+    cols = [
+        "event_type",
+        "day",
+        "n_events",
+        "cusum_pos",
+        "cusum_neg",
+        "alarm_pos",
+        "alarm_neg",
+    ]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        cur_day, cnt, prefix, runmin, runmax = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for _, row in rows.iterrows():
+            day = int(row["ts"].value // (86_400 * 1_000_000_000))
+            if cur_day < 0:
+                cur_day, cnt = day, 1
+                continue
+            if day == cur_day:
+                cnt += 1
+                continue
+            if day < cur_day:  # late straddler: fold into the open day
+                cnt += 1
+                continue
+            # close cur_day
+            prefix += cnt - mu
+            runmin = min(runmin, prefix)
+            runmax = max(runmax, prefix)
+            cpos = prefix - min(0, runmin)
+            cneg = max(0, runmax) - prefix
+            out.append(
+                {
+                    "event_type": event_type,
+                    "day": pd.Timestamp(cur_day * 86_400, unit="s").strftime(
+                        "%Y-%m-%d"
+                    ),
+                    "n_events": cnt,
+                    "cusum_pos": cpos,
+                    "cusum_neg": cneg,
+                    "alarm_pos": cpos > thr,
+                    "alarm_neg": cneg > thr,
+                }
+            )
+            cur_day, cnt = day, 1
+        state.update((cur_day, cnt, prefix, runmin, runmax))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", CUSUM_WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -419,3 +419,106 @@ def test_funnel_stage_stream_matches_batch(spark, tmp_path):
     for r in sorted(got, key=lambda r: (r["user_id"], r["stage"])):
         per_user.setdefault(r["user_id"], []).append(r["stage"])
     assert per_user == {1: [1, 2, 3, 4], 2: [1], 4: [1, 2]}
+
+
+def test_cusum_alarm_stream_matches_batch_recursion(spark, tmp_path):
+    """The streaming CUSUM's closed-day statistics equal the exact batch
+    prefix/extrema recursion replayed in Python over the same daily
+    counts, with day closures crossing micro-batch boundaries (state
+    must carry prefix/extrema across batches). A far-future flush event
+    per key closes the final day (availableNow convention)."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import cusum_alarm_stream
+
+    base = datetime(2024, 3, 1)
+    mu, mult = 3, 2
+    counts = {
+        "view": [3, 3, 8, 9, 7],   # sustained drift -> positive alarms
+        "click": [3, 2, 4, 3],     # in control
+    }
+    rows, eid = [], 0
+    for typ, per_day in counts.items():
+        for d, n in enumerate(per_day):
+            for i in range(n):
+                eid += 1
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": (base + timedelta(days=d, minutes=i)).isoformat(),
+                        "user_id": eid,
+                        "event_type": typ,
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+    rows.sort(key=lambda r: r["ts"])
+    for typ in counts:  # flush: closes each key's final day
+        eid += 1
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": (base + timedelta(days=365)).isoformat(),
+                "user_id": eid,
+                "event_type": typ,
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+
+    data_dir = tmp_path / "cusum_data"
+    data_dir.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        # micro-batch order follows mtime, not path (documented invariant)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        cusum_alarm_stream(stream, mu_per_day=mu, threshold_mult=mult)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # exact batch recursion replay (the cusum_drift closed form, fixed mu)
+    expected = {}
+    thr = mult * mu
+    for typ, per_day in counts.items():
+        prefix = runmin = runmax = 0
+        for d, n in enumerate(per_day):
+            prefix += n - mu
+            runmin, runmax = min(runmin, prefix), max(runmax, prefix)
+            cpos = prefix - min(0, runmin)
+            cneg = max(0, runmax) - prefix
+            day = (base + timedelta(days=d)).strftime("%Y-%m-%d")
+            expected[(typ, day)] = (n, cpos, cneg, cpos > thr, cneg > thr)
+
+    got_map = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            r["cusum_pos"],
+            r["cusum_neg"],
+            r["alarm_pos"],
+            r["alarm_neg"],
+        )
+        for r in got
+    }
+    assert got_map == expected
+    # the engineered drift actually alarms, and only on the drifted key
+    assert any(v[3] for k, v in got_map.items() if k[0] == "view")
+    assert not any(v[3] or v[4] for k, v in got_map.items() if k[0] == "click")
