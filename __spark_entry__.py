@@ -282,6 +282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "isotonic_daily": lambda sp, d: A.isotonic_daily(_t(sp, d, "events")),
+        "kneser_ney_logprob": lambda sp, d: SC.kneser_ney_logprob(
+            _t(sp, d, "documents")
+        ),
+        "diversity_profile": lambda sp, d: C.diversity_profile(
+            _t(sp, d, "documents")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -1538,3 +1538,64 @@ def theil_index(documents: DataFrame) -> DataFrame:
         theil_within.alias("theil_within"),
         (share * between_nano.cast("double") / F.lit(1e9)).alias("between_term"),
     ).orderBy("source")
+
+
+def diversity_profile(documents: DataFrame) -> DataFrame:
+    """Per-source lexical diversity panel: Simpson concentration
+    (collision probability of two random tokens — the inverse-diversity
+    member), Shannon entropy, and Pielou evenness H/ln V — the
+    one-table answer to "which sources are template farms" that
+    complements ``gini_token_concentration`` (inequality of the SAME
+    distribution) and ``ttr_profile`` (vocab growth).
+
+    Exact contract: Simpson's numerator Sum c(c-1) and denominator
+    C(C-1) are exact decimal(38,0); the ratio is micro-rounded half-up
+    (the kruskal quotient recipe). Shannon follows the token_entropy
+    convention (nano-snapped integer-count logs, decimal accumulation,
+    one double divide); evenness is one further IEEE divide by the
+    nano-snapped ln V. Sources with a single token or term filter out
+    (ANSI-safe denominators).
+
+    Scale: one corpus-volume (source, term) reduce, map-side combined;
+    everything after runs on the bounded per-source table.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    terms = (
+        documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    g = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(d38(F.col("c")) * d38(F.col("c") - 1)).alias("s2"),
+        F.sum(d38(F.col("c")) * d38(lnn(F.col("c")))).alias("clnc"),
+    ).filter((F.col("n_tokens") > 1) & (F.col("vocab") > 1))
+    den = (d38(F.col("n_tokens")) * d38(F.col("n_tokens") - 1)).cast(
+        "decimal(38,0)"
+    )
+    simpson_micro = dec_floordiv(
+        (F.col("s2") * F.lit(1_000_000) * F.lit(2) + den).cast("decimal(38,0)"),
+        (den * F.lit(2)).cast("decimal(38,0)"),
+    )
+    shannon = (
+        lnn(F.col("n_tokens")).cast("double")
+        - dec_to_double_exact(F.col("clnc")) / F.col("n_tokens").cast("double")
+    ) / F.lit(1e9)
+    return g.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        simpson_micro.cast("long").alias("simpson_micro"),
+        shannon.alias("shannon"),
+        (shannon / (lnn(F.col("vocab")).cast("double") / F.lit(1e9))).alias(
+            "evenness"
+        ),
+    ).orderBy("source")

@@ -8672,3 +8672,97 @@ SELECT day, x AS n_events, iso_micro
 FROM idx JOIN iso ON iso.i = idx.t
 ORDER BY day
 """
+
+
+# Twin of operators/scoring.py:kneser_ney_logprob — identical exact-rational
+# KN probability, nano logs of integer num/den, same per-doc emission.
+def _kneser_ney_sql() -> str:
+    from inde1_spark.operators.scoring import KN_DISCOUNT_X4
+
+    d4 = KN_DISCOUNT_X4
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+bf AS MATERIALIZED (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         toks[i] || ' ' || toks[i + 1] AS bigram,
+         CAST(count(*) AS BIGINT) AS bf
+  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2, 3
+),
+vocab AS MATERIALIZED (
+  SELECT bigram, CAST(SUM(bf) AS BIGINT) AS c_ab FROM bf GROUP BY 1
+),
+w1w2 AS MATERIALIZED (
+  SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2, c_ab
+  FROM vocab
+),
+lefts AS (
+  SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+         CAST(COUNT(*) AS BIGINT) AS n1p
+  FROM w1w2 GROUP BY 1
+),
+rights AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1m FROM w1w2 GROUP BY 1
+),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM vocab),
+sv AS (
+  SELECT bigram,
+         {lnn(f'(4 * c_ab - {d4}) * b_types + {d4} * n1p * n1m')}
+           - {lnn('4 * c_a * b_types')} AS lp_scaled
+  FROM w1w2 JOIN lefts USING (w1) JOIN rights USING (w2) CROSS JOIN btot
+)
+SELECT doc_id, CAST(dl - 1 AS BIGINT) AS n_bigrams,
+       CAST(SUM(bf * lp_scaled) AS DOUBLE) / 1e9
+         / CAST(dl - 1 AS DOUBLE) AS avg_logprob_kn
+FROM bf JOIN sv USING (bigram)
+WHERE dl >= 2
+GROUP BY doc_id, dl
+"""
+
+
+ORACLES["kneser_ney_logprob"] = _kneser_ney_sql()
+
+
+# Twin of operators/corpus.py:diversity_profile — identical exact Simpson
+# quotient, token_entropy-style Shannon, one further IEEE divide.
+ORACLES["diversity_profile"] = f"""
+WITH terms AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+g AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(c AS HUGEINT)
+              * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9, 0) AS BIGINT))
+           AS HUGEINT) AS clnc
+  FROM terms GROUP BY 1
+  HAVING CAST(SUM(c) AS BIGINT) > 1 AND COUNT(*) > 1
+)
+SELECT source, n_tokens, vocab,
+       CAST((s2 * 1000000 * 2 + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 2) AS BIGINT)
+         AS simpson_micro,
+       (CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9, 0) AS BIGINT)
+             AS DOUBLE)
+        - {_dec2d('clnc')} / CAST(n_tokens AS DOUBLE)) / 1e9 AS shannon,
+       ((CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9, 0) AS BIGINT)
+              AS DOUBLE)
+         - {_dec2d('clnc')} / CAST(n_tokens AS DOUBLE)) / 1e9)
+        / (CAST(CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                AS DOUBLE) / 1e9) AS evenness
+FROM g ORDER BY source
+"""

@@ -1342,3 +1342,46 @@ def test_fellegi_sunter_posting_list_pairs(spark):
     r = plan_report(Q["fellegi_sunter_linkage"](spark, SF_SMOKE))
     assert r.nested_loop_joins == 0
     assert "CartesianProduct" not in r.raw
+
+
+def test_anova_single_moments_pass(spark):
+    # moments suffice for means: one corpus groupBy onto |types| keys;
+    # the 1-row min broadcast is the only (benign) nested-loop
+    r = plan_report(Q["anova_oneway"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1
+
+
+def test_dirichlet_ql_prefilter_broadcasts(spark):
+    # the (doc, term) shuffle carries only query-term postings; cq/ntot/
+    # const/delta all broadcast — no sort-merge anywhere
+    r = plan_report(Q["dirichlet_query_likelihood"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins >= 2
+
+
+def test_isotonic_bounded_interval_grid(spark):
+    # the |days|^2 inequality join is the deliberate bounded-table trade;
+    # the corpus is touched once by the daily count
+    r = plan_report(Q["isotonic_daily"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 3
+    assert r.sort_merge_joins == 0
+
+
+def test_kneser_ney_vocab_cached(spark):
+    # the bigram type table is persisted for its four consumers (lefts,
+    # rights, type total, scoring join); no sort-merge fallback
+    r = plan_report(Q["kneser_ney_logprob"](spark, SF_SMOKE))
+    assert r.raw.count("InMemoryTableScan") >= 3
+    assert r.sort_merge_joins == 0
+
+
+def test_diversity_profile_single_pass(spark):
+    # one corpus-volume (source, term) reduce; everything after on the
+    # bounded per-source table
+    assert_plan(
+        Q["diversity_profile"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
