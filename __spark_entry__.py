@@ -50,7 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     debt, which completed: CORRECTNESS_r05 is 50/50 green and every
     pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
     (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
-    any r06 additions. No pre-existing output changed this round (pinned
+    the r06 additions: the 20-op first batch (kruskal_wallis..
+    mutual_info_matrix) and the 14-op second batch (cusum_drift..
+    diversity_profile). No pre-existing output changed this round (pinned
     by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A

@@ -1024,6 +1024,71 @@ SPARK_SQL: dict[str, str] = {
 }
 
 
+def _dirichlet_ql_spark_sql() -> str:
+    """Dirichlet query likelihood as ONE Spark SQL statement — the SQL
+    surface of scoring.dirichlet_query_likelihood (same nano-log
+    integer products, closed-form smoothing-only mass, same top-k)."""
+    from inde1_spark.operators.scoring import (
+        BM25_QUERY,
+        BM25_TOP_K,
+        DIRICHLET_MU,
+    )
+
+    mu = DIRICHLET_MU
+    qin = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 explode(filter(split(text, ' '), t -> t != '')) AS term
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id,
+                 CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT)
+                   AS dlen
+          FROM documents
+        ),
+        ntot AS (SELECT CAST(SUM(dlen) AS BIGINT) AS n_tok FROM dl),
+        cq AS (
+          SELECT term, COUNT(*) AS c_q
+          FROM toks WHERE term IN ({qin}) GROUP BY 1
+        ),
+        cons AS (
+          SELECT CAST(SUM({lnn(f'{mu} * c_q')}) AS BIGINT) AS base_nano,
+                 COUNT(*) AS n_q
+          FROM cq
+        ),
+        dq AS (
+          SELECT doc_id, term, COUNT(*) AS c_dq
+          FROM toks WHERE term IN ({qin}) GROUP BY 1, 2
+        ),
+        delta AS (
+          SELECT doc_id,
+                 CAST(SUM({lnn(f'c_dq * n_tok + {mu} * c_q')}
+                      - {lnn(f'{mu} * c_q')}) AS BIGINT) AS delta_nano
+          FROM dq JOIN cq USING (term) CROSS JOIN ntot
+          GROUP BY 1
+        )
+        SELECT doc_id, dlen,
+               CAST(score_nano AS DOUBLE) / 1e9 AS ql_score
+        FROM (
+          SELECT d.doc_id, d.dlen,
+                 base_nano + COALESCE(delta_nano, CAST(0 AS BIGINT))
+                   - n_q * {lnn(f'n_tok * (dlen + {mu})')} AS score_nano
+          FROM dl d CROSS JOIN ntot CROSS JOIN cons
+          LEFT JOIN delta ON delta.doc_id = d.doc_id
+        )
+        ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K}
+    """
+
+
+SPARK_SQL["dirichlet_query_likelihood"] = _dirichlet_ql_spark_sql()
+
+
 def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(SPARK_SQL[name])
