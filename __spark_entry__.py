@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_profile": lambda sp, d: C.diversity_profile(
             _t(sp, d, "documents")
         ),
+        "matryoshka_recall": lambda sp, d: S.matryoshka_recall(
+            _t(sp, d, "embeddings")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -1751,3 +1751,60 @@ def knn_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "est_sq_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (recall of prefix-dim retrieval vs full-dim)
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_PREFIXES = (8, 16, 32)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    prefixes: tuple[int, ...] = MATRYOSHKA_PREFIXES,
+    k: int = K_BRUTE,
+) -> DataFrame:
+    """Matryoshka truncation audit: exact top-k recall of PREFIX-dimension
+    cosine retrieval against the full-dimension ranking — the measurement
+    behind "can we serve 8/16/32 of the 64 dims": MRL-style embeddings
+    front-load information, and this table is the evidence for (or
+    against) truncating the serving index, per prefix width.
+
+    Each prefix's candidate list is the SAME exact brute-force operator
+    run on the row-local `slice(embedding, 1, p)` — no new math, so the
+    audit inherits knn_brute_cosine's fixed-point determinism; recall is
+    an exact 4-decimal ratio over queries x k truth pairs. Cost:
+    |prefixes|+1 brute passes — this is the labeled EVAL harness (the
+    ann_recall_eval pattern), not a serving path; the serving decision
+    it gates is which `embedding_random_projection` / PQ width to build.
+    """
+    truth = knn_brute_cosine(embeddings, k=k).select("query_id", "neighbor_id")
+    out = None
+    for p in prefixes:
+        sliced = embeddings.select(
+            "vec_id", F.slice(F.col("embedding"), 1, p).alias("embedding")
+        )
+        approx = knn_brute_cosine(sliced, k=k).select(
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("trunc_neighbor"),
+        )
+        hits = truth.join(
+            approx,
+            (truth.query_id == approx.aq)
+            & (truth.neighbor_id == approx.trunc_neighbor),
+            "left",
+        )
+        row = hits.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("trunc_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        ).select(
+            F.lit(p).cast("long").alias("prefix_dims"),
+            "n_pairs",
+            "hits",
+            ratio_round(F.col("hits"), F.col("n_pairs"), 4).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("prefix_dims")

@@ -8766,3 +8766,61 @@ SELECT source, n_tokens, vocab,
                 AS DOUBLE) / 1e9) AS evenness
 FROM g ORDER BY source
 """
+
+
+# Twin of operators/similarity.py:matryoshka_recall — per-prefix exact brute
+# retrieval over generate_series(1, p), left-joined to the full-dim truth.
+def _matryoshka_sql() -> str:
+    from inde1_spark.operators.similarity import K_BRUTE as KB
+    from inde1_spark.operators.similarity import MATRYOSHKA_PREFIXES
+
+    def brute(d: int) -> str:
+        return f"""(
+  WITH norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                * CAST(embedding[i] AS DOUBLE) * {FIXED_POINT_SCALE:.1f})
+                AS BIGINT)) AS DOUBLE) / {FIXED_POINT_SCALE:.1f}) AS nrm
+    FROM embeddings, UNNEST(generate_series(1, {d})) AS u(i)
+    GROUP BY vec_id
+  ),
+  dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_FIXED_DOT} AS dot
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id,
+         UNNEST(generate_series(1, {d})) AS u(i)
+    GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KB}
+)"""
+
+    parts = []
+    for p in MATRYOSHKA_PREFIXES:
+        parts.append(f"""
+SELECT CAST({p} AS BIGINT) AS prefix_dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN a.trunc_neighbor IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       {_rr("SUM(CASE WHEN a.trunc_neighbor IS NOT NULL THEN 1 ELSE 0 END)", "count(*)", 4)}
+         AS recall
+FROM {brute(EMB_DIM)} t
+LEFT JOIN (SELECT query_id AS aq, neighbor_id AS trunc_neighbor
+           FROM {brute(p)}) a
+  ON a.aq = t.query_id AND a.trunc_neighbor = t.neighbor_id""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY prefix_dims"
+
+
+ORACLES["matryoshka_recall"] = _matryoshka_sql()
