@@ -293,6 +293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": lambda sp, d: S.matryoshka_recall(
             _t(sp, d, "embeddings")
         ),
+        "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
+            _t(sp, d, "events")
+        ),
+        "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
+            _t(sp, d, "embeddings")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -6713,3 +6713,79 @@ def isotonic_daily(events: DataFrame) -> DataFrame:
         .select("day", F.col("x").alias("n_events"), "iso_micro")
         .orderBy("day")
     )
+
+
+def entropy_rate_markov(events: DataFrame) -> DataFrame:
+    """Empirical entropy rate of the user behavior chain — the
+    information-theoretic summary the Markov family was missing:
+    H(next | prev) over observed transitions, next to the marginal
+    H(next), and predictability = 1 - H(next|prev)/H(next) ("how much
+    does knowing the previous action tell you"). transition_matrix gives
+    the per-edge probabilities; this is their one-number compression,
+    the signal that decides whether sequence features are worth adding
+    to a model at all.
+
+    The mutual_info_matrix nano-log contract: H(next|prev) =
+    (1/N) Sum_uv c_uv (ln c_u. - ln c_uv), every ln over an INTEGER
+    count, contributions in decimal(38,0), marginal entropy via the
+    min-key dedup trick on the same edge table — no second corpus pass.
+
+    Scale: one corpus window pass (the lead() pairing per user) into a
+    <=|types|^2-key aggregate; everything after is bounded.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = events.select(
+        "user_id",
+        F.col("event_type").alias("u"),
+        F.lead("event_type").over(w).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    edges = pairs.groupBy("u", "v").agg(F.count("*").cast("long").alias("c"))
+    wu = Window.partitionBy("u")
+    wv = Window.partitionBy("v")
+    cells = edges.select(
+        "u",
+        "v",
+        "c",
+        F.sum("c").over(wu).cast("long").alias("row_tot"),
+        F.sum("c").over(wv).cast("long").alias("col_tot"),
+        F.min("u").over(wv).alias("min_u"),
+    )
+    agg = cells.agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(
+            d38(F.col("c")) * d38(lnn(F.col("row_tot")) - lnn(F.col("c")))
+        ).alias("hr_sum"),
+        F.sum(
+            F.when(
+                F.col("u") == F.col("min_u"),
+                d38(F.col("col_tot")) * d38(lnn(F.col("col_tot"))),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("hm_sum"),
+    )
+    n_d = F.col("n_transitions").cast("double")
+    h_rate = dec_to_double_exact(F.col("hr_sum")) / F.lit(1e9) / n_d
+    h_marg = (
+        lnn(F.col("n_transitions")).cast("double")
+        - dec_to_double_exact(F.col("hm_sum")) / n_d
+    ) / F.lit(1e9)
+    return (
+        agg.filter(F.col("n_transitions") > 0)
+        .select(
+            "n_transitions",
+            "n_edges",
+            h_rate.alias("h_rate"),
+            h_marg.alias("h_marginal"),
+            (F.lit(1.0) - h_rate / h_marg).alias("predictability"),
+        )
+        .filter(F.col("h_marginal") > 0)
+    )

@@ -1808,3 +1808,100 @@ def matryoshka_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("prefix_dims")
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the two ANN paths (exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+def _rbo_weights(k: int) -> tuple[int, dict[int, int]]:
+    """Integer RBO tail weights for p=1/2 truncated at k.
+
+    RBO_trunc = Sum_{d=1..k} (1/2)^d X_d / d with X_d = |A_d n B_d|.
+    Swapping the sums, each matched pair at depth m = max(ra, rb)
+    contributes W(m) = Sum_{d=m..k} 1/(d 2^d) — EXACT integers after
+    scaling by D = lcm(1..k) * 2^k. Python-precomputed, injected into
+    both engines (the nano-literal convention for transcendental-free
+    exact scoring).
+    """
+    from math import lcm
+
+    scale = 1
+    for d in range(1, k + 1):
+        scale = lcm(scale, d)
+    scale *= 1 << k
+    acc, w = 0, {}
+    for m in range(k, 0, -1):
+        acc += scale // (m * (1 << m))
+        w[m] = acc
+    return scale, w
+
+
+def ann_rank_overlap_rbo(
+    embeddings: DataFrame, k: int = K_BUCKETED
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, p=1/2) between the LSH
+    and IVF top-k lists per query — the list-similarity member
+    completing the retrieval-eval family: ``ann_recall_eval`` scores one
+    list against truth, ``knn_rrf_fusion`` merges the lists,
+    ``ann_mrr_ndcg`` scores graded relevance; RBO answers "do the two
+    indexes even AGREE", weighted toward the top ranks, the diagnostic
+    read before deciding fusion is worth its cost.
+
+    Exact by construction: with p=1/2 every tail weight is dyadic, so a
+    matched pair at depth max(ra, rb) contributes a precomputed INTEGER
+    weight (scaled by lcm(1..k)*2^k) and per-query RBO is one integer
+    sum with a single final divide. Queries where the lists are disjoint
+    emit rbo = 0 via the left join from the query set.
+
+    Cost: both operands are top-k tables (|Q| x k rows); the overlap
+    join and weight map are trivially bounded regardless of corpus size.
+    """
+    scale, w = _rbo_weights(k)
+    lsh = knn_lsh_bucketed(embeddings, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ra")
+    )
+    ivf = knn_ivf(embeddings, k=k).select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("nb"),
+        F.col("rank").alias("rb"),
+    )
+    weight = F.element_at(
+        F.create_map(
+            *[F.lit(x) for m, wm in sorted(w.items()) for x in (m, wm)]
+        ),
+        F.greatest(F.col("ra"), F.col("rb")).cast("int"),
+    )
+    matched = (
+        lsh.join(
+            ivf,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("neighbor_id") == F.col("nb")),
+        )
+        .select("query_id", weight.cast("long").alias("wgt"))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("wgt").cast("long").alias("rbo_scaled"),
+        )
+    )
+    queries = lsh.select("query_id").distinct()
+    return (
+        queries.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(
+                "n_common"
+            ),
+            F.coalesce(F.col("rbo_scaled"), F.lit(0).cast("long")).alias(
+                "rbo_scaled"
+            ),
+            (
+                F.coalesce(F.col("rbo_scaled"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(float(scale))
+            ).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

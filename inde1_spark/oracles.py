@@ -8824,3 +8824,88 @@ LEFT JOIN (SELECT query_id AS aq, neighbor_id AS trunc_neighbor
 
 
 ORACLES["matryoshka_recall"] = _matryoshka_sql()
+
+
+# Twin of operators/analytics.py:entropy_rate_markov — identical edge table,
+# nano-snapped count logs, min-key marginal dedup, same double op order.
+ORACLES["entropy_rate_markov"] = """
+WITH pairs AS (
+  SELECT u, v FROM (
+    SELECT event_type AS u,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS v
+    FROM events
+  ) WHERE v IS NOT NULL
+),
+edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+),
+cells AS (
+  SELECT u, v, c,
+         CAST(SUM(c) OVER (PARTITION BY u) AS BIGINT) AS row_tot,
+         CAST(SUM(c) OVER (PARTITION BY v) AS BIGINT) AS col_tot,
+         MIN(u) OVER (PARTITION BY v) AS min_u
+  FROM edges
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(c AS HUGEINT)
+              * (CAST(round(ln(CAST(row_tot AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                 - CAST(round(ln(CAST(c AS DOUBLE)) * 1e9, 0) AS BIGINT)))
+           AS HUGEINT) AS hr_sum,
+         CAST(SUM(CASE WHEN u = min_u THEN CAST(col_tot AS HUGEINT)
+              * CAST(round(ln(CAST(col_tot AS DOUBLE)) * 1e9, 0) AS BIGINT)
+              ELSE 0 END) AS HUGEINT) AS hm_sum
+  FROM cells
+)
+SELECT * FROM (
+  SELECT n_transitions, n_edges,
+         __HR__ AS h_rate,
+         __HM__ AS h_marginal,
+         1.0 - (__HR__) / (__HM__) AS predictability
+  FROM agg WHERE n_transitions > 0
+) WHERE h_marginal > 0
+"""
+ORACLES["entropy_rate_markov"] = ORACLES["entropy_rate_markov"].replace(
+    "__HR__", f"{_dec2d('hr_sum')} / 1e9 / CAST(n_transitions AS DOUBLE)"
+).replace(
+    "__HM__",
+    "(CAST(CAST(round(ln(CAST(n_transitions AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+    f" AS DOUBLE) - {_dec2d('hm_sum')} / CAST(n_transitions AS DOUBLE)) / 1e9",
+)
+
+
+# Twin of operators/similarity.py:ann_rank_overlap_rbo — identical integer
+# tail weights (Python-precomputed), nested LSH/IVF list oracles.
+def _rbo_sql() -> str:
+    from inde1_spark.operators.similarity import K_BUCKETED as KB
+    from inde1_spark.operators.similarity import _rbo_weights
+
+    scale, w = _rbo_weights(KB)
+    case = " ".join(
+        f"WHEN GREATEST(l.rank, i.rank) = {m} THEN {wm}"
+        for m, wm in sorted(w.items())
+    )
+    return f"""
+WITH lsh AS MATERIALIZED ({ORACLES["knn_lsh_bucketed"]}),
+ivf AS MATERIALIZED ({ORACLES["knn_ivf"]}),
+matched AS (
+  SELECT l.query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CASE {case} END) AS BIGINT) AS rbo_scaled
+  FROM lsh l JOIN ivf i
+    ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common,
+       COALESCE(rbo_scaled, CAST(0 AS BIGINT)) AS rbo_scaled,
+       CAST(COALESCE(rbo_scaled, CAST(0 AS BIGINT)) AS DOUBLE)
+         / {float(scale)} AS rbo
+FROM (SELECT DISTINCT query_id FROM lsh) q
+LEFT JOIN matched ON matched.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+ORACLES["ann_rank_overlap_rbo"] = _rbo_sql()
