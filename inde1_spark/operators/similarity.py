@@ -1790,7 +1790,7 @@ def matryoshka_recall(
             F.col("neighbor_id").alias("trunc_neighbor"),
         )
         hits = truth.join(
-            approx,
+            F.broadcast(approx),  # |Q| x k rows — never sort-merge
             (truth.query_id == approx.aq)
             & (truth.neighbor_id == approx.trunc_neighbor),
             "left",
@@ -1874,7 +1874,7 @@ def ann_rank_overlap_rbo(
     )
     matched = (
         lsh.join(
-            ivf,
+            F.broadcast(ivf),  # |Q| x k rows — never sort-merge
             (F.col("query_id") == F.col("qb"))
             & (F.col("neighbor_id") == F.col("nb")),
         )
@@ -1887,7 +1887,7 @@ def ann_rank_overlap_rbo(
     )
     queries = lsh.select("query_id").distinct()
     return (
-        queries.join(matched, "query_id", "left")
+        queries.join(F.broadcast(matched), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(

@@ -1385,3 +1385,29 @@ def test_diversity_profile_single_pass(spark):
         max_scans=1,
         forbid_sort_merge=True,
     )
+
+
+def test_matryoshka_no_extra_corpus_math(spark):
+    # |prefixes|+1 brute passes, each the audited operator itself; the
+    # truth/approx joins are bounded top-k tables — no sort-merge
+    r = plan_report(Q["matryoshka_recall"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_entropy_rate_single_edge_pass(spark):
+    # one corpus window pass into the bounded edge aggregate
+    assert_plan(
+        Q["entropy_rate_markov"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_rbo_bounded_topk_join(spark):
+    # both operands are |Q| x k lists broadcast into the overlap join;
+    # the single allowed SMJ lives INSIDE knn_ivf (its label-probe join,
+    # pinned separately), never in the RBO layer
+    r = plan_report(Q["ann_rank_overlap_rbo"](spark, SF_SMOKE))
+    assert r.sort_merge_joins <= 1
+    assert r.broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in r.raw
