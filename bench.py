@@ -120,6 +120,14 @@ HEADLINE = (
     "word_link_prediction",   # cached thresholded graph + wedge join (r06)
     "funnel_windowed",        # single-shuffle per-user fold funnel (r06)
     "stratified_sample_mad",  # histogram medians + largest-remainder alloc (r06)
+    "kendall_tau_matrix",     # densified dominance-window tau-b, 6 pairs (r06b2)
+    "jsd_sources",            # intersection-only pairwise source JSD (r06b2)
+    "hilbert_layout",         # packed-BIGINT curve fold + bucket agg (r06b2)
+    "kneser_ney_logprob",     # KN bigram LM, cached type table (r06b2)
+    "fellegi_sunter_linkage", # shingle-join pair space + feature melt (r06b2)
+    "dirichlet_query_likelihood",  # prefiltered QL, broadcast delta (r06b2)
+    "matryoshka_recall",      # 4 brute passes over sliced embeddings (r06b2)
+    "entropy_rate_markov",    # per-user lead() pass + bounded edge agg (r06b2)
 )
 
 
