@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
             _t(sp, d, "embeddings")
         ),
+        "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -6789,3 +6789,79 @@ def entropy_rate_markov(events: DataFrame) -> DataFrame:
         )
         .filter(F.col("h_marginal") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald) on the entry/exit mix
+# ---------------------------------------------------------------------------
+
+# H0: p(entry)=1/2 vs H1: p=3/5, alpha=beta=0.05. Nano literals are
+# Python-precomputed (round(ln(x)*1e9)) and injected into BOTH engines —
+# the injected-constant convention for transcendentals of fixed rationals.
+SPRT_L_ENTRY = 182321557      # ln(0.6/0.5)
+SPRT_L_EXIT = -223143551      # ln(0.4/0.5)
+SPRT_BOUND = 2944438979       # ln((1-beta)/alpha) = ln(19)
+
+
+def sprt_entry_bias(events: DataFrame) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily entry-vs-exit
+    mix — the SEQUENTIAL member of the hypothesis-test family: unlike the
+    fixed-sample tests (chi2/ANOVA/rank family) it tells you the EARLIEST
+    day the evidence sufficed to stop, which is what an online experiment
+    or a drift monitor actually wants. H0: entries are half the traffic;
+    H1: 3/5 (both literals in the module constants).
+
+    LLR_t = cumE * ln(p1/p0) + cumX * ln((1-p1)/(1-p0)) is a pure prefix
+    sum of integer counts times Python-precomputed nano constants —
+    hash-exact with no engine transcendentals at all. Decision bounds at
+    +/- ln(19) (5% error rates both ways). Emits the running LLR and
+    verdict per day; `decided` marks days at-or-after the first boundary
+    crossing (min-day window), the sequential stopping rule.
+
+    Scale: one corpus-volume daily conditional agg; two cumulative
+    windows over the bounded daily table.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_entry"),
+        F.sum(F.when(F.col("event_type") == EXIT_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exit"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "n_entry",
+        "n_exit",
+        F.sum("n_entry").over(w).cast("long").alias("cum_entry"),
+        F.sum("n_exit").over(w).cast("long").alias("cum_exit"),
+    )
+    llr = (
+        F.col("cum_entry") * F.lit(SPRT_L_ENTRY)
+        + F.col("cum_exit") * F.lit(SPRT_L_EXIT)
+    )
+    verdict = (
+        F.when(llr >= F.lit(SPRT_BOUND), F.lit("accept_h1"))
+        .when(llr <= F.lit(-SPRT_BOUND), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    scored = cum.select(
+        "day",
+        "n_entry",
+        "n_exit",
+        llr.alias("llr_nano"),
+        verdict.alias("verdict"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.select(
+        "day",
+        "n_entry",
+        "n_exit",
+        "llr_nano",
+        "verdict",
+        F.max(F.when(F.col("verdict") != "continue", 1).otherwise(0))
+        .over(wd)
+        .cast("boolean")
+        .alias("decided"),
+    ).orderBy("day")

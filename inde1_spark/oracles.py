@@ -8909,3 +8909,52 @@ ORDER BY q.query_id
 
 
 ORACLES["ann_rank_overlap_rbo"] = _rbo_sql()
+
+
+# Twin of operators/analytics.py:sprt_entry_bias — identical injected nano
+# constants, prefix sums, boundary verdicts.
+def _sprt_sql() -> str:
+    from inde1_spark.operators.analytics import (
+        SPRT_BOUND,
+        SPRT_L_ENTRY,
+        SPRT_L_EXIT,
+    )
+
+    return f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_entry,
+         CAST(SUM(CASE WHEN event_type = '{EXIT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exit
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, n_entry, n_exit,
+         CAST(SUM(n_entry) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_entry,
+         CAST(SUM(n_exit) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_exit
+  FROM daily
+),
+scored AS (
+  SELECT day, n_entry, n_exit,
+         cum_entry * {SPRT_L_ENTRY} + cum_exit * ({SPRT_L_EXIT}) AS llr_nano,
+         CASE WHEN cum_entry * {SPRT_L_ENTRY}
+                   + cum_exit * ({SPRT_L_EXIT}) >= {SPRT_BOUND}
+              THEN 'accept_h1'
+              WHEN cum_entry * {SPRT_L_ENTRY}
+                   + cum_exit * ({SPRT_L_EXIT}) <= -{SPRT_BOUND}
+              THEN 'accept_h0'
+              ELSE 'continue' END AS verdict
+  FROM cum
+)
+SELECT day, n_entry, n_exit, llr_nano, verdict,
+       CAST(MAX(CASE WHEN verdict <> 'continue' THEN 1 ELSE 0 END)
+            OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BOOLEAN) AS decided
+FROM scored ORDER BY day
+"""
+
+
+ORACLES["sprt_entry_bias"] = _sprt_sql()

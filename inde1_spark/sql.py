@@ -1089,6 +1089,87 @@ def _dirichlet_ql_spark_sql() -> str:
 SPARK_SQL["dirichlet_query_likelihood"] = _dirichlet_ql_spark_sql()
 
 
+def _sql_dec2d(x: str) -> str:
+    """Spark-SQL spelling of exprs.dec_to_double_exact (base-10^15 digit
+    split of a DECIMAL(38,0) expression; see oracles._dec2d for the
+    DuckDB twin and the why)."""
+    P = 10**15
+    x1 = f"CAST((({x}) - ({x}) % {P}) / {P} AS DECIMAL(38,0))"
+    return (
+        f"(CAST(CAST(({x1} - {x1} % {P}) / {P} AS BIGINT) AS DOUBLE) * 1e30"
+        f" + CAST(CAST({x1} % {P} AS BIGINT) AS DOUBLE) * 1e15"
+        f" + CAST(CAST(({x}) % {P} AS BIGINT) AS DOUBLE))"
+    )
+
+
+def _jsd_sources_spark_sql() -> str:
+    """Pairwise source JSD as ONE Spark SQL statement — the SQL surface
+    of scoring.jsd_sources (same integer-product nano logs, closed-form
+    one-sided ln2 mass, intersection-only join)."""
+    from inde1_spark.operators.scoring import LN2_NANO
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    mix = lnn("a * n2 + b * n1")
+    sa_tot = (
+        f"CAST(sa + CAST(n1 - a_int AS DECIMAL(38,0)) * {LN2_NANO}"
+        " AS DECIMAL(38,0))"
+    )
+    sb_tot = (
+        f"CAST(sb + CAST(n2 - b_int AS DECIMAL(38,0)) * {LN2_NANO}"
+        " AS DECIMAL(38,0))"
+    )
+    return f"""
+        WITH tc AS (
+          SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   explode(filter(split(text, ' '), t -> t != '')) AS term
+            FROM documents
+          ) GROUP BY 1, 2
+        ),
+        totals AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+                 COUNT(*) AS n_vocab
+          FROM tc GROUP BY 1
+        ),
+        t AS (
+          SELECT tc.source, term, c, n_tok, n_vocab
+          FROM tc JOIN totals ON tc.source = totals.source
+        ),
+        inter AS (
+          SELECT t1.source AS source_a, t2.source AS source_b,
+                 t1.n_tok AS n1, t2.n_tok AS n2,
+                 t1.n_vocab AS v1, t2.n_vocab AS v2,
+                 t1.c AS a, t2.c AS b
+          FROM t t1 JOIN t t2
+            ON t1.term = t2.term AND t1.source < t2.source
+        ),
+        g AS (
+          SELECT source_a, source_b, n1, n2, v1, v2,
+                 CAST(COUNT(*) AS BIGINT) AS n_common,
+                 CAST(SUM(a) AS BIGINT) AS a_int,
+                 CAST(SUM(b) AS BIGINT) AS b_int,
+                 SUM(CAST(a AS DECIMAL(38,0))
+                     * CAST({lnn('2 * a * n2')} - {mix} AS DECIMAL(38,0)))
+                   AS sa,
+                 SUM(CAST(b AS DECIMAL(38,0))
+                     * CAST({lnn('2 * b * n1')} - {mix} AS DECIMAL(38,0)))
+                   AS sb
+          FROM inter GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT source_a, source_b,
+               v1 + v2 - n_common AS n_terms_union,
+               ({_sql_dec2d(sa_tot)} / CAST(n1 AS DOUBLE)
+                + {_sql_dec2d(sb_tot)} / CAST(n2 AS DOUBLE))
+                 / 1e9 / 2.0 AS jsd_nats
+        FROM g ORDER BY source_a, source_b
+    """
+
+
+SPARK_SQL["jsd_sources"] = _jsd_sources_spark_sql()
+
+
 def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(SPARK_SQL[name])
