@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "embeddings")
         ),
         "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
+        "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

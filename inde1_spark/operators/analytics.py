@@ -6865,3 +6865,87 @@ def sprt_entry_bias(events: DataFrame) -> DataFrame:
         .cast("boolean")
         .alias("decided"),
     ).orderBy("day")
+
+
+def pacf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """PARTIAL autocorrelation of the daily revenue series at lags
+    1..max_lag via the Durbin-Levinson recursion — the AR-order
+    diagnostic ``acf_daily`` cannot give: the ACF of an AR(p) process
+    decays forever, its PACF CUTS OFF at p, so this table is how one
+    reads off the right autoregressive order before fitting anything.
+
+    Determinism contract: the ACF inputs are nano-SNAPPED first (the
+    one hash-fragile step), then the recursion runs in pure IEEE doubles
+    with a generation-mirrored op order in both engines — every inner
+    product is the same left-associated chain, every level materialized
+    (Spark: chained selects on a ONE-row frame; DuckDB: chained
+    MATERIALIZED CTEs, the CLAUDE.md inlining rule). Degenerate
+    denominators (|1 - phi.r| = 0, a unit-root pathology) substitute 1
+    identically on both sides. Lags beyond the observed span carry NULL
+    through, never poisoning earlier levels.
+
+    Scale: everything after acf_daily's bounded-series work happens on
+    ONE row; the recursion is O(max_lag^2) scalar columns.
+    """
+    from functools import reduce
+    from operator import add
+
+    K = max_lag
+    acf = acf_daily(events, max_lag=K)
+    one = acf.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("lag") == i,
+                    F.round(F.col("acf") * F.lit(1e9), 0).cast("long"),
+                )
+            ).alias(f"rn_{i}")
+            for i in range(1, K + 1)
+        ]
+    )
+    df = one.select(
+        *[
+            (F.col(f"rn_{i}").cast("double") / F.lit(1e9)).alias(f"r_{i}")
+            for i in range(1, K + 1)
+        ]
+    )
+    df = df.select("*", F.col("r_1").alias("phi_1_1"))
+    for k in range(2, K + 1):
+        num = F.col(f"r_{k}") - reduce(
+            add,
+            [
+                F.col(f"phi_{k - 1}_{j}") * F.col(f"r_{k - j}")
+                for j in range(1, k)
+            ],
+        )
+        den = F.lit(1.0) - reduce(
+            add,
+            [F.col(f"phi_{k - 1}_{j}") * F.col(f"r_{j}") for j in range(1, k)],
+        )
+        den_safe = F.when(den == F.lit(0.0), F.lit(1.0)).otherwise(den)
+        df = df.select("*", (num / den_safe).alias(f"phi_{k}_{k}"))
+        if k < K:
+            df = df.select(
+                "*",
+                *[
+                    (
+                        F.col(f"phi_{k - 1}_{j}")
+                        - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k - 1}_{k - j}")
+                    ).alias(f"phi_{k}_{j}")
+                    for j in range(1, k)
+                ],
+            )
+    out = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"phi_{k}_{k}").alias("pacf"),
+                    )
+                    for k in range(1, K + 1)
+                ]
+            )
+        ).alias("p")
+    )
+    return out.select("p.lag", "p.pacf").orderBy("lag")

@@ -8958,3 +8958,61 @@ FROM scored ORDER BY day
 
 
 ORACLES["sprt_entry_bias"] = _sprt_sql()
+
+
+# Twin of operators/analytics.py:pacf_daily — nano-snapped ACF inputs, the
+# SAME left-associated Durbin-Levinson chains, one MATERIALIZED CTE per
+# materialization point (the inlining rule: plain CTEs would re-expand the
+# recursion exponentially).
+def _pacf_sql() -> str:
+    from inde1_spark.operators.analytics import ACF_MAX_LAG
+
+    K = ACF_MAX_LAG
+    rn = ", ".join(
+        f"MAX(CASE WHEN lag = {i} THEN CAST(round(acf * 1e9, 0) AS BIGINT)"
+        f" END) AS rn_{i}"
+        for i in range(1, K + 1)
+    )
+    rcols = ", ".join(
+        f"CAST(rn_{i} AS DOUBLE) / 1e9 AS r_{i}" for i in range(1, K + 1)
+    )
+    ctes = [
+        f"acf AS MATERIALIZED ({ORACLES['acf_daily']})",
+        f"pivot_ AS MATERIALIZED (SELECT {rn} FROM acf)",
+        f"base AS MATERIALIZED (SELECT {rcols} FROM pivot_)",
+        "lvl_1 AS MATERIALIZED (SELECT *, r_1 AS phi_1_1 FROM base)",
+    ]
+    prev = "lvl_1"
+    for k in range(2, K + 1):
+        num = f"r_{k} - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r_{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r_{j}" for j in range(1, k)
+        ) + ")"
+        den_safe = f"CASE WHEN ({den}) = 0.0 THEN 1.0 ELSE ({den}) END"
+        ctes.append(
+            f"lvl_{k}a AS MATERIALIZED (SELECT *, ({num}) / ({den_safe})"
+            f" AS phi_{k}_{k} FROM {prev})"
+        )
+        prev = f"lvl_{k}a"
+        if k < K:
+            upd = ", ".join(
+                f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}"
+                f" AS phi_{k}_{j}"
+                for j in range(1, k)
+            )
+            ctes.append(
+                f"lvl_{k}b AS MATERIALIZED (SELECT *, {upd} FROM {prev})"
+            )
+            prev = f"lvl_{k}b"
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, phi_{k}_{k} AS pacf FROM {prev}"
+        for k in range(1, K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union}) ORDER BY lag"
+    )
+
+
+ORACLES["pacf_daily"] = _pacf_sql()
