@@ -301,6 +301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
         "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
+        "periodogram_daily": lambda sp, d: A.periodogram_daily(
+            _t(sp, d, "events")
+        ),
+        "rm3_expansion": lambda sp, d: SC.rm3_expansion(_t(sp, d, "documents")),
+        "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
+            _t(sp, d, "embeddings")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -6949,3 +6949,114 @@ def pacf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
         ).alias("p")
     )
     return out.select("p.lag", "p.pacf").orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Periodogram at fixed candidate periods (injected trig literals)
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_PERIODS = (7, 14, 30)
+
+
+def _trig_nano(p: int) -> tuple[list[int], list[int]]:
+    """cos/sin(2 pi r / p) for r = 0..p-1 as nano literals — the angle
+    domain of a FIXED period is its residue classes, so the only
+    transcendentals are |p| Python-precomputed constants injected into
+    both engines (the injected-constant convention)."""
+    import math
+
+    cos = [round(math.cos(2 * math.pi * r / p) * 1e9) for r in range(p)]
+    sin = [round(math.sin(2 * math.pi * r / p) * 1e9) for r in range(p)]
+    return cos, sin
+
+
+def periodogram_daily(
+    events: DataFrame, periods: tuple[int, ...] = PERIODOGRAM_PERIODS
+) -> DataFrame:
+    """Periodogram energy of the daily revenue series at fixed candidate
+    periods — the frequency-domain member of the seasonality family:
+    ``acf_daily`` shows lag correlation, this reports the FRACTION OF
+    SERIES ENERGY concentrated at each candidate cycle,
+    |Sum_t d_t e^{-2 pi i t/p}|^2 / (n Sum d_t^2) in [0, 1] by
+    Cauchy-Schwarz — directly comparable across periods and corpora.
+
+    Exact-to-hash: the series is mean-centered at scale n (d_t = n x_t -
+    S, integers), cos/sin live on the residue classes of each period so
+    they are Python-precomputed nano literals, and both DFT sums
+    accumulate in decimal(38,0); the final squares/divides are mirrored
+    IEEE doubles via the digit-split conversion.
+
+    Scale: one corpus pass to the bounded daily table; the residue
+    explode fans |periods|x over days only.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_micro")
+    )
+    wg = Window.partitionBy()
+    w = Window.orderBy("day")
+    base = daily.select(
+        F.row_number().over(w).cast("long").alias("t"),
+        F.count("*").over(wg).cast("long").alias("n_days"),
+        (d38(F.count("*").over(wg)) * F.col("v_micro") - d38(F.sum("v_micro").over(wg)))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    den = base.select(
+        "t",
+        "n_days",
+        "d",
+        F.sum((d38(F.col("d")) * F.col("d")).cast("decimal(38,0)"))
+        .over(wg)
+        .cast("decimal(38,0)")
+        .alias("den"),
+    )
+    structs = []
+    for p in periods:
+        cosl, sinl = _trig_nano(p)
+        res = (F.col("t") - 1) % F.lit(p)
+        cmap = F.create_map(*[F.lit(x) for r in range(p) for x in (r, cosl[r])])
+        smap = F.create_map(*[F.lit(x) for r in range(p) for x in (r, sinl[r])])
+        structs.append(
+            F.struct(
+                F.lit(p).cast("long").alias("period"),
+                F.element_at(cmap, res.cast("int")).alias("cosn"),
+                F.element_at(smap, res.cast("int")).alias("sinn"),
+            )
+        )
+    exploded = den.select(
+        "d", "den", "n_days", F.explode(F.array(*structs)).alias("s")
+    )
+    g = exploded.groupBy(F.col("s.period").alias("period")).agg(
+        F.max("n_days").alias("n_days"),
+        F.sum((d38(F.col("d")) * F.col("s.cosn")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("csum"),
+        F.sum((d38(F.col("d")) * F.col("s.sinn")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ssum"),
+        F.max("den").alias("den"),
+    )
+    c_d = dec_to_double_exact(F.col("csum")) / F.lit(1e9)
+    s_d = dec_to_double_exact(F.col("ssum")) / F.lit(1e9)
+    den_d = dec_to_double_exact(
+        F.greatest(F.col("den"), F.lit(1).cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        )
+    )
+    return g.select(
+        "period",
+        "n_days",
+        (
+            (c_d * c_d + s_d * s_d)
+            / (F.col("n_days").cast("double") * den_d)
+        ).alias("energy_frac"),
+    ).orderBy("period")

@@ -28,7 +28,7 @@ CTE-for-CTE (oracles.py), so the gate hash-checks the whole trajectory.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inde1_spark.operators.dedup import COSINE_DEDUP_THRESHOLD, _lazy_checkpoint
@@ -401,3 +401,56 @@ def cluster_separation(embeddings: DataFrame) -> DataFrame:
             ).alias("sep_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D4-style prototypicality pruning (SemDeDup's sibling, Tirumala et al. 2023)
+# ---------------------------------------------------------------------------
+
+PROTO_DROP_DEN = 4  # drop the closest 1/4 of each cluster to its centroid
+
+
+def prototypicality_prune(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    drop_den: int = PROTO_DROP_DEN,
+) -> DataFrame:
+    """D4-style prototypicality pruning: within each k-means cluster,
+    rank points by exact distance to their centroid and DROP the closest
+    1/drop_den — the most prototypical examples, which carry the least
+    marginal information (Tirumala et al. 2023 pair exactly this with
+    SemDeDup: ``semdedup`` removes near-duplicate pairs, this removes
+    redundant cluster cores). Emits every row with its rank and keep
+    verdict so the caller audits before filtering.
+
+    Determinism: dist_scaled is kmeans_assign's exact fixed-point
+    distance, ranks break ties (dist, vec_id), and the per-cluster drop
+    count is the integer n_c div drop_den — no thresholds on floats.
+
+    Scale: one window over the assignment table partitioned by cluster
+    (bounded per-cluster rows by scale_k's sizing); the expensive part
+    is the audited kmeans_assign itself.
+    """
+    asg = kmeans_assign(embeddings, k, iters)
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_scaled"), F.asc("vec_id")
+    )
+    wn = Window.partitionBy("cluster")
+    ranked = asg.select(
+        "vec_id",
+        "cluster",
+        "dist_scaled",
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+        F.count("*").over(wn).cast("long").alias("n_cluster"),
+    )
+    return ranked.select(
+        "vec_id",
+        "cluster",
+        "dist_scaled",
+        "proto_rank",
+        "n_cluster",
+        (
+            F.col("proto_rank") > F.expr(f"n_cluster div {drop_den}")
+        ).alias("keep"),
+    ).orderBy("cluster", "proto_rank")

@@ -1203,3 +1203,77 @@ def kneser_ney_logprob(documents: DataFrame) -> DataFrame:
             ).alias("avg_logprob_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3-style pseudo-relevance feedback expansion
+# ---------------------------------------------------------------------------
+
+RM3_FB_DOCS = 10      # feedback depth
+RM3_TOP_TERMS = 15    # expansion terms emitted
+RM3_RANK_SCALE = 2520  # lcm(1..10): 1/rank doc weights as exact integers
+
+
+def rm3_expansion(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    fb_docs: int = RM3_FB_DOCS,
+    top_terms: int = RM3_TOP_TERMS,
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback query expansion — the missing
+    step between the retrieval scorers and a second-pass query: take the
+    top feedback documents for the probe query, build a relevance model
+    over THEIR vocabulary, and emit the top expansion terms. The
+    decontamination-by-retrieval loop runs exactly this to widen a probe
+    beyond its literal tokens.
+
+    Deterministic relevance model: document weights are the exact
+    rational 1/rank (scaled by lcm(1..10) so they are integers — the
+    RBO recipe), term contributions are round-half-up micro quotients
+    wgt * tf * 1e6 / |d| (the kruskal contract) summed per term in
+    decimal(38,0); original query terms are excluded, ties break on the
+    term. Fully hash-exact; no floats until nothing is left to compute.
+
+    Scale: the feedback set is fb_docs rows — every join after the
+    (already prefiltered) QL probe broadcasts; the one corpus-volume
+    pass is _term_freq restricted to feedback docs by a broadcast join.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+    from pyspark.sql import Window
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    fb = dirichlet_query_likelihood(documents, query=query, k=fb_docs)
+    fb = fb.select(
+        "doc_id",
+        F.expr(f"{RM3_RANK_SCALE} div CAST(row_number() OVER "
+               f"(ORDER BY ql_score DESC, doc_id ASC) AS BIGINT)")
+        .alias("wgt"),
+    )
+    tf = _term_freq(documents).join(F.broadcast(fb), "doc_id")
+    contrib = dec_floordiv(
+        (
+            d38(F.col("wgt") * F.col("tf")) * F.lit(1_000_000) * F.lit(2)
+            + d38(F.col("dl"))
+        ).cast("decimal(38,0)"),
+        (d38(F.col("dl")) * F.lit(2)).cast("decimal(38,0)"),
+    )
+    g = (
+        tf.filter(~F.col("term").isin(*[str(t) for t in query]))
+        .select("term", contrib.cast("decimal(38,0)").alias("c"))
+        .groupBy("term")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("w"))
+    )
+    return (
+        g.orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(top_terms)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("w").desc(), F.col("term").asc()))
+            .cast("long")
+            .alias("rank"),
+            "term",
+            F.col("w").cast("long").alias("weight_micro"),
+        )
+    )

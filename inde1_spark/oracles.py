@@ -9016,3 +9016,126 @@ def _pacf_sql() -> str:
 
 
 ORACLES["pacf_daily"] = _pacf_sql()
+
+
+# Twin of operators/analytics.py:periodogram_daily — identical residue-class
+# trig literals, decimal DFT sums, mirrored double emission.
+def _periodogram_sql() -> str:
+    from inde1_spark.operators.analytics import (
+        PERIODOGRAM_PERIODS,
+        _trig_nano,
+    )
+
+    parts = []
+    for p in PERIODOGRAM_PERIODS:
+        cosl, sinl = _trig_nano(p)
+        ccase = " ".join(
+            f"WHEN (t - 1) % {p} = {r} THEN {cosl[r]}" for r in range(p)
+        )
+        scase = " ".join(
+            f"WHEN (t - 1) % {p} = {r} THEN {sinl[r]}" for r in range(p)
+        )
+        parts.append(f"""
+SELECT CAST({p} AS BIGINT) AS period,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       CAST(SUM(d * (CASE {ccase} END)) AS HUGEINT) AS csum,
+       CAST(SUM(d * (CASE {scase} END)) AS HUGEINT) AS ssum,
+       MAX(den) AS den
+FROM den_""")
+    sel = "\nUNION ALL\n".join(parts)
+    c_d = f"{_dec2d('csum')} / 1e9"
+    s_d = f"{_dec2d('ssum')} / 1e9"
+    den_d = _dec2d("GREATEST(den, CAST(1 AS HUGEINT))")
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT {_DAY} AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6
+              + 0.5) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+         CAST(CAST(COUNT(*) OVER () AS HUGEINT) * v_micro
+              - CAST(SUM(v_micro) OVER () AS HUGEINT) AS HUGEINT) AS d
+  FROM daily
+),
+den_ AS MATERIALIZED (
+  SELECT t, n_days, d,
+         CAST(SUM(d * d) OVER () AS HUGEINT) AS den
+  FROM base
+)
+SELECT period, n_days,
+       (({c_d}) * ({c_d}) + ({s_d}) * ({s_d}))
+         / (CAST(n_days AS DOUBLE) * {den_d}) AS energy_frac
+FROM ({sel}) ORDER BY period
+"""
+
+
+ORACLES["periodogram_daily"] = _periodogram_sql()
+
+
+# Twin of operators/scoring.py:rm3_expansion — nested QL-probe feedback set,
+# identical 1/rank integer doc weights and micro-quotient contributions.
+def _rm3_sql() -> str:
+    from inde1_spark.operators.scoring import (
+        BM25_QUERY,
+        RM3_FB_DOCS,
+        RM3_RANK_SCALE,
+        RM3_TOP_TERMS,
+    )
+
+    qin = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH fbq AS MATERIALIZED (
+  SELECT doc_id, ql_score FROM ({ORACLES['dirichlet_query_likelihood']})
+  ORDER BY ql_score DESC, doc_id ASC LIMIT {RM3_FB_DOCS}
+),
+fb AS (
+  SELECT doc_id,
+         {RM3_RANK_SCALE} // CAST(row_number() OVER
+           (ORDER BY ql_score DESC, doc_id ASC) AS BIGINT) AS wgt
+  FROM fbq
+),
+{_TF.strip().format(tok_filter="")},
+joined AS (
+  SELECT t.term,
+         (CAST(f.wgt * t.tf AS HUGEINT) * 1000000 * 2
+          + CAST(t.dl AS HUGEINT))
+           // (CAST(t.dl AS HUGEINT) * 2) AS c
+  FROM tf t JOIN fb f USING (doc_id)
+  WHERE t.term NOT IN ({qin})
+),
+g AS (
+  SELECT term, CAST(SUM(c) AS HUGEINT) AS w FROM joined GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY w DESC, term ASC) AS BIGINT) AS rank,
+       term, CAST(w AS BIGINT) AS weight_micro
+FROM g ORDER BY w DESC, term ASC LIMIT {RM3_TOP_TERMS}
+"""
+
+
+ORACLES["rm3_expansion"] = _rm3_sql()
+
+
+# Twin of operators/clustering.py:prototypicality_prune — nests the
+# kmeans_assign oracle, identical rank/drop-count arithmetic.
+def _proto_prune_sql() -> str:
+    from inde1_spark.operators.clustering import PROTO_DROP_DEN
+
+    return f"""
+WITH asg AS MATERIALIZED ({ORACLES['kmeans_assign']}),
+ranked AS (
+  SELECT vec_id, cluster, dist_scaled,
+         CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY dist_scaled ASC, vec_id ASC) AS BIGINT) AS proto_rank,
+         CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
+  FROM asg
+)
+SELECT vec_id, cluster, dist_scaled, proto_rank, n_cluster,
+       proto_rank > n_cluster // {PROTO_DROP_DEN} AS keep
+FROM ranked ORDER BY cluster, proto_rank
+"""
+
+
+ORACLES["prototypicality_prune"] = _proto_prune_sql()
