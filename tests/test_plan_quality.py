@@ -1411,3 +1411,43 @@ def test_rbo_bounded_topk_join(spark):
     assert r.sort_merge_joins <= 1
     assert r.broadcast_hash_joins >= 2
     assert "CartesianProduct" not in r.raw
+
+
+def test_sprt_single_daily_pass(spark):
+    # one corpus-volume conditional agg; prefix sums over bounded days
+    assert_plan(
+        Q["sprt_entry_bias"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+
+
+def test_pacf_one_row_recursion(spark):
+    # acf's bounded-series work, then the Durbin-Levinson levels on ONE row
+    assert_plan(
+        Q["pacf_daily"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+
+
+def test_periodogram_bounded_residue_fanout(spark):
+    # one corpus pass; the residue explode fans |periods|x over DAYS only
+    assert_plan(
+        Q["periodogram_daily"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_rm3_feedback_set_broadcasts(spark):
+    # the fb_docs-row feedback table broadcasts onto the term-freq pass;
+    # the <=4 nested-loop joins are the benign 1-row scalar broadcasts
+    r = plan_report(Q["rm3_expansion"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins >= 2
+    assert r.nested_loop_joins <= 4
+
+
+def test_proto_prune_windows_on_assignment(spark):
+    # ranks ride windows over kmeans_assign's output; no sort-merge, and
+    # the nested loops are the 1-row centroid broadcasts kmeans always pays
+    r = plan_report(Q["prototypicality_prune"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 4
