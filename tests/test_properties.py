@@ -325,3 +325,192 @@ def test_bloom_sweep_no_false_negatives_any_config(spark):
         pairs.sort()
         for (m0, fp0), (m1, fp1) in zip(pairs, pairs[1:]):
             assert m0 < m1 and fp0 >= fp1
+
+
+# ---------------------------------------------------------------------------
+# Sequential-operator closed forms vs naive Python recursions (r06 batch 2)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+
+def _events_from_daily(spark, counts):
+    """events with counts[d] rows on day d (ts-only columns the daily ops read)."""
+    base = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + timedelta(days=d, minutes=i)))
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=10))
+@SETTINGS
+def test_cusum_closed_form_equals_page_recursion(spark, counts):
+    """The prefix/extrema closed form must equal Page's max(0, S+dev)
+    recursion replayed naively — for BOTH sides, on any series."""
+    from inde1_spark.operators.analytics import cusum_drift
+
+    counts = [c for c in counts if c > 0] or [1]
+    got = {
+        r["day"]: (r["n_events"], r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_drift(_events_from_daily(spark, counts)).collect()
+    }
+    observed = sorted(got)
+    xs = [got[d][0] for d in observed]
+    n_days, n_total = len(xs), sum(xs)
+    s_pos = s_neg = 0
+    for d, x in zip(observed, xs):
+        dev = x * n_days - n_total
+        s_pos = max(0, s_pos + dev)
+        s_neg = max(0, s_neg - dev)
+        assert got[d][1] == s_pos and got[d][2] == s_neg, (d, got[d], s_pos, s_neg)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=8, max_size=12))
+@SETTINGS
+def test_holt_winters_fold_equals_python_replay(spark, counts):
+    """The one-row fold must equal the truncating dyadic recursion
+    replayed in Python (including negative-trend truncation)."""
+    from inde1_spark.operators.analytics import HW_SEASON, holt_winters
+
+    counts = [max(c, 1) for c in counts]  # every day observed
+    m = HW_SEASON
+    got = {
+        r["day"]: (r["n_events"], r["fitted_x7"], r["resid_x7"])
+        for r in holt_winters(_events_from_daily(spark, counts)).collect()
+    }
+
+    def tdiv2(a, k):  # truncate-toward-zero division (the engines' (a-a%k)/k)
+        rem = a % k if a >= 0 else -((-a) % k)
+        return (a - rem) // k
+
+    l = sum(counts[:m])
+    b = 0
+    s = [counts[i] * m - l for i in range(m)]
+    base = datetime(2024, 5, 1)
+    for t in range(m, len(counts)):
+        xp = counts[t] * m
+        s_old = s[0]
+        l_new = tdiv2(xp - s_old + l + b, 2)
+        b_new = tdiv2(l_new - l + 3 * b, 4)
+        s_val = tdiv2(xp - l_new + s_old, 2)
+        fitted = l + b + s_old
+        day = (base + timedelta(days=t)).strftime("%Y-%m-%d")
+        assert got[day] == (counts[t], fitted, counts[t] * m - fitted), (
+            day,
+            got[day],
+            (counts[t], fitted),
+        )
+        l, b = l_new, b_new
+        s = s[1:] + [s_val]
+
+
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=2, max_size=9))
+@SETTINGS
+def test_isotonic_equals_exact_fraction_pava(spark, counts):
+    """Minimax-on-floored-averages must be monotone and equal classic
+    pool-adjacent-violators run with exact fractions, floored to micro."""
+    from fractions import Fraction
+
+    from inde1_spark.operators.analytics import isotonic_daily
+
+    rows = sorted(
+        isotonic_daily(_events_from_daily(spark, counts)).collect(),
+        key=lambda r: r["day"],
+    )
+    iso = [r["iso_micro"] for r in rows]
+    assert iso == sorted(iso)
+    pools = []
+    for v in counts:
+        pools.append([Fraction(v), 1])
+        while len(pools) > 1 and pools[-2][0] > pools[-1][0]:
+            bq = pools.pop()
+            aq = pools.pop()
+            pools.append(
+                [
+                    (aq[0] * aq[1] + bq[0] * bq[1]) / (aq[1] + bq[1]),
+                    aq[1] + bq[1],
+                ]
+            )
+    ref = []
+    for v, wdt in pools:
+        scaled = v * 1_000_000
+        ref += [scaled.numerator // scaled.denominator] * wdt
+    assert iso == ref, (counts, iso, ref)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),     # quantity units
+            st.integers(min_value=900, max_value=9000),  # price
+            st.sampled_from([0.0, 0.01, 0.02, 0.05]),  # discount
+            st.sampled_from([0.0, 0.01, 0.03]),        # tax
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_kendall_tau_equals_brute_force(spark, rows):
+    """The densified dominance-window tau-b must equal the O(n^2)
+    definition on the quantized values, for every measure pair."""
+    from itertools import combinations
+    from math import sqrt
+
+    from inde1_spark.operators.analytics import (
+        SPEARMAN_COLS,
+        TAU_DIVS,
+        kendall_tau_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(float(q), float(p), d, t) for q, p, d, t in rows],
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): (
+            int(r["concordant"]),
+            int(r["discordant"]),
+            r["tau_b"],
+        )
+        for r in kendall_tau_matrix(df).collect()
+    }
+    import math
+
+    vals = [
+        [
+            int(math.floor(v * 1e6 + 0.5)) // TAU_DIVS[i]
+            for i, v in enumerate(row)
+        ]
+        for row in rows
+    ]
+    n = len(vals)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            C = D = 0
+            for a, b in combinations(range(n), 2):
+                da = vals[a][i] - vals[b][i]
+                db = vals[a][j] - vals[b][j]
+                if da * db > 0:
+                    C += 1
+                elif da * db < 0:
+                    D += 1
+            ta = {}
+            tb = {}
+            for row in vals:
+                ta[row[i]] = ta.get(row[i], 0) + 1
+                tb[row[j]] = tb.get(row[j], 0) + 1
+            n0 = n * (n - 1) // 2
+            n1 = sum(t * (t - 1) // 2 for t in ta.values())
+            n2 = sum(t * (t - 1) // 2 for t in tb.values())
+            key = (SPEARMAN_COLS[i], SPEARMAN_COLS[j])
+            if n0 - n1 <= 0 or n0 - n2 <= 0:
+                assert key not in got
+                continue
+            assert got[key][0] == C and got[key][1] == D, (key, got.get(key), C, D)
+            tau_ref = (C - D) / sqrt(float(n0 - n1) * float(n0 - n2))
+            assert abs(got[key][2] - tau_ref) < 1e-9, (key, got[key][2], tau_ref)
