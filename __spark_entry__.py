@@ -308,6 +308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
             _t(sp, d, "embeddings")
         ),
+        "hill_tail_index": lambda sp, d: A.hill_tail_index(_t(sp, d, "events")),
+        "did_estimate": lambda sp, d: A.did_estimate(_t(sp, d, "events")),
+        "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
+            _t(sp, d, "events")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

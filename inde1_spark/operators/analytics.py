@@ -7060,3 +7060,231 @@ def periodogram_daily(
             / (F.col("n_days").cast("double") * den_d)
         ).alias("energy_frac"),
     ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail diagnostic)
+# ---------------------------------------------------------------------------
+
+HILL_TOP_K = 100
+
+
+def hill_tail_index(events: DataFrame, k: int = HILL_TOP_K) -> DataFrame:
+    """Hill estimator of the value distribution's tail index — the
+    heavy-tail diagnostic the moments family cannot give
+    (``moments_profile``'s kurtosis explodes exactly when it matters):
+    1/alpha = mean of ln(x_(i)/x_(k+1)) over the top k order statistics.
+    alpha <= 2 means infinite variance — the signal that switches
+    downstream sizing from mean-based to quantile-based.
+
+    Exact contract: order statistics come from one TakeOrdered top-(k+1)
+    (micro values, ties broken by event_id), each log-excess is a
+    difference of nano-snapped integer logs, and the mean is one
+    integer-sum / (k * 1e9) divide. Emits the excess mean and alpha =
+    its reciprocal (one more mirrored IEEE divide).
+
+    Scale: TakeOrdered is a per-partition top-k + one k-row merge — no
+    global sort; everything after runs on k+1 rows.
+    """
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    pos = events.select(y.alias("y"), "event_id").filter(F.col("y") > 0)
+    top = (
+        pos.orderBy(F.desc("y"), F.asc("event_id"))
+        .limit(k + 1)
+        .select("y", F.row_number().over(Window.orderBy(F.desc("y"), F.asc("event_id"))).cast("long").alias("r"))
+    )
+    ref = top.filter(F.col("r") == k + 1).select(
+        F.col("y").alias("y_ref")
+    )
+    agg = (
+        top.filter(F.col("r") <= k)
+        .join(F.broadcast(ref))
+        .agg(
+            F.count("*").cast("long").alias("n_top"),
+            F.max("y_ref").alias("x_ref_micro"),
+            F.sum(lnn(F.col("y")) - lnn(F.col("y_ref")))
+            .cast("long")
+            .alias("excess_nano"),
+        )
+    )
+    inv_alpha = F.col("excess_nano").cast("double") / (
+        F.col("n_top").cast("double") * F.lit(1e9)
+    )
+    return (
+        agg.filter((F.col("n_top") == k) & (F.col("excess_nano") > 0))
+        .select(
+            "n_top",
+            "x_ref_micro",
+            inv_alpha.alias("inv_alpha"),
+            (F.lit(1.0) / inv_alpha).alias("alpha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation pair: difference-in-differences + CUPED
+# ---------------------------------------------------------------------------
+
+def _median_day_cutoff(daily_days: DataFrame) -> DataFrame:
+    """1-row (cutoff) frame: the last day of the first half of the
+    observed distinct-day span — the deterministic pre/post split both
+    experimentation ops share."""
+    w = Window.orderBy("day")
+    ranked = daily_days.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.filter(
+        F.col("r") <= F.expr("n div 2")
+    ).agg(F.max("day").alias("cutoff"))
+
+
+def did_estimate(events: DataFrame) -> DataFrame:
+    """Difference-in-differences on event values: treatment = ENTRY
+    events, control = EXIT events, pre/post split at the midpoint of the
+    observed day span — the canonical causal-effect estimate under the
+    parallel-trends assumption, and the first table any experiment
+    review asks for (four cell means and the DiD).
+
+    Exactness: cell sums accumulate as DECIMAL(18,6) (order-free),
+    counts as longs; the four means and the final double subtraction
+    chain are mirrored IEEE ops via the exact-decimal-to-double cast
+    (values bounded, so the decimal cast is lossless). The split day is
+    a rank on DISTINCT days — data-determined but deterministic.
+
+    Scale: one corpus pass with a broadcast 1-row cutoff; the aggregate
+    has exactly 4 cells.
+    """
+    days = events.select(_day_str().alias("day")).distinct()
+    cutoff = _median_day_cutoff(days)
+    cells = (
+        events.select(
+            _day_str().alias("day"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .join(F.broadcast(cutoff))
+        .select(
+            (F.col("event_type") == ENTRY_TYPE).alias("treated"),
+            (F.col("day") <= F.col("cutoff")).alias("pre"),
+            "v",
+        )
+        .groupBy("treated", "pre")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("v").alias("s"))
+    )
+    agg = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("pre") == p), F.col("n")
+                )
+            ).alias(f"n_{'t' if t else 'c'}_{'pre' if p else 'post'}")
+            for t in (True, False)
+            for p in (True, False)
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("pre") == p), F.col("s")
+                )
+            ).alias(f"s_{'t' if t else 'c'}_{'pre' if p else 'post'}")
+            for t in (True, False)
+            for p in (True, False)
+        ],
+    )
+
+    def mean(tag):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast(
+            "double"
+        )
+
+    return agg.filter(
+        (F.col("n_t_pre") > 0)
+        & (F.col("n_t_post") > 0)
+        & (F.col("n_c_pre") > 0)
+        & (F.col("n_c_post") > 0)
+    ).select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        mean("t_pre").alias("mean_t_pre"),
+        mean("t_post").alias("mean_t_post"),
+        mean("c_pre").alias("mean_c_pre"),
+        mean("c_post").alias("mean_c_post"),
+        (
+            (mean("t_post") - mean("t_pre"))
+            - (mean("c_post") - mean("c_pre"))
+        ).alias("did"),
+    )
+
+
+def cuped_adjustment(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduction audit: per-user pre-period value sums as
+    the covariate X, post-period sums as the metric Y, theta =
+    cov(X,Y)/var(X), and the achievable variance reduction rho^2 — the
+    number that says how much smaller the experiment can be BEFORE
+    anyone runs it (Deng et al. 2013, the industry-standard trick).
+
+    Exactness: per-user sums in micro longs, the five moments (Sx, Sy,
+    Sxx, Sxy, Syy) in decimal(38,0) in ONE aggregate, every emitted
+    double built from digit-split conversions with a mirrored op chain.
+    Users missing a side contribute zero for it (left-complete via the
+    conditional sums — no join). Degenerate variances filter out.
+
+    Scale: one corpus-volume groupBy on user_id (map-side combined),
+    then a 1-row moments reduce.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    days = events.select(_day_str().alias("day")).distinct()
+    cutoff = _median_day_cutoff(days)
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_user = (
+        events.select(_day_str().alias("day"), "user_id", y.alias("v"))
+        .join(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("cutoff"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("day") > F.col("cutoff"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("yv"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("yv"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("yv"))).alias("sxy"),
+        F.sum(d38(F.col("yv")) * d38(F.col("yv"))).alias("syy"),
+    )
+    n = d38(F.col("n_users"))
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    theta = dec_to_double_exact(cov) / dec_to_double_exact(vx)
+    rho2 = (
+        dec_to_double_exact(cov)
+        * dec_to_double_exact(cov)
+        / (dec_to_double_exact(vx) * dec_to_double_exact(vy))
+    )
+    return mom.filter((vx > 0) & (vy > 0)).select(
+        "n_users",
+        theta.alias("theta"),
+        rho2.alias("var_reduction"),
+    )

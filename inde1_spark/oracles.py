@@ -9139,3 +9139,134 @@ FROM ranked ORDER BY cluster, proto_rank
 
 
 ORACLES["prototypicality_prune"] = _proto_prune_sql()
+
+
+# Twin of operators/analytics.py:hill_tail_index — identical top-(k+1)
+# order statistics, nano log excesses, mirrored divides.
+def _hill_sql() -> str:
+    from inde1_spark.operators.analytics import HILL_TOP_K
+
+    k = HILL_TOP_K
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+WITH pos AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y,
+         event_id
+  FROM events
+  WHERE CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) > 0
+),
+top AS MATERIALIZED (
+  SELECT y, CAST(row_number() OVER (ORDER BY y DESC, event_id ASC) AS BIGINT)
+           AS r
+  FROM pos ORDER BY y DESC, event_id ASC LIMIT {k + 1}
+),
+ref AS (SELECT y AS y_ref FROM top WHERE r = {k + 1}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+         CAST(MAX(y_ref) AS BIGINT) AS x_ref_micro,
+         CAST(SUM({lnn('y')} - {lnn('y_ref')}) AS BIGINT) AS excess_nano
+  FROM top CROSS JOIN ref WHERE r <= {k}
+)
+SELECT n_top, x_ref_micro,
+       CAST(excess_nano AS DOUBLE) / (CAST(n_top AS DOUBLE) * 1e9)
+         AS inv_alpha,
+       1.0 / (CAST(excess_nano AS DOUBLE) / (CAST(n_top AS DOUBLE) * 1e9))
+         AS alpha
+FROM agg WHERE n_top = {k} AND excess_nano > 0
+"""
+
+
+ORACLES["hill_tail_index"] = _hill_sql()
+
+
+# Shared pre/post split: last day of the first half of the distinct-day span.
+_CUTOFF = f"""
+days_ AS (SELECT DISTINCT {_DAY} AS day FROM events),
+ranked_ AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM days_
+),
+cutoff AS (SELECT MAX(day) AS cutoff FROM ranked_ WHERE r <= n // 2)
+"""
+
+
+# Twin of operators/analytics.py:did_estimate — identical cell sums
+# (DECIMAL(18,6)), mirrored mean/subtraction chain.
+ORACLES["did_estimate"] = f"""
+WITH {_CUTOFF},
+cells AS (
+  SELECT (event_type = '{ENTRY}') AS treated,
+         ({_DAY} <= cutoff) AS pre,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events CROSS JOIN cutoff
+  WHERE event_type IN ('{ENTRY}', '{EXIT}')
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT
+    MAX(CASE WHEN treated AND pre THEN n END) AS n_t_pre,
+    MAX(CASE WHEN treated AND NOT pre THEN n END) AS n_t_post,
+    MAX(CASE WHEN NOT treated AND pre THEN n END) AS n_c_pre,
+    MAX(CASE WHEN NOT treated AND NOT pre THEN n END) AS n_c_post,
+    MAX(CASE WHEN treated AND pre THEN s END) AS s_t_pre,
+    MAX(CASE WHEN treated AND NOT pre THEN s END) AS s_t_post,
+    MAX(CASE WHEN NOT treated AND pre THEN s END) AS s_c_pre,
+    MAX(CASE WHEN NOT treated AND NOT pre THEN s END) AS s_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS mean_t_pre,
+       CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS mean_t_post,
+       CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS mean_c_pre,
+       CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS mean_c_post,
+       (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+       - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+          - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did
+FROM agg
+WHERE n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0
+"""
+
+
+# Twin of operators/analytics.py:cuped_adjustment — identical per-user
+# micro sums, HUGEINT moments, digit-split emission.
+def _cuped_sql() -> str:
+    cov = "(CAST(n_users AS HUGEINT) * sxy - sx * sy)"
+    vx = "(CAST(n_users AS HUGEINT) * sxx - sx * sx)"
+    vy = "(CAST(n_users AS HUGEINT) * syy - sy * sy)"
+    return f"""
+WITH {_CUTOFF},
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN day <= cutoff THEN v ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN day > cutoff THEN v ELSE 0 END) AS BIGINT) AS yv
+  FROM (
+    SELECT {_DAY} AS day, user_id,
+           CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+    FROM events
+  ) CROSS JOIN cutoff
+  GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(yv AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * yv) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy
+  FROM per_user
+)
+SELECT n_users,
+       {_dec2d(cov)} / {_dec2d(vx)} AS theta,
+       {_dec2d(cov)} * {_dec2d(cov)}
+         / ({_dec2d(vx)} * {_dec2d(vy)}) AS var_reduction
+FROM mom WHERE {vx} > 0 AND {vy} > 0
+"""
+
+
+ORACLES["cuped_adjustment"] = _cuped_sql()
