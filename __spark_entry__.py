@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
             _t(sp, d, "events")
         ),
+        "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
+        "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

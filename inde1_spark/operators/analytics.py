@@ -7288,3 +7288,122 @@ def cuped_adjustment(events: DataFrame) -> DataFrame:
         theta.alias("theta"),
         rho2.alias("var_reduction"),
     )
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: assign every user to A/B by the
+    engine-portable md5 bucket, then chi-square the observed split
+    against 50/50 — the first check any experiment readout runs, because
+    a biased assignment invalidates ``did_estimate``/``cuped_adjustment``
+    before they are even computed. Here it doubles as a randomization
+    audit of the hash itself on real ids.
+
+    For two cells against an even split the statistic collapses to
+    chi2 = (n_a - n_b)^2 / n, an exact rational — emitted as a half-up
+    micro quotient (decimal floor-division), with the flag at the 3.841
+    critical value (chi2_1, 5%) as an integer micro compare. No floats
+    anywhere.
+
+    Scale: one distinct-users pass (map-side combined) and a 2-key
+    aggregate.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+    from inde1_spark.operators.text import hash_bucket
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    users = events.select("user_id").distinct()
+    cells = users.select(
+        hash_bucket(F.col("user_id"), 2).alias("arm")
+    ).groupBy("arm").agg(F.count("*").cast("long").alias("n"))
+    agg = cells.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = d38(F.col("n_a") - F.col("n_b"))
+    n = d38(F.col("n_a") + F.col("n_b"))
+    chi2_micro = dec_floordiv(
+        (diff * diff * F.lit(1_000_000) * F.lit(2) + n).cast("decimal(38,0)"),
+        (n * F.lit(2)).cast("decimal(38,0)"),
+    ).cast("long")
+    return agg.filter(F.col("n_a") + F.col("n_b") > 0).select(
+        "n_a",
+        "n_b",
+        chi2_micro.alias("chi2_micro"),
+        (chi2_micro > F.lit(3_841_459)).alias("srm_flag"),  # chi2_1 5% crit
+    )
+
+
+# Experimentation sizing literals: z_{0.975} and z_{0.80} nano-snapped
+# (Python-precomputed; the injected-constant convention).
+Z975_NANO = 1959963985
+Z80_NANO = 841621234
+
+
+def power_mde_plan(events: DataFrame) -> DataFrame:
+    """Minimum-detectable-effect planner: given the MEASURED per-user
+    metric variance (the CUPED covariate machinery) and candidate
+    per-arm sample sizes, the absolute MDE at 5%/80% — the "how long
+    must this experiment run" table, computed from the corpus itself
+    instead of a guess.
+
+    MDE(n) = (z_0.975 + z_0.80) * sqrt(2 s^2 / n): the z-sum is an exact
+    injected nano constant, s^2 comes from one decimal moments pass
+    over per-user metric sums (sample variance, n-1 denominator), and
+    the per-candidate sqrt/multiply chain is mirrored IEEE. Candidate
+    sizes are fixed powers of ten — the planner's job is the ORDER of
+    magnitude.
+
+    Scale: one corpus-volume per-user reduce + a 1-row moments frame
+    fanned to |candidates| rows.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.sum(y).cast("long").alias("m")
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(d38(F.col("m"))).alias("s1"),
+        F.sum(d38(F.col("m")) * d38(F.col("m"))).alias("s2"),
+    )
+    n = d38(F.col("n_users"))
+    varnum = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    # sample variance in micro^2 units: varnum / (n (n-1))
+    s2_d = dec_to_double_exact(varnum) / (
+        F.col("n_users").cast("double")
+        * (F.col("n_users") - 1).cast("double")
+    )
+    zsum = F.lit((Z975_NANO + Z80_NANO) / 1e9)
+    sized = mom.filter(F.col("n_users") > 1).filter(varnum > 0).select(
+        "n_users",
+        s2_d.alias("var_metric"),
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in (100, 1000, 10000, 100000)])
+        ).alias("n_per_arm"),
+    )
+    return sized.select(
+        "n_users",
+        "var_metric",
+        "n_per_arm",
+        (
+            zsum
+            * F.sqrt(
+                F.lit(2.0) * F.col("var_metric")
+                / F.col("n_per_arm").cast("double")
+            )
+            / F.lit(1e6)
+        ).alias("mde_value_units"),
+    ).orderBy("n_per_arm")

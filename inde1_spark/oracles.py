@@ -9270,3 +9270,67 @@ FROM mom WHERE {vx} > 0 AND {vy} > 0
 
 
 ORACLES["cuped_adjustment"] = _cuped_sql()
+
+
+# Twin of operators/analytics.py:srm_check — identical md5 arms, exact
+# collapsed chi-square micro quotient, integer critical compare.
+ORACLES["srm_check"] = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+cells AS (
+  SELECT {_hash_bucket_sql('user_id', 2)} AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM users GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+  FROM cells
+),
+fin AS (
+  SELECT n_a, n_b,
+         CAST((CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000 * 2
+               + CAST(n_a + n_b AS HUGEINT))
+              // (CAST(n_a + n_b AS HUGEINT) * 2) AS BIGINT) AS chi2_micro
+  FROM agg WHERE n_a + n_b > 0
+)
+SELECT n_a, n_b, chi2_micro, chi2_micro > 3841459 AS srm_flag FROM fin
+"""
+
+
+# Twin of operators/analytics.py:power_mde_plan — identical moments pass,
+# injected z-sum, mirrored sqrt chain.
+def _power_mde_sql() -> str:
+    from inde1_spark.operators.analytics import Z80_NANO, Z975_NANO
+
+    zsum = (Z975_NANO + Z80_NANO) / 1e9
+    varnum = "(CAST(n_users AS HUGEINT) * s2 - s1 * s1)"
+    s2d = (
+        f"{_dec2d(varnum)} / (CAST(n_users AS DOUBLE)"
+        " * CAST(n_users - 1 AS DOUBLE))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS m
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2
+  FROM per_user
+),
+sized AS (
+  SELECT n_users, {s2d} AS var_metric,
+         CAST(unnest([100, 1000, 10000, 100000]) AS BIGINT) AS n_per_arm
+  FROM mom WHERE n_users > 1 AND {varnum} > 0
+)
+SELECT n_users, var_metric, n_per_arm,
+       {zsum} * sqrt(2.0 * var_metric / CAST(n_per_arm AS DOUBLE)) / 1e6
+         AS mde_value_units
+FROM sized ORDER BY n_per_arm
+"""
+
+
+ORACLES["power_mde_plan"] = _power_mde_sql()
