@@ -1451,3 +1451,40 @@ def test_proto_prune_windows_on_assignment(spark):
     r = plan_report(Q["prototypicality_prune"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
     assert r.nested_loop_joins <= 4
+
+
+def test_hill_takeordered_no_global_sort(spark):
+    # top-(k+1) must be TakeOrdered (per-partition top-k + merge), never a
+    # full Exchange+Sort of the corpus
+    r = plan_report(Q["hill_tail_index"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in r.raw
+    assert r.sort_merge_joins == 0
+
+
+def test_did_four_cell_single_pass(spark):
+    # one corpus pass + broadcast 1-row cutoff -> a 4-cell aggregate
+    r = plan_report(Q["did_estimate"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+
+
+def test_cuped_single_user_reduce(spark):
+    # per-user conditional sums in ONE groupBy (no pre/post self-join),
+    # then a 1-row moments frame
+    r = plan_report(Q["cuped_adjustment"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+
+
+def test_srm_two_key_aggregate(spark):
+    assert_plan(
+        Q["srm_check"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+
+
+def test_power_mde_single_moments_pass(spark):
+    assert_plan(
+        Q["power_mde_plan"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
