@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
         "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
+        "wilson_intervals": lambda sp, d: A.wilson_intervals(
+            _t(sp, d, "events")
+        ),
+        "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -7407,3 +7407,97 @@ def power_mde_plan(events: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("mde_value_units"),
     ).orderBy("n_per_arm")
+
+
+def wilson_intervals(events: DataFrame) -> DataFrame:
+    """Per-day Wilson 95% score interval for the entry share — the
+    binomial-proportion CI that stays inside [0,1] and behaves at small
+    n where the textbook Wald interval collapses; the uncertainty band
+    every rate dashboard should draw around ``entry_exit_ratio``.
+
+    z is the injected nano literal (Z975_NANO); p-hat and every interval
+    term are mirrored IEEE doubles over exact integer counts — the
+    center (p + z^2/2n)/(1 + z^2/n) and half-width
+    z*sqrt(p(1-p)/n + z^2/4n^2)/(1 + z^2/n) computed in the same
+    left-associated order in both engines.
+
+    Scale: one corpus-volume daily conditional agg; everything after is
+    row-local on bounded days.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_entry"),
+        F.sum(
+            F.when(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_total"),
+    ).filter(F.col("n_total") > 0)
+    z = F.lit(Z975_NANO / 1e9)
+    n = F.col("n_total").cast("double")
+    p = F.col("n_entry").cast("double") / n
+    z2n = z * z / n
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2n / (F.lit(4.0) * n))
+        / denom
+    )
+    return daily.select(
+        "day",
+        "n_entry",
+        "n_total",
+        p.alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    ).orderBy("day")
+
+
+PEAK_HALF_WINDOW = 3
+
+
+def peak_detection(events: DataFrame, half_window: int = PEAK_HALF_WINDOW) -> DataFrame:
+    """Local-peak detection on the daily event-count series: a day is a
+    peak when it strictly exceeds EVERY other day in its +/-half_window
+    neighborhood and the neighborhood mean — the deterministic integer
+    form of scipy-style find_peaks, feeding the burst/changepoint family
+    with WHERE the spikes are rather than whether drift exists.
+
+    "Strictly exceeds every neighbor" is spelled x > max(left frame,
+    right frame) — max-excluding-self from two side frames, because a
+    window aggregate over a derived column binds per INNER row, so the
+    naive count-of-window-max formulation silently tests each neighbor
+    against ITS OWN window. The mean test is the cross-multiplied
+    integer compare x * n_win > sum_win (no division). Window edges
+    shrink identically at the series boundary in both engines.
+
+    Scale: one corpus pass to days; three bounded windows.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    wl = Window.orderBy("day").rowsBetween(-half_window, -1)
+    wr = Window.orderBy("day").rowsBetween(1, half_window)
+    wf = Window.orderBy("day").rowsBetween(-half_window, half_window)
+    neg1 = F.lit(-1).cast("long")
+    base = daily.select(
+        "day",
+        "x",
+        F.greatest(
+            F.coalesce(F.max("x").over(wl), neg1),
+            F.coalesce(F.max("x").over(wr), neg1),
+        ).alias("neigh_max"),
+        F.sum("x").over(wf).cast("long").alias("w_sum"),
+        F.count("*").over(wf).cast("long").alias("n_win"),
+    )
+    return base.select(
+        "day",
+        "x",
+        "n_win",
+        (
+            (F.col("x") > F.col("neigh_max"))
+            & (F.col("x") * F.col("n_win") > F.col("w_sum"))
+        ).alias("is_peak"),
+    ).orderBy("day")

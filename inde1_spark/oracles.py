@@ -9334,3 +9334,75 @@ FROM sized ORDER BY n_per_arm
 
 
 ORACLES["power_mde_plan"] = _power_mde_sql()
+
+
+# Twin of operators/analytics.py:wilson_intervals — injected z, mirrored
+# left-associated interval chain.
+def _wilson_sql() -> str:
+    from inde1_spark.operators.analytics import Z975_NANO
+
+    # CAST the literal: DuckDB parses bare x.xxx as DECIMAL and would
+    # compute z*z in exact decimal (measured 1-ulp z2n drift vs double)
+    z = f"CAST({Z975_NANO / 1e9} AS DOUBLE)"
+    return f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_entry,
+         CAST(SUM(CASE WHEN event_type IN ('{ENTRY}', '{EXIT}') THEN 1
+              ELSE 0 END) AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT day, n_entry, n_total,
+         CAST(n_entry AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+         {z} * {z} / CAST(n_total AS DOUBLE) AS z2n,
+         CAST(n_total AS DOUBLE) AS n
+  FROM daily WHERE n_total > 0
+)
+SELECT day, n_entry, n_total, p AS p_hat,
+       (p + z2n / 2.0) / (1.0 + z2n)
+         - {z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) / (1.0 + z2n)
+         AS ci_lo,
+       (p + z2n / 2.0) / (1.0 + z2n)
+         + {z} * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) / (1.0 + z2n)
+         AS ci_hi
+FROM f ORDER BY day
+"""
+
+
+ORACLES["wilson_intervals"] = _wilson_sql()
+
+
+# Twin of operators/analytics.py:peak_detection — identical side-frame
+# max-excluding-self, cross-multiplied mean test.
+def _peak_sql() -> str:
+    from inde1_spark.operators.analytics import PEAK_HALF_WINDOW
+
+    h = PEAK_HALF_WINDOW
+    return f"""
+WITH daily AS (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT day, x,
+         GREATEST(
+           COALESCE(CAST(MAX(x) OVER (ORDER BY day ROWS BETWEEN {h} PRECEDING
+                AND 1 PRECEDING) AS BIGINT), CAST(-1 AS BIGINT)),
+           COALESCE(CAST(MAX(x) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                AND {h} FOLLOWING) AS BIGINT), CAST(-1 AS BIGINT))
+         ) AS neigh_max,
+         CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN {h} PRECEDING
+              AND {h} FOLLOWING) AS BIGINT) AS w_sum,
+         CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN {h} PRECEDING
+              AND {h} FOLLOWING) AS BIGINT) AS n_win
+  FROM daily
+)
+SELECT day, x, n_win,
+       (x > neigh_max AND x * n_win > w_sum) AS is_peak
+FROM base ORDER BY day
+"""
+
+
+ORACLES["peak_detection"] = _peak_sql()
