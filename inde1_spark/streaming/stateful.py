@@ -409,3 +409,115 @@ def cusum_alarm_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT (live sibling of analytics.sprt_entry_bias)
+# ---------------------------------------------------------------------------
+
+SPRT_OUTPUT_SCHEMA = (
+    "day string, n_entry long, n_exit long, llr_nano long, "
+    "verdict string, decided boolean"
+)
+# state: open day + its counts, closed-day cumulative counts, decided flag
+SPRT_STATE_SCHEMA = (
+    "cur_day long, e_cnt long, x_cnt long, cum_e long, cum_x long, "
+    "decided long"
+)
+
+
+def sprt_stream(events: DataFrame) -> DataFrame:
+    """Live Wald SPRT on the entry/exit mix — the streaming form of
+    ``analytics.sprt_entry_bias``: the whole point of a SEQUENTIAL test
+    is to stop the moment evidence suffices, so the monitor belongs in
+    the stream, emitting one row per closed day with the running LLR,
+    verdict, and the sticky ``decided`` flag.
+
+    Same integer contract as the batch op (cumulative counts times the
+    injected nano constants — no transcendentals at all), so closed-day
+    rows EQUAL the batch table on the same prefix (streaming==batch
+    pytest). Day closure and the availableNow flush sentinel follow the
+    cusum_alarm_stream conventions. The stream is ONE logical series, so
+    the state (six longs) lives under a single constant key — the
+    deliberate single-key trade of a global sequential decision, not a
+    throughput path.
+    """
+    from inde1_spark.operators.analytics import (
+        SPRT_BOUND,
+        SPRT_L_ENTRY,
+        SPRT_L_EXIT,
+    )
+    from pyspark.sql import functions as F
+
+    ENTRY_T, EXIT_T = "view", "click"
+    cols = ["day", "n_entry", "n_exit", "llr_nano", "verdict", "decided"]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        cur_day, e_cnt, x_cnt, cum_e, cum_x, decided = (
+            state.get if state.exists else (-1, 0, 0, 0, 0, 0)
+        )
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for _, row in rows.iterrows():
+            typ = row["event_type"]
+            if typ not in (ENTRY_T, EXIT_T):
+                continue
+            day = int(row["ts"].value // (86_400 * 1_000_000_000))
+            if cur_day < 0:
+                cur_day = day
+            elif day > cur_day:
+                cum_e += e_cnt
+                cum_x += x_cnt
+                llr = cum_e * SPRT_L_ENTRY + cum_x * SPRT_L_EXIT
+                verdict = (
+                    "accept_h1"
+                    if llr >= SPRT_BOUND
+                    else "accept_h0" if llr <= -SPRT_BOUND else "continue"
+                )
+                if verdict != "continue":
+                    decided = 1
+                out.append(
+                    {
+                        "day": pd.Timestamp(
+                            cur_day * 86_400, unit="s"
+                        ).strftime("%Y-%m-%d"),
+                        "n_entry": e_cnt,
+                        "n_exit": x_cnt,
+                        "llr_nano": llr,
+                        "verdict": verdict,
+                        "decided": bool(decided),
+                    }
+                )
+                cur_day, e_cnt, x_cnt = day, 0, 0
+            # late straddlers fold into the open day (cusum convention)
+            if typ == ENTRY_T:
+                e_cnt += 1
+            else:
+                x_cnt += 1
+        state.update((cur_day, e_cnt, x_cnt, cum_e, cum_x, decided))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", CUSUM_WATERMARK)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=SPRT_OUTPUT_SCHEMA,
+            stateStructType=SPRT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

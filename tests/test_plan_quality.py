@@ -1488,3 +1488,19 @@ def test_power_mde_single_moments_pass(spark):
         max_scans=1,
         forbid_sort_merge=True,
     )
+
+
+def test_wilson_single_daily_pass(spark):
+    assert_plan(
+        Q["wilson_intervals"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_peak_detection_bounded_windows(spark):
+    assert_plan(
+        Q["peak_detection"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )

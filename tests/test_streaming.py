@@ -522,3 +522,111 @@ def test_cusum_alarm_stream_matches_batch_recursion(spark, tmp_path):
     # the engineered drift actually alarms, and only on the drifted key
     assert any(v[3] for k, v in got_map.items() if k[0] == "view")
     assert not any(v[3] or v[4] for k, v in got_map.items() if k[0] == "click")
+
+
+def test_sprt_stream_matches_batch(spark, tmp_path):
+    """The streaming SPRT's closed-day rows equal analytics.sprt_entry_bias
+    on the same events (decisions crossing micro-batch boundaries)."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import sprt_entry_bias
+    from inde1_spark.streaming.stateful import sprt_stream
+
+    base = datetime(2024, 4, 1)
+    # entry-heavy mix so the test actually decides h1 partway through
+    counts = [(9, 3), (8, 2), (7, 3), (9, 1), (8, 2), (9, 2)]
+    rows, eid = [], 0
+    for d, (ne, nx) in enumerate(counts):
+        for i in range(ne + nx):
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": (base + timedelta(days=d, minutes=i)).isoformat(),
+                    "user_id": eid,
+                    "event_type": "view" if i < ne else "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    eid += 1
+    rows.append(  # flush sentinel closes the final day
+        {
+            "event_id": eid,
+            "ts": (base + timedelta(days=365)).isoformat(),
+            "user_id": eid,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    data_dir = tmp_path / "sprt_data"
+    data_dir.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        os.utime(p, (2_000_000 + i * 100, 2_000_000 + i * 100))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        sprt_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch twin over the same rows (without the sentinel day's row, which
+    # the stream never closes and the batch table includes)
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                datetime.fromisoformat(r["ts"]),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
+            for r in rows
+        ],
+        schema,
+    )
+    batch = {
+        r["day"]: (
+            r["n_entry"],
+            r["n_exit"],
+            r["llr_nano"],
+            r["verdict"],
+            r["decided"],
+        )
+        for r in sprt_entry_bias(batch_df).collect()
+    }
+    got_map = {
+        r["day"]: (
+            r["n_entry"],
+            r["n_exit"],
+            r["llr_nano"],
+            r["verdict"],
+            r["decided"],
+        )
+        for r in got
+    }
+    expected = {d: v for d, v in batch.items() if d in got_map}
+    assert len(got_map) == len(counts)  # every real day closed
+    assert got_map == expected
+    assert any(v[3] == "accept_h1" for v in got_map.values())
