@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
+        "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
+            _t(sp, d, "events")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

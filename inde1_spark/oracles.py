@@ -9406,3 +9406,57 @@ FROM base ORDER BY day
 
 
 ORACLES["peak_detection"] = _peak_sql()
+
+
+# Twin of operators/analytics.py:hitting_time_markov — the t <- 1 + Q t
+# iteration unrolled as chained CTEs with identical nano transfers.
+def _hitting_ctes(iters: int, target: str) -> str:
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"hm{i} AS (SELECT e.u AS s, CAST(SUM((t.t * e.c) // e.tot) AS BIGINT) AS m\n"
+            f"          FROM em e JOIN t{i} t ON t.s = e.v GROUP BY 1),\n"
+            f"t{i + 1} AS (SELECT st.s,\n"
+            f"            CASE WHEN st.s = '{target}' THEN CAST(0 AS BIGINT)\n"
+            f"                 ELSE 1000000000 + COALESCE(m.m, 0) END AS t\n"
+            f"            FROM states st LEFT JOIN hm{i} m ON m.s = st.s)"
+        )
+    return ",\n".join(parts)
+
+
+def _hitting_sql() -> str:
+    from inde1_spark.operators.analytics import (
+        HITTING_HORIZON,
+        HITTING_TARGET,
+    )
+
+    return f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type AS u,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE v IS NOT NULL GROUP BY 1, 2
+),
+rowtot AS MATERIALIZED (
+  SELECT u, CAST(SUM(c) AS BIGINT) AS tot FROM edges GROUP BY 1
+),
+em AS MATERIALIZED (
+  SELECT e.u, e.v, e.c, r.tot FROM edges e JOIN rowtot r ON r.u = e.u
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT u AS s FROM edges
+                          UNION ALL SELECT v FROM edges)
+),
+t0 AS (SELECT s, CAST(0 AS BIGINT) AS t FROM states),
+{_hitting_ctes(HITTING_HORIZON, HITTING_TARGET)}
+SELECT t.s AS state, COALESCE(r.tot, 0) AS n_out_transitions,
+       CAST(t.t AS DOUBLE) / 1e9 AS expected_steps
+FROM t{HITTING_HORIZON} t LEFT JOIN rowtot r ON r.u = t.s
+ORDER BY t.s
+"""
+
+
+ORACLES["hitting_time_markov"] = _hitting_sql()
