@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
             _t(sp, d, "events")
         ),
+        "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

@@ -7589,3 +7589,107 @@ def hitting_time_markov(
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping between the entry and exit daily series
+# ---------------------------------------------------------------------------
+
+DTW_BAND = 7          # Sakoe-Chiba band half-width (days)
+DTW_INF = 10**17      # unreachable-cell sentinel, far above any real path
+
+
+def dtw_entry_exit(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
+    """Dynamic time warping distance between the daily ENTRY and EXIT
+    count series — the elastic-alignment answer to "does exit volume
+    follow entry volume, and with how much temporal slack", where
+    ``cross_correlation_lagged`` can only test FIXED lags. The
+    Sakoe-Chiba band (|i-j| <= band) is both the standard constraint
+    and the scale bound: O(n * band) cells instead of O(n^2).
+
+    The DP is sequential, so it runs by the packed-fold recipe on the
+    BOUNDED cell list (one row): the accumulator carries the previous
+    and current band rows as arrays, every cell does
+    cost + min(up, diag, left) in exact integers, out-of-band lookups
+    read as NULL and coalesce to the DTW_INF sentinel (identical
+    list-index-out-of-bounds semantics in both engines: Spark 0-based
+    ``get``, DuckDB 1-based ``list[i]``). DuckDB replays the same fold
+    as a list-carrying recursive CTE, one round per cell.
+
+    Scale: one corpus pass to the daily grid; the fold is O(n * band)
+    interpreted steps on one executor — n here is DAYS, not rows.
+    """
+    w = band
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == EXIT_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    idx = daily.select(
+        "a", "b", F.row_number().over(Window.orderBy("day")).cast("long").alias("i")
+    )
+    x = idx.select(F.col("i").alias("xi"), F.col("a").alias("xa"))
+    y = idx.select(F.col("i").alias("yi"), F.col("b").alias("yb"))
+    cells = (
+        x.join(
+            y,
+            (F.col("yi") >= F.col("xi") - w) & (F.col("yi") <= F.col("xi") + w),
+        )
+        .select(
+            F.col("xi").alias("i"),
+            F.col("yi").alias("j"),
+            F.abs(F.col("xa") - F.col("yb")).alias("cost"),
+        )
+    )
+    packed = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("i"), F.col("j"), F.col("cost")))
+        ).alias("arr"),
+        F.max("i").cast("long").alias("n_days"),
+    ).filter(F.size("arr") > 0)
+
+    INF = F.lit(DTW_INF).cast("long")
+    row0 = F.concat(
+        F.array_repeat(INF, w), F.array(F.lit(0).cast("long")), F.array_repeat(INF, w)
+    )
+    init = F.struct(
+        F.lit(1).cast("long").alias("last_i"),
+        row0.alias("prev"),
+        F.array_repeat(INF, w).alias("cur"),
+    )
+
+    def step(acc, e):
+        row_change = e["i"] != acc["last_i"]
+        prev2 = F.when(row_change, acc["cur"]).otherwise(acc["prev"])
+        kst = F.greatest(F.lit(w) - e["i"] + 1, F.lit(0)).cast("int")
+        cur0 = F.when(row_change, F.array_repeat(INF, kst)).otherwise(
+            acc["cur"]
+        )
+        k = (e["j"] - e["i"] + F.lit(w)).cast("int")
+        up = F.coalesce(F.get(prev2, k + 1), INF)
+        diag = F.coalesce(F.get(prev2, k), INF)
+        left = F.when(
+            k > 0, F.coalesce(F.get(cur0, k - 1), INF)
+        ).otherwise(INF)
+        d = e["cost"] + F.least(up, diag, left)
+        return F.struct(
+            e["i"].alias("last_i"),
+            prev2.alias("prev"),
+            F.concat(cur0, F.array(d)).alias("cur"),
+        )
+
+    folded = packed.select(
+        "n_days",
+        F.aggregate(F.col("arr"), init, step)["cur"].alias("last_row"),
+    )
+    dtw = F.get(F.col("last_row"), w)  # 0-based position w == offset k=w (j=n)
+    return folded.select(
+        "n_days",
+        dtw.alias("dtw_distance"),
+        (dtw.cast("double") / F.col("n_days").cast("double")).alias(
+            "dtw_per_day"
+        ),
+    )

@@ -9460,3 +9460,74 @@ ORDER BY t.s
 
 
 ORACLES["hitting_time_markov"] = _hitting_sql()
+
+
+# Twin of operators/analytics.py:dtw_entry_exit — the identical banded DP
+# replayed as a list-carrying recursive CTE, one round per cell; OOB list
+# reads are NULL in both engines and coalesce to the same sentinel.
+def _dtw_sql() -> str:
+    from inde1_spark.operators.analytics import DTW_BAND, DTW_INF
+
+    w = DTW_BAND
+    inf = DTW_INF
+    row0 = (
+        "["
+        + ", ".join([f"CAST({inf} AS BIGINT)"] * w)
+        + ", CAST(0 AS BIGINT), "
+        + ", ".join([f"CAST({inf} AS BIGINT)"] * w)
+        + "]"
+    )
+    pad = (
+        f"list_transform(generate_series(1, CAST(GREATEST({w} - c.i + 1, 0)"
+        f" AS BIGINT)), z -> CAST({inf} AS BIGINT))"
+    )
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT {_DAY} AS day,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = '{EXIT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT a, b, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+cells AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY x.i, y.i) AS BIGINT) AS t,
+         x.i AS i, y.i AS j, abs(x.a - y.b) AS cost
+  FROM idx x JOIN idx y ON y.i BETWEEN x.i - {w} AND x.i + {w}
+),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS t, CAST(1 AS BIGINT) AS last_i,
+         {row0} AS prev,
+         list_transform(generate_series(1, {w}),
+                        z -> CAST({inf} AS BIGINT)) AS cur
+  UNION ALL
+  SELECT t, i AS last_i, prev2 AS prev,
+         list_append(cur0, cost + LEAST(
+           COALESCE(prev2[k + 2], CAST({inf} AS BIGINT)),
+           COALESCE(prev2[k + 1], CAST({inf} AS BIGINT)),
+           CASE WHEN k > 0 THEN COALESCE(cur0[k], CAST({inf} AS BIGINT))
+                ELSE CAST({inf} AS BIGINT) END
+         )) AS cur
+  FROM (
+    SELECT c.t, c.i, c.cost,
+           CASE WHEN c.i <> r.last_i THEN r.cur ELSE r.prev END AS prev2,
+           CASE WHEN c.i <> r.last_i THEN {pad} ELSE r.cur END AS cur0,
+           CAST(c.j - c.i + {w} AS INTEGER) AS k
+    FROM rec r JOIN cells c ON c.t = r.t + 1
+  )
+)
+SELECT n_days, dtw_distance,
+       CAST(dtw_distance AS DOUBLE) / CAST(n_days AS DOUBLE) AS dtw_per_day
+FROM (
+  SELECT (SELECT MAX(i) FROM idx) AS n_days,
+         cur[{w} + 1] AS dtw_distance
+  FROM rec WHERE t = (SELECT MAX(t) FROM cells)
+)
+"""
+
+
+ORACLES["dtw_entry_exit"] = _dtw_sql()
