@@ -1504,3 +1504,22 @@ def test_peak_detection_bounded_windows(spark):
         max_scans=1,
         forbid_sort_merge=True,
     )
+
+
+def test_hitting_time_linear_round_chain(spark):
+    # the lazy-checkpoint chain makes the final plan a LEAF (Scan
+    # ExistingRDD) + one parquet scan for the output join — the proof the
+    # unrolled rounds never re-embed the corpus window pass
+    r = plan_report(Q["hitting_time_markov"](spark, SF_SMOKE))
+    assert r.raw.count("Scan ExistingRDD") >= 1
+    assert r.parquet_scans <= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_dtw_single_fold_no_cell_shuffle(spark):
+    # the banded cell table collapses to ONE row before the fold; no
+    # sort-merge, no cartesian — the band join is an inequality join on
+    # the bounded daily index only
+    r = plan_report(Q["dtw_entry_exit"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
