@@ -323,6 +323,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
+        "clustering_agreement": lambda sp, d: CL.clustering_agreement(
+            _t(sp, d, "embeddings")
+        ),
+        "embedding_drift": lambda sp, d: S.embedding_drift(
+            _t(sp, d, "embeddings")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

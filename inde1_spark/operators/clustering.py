@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inde1_spark.operators.dedup import COSINE_DEDUP_THRESHOLD, _lazy_checkpoint
-from inde1_spark.functions.exprs import dot_exact, norm_exact
+from inde1_spark.functions.exprs import dec_to_double_exact, dot_exact, norm_exact
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
@@ -454,3 +454,126 @@ def prototypicality_prune(
             F.col("proto_rank") > F.expr(f"n_cluster div {drop_den}")
         ).alias("keep"),
     ).orderBy("cluster", "proto_rank")
+
+
+# ---------------------------------------------------------------------------
+# External cluster validation: ARI + NMI against the label column
+# ---------------------------------------------------------------------------
+
+def clustering_agreement(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Adjusted Rand index and normalized mutual information between the
+    k-means assignment and the corpus's ground-truth ``label`` column —
+    the EXTERNAL validation the clustering family was missing:
+    ``cluster_separation``/``cluster_balance`` score geometry and
+    balance, this scores agreement with known structure, the number that
+    decides whether the clusters mean anything before they gate
+    semdedup/D4 pruning.
+
+    Exact ARI: every term is a pair count at x2 scale (n(n-1) sums over
+    the bounded contingency table, decimal(38,0)), and the index is ONE
+    dec-to-double ratio of 2*N2*S2 - 2*A2*B2 over N2*(A2+B2) - 2*A2*B2.
+    NMI follows the mutual_info_matrix nano-log contract on the same
+    contingency cells, normalized by sqrt(H_a H_b) in mirrored doubles.
+    Degenerate partitions (everything one cluster/label) filter out.
+
+    Scale: the expensive part is the audited kmeans_assign; the
+    contingency is one bounded (cluster, label) reduce.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    asg = kmeans_assign(embeddings, k, iters).select("vec_id", "cluster")
+    pts = embeddings.select("vec_id", F.col("label").cast("long").alias("lab"))
+    cont = (
+        asg.join(pts, "vec_id")
+        .groupBy("cluster", "lab")
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+    wr = Window.partitionBy("cluster")
+    wc = Window.partitionBy("lab")
+    wg = Window.partitionBy()
+    cells = cont.select(
+        "cluster",
+        "lab",
+        "nij",
+        F.sum("nij").over(wr).cast("long").alias("a_i"),
+        F.sum("nij").over(wc).cast("long").alias("b_j"),
+        F.sum("nij").over(wg).cast("long").alias("n"),
+        F.min("lab").over(wr).alias("min_lab"),
+        F.min("cluster").over(wc).alias("min_cluster"),
+    )
+    agg = cells.agg(
+        F.max("n").alias("n_points"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("lab") == F.col("min_lab"), 1).otherwise(0))
+        .cast("long")
+        .alias("k_clusters"),
+        F.sum(F.when(F.col("cluster") == F.col("min_cluster"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_labels"),
+        F.sum(d38(F.col("nij")) * d38(F.col("nij") - 1)).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("lab") == F.col("min_lab"),
+                d38(F.col("a_i")) * d38(F.col("a_i") - 1),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("a2"),
+        F.sum(
+            F.when(
+                F.col("cluster") == F.col("min_cluster"),
+                d38(F.col("b_j")) * d38(F.col("b_j") - 1),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("b2"),
+        # NMI pieces on the same cells (mutual_info_matrix contract)
+        F.sum(
+            d38(F.col("nij"))
+            * d38(
+                lnn(F.col("nij")) + lnn(F.col("n")) - lnn(F.col("a_i"))
+                - lnn(F.col("b_j"))
+            )
+        ).alias("mi_sum"),
+        F.sum(
+            F.when(
+                F.col("lab") == F.col("min_lab"),
+                d38(F.col("a_i")) * d38(lnn(F.col("a_i"))),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("rh_sum"),
+        F.sum(
+            F.when(
+                F.col("cluster") == F.col("min_cluster"),
+                d38(F.col("b_j")) * d38(lnn(F.col("b_j"))),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ch_sum"),
+    )
+    n2 = d38(F.col("n_points")) * d38(F.col("n_points") - 1)
+    ari_num = (
+        F.lit(2) * n2 * F.col("s2") - F.lit(2) * F.col("a2") * F.col("b2")
+    ).cast("decimal(38,0)")
+    ari_den = (
+        n2 * (F.col("a2") + F.col("b2"))
+        - F.lit(2) * F.col("a2") * F.col("b2")
+    ).cast("decimal(38,0)")
+    n_d = F.col("n_points").cast("double")
+    ln_n = lnn(F.col("n_points")).cast("double")
+    mi = dec_to_double_exact(F.col("mi_sum")) / F.lit(1e9) / n_d
+    h_a = (ln_n - dec_to_double_exact(F.col("rh_sum")) / n_d) / F.lit(1e9)
+    h_b = (ln_n - dec_to_double_exact(F.col("ch_sum")) / n_d) / F.lit(1e9)
+    return (
+        agg.filter((ari_den != 0) & (F.col("n_points") > 1))
+        .select(
+            F.col("n_points"),
+            "k_clusters",
+            "n_labels",
+            (dec_to_double_exact(ari_num) / dec_to_double_exact(ari_den)).alias(
+                "ari"
+            ),
+            (mi / F.sqrt(h_a * h_b)).alias("nmi"),
+        )
+        .filter(~F.isnan(F.col("nmi")))
+    )

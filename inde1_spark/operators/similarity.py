@@ -1905,3 +1905,62 @@ def ann_rank_overlap_rbo(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between corpus halves (per-dimension centroid shift)
+# ---------------------------------------------------------------------------
+
+def embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension centroid shift between the first and second half of
+    the corpus (vec_id order as the ingestion proxy) — the EMBEDDING
+    member of the drift family: ``value_drift_psi``/``source_drift_ks``
+    watch scalar columns, but a silent encoder upgrade or ingestion
+    change moves the embedding distribution first, and the per-dimension
+    mean table is the cheapest detector (plus the input
+    ``embedding_isotropy`` re-checks after an alarm).
+
+    Exactness: each component snaps to a nano long (floor(x*1e9 + 0.5),
+    the kmeans _dist_scaled convention — pure IEEE on the binary value
+    in both engines), per-(half, dim) sums are exact longs, and the two
+    means and their difference are mirrored double ops.
+
+    Scale: one corpus pass (posexplode -> map-side-combined (half, dim)
+    reduce onto 2*dims keys); the 1-row count broadcast decides the
+    split.
+    """
+    tot = embeddings.agg(F.count("*").cast("long").alias("n_total"))
+    snapped = (
+        embeddings.join(F.broadcast(tot))
+        .select(
+            (F.col("vec_id") < F.expr("n_total div 2")).alias("first_half"),
+            F.posexplode(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(
+                        x.cast("double") * F.lit(1e9) + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("dim", "v"),
+        )
+        .groupBy("first_half", "dim")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("s"))
+    )
+    agg = snapped.groupBy("dim").agg(
+        F.max(F.when(F.col("first_half"), F.col("n"))).alias("n_a"),
+        F.max(F.when(~F.col("first_half"), F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("first_half"), F.col("s"))).alias("s_a"),
+        F.max(F.when(~F.col("first_half"), F.col("s"))).alias("s_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double") / F.lit(1e9)
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double") / F.lit(1e9)
+    return (
+        agg.filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            mean_a.alias("mean_first"),
+            mean_b.alias("mean_second"),
+            (mean_b - mean_a).alias("shift"),
+        )
+        .orderBy("dim")
+    )

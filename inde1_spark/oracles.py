@@ -9531,3 +9531,114 @@ FROM (
 
 
 ORACLES["dtw_entry_exit"] = _dtw_sql()
+
+
+# Twin of operators/clustering.py:clustering_agreement — nested kmeans
+# assignment, identical x2 pair counts and nano-log NMI on the contingency.
+def _clustering_agreement_sql() -> str:
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    ari_num = "(2 * n2 * s2 - 2 * a2 * b2)"
+    ari_den = "(n2 * (a2 + b2) - 2 * a2 * b2)"
+    mi = f"{_dec2d('mi_sum')} / 1e9 / CAST(n_points AS DOUBLE)"
+    h_a = (
+        f"(CAST({lnn('n_points')} AS DOUBLE)"
+        f" - {_dec2d('rh_sum')} / CAST(n_points AS DOUBLE)) / 1e9"
+    )
+    h_b = (
+        f"(CAST({lnn('n_points')} AS DOUBLE)"
+        f" - {_dec2d('ch_sum')} / CAST(n_points AS DOUBLE)) / 1e9"
+    )
+    return f"""
+WITH asg AS MATERIALIZED ({ORACLES['kmeans_assign']}),
+cont AS MATERIALIZED (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS lab,
+         CAST(COUNT(*) AS BIGINT) AS nij
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT cluster, lab, nij,
+         CAST(SUM(nij) OVER (PARTITION BY cluster) AS BIGINT) AS a_i,
+         CAST(SUM(nij) OVER (PARTITION BY lab) AS BIGINT) AS b_j,
+         CAST(SUM(nij) OVER () AS BIGINT) AS n,
+         MIN(lab) OVER (PARTITION BY cluster) AS min_lab,
+         MIN(cluster) OVER (PARTITION BY lab) AS min_cluster
+  FROM cont
+),
+agg AS (
+  SELECT MAX(n) AS n_points,
+         CAST(SUM(CASE WHEN lab = min_lab THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_clusters,
+         CAST(SUM(CASE WHEN cluster = min_cluster THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_labels,
+         CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS HUGEINT) AS s2,
+         CAST(SUM(CASE WHEN lab = min_lab
+              THEN CAST(a_i AS HUGEINT) * (a_i - 1) ELSE 0 END) AS HUGEINT)
+           AS a2,
+         CAST(SUM(CASE WHEN cluster = min_cluster
+              THEN CAST(b_j AS HUGEINT) * (b_j - 1) ELSE 0 END) AS HUGEINT)
+           AS b2,
+         CAST(SUM(CAST(nij AS HUGEINT)
+              * ({lnn('nij')} + {lnn('n')} - {lnn('a_i')} - {lnn('b_j')}))
+           AS HUGEINT) AS mi_sum,
+         CAST(SUM(CASE WHEN lab = min_lab
+              THEN CAST(a_i AS HUGEINT) * {lnn('a_i')} ELSE 0 END)
+           AS HUGEINT) AS rh_sum,
+         CAST(SUM(CASE WHEN cluster = min_cluster
+              THEN CAST(b_j AS HUGEINT) * {lnn('b_j')} ELSE 0 END)
+           AS HUGEINT) AS ch_sum
+  FROM cells
+),
+fin AS (
+  SELECT n_points, k_clusters, n_labels,
+         CAST(n_points AS HUGEINT) * (n_points - 1) AS n2,
+         s2, a2, b2, mi_sum, rh_sum, ch_sum
+  FROM agg
+)
+SELECT n_points, k_clusters, n_labels,
+       {_dec2d(ari_num)} / {_dec2d(ari_den)} AS ari,
+       ({mi}) / sqrt((({h_a})) * (({h_b}))) AS nmi
+FROM fin
+WHERE {ari_den} <> 0 AND n_points > 1
+  AND NOT isnan(({mi}) / sqrt((({h_a})) * (({h_b}))))
+"""
+
+
+ORACLES["clustering_agreement"] = _clustering_agreement_sql()
+
+
+# Twin of operators/similarity.py:embedding_drift — identical nano snaps,
+# half split on vec_id, mirrored mean/difference chain.
+ORACLES["embedding_drift"] = f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+snapped AS (
+  SELECT (vec_id < n_total // 2) AS first_half,
+         CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN tot,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+),
+g AS (
+  SELECT first_half, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM snapped GROUP BY 1, 2
+),
+agg AS (
+  SELECT dim,
+         MAX(CASE WHEN first_half THEN n END) AS n_a,
+         MAX(CASE WHEN NOT first_half THEN n END) AS n_b,
+         MAX(CASE WHEN first_half THEN s END) AS s_a,
+         MAX(CASE WHEN NOT first_half THEN s END) AS s_b
+  FROM g GROUP BY 1
+)
+SELECT dim,
+       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9 AS mean_first,
+       CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9 AS mean_second,
+       CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9
+         - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9 AS shift
+FROM agg
+WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+ORDER BY dim
+"""
