@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": lambda sp, d: S.embedding_drift(
             _t(sp, d, "embeddings")
         ),
+        "dispersion_check": lambda sp, d: A.dispersion_check(
+            _t(sp, d, "events")
+        ),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

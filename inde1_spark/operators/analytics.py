@@ -7693,3 +7693,51 @@ def dtw_entry_exit(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
             "dtw_per_day"
         ),
     )
+
+
+def dispersion_check(events: DataFrame) -> DataFrame:
+    """Overdispersion check per event type: the variance-to-mean ratio of
+    DAILY counts — the one-number decision between Poisson and
+    negative-binomial modeling (VMR ~ 1 = Poisson-like arrivals; >> 1 =
+    clumped traffic that will blow the CIs of any Poisson-based alert,
+    including ``cusum_drift``'s threshold intuition).
+
+    Exact moments: per-(type, day) counts, then per-type n/sum/sum-sq in
+    decimal(38,0); VMR emits as one mirrored double chain
+    (n * ss - s^2) / (n - 1) / s with the exact-decimal digit-split
+    conversions. Types observed on fewer than 2 days filter out.
+
+    Scale: one corpus-volume (type, day) reduce, then |types| rows.
+    """
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = events.groupBy("event_type", _day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(d38(F.col("x"))).alias("s"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("ss"),
+    )
+    varnum = (
+        d38(F.col("n_days")) * F.col("ss") - F.col("s") * F.col("s")
+    ).cast("decimal(38,0)")
+    vmr = (
+        dec_to_double_exact(varnum)
+        / (F.col("n_days") - 1).cast("double")
+        / F.col("n_days").cast("double")
+        / (dec_to_double_exact(F.col("s")) / F.col("n_days").cast("double"))
+    )
+    return (
+        g.filter((F.col("n_days") > 1) & (F.col("s") > 0))
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s").cast("long").alias("total_events"),
+            vmr.alias("vmr"),
+            (vmr > F.lit(1.5)).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -9642,3 +9642,28 @@ FROM agg
 WHERE n_a IS NOT NULL AND n_b IS NOT NULL
 ORDER BY dim
 """
+
+
+# Twin of operators/analytics.py:dispersion_check — identical decimal
+# moments and mirrored VMR chain.
+ORACLES["dispersion_check"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, CAST(s AS BIGINT) AS total_events,
+       {_dec2d('(CAST(n_days AS HUGEINT) * ss - s * s)')}
+         / CAST(n_days - 1 AS DOUBLE) / CAST(n_days AS DOUBLE)
+         / ({_dec2d('s')} / CAST(n_days AS DOUBLE)) AS vmr,
+       ({_dec2d('(CAST(n_days AS HUGEINT) * ss - s * s)')}
+         / CAST(n_days - 1 AS DOUBLE) / CAST(n_days AS DOUBLE)
+         / ({_dec2d('s')} / CAST(n_days AS DOUBLE))) > 1.5 AS overdispersed
+FROM g WHERE n_days > 1 AND s > 0
+ORDER BY event_type
+"""

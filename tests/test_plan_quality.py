@@ -1523,3 +1523,18 @@ def test_dtw_single_fold_no_cell_shuffle(spark):
     r = plan_report(Q["dtw_entry_exit"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
     assert "CartesianProduct" not in r.raw
+
+
+def test_clustering_agreement_bounded_contingency(spark):
+    # the expensive part is the audited kmeans; the ARI/NMI math runs on
+    # one bounded (cluster, label) reduce — no sort-merge anywhere
+    r = plan_report(Q["clustering_agreement"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_embedding_drift_single_explode_reduce(spark):
+    # one corpus pass: posexplode -> map-side-combined (half, dim) keys
+    r = plan_report(Q["embedding_drift"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins <= 1
