@@ -51,8 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
     (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
     the r06 additions: the 20-op first batch (kruskal_wallis..
-    mutual_info_matrix) and the 32-op second batch (cusum_drift..
-    dtw_entry_exit). No pre-existing output changed this round (pinned
+    mutual_info_matrix) and the 35-op second batch (cusum_drift..
+    dispersion_check). No pre-existing output changed this round (pinned
     by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A

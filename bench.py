@@ -128,6 +128,9 @@ HEADLINE = (
     "dirichlet_query_likelihood",  # prefiltered QL, broadcast delta (r06b2)
     "matryoshka_recall",      # 4 brute passes over sliced embeddings (r06b2)
     "entropy_rate_markov",    # per-user lead() pass + bounded edge agg (r06b2)
+    "clustering_agreement",   # kmeans + bounded contingency ARI/NMI (r06b2)
+    "dtw_entry_exit",         # banded DP packed fold on the daily grid (r06b2)
+    "embedding_drift",        # one posexplode reduce onto 2*dims keys (r06b2)
 )
 
 
