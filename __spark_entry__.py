@@ -51,8 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
     (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
     the r06 additions: the 20-op first batch (kruskal_wallis..
-    mutual_info_matrix) and the 35-op second batch (cusum_drift..
-    dispersion_check). No pre-existing output changed this round (pinned
+    mutual_info_matrix) and the 36-op second batch (cusum_drift..
+    friedman_test). No pre-existing output changed this round (pinned
     by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_check": lambda sp, d: A.dispersion_check(
             _t(sp, d, "events")
         ),
+        "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

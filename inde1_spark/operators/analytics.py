@@ -7741,3 +7741,117 @@ def dispersion_check(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman test: do the event types differ when ranked WITHIN each
+    day? The blocked-design member of the k-sample family —
+    ``kruskal_wallis`` pools all days (so a day-of-week effect inflates
+    its variance); Friedman ranks types per day, removing every
+    between-day effect, which is the right test when the blocks (days)
+    are themselves wildly different sizes.
+
+    Complete blocks only (days where every globally-observed type
+    appears — the standard requirement, enforced identically in both
+    engines). Within-day tied ranks at x2 scale come from two window
+    aggregates (RANGE cumulative for <=, a (day, value) partition count
+    for ties); Q = 3 * Sum R2_j^2 / (n k (k+1)) - 3 n (k+1) is an exact
+    micro quotient; the tie correction 1 - Sum(t^3-t)/(n k (k^2-1))
+    divides once in mirrored doubles.
+
+    Scale: one corpus-volume (day, type) reduce; every window runs on
+    |days| x |types| rows.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    cell = events.groupBy(_day_str().alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    ktot = events.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    wd = Window.partitionBy("day")
+    complete = (
+        cell.join(F.broadcast(ktot))
+        .withColumn("k_day", F.count("*").over(wd).cast("long"))
+        .filter(F.col("k_day") == F.col("k"))
+    )
+    w_le = (
+        Window.partitionBy("day")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_eq = Window.partitionBy("day", "x")
+    ranked = complete.select(
+        "day",
+        "event_type",
+        "x",
+        "k",
+        F.count("*").over(w_le).cast("long").alias("cum_le"),
+        F.count("*").over(w_eq).cast("long").alias("eq"),
+    ).select(
+        "day",
+        "event_type",
+        "k",
+        "eq",
+        (
+            F.lit(2) * (F.col("cum_le") - F.col("eq"))
+            + F.col("eq")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("rank2").cast("long").alias("r2"),
+    )
+    # tie term: one row per (day, value) tied block
+    ties = (
+        ranked.groupBy("day", "rank2", "eq")
+        .agg(F.max("eq").alias("m"))
+        .agg(
+            F.sum(
+                d38(F.col("m")) * d38(F.col("m")) * d38(F.col("m"))
+                - d38(F.col("m"))
+            ).alias("tie_sum")
+        )
+    )
+    agg = per_type.agg(
+        F.max("k").alias("k"),
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        F.sum(d38(F.col("r2")) * d38(F.col("r2"))).alias("s2"),
+    ).join(F.broadcast(ties))
+    n = F.col("n_blocks")
+    k = F.col("k")
+    den = (d38(n) * d38(k) * d38(k + 1)).cast("decimal(38,0)")
+    q_micro = dec_floordiv(
+        (F.lit(3) * F.col("s2") * F.lit(1_000_000) * F.lit(2) + den).cast(
+            "decimal(38,0)"
+        ),
+        (den * F.lit(2)).cast("decimal(38,0)"),
+    )
+    q_stat = (
+        dec_to_double_exact(q_micro.cast("decimal(38,0)")) / F.lit(1e6)
+        - F.lit(3.0)
+        * n.cast("double")
+        * (k + 1).cast("double")
+    )
+    tie_c = F.lit(1.0) - dec_to_double_exact(F.col("tie_sum")) / (
+        n.cast("double")
+        * k.cast("double")
+        * (k * k - 1).cast("double")
+    )
+    return (
+        agg.filter((n > 0) & (k > 1))
+        .select(
+            n.alias("n_blocks"),
+            k.alias("k_treatments"),
+            q_stat.alias("q_stat"),
+            tie_c.alias("tie_correction"),
+            (q_stat / tie_c).alias("q_tied"),
+        )
+        .filter(F.col("tie_correction") > 0)
+    )

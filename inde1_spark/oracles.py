@@ -9667,3 +9667,58 @@ SELECT event_type, n_days, CAST(s AS BIGINT) AS total_events,
 FROM g WHERE n_days > 1 AND s > 0
 ORDER BY event_type
 """
+
+
+# Twin of operators/analytics.py:friedman_test — identical complete-block
+# filter, RANGE-frame tied ranks, micro quotient and tie correction.
+ORACLES["friedman_test"] = f"""
+WITH cell AS MATERIALIZED (
+  SELECT {_DAY} AS day, event_type, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ktot AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+complete AS MATERIALIZED (
+  SELECT c.*, k.k FROM cell c CROSS JOIN ktot k
+  QUALIFY CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) = k.k
+),
+ranked AS MATERIALIZED (
+  SELECT day, event_type, k, eq,
+         2 * (cum_le - eq) + eq + 1 AS rank2
+  FROM (
+    SELECT day, event_type, x, k,
+           CAST(COUNT(*) OVER (PARTITION BY day ORDER BY x
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_le,
+           CAST(COUNT(*) OVER (PARTITION BY day, x) AS BIGINT) AS eq
+    FROM complete
+  )
+),
+per_type AS (
+  SELECT event_type, MAX(k) AS k, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(rank2) AS BIGINT) AS r2
+  FROM ranked GROUP BY 1
+),
+ties AS (
+  SELECT CAST(SUM(CAST(m AS HUGEINT) * m * m - m) AS HUGEINT) AS tie_sum
+  FROM (SELECT day, rank2, MAX(eq) AS m FROM ranked GROUP BY day, rank2, eq)
+),
+agg AS (
+  SELECT MAX(k) AS k, CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS s2
+  FROM per_type
+),
+fin AS (
+  SELECT a.n_blocks, a.k,
+         {_dec2d("(3 * s2 * 1000000 * 2 + CAST(n_blocks AS HUGEINT) * k * (k + 1)) // (CAST(n_blocks AS HUGEINT) * k * (k + 1) * 2)")}
+           / 1e6
+           - 3.0 * CAST(a.n_blocks AS DOUBLE) * CAST(a.k + 1 AS DOUBLE)
+           AS q_stat,
+         1.0 - {_dec2d('tie_sum')}
+           / (CAST(a.n_blocks AS DOUBLE) * CAST(a.k AS DOUBLE)
+              * CAST(a.k * a.k - 1 AS DOUBLE)) AS tie_correction
+  FROM agg a CROSS JOIN ties
+)
+SELECT n_blocks, k AS k_treatments, q_stat, tie_correction,
+       q_stat / tie_correction AS q_tied
+FROM fin WHERE n_blocks > 0 AND k > 1 AND tie_correction > 0
+"""

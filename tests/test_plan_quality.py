@@ -1538,3 +1538,19 @@ def test_embedding_drift_single_explode_reduce(spark):
     assert r.parquet_scans <= 2
     assert r.sort_merge_joins == 0
     assert r.nested_loop_joins <= 1
+
+
+def test_dispersion_bounded_reduce(spark):
+    assert_plan(
+        Q["dispersion_check"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_friedman_blocked_ranks_on_cells(spark):
+    # ranks ride RANGE windows on the bounded (day, type) cell table;
+    # one corpus-volume reduce, the 1-row k broadcast is the only extra
+    r = plan_report(Q["friedman_test"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
