@@ -7785,7 +7785,11 @@ def friedman_test(events: DataFrame) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     w_eq = Window.partitionBy("day", "x")
-    ranked = complete.select(
+    from inde1_spark.operators.dedup import _persist
+
+    # persisted: the bounded ranked cell table feeds per-type sums AND the
+    # tie term — without it both replay the corpus (day, type) reduce
+    ranked = _persist(complete.select(
         "day",
         "event_type",
         "x",
@@ -7802,7 +7806,7 @@ def friedman_test(events: DataFrame) -> DataFrame:
             + F.col("eq")
             + F.lit(1)
         ).alias("rank2"),
-    )
+    ))
     per_type = ranked.groupBy("event_type").agg(
         F.max("k").alias("k"),
         F.count("*").cast("long").alias("n_blocks"),

@@ -1549,8 +1549,9 @@ def test_dispersion_bounded_reduce(spark):
 
 
 def test_friedman_blocked_ranks_on_cells(spark):
-    # ranks ride RANGE windows on the bounded (day, type) cell table;
-    # one corpus-volume reduce, the 1-row k broadcast is the only extra
+    # the ranked cell table is persisted for its two consumers (per-type
+    # sums, tie term); the printed plan shows the cached subtree plus the
+    # ktot broadcast's own scan
     r = plan_report(Q["friedman_test"](spark, SF_SMOKE))
-    assert r.parquet_scans <= 2
+    assert r.raw.count("InMemoryTableScan") >= 2
     assert r.sort_merge_joins == 0
