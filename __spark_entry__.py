@@ -51,8 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
     (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
     the r06 additions: the 20-op first batch (kruskal_wallis..
-    mutual_info_matrix) and the 36-op second batch (cusum_drift..
-    friedman_test). No pre-existing output changed this round (pinned
+    mutual_info_matrix) and the 38-op second batch (cusum_drift..
+    lorenz_curve). No pre-existing output changed this round (pinned
     by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
+        "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
+        "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

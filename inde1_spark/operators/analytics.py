@@ -7859,3 +7859,51 @@ def friedman_test(events: DataFrame) -> DataFrame:
         )
         .filter(F.col("tie_correction") > 0)
     )
+
+
+# chi2_{0.95, df=14} — Python-precomputed literal (ACF_MAX_LAG degrees)
+LJUNG_BOX_CRIT = 23.684791304840576
+
+
+def ljung_box(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Ljung-Box whiteness test over the daily revenue ACF — the omnibus
+    "is there ANY autocorrelation" gate completing the lag triple
+    (``acf_daily`` per-lag, ``pacf_daily`` AR order, this one number):
+    Q = n(n+2) Sum_k r_k^2/(n-k), chi-square with max_lag df. Run it
+    BEFORE trusting any i.i.d.-assuming interval (bootstrap, Wilson,
+    MDE sizing) on daily aggregates.
+
+    Hash-exact accumulation: each r_k snaps to nano first, each
+    SUMMAND r^2/(n-k) snaps to an atto-long (1e18 — r^2 <= 1, so no
+    overflow at any lag count under ~9e18), the sum is integer
+    (order-free), and Q is one mirrored double chain; the rejection
+    flag compares against the injected chi-square critical literal.
+    Lags beyond the observed span (NULL acf) contribute nothing.
+
+    Scale: everything after acf_daily's bounded-series work is a
+    |max_lag|-row reduce.
+    """
+    acf = acf_daily(events, max_lag=max_lag)
+    rn = F.round(F.col("acf") * F.lit(1e9), 0).cast("long")
+    rd = rn.cast("double") / F.lit(1e9)
+    term_atto = F.round(
+        rd * rd / (F.col("n_days") - F.col("lag")).cast("double") * F.lit(1e18),
+        0,
+    ).cast("long")
+    agg = acf.filter(F.col("acf").isNotNull()).agg(
+        F.max("n_days").alias("n_days"),
+        F.count("*").cast("long").alias("n_lags"),
+        F.sum(term_atto).cast("long").alias("s_atto"),
+    )
+    n_d = F.col("n_days").cast("double")
+    q = (
+        n_d
+        * (n_d + F.lit(2.0))
+        * (F.col("s_atto").cast("double") / F.lit(1e18))
+    )
+    return agg.filter(F.col("n_days") > F.col("n_lags")).select(
+        "n_days",
+        "n_lags",
+        q.alias("q_lb"),
+        (q > F.lit(LJUNG_BOX_CRIT)).alias("white_noise_rejected"),
+    )

@@ -9722,3 +9722,71 @@ SELECT n_blocks, k AS k_treatments, q_stat, tie_correction,
        q_stat / tie_correction AS q_tied
 FROM fin WHERE n_blocks > 0 AND k > 1 AND tie_correction > 0
 """
+
+
+# Twin of operators/analytics.py:ljung_box — nano-snapped r, atto-snapped
+# summands (order-free integer sum), injected chi-square critical literal.
+def _ljung_box_sql() -> str:
+    from inde1_spark.operators.analytics import LJUNG_BOX_CRIT
+
+    return f"""
+WITH acf AS MATERIALIZED ({ORACLES['acf_daily']}),
+terms AS (
+  SELECT n_days, lag,
+         CAST(round(
+           (CAST(CAST(round(acf * 1e9, 0) AS BIGINT) AS DOUBLE) / 1e9)
+           * (CAST(CAST(round(acf * 1e9, 0) AS BIGINT) AS DOUBLE) / 1e9)
+           / CAST(n_days - lag AS DOUBLE) * 1e18, 0) AS BIGINT) AS t
+  FROM acf WHERE acf IS NOT NULL
+),
+agg AS (
+  SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS BIGINT) AS n_lags,
+         CAST(SUM(t) AS BIGINT) AS s_atto
+  FROM terms
+)
+SELECT n_days, n_lags,
+       CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+         * (CAST(s_atto AS DOUBLE) / 1e18) AS q_lb,
+       (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+         * (CAST(s_atto AS DOUBLE) / 1e18))
+         > CAST({LJUNG_BOX_CRIT} AS DOUBLE) AS white_noise_rejected
+FROM agg WHERE n_days > n_lags
+"""
+
+
+ORACLES["ljung_box"] = _ljung_box_sql()
+
+
+# Twin of operators/corpus.py:lorenz_curve — identical total-order rank,
+# integer decile math, round-half-up micro shares.
+ORACLES["lorenz_curve"] = f"""
+WITH ranked AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+           AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+),
+dec AS (
+  SELECT (10 * r + n - 1) // n AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS chars,
+         CAST(MAX(n) AS BIGINT) AS n_total
+  FROM ranked GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_docs,
+         CAST(SUM(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+         CAST(SUM(chars) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars,
+         CAST(SUM(chars) OVER () AS BIGINT) AS tot_chars,
+         n_total
+  FROM dec
+)
+SELECT decile, n_docs,
+       {_rr('cum_docs', 'n_total', 6)} AS cum_docs_share,
+       {_rr('cum_chars', 'tot_chars', 6)} AS cum_chars_share
+FROM cum ORDER BY decile
+"""

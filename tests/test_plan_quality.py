@@ -1555,3 +1555,15 @@ def test_friedman_blocked_ranks_on_cells(spark):
     r = plan_report(Q["friedman_test"](spark, SF_SMOKE))
     assert r.raw.count("InMemoryTableScan") >= 2
     assert r.sort_merge_joins == 0
+
+
+def test_ljung_box_bounded_lag_reduce(spark):
+    assert_plan(
+        Q["ljung_box"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
+
+
+def test_lorenz_single_rank_pass(spark):
+    assert_plan(
+        Q["lorenz_curve"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
+    )
