@@ -45,15 +45,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r06 window: the first 50 of the 66 operators added in r05 (none has a
-    driver row yet — r05's window was spent retiring the r01-r04 rotation
-    debt, which completed: CORRECTNESS_r05 is 50/50 green and every
-    pre-r05 entry has >=1 lifetime driver row). The 16 overflow entries
-    (market_basket_lift..theil_sen_slope) head the r07 queue, followed by
-    the r06 additions: the 20-op first batch (kruskal_wallis..
-    mutual_info_matrix) and the 38-op second batch (cusum_drift..
-    lorenz_curve). No pre-existing output changed this round (pinned
-    by tests/test_oracle_parity.py).
+    r07 window: the 16 r05-overflow entries (market_basket_lift..
+    theil_sen_slope) plus the first 34 r06 additions (kruskal_wallis..
+    matryoshka_recall) — all never driver-verified, all locally hash-green
+    at sf0.001 AND sf0.01. The remaining 22 r06 additions
+    (entropy_rate_markov..lorenz_curve) head the r08 queue. Rotation
+    budget (r06 verdict item 2): r07 adds at most 28 new production
+    queries so that 22 + additions <= 50 and the r08 window completes
+    lifetime driver coverage. No pre-existing output changed this round
+    (pinned by tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -68,7 +68,168 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: added in r05 (queue positions 1-50) ---
+        # --- never driver-verified: r05 overflow (16) + r06 first batch (34)
+        "market_basket_lift": lambda sp, d: A.market_basket_lift(
+            _t(sp, d, "lineitem")
+        ),
+        "new_vs_returning": lambda sp, d: A.new_vs_returning(
+            _t(sp, d, "events")
+        ),
+        "ann_mrr_ndcg": lambda sp, d: S.ann_mrr_ndcg(_t(sp, d, "embeddings")),
+        "lsh_rebanding_planner": lambda sp, d: D.lsh_rebanding_planner(
+            _t(sp, d, "documents")
+        ),
+        "halflife_popularity": lambda sp, d: A.halflife_popularity(
+            _t(sp, d, "events")
+        ),
+        "span_corruption_plan": lambda sp, d: C.span_corruption_plan(
+            _t(sp, d, "documents")
+        ),
+        "kcore_dup_graph": lambda sp, d: D.kcore_dup_graph(
+            _t(sp, d, "documents")
+        ),
+        "dedup_threshold_sweep": lambda sp, d: D.dedup_threshold_sweep(
+            _t(sp, d, "documents")
+        ),
+        "bloom_parameter_sweep": lambda sp, d: J.bloom_parameter_sweep(
+            _t(sp, d, "orders"), _t(sp, d, "customer")
+        ),
+        "knn_mmr_rerank": lambda sp, d: S.knn_mmr_rerank(
+            _t(sp, d, "embeddings")
+        ),
+        "coverage_select": lambda sp, d: C.coverage_select(
+            _t(sp, d, "documents")
+        ),
+        "forecast_conformal": lambda sp, d: A.forecast_conformal(
+            _t(sp, d, "events")
+        ),
+        "bbit_minhash_est": lambda sp, d: D.bbit_minhash_est(
+            _t(sp, d, "documents")
+        ),
+        "moments_profile": lambda sp, d: A.moments_profile(_t(sp, d, "events")),
+        "mann_whitney_pairs": lambda sp, d: A.mann_whitney_pairs(
+            _t(sp, d, "events")
+        ),
+        "theil_sen_slope": lambda sp, d: A.theil_sen_slope(_t(sp, d, "events")),
+        "kruskal_wallis": lambda sp, d: A.kruskal_wallis(_t(sp, d, "events")),
+        "spearman_corr": lambda sp, d: A.spearman_corr(_t(sp, d, "lineitem")),
+        "cramers_v_matrix": lambda sp, d: A.cramers_v_matrix(_t(sp, d, "events")),
+        "partition_skew_audit": lambda sp, d: A.partition_skew_audit(
+            _t(sp, d, "events")
+        ),
+        "cross_correlation_lagged": lambda sp, d: A.cross_correlation_lagged(
+            _t(sp, d, "events")
+        ),
+        "sax_symbolize": lambda sp, d: A.sax_symbolize(_t(sp, d, "events")),
+        "stratified_sample_mad": lambda sp, d: C.stratified_sample_mad(
+            _t(sp, d, "documents")
+        ),
+        "token_budget_curriculum": lambda sp, d: C.token_budget_curriculum(
+            _t(sp, d, "documents")
+        ),
+        "simhash_hamming_histogram": lambda sp, d: D.simhash_hamming_histogram(
+            _t(sp, d, "documents")
+        ),
+        "dup_link_prediction": lambda sp, d: D.dup_link_prediction(
+            _t(sp, d, "documents")
+        ),
+        "word_link_prediction": lambda sp, d: T.word_link_prediction(
+            _t(sp, d, "documents")
+        ),
+        "knn_ivf_pq": lambda sp, d: S.knn_ivf_pq(_t(sp, d, "embeddings")),
+        "cube_returnflag_status": lambda sp, d: Q.cube_returnflag_status(
+            _t(sp, d, "lineitem")
+        ),
+        "funnel_windowed": lambda sp, d: A.funnel_windowed(_t(sp, d, "events")),
+        "hurst_exponent": lambda sp, d: A.hurst_exponent(_t(sp, d, "events")),
+        "burst_viterbi": lambda sp, d: A.burst_viterbi(_t(sp, d, "events")),
+        "dedup_savings_by_source": lambda sp, d: D.dedup_savings_by_source(
+            _t(sp, d, "documents")
+        ),
+        "padding_waste_sweep": lambda sp, d: C.padding_waste_sweep(
+            _t(sp, d, "documents")
+        ),
+        "mutual_info_matrix": lambda sp, d: A.mutual_info_matrix(
+            _t(sp, d, "events")
+        ),
+        "cusum_drift": lambda sp, d: A.cusum_drift(_t(sp, d, "events")),
+        "wilcoxon_signed_rank": lambda sp, d: A.wilcoxon_signed_rank(
+            _t(sp, d, "events")
+        ),
+        "theil_index": lambda sp, d: C.theil_index(_t(sp, d, "documents")),
+        "kendall_tau_matrix": lambda sp, d: A.kendall_tau_matrix(
+            _t(sp, d, "lineitem")
+        ),
+        "jsd_sources": lambda sp, d: SC.jsd_sources(_t(sp, d, "documents")),
+        "hilbert_layout": lambda sp, d: A.hilbert_layout(_t(sp, d, "events")),
+        "brown_forsythe": lambda sp, d: A.brown_forsythe(_t(sp, d, "events")),
+        "holt_winters": lambda sp, d: A.holt_winters(_t(sp, d, "events")),
+        "fellegi_sunter_linkage": lambda sp, d: D.fellegi_sunter_linkage(
+            _t(sp, d, "documents")
+        ),
+        "anova_oneway": lambda sp, d: A.anova_oneway(_t(sp, d, "events")),
+        "dirichlet_query_likelihood": lambda sp, d: SC.dirichlet_query_likelihood(
+            _t(sp, d, "documents")
+        ),
+        "isotonic_daily": lambda sp, d: A.isotonic_daily(_t(sp, d, "events")),
+        "kneser_ney_logprob": lambda sp, d: SC.kneser_ney_logprob(
+            _t(sp, d, "documents")
+        ),
+        "diversity_profile": lambda sp, d: C.diversity_profile(
+            _t(sp, d, "documents")
+        ),
+        "matryoshka_recall": lambda sp, d: S.matryoshka_recall(
+            _t(sp, d, "embeddings")
+        ),
+        # ============== end gate window ===================================
+        # r08 rotation queue head: the 22 r06 operators that did not fit
+        # this window (entropy_rate_markov..lorenz_curve), then any r07
+        # additions. Rotation budget (r06 verdict item 2): r07 adds <=28 new
+        # production queries so the r08 window retires the whole queue.
+        "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
+            _t(sp, d, "events")
+        ),
+        "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
+            _t(sp, d, "embeddings")
+        ),
+        "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
+        "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
+        "periodogram_daily": lambda sp, d: A.periodogram_daily(
+            _t(sp, d, "events")
+        ),
+        "rm3_expansion": lambda sp, d: SC.rm3_expansion(_t(sp, d, "documents")),
+        "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
+            _t(sp, d, "embeddings")
+        ),
+        "hill_tail_index": lambda sp, d: A.hill_tail_index(_t(sp, d, "events")),
+        "did_estimate": lambda sp, d: A.did_estimate(_t(sp, d, "events")),
+        "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
+            _t(sp, d, "events")
+        ),
+        "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
+        "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
+        "wilson_intervals": lambda sp, d: A.wilson_intervals(
+            _t(sp, d, "events")
+        ),
+        "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
+        "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
+            _t(sp, d, "events")
+        ),
+        "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
+        "clustering_agreement": lambda sp, d: CL.clustering_agreement(
+            _t(sp, d, "embeddings")
+        ),
+        "embedding_drift": lambda sp, d: S.embedding_drift(
+            _t(sp, d, "embeddings")
+        ),
+        "dispersion_check": lambda sp, d: A.dispersion_check(
+            _t(sp, d, "events")
+        ),
+        "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
+        "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
+        "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
+        # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(
             _t(sp, d, "documents")
         ),
@@ -175,166 +336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "profile_columns": lambda sp, d: A.profile_columns(_t(sp, d, "events")),
-        # ============== end gate window ===================================
-        # r07 rotation queue head: the 16 r05-new operators that did not
-        # fit the r06 window (market_basket_lift..theil_sen_slope), then
-        # any operators added in r06. All locally hash-green at sf0.001
-        # AND sf0.01 via tests/test_oracle_parity.py.
-        "market_basket_lift": lambda sp, d: A.market_basket_lift(
-            _t(sp, d, "lineitem")
-        ),
-        "new_vs_returning": lambda sp, d: A.new_vs_returning(
-            _t(sp, d, "events")
-        ),
-        "ann_mrr_ndcg": lambda sp, d: S.ann_mrr_ndcg(_t(sp, d, "embeddings")),
-        "lsh_rebanding_planner": lambda sp, d: D.lsh_rebanding_planner(
-            _t(sp, d, "documents")
-        ),
-        "halflife_popularity": lambda sp, d: A.halflife_popularity(
-            _t(sp, d, "events")
-        ),
-        "span_corruption_plan": lambda sp, d: C.span_corruption_plan(
-            _t(sp, d, "documents")
-        ),
-        "kcore_dup_graph": lambda sp, d: D.kcore_dup_graph(
-            _t(sp, d, "documents")
-        ),
-        "dedup_threshold_sweep": lambda sp, d: D.dedup_threshold_sweep(
-            _t(sp, d, "documents")
-        ),
-        "bloom_parameter_sweep": lambda sp, d: J.bloom_parameter_sweep(
-            _t(sp, d, "orders"), _t(sp, d, "customer")
-        ),
-        "knn_mmr_rerank": lambda sp, d: S.knn_mmr_rerank(
-            _t(sp, d, "embeddings")
-        ),
-        "coverage_select": lambda sp, d: C.coverage_select(
-            _t(sp, d, "documents")
-        ),
-        "forecast_conformal": lambda sp, d: A.forecast_conformal(
-            _t(sp, d, "events")
-        ),
-        "bbit_minhash_est": lambda sp, d: D.bbit_minhash_est(
-            _t(sp, d, "documents")
-        ),
-        "moments_profile": lambda sp, d: A.moments_profile(_t(sp, d, "events")),
-        "mann_whitney_pairs": lambda sp, d: A.mann_whitney_pairs(
-            _t(sp, d, "events")
-        ),
-        "theil_sen_slope": lambda sp, d: A.theil_sen_slope(_t(sp, d, "events")),
-        # --- added in r06 ---
-        "kruskal_wallis": lambda sp, d: A.kruskal_wallis(_t(sp, d, "events")),
-        "spearman_corr": lambda sp, d: A.spearman_corr(_t(sp, d, "lineitem")),
-        "cramers_v_matrix": lambda sp, d: A.cramers_v_matrix(_t(sp, d, "events")),
-        "partition_skew_audit": lambda sp, d: A.partition_skew_audit(
-            _t(sp, d, "events")
-        ),
-        "cross_correlation_lagged": lambda sp, d: A.cross_correlation_lagged(
-            _t(sp, d, "events")
-        ),
-        "sax_symbolize": lambda sp, d: A.sax_symbolize(_t(sp, d, "events")),
-        "stratified_sample_mad": lambda sp, d: C.stratified_sample_mad(
-            _t(sp, d, "documents")
-        ),
-        "token_budget_curriculum": lambda sp, d: C.token_budget_curriculum(
-            _t(sp, d, "documents")
-        ),
-        "simhash_hamming_histogram": lambda sp, d: D.simhash_hamming_histogram(
-            _t(sp, d, "documents")
-        ),
-        "dup_link_prediction": lambda sp, d: D.dup_link_prediction(
-            _t(sp, d, "documents")
-        ),
-        "word_link_prediction": lambda sp, d: T.word_link_prediction(
-            _t(sp, d, "documents")
-        ),
-        "knn_ivf_pq": lambda sp, d: S.knn_ivf_pq(_t(sp, d, "embeddings")),
-        "cube_returnflag_status": lambda sp, d: Q.cube_returnflag_status(
-            _t(sp, d, "lineitem")
-        ),
-        "funnel_windowed": lambda sp, d: A.funnel_windowed(_t(sp, d, "events")),
-        "hurst_exponent": lambda sp, d: A.hurst_exponent(_t(sp, d, "events")),
-        "burst_viterbi": lambda sp, d: A.burst_viterbi(_t(sp, d, "events")),
-        "dedup_savings_by_source": lambda sp, d: D.dedup_savings_by_source(
-            _t(sp, d, "documents")
-        ),
-        "padding_waste_sweep": lambda sp, d: C.padding_waste_sweep(
-            _t(sp, d, "documents")
-        ),
-        "mutual_info_matrix": lambda sp, d: A.mutual_info_matrix(
-            _t(sp, d, "events")
-        ),
-        "cusum_drift": lambda sp, d: A.cusum_drift(_t(sp, d, "events")),
-        "wilcoxon_signed_rank": lambda sp, d: A.wilcoxon_signed_rank(
-            _t(sp, d, "events")
-        ),
-        "theil_index": lambda sp, d: C.theil_index(_t(sp, d, "documents")),
-        "kendall_tau_matrix": lambda sp, d: A.kendall_tau_matrix(
-            _t(sp, d, "lineitem")
-        ),
-        "jsd_sources": lambda sp, d: SC.jsd_sources(_t(sp, d, "documents")),
-        "hilbert_layout": lambda sp, d: A.hilbert_layout(_t(sp, d, "events")),
-        "brown_forsythe": lambda sp, d: A.brown_forsythe(_t(sp, d, "events")),
-        "holt_winters": lambda sp, d: A.holt_winters(_t(sp, d, "events")),
-        "fellegi_sunter_linkage": lambda sp, d: D.fellegi_sunter_linkage(
-            _t(sp, d, "documents")
-        ),
-        "anova_oneway": lambda sp, d: A.anova_oneway(_t(sp, d, "events")),
-        "dirichlet_query_likelihood": lambda sp, d: SC.dirichlet_query_likelihood(
-            _t(sp, d, "documents")
-        ),
-        "isotonic_daily": lambda sp, d: A.isotonic_daily(_t(sp, d, "events")),
-        "kneser_ney_logprob": lambda sp, d: SC.kneser_ney_logprob(
-            _t(sp, d, "documents")
-        ),
-        "diversity_profile": lambda sp, d: C.diversity_profile(
-            _t(sp, d, "documents")
-        ),
-        "matryoshka_recall": lambda sp, d: S.matryoshka_recall(
-            _t(sp, d, "embeddings")
-        ),
-        "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
-            _t(sp, d, "events")
-        ),
-        "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
-            _t(sp, d, "embeddings")
-        ),
-        "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
-        "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
-        "periodogram_daily": lambda sp, d: A.periodogram_daily(
-            _t(sp, d, "events")
-        ),
-        "rm3_expansion": lambda sp, d: SC.rm3_expansion(_t(sp, d, "documents")),
-        "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
-            _t(sp, d, "embeddings")
-        ),
-        "hill_tail_index": lambda sp, d: A.hill_tail_index(_t(sp, d, "events")),
-        "did_estimate": lambda sp, d: A.did_estimate(_t(sp, d, "events")),
-        "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
-            _t(sp, d, "events")
-        ),
-        "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
-        "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
-        "wilson_intervals": lambda sp, d: A.wilson_intervals(
-            _t(sp, d, "events")
-        ),
-        "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
-        "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
-            _t(sp, d, "events")
-        ),
-        "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
-        "clustering_agreement": lambda sp, d: CL.clustering_agreement(
-            _t(sp, d, "embeddings")
-        ),
-        "embedding_drift": lambda sp, d: S.embedding_drift(
-            _t(sp, d, "embeddings")
-        ),
-        "dispersion_check": lambda sp, d: A.dispersion_check(
-            _t(sp, d, "events")
-        ),
-        "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
-        "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
-        "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;
         # pinned locally by tests/test_oracle_parity.py every run).
         # --- r05-verified: deferred from the r04 window ---

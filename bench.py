@@ -182,6 +182,47 @@ def _prior_best(sf: object) -> dict[str, float]:
     return best
 
 
+def _prior_best_calibration() -> float | None:
+    """Best (min) calibration-probe seconds over prior recorded runs.
+
+    The probe is data-independent (in-session spark.range, no IO), so the
+    best across ALL scale factors is the box's best-known speed.
+    """
+    best = float("inf")
+    for payload in _payloads():
+        cal = payload.get("calibration_sec")
+        if cal is None and isinstance(payload.get("delta"), dict):
+            cal = payload["delta"].get("cal_sec")  # driver BENCH_r*.json shape
+        if isinstance(cal, (int, float)) and cal > 0:
+            best = min(best, float(cal))
+    return best if best != float("inf") else None
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed synthetic CPU-bound probe (r06 verdict item 3): constant data
+    generated in-session, zero IO, zero shuffle beyond the final reduce.
+    Its wall time moves with the BOX (JIT state, CPU contention, scheduler),
+    not with any plan in this repo, so query_ratio / calibration_ratio
+    separates "machine slower" from "query slower" across rounds.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000_000, 1, 32)
+    col = F.xxhash64("id")
+    for i in range(8):
+        col = F.xxhash64(col, F.lit(i))
+    probe = df.select(F.sum(col).alias("s"))
+    probe.count()  # untimed warmup rep (JIT)
+    rs: list[float] = []
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        probe.count()
+        rs.append(round(time.perf_counter() - t0, 3))
+    med = sorted(rs)[len(rs) // 2]
+    print(f"# calibration probe: median {med:.3f}s of {rs}", file=sys.stderr)
+    return med
+
+
 def main() -> None:
     from inde1_spark.session import get_spark
 
@@ -193,6 +234,12 @@ def main() -> None:
 
     # warm the JVM + parquet footers with one tiny action outside timing
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    calibration = _calibration_sec(spark)
+    prior_cal = _prior_best_calibration()
+    # >1 means this box/session is slower than the best recorded one; the
+    # first calibrated run (no prior) normalizes by 1.0 (raw == normalized).
+    cal_ratio = round(calibration / prior_cal, 3) if prior_cal else 1.0
 
     from inde1_spark.operators.dedup import release_persisted
 
@@ -229,10 +276,19 @@ def main() -> None:
     delta = {
         "prior_best_sec": {k: prior[k] for k in common},
         "ratio": {k: round(common[k] / prior[k], 3) for k in common},
+        # drift-normalized: query slowdown divided by the box's own slowdown
+        # (calibration probe). Only normalized ratios are FLAGGED — a uniform
+        # machine-speed shift (r04/r05/r06 signature) normalizes away, while
+        # a real plan regression stays.
+        "calibration_sec": calibration,
+        "calibration_ratio": cal_ratio,
+        "ratio_normalized": {
+            k: round(common[k] / prior[k] / cal_ratio, 3) for k in common
+        },
         "flagged_over_ratio": {
-            k: round(common[k] / prior[k], 3)
+            k: round(common[k] / prior[k] / cal_ratio, 3)
             for k in common
-            if common[k] / prior[k] > DELTA_FLAG_RATIO
+            if common[k] / prior[k] / cal_ratio > DELTA_FLAG_RATIO
         },
         "flag_threshold": DELTA_FLAG_RATIO,
         "n_common": len(common),
@@ -247,6 +303,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
         "reps": reps,
         "delta_vs_prior_best": delta,
     }
@@ -266,6 +323,8 @@ def main() -> None:
         "delta": {
             "n_flagged": len(delta["flagged_over_ratio"]),
             "flag_threshold": DELTA_FLAG_RATIO,
+            "cal_sec": calibration,
+            "cal_ratio": cal_ratio,
             "n_common": delta["n_common"],
             "common_total_sec": delta["common_total_sec"],
             "prior_best_total_sec": delta["common_prior_best_total_sec"],

@@ -5767,8 +5767,36 @@ def hurst_exponent(events: DataFrame) -> DataFrame:
 
 BURST_INIT_COST = 1 << 60  # "unreachable" start cost for the burst state
 
+# Hard ceiling on cells a packed sequential fold may carry in ONE task
+# (r06 verdict item 4): the fold recipe is only legitimate on BOUNDED
+# daily-grid series — a misuse over a per-second series would silently
+# build a multi-GB single-task array. 10^6 cells ~ 2700 years of days
+# (or ~8 MB of longs): far above any daily grid, far below task memory.
+MAX_FOLD_CELLS = 1_000_000
 
-def burst_viterbi(events: DataFrame) -> DataFrame:
+
+def _guard_fold_cells(arr, opname: str, max_cells: int = MAX_FOLD_CELLS):
+    """Wrap a packed fold input array with an executor-side size assertion.
+
+    Stays a pure plan (no action): the guard evaluates on the executor the
+    moment the packed row materializes, raising a clear error instead of
+    letting the interpreted fold churn on a multi-million-element array.
+    """
+    return F.when(F.size(arr) <= F.lit(int(max_cells)), arr).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{opname}: packed fold input exceeds {max_cells} cells — "
+                "this operator folds a BOUNDED (daily-grid) series on one "
+                "task; aggregate to a coarser grid or raise max_cells "
+                "deliberately"
+            )
+        )
+    )
+
+
+def burst_viterbi(
+    events: DataFrame, max_fold_cells: int = MAX_FOLD_CELLS
+) -> DataFrame:
     """Kleinberg-style burst segmentation of each type's daily count
     series: a 2-state automaton (base rate mu vs burst rate 2*mu) with a
     one-time entry penalty, decoded by EXACT Viterbi — the principled
@@ -5813,7 +5841,9 @@ def burst_viterbi(events: DataFrame) -> DataFrame:
             F.abs(F.col("t_days") * e["c"] - 2 * F.col("s_total")).alias("e1"),
         ),
     )
-    per = per.withColumn("ec", ec)
+    per = per.withColumn(
+        "ec", _guard_fold_cells(ec, "burst_viterbi", max_fold_cells)
+    )
     gamma = F.col("s_total")
     init = F.struct(
         F.lit(0).cast("long").alias("c0"),
@@ -6481,7 +6511,9 @@ def brown_forsythe(events: DataFrame) -> DataFrame:
 HW_SEASON = 7  # weekly seasonality on the daily grid
 
 
-def holt_winters(events: DataFrame) -> DataFrame:
+def holt_winters(
+    events: DataFrame, max_fold_cells: int = MAX_FOLD_CELLS
+) -> DataFrame:
     """Additive Holt-Winters (level + trend + weekly season) over the
     daily event-count series — the seasonal upgrade of ``holt_linear``:
     one-step-ahead fits that track day-of-week shape, the forecasting
@@ -6510,11 +6542,19 @@ def holt_winters(events: DataFrame) -> DataFrame:
     daily = events.groupBy(_day_str().alias("day")).agg(
         F.count("*").cast("long").alias("x")
     )
-    packed = daily.agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("day"), F.col("x")))
-        ).alias("arr")
-    ).filter(F.size("arr") >= m + 1)
+    packed = (
+        daily.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("x")))
+            ).alias("arr")
+        )
+        .filter(F.size("arr") >= m + 1)
+        .select(
+            _guard_fold_cells(F.col("arr"), "holt_winters", max_fold_cells).alias(
+                "arr"
+            )
+        )
+    )
     # init on the first season: level = sum of week-1 counts (x7 mean),
     # trend = 0, seasonal_i = 7*x_i - level
     l0 = F.aggregate(
@@ -7509,6 +7549,7 @@ def peak_detection(events: DataFrame, half_window: int = PEAK_HALF_WINDOW) -> Da
 
 HITTING_TARGET = "purchase"
 HITTING_HORIZON = 12  # lazy-checkpoint chains re-analyze superlinearly past ~15 rounds
+HITTING_HORIZON_MAX = 15  # hard cap: a ValueError beats a 5-min analyzer stall
 
 
 def hitting_time_markov(
@@ -7534,8 +7575,20 @@ def hitting_time_markov(
     single step (right-censored, documented).
 
     Scale: one corpus window pass to the <=|types|^2 edge matrix; each
-    round is a bounded-matrix join.
+    round is a bounded-matrix join. Horizon is capped at 15: the lazy-
+    checkpoint chain re-analyzes superlinearly past ~15 rounds (measured
+    cliff: ~20 s at 12 rounds vs >300 s at 30) — a clear error beats a
+    5-minute analyzer stall (r06 verdict item 4).
     """
+    if horizon > HITTING_HORIZON_MAX:
+        raise ValueError(
+            f"hitting_time_markov: horizon={horizon} exceeds the supported "
+            f"maximum {HITTING_HORIZON_MAX}. Plan re-analysis of the "
+            "unrolled iteration chain goes superlinear past ~15 rounds "
+            "(measured: ~20 s at 12, >300 s at 30); the truncated-horizon "
+            "metric is defined at horizon<=15. For longer horizons, "
+            "materialize intermediate rounds to a table instead."
+        )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -7599,7 +7652,11 @@ DTW_BAND = 7          # Sakoe-Chiba band half-width (days)
 DTW_INF = 10**17      # unreachable-cell sentinel, far above any real path
 
 
-def dtw_entry_exit(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
+def dtw_entry_exit(
+    events: DataFrame,
+    band: int = DTW_BAND,
+    max_fold_cells: int = MAX_FOLD_CELLS,
+) -> DataFrame:
     """Dynamic time warping distance between the daily ENTRY and EXIT
     count series — the elastic-alignment answer to "does exit volume
     follow entry volume, and with how much temporal slack", where
@@ -7683,7 +7740,11 @@ def dtw_entry_exit(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
 
     folded = packed.select(
         "n_days",
-        F.aggregate(F.col("arr"), init, step)["cur"].alias("last_row"),
+        F.aggregate(
+            _guard_fold_cells(F.col("arr"), "dtw_entry_exit", max_fold_cells),
+            init,
+            step,
+        )["cur"].alias("last_row"),
     )
     dtw = F.get(F.col("last_row"), w)  # 0-based position w == offset k=w (j=n)
     return folded.select(

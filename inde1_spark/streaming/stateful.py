@@ -80,11 +80,11 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         (entry_us,) = state.get if state.exists else (0,)
         out: list[dict] = []
         rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
-        for _, row in rows.iterrows():
-            ts_us = int(row["ts"].value // 1_000)  # pandas ns -> us
-            if row["event_type"] == entry_type:
+        for row in rows.itertuples(index=False):
+            ts_us = int(row.ts.value // 1_000)  # pandas ns -> us
+            if row.event_type == entry_type:
                 entry_us = ts_us  # re-entry overwrites (can't happen per laws)
-            elif row["event_type"] == exit_type and entry_us:
+            elif row.event_type == exit_type and entry_us:
                 out.append(
                     {
                         "license_plate": plate,
@@ -163,11 +163,11 @@ def sessionize_stream_tws(events: DataFrame) -> DataFrame:
             entry_us = self._entry.get()[0] if self._entry.exists() else 0
             out: list[dict] = []
             batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
-            for _, row in batch.iterrows():
-                ts_us = int(row["ts"].value // 1_000)
-                if row["event_type"] == entry_type:
+            for row in batch.itertuples(index=False):
+                ts_us = int(row.ts.value // 1_000)
+                if row.event_type == entry_type:
                     entry_us = ts_us
-                elif row["event_type"] == exit_type and entry_us:
+                elif row.event_type == exit_type and entry_us:
                     out.append(
                         {
                             "license_plate": plate,
@@ -258,11 +258,11 @@ def funnel_stage_stream(
         rows = pd.concat(list(batches), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in rows.iterrows():
+        for row in rows.itertuples(index=False):
             if stage >= len(steps_t):
                 break
-            ts_us = int(row["ts"].value // 1_000)
-            if row["event_type"] != steps_t[stage]:
+            ts_us = int(row.ts.value // 1_000)
+            if row.event_type != steps_t[stage]:
                 continue
             if stage == 0 or (t_us < ts_us <= t_us + w_us):
                 stage += 1
@@ -271,7 +271,7 @@ def funnel_stage_stream(
                     {
                         "user_id": user_id,
                         "stage": stage,
-                        "event_type": row["event_type"],
+                        "event_type": row.event_type,
                         "ts": pd.Timestamp(ts_us, unit="us"),
                     }
                 )
@@ -364,8 +364,8 @@ def cusum_alarm_stream(
         rows = pd.concat(list(batches), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in rows.iterrows():
-            day = int(row["ts"].value // (86_400 * 1_000_000_000))
+        for row in rows.itertuples(index=False):
+            day = int(row.ts.value // (86_400 * 1_000_000_000))
             if cur_day < 0:
                 cur_day, cnt = day, 1
                 continue
@@ -470,11 +470,11 @@ def sprt_stream(events: DataFrame) -> DataFrame:
         rows = pd.concat(list(batches), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in rows.iterrows():
-            typ = row["event_type"]
+        for row in rows.itertuples(index=False):
+            typ = row.event_type
             if typ not in (ENTRY_T, EXIT_T):
                 continue
-            day = int(row["ts"].value // (86_400 * 1_000_000_000))
+            day = int(row.ts.value // (86_400 * 1_000_000_000))
             if cur_day < 0:
                 cur_day = day
             elif day > cur_day:
