@@ -228,6 +228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
         "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
         "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
+        # --- added in r07 (within the 28-entry rotation budget) ---
+        "turning_points_test": lambda sp, d: A.turning_points_test(
+            _t(sp, d, "events")
+        ),
+        "bartels_rank_vn": lambda sp, d: A.bartels_rank_vn(_t(sp, d, "events")),
+        "poisson_rate_ci": lambda sp, d: A.poisson_rate_ci(_t(sp, d, "events")),
+        "grubbs_daily_outlier": lambda sp, d: A.grubbs_daily_outlier(
+            _t(sp, d, "events")
+        ),
+        "odds_ratio_daily": lambda sp, d: A.odds_ratio_daily(
+            _t(sp, d, "events")
+        ),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(

@@ -7968,3 +7968,315 @@ def ljung_box(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
         q.alias("q_lb"),
         (q > F.lit(LJUNG_BOX_CRIT)).alias("white_noise_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r07 batch A: randomness / rate / outlier statistics on the daily grid
+# ---------------------------------------------------------------------------
+
+
+def turning_points_test(events: DataFrame) -> DataFrame:
+    """Turning-points test of the daily revenue series — the third
+    member of the randomness tier (``runs_test`` checks level clustering,
+    ``mann_kendall`` monotone drift): a local max/min count that is
+    sensitive to smoothness — too FEW turning points means momentum
+    (trend/AR structure), too many means oscillation — with the exact
+    null moments E[T] = 2(n-2)/3, Var[T] = (16n-29)/90.
+
+    Strict extrema only (a tie with either neighbor is not a turning
+    point — exact integer comparisons on the micro-long series, no
+    epsilon). E, Var, z are doubles built from exact longs in one
+    mirrored chain; n < 3 emits nothing.
+
+    Scale: one corpus-volume day reduce; lag/lead ride the bounded
+    daily series.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.orderBy("day")
+    trip = daily.select(
+        F.lag("v").over(w).alias("p"),
+        F.col("v").alias("c"),
+        F.lead("v").over(w).alias("nx"),
+    ).filter(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    agg = trip.agg(
+        (F.count("*") + F.lit(2)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                ((F.col("p") < F.col("c")) & (F.col("nx") < F.col("c")))
+                | ((F.col("p") > F.col("c")) & (F.col("nx") > F.col("c"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_turning"),
+    ).filter(F.col("n_days") >= 3)
+    n = F.col("n_days").cast("double")
+    e_t = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    var_t = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    z = F.when(var_t <= 0, F.lit(0.0)).otherwise(
+        (F.col("n_turning").cast("double") - e_t) / F.sqrt(var_t)
+    )
+    return agg.select(
+        "n_days",
+        "n_turning",
+        e_t.alias("expected_turning"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("nonrandom_5pct"),
+    )
+
+
+def bartels_rank_vn(events: DataFrame) -> DataFrame:
+    """Bartels' rank von Neumann ratio on the daily revenue series — the
+    rank-based successor-difference randomness test: RVN near 2 is
+    random, << 2 means neighboring days have similar ranks (trend /
+    positive autocorrelation), >> 2 alternation. More powerful than
+    ``runs_test`` against smooth trends because it uses full rank
+    information, not one bit per day.
+
+    Deviation from textbook mid-ranks, by design: ranks are
+    ``row_number`` over (value, day) — a deterministic total order (the
+    W5 tie-break convention) instead of engine-ambiguous average ranks;
+    micro-long daily revenues make ties measure-zero anyway. NM and the
+    denominator n(n^2-1)/12 are exact integers; RVN and the
+    z = (RVN-2)/sqrt(20/(5n+7)) approximation run in one mirrored
+    double chain. n < 2 emits nothing.
+
+    Scale: one corpus-volume day reduce; ranking rides the bounded
+    daily series.
+    """
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    ranked = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("v", "day")).cast("long").alias("r"),
+    )
+    w = Window.orderBy("day")
+    diffs = ranked.select(
+        F.col("r"),
+        (F.col("r") - F.lead("r").over(w)).alias("d"),
+    )
+    agg = diffs.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("nm"),
+    ).filter(F.col("n_days") >= 2)
+    n = F.col("n_days").cast("double")
+    den = n * (n * n - F.lit(1.0)) / F.lit(12.0)
+    rvn = F.col("nm").cast("double") / den
+    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(20.0) / (F.lit(5.0) * n + F.lit(7.0)))
+    return agg.select(
+        "n_days",
+        "nm",
+        rvn.alias("rvn"),
+        z.alias("z"),
+        F.when(z < F.lit(-1.96), F.lit("trend"))
+        .when(z > F.lit(1.96), F.lit("oscillation"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+def poisson_rate_ci(events: DataFrame) -> DataFrame:
+    """Per-type daily arrival rate with a normal-approximation Poisson
+    CI — the "is this stream's intensity X ± what" number that sizing
+    decisions (capacity, alert thresholds, sample budgets) read
+    directly; the CI width is the whole point at small counts where the
+    raw rate looks deceptively precise.
+
+    rate = n / D over the GLOBAL observed-day count D (types share the
+    calendar; a type absent on some days has genuinely lower daily
+    rate); se = sqrt(n)/D — sqrt is IEEE-correctly-rounded in both
+    engines, and n, D < 2^53 convert exactly, so the chain is two exact
+    conversions, one sqrt, and mirrored arithmetic. ci_lo clamps at 0.
+
+    Scale: one corpus-volume (type) reduce + one distinct-day count.
+    """
+    days = events.select(_day_str().alias("day")).distinct().agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    per = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    joined = per.join(F.broadcast(days))
+    n = F.col("n_events").cast("double")
+    d = F.col("n_days").cast("double")
+    rate = n / d
+    se = F.sqrt(n) / d
+    return joined.select(
+        "event_type",
+        "n_events",
+        "n_days",
+        rate.alias("rate_per_day"),
+        F.greatest(rate - F.lit(1.96) * se, F.lit(0.0)).alias("ci_lo"),
+        (rate + F.lit(1.96) * se).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+def grubbs_daily_outlier(events: DataFrame) -> DataFrame:
+    """Grubbs-style maximum studentized deviation of the daily revenue
+    series: WHICH day is the single most extreme against the whole
+    series, and is it extreme enough to investigate — the named-culprit
+    complement to ``zscore_anomaly`` (which flags many) and
+    ``changepoint_meanshift`` (which finds level shifts, not spikes).
+
+    Exact argmax: deviations |n*v_t - S| are exact longs (the n-scaling
+    trick), ties break to the earliest day. G = max|v - mean| / s uses
+    the decimal moment identity n*SS - S^2 with the digit-split exact
+    conversions, variance clamped at 0; a constant series (s = 0)
+    emits G = 0. The 3.0 flag threshold is the usual rule-of-thumb
+    critical value, injected as the same literal in both engines.
+
+    Scale: one corpus-volume day reduce; the argmax rides the bounded
+    daily series.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    wg = Window.partitionBy()
+    scored = daily.select(
+        "day",
+        "v",
+        F.count("*").over(wg).cast("long").alias("n_days"),
+        F.sum("v").over(wg).cast("long").alias("s"),
+        F.sum(d38(F.col("v")) * d38(F.col("v"))).over(wg).alias("ss"),
+        F.abs(
+            d38(F.count("*").over(wg)) * d38(F.col("v"))
+            - d38(F.sum("v").over(wg))
+        ).alias("dev"),
+    )
+    top = scored.orderBy(F.col("dev").desc(), F.col("day").asc()).limit(1)
+    n = F.col("n_days").cast("double")
+    var_num = (
+        d38(F.col("n_days")) * F.col("ss").cast("decimal(38,0)")
+        - d38(F.col("s")) * d38(F.col("s"))
+    ).cast("decimal(38,0)")
+    dev_d = dec_to_double_exact(F.col("dev").cast("decimal(38,0)"))
+    var_d = F.greatest(dec_to_double_exact(var_num), F.lit(0.0))
+    # G = (|n v - S| / n) / sqrt(var_num / (n^2 (n-1))) spelled to divide
+    # exact doubles once each: dev / sqrt(var_num * (n-1)) * sqrt... keep
+    # the simple mirrored chain instead:
+    s_pooled = F.sqrt(
+        var_d / (n * n * F.greatest(n - F.lit(1.0), F.lit(1.0)))
+    )
+    g = F.when(s_pooled <= 0, F.lit(0.0)).otherwise(
+        dev_d / n / s_pooled
+    )
+    return top.filter(F.col("n_days") >= 2).select(
+        "n_days",
+        F.col("day").alias("peak_day"),
+        (F.col("v").cast("double") / F.lit(1e6)).alias("day_revenue"),
+        g.alias("g_stat"),
+        (g > F.lit(3.0)).alias("outlier_3sigma"),
+    )
+
+
+def odds_ratio_daily(events: DataFrame) -> DataFrame:
+    """Weekend-vs-weekday odds ratio of the entry/exit mix with a Woolf
+    (log-OR) confidence interval — the 2x2 effect-size reading of the
+    weekly cycle: "the odds an event is an ENTRY are X times higher on
+    weekends", with a CI that says whether the effect survives noise.
+    ``chi2_independence`` tests the same table but only answers
+    "dependent or not"; the OR is the magnitude.
+
+    Add-one smoothing on all four cells (keeps every log argument a
+    POSITIVE INTEGER and the estimator finite — the Haldane correction
+    in integer-friendly form). log OR is a sum of four micro-snapped
+    integer logs (the _log_scaled convention); the raw OR converts the
+    exact decimal products a*d / b*c via digit-split; the Woolf SE is
+    four exact-long reciprocals summed left-associatively. Weekend =
+    Saturday/Sunday (Spark dayofweek 1/7 == DuckDB dayofweek 0/6).
+
+    Scale: one corpus-volume conditional-count pass; everything after is
+    one row.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    wk = F.dayofweek("ts").isin(1, 7)
+    cells = events.filter(
+        F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE)
+    ).agg(
+        (
+            F.sum(F.when(wk & (F.col("event_type") == ENTRY_TYPE), 1).otherwise(0))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("a"),
+        (
+            F.sum(F.when(wk & (F.col("event_type") == EXIT_TYPE), 1).otherwise(0))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("b"),
+        (
+            F.sum(
+                F.when(~wk & (F.col("event_type") == ENTRY_TYPE), 1).otherwise(0)
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("c"),
+        (
+            F.sum(
+                F.when(~wk & (F.col("event_type") == EXIT_TYPE), 1).otherwise(0)
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+
+    def lmicro(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e6), 0).cast("long")
+
+    lor_micro = lmicro(F.col("a")) - lmicro(F.col("b")) - lmicro(
+        F.col("c")
+    ) + lmicro(F.col("d"))
+    log_or = lor_micro.cast("double") / F.lit(1e6)
+    odds = dec_to_double_exact(
+        (d38(F.col("a")) * d38(F.col("d"))).cast("decimal(38,0)")
+    ) / dec_to_double_exact((d38(F.col("b")) * d38(F.col("c"))).cast("decimal(38,0)"))
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / F.col("b").cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    lo = log_or - F.lit(1.96) * se
+    hi = log_or + F.lit(1.96) * se
+    return cells.select(
+        F.col("a").alias("n_weekend_entry"),
+        F.col("b").alias("n_weekend_exit"),
+        F.col("c").alias("n_weekday_entry"),
+        F.col("d").alias("n_weekday_exit"),
+        odds.alias("odds_ratio"),
+        log_or.alias("log_or"),
+        se.alias("se_log_or"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        ((lo > 0) | (hi < 0)).alias("significant_5pct"),
+    )

@@ -9790,3 +9790,194 @@ SELECT decile, n_docs,
        {_rr('cum_chars', 'tot_chars', 6)} AS cum_chars_share
 FROM cum ORDER BY decile
 """
+
+
+# ===========================================================================
+# r07 batch A: randomness / rate / outlier statistics on the daily grid
+# ===========================================================================
+
+# Twin of operators/analytics.py:turning_points_test — same micro-long daily
+# series, strict-extrema integer comparisons, mirrored double moment chain.
+ORACLES["turning_points_test"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+trip AS (
+  SELECT lag(v) OVER (ORDER BY day) AS p, v AS c,
+         lead(v) OVER (ORDER BY day) AS nx
+  FROM daily
+),
+agg AS (
+  SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN (p < c AND nx < c) OR (p > c AND nx > c)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+  FROM trip WHERE p IS NOT NULL AND nx IS NOT NULL
+),
+calc AS (
+  SELECT n_days, n_turning, CAST(n_days AS DOUBLE) AS n,
+         2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0 AS e_t,
+         (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 AS var_t
+  FROM agg WHERE n_days >= 3
+)
+SELECT n_days, n_turning, e_t AS expected_turning,
+       CASE WHEN var_t <= 0 THEN 0.0
+            ELSE (CAST(n_turning AS DOUBLE) - e_t) / sqrt(var_t) END AS z,
+       ABS(CASE WHEN var_t <= 0 THEN 0.0
+                ELSE (CAST(n_turning AS DOUBLE) - e_t) / sqrt(var_t) END)
+         > CAST(1.96 AS DOUBLE) AS nonrandom_5pct
+FROM calc
+"""
+
+
+# Twin of operators/analytics.py:bartels_rank_vn — row_number ranks over the
+# same (v, day) total order; NM and n(n^2-1)/12 exact; mirrored double chain.
+ORACLES["bartels_rank_vn"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY v, day) AS BIGINT) AS r
+  FROM daily
+),
+diffs AS (
+  SELECT r, r - lead(r) OVER (ORDER BY day) AS d FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(d * d) AS BIGINT) AS nm
+  FROM diffs
+),
+calc AS (
+  SELECT n_days, nm, CAST(n_days AS DOUBLE) AS n FROM agg WHERE n_days >= 2
+),
+vv AS (
+  SELECT n_days, nm,
+         CAST(nm AS DOUBLE) / (n * (n * n - 1.0) / 12.0) AS rvn,
+         (CAST(nm AS DOUBLE) / (n * (n * n - 1.0) / 12.0) - 2.0)
+           / sqrt(20.0 / (5.0 * n + 7.0)) AS z
+  FROM calc
+)
+SELECT n_days, nm, rvn, z,
+       CASE WHEN z < CAST(-1.96 AS DOUBLE) THEN 'trend'
+            WHEN z > CAST(1.96 AS DOUBLE) THEN 'oscillation'
+            ELSE 'random' END AS verdict
+FROM vv
+"""
+
+
+# Twin of operators/analytics.py:poisson_rate_ci — global observed-day count,
+# exact long->double conversions, one sqrt, mirrored arithmetic.
+ORACLES["poisson_rate_ci"] = f"""
+WITH days AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM (SELECT DISTINCT {_DAY} AS day FROM events)
+),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_events, n_days,
+       CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS rate_per_day,
+       GREATEST(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)
+                - CAST(1.96 AS DOUBLE) * sqrt(CAST(n_events AS DOUBLE))
+                  / CAST(n_days AS DOUBLE), 0.0) AS ci_lo,
+       CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)
+         + CAST(1.96 AS DOUBLE) * sqrt(CAST(n_events AS DOUBLE))
+           / CAST(n_days AS DOUBLE) AS ci_hi
+FROM per, days
+ORDER BY event_type
+"""
+
+
+# Twin of operators/analytics.py:grubbs_daily_outlier — exact long argmax
+# with earliest-day tie-break, HUGEINT moment identity, digit-split
+# conversions, variance clamp, mirrored G chain.
+ORACLES["grubbs_daily_outlier"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT day, v,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+         CAST(SUM(v) OVER () AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) OVER () AS HUGEINT) AS ss,
+         ABS(CAST(COUNT(*) OVER () AS HUGEINT) * v
+             - CAST(SUM(v) OVER () AS HUGEINT)) AS dev
+  FROM daily
+),
+top AS (
+  SELECT * FROM scored ORDER BY dev DESC, day ASC LIMIT 1
+),
+calc AS (
+  SELECT n_days, day, v, CAST(n_days AS DOUBLE) AS n,
+         {_dec2d("dev")} AS dev_d,
+         GREATEST({_dec2d("CAST(n_days AS HUGEINT) * ss - CAST(s AS HUGEINT) * s")}, 0.0)
+           AS var_d
+  FROM top WHERE n_days >= 2
+),
+gg AS (
+  SELECT n_days, day, v,
+         sqrt(var_d / (n * n * GREATEST(n - 1.0, 1.0))) AS s_pooled,
+         dev_d, n
+  FROM calc
+)
+SELECT n_days, day AS peak_day,
+       CAST(v AS DOUBLE) / 1e6 AS day_revenue,
+       CASE WHEN s_pooled <= 0 THEN 0.0 ELSE dev_d / n / s_pooled END AS g_stat,
+       (CASE WHEN s_pooled <= 0 THEN 0.0 ELSE dev_d / n / s_pooled END)
+         > CAST(3.0 AS DOUBLE) AS outlier_3sigma
+FROM gg
+"""
+
+
+# Twin of operators/analytics.py:odds_ratio_daily — add-one smoothed 2x2,
+# micro-snapped integer logs, digit-split exact products, Woolf SE summed
+# left-associatively. DuckDB dayofweek: 0=Sunday..6=Saturday (Spark 1/7).
+ORACLES["odds_ratio_daily"] = f"""
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = '{ENTRY}'
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = '{EXIT}'
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = '{ENTRY}'
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = '{EXIT}'
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS d
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+),
+lg AS (
+  SELECT *,
+    (CAST(round(ln(CAST(a AS DOUBLE)) * 1e6, 0) AS BIGINT)
+     - CAST(round(ln(CAST(b AS DOUBLE)) * 1e6, 0) AS BIGINT)
+     - CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+     + CAST(round(ln(CAST(d AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS lor_micro,
+    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+         + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+  FROM cells
+),
+fin AS (
+  SELECT a, b, c, d,
+         {_dec2d("CAST(a AS HUGEINT) * d")} / {_dec2d("CAST(b AS HUGEINT) * c")}
+           AS odds_ratio,
+         CAST(lor_micro AS DOUBLE) / 1e6 AS log_or,
+         se,
+         CAST(lor_micro AS DOUBLE) / 1e6 - CAST(1.96 AS DOUBLE) * se AS lo,
+         CAST(lor_micro AS DOUBLE) / 1e6 + CAST(1.96 AS DOUBLE) * se AS hi
+  FROM lg
+)
+SELECT a AS n_weekend_entry, b AS n_weekend_exit,
+       c AS n_weekday_entry, d AS n_weekday_exit,
+       odds_ratio, log_or, se AS se_log_or, lo AS ci_lo, hi AS ci_hi,
+       (lo > 0 OR hi < 0) AS significant_5pct
+FROM fin
+"""
