@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odds_ratio_daily": lambda sp, d: A.odds_ratio_daily(
             _t(sp, d, "events")
         ),
+        "mood_median_test": lambda sp, d: A.mood_median_test(
+            _t(sp, d, "events")
+        ),
+        "page_trend_test": lambda sp, d: A.page_trend_test(_t(sp, d, "events")),
+        "granger_daily": lambda sp, d: A.granger_daily(_t(sp, d, "events")),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(

@@ -8280,3 +8280,261 @@ def odds_ratio_daily(events: DataFrame) -> DataFrame:
         hi.alias("ci_hi"),
         ((lo > 0) | (hi < 0)).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r07 batch B: blocked / k-sample / causal daily-series tests
+# ---------------------------------------------------------------------------
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test across event types on the per-(type, day)
+    revenue cells — the robust k-sample location test that only asks
+    "is each type's daily revenue above or below the GRAND median":
+    immune to outliers and unequal variances where ``kruskal_wallis``
+    (full ranks) and ``anova_oneway`` (means) are not, which is exactly
+    the check you want when one type has heavy-tailed revenue days.
+
+    Exact split point: the grand LOWER median of the micro-long cells —
+    the ((n+1) div 2)-th value in the (v, type, day) total order, an
+    integer comparison with no quantile-definition ambiguity. Per-type
+    chi-square contributions ((a_j - e_j)^2/e_j + same for below) use
+    exact-conversion doubles, nano-snap each bounded-table term, and
+    integer-sum the snaps (cross-engine sum-order safety). df = k-1.
+
+    Scale: one corpus-volume (type, day) reduce; the median and the
+    contingency ride the bounded cell table.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    cell = events.groupBy("event_type", _day_str().alias("day")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    wg = Window.partitionBy()
+    wo = Window.orderBy("v", "event_type", "day")
+    med = (
+        cell.select(
+            "v",
+            F.row_number().over(wo).cast("long").alias("rn"),
+            F.count("*").over(wg).cast("long").alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("v").alias("med"))
+    )
+    marked = cell.join(F.broadcast(med)).select(
+        "event_type", (F.col("v") > F.col("med")).alias("above")
+    )
+    per = marked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n_above"),
+    )
+    tot = per.agg(
+        F.sum("n_cells").cast("long").alias("nn"),
+        F.sum("n_above").cast("long").alias("aa"),
+        F.count("*").cast("long").alias("k"),
+    )
+    j = per.join(F.broadcast(tot))
+    e_above = dec_to_double_exact(
+        (d38(F.col("n_cells")) * d38(F.col("aa"))).cast("decimal(38,0)")
+    ) / F.col("nn").cast("double")
+    e_below = dec_to_double_exact(
+        (d38(F.col("n_cells")) * d38(F.col("nn") - F.col("aa"))).cast(
+            "decimal(38,0)"
+        )
+    ) / F.col("nn").cast("double")
+    a_d = F.col("n_above").cast("double")
+    b_d = (F.col("n_cells") - F.col("n_above")).cast("double")
+    term = F.when((e_above <= 0) | (e_below <= 0), F.lit(0.0)).otherwise(
+        (a_d - e_above) * (a_d - e_above) / e_above
+        + (b_d - e_below) * (b_d - e_below) / e_below
+    )
+    scored = j.select(
+        "event_type",
+        "n_cells",
+        "n_above",
+        "k",
+        e_above.alias("expected_above"),
+        F.round(term * F.lit(1e9), 0).cast("long").alias("t_nano"),
+    )
+    wg2 = Window.partitionBy()
+    return scored.select(
+        "event_type",
+        "n_cells",
+        "n_above",
+        "expected_above",
+        (F.sum("t_nano").over(wg2).cast("double") / F.lit(1e9)).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    ).orderBy("event_type")
+
+
+def page_trend_test(events: DataFrame) -> DataFrame:
+    """Page's trend test for an ordered within-week pattern of daily
+    event counts — the directional upgrade of ``friedman_test``:
+    Friedman asks "do positions within the week differ AT ALL"; Page
+    asks "do they INCREASE along the week", which is the right test for
+    ramp-shaped weekly cycles and is strictly more powerful when the
+    ordering hypothesis holds.
+
+    Blocks are epoch-aligned 7-day windows (day_index div 7 — a fixed,
+    engine-free blocking; the hypothesized ordering is position 0..6
+    within the block), complete blocks only. Within-block midranks use
+    friedman's exact x2 integer convention; L_x2 = Sum (pos+1) * R2 is
+    an exact long. The normal approximation uses the NO-TIE null
+    moments (documented deviation; micro-count ties only perturb the
+    variance second-order): E[L_x2] = b k (k+1)^2 / 2 exact, and
+    z = (L_x2 - E) / (2 sqrt(Var[L])), Var[L] = b k^2 (k+1)(k^2-1)/144.
+
+    Scale: one corpus-volume day reduce; ranks ride the bounded
+    (block, position) table.
+    """
+    k = 7
+    day_idx = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+        )
+    ).cast("long")
+    daily = events.groupBy(day_idx.alias("di")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    cells = daily.select(
+        F.expr("di div 7").cast("long").alias("blk"),
+        (F.col("di") % 7).cast("long").alias("pos"),
+        "x",
+    )
+    wb = Window.partitionBy("blk")
+    complete = cells.withColumn(
+        "k_blk", F.count("*").over(wb).cast("long")
+    ).filter(F.col("k_blk") == k)
+    w_le = (
+        Window.partitionBy("blk")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_eq = Window.partitionBy("blk", "x")
+    ranked = complete.select(
+        "blk",
+        "pos",
+        (
+            F.lit(2) * (F.count("*").over(w_le) - F.count("*").over(w_eq))
+            + F.count("*").over(w_eq)
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    agg = ranked.agg(
+        (F.countDistinct("blk")).cast("long").alias("n_weeks"),
+        F.sum((F.col("pos") + 1) * F.col("rank2")).cast("long").alias("l_x2"),
+    ).filter(F.col("n_weeks") >= 1)
+    b = F.col("n_weeks").cast("double")
+    e_x2 = b * F.lit(float(k * (k + 1) * (k + 1))) / F.lit(2.0)
+    var_l = b * F.lit(float(k * k * (k + 1) * (k * k - 1))) / F.lit(144.0)
+    z = F.when(var_l <= 0, F.lit(0.0)).otherwise(
+        (F.col("l_x2").cast("double") - e_x2) / (F.lit(2.0) * F.sqrt(var_l))
+    )
+    return agg.select(
+        "n_weeks",
+        "l_x2",
+        e_x2.alias("expected_l_x2"),
+        z.alias("z"),
+        (z > F.lit(1.645)).alias("increasing_trend_5pct"),
+    )
+
+
+def granger_daily(events: DataFrame) -> DataFrame:
+    """Lag-1 Granger causality from daily ENTRY counts to daily EXIT
+    counts: does yesterday's entry volume improve the prediction of
+    today's exits beyond yesterday's exits alone? The F statistic of
+    the restricted (exit ~ lag exit) vs unrestricted (exit ~ lag exit +
+    lag entry) least-squares fits — the causal-direction companion to
+    ``cross_correlation_lagged``, which measures association but cannot
+    say which series leads.
+
+    Closed-form OLS via n-scaled centered moments: every centered sum
+    (n*Sxy - Sx*Sy) is an exact DECIMAL(38,0) of integer daily counts,
+    converted once by digit-split; RSS_r = (Cyy - Cay^2/Caa)/n and the
+    two-regressor RSS_u (Cramer's rule on the centered normal
+    equations) run in one mirrored double chain. Consecutive
+    observations are consecutive OBSERVED days (documented; calendar
+    gaps splice). Degenerate fits (constant regressor, singular
+    normal matrix, zero residual) emit f_stat = 0. The 5pct flag uses
+    the chi2(1) critical value 3.84 (F(1, n-3) ~ chi2(1) at large n).
+
+    Scale: one corpus-volume day reduce; the lag pass and the moment
+    sums ride the bounded daily series.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = events.groupBy(_day_str().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("ent"),
+        F.sum(F.when(F.col("event_type") == EXIT_TYPE, 1).otherwise(0))
+        .cast("long")
+        .alias("ext"),
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("ext").alias("yv"),
+        F.lag("ext").over(w).alias("av"),
+        F.lag("ent").over(w).alias("bv"),
+    ).filter(F.col("av").isNotNull())
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum("av").cast("long").alias("sa"),
+        F.sum("bv").cast("long").alias("sb"),
+        F.sum(d38(F.col("yv")) * d38(F.col("yv"))).alias("syy"),
+        F.sum(d38(F.col("av")) * d38(F.col("av"))).alias("saa"),
+        F.sum(d38(F.col("bv")) * d38(F.col("bv"))).alias("sbb"),
+        F.sum(d38(F.col("av")) * d38(F.col("yv"))).alias("say"),
+        F.sum(d38(F.col("bv")) * d38(F.col("yv"))).alias("sby"),
+        F.sum(d38(F.col("av")) * d38(F.col("bv"))).alias("sab"),
+    ).filter(F.col("n") >= 4)
+
+    def cen(spp, s1, s2):
+        return dec_to_double_exact(
+            (
+                d38(F.col("n")) * F.col(spp).cast("decimal(38,0)")
+                - d38(F.col(s1)) * d38(F.col(s2))
+            ).cast("decimal(38,0)")
+        )
+
+    cyy, caa, cbb = cen("syy", "sy", "sy"), cen("saa", "sa", "sa"), cen(
+        "sbb", "sb", "sb"
+    )
+    cay, cby, cab = cen("say", "sa", "sy"), cen("sby", "sb", "sy"), cen(
+        "sab", "sa", "sb"
+    )
+    n_d = F.col("n").cast("double")
+    det = caa * cbb - cab * cab
+    rss_r = F.when(caa <= 0, cyy / (n_d * n_d)).otherwise(
+        (cyy - cay * cay / caa) / (n_d * n_d)
+    )
+    rss_u = F.when(det <= 0, rss_r).otherwise(
+        (cyy - (cbb * cay * cay - F.lit(2.0) * cab * cay * cby + caa * cby * cby) / det)
+        / (n_d * n_d)
+    )
+    f_stat = F.when(
+        (rss_u <= 0) | (det <= 0) | (caa <= 0), F.lit(0.0)
+    ).otherwise(
+        F.greatest(rss_r - rss_u, F.lit(0.0)) * (n_d - F.lit(3.0)) / rss_u
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        rss_r.alias("rss_restricted"),
+        rss_u.alias("rss_unrestricted"),
+        f_stat.alias("f_stat"),
+        (f_stat > F.lit(3.84)).alias("granger_5pct"),
+    )

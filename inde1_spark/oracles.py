@@ -9981,3 +9981,178 @@ SELECT a AS n_weekend_entry, b AS n_weekend_exit,
        (lo > 0 OR hi < 0) AS significant_5pct
 FROM fin
 """
+
+
+# ===========================================================================
+# r07 batch B: blocked / k-sample / causal daily-series tests
+# ===========================================================================
+
+# Twin of operators/analytics.py:mood_median_test — same (v, type, day)
+# total-order lower median, nano-snapped per-type chi2 terms integer-summed.
+ORACLES["mood_median_test"] = f"""
+WITH cell AS (
+  SELECT event_type, {_DAY} AS day,
+         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT v AS med FROM (
+    SELECT v,
+           CAST(row_number() OVER (ORDER BY v, event_type, day) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM cell
+  ) WHERE rn = (n + 1) // 2
+),
+per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+  FROM cell, med GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_cells) AS BIGINT) AS nn,
+         CAST(SUM(n_above) AS BIGINT) AS aa,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per
+),
+scored AS (
+  SELECT event_type, n_cells, n_above, k,
+         {_dec2d("CAST(n_cells AS HUGEINT) * aa")} / CAST(nn AS DOUBLE) AS e_above,
+         {_dec2d("CAST(n_cells AS HUGEINT) * (nn - aa)")} / CAST(nn AS DOUBLE)
+           AS e_below,
+         CAST(n_above AS DOUBLE) AS a_d,
+         CAST(n_cells - n_above AS DOUBLE) AS b_d
+  FROM per, tot
+),
+terms AS (
+  SELECT event_type, n_cells, n_above, k, e_above,
+         CAST(round(
+           CASE WHEN e_above <= 0 OR e_below <= 0 THEN 0.0
+                ELSE (a_d - e_above) * (a_d - e_above) / e_above
+                     + (b_d - e_below) * (b_d - e_below) / e_below END * 1e9,
+           0) AS BIGINT) AS t_nano
+  FROM scored
+)
+SELECT event_type, n_cells, n_above, e_above AS expected_above,
+       CAST(SUM(t_nano) OVER () AS DOUBLE) / 1e9 AS chi2,
+       CAST(k - 1 AS BIGINT) AS df
+FROM terms
+ORDER BY event_type
+"""
+
+
+# Twin of operators/analytics.py:page_trend_test — epoch-aligned 7-day
+# blocks, friedman x2 midranks, exact L_x2, no-tie normal approximation.
+ORACLES["page_trend_test"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS di,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT di // 7 AS blk, di % 7 AS pos, x FROM daily
+),
+complete AS (
+  SELECT * FROM (
+    SELECT blk, pos, x, CAST(COUNT(*) OVER (PARTITION BY blk) AS BIGINT) AS k_blk
+    FROM cells
+  ) WHERE k_blk = 7
+),
+ranked AS (
+  SELECT blk, pos,
+         CAST(2 * (COUNT(*) OVER (PARTITION BY blk ORDER BY x
+                                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - COUNT(*) OVER (PARTITION BY blk, x))
+              + COUNT(*) OVER (PARTITION BY blk, x) + 1 AS BIGINT) AS rank2
+  FROM complete
+),
+agg AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_weeks,
+         CAST(SUM((pos + 1) * rank2) AS BIGINT) AS l_x2
+  FROM ranked
+),
+calc AS (
+  SELECT n_weeks, l_x2, CAST(n_weeks AS DOUBLE) AS b FROM agg WHERE n_weeks >= 1
+),
+vv AS (
+  SELECT n_weeks, l_x2,
+         b * CAST(448 AS DOUBLE) / 2.0 AS e_x2,
+         b * CAST(18816 AS DOUBLE) / 144.0 AS var_l
+  FROM calc
+)
+SELECT n_weeks, l_x2, e_x2 AS expected_l_x2,
+       CASE WHEN var_l <= 0 THEN 0.0
+            ELSE (CAST(l_x2 AS DOUBLE) - e_x2) / (2.0 * sqrt(var_l)) END AS z,
+       (CASE WHEN var_l <= 0 THEN 0.0
+             ELSE (CAST(l_x2 AS DOUBLE) - e_x2) / (2.0 * sqrt(var_l)) END)
+         > CAST(1.645 AS DOUBLE) AS increasing_trend_5pct
+FROM vv
+"""
+
+
+# Twin of operators/analytics.py:granger_daily — n-scaled centered moments
+# in HUGEINT, digit-split conversions, Cramer's-rule RSS chain mirrored.
+ORACLES["granger_daily"] = f"""
+WITH daily AS (
+  SELECT {_DAY} AS day,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ent,
+         CAST(SUM(CASE WHEN event_type = '{EXIT}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ext
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT ext AS yv,
+         lag(ext) OVER (ORDER BY day) AS av,
+         lag(ent) OVER (ORDER BY day) AS bv
+  FROM daily
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(av) AS BIGINT) AS sa,
+         CAST(SUM(bv) AS BIGINT) AS sb,
+         CAST(SUM(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(av AS HUGEINT) * av) AS HUGEINT) AS saa,
+         CAST(SUM(CAST(bv AS HUGEINT) * bv) AS HUGEINT) AS sbb,
+         CAST(SUM(CAST(av AS HUGEINT) * yv) AS HUGEINT) AS say,
+         CAST(SUM(CAST(bv AS HUGEINT) * yv) AS HUGEINT) AS sby,
+         CAST(SUM(CAST(av AS HUGEINT) * bv) AS HUGEINT) AS sab
+  FROM pairs WHERE av IS NOT NULL
+),
+cen AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         {_dec2d("CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy")} AS cyy,
+         {_dec2d("CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa")} AS caa,
+         {_dec2d("CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb")} AS cbb,
+         {_dec2d("CAST(n AS HUGEINT) * say - CAST(sa AS HUGEINT) * sy")} AS cay,
+         {_dec2d("CAST(n AS HUGEINT) * sby - CAST(sb AS HUGEINT) * sy")} AS cby,
+         {_dec2d("CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb")} AS cab
+  FROM s WHERE n >= 4
+),
+rr AS (
+  SELECT n, n_d, cyy, caa, cbb, cay, cby, cab,
+         caa * cbb - cab * cab AS det,
+         CASE WHEN caa <= 0 THEN cyy / (n_d * n_d)
+              ELSE (cyy - cay * cay / caa) / (n_d * n_d) END AS rss_r
+  FROM cen
+),
+uu AS (
+  SELECT n, n_d, caa, det, rss_r,
+         CASE WHEN det <= 0 THEN rss_r
+              ELSE (cyy - (cbb * cay * cay - 2.0 * cab * cay * cby
+                           + caa * cby * cby) / det) / (n_d * n_d) END AS rss_u
+  FROM rr
+),
+ff AS (
+  SELECT n, rss_r, rss_u,
+         CASE WHEN rss_u <= 0 OR det <= 0 OR caa <= 0 THEN 0.0
+              ELSE GREATEST(rss_r - rss_u, 0.0) * (n_d - 3.0) / rss_u END AS f_stat
+  FROM uu
+)
+SELECT n AS n_pairs, rss_r AS rss_restricted, rss_u AS rss_unrestricted,
+       f_stat, f_stat > CAST(3.84 AS DOUBLE) AS granger_5pct
+FROM ff
+"""
