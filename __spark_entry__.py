@@ -245,6 +245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "page_trend_test": lambda sp, d: A.page_trend_test(_t(sp, d, "events")),
         "granger_daily": lambda sp, d: A.granger_daily(_t(sp, d, "events")),
+        "zonemap_prune_audit": lambda sp, d: A.zonemap_prune_audit(
+            _t(sp, d, "events")
+        ),
+        "ivm_merge_check": lambda sp, d: A.ivm_merge_check(_t(sp, d, "events")),
+        "winsorized_stats": lambda sp, d: A.winsorized_stats(
+            _t(sp, d, "events")
+        ),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(

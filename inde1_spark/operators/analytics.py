@@ -8538,3 +8538,224 @@ def granger_daily(events: DataFrame) -> DataFrame:
         f_stat.alias("f_stat"),
         (f_stat > F.lit(3.84)).alias("granger_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r07 batch C: storage-layout / incremental-maintenance data-engineering ops
+# ---------------------------------------------------------------------------
+
+
+def zonemap_prune_audit(events: DataFrame) -> DataFrame:
+    """Zone-map (min/max) pruning effectiveness audit for the daily
+    partition layout — the data-layout decision number: for a
+    ``value > t`` predicate, what fraction of partitions (and rows)
+    would the scan SKIP on footer statistics alone? Low skip fractions
+    say the column is unclustered and a sort/z-order rewrite
+    (``zorder_layout``/``hilbert_layout``) would pay; high fractions
+    certify the layout already prunes. The audit is exactly the
+    decision a 100 TB table's maintenance job makes before spending a
+    rewrite.
+
+    One corpus pass builds the per-day zone maps (micro-long min/max of
+    value + row counts); four candidate thresholds sit at the exact
+    integer quintiles of the global [min, max] span; skippable =
+    zone_max <= t, an integer comparison. skip_pct is the exact
+    round-half-up integer ratio. Zones and thresholds are bounded, the
+    sweep is a bounded cross join.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    zones = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(micro).alias("zmin"),
+        F.max(micro).alias("zmax"),
+    )
+    span = zones.agg(
+        F.min("zmin").alias("vmin"), F.max("zmax").alias("vmax")
+    )
+    thr = (
+        span.select(
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("i"),
+            "vmin",
+            "vmax",
+        )
+        .select(
+            "i",
+            (
+                F.col("vmin")
+                + F.expr("(vmax - vmin) * i div 5").cast("long")
+            ).alias("thr_micro"),
+        )
+    )
+    sweep = zones.crossJoin(F.broadcast(thr)).groupBy("i", "thr_micro").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("zmax") <= F.col("thr_micro"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parts_skipped"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(
+            F.when(F.col("zmax") <= F.col("thr_micro"), F.col("n_rows")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("rows_skipped"),
+    )
+    return sweep.select(
+        F.col("i").cast("long").alias("quintile"),
+        (F.col("thr_micro").cast("double") / F.lit(1e6)).alias("threshold"),
+        "n_parts",
+        "n_parts_skipped",
+        "rows_total",
+        "rows_skipped",
+        ratio_round(F.col("rows_skipped") * 100, F.col("rows_total"), 4).alias(
+            "skip_pct"
+        ),
+    ).orderBy("quintile")
+
+
+def ivm_merge_check(events: DataFrame) -> DataFrame:
+    """Incremental view maintenance audit: split the stream at the exact
+    time midpoint into base + delta, maintain the per-(day, type)
+    aggregate by MERGING the two partial aggregates, and certify the
+    merge equals a full recompute — the pattern every 100 TB rollup
+    lives on (only re-aggregate the new partition, merge into the
+    serving table) made verifiable: count merges by +, decimal revenue
+    sums merge by exact decimal +, and the audit columns prove it
+    row-for-row.
+
+    Exactness is the point: decimal(18,6) per-row casts sum to wide
+    decimals, the merge adds decimals (associative, unlike doubles), and
+    only the final output casts to double — so merged == full is exact
+    equality, not tolerance. One corpus pass for the split aggregates
+    (a single groupBy with conditional sums), one for the full
+    recompute, merged on the bounded (day, type) key space.
+    """
+    rng = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    mid = (F.col("t0") + F.expr("(t1 - t0) div 2")).alias("mid")
+    is_base = F.unix_timestamp("ts") < F.col("mid")
+    halves = (
+        events.join(F.broadcast(rng.select(mid)))
+        .groupBy(_day_str().alias("day"), "event_type")
+        .agg(
+            F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("n_base"),
+            F.sum(F.when(~is_base, 1).otherwise(0)).cast("long").alias("n_delta"),
+            F.sum(
+                F.when(is_base, F.col("value").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("rev_base"),
+            F.sum(
+                F.when(~is_base, F.col("value").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("rev_delta"),
+        )
+    )
+    full = events.groupBy(_day_str().alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("n_full"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("rev_full"),
+    )
+    merged = halves.join(full, ["day", "event_type"])
+    return merged.select(
+        "day",
+        "event_type",
+        "n_base",
+        "n_delta",
+        (F.col("n_base") + F.col("n_delta")).alias("n_merged"),
+        "n_full",
+        (F.col("rev_base") + F.col("rev_delta")).cast("double").alias(
+            "revenue_merged"
+        ),
+        F.col("rev_full").cast("double").alias("revenue_full"),
+        ((F.col("n_base") + F.col("n_delta")) == F.col("n_full")).alias(
+            "counts_equal"
+        ),
+        (
+            (F.col("rev_base") + F.col("rev_delta")).cast("decimal(38,6)")
+            == F.col("rev_full").cast("decimal(38,6)")
+        ).alias("revenue_equal"),
+    ).orderBy("day", "event_type")
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Per-type 5% winsorized mean/std of the value column — the robust
+    location/scale summary that keeps every row (unlike trimming) but
+    caps the tails at the exact 5th/95th order statistics: the right
+    summary for revenue-like columns whose plain mean one whale can own.
+    Complements ``moments_profile`` (raw moments) and
+    ``trim_outliers`` (row removal).
+
+    Exact order statistics: micro-long values ranked by the (value,
+    event_id) total order; the clamp bounds are ranks k+1 and n-k with
+    k = n*5 div 100 (so n < 20 winsorizes nothing). Clamped values sum
+    in decimal with the digit-split conversions; std uses the
+    n*SS - S^2 identity, clamped at 0 pre-sqrt.
+
+    Scale: the rank is a per-type sort — the exact path; at 100 TB the
+    same clamp runs off approx_percentile bounds (documented swap), the
+    rest of the plan is unchanged.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = events.select(
+        "event_type", micro.alias("v"), "event_id"
+    ).select(
+        "event_type",
+        "v",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wt).cast("long").alias("n"),
+    )
+    ranked = ranked.withColumn("k", F.expr("n * 5 div 100").cast("long"))
+    lo = ranked.filter(F.col("rn") == F.col("k") + 1).select(
+        "event_type", F.col("v").alias("lo_v")
+    )
+    hi = ranked.filter(F.col("rn") == F.col("n") - F.col("k")).select(
+        "event_type", F.col("v").alias("hi_v")
+    )
+    bounds = lo.join(hi, "event_type")
+    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "k",
+        F.greatest(F.least(F.col("v"), F.col("hi_v")), F.col("lo_v")).alias("w"),
+        "lo_v",
+        "hi_v",
+    )
+    agg = clamped.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k_trimmed"),
+        F.max("lo_v").alias("lo_v"),
+        F.max("hi_v").alias("hi_v"),
+        F.sum(d38(F.col("w"))).cast("decimal(38,0)").alias("s"),
+        F.sum(d38(F.col("w")) * d38(F.col("w"))).alias("ss"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = dec_to_double_exact(F.col("s"))
+    var_num = (
+        d38(F.col("n")) * F.col("ss").cast("decimal(38,0)")
+        - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    var_d = F.greatest(dec_to_double_exact(var_num), F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n",
+        "k_trimmed",
+        (F.col("lo_v").cast("double") / F.lit(1e6)).alias("winsor_lo"),
+        (F.col("hi_v").cast("double") / F.lit(1e6)).alias("winsor_hi"),
+        (s_d / n_d / F.lit(1e6)).alias("wins_mean"),
+        (
+            F.sqrt(var_d / (n_d * n_d * F.greatest(n_d - F.lit(1.0), F.lit(1.0))))
+            / F.lit(1e6)
+        ).alias("wins_std"),
+    ).orderBy("event_type")

@@ -10156,3 +10156,136 @@ SELECT n AS n_pairs, rss_r AS rss_restricted, rss_u AS rss_unrestricted,
        f_stat, f_stat > CAST(3.84 AS DOUBLE) AS granger_5pct
 FROM ff
 """
+
+
+# ===========================================================================
+# r07 batch C: storage-layout / incremental-maintenance data-engineering ops
+# ===========================================================================
+
+# Twin of operators/analytics.py:zonemap_prune_audit — micro-long zone maps,
+# integer quintile thresholds, exact round-half-up skip_pct.
+ORACLES["zonemap_prune_audit"] = f"""
+WITH zones AS (
+  SELECT {_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS zmin,
+         CAST(MAX(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS zmax
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT CAST(MIN(zmin) AS BIGINT) AS vmin, CAST(MAX(zmax) AS BIGINT) AS vmax
+  FROM zones
+),
+thr AS (
+  SELECT i, CAST(vmin + ((vmax - vmin) * i) // 5 AS BIGINT) AS thr_micro
+  FROM span, UNNEST([1, 2, 3, 4]) AS u(i)
+),
+sweep AS (
+  SELECT i, thr_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CASE WHEN zmax <= thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_parts_skipped,
+         CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN zmax <= thr_micro THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_skipped
+  FROM zones, thr GROUP BY 1, 2
+)
+SELECT CAST(i AS BIGINT) AS quintile,
+       CAST(thr_micro AS DOUBLE) / 1e6 AS threshold,
+       n_parts, n_parts_skipped, rows_total, rows_skipped,
+       {_rr("rows_skipped * 100", "rows_total", 4)} AS skip_pct
+FROM sweep
+ORDER BY quintile
+"""
+
+
+# Twin of operators/analytics.py:ivm_merge_check — conditional split at the
+# exact time midpoint, decimal partial aggregates merged by +, exact
+# decimal equality audits.
+ORACLES["ivm_merge_check"] = f"""
+WITH rng AS (
+  SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t0,
+         MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t1
+  FROM events
+),
+mid AS (SELECT t0 + (t1 - t0) // 2 AS mid FROM rng),
+halves AS (
+  SELECT {_DAY} AS day, event_type,
+         CAST(SUM(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) < mid
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) >= mid
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         SUM(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) < mid
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_base,
+         SUM(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) >= mid
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_delta
+  FROM events, mid GROUP BY 1, 2
+),
+full_agg AS (
+  SELECT {_DAY} AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_full,
+         SUM(CAST(value AS DECIMAL(18,6))) AS rev_full
+  FROM events GROUP BY 1, 2
+)
+SELECT h.day, h.event_type, h.n_base, h.n_delta,
+       h.n_base + h.n_delta AS n_merged, f.n_full,
+       CAST(h.rev_base + h.rev_delta AS DOUBLE) AS revenue_merged,
+       CAST(f.rev_full AS DOUBLE) AS revenue_full,
+       (h.n_base + h.n_delta = f.n_full) AS counts_equal,
+       (CAST(h.rev_base + h.rev_delta AS DECIMAL(38,6))
+          = CAST(f.rev_full AS DECIMAL(38,6))) AS revenue_equal
+FROM halves h JOIN full_agg f ON h.day = f.day AND h.event_type = f.event_type
+ORDER BY h.day, h.event_type
+"""
+
+
+# Twin of operators/analytics.py:winsorized_stats — same (value, event_id)
+# total-order ranks, exact clamp bounds at k+1 / n-k, HUGEINT moments with
+# digit-split conversions.
+ORACLES["winsorized_stats"] = f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(floor(value * 1e6 + 0.5) AS BIGINT),
+                                          event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+),
+kk AS (SELECT *, (n * 5) // 100 AS k FROM ranked),
+lo AS (SELECT event_type, v AS lo_v FROM kk WHERE rn = k + 1),
+hi AS (SELECT event_type, v AS hi_v FROM kk WHERE rn = n - k),
+clamped AS (
+  SELECT kk.event_type, kk.n, kk.k,
+         GREATEST(LEAST(kk.v, hi.hi_v), lo.lo_v) AS w,
+         lo.lo_v, hi.hi_v
+  FROM kk JOIN lo ON kk.event_type = lo.event_type
+          JOIN hi ON kk.event_type = hi.event_type
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(k) AS BIGINT) AS k_trimmed,
+         CAST(MAX(lo_v) AS BIGINT) AS lo_v,
+         CAST(MAX(hi_v) AS BIGINT) AS hi_v,
+         CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS ss
+  FROM clamped GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n, k_trimmed, lo_v, hi_v,
+         CAST(n AS DOUBLE) AS n_d,
+         {_dec2d("s")} AS s_d,
+         GREATEST({_dec2d("CAST(n AS HUGEINT) * ss - s * s")}, 0.0) AS var_d
+  FROM agg
+)
+SELECT event_type, n, k_trimmed,
+       CAST(lo_v AS DOUBLE) / 1e6 AS winsor_lo,
+       CAST(hi_v AS DOUBLE) / 1e6 AS winsor_hi,
+       s_d / n_d / 1e6 AS wins_mean,
+       sqrt(var_d / (n_d * n_d * GREATEST(n_d - 1.0, 1.0))) / 1e6 AS wins_std
+FROM calc
+ORDER BY event_type
+"""
