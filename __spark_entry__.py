@@ -252,6 +252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": lambda sp, d: A.winsorized_stats(
             _t(sp, d, "events")
         ),
+        "degree_assortativity": lambda sp, d: D.degree_assortativity(
+            _t(sp, d, "documents")
+        ),
+        "embedding_cka": lambda sp, d: S.embedding_cka(_t(sp, d, "embeddings")),
+        "ivf_nprobe_sweep": lambda sp, d: S.ivf_nprobe_sweep(
+            _t(sp, d, "embeddings")
+        ),
+        "rake_keywords": lambda sp, d: T.rake_keywords(_t(sp, d, "documents")),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(

@@ -2440,3 +2440,81 @@ def fellegi_sunter_linkage(documents: DataFrame) -> DataFrame:
         w_agree.alias("w_agree"),
         w_disagree.alias("w_disagree"),
     ).orderBy("feature")
+
+
+def degree_assortativity(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Degree assortativity of the near-duplicate graph: do high-degree
+    documents link to other high-degree documents (template/boilerplate
+    hubs clustering together, r > 0) or to low-degree satellites (a
+    few canonical pages each duplicated by many one-off copies, r < 0)?
+    The structural companion to ``dup_graph_transitivity``: transitivity
+    says whether components over-merge; assortativity says what SHAPE
+    the duplication economy has, which decides keep-best policy (hub
+    corpora want cluster-level curation, star corpora want per-hub
+    canonicalization).
+
+    Pearson correlation of endpoint degrees over the DIRECTED edge list
+    (each undirected edge contributes both orientations — the standard
+    Newman formulation, which also makes Sx == Sy by construction).
+    Degrees are exact longs; the centered moments n*Sxy - Sx*Sy
+    accumulate in decimal(38,0) and convert by digit-split; a
+    degree-regular graph (zero variance) emits r = 0.
+
+    Scale: the edge set is the capped candidate join (never all-pairs);
+    degrees and moments are two equi-join passes over it.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("u"))
+        .union(edges.select(F.col("doc_b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    directed = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    du = deg.select(F.col("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    pairs = directed.join(du, "u").join(dv, "v")
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(d38(F.col("dx")) * d38(F.col("dx"))).alias("sxx"),
+        F.sum(d38(F.col("dy")) * d38(F.col("dy"))).alias("syy"),
+        F.sum(d38(F.col("dx")) * d38(F.col("dy"))).alias("sxy"),
+    )
+    nodes = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias("max_degree"),
+    )
+
+    def cen(spp, s1, s2):
+        return dec_to_double_exact(
+            (
+                d38(F.col("m2")) * F.col(spp).cast("decimal(38,0)")
+                - d38(F.col(s1)) * d38(F.col(s2))
+            ).cast("decimal(38,0)")
+        )
+
+    cxx, cyy, cxy = cen("sxx", "sx", "sx"), cen("syy", "sy", "sy"), cen(
+        "sxy", "sx", "sy"
+    )
+    r = F.when((F.col("m2") == 0) | (cxx <= 0) | (cyy <= 0), F.lit(0.0)).otherwise(
+        cxy / F.sqrt(cxx * cyy)
+    )
+    return nodes.join(F.broadcast(s)).select(
+        "n_nodes",
+        F.expr("m2 div 2").cast("long").alias("n_edges"),
+        "max_degree",
+        r.alias("assortativity"),
+    )

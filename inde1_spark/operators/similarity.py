@@ -1964,3 +1964,190 @@ def embedding_drift(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+CKA_HALF = 32  # dims 0..31 vs 32..63 of the 64-dim testdata embeddings
+CKA_TERM_SCALE = 10**12  # pico-snap per covariance-squared cell before summing
+
+
+def embedding_cka(embeddings: DataFrame, half: int = CKA_HALF) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the first and
+    second halves of the embedding — "how much of the same geometry do
+    the two dim-blocks encode?" The representation-similarity number
+    behind matryoshka / truncation decisions: CKA near 1 says the back
+    half is redundant with the front (truncate boldly — cf.
+    ``matryoshka_recall``, which measures the retrieval consequence);
+    near 0 says the halves carry independent structure.
+
+    Linear CKA = ||Cxy||_F^2 / (||Cxx||_F ||Cyy||_F) over the centered
+    cross-covariance blocks, computed from sufficient statistics: per
+    (i, j) cell, the product sums use the fixed-point convention
+    (float32 products are EXACT in double, then snapped to longs) and
+    accumulate in decimal(38,0); each centered cell and its square run
+    in mirrored doubles and pico-snap before the bounded Frobenius sum
+    (cross-engine sum-order safety on the half x half grid).
+
+    Scale: the sufficient-statistic pass fans each row out half^2-fold
+    via a self-join on vec_id — O(n d^2/4) exploded rows, embarrassingly
+    parallel, no corpus shuffle beyond the (i, j) reduce onto d^2/4
+    keys; at very large n the same statistics drop out of one
+    mapInPandas accumulation pass (documented swap).
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    base = embeddings.repartition("vec_id").select("vec_id", "embedding")
+    ex = base.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, half)).alias("i", "x")
+    )
+    ey = base.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", half + 1, half)).alias("j", "y"),
+    )
+    n_row = base.agg(F.count("*").cast("long").alias("n"))
+
+    def moment(a, b, an, bn):
+        # sum over rows of round(a*b * FP) as decimal — a*b is an exact
+        # double (two float32 mantissas), the snap is the only rounding
+        return (
+            a.join(b, "vec_id")
+            .groupBy(F.col(an).alias("i"), F.col(bn).alias("j"))
+            .agg(
+                F.sum(
+                    d38(
+                        F.round(
+                            F.col("x" if an == "i" else "y").cast("double")
+                            * F.col("y" if bn == "j" else "x").cast("double")
+                            * F.lit(FP),
+                            0,
+                        ).cast("long")
+                    )
+                ).alias("p")
+            )
+        )
+
+    # per-dim first moments (shared by all three blocks)
+    sx = ex.groupBy("i").agg(
+        F.sum(F.round(F.col("x").cast("double") * F.lit(FP), 0).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("sdec")
+    )
+    sy = ey.groupBy("j").agg(
+        F.sum(F.round(F.col("y").cast("double") * F.lit(FP), 0).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("sdec")
+    )
+
+    def frob(pdf, sa, sb, a_key, b_key):
+        j1 = pdf.join(
+            F.broadcast(sa.select(F.col(a_key).alias("i"), F.col("sdec").alias("sa"))),
+            "i",
+        ).join(
+            F.broadcast(sb.select(F.col(b_key).alias("j"), F.col("sdec").alias("sb"))),
+            "j",
+        ).join(F.broadcast(n_row))
+        n_d = F.col("n").cast("double")
+        c = (
+            dec_to_double_exact(F.col("p").cast("decimal(38,0)")) / F.lit(FP)
+            - dec_to_double_exact(F.col("sa")) / F.lit(FP)
+            * (dec_to_double_exact(F.col("sb")) / F.lit(FP))
+            / n_d
+        )
+        term = F.round(c * c * F.lit(float(CKA_TERM_SCALE)), 0).cast(
+            "decimal(38,0)"
+        )
+        return j1.agg(F.sum(term).alias("t")).select(
+            (
+                dec_to_double_exact(F.col("t").cast("decimal(38,0)"))
+                / F.lit(float(CKA_TERM_SCALE))
+            ).alias("frob")
+        )
+
+    pxy = moment(ex, ey, "i", "j")
+    exj = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("y"))
+    pxx = moment(ex, exj, "i", "j")
+    eyi = ey.select("vec_id", F.col("j").alias("i"), F.col("y").alias("x"))
+    pyy = moment(eyi, ey, "i", "j")
+    fxy = frob(pxy, sx, sy, "i", "j").select(F.col("frob").alias("fxy"))
+    fxx = frob(pxx, sx, sx.select(F.col("i").alias("j"), "sdec"), "i", "j").select(
+        F.col("frob").alias("fxx")
+    )
+    fyy = frob(pyy, sy.select(F.col("j").alias("i"), "sdec"), sy, "i", "j").select(
+        F.col("frob").alias("fyy")
+    )
+    out = n_row.join(F.broadcast(fxy)).join(F.broadcast(fxx)).join(
+        F.broadcast(fyy)
+    )
+    cka = F.when(
+        (F.col("fxx") <= 0) | (F.col("fyy") <= 0), F.lit(0.0)
+    ).otherwise(F.col("fxy") / F.sqrt(F.col("fxx") * F.col("fyy")))
+    return out.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(half).cast("long").alias("half_dims"),
+        F.col("fxy").alias("frob_xy"),
+        F.col("fxx").alias("frob_xx"),
+        F.col("fyy").alias("frob_yy"),
+        cka.alias("cka"),
+    )
+
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def ivf_nprobe_sweep(
+    embeddings: DataFrame,
+    probes: tuple[int, ...] = IVF_SWEEP_PROBES,
+    k: int = K_IVF,
+) -> DataFrame:
+    """Recall-vs-nprobe tuning curve for the IVF index — the number that
+    picks the operating point: each doubling of ``n_probe`` scans
+    proportionally more of the corpus, and this sweep says what recall
+    each step actually buys on the real data distribution (the
+    ``lsh_rebanding_planner`` analogue for the cluster-probe axis).
+
+    For each candidate n_probe, ``knn_ivf``'s top-k joins LEFT from the
+    exact brute-force truth (a miss is a counted zero, never an absent
+    row) and aggregates corpus-wide hits; recall is the exact
+    round-half-up ratio. The truth table is computed once and reused
+    across the sweep.
+
+    Scale: every branch is the production IVF plan (cell-pruned
+    candidates, bounded query set); the sweep multiplies query-side
+    work |probes|-fold, never corpus-side storage.
+    """
+    from functools import reduce
+
+    from inde1_spark.operators.dedup import _persist
+
+    truth = _persist(
+        knn_brute_cosine(embeddings, k=k).select("query_id", "neighbor_id")
+    )
+    outs = []
+    for np_ in probes:
+        approx = knn_ivf(embeddings, k=k, n_probe=np_).select(
+            "query_id", F.col("neighbor_id").alias("ann_neighbor")
+        )
+        hits = truth.join(
+            approx,
+            (truth.query_id == approx.query_id)
+            & (truth.neighbor_id == approx.ann_neighbor),
+            "left",
+        ).select(F.col("ann_neighbor").isNotNull().alias("hit"))
+        outs.append(
+            hits.agg(
+                F.count("*").cast("long").alias("total_k"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                .cast("long")
+                .alias("total_hits"),
+            ).select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "total_k",
+                "total_hits",
+                ratio_round(F.col("total_hits"), F.col("total_k"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("n_probe")

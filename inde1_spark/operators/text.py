@@ -1387,3 +1387,86 @@ def word_link_prediction(
     return scored.orderBy(
         F.col("jaccard_nbrs").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(k)
+
+
+RAKE_TOP_K = 20
+RAKE_SCORE_SCALE = 1_000_000  # word deg/freq ratios as exact micro-longs
+
+
+def rake_keywords(
+    documents: DataFrame, k: int = RAKE_TOP_K
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; a word scores degree/frequency
+    (degree = total length of phrases it appears in — words that live
+    in long multiword terms outrank equally-frequent words that appear
+    alone), and a phrase scores the sum of its words' scores. The
+    corpus-level top-k is the multiword complement to
+    ``keyword_textrank``: TextRank finds central WORDS, RAKE finds the
+    PHRASES they compose.
+
+    Deterministic scoring: word scores are exact round-half-up
+    micro-longs (degree*1e6 / freq), phrase scores exact long sums over
+    token positions (multiplicity counted), ties break lexicographically.
+    Phrase extraction is row-local string surgery (mark stopwords with a
+    reserved delimiter, split on it) — identical in both engines.
+
+    Scale: phrase/word explosion is corpus-volume but row-local; word
+    stats reduce onto the vocabulary; phrase stats reduce onto the
+    distinct-phrase space; the top-k is a TakeOrdered, never a full
+    sort.
+    """
+    marked = F.array_join(
+        F.transform(
+            tokens("text"),
+            lambda t: F.when(t.isin(*STOPWORDS), F.lit("|")).otherwise(t),
+        ),
+        " ",
+    )
+    phrases = F.filter(
+        F.split(marked, " *\\| *"), lambda p: p != F.lit("")
+    )
+    pe = documents.select(F.explode(phrases).alias("phrase"))
+    pw = pe.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ws = pw.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    p = RAKE_SCORE_SCALE
+    a = F.col("degree") * F.lit(2 * p) + F.col("freq")
+    b = F.col("freq") * F.lit(2)
+    ws = ws.withColumn(
+        "score_micro", ((a - a % b) / b).cast("long")
+    )
+    pd_ = pe.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    pdw = pd_.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    scored = (
+        pdw.join(ws.select("word", "score_micro"), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("score_micro").cast("long").alias("s_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("s_micro").desc(), F.col("phrase").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("s_micro").cast("double") / F.lit(float(p))).alias("score"),
+        )
+    )

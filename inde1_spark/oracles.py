@@ -10289,3 +10289,219 @@ SELECT event_type, n, k_trimmed,
 FROM calc
 ORDER BY event_type
 """
+
+
+# ===========================================================================
+# r07 batch D: graph shape / representation similarity / index tuning
+# ===========================================================================
+
+# Twin of operators/dedup.py:degree_assortativity — same exact-Jaccard edge
+# set, Newman directed-edge-list formulation, HUGEINT centered moments.
+ORACLES["degree_assortativity"] = f"""
+WITH edges AS (SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})),
+deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT doc_a AS u FROM edges UNION ALL SELECT doc_b AS u FROM edges
+  ) GROUP BY 1
+),
+directed AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges
+),
+pairs AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM directed d JOIN deg du ON du.u = d.u JOIN deg dv ON dv.u = d.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+  FROM pairs
+),
+nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_degree
+  FROM deg
+),
+cen AS (
+  SELECT m2,
+         {_dec2d("CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx")} AS cxx,
+         {_dec2d("CAST(m2 AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy")} AS cyy,
+         {_dec2d("CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy")} AS cxy
+  FROM s
+)
+SELECT nodes.n_nodes, CAST(cen.m2 // 2 AS BIGINT) AS n_edges, nodes.max_degree,
+       CASE WHEN cen.m2 = 0 OR cen.cxx <= 0 OR cen.cyy <= 0 THEN 0.0
+            ELSE cen.cxy / sqrt(cen.cxx * cen.cyy) END AS assortativity
+FROM nodes, cen
+"""
+
+from inde1_spark.operators.similarity import (  # noqa: E402
+    CKA_HALF,
+    CKA_TERM_SCALE,
+    IVF_SWEEP_PROBES,
+)
+
+_CKA_FP = f"{FIXED_POINT_SCALE:.1f}"
+
+# Twin of operators/similarity.py:embedding_cka — per-cell fixed-point
+# product sums in HUGEINT, mirrored centered-covariance chain, pico-snapped
+# Frobenius terms integer-summed.
+_cka_c = (
+    f"{_dec2d('p.p')} / {_CKA_FP} - {_dec2d('sa.sdec')} / {_CKA_FP}"
+    f" * ({_dec2d('sb.sdec')} / {_CKA_FP}) / CAST(n_row.n AS DOUBLE)"
+)
+_cka_frob = (
+    _dec2d(
+        f"CAST(SUM(CAST(ROUND(({_cka_c}) * ({_cka_c}) * {CKA_TERM_SCALE}.0)"
+        f" AS BIGINT)) AS HUGEINT)"
+    )
+    + f" / {CKA_TERM_SCALE}.0"
+)
+
+ORACLES["embedding_cka"] = f"""
+WITH n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+ex AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, {CKA_HALF})) AS u(i)
+),
+ey AS (
+  SELECT vec_id, j - {CKA_HALF + 1} AS j, CAST(embedding[j] AS DOUBLE) AS y
+  FROM embeddings, UNNEST(generate_series({CKA_HALF + 1}, {2 * CKA_HALF})) AS u(j)
+),
+sx AS (
+  SELECT i, CAST(SUM(CAST(ROUND(x * {_CKA_FP}) AS BIGINT)) AS HUGEINT) AS sdec
+  FROM ex GROUP BY 1
+),
+sy AS (
+  SELECT j, CAST(SUM(CAST(ROUND(y * {_CKA_FP}) AS BIGINT)) AS HUGEINT) AS sdec
+  FROM ey GROUP BY 1
+),
+pxy AS (
+  SELECT a.i, b.j,
+         CAST(SUM(CAST(ROUND(a.x * b.y * {_CKA_FP}) AS BIGINT)) AS HUGEINT) AS p
+  FROM ex a JOIN ey b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+pxx AS (
+  SELECT a.i, b.i AS j,
+         CAST(SUM(CAST(ROUND(a.x * b.x * {_CKA_FP}) AS BIGINT)) AS HUGEINT) AS p
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+pyy AS (
+  SELECT a.j AS i, b.j,
+         CAST(SUM(CAST(ROUND(a.y * b.y * {_CKA_FP}) AS BIGINT)) AS HUGEINT) AS p
+  FROM ey a JOIN ey b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+fxy AS (
+  SELECT {_cka_frob} AS fxy
+  FROM pxy p JOIN sx sa ON sa.i = p.i JOIN sy sb ON sb.j = p.j, n_row
+),
+fxx AS (
+  SELECT {_cka_frob} AS fxx
+  FROM pxx p JOIN sx sa ON sa.i = p.i JOIN sx sb ON sb.i = p.j, n_row
+),
+fyy AS (
+  SELECT {_cka_frob} AS fyy
+  FROM pyy p JOIN sy sa ON sa.j = p.i JOIN sy sb ON sb.j = p.j, n_row
+)
+SELECT n_row.n AS n_vectors,
+       CAST({CKA_HALF} AS BIGINT) AS half_dims,
+       fxy.fxy AS frob_xy, fxx.fxx AS frob_xx, fyy.fyy AS frob_yy,
+       CASE WHEN fxx.fxx <= 0 OR fyy.fyy <= 0 THEN 0.0
+            ELSE fxy.fxy / sqrt(fxx.fxx * fyy.fyy) END AS cka
+FROM n_row, fxy, fxx, fyy
+"""
+
+
+def _ivf_topk_sql(nprobe: int) -> str:
+    """The knn_ivf oracle at a different probe width. The base oracle pins
+    ``prn <= N_PROBE`` in exactly one place; substituting that literal is
+    the same parameterization knn_ivf(n_probe=...) applies Spark-side."""
+    base = ORACLES["knn_ivf"]
+    needle = f"prn <= {N_PROBE}"
+    assert base.count(needle) == 1
+    return base.replace(needle, f"prn <= {nprobe}")
+
+
+# Twin of operators/similarity.py:ivf_nprobe_sweep — truth is the brute
+# top-k re-cut to K_IVF (same ordering), one LEFT-join recall row per probe.
+ORACLES["ivf_nprobe_sweep"] = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({np} AS BIGINT) AS n_probe,
+       CAST(count(*) AS BIGINT) AS total_k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       {_rr("SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)",
+            "count(*)", 4)} AS recall
+FROM (SELECT query_id, neighbor_id FROM ({ORACLES["knn_brute_cosine"]})
+      WHERE rank <= {K_IVF}) t
+LEFT JOIN (SELECT query_id, neighbor_id FROM ({_ivf_topk_sql(np)})) a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+"""
+    for np in IVF_SWEEP_PROBES
+)
+
+from inde1_spark.operators.text import RAKE_SCORE_SCALE, RAKE_TOP_K  # noqa: E402
+
+# Twin of operators/text.py:rake_keywords — same stopword-delimiter phrase
+# surgery, exact micro-long word scores, exact long phrase sums,
+# lexicographic tie-break.
+ORACLES["rake_keywords"] = f"""
+WITH marked AS (
+  SELECT array_to_string(
+           list_transform(
+             list_filter(string_split(text, ' '), t -> t <> ''),
+             t -> CASE WHEN t IN ({_STOP_LIST}) THEN '|' ELSE t END
+           ), ' ') AS m
+  FROM documents
+),
+pe AS (
+  SELECT p AS phrase
+  FROM marked, UNNEST(list_filter(regexp_split_to_array(m, ' *\\| *'),
+                                  p -> p <> '')) AS u(p)
+),
+pw AS (
+  SELECT phrase,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         w AS word
+  FROM pe, UNNEST(string_split(phrase, ' ')) AS u(w)
+),
+ws AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM pw GROUP BY 1
+),
+wsc AS (
+  SELECT word,
+         CAST((degree * {2 * RAKE_SCORE_SCALE} + freq
+               - (degree * {2 * RAKE_SCORE_SCALE} + freq) % (freq * 2))
+              // (freq * 2) AS BIGINT) AS score_micro
+  FROM ws
+),
+pd AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM pe GROUP BY 1
+),
+pdw AS (
+  SELECT phrase, n_occurrences, w AS word
+  FROM pd, UNNEST(string_split(phrase, ' ')) AS u(w)
+),
+scored AS (
+  SELECT pdw.phrase, pdw.n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(wsc.score_micro) AS BIGINT) AS s_micro
+  FROM pdw JOIN wsc ON wsc.word = pdw.word
+  GROUP BY 1, 2
+)
+SELECT rank, phrase, n_words, n_occurrences,
+       CAST(s_micro AS DOUBLE) / {RAKE_SCORE_SCALE}.0 AS score
+FROM (
+  SELECT phrase, n_words, n_occurrences, s_micro,
+         CAST(row_number() OVER (ORDER BY s_micro DESC, phrase ASC) AS BIGINT)
+           AS rank
+  FROM scored
+) WHERE rank <= {RAKE_TOP_K}
+"""
