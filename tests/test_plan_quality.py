@@ -1567,3 +1567,114 @@ def test_lorenz_single_rank_pass(spark):
     assert_plan(
         Q["lorenz_curve"](spark, SF_SMOKE), max_scans=1, forbid_sort_merge=True
     )
+
+
+# --- r07 additions ---------------------------------------------------------
+
+
+def test_turning_points_single_day_pass(spark):
+    assert_plan(
+        Q["turning_points_test"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_bartels_single_day_pass(spark):
+    assert_plan(
+        Q["bartels_rank_vn"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_poisson_rate_broadcast_day_count(spark):
+    # the global day count must broadcast onto the per-type reduce
+    r = plan_report(Q["poisson_rate_ci"](spark, SF_SMOKE))
+    assert r.broadcast_hash_joins >= 1 or r.nested_loop_joins >= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_grubbs_single_day_pass(spark):
+    assert_plan(
+        Q["grubbs_daily_outlier"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_odds_ratio_single_pass(spark):
+    # one conditional-count pass over events, then one row of math
+    assert_plan(
+        Q["odds_ratio_daily"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_mood_median_bounded_cells(spark):
+    # the median and the contingency ride the bounded (type, day) cell
+    # table; the median row broadcasts back — never a sort-merge join
+    r = plan_report(Q["mood_median_test"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_page_trend_blocked_ranks(spark):
+    assert_plan(
+        Q["page_trend_test"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_granger_single_day_pass(spark):
+    assert_plan(
+        Q["granger_daily"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_zonemap_bounded_sweep(spark):
+    # one corpus pass to the per-day zone maps; the threshold grid is a
+    # broadcast nested-loop over the bounded zone table (4 rows), never a
+    # corpus-side cartesian
+    r = plan_report(Q["zonemap_prune_audit"](spark, SF_SMOKE))
+    assert r.parquet_scans <= 2
+    assert r.sort_merge_joins == 0
+
+
+def test_ivm_merge_bounded_join(spark):
+    # split aggregates and the full recompute join on the bounded
+    # (day, type) key space; the midpoint row broadcasts
+    r = plan_report(Q["ivm_merge_check"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_winsorized_bounds_broadcast(spark):
+    # per-type clamp bounds (2 rows per type) broadcast back onto the
+    # ranked corpus — the corpus is never sort-merge re-joined
+    r = plan_report(Q["winsorized_stats"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_degree_assortativity_no_allpairs(spark):
+    # the edge set is the capped candidate join; degree joins are
+    # equi-joins — no cartesian anywhere
+    r = plan_report(Q["degree_assortativity"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw
+
+
+def test_embedding_cka_bounded_grid(spark):
+    # the d^2/4 sufficient-statistic reduces land on bounded (i, j) keys;
+    # the Frobenius joins broadcast the bounded moment tables
+    r = plan_report(Q["embedding_cka"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+    assert "CartesianProduct" not in r.raw
+
+
+def test_rake_topk_takeordered(spark):
+    # the corpus-level top-k must be a TakeOrdered, never a global sort
+    r = plan_report(Q["rake_keywords"](spark, SF_SMOKE))
+    assert "TakeOrdered" in r.raw
+    assert r.sort_merge_joins == 0
