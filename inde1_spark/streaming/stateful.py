@@ -521,3 +521,111 @@ def sprt_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries / SpaceSaving heavy hitters (bounded-state top-k)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 16  # counters per shard; undercount <= shard_stream_len / cap
+MG_SHARDS = 4     # key-hash shards: state is shards x capacity counters
+
+MG_OUTPUT_SCHEMA = (
+    "shard long, user_id long, est_count long, err_bound long"
+)
+MG_STATE_SCHEMA = (
+    "keys array<long>, counts array<long>, dec long"
+)
+
+
+def space_saving_stream(
+    events: DataFrame,
+    capacity: int = MG_CAPACITY,
+    n_shards: int = MG_SHARDS,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: per-shard Misra-Gries
+    summaries — the deterministic frequent-items monitor whose state is
+    O(shards x capacity) counters no matter how many distinct keys the
+    stream carries (per-key streaming counts hold O(keys) state; the CMS
+    sibling holds O(1) but answers point queries, not "list the heavy
+    keys" — this is the structure that LISTS them).
+
+    Order-free determinism, the property that makes the monitor
+    hash-stable under Spark's nondeterministic intra-batch row order:
+    each micro-batch is EXACTLY counted first (a pandas groupby — no
+    order dependence), then merged into the summary by the Agarwal et
+    al. mergeable-summaries rule (add matching counters; if over
+    capacity, subtract the (capacity+1)-th largest count from all and
+    drop non-positive, ties broken by key asc). The classic MG bound
+    survives the merge: true_count - est_count <= dec (the emitted
+    per-shard ``err_bound``), and any key with true count > dec is
+    GUARANTEED present in its shard's summary.
+
+    Every batch emits the shard's full current summary (append mode —
+    the latest emission is the live top-k; availableNow backfills end
+    on the exact summary of the whole prefix). Keys shard by
+    ``user_id % n_shards``, so a key's counter lives in exactly one
+    shard and the global heavy-hitter list is the union of shard
+    summaries. 100 TB posture: state is shards x capacity longs, the
+    per-batch exact count is executor-side per shard, and shard count
+    scales parallelism without changing any per-shard guarantee.
+    """
+    cap = int(capacity)
+    cols = ["shard", "user_id", "est_count", "err_bound"]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (shard,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            keys, counts, dec = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, dec = {}, 0
+        rows = pd.concat(list(batches), ignore_index=True)
+        # exact, order-free per-batch counts: the only reduction over rows
+        for uid, c in rows["user_id"].value_counts().items():
+            k = int(uid)
+            summary[k] = summary.get(k, 0) + int(c)
+        if len(summary) > cap:
+            ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            t = ordered[cap][1]  # the (capacity+1)-th largest count
+            dec += t
+            summary = {k: c - t for k, c in ordered[:cap] if c - t > 0}
+        state.update(
+            (list(summary.keys()), list(summary.values()), dec)
+        )
+        out = [
+            {
+                "shard": int(shard),
+                "user_id": k,
+                "est_count": c,
+                "err_bound": dec,
+            }
+            for k, c in sorted(summary.items())
+        ]
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn(
+            "shard", (F.col("user_id") % F.lit(int(n_shards))).cast("long")
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

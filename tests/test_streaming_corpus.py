@@ -329,3 +329,138 @@ def test_bloom_build_stream_matches_batch(spark, tmp_path):
         for r in bloom_words(batch, "user_id", 4096, 3).collect()
     }
     assert final == want and want
+
+
+def _mg_reference(chunks, capacity, n_shards):
+    """Pure-Python replay of the per-shard merge rule over the same chunk
+    sequence (exact per-chunk counts -> mergeable-summaries step)."""
+    state = {s: ({}, 0) for s in range(n_shards)}
+    for chunk in chunks:
+        per_shard: dict = {}
+        for uid in chunk:
+            per_shard.setdefault(uid % n_shards, {}).setdefault(uid, 0)
+            per_shard[uid % n_shards][uid] += 1
+        for s, batch_counts in per_shard.items():
+            summary, dec = state[s]
+            for k, c in batch_counts.items():
+                summary[k] = summary.get(k, 0) + c
+            if len(summary) > capacity:
+                ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+                t = ordered[capacity][1]
+                dec += t
+                summary = {k: c - t for k, c in ordered[:capacity] if c - t > 0}
+            state[s] = (summary, dec)
+    return {
+        (s, k): (c, dec)
+        for s, (summary, dec) in state.items()
+        for k, c in summary.items()
+    }
+
+
+def test_space_saving_stream_matches_reference_fold(spark, tmp_path):
+    """Stream over 3 ordered chunks == the pure-Python merge-rule replay:
+    order-free inside each batch (exact pre-counts), deterministic merge."""
+    import os
+
+    from inde1_spark.streaming.stateful import (
+        MG_CAPACITY,
+        MG_SHARDS,
+        space_saving_stream,
+    )
+
+    # skewed stream: key 7 is heavy, a long tail of one-off keys
+    chunks = [
+        [7] * 30 + [100 + i for i in range(40)],
+        [7] * 25 + [3] * 18 + [200 + i for i in range(40)],
+        [7] * 20 + [3] * 12 + [300 + i for i in range(40)],
+    ]
+    data_dir = tmp_path / "mg_data"
+    data_dir.mkdir()
+    eid = 0
+    for i, chunk in enumerate(chunks):
+        lines = []
+        for uid in chunk:
+            lines.append('{"event_id": %d, "user_id": %d}' % (eid, uid))
+            eid += 1
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(lines))
+        os.utime(p, (1700000000 + i, 1700000000 + i))  # strict mtime order
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    final: dict = {}
+
+    def grab(df, _id):
+        rows = df.collect()
+        if rows:  # each batch re-emits its shards' full summaries
+            for r in rows:
+                final[(r["shard"], r["user_id"])] = (
+                    r["est_count"], r["err_bound"]
+                )
+
+    q = (
+        space_saving_stream(stream)
+        .writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = _mg_reference(chunks, MG_CAPACITY, MG_SHARDS)
+    # the final emission for each shard must equal the reference summary
+    # (stale keys from earlier batches may linger in `final`, so compare
+    # per shard against the keys the reference kept)
+    for (s, k), (c, dec) in want.items():
+        assert final[(s, k)] == (c, dec), (s, k)
+
+    # MG guarantees on the heavy keys: est <= true <= est + err_bound,
+    # and a key with true count > dec is present
+    true7 = sum(ch.count(7) for ch in chunks)
+    c7, dec7 = want[(7 % MG_SHARDS, 7)]
+    assert c7 <= true7 <= c7 + dec7
+
+
+def test_space_saving_under_capacity_is_exact(spark, tmp_path):
+    """Distinct keys per shard under capacity -> no decrement, exact counts."""
+    import os
+
+    from inde1_spark.streaming.stateful import space_saving_stream
+
+    rows = [(i, i % 6) for i in range(120)]  # 6 keys, ~2 per shard
+    data_dir = tmp_path / "mg2_data"
+    data_dir.mkdir()
+    for i in range(2):
+        chunk = rows[i * 60 : (i + 1) * 60]
+        p = data_dir / f"part-{i}.json"
+        p.write_text(
+            "\n".join(
+                '{"event_id": %d, "user_id": %d}' % (e, u) for e, u in chunk
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    final: dict = {}
+
+    def grab(df, _id):
+        for r in df.collect():
+            final[r["user_id"]] = (r["est_count"], r["err_bound"])
+
+    q = (
+        space_saving_stream(stream)
+        .writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mg2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert final == {u: (20, 0) for u in range(6)}
