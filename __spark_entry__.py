@@ -260,6 +260,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "embeddings")
         ),
         "rake_keywords": lambda sp, d: T.rake_keywords(_t(sp, d, "documents")),
+        "cvm_two_sample": lambda sp, d: A.cvm_two_sample(_t(sp, d, "events")),
+        "two_proportion_z": lambda sp, d: A.two_proportion_z(
+            _t(sp, d, "events")
+        ),
+        "capture_recapture": lambda sp, d: A.capture_recapture(
+            _t(sp, d, "events")
+        ),
+        "join_order_audit": lambda sp, d: A.join_order_audit(
+            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
         "gini_token_concentration": lambda sp, d: C.gini_token_concentration(

@@ -8759,3 +8759,310 @@ def winsorized_stats(events: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("wins_std"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# r07 batch E: two-sample / coverage / planner-statistics operators
+# ---------------------------------------------------------------------------
+
+
+def cvm_two_sample(events: DataFrame) -> DataFrame:
+    """Cramér–von Mises two-sample test between the ENTRY and EXIT daily
+    count distributions — the integrated-ECDF-distance member of the
+    two-sample family: ``source_drift_ks`` (KS) sees only the single
+    worst ECDF gap, CvM accumulates the squared gap EVERYWHERE, making
+    it the more powerful test against broad shape differences (and the
+    one that notices two crossings that cancel KS out).
+
+    Exact rank form (Anderson 1962): with pooled ranks r_i of the m
+    entry days and s_j of the n exit days, U = m*Sum(r_i - i)^2 +
+    n*Sum(s_j - j)^2 and T = U/(N m n) - (4mn - 1)/(6N) — U is an exact
+    decimal of integer ranks (pooled order ties broken by (value,
+    sample, day), a deterministic total order, documented midrank
+    deviation), and T runs in one mirrored digit-split double chain.
+    T >> 0 rejects "same distribution"; the 5pct flag uses the
+    asymptotic critical value 0.461.
+
+    Scale: one corpus-volume (type, day) reduce; ranks ride the bounded
+    pooled daily table.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    daily = (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy("event_type", _day_str().alias("day"))
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    pooled = daily.select(
+        (F.col("event_type") == ENTRY_TYPE).alias("is_x"),
+        "day",
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "event_type", "day"))
+        .cast("long")
+        .alias("r"),
+    )
+    within = pooled.select(
+        "is_x",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("is_x").orderBy("r"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = within.groupBy("is_x").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(
+            d38(F.col("r") - F.col("i")) * d38(F.col("r") - F.col("i"))
+        ).alias("sq"),
+    )
+    two = (
+        agg.agg(
+            F.max(F.when(F.col("is_x"), F.col("cnt"))).alias("m"),
+            F.max(F.when(~F.col("is_x"), F.col("cnt"))).alias("n"),
+            F.max(F.when(F.col("is_x"), F.col("sq"))).alias("sqx"),
+            F.max(F.when(~F.col("is_x"), F.col("sq"))).alias("sqy"),
+        )
+        .filter(F.col("m").isNotNull() & F.col("n").isNotNull())
+    )
+    u_dec = (
+        d38(F.col("m")) * F.col("sqx").cast("decimal(38,0)")
+        + d38(F.col("n")) * F.col("sqy").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    m_d = F.col("m").cast("double")
+    n_d = F.col("n").cast("double")
+    nn = m_d + n_d
+    t = dec_to_double_exact(u_dec) / (nn * m_d * n_d) - (
+        F.lit(4.0) * m_d * n_d - F.lit(1.0)
+    ) / (F.lit(6.0) * nn)
+    return two.select(
+        F.col("m").alias("n_entry_days"),
+        F.col("n").alias("n_exit_days"),
+        dec_to_double_exact(u_dec).alias("u_stat"),
+        t.alias("t_stat"),
+        (t > F.lit(0.461)).alias("different_5pct"),
+    )
+
+
+def two_proportion_z(events: DataFrame) -> DataFrame:
+    """Two-proportion z test of the ENTRY share, weekend vs weekday —
+    the direct "did the conversion mix shift" number in its standard
+    form: z = (p1 - p2) / sqrt(p(1-p)(1/n1 + 1/n2)) under the pooled
+    null. The magnitude companion ``odds_ratio_daily`` gives the effect
+    size; this gives the canonical test statistic dashboards expect.
+
+    All inputs are exact long counts (< 2^53, exact conversions); the
+    chain is mirrored divisions and one correctly-rounded sqrt.
+    Degenerate margins (either period empty, pooled p in {0, 1}) emit
+    z = 0.
+
+    Scale: one corpus-volume conditional-count pass; one output row.
+    """
+    wk = F.dayofweek("ts").isin(1, 7)
+    cells = events.filter(
+        F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE)
+    ).agg(
+        F.sum(F.when(wk & (F.col("event_type") == ENTRY_TYPE), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(wk, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(
+            F.when(~wk & (F.col("event_type") == ENTRY_TYPE), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~wk, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    a_d, n1_d = F.col("a").cast("double"), F.col("n1").cast("double")
+    c_d, n2_d = F.col("c").cast("double"), F.col("n2").cast("double")
+    p1 = a_d / n1_d
+    p2 = c_d / n2_d
+    pp = (a_d + c_d) / (n1_d + n2_d)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1_d + F.lit(1.0) / n2_d))
+    z = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.when(se <= 0, F.lit(0.0)).otherwise((p1 - p2) / se)
+    )
+    return cells.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("a").alias("n_weekend_entry"),
+        F.col("n1").alias("n_weekend"),
+        F.col("c").alias("n_weekday_entry"),
+        F.col("n2").alias("n_weekday"),
+        p1.alias("p_weekend"),
+        p2.alias("p_weekday"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant_5pct"),
+    )
+
+
+def capture_recapture(events: DataFrame) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL user population
+    from the two halves of the observed window — "how many users exist
+    that we have not seen yet": the first-half users are the marked
+    capture, the second-half users the recapture, and the overlap rate
+    estimates what fraction of the population any half sees. The
+    coverage number a crawl/ingest pipeline reads before claiming a
+    corpus is complete (``dau_wau`` counts who WAS seen; this estimates
+    who WASN'T).
+
+    Chapman estimator N = (n1+1)(n2+1)/(m+1) - 1 (bias-corrected,
+    finite for m = 0) as an exact decimal product converted by
+    digit-split; the standard error chain is mirrored doubles with one
+    sqrt. Split at the exact time midpoint (the value_drift_psi
+    convention). coverage_pct = observed / estimated, exact
+    round-half-up on the micro grid.
+
+    Scale: one distinct-reduce per half over (user, half) — two shuffle
+    keys per user; everything after is one row.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact, ratio_round
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    rng = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    mid = (F.col("t0") + F.expr("(t1 - t0) div 2")).alias("mid")
+    per_user = (
+        events.join(F.broadcast(rng.select(mid)))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.unix_timestamp("ts") < F.col("mid"), 1).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(F.unix_timestamp("ts") >= F.col("mid"), 1).otherwise(0)
+            ).alias("in2"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("n_observed"),
+    )
+    est = (
+        dec_to_double_exact(
+            (d38(F.col("n1") + 1) * d38(F.col("n2") + 1)).cast("decimal(38,0)")
+        )
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    # Seber variance of the Chapman estimator, mirrored double chain
+    var = (
+        dec_to_double_exact(
+            (
+                d38(F.col("n1") + 1)
+                * d38(F.col("n2") + 1)
+                * d38(F.col("n1") - F.col("m"))
+            ).cast("decimal(38,0)")
+        )
+        * (F.col("n2") - F.col("m")).cast("double")
+        / (
+            (F.col("m") + 1).cast("double")
+            * (F.col("m") + 1).cast("double")
+            * (F.col("m") + 2).cast("double")
+        )
+    )
+    est_l = F.floor(est + F.lit(0.5)).cast("long")
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("m").alias("m_overlap"),
+        "n_observed",
+        est.alias("est_total"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("se_total"),
+        ratio_round(
+            F.col("n_observed") * 100, F.greatest(est_l, F.lit(1)), 4
+        ).alias("coverage_pct"),
+    )
+
+
+def join_order_audit(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Exact intermediate-cardinality audit of the two join orders for
+    orders ⋈ customer ⋈ nation — the planner statistic computed the way
+    a cost-based optimizer wishes it could: |A ⋈ B| = Sum_k a(k)*b(k)
+    from cheap per-key count passes, BEFORE running any join. On a
+    100 TB fact table the wrong order materializes the giant
+    intermediate; this audit prices both pipelines from statistics that
+    cost one scan each (the multi-table generalization of
+    ``join_cardinality_audit``).
+
+    Plan A — (orders ⋈ customer) first: intermediate = Sum over custkey
+    of o(k)*c(k); plan B — (customer ⋈ nation) first: intermediate =
+    Sum over nationkey of c(k)*n(k). The final three-way size (equal
+    either way) comes from the per-(custkey) counts joined through
+    customer. All exact decimal accumulation, string emission for the
+    wide counts (the join_cardinality convention), recommendation by
+    exact integer comparison with a deterministic tie-break to A.
+    """
+    oc = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").cast("long").alias("oc")
+    )
+    cc = customer.select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    nc = nation.groupBy(F.col("n_nationkey").alias("nk")).agg(
+        F.count("*").cast("long").alias("nn")
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    # |O x C| on custkey: customer keys are unique per ck, count them
+    ccnt = cc.groupBy("ck").agg(F.count("*").cast("long").alias("cc"))
+    plan_a_int = oc.join(ccnt, "ck").agg(
+        F.coalesce(F.sum(d38(F.col("oc")) * d38(F.col("cc"))), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("rows_dec")
+    )
+    # |C x N| on nationkey
+    ccn = cc.groupBy("nk").agg(F.count("*").cast("long").alias("cn"))
+    plan_b_int = ccn.join(nc, "nk").agg(
+        F.coalesce(F.sum(d38(F.col("cn")) * d38(F.col("nn"))), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("rows_dec")
+    )
+    # final 3-way size: per customer, o(ck) * n(nk); nation keys unique
+    final = (
+        cc.join(oc, "ck", "left")
+        .join(nc, "nk", "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    d38(F.coalesce(F.col("oc"), F.lit(0)))
+                    * d38(F.coalesce(F.col("nn"), F.lit(0)))
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("decimal(38,0)")
+            .alias("final_dec")
+        )
+    )
+    a = plan_a_int.select(
+        F.lit("orders_customer_first").alias("plan"),
+        F.col("rows_dec"),
+    )
+    b = plan_b_int.select(
+        F.lit("customer_nation_first").alias("plan"),
+        F.col("rows_dec"),
+    )
+    both = a.unionByName(b).crossJoin(F.broadcast(final))
+    w = Window.partitionBy()
+    return both.select(
+        "plan",
+        F.col("rows_dec").cast("string").alias("intermediate_rows"),
+        F.col("final_dec").cast("string").alias("final_rows"),
+        (
+            F.col("rows_dec")
+            == F.min("rows_dec").over(w)
+        ).alias("is_cheapest"),
+    ).orderBy("plan")

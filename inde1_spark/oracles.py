@@ -10505,3 +10505,179 @@ FROM (
   FROM scored
 ) WHERE rank <= {RAKE_TOP_K}
 """
+
+
+# ===========================================================================
+# r07 batch E: two-sample / coverage / planner-statistics operators
+# ===========================================================================
+
+# Twin of operators/analytics.py:cvm_two_sample — same pooled total order,
+# exact rank form in HUGEINT, digit-split mirrored T chain.
+ORACLES["cvm_two_sample"] = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT (event_type = '{ENTRY}') AS is_x, day, v,
+         CAST(row_number() OVER (ORDER BY v, event_type, day) AS BIGINT) AS r
+  FROM daily
+),
+within AS (
+  SELECT is_x, r,
+         CAST(row_number() OVER (PARTITION BY is_x ORDER BY r) AS BIGINT) AS i
+  FROM pooled
+),
+agg AS (
+  SELECT is_x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(r - i AS HUGEINT) * (r - i)) AS HUGEINT) AS sq
+  FROM within GROUP BY 1
+),
+two AS (
+  SELECT MAX(CASE WHEN is_x THEN cnt END) AS m,
+         MAX(CASE WHEN NOT is_x THEN cnt END) AS n,
+         MAX(CASE WHEN is_x THEN sq END) AS sqx,
+         MAX(CASE WHEN NOT is_x THEN sq END) AS sqy
+  FROM agg
+),
+calc AS (
+  SELECT m, n,
+         {_dec2d("CAST(m AS HUGEINT) * sqx + CAST(n AS HUGEINT) * sqy")} AS u_d,
+         CAST(m AS DOUBLE) AS m_d, CAST(n AS DOUBLE) AS n_d
+  FROM two WHERE m IS NOT NULL AND n IS NOT NULL
+),
+tt AS (
+  SELECT m, n, u_d,
+         u_d / ((m_d + n_d) * m_d * n_d)
+           - (4.0 * m_d * n_d - 1.0) / (6.0 * (m_d + n_d)) AS t
+  FROM calc
+)
+SELECT m AS n_entry_days, n AS n_exit_days, u_d AS u_stat, t AS t_stat,
+       t > CAST(0.461 AS DOUBLE) AS different_5pct
+FROM tt
+"""
+
+
+# Twin of operators/analytics.py:two_proportion_z — exact long counts,
+# mirrored pooled-SE chain. DuckDB dayofweek 0/6 == Spark 1/7 weekend.
+ORACLES["two_proportion_z"] = f"""
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = '{ENTRY}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = '{ENTRY}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+),
+calc AS (
+  SELECT a, n1, c, n2,
+         CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+         (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+  FROM cells WHERE n1 > 0 AND n2 > 0
+),
+zz AS (
+  SELECT a, n1, c, n2, p1, p2,
+         sqrt(pp * (1.0 - pp)
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS se
+  FROM calc
+)
+SELECT a AS n_weekend_entry, n1 AS n_weekend,
+       c AS n_weekday_entry, n2 AS n_weekday,
+       p1 AS p_weekend, p2 AS p_weekday,
+       CASE WHEN se <= 0 THEN 0.0 ELSE (p1 - p2) / se END AS z,
+       ABS(CASE WHEN se <= 0 THEN 0.0 ELSE (p1 - p2) / se END)
+         > CAST(1.96 AS DOUBLE) AS significant_5pct
+FROM zz
+"""
+
+
+# Twin of operators/analytics.py:capture_recapture — Chapman estimator with
+# digit-split products, Seber variance mirrored, exact midpoint split.
+ORACLES["capture_recapture"] = f"""
+WITH rng AS (
+  SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t0,
+         MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t1
+  FROM events
+),
+mid AS (SELECT t0 + (t1 - t0) // 2 AS mid FROM rng),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) < mid
+                  THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) >= mid
+                  THEN 1 ELSE 0 END) AS in2
+  FROM events, mid GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(in1 * in2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM per_user
+),
+calc AS (
+  SELECT n1, n2, m, n_observed,
+         {_dec2d("CAST(n1 + 1 AS HUGEINT) * (n2 + 1)")}
+           / CAST(m + 1 AS DOUBLE) - 1.0 AS est,
+         {_dec2d("CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m)")}
+           * CAST(n2 - m AS DOUBLE)
+           / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+              * CAST(m + 2 AS DOUBLE)) AS var_est
+  FROM agg
+)
+SELECT n1, n2, m AS m_overlap, n_observed,
+       est AS est_total,
+       sqrt(GREATEST(var_est, 0.0)) AS se_total,
+       {_rr("n_observed * 100",
+            "GREATEST(CAST(floor(est + 0.5) AS BIGINT), 1)", 4)} AS coverage_pct
+FROM calc
+"""
+
+
+# Twin of operators/analytics.py:join_order_audit — per-key count passes,
+# HUGEINT products, string emission for the wide exact counts.
+ORACLES["join_order_audit"] = """
+WITH oc AS (
+  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS oc FROM orders GROUP BY 1
+),
+cc AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+nc AS (
+  SELECT n_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS nn FROM nation GROUP BY 1
+),
+ccnt AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS cc_n FROM cc GROUP BY 1),
+ccn AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS cn FROM cc GROUP BY 1),
+plan_a AS (
+  SELECT COALESCE(CAST(SUM(CAST(oc.oc AS HUGEINT) * ccnt.cc_n) AS HUGEINT),
+                  CAST(0 AS HUGEINT)) AS rows_dec
+  FROM oc JOIN ccnt ON oc.ck = ccnt.ck
+),
+plan_b AS (
+  SELECT COALESCE(CAST(SUM(CAST(ccn.cn AS HUGEINT) * nc.nn) AS HUGEINT),
+                  CAST(0 AS HUGEINT)) AS rows_dec
+  FROM ccn JOIN nc ON ccn.nk = nc.nk
+),
+fin AS (
+  SELECT COALESCE(CAST(SUM(CAST(COALESCE(oc.oc, 0) AS HUGEINT)
+                           * COALESCE(nc.nn, 0)) AS HUGEINT),
+                  CAST(0 AS HUGEINT)) AS final_dec
+  FROM cc LEFT JOIN oc ON cc.ck = oc.ck LEFT JOIN nc ON cc.nk = nc.nk
+),
+plans AS (
+  SELECT 'orders_customer_first' AS plan, rows_dec FROM plan_a
+  UNION ALL
+  SELECT 'customer_nation_first' AS plan, rows_dec FROM plan_b
+)
+SELECT plan,
+       CAST(rows_dec AS VARCHAR) AS intermediate_rows,
+       CAST(final_dec AS VARCHAR) AS final_rows,
+       rows_dec = MIN(rows_dec) OVER () AS is_cheapest
+FROM plans, fin
+ORDER BY plan
+"""

@@ -1678,3 +1678,32 @@ def test_rake_topk_takeordered(spark):
     r = plan_report(Q["rake_keywords"](spark, SF_SMOKE))
     assert "TakeOrdered" in r.raw
     assert r.sort_merge_joins == 0
+
+
+def test_cvm_single_day_pass(spark):
+    assert_plan(
+        Q["cvm_two_sample"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_two_proportion_single_pass(spark):
+    assert_plan(
+        Q["two_proportion_z"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_capture_recapture_single_user_reduce(spark):
+    # one per-user reduce (two flags per user), midpoint row broadcasts
+    r = plan_report(Q["capture_recapture"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0
+
+
+def test_join_order_audit_counts_not_joins(spark):
+    # the audit prices the joins from per-key count passes — the giant
+    # fact-dim joins themselves must NOT appear (no sort-merge)
+    r = plan_report(Q["join_order_audit"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0

@@ -230,3 +230,74 @@ def test_rake_prefers_long_phrases(spark):
     assert out[0]["n_words"] == 4
     phrases = [r["phrase"] for r in out]
     assert "deep learning model" in phrases
+
+
+def test_cvm_separates_shifted_distributions(spark):
+    from inde1_spark.operators.analytics import cvm_two_sample
+
+    # entries live on low daily counts, exits on high -> large T
+    rows = []
+    eid = 0
+    for i in range(15):
+        day = T0 + timedelta(days=i)
+        for _ in range(3 + i % 2):
+            rows.append((eid, day, 1, "view", 1.0, "{}")); eid += 1
+        for _ in range(40 + i % 3):
+            rows.append((eid, day, 1, "click", 1.0, "{}")); eid += 1
+    r = cvm_two_sample(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["t_stat"] > 0.461 and r["different_5pct"]
+
+
+def test_two_proportion_null_on_balanced_mix(spark):
+    from inde1_spark.operators.analytics import two_proportion_z
+
+    sat = datetime(2024, 3, 9, 12, 0, 0)
+    mon = datetime(2024, 3, 4, 12, 0, 0)
+    rows = (
+        [(i, sat, 1, "view", 1.0, "{}") for i in range(30)]
+        + [(100 + i, sat, 1, "click", 1.0, "{}") for i in range(30)]
+        + [(200 + i, mon, 1, "view", 1.0, "{}") for i in range(30)]
+        + [(300 + i, mon, 1, "click", 1.0, "{}") for i in range(30)]
+    )
+    r = two_proportion_z(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["z"] == 0.0 and not r["significant_5pct"]
+    assert r["p_weekend"] == r["p_weekday"] == 0.5
+
+
+def test_capture_recapture_full_overlap_estimates_observed(spark):
+    from inde1_spark.operators.analytics import capture_recapture
+
+    # every user active in both halves -> est_total == n_observed
+    rows = []
+    for u in range(10):
+        rows.append((u * 2, T0 + timedelta(days=0), u, "view", 1.0, "{}"))
+        rows.append((u * 2 + 1, T0 + timedelta(days=10), u, "view", 1.0, "{}"))
+    r = capture_recapture(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["n1"] == r["n2"] == r["m_overlap"] == r["n_observed"] == 10
+    assert r["est_total"] == pytest.approx(10.0)
+    assert r["coverage_pct"] == pytest.approx(100.0)
+
+
+def test_join_order_audit_prices_plans_exactly(spark):
+    from inde1_spark.operators.analytics import join_order_audit
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    out = {r["plan"]: r for r in
+           join_order_audit(orders, customer, nation).collect()}
+    assert set(out) == {"orders_customer_first", "customer_nation_first"}
+    # exact ground truths computed by actually running the joins
+    oc = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    cn = customer.join(nation, customer.c_nationkey == nation.n_nationkey).count()
+    fin = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .count()
+    )
+    assert int(out["orders_customer_first"]["intermediate_rows"]) == oc
+    assert int(out["customer_nation_first"]["intermediate_rows"]) == cn
+    assert all(int(r["final_rows"]) == fin for r in out.values())
+    cheapest = [p for p, r in out.items() if r["is_cheapest"]]
+    want = "customer_nation_first" if cn < oc else "orders_customer_first"
+    assert want in cheapest
