@@ -131,6 +131,14 @@ HEADLINE = (
     "clustering_agreement",   # kmeans + bounded contingency ARI/NMI (r06b2)
     "dtw_entry_exit",         # banded DP packed fold on the daily grid (r06b2)
     "embedding_drift",        # one posexplode reduce onto 2*dims keys (r06b2)
+    "zonemap_prune_audit",    # per-day zone maps x quintile threshold sweep (r07)
+    "winsorized_stats",       # exact order-statistic clamp + decimal moments (r07)
+    "rake_keywords",          # row-local phrase surgery + vocab reduce (r07)
+    "cvm_two_sample",         # pooled-rank ECDF distance on the daily grid (r07)
+    "degree_assortativity",   # dup-graph degree moments over the edge list (r07)
+    "embedding_cka",          # d^2/4 sufficient-statistic fan-out + bounded frob (r07)
+    "ivf_nprobe_sweep",       # 3x cell-pruned ANN + persisted brute truth (r07)
+    "join_order_audit",       # per-key count passes pricing both join orders (r07)
 )
 
 
