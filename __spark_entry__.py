@@ -49,11 +49,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     theil_sen_slope) plus the first 34 r06 additions (kruskal_wallis..
     matryoshka_recall) — all never driver-verified, all locally hash-green
     at sf0.001 AND sf0.01. The remaining 22 r06 additions
-    (entropy_rate_markov..lorenz_curve) head the r08 queue. Rotation
-    budget (r06 verdict item 2): r07 adds at most 28 new production
-    queries so that 22 + additions <= 50 and the r08 window completes
-    lifetime driver coverage. No pre-existing output changed this round
-    (pinned by tests/test_oracle_parity.py).
+    (entropy_rate_markov..lorenz_curve) head the r08 queue, followed by
+    the 19 r07 additions (turning_points_test..join_order_audit) —
+    rotation budget honored (r06 verdict item 2: <=28), so the r08
+    window is exactly 22 + 19 = 41 never-verified entries plus 9
+    re-confirmations of the oldest greens, completing lifetime driver
+    coverage. No pre-existing output changed this round (pinned by
+    tests/test_oracle_parity.py).
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C

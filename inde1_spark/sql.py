@@ -1021,6 +1021,82 @@ SPARK_SQL: dict[str, str] = {
                CAST(nd AS BIGINT) AS n_days_in_window
         FROM w
     """,
+    # --- r07 data-engineering audits as one SQL statement each ---
+    "zonemap_prune_audit": """
+        WITH zones AS (
+          SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS zmin,
+                 MAX(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS zmax
+          FROM events GROUP BY 1
+        ),
+        span AS (SELECT MIN(zmin) AS vmin, MAX(zmax) AS vmax FROM zones),
+        thr AS (
+          SELECT i, CAST(vmin + ((vmax - vmin) * i) div 5 AS BIGINT) AS thr_micro
+          FROM span LATERAL VIEW explode(array(1, 2, 3, 4)) t AS i
+        ),
+        sweep AS (
+          SELECT i, thr_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(CASE WHEN zmax <= thr_micro THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_parts_skipped,
+                 CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+                 CAST(SUM(CASE WHEN zmax <= thr_micro THEN n_rows ELSE 0 END)
+                      AS BIGINT) AS rows_skipped
+          FROM zones, thr GROUP BY 1, 2
+        )
+        SELECT CAST(i AS BIGINT) AS quintile,
+               CAST(thr_micro AS DOUBLE) / 1e6 AS threshold,
+               n_parts, n_parts_skipped, rows_total, rows_skipped,
+               (CAST((rows_skipped * 100 * 20000 + rows_total)
+                     - (rows_skipped * 100 * 20000 + rows_total)
+                       % (rows_total * 2) AS DOUBLE)
+                / CAST(rows_total * 2 AS DOUBLE)) / 10000.0 AS skip_pct
+        FROM sweep
+        ORDER BY quintile
+    """,
+    "join_order_audit": """
+        WITH oc AS (
+          SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS oc
+          FROM orders GROUP BY 1
+        ),
+        cc AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+        nc AS (
+          SELECT n_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS nn
+          FROM nation GROUP BY 1
+        ),
+        ccnt AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS cc_n FROM cc GROUP BY 1),
+        ccn AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS cn FROM cc GROUP BY 1),
+        plan_a AS (
+          SELECT COALESCE(CAST(SUM(CAST(oc.oc AS DECIMAL(38,0)) * ccnt.cc_n)
+                               AS DECIMAL(38,0)),
+                          CAST(0 AS DECIMAL(38,0))) AS rows_dec
+          FROM oc JOIN ccnt ON oc.ck = ccnt.ck
+        ),
+        plan_b AS (
+          SELECT COALESCE(CAST(SUM(CAST(ccn.cn AS DECIMAL(38,0)) * nc.nn)
+                               AS DECIMAL(38,0)),
+                          CAST(0 AS DECIMAL(38,0))) AS rows_dec
+          FROM ccn JOIN nc ON ccn.nk = nc.nk
+        ),
+        fin AS (
+          SELECT COALESCE(CAST(SUM(CAST(COALESCE(oc.oc, 0) AS DECIMAL(38,0))
+                                   * COALESCE(nc.nn, 0)) AS DECIMAL(38,0)),
+                          CAST(0 AS DECIMAL(38,0))) AS final_dec
+          FROM cc LEFT JOIN oc ON cc.ck = oc.ck LEFT JOIN nc ON cc.nk = nc.nk
+        ),
+        plans AS (
+          SELECT 'orders_customer_first' AS plan, rows_dec FROM plan_a
+          UNION ALL
+          SELECT 'customer_nation_first' AS plan, rows_dec FROM plan_b
+        )
+        SELECT plan,
+               CAST(rows_dec AS STRING) AS intermediate_rows,
+               CAST(final_dec AS STRING) AS final_rows,
+               rows_dec = MIN(rows_dec) OVER () AS is_cheapest
+        FROM plans, fin
+        ORDER BY plan
+    """,
 }
 
 
