@@ -50,9 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     matryoshka_recall) — all never driver-verified, all locally hash-green
     at sf0.001 AND sf0.01. The remaining 22 r06 additions
     (entropy_rate_markov..lorenz_curve) head the r08 queue, followed by
-    the 19 r07 additions (turning_points_test..join_order_audit) —
+    the 21 r07 additions (turning_points_test..lognormal_length_fit) —
     rotation budget honored (r06 verdict item 2: <=28), so the r08
-    window is exactly 22 + 19 = 41 never-verified entries plus 9
+    window is exactly 22 + 21 = 43 never-verified entries plus 7
     re-confirmations of the oldest greens, completing lifetime driver
     coverage. No pre-existing output changed this round (pinned by
     tests/test_oracle_parity.py).
@@ -271,6 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "join_order_audit": lambda sp, d: A.join_order_audit(
             _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "cochran_armitage_trend": lambda sp, d: A.cochran_armitage_trend(
+            _t(sp, d, "events")
+        ),
+        "lognormal_length_fit": lambda sp, d: C.lognormal_length_fit(
+            _t(sp, d, "documents")
         ),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).

@@ -9066,3 +9066,78 @@ def join_order_audit(
             == F.min("rows_dec").over(w)
         ).alias("is_cheapest"),
     ).orderBy("plan")
+
+
+def cochran_armitage_trend(events: DataFrame) -> DataFrame:
+    """Cochran-Armitage trend test: does the ENTRY share move LINEARLY
+    across the ordered within-week positions? The directional
+    categorical test that closes the 2xk family — ``chi2_independence``
+    asks "does the mix differ by category at all", this asks "does it
+    ramp with the ordering", which is one degree of freedom and
+    therefore far more powerful against monotone weekly drift.
+
+    Scores are the epoch-aligned day positions 0..6 (the
+    ``page_trend_test`` blocking convention, engine-free). The
+    statistic is assembled from the N-scaled integer identities
+    NUM = N*Sum(s_j a_j) - A*Sum(s_j n_j) and
+    VAR = A(N-A)(N*Sum(n_j s_j^2) - Sum(n_j s_j)^2), both exact
+    decimals converted by digit-split; z = NUM*sqrt(N)/sqrt(VAR) runs
+    in one mirrored chain with the usual degenerate guards (empty
+    margins, zero variance emit z = 0).
+
+    Scale: one corpus-volume conditional-count pass onto 7 cells.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    pos = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        % 7
+    )
+    cells = (
+        events.filter(F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE))
+        .groupBy(pos.alias("s"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    agg = cells.agg(
+        F.sum("a").cast("long").alias("aa"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("s") * F.col("a")).cast("long").alias("sa"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("ssn"),
+    ).filter((F.col("nn") > 0) & (F.col("aa") > 0) & (F.col("aa") < F.col("nn")))
+    num_dec = (
+        d38(F.col("nn")) * d38(F.col("sa")) - d38(F.col("aa")) * d38(F.col("sn"))
+    ).cast("decimal(38,0)")
+    var_dec = (
+        d38(F.col("aa"))
+        * d38(F.col("nn") - F.col("aa"))
+        * (
+            d38(F.col("nn")) * d38(F.col("ssn"))
+            - d38(F.col("sn")) * d38(F.col("sn"))
+        )
+    ).cast("decimal(38,0)")
+    num_d = dec_to_double_exact(num_dec)
+    var_d = F.greatest(dec_to_double_exact(var_dec), F.lit(0.0))
+    z = F.when(var_d <= 0, F.lit(0.0)).otherwise(
+        num_d * F.sqrt(F.col("nn").cast("double")) / F.sqrt(var_d)
+    )
+    return agg.select(
+        F.col("nn").alias("n_total"),
+        F.col("aa").alias("n_entry"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("trend_5pct"),
+        F.when(z > 0, F.lit("increasing"))
+        .when(z < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    )

@@ -10681,3 +10681,87 @@ SELECT plan,
 FROM plans, fin
 ORDER BY plan
 """
+
+
+# Twin of operators/analytics.py:cochran_armitage_trend — epoch-dow scores,
+# N-scaled integer identities in HUGEINT, digit-split mirrored z chain.
+ORACLES["cochran_armitage_trend"] = f"""
+WITH cells AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) % 7 AS s,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS aa,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s * a) AS BIGINT) AS sa,
+         CAST(SUM(s * n) AS BIGINT) AS sn,
+         CAST(SUM(s * s * n) AS BIGINT) AS ssn
+  FROM cells
+),
+calc AS (
+  SELECT aa, nn,
+         {_dec2d("CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn")} AS num_d,
+         GREATEST({_dec2d(
+             "CAST(aa AS HUGEINT) * (nn - aa)"
+             " * (CAST(nn AS HUGEINT) * ssn - CAST(sn AS HUGEINT) * sn)"
+         )}, 0.0) AS var_d
+  FROM agg WHERE nn > 0 AND aa > 0 AND aa < nn
+),
+zz AS (
+  SELECT nn, aa,
+         CASE WHEN var_d <= 0 THEN 0.0
+              ELSE num_d * sqrt(CAST(nn AS DOUBLE)) / sqrt(var_d) END AS z
+  FROM calc
+)
+SELECT nn AS n_total, aa AS n_entry, z,
+       ABS(z) > CAST(1.96 AS DOUBLE) AS trend_5pct,
+       CASE WHEN z > 0 THEN 'increasing'
+            WHEN z < 0 THEN 'decreasing'
+            ELSE 'flat' END AS direction
+FROM zz
+"""
+
+
+# Twin of operators/corpus.py:lognormal_length_fit — micro-snapped integer
+# logs, exact lower-median order statistic, HUGEINT moments, digit-split.
+ORACLES["lognormal_length_fit"] = f"""
+WITH logs AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6, 0) AS BIGINT) AS l
+  FROM documents WHERE n_chars > 0
+),
+med AS (
+  SELECT l AS med_micro FROM (
+    SELECT l,
+           CAST(row_number() OVER (ORDER BY l, doc_id) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM logs
+  ) WHERE rn = (n + 1) // 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(l) AS HUGEINT) AS s,
+         CAST(SUM(CAST(l AS HUGEINT) * l) AS HUGEINT) AS ss
+  FROM logs
+),
+calc AS (
+  SELECT n_docs, CAST(n_docs AS DOUBLE) AS n_d,
+         {_dec2d("s")} / CAST(n_docs AS DOUBLE) / 1e6 AS mu,
+         sqrt(GREATEST({_dec2d("CAST(n_docs AS HUGEINT) * ss - s * s")}, 0.0)
+              / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                 * GREATEST(CAST(n_docs AS DOUBLE) - 1.0, 1.0))) / 1e6 AS sigma
+  FROM agg WHERE n_docs >= 2
+)
+SELECT n_docs, mu AS mu_log, sigma AS sigma_log,
+       CAST(med_micro AS DOUBLE) / 1e6 AS empirical_median_log,
+       mu - CAST(med_micro AS DOUBLE) / 1e6 AS mean_median_gap,
+       CASE WHEN sigma <= 0 THEN FALSE
+            ELSE ABS(mu - CAST(med_micro AS DOUBLE) / 1e6)
+                   > CAST(0.1 AS DOUBLE) * sigma END AS asymmetric_flag
+FROM calc, med
+"""

@@ -1707,3 +1707,16 @@ def test_join_order_audit_counts_not_joins(spark):
     # fact-dim joins themselves must NOT appear (no sort-merge)
     r = plan_report(Q["join_order_audit"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
+
+
+def test_cochran_armitage_seven_cell_reduce(spark):
+    assert_plan(
+        Q["cochran_armitage_trend"](spark, SF_SMOKE),
+        max_scans=1,
+        forbid_sort_merge=True,
+    )
+
+
+def test_lognormal_fit_projection_and_bounded_rank(spark):
+    r = plan_report(Q["lognormal_length_fit"](spark, SF_SMOKE))
+    assert r.sort_merge_joins == 0

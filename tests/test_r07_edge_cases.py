@@ -301,3 +301,38 @@ def test_join_order_audit_prices_plans_exactly(spark):
     cheapest = [p for p, r in out.items() if r["is_cheapest"]]
     want = "customer_nation_first" if cn < oc else "orders_customer_first"
     assert want in cheapest
+
+
+def test_cochran_armitage_detects_weekly_ramp(spark):
+    from inde1_spark.operators.analytics import cochran_armitage_trend
+
+    # entry share ramps with epoch-dow position 0..6
+    base = datetime(1970, 1, 1)  # day 0 -> position 0
+    rows = []
+    eid = 0
+    for w in range(3):
+        for pos in range(7):
+            day = base + timedelta(days=w * 7 + pos)
+            for _ in range(5 + pos * 4):
+                rows.append((eid, day, 1, "view", 1.0, "{}")); eid += 1
+            for _ in range(30 - pos * 4):
+                rows.append((eid, day, 1, "click", 1.0, "{}")); eid += 1
+    r = cochran_armitage_trend(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["z"] > 1.96 and r["trend_5pct"]
+    assert r["direction"] == "increasing"
+
+
+def test_lognormal_fit_symmetric_on_geometric_lengths(spark):
+    from inde1_spark.operators.corpus import lognormal_length_fit
+
+    # log-symmetric lengths (powers of 2 around 2^10): mean(log)==median(log)
+    lens = [2 ** (10 + d) for d in (-3, -2, -1, 0, 0, 0, 1, 2, 3)]
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "a", n) for i, n in enumerate(lens)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = lognormal_length_fit(docs).collect()[0]
+    assert r["n_docs"] == 9
+    assert abs(r["mean_median_gap"]) < 1e-6
+    assert not r["asymmetric_flag"]
+    assert r["sigma_log"] > 0
