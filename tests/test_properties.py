@@ -514,3 +514,53 @@ def test_kendall_tau_equals_brute_force(spark, rows):
             assert got[key][0] == C and got[key][1] == D, (key, got.get(key), C, D)
             tau_ref = (C - D) / sqrt(float(n0 - n1) * float(n0 - n2))
             assert abs(got[key][2] - tau_ref) < 1e-9, (key, got[key][2], tau_ref)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_merge_rule_guarantees(chunks):
+    """The streaming heavy-hitter merge rule (test_streaming_corpus.
+    _mg_reference == space_saving_stream, pinned there) must satisfy the
+    classic MG guarantees on EVERY chunking: est <= true <= est + dec per
+    surviving key, and any key with true count > dec survives."""
+    from tests.test_streaming_corpus import _mg_reference
+
+    capacity, n_shards = 4, 2
+    got = _mg_reference(chunks, capacity, n_shards)
+    true: dict = {}
+    for chunk in chunks:
+        for uid in chunk:
+            true[uid] = true.get(uid, 0) + 1
+    # per-shard decrements replayed independently (a shard whose summary
+    # empties emits no rows, so its dec is invisible through `got`)
+    state = {s: ({}, 0) for s in range(n_shards)}
+    for chunk in chunks:
+        per_shard = {}
+        for uid in chunk:
+            per_shard.setdefault(uid % n_shards, {}).setdefault(uid, 0)
+            per_shard[uid % n_shards][uid] += 1
+        for s, batch_counts in per_shard.items():
+            summary, dec = state[s]
+            for k, c in batch_counts.items():
+                summary[k] = summary.get(k, 0) + c
+            if len(summary) > capacity:
+                ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+                t = ordered[capacity][1]
+                dec += t
+                summary = {k: c - t for k, c in ordered[:capacity] if c - t > 0}
+            state[s] = (summary, dec)
+    decs = {s: dec for s, (_summ, dec) in state.items()}
+    for (s, k), (est, dec) in got.items():
+        assert est <= true[k] <= est + dec, (k, est, true[k], dec)
+        assert len([1 for (s2, _), _ in got.items() if s2 == s]) <= capacity
+        assert dec == decs[s]
+    for k, t in true.items():
+        s = k % n_shards
+        if t > decs[s]:
+            assert (s, k) in got, (k, t, decs[s])

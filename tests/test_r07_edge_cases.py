@@ -336,3 +336,77 @@ def test_lognormal_fit_symmetric_on_geometric_lengths(spark):
     assert abs(r["mean_median_gap"]) < 1e-6
     assert not r["asymmetric_flag"]
     assert r["sigma_log"] > 0
+
+
+def test_r07_ops_survive_empty_inputs(spark):
+    """Every r07 operator must plan and execute on empty inputs without
+    raising — the gate never sees empties, users do."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StringType,
+        StructField, StructType, TimestampType, DoubleType,
+    )
+
+    ev_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    doc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    emb_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    empty_ev = spark.createDataFrame([], ev_schema)
+    empty_doc = spark.createDataFrame([], doc_schema)
+    empty_emb = spark.createDataFrame([], emb_schema)
+
+    from inde1_spark.operators import analytics as A
+    from inde1_spark.operators import corpus as C
+    from inde1_spark.operators import dedup as D
+    from inde1_spark.operators import similarity as S
+    from inde1_spark.operators import text as T
+
+    event_ops = [
+        A.turning_points_test, A.bartels_rank_vn, A.poisson_rate_ci,
+        A.grubbs_daily_outlier, A.odds_ratio_daily, A.mood_median_test,
+        A.page_trend_test, A.granger_daily, A.zonemap_prune_audit,
+        A.ivm_merge_check, A.winsorized_stats, A.cvm_two_sample,
+        A.two_proportion_z, A.capture_recapture, A.cochran_armitage_trend,
+    ]
+    for op in event_ops:
+        rows = op(empty_ev).collect()
+        assert len(rows) <= 5, op.__name__
+    assert D.degree_assortativity(empty_doc).collect()[0]["n_edges"] == 0
+    assert T.rake_keywords(empty_doc).collect() == []
+    assert C.lognormal_length_fit(empty_doc).collect() == []
+    assert S.embedding_cka(empty_emb).count() <= 1
+    assert S.ivf_nprobe_sweep(empty_emb).count() <= 3
+    from inde1_spark.operators.tpch import __name__ as _  # noqa: F401
+    from inde1_spark.operators.analytics import join_order_audit
+
+    empty_orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date, o_orderpriority string, "
+            "o_clerk string, o_shippriority int, o_comment string"
+    )
+    cust = spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_address string, "
+            "c_nationkey long, c_phone string, c_acctbal double, "
+            "c_mktsegment string, c_comment string"
+    )
+    nat = spark.createDataFrame(
+        [], "n_nationkey long, n_name string, n_regionkey long, n_comment string"
+    )
+    out = join_order_audit(empty_orders, cust, nat).collect()
+    assert len(out) == 2
+    assert all(r["intermediate_rows"] == "0" for r in out)
