@@ -7148,7 +7148,7 @@ def _skew_audit_sql() -> str:
         parts.append(f"""
 SELECT '{name}' AS key_col, n_rows, n_keys, max_key_rows, p99_key_rows,
        CAST(skew_milli AS DOUBLE) / 1e3 AS skew_ratio,
-       GREATEST((skew_milli + {t} - 1) // {t}, 1) AS suggested_salt
+       CAST(GREATEST((skew_milli + {t} - 1) // {t}, 1) AS BIGINT) AS suggested_salt
 FROM (
   WITH counts AS MATERIALIZED (
     SELECT {expr} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
