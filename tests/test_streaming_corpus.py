@@ -464,3 +464,87 @@ def test_space_saving_under_capacity_is_exact(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert final == {u: (20, 0) for u in range(6)}
+
+
+def test_hll_distinct_stream_matches_batch(spark, tmp_path):
+    """HLL register merge is commutative+idempotent (register-wise max),
+    so incremental micro-batch accumulation must equal one batch pass
+    EXACTLY — including the estimator's rounding. Chunks are event-time
+    ordered (the CLAUDE.md mtime convention) and a far-future flush row
+    advances the watermark past every real window."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from inde1_spark.streaming.pipelines import hll_distinct_stream
+
+    base = datetime(2024, 3, 4, 0, 30, 0)
+    rows = []
+    for i in range(600):
+        rows.append(
+            (i, base + timedelta(minutes=(i * 7) % 300),
+             100 + (i * 13) % 37, "view" if i % 3 else "click", 1.0, "{}")
+        )
+    rows.sort(key=lambda r: r[1])  # event-time-ordered chunking
+    flush = (10_000, base + timedelta(days=10), 1, "flush", 1.0, "{}")
+    batch = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    data_dir = tmp_path / "hll_data"
+    data_dir.mkdir()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third: 2 * third], rows[2 * third:] + [flush]]
+    for i, chunk in enumerate(chunks):
+        lines = [
+            '{"event_id": %d, "ts": "%s", "user_id": %d, '
+            '"event_type": "%s", "value": 1.0, "props": "{}"}'
+            % (e, ts.strftime("%Y-%m-%d %H:%M:%S"), u, t)
+            for (e, ts, u, t, _v, _p) in chunk
+        ]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(lines))
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: dict = {}
+
+    def grab(df, _id):
+        for r in df.collect():
+            got[(r["window_start"], r["event_type"])] = (
+                r["n_distinct_users"], r["n_events"]
+            )
+
+    q = (
+        hll_distinct_stream(stream)
+        .writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n_distinct_users"], r["n_events"]
+        )
+        for r in hll_distinct_stream(batch).collect()
+    }
+    assert got == want and len(want) >= 5
+    # sanity: the estimate tracks the exact distinct count
+    exact = {
+        (r["ws"], r["event_type"]): r["d"]
+        for r in batch.groupBy(
+            F.date_format(F.window("ts", "1 hour").start,
+                          "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        ).agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    for k, (est, _n) in want.items():
+        assert abs(est - exact[k]) <= max(2, int(0.1 * exact[k])), (k, est, exact[k])
