@@ -1249,3 +1249,116 @@ SPARK_SQL["jsd_sources"] = _jsd_sources_spark_sql()
 def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(SPARK_SQL[name])
+
+
+def _winsorized_spark_sql() -> str:
+    """Winsorized per-type stats as ONE Spark SQL statement — the SQL
+    surface of analytics.winsorized_stats (same order-statistic bounds,
+    decimal moments, digit-split conversions)."""
+    s = "CAST(s AS DECIMAL(38,0))"
+    var_num = (
+        f"CAST(CAST(n AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))"
+        f" - {s} * {s} AS DECIMAL(38,0))"
+    )
+    return f"""
+        WITH ranked AS (
+          SELECT event_type,
+                 CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+                 CAST(row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY CAST(floor(value * 1e6 + 0.5) AS BIGINT),
+                                 event_id) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM events
+        ),
+        kk AS (SELECT *, (n * 5) div 100 AS k FROM ranked),
+        lo AS (SELECT event_type, v AS lo_v FROM kk WHERE rn = k + 1),
+        hi AS (SELECT event_type, v AS hi_v FROM kk WHERE rn = n - k),
+        clamped AS (
+          SELECT kk.event_type, kk.n, kk.k,
+                 GREATEST(LEAST(kk.v, hi.hi_v), lo.lo_v) AS w,
+                 lo.lo_v, hi.hi_v
+          FROM kk JOIN lo ON kk.event_type = lo.event_type
+                  JOIN hi ON kk.event_type = hi.event_type
+        ),
+        agg AS (
+          SELECT event_type,
+                 MAX(n) AS n, MAX(k) AS k_trimmed,
+                 MAX(lo_v) AS lo_v, MAX(hi_v) AS hi_v,
+                 CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS ss
+          FROM clamped GROUP BY 1
+        )
+        SELECT event_type, n, k_trimmed,
+               CAST(lo_v AS DOUBLE) / 1e6 AS winsor_lo,
+               CAST(hi_v AS DOUBLE) / 1e6 AS winsor_hi,
+               {_sql_dec2d(s)} / CAST(n AS DOUBLE) / 1e6 AS wins_mean,
+               sqrt(GREATEST({_sql_dec2d(var_num)}, 0.0)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0))) / 1e6
+                 AS wins_std
+        FROM agg
+        ORDER BY event_type
+    """
+
+
+SPARK_SQL["winsorized_stats"] = _winsorized_spark_sql()
+
+
+def _capture_recapture_spark_sql() -> str:
+    """Chapman capture-recapture as ONE Spark SQL statement — the SQL
+    surface of analytics.capture_recapture (same midpoint split,
+    digit-split products, Seber SE, exact coverage ratio)."""
+    prod = (
+        "CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * CAST(n2 + 1 AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0))"
+    )
+    prod3 = (
+        "CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * CAST(n2 + 1 AS DECIMAL(38,0))"
+        " * CAST(n1 - m AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+    )
+    return f"""
+        WITH rng AS (
+          SELECT MIN(unix_timestamp(ts)) AS t0, MAX(unix_timestamp(ts)) AS t1
+          FROM events
+        ),
+        mid AS (SELECT t0 + (t1 - t0) div 2 AS mid FROM rng),
+        per_user AS (
+          SELECT user_id,
+                 MAX(CASE WHEN unix_timestamp(ts) < mid THEN 1 ELSE 0 END)
+                   AS in1,
+                 MAX(CASE WHEN unix_timestamp(ts) >= mid THEN 1 ELSE 0 END)
+                   AS in2
+          FROM events, mid GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+                 CAST(SUM(in2) AS BIGINT) AS n2,
+                 CAST(SUM(in1 * in2) AS BIGINT) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS n_observed
+          FROM per_user
+        ),
+        calc AS (
+          SELECT n1, n2, m, n_observed,
+                 {_sql_dec2d(prod)} / CAST(m + 1 AS DOUBLE) - 1.0 AS est,
+                 {_sql_dec2d(prod3)} * CAST(n2 - m AS DOUBLE)
+                   / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                      * CAST(m + 2 AS DOUBLE)) AS var_est
+          FROM agg
+        ),
+        fin AS (
+          SELECT *, GREATEST(CAST(floor(est + 0.5) AS BIGINT), 1) AS est_l
+          FROM calc
+        )
+        SELECT n1, n2, m AS m_overlap, n_observed,
+               est AS est_total,
+               sqrt(GREATEST(var_est, 0.0)) AS se_total,
+               (CAST((n_observed * 100 * 20000 + est_l)
+                     - (n_observed * 100 * 20000 + est_l) % (est_l * 2)
+                     AS DOUBLE) / CAST(est_l * 2 AS DOUBLE)) / 10000.0
+                 AS coverage_pct
+        FROM fin
+    """
+
+
+SPARK_SQL["capture_recapture"] = _capture_recapture_spark_sql()
