@@ -1720,3 +1720,33 @@ def test_cochran_armitage_seven_cell_reduce(spark):
 def test_lognormal_fit_projection_and_bounded_rank(spark):
     r = plan_report(Q["lognormal_length_fit"](spark, SF_SMOKE))
     assert r.sort_merge_joins == 0
+
+
+# --- blanket structural invariants over EVERY query (r07) -------------------
+# Bespoke pins above cover ~2/3 of the surface; these two invariants hold
+# for ALL 314 queries (measured by a full plan sweep) and fence the two
+# worst structural regressions an edit can introduce.
+
+import pytest as _pytest
+
+# the only sanctioned Python-on-executor paths: Arrow-batched multimodal
+_ARROW_OK = {"multimodal_features", "multimodal_frames"}
+
+
+@_pytest.mark.parametrize("qname", sorted(entrymod.queries()))
+def test_no_cartesian_no_row_udf_anywhere(spark, qname):
+    r = plan_report(Q[qname](spark, SF_SMOKE))
+    assert "CartesianProduct" not in r.raw, (
+        f"{qname}: CartesianProduct entered the plan — every crossJoin in "
+        "this engine must stay a broadcast nested-loop over a bounded side"
+    )
+    assert "BatchEvalPython" not in r.raw, (
+        f"{qname}: row-at-a-time Python UDF entered the plan (the engine's "
+        "§2.9 contract is zero; use built-ins or Arrow-batched pandas)"
+    )
+    if qname not in _ARROW_OK:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in r.raw, (
+                f"{qname}: unexpected {node} — Python executor paths are "
+                "sanctioned only for the multimodal decode plumbing"
+            )
