@@ -1362,3 +1362,146 @@ def _capture_recapture_spark_sql() -> str:
 
 
 SPARK_SQL["capture_recapture"] = _capture_recapture_spark_sql()
+
+
+def _cvm_spark_sql() -> str:
+    """CvM two-sample as ONE Spark SQL statement — the SQL surface of
+    analytics.cvm_two_sample (same pooled total order, exact decimal U,
+    digit-split mirrored T chain)."""
+    u_dec = (
+        "CAST(CAST(m AS DECIMAL(38,0)) * CAST(sqx AS DECIMAL(38,0))"
+        " + CAST(n AS DECIMAL(38,0)) * CAST(sqy AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0))"
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1, 2
+        ),
+        pooled AS (
+          SELECT (event_type = 'view') AS is_x, day, v,
+                 CAST(row_number() OVER (ORDER BY v, event_type, day)
+                      AS BIGINT) AS r
+          FROM daily
+        ),
+        within AS (
+          SELECT is_x, r,
+                 CAST(row_number() OVER (PARTITION BY is_x ORDER BY r)
+                      AS BIGINT) AS i
+          FROM pooled
+        ),
+        agg AS (
+          SELECT is_x, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 SUM(CAST(r - i AS DECIMAL(38,0))
+                     * CAST(r - i AS DECIMAL(38,0))) AS sq
+          FROM within GROUP BY 1
+        ),
+        two AS (
+          SELECT MAX(CASE WHEN is_x THEN cnt END) AS m,
+                 MAX(CASE WHEN NOT is_x THEN cnt END) AS n,
+                 MAX(CASE WHEN is_x THEN sq END) AS sqx,
+                 MAX(CASE WHEN NOT is_x THEN sq END) AS sqy
+          FROM agg
+        ),
+        calc AS (
+          SELECT m, n, {_sql_dec2d(u_dec)} AS u_d,
+                 CAST(m AS DOUBLE) AS m_d, CAST(n AS DOUBLE) AS n_d
+          FROM two WHERE m IS NOT NULL AND n IS NOT NULL
+        ),
+        tt AS (
+          SELECT m, n, u_d,
+                 u_d / ((m_d + n_d) * m_d * n_d)
+                   - (4.0 * m_d * n_d - 1.0) / (6.0 * (m_d + n_d)) AS t
+          FROM calc
+        )
+        SELECT m AS n_entry_days, n AS n_exit_days, u_d AS u_stat,
+               t AS t_stat, t > CAST(0.461 AS DOUBLE) AS different_5pct
+        FROM tt
+    """
+
+
+SPARK_SQL["cvm_two_sample"] = _cvm_spark_sql()
+
+
+def _granger_spark_sql() -> str:
+    """Lag-1 Granger F as ONE Spark SQL statement — the SQL surface of
+    analytics.granger_daily (decimal centered moments, Cramer's-rule
+    RSS chain)."""
+
+    def cen(spp, s1, s2):
+        return _sql_dec2d(
+            f"CAST(CAST(n AS DECIMAL(38,0)) * CAST({spp} AS DECIMAL(38,0))"
+            f" - CAST({s1} AS DECIMAL(38,0)) * CAST({s2} AS DECIMAL(38,0))"
+            f" AS DECIMAL(38,0))"
+        )
+
+    return f"""
+        WITH daily AS (
+          SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ent,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ext
+          FROM events GROUP BY 1
+        ),
+        pairs AS (
+          SELECT ext AS yv,
+                 lag(ext) OVER (ORDER BY day) AS av,
+                 lag(ent) OVER (ORDER BY day) AS bv
+          FROM daily
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yv) AS BIGINT) AS sy,
+                 CAST(SUM(av) AS BIGINT) AS sa,
+                 CAST(SUM(bv) AS BIGINT) AS sb,
+                 SUM(CAST(yv AS DECIMAL(38,0)) * CAST(yv AS DECIMAL(38,0))) AS syy,
+                 SUM(CAST(av AS DECIMAL(38,0)) * CAST(av AS DECIMAL(38,0))) AS saa,
+                 SUM(CAST(bv AS DECIMAL(38,0)) * CAST(bv AS DECIMAL(38,0))) AS sbb,
+                 SUM(CAST(av AS DECIMAL(38,0)) * CAST(yv AS DECIMAL(38,0))) AS say,
+                 SUM(CAST(bv AS DECIMAL(38,0)) * CAST(yv AS DECIMAL(38,0))) AS sby,
+                 SUM(CAST(av AS DECIMAL(38,0)) * CAST(bv AS DECIMAL(38,0))) AS sab
+          FROM pairs WHERE av IS NOT NULL
+        ),
+        cen AS (
+          SELECT n, CAST(n AS DOUBLE) AS n_d,
+                 {cen("syy", "sy", "sy")} AS cyy,
+                 {cen("saa", "sa", "sa")} AS caa,
+                 {cen("sbb", "sb", "sb")} AS cbb,
+                 {cen("say", "sa", "sy")} AS cay,
+                 {cen("sby", "sb", "sy")} AS cby,
+                 {cen("sab", "sa", "sb")} AS cab
+          FROM s WHERE n >= 4
+        ),
+        rr AS (
+          SELECT *, caa * cbb - cab * cab AS det,
+                 CASE WHEN caa <= 0 THEN cyy / (n_d * n_d)
+                      ELSE (cyy - cay * cay / caa) / (n_d * n_d) END AS rss_r
+          FROM cen
+        ),
+        uu AS (
+          SELECT *, CASE WHEN det <= 0 THEN rss_r
+                         ELSE (cyy - (cbb * cay * cay
+                                      - 2.0 * cab * cay * cby
+                                      + caa * cby * cby) / det)
+                              / (n_d * n_d) END AS rss_u
+          FROM rr
+        ),
+        ff AS (
+          SELECT n, rss_r, rss_u,
+                 CASE WHEN rss_u <= 0 OR det <= 0 OR caa <= 0 THEN 0.0
+                      ELSE GREATEST(rss_r - rss_u, 0.0) * (n_d - 3.0) / rss_u
+                 END AS f_stat
+          FROM uu
+        )
+        SELECT n AS n_pairs, rss_r AS rss_restricted,
+               rss_u AS rss_unrestricted, f_stat,
+               f_stat > CAST(3.84 AS DOUBLE) AS granger_5pct
+        FROM ff
+    """
+
+
+SPARK_SQL["granger_daily"] = _granger_spark_sql()
