@@ -45,17 +45,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r07 window: the 16 r05-overflow entries (market_basket_lift..
-    theil_sen_slope) plus the first 34 r06 additions (kruskal_wallis..
-    matryoshka_recall) — all never driver-verified, all locally hash-green
-    at sf0.001 AND sf0.01. The remaining 22 r06 additions
-    (entropy_rate_markov..lorenz_curve) head the r08 queue, followed by
-    the 21 r07 additions (turning_points_test..lognormal_length_fit) —
-    rotation budget honored (r06 verdict item 2: <=28), so the r08
-    window is exactly 22 + 21 = 43 never-verified entries plus 7
-    re-confirmations of the oldest greens, completing lifetime driver
-    coverage. No pre-existing output changed this round (pinned by
-    tests/test_oracle_parity.py).
+    r08 window: the 22 r06 leftovers (entropy_rate_markov..lorenz_curve)
+    plus the 21 r07 additions (turning_points_test..lognormal_length_fit)
+    — the last never-driver-verified entries, all locally hash-green at
+    sf0.001 AND sf0.01 — plus 7 re-confirmations of the oldest greens
+    (hourly_stats, occupancy_asof, session_pairing, alerts,
+    cumulative_series, weekly_revenue_by_type, pricing_summary, last
+    driver rows r01/r02). 43 + 7 = exactly 50; a green CORRECTNESS_r08
+    completes lifetime driver coverage 314/314. ZERO production queries
+    were added this round (r07 verdict item 1). Two window entries
+    changed output intentionally this round, BEFORE any driver row pinned
+    them: granger_daily (rss columns now true RSS, /n not /n^2) and
+    join_order_audit (tie-break to plan A via row_number) — both mirrored
+    across all twins, both ADVICE-r07 fixes.
+
+    STEADY-STATE CADENCE (from r09 on, the queue being empty): every
+    window slot is a re-confirmation. Draw the 50 entries whose last
+    driver row is OLDEST (round number, then dict order) so no query's
+    last driver row ages past ~6 rounds (314/50 = 6.3); new queries, when
+    additions resume, still jump the queue per the rotation policy above.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -70,7 +78,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: r05 overflow (16) + r06 first batch (34)
+        # --- never driver-verified: the 22 r06 leftovers ---
+        "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
+            _t(sp, d, "events")
+        ),
+        "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
+            _t(sp, d, "embeddings")
+        ),
+        "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
+        "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
+        "periodogram_daily": lambda sp, d: A.periodogram_daily(
+            _t(sp, d, "events")
+        ),
+        "rm3_expansion": lambda sp, d: SC.rm3_expansion(_t(sp, d, "documents")),
+        "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
+            _t(sp, d, "embeddings")
+        ),
+        "hill_tail_index": lambda sp, d: A.hill_tail_index(_t(sp, d, "events")),
+        "did_estimate": lambda sp, d: A.did_estimate(_t(sp, d, "events")),
+        "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
+            _t(sp, d, "events")
+        ),
+        "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
+        "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
+        "wilson_intervals": lambda sp, d: A.wilson_intervals(
+            _t(sp, d, "events")
+        ),
+        "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
+        "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
+            _t(sp, d, "events")
+        ),
+        "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
+        "clustering_agreement": lambda sp, d: CL.clustering_agreement(
+            _t(sp, d, "embeddings")
+        ),
+        "embedding_drift": lambda sp, d: S.embedding_drift(
+            _t(sp, d, "embeddings")
+        ),
+        "dispersion_check": lambda sp, d: A.dispersion_check(
+            _t(sp, d, "events")
+        ),
+        "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
+        "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
+        "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
+        # --- never driver-verified: the 21 r07 additions ---
+        "turning_points_test": lambda sp, d: A.turning_points_test(
+            _t(sp, d, "events")
+        ),
+        "bartels_rank_vn": lambda sp, d: A.bartels_rank_vn(_t(sp, d, "events")),
+        "poisson_rate_ci": lambda sp, d: A.poisson_rate_ci(_t(sp, d, "events")),
+        "grubbs_daily_outlier": lambda sp, d: A.grubbs_daily_outlier(
+            _t(sp, d, "events")
+        ),
+        "odds_ratio_daily": lambda sp, d: A.odds_ratio_daily(
+            _t(sp, d, "events")
+        ),
+        "mood_median_test": lambda sp, d: A.mood_median_test(
+            _t(sp, d, "events")
+        ),
+        "page_trend_test": lambda sp, d: A.page_trend_test(_t(sp, d, "events")),
+        "granger_daily": lambda sp, d: A.granger_daily(_t(sp, d, "events")),
+        "zonemap_prune_audit": lambda sp, d: A.zonemap_prune_audit(
+            _t(sp, d, "events")
+        ),
+        "ivm_merge_check": lambda sp, d: A.ivm_merge_check(_t(sp, d, "events")),
+        "winsorized_stats": lambda sp, d: A.winsorized_stats(
+            _t(sp, d, "events")
+        ),
+        "degree_assortativity": lambda sp, d: D.degree_assortativity(
+            _t(sp, d, "documents")
+        ),
+        "embedding_cka": lambda sp, d: S.embedding_cka(_t(sp, d, "embeddings")),
+        "ivf_nprobe_sweep": lambda sp, d: S.ivf_nprobe_sweep(
+            _t(sp, d, "embeddings")
+        ),
+        "rake_keywords": lambda sp, d: T.rake_keywords(_t(sp, d, "documents")),
+        "cvm_two_sample": lambda sp, d: A.cvm_two_sample(_t(sp, d, "events")),
+        "two_proportion_z": lambda sp, d: A.two_proportion_z(
+            _t(sp, d, "events")
+        ),
+        "capture_recapture": lambda sp, d: A.capture_recapture(
+            _t(sp, d, "events")
+        ),
+        "join_order_audit": lambda sp, d: A.join_order_audit(
+            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "cochran_armitage_trend": lambda sp, d: A.cochran_armitage_trend(
+            _t(sp, d, "events")
+        ),
+        "lognormal_length_fit": lambda sp, d: C.lognormal_length_fit(
+            _t(sp, d, "documents")
+        ),
+        # --- re-confirmations: the 7 oldest greens (driver rows r01/r02) ---
+        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
+        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
+        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
+        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
+        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
+        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
+            _t(sp, d, "events")
+        ),
+        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
+        # ============== end gate window ===================================
+        # r07 gate-green block (all 50 hash-green in CORRECTNESS_r07;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "market_basket_lift": lambda sp, d: A.market_basket_lift(
             _t(sp, d, "lineitem")
         ),
@@ -182,101 +293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "matryoshka_recall": lambda sp, d: S.matryoshka_recall(
             _t(sp, d, "embeddings")
-        ),
-        # ============== end gate window ===================================
-        # r08 rotation queue head: the 22 r06 operators that did not fit
-        # this window (entropy_rate_markov..lorenz_curve), then any r07
-        # additions. Rotation budget (r06 verdict item 2): r07 adds <=28 new
-        # production queries so the r08 window retires the whole queue.
-        "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
-            _t(sp, d, "events")
-        ),
-        "ann_rank_overlap_rbo": lambda sp, d: S.ann_rank_overlap_rbo(
-            _t(sp, d, "embeddings")
-        ),
-        "sprt_entry_bias": lambda sp, d: A.sprt_entry_bias(_t(sp, d, "events")),
-        "pacf_daily": lambda sp, d: A.pacf_daily(_t(sp, d, "events")),
-        "periodogram_daily": lambda sp, d: A.periodogram_daily(
-            _t(sp, d, "events")
-        ),
-        "rm3_expansion": lambda sp, d: SC.rm3_expansion(_t(sp, d, "documents")),
-        "prototypicality_prune": lambda sp, d: CL.prototypicality_prune(
-            _t(sp, d, "embeddings")
-        ),
-        "hill_tail_index": lambda sp, d: A.hill_tail_index(_t(sp, d, "events")),
-        "did_estimate": lambda sp, d: A.did_estimate(_t(sp, d, "events")),
-        "cuped_adjustment": lambda sp, d: A.cuped_adjustment(
-            _t(sp, d, "events")
-        ),
-        "srm_check": lambda sp, d: A.srm_check(_t(sp, d, "events")),
-        "power_mde_plan": lambda sp, d: A.power_mde_plan(_t(sp, d, "events")),
-        "wilson_intervals": lambda sp, d: A.wilson_intervals(
-            _t(sp, d, "events")
-        ),
-        "peak_detection": lambda sp, d: A.peak_detection(_t(sp, d, "events")),
-        "hitting_time_markov": lambda sp, d: A.hitting_time_markov(
-            _t(sp, d, "events")
-        ),
-        "dtw_entry_exit": lambda sp, d: A.dtw_entry_exit(_t(sp, d, "events")),
-        "clustering_agreement": lambda sp, d: CL.clustering_agreement(
-            _t(sp, d, "embeddings")
-        ),
-        "embedding_drift": lambda sp, d: S.embedding_drift(
-            _t(sp, d, "embeddings")
-        ),
-        "dispersion_check": lambda sp, d: A.dispersion_check(
-            _t(sp, d, "events")
-        ),
-        "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
-        "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
-        "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
-        # --- added in r07 (within the 28-entry rotation budget) ---
-        "turning_points_test": lambda sp, d: A.turning_points_test(
-            _t(sp, d, "events")
-        ),
-        "bartels_rank_vn": lambda sp, d: A.bartels_rank_vn(_t(sp, d, "events")),
-        "poisson_rate_ci": lambda sp, d: A.poisson_rate_ci(_t(sp, d, "events")),
-        "grubbs_daily_outlier": lambda sp, d: A.grubbs_daily_outlier(
-            _t(sp, d, "events")
-        ),
-        "odds_ratio_daily": lambda sp, d: A.odds_ratio_daily(
-            _t(sp, d, "events")
-        ),
-        "mood_median_test": lambda sp, d: A.mood_median_test(
-            _t(sp, d, "events")
-        ),
-        "page_trend_test": lambda sp, d: A.page_trend_test(_t(sp, d, "events")),
-        "granger_daily": lambda sp, d: A.granger_daily(_t(sp, d, "events")),
-        "zonemap_prune_audit": lambda sp, d: A.zonemap_prune_audit(
-            _t(sp, d, "events")
-        ),
-        "ivm_merge_check": lambda sp, d: A.ivm_merge_check(_t(sp, d, "events")),
-        "winsorized_stats": lambda sp, d: A.winsorized_stats(
-            _t(sp, d, "events")
-        ),
-        "degree_assortativity": lambda sp, d: D.degree_assortativity(
-            _t(sp, d, "documents")
-        ),
-        "embedding_cka": lambda sp, d: S.embedding_cka(_t(sp, d, "embeddings")),
-        "ivf_nprobe_sweep": lambda sp, d: S.ivf_nprobe_sweep(
-            _t(sp, d, "embeddings")
-        ),
-        "rake_keywords": lambda sp, d: T.rake_keywords(_t(sp, d, "documents")),
-        "cvm_two_sample": lambda sp, d: A.cvm_two_sample(_t(sp, d, "events")),
-        "two_proportion_z": lambda sp, d: A.two_proportion_z(
-            _t(sp, d, "events")
-        ),
-        "capture_recapture": lambda sp, d: A.capture_recapture(
-            _t(sp, d, "events")
-        ),
-        "join_order_audit": lambda sp, d: A.join_order_audit(
-            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation")
-        ),
-        "cochran_armitage_trend": lambda sp, d: A.cochran_armitage_trend(
-            _t(sp, d, "events")
-        ),
-        "lognormal_length_fit": lambda sp, d: C.lognormal_length_fit(
-            _t(sp, d, "documents")
         ),
         # r06 gate-green block (all 50 hash-green in CORRECTNESS_r06;
         # pinned locally by tests/test_oracle_parity.py every run).
@@ -443,16 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": lambda sp, d: A.rfm_segments(_t(sp, d, "events")),
         "cohort_ltv": lambda sp, d: A.cohort_ltv(_t(sp, d, "events")),
         "user_burstiness": lambda sp, d: A.user_burstiness(_t(sp, d, "events")),
-        # --- re-confirmations: oldest greens (last driver rows r01/r02) ---
-        "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
-        "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
-        "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
-        "alerts": lambda sp, d: A.alerts(_t(sp, d, "events"), _t(sp, d, "customer")),
-        "cumulative_series": lambda sp, d: A.cumulative_series(_t(sp, d, "events")),
-        "weekly_revenue_by_type": lambda sp, d: A.weekly_revenue_by_type(
-            _t(sp, d, "events")
-        ),
-        "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
+        # --- r05 re-confirmation block (the 7 oldest r01/r02 greens now sit
+        # in the r08 gate window above; the rest stay here) ---
         "top_revenue_orders": lambda sp, d: Q.top_revenue_orders(
             _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
         ),

@@ -8519,12 +8519,12 @@ def granger_daily(events: DataFrame) -> DataFrame:
     )
     n_d = F.col("n").cast("double")
     det = caa * cbb - cab * cab
-    rss_r = F.when(caa <= 0, cyy / (n_d * n_d)).otherwise(
-        (cyy - cay * cay / caa) / (n_d * n_d)
+    rss_r = F.when(caa <= 0, cyy / n_d).otherwise(
+        (cyy - cay * cay / caa) / n_d
     )
     rss_u = F.when(det <= 0, rss_r).otherwise(
         (cyy - (cbb * cay * cay - F.lit(2.0) * cab * cay * cby + caa * cby * cby) / det)
-        / (n_d * n_d)
+        / n_d
     )
     f_stat = F.when(
         (rss_u <= 0) | (det <= 0) | (caa <= 0), F.lit(0.0)
@@ -9056,15 +9056,14 @@ def join_order_audit(
         F.col("rows_dec"),
     )
     both = a.unionByName(b).crossJoin(F.broadcast(final))
-    w = Window.partitionBy()
+    # tie-break to plan A: on equal rows_dec, 'orders_customer_first' sorts
+    # last alphabetically, so rank (rows_dec ASC, plan DESC) and pick rank 1
+    w = Window.orderBy(F.col("rows_dec").asc(), F.col("plan").desc())
     return both.select(
         "plan",
         F.col("rows_dec").cast("string").alias("intermediate_rows"),
         F.col("final_dec").cast("string").alias("final_rows"),
-        (
-            F.col("rows_dec")
-            == F.min("rows_dec").over(w)
-        ).alias("is_cheapest"),
+        (F.row_number().over(w) == F.lit(1)).alias("is_cheapest"),
     ).orderBy("plan")
 
 

@@ -10135,15 +10135,15 @@ cen AS (
 rr AS (
   SELECT n, n_d, cyy, caa, cbb, cay, cby, cab,
          caa * cbb - cab * cab AS det,
-         CASE WHEN caa <= 0 THEN cyy / (n_d * n_d)
-              ELSE (cyy - cay * cay / caa) / (n_d * n_d) END AS rss_r
+         CASE WHEN caa <= 0 THEN cyy / n_d
+              ELSE (cyy - cay * cay / caa) / n_d END AS rss_r
   FROM cen
 ),
 uu AS (
   SELECT n, n_d, caa, det, rss_r,
          CASE WHEN det <= 0 THEN rss_r
               ELSE (cyy - (cbb * cay * cay - 2.0 * cab * cay * cby
-                           + caa * cby * cby) / det) / (n_d * n_d) END AS rss_u
+                           + caa * cby * cby) / det) / n_d END AS rss_u
   FROM rr
 ),
 ff AS (
@@ -10677,7 +10677,7 @@ plans AS (
 SELECT plan,
        CAST(rows_dec AS VARCHAR) AS intermediate_rows,
        CAST(final_dec AS VARCHAR) AS final_rows,
-       rows_dec = MIN(rows_dec) OVER () AS is_cheapest
+       row_number() OVER (ORDER BY rows_dec ASC, plan DESC) = 1 AS is_cheapest
 FROM plans, fin
 ORDER BY plan
 """

@@ -1093,7 +1093,8 @@ SPARK_SQL: dict[str, str] = {
         SELECT plan,
                CAST(rows_dec AS STRING) AS intermediate_rows,
                CAST(final_dec AS STRING) AS final_rows,
-               rows_dec = MIN(rows_dec) OVER () AS is_cheapest
+               row_number() OVER (ORDER BY rows_dec ASC, plan DESC) = 1
+                 AS is_cheapest
         FROM plans, fin
         ORDER BY plan
     """,
@@ -1478,8 +1479,8 @@ def _granger_spark_sql() -> str:
         ),
         rr AS (
           SELECT *, caa * cbb - cab * cab AS det,
-                 CASE WHEN caa <= 0 THEN cyy / (n_d * n_d)
-                      ELSE (cyy - cay * cay / caa) / (n_d * n_d) END AS rss_r
+                 CASE WHEN caa <= 0 THEN cyy / n_d
+                      ELSE (cyy - cay * cay / caa) / n_d END AS rss_r
           FROM cen
         ),
         uu AS (
@@ -1487,7 +1488,7 @@ def _granger_spark_sql() -> str:
                          ELSE (cyy - (cbb * cay * cay
                                       - 2.0 * cab * cay * cby
                                       + caa * cby * cby) / det)
-                              / (n_d * n_d) END AS rss_u
+                              / n_d END AS rss_u
           FROM rr
         ),
         ff AS (
