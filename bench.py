@@ -231,6 +231,82 @@ def _calibration_sec(spark) -> float:
     return med
 
 
+# Scale-sweep (r07 verdict item 3): re-time the N most expensive headline
+# queries at every SMALLER sf sibling of SF_DIR and fit the per-query
+# scaling exponent (slope of log t vs log sf). Local[32] signal for a
+# 100x scale-killer that plan pins can't see (e.g. candidate-pair growth
+# in dedup verifies): wall time growing superlinearly in sf.
+N_SCALING_TOP = int(os.environ.get("SPARK_GRAFT_SCALING_TOP", "10"))
+SCALING_FLAG_EXPONENT = 1.3
+
+
+def _scaling_sweep(spark, queries, timings: dict[str, float]) -> dict:
+    """Per-query scaling section for BENCH_DETAIL.json (never the stdout
+    line — the recorder's 2000-char tail window is sacred).
+
+    Fixed per-job overhead (~0.1-0.4 s of scheduling/JIT at sf0.001)
+    biases the full OLS fit DOWN, so the flag keys off ``tail_exponent``
+    — the log-log slope of the LARGEST sf segment (sf0.01 -> sf0.1 in the
+    standard tree), where overhead is smallest relative to real work.
+    """
+    import math
+
+    from inde1_spark.operators.dedup import release_persisted
+
+    sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        cur_sf = float(sf_raw)
+    except ValueError:
+        return {}
+    parent = os.path.dirname(SF_DIR.rstrip("/"))
+    smaller: list[tuple[float, str]] = []
+    for d in sorted(glob.glob(os.path.join(parent, "sf*"))):
+        try:
+            sfv = float(os.path.basename(d)[2:])
+        except ValueError:
+            continue
+        if sfv < cur_sf and os.path.isdir(d):
+            smaller.append((sfv, d))
+    if not smaller:
+        return {}
+    top = sorted(timings, key=lambda k: timings[k], reverse=True)[:N_SCALING_TOP]
+    out: dict[str, dict] = {}
+    for name in top:
+        fn = queries[name]
+        pts: dict[float, float] = {cur_sf: timings[name]}
+        for sfv, d in smaller:
+            fn(spark, d).count()  # untimed warmup (JIT + footers)
+            rs: list[float] = []
+            for _ in range(N_REPS):
+                spark.catalog.clearCache()
+                release_persisted()
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                rs.append(round(time.perf_counter() - t0, 3))
+            release_persisted()
+            pts[sfv] = sorted(rs)[len(rs) // 2]
+        xs = sorted(pts)
+        lx = [math.log(x) for x in xs]
+        ly = [math.log(max(pts[x], 1e-3)) for x in xs]
+        n = len(xs)
+        mx, my = sum(lx) / n, sum(ly) / n
+        sxx = sum((a - mx) ** 2 for a in lx)
+        slope = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sxx
+        tail = (ly[-1] - ly[-2]) / (lx[-1] - lx[-2])
+        out[name] = {
+            "sec_by_sf": {repr(x): pts[x] for x in xs},
+            "fit_exponent": round(slope, 3),
+            "tail_exponent": round(tail, 3),
+            "flagged": tail > SCALING_FLAG_EXPONENT,
+        }
+        print(
+            f"# scaling {name}: tail_exp {tail:.3f} fit_exp {slope:.3f} "
+            f"{ {repr(x): pts[x] for x in xs} }",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     from inde1_spark.session import get_spark
 
@@ -304,6 +380,12 @@ def main() -> None:
         "common_prior_best_total_sec": round(sum(prior[k] for k in common), 3),
     }
 
+    scaling = (
+        _scaling_sweep(spark, queries, timings)
+        if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+        else {}
+    )
+
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {
         "metric": "headline_query_wall_seconds",
@@ -314,6 +396,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "reps": reps,
         "delta_vs_prior_best": delta,
+        "scaling": scaling,
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
