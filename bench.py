@@ -24,9 +24,11 @@ dominated by C2 JIT warmup, and even steady-state runs drift ±15% with JVM/
 sandbox scheduling noise. Each query therefore runs one untimed warmup and
 THREE measured steady-state reps; the reported number is the MEDIAN rep
 (robust to a one-off GC stall in either direction), every rep is kept in
-the detail output, and the delta section compares each median against the
-best number any prior run recorded (BENCH_r*.json + BENCH_HISTORY.jsonl)
-so a real plan regression cannot hide inside the environmental band.
+the detail output, and the delta section compares each median against BOTH
+the best number any prior run recorded (improvement tracking) and the
+median of prior run medians (the FLAG basis since r08 — the all-time min
+becomes the lucky tail once ~10 runs accumulate, flagging normal runs by
+order statistics alone), from BENCH_r*.json + BENCH_HISTORY.jsonl.
 NEVER bench with a concurrent Spark workload on the box (CLAUDE.md).
 """
 
@@ -190,6 +192,27 @@ def _prior_best(sf: object) -> dict[str, float]:
     return best
 
 
+def _prior_median(sf: object) -> dict[str, float]:
+    """Per-query MEDIAN of recorded run medians at the SAME scale factor —
+    the r08 flag basis. With ~10 runs recorded, the all-time MIN is the
+    lucky tail of the environmental distribution: a perfectly normal run
+    lands 1.25-1.4x over some query's min by order statistics alone
+    (r06: 14 such flags; r07: 1; r08 first pass: 8 — every one inside
+    its historical spread). The median of run medians is a stable center;
+    a real plan regression moves OFF it, environmental luck does not.
+    """
+    vals: dict[str, list[float]] = {}
+    for payload in _payloads():
+        if payload.get("sf") != sf:
+            continue
+        for name, sec in (payload.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                vals.setdefault(name, []).append(float(sec))
+    return {
+        name: sorted(v)[len(v) // 2] for name, v in vals.items()
+    }
+
+
 def _prior_best_calibration() -> float | None:
     """Best (min) calibration-probe seconds over prior recorded runs.
 
@@ -229,6 +252,48 @@ def _calibration_sec(spark) -> float:
     med = sorted(rs)[len(rs) // 2]
     print(f"# calibration probe: median {med:.3f}s of {rs}", file=sys.stderr)
     return med
+
+
+def _delta_section(
+    timings: dict[str, float], sf: object, calibration: float, cal_ratio: float
+) -> dict:
+    """Delta-vs-history section (pure function of recorded history + this
+    run's medians — recomputable offline).
+
+    Two baselines per query: the all-time BEST (kept for continuity and
+    improvement tracking) and the MEDIAN of run medians (the r08 FLAG
+    basis — see _prior_median for why the min is the wrong yardstick).
+    Both ratios are drift-normalized by the calibration probe: a uniform
+    machine-speed shift normalizes away, a real plan regression stays.
+    """
+    prior = _prior_best(sf)
+    prior_med = _prior_median(sf)
+    common = {k: v for k, v in timings.items() if k in prior}
+    med_common = {k: v for k, v in timings.items() if k in prior_med}
+    return {
+        "prior_best_sec": {k: prior[k] for k in common},
+        "ratio": {k: round(common[k] / prior[k], 3) for k in common},
+        "calibration_sec": calibration,
+        "calibration_ratio": cal_ratio,
+        "ratio_normalized": {
+            k: round(common[k] / prior[k] / cal_ratio, 3) for k in common
+        },
+        "prior_median_sec": {k: prior_med[k] for k in med_common},
+        "ratio_vs_median_normalized": {
+            k: round(med_common[k] / prior_med[k] / cal_ratio, 3)
+            for k in med_common
+        },
+        "flagged_over_ratio": {
+            k: round(med_common[k] / prior_med[k] / cal_ratio, 3)
+            for k in med_common
+            if med_common[k] / prior_med[k] / cal_ratio > DELTA_FLAG_RATIO
+        },
+        "flag_basis": "median_of_run_medians",
+        "flag_threshold": DELTA_FLAG_RATIO,
+        "n_common": len(common),
+        "common_total_sec": round(sum(common.values()), 3),
+        "common_prior_best_total_sec": round(sum(prior[k] for k in common), 3),
+    }
 
 
 # Scale-sweep (r07 verdict item 3): re-time the N most expensive headline
@@ -355,30 +420,7 @@ def main() -> None:
 
     sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
-    prior = _prior_best(sf)
-    common = {k: v for k, v in timings.items() if k in prior}
-    delta = {
-        "prior_best_sec": {k: prior[k] for k in common},
-        "ratio": {k: round(common[k] / prior[k], 3) for k in common},
-        # drift-normalized: query slowdown divided by the box's own slowdown
-        # (calibration probe). Only normalized ratios are FLAGGED — a uniform
-        # machine-speed shift (r04/r05/r06 signature) normalizes away, while
-        # a real plan regression stays.
-        "calibration_sec": calibration,
-        "calibration_ratio": cal_ratio,
-        "ratio_normalized": {
-            k: round(common[k] / prior[k] / cal_ratio, 3) for k in common
-        },
-        "flagged_over_ratio": {
-            k: round(common[k] / prior[k] / cal_ratio, 3)
-            for k in common
-            if common[k] / prior[k] / cal_ratio > DELTA_FLAG_RATIO
-        },
-        "flag_threshold": DELTA_FLAG_RATIO,
-        "n_common": len(common),
-        "common_total_sec": round(sum(common.values()), 3),
-        "common_prior_best_total_sec": round(sum(prior[k] for k in common), 3),
-    }
+    delta = _delta_section(timings, sf, calibration, cal_ratio)
 
     scaling = (
         _scaling_sweep(spark, queries, timings)

@@ -80,3 +80,40 @@ def test_prior_best_calibration_reads_both_payload_shapes(tmp_path, monkeypatch)
 def test_prior_best_calibration_none_when_unseeded(tmp_path, monkeypatch):
     monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
     assert bench._prior_best_calibration() is None
+
+
+def test_prior_median_is_median_of_run_medians(tmp_path, monkeypatch):
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    hist.write_text(
+        "\n".join(
+            json.dumps({"sf": 0.1, "queries": {"q": v}})
+            for v in (1.0, 5.0, 2.0)
+        )
+        + "\n"
+    )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    assert bench._prior_median(0.1) == {"q": 2.0}
+    assert bench._prior_best(0.1) == {"q": 1.0}
+
+
+def test_delta_flags_on_median_not_min(tmp_path, monkeypatch):
+    # history: q ran [1.0, 1.1, 1.2] -> min 1.0, median 1.1. A 1.3 s run is
+    # 1.30x the min (old basis would flag) but 1.18x the median (no flag);
+    # a real regression to 1.6 s flags on both bases.
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    hist.write_text(
+        "\n".join(
+            json.dumps({"sf": 0.1, "queries": {"q": v}})
+            for v in (1.0, 1.1, 1.2)
+        )
+        + "\n"
+    )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    normal = bench._delta_section({"q": 1.3}, 0.1, 0.2, 1.0)
+    assert normal["flagged_over_ratio"] == {}
+    assert normal["ratio"]["q"] == 1.3  # min-based ratio still recorded
+    regressed = bench._delta_section({"q": 1.6}, 0.1, 0.2, 1.0)
+    assert "q" in regressed["flagged_over_ratio"]
+    # calibration normalization still absorbs a uniform box slowdown
+    slow_box = bench._delta_section({"q": 1.6}, 0.1, 0.3, 1.5)
+    assert slow_box["flagged_over_ratio"] == {}
