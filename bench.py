@@ -422,11 +422,16 @@ def main() -> None:
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     delta = _delta_section(timings, sf, calibration, cal_ratio)
 
-    scaling = (
-        _scaling_sweep(spark, queries, timings)
-        if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-        else {}
-    )
+    # The sweep is strictly additive diagnostics: a failure (missing sf
+    # sibling, transient executor error) must never cost the round its
+    # BENCH line, which is printed after this point.
+    scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        try:
+            scaling = _scaling_sweep(spark, queries, timings)
+        except Exception as ex:  # noqa: BLE001
+            scaling = {"error": f"{type(ex).__name__}: {ex}"}
+            print(f"# scaling sweep failed: {ex}", file=sys.stderr)
 
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {
