@@ -60,10 +60,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across all twins, both ADVICE-r07 fixes.
 
     STEADY-STATE CADENCE (from r09 on, the queue being empty): every
-    window slot is a re-confirmation. Draw the 50 entries whose last
-    driver row is OLDEST (round number, then dict order) so no query's
-    last driver row ages past ~6 rounds (314/50 = 6.3); new queries, when
-    additions resume, still jump the queue per the rotation policy above.
+    window slot not taken by a new query is a re-confirmation. Draw the
+    entries whose last driver row is OLDEST (round number, then dict
+    order) so no query's last driver row ages past ~6 rounds
+    (314/50 = 6.3); new queries, when additions resume, still jump the
+    queue per the rotation policy above. Computed oldest pool after a
+    green r08: 25 queries last verified in r02 (enrich_users_ttl..
+    dedup_ngram_jaccard, the reference-parity + long-green blocks below),
+    then the 46 r03-era LLM-pipeline entries (dedup_embedding_lsh..
+    pivot_source_lang) — the r09 re-confirmation slots come from the
+    head of that list.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
