@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RUN = os.environ.get("SPARK_GRAFT_STRICT_REHEARSAL") == "1"
 SF = os.environ.get("SPARK_GRAFT_STRICT_SF", "/root/testdata/sf0.01")
-WINDOW = 50
+# which queries() slice to rehearse: "start:stop" (python slice semantics,
+# empty stop = end). Default = the driver's gate window.
+RANGE = os.environ.get("SPARK_GRAFT_STRICT_RANGE", "0:50")
 
 pytestmark = pytest.mark.skipif(
     not RUN,
@@ -43,7 +45,10 @@ pytestmark = pytest.mark.skipif(
 def _window_names() -> list[str]:
     import __spark_entry__ as entrymod
 
-    return list(entrymod.queries())[:WINDOW]
+    start_s, _, stop_s = RANGE.partition(":")
+    start = int(start_s) if start_s else 0
+    stop = int(stop_s) if stop_s else None
+    return list(entrymod.queries())[start:stop]
 
 
 @pytest.fixture(scope="module")
@@ -94,6 +99,8 @@ def _norm(df):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", _window_names() if RUN else [])
 def test_window_entry_string_identical(name, vanilla_spark, duck_views):
+    from tests.test_type_parity import LEGACY_OK
+
     import __spark_entry__ as entrymod
 
     sp = _norm(entrymod.queries()[name](vanilla_spark, SF).toPandas())
@@ -102,9 +109,20 @@ def test_window_entry_string_identical(name, vanilla_spark, duck_views):
     assert list(sp.columns) == list(du.columns), f"{name}: column names differ"
     for c in sp.columns:
         a, b = sp[c].tolist(), du[c].tolist()
-        diffs = [
-            (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if str(x) != str(y)
-        ]
+        if (name, c) in LEGACY_OK:
+            # proven-tolerated dtype rendering (driver-green shapes frozen
+            # in test_type_parity.LEGACY_OK): compare numerically instead
+            diffs = [
+                (i, x, y)
+                for i, (x, y) in enumerate(zip(a, b))
+                if float(x) != float(y)
+            ]
+        else:
+            diffs = [
+                (i, x, y)
+                for i, (x, y) in enumerate(zip(a, b))
+                if str(x) != str(y)
+            ]
         assert not diffs, (
             f"{name}.{c}: {len(diffs)} string-level cell diffs "
             f"(spark dtype {sp[c].dtype}, oracle dtype {du[c].dtype}); "
