@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RUN = os.environ.get("SPARK_GRAFT_PARTITION_INVARIANCE") == "1"
 SF = os.environ.get("SPARK_GRAFT_INVARIANCE_SF", "/root/testdata/sf0.001")
-WINDOW = 50
+# which queries() slice to sweep: "start:stop" (python slice semantics,
+# empty stop = end). Default = the driver's gate window.
+RANGE = os.environ.get("SPARK_GRAFT_INVARIANCE_RANGE", "0:50")
 
 pytestmark = pytest.mark.skipif(
     not RUN,
@@ -62,8 +64,12 @@ def _run_window(n_partitions: int) -> dict:
     s.sparkContext.setLogLevel("ERROR")
     try:
         Q = entrymod.queries()
+        start_s, _, stop_s = RANGE.partition(":")
+        names = list(Q)[
+            int(start_s) if start_s else 0 : int(stop_s) if stop_s else None
+        ]
         out = {}
-        for name in list(Q)[:WINDOW]:
+        for name in names:
             out[name] = _norm(Q[name](s, SF).toPandas())
             release_persisted()
         return out
