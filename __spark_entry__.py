@@ -723,6 +723,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """r09 STAGED batch — implemented and oracle-twinned in r08, but NOT in
+    the driver-facing surface: r07 verdict item 1 ordered zero production
+    additions until CORRECTNESS_r08 lands, so these wait behind the gate.
+    Promotion in r09 = move each entry to the head of queries() and its
+    twin from STAGED_ORACLES into ORACLES. Pinned locally on every pytest
+    run by tests/test_staged_parity.py (same harness as queries()).
+    """
+    from inde1_spark.operators import analytics as A
+    from inde1_spark.operators import dedup as D
+    from inde1_spark.operators import scoring as SC
+
+    return {
+        "nelson_aalen_hazard": lambda sp, d: A.nelson_aalen_hazard(
+            _t(sp, d, "events")
+        ),
+        "ndv_estimator_audit": lambda sp, d: A.ndv_estimator_audit(
+            _t(sp, d, "events")
+        ),
+        "file_compaction_plan": lambda sp, d: A.file_compaction_plan(
+            _t(sp, d, "events")
+        ),
+        "label_propagation_communities": lambda sp, d: (
+            D.label_propagation_communities(_t(sp, d, "documents"))
+        ),
+        "jm_query_likelihood": lambda sp, d: SC.jm_query_likelihood(
+            _t(sp, d, "documents")
+        ),
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    from inde1_spark.oracles import STAGED_ORACLES
+
+    return dict(STAGED_ORACLES)
+
+
 def test_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bit-reproducible DuckDB twins of the scale-path dedups — TEST
     INFRASTRUCTURE, deliberately NOT part of the engine's query surface.

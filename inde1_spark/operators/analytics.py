@@ -9140,3 +9140,258 @@ def cochran_armitage_trend(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("flat"))
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r09 staged batch A: survival hazard, optimizer statistics, storage layout
+# (implemented + oracle-twinned in r08; enter queries() with the r09 window)
+# ---------------------------------------------------------------------------
+
+
+def nelson_aalen_hazard(
+    events: DataFrame, churn_gap_days: int = KM_CHURN_GAP_DAYS
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes — the estimator
+    companion to ``kaplan_meier_retention``: where KM multiplies survival
+    factors, NA SUMS the instantaneous hazard d_t/n_t, giving the
+    integrated churn intensity H(t) = Sum_{u<=t} d_u/n_u. H(t) is the
+    right object for comparing churn pressure across cohorts (hazards
+    add; survival products don't) and is defined even where KM's product
+    hits zero.
+
+    Same churn rule, duration grid and suffix-sum risk set as KM (one
+    per-user min/max pass is the only corpus-sized work). Each increment
+    d/n is snapped by exact integer round-half-up to micro units
+    ((d*2e6 + n) div (2n) — longs end to end), the cumulative sum runs
+    over the snapped longs, and only the final emit divides by 1e6:
+    bit-identical in both engines with no libm in the chain.
+
+    Scale: identical posture to kaplan_meier_retention — the grid is
+    bounded by |distinct durations|; at 100 TB the micro snap's
+    d*2e6 < 2^53 bound allows ~4.5e9 churners per duration cell.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    per_user = _persist(
+        events.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+    )
+    maxd = per_user.agg(F.max("last_d").alias("max_d"))
+    obs = per_user.join(F.broadcast(maxd)).select(
+        F.when(
+            F.col("last_d") < F.col("max_d") - F.lit(churn_gap_days),
+            F.col("last_d") - F.col("first_d"),
+        )
+        .otherwise(F.col("max_d") - F.col("first_d"))
+        .alias("t"),
+        F.when(
+            F.col("last_d") < F.col("max_d") - F.lit(churn_gap_days), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    w_ord = Window.orderBy("t")
+    at_risk = F.sum(F.col("n_churned") + F.col("n_censored")).over(
+        w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # exact micro round-half-up of d/n in longs (the ratio_round identity)
+    inc_micro = (
+        (
+            F.col("n_churned") * F.lit(2_000_000) + F.col("n_at_risk")
+        )
+        - (
+            F.col("n_churned") * F.lit(2_000_000) + F.col("n_at_risk")
+        )
+        % (F.col("n_at_risk") * F.lit(2))
+    ) / (F.col("n_at_risk") * F.lit(2))
+    return (
+        grid.withColumn("n_at_risk", at_risk.cast("long"))
+        .withColumn("inc_micro", inc_micro.cast("long"))
+        .select(
+            F.col("t").cast("long").alias("duration_days"),
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            (F.col("inc_micro").cast("double") / F.lit(1e6)).alias(
+                "hazard_inc"
+            ),
+            (
+                F.sum("inc_micro")
+                .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("cum_hazard"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+NDV_SAMPLE_MOD = 10  # deterministic 1-in-10 row sample (md5 bucket 0)
+NDV_COLUMNS = ("user_id", "event_type")
+
+
+def ndv_estimator_audit(events: DataFrame) -> DataFrame:
+    """Sampling-based distinct-count estimators audited against exact NDV
+    — the optimizer-statistics question ("can a 10% scan price this
+    join?") made measurable, per column: exact NDV from the full table
+    vs Chao1 (bias-corrected) and GEE estimates computed ONLY from a
+    deterministic 1-in-10 row sample. The audit says which columns a
+    sampling-based ANALYZE would misprice (heavy-tail columns blow up
+    f1, uniform columns converge fast) — the cross-check a 100 TB
+    deployment runs before trusting sampled table stats for join
+    ordering (companion to ``join_cardinality_audit`` /
+    ``join_order_audit``, which assume the counts are right).
+
+    The sample is the engine-portable md5 bucket of event_id (the
+    train_test_split convention) — identical rows in both engines, no
+    seed, no partitioning dependence. Chao1_bc = d_s + f1(f1-1)/(2(f2+1))
+    (defined at f2 = 0); GEE = sqrt(mod)*f1 + (d_s - f1). Both emit via
+    one exact integer ratio + one correctly-rounded sqrt product;
+    err_pct is exact integer round-half-up.
+
+    Scale: one full-column distinct per audited column plus one 10%
+    groupBy — both map-side combinable; the estimator arithmetic rides
+    a 1-row aggregate per column.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.text import hash_bucket
+
+    in_sample = hash_bucket(F.col("event_id"), NDV_SAMPLE_MOD) == F.lit(0)
+    out = None
+    for colname in NDV_COLUMNS:
+        exact = events.agg(
+            F.countDistinct(colname).cast("long").alias("exact_ndv"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        freq = (
+            events.filter(in_sample)
+            .groupBy(F.col(colname).alias("v"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        stats = freq.agg(
+            F.count("*").cast("long").alias("d_s"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("f2"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_sample"),
+        )
+        # chao1_bc = d_s + f1*(f1-1) / (2*(f2+1)): exact integer numerator,
+        # one division — identical single IEEE op in both engines
+        chao1 = F.col("d_s").cast("double") + (
+            (F.col("f1") * (F.col("f1") - F.lit(1))).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + F.lit(1)).cast("double"))
+        )
+        gee = (
+            F.sqrt(F.lit(float(NDV_SAMPLE_MOD))) * F.col("f1").cast("double")
+            + (F.col("d_s") - F.col("f1")).cast("double")
+        )
+        row = exact.join(F.broadcast(stats)).select(
+            F.lit(colname).alias("column_name"),
+            "n_rows",
+            "exact_ndv",
+            "n_sample",
+            F.col("d_s").alias("sample_ndv"),
+            "f1",
+            "f2",
+            chao1.alias("chao1_est"),
+            gee.alias("gee_est"),
+            ratio_round(
+                F.abs(
+                    (chao1 * F.lit(1e4)).cast("long")
+                    - F.col("exact_ndv") * F.lit(10_000)
+                ),
+                F.col("exact_ndv") * F.lit(100),
+                2,
+            ).alias("chao1_err_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")
+
+
+COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file (audit scale)
+COMPACT_ROW_BYTES = 64  # synthetic fixed row-size estimate
+
+
+def file_compaction_plan(
+    events: DataFrame,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    row_bytes: int = COMPACT_ROW_BYTES,
+) -> DataFrame:
+    """Small-file compaction planner over the daily partition layout — the
+    write-side sibling of ``zonemap_prune_audit``: given per-day row
+    counts (bytes = rows x a fixed row-size estimate), assign days to
+    output files by the cumulative-fill rule file_id = floor(cum_bytes_
+    before_this_day / target) and report per-file day spans, sizes and
+    fill. The plan every 100 TB table-maintenance job prices before
+    rewriting a partition range: how many files does compaction produce,
+    how full are they, and does any single day overflow the target on
+    its own (the unsplittable-partition flag).
+
+    Day order is the time order (compaction preserves range-scan
+    locality — consecutive days land in the same file, the zonemap
+    stays tight). All arithmetic is exact longs: cumulative sums over
+    the bounded day grid, fill_pct by exact integer round-half-up.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    zones = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w_ord = Window.orderBy("day")
+    sized = zones.select(
+        "day",
+        "n_rows",
+        (F.col("n_rows") * F.lit(row_bytes)).alias("day_bytes"),
+    ).withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("day_bytes").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    assigned = sized.select(
+        "day",
+        "n_rows",
+        "day_bytes",
+        F.expr(f"cum_before div CAST({target_bytes} AS BIGINT)")
+        .cast("long")
+        .alias("file_id"),
+        (F.col("day_bytes") > F.lit(target_bytes)).alias("oversized_day"),
+    )
+    return (
+        assigned.groupBy("file_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("day_bytes").cast("long").alias("file_bytes"),
+            F.max(F.col("oversized_day").cast("int"))
+            .cast("boolean")
+            .alias("has_oversized_day"),
+        )
+        .select(
+            "file_id",
+            "first_day",
+            "last_day",
+            "n_days",
+            "n_rows",
+            "file_bytes",
+            ratio_round(
+                F.col("file_bytes") * F.lit(100), F.lit(target_bytes), 2
+            ).alias("fill_pct"),
+            "has_oversized_day",
+        )
+        .orderBy("file_id")
+    )

@@ -2518,3 +2518,81 @@ def degree_assortativity(
         "max_degree",
         r.alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r09 staged batch B: community structure of the near-duplicate graph
+# (implemented + oracle-twinned in r08; enters queries() with the r09 window)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4  # fixed synchronous label-propagation rounds
+
+
+def label_propagation_communities(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """Synchronous label propagation over the near-duplicate graph — the
+    DENSITY community structure that ``connected_components`` (pure
+    connectivity) cannot see: a thin 0.8-Jaccard bridge chains two dense
+    boilerplate families into one component, but LPA labels converge
+    within each dense side and the bridge stays a minority vote. The
+    community histogram is the curation view that says whether dedup
+    clusters are a few templated families or many small near-pairs.
+
+    Deterministic synchronous LPA: label_0(u) = u; each round every node
+    adopts the most frequent label among its neighbors AND itself, ties
+    broken to the SMALLEST label — the argmax is min(struct(-votes,
+    label)), a map-side-combinable aggregate (never a per-node sorted
+    window). Fixed ``rounds`` synchronous rounds (engine-free semantics,
+    same unroll in the oracle); each round ends in a lazy
+    localCheckpoint so the plan stays linear (the connected-components
+    rule). Nodes outside the edge set are singletons by definition and
+    excluded (documented; the histogram covers the GRAPH).
+
+    Output: community size -> number of communities of that size.
+
+    Scale: per round one equi-join on a node key + one combinable
+    aggregate over (node, label) — AQE skew-splits hub labels; state is
+    one (node, label) row per node.
+    """
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    # undirected: both directions + self-vote (u votes its own label)
+    nbrs = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = (
+        nbrs.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("label"))
+    )
+    for _ in range(rounds):
+        votes = (
+            nbrs.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+            .union(labels.select("u", "label"))
+            .groupBy("u", "label")
+            .agg(F.count("*").cast("long").alias("votes"))
+        )
+        labels = _lazy_checkpoint(
+            votes.groupBy("u")
+            .agg(
+                F.min(F.struct((-F.col("votes")).alias("nv"), "label")).alias(
+                    "w"
+                )
+            )
+            .select("u", F.col("w.label").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return (
+        sizes.groupBy("community_size")
+        .agg(F.count("*").cast("long").alias("n_communities"))
+        .orderBy("community_size")
+    )

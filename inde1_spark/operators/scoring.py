@@ -1277,3 +1277,88 @@ def rm3_expansion(
             F.col("w").cast("long").alias("weight_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r09 staged: Jelinek-Mercer query likelihood (implemented + oracle-twinned
+# in r08; enters queries() with the r09 window)
+# ---------------------------------------------------------------------------
+
+JM_LAMBDA_NUM = 1  # lambda = 1/4 collection weight as an exact quarter
+JM_LAMBDA_DEN = 4
+
+
+def jm_query_likelihood(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood — the fixed-interpolation
+    sibling of ``dirichlet_query_likelihood``: score(d) = Sum_q
+    ln((1-l) c_dq/|d| + l c_q/N) with l = 1/4. JM smooths every document
+    by the SAME collection weight where Dirichlet adapts to |d| — the
+    standard A/B pair in LM retrieval (Zhai & Lafferty 2001); verbose
+    queries rank differently under the two, so a retrieval-based
+    decontamination probe wants both.
+
+    Hash-exact form: with l = 1/4, the mixture is the integer ratio
+    (3 c_dq N + c_q |d|) / (4 |d| N), so every ln runs over integer
+    products — ln(3 c_dq N + c_q dlen) - ln(4 dlen N) — nano-snapped,
+    summed in longs. Docs missing a term contribute the c_dq = 0 row of
+    the SAME formula (the per-(doc, qterm) grid is the bounded |Q|-way
+    fan-out of the doc-length table, broadcast-joined to the query-term
+    postings). Query terms absent from the corpus and zero-token
+    documents drop in both engines (ln 0 guards, mirrored WHERE).
+
+    Scale: the (doc, term) shuffle carries only query-term postings; the
+    scored grid is |docs| x |Q| row-local arithmetic + a TakeOrdered
+    top-k.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    def lnn(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
+
+    qlist = [str(t) for t in query]
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dlen")
+    ).filter(F.col("dlen") > 0)
+    ntot = dl.agg(F.sum("dlen").cast("long").alias("n_tok"))
+    qtoks = toks.filter(F.col("term").isin(qlist))
+    cq = _persist(
+        qtoks.groupBy("term").agg(F.count("*").cast("long").alias("c_q"))
+    )
+    dq = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("c_dq")
+    )
+    grid = (
+        dl.join(F.broadcast(cq))  # bounded |Q|-way fan-out per doc
+        .join(F.broadcast(ntot))
+        .join(F.broadcast(dq), ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "dlen",
+            (
+                lnn(
+                    F.lit(3) * F.coalesce(F.col("c_dq"), F.lit(0)) * F.col("n_tok")
+                    + F.col("c_q") * F.col("dlen")
+                )
+                - lnn(F.lit(4) * F.col("dlen") * F.col("n_tok"))
+            ).alias("term_nano"),
+        )
+    )
+    scored = grid.groupBy("doc_id", "dlen").agg(
+        F.sum("term_nano").cast("long").alias("score_nano")
+    )
+    return (
+        scored.orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "dlen",
+            (F.col("score_nano").cast("double") / F.lit(1e9)).alias(
+                "jm_score"
+            ),
+        )
+    )

@@ -10765,3 +10765,233 @@ SELECT n_docs, mu AS mu_log, sigma AS sigma_log,
                    > CAST(0.1 AS DOUBLE) * sigma END AS asymmetric_flag
 FROM calc, med
 """
+
+
+# ===========================================================================
+# r09 staged batch: implemented + twinned in r08, enter ORACLES (and
+# queries()) with the r09 window rotation. Kept OUT of ORACLES until then so
+# the driver-facing surface stays exactly the r08 314 (r07 verdict item 1);
+# tests/test_staged_parity.py pins these on every run meanwhile.
+# ===========================================================================
+
+STAGED_ORACLES: dict[str, str] = {}
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    KM_CHURN_GAP_DAYS as _NA_GAP,
+    NDV_SAMPLE_MOD,
+    COMPACT_TARGET_BYTES,
+    COMPACT_ROW_BYTES,
+)
+
+# Twin of operators/analytics.py:nelson_aalen_hazard — KM's churn rule and
+# suffix-sum risk set; micro round-half-up increments summed in BIGINT.
+STAGED_ORACLES["nelson_aalen_hazard"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_d,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_d
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(last_d) AS max_d FROM per_user),
+obs AS (
+  SELECT CASE WHEN last_d < max_d - {_NA_GAP}
+              THEN last_d - first_d ELSE max_d - first_d END AS t,
+         CASE WHEN last_d < max_d - {_NA_GAP} THEN 1 ELSE 0 END AS churned
+  FROM per_user CROSS JOIN mx
+),
+grid AS (
+  SELECT t, CAST(SUM(churned) AS BIGINT) AS n_churned,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t, n_churned, n_censored,
+         CAST(SUM(n_churned + n_censored) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM grid
+),
+snapped AS (
+  SELECT t, n_at_risk, n_churned, n_censored,
+         CAST(((n_churned * 2000000 + n_at_risk)
+               - (n_churned * 2000000 + n_at_risk) % (n_at_risk * 2))
+              / (n_at_risk * 2) AS BIGINT) AS inc_micro
+  FROM risk
+)
+SELECT t AS duration_days, n_at_risk, n_churned, n_censored,
+       CAST(inc_micro AS DOUBLE) / 1e6 AS hazard_inc,
+       CAST(SUM(inc_micro) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+         AS cum_hazard
+FROM snapped ORDER BY duration_days
+"""
+
+
+# Twin of operators/analytics.py:ndv_estimator_audit — identical md5-bucket
+# sample, Chao1_bc / GEE arithmetic (floor before BIGINT: DuckDB CAST
+# rounds, Spark truncates), exact round-half-up err_pct.
+def _ndv_block(col: str) -> str:
+    samp = _hash_bucket_sql("event_id", NDV_SAMPLE_MOD)
+    chao1 = (
+        "(CAST(d_s AS DOUBLE)"
+        " + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)))"
+    )
+    gee = "(sqrt(CAST(10 AS DOUBLE)) * CAST(f1 AS DOUBLE) + CAST(d_s - f1 AS DOUBLE))"
+    return f"""
+SELECT '{col}' AS column_name, ex.n_rows, ex.exact_ndv, st.n_sample,
+       st.d_s AS sample_ndv, st.f1, st.f2,
+       {chao1} AS chao1_est,
+       {gee} AS gee_est,
+       {_rr(f"ABS(CAST(floor({chao1} * 1e4) AS BIGINT) - exact_ndv * 10000)",
+            "exact_ndv * 100", 2)} AS chao1_err_pct
+FROM (
+  SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact_ndv,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events
+) ex CROSS JOIN (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d_s,
+         CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+         CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2,
+         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_sample
+  FROM (
+    SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE {samp} = 0 GROUP BY 1
+  )
+) st
+"""
+
+
+STAGED_ORACLES["ndv_estimator_audit"] = (
+    _ndv_block("user_id")
+    + " UNION ALL "
+    + _ndv_block("event_type")
+    + " ORDER BY column_name"
+)
+
+
+# Twin of operators/analytics.py:file_compaction_plan — cumulative-fill
+# file assignment over the day grid, exact longs, round-half-up fill_pct.
+STAGED_ORACLES["file_compaction_plan"] = f"""
+WITH zones AS (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+sized AS (
+  SELECT day, n_rows, n_rows * {COMPACT_ROW_BYTES} AS day_bytes,
+         CAST(COALESCE(SUM(n_rows * {COMPACT_ROW_BYTES}) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM zones
+),
+assigned AS (
+  SELECT day, n_rows, day_bytes,
+         CAST(cum_before // {COMPACT_TARGET_BYTES} AS BIGINT) AS file_id,
+         day_bytes > {COMPACT_TARGET_BYTES} AS oversized_day
+  FROM sized
+)
+SELECT file_id, MIN(day) AS first_day, MAX(day) AS last_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(day_bytes) AS BIGINT) AS file_bytes,
+       {_rr("CAST(SUM(day_bytes) AS BIGINT) * 100",
+            str(COMPACT_TARGET_BYTES), 2)} AS fill_pct,
+       CAST(MAX(CAST(oversized_day AS INT)) AS BOOLEAN) AS has_oversized_day
+FROM assigned GROUP BY 1 ORDER BY file_id
+"""
+
+
+# Twin of operators/dedup.py:label_propagation_communities — same edges,
+# UNION ALL self-vote, (votes DESC, label ASC) argmax; every round CTE is
+# AS MATERIALIZED (the kcore inlining rule: a chained unroll re-inlines
+# k^rounds-fold otherwise).
+def _lpa_sql(rounds: int) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})),",
+        "nbrs AS MATERIALIZED (",
+        "  SELECT doc_a AS u, doc_b AS v FROM edges",
+        "  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges",
+        "),",
+        "labels_0 AS MATERIALIZED (SELECT DISTINCT u, u AS label FROM nbrs),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""votes_{r} AS MATERIALIZED (
+  SELECT u, label, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+    SELECT n.u, l.label FROM nbrs n JOIN labels_{r-1} l ON n.v = l.u
+    UNION ALL SELECT u, label FROM labels_{r-1}
+  ) GROUP BY 1, 2
+),
+labels_{r} AS MATERIALIZED (
+  SELECT u, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY votes DESC, label ASC)
+             AS rn
+    FROM votes_{r}
+  ) WHERE rn = 1
+),"""
+        )
+    parts.append(
+        f"""sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM labels_{rounds} GROUP BY 1
+)
+SELECT community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+FROM sizes GROUP BY 1 ORDER BY community_size"""
+    )
+    return "\n".join(parts)
+
+
+from inde1_spark.operators.dedup import LPA_ROUNDS  # noqa: E402
+
+STAGED_ORACLES["label_propagation_communities"] = _lpa_sql(LPA_ROUNDS)
+
+
+# Twin of operators/scoring.py:jm_query_likelihood — identical integer-
+# product nano logs over the bounded |Q| grid, same top-k total order.
+def _jm_ql_sql() -> str:
+    from inde1_spark.operators.scoring import BM25_QUERY, BM25_TOP_K
+
+    qin = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+    def lnn(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+dl AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS dlen
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+),
+ntot AS (SELECT CAST(SUM(dlen) AS BIGINT) AS n_tok FROM dl),
+cq AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c_q
+  FROM toks WHERE term IN ({qin}) GROUP BY 1
+),
+dq AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c_dq
+  FROM toks WHERE term IN ({qin}) GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, d.dlen,
+         {lnn("3 * COALESCE(c_dq, 0) * n_tok + c_q * dlen")}
+           - {lnn("4 * dlen * n_tok")} AS term_nano
+  FROM dl d CROSS JOIN cq CROSS JOIN ntot
+  LEFT JOIN dq ON dq.doc_id = d.doc_id AND dq.term = cq.term
+),
+scored AS (
+  SELECT doc_id, dlen, CAST(SUM(term_nano) AS BIGINT) AS score_nano
+  FROM grid GROUP BY 1, 2
+)
+SELECT doc_id, dlen, CAST(score_nano AS DOUBLE) / 1e9 AS jm_score
+FROM scored ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K}
+"""
+
+
+STAGED_ORACLES["jm_query_likelihood"] = _jm_ql_sql()

@@ -1,0 +1,168 @@
+"""Semantics + plan invariants for the r09 staged batch.
+
+Same style as test_r07_edge_cases: planted micro-datasets exercise the
+property each operator's docstring claims; a blanket plan sweep holds the
+engine invariants (no cartesian, no row-at-a-time Python) before the ops
+ever enter the production surface.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.plans.explain import plan_report
+from tests.conftest import SF_SMOKE
+from inde1_spark.sources.readers import load_table
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+T0 = datetime(2024, 3, 4, 12, 0, 0)
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_nelson_aalen_matches_hand_computation(spark):
+    from inde1_spark.operators.analytics import nelson_aalen_hazard
+
+    # 3 users churn at duration 0 (one-day lives long before corpus end),
+    # 2 users censored at duration 20 (active at the end)
+    rows = []
+    eid = 0
+    for u in range(3):
+        rows.append((eid, T0 + timedelta(days=0), u, "view", 1.0, "{}"))
+        eid += 1
+    for u in (10, 11):
+        rows.append((eid, T0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, T0 + timedelta(days=20), u, "view", 1.0, "{}"))
+        eid += 1
+    out = {
+        r["duration_days"]: r
+        for r in nelson_aalen_hazard(
+            spark.createDataFrame(rows, COLS)
+        ).collect()
+    }
+    assert set(out) == {0, 20}
+    # at t=0: 5 at risk, 3 churn -> inc = 3/5 = 0.6
+    assert out[0]["n_at_risk"] == 5 and out[0]["n_churned"] == 3
+    assert out[0]["hazard_inc"] == pytest.approx(0.6)
+    # at t=20: 2 at risk, 0 churn (censored) -> inc 0, cum stays 0.6
+    assert out[20]["n_churned"] == 0
+    assert out[20]["hazard_inc"] == 0.0
+    assert out[20]["cum_hazard"] == pytest.approx(0.6)
+
+
+def test_nelson_aalen_cumulative_monotone(spark):
+    from inde1_spark.operators.analytics import nelson_aalen_hazard
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = nelson_aalen_hazard(events).collect()
+    cums = [r["cum_hazard"] for r in rows]
+    assert cums == sorted(cums)
+    assert all(r["hazard_inc"] >= 0.0 for r in rows)
+    # increments sum to the cumulative (exact long accumulation)
+    assert cums[-1] == pytest.approx(sum(r["hazard_inc"] for r in rows))
+
+
+def test_ndv_exact_on_planted_cardinalities(spark):
+    from inde1_spark.operators.analytics import ndv_estimator_audit
+
+    rows = [
+        (i, T0 + timedelta(minutes=i), i % 7, "view" if i % 2 else "click",
+         1.0, "{}")
+        for i in range(200)
+    ]
+    out = {
+        r["column_name"]: r
+        for r in ndv_estimator_audit(spark.createDataFrame(rows, COLS)).collect()
+    }
+    assert out["user_id"]["exact_ndv"] == 7
+    assert out["event_type"]["exact_ndv"] == 2
+    for r in out.values():
+        assert r["n_sample"] < r["n_rows"]  # the 10% sample really sampled
+        assert r["sample_ndv"] <= r["exact_ndv"]
+        # estimators never fall below what the sample saw
+        assert r["chao1_est"] >= r["sample_ndv"]
+        assert r["gee_est"] >= r["sample_ndv"] - 1e-9
+
+
+def test_compaction_plan_conserves_rows_and_orders_files(spark):
+    from inde1_spark.operators.analytics import file_compaction_plan
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = file_compaction_plan(events).collect()
+    assert [r["file_id"] for r in rows] == list(range(len(rows)))
+    assert sum(r["n_rows"] for r in rows) == events.count()
+    # time-locality: day ranges of consecutive files don't interleave
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_day"] <= b["first_day"]
+
+
+def test_compaction_flags_oversized_day(spark):
+    from inde1_spark.operators.analytics import file_compaction_plan
+
+    # one day with > target bytes of rows (target 1 KiB, 64 B rows -> 17)
+    rows = [
+        (i, T0 + timedelta(minutes=i), 1, "view", 1.0, "{}") for i in range(40)
+    ]
+    out = file_compaction_plan(
+        spark.createDataFrame(rows, COLS), target_bytes=1024
+    ).collect()
+    assert any(r["has_oversized_day"] for r in out)
+
+
+def test_lpa_two_identical_text_families(spark):
+    from inde1_spark.operators.dedup import label_propagation_communities
+
+    docs = [(i, "alpha beta gamma delta epsilon zeta", "en", "a", 10)
+            for i in range(3)]
+    docs += [(10 + i, "one two three four five six seven", "en", "b", 10)
+             for i in range(4)]
+    docs.append((99, "completely different text with no shared grams at all",
+                 "en", "c", 10))  # isolated: not in the graph
+    out = {
+        r["community_size"]: r["n_communities"]
+        for r in label_propagation_communities(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    assert out == {3: 1, 4: 1}
+
+
+def test_lpa_empty_graph(spark):
+    from inde1_spark.operators.dedup import label_propagation_communities
+
+    docs = spark.createDataFrame(
+        [(1, "only one doc here", "en", "a", 10)], DOC_COLS
+    )
+    assert label_propagation_communities(docs).collect() == []
+
+
+def test_jm_ranks_term_bearing_docs_first(spark):
+    from inde1_spark.operators.scoring import jm_query_likelihood
+
+    docs = [
+        (1, "query join stream query join", "en", "a", 10),  # all terms
+        (2, "apple banana cherry durian fig", "en", "a", 10),  # none
+        (3, "query apple banana cherry fig", "en", "a", 10),  # one term
+    ]
+    out = jm_query_likelihood(spark.createDataFrame(docs, DOC_COLS)).collect()
+    order = [r["doc_id"] for r in out]
+    assert order[0] == 1 and order.index(3) < order.index(2)
+    scores = [r["jm_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_staged_plan_invariants(spark):
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.staged_queries().items():
+        r = plan_report(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in r.raw, f"{name}: cartesian"
+        assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in r.raw, f"{name}: unexpected {node}"
