@@ -751,6 +751,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jm_query_likelihood": lambda sp, d: SC.jm_query_likelihood(
             _t(sp, d, "documents")
         ),
+        "dedup_substring_windows": lambda sp, d: D.dedup_substring_windows(
+            _t(sp, d, "documents")
+        ),
+        "sort_benefit_audit": lambda sp, d: A.sort_benefit_audit(
+            _t(sp, d, "events")
+        ),
     }
 
 

@@ -9395,3 +9395,104 @@ def file_compaction_plan(
         )
         .orderBy("file_id")
     )
+
+
+def sort_benefit_audit(events: DataFrame) -> DataFrame:
+    """What would re-clustering buy? For each zone-map threshold, the skip
+    fraction of the CURRENT daily layout (``zonemap_prune_audit``'s
+    number) against the skip fraction a value-SORTED rewrite of the same
+    table into the same number of zones would achieve — the uplift in
+    percentage points is the exact value of running
+    ``zorder_layout``-style maintenance, priced before any rewrite.
+
+    Sorted-layout model: Z zones (one per current day-partition) of
+    ceil(n/Z) rows in value order; a zone is skippable for ``value > t``
+    iff it lies entirely within the first rank_le(t) rows, so
+    skip_rows_sorted = (rank_le div zone_rows) * zone_rows (all rows when
+    rank_le = n). rank_le comes from ONE conditional-count pass of the
+    corpus against the broadcast 4-threshold grid (the zonemap sweep
+    class); everything else is exact longs and exact round-half-up pcts.
+    The uplift subtracts two exact 4-dp decimals — the same IEEE op in
+    both engines.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    zones = events.groupBy(_day_str().alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max(micro).alias("zmax"),
+    )
+    span = zones.agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum("n_rows").cast("long").alias("n_total"),
+    )
+    vspan = events.agg(
+        F.min(micro).alias("vmin"), F.max(micro).alias("vmax")
+    )
+    thr = (
+        vspan.select(
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("i"),
+            "vmin",
+            "vmax",
+        )
+        .select(
+            "i",
+            (
+                F.col("vmin") + F.expr("(vmax - vmin) * i div 5").cast("long")
+            ).alias("thr_micro"),
+        )
+    )
+    current = (
+        zones.crossJoin(F.broadcast(thr))
+        .groupBy("i", "thr_micro")
+        .agg(
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(
+                F.when(F.col("zmax") <= F.col("thr_micro"), F.col("n_rows"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_skipped_current"),
+        )
+    )
+    ranks = (
+        events.select(micro.alias("v"))
+        .crossJoin(F.broadcast(thr.select("i", "thr_micro")))
+        .groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("thr_micro"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_le")
+        )
+    )
+    merged = (
+        current.join(ranks, "i")
+        .crossJoin(F.broadcast(span.select("n_zones", "n_total")))
+        .withColumn(
+            "zone_rows",
+            F.expr("(n_total + n_zones - 1) div n_zones").cast("long"),
+        )
+        .withColumn(
+            "rows_skipped_sorted",
+            F.when(F.col("rank_le") >= F.col("n_total"), F.col("n_total"))
+            .otherwise(
+                F.expr("(rank_le div zone_rows) * zone_rows").cast("long")
+            ),
+        )
+    )
+    cur_pct = ratio_round(
+        F.col("rows_skipped_current") * 100, F.col("rows_total"), 4
+    )
+    srt_pct = ratio_round(
+        F.col("rows_skipped_sorted") * 100, F.col("rows_total"), 4
+    )
+    return merged.select(
+        F.col("i").cast("long").alias("quintile"),
+        (F.col("thr_micro").cast("double") / F.lit(1e6)).alias("threshold"),
+        "rows_total",
+        "rows_skipped_current",
+        "rows_skipped_sorted",
+        cur_pct.alias("current_skip_pct"),
+        srt_pct.alias("sorted_skip_pct"),
+        (srt_pct - cur_pct).alias("uplift_pp"),
+    ).orderBy("quintile")

@@ -2596,3 +2596,66 @@ def label_propagation_communities(
         .agg(F.count("*").cast("long").alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+SUBSTRING_WINDOW_TOKENS = 15  # rolling exact-match window width
+
+
+def dedup_substring_windows(
+    documents: DataFrame, w: int = SUBSTRING_WINDOW_TOKENS
+) -> DataFrame:
+    """Overlapping exact-substring duplication audit — the rolling-window
+    spelling of training-data substring dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better": any w-token span appearing
+    in more than one document is duplicated text). ``dedup_spans`` cuts
+    NON-overlapping windows (C4-style removal at fixed boundaries) and
+    misses duplicates at any other offset; this audit slides the window
+    over EVERY token position, so a copied paragraph is caught wherever it
+    lands. Per document: how many of its w-token positions sit inside a
+    span that exists elsewhere in the corpus — the substring-level dup
+    mass that document-level (minhash/simhash) dedup cannot see.
+
+    LINEAR plan, no pair join: explode the per-position windows (the
+    zip-of-shifted-slices n-gram spelling — interpreted-HOF-safe), hash
+    each window (md5: engine-portable), count distinct docs per window
+    hash (map-side combinable), and join the per-position table back on
+    the hash — every step an equi-join/aggregate on a key; AQE
+    skew-splits hot boilerplate windows. Docs shorter than w tokens have
+    no window and are excluded (mirrored WHERE).
+
+    Scale: the explode multiplies the corpus by ~|tokens| rows of 32-char
+    hashes; everything downstream is combinable or keyed. At 100 TB the
+    same plan runs with a doc-frequency cap on the window table if the
+    per-window distinct-doc count itself becomes the hot aggregate
+    (documented swap, same as the minhash cap).
+    """
+    from inde1_spark.functions.exprs import ratio_round, word_ngrams
+
+    tokenized = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).filter(F.size("toks") >= w)
+    wins = tokenized.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("toks"), w)).alias("win"),
+    ).select("doc_id", F.md5("win").alias("h"))
+    dfreq = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    per_doc = (
+        wins.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_positions"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_shared_positions",
+        ratio_round(
+            F.col("n_shared_positions") * 100, F.col("n_windows"), 2
+        ).alias("substring_dup_pct"),
+    ).orderBy("doc_id")

@@ -10995,3 +10995,103 @@ FROM scored ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K}
 
 
 STAGED_ORACLES["jm_query_likelihood"] = _jm_ql_sql()
+
+
+from inde1_spark.operators.dedup import SUBSTRING_WINDOW_TOKENS  # noqa: E402
+
+# Twin of operators/dedup.py:dedup_substring_windows — same rolling md5
+# window hashes (positions kept, not DISTINCT), distinct-doc frequency,
+# exact round-half-up dup mass.
+STAGED_ORACLES["dedup_substring_windows"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+wins AS MATERIALIZED (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+{SUBSTRING_WINDOW_TOKENS - 1}], ' ')) AS h
+  FROM toks,
+       UNNEST(generate_series(1, len(toks) - {SUBSTRING_WINDOW_TOKENS - 1}))
+         AS u(i)
+  WHERE len(toks) >= {SUBSTRING_WINDOW_TOKENS}
+),
+dfreq AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM wins GROUP BY 1
+),
+per_doc AS (
+  SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_positions
+  FROM wins w JOIN dfreq d USING (h)
+  GROUP BY 1
+)
+SELECT doc_id, n_windows, n_shared_positions,
+       {_rr("n_shared_positions * 100", "n_windows", 2)} AS substring_dup_pct
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# Twin of operators/analytics.py:sort_benefit_audit — day zones vs the
+# value-sorted hypothetical with the same zone count; one conditional-count
+# rank pass; exact longs; uplift subtracts two exact 4-dp decimals.
+STAGED_ORACLES["sort_benefit_audit"] = f"""
+WITH zones AS (
+  SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MAX(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS zmax
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+         CAST(SUM(n_rows) AS BIGINT) AS n_total
+  FROM zones
+),
+vspan AS (
+  SELECT MIN(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS vmin,
+         MAX(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS vmax
+  FROM events
+),
+thr AS (
+  SELECT i, CAST(vmin + (vmax - vmin) * i // 5 AS BIGINT) AS thr_micro
+  FROM vspan, UNNEST(generate_series(1, 4)) AS u(i)
+),
+cur AS (
+  SELECT i, thr_micro,
+         CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN zmax <= thr_micro THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_skipped_current
+  FROM zones CROSS JOIN thr GROUP BY 1, 2
+),
+ranks AS (
+  SELECT i,
+         CAST(SUM(CASE WHEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                            <= thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS rank_le
+  FROM events CROSS JOIN thr GROUP BY 1
+),
+merged AS (
+  SELECT cur.i, cur.thr_micro, cur.rows_total, cur.rows_skipped_current,
+         ranks.rank_le, span.n_zones, span.n_total,
+         CAST((span.n_total + span.n_zones - 1) // span.n_zones AS BIGINT)
+           AS zone_rows
+  FROM cur JOIN ranks ON cur.i = ranks.i CROSS JOIN span
+),
+sk AS (
+  SELECT i, thr_micro, rows_total, rows_skipped_current,
+         CASE WHEN rank_le >= n_total THEN n_total
+              ELSE CAST((rank_le // zone_rows) * zone_rows AS BIGINT)
+         END AS rows_skipped_sorted
+  FROM merged
+)
+SELECT CAST(i AS BIGINT) AS quintile,
+       CAST(thr_micro AS DOUBLE) / 1e6 AS threshold,
+       rows_total, rows_skipped_current, rows_skipped_sorted,
+       {_rr("rows_skipped_current * 100", "rows_total", 4)}
+         AS current_skip_pct,
+       {_rr("rows_skipped_sorted * 100", "rows_total", 4)}
+         AS sorted_skip_pct,
+       {_rr("rows_skipped_sorted * 100", "rows_total", 4)}
+         - {_rr("rows_skipped_current * 100", "rows_total", 4)} AS uplift_pp
+FROM sk ORDER BY quintile
+"""

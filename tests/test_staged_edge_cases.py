@@ -166,3 +166,56 @@ def test_staged_plan_invariants(spark):
         assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in r.raw, f"{name}: unexpected {node}"
+
+
+def test_substring_windows_catch_offset_duplicates(spark):
+    from inde1_spark.operators.dedup import dedup_substring_windows
+
+    shared = " ".join(f"s{i}" for i in range(15))  # one full shared window
+    docs = [
+        (1, "a1 a2 a3 " + shared + " a4 a5", "en", "x", 10),
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6", "en", "y", 10),  # other offset
+        (3, " ".join(f"u{i}" for i in range(30)), "en", "z", 10),  # unique
+        (4, "too short", "en", "z", 10),  # < w tokens: excluded
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substring_windows(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_shared_positions"] >= 1
+    assert out[2]["n_shared_positions"] >= 1
+    assert out[3]["n_shared_positions"] == 0
+    assert out[3]["substring_dup_pct"] == 0.0
+    # identical texts share EVERY window
+    twins = [(5, "c " + shared + " d e f", "en", "x", 10),
+             (6, "c " + shared + " d e f", "en", "y", 10)]
+    tout = dedup_substring_windows(
+        spark.createDataFrame(twins, DOC_COLS)
+    ).collect()
+    assert all(r["substring_dup_pct"] == 100.0 for r in tout)
+
+
+def test_sort_benefit_uplift_on_unclustered_values(spark):
+    from inde1_spark.operators.analytics import sort_benefit_audit
+
+    # values interleave across days -> day zone-maps prune nothing, while
+    # a value-sorted layout prunes ~CDF(t): uplift must be large
+    rows = []
+    eid = 0
+    for d in range(10):
+        for j in range(20):
+            rows.append(
+                (eid, T0 + timedelta(days=d, minutes=j), j, "view",
+                 float((eid * 7) % 100), "{}")
+            )
+            eid += 1
+    out = sort_benefit_audit(spark.createDataFrame(rows, COLS)).collect()
+    assert [r["quintile"] for r in out] == [1, 2, 3, 4]
+    for r in out:
+        assert r["rows_skipped_current"] == 0  # every day spans the range
+        assert r["rows_skipped_sorted"] > 0
+        assert r["uplift_pp"] == pytest.approx(r["sorted_skip_pct"])
+    assert all(0.0 <= r["sorted_skip_pct"] <= 100.0 for r in out)
