@@ -757,6 +757,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_benefit_audit": lambda sp, d: A.sort_benefit_audit(
             _t(sp, d, "events")
         ),
+        "mcnemar_halves_test": lambda sp, d: A.mcnemar_halves_test(
+            _t(sp, d, "events")
+        ),
+        "kmv_distinct_by_source": lambda sp, d: A.kmv_distinct_by_source(
+            _t(sp, d, "documents")
+        ),
+        "bridge_edges_audit": lambda sp, d: D.bridge_edges_audit(
+            _t(sp, d, "documents")
+        ),
     }
 
 

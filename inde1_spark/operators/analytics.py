@@ -9496,3 +9496,135 @@ def sort_benefit_audit(events: DataFrame) -> DataFrame:
         srt_pct.alias("sorted_skip_pct"),
         (srt_pct - cur_pct).alias("uplift_pp"),
     ).orderBy("quintile")
+
+
+def mcnemar_halves_test(events: DataFrame) -> DataFrame:
+    """McNemar's test on the paired half-window activity table — the
+    PAIRED sibling of ``two_proportion_z``: each user is their own
+    control, and only the DISCORDANT users (active in exactly one half
+    of the time window) carry information about churn/acquisition
+    imbalance. Shares ``capture_recapture``'s exact midpoint split, so
+    the two audits read the same 2x2 from orthogonal angles (population
+    size vs marginal homogeneity).
+
+    chi2 = (b - c)^2 / (b + c) with b = active-first-half-only, c =
+    active-second-half-only — one integer product and ONE division over
+    exact longs (no continuity correction: documented, mirrored).
+    b + c = 0 (no discordant users) emits chi2 = 0. Significance at the
+    chi2(1) 5% critical value 3.84.
+
+    Scale: one per-user conditional min/max pass onto a 1-row aggregate.
+    """
+    rng = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    mid = (F.col("t0") + F.expr("(t1 - t0) div 2")).alias("mid")
+    per_user = (
+        events.join(F.broadcast(rng.select(mid)))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.unix_timestamp("ts") < F.col("mid"), 1).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(F.unix_timestamp("ts") >= F.col("mid"), 1).otherwise(0)
+            ).alias("in2"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("in1") == 1) & (F.col("in2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b_first_only"),
+        F.sum(F.when((F.col("in1") == 0) & (F.col("in2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c_second_only"),
+        F.sum(F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    diff = F.col("b_first_only") - F.col("c_second_only")
+    disc = F.col("b_first_only") + F.col("c_second_only")
+    chi2 = F.when(disc <= 0, F.lit(0.0)).otherwise(
+        (diff * diff).cast("double") / disc.cast("double")
+    )
+    return cells.select(
+        "n_both",
+        "b_first_only",
+        "c_second_only",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.84)).alias("marginal_shift_5pct"),
+    )
+
+
+KMV_K = 32  # bottom-k sketch size
+
+
+def kmv_distinct_by_source(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per source,
+    audited against the exact count — the GROUPED, MERGEABLE sibling of
+    ``ndv_estimator_audit``: bottom-k hash sets union by keeping the k
+    smallest (mergeable-summaries), so per-partition sketches of a
+    100 TB table combine losslessly; the estimate is d = (k-1) / h_(k)
+    with h_(k) the k-th smallest unit-interval hash. The audit measures
+    the sketch error per source before a deployment trusts bottom-k
+    sketches for cross-source overlap accounting.
+
+    Determinism: unit hashes are the first 8 md5 hex chars of the text /
+    2^32 (the engine-portable convention) — exact dyadic rationals, so
+    (k-1)/h_k is one IEEE division of exacts. Sources with fewer than k
+    distinct texts report the exact count (the sketch is the full set).
+    err_pct is exact integer round-half-up over micro-scaled estimates.
+
+    Scale note (the audit's exact side): ranking distinct hashes per
+    source is a per-group sort here; the production sketch keeps only k
+    minima via partial aggregation (documented swap — the audit NEEDS
+    the exact count anyway, which already costs the distinct pass).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    hv = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    dh = (
+        documents.select("source", hv.alias("hv"))
+        .groupBy("source", "hv")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    ranked = dh.select(
+        "source", "hv", F.row_number().over(w).cast("long").alias("rk")
+    )
+    exact = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    kth = ranked.filter(F.col("rk") == F.lit(k)).select(
+        "source", F.col("hv").alias("hk")
+    )
+    est = (
+        exact.join(kth, "source", "left")
+        .select(
+            "source",
+            "exact_distinct",
+            F.when(
+                F.col("hk").isNull() | (F.col("hk") <= 0),
+                F.col("exact_distinct").cast("double"),
+            )
+            .otherwise(
+                F.lit(float(k - 1))
+                / (F.col("hk").cast("double") / F.lit(float(1 << 32)))
+            )
+            .alias("kmv_est"),
+        )
+    )
+    return est.select(
+        "source",
+        "exact_distinct",
+        "kmv_est",
+        ratio_round(
+            F.abs(
+                F.floor(F.col("kmv_est") * F.lit(1e4)).cast("long")
+                - F.col("exact_distinct") * F.lit(10_000)
+            ),
+            F.col("exact_distinct") * F.lit(100),
+            2,
+        ).alias("kmv_err_pct"),
+    ).orderBy("source")

@@ -2659,3 +2659,53 @@ def dedup_substring_windows(
             F.col("n_shared_positions") * 100, F.col("n_windows"), 2
         ).alias("substring_dup_pct"),
     ).orderBy("doc_id")
+
+
+def bridge_edges_audit(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Triangle-support histogram of the near-duplicate graph — names the
+    OVER-MERGING CULPRITS that ``dup_graph_transitivity`` only counts in
+    aggregate: an edge with zero common neighbors (support 0) is a
+    bridge, and bridges are exactly how connected-components dedup
+    chains two unrelated boilerplate families into one cluster. The
+    histogram (common-neighbor count -> number of edges) says how much
+    of the graph is triangle-supported (safe to merge) vs bridge-like
+    (a containment/levenshtein verify should gate the merge).
+
+    Support per edge by the ordered wedge join: adjacency both
+    directions, join the two endpoints' neighbor sets on the shared
+    neighbor — every step an equi-join on a node key (AQE skew-splits
+    hubs), edges persisted once and reused.
+    """
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    adj = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    support = (
+        edges.join(
+            adj.select(F.col("u").alias("doc_a"), F.col("v").alias("w1")),
+            "doc_a",
+        )
+        .join(
+            adj.select(F.col("u").alias("doc_b"), F.col("v").alias("w2")),
+            "doc_b",
+        )
+        .filter(F.col("w1") == F.col("w2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    per_edge = edges.join(support, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(F.col("cn"), F.lit(0).cast("long")).alias(
+            "common_neighbors"
+        )
+    )
+    return (
+        per_edge.groupBy("common_neighbors")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .orderBy("common_neighbors")
+    )

@@ -11095,3 +11095,111 @@ SELECT CAST(i AS BIGINT) AS quintile,
          - {_rr("rows_skipped_current * 100", "rows_total", 4)} AS uplift_pp
 FROM sk ORDER BY quintile
 """
+
+
+from inde1_spark.operators.analytics import KMV_K  # noqa: E402
+
+# Twin of operators/analytics.py:mcnemar_halves_test — capture_recapture's
+# midpoint split; one integer product, one division.
+STAGED_ORACLES["mcnemar_halves_test"] = """
+WITH rng AS (
+  SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t0,
+         MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t1
+  FROM events
+),
+mid AS (SELECT t0 + (t1 - t0) // 2 AS mid FROM rng),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) < mid
+                  THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts) >= mid
+                  THEN 1 ELSE 0 END) AS in2
+  FROM events, mid GROUP BY 1
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_first_only,
+    CAST(SUM(CASE WHEN in1 = 0 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_second_only,
+    CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_both
+  FROM per_user
+),
+ch AS (
+  SELECT n_both, b_first_only, c_second_only,
+         CASE WHEN b_first_only + c_second_only <= 0 THEN 0.0
+              ELSE CAST((b_first_only - c_second_only)
+                        * (b_first_only - c_second_only) AS DOUBLE)
+                   / CAST(b_first_only + c_second_only AS DOUBLE)
+         END AS chi2
+  FROM cells
+)
+SELECT n_both, b_first_only, c_second_only, chi2,
+       chi2 > CAST(3.84 AS DOUBLE) AS marginal_shift_5pct
+FROM ch
+"""
+
+
+# Twin of operators/analytics.py:kmv_distinct_by_source — same md5 unit
+# hashes, per-source rank of distinct hashes, (k-1)/h_k over exact dyadics,
+# floor before BIGINT (DuckDB CAST rounds), exact round-half-up err_pct.
+STAGED_ORACLES["kmv_distinct_by_source"] = f"""
+WITH dh AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+),
+ranked AS (
+  SELECT source, hv,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY hv) AS BIGINT)
+           AS rk
+  FROM dh
+),
+exact AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM ranked GROUP BY 1
+),
+kth AS (SELECT source, hv AS hk FROM ranked WHERE rk = {KMV_K}),
+est AS (
+  SELECT e.source, e.exact_distinct,
+         CASE WHEN k.hk IS NULL OR k.hk <= 0
+              THEN CAST(e.exact_distinct AS DOUBLE)
+              ELSE CAST({KMV_K - 1} AS DOUBLE)
+                   / (CAST(k.hk AS DOUBLE) / CAST(4294967296 AS DOUBLE))
+         END AS kmv_est
+  FROM exact e LEFT JOIN kth k ON e.source = k.source
+)
+SELECT source, exact_distinct, kmv_est,
+       {_rr("ABS(CAST(floor(kmv_est * 1e4) AS BIGINT)"
+            " - exact_distinct * 10000)",
+            "exact_distinct * 100", 2)} AS kmv_err_pct
+FROM est ORDER BY source
+"""
+
+
+# Twin of operators/dedup.py:bridge_edges_audit — ordered wedge join over
+# the jaccard edge set, zero-support edges coalesced in.
+STAGED_ORACLES["bridge_edges_audit"] = f"""
+WITH edges AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})
+),
+adj AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges
+),
+support AS (
+  SELECT e.doc_a, e.doc_b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM edges e
+  JOIN adj a1 ON a1.u = e.doc_a
+  JOIN adj a2 ON a2.u = e.doc_b AND a2.v = a1.v
+  GROUP BY 1, 2
+),
+per_edge AS (
+  SELECT COALESCE(s.cn, CAST(0 AS BIGINT)) AS common_neighbors
+  FROM edges e LEFT JOIN support s
+    ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+)
+SELECT common_neighbors, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM per_edge GROUP BY 1 ORDER BY common_neighbors
+"""

@@ -219,3 +219,63 @@ def test_sort_benefit_uplift_on_unclustered_values(spark):
         assert r["rows_skipped_sorted"] > 0
         assert r["uplift_pp"] == pytest.approx(r["sorted_skip_pct"])
     assert all(0.0 <= r["sorted_skip_pct"] <= 100.0 for r in out)
+
+
+def test_mcnemar_counts_discordant_users(spark):
+    from inde1_spark.operators.analytics import mcnemar_halves_test
+
+    # window [T0, T0+10d], mid at +5d: 3 first-only, 1 second-only, 2 both
+    rows = [(0, T0, 100, "view", 1.0, "{}"),
+            (1, T0 + timedelta(days=10), 101, "view", 1.0, "{}")]  # both ends
+    eid = 2
+    for u in (1, 2, 3):  # first-half only
+        rows.append((eid, T0 + timedelta(days=1), u, "view", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, T0 + timedelta(days=9), 50, "view", 1.0, "{}"))  # second
+    r = mcnemar_halves_test(spark.createDataFrame(rows, COLS)).collect()[0]
+    # boundary users 100/101 are single-half too: b = 3+1, c = 1+1
+    assert r["b_first_only"] == 4 and r["c_second_only"] == 2
+    assert r["n_both"] == 0
+    assert r["chi2"] == pytest.approx((4 - 2) ** 2 / 6)
+    assert not r["marginal_shift_5pct"]
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    from inde1_spark.operators.analytics import KMV_K, kmv_distinct_by_source
+
+    docs = [(i, f"small text {i}", "en", "small", 10) for i in range(5)]
+    docs += [(100 + i, f"big text {i}", "en", "big", 10) for i in range(300)]
+    out = {
+        r["source"]: r
+        for r in kmv_distinct_by_source(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    assert out["small"]["exact_distinct"] == 5 < KMV_K
+    assert out["small"]["kmv_est"] == 5.0  # sketch holds the full set
+    assert out["small"]["kmv_err_pct"] == 0.0
+    big = out["big"]
+    assert big["exact_distinct"] == 300
+    # k=32 sketch: ~1/sqrt(k-1) = 18% stderr; 60% is a 3-sigma-plus bound
+    assert abs(big["kmv_est"] - 300) / 300 < 0.6
+    assert big["kmv_err_pct"] == pytest.approx(
+        round(abs(big["kmv_est"] - 300) / 3, 2), abs=0.02
+    )
+
+
+def test_bridge_audit_separates_triangles_from_bridges(spark):
+    from inde1_spark.operators.dedup import bridge_edges_audit
+
+    tri_text = "alpha beta gamma delta epsilon zeta eta"
+    pair_text = "one two three four five six seven eight"
+    docs = [(i, tri_text, "en", "a", 10) for i in range(3)]  # triangle
+    docs += [(10 + i, pair_text, "en", "b", 10) for i in range(2)]  # bridge
+    out = {
+        r["common_neighbors"]: r["n_edges"]
+        for r in bridge_edges_audit(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    # triangle: each of 3 edges has exactly 1 common neighbor; the isolated
+    # pair's single edge has none (the bridge)
+    assert out == {0: 1, 1: 3}
