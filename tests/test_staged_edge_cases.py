@@ -279,3 +279,47 @@ def test_bridge_audit_separates_triangles_from_bridges(spark):
     # triangle: each of 3 edges has exactly 1 common neighbor; the isolated
     # pair's single edge has none (the bridge)
     assert out == {0: 1, 1: 3}
+
+
+def test_staged_plan_shapes(spark):
+    """Column pruning + join-strategy pins for the staged batch, so r09
+    promotion arrives pre-pinned (the test_plan_quality discipline)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.staged_queries()
+
+    def schemas(name):
+        r = plan_report(Q[name](spark, SF_SMOKE))
+        return r, set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+
+    r, s = schemas("file_compaction_plan")
+    assert s == {"ts:timestamp_ntz"}  # one column feeds the whole plan
+    assert r.exchanges <= 2 and r.sort_merge_joins == 0
+
+    _, s = schemas("dedup_substring_windows")
+    assert all(set(x.split(",")) <= {"doc_id:bigint", "text:string"} for x in s)
+
+    _, s = schemas("kmv_distinct_by_source")
+    assert all(
+        set(x.split(",")) <= {"text:string", "source:string"} for x in s
+    )
+
+    r, s = schemas("nelson_aalen_hazard")
+    assert all(
+        set(x.split(",")) <= {"ts:timestamp_ntz", "user_id:bigint"} for x in s
+    )
+
+    r, _ = schemas("jm_query_likelihood")
+    # query-term postings + 1-row constants are all broadcast: a sort-merge
+    # join here would mean a corpus-sized shuffle of the scored grid
+    assert r.sort_merge_joins == 0
+
+    r, _ = schemas("sort_benefit_audit")
+    assert r.sort_merge_joins == 0  # threshold grid + span ride broadcasts
+
+    r, _ = schemas("bridge_edges_audit")
+    # the persisted jaccard edge table is REUSED, not recomputed, by the
+    # wedge join's three references
+    assert r.raw.count("InMemoryTableScan") >= 3
