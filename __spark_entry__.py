@@ -766,6 +766,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridge_edges_audit": lambda sp, d: D.bridge_edges_audit(
             _t(sp, d, "documents")
         ),
+        "cochran_q_weeks": lambda sp, d: A.cochran_q_weeks(
+            _t(sp, d, "events")
+        ),
+        "morisita_horn_overlap": lambda sp, d: SC.morisita_horn_overlap(
+            _t(sp, d, "documents")
+        ),
     }
 
 

@@ -9628,3 +9628,95 @@ def kmv_distinct_by_source(documents: DataFrame, k: int = KMV_K) -> DataFrame:
             2,
         ).alias("kmv_err_pct"),
     ).orderBy("source")
+
+
+COCHRAN_Q_K = 7  # epoch-dow treatments (the page_trend blocking convention)
+COCHRAN_Q_CRIT_5PCT = 12.59  # chi2(6) 5% critical value
+
+
+def cochran_q_weeks(events: DataFrame) -> DataFrame:
+    """Cochran's Q over the user x day-of-week activity matrix — the
+    k-related-BINARY-samples member completing the categorical tier:
+    ``friedman_test`` asks whether ranked MAGNITUDES differ across the
+    within-week positions, Cochran's Q asks whether the PROPENSITY TO
+    SHOW UP AT ALL does, each user serving as their own block. The
+    matched-design upgrade of ``chi2_independence`` for weekly
+    participation patterns.
+
+    Exact integer identity: with column totals G_j, row totals L_i and
+    T = Sum L_i, Q = (k-1) * Sum_j (k G_j - T)^2 / (k * (k T - Sum
+    L_i^2)) — one division of two exact decimal(38,0) conversions.
+    Degenerate blocks (every user active every dow, or T = 0) emit
+    Q = 0. Significance at the chi2(k-1) 5% critical value 12.59
+    (injected constant, both engines).
+
+    Scale: one corpus-volume distinct (user, dow) pass; row/column
+    totals are map-side-combinable aggregates over it.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    k = COCHRAN_Q_K
+    dow = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        % k
+    )
+    cells = _persist(
+        events.select("user_id", dow.alias("j")).distinct()
+    )
+    rows = cells.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("li")
+    )
+    rowagg = rows.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("li").cast("long").alias("t"),
+        F.sum(d38(F.col("li")) * d38(F.col("li")))
+        .cast("decimal(38,0)")
+        .alias("sl2"),
+    )
+    # the FULL 0..k-1 treatment grid: a dow with zero active users still
+    # contributes (0*k - T)^2 = T^2 to the column sum
+    grid = events.sparkSession.range(k).select(F.col("id").alias("j"))
+    colagg = (
+        grid.join(
+            cells.groupBy("j").agg(F.count("*").cast("long").alias("gj")),
+            "j",
+            "left",
+        )
+        .select(F.coalesce(F.col("gj"), F.lit(0).cast("long")).alias("gj"))
+        .join(F.broadcast(rowagg.select("t")))
+        .agg(
+            F.sum(
+                (d38(F.col("gj")) * F.lit(k) - d38(F.col("t")))
+                * (d38(F.col("gj")) * F.lit(k) - d38(F.col("t")))
+            )
+            .cast("decimal(38,0)")
+            .alias("sg2")
+        )
+    )
+    num = dec_to_double_exact(
+        (F.col("sg2") * F.lit(k - 1).cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        )
+    )
+    den = dec_to_double_exact(
+        (
+            F.lit(k).cast("decimal(38,0)")
+            * (d38(F.col("t")) * F.lit(k) - F.col("sl2"))
+        ).cast("decimal(38,0)")
+    )
+    q = F.when(den <= 0, F.lit(0.0)).otherwise(num / den)
+    return (
+        rowagg.crossJoin(F.broadcast(colagg))
+        .select(
+            "n_users",
+            F.col("t").alias("n_active_cells"),
+            q.alias("q_stat"),
+            (q > F.lit(COCHRAN_Q_CRIT_5PCT)).alias("dow_effect_5pct"),
+        )
+    )

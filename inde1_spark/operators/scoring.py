@@ -1362,3 +1362,96 @@ def jm_query_likelihood(
             ),
         )
     )
+
+
+def morisita_horn_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise Morisita-Horn overlap between per-source unigram
+    distributions — the ABUNDANCE-weighted member of the source-overlap
+    family: ``cross_source_overlap`` counts shared vocabulary
+    (presence/absence), ``jsd_sources`` measures distribution distance;
+    MH = 2 Sum_t xa xb * Na Nb / (Sum xa^2 * Nb^2 + Sum xb^2 * Na^2)
+    weights terms by frequency, is 1 for identical relative abundances,
+    0 for disjoint vocabularies, and is the standard index for "do two
+    corpora have the same head?" where rare-tail noise should not count.
+
+    Everything left of the single division is exact integers: the
+    cleared-denominator form above multiplies through by Na^2 Nb^2, so
+    both sides are decimal(38,0) products of longs, converted once by
+    digit-split. Only the INTERSECTION join is materialized (disjoint
+    pairs would be 0; per-source squared sums come from the same
+    persisted (source, term) count table).
+
+    Scale: the jsd_sources shape — one corpus-volume (source, term)
+    count, a vocabulary-volume self-equi-join, bounded source fan-out.
+    """
+    from inde1_spark.functions.exprs import dec_to_double_exact
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    terms = _persist(
+        documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    moments = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.sum(d38(F.col("c")) * d38(F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    a = terms.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("ca"),
+    )
+    b = terms.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("cb"),
+    )
+    cross = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(d38(F.col("ca")) * d38(F.col("cb")))
+            .cast("decimal(38,0)")
+            .alias("sxy")
+        )
+    )
+    ma = moments.select(
+        F.col("source").alias("source_a"),
+        F.col("n_tok").alias("na"),
+        F.col("ss").alias("ssa"),
+    )
+    mb = moments.select(
+        F.col("source").alias("source_b"),
+        F.col("n_tok").alias("nb"),
+        F.col("ss").alias("ssb"),
+    )
+    num = dec_to_double_exact(
+        (
+            F.lit(2).cast("decimal(38,0)")
+            * F.col("sxy")
+            * d38(F.col("na"))
+            * d38(F.col("nb"))
+        ).cast("decimal(38,0)")
+    )
+    den = dec_to_double_exact(
+        (
+            F.col("ssa") * d38(F.col("nb")) * d38(F.col("nb"))
+            + F.col("ssb") * d38(F.col("na")) * d38(F.col("na"))
+        ).cast("decimal(38,0)")
+    )
+    return (
+        cross.join(F.broadcast(ma), "source_a")
+        .join(F.broadcast(mb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (num / den).alias("morisita_horn"),
+        )
+        .orderBy("source_a", "source_b")
+    )

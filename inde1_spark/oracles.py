@@ -11203,3 +11203,94 @@ per_edge AS (
 SELECT common_neighbors, CAST(COUNT(*) AS BIGINT) AS n_edges
 FROM per_edge GROUP BY 1 ORDER BY common_neighbors
 """
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    COCHRAN_Q_CRIT_5PCT,
+    COCHRAN_Q_K,
+)
+
+# Twin of operators/analytics.py:cochran_q_weeks — full 0..k-1 treatment
+# grid (zero-activity dows contribute T^2), HUGEINT identities, digit-split
+# conversions, one division.
+STAGED_ORACLES["cochran_q_weeks"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) % {COCHRAN_Q_K} AS j
+  FROM events
+),
+rows_t AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS li FROM cells GROUP BY 1
+),
+rowagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(li) AS BIGINT) AS t,
+         CAST(SUM(CAST(li AS HUGEINT) * li) AS HUGEINT) AS sl2
+  FROM rows_t
+),
+gj AS (
+  SELECT g.j, CAST(COALESCE(c.gj, 0) AS BIGINT) AS gj
+  FROM (SELECT unnest(generate_series(0, {COCHRAN_Q_K - 1})) AS j) g
+  LEFT JOIN (
+    SELECT j, CAST(COUNT(*) AS BIGINT) AS gj FROM cells GROUP BY 1
+  ) c ON g.j = c.j
+),
+colagg AS (
+  SELECT CAST(SUM((CAST(gj AS HUGEINT) * {COCHRAN_Q_K} - t)
+                  * (CAST(gj AS HUGEINT) * {COCHRAN_Q_K} - t)) AS HUGEINT)
+           AS sg2
+  FROM gj CROSS JOIN rowagg
+),
+calc AS (
+  SELECT n_users, t,
+         {_dec2d(f"CAST(sg2 * {COCHRAN_Q_K - 1} AS HUGEINT)")} AS num_d,
+         {_dec2d(
+             f"CAST({COCHRAN_Q_K} * (CAST(t AS HUGEINT) * {COCHRAN_Q_K} - sl2)"
+             f" AS HUGEINT)"
+         )} AS den_d
+  FROM rowagg CROSS JOIN colagg
+)
+SELECT n_users, t AS n_active_cells,
+       CASE WHEN den_d <= 0 THEN 0.0 ELSE num_d / den_d END AS q_stat,
+       (CASE WHEN den_d <= 0 THEN 0.0 ELSE num_d / den_d END)
+         > CAST({COCHRAN_Q_CRIT_5PCT} AS DOUBLE) AS dow_effect_5pct
+FROM calc
+"""
+
+
+# Twin of operators/scoring.py:morisita_horn_overlap — cleared-denominator
+# integer form in HUGEINT, digit-split conversions, intersection-only join.
+STAGED_ORACLES["morisita_horn_overlap"] = f"""
+WITH terms AS MATERIALIZED (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+moments AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM terms GROUP BY 1
+),
+cross_t AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS sxy
+  FROM terms a JOIN terms b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       {_dec2d(
+           "CAST(2 * c.sxy * CAST(ma.n_tok AS HUGEINT)"
+           " * CAST(mb.n_tok AS HUGEINT) AS HUGEINT)"
+       )}
+       / {_dec2d(
+           "CAST(ma.ss * CAST(mb.n_tok AS HUGEINT) * mb.n_tok"
+           " + mb.ss * CAST(ma.n_tok AS HUGEINT) * ma.n_tok AS HUGEINT)"
+       )} AS morisita_horn
+FROM cross_t c
+JOIN moments ma ON c.source_a = ma.source
+JOIN moments mb ON c.source_b = mb.source
+ORDER BY source_a, source_b
+"""

@@ -323,3 +323,57 @@ def test_staged_plan_shapes(spark):
     # the persisted jaccard edge table is REUSED, not recomputed, by the
     # wedge join's three references
     assert r.raw.count("InMemoryTableScan") >= 3
+
+
+def test_cochran_q_hand_computed(spark):
+    from inde1_spark.operators.analytics import cochran_q_weeks
+
+    # 4 users, activity on two adjacent epoch-dows: G has {3, 2} on two
+    # treatments and 0 on five; T=5, sum L^2 = 7
+    # Q = 6 * (16^2 + 9^2 + 5*5^2) / (7 * (7*5 - 7)) = 2772 / 196
+    rows = []
+    eid = 0
+    for u, offsets in ((1, (0,)), (2, (0,)), (3, (0, 1)), (4, (1,))):
+        for d in offsets:
+            rows.append((eid, T0 + timedelta(days=d), u, "view", 1.0, "{}"))
+            eid += 1
+    r = cochran_q_weeks(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["n_users"] == 4 and r["n_active_cells"] == 5
+    assert r["q_stat"] == pytest.approx(2772 / 196)
+    assert r["dow_effect_5pct"]  # 14.14 > 12.59
+
+
+def test_cochran_q_uniform_users_degenerate(spark):
+    from inde1_spark.operators.analytics import cochran_q_weeks
+
+    # every user active every dow -> k*T == sum L^2 -> den 0 -> Q = 0
+    rows = []
+    eid = 0
+    for u in range(3):
+        for d in range(7):
+            rows.append((eid, T0 + timedelta(days=d), u, "view", 1.0, "{}"))
+            eid += 1
+    r = cochran_q_weeks(spark.createDataFrame(rows, COLS)).collect()[0]
+    assert r["q_stat"] == 0.0 and not r["dow_effect_5pct"]
+
+
+def test_morisita_horn_identical_and_disjoint(spark):
+    from inde1_spark.operators.scoring import morisita_horn_overlap
+
+    same = "alpha beta beta gamma gamma gamma"
+    docs = [
+        (1, same, "en", "a", 10),
+        (2, same, "en", "b", 10),  # identical distribution -> MH exactly 1
+        (3, "zeta eta theta", "en", "c", 10),  # disjoint from a and b
+        (4, "alpha zeta", "en", "d", 10),  # partial overlap with a, b, c
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r["morisita_horn"]
+        for r in morisita_horn_overlap(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert ("a", "c") not in out and ("b", "c") not in out  # disjoint drop
+    for key in (("a", "d"), ("b", "d"), ("c", "d")):
+        assert 0.0 < out[key] < 1.0
