@@ -9274,12 +9274,14 @@ def ndv_estimator_audit(events: DataFrame) -> DataFrame:
             .groupBy(F.col(colname).alias("v"))
             .agg(F.count("*").cast("long").alias("cnt"))
         )
+        # coalesce mirrors the oracle's COALESCE: an EMPTY 1-in-10 sample
+        # (plausible on tiny tables) sums to NULL, not 0 (ADVICE r08)
         stats = freq.agg(
             F.count("*").cast("long").alias("d_s"),
-            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            F.coalesce(F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias("f1"),
-            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+            F.coalesce(F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias("f2"),
             F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_sample"),
@@ -9304,14 +9306,22 @@ def ndv_estimator_audit(events: DataFrame) -> DataFrame:
             "f2",
             chao1.alias("chao1_est"),
             gee.alias("gee_est"),
-            ratio_round(
-                F.abs(
-                    (chao1 * F.lit(1e4)).cast("long")
-                    - F.col("exact_ndv") * F.lit(10_000)
+            # exact_ndv = 0 (empty table) would make ratio_round's `% 0`
+            # throw under ANSI — guard the degenerate denominator and emit
+            # 0.0 err, mirrored as CASE in the oracle (ADVICE r08)
+            F.when(
+                F.col("exact_ndv") > 0,
+                ratio_round(
+                    F.abs(
+                        (chao1 * F.lit(1e4)).cast("long")
+                        - F.col("exact_ndv") * F.lit(10_000)
+                    ),
+                    F.col("exact_ndv") * F.lit(100),
+                    2,
                 ),
-                F.col("exact_ndv") * F.lit(100),
-                2,
-            ).alias("chao1_err_pct"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("chao1_err_pct"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("column_name")
@@ -9572,9 +9582,13 @@ def kmv_distinct_by_source(documents: DataFrame, k: int = KMV_K) -> DataFrame:
 
     Determinism: unit hashes are the first 8 md5 hex chars of the text /
     2^32 (the engine-portable convention) — exact dyadic rationals, so
-    (k-1)/h_k is one IEEE division of exacts. Sources with fewer than k
-    distinct texts report the exact count (the sketch is the full set).
-    err_pct is exact integer round-half-up over micro-scaled estimates.
+    (k-1)/h_k is one IEEE division of exacts. exact_distinct is the TRUE
+    COUNT(DISTINCT text) per source (ADVICE r08: counting distinct
+    32-bit prefixes would undercount by ~n^2/2^33 collisions); when a
+    source has fewer than k distinct hashes the sketch holds its full
+    hash set and reports the distinct-HASH count (= distinct texts
+    absent prefix collisions). err_pct is exact integer round-half-up
+    over micro-scaled estimates.
 
     Scale note (the audit's exact side): ranking distinct hashes per
     source is a per-group sort here; the production sketch keeps only k
@@ -9593,20 +9607,22 @@ def kmv_distinct_by_source(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     ranked = dh.select(
         "source", "hv", F.row_number().over(w).cast("long").alias("rk")
     )
-    exact = ranked.groupBy("source").agg(
-        F.count("*").cast("long").alias("exact_distinct")
+    exact = documents.groupBy("source").agg(
+        F.countDistinct("text").cast("long").alias("exact_distinct")
     )
+    dhv = dh.groupBy("source").agg(F.count("*").cast("long").alias("d_hv"))
     kth = ranked.filter(F.col("rk") == F.lit(k)).select(
         "source", F.col("hv").alias("hk")
     )
     est = (
-        exact.join(kth, "source", "left")
+        exact.join(dhv, "source")
+        .join(kth, "source", "left")
         .select(
             "source",
             "exact_distinct",
             F.when(
                 F.col("hk").isNull() | (F.col("hk") <= 0),
-                F.col("exact_distinct").cast("double"),
+                F.col("d_hv").cast("double"),
             )
             .otherwise(
                 F.lit(float(k - 1))

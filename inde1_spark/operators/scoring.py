@@ -1306,13 +1306,14 @@ def jm_query_likelihood(
     products — ln(3 c_dq N + c_q dlen) - ln(4 dlen N) — nano-snapped,
     summed in longs. Docs missing a term contribute the c_dq = 0 row of
     the SAME formula (the per-(doc, qterm) grid is the bounded |Q|-way
-    fan-out of the doc-length table, broadcast-joined to the query-term
-    postings). Query terms absent from the corpus and zero-token
+    fan-out of the doc-length table, SHUFFLE-joined to the query-term
+    postings — both sides are corpus-proportional, so neither is ever
+    broadcast). Query terms absent from the corpus and zero-token
     documents drop in both engines (ln 0 guards, mirrored WHERE).
 
-    Scale: the (doc, term) shuffle carries only query-term postings; the
-    scored grid is |docs| x |Q| row-local arithmetic + a TakeOrdered
-    top-k.
+    Scale: the (doc, term) shuffle carries only query-term postings plus
+    the |Q|-way doc grid; the scored arithmetic is row-local + a
+    TakeOrdered top-k.
     """
     from inde1_spark.operators.dedup import _persist
 
@@ -1335,7 +1336,10 @@ def jm_query_likelihood(
     grid = (
         dl.join(F.broadcast(cq))  # bounded |Q|-way fan-out per doc
         .join(F.broadcast(ntot))
-        .join(F.broadcast(dq), ["doc_id", "term"], "left")
+        # dq is the query-term POSTINGS — corpus-proportional, never
+        # broadcast (ADVICE r08): one shuffled equi-join on (doc_id, term)
+        # against the equally corpus-proportional grid is the 100 TB shape
+        .join(dq, ["doc_id", "term"], "left")
         .select(
             "doc_id",
             "dlen",

@@ -10842,8 +10842,10 @@ SELECT '{col}' AS column_name, ex.n_rows, ex.exact_ndv, st.n_sample,
        st.d_s AS sample_ndv, st.f1, st.f2,
        {chao1} AS chao1_est,
        {gee} AS gee_est,
-       {_rr(f"ABS(CAST(floor({chao1} * 1e4) AS BIGINT) - exact_ndv * 10000)",
-            "exact_ndv * 100", 2)} AS chao1_err_pct
+       CASE WHEN exact_ndv > 0
+            THEN {_rr(f"ABS(CAST(floor({chao1} * 1e4) AS BIGINT) - exact_ndv * 10000)",
+                      "exact_ndv * 100", 2)}
+            ELSE CAST(0 AS DOUBLE) END AS chao1_err_pct
 FROM (
   SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact_ndv,
          CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -11144,6 +11146,8 @@ FROM ch
 # Twin of operators/analytics.py:kmv_distinct_by_source — same md5 unit
 # hashes, per-source rank of distinct hashes, (k-1)/h_k over exact dyadics,
 # floor before BIGINT (DuckDB CAST rounds), exact round-half-up err_pct.
+# exact_distinct is true COUNT(DISTINCT text); sketch-full fallback uses the
+# distinct-HASH count (ADVICE r08).
 STAGED_ORACLES["kmv_distinct_by_source"] = f"""
 WITH dh AS (
   SELECT DISTINCT source,
@@ -11157,18 +11161,23 @@ ranked AS (
   FROM dh
 ),
 exact AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
-  FROM ranked GROUP BY 1
+  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+  FROM documents GROUP BY 1
+),
+dhv AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS d_hv FROM dh GROUP BY 1
 ),
 kth AS (SELECT source, hv AS hk FROM ranked WHERE rk = {KMV_K}),
 est AS (
   SELECT e.source, e.exact_distinct,
          CASE WHEN k.hk IS NULL OR k.hk <= 0
-              THEN CAST(e.exact_distinct AS DOUBLE)
+              THEN CAST(d.d_hv AS DOUBLE)
               ELSE CAST({KMV_K - 1} AS DOUBLE)
                    / (CAST(k.hk AS DOUBLE) / CAST(4294967296 AS DOUBLE))
          END AS kmv_est
-  FROM exact e LEFT JOIN kth k ON e.source = k.source
+  FROM exact e
+  JOIN dhv d ON e.source = d.source
+  LEFT JOIN kth k ON e.source = k.source
 )
 SELECT source, exact_distinct, kmv_est,
        {_rr("ABS(CAST(floor(kmv_est * 1e4) AS BIGINT)"
