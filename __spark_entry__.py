@@ -45,31 +45,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r08 window: the 22 r06 leftovers (entropy_rate_markov..lorenz_curve)
-    plus the 21 r07 additions (turning_points_test..lognormal_length_fit)
-    — the last never-driver-verified entries, all locally hash-green at
-    sf0.001 AND sf0.01 — plus 7 re-confirmations of the oldest greens
-    (hourly_stats, occupancy_asof, session_pairing, alerts,
-    cumulative_series, weekly_revenue_by_type, pricing_summary, last
-    driver rows r01/r02). 43 + 7 = exactly 50; a green CORRECTNESS_r08
-    completes lifetime driver coverage 314/314. ZERO production queries
-    were added this round (r07 verdict item 1). Two window entries
-    changed output intentionally this round, BEFORE any driver row pinned
-    them: granger_daily (rss columns now true RSS, /n not /n^2) and
-    join_order_audit (tie-break to plan A via row_number) — both mirrored
-    across all twins, both ADVICE-r07 fixes.
+    r09 window (the steady-state cadence's first full turn): the 12
+    operators staged through r08 (nelson_aalen_hazard..
+    morisita_horn_overlap — all double-SF hash-green, judge-mirrored,
+    edge-pinned, plan-pinned, partition-invariant BEFORE promotion, per
+    the staged-surface invariant) enter production at the head, followed
+    by 38 re-confirmations of the oldest driver rows: the 25 queries
+    last verified in r02 (the reference-parity + long-green blocks) and
+    the first 13 of the 46 r03-era LLM-pipeline entries
+    (dedup_embedding_lsh..knn_lsh_bucketed). 12 + 25 + 13 = exactly 50.
+    Three promoted entries changed output/plan intentionally this round,
+    BEFORE any driver row pinned them (the r08-ADVICE fixes):
+    ndv_estimator_audit (empty-sample coalesce + zero-NDV err guard),
+    jm_query_likelihood (corpus-proportional postings join is shuffled,
+    not broadcast — values unchanged) and kmv_distinct_by_source
+    (exact_distinct is true COUNT(DISTINCT text)) — all mirrored across
+    their twins pre-promotion.
 
-    STEADY-STATE CADENCE (from r09 on, the queue being empty): every
-    window slot not taken by a new query is a re-confirmation. Draw the
-    entries whose last driver row is OLDEST (round number, then dict
-    order) so no query's last driver row ages past ~6 rounds
-    (314/50 = 6.3); new queries, when additions resume, still jump the
-    queue per the rotation policy above. Computed oldest pool after a
-    green r08: 25 queries last verified in r02 (enrich_users_ttl..
-    dedup_ngram_jaccard, the reference-parity + long-green blocks below),
-    then the 46 r03-era LLM-pipeline entries (dedup_embedding_lsh..
-    pivot_source_lang) — the r09 re-confirmation slots come from the
-    head of that list.
+    STEADY-STATE CADENCE: every window slot not taken by a new query is
+    a re-confirmation. Draw the entries whose last driver row is OLDEST
+    (round number, then dict order) so no query's last driver row ages
+    past ~7 rounds (326/50 = 6.5); new queries, when staged batches
+    promote, still jump the queue per the rotation policy above.
+    Computed oldest pool after a green r09: the 33 remaining r03-era
+    entries (knn_ivf..pivot_source_lang), then the r04 gate-green block
+    — the r10 re-confirmation slots come from the head of that list.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -84,7 +84,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: the 22 r06 leftovers ---
+        # --- never driver-verified: the 12 ops staged through r08 ---
+        "nelson_aalen_hazard": lambda sp, d: A.nelson_aalen_hazard(
+            _t(sp, d, "events")
+        ),
+        "ndv_estimator_audit": lambda sp, d: A.ndv_estimator_audit(
+            _t(sp, d, "events")
+        ),
+        "file_compaction_plan": lambda sp, d: A.file_compaction_plan(
+            _t(sp, d, "events")
+        ),
+        "label_propagation_communities": lambda sp, d: (
+            D.label_propagation_communities(_t(sp, d, "documents"))
+        ),
+        "jm_query_likelihood": lambda sp, d: SC.jm_query_likelihood(
+            _t(sp, d, "documents")
+        ),
+        "dedup_substring_windows": lambda sp, d: D.dedup_substring_windows(
+            _t(sp, d, "documents")
+        ),
+        "sort_benefit_audit": lambda sp, d: A.sort_benefit_audit(
+            _t(sp, d, "events")
+        ),
+        "mcnemar_halves_test": lambda sp, d: A.mcnemar_halves_test(
+            _t(sp, d, "events")
+        ),
+        "kmv_distinct_by_source": lambda sp, d: A.kmv_distinct_by_source(
+            _t(sp, d, "documents")
+        ),
+        "bridge_edges_audit": lambda sp, d: D.bridge_edges_audit(
+            _t(sp, d, "documents")
+        ),
+        "cochran_q_weeks": lambda sp, d: A.cochran_q_weeks(
+            _t(sp, d, "events")
+        ),
+        "morisita_horn_overlap": lambda sp, d: SC.morisita_horn_overlap(
+            _t(sp, d, "documents")
+        ),
+        # --- re-confirmations: the 25 oldest greens (last driver rows r02) ---
+        "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
+            _t(sp, d, "events"), _t(sp, d, "customer")
+        ),
+        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
+        "range_join_windows": lambda sp, d: A.range_join_windows(
+            _t(sp, d, "events")
+        ),
+        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
+        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
+        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
+        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
+        "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
+            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
+        ),
+        "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
+        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
+        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
+        "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
+        "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
+        "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
+        "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
+        "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
+        "revenue_by_nation": lambda sp, d: Q.revenue_by_nation(
+            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "forecast_revenue": lambda sp, d: Q.forecast_revenue(_t(sp, d, "lineitem")),
+        "order_priority_check": lambda sp, d: Q.order_priority_check(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "customer_order_distribution": lambda sp, d: Q.customer_order_distribution(
+            _t(sp, d, "customer"), _t(sp, d, "orders")
+        ),
+        "promo_revenue": lambda sp, d: Q.promo_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
+        "top_supplier": lambda sp, d: Q.top_supplier(
+            _t(sp, d, "supplier"), _t(sp, d, "lineitem")
+        ),
+        "customers_without_orders": lambda sp, d: Q.customers_without_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders")
+        ),
+        "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
+        "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
+        # --- re-confirmations: head of the r03-era block (last rows r03) ---
+        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
+            _t(sp, d, "embeddings")
+        ),
+        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
+        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
+        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
+        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
+        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
+        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
+        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
+        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
+        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
+        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
+        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
+        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
+        # ============== end gate window ===================================
+        # r08 gate-green block (all 50 hash-green in CORRECTNESS_r08;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
             _t(sp, d, "events")
         ),
@@ -127,7 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_test": lambda sp, d: A.friedman_test(_t(sp, d, "events")),
         "ljung_box": lambda sp, d: A.ljung_box(_t(sp, d, "events")),
         "lorenz_curve": lambda sp, d: C.lorenz_curve(_t(sp, d, "documents")),
-        # --- never driver-verified: the 21 r07 additions ---
         "turning_points_test": lambda sp, d: A.turning_points_test(
             _t(sp, d, "events")
         ),
@@ -175,7 +274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lognormal_length_fit": lambda sp, d: C.lognormal_length_fit(
             _t(sp, d, "documents")
         ),
-        # --- re-confirmations: the 7 oldest greens (driver rows r01/r02) ---
         "hourly_stats": lambda sp, d: A.hourly_stats(_t(sp, d, "events")),
         "occupancy_asof": lambda sp, d: A.occupancy_asof(_t(sp, d, "events")),
         "session_pairing": lambda sp, d: A.session_pairing(_t(sp, d, "events")),
@@ -185,7 +283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "events")
         ),
         "pricing_summary": lambda sp, d: Q.pricing_summary(_t(sp, d, "lineitem")),
-        # ============== end gate window ===================================
         # r07 gate-green block (all 50 hash-green in CORRECTNESS_r07;
         # pinned locally by tests/test_oracle_parity.py every run).
         "market_basket_lift": lambda sp, d: A.market_basket_lift(
@@ -610,43 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": lambda sp, d: C.shingle_novelty(
             _t(sp, d, "documents")
         ),
-        # Reference-parity block (last driver rows r01/r02; pinned locally by
-        # tests/test_oracle_parity.py every run).
-        "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
-            _t(sp, d, "events"), _t(sp, d, "customer")
-        ),
-        "asof_join": lambda sp, d: A.asof_join(_t(sp, d, "events")),
-        "range_join_windows": lambda sp, d: A.range_join_windows(
-            _t(sp, d, "events")
-        ),
-        "resample_ffill": lambda sp, d: A.resample_ffill(_t(sp, d, "events")),
-        "window_funcs": lambda sp, d: A.window_funcs(_t(sp, d, "events")),
-        "percentiles": lambda sp, d: A.percentiles(_t(sp, d, "events")),
-        "corr_exact": lambda sp, d: A.corr_exact(_t(sp, d, "events")),
-        "rollup_nation_region": lambda sp, d: A.rollup_nation_region(
-            _t(sp, d, "orders"), _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")
-        ),
-        "sessionize_gap": lambda sp, d: A.sessionize_gap(_t(sp, d, "events")),
-        "cube_day_type": lambda sp, d: A.cube_day_type(_t(sp, d, "events")),
-        "value_histogram": lambda sp, d: A.value_histogram(_t(sp, d, "events")),
-        "string_funcs": lambda sp, d: A.string_funcs(_t(sp, d, "events")),
-        # r03 gate-green LLM-pipeline block (hash-green in CORRECTNESS_r03;
+        # r03 gate-green LLM-pipeline block, remaining 33 (hash-green in
+        # CORRECTNESS_r03; the first 13 sit in the r09 gate window above;
         # pinned locally by tests/test_oracle_parity.py every run).
-        "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
-            _t(sp, d, "embeddings")
-        ),
-        "semdedup": lambda sp, d: CL.semdedup(_t(sp, d, "embeddings")),
-        "kmeans_assign": lambda sp, d: CL.kmeans_assign(_t(sp, d, "embeddings")),
-        "dedup_spans": lambda sp, d: D.dedup_spans(_t(sp, d, "documents")),
-        "dedup_winnow": lambda sp, d: D.dedup_winnow(_t(sp, d, "documents")),
-        "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
-        "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
-        "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
-        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
-        "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
-        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
-        "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
-        "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
         "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
         "embedding_quantize": lambda sp, d: S.embedding_quantize(
             _t(sp, d, "embeddings")
@@ -690,89 +753,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
-        # Long-green reference-parity queries (hash-green in r01 AND r02;
-        # pinned locally by tests/test_oracle_parity.py on every run).
-        "revenue_daily_model": lambda sp, d: A.revenue_daily_model(_t(sp, d, "events")),
-        "exists_check": lambda sp, d: A.exists_check(_t(sp, d, "events")),
-        "json_document": lambda sp, d: A.json_document(_t(sp, d, "events")),
-        "time_funcs": lambda sp, d: A.time_funcs(_t(sp, d, "events")),
-        # --- volume shapes (TPC-H-ish) ---
-        "revenue_by_nation": lambda sp, d: Q.revenue_by_nation(
-            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
-            _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
-        "forecast_revenue": lambda sp, d: Q.forecast_revenue(_t(sp, d, "lineitem")),
-        "order_priority_check": lambda sp, d: Q.order_priority_check(
-            _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
-        "customer_order_distribution": lambda sp, d: Q.customer_order_distribution(
-            _t(sp, d, "customer"), _t(sp, d, "orders")
-        ),
-        "promo_revenue": lambda sp, d: Q.promo_revenue(
-            _t(sp, d, "lineitem"), _t(sp, d, "part")
-        ),
-        "top_supplier": lambda sp, d: Q.top_supplier(
-            _t(sp, d, "supplier"), _t(sp, d, "lineitem")
-        ),
-        "customers_without_orders": lambda sp, d: Q.customers_without_orders(
-            _t(sp, d, "customer"), _t(sp, d, "orders")
-        ),
-        # --- exact dedup (hash-green r01+r02) ---
-        "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
-        "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """r09 STAGED batch — implemented and oracle-twinned in r08, but NOT in
-    the driver-facing surface: r07 verdict item 1 ordered zero production
-    additions until CORRECTNESS_r08 lands, so these wait behind the gate.
-    Promotion in r09 = move each entry to the head of queries() and its
-    twin from STAGED_ORACLES into ORACLES. Pinned locally on every pytest
-    run by tests/test_staged_parity.py (same harness as queries()).
+    """STAGED surface — operators verified but not yet driver-facing (see
+    CLAUDE.md). The r09 batch (nelson_aalen_hazard..morisita_horn_overlap)
+    was promoted into queries() at the top of this round; entries staged
+    for r10 accumulate here behind the full five-pin checklist (double-SF
+    parity, vanilla-session dtype, edge pins, plan pins, partition
+    invariance) before any promotion. Pinned locally on every pytest run
+    by tests/test_staged_parity.py (same harness as queries()).
     """
-    from inde1_spark.operators import analytics as A
-    from inde1_spark.operators import dedup as D
-    from inde1_spark.operators import scoring as SC
+    from inde1_spark.operators import analytics as A  # noqa: F401
+    from inde1_spark.operators import dedup as D  # noqa: F401
+    from inde1_spark.operators import scoring as SC  # noqa: F401
 
-    return {
-        "nelson_aalen_hazard": lambda sp, d: A.nelson_aalen_hazard(
-            _t(sp, d, "events")
-        ),
-        "ndv_estimator_audit": lambda sp, d: A.ndv_estimator_audit(
-            _t(sp, d, "events")
-        ),
-        "file_compaction_plan": lambda sp, d: A.file_compaction_plan(
-            _t(sp, d, "events")
-        ),
-        "label_propagation_communities": lambda sp, d: (
-            D.label_propagation_communities(_t(sp, d, "documents"))
-        ),
-        "jm_query_likelihood": lambda sp, d: SC.jm_query_likelihood(
-            _t(sp, d, "documents")
-        ),
-        "dedup_substring_windows": lambda sp, d: D.dedup_substring_windows(
-            _t(sp, d, "documents")
-        ),
-        "sort_benefit_audit": lambda sp, d: A.sort_benefit_audit(
-            _t(sp, d, "events")
-        ),
-        "mcnemar_halves_test": lambda sp, d: A.mcnemar_halves_test(
-            _t(sp, d, "events")
-        ),
-        "kmv_distinct_by_source": lambda sp, d: A.kmv_distinct_by_source(
-            _t(sp, d, "documents")
-        ),
-        "bridge_edges_audit": lambda sp, d: D.bridge_edges_audit(
-            _t(sp, d, "documents")
-        ),
-        "cochran_q_weeks": lambda sp, d: A.cochran_q_weeks(
-            _t(sp, d, "events")
-        ),
-        "morisita_horn_overlap": lambda sp, d: SC.morisita_horn_overlap(
-            _t(sp, d, "documents")
-        ),
-    }
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:

@@ -10768,10 +10768,11 @@ FROM calc, med
 
 
 # ===========================================================================
-# r09 staged batch: implemented + twinned in r08, enter ORACLES (and
-# queries()) with the r09 window rotation. Kept OUT of ORACLES until then so
-# the driver-facing surface stays exactly the r08 314 (r07 verdict item 1);
-# tests/test_staged_parity.py pins these on every run meanwhile.
+# r09 batch: implemented + twinned in r08 behind the staged surface,
+# PROMOTED into ORACLES (and the head of queries()) with the r09 window
+# rotation. STAGED_ORACLES now accumulates the r10 batch — twins live here
+# until their operators promote; tests/test_staged_parity.py pins them on
+# every run meanwhile.
 # ===========================================================================
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -10785,7 +10786,7 @@ from inde1_spark.operators.analytics import (  # noqa: E402
 
 # Twin of operators/analytics.py:nelson_aalen_hazard — KM's churn rule and
 # suffix-sum risk set; micro round-half-up increments summed in BIGINT.
-STAGED_ORACLES["nelson_aalen_hazard"] = f"""
+ORACLES["nelson_aalen_hazard"] = f"""
 WITH per_user AS (
   SELECT user_id,
          MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_d,
@@ -10863,7 +10864,7 @@ FROM (
 """
 
 
-STAGED_ORACLES["ndv_estimator_audit"] = (
+ORACLES["ndv_estimator_audit"] = (
     _ndv_block("user_id")
     + " UNION ALL "
     + _ndv_block("event_type")
@@ -10873,7 +10874,7 @@ STAGED_ORACLES["ndv_estimator_audit"] = (
 
 # Twin of operators/analytics.py:file_compaction_plan — cumulative-fill
 # file assignment over the day grid, exact longs, round-half-up fill_pct.
-STAGED_ORACLES["file_compaction_plan"] = f"""
+ORACLES["file_compaction_plan"] = f"""
 WITH zones AS (
   SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
   FROM events GROUP BY 1
@@ -10945,7 +10946,7 @@ FROM sizes GROUP BY 1 ORDER BY community_size"""
 
 from inde1_spark.operators.dedup import LPA_ROUNDS  # noqa: E402
 
-STAGED_ORACLES["label_propagation_communities"] = _lpa_sql(LPA_ROUNDS)
+ORACLES["label_propagation_communities"] = _lpa_sql(LPA_ROUNDS)
 
 
 # Twin of operators/scoring.py:jm_query_likelihood — identical integer-
@@ -10996,7 +10997,7 @@ FROM scored ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K}
 """
 
 
-STAGED_ORACLES["jm_query_likelihood"] = _jm_ql_sql()
+ORACLES["jm_query_likelihood"] = _jm_ql_sql()
 
 
 from inde1_spark.operators.dedup import SUBSTRING_WINDOW_TOKENS  # noqa: E402
@@ -11004,7 +11005,7 @@ from inde1_spark.operators.dedup import SUBSTRING_WINDOW_TOKENS  # noqa: E402
 # Twin of operators/dedup.py:dedup_substring_windows — same rolling md5
 # window hashes (positions kept, not DISTINCT), distinct-doc frequency,
 # exact round-half-up dup mass.
-STAGED_ORACLES["dedup_substring_windows"] = f"""
+ORACLES["dedup_substring_windows"] = f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
@@ -11038,7 +11039,7 @@ FROM per_doc ORDER BY doc_id
 # Twin of operators/analytics.py:sort_benefit_audit — day zones vs the
 # value-sorted hypothetical with the same zone count; one conditional-count
 # rank pass; exact longs; uplift subtracts two exact 4-dp decimals.
-STAGED_ORACLES["sort_benefit_audit"] = f"""
+ORACLES["sort_benefit_audit"] = f"""
 WITH zones AS (
   SELECT {_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,
          MAX(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS zmax
@@ -11103,7 +11104,7 @@ from inde1_spark.operators.analytics import KMV_K  # noqa: E402
 
 # Twin of operators/analytics.py:mcnemar_halves_test — capture_recapture's
 # midpoint split; one integer product, one division.
-STAGED_ORACLES["mcnemar_halves_test"] = """
+ORACLES["mcnemar_halves_test"] = """
 WITH rng AS (
   SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t0,
          MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS t1
@@ -11148,7 +11149,7 @@ FROM ch
 # floor before BIGINT (DuckDB CAST rounds), exact round-half-up err_pct.
 # exact_distinct is true COUNT(DISTINCT text); sketch-full fallback uses the
 # distinct-HASH count (ADVICE r08).
-STAGED_ORACLES["kmv_distinct_by_source"] = f"""
+ORACLES["kmv_distinct_by_source"] = f"""
 WITH dh AS (
   SELECT DISTINCT source,
          CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
@@ -11189,7 +11190,7 @@ FROM est ORDER BY source
 
 # Twin of operators/dedup.py:bridge_edges_audit — ordered wedge join over
 # the jaccard edge set, zero-support edges coalesced in.
-STAGED_ORACLES["bridge_edges_audit"] = f"""
+ORACLES["bridge_edges_audit"] = f"""
 WITH edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})
 ),
@@ -11222,7 +11223,7 @@ from inde1_spark.operators.analytics import (  # noqa: E402
 # Twin of operators/analytics.py:cochran_q_weeks — full 0..k-1 treatment
 # grid (zero-activity dows contribute T^2), HUGEINT identities, digit-split
 # conversions, one division.
-STAGED_ORACLES["cochran_q_weeks"] = f"""
+ORACLES["cochran_q_weeks"] = f"""
 WITH cells AS MATERIALIZED (
   SELECT DISTINCT user_id,
          CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
@@ -11270,7 +11271,7 @@ FROM calc
 
 # Twin of operators/scoring.py:morisita_horn_overlap — cleared-denominator
 # integer form in HUGEINT, digit-split conversions, intersection-only join.
-STAGED_ORACLES["morisita_horn_overlap"] = f"""
+ORACLES["morisita_horn_overlap"] = f"""
 WITH terms AS MATERIALIZED (
   SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
     SELECT source,

@@ -1,9 +1,9 @@
-"""Semantics + plan invariants for the r09 staged batch.
+"""Semantics + plan invariants for the r09 batch (staged in r08, promoted
+to the production surface in r09).
 
 Same style as test_r07_edge_cases: planted micro-datasets exercise the
-property each operator's docstring claims; a blanket plan sweep holds the
-engine invariants (no cartesian, no row-at-a-time Python) before the ops
-ever enter the production surface.
+property each operator's docstring claims; plan-shape pins hold the engine
+invariants (column pruning, join strategy, no cartesian).
 """
 
 from __future__ import annotations
@@ -157,11 +157,28 @@ def test_jm_ranks_term_bearing_docs_first(spark):
     assert scores == sorted(scores, reverse=True)
 
 
-def test_staged_plan_invariants(spark):
+R09_BATCH = (
+    "nelson_aalen_hazard",
+    "ndv_estimator_audit",
+    "file_compaction_plan",
+    "label_propagation_communities",
+    "jm_query_likelihood",
+    "dedup_substring_windows",
+    "sort_benefit_audit",
+    "mcnemar_halves_test",
+    "kmv_distinct_by_source",
+    "bridge_edges_audit",
+    "cochran_q_weeks",
+    "morisita_horn_overlap",
+)
+
+
+def test_r09_batch_plan_invariants(spark):
     import __spark_entry__ as entrymod
 
-    for name, fn in entrymod.staged_queries().items():
-        r = plan_report(fn(spark, SF_SMOKE))
+    Q = entrymod.queries()
+    for name in R09_BATCH:
+        r = plan_report(Q[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in r.raw, f"{name}: cartesian"
         assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
@@ -281,14 +298,14 @@ def test_bridge_audit_separates_triangles_from_bridges(spark):
     assert out == {0: 1, 1: 3}
 
 
-def test_staged_plan_shapes(spark):
-    """Column pruning + join-strategy pins for the staged batch, so r09
-    promotion arrives pre-pinned (the test_plan_quality discipline)."""
+def test_r09_batch_plan_shapes(spark):
+    """Column pruning + join-strategy pins for the r09 batch (the
+    test_plan_quality discipline; pinned before promotion, held after)."""
     import re
 
     import __spark_entry__ as entrymod
 
-    Q = entrymod.staged_queries()
+    Q = entrymod.queries()
 
     def schemas(name):
         r = plan_report(Q[name](spark, SF_SMOKE))
