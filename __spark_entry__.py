@@ -766,10 +766,58 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by tests/test_staged_parity.py (same harness as queries()).
     """
     from inde1_spark.operators import analytics as A  # noqa: F401
+    from inde1_spark.operators import clustering as CL  # noqa: F401
     from inde1_spark.operators import dedup as D  # noqa: F401
     from inde1_spark.operators import scoring as SC  # noqa: F401
+    from inde1_spark.operators import text as TX  # noqa: F401
 
-    return {}
+    return {
+        "archive_prune_audit": lambda sp, d: A.archive_prune_audit(
+            _t(sp, d, "events")
+        ),
+        "salting_plan": lambda sp, d: A.salting_plan(_t(sp, d, "events")),
+        "bucketing_plan": lambda sp, d: A.bucketing_plan(
+            _t(sp, d, "events"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "window_completeness_audit": lambda sp, d: A.window_completeness_audit(
+            _t(sp, d, "events")
+        ),
+        "value_drift_audit": lambda sp, d: A.value_drift_audit(
+            _t(sp, d, "events")
+        ),
+        "temporal_leakage_audit": lambda sp, d: A.temporal_leakage_audit(
+            _t(sp, d, "events")
+        ),
+        "dedup_substring_incremental": lambda sp, d: D.dedup_substring_incremental(
+            _t(sp, d, "documents")
+        ),
+        "dedup_pipeline_funnel": lambda sp, d: D.dedup_pipeline_funnel(
+            _t(sp, d, "documents")
+        ),
+        "minhash_band_sweep": lambda sp, d: D.minhash_band_sweep(
+            _t(sp, d, "documents")
+        ),
+        "semdedup_threshold_sweep": lambda sp, d: CL.semdedup_threshold_sweep(
+            _t(sp, d, "embeddings")
+        ),
+        "fertility_by_source": lambda sp, d: TX.fertility_by_source(
+            _t(sp, d, "documents")
+        ),
+        "broadcast_plan_audit": lambda sp, d: A.broadcast_plan_audit(
+            *[
+                _t(sp, d, t)
+                for t in (
+                    "region",
+                    "nation",
+                    "customer",
+                    "supplier",
+                    "part",
+                    "orders",
+                    "lineitem",
+                )
+            ]
+        ),
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:

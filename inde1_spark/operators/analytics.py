@@ -9736,3 +9736,479 @@ def cochran_q_weeks(events: DataFrame) -> DataFrame:
             (q > F.lit(COCHRAN_Q_CRIT_5PCT)).alias("dow_effect_5pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r10 staged batch: data-layout / pipeline-planning audits
+# --------------------------------------------------------------------------
+
+ARCHIVE_LOOKBACK_DAYS = (1, 3, 7, 14, 30)
+
+
+def archive_prune_audit(
+    events: DataFrame, lookbacks: tuple[int, ...] = ARCHIVE_LOOKBACK_DAYS
+) -> DataFrame:
+    """Partition-pruning effectiveness audit for the day-partitioned
+    archive layout — the measured form of S5/S8 (the Kafka->S3 archival
+    writer partitions by event day, `streaming/pipelines.py`, mirroring
+    the reference's partitioned sink layout): for the standard dashboard
+    lookbacks ("last N days"), how many partitions and rows does
+    partition pruning let the scan SKIP? `zonemap_prune_audit` answers
+    this for value predicates on footer stats; this audit answers it for
+    the TIME predicates that dominate real query logs, certifying the
+    archive's partition key earns its keep before a 100 TB layout
+    migration is considered.
+
+    One corpus pass builds per-day row counts (the partition manifest);
+    the lookback grid is a bounded literal; scanned = day index within
+    [max_day - N + 1, max_day], an integer comparison per (zone, N).
+    Prune pcts are exact round-half-up integer ratios.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    day = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    zones = events.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    span = zones.agg(
+        F.max("day").alias("max_day"),
+        F.count("*").cast("long").alias("parts_total"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+    grid = span.select(
+        F.explode(F.array(*[F.lit(int(w)) for w in lookbacks])).alias(
+            "lookback_days"
+        ),
+        "max_day",
+        "parts_total",
+        "rows_total",
+    )
+    scanned = F.col("day") >= F.col("max_day") - F.col("lookback_days") + 1
+    sweep = (
+        zones.crossJoin(F.broadcast(grid))
+        .groupBy("lookback_days", "parts_total", "rows_total")
+        .agg(
+            F.sum(F.when(scanned, 1).otherwise(0))
+            .cast("long")
+            .alias("parts_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+    return sweep.select(
+        F.col("lookback_days").cast("long").alias("lookback_days"),
+        "parts_total",
+        "parts_scanned",
+        "rows_total",
+        "rows_scanned",
+        ratio_round(
+            (F.col("parts_total") - F.col("parts_scanned")) * 100,
+            F.col("parts_total"),
+            2,
+        ).alias("part_prune_pct"),
+        ratio_round(
+            (F.col("rows_total") - F.col("rows_scanned")) * 100,
+            F.col("rows_total"),
+            2,
+        ).alias("row_prune_pct"),
+    ).orderBy("lookback_days")
+
+
+SALT_TARGET_PARTITIONS = 32  # shuffle width the salting plan is sized for
+SALT_TOP_K = 20
+
+
+def salting_plan(events: DataFrame) -> DataFrame:
+    """Key-salting recommendation for the user-keyed shuffles — the FIX
+    planner that `join_key_skew` (the measurement) feeds: with a target
+    of total/P rows per reducer (P the shuffle width), any key whose row
+    count exceeds the target needs its rows split across
+    ceil(count/target) salt lanes for the shuffle to balance. Emits the
+    top keys by volume with their exact salt factor — factor 1 keys
+    certify the shuffle balances unsalted, which is itself the decision
+    output (AQE skew-join handles transient skew; PERSISTENT factors > 1
+    belong in the job's explicit salting config).
+
+    One map-side-combinable count per key; the target is an exact
+    integer ceiling of total/P; salt_factor = ceil(count/target) in
+    integer math; top-k lands on TakeOrdered (no global sort). At any
+    corpus size the output is K rows.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    total = counts.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    p = F.lit(SALT_TARGET_PARTITIONS).cast("long")
+    target = (
+        (F.col("total") + p - F.lit(1).cast("long"))
+        - (F.col("total") + p - F.lit(1).cast("long")) % p
+    ) / p
+    joined = counts.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n_events",
+        target.cast("long").alias("target_rows"),
+    )
+    sf = (
+        F.col("n_events")
+        + F.col("target_rows")
+        - F.lit(1).cast("long")
+    )
+    salt_factor = ((sf - sf % F.col("target_rows")) / F.col("target_rows")).cast(
+        "long"
+    )
+    return (
+        joined.select(
+            "user_id",
+            "n_events",
+            "target_rows",
+            F.greatest(salt_factor, F.lit(1).cast("long")).alias("salt_factor"),
+            ratio_round(F.col("n_events") * 100, F.col("target_rows"), 2).alias(
+                "load_pct"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(SALT_TOP_K)
+    )
+
+
+BUCKET_TARGET_ROWS = 2000  # rows per bucket the layout is sized for
+
+
+def bucketing_plan(
+    events: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Bucket-count recommendation per join key — the co-located-join
+    sizing decision (`DESIGN.md` bucketing notes; the measured companion
+    to `join_order_audit`): for each candidate bucket key, the exact row
+    count and NDV set the bucket count at the smallest power of two
+    whose buckets hold <= BUCKET_TARGET_ROWS rows on average. Power-of-two
+    counts keep co-bucketed tables mutually divisible (a 256-bucket fact
+    co-locates with a 64-bucket dim by hashing down), which is the
+    property a 100 TB layout needs to avoid re-bucketing every join.
+
+    One count+NDV aggregate per key (map-side combinable); the output is
+    one row per candidate key. rows_per_key is the exact round-half-up
+    ratio; keys whose NDV is below the bucket count get flagged (more
+    buckets than values cannot balance).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    def one(df: DataFrame, table: str, key: str) -> DataFrame:
+        t = F.lit(BUCKET_TARGET_ROWS).cast("long")
+        agg = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct(F.col(key)).cast("long").alias("ndv"),
+        )
+        need = F.col("n_rows") + t - F.lit(1).cast("long")
+        # smallest power of two >= ceil(rows/target), exact integer
+        # spelling both engines mirror: 2^bitlen(n-1) via the binary-
+        # string length (no log2 — a transcendental on data-dependent
+        # integers is a parity risk at exact power-of-two boundaries)
+        filled = ((need - need % t) / t).cast("long")
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_col"),
+            "n_rows",
+            "ndv",
+            filled.alias("_nb_need"),
+        ).select(
+            "table_name",
+            "key_col",
+            "n_rows",
+            "ndv",
+            F.when(F.col("_nb_need") <= 1, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(length(bin(_nb_need - 1)) AS INT))"
+                )
+            )
+            .alias("n_buckets"),
+        )
+
+    plan = (
+        one(events, "events", "user_id")
+        .unionByName(one(events, "events", "event_type"))
+        .unionByName(one(orders, "orders", "o_custkey"))
+        .unionByName(one(orders, "orders", "o_orderkey"))
+        .unionByName(one(lineitem, "lineitem", "l_orderkey"))
+        .unionByName(one(lineitem, "lineitem", "l_partkey"))
+    )
+    return plan.select(
+        "table_name",
+        "key_col",
+        "n_rows",
+        "ndv",
+        ratio_round(F.col("n_rows"), F.greatest("ndv", F.lit(1)), 2).alias(
+            "rows_per_key"
+        ),
+        "n_buckets",
+        (F.col("ndv") < F.col("n_buckets")).alias("underfilled"),
+    ).orderBy("table_name", "key_col")
+
+
+def window_completeness_audit(events: DataFrame) -> DataFrame:
+    """Tumbling-window completeness audit — the data-quality gate for the
+    hourly rollups (A1/A2, T5): over the corpus's hour span, how many
+    hourly windows per event type actually contain data? Missing windows
+    are silent gaps a downstream join or forecast interpolates over;
+    counting them per type is the standard feed-health check before a
+    window aggregate is trusted (the streaming sibling is the watermark
+    gap alarm).
+
+    Hour index = exact integer floor of epoch/3600; the expected count is
+    the GLOBAL hour span (one yardstick for every type), observed is a
+    distinct-hour count per type — one pass, map-side combinable;
+    completeness is the exact round-half-up percent.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    hour = (
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp("ts") % F.lit(3600).cast("long")
+        )
+        / F.lit(3600).cast("long")
+    ).cast("long")
+    hours = events.select("event_type", hour.alias("h"))
+    span = hours.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+    ).select((F.col("h1") - F.col("h0") + 1).alias("expected_windows"))
+    per_type = hours.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("h").cast("long").alias("observed_windows"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n_events",
+            "expected_windows",
+            "observed_windows",
+            (F.col("expected_windows") - F.col("observed_windows")).alias(
+                "missing_windows"
+            ),
+            ratio_round(
+                F.col("observed_windows") * 100, F.col("expected_windows"), 2
+            ).alias("completeness_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_BIN_WIDTH = 50  # value-histogram bin width for the drift audit
+DRIFT_N_BINS = 10
+
+
+def value_drift_audit(events: DataFrame) -> DataFrame:
+    """Distribution-drift audit between the corpus's first and second time
+    halves, per event type — the batch form of a feed drift monitor
+    (`embedding_drift` watches vectors; this watches the value column a
+    pipeline actually aggregates). The statistic is total variation
+    distance over a fixed-width value histogram: TVD = (1/2) sum_b
+    |p1(b) - p2(b)| — in [0, 1], zero iff the binned distributions
+    match, and EXACT in integer math with the common denominator
+    N1*N2: TVD = sum_b |n1b*N2 - n2b*N1| / (2*N1*N2). No chi-square
+    (which would square counts past BIGINT at corpus scale) and no
+    transcendentals (KL/PSI's data-dependent ln is a cross-engine ulp
+    risk) — the 100 TB posture is two map-side-combinable histogram
+    passes and a bounded per-type reduce.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    sec = F.unix_timestamp("ts")
+    binc = F.least(
+        F.greatest(
+            F.floor(F.col("value") / F.lit(float(DRIFT_BIN_WIDTH))).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(DRIFT_N_BINS - 1).cast("long"),
+    )
+    base = events.select("event_type", sec.alias("sec"), binc.alias("bin"))
+    bounds = base.agg(F.min("sec").alias("s0"), F.max("sec").alias("s1")).select(
+        (
+            F.col("s0")
+            + (
+                (F.col("s1") - F.col("s0"))
+                - (F.col("s1") - F.col("s0")) % F.lit(2).cast("long")
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("boundary")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("sec") <= F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("sec") > F.col("boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n1").cast("long").alias("n_first"),
+        F.sum("n2").cast("long").alias("n_second"),
+    )
+    per_type = (
+        cells.join(totals, "event_type")
+        .groupBy("event_type", "n_first", "n_second")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n1") * F.col("n_second")
+                    - F.col("n2") * F.col("n_first")
+                )
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    tvd = F.when(
+        (F.col("n_first") > 0) & (F.col("n_second") > 0),
+        ratio_round(
+            F.col("num"), F.col("n_first") * F.col("n_second") * 2, 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return per_type.select(
+        "event_type", "n_first", "n_second", tvd.alias("tvd")
+    ).orderBy("event_type")
+
+
+LEAKAGE_TRAIN_PCT = 80  # temporal split point: first 80% of the time span
+
+
+def temporal_leakage_audit(events: DataFrame) -> DataFrame:
+    """Entity-leakage audit for a TEMPORAL train/test split — the check
+    `train_test_split_grouped` (hash splits) cannot do: when evaluation
+    splits on time (forecasting, next-event prediction), any user active
+    on BOTH sides leaks behavioral identity across the boundary, and
+    per-user models quietly memorize. Reports, per event type, how many
+    test-side users the split leaks — the number that decides between a
+    time split and a user-disjoint split.
+
+    The boundary is an exact integer epoch: s0 + floor((s1-s0)*80/100).
+    Leak count per type is |train ∩ test| = |train| + |test| - |either|,
+    three conditional distinct aggregates in one pass (no self-join).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    sec = F.unix_timestamp("ts")
+    base = events.select("event_type", "user_id", sec.alias("sec"))
+    d = (F.col("s1") - F.col("s0")) * F.lit(LEAKAGE_TRAIN_PCT).cast("long")
+    bounds = base.agg(F.min("sec").alias("s0"), F.max("sec").alias("s1")).select(
+        (F.col("s0") + ((d - d % F.lit(100).cast("long")) / 100).cast("long")).alias(
+            "boundary"
+        )
+    )
+    is_train = F.col("sec") <= F.col("boundary")
+    per_type = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.when(is_train, F.col("user_id")))
+            .cast("long")
+            .alias("n_train_users"),
+            F.count_distinct(F.when(~is_train, F.col("user_id")))
+            .cast("long")
+            .alias("n_test_users"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    leak = F.col("n_train_users") + F.col("n_test_users") - F.col("n_users")
+    return per_type.select(
+        "event_type",
+        "n_train_users",
+        "n_test_users",
+        leak.alias("n_leak_users"),
+        F.when(
+            F.col("n_test_users") > 0,
+            ratio_round(leak * 100, F.col("n_test_users"), 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("leak_pct"),
+    ).orderBy("event_type")
+
+
+BROADCAST_LIMIT_BYTES = 10 * 1024 * 1024  # Spark's autoBroadcastJoinThreshold
+
+
+def broadcast_plan_audit(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Join-strategy audit over the warehouse tables: estimated in-memory
+    size per table against the broadcast threshold — the planning number
+    behind every `F.broadcast()` hint in this engine (the dims the
+    reference joins stream-side are broadcast here by fiat; this audit
+    MEASURES which tables qualify as the corpus grows, so the hint list
+    is maintained by evidence, not folklore).
+
+    The estimate is the portable column-width model: sum of string
+    lengths plus 8 bytes per numeric/timestamp cell — exact integer
+    aggregates, one pass per table, each emitting a single row (sums
+    coalesced to 0 so an empty table reads 0 bytes, not NULL).
+    """
+
+    def one(df: DataFrame, table: str, str_cols: list[str], n_num: int) -> DataFrame:
+        z = F.lit(0).cast("long")
+        strs = sum(
+            (F.coalesce(F.sum(F.length(F.col(c))).cast("long"), z)
+             for c in str_cols),
+            F.lit(0).cast("long"),
+        )
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            strs.cast("long").alias("_str_bytes"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            (
+                F.col("_str_bytes")
+                + F.col("n_rows") * F.lit(8 * n_num).cast("long")
+            ).alias("est_bytes"),
+        )
+
+    plan = (
+        one(region, "region", ["r_name"], 1)
+        .unionByName(one(nation, "nation", ["n_name"], 2))
+        .unionByName(
+            one(customer, "customer", ["c_name", "c_mktsegment"], 3)
+        )
+        .unionByName(one(supplier, "supplier", ["s_name"], 3))
+        .unionByName(one(part, "part", ["p_name", "p_brand", "p_type"], 3))
+        .unionByName(
+            one(orders, "orders", ["o_orderstatus", "o_orderpriority"], 4)
+        )
+        .unionByName(
+            one(lineitem, "lineitem", ["l_returnflag", "l_linestatus"], 9)
+        )
+    )
+    return plan.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.when(
+            F.col("est_bytes") <= F.lit(BROADCAST_LIMIT_BYTES).cast("long"),
+            F.lit("broadcast"),
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    ).orderBy("table_name")

@@ -577,3 +577,59 @@ def clustering_agreement(
         )
         .filter(~F.isnan(F.col("nmi")))
     )
+
+
+SEMDEDUP_SWEEP_THRESHOLDS = (0.45, 0.5, 0.6, 0.7, 0.8)
+
+
+def semdedup_threshold_sweep(embeddings: DataFrame) -> DataFrame:
+    """Retention curve for SemDeDup's cosine threshold — the tuning table
+    the SemDeDup paper publishes before fixing epsilon: for each candidate
+    threshold, how many within-cluster near-dup pairs fire and how much
+    of the corpus survives pruning (keep-lowest-id: the higher vec_id of
+    each firing pair is pruned). One run of the ``semdedup`` pair plan at
+    the LOOSEST threshold feeds the whole sweep — the per-threshold
+    filter is a bounded broadcast cross join over the pair table, so the
+    k-means + pair-verify cost is paid once, not once per candidate.
+
+    cos_sim is semdedup's exact round-to-6dp value, so threshold
+    comparisons are engine-identical; counts are exact longs and
+    retention the exact round-half-up percent. Thresholds with no firing
+    pairs stay in the output (left join from the grid) at retention 100.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    lo = min(SEMDEDUP_SWEEP_THRESHOLDS)
+    pairs = semdedup(embeddings, threshold=lo)
+    total = embeddings.agg(F.count("*").cast("long").alias("n_vecs"))
+    grid = total.select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in SEMDEDUP_SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+        "n_vecs",
+    )
+    hits = (
+        pairs.crossJoin(
+            F.broadcast(grid.select("threshold"))
+        )
+        .filter(F.col("cos_sim") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count_distinct("vec_b").cast("long").alias("n_pruned"),
+        )
+    )
+    out = grid.join(hits, "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce(F.col("n_pruned"), F.lit(0).cast("long")).alias("n_pruned"),
+        "n_vecs",
+    )
+    return out.select(
+        "threshold",
+        "n_pairs",
+        "n_pruned",
+        ratio_round(
+            (F.col("n_vecs") - F.col("n_pruned")) * 100, F.col("n_vecs"), 2
+        ).alias("retention_pct"),
+    ).orderBy("threshold")

@@ -2709,3 +2709,237 @@ def bridge_edges_audit(
         .agg(F.count("*").cast("long").alias("n_edges"))
         .orderBy("common_neighbors")
     )
+
+
+SUBSTRING_INCR_PCT = INCR_BATCH_PCT  # same hash lane as dedup_incremental
+SUBSTRING_ADMIT_MAX_PCT = 50.0  # admit iff < half the positions are covered
+
+
+def dedup_substring_incremental(
+    documents: DataFrame,
+    w: int = SUBSTRING_WINDOW_TOKENS,
+    batch_pct: int = SUBSTRING_INCR_PCT,
+) -> DataFrame:
+    """Admission-control variant of ``dedup_substring_windows`` — the
+    daily-ingest shape (same contract as ``dedup_incremental``, substring
+    granularity): score an INCOMING shard's rolling w-token windows
+    against the standing corpus index only, and admit each new document
+    iff less than ``SUBSTRING_ADMIT_MAX_PCT`` of its token positions are
+    spans the index already contains. Document-level incremental dedup
+    (Jaccard) admits a crawl page that pads copied paragraphs with fresh
+    boilerplate; the substring admission gate measures the copied mass
+    directly (Lee et al. 2022's dup definition, applied at the ingest
+    boundary instead of corpus-wide).
+
+    The md5 hash-lane split stands in for the shard boundary; the index
+    side reduces to DISTINCT window hashes (membership is all admission
+    needs — no per-index-doc counts), so the join cost is |batch
+    windows| x 1 posting row, proportional to the INCREMENT. Every step
+    is an equi-join/aggregate on the window hash; incoming docs shorter
+    than w tokens have no window and are admitted with dup_pct 0 (left
+    join keeps them). At real scale the index is the persisted window-
+    hash table the admission pipeline maintains; the plan is unchanged.
+    """
+    from inde1_spark.functions.exprs import ratio_round, word_ngrams
+    from inde1_spark.operators.text import hash_bucket
+
+    is_batch = hash_bucket(F.col("doc_id"), 100) < batch_pct
+    tokenized = documents.select(
+        "doc_id", is_batch.alias("is_batch"), tokens("text").alias("toks")
+    )
+    wins = tokenized.filter(F.size("toks") >= w).select(
+        "doc_id",
+        "is_batch",
+        F.explode(word_ngrams(F.col("toks"), w)).alias("win"),
+    ).select("doc_id", "is_batch", F.md5("win").alias("h"))
+    index_h = (
+        wins.filter(~F.col("is_batch")).select("h").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = (
+        wins.filter(F.col("is_batch"))
+        .join(index_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    incoming = tokenized.filter(F.col("is_batch")).select("doc_id")
+    out = incoming.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias("n_windows"),
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+    )
+    dup_pct = F.when(
+        F.col("n_windows") > 0,
+        ratio_round(F.col("n_hits") * 100, F.col("n_windows"), 2),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_hits",
+        dup_pct.alias("dup_pct"),
+        (dup_pct < F.lit(SUBSTRING_ADMIT_MAX_PCT)).alias("admitted"),
+    ).orderBy("doc_id")
+
+
+FUNNEL_QUALITY_MIN = 0.5  # exact 4-decimal quality gate for the funnel
+FUNNEL_LANG = "en"
+
+
+def dedup_pipeline_funnel(documents: DataFrame) -> DataFrame:
+    """End-to-end curation-funnel accounting per source: raw -> exact
+    dedup survivors -> quality-gate survivors -> language-gate survivors
+    — the retention table every training-data pipeline publishes before
+    a corpus ships (which source lost how much mass at which stage, the
+    number that decides whether a filter is mistuned or a source is
+    junk). Stages compose this engine's own gates: ``dedup_exact``'s
+    keep-lowest-doc-id rule, ``quality_score``'s exact 4-decimal ratio
+    at the 0.5 boundary (a dyadic double — engine-identical), and the
+    lang column.
+
+    One pass computes all per-doc stage flags (the exact-dedup keeper via
+    a window min over the text hash — one shuffle on the hash key); the
+    funnel is a single per-source aggregate of nested conditionals, so
+    stage counts are monotone by construction.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.text import quality_parts
+
+    _, quality, _ = quality_parts()
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    flags = documents.select(
+        "source",
+        (F.col("doc_id") == keeper).alias("keep_exact"),
+        quality.alias("q"),
+        "lang",
+    )
+    pass_q = F.col("keep_exact") & (F.col("q") >= F.lit(FUNNEL_QUALITY_MIN))
+    pass_l = pass_q & (F.col("lang") == F.lit(FUNNEL_LANG))
+    funnel = flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("keep_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_after_exact"),
+        F.sum(F.when(pass_q, 1).otherwise(0)).cast("long").alias("n_after_quality"),
+        F.sum(F.when(pass_l, 1).otherwise(0)).cast("long").alias("n_after_lang"),
+    )
+    return funnel.select(
+        "source",
+        "n_total",
+        "n_after_exact",
+        "n_after_quality",
+        "n_after_lang",
+        ratio_round(F.col("n_after_lang") * 100, F.col("n_total"), 2).alias(
+            "retention_pct"
+        ),
+    ).orderBy("source")
+
+
+BAND_SWEEP_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # bands x rows = 16
+
+
+def minhash_band_sweep(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH banding-configuration sweep — the measured form of
+    ``lsh_rebanding_planner``'s S-curve arithmetic: for every (bands,
+    rows-per-band) split of a 16-permutation MinHash signature, the
+    ACTUAL candidate-pair count, precision and recall against this
+    corpus's exact-Jaccard ground truth. The planner predicts the
+    S-curve from theory; this audit prices each config in real
+    candidate volume (the verify-join cost) and real recall (the misses)
+    — the two numbers that pick a production banding before a 100 TB
+    dedup run commits to one. At corpus scale the sweep runs on the
+    admission sample, never the full table (same posture as the other
+    tuning audits).
+
+    Signatures use the engine-portable md5 shingle ids (the dictionary
+    variant's affine perms over a first-8-hex-chars id) so the DuckDB
+    twin reproduces every minhash bit; the signature groupBy is paid
+    ONCE (persisted) and each config's bucket self-join runs over it.
+    Candidates with zero firing configs still emit a row (per-config
+    global aggregate). Precision/recall are exact round-half-up percents
+    against the persisted exact truth table.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    sh = _persist(shingle_table(documents))
+    sid = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sigs = _persist(
+        sh.select("doc_id", sid.alias("sid"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"m{i}")
+                for i, a, b in PERMS
+            ]
+        )
+    )
+    truth = _persist(
+        dedup_ngram_jaccard(documents, threshold)
+        .select("doc_a", "doc_b")
+        .withColumn("_true", F.lit(1))
+    )
+    n_exact = truth.agg(F.count("*").cast("long").alias("n_exact"))
+
+    rows = []
+    for n_bands, rpb in BAND_SWEEP_CONFIGS:
+        bands = None
+        for j in range(n_bands):
+            cols = [F.col(f"m{j * rpb + k}") for k in range(rpb)]
+            one = sigs.select(
+                "doc_id",
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("sig"),
+            )
+            bands = one if bands is None else bands.unionByName(one)
+        ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        cand = (
+            ba.join(bb, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        agg = cand.join(truth, ["doc_a", "doc_b"], "left").agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+            .cast("long")
+            .alias("n_true_pairs"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(n_bands).cast("long").alias("n_bands"),
+                F.lit(rpb).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true_pairs",
+            )
+        )
+    sweep = rows[0]
+    for r in rows[1:]:
+        sweep = sweep.unionByName(r)
+    return sweep.crossJoin(F.broadcast(n_exact)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_pairs",
+        ratio_round(
+            F.col("n_true_pairs") * 100,
+            F.greatest(F.col("n_candidates"), F.lit(1).cast("long")),
+            2,
+        ).alias("precision_pct"),
+        ratio_round(
+            F.col("n_true_pairs") * 100,
+            F.greatest(F.col("n_exact"), F.lit(1).cast("long")),
+            2,
+        ).alias("recall_pct"),
+    ).orderBy("rows_per_band")

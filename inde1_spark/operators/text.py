@@ -1470,3 +1470,49 @@ def rake_keywords(
             (F.col("s_micro").cast("double") / F.lit(float(p))).alias("score"),
         )
     )
+
+
+def fertility_by_source(documents: DataFrame) -> DataFrame:
+    """Tokenizer-fertility profile per source — the corpus-mix view of
+    ``token_count_bpe``'s per-document fertility: subwords per whitespace
+    word and characters per subword, aggregated per source. Fertility is
+    THE mixture-planning number for a token budget (a source at fertility
+    2.0 costs twice the compute per word of one at 1.0), and
+    chars-per-subword flags sources whose script the tokenizer
+    fragments; both belong in the same table the budget is planned from
+    (``token_budget_curriculum``).
+
+    One regexp pass per document (row-local, no shuffle) feeding a
+    per-source map-side-combinable aggregate; ratios are exact
+    round-half-up integer math over the summed counts.
+    """
+    toks = _toks()
+    subwords = F.expr(f"regexp_extract_all(lower(text), '({BPE_PATTERN})', 0)")
+    per_doc = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(subwords).cast("long").alias("n_subwords"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        ratio_round(
+            F.col("n_subwords"),
+            F.greatest(F.col("n_words"), F.lit(1).cast("long")),
+            4,
+        ).alias("fertility"),
+        ratio_round(
+            F.col("n_chars"),
+            F.greatest(F.col("n_subwords"), F.lit(1).cast("long")),
+            4,
+        ).alias("chars_per_subword"),
+    ).orderBy("source")

@@ -11304,3 +11304,515 @@ JOIN moments ma ON c.source_a = ma.source
 JOIN moments mb ON c.source_b = mb.source
 ORDER BY source_a, source_b
 """
+
+
+# ===========================================================================
+# r10 STAGED batch twins (promotion target: the r10 gate window)
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    ARCHIVE_LOOKBACK_DAYS,
+    BROADCAST_LIMIT_BYTES,
+    BUCKET_TARGET_ROWS,
+    DRIFT_BIN_WIDTH,
+    DRIFT_N_BINS,
+    LEAKAGE_TRAIN_PCT,
+    SALT_TARGET_PARTITIONS,
+    SALT_TOP_K,
+)
+
+# Twin of operators/analytics.py:archive_prune_audit — per-day partition
+# manifest x bounded lookback grid; exact integer day indexes and
+# round-half-up prune percents.
+STAGED_ORACLES["archive_prune_audit"] = f"""
+WITH zones AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT MAX(day) AS max_day, CAST(COUNT(*) AS BIGINT) AS parts_total,
+         CAST(SUM(n_rows) AS BIGINT) AS rows_total
+  FROM zones
+),
+grid AS (SELECT unnest([{", ".join(str(w) for w in ARCHIVE_LOOKBACK_DAYS)}])
+                AS lookback_days),
+sweep AS (
+  SELECT g.lookback_days, s.parts_total, s.rows_total,
+         CAST(SUM(CASE WHEN z.day >= s.max_day - g.lookback_days + 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+         CAST(SUM(CASE WHEN z.day >= s.max_day - g.lookback_days + 1
+                       THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zones z, span s, grid g
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(lookback_days AS BIGINT) AS lookback_days,
+       parts_total, parts_scanned, rows_total, rows_scanned,
+       {_rr("(parts_total - parts_scanned) * 100", "parts_total", 2)}
+         AS part_prune_pct,
+       {_rr("(rows_total - rows_scanned) * 100", "rows_total", 2)}
+         AS row_prune_pct
+FROM sweep ORDER BY lookback_days
+"""
+
+# Twin of operators/analytics.py:salting_plan — exact integer ceilings for
+# the per-reducer target and per-key salt factor; deterministic top-k.
+STAGED_ORACLES["salting_plan"] = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM counts),
+t AS (
+  SELECT CAST((total + {SALT_TARGET_PARTITIONS} - 1)
+              // {SALT_TARGET_PARTITIONS} AS BIGINT) AS target_rows
+  FROM tot
+)
+SELECT user_id, n_events, target_rows,
+       GREATEST(CAST((n_events + target_rows - 1) // target_rows AS BIGINT),
+                CAST(1 AS BIGINT)) AS salt_factor,
+       {_rr("n_events * 100", "target_rows", 2)} AS load_pct
+FROM counts, t
+ORDER BY n_events DESC, user_id ASC
+LIMIT {SALT_TOP_K}
+"""
+
+# Twin of operators/analytics.py:bucketing_plan — count+NDV per candidate
+# key; next power of two via binary-string length (no log2).
+STAGED_ORACLES["bucketing_plan"] = f"""
+WITH src AS (
+  SELECT 'events' AS table_name, 'event_type' AS key_col,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv FROM events
+  UNION ALL
+  SELECT 'events', 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_partkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+),
+nb AS (
+  SELECT *, CAST((n_rows + {BUCKET_TARGET_ROWS} - 1)
+                 // {BUCKET_TARGET_ROWS} AS BIGINT) AS nb_need
+  FROM src
+),
+plan AS (
+  SELECT table_name, key_col, n_rows, ndv,
+         CAST(CASE WHEN nb_need <= 1 THEN 1
+                   ELSE CAST(1 AS BIGINT) << length(bin(nb_need - 1))
+              END AS BIGINT) AS n_buckets
+  FROM nb
+)
+SELECT table_name, key_col, n_rows, ndv,
+       {_rr("n_rows", "GREATEST(ndv, CAST(1 AS BIGINT))", 2)} AS rows_per_key,
+       n_buckets,
+       ndv < n_buckets AS underfilled
+FROM plan ORDER BY table_name, key_col
+"""
+
+# Twin of operators/analytics.py:window_completeness_audit — integer hour
+# index, global span yardstick, distinct-hour count per type.
+STAGED_ORACLES["window_completeness_audit"] = f"""
+WITH hours AS (
+  SELECT event_type,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+           // 3600 AS h
+  FROM events
+),
+span AS (SELECT MAX(h) - MIN(h) + 1 AS expected_windows FROM hours),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS observed_windows
+  FROM hours GROUP BY 1
+)
+SELECT event_type, n_events, expected_windows, observed_windows,
+       expected_windows - observed_windows AS missing_windows,
+       {_rr("observed_windows * 100", "expected_windows", 2)}
+         AS completeness_pct
+FROM pt, span ORDER BY event_type
+"""
+
+# Twin of operators/analytics.py:value_drift_audit — first/second-half
+# histogram TVD with the exact common-denominator integer identity.
+STAGED_ORACLES["value_drift_audit"] = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+           AS sec,
+         LEAST(GREATEST(CAST(floor(value / CAST({DRIFT_BIN_WIDTH}.0 AS DOUBLE))
+                             AS BIGINT), CAST(0 AS BIGINT)),
+               CAST({DRIFT_N_BINS - 1} AS BIGINT)) AS bin
+  FROM events
+),
+bounds AS (SELECT MIN(sec) + (MAX(sec) - MIN(sec)) // 2 AS boundary FROM base),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN sec <= boundary THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(SUM(CASE WHEN sec > boundary THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2
+  FROM base, bounds GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n1) AS BIGINT) AS n_first,
+         CAST(SUM(n2) AS BIGINT) AS n_second
+  FROM cells GROUP BY 1
+),
+pt AS (
+  SELECT c.event_type, t.n_first, t.n_second,
+         CAST(SUM(ABS(c.n1 * t.n_second - c.n2 * t.n_first)) AS BIGINT) AS num
+  FROM cells c JOIN totals t USING (event_type)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n_first, n_second,
+       CASE WHEN n_first > 0 AND n_second > 0
+            THEN {_rr("num", "n_first * n_second * 2", 4)}
+            ELSE CAST(0 AS DOUBLE) END AS tvd
+FROM pt ORDER BY event_type
+"""
+
+# Twin of operators/analytics.py:temporal_leakage_audit — exact integer
+# epoch boundary; |A∩B| by inclusion-exclusion over conditional distincts.
+STAGED_ORACLES["temporal_leakage_audit"] = f"""
+WITH base AS (
+  SELECT event_type, user_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+           AS sec
+  FROM events
+),
+bounds AS (
+  SELECT MIN(sec) + ((MAX(sec) - MIN(sec)) * {LEAKAGE_TRAIN_PCT}) // 100
+           AS boundary
+  FROM base
+),
+pt AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT CASE WHEN sec <= boundary THEN user_id END)
+              AS BIGINT) AS n_train_users,
+         CAST(COUNT(DISTINCT CASE WHEN sec > boundary THEN user_id END)
+              AS BIGINT) AS n_test_users,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM base, bounds GROUP BY 1
+)
+SELECT event_type, n_train_users, n_test_users,
+       n_train_users + n_test_users - n_users AS n_leak_users,
+       CASE WHEN n_test_users > 0
+            THEN {_rr("(n_train_users + n_test_users - n_users) * 100",
+                      "n_test_users", 2)}
+            ELSE CAST(0 AS DOUBLE) END AS leak_pct
+FROM pt ORDER BY event_type
+"""
+
+# Twin of operators/analytics.py:broadcast_plan_audit — portable
+# column-width size model, sums coalesced to 0 on empty tables.
+STAGED_ORACLES["broadcast_plan_audit"] = f"""
+WITH plan AS (
+  SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(length(r_name)), 0)
+              + COUNT(*) * 8 * 1 AS BIGINT) AS est_bytes FROM region
+  UNION ALL
+  SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(n_name)), 0)
+              + COUNT(*) * 8 * 2 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(c_name)), 0)
+              + COALESCE(SUM(length(c_mktsegment)), 0)
+              + COUNT(*) * 8 * 3 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(s_name)), 0)
+              + COUNT(*) * 8 * 3 AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(p_name)), 0)
+              + COALESCE(SUM(length(p_brand)), 0)
+              + COALESCE(SUM(length(p_type)), 0)
+              + COUNT(*) * 8 * 3 AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(o_orderstatus)), 0)
+              + COALESCE(SUM(length(o_orderpriority)), 0)
+              + COUNT(*) * 8 * 4 AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(length(l_returnflag)), 0)
+              + COALESCE(SUM(length(l_linestatus)), 0)
+              + COUNT(*) * 8 * 9 AS BIGINT) FROM lineitem
+)
+SELECT table_name, n_rows, est_bytes,
+       CASE WHEN est_bytes <= {BROADCAST_LIMIT_BYTES} THEN 'broadcast'
+            ELSE 'shuffle' END AS strategy
+FROM plan ORDER BY table_name
+"""
+
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    SUBSTRING_ADMIT_MAX_PCT,
+    SUBSTRING_INCR_PCT,
+)
+from inde1_spark.operators.dedup import (  # noqa: E402
+    FUNNEL_LANG,
+    FUNNEL_QUALITY_MIN,
+)
+from inde1_spark.operators.clustering import (  # noqa: E402
+    SEMDEDUP_SWEEP_THRESHOLDS,
+)
+
+_W_INC = SUBSTRING_WINDOW_TOKENS
+
+# Twin of operators/dedup.py:dedup_substring_incremental — same md5-lane
+# split as dedup_incremental's twin, same rolling md5 windows as
+# dedup_substring_windows'; index side reduced to DISTINCT hashes.
+STAGED_ORACLES["dedup_substring_incremental"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         ({_hash_bucket_sql('doc_id', 100)}) < {SUBSTRING_INCR_PCT} AS is_batch,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, is_batch,
+         md5(array_to_string(toks[i:i+{_W_INC - 1}], ' ')) AS h
+  FROM toks,
+       UNNEST(generate_series(1, len(toks) - {_W_INC - 1})) AS u(i)
+  WHERE len(toks) >= {_W_INC}
+),
+idx AS (SELECT DISTINCT h FROM wins WHERE NOT is_batch),
+scored AS (
+  SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM wins w LEFT JOIN idx i USING (h)
+  WHERE w.is_batch
+  GROUP BY 1
+),
+incoming AS (SELECT doc_id FROM toks WHERE is_batch),
+base AS (
+  SELECT n.doc_id,
+         COALESCE(s.n_windows, 0) AS n_windows,
+         COALESCE(s.n_hits, 0) AS n_hits
+  FROM incoming n LEFT JOIN scored s USING (doc_id)
+),
+pct AS (
+  SELECT doc_id, n_windows, n_hits,
+         CASE WHEN n_windows > 0
+              THEN {_rr("n_hits * 100", "n_windows", 2)}
+              ELSE CAST(0 AS DOUBLE) END AS dup_pct
+  FROM base
+)
+SELECT doc_id, n_windows, n_hits, dup_pct,
+       dup_pct < {SUBSTRING_ADMIT_MAX_PCT} AS admitted
+FROM pct ORDER BY doc_id
+"""
+
+# Twin of operators/dedup.py:dedup_pipeline_funnel — keep-lowest window
+# over md5(text), the exact 4-decimal quality gate, the lang gate;
+# nested conditional counts per source.
+STAGED_ORACLES["dedup_pipeline_funnel"] = f"""
+WITH ex AS (
+  SELECT doc_id, source, lang,
+         (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
+  FROM documents
+),
+{_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id,
+         {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)}
+           AS quality
+  FROM qm
+),
+flags AS (
+  SELECT e.source, e.keep_exact,
+         e.keep_exact AND q.quality >= {FUNNEL_QUALITY_MIN} AS pass_q,
+         e.keep_exact AND q.quality >= {FUNNEL_QUALITY_MIN}
+           AND e.lang = '{FUNNEL_LANG}' AS pass_l
+  FROM ex e JOIN q USING (doc_id)
+),
+funnel AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_exact,
+         CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_quality,
+         CAST(SUM(CASE WHEN pass_l THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_lang
+  FROM flags GROUP BY 1
+)
+SELECT source, n_total, n_after_exact, n_after_quality, n_after_lang,
+       {_rr("n_after_lang * 100", "n_total", 2)} AS retention_pct
+FROM funnel ORDER BY source
+"""
+
+_SWEEP_LO = min(SEMDEDUP_SWEEP_THRESHOLDS)
+_SWEEP_VALS = ", ".join(
+    f"CAST({t} AS DOUBLE)" for t in SEMDEDUP_SWEEP_THRESHOLDS
+)
+
+# Twin of operators/clustering.py:semdedup_threshold_sweep — the semdedup
+# pair CTEs at the loosest threshold, swept over the bounded grid.
+STAGED_ORACLES["semdedup_threshold_sweep"] = f"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
+asg AS (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
+{_NORMS.strip().strip(',').rstrip()},
+pairs AS (
+  SELECT pa.cluster, pa.vec_id AS vec_a, pb.vec_id AS vec_b
+  FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+),
+dots AS (
+  SELECT p.cluster, p.vec_a, p.vec_b,
+         CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE)
+              * CAST(eb.embedding[i] AS DOUBLE)
+              * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE)
+           / {FIXED_POINT_SCALE:.1f} AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT vec_b, cos_sim FROM (
+    SELECT d.vec_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+  ) WHERE cos_sim >= {_SWEEP_LO}
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+grid AS (SELECT unnest([{_SWEEP_VALS}]) AS threshold),
+hits AS (
+  SELECT g.threshold,
+         CAST(COUNT(s.vec_b) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT s.vec_b) AS BIGINT) AS n_pruned
+  FROM grid g LEFT JOIN sims s ON s.cos_sim >= g.threshold
+  GROUP BY 1
+)
+SELECT h.threshold, h.n_pairs, h.n_pruned,
+       {_rr("(t.n_vecs - h.n_pruned) * 100", "t.n_vecs", 2)} AS retention_pct
+FROM hits h, total t ORDER BY h.threshold
+"""
+
+# Twin of operators/text.py:fertility_by_source — same BPE regex pass,
+# per-source summed counts, exact round-half-up ratios.
+STAGED_ORACLES["fertility_by_source"] = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '({BPE_PATTERN})', 0))
+              AS BIGINT) AS n_subwords,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_subwords,
+       {_rr("n_subwords", "GREATEST(n_words, CAST(1 AS BIGINT))", 4)}
+         AS fertility,
+       {_rr("n_chars", "GREATEST(n_subwords, CAST(1 AS BIGINT))", 4)}
+         AS chars_per_subword
+FROM agg ORDER BY source
+"""
+
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    BAND_SWEEP_CONFIGS,
+    PERMS,
+)
+
+
+def _band_sweep_sql() -> str:
+    """Twin of operators/dedup.py:minhash_band_sweep — md5 shingle ids,
+    the dictionary variant's affine perms, one bands UNION over every
+    (config, band), candidates per config against the exact-Jaccard
+    truth pairs. Config grid LEFT JOIN keeps zero-candidate configs."""
+    p = MINHASH_PRIME
+    mins = ",\n         ".join(
+        f"CAST(MIN(({a} * sid + {b}) % {p}) AS BIGINT) AS m{i}"
+        for i, a, b in PERMS
+    )
+    band_selects = []
+    for cfg_idx, (n_bands, rpb) in enumerate(BAND_SWEEP_CONFIGS):
+        for j in range(n_bands):
+            cols = ", ".join(f"m{j * rpb + k}" for k in range(rpb))
+            band_selects.append(
+                f"SELECT doc_id, {cfg_idx} AS cfg, {j} AS band,"
+                f" md5(concat_ws(',', {cols})) AS sig FROM mh"
+            )
+        # noqa: the per-config rows are unioned below
+    bands = "\n  UNION ALL ".join(band_selects)
+    grid = ", ".join(
+        f"({i}, {nb}, {r})" for i, (nb, r) in enumerate(BAND_SWEEP_CONFIGS)
+    )
+    return f"""
+WITH {_SHINGLES.strip().rstrip()},
+sids AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {p} AS sid
+  FROM sh
+),
+mh AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM sids GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM truth),
+bands AS MATERIALIZED (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.cfg = b.cfg AND a.band = b.band AND a.sig = b.sig
+              AND a.doc_id < b.doc_id
+),
+stats AS (
+  SELECT c.cfg,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pairs
+  FROM cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1
+),
+grid(cfg, n_bands, rows_per_band) AS (VALUES {grid})
+SELECT CAST(g.n_bands AS BIGINT) AS n_bands,
+       CAST(g.rows_per_band AS BIGINT) AS rows_per_band,
+       COALESCE(s.n_candidates, 0) AS n_candidates,
+       COALESCE(s.n_true_pairs, 0) AS n_true_pairs,
+       {_rr("COALESCE(s.n_true_pairs, 0) * 100",
+            "GREATEST(COALESCE(s.n_candidates, 0), CAST(1 AS BIGINT))", 2)}
+         AS precision_pct,
+       {_rr("COALESCE(s.n_true_pairs, 0) * 100",
+            "GREATEST(t.n_exact, CAST(1 AS BIGINT))", 2)} AS recall_pct
+FROM grid g
+LEFT JOIN stats s ON s.cfg = g.cfg, tcount t
+ORDER BY rows_per_band
+"""
+
+
+STAGED_ORACLES["minhash_band_sweep"] = _band_sweep_sql()
