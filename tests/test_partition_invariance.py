@@ -31,6 +31,9 @@ SF = os.environ.get("SPARK_GRAFT_INVARIANCE_SF", "/root/testdata/sf0.001")
 # which queries() slice to sweep: "start:stop" (python slice semantics,
 # empty stop = end). Default = the driver's gate window.
 RANGE = os.environ.get("SPARK_GRAFT_INVARIANCE_RANGE", "0:50")
+# "production" (queries, default) or "staged" (staged_queries) — the
+# pre-promotion invariance pin of the staged five-pin checklist.
+SURFACE = os.environ.get("SPARK_GRAFT_INVARIANCE_SURFACE", "production")
 
 pytestmark = pytest.mark.skipif(
     not RUN,
@@ -63,7 +66,11 @@ def _run_window(n_partitions: int) -> dict:
     )
     s.sparkContext.setLogLevel("ERROR")
     try:
-        Q = entrymod.queries()
+        Q = (
+            entrymod.staged_queries()
+            if SURFACE == "staged"
+            else entrymod.queries()
+        )
         start_s, _, stop_s = RANGE.partition(":")
         names = list(Q)[
             int(start_s) if start_s else 0 : int(stop_s) if stop_s else None

@@ -34,6 +34,18 @@ SF = os.environ.get("SPARK_GRAFT_STRICT_SF", "/root/testdata/sf0.01")
 # which queries() slice to rehearse: "start:stop" (python slice semantics,
 # empty stop = end). Default = the driver's gate window.
 RANGE = os.environ.get("SPARK_GRAFT_STRICT_RANGE", "0:50")
+# which surface to rehearse: "production" (queries/oracle_sql, default) or
+# "staged" (staged_queries/staged_oracle_sql) — the pre-promotion
+# vanilla-session dtype/string check of the staged five-pin checklist.
+SURFACE = os.environ.get("SPARK_GRAFT_STRICT_SURFACE", "production")
+
+
+def _surface():
+    import __spark_entry__ as entrymod
+
+    if SURFACE == "staged":
+        return entrymod.staged_queries(), entrymod.staged_oracle_sql()
+    return entrymod.queries(), entrymod.oracle_sql()
 
 pytestmark = pytest.mark.skipif(
     not RUN,
@@ -43,12 +55,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def _window_names() -> list[str]:
-    import __spark_entry__ as entrymod
-
     start_s, _, stop_s = RANGE.partition(":")
     start = int(start_s) if start_s else 0
     stop = int(stop_s) if stop_s else None
-    return list(entrymod.queries())[start:stop]
+    return list(_surface()[0])[start:stop]
 
 
 @pytest.fixture(scope="module")
@@ -101,10 +111,9 @@ def _norm(df):
 def test_window_entry_string_identical(name, vanilla_spark, duck_views):
     from tests.test_type_parity import LEGACY_OK
 
-    import __spark_entry__ as entrymod
-
-    sp = _norm(entrymod.queries()[name](vanilla_spark, SF).toPandas())
-    du = _norm(duck_views.execute(entrymod.oracle_sql()[name]).df())
+    queries, oracles = _surface()
+    sp = _norm(queries[name](vanilla_spark, SF).toPandas())
+    du = _norm(duck_views.execute(oracles[name]).df())
     assert sp.shape == du.shape, f"{name}: shape {sp.shape} vs {du.shape}"
     assert list(sp.columns) == list(du.columns), f"{name}: column names differ"
     for c in sp.columns:
