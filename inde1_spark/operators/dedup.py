@@ -2560,6 +2560,17 @@ def label_propagation_communities(
     edges = _persist(
         dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
     )
+    return lpa_histogram(edges, rounds)
+
+
+def lpa_histogram(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """The LPA core of ``label_propagation_communities`` over an ALREADY
+    MATERIALIZED (doc_a, doc_b) edge table — shared verbatim by the batch
+    operator and the streaming incremental-recompute sink
+    (``streaming/corpus.py:lpa_communities_stream``), so stream and batch
+    provably run the same rounds. The caller owns persistence of
+    ``edges`` (it is scanned 2x per round + once for the label init).
+    """
     # undirected: both directions + self-vote (u votes its own label)
     nbrs = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")

@@ -267,3 +267,41 @@ def near_dup_stream(
         ratio_round(inter, union, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= thr)
     return scored.dropDuplicatesWithinWatermark(["doc_new", "doc_idx"])
+
+
+def lpa_communities_stream(
+    edges: DataFrame, state_dir: str, out_dir: str
+):
+    """Community structure over the LIVE dup-edge feed — the streaming
+    face of ``dedup.label_propagation_communities``, consuming exactly
+    what ``near_dup_stream`` emits (near-dup pair detections). Iterative
+    LPA is not incrementally maintainable (one new edge can flip labels
+    arbitrarily far away), so the sink uses the incremental-RECOMPUTE
+    posture (the ``ivm_merge_check`` decision table's fallback branch):
+    each micro-batch appends its edges to the standing edge table, then
+    reruns the SAME fixed-round ``lpa_histogram`` the batch operator
+    runs — shared code, so stream==batch parity is structural, not
+    coincidental — and publishes the refreshed histogram atomically.
+
+    Cost posture: per-batch work is one bounded LPA over the accumulated
+    DUP GRAPH, which is orders of magnitude smaller than the corpus
+    (edges are verified near-dup pairs, df-capped upstream); the append
+    is batch-sized. At a 100 TB corpus the recompute cadence is the
+    micro-batch trigger — lengthen the trigger, not the algorithm, if
+    the graph grows hot.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from inde1_spark.operators.dedup import lpa_histogram
+
+        batch_df.select("doc_a", "doc_b").write.mode("append").parquet(
+            state_dir
+        )
+        spark = batch_df.sparkSession
+        graph = spark.read.parquet(state_dir).persist()
+        try:
+            lpa_histogram(graph).write.mode("overwrite").parquet(out_dir)
+        finally:
+            graph.unpersist()
+
+    return edges.writeStream.foreachBatch(_apply).outputMode("update")

@@ -548,3 +548,66 @@ def test_hll_distinct_stream_matches_batch(spark, tmp_path):
     }
     for k, (est, _n) in want.items():
         assert abs(est - exact[k]) <= max(2, int(0.1 * exact[k])), (k, est, exact[k])
+
+
+def test_lpa_communities_stream_matches_batch(spark, tmp_path):
+    """The LPA histogram over the fully-drained edge stream must equal the
+    batch ``label_propagation_communities`` on the same corpus — stream
+    and batch share ``lpa_histogram`` verbatim, so this pins the sink's
+    accumulate-and-recompute plumbing (append exactly once per edge,
+    publish the LAST recompute). Chunk order is irrelevant by design
+    (the result is a function of the accumulated edge SET), so no mtime
+    staging is needed here, unlike the watermark tests.
+    """
+    import json
+
+    from inde1_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        label_propagation_communities,
+    )
+    from inde1_spark.streaming.corpus import lpa_communities_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(docs)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+        .collect()
+    ]
+    assert len(edges) > 0, "corpus lost its planted near-dups"
+    data_dir = tmp_path / "edge_feed"
+    data_dir.mkdir()
+    third = max(1, len(edges) // 3)
+    for i in range(3):
+        chunk = edges[i * third : (i + 1) * third if i < 2 else None]
+        with open(data_dir / f"chunk{i}.json", "w") as f:
+            for a, b in chunk:
+                f.write(json.dumps({"doc_a": a, "doc_b": b}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_a long, doc_b long")
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .json(str(data_dir))
+    )
+    q = (
+        lpa_communities_stream(
+            stream, str(tmp_path / "state"), str(tmp_path / "out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in label_propagation_communities(docs).collect()
+    )
+    assert got == want
+    # the standing edge table holds every edge exactly once
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == len(edges)
+    assert state.distinct().count() == len(edges)
