@@ -141,6 +141,13 @@ HEADLINE = (
     "embedding_cka",          # d^2/4 sufficient-statistic fan-out + bounded frob (r07)
     "ivf_nprobe_sweep",       # 3x cell-pruned ANN + persisted brute truth (r07)
     "join_order_audit",       # per-key count passes pricing both join orders (r07)
+    "dedup_substring_windows",  # corpus-volume rolling-window explode (r09)
+    "label_propagation_communities",  # iterative LPA, lazy checkpoints (r09)
+    "jm_query_likelihood",    # retrieval scoring, shuffled postings join (r09)
+    "kmv_distinct_by_source", # per-source distinct-hash rank pass (r09)
+    "minhash_band_sweep",     # 30 band self-joins over one persisted signature (r10 staged)
+    "dedup_substring_incremental",  # increment-proportional admission join (r10 staged)
+    "semdedup_threshold_sweep",  # kmeans + pair verify + bounded grid (r10 staged)
 )
 
 
@@ -379,7 +386,11 @@ def main() -> None:
 
     spark = get_spark(app_name="inde1-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    # staged (pre-promotion) operators bench identically to production ones
+    # so the measured evidence exists BEFORE a promotion pins their hashes;
+    # production names win on collision (there are none by construction —
+    # test_staged_parity pins staged ∩ production == ∅)
+    queries = {**entry_mod.staged_queries(), **entry_mod.queries()}
 
     # warm the JVM + parquet footers with one tiny action outside timing
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -21,7 +21,7 @@ import bench
 def test_headline_names_resolve_and_core_prefix_stable():
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = {**entrymod.staged_queries(), **entrymod.queries()}
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == []
     # the first N_CORE_LINE entries are the stable stdout core — they must
