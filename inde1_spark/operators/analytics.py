@@ -10021,7 +10021,10 @@ def value_drift_audit(events: DataFrame) -> DataFrame:
     (which would square counts past BIGINT at corpus scale) and no
     transcendentals (KL/PSI's data-dependent ln is a cross-engine ulp
     risk) — the 100 TB posture is two map-side-combinable histogram
-    passes and a bounded per-type reduce.
+    passes and a bounded per-type reduce. ratio_round's long-math bound
+    (num*2e4 < 2^63) holds to ~3e7 rows per event type; past that the
+    identity swaps verbatim onto decimal(38,0) with dec_floordiv (the
+    CLAUDE.md wide-decimal rule) — documented swap, same plan.
     """
     from inde1_spark.functions.exprs import ratio_round
 

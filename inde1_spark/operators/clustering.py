@@ -629,7 +629,14 @@ def semdedup_threshold_sweep(embeddings: DataFrame) -> DataFrame:
         "threshold",
         "n_pairs",
         "n_pruned",
-        ratio_round(
-            (F.col("n_vecs") - F.col("n_pruned")) * 100, F.col("n_vecs"), 2
-        ).alias("retention_pct"),
+        # degenerate-denominator guard (ANSI `% 0` throws): an empty corpus
+        # retains everything by definition
+        F.when(
+            F.col("n_vecs") > 0,
+            ratio_round(
+                (F.col("n_vecs") - F.col("n_pruned")) * 100, F.col("n_vecs"), 2
+            ),
+        )
+        .otherwise(F.lit(100.0))
+        .alias("retention_pct"),
     ).orderBy("threshold")

@@ -740,13 +740,13 @@ SELECT vec_id, cluster, d AS dist_scaled FROM a{KMEANS_ITERS}
 
 ORACLES["semdedup"] = f"""
 WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
-asg AS (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
+asg AS MATERIALIZED (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
 {_NORMS.strip().strip(',').rstrip()},
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT pa.cluster, pa.vec_id AS vec_a, pb.vec_id AS vec_b
   FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
 ),
-dots AS (
+dots AS MATERIALIZED (
   SELECT p.cluster, p.vec_a, p.vec_b,
          CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE)
               * CAST(eb.embedding[i] AS DOUBLE)
@@ -11664,13 +11664,13 @@ _SWEEP_VALS = ", ".join(
 # pair CTEs at the loosest threshold, swept over the bounded grid.
 STAGED_ORACLES["semdedup_threshold_sweep"] = f"""
 WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
-asg AS (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
+asg AS MATERIALIZED (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
 {_NORMS.strip().strip(',').rstrip()},
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT pa.cluster, pa.vec_id AS vec_a, pb.vec_id AS vec_b
   FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
 ),
-dots AS (
+dots AS MATERIALIZED (
   SELECT p.cluster, p.vec_a, p.vec_b,
          CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE)
               * CAST(eb.embedding[i] AS DOUBLE)
@@ -11682,7 +11682,7 @@ dots AS (
        UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
   GROUP BY 1, 2, 3
 ),
-sims AS (
+sims AS MATERIALIZED (
   SELECT vec_b, cos_sim FROM (
     SELECT d.vec_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
     FROM dots d
@@ -11700,7 +11700,9 @@ hits AS (
   GROUP BY 1
 )
 SELECT h.threshold, h.n_pairs, h.n_pruned,
-       {_rr("(t.n_vecs - h.n_pruned) * 100", "t.n_vecs", 2)} AS retention_pct
+       CASE WHEN t.n_vecs > 0
+            THEN {_rr("(t.n_vecs - h.n_pruned) * 100", "t.n_vecs", 2)}
+            ELSE CAST(100.0 AS DOUBLE) END AS retention_pct
 FROM hits h, total t ORDER BY h.threshold
 """
 
