@@ -291,17 +291,45 @@ def lpa_communities_stream(
     the graph grows hot.
     """
 
+    return (
+        edges.writeStream.foreachBatch(lpa_batch_sink(state_dir, out_dir))
+        .outputMode("update")
+    )
+
+
+def lpa_batch_sink(state_dir: str, out_dir: str):
+    """The foreachBatch function behind ``lpa_communities_stream``,
+    exposed so the replay-idempotency contract is directly testable
+    (call it twice with the same batch — state must not change). One
+    caveat the batch keying implies: idempotency holds within a
+    checkpoint lineage (replays carry the same batch_id + contents); a
+    re-ingest under a FRESH checkpoint renumbers batches and needs a
+    fresh state_dir."""
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from inde1_spark.operators.dedup import lpa_histogram
 
-        batch_df.select("doc_a", "doc_b").write.mode("append").parquet(
-            state_dir
+        # foreachBatch is AT-LEAST-ONCE: a batch replayed after a crash
+        # between the state write and the checkpoint commit must not land
+        # its edges twice (duplicate edges double their LPA votes). The
+        # write is idempotent by construction — batch N always OVERWRITES
+        # its own batch-keyed directory, so a replay rewrites, never
+        # appends. The accumulate-read globs the batch directories.
+        batch_df.select("doc_a", "doc_b").write.mode("overwrite").parquet(
+            f"{state_dir}/b{batch_id}"
         )
         spark = batch_df.sparkSession
-        graph = spark.read.parquet(state_dir).persist()
+        # explicit schema: the initial batch can be empty (its directory
+        # holds no part files), and schema inference over the glob would
+        # throw UNABLE_TO_INFER_SCHEMA until the first real batch lands
+        graph = (
+            spark.read.schema("doc_a long, doc_b long")
+            .parquet(f"{state_dir}/b*")
+            .persist()
+        )
         try:
             lpa_histogram(graph).write.mode("overwrite").parquet(out_dir)
         finally:
             graph.unpersist()
 
-    return edges.writeStream.foreachBatch(_apply).outputMode("update")
+    return _apply

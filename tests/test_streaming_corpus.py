@@ -607,7 +607,33 @@ def test_lpa_communities_stream_matches_batch(spark, tmp_path):
         for r in label_propagation_communities(docs).collect()
     )
     assert got == want
-    # the standing edge table holds every edge exactly once
-    state = spark.read.parquet(str(tmp_path / "state"))
+    # the standing edge table (batch-keyed dirs) holds every edge once
+    state = spark.read.parquet(str(tmp_path / "state" / "b*"))
     assert state.count() == len(edges)
     assert state.distinct().count() == len(edges)
+
+
+def test_lpa_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (same batch_id,
+    same rows — the crash-between-write-and-commit case) must leave the
+    standing edge table and the published histogram unchanged."""
+    from inde1_spark.streaming.corpus import lpa_batch_sink
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = lpa_batch_sink(state, out)
+    b0 = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    b1 = spark.createDataFrame([(10, 11)], "doc_a long, doc_b long")
+    sink(b0, 0)
+    sink(b1, 1)
+    first = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in spark.read.parquet(out).collect()
+    )
+    n_edges = spark.read.parquet(f"{state}/b*").count()
+    sink(b1, 1)  # replay the last batch
+    assert spark.read.parquet(f"{state}/b*").count() == n_edges
+    replayed = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first
