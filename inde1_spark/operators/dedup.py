@@ -2902,42 +2902,55 @@ def minhash_band_sweep(
     )
     n_exact = truth.agg(F.count("*").cast("long").alias("n_exact"))
 
-    rows = []
-    for n_bands, rpb in BAND_SWEEP_CONFIGS:
-        bands = None
+    # ONE band table over every (config, band) and ONE cfg-keyed bucket
+    # self-join — the same shape as the DuckDB twin; four sequential
+    # per-config joins would rescan the signature table and launch four
+    # jobs for identical total work
+    bands = None
+    for cfg_idx, (n_bands, rpb) in enumerate(BAND_SWEEP_CONFIGS):
         for j in range(n_bands):
             cols = [F.col(f"m{j * rpb + k}") for k in range(rpb)]
             one = sigs.select(
                 "doc_id",
+                F.lit(cfg_idx).alias("cfg"),
                 F.lit(j).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("sig"),
             )
             bands = one if bands is None else bands.unionByName(one)
-        ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-        cand = (
-            ba.join(bb, ["band", "sig"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        agg = cand.join(truth, ["doc_a", "doc_b"], "left").agg(
-            F.count("*").cast("long").alias("n_candidates"),
-            F.sum(F.coalesce(F.col("_true"), F.lit(0)))
-            .cast("long")
-            .alias("n_true_pairs"),
-        )
-        rows.append(
-            agg.select(
-                F.lit(n_bands).cast("long").alias("n_bands"),
-                F.lit(rpb).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_true_pairs",
-            )
-        )
-    sweep = rows[0]
-    for r in rows[1:]:
-        sweep = sweep.unionByName(r)
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "cfg", "band", "sig")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "cfg", "band", "sig")
+    cand = (
+        ba.join(bb, ["cfg", "band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    stats = cand.join(truth, ["doc_a", "doc_b"], "left").groupBy("cfg").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+        .cast("long")
+        .alias("n_true_pairs"),
+    )
+    # config grid LEFT JOIN keeps zero-candidate configs in the output
+    grid = sigs.sparkSession.range(len(BAND_SWEEP_CONFIGS)).select(
+        F.col("id").cast("int").alias("cfg")
+    )
+    nb = F.lit(None)
+    rp = F.lit(None)
+    for cfg_idx, (n_bands, rpb) in enumerate(BAND_SWEEP_CONFIGS):
+        cond = F.col("cfg") == cfg_idx
+        nb = F.when(cond, F.lit(n_bands)).otherwise(nb)
+        rp = F.when(cond, F.lit(rpb)).otherwise(rp)
+    sweep = grid.join(stats, "cfg", "left").select(
+        nb.cast("long").alias("n_bands"),
+        rp.cast("long").alias("rows_per_band"),
+        F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+            "n_candidates"
+        ),
+        F.coalesce(F.col("n_true_pairs"), F.lit(0).cast("long")).alias(
+            "n_true_pairs"
+        ),
+    )
     return sweep.crossJoin(F.broadcast(n_exact)).select(
         "n_bands",
         "rows_per_band",
