@@ -637,3 +637,63 @@ def test_lpa_sink_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert replayed == first
+
+
+def test_lpa_stream_checkpoint_restart_continues(spark, tmp_path):
+    """Stop after draining the first feed, add new edges, restart on the
+    SAME checkpoint: the original files must not reprocess (their batch
+    dirs unchanged), new batches get fresh ids, and the published
+    histogram equals the batch LPA over the full edge set."""
+    import json
+
+    from inde1_spark.operators.dedup import lpa_histogram
+    from inde1_spark.streaming.corpus import lpa_communities_stream
+
+    data_dir = tmp_path / "feed"
+    data_dir.mkdir()
+    first = [(1, 2), (2, 3), (10, 11)]
+    second = [(11, 12), (20, 21)]
+
+    def write_chunk(name, rows):
+        with open(data_dir / name, "w") as f:
+            for a, b in rows:
+                f.write(json.dumps({"doc_a": a, "doc_b": b}) + "\n")
+
+    write_chunk("c0.json", first)
+    state, out, ckpt = (
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_a long, doc_b long").json(
+            str(data_dir)
+        )
+        q = (
+            lpa_communities_stream(stream, state, out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_state_1 = spark.read.parquet(f"{state}/b*").count()
+    assert n_state_1 == len(first)
+    write_chunk("c1.json", second)
+    run_once()
+    state_df = spark.read.parquet(f"{state}/b*")
+    assert state_df.count() == len(first) + len(second)  # no reprocessing
+    got = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in spark.read.parquet(out).collect()
+    )
+    all_edges = spark.createDataFrame(
+        first + second, "doc_a long, doc_b long"
+    )
+    want = sorted(
+        (r["community_size"], r["n_communities"])
+        for r in lpa_histogram(all_edges).collect()
+    )
+    assert got == want
