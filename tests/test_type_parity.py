@@ -93,3 +93,37 @@ def test_oracle_types_match_spark(spark, duck_types, name):
             "equal values can hash differently through pandas; CAST the "
             "oracle column (HUGEINT//DECIMAL -> BIGINT, DECIMAL -> DOUBLE)"
         )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.staged_queries()))
+def test_staged_oracle_types_match_spark(spark, duck_types, name):
+    """Same plans-only dtype sweep for the STAGED surface — the cheap
+    always-on guard between the env-gated staged rehearsals, so a dtype
+    drift in a staged twin fails every suite run, not just the
+    pre-promotion checklist. No LEGACY_OK here by construction: staged
+    ops are new and must be born clean."""
+    q = entrymod.staged_queries()[name]
+    sql = entrymod.staged_oracle_sql()[name]
+    spark_types = dict(q(spark, SF_SMOKE).dtypes)
+    duck = {
+        r[0]: r[1]
+        for r in duck_types.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    assert set(duck) == set(spark_types), (
+        f"{name}: column sets differ: {sorted(duck)} vs {sorted(spark_types)}"
+    )
+    for col, stype in spark_types.items():
+        dtype = duck[col]
+        base = dtype.split("(")[0]
+        allowed = COMPAT.get(stype)
+        if allowed is None:
+            if stype.startswith("decimal"):
+                assert base == "DECIMAL", (name, col, stype, dtype)
+            elif stype.startswith("array"):
+                assert dtype.endswith("[]"), (name, col, stype, dtype)
+            continue
+        assert base in allowed, (
+            f"{name}.{col}: spark={stype} but oracle={dtype} — numerically "
+            "equal values can hash differently through pandas; CAST the "
+            "oracle column (HUGEINT//DECIMAL -> BIGINT, DECIMAL -> DOUBLE)"
+        )
