@@ -1893,8 +1893,13 @@ def lsh_rebanding_planner(documents: DataFrame, n: int = 3) -> DataFrame:
     audit's own candidate join is bounded by the histogram x 4 configs.
     """
     est = minhash_est_jaccard(documents, n).select("n_match_perms")
-    kh = est.groupBy(F.col("n_match_perms").alias("k")).agg(
-        F.count("*").cast("long").alias("cnt")
+    # persisted: the <=33-row histogram is referenced once per config, and
+    # without the persist its LINEAGE reruns the estimator audit's whole
+    # candidate join per reference (4x the dominant cost for 33 rows)
+    kh = _persist(
+        est.groupBy(F.col("n_match_perms").alias("k")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
     )
 
     def sq(col, e):
