@@ -629,3 +629,85 @@ def space_saving_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming window-gap alarms (live sibling of
+# analytics.window_completeness_audit)
+# ---------------------------------------------------------------------------
+
+GAP_OUTPUT_SCHEMA = "event_type string, gap_hour string"
+GAP_STATE_SCHEMA = "last_hour long"
+GAP_WATERMARK = "10 minutes"
+
+
+def gap_alarm_stream(events: DataFrame) -> DataFrame:
+    """Live hourly-gap alarms per event type — the streaming form of
+    ``analytics.window_completeness_audit``: the batch audit counts a
+    feed's missing hourly windows after the fact; the MONITOR names each
+    missed hour the moment a later event for the same type reveals it
+    was skipped (the natural close signal in an ordered feed, same
+    convention as ``cusum_alarm_stream``'s day close). A consumer pages
+    on any row: this feed went silent for that hour.
+
+    State is ONE long per key (the last hour index seen); each arriving
+    event at hour h > last emits one row per hour in (last, h) and
+    advances the state — so the emitted set over a drained stream equals
+    the batch audit's per-type missing-hour set on the same corpus
+    (pinned by the streaming==batch pytest; the batch table's GLOBAL
+    span differs only by each type's lead-in/tail hours, which no
+    gap-between-events monitor can know). Within a micro-batch rows sort
+    by event time; a late straddler (h <= last) is a no-op — it cannot
+    un-miss an hour that was already alarmed, the documented
+    at-most-once deviation under disorder.
+    """
+    cols = ["event_type", "gap_hour"]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        (last,) = state.get if state.exists else (-1,)
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for row in rows.itertuples(index=False):
+            hour = int(row.ts.value // (3600 * 1_000_000_000))
+            if last < 0:
+                last = hour
+                continue
+            if hour <= last:  # same hour, or a late straddler: no-op
+                continue
+            for g in range(last + 1, hour):
+                out.append(
+                    {
+                        "event_type": event_type,
+                        "gap_hour": pd.Timestamp(
+                            g * 3600, unit="s"
+                        ).strftime("%Y-%m-%d %H:00"),
+                    }
+                )
+            last = hour
+        state.update((last,))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", GAP_WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

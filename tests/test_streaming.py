@@ -630,3 +630,72 @@ def test_sprt_stream_matches_batch(spark, tmp_path):
     assert len(got_map) == len(counts)  # every real day closed
     assert got_map == expected
     assert any(v[3] == "accept_h1" for v in got_map.values())
+
+
+def test_gap_alarm_stream_matches_batch_missing_hours(spark, tmp_path):
+    """The drained gap feed equals the batch missing-hour set per type
+    (window_completeness_audit's per-type view), with gaps that cross
+    micro-batch boundaries (state carries last_hour across batches)."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import gap_alarm_stream
+
+    base = datetime(2024, 3, 1)
+    hours = {
+        "a": [0, 1, 4, 5, 9],  # gaps {2,3} and {6,7,8}
+        "b": [2, 3],           # contiguous: no gaps
+    }
+    rows, eid = [], 0
+    for typ, hs in hours.items():
+        for h in hs:
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": (base + timedelta(hours=h)).isoformat(),
+                    "user_id": eid,
+                    "event_type": typ,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    data_dir = tmp_path / "gap_data"
+    data_dir.mkdir()
+    # split so type a's hour-1 -> hour-4 gap straddles a batch boundary
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        gap_alarm_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = set()
+    for typ, hs in hours.items():
+        for g in range(min(hs), max(hs) + 1):
+            if g not in hs:
+                expected.add(
+                    (typ, (base + timedelta(hours=g)).strftime("%Y-%m-%d %H:00"))
+                )
+    got_set = {(r["event_type"], r["gap_hour"]) for r in got}
+    assert got_set == expected
+    assert len(got) == len(got_set)  # each missed hour alarmed exactly once
