@@ -711,3 +711,114 @@ def gap_alarm_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming value-drift monitor (live sibling of analytics.value_drift_audit)
+# ---------------------------------------------------------------------------
+
+DRIFT_STREAM_OUTPUT_SCHEMA = (
+    "event_type string, day string, n_events long, tvd double, drift boolean"
+)
+# state: the open day + its 10 histogram bin counts
+DRIFT_STREAM_STATE_SCHEMA = (
+    "cur_day long, b0 long, b1 long, b2 long, b3 long, b4 long, "
+    "b5 long, b6 long, b7 long, b8 long, b9 long"
+)
+DRIFT_STREAM_WATERMARK = "10 minutes"
+DRIFT_TVD_ALARM = 0.25  # page when a day's distribution moves this far
+
+
+def value_drift_stream(
+    events: DataFrame,
+    ref_bins: tuple[int, ...] = (1,) * 10,
+    bin_width: float = 50.0,
+    tvd_alarm: float = DRIFT_TVD_ALARM,
+) -> DataFrame:
+    """Live per-type value-distribution drift — the streaming form of
+    ``analytics.value_drift_audit``: the batch audit compares the
+    corpus's two halves after the fact; the MONITOR compares each
+    CLOSED DAY's value histogram against a FIXED reference distribution
+    (``ref_bins``, trained offline — the cusum fixed-mu convention) and
+    emits the day's total variation distance the day it completes. TVD
+    over fixed-width bins, same binning as the batch audit
+    (floor(value/width) clamped to [0, 9]).
+
+    State is eleven longs per key: the open day and its ten bin counts.
+    A day closes when a later-day event for the same key arrives
+    (availableNow tests plant a far-future flush event, the documented
+    convention); late straddlers fold into the open day, zero-event
+    days are skipped — both exactly as ``cusum_alarm_stream``.
+    """
+    n_bins = 10
+    ref_total = float(sum(ref_bins)) or 1.0
+    ref_p = [b / ref_total for b in ref_bins]
+    width = float(bin_width)
+    alarm = float(tvd_alarm)
+    cols = ["event_type", "day", "n_events", "tvd", "drift"]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            st = list(state.get)
+            cur_day, bins = st[0], st[1:]
+        else:
+            cur_day, bins = -1, [0] * n_bins
+        out: list[dict] = []
+
+        def close_day() -> None:
+            n = sum(bins)
+            if n == 0:
+                return
+            tvd = 0.5 * sum(
+                abs(bins[i] / n - ref_p[i]) for i in range(n_bins)
+            )
+            out.append(
+                {
+                    "event_type": event_type,
+                    "day": pd.Timestamp(cur_day * 86_400, unit="s").strftime(
+                        "%Y-%m-%d"
+                    ),
+                    "n_events": n,
+                    "tvd": tvd,
+                    "drift": tvd > alarm,
+                }
+            )
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for row in rows.itertuples(index=False):
+            day = int(row.ts.value // (86_400 * 1_000_000_000))
+            b = min(max(int(row.value // width), 0), n_bins - 1)
+            if cur_day < 0:
+                cur_day = day
+            elif day > cur_day:  # close the open day; start the new one
+                close_day()
+                cur_day, bins = day, [0] * n_bins
+            # same day or late straddler: fold into the open day
+            bins[b] += 1
+        state.update((cur_day, *bins))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", DRIFT_STREAM_WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=DRIFT_STREAM_OUTPUT_SCHEMA,
+            stateStructType=DRIFT_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

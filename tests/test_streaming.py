@@ -699,3 +699,77 @@ def test_gap_alarm_stream_matches_batch_missing_hours(spark, tmp_path):
     got_set = {(r["event_type"], r["gap_hour"]) for r in got}
     assert got_set == expected
     assert len(got) == len(got_set)  # each missed hour alarmed exactly once
+
+
+def test_value_drift_stream_matches_python_replay(spark, tmp_path):
+    """Closed-day TVD against the fixed reference equals the hand replay,
+    with day closures crossing micro-batch boundaries. ref = 50/50 over
+    the first two bins; an all-bin-0 day must alarm, a matching day not."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import value_drift_stream
+
+    base = datetime(2024, 3, 1)
+    # day 0 matches the reference exactly; day 1 collapses onto bin 0
+    day_values = {0: [10.0, 20.0, 60.0, 70.0], 1: [5.0, 10.0, 15.0, 20.0]}
+    rows, eid = [], 0
+    for d, vals in day_values.items():
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": (base + timedelta(days=d, minutes=i)).isoformat(),
+                    "user_id": eid,
+                    "event_type": "m",
+                    "value": v,
+                    "props": "{}",
+                }
+            )
+    eid += 1
+    rows.append(  # flush: closes day 1
+        {
+            "event_id": eid,
+            "ts": (base + timedelta(days=365)).isoformat(),
+            "user_id": eid,
+            "event_type": "m",
+            "value": 10.0,
+            "props": "{}",
+        }
+    )
+    data_dir = tmp_path / "drift_data"
+    data_dir.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        value_drift_stream(stream, ref_bins=(1, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_map = {
+        r["day"]: (r["n_events"], r["tvd"], r["drift"]) for r in got
+    }
+    # day 0: bins {0: 2, 1: 2} vs ref (.5, .5) -> TVD 0, no drift
+    assert got_map["2024-03-01"] == (4, 0.0, False)
+    # day 1: bins {0: 4} vs ref (.5, .5) -> TVD .5*(|1-.5| + .5) = 0.5
+    assert got_map["2024-03-02"] == (4, 0.5, True)
+    assert len(got_map) == 2  # flush day itself never closes
