@@ -564,3 +564,84 @@ def test_misra_gries_merge_rule_guarantees(chunks):
         s = k % n_shards
         if t > decs[s]:
             assert (s, k) in got, (k, t, decs[s])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_next_pow2_spelling_matches_bit_length(spark, ns):
+    """bucketing_plan's engine-portable next-power-of-two spelling
+    (1 << length(bin(n-1)), n > 1) must equal the python bit_length
+    form on every input — including exact power-of-two boundaries,
+    where a log2-based spelling is one ulp from wrong."""
+    df = spark.createDataFrame([(n,) for n in ns], ["n"])
+    got = {
+        r["n"]: r["p2"]
+        for r in df.select(
+            "n",
+            F.when(F.col("n") <= 1, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(length(bin(n - 1)) AS INT))"
+                )
+            )
+            .alias("p2"),
+        ).collect()
+    }
+    for n in ns:
+        want = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        assert got[n] == want, (n, got[n], want)
+        assert got[n] >= n and got[n] < 2 * max(n, 1)  # tight next pow2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # half (first/second)
+            st.integers(min_value=0, max_value=9),   # bin
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda cells: any(h == 0 for h, _ in cells)
+        and any(h == 1 for h, _ in cells)
+    )
+)
+@SETTINGS
+def test_value_drift_tvd_identity_matches_python(spark, cells):
+    """value_drift_audit's exact integer TVD identity must equal the
+    python proportion-space TVD and stay inside [0, 1]."""
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import value_drift_audit
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i, (half, b) in enumerate(cells):
+        # halves via the exact midpoint: span [0h, 20h], boundary 10h
+        ts = base + timedelta(hours=19 if half else 1)
+        rows.append((i, ts, 1, "t", b * 50.0 + 1.0, "{}"))
+    rows.append((10_000, base, 1, "t", 1.0, "{}"))           # pin span start
+    rows.append((10_001, base + timedelta(hours=20), 1, "t", 451.0, "{}"))
+    out = value_drift_audit(
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+    ).collect()[0]
+    n1 = [0] * 10
+    n2 = [0] * 10
+    n1[0] += 1  # span-start pin (bin 0, first half)
+    n2[9] += 1  # span-end pin (bin 9, second half)
+    for half, b in cells:
+        (n2 if half else n1)[b] += 1
+    N1, N2 = sum(n1), sum(n2)
+    want = 0.5 * sum(abs(n1[b] / N1 - n2[b] / N2) for b in range(10))
+    assert 0.0 <= out["tvd"] <= 1.0
+    assert abs(out["tvd"] - want) <= 5e-5  # 4-dp round-half-up of exact
+    assert out["n_first"] == N1 and out["n_second"] == N2
