@@ -817,6 +817,20 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ]
         ),
+        # ----- r11 batch (accumulating; promotes AFTER the r10 batch) -----
+        "source_length_drift": lambda sp, d: A.source_length_drift(
+            _t(sp, d, "documents")
+        ),
+        "copartition_audit": lambda sp, d: A.copartition_audit(
+            _t(sp, d, "events"),
+            _t(sp, d, "customer"),
+            _t(sp, d, "orders"),
+            _t(sp, d, "lineitem"),
+            _t(sp, d, "part"),
+        ),
+        "semdedup_incremental": lambda sp, d: CL.semdedup_incremental(
+            _t(sp, d, "embeddings")
+        ),
     }
 
 

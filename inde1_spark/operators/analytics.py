@@ -10215,3 +10215,235 @@ def broadcast_plan_audit(
         .otherwise(F.lit("shuffle"))
         .alias("strategy"),
     ).orderBy("table_name")
+
+
+LEN_DRIFT_BIN_WIDTH = 50   # char-length histogram bin width
+LEN_DRIFT_N_BINS = 20      # top bin is open-ended (everything past 1000 chars)
+
+
+def source_length_drift(documents: DataFrame) -> DataFrame:
+    """Pairwise source-vs-source document-length drift matrix — the corpus
+    sibling of `value_drift_audit` (first-half vs second-half on one feed):
+    when a training mixture blends S sources, the curation question is
+    which PAIRS disagree on the length profile (a proxy for boilerplate,
+    truncation, or chunking differences) before mixture weights are fit.
+    The statistic is again total variation distance — exact in integer
+    math with the common denominator N_a*N_b (TVD = Sum_b |n_ab*N_b -
+    n_bb*N_a| / (2*N_a*N_b)) — because TVD is PAIRWISE-SAFE where PSI/KL
+    are not: every pairwise denominator is a product of the two sources'
+    own counts, no reference distribution to zero out, no data-dependent
+    ln to drift an ulp across engines (the r10 value_drift_audit design
+    note, generalized to the S^2/2 grid).
+
+    One corpus-volume pass builds the (source, bin) histogram (map-side
+    combinable); everything after runs on the bounded S*B table: the
+    S^2/2 pair grid and the grid x bins fill-in are broadcast joins over
+    kilobyte inputs at any corpus size. ratio_round's long bound holds to
+    N_a*N_b ~ 4.6e14 (~2e7 rows per source); past that the identity swaps
+    onto decimal(38,0) with dec_floordiv (CLAUDE.md wide-decimal rule) —
+    documented swap, same plan.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.dedup import _persist
+
+    w = F.lit(LEN_DRIFT_BIN_WIDTH).cast("long")
+    nc = F.col("n_chars").cast("long")
+    binc = F.least(
+        ((nc - nc % w) / w).cast("long"),
+        F.lit(LEN_DRIFT_N_BINS - 1).cast("long"),
+    )
+    # the bounded histogram feeds totals, the bin list AND both grid join
+    # sides — persist it so the corpus-volume scan happens exactly once
+    hist = _persist(
+        documents.select("source", binc.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("source").alias("source_a"), F.col("n").alias("n_a")
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    bins = hist.select("bin").distinct()
+    grid = pairs.join(F.broadcast(bins))
+    ha = hist.select(
+        F.col("source").alias("source_a"), "bin", F.col("c").alias("ca")
+    )
+    hb = hist.select(
+        F.col("source").alias("source_b"), "bin", F.col("c").alias("cb")
+    )
+    cells = (
+        grid.join(F.broadcast(ha), ["source_a", "bin"], "left")
+        .join(F.broadcast(hb), ["source_b", "bin"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("ca"), F.lit(0).cast("long")).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0).cast("long")).alias("cb"),
+        )
+    )
+    per_pair = cells.groupBy("source_a", "source_b", "n_a", "n_b").agg(
+        F.sum(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        )
+        .cast("long")
+        .alias("num")
+    )
+    # sources reach the grid only via their own histogram rows, so
+    # n_a, n_b >= 1 by construction — the TVD denominator cannot degenerate
+    return per_pair.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        ratio_round(F.col("num"), F.col("n_a") * F.col("n_b") * 2, 4).alias(
+            "tvd"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+COPART_BROADCAST_ROWS = 10_000  # small side under this row count: broadcast
+
+
+def copartition_audit(
+    events: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Per-JOIN strategy decision over the engine's canonical join log —
+    the checker `bucketing_plan` (per-key bucket sizing) feeds: for each
+    join the warehouse actually runs, do the recommended power-of-two
+    bucket counts co-locate the two sides, what down-hash factor does the
+    larger layout pay, and does per-key skew break bucketing regardless?
+    `broadcast_plan_audit` prices single TABLES against the broadcast
+    threshold; this audit prices JOINS, which is the unit the planner
+    decides (join list is bounded — the reference's join surface, cited
+    per entry below — so the output is a fixed handful of rows).
+
+    Per side, ONE map-side-combinable aggregate over the key-count table
+    yields rows/NDV/max-key-rows; bucket counts reuse the exact
+    next-pow2 spelling (`1 << bitlen(n-1)` via the binary-string length —
+    the bucketing_plan rule: no log2 on data-dependent integers).
+    Decision ladder, all exact integers: a side under
+    COPART_BROADCAST_ROWS rows never needs bucketing ('broadcast'); a
+    probe side whose hottest key alone overflows BUCKET_TARGET_ROWS
+    cannot be balanced by ANY bucket count ('salt' — the salting_plan
+    hand-off); otherwise the pow2 counts co-locate by construction and
+    the join rides the bucketed layout ('cobucket'). rehash_factor is the
+    exact pow2 ratio the larger side hashes down by.
+    """
+
+    def side(df: DataFrame, table: str, key: str, tag: str) -> DataFrame:
+        t = F.lit(BUCKET_TARGET_ROWS).cast("long")
+        per_key = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("long").alias("ck")
+        )
+        agg = per_key.agg(
+            F.coalesce(F.sum("ck"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("ndv"),
+            F.coalesce(F.max("ck"), F.lit(0)).cast("long").alias("max_key_rows"),
+        )
+        need = F.col("n_rows") + t - F.lit(1).cast("long")
+        filled = ((need - need % t) / t).cast("long")
+        nb = F.when(F.col("_nb_need") <= 1, F.lit(1).cast("long")).otherwise(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(length(bin(_nb_need - 1)) AS INT))"
+            )
+        )
+        return (
+            agg.select(
+                F.lit(table).alias(f"{tag}_table"),
+                F.lit(key).alias(f"{tag}_key"),
+                F.col("n_rows").alias(f"n_{tag}"),
+                F.col("max_key_rows").alias(f"_maxk_{tag}"),
+                filled.alias("_nb_need"),
+            )
+            .select(
+                f"{tag}_table",
+                f"{tag}_key",
+                f"n_{tag}",
+                f"_maxk_{tag}",
+                nb.alias(f"nb_{tag}"),
+            )
+        )
+
+    def join_row(
+        ldf: DataFrame, lt: str, lk: str, rdf: DataFrame, rt: str, rk: str
+    ) -> DataFrame:
+        return (
+            side(ldf, lt, lk, "left")
+            .crossJoin(F.broadcast(side(rdf, rt, rk, "right")))
+            .select(
+                F.concat_ws("_", F.lit(lt), F.lit(rt)).alias("join_name"),
+                "left_table",
+                "left_key",
+                "right_table",
+                "right_key",
+                "n_left",
+                "n_right",
+                "nb_left",
+                "nb_right",
+                "_maxk_left",
+                "_maxk_right",
+            )
+        )
+
+    # the engine's canonical equi-joins (reference join surface: the user
+    # enrichment J1/J4 and the TPC-H order->lineitem / part lookups)
+    plan = (
+        join_row(events, "events", "user_id", customer, "customer", "c_custkey")
+        .unionByName(
+            join_row(
+                orders, "orders", "o_custkey", customer, "customer", "c_custkey"
+            )
+        )
+        .unionByName(
+            join_row(
+                lineitem, "lineitem", "l_orderkey", orders, "orders", "o_orderkey"
+            )
+        )
+        .unionByName(
+            join_row(lineitem, "lineitem", "l_partkey", part, "part", "p_partkey")
+        )
+    )
+    big = F.greatest(F.col("nb_left"), F.col("nb_right"))
+    small = F.least(F.col("nb_left"), F.col("nb_right"))
+    rehash = ((big - big % small) / small).cast("long")
+    # the probe (larger-rows) side's hottest key decides the skew verdict
+    probe_maxk = F.when(
+        F.col("n_left") >= F.col("n_right"), F.col("_maxk_left")
+    ).otherwise(F.col("_maxk_right"))
+    lim = F.lit(COPART_BROADCAST_ROWS).cast("long")
+    tgt = F.lit(BUCKET_TARGET_ROWS).cast("long")
+    return plan.select(
+        "join_name",
+        "left_table",
+        "left_key",
+        "right_table",
+        "right_key",
+        "n_left",
+        "n_right",
+        "nb_left",
+        "nb_right",
+        (big % small == 0).alias("co_located"),
+        rehash.alias("rehash_factor"),
+        probe_maxk.alias("probe_max_key_rows"),
+        F.when(F.least(F.col("n_left"), F.col("n_right")) < lim, F.lit("broadcast"))
+        .when(probe_maxk > tgt, F.lit("salt"))
+        .otherwise(F.lit("cobucket"))
+        .alias("strategy"),
+    ).orderBy("join_name")

@@ -640,3 +640,108 @@ def semdedup_threshold_sweep(embeddings: DataFrame) -> DataFrame:
         .otherwise(F.lit(100.0))
         .alias("retention_pct"),
     ).orderBy("threshold")
+
+
+SEMDEDUP_INCR_PCT = 10  # hash share standing in for "today's embeddings"
+
+
+def semdedup_incremental(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+    batch_pct: int = SEMDEDUP_INCR_PCT,
+) -> DataFrame:
+    """Incremental SemDeDup admission: score an ARRIVING embedding shard
+    against the standing corpus only — the embedding sibling of
+    ``dedup_incremental`` (shingles) and ``dedup_substring_incremental``
+    (windows): nobody re-clusters 100 TB of vectors to admit one day's
+    batch. The standing corpus keeps its Lloyd centroids (maintained
+    offline; here recomputed from the standing split so the gate can
+    hash the whole trajectory); each arriving vector is routed to its
+    nearest centroid ROW-LOCALLY (one broadcast of k centroid structs —
+    zero shuffles added by assignment, the kmeans_assign property), and
+    exact-cosine-verified only against standing members of THAT cluster.
+    Per arriving vector the verdict aggregates its best standing match:
+    admit iff nothing clears the threshold.
+
+    Candidate cost is |batch| x |cluster| — proportional to the
+    INCREMENT, not the corpus (raise k with corpus size via ``scale_k``
+    so clusters stay bounded, exactly as in batch semdedup). Pairs whose
+    standing twin sits across a cluster boundary are the same recall
+    trade the SemDeDup paper accepts. The md5 hash split (engine-
+    portable, avalanche-mixed) stands in for the arrival boundary on
+    testdata; at real scale the standing assignment is the persisted
+    cluster table the admission pipeline maintains — the plan is
+    unchanged. Determinism: the split, Lloyd's iterations, distances and
+    the admission argmax (max-struct on (cos_sim, vec_id): best score,
+    ties to the highest standing id) are all exact fixed-point/integer
+    constructs; cos_sim is the shared round-to-6dp contract.
+    """
+    from inde1_spark.operators.text import hash_bucket
+
+    lane = hash_bucket(F.col("vec_id"), 100)
+    batch = embeddings.filter(lane < batch_pct)
+    standing = embeddings.filter(lane >= batch_pct)
+
+    cents = _init_centroids(standing, k)
+    for _ in range(iters):
+        cents = _update(_assign(standing, cents))
+    # the final centroids feed BOTH assigns below; a lazy localCheckpoint
+    # makes the Lloyd chain a lineage leaf (k rows materialized once, still
+    # no eager action — the semdedup/connected_components pattern)
+    cents = _lazy_checkpoint(cents)
+
+    s_asg = _assign(standing, cents).select(
+        F.col("cluster"), F.col("vec_id").alias("vec_idx")
+    )
+    b_asg = _assign(batch, cents).select(
+        F.col("cluster").alias("cluster_b"), F.col("vec_id").alias("vec_new")
+    )
+    # candidate ids re-spread across the full shuffle width before the
+    # payload joins: k coarse keys would serialize the interpreted cosine
+    # folds onto k cores, and AQE's byte-based coalescing would keep them
+    # there (CLAUDE.md explicit-count rule)
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pair_ids = (
+        b_asg.join(s_asg, b_asg.cluster_b == s_asg.cluster)
+        .select("vec_new", "vec_idx")
+        .repartition(n_part, "vec_new", "vec_idx")
+    )
+    e = embeddings.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_new"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_idx"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    scored = (
+        pair_ids.join(ea, "vec_new")
+        .join(eb, "vec_idx")
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    best = scored.groupBy("vec_new").agg(
+        F.max(F.struct("cos_sim", "vec_idx")).alias("best")
+    )
+    return (
+        batch.select(F.col("vec_id").alias("vec_new"))
+        .join(best, "vec_new", "left")
+        .select(
+            "vec_new",
+            F.col("best")["vec_idx"].alias("dup_of"),
+            F.col("best")["cos_sim"].alias("cos_sim"),
+            F.col("best").isNull().alias("admit"),
+        )
+    )

@@ -684,26 +684,30 @@ from inde1_spark.operators.clustering import (
 )
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+def _kmeans_d2(dim: int) -> str:
     # floor(t*S + 0.5) mirrors clustering._dist_scaled — binary-IEEE on both
     # engines, unlike round() (shortest-repr vs binary divergence)
-    d2 = (
+    return (
         "CAST(list_sum(list_transform(range(1, {n}), i -> "
         "CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
         " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
         f" * {DIST_SCALE}.0 + 0.5) AS BIGINT))) AS BIGINT)"
     ).format(n=dim + 1)
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int, src: str = "embeddings") -> str:
+    d2 = _kmeans_d2(dim)
     parts = [
         f"""c0 AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT {k}
+  FROM {src} ORDER BY vec_id LIMIT {k}
 )"""
     ]
     for i in range(iters + 1):
         parts.append(
             f"""a{i} AS (
   SELECT e.vec_id, e.embedding, c.cid AS cluster, {d2} AS d
-  FROM embeddings e, c{i} c
+  FROM {src} e, c{i} c
   QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1
 )"""
         )
@@ -11818,3 +11822,180 @@ ORDER BY rows_per_band
 
 
 STAGED_ORACLES["minhash_band_sweep"] = _band_sweep_sql()
+
+
+# ===========================================================================
+# r11 STAGED batch twins (promotion target: the r11 gate window)
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    COPART_BROADCAST_ROWS,
+    LEN_DRIFT_BIN_WIDTH,
+    LEN_DRIFT_N_BINS,
+)
+from inde1_spark.operators.clustering import SEMDEDUP_INCR_PCT  # noqa: E402
+
+# Twin of operators/analytics.py:source_length_drift — pairwise TVD over
+# per-source char-length histograms with the exact common-denominator
+# integer identity (the value_drift_audit arithmetic over the S^2/2 grid).
+STAGED_ORACLES["source_length_drift"] = f"""
+WITH h AS MATERIALIZED (
+  SELECT source,
+         LEAST((n_chars - n_chars % {LEN_DRIFT_BIN_WIDTH})
+                 // {LEN_DRIFT_BIN_WIDTH},
+               {LEN_DRIFT_N_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+bins AS (SELECT DISTINCT bin FROM h),
+pr AS (
+  SELECT ta.source AS source_a, ta.n AS n_a, tb.source AS source_b, tb.n AS n_b
+  FROM t ta JOIN t tb ON ta.source < tb.source
+),
+cells AS (
+  SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+         COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb
+  FROM pr p CROSS JOIN bins bb
+  LEFT JOIN h ha ON ha.source = p.source_a AND ha.bin = bb.bin
+  LEFT JOIN h hb ON hb.source = p.source_b AND hb.bin = bb.bin
+)
+SELECT source_a, source_b, n_a, n_b,
+       {_rr("CAST(SUM(ABS(ca * n_b - cb * n_a)) AS BIGINT)",
+            "n_a * n_b * 2", 4)} AS tvd
+FROM cells GROUP BY 1, 2, 3, 4
+ORDER BY source_a, source_b
+"""
+
+
+def _copart_rows_sql() -> str:
+    joins = (
+        ("events", "user_id", "customer", "c_custkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+    )
+    sides = []
+    for lt, lk, rt, rk in joins:
+        sides.append(
+            f"""  SELECT '{lt}_{rt}' AS join_name,
+         '{lt}' AS left_table, '{lk}' AS left_key,
+         '{rt}' AS right_table, '{rk}' AS right_key,
+         l.n_rows AS n_left, r.n_rows AS n_right,
+         l.maxk AS maxk_left, r.maxk AS maxk_right
+  FROM s_{lt}_{lk} l, s_{rt}_{rk} r"""
+        )
+    side_ctes = ",\n".join(
+        f"s_{t}_{k} AS MATERIALIZED (\n"
+        f"  SELECT CAST(COALESCE(SUM(ck), 0) AS BIGINT) AS n_rows,\n"
+        f"         CAST(COALESCE(MAX(ck), 0) AS BIGINT) AS maxk\n"
+        f"  FROM (SELECT CAST(count(*) AS BIGINT) AS ck FROM {t} GROUP BY {k})\n"
+        f")"
+        for t, k in sorted({(lt, lk) for lt, lk, _, _ in joins}
+                           | {(rt, rk) for _, _, rt, rk in joins})
+    )
+    union = "\n  UNION ALL\n".join(sides)
+    return side_ctes, union
+
+
+_COPART_SIDES, _COPART_UNION = _copart_rows_sql()
+
+# Twin of operators/analytics.py:copartition_audit — per-join strategy
+# ladder over one key-count aggregate per side; pow2 bucket counts via the
+# shared binary-string-length spelling; exact integer decision columns.
+STAGED_ORACLES["copartition_audit"] = f"""
+WITH {_COPART_SIDES},
+raw AS (
+{_COPART_UNION}
+),
+nb AS (
+  SELECT *,
+         CAST(CASE WHEN (n_left + {BUCKET_TARGET_ROWS} - 1)
+                        // {BUCKET_TARGET_ROWS} <= 1 THEN 1
+                   ELSE CAST(1 AS BIGINT) << length(bin(
+                        (n_left + {BUCKET_TARGET_ROWS} - 1)
+                          // {BUCKET_TARGET_ROWS} - 1))
+              END AS BIGINT) AS nb_left2,
+         CAST(CASE WHEN (n_right + {BUCKET_TARGET_ROWS} - 1)
+                        // {BUCKET_TARGET_ROWS} <= 1 THEN 1
+                   ELSE CAST(1 AS BIGINT) << length(bin(
+                        (n_right + {BUCKET_TARGET_ROWS} - 1)
+                          // {BUCKET_TARGET_ROWS} - 1))
+              END AS BIGINT) AS nb_right2
+  FROM raw
+),
+dec AS (
+  SELECT *,
+         GREATEST(nb_left2, nb_right2) AS nb_big,
+         LEAST(nb_left2, nb_right2) AS nb_small,
+         CASE WHEN n_left >= n_right THEN maxk_left ELSE maxk_right END
+           AS probe_maxk
+  FROM nb
+)
+SELECT join_name, left_table, left_key, right_table, right_key,
+       n_left, n_right,
+       nb_left2 AS nb_left, nb_right2 AS nb_right,
+       nb_big % nb_small = 0 AS co_located,
+       CAST(nb_big // nb_small AS BIGINT) AS rehash_factor,
+       probe_maxk AS probe_max_key_rows,
+       CASE WHEN LEAST(n_left, n_right) < {COPART_BROADCAST_ROWS}
+              THEN 'broadcast'
+            WHEN probe_maxk > {BUCKET_TARGET_ROWS} THEN 'salt'
+            ELSE 'cobucket' END AS strategy
+FROM dec ORDER BY join_name
+"""
+
+# Twin of operators/clustering.py:semdedup_incremental — md5 hash split,
+# Lloyd's over the STANDING split only (the parameterized kmeans unroll),
+# row-local batch routing to the final centroids, exact-cosine verify of
+# batch x same-cluster standing pairs, best-match admission verdict.
+_SEMI_D2 = _kmeans_d2(EMB_DIM)
+STAGED_ORACLES["semdedup_incremental"] = f"""
+WITH standing AS MATERIALIZED (
+  SELECT * FROM embeddings
+  WHERE {_hash_bucket_sql('vec_id', 100)} >= {SEMDEDUP_INCR_PCT}
+),
+batch AS MATERIALIZED (
+  SELECT * FROM embeddings
+  WHERE {_hash_bucket_sql('vec_id', 100)} < {SEMDEDUP_INCR_PCT}
+),
+{_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM, src='standing')},
+sasg AS MATERIALIZED (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
+basg AS MATERIALIZED (
+  SELECT e.vec_id, c.cid AS cluster, {_SEMI_D2} AS d
+  FROM batch e, c{KMEANS_ITERS} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1
+),
+pairs AS MATERIALIZED (
+  SELECT b.vec_id AS vec_new, s.vec_id AS vec_idx
+  FROM basg b JOIN sasg s ON b.cluster = s.cluster
+),
+{_NORMS.strip().strip(',').rstrip()},
+dots AS MATERIALIZED (
+  SELECT p.vec_new, p.vec_idx,
+         CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE)
+              * CAST(eb.embedding[i] AS DOUBLE)
+              * {FIXED_POINT_SCALE:.1f}) AS BIGINT)) AS DOUBLE)
+           / {FIXED_POINT_SCALE:.1f} AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_new
+  JOIN embeddings eb ON eb.vec_id = p.vec_idx,
+       UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_new, vec_idx AS dup_of, cos_sim FROM (
+    SELECT d.vec_new, d.vec_idx,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_new
+    JOIN norms nb ON nb.vec_id = d.vec_idx
+  )
+  WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD}
+  QUALIFY row_number() OVER (PARTITION BY vec_new
+                             ORDER BY cos_sim DESC, vec_idx DESC) = 1
+)
+SELECT b.vec_id AS vec_new, best.dup_of, best.cos_sim,
+       best.vec_new IS NULL AS admit
+FROM batch b LEFT JOIN best ON best.vec_new = b.vec_id
+"""
