@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -333,3 +336,130 @@ def lpa_batch_sink(state_dir: str, out_dir: str):
             graph.unpersist()
 
     return _apply
+
+
+# Wire schema for the embedding firehose: the batch `embeddings` table plus
+# the ingest event-time stamp the connector assigns at capture.
+EMBEDDING_WIRE = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+
+def embedding_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-source embedding firehose (the sandbox stand-in for Kafka),
+    schema-pinned like ``document_stream``."""
+    reader = spark.readStream.schema(EMBEDDING_WIRE)
+    if fmt == "json":
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.format(fmt).load(path).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+
+
+def embedding_admission_stream(
+    vectors: DataFrame,
+    index: DataFrame,
+    k: int | None = None,
+    iters: int | None = None,
+    threshold: float | None = None,
+    watermark: str = DEDUP_WATERMARK,
+) -> DataFrame:
+    """Semantic near-duplicate DETECTIONS against a standing embedding
+    corpus, on the live firehose — the streaming face of
+    ``clustering.semdedup_incremental``, shaped exactly like
+    ``near_dup_stream`` (shingles): each arriving vector emits one row per
+    standing vector it semantically duplicates (same-cluster cosine >=
+    threshold), or nothing if novel. The admission gate is a trivial
+    consumer (suppress vec_ids seen on this feed) — keeping the operator
+    pair-shaped avoids a streaming verdict aggregate, the same state-free
+    design choice as the shingle sibling.
+
+    Plan, and why it needs NO streaming aggregation:
+    1. the standing side runs Lloyd's ONCE (lazy-checkpointed centroid
+       leaf) and materializes the per-cluster member table with
+       embeddings + exact norms — at real scale this is the persisted
+       cluster table the admission pipeline maintains;
+    2. each arriving vector routes to its nearest centroid ROW-LOCALLY:
+       the k centroids travel as one broadcast row of structs and argmin
+       is an array fold — no shuffle, no state (the kmeans_assign
+       property, unchanged on a stream); the arriving norm is projected
+       to a COLUMN before the join (HOF-CSE rule);
+    3. candidates come from the stream-static equi-join on the cluster
+       key; the exact-cosine verify is row-local on the joined pair —
+       same fixed-point dot/norm and round-to-6dp contract as batch;
+    4. the only state is ``dropDuplicatesWithinWatermark`` on the pair
+       key, which suppresses at-least-once re-deliveries (unlike the
+       banded sibling there is no collision fan-out: one cluster per
+       arrival means each pair surfaces at most once per delivery).
+    Same cross-cluster recall trade as batch SemDeDup.
+    """
+    from inde1_spark.functions.exprs import dot_exact, norm_exact
+    from inde1_spark.operators.clustering import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _assign,
+        _dist_scaled,
+        _init_centroids,
+        _update,
+    )
+    from inde1_spark.operators.dedup import (
+        COSINE_DEDUP_THRESHOLD,
+        _lazy_checkpoint,
+    )
+
+    kk = KMEANS_K if k is None else k
+    it = KMEANS_ITERS if iters is None else iters
+    thr = COSINE_DEDUP_THRESHOLD if threshold is None else threshold
+
+    # --- static side: Lloyd once, then the cluster-member verify table ---
+    cents = _init_centroids(index, kk)
+    for _ in range(it):
+        cents = _update(_assign(index, cents))
+    cents = _lazy_checkpoint(cents)
+    members = _assign(index, cents).select(
+        "cluster",
+        F.col("vec_id").alias("vec_idx"),
+        F.col("embedding").alias("emb_idx"),
+        norm_exact(F.col("embedding")).alias("nrm_idx"),
+    )
+    one_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    ).withColumn("j", F.lit(1))
+
+    # --- stream side: row-local routing, norm projected pre-join ---
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _dist_scaled(F.col("embedding"), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    routed = (
+        vectors.withWatermark("ingest_ts", watermark)
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(one_row), "j")
+        .select(
+            F.col("vec_id").alias("vec_new"),
+            "ingest_ts",
+            F.col("embedding").alias("emb_new"),
+            norm_exact(F.col("embedding")).alias("nrm_new"),
+            best["cid"].alias("cluster"),
+        )
+    )
+    cos = dot_exact(F.col("emb_new"), F.col("emb_idx")) / (
+        F.col("nrm_new") * F.col("nrm_idx")
+    )
+    scored = (
+        routed.join(members, "cluster")
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= F.lit(thr))
+        .select("vec_new", "vec_idx", "ingest_ts", "cos_sim")
+    )
+    return scored.dropDuplicatesWithinWatermark(["vec_new", "vec_idx"])

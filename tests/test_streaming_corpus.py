@@ -697,3 +697,68 @@ def test_lpa_stream_checkpoint_restart_continues(spark, tmp_path):
         for r in lpa_histogram(all_edges).collect()
     )
     assert got == want
+
+
+def test_embedding_admission_stream_matches_batch(spark, tmp_path):
+    """Stream the 10%-hash embedding slice against the 90% static index:
+    per arriving vector, the best detection on the feed must equal the
+    batch ``semdedup_incremental`` verdict (same threshold), and vectors
+    absent from the feed must be exactly the batch-admitted ones —
+    stream==batch parity via the shared Lloyd/routing/verify code."""
+    from inde1_spark.operators.clustering import (
+        SEMDEDUP_INCR_PCT,
+        semdedup_incremental,
+    )
+    from inde1_spark.operators.text import hash_bucket
+    from inde1_spark.streaming.corpus import (
+        embedding_admission_stream,
+        embedding_stream,
+    )
+
+    thr = 0.3  # fires a real mix of dups and admits on this corpus
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lane = hash_bucket(F.col("vec_id"), 100)
+    batch = emb.filter(lane < SEMDEDUP_INCR_PCT)
+    index = emb.filter(lane >= SEMDEDUP_INCR_PCT)
+
+    verdicts = {
+        r["vec_new"]: r
+        for r in semdedup_incremental(emb, threshold=thr).collect()
+    }
+    n_dups = sum(1 for r in verdicts.values() if not r["admit"])
+    assert n_dups and n_dups < len(verdicts), "fixture needs both outcomes"
+
+    data_dir = tmp_path / "feed"
+    data_dir.mkdir()
+    feed = batch.withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("vec_id") % 3600),
+    )
+    rows = feed.toJSON().collect()
+    half = len(rows) // 2
+    (data_dir / "a.json").write_text("\n".join(rows[:half]))
+    (data_dir / "b.json").write_text("\n".join(rows[half:]))
+
+    got_rows: list = []
+    q = (
+        embedding_admission_stream(
+            embedding_stream(spark, str(data_dir)), index, threshold=thr
+        )
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    by_vec: dict = {}
+    for r in got_rows:
+        by_vec.setdefault(r["vec_new"], []).append((r["cos_sim"], r["vec_idx"]))
+    # each pair surfaces exactly once (no band fan-out to dedup)
+    assert len(got_rows) == sum(len(v) for v in by_vec.values())
+    for vec, v in verdicts.items():
+        if v["admit"]:
+            assert vec not in by_vec
+        else:
+            assert max(by_vec[vec]) == (v["cos_sim"], v["dup_of"])
