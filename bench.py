@@ -444,6 +444,13 @@ def main() -> None:
             scaling = {"error": f"{type(ex).__name__}: {ex}"}
             print(f"# scaling sweep failed: {ex}", file=sys.stderr)
 
+    # second probe AFTER the run (detail-only): start vs end separates a
+    # burst at run start (cal_start inflated, cal_end normal — the r09
+    # false-flag signature: minhash/semdedup raw 2-3x with steeply fading
+    # reps) from sustained box slowness (both elevated). Never on the
+    # stdout line; the flag basis stays the start probe.
+    calibration_end = _calibration_sec(spark)
+
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {
         "metric": "headline_query_wall_seconds",
@@ -452,6 +459,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_end_sec": calibration_end,
         "reps": reps,
         "delta_vs_prior_best": delta,
         "scaling": scaling,

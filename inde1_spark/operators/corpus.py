@@ -1140,7 +1140,7 @@ def coverage_select(documents: DataFrame, k: int = COVER_K) -> DataFrame:
     engines. Output: selection round, doc, marginal gain, cumulative
     covered-term count.
     """
-    from inde1_spark.operators.dedup import _persist
+    from inde1_spark.operators.dedup import _lazy_checkpoint, _persist
 
     dt = _persist(
         documents.select(
@@ -1158,7 +1158,10 @@ def coverage_select(documents: DataFrame, k: int = COVER_K) -> DataFrame:
         # corpus-sized gains table: 1-row max broadcast back, min doc id
         # breaks ties — both map-side-combinable aggregates
         mx = gains.agg(F.max("marginal_gain").alias("mg"))
-        sel = (
+        # the 1-row selection feeds new_terms AND the output row: cache it
+        # so the anti-join + gains aggregate runs once per round, not once
+        # per reference (still lazy — no action)
+        sel = _persist(
             gains.join(F.broadcast(mx))
             .filter(F.col("marginal_gain") == F.col("mg"))
             .agg(
@@ -1172,7 +1175,11 @@ def coverage_select(documents: DataFrame, k: int = COVER_K) -> DataFrame:
         new_terms = rem.join(
             sel.select("doc_id"), "doc_id"
         ).select("term").distinct()
-        covered = (
+        # each round's covered set references the previous round's THREE
+        # times (rem, the union, cum) — a lazy localCheckpoint keeps the
+        # unrolled plan linear instead of re-executing the whole prefix
+        # per round (the connected_components rule; vocab-bounded rows)
+        covered = _lazy_checkpoint(
             new_terms
             if covered is None
             else covered.unionByName(new_terms).distinct()

@@ -1542,7 +1542,15 @@ def knn_mmr_rerank(
     w_rel = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("neighbor_id").asc()
     )
-    out = (
+    from inde1_spark.operators.dedup import _lazy_checkpoint
+
+    # every round's selection is referenced TWICE downstream (the output
+    # union and the selected set, which the next round's anti-join AND
+    # redundancy join both read) — without a lineage leaf per round the
+    # plan doubles per rank (2^k copies of the window/argmax subtree, the
+    # coverage_select lesson). Lazy localCheckpoint keeps it linear; each
+    # leaf is only n_queries rows.
+    out = _lazy_checkpoint(
         cands.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") == 1)
         .select(
@@ -1581,7 +1589,7 @@ def knn_mmr_rerank(
             ).desc(),
             F.col("neighbor_id").asc(),
         )
-        sel_r = (
+        sel_r = _lazy_checkpoint(
             red.withColumn("rn", F.row_number().over(w_score))
             .filter(F.col("rn") == 1)
             .select(
@@ -1779,6 +1787,14 @@ def matryoshka_recall(
     ann_recall_eval pattern), not a serving path; the serving decision
     it gates is which `embedding_random_projection` / PQ width to build.
     """
+    # NOTE (r09, measured): do NOT persist `truth` here. The three truth
+    # references are canonically IDENTICAL subtrees, so Catalyst already
+    # computes the brute pass once via ReusedExchange; a persist replaces
+    # that free reuse with an InMemoryRelation barrier and benched 20%
+    # SLOWER (2.7s -> 3.3s at sf0.1). The per-round checkpoint rule
+    # (CLAUDE.md) applies only when the repeated subtrees DIFFER per
+    # round (coverage_select, knn_mmr_rerank) — identical subtrees are
+    # the optimizer's job.
     truth = knn_brute_cosine(embeddings, k=k).select("query_id", "neighbor_id")
     out = None
     for p in prefixes:
