@@ -831,6 +831,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_incremental": lambda sp, d: CL.semdedup_incremental(
             _t(sp, d, "embeddings")
         ),
+        "repetition_rules": lambda sp, d: TX.repetition_rules(
+            _t(sp, d, "documents")
+        ),
     }
 
 

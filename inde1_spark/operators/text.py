@@ -1516,3 +1516,116 @@ def fertility_by_source(documents: DataFrame) -> DataFrame:
             4,
         ).alias("chars_per_subword"),
     ).orderBy("source")
+
+
+# Repetition-rule thresholds, set from the corpus distributions at sf0.01
+# (top1 med 9.3 / q90 14; top2 med 3.3 / q90 6.9; dup3 q90 0 / max 14.3) so
+# every flag discriminates at the gate scale. Real-corpus analogues are the
+# Gopher repetition filters (Rae et al. 2021, Table A1).
+REP_TOP1_MAX = 12.0   # max share of the most frequent unigram, percent
+REP_TOP2_MAX = 6.0    # max share of the most frequent bigram, percent
+REP_DUP3_MAX = 5.0    # max token mass inside repeated trigrams, percent
+
+
+def repetition_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-style REPETITION quality rules — the filter family
+    ``gopher_rules`` (length / mean word length / stopwords) does not
+    cover: a document dominated by one token, one bigram, or repeated
+    trigram runs is boilerplate or degenerate generation, and repetition
+    is the signal Rae et al. 2021 filter on before training. Per doc:
+    top-unigram share, top-bigram share, and the token mass sitting
+    inside repeated trigrams (count > 1), each an exact round-half-up
+    percent with its own keep flag; ``keep`` is the conjunction.
+
+    One row-local n-gram materialization (the ``word_ngrams``
+    zip-of-shifted-slices spelling — no per-position lambda re-tokenize),
+    ONE corpus shuffle on (doc, n, gram) with map-side combine, then a
+    bounded per-doc conditional pivot. Documents too short for an n-gram
+    level (or empty) contribute no rows at that level and read 0 percent
+    / keep — the left join from the doc-id spine keeps them in the
+    output, ANSI-safe via the positions>0 guards.
+    """
+    from inde1_spark.functions.exprs import ratio_round, tokens, word_ngrams
+
+    base = documents.select("doc_id", tokens("text").alias("toks"))
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"),
+            lambda g: F.struct(F.lit(1).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(F.col("toks"), 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(F.col("toks"), 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+        ),
+    )
+    counts = (
+        base.select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.max("c").cast("long").alias("mx"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dup"),
+    )
+
+    def lvl(n: int, col: str):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0).cast("long")
+        )
+
+    stats = per.groupBy("doc_id").agg(
+        lvl(1, "tot").alias("n_tokens"),
+        lvl(1, "mx").alias("top1_cnt"),
+        lvl(2, "tot").alias("n_bigrams"),
+        lvl(2, "mx").alias("top2_cnt"),
+        lvl(3, "tot").alias("n_trigrams"),
+        lvl(3, "dup").alias("dup3_cnt"),
+    )
+    spine = documents.select("doc_id")
+    z = F.lit(0).cast("long")
+    joined = spine.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", z).alias("n_tokens"),
+        F.coalesce("top1_cnt", z).alias("top1_cnt"),
+        F.coalesce("n_bigrams", z).alias("n_bigrams"),
+        F.coalesce("top2_cnt", z).alias("top2_cnt"),
+        F.coalesce("n_trigrams", z).alias("n_trigrams"),
+        F.coalesce("dup3_cnt", z).alias("dup3_cnt"),
+    )
+
+    def pct(num: str, den: str):
+        return F.when(
+            F.col(den) > 0, ratio_round(F.col(num) * 100, F.col(den), 2)
+        ).otherwise(F.lit(0.0))
+
+    top1 = pct("top1_cnt", "n_tokens")
+    top2 = pct("top2_cnt", "n_bigrams")
+    dup3 = pct("dup3_cnt", "n_trigrams")
+    out = joined.select(
+        "doc_id",
+        "n_tokens",
+        top1.alias("top1_pct"),
+        top2.alias("top2_pct"),
+        dup3.alias("dup3_pct"),
+    ).select(
+        "*",
+        (F.col("top1_pct") <= F.lit(REP_TOP1_MAX)).alias("flag_top1"),
+        (F.col("top2_pct") <= F.lit(REP_TOP2_MAX)).alias("flag_top2"),
+        (F.col("dup3_pct") <= F.lit(REP_DUP3_MAX)).alias("flag_dup3"),
+    )
+    return out.select(
+        "*",
+        (F.col("flag_top1") & F.col("flag_top2") & F.col("flag_dup3")).alias(
+            "keep"
+        ),
+    )

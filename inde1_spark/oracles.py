@@ -11999,3 +11999,69 @@ SELECT b.vec_id AS vec_new, best.dup_of, best.cos_sim,
        best.vec_new IS NULL AS admit
 FROM batch b LEFT JOIN best ON best.vec_new = b.vec_id
 """
+
+
+from inde1_spark.operators.text import (  # noqa: E402
+    REP_DUP3_MAX,
+    REP_TOP1_MAX,
+    REP_TOP2_MAX,
+)
+
+# Twin of operators/text.py:repetition_rules — per-doc n-gram repetition
+# shares (top unigram / top bigram / repeated-trigram mass) with the exact
+# round-half-up percent and threshold flags; doc-id spine keeps short/empty
+# docs at 0 percent / keep.
+STAGED_ORACLES["repetition_rules"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+g1 AS (SELECT doc_id, tok AS gram, 1 AS n FROM toks, UNNEST(toks) AS u(tok)),
+g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram, 2 AS n
+       FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              AS gram, 3 AS n
+       FROM toks, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+counts AS (
+  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS tot, CAST(MAX(c) AS BIGINT) AS mx,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup
+  FROM counts GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN n = 1 THEN tot END), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(MAX(CASE WHEN n = 1 THEN mx END), 0) AS BIGINT) AS top1_cnt,
+         CAST(COALESCE(MAX(CASE WHEN n = 2 THEN tot END), 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(MAX(CASE WHEN n = 2 THEN mx END), 0) AS BIGINT) AS top2_cnt,
+         CAST(COALESCE(MAX(CASE WHEN n = 3 THEN tot END), 0) AS BIGINT) AS n_trigrams,
+         CAST(COALESCE(MAX(CASE WHEN n = 3 THEN dup END), 0) AS BIGINT) AS dup3_cnt
+  FROM per GROUP BY doc_id
+),
+pcts AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_tokens, 0) AS n_tokens,
+         CASE WHEN COALESCE(s.n_tokens, 0) > 0
+              THEN {_rr("s.top1_cnt * 100", "s.n_tokens", 2)} ELSE 0.0 END
+           AS top1_pct,
+         CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+              THEN {_rr("s.top2_cnt * 100", "s.n_bigrams", 2)} ELSE 0.0 END
+           AS top2_pct,
+         CASE WHEN COALESCE(s.n_trigrams, 0) > 0
+              THEN {_rr("s.dup3_cnt * 100", "s.n_trigrams", 2)} ELSE 0.0 END
+           AS dup3_pct
+  FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, top1_pct, top2_pct, dup3_pct,
+       top1_pct <= CAST({REP_TOP1_MAX} AS DOUBLE) AS flag_top1,
+       top2_pct <= CAST({REP_TOP2_MAX} AS DOUBLE) AS flag_top2,
+       dup3_pct <= CAST({REP_DUP3_MAX} AS DOUBLE) AS flag_dup3,
+       (top1_pct <= CAST({REP_TOP1_MAX} AS DOUBLE)
+        AND top2_pct <= CAST({REP_TOP2_MAX} AS DOUBLE)
+        AND dup3_pct <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS keep
+FROM pcts
+"""

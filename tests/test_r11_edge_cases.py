@@ -281,3 +281,73 @@ def test_semdedup_incremental_plan(spark):
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     # embedding scans never read the label column
     assert all("label" not in s for s in schemas)
+
+
+# ---------------------------------------------------------------------------
+# repetition_rules
+# ---------------------------------------------------------------------------
+
+
+def _doc(spark, text, doc_id=1):
+    return spark.createDataFrame(
+        [(doc_id, text, "en", "s", len(text))], DOC_COLS
+    )
+
+
+def test_repetition_rules_degenerate_doc_fails_all(spark):
+    from inde1_spark.operators.text import repetition_rules
+
+    r = repetition_rules(_doc(spark, "a b a b a b")).collect()[0]
+    # unigrams a:3 b:3 of 6 -> 50.0; bigrams 'a b':3 of 5 -> 60.0;
+    # trigrams 'a b a':2 + 'b a b':2, all repeated -> 100.0
+    assert r["n_tokens"] == 6
+    assert r["top1_pct"] == 50.0 and not r["flag_top1"]
+    assert r["top2_pct"] == 60.0 and not r["flag_top2"]
+    assert r["dup3_pct"] == 100.0 and not r["flag_dup3"]
+    assert not r["keep"]
+
+
+def test_repetition_rules_short_and_empty_docs(spark):
+    from inde1_spark.operators.text import repetition_rules
+
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_rules(
+            spark.createDataFrame(
+                [(1, "", "en", "s", 0), (2, "x", "en", "s", 1)], DOC_COLS
+            )
+        ).collect()
+    }
+    # empty doc: no grams at any level -> all 0, keep (the spine join)
+    e = rows[1]
+    assert e["n_tokens"] == 0 and e["top1_pct"] == 0.0 and e["keep"]
+    # single token: top1 is trivially 100 (fails); bigram/trigram levels
+    # are absent -> 0 percent, their flags pass, keep fails on top1
+    s = rows[2]
+    assert s["n_tokens"] == 1 and s["top1_pct"] == 100.0
+    assert not s["flag_top1"] and s["flag_top2"] and s["flag_dup3"]
+    assert not s["keep"]
+
+
+def test_repetition_rules_threshold_boundary_inclusive(spark):
+    from inde1_spark.operators.text import REP_TOP1_MAX, repetition_rules
+
+    assert REP_TOP1_MAX == 12.0
+    # 3 of 25 tokens = exactly 12.00 percent -> flag passes (<=)
+    text = " ".join(["a"] * 3 + [f"t{i}" for i in range(22)])
+    r = repetition_rules(_doc(spark, text)).collect()[0]
+    assert r["n_tokens"] == 25 and r["top1_pct"] == 12.0
+    assert r["flag_top1"]
+
+
+def test_repetition_rules_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["repetition_rules"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert r.sort_merge_joins <= 1  # the doc-id spine join at most
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    # gram scan prunes to (doc_id, text); the spine scan to doc_id alone
+    assert schemas <= {"doc_id:bigint,text:string", "doc_id:bigint"}
