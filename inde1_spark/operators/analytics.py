@@ -10381,12 +10381,26 @@ def copartition_audit(
             )
         )
 
+    from inde1_spark.operators.dedup import _persist
+
+    # customer's key-count side feeds TWO joins, and (unlike matryoshka's
+    # truth table) the duplicate single-row aggregates are NOT exchange-
+    # reused here (probed: ReusedExchange 0, customer scanned twice) — so
+    # each (table, key, role) side is built once and persisted (1 row)
+    _sides: dict[tuple[str, str, str], DataFrame] = {}
+
+    def side_once(df: DataFrame, t: str, k: str, tag: str) -> DataFrame:
+        key = (t, k, tag)
+        if key not in _sides:
+            _sides[key] = _persist(side(df, t, k, tag))
+        return _sides[key]
+
     def join_row(
         ldf: DataFrame, lt: str, lk: str, rdf: DataFrame, rt: str, rk: str
     ) -> DataFrame:
         return (
-            side(ldf, lt, lk, "left")
-            .crossJoin(F.broadcast(side(rdf, rt, rk, "right")))
+            side_once(ldf, lt, lk, "left")
+            .crossJoin(F.broadcast(side_once(rdf, rt, rk, "right")))
             .select(
                 F.concat_ws("_", F.lit(lt), F.lit(rt)).alias("join_name"),
                 "left_table",
