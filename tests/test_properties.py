@@ -645,3 +645,234 @@ def test_value_drift_tvd_identity_matches_python(spark, cells):
     assert 0.0 <= out["tvd"] <= 1.0
     assert abs(out["tvd"] - want) <= 5e-5  # 4-dp round-half-up of exact
     assert out["n_first"] == N1 and out["n_second"] == N2
+
+
+# ---------------------------------------------------------------------------
+# r11 staged batch vs pure-python specs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sa", "sb", "sc"]),
+            st.integers(min_value=0, max_value=1200),
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda rows: len({s for s, _ in rows}) >= 2)
+)
+@SETTINGS
+def test_source_length_drift_matches_python_tvd(spark, rows):
+    """source_length_drift's exact integer identity must equal the python
+    proportion-space TVD for every source pair, emit each unordered pair
+    exactly once, and stay inside [0, 1]."""
+    from inde1_spark.operators.analytics import (
+        LEN_DRIFT_BIN_WIDTH,
+        LEN_DRIFT_N_BINS,
+        source_length_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x", "en", s, n) for i, (s, n) in enumerate(rows)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_length_drift(df).collect()
+    }
+    hists: dict = {}
+    for s, n in rows:
+        b = min(n // LEN_DRIFT_BIN_WIDTH, LEN_DRIFT_N_BINS - 1)
+        hists.setdefault(s, {})[b] = hists.setdefault(s, {}).get(b, 0) + 1
+    srcs = sorted(hists)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        na, nb = sum(hists[a].values()), sum(hists[b].values())
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        bins = set(hists[a]) | set(hists[b])
+        want = 0.5 * sum(
+            abs(hists[a].get(x, 0) / na - hists[b].get(x, 0) / nb)
+            for x in bins
+        )
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert abs(r["tvd"] - want) <= 5e-5, (a, b, r["tvd"], want)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=6),
+)
+@SETTINGS
+def test_copartition_ladder_matches_python_mirror(spark, ev_keys, cust_keys):
+    """The broadcast/salt/cobucket decision ladder and the pow2/rehash
+    arithmetic must equal the python mirror on arbitrary key multisets
+    (constants shrunk so a small draw exercises every branch)."""
+    from collections import Counter
+
+    from inde1_spark.operators import analytics as A
+
+    old = (A.COPART_BROADCAST_ROWS, A.BUCKET_TARGET_ROWS)
+    A.COPART_BROADCAST_ROWS, A.BUCKET_TARGET_ROWS = 3, 2
+    try:
+        ev = spark.createDataFrame([(k,) for k in ev_keys], ["user_id"])
+        cu = spark.createDataFrame([(k,) for k in cust_keys], ["c_custkey"])
+        od = spark.createDataFrame([(1, 10)], ["o_custkey", "o_orderkey"])
+        li = spark.createDataFrame([(10, 5)], ["l_orderkey", "l_partkey"])
+        pt = spark.createDataFrame([(5,)], ["p_partkey"])
+        got = {
+            r["join_name"]: r
+            for r in A.copartition_audit(ev, cu, od, li, pt).collect()
+        }["events_customer"]
+
+        def p2(n):
+            need = -(-n // 2)  # ceil(n / target=2)
+            return 1 if need <= 1 else 1 << (need - 1).bit_length()
+
+        nl, nr = len(ev_keys), len(cust_keys)
+        nbl, nbr = p2(nl), p2(nr)
+        maxk_l = max(Counter(ev_keys).values())
+        maxk_r = max(Counter(cust_keys).values())
+        probe = maxk_l if nl >= nr else maxk_r
+        if min(nl, nr) < 3:
+            want = "broadcast"
+        elif probe > 2:
+            want = "salt"
+        else:
+            want = "cobucket"
+        assert (got["n_left"], got["n_right"]) == (nl, nr)
+        assert (got["nb_left"], got["nb_right"]) == (nbl, nbr)
+        assert got["rehash_factor"] == max(nbl, nbr) // min(nbl, nbr)
+        assert got["co_located"]  # pow2 counts always divide
+        assert got["probe_max_key_rows"] == probe
+        assert got["strategy"] == want, (ev_keys, cust_keys, got, want)
+    finally:
+        A.COPART_BROADCAST_ROWS, A.BUCKET_TARGET_ROWS = old
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=50),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_repetition_rules_match_python_ngram_spec(spark, texts):
+    """repetition_rules' shares must equal the python n-gram counter spec
+    (Decimal half-up percents) and `keep` must be exactly the flag
+    conjunction — including sub-n and empty documents."""
+    from collections import Counter
+
+    from inde1_spark.operators.text import (
+        REP_DUP3_MAX,
+        REP_TOP1_MAX,
+        REP_TOP2_MAX,
+        repetition_rules,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["doc_id"]: r for r in repetition_rules(df).collect()}
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        toks = [w for w in t.split(" ") if w]
+
+        def share(n, stat):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if not grams:
+                return 0.0
+            c = Counter(grams)
+            num = max(c.values()) if stat == "top" else sum(
+                v for v in c.values() if v > 1
+            )
+            return _py_round_half_up(num * 100, len(grams), 2)
+
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top1_pct"] == share(1, "top"), (t,)
+        assert r["top2_pct"] == share(2, "top"), (t,)
+        assert r["dup3_pct"] == share(3, "dup"), (t,)
+        assert r["flag_top1"] == (r["top1_pct"] <= REP_TOP1_MAX)
+        assert r["flag_top2"] == (r["top2_pct"] <= REP_TOP2_MAX)
+        assert r["flag_dup3"] == (r["dup3_pct"] <= REP_DUP3_MAX)
+        assert r["keep"] == (
+            r["flag_top1"] and r["flag_top2"] and r["flag_dup3"]
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ).filter(lambda v: v != (0, 0)),
+        min_size=6,
+        max_size=24,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_semdedup_incremental_verdict_soundness(spark, vecs):
+    """Admission-verdict soundness on arbitrary 2-d integer vectors: one
+    verdict per batch id; dup_of/cos_sim null exactly when admitted;
+    reported matches are real standing ids whose true cosine equals the
+    reported value (within the 6-dp rounding) and clears the threshold;
+    and a batch vector with NO standing vector above threshold ANYWHERE
+    must be admitted (cluster scoping can only lose positives, never
+    invent them)."""
+    import math
+
+    from inde1_spark.operators.clustering import (
+        SEMDEDUP_INCR_PCT,
+        semdedup_incremental,
+    )
+
+    thr = 0.45
+    rows = [(i + 1, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    ids = {i for i, _ in rows}
+    batch_ids = {
+        i for i in ids if _py_hash_bucket_100(i) < SEMDEDUP_INCR_PCT
+    }
+    standing = [(i, v) for i, v in rows if i not in batch_ids]
+    if not batch_ids or not standing:
+        return
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_new"]: r
+        for r in semdedup_incremental(df, threshold=thr).collect()
+    }
+    assert set(got) == batch_ids
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+    emb = dict(rows)
+    for i in sorted(batch_ids):
+        r = got[i]
+        if r["admit"]:
+            assert r["dup_of"] is None and r["cos_sim"] is None
+        else:
+            assert r["dup_of"] in {s for s, _ in standing}
+            true_cos = cos(emb[i], emb[r["dup_of"]])
+            assert abs(r["cos_sim"] - true_cos) <= 2e-6
+            assert r["cos_sim"] >= thr
+        best_any = max(cos(emb[i], v) for _, v in standing)
+        if best_any < thr - 1e-9:
+            assert r["admit"], (i, best_any)
+
+
+def _py_hash_bucket_100(key: int) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
