@@ -762,3 +762,75 @@ def test_embedding_admission_stream_matches_batch(spark, tmp_path):
             assert vec not in by_vec
         else:
             assert max(by_vec[vec]) == (v["cos_sim"], v["dup_of"])
+
+
+def test_embedding_admission_stream_checkpoint_restart_no_dup(spark, tmp_path):
+    """Durability (T8): a second availableNow run on the SAME checkpoint
+    after new files arrive must process only the new arrivals — no
+    re-emission of already-detected pairs, and the union of both runs
+    equals a single-pass run over all files."""
+    import os as _os
+
+    from inde1_spark.operators.clustering import SEMDEDUP_INCR_PCT
+    from inde1_spark.operators.text import hash_bucket
+    from inde1_spark.streaming.corpus import (
+        embedding_admission_stream,
+        embedding_stream,
+    )
+
+    thr = 0.3
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lane = hash_bucket(F.col("vec_id"), 100)
+    batch = emb.filter(lane < SEMDEDUP_INCR_PCT)
+    index = emb.filter(lane >= SEMDEDUP_INCR_PCT)
+
+    data_dir = tmp_path / "feed"
+    data_dir.mkdir()
+    feed = batch.withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("vec_id") % 3600),
+    )
+    rows = feed.toJSON().collect()
+    half = len(rows) // 2
+    (data_dir / "a.json").write_text("\n".join(rows[:half]))
+    # strictly increasing mtimes: file sources order batches by mtime
+    _os.utime(data_dir / "a.json", (1_700_000_000, 1_700_000_000))
+
+    def run_once(out: list) -> None:
+        q = (
+            embedding_admission_stream(
+                embedding_stream(spark, str(data_dir)), index, threshold=thr
+            )
+            .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    first: list = []
+    run_once(first)
+    (data_dir / "b.json").write_text("\n".join(rows[half:]))
+    _os.utime(data_dir / "b.json", (1_700_000_100, 1_700_000_100))
+    second: list = []
+    run_once(second)
+
+    k = lambda r: (r["vec_new"], r["vec_idx"])  # noqa: E731
+    first_keys = {k(r) for r in first}
+    second_keys = {k(r) for r in second}
+    assert first and second_keys, "both runs must emit detections"
+    assert not first_keys & second_keys, "restart re-emitted a pair"
+    # union == one-shot ground truth over the full feed
+    full: list = []
+    q = (
+        embedding_admission_stream(
+            embedding_stream(spark, str(data_dir)), index, threshold=thr
+        )
+        .writeStream.foreachBatch(lambda df, _id: full.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert first_keys | second_keys == {k(r) for r in full}
