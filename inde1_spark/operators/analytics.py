@@ -10238,12 +10238,17 @@ def source_length_drift(documents: DataFrame) -> DataFrame:
     One corpus-volume pass builds the (source, bin) histogram (map-side
     combinable); everything after runs on the bounded S*B table: the
     S^2/2 pair grid and the grid x bins fill-in are broadcast joins over
-    kilobyte inputs at any corpus size. ratio_round's long bound holds to
-    N_a*N_b ~ 4.6e14 (~2e7 rows per source); past that the identity swaps
-    onto decimal(38,0) with dec_floordiv (CLAUDE.md wide-decimal rule) —
-    documented swap, same plan.
+    kilobyte inputs at any corpus size. The TVD ratio runs entirely in
+    DECIMAL(38,0) with dec_floordiv (CLAUDE.md wide-decimal rule), NOT
+    ratio_round's long spelling: ratio_round's 2^53 exactness contract
+    caps at N_a*N_b ~ 2.25e11 (~4.7e5 rows per source, far too small),
+    and even the cell products ca*n_b overflow BIGINT past ~3e9 rows per
+    source. The decimal spelling is exact to N_a*N_b*4e4 < 10^38, i.e.
+    ~5e16 rows per source; the DuckDB twin mirrors it in HUGEINT. The
+    rounded quotient is an integer <= 10^scale, so the trailing
+    cast-to-double divide is exact-deterministic in both engines.
     """
-    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.functions.exprs import dec_floordiv
     from inde1_spark.operators.dedup import _persist
 
     w = F.lit(LEN_DRIFT_BIN_WIDTH).cast("long")
@@ -10293,23 +10298,28 @@ def source_length_drift(documents: DataFrame) -> DataFrame:
             F.coalesce(F.col("cb"), F.lit(0).cast("long")).alias("cb"),
         )
     )
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
     per_pair = cells.groupBy("source_a", "source_b", "n_a", "n_b").agg(
         F.sum(
-            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
-        )
-        .cast("long")
-        .alias("num")
+            F.abs(dec(F.col("ca")) * dec(F.col("n_b"))
+                  - dec(F.col("cb")) * dec(F.col("n_a")))
+        ).alias("num")
     )
     # sources reach the grid only via their own histogram rows, so
-    # n_a, n_b >= 1 by construction — the TVD denominator cannot degenerate
+    # n_a, n_b >= 1 by construction — the TVD denominator cannot degenerate.
+    # round_half_up(num/den, 4) in exact decimal: (num*2e4 + den) fdiv (2*den)
+    scale_p = 10**4
+    den = dec(F.col("n_a")) * dec(F.col("n_b")) * F.lit(2).cast("decimal(38,0)")
+    a = F.col("num") * F.lit(2 * scale_p).cast("decimal(38,0)") + den
+    q = dec_floordiv(a, den * F.lit(2).cast("decimal(38,0)"))
     return per_pair.select(
         "source_a",
         "source_b",
         "n_a",
         "n_b",
-        ratio_round(F.col("num"), F.col("n_a") * F.col("n_b") * 2, 4).alias(
-            "tvd"
-        ),
+        (q.cast("long").cast("double") / F.lit(float(scale_p))).alias("tvd"),
     ).orderBy("source_a", "source_b")
 
 
@@ -10334,7 +10344,7 @@ def copartition_audit(
     per entry below — so the output is a fixed handful of rows).
 
     Per side, ONE map-side-combinable aggregate over the key-count table
-    yields rows/NDV/max-key-rows; bucket counts reuse the exact
+    yields rows/max-key-rows; bucket counts reuse the exact
     next-pow2 spelling (`1 << bitlen(n-1)` via the binary-string length —
     the bucketing_plan rule: no log2 on data-dependent integers).
     Decision ladder, all exact integers: a side under
@@ -10353,7 +10363,6 @@ def copartition_audit(
         )
         agg = per_key.agg(
             F.coalesce(F.sum("ck"), F.lit(0)).cast("long").alias("n_rows"),
-            F.count("*").cast("long").alias("ndv"),
             F.coalesce(F.max("ck"), F.lit(0)).cast("long").alias("max_key_rows"),
         )
         need = F.col("n_rows") + t - F.lit(1).cast("long")

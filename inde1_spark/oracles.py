@@ -11861,14 +11861,14 @@ cells AS (
   LEFT JOIN h hb ON hb.source = p.source_b AND hb.bin = bb.bin
 )
 SELECT source_a, source_b, n_a, n_b,
-       {_rr("CAST(SUM(ABS(ca * n_b - cb * n_a)) AS BIGINT)",
-            "n_a * n_b * 2", 4)} AS tvd
+       {_rr("SUM(ABS(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a))",
+            "CAST(n_a AS HUGEINT) * n_b * 2", 4)} AS tvd
 FROM cells GROUP BY 1, 2, 3, 4
 ORDER BY source_a, source_b
 """
 
 
-def _copart_rows_sql() -> str:
+def _copart_rows_sql() -> tuple[str, str]:
     joins = (
         ("events", "user_id", "customer", "c_custkey"),
         ("orders", "o_custkey", "customer", "c_custkey"),
