@@ -45,31 +45,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r09 window (the steady-state cadence's first full turn): the 12
-    operators staged through r08 (nelson_aalen_hazard..
-    morisita_horn_overlap — all double-SF hash-green, judge-mirrored,
-    edge-pinned, plan-pinned, partition-invariant BEFORE promotion, per
-    the staged-surface invariant) enter production at the head, followed
-    by 38 re-confirmations of the oldest driver rows: the 25 queries
-    last verified in r02 (the reference-parity + long-green blocks) and
-    the first 13 of the 46 r03-era LLM-pipeline entries
-    (dedup_embedding_lsh..knn_lsh_bucketed). 12 + 25 + 13 = exactly 50.
-    Three promoted entries changed output/plan intentionally this round,
-    BEFORE any driver row pinned them (the r08-ADVICE fixes):
-    ndv_estimator_audit (empty-sample coalesce + zero-NDV err guard),
-    jm_query_likelihood (corpus-proportional postings join is shuffled,
-    not broadcast — values unchanged) and kmv_distinct_by_source
-    (exact_distinct is true COUNT(DISTINCT text)) — all mirrored across
-    their twins pre-promotion.
+    r10 window (steady-state, second full turn): the 12 operators staged
+    through r09 (archive_prune_audit..broadcast_plan_audit — all
+    double-SF hash-green, judge-mirrored, edge-pinned, plan-pinned,
+    partition-invariant BEFORE promotion, per the staged-surface
+    invariant) enter production at the head, followed by 38
+    re-confirmations of the oldest driver rows: the 33 remaining r03-era
+    LLM-pipeline entries (knn_ivf..pivot_source_lang) and the first 5 of
+    the r04 gate-green block (cross_nation_volume..
+    late_shipment_priority). 12 + 33 + 5 = exactly 50. No promoted
+    entry's output changed after its staged hash pins (the r09-ADVICE
+    items touched only the r11-staged source_length_drift /
+    copartition_audit, fixed pre-promotion as required).
 
     STEADY-STATE CADENCE: every window slot not taken by a new query is
     a re-confirmation. Draw the entries whose last driver row is OLDEST
     (round number, then dict order) so no query's last driver row ages
     past ~7 rounds (326/50 = 6.5); new queries, when staged batches
     promote, still jump the queue per the rotation policy above.
-    Computed oldest pool after a green r09: the 33 remaining r03-era
-    entries (knn_ivf..pivot_source_lang), then the r04 gate-green block
-    — the r10 re-confirmation slots come from the head of that list.
+    Computed oldest pool after a green r10: the 45 remaining r04-era
+    entries (small_qty_revenue..shingle_novelty) — the r11
+    re-confirmation slots come from the head of that list, then the
+    r05 block.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -84,7 +81,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: the 12 ops staged through r08 ---
+        # --- never driver-verified: the 12 ops staged through r09 ---
+        "archive_prune_audit": lambda sp, d: A.archive_prune_audit(
+            _t(sp, d, "events")
+        ),
+        "salting_plan": lambda sp, d: A.salting_plan(_t(sp, d, "events")),
+        "bucketing_plan": lambda sp, d: A.bucketing_plan(
+            _t(sp, d, "events"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "window_completeness_audit": lambda sp, d: A.window_completeness_audit(
+            _t(sp, d, "events")
+        ),
+        "value_drift_audit": lambda sp, d: A.value_drift_audit(
+            _t(sp, d, "events")
+        ),
+        "temporal_leakage_audit": lambda sp, d: A.temporal_leakage_audit(
+            _t(sp, d, "events")
+        ),
+        "dedup_substring_incremental": lambda sp, d: D.dedup_substring_incremental(
+            _t(sp, d, "documents")
+        ),
+        "dedup_pipeline_funnel": lambda sp, d: D.dedup_pipeline_funnel(
+            _t(sp, d, "documents")
+        ),
+        "minhash_band_sweep": lambda sp, d: D.minhash_band_sweep(
+            _t(sp, d, "documents")
+        ),
+        "semdedup_threshold_sweep": lambda sp, d: CL.semdedup_threshold_sweep(
+            _t(sp, d, "embeddings")
+        ),
+        "fertility_by_source": lambda sp, d: T.fertility_by_source(
+            _t(sp, d, "documents")
+        ),
+        "broadcast_plan_audit": lambda sp, d: A.broadcast_plan_audit(
+            *[
+                _t(sp, d, t)
+                for t in (
+                    "region",
+                    "nation",
+                    "customer",
+                    "supplier",
+                    "part",
+                    "orders",
+                    "lineitem",
+                )
+            ]
+        ),
+        # --- re-confirmations: the 33 remaining r03-era entries (last
+        #     driver rows r03 — the oldest pool after a green r09) ---
+        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
+        "embedding_quantize": lambda sp, d: S.embedding_quantize(
+            _t(sp, d, "embeddings")
+        ),
+        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
+        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
+        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
+        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
+        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
+        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
+        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
+        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
+        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
+        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
+        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
+        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
+        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
+            _t(sp, d, "documents")
+        ),
+        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
+        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
+        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
+        "contamination_check": lambda sp, d: C.contamination_check(
+            _t(sp, d, "documents")
+        ),
+        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
+        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
+        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
+        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
+        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
+        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
+        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
+        "chunk_tokens": lambda sp, d: C.chunk_tokens(_t(sp, d, "documents")),
+        "dsir_sample": lambda sp, d: C.dsir_sample(_t(sp, d, "documents")),
+        "quality_ntile": lambda sp, d: T.quality_ntile(_t(sp, d, "documents")),
+        "cross_source_overlap": lambda sp, d: C.cross_source_overlap(
+            _t(sp, d, "documents")
+        ),
+        "term_cooccurrence": lambda sp, d: SC.term_cooccurrence(_t(sp, d, "documents")),
+        "length_mad_outliers": lambda sp, d: C.length_mad_outliers(
+            _t(sp, d, "documents")
+        ),
+        "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
+        # --- re-confirmations: head of the r04 gate-green block ---
+        "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
+            _t(sp, d, "supplier"), _t(sp, d, "lineitem"), _t(sp, d, "orders"),
+            _t(sp, d, "customer"), _t(sp, d, "nation")
+        ),
+        "nation_market_share": lambda sp, d: Q.nation_market_share(
+            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
+            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
+        ),
+        "product_type_profit": lambda sp, d: Q.product_type_profit(
+            _t(sp, d, "part"), _t(sp, d, "supplier"), _t(sp, d, "nation"),
+            _t(sp, d, "lineitem"), _t(sp, d, "orders")
+        ),
+        "returned_item_losses": lambda sp, d: Q.returned_item_losses(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem"),
+            _t(sp, d, "nation")
+        ),
+        "late_shipment_priority": lambda sp, d: Q.late_shipment_priority(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        # ============== end gate window ===================================
+        # r09 gate-green block (all 50 hash-green in CORRECTNESS_r09;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "nelson_aalen_hazard": lambda sp, d: A.nelson_aalen_hazard(
             _t(sp, d, "events")
         ),
@@ -121,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morisita_horn_overlap": lambda sp, d: SC.morisita_horn_overlap(
             _t(sp, d, "documents")
         ),
-        # --- re-confirmations: the 25 oldest greens (last driver rows r02) ---
+        # (r09 window re-confirmations: the 25 r02-era entries)
         "enrich_users_ttl": lambda sp, d: A.enrich_users_ttl(
             _t(sp, d, "events"), _t(sp, d, "customer")
         ),
@@ -166,7 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_exact": lambda sp, d: D.dedup_exact(_t(sp, d, "documents")),
         "dedup_ngram_jaccard": lambda sp, d: D.dedup_ngram_jaccard(_t(sp, d, "documents")),
-        # --- re-confirmations: head of the r03-era block (last rows r03) ---
+        # (r09 window re-confirmations: the first 13 r03-era entries)
         "dedup_embedding_lsh": lambda sp, d: D.dedup_embedding_lsh(
             _t(sp, d, "embeddings")
         ),
@@ -182,7 +292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
         "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
         "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
-        # ============== end gate window ===================================
         # r08 gate-green block (all 50 hash-green in CORRECTNESS_r08;
         # pinned locally by tests/test_oracle_parity.py every run).
         "entropy_rate_markov": lambda sp, d: A.entropy_rate_markov(
@@ -586,27 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
         "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
-        # r04 gate-green block (all 50 hash-green in CORRECTNESS_r04;
+        # r04 gate-green block, remaining 45 (all hash-green in
+        # CORRECTNESS_r04; the first 5 sit in the r10 gate window above;
         # pinned locally by tests/test_oracle_parity.py every run).
-        "cross_nation_volume": lambda sp, d: Q.cross_nation_volume(
-            _t(sp, d, "supplier"), _t(sp, d, "lineitem"), _t(sp, d, "orders"),
-            _t(sp, d, "customer"), _t(sp, d, "nation")
-        ),
-        "nation_market_share": lambda sp, d: Q.nation_market_share(
-            _t(sp, d, "region"), _t(sp, d, "nation"), _t(sp, d, "customer"),
-            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
-        ),
-        "product_type_profit": lambda sp, d: Q.product_type_profit(
-            _t(sp, d, "part"), _t(sp, d, "supplier"), _t(sp, d, "nation"),
-            _t(sp, d, "lineitem"), _t(sp, d, "orders")
-        ),
-        "returned_item_losses": lambda sp, d: Q.returned_item_losses(
-            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem"),
-            _t(sp, d, "nation")
-        ),
-        "late_shipment_priority": lambda sp, d: Q.late_shipment_priority(
-            _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
         "small_qty_revenue": lambda sp, d: Q.small_qty_revenue(
             _t(sp, d, "lineitem"), _t(sp, d, "part")
         ),
@@ -707,60 +798,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": lambda sp, d: C.shingle_novelty(
             _t(sp, d, "documents")
         ),
-        # r03 gate-green LLM-pipeline block, remaining 33 (hash-green in
-        # CORRECTNESS_r03; the first 13 sit in the r09 gate window above;
-        # pinned locally by tests/test_oracle_parity.py every run).
-        "knn_ivf": lambda sp, d: S.knn_ivf(_t(sp, d, "embeddings")),
-        "embedding_quantize": lambda sp, d: S.embedding_quantize(
-            _t(sp, d, "embeddings")
-        ),
-        "text_token_stats": lambda sp, d: T.token_stats(_t(sp, d, "documents")),
-        "text_token_bpe": lambda sp, d: T.token_count_bpe(_t(sp, d, "documents")),
-        "text_quality": lambda sp, d: T.quality_score(_t(sp, d, "documents")),
-        "text_lang_id": lambda sp, d: T.lang_id(_t(sp, d, "documents")),
-        "text_fingerprint": lambda sp, d: T.fingerprint(_t(sp, d, "documents")),
-        "text_repetition": lambda sp, d: T.repetition_stats(_t(sp, d, "documents")),
-        "text_gopher": lambda sp, d: T.gopher_rules(_t(sp, d, "documents")),
-        "pii_redact": lambda sp, d: T.pii_redact(_t(sp, d, "documents")),
-        "text_lines": lambda sp, d: T.line_quality(_t(sp, d, "documents")),
-        "quality_bins": lambda sp, d: T.quality_bins(_t(sp, d, "documents")),
-        "source_stats": lambda sp, d: C.source_stats(_t(sp, d, "documents")),
-        "train_test_split": lambda sp, d: T.train_test_split(_t(sp, d, "documents")),
-        "train_test_split_grouped": lambda sp, d: T.train_test_split_grouped(
-            _t(sp, d, "documents")
-        ),
-        "stratified_sample": lambda sp, d: T.stratified_sample(_t(sp, d, "documents")),
-        "pack_sequences": lambda sp, d: C.pack_sequences(_t(sp, d, "documents")),
-        "ngram_vocab": lambda sp, d: C.ngram_vocab(_t(sp, d, "documents")),
-        "contamination_check": lambda sp, d: C.contamination_check(
-            _t(sp, d, "documents")
-        ),
-        "mixture_sample": lambda sp, d: C.mixture_sample(_t(sp, d, "documents")),
-        "trim_outliers": lambda sp, d: C.trim_outliers(_t(sp, d, "documents")),
-        "shuffle_shards": lambda sp, d: C.shuffle_shards(_t(sp, d, "documents")),
-        "multimodal_meta": lambda sp, d: M.binary_meta(_t(sp, d, "documents")),
-        "multimodal_features": lambda sp, d: M.feature_columns(_t(sp, d, "documents")),
-        "multimodal_frames": lambda sp, d: M.sample_frames(_t(sp, d, "documents")),
-        "approx_distinct": lambda sp, d: A.approx_distinct(_t(sp, d, "events")),
-        "chunk_tokens": lambda sp, d: C.chunk_tokens(_t(sp, d, "documents")),
-        "dsir_sample": lambda sp, d: C.dsir_sample(_t(sp, d, "documents")),
-        "quality_ntile": lambda sp, d: T.quality_ntile(_t(sp, d, "documents")),
-        "cross_source_overlap": lambda sp, d: C.cross_source_overlap(
-            _t(sp, d, "documents")
-        ),
-        "term_cooccurrence": lambda sp, d: SC.term_cooccurrence(_t(sp, d, "documents")),
-        "length_mad_outliers": lambda sp, d: C.length_mad_outliers(
-            _t(sp, d, "documents")
-        ),
-        "pivot_source_lang": lambda sp, d: A.pivot_source_lang(_t(sp, d, "documents")),
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """STAGED surface — operators verified but not yet driver-facing (see
-    CLAUDE.md). The r09 batch (nelson_aalen_hazard..morisita_horn_overlap)
+    CLAUDE.md). The r10 batch (archive_prune_audit..broadcast_plan_audit)
     was promoted into queries() at the top of this round; entries staged
-    for r10 accumulate here behind the full five-pin checklist (double-SF
+    for r11 accumulate here behind the full five-pin checklist (double-SF
     parity, vanilla-session dtype, edge pins, plan pins, partition
     invariance) before any promotion. Pinned locally on every pytest run
     by tests/test_staged_parity.py (same harness as queries()).
@@ -772,52 +817,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import text as TX  # noqa: F401
 
     return {
-        "archive_prune_audit": lambda sp, d: A.archive_prune_audit(
-            _t(sp, d, "events")
-        ),
-        "salting_plan": lambda sp, d: A.salting_plan(_t(sp, d, "events")),
-        "bucketing_plan": lambda sp, d: A.bucketing_plan(
-            _t(sp, d, "events"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
-        "window_completeness_audit": lambda sp, d: A.window_completeness_audit(
-            _t(sp, d, "events")
-        ),
-        "value_drift_audit": lambda sp, d: A.value_drift_audit(
-            _t(sp, d, "events")
-        ),
-        "temporal_leakage_audit": lambda sp, d: A.temporal_leakage_audit(
-            _t(sp, d, "events")
-        ),
-        "dedup_substring_incremental": lambda sp, d: D.dedup_substring_incremental(
-            _t(sp, d, "documents")
-        ),
-        "dedup_pipeline_funnel": lambda sp, d: D.dedup_pipeline_funnel(
-            _t(sp, d, "documents")
-        ),
-        "minhash_band_sweep": lambda sp, d: D.minhash_band_sweep(
-            _t(sp, d, "documents")
-        ),
-        "semdedup_threshold_sweep": lambda sp, d: CL.semdedup_threshold_sweep(
-            _t(sp, d, "embeddings")
-        ),
-        "fertility_by_source": lambda sp, d: TX.fertility_by_source(
-            _t(sp, d, "documents")
-        ),
-        "broadcast_plan_audit": lambda sp, d: A.broadcast_plan_audit(
-            *[
-                _t(sp, d, t)
-                for t in (
-                    "region",
-                    "nation",
-                    "customer",
-                    "supplier",
-                    "part",
-                    "orders",
-                    "lineitem",
-                )
-            ]
-        ),
-        # ----- r11 batch (accumulating; promotes AFTER the r10 batch) -----
+        # ----- r11 batch (promotes in the r11 window rotation) -----
         "source_length_drift": lambda sp, d: A.source_length_drift(
             _t(sp, d, "documents")
         ),

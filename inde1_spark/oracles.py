@@ -10774,9 +10774,10 @@ FROM calc, med
 # ===========================================================================
 # r09 batch: implemented + twinned in r08 behind the staged surface,
 # PROMOTED into ORACLES (and the head of queries()) with the r09 window
-# rotation. STAGED_ORACLES now accumulates the r10 batch — twins live here
-# until their operators promote; tests/test_staged_parity.py pins them on
-# every run meanwhile.
+# rotation; the r10 batch below likewise promoted with the r10 rotation.
+# STAGED_ORACLES now accumulates the r11 batch — twins live here until
+# their operators promote; tests/test_staged_parity.py pins them on every
+# run meanwhile.
 # ===========================================================================
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -11328,7 +11329,7 @@ from inde1_spark.operators.analytics import (  # noqa: E402
 # Twin of operators/analytics.py:archive_prune_audit — per-day partition
 # manifest x bounded lookback grid; exact integer day indexes and
 # round-half-up prune percents.
-STAGED_ORACLES["archive_prune_audit"] = f"""
+ORACLES["archive_prune_audit"] = f"""
 WITH zones AS (
   SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
               AS BIGINT) AS day,
@@ -11362,7 +11363,7 @@ FROM sweep ORDER BY lookback_days
 
 # Twin of operators/analytics.py:salting_plan — exact integer ceilings for
 # the per-reducer target and per-key salt factor; deterministic top-k.
-STAGED_ORACLES["salting_plan"] = f"""
+ORACLES["salting_plan"] = f"""
 WITH counts AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
 ),
@@ -11383,7 +11384,7 @@ LIMIT {SALT_TOP_K}
 
 # Twin of operators/analytics.py:bucketing_plan — count+NDV per candidate
 # key; next power of two via binary-string length (no log2).
-STAGED_ORACLES["bucketing_plan"] = f"""
+ORACLES["bucketing_plan"] = f"""
 WITH src AS (
   SELECT 'events' AS table_name, 'event_type' AS key_col,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -11425,7 +11426,7 @@ FROM plan ORDER BY table_name, key_col
 
 # Twin of operators/analytics.py:window_completeness_audit — integer hour
 # index, global span yardstick, distinct-hour count per type.
-STAGED_ORACLES["window_completeness_audit"] = f"""
+ORACLES["window_completeness_audit"] = f"""
 WITH hours AS (
   SELECT event_type,
          CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
@@ -11447,7 +11448,7 @@ FROM pt, span ORDER BY event_type
 
 # Twin of operators/analytics.py:value_drift_audit — first/second-half
 # histogram TVD with the exact common-denominator integer identity.
-STAGED_ORACLES["value_drift_audit"] = f"""
+ORACLES["value_drift_audit"] = f"""
 WITH base AS (
   SELECT event_type,
          CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
@@ -11486,7 +11487,7 @@ FROM pt ORDER BY event_type
 
 # Twin of operators/analytics.py:temporal_leakage_audit — exact integer
 # epoch boundary; |A∩B| by inclusion-exclusion over conditional distincts.
-STAGED_ORACLES["temporal_leakage_audit"] = f"""
+ORACLES["temporal_leakage_audit"] = f"""
 WITH base AS (
   SELECT event_type, user_id,
          CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
@@ -11518,7 +11519,7 @@ FROM pt ORDER BY event_type
 
 # Twin of operators/analytics.py:broadcast_plan_audit — portable
 # column-width size model, sums coalesced to 0 on empty tables.
-STAGED_ORACLES["broadcast_plan_audit"] = f"""
+ORACLES["broadcast_plan_audit"] = f"""
 WITH plan AS (
   SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(COALESCE(SUM(length(r_name)), 0)
@@ -11577,7 +11578,7 @@ _W_INC = SUBSTRING_WINDOW_TOKENS
 # Twin of operators/dedup.py:dedup_substring_incremental — same md5-lane
 # split as dedup_incremental's twin, same rolling md5 windows as
 # dedup_substring_windows'; index side reduced to DISTINCT hashes.
-STAGED_ORACLES["dedup_substring_incremental"] = f"""
+ORACLES["dedup_substring_incremental"] = f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id,
          ({_hash_bucket_sql('doc_id', 100)}) < {SUBSTRING_INCR_PCT} AS is_batch,
@@ -11623,7 +11624,7 @@ FROM pct ORDER BY doc_id
 # Twin of operators/dedup.py:dedup_pipeline_funnel — keep-lowest window
 # over md5(text), the exact 4-decimal quality gate, the lang gate;
 # nested conditional counts per source.
-STAGED_ORACLES["dedup_pipeline_funnel"] = f"""
+ORACLES["dedup_pipeline_funnel"] = f"""
 WITH ex AS (
   SELECT doc_id, source, lang,
          (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
@@ -11666,7 +11667,7 @@ _SWEEP_VALS = ", ".join(
 
 # Twin of operators/clustering.py:semdedup_threshold_sweep — the semdedup
 # pair CTEs at the loosest threshold, swept over the bounded grid.
-STAGED_ORACLES["semdedup_threshold_sweep"] = f"""
+ORACLES["semdedup_threshold_sweep"] = f"""
 WITH {_kmeans_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
 asg AS MATERIALIZED (SELECT vec_id, cluster FROM a{KMEANS_ITERS}),
 {_NORMS.strip().strip(',').rstrip()},
@@ -11712,7 +11713,7 @@ FROM hits h, total t ORDER BY h.threshold
 
 # Twin of operators/text.py:fertility_by_source — same BPE regex pass,
 # per-source summed counts, exact round-half-up ratios.
-STAGED_ORACLES["fertility_by_source"] = f"""
+ORACLES["fertility_by_source"] = f"""
 WITH per_doc AS (
   SELECT source,
          CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -11821,7 +11822,7 @@ ORDER BY rows_per_band
 """
 
 
-STAGED_ORACLES["minhash_band_sweep"] = _band_sweep_sql()
+ORACLES["minhash_band_sweep"] = _band_sweep_sql()
 
 
 # ===========================================================================

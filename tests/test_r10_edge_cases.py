@@ -1,4 +1,5 @@
-"""Semantics + plan invariants for the r10 STAGED batch.
+"""Semantics + plan invariants for the r10 batch (promoted to the
+production surface in the r10 window rotation; staged through r09).
 
 Same style as test_r09_edge_cases: planted micro-datasets exercise the
 property each operator's docstring claims; plan-shape pins hold the engine
@@ -449,7 +450,7 @@ R10_BATCH = (
 def test_r10_batch_plan_invariants(spark):
     import __spark_entry__ as entrymod
 
-    Q = entrymod.staged_queries()
+    Q = entrymod.queries()
     assert set(R10_BATCH) <= set(Q)
     for name in R10_BATCH:
         r = plan_report(Q[name](spark, SF_SMOKE))
@@ -465,7 +466,7 @@ def test_r10_batch_plan_shapes(spark):
 
     import __spark_entry__ as entrymod
 
-    Q = entrymod.staged_queries()
+    Q = entrymod.queries()
 
     def schemas(name):
         r = plan_report(Q[name](spark, SF_SMOKE))

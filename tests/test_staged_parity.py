@@ -1,8 +1,8 @@
-"""Parity harness for the r09 STAGED batch (same gate as queries()).
+"""Parity harness for the STAGED batch (same gate as queries()).
 
-Staged operators are fully implemented and oracle-twinned in r08 but held
-OUT of the driver-facing surface until the r09 window rotation (r07
-verdict item 1: zero production additions until CORRECTNESS_r08 lands).
+Staged operators are fully implemented and oracle-twinned but held OUT of
+the driver-facing surface until their window rotation (currently the r11
+batch, promoting after the r10 window lands).
 This module runs them through the exact assert_matches_oracle harness the
 production surface uses, so promotion is a pure dict move.
 """
