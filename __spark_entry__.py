@@ -812,6 +812,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from inde1_spark.operators import analytics as A  # noqa: F401
     from inde1_spark.operators import clustering as CL  # noqa: F401
+    from inde1_spark.operators import corpus as C  # noqa: F401
     from inde1_spark.operators import dedup as D  # noqa: F401
     from inde1_spark.operators import scoring as SC  # noqa: F401
     from inde1_spark.operators import text as TX  # noqa: F401
@@ -832,6 +833,31 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "embeddings")
         ),
         "repetition_rules": lambda sp, d: TX.repetition_rules(
+            _t(sp, d, "documents")
+        ),
+        # ----- r11 batch, second tranche (staged in r10) -----
+        "dedup_winnow_incremental": lambda sp, d: D.dedup_winnow_incremental(
+            _t(sp, d, "documents")
+        ),
+        "shingle_df_cap_sweep": lambda sp, d: D.shingle_df_cap_sweep(
+            _t(sp, d, "documents")
+        ),
+        "schema_evolution_audit": lambda sp, d: A.schema_evolution_audit(
+            _t(sp, d, "events")
+        ),
+        "compression_ratio_audit": lambda sp, d: A.compression_ratio_audit(
+            _t(sp, d, "events")
+        ),
+        "corpus_prep_cost_audit": lambda sp, d: C.corpus_prep_cost_audit(
+            _t(sp, d, "documents")
+        ),
+        "mixture_epoch_plan": lambda sp, d: C.mixture_epoch_plan(
+            _t(sp, d, "documents")
+        ),
+        "split_balance_audit": lambda sp, d: C.split_balance_audit(
+            _t(sp, d, "documents")
+        ),
+        "perplexity_filter_sweep": lambda sp, d: SC.perplexity_filter_sweep(
             _t(sp, d, "documents")
         ),
     }

@@ -136,6 +136,26 @@ def dec_floordiv(a: Column, b: Column) -> Column:
     return (a - a % b) / b
 
 
+def dec_ratio_round(num: Column, den: Column, scale: int) -> Column:
+    """ratio_round's wide-decimal sibling: round-half-up of num/den at
+    ``scale`` decimals, operands DECIMAL(38,0) (cast on entry), the
+    identity (num*2*10^s + den) fdiv (2*den) evaluated via dec_floordiv
+    so nothing narrows to LONG mid-computation. Exact while
+    num*2*10^s < 10^38 and the QUOTIENT round(num/den, s)*10^s fits the
+    final LONG cast (trivially true for percents/ratios of bounded
+    range) — use this over ratio_round whenever num can pass 2^53
+    (CLAUDE.md wide-decimal rule; DuckDB twins mirror in HUGEINT).
+    Requires nonnegative inputs and den >= 1.
+    """
+    p = 10**scale
+    d38 = "decimal(38,0)"
+    n = num.cast(d38)
+    d = den.cast(d38)
+    a = n * F.lit(2 * p).cast(d38) + d
+    q = dec_floordiv(a, d * F.lit(2).cast(d38))
+    return q.cast("long").cast("double") / F.lit(float(p))
+
+
 def int_sum_exact(arr: Column) -> Column:
     """Sum of an int-array (e.g. token lengths) as LONG."""
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))

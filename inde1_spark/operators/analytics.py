@@ -10248,7 +10248,7 @@ def source_length_drift(documents: DataFrame) -> DataFrame:
     rounded quotient is an integer <= 10^scale, so the trailing
     cast-to-double divide is exact-deterministic in both engines.
     """
-    from inde1_spark.functions.exprs import dec_floordiv
+    from inde1_spark.functions.exprs import dec_ratio_round
     from inde1_spark.operators.dedup import _persist
 
     w = F.lit(LEN_DRIFT_BIN_WIDTH).cast("long")
@@ -10308,18 +10308,17 @@ def source_length_drift(documents: DataFrame) -> DataFrame:
         ).alias("num")
     )
     # sources reach the grid only via their own histogram rows, so
-    # n_a, n_b >= 1 by construction — the TVD denominator cannot degenerate.
-    # round_half_up(num/den, 4) in exact decimal: (num*2e4 + den) fdiv (2*den)
-    scale_p = 10**4
-    den = dec(F.col("n_a")) * dec(F.col("n_b")) * F.lit(2).cast("decimal(38,0)")
-    a = F.col("num") * F.lit(2 * scale_p).cast("decimal(38,0)") + den
-    q = dec_floordiv(a, den * F.lit(2).cast("decimal(38,0)"))
+    # n_a, n_b >= 1 by construction — the TVD denominator cannot degenerate
     return per_pair.select(
         "source_a",
         "source_b",
         "n_a",
         "n_b",
-        (q.cast("long").cast("double") / F.lit(float(scale_p))).alias("tvd"),
+        dec_ratio_round(
+            F.col("num"),
+            dec(F.col("n_a")) * dec(F.col("n_b")) * F.lit(2).cast("decimal(38,0)"),
+            4,
+        ).alias("tvd"),
     ).orderBy("source_a", "source_b")
 
 
@@ -10470,3 +10469,200 @@ def copartition_audit(
         .otherwise(F.lit("cobucket"))
         .alias("strategy"),
     ).orderBy("join_name")
+
+
+def schema_evolution_audit(events: DataFrame) -> DataFrame:
+    """Day-over-day schema evolution of the semi-structured ``props``
+    payload — the compat audit an archived event stream needs before a
+    reader upgrade ships (reference intent: the aspirational rich event
+    schema in doc/schemas/parkingevent.json vs what producers actually
+    emit; S4's malformed-row surface, lifted to the FIELD level).
+    ``json_props_audit`` inventories keys corpus-globally; this audit
+    adds the time axis: for every day-partition of the archive, which
+    keys appeared, which disappeared, and which changed dominant value
+    type vs the previous observed day — with the standard compat
+    verdicts (added-only = backward compatible: old readers ignore new
+    keys; removed or type-changed = breaking: a reader pinned to
+    yesterday's schema loses fields or miscasts).
+
+    One map-side-combinable (day, key, vtype) aggregate prices the
+    corpus volume; everything after (dominant-type argmax, the lag
+    pairing of the bounded day list, the three day-pair joins) runs on
+    the days x keys table, which is small at any archive size. Type
+    inference reuses json_props_audit's engine-neutral value-text regex.
+    The argmax and the day sequence use total orders (count desc then
+    vtype asc; day asc) so the output is partitioning-invariant.
+    """
+    vtype = (
+        F.when(F.col("value").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("value").rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+        .otherwise("string")
+    )
+    kv = events.select(
+        _day_str().alias("day"),
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "value"
+        ),
+    )
+    counted = (
+        kv.withColumn("vtype", vtype)
+        .groupBy("day", "key", "vtype")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    dom = (
+        counted.groupBy("day", "key")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("neg"), F.col("vtype"))
+            ).alias("b")
+        )
+        .select("day", "key", F.col("b.vtype").alias("vtype"))
+    )
+    days = dom.select("day").distinct()
+    seq = days.select(
+        "day", F.lag("day").over(Window.orderBy("day")).alias("prev_day")
+    )
+    cur = dom.join(seq, "day")  # (day, prev_day, key, vtype)
+    prev = dom.select(
+        F.col("day").alias("prev_day"),
+        "key",
+        F.col("vtype").alias("prev_vtype"),
+    )
+    n_keys = dom.groupBy("day").agg(F.count("*").cast("long").alias("n_keys"))
+    added = (
+        cur.filter(F.col("prev_day").isNotNull())
+        .join(prev, ["prev_day", "key"], "left_anti")
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_added"))
+    )
+    removed = (
+        seq.filter(F.col("prev_day").isNotNull())
+        .join(prev, "prev_day")
+        .join(dom.select("day", "key"), ["day", "key"], "left_anti")
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_removed"))
+    )
+    changed = (
+        cur.filter(F.col("prev_day").isNotNull())
+        .join(prev, ["prev_day", "key"])
+        .filter(F.col("vtype") != F.col("prev_vtype"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_type_changed"))
+    )
+    z = F.lit(0).cast("long")
+    out = (
+        seq.join(n_keys, "day")
+        .join(added, "day", "left")
+        .join(removed, "day", "left")
+        .join(changed, "day", "left")
+        .select(
+            "day",
+            "n_keys",
+            F.coalesce("n_added", z).alias("n_added"),
+            F.coalesce("n_removed", z).alias("n_removed"),
+            F.coalesce("n_type_changed", z).alias("n_type_changed"),
+            F.col("prev_day").isNull().alias("_first"),
+        )
+    )
+    verdict = (
+        F.when(F.col("_first"), F.lit("baseline"))
+        .when(
+            (F.col("n_removed") > 0) | (F.col("n_type_changed") > 0),
+            F.lit("breaking"),
+        )
+        .when(F.col("n_added") > 0, F.lit("backward_compatible"))
+        .otherwise(F.lit("stable"))
+    )
+    return out.select(
+        "day",
+        "n_keys",
+        "n_added",
+        "n_removed",
+        "n_type_changed",
+        verdict.alias("verdict"),
+    ).orderBy("day")
+
+
+# encoding decision rules (exact integer comparisons, no float ratios):
+RLE_MIN_MEAN_RUN = 4     # mean run length >= 4 -> run-length encoding wins
+DICT_MAX_NDV_PCT = 10    # ndv <= 10% of rows -> dictionary encoding wins
+COMPRESS_AUDIT_COLS = ("event_type", "user_id", "value", "props")
+
+
+def compression_ratio_audit(events: DataFrame) -> DataFrame:
+    """Per-column encoding audit under the CURRENT physical layout — the
+    measured input to a parquet encoding/rewrite decision, completing the
+    layout-audit ladder (zonemap_prune_audit: predicate pruning;
+    sort_benefit_audit: hypothetical re-sort; file_compaction_plan: file
+    sizing; this: per-column encodability). For each audited column:
+    exact NDV (dictionary-encoding benefit) and the exact number of
+    value RUNS in (ts, event_id) order within each day partition
+    (run-length benefit as written, since writers lay rows down in
+    arrival order per partition). The verdict is the standard ladder:
+    mean run >= RLE_MIN_MEAN_RUN -> 'rle'; else ndv <= DICT_MAX_NDV_PCT
+    percent of rows -> 'dict'; else 'plain' — both comparisons in exact
+    integer cross-multiplied form.
+
+    ONE window pass computes all columns' run starts (the row_number and
+    every lag share the same day-partitioned (ts, event_id) window spec,
+    so Catalyst plans a single sort per day partition — parallel across
+    days, never a global sort); ONE aggregate row carries the
+    per-column sums/NDVs; the per-column output rows are projections of
+    that single row (no per-column rescans).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    w = Window.partitionBy(F.col("_day")).orderBy("ts", "event_id")
+    cols = list(COMPRESS_AUDIT_COLS)
+    base = events.select("ts", "event_id", *cols).withColumn(
+        "_day", _day_str()
+    )
+    rn1 = F.row_number().over(w) == 1
+    flagged = base.select(
+        *cols,
+        *[
+            (rn1 | ~F.col(c).eqNullSafe(F.lag(c).over(w))).alias(f"_start_{c}")
+            for c in cols
+        ],
+    )
+    agg = flagged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(f"_start_{c}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"runs_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(c).cast("long").alias(f"ndv_{c}") for c in cols],
+    )
+    per_col = None
+    for c in cols:
+        row = agg.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"ndv_{c}").alias("n_distinct"),
+            F.col(f"runs_{c}").alias("n_runs"),
+        )
+        per_col = row if per_col is None else per_col.unionByName(row)
+    enc = (
+        F.when(
+            F.col("n_rows") >= F.lit(RLE_MIN_MEAN_RUN) * F.col("n_runs"),
+            F.lit("rle"),
+        )
+        .when(
+            F.col("n_distinct") * 100 <= F.lit(DICT_MAX_NDV_PCT) * F.col("n_rows"),
+            F.lit("dict"),
+        )
+        .otherwise(F.lit("plain"))
+    )
+    return per_col.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        ratio_round(F.col("n_rows"), F.greatest(F.col("n_runs"), F.lit(1)), 2)
+        .alias("mean_run_len"),
+        ratio_round(F.col("n_distinct") * 100, F.col("n_rows"), 2)
+        .alias("ndv_pct"),
+        enc.alias("encoding"),
+    ).orderBy("column_name")

@@ -1731,3 +1731,227 @@ def lognormal_length_fit(documents: DataFrame) -> DataFrame:
             F.abs(gap) > F.lit(0.1) * sigma
         ).alias("asymmetric_flag"),
     )
+
+
+PREP_STAGES = ("raw", "quality", "exact_dedup", "split_train", "split_val",
+               "split_test")
+
+
+def corpus_prep_cost_audit(documents: DataFrame) -> DataFrame:
+    """Cost/row accounting of the DEPLOYED corpus-preparation job
+    (jobs.corpus_prep: Gopher keep -> exact dedup among survivors ->
+    contamination-safe source-hash split) as a first-class query — the
+    data-card table for the job layer, which was pytest-only until now.
+    ``dedup_pipeline_funnel`` prices a generic per-source gate ladder;
+    this audit prices the job's OWN stages, globally, in all three
+    currencies a capacity plan needs (docs, tokens, chars), so a config
+    change to the job shows up as a diff in this table before a 100 TB
+    run pays for it.
+
+    Stage semantics mirror jobs.corpus_prep exactly: the dedup keeper is
+    the min doc_id among QUALITY SURVIVORS of the same md5(text) (the
+    job dedups after filtering, so a kept duplicate whose keeper was
+    quality-rejected must elect a new keeper), and the split is the
+    md5 bucket of ``source``. One pass computes all per-doc stage flags
+    (one window shuffle on the text hash); the stage table is six
+    projections of a single global aggregate row — no per-stage rescans.
+    Retention is an exact round-half-up percent of the raw token mass.
+    """
+    from inde1_spark.operators.text import gopher_keep
+
+    keeper = F.min(F.when(gopher_keep(), F.col("doc_id"))).over(
+        Window.partitionBy(F.md5("text"))
+    )
+    flags = documents.select(
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chr"),
+        gopher_keep().alias("keep_q"),
+        (gopher_keep() & (F.col("doc_id") == keeper)).alias("keep_d"),
+        _split_label(hash_bucket(F.col("source"), 100)).alias("split"),
+    )
+
+    def _m(cond, tag):
+        c = F.when(cond, 1).otherwise(0)
+        return [
+            F.sum(c).cast("long").alias(f"docs_{tag}"),
+            F.sum(F.when(cond, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias(f"toks_{tag}"),
+            F.sum(F.when(cond, F.col("n_chr")).otherwise(0))
+            .cast("long")
+            .alias(f"chrs_{tag}"),
+        ]
+
+    agg = flags.agg(
+        *_m(F.lit(True), "raw"),
+        *_m(F.col("keep_q"), "quality"),
+        *_m(F.col("keep_d"), "exact_dedup"),
+        *_m(F.col("keep_d") & (F.col("split") == "train"), "split_train"),
+        *_m(F.col("keep_d") & (F.col("split") == "val"), "split_val"),
+        *_m(F.col("keep_d") & (F.col("split") == "test"), "split_test"),
+    )
+    out = None
+    for i, s in enumerate(PREP_STAGES):
+        row = agg.select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"docs_{s}").alias("n_docs"),
+            F.col(f"toks_{s}").alias("n_tokens"),
+            F.col(f"chrs_{s}").alias("n_chars"),
+            ratio_round(
+                F.col(f"toks_{s}") * 100,
+                F.greatest(F.col("toks_raw"), F.lit(1).cast("long")),
+                2,
+            ).alias("token_retention_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")
+
+
+EPOCH_CAP_MILLI = 4000  # ~4 epochs: the data-constrained diminishing-returns line
+
+
+def mixture_epoch_plan(documents: DataFrame) -> DataFrame:
+    """Per-source epoch (repetition) plan under a one-corpus-equivalent
+    token budget with sqrt-temperature mixture weights — the
+    data-constrained-scaling planning table (Muennighoff et al. 2023:
+    past ~4 epochs, repeated tokens stop buying loss). Where
+    ``mixture_temperature`` THINS dominant sources to hit a budget by
+    deletion, this plans the complementary REPETITION side: serve the
+    whole budget at the temperature-flattened shares and report how many
+    times each source's unique tokens must repeat — epochs_milli =
+    round(1000 * T * w_s / n_s) with w_s = sqrt(n_s)/sum(sqrt) over
+    token counts and T the total corpus token mass. Sources pushed past
+    EPOCH_CAP_MILLI get flagged: their upsampled share is paid in
+    diminishing-returns repeats, the signal to re-temper or go collect
+    more of that source.
+
+    sqrt is the one fractional power IEEE guarantees correctly rounded
+    (the mixture_temperature rationale); it snaps to a nano-grid long
+    immediately and every share/epoch after runs in DECIMAL(38,0)
+    round-half-up (dec_ratio_round) — T*q_s products pass 2^63 long
+    before a corpus is even large, the exact regime the wide-decimal
+    rule exists for. One corpus pass (map-side-combinable token sums),
+    then k-row broadcast arithmetic.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    per = documents.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens")
+    )
+    qs = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    scored = per.select("source", "n_tokens", qs.alias("q_s"))
+    tot = scored.agg(
+        F.sum("n_tokens").cast("long").alias("t_total"),
+        F.sum("q_s").cast("long").alias("q_total"),
+    )
+    d38 = "decimal(38,0)"
+    epochs_milli = dec_ratio_round(
+        F.col("t_total").cast(d38)
+        * F.col("q_s").cast(d38)
+        * F.lit(1000).cast(d38),
+        F.col("q_total").cast(d38)
+        * F.greatest(F.col("n_tokens"), F.lit(1)).cast(d38),
+        0,
+    ).cast("long")
+    return (
+        scored.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            dec_ratio_round(
+                F.col("q_s").cast(d38) * F.lit(1_000_000).cast(d38),
+                F.col("q_total").cast(d38),
+                0,
+            ).cast("long").alias("weight_ppm"),
+            epochs_milli.alias("epochs_milli"),
+            (epochs_milli > F.lit(EPOCH_CAP_MILLI)).alias("over_epoch_cap"),
+        )
+        .orderBy("source")
+    )
+
+
+def split_balance_audit(documents: DataFrame) -> DataFrame:
+    """Stratification audit of the deterministic hash split: per source,
+    does the doc-id md5 split land train/val/test shares NEAR the global
+    shares — the pre-training sanity check that a source didn't get
+    unlucky in the hash (a small source CAN land 100% in test; its eval
+    numbers would then measure that source, not the model). Deviation is
+    total variation distance between the source's split distribution and
+    the corpus-wide one, in the exact common-denominator integer identity
+    (the value_drift/source_length_drift spelling): TVD_s = sum_splits
+    |n_{s,split}*N - N_split*n_s| / (2*n_s*N) — no float ratios, no
+    reference distribution to zero out. The balance flag is the same
+    comparison cleared of its denominator (10*num <= n_s*N, i.e.
+    TVD <= 0.05), so the verdict is pure integer math.
+
+    One map-side-combinable (source, split) count; the 3-bin fill-in and
+    the totals ride a broadcast of the k-source table.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    split = _split_label(hash_bucket(F.col("doc_id"), 100))
+    counts = documents.groupBy(
+        "source", split.alias("split")
+    ).agg(F.count("*").cast("long").alias("c"))
+    # fixed 3-bin grid so missing splits contribute their full global mass
+    bins = documents.sparkSession.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    global_split = counts.groupBy("split").agg(
+        F.sum("c").cast("long").alias("g")
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    grid = (
+        per_source.join(F.broadcast(bins))
+        .join(F.broadcast(counts), ["source", "split"], "left")
+        .join(F.broadcast(global_split), "split")
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            "split",
+            "n_s",
+            "n_total",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+            "g",
+        )
+    )
+    d38 = "decimal(38,0)"
+    cell = F.abs(
+        F.col("c").cast(d38) * F.col("n_total").cast(d38)
+        - F.col("g").cast(d38) * F.col("n_s").cast(d38)
+    )
+    pivoted = grid.groupBy("source", "n_s", "n_total").agg(
+        F.sum(cell).alias("num"),
+        F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    den = (
+        F.col("n_s").cast(d38)
+        * F.col("n_total").cast(d38)
+        * F.lit(2).cast(d38)
+    )
+    return pivoted.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "n_train",
+        "n_val",
+        "n_test",
+        dec_ratio_round(F.col("num"), den, 4).alias("split_tvd"),
+        (
+            F.lit(10).cast(d38) * F.col("num")
+            <= F.col("n_s").cast(d38) * F.col("n_total").cast(d38)
+        ).alias("balanced"),
+    ).orderBy("source")

@@ -2972,3 +2972,173 @@ def minhash_band_sweep(
             2,
         ).alias("recall_pct"),
     ).orderBy("rows_per_band")
+
+
+WINNOW_INCR_PCT = INCR_BATCH_PCT  # same hash lane as dedup_incremental
+
+
+def dedup_winnow_incremental(
+    documents: DataFrame,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    batch_pct: int = WINNOW_INCR_PCT,
+) -> DataFrame:
+    """Admission-control variant of ``dedup_winnow`` — the daily-ingest
+    shape at FINGERPRINT granularity: score an incoming shard's winnowed
+    rolling-hash fingerprints against the standing corpus index only, and
+    admit each new document iff no index document already CONTAINS it
+    (shared fingerprints >= 7/20 of the NEW doc's fingerprint set — the
+    containment direction, not ``dedup_winnow``'s symmetric min-size
+    rule, because admission asks "is this content already covered?").
+    Completes the incremental-admission family: ``dedup_incremental``
+    (token-set Jaccard), ``dedup_substring_incremental`` (window
+    membership mass), ``semdedup_incremental`` (embedding cosine), and
+    this — verbatim-passage containment, the MOSS criterion at the
+    ingest boundary (winnowing guarantees any shared substring of
+    length >= k+w-1 chars leaves a shared fingerprint).
+
+    Cost is proportional to the INCREMENT: candidate generation joins
+    batch fingerprints to the index posting lists under the standard
+    document-frequency cap (a ubiquitous fingerprint would make one
+    posting list corpus-sized); the exact verify then re-counts shared
+    fingerprints over the UNCAPPED sets for candidate pairs only, so the
+    cap can only lose candidates whose entire overlap is boilerplate —
+    it never mis-scores a surviving pair (the dedup_incremental
+    contract). Batch docs with no candidates are admitted via the left
+    join. At real scale the index side is the persisted fingerprint
+    table the admission pipeline maintains; the plan is unchanged.
+    """
+    from inde1_spark.operators.text import hash_bucket, winnow_fp_table
+
+    fp = _persist(winnow_fp_table(documents))
+    is_batch = hash_bucket(F.col("doc_id"), 100) < batch_pct
+    split = documents.select("doc_id", is_batch.alias("is_batch"))
+    batch_ids = split.filter(F.col("is_batch")).select("doc_id")
+    index_ids = split.filter(~F.col("is_batch")).select("doc_id")
+    batch_fp = fp.join(batch_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_new"), "fp"
+    )
+    index_fp = fp.join(index_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_idx"), "fp"
+    )
+    df_counts = index_fp.groupBy("fp").agg(F.count("*").alias("df"))
+    capped = index_fp.join(
+        df_counts.filter(F.col("df") <= max_fp_df).select("fp"), "fp"
+    )
+    cand = (
+        batch_fp.join(capped, "fp")
+        .select("doc_new", "doc_idx")
+        .distinct()
+    )
+    # exact verify over the UNCAPPED fingerprint sets, candidates only
+    shared = (
+        cand.join(batch_fp, "doc_new")
+        .join(index_fp, ["doc_idx", "fp"])
+        .groupBy("doc_new", "doc_idx")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    sz_new = sizes.select(
+        F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_new")
+    )
+    # best index match per batch doc: most shared, ties to lowest doc_idx
+    # (min over the (-n_shared, doc_idx) struct — skew-safe, no row sort)
+    best = shared.groupBy("doc_new").agg(
+        F.min(F.struct((-F.col("n_shared")).alias("neg"), "doc_idx")).alias("b")
+    ).select(
+        "doc_new",
+        (-F.col("b.neg")).cast("long").alias("n_shared"),
+        F.col("b.doc_idx").alias("best_doc_idx"),
+    )
+    from inde1_spark.functions.exprs import ratio_round
+
+    out = (
+        batch_ids.select(F.col("doc_id").alias("doc_new"))
+        .join(sz_new, "doc_new", "left")
+        .join(best, "doc_new", "left")
+    )
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+    sz = F.coalesce(F.col("sz_new"), F.lit(0).cast("long"))
+    return out.select(
+        F.col("doc_new").alias("doc_id"),
+        sz.alias("n_fp"),
+        F.col("best_doc_idx"),
+        n_shared.alias("n_shared"),
+        F.when(
+            sz > 0, ratio_round(n_shared * 100, sz, 2)
+        ).otherwise(F.lit(0.0)).alias("containment_pct"),
+        # a doc too short to fingerprint carries no dup evidence: admit
+        F.when(sz == 0, F.lit(True)).otherwise(
+            F.lit(WINNOW_OVERLAP_DEN) * n_shared
+            < F.lit(WINNOW_OVERLAP_NUM) * sz
+        ).alias("admitted"),
+    ).orderBy("doc_id")
+
+
+# df-cap sweep grid: the candidate-volume / lost-mass trade per cap value
+DF_CAP_SWEEP = (4, 16, 64, 256)
+
+
+def shingle_df_cap_sweep(documents: DataFrame) -> DataFrame:
+    """Price the shingle document-frequency cap BEFORE a corpus-scale
+    dedup run commits to one — the tuning audit behind
+    ``max_shingle_df`` (dedup_minhash_fast, dedup_incremental) and
+    ``max_fp_df`` (dedup_winnow): an inverted-index pair join generates
+    sum_s df_s*(df_s-1)/2 candidate pairs, so one boilerplate shingle
+    with df ~ corpus size is quadratic ruin; capping drops exactly the
+    postings of hot shingles and nothing else. For each cap value this
+    reports the exact candidate-pair volume the verify join would pay
+    (sum over KEPT shingles of C(df,2)), the share of candidate volume
+    shed vs uncapped, and the share of shingle POSTINGS lost (the mass
+    whose pair evidence the cap discards — the recall risk proxy).
+
+    One shingle-DF aggregate feeds the whole sweep: the (df -> count)
+    histogram is corpus-bounded-small (df is heavy-tailed), and the
+    sweep grid is a broadcast cross join over that histogram — no
+    per-cap rescans, no pair join anywhere. Pair counts are exact
+    integers in DECIMAL(38,0) (df*(df-1) overflows BIGINT once one
+    shingle's df passes ~4.3e9 — the exact regime this audit exists
+    for); shed/lost shares are exact round-half-up percents.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv, dec_ratio_round
+
+    sh = shingle_table(documents)
+    dfs = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    hist = dfs.groupBy("df").agg(F.count("*").cast("long").alias("n_shingles"))
+    caps = documents.sparkSession.createDataFrame(
+        [(c,) for c in DF_CAP_SWEEP], "cap long"
+    )
+    d38 = "decimal(38,0)"
+    dfc = F.col("df").cast(d38)
+    nsh = F.col("n_shingles").cast(d38)
+    two = F.lit(2).cast(d38)
+    pairs_all = dec_floordiv(dfc * (dfc - F.lit(1).cast(d38)), two) * nsh
+    kept_df = F.least(F.col("df"), F.col("cap")).cast(d38)
+    pairs_kept = dec_floordiv(kept_df * (kept_df - F.lit(1).cast(d38)), two) * nsh
+    postings_all = dfc * nsh
+    postings_kept = kept_df * nsh
+    agg = (
+        caps.join(F.broadcast(hist))
+        .groupBy("cap")
+        .agg(
+            F.sum(pairs_all).alias("p_all"),
+            F.sum(pairs_kept).alias("p_kept"),
+            F.sum(postings_all).alias("m_all"),
+            F.sum(postings_kept).alias("m_kept"),
+        )
+    )
+    # corpus-scale pair counts can exceed int64: keep the exact decimals
+    # as strings for the gate, shares as exact percents of the decimals
+    return agg.select(
+        "cap",
+        F.col("p_kept").cast(d38).cast("string").alias("n_candidate_pairs"),
+        dec_ratio_round(
+            (F.col("p_all") - F.col("p_kept")) * F.lit(100).cast(d38),
+            F.greatest(F.col("p_all").cast(d38), F.lit(1).cast(d38)),
+            2,
+        ).alias("pairs_shed_pct"),
+        dec_ratio_round(
+            (F.col("m_all") - F.col("m_kept")) * F.lit(100).cast(d38),
+            F.greatest(F.col("m_all").cast(d38), F.lit(1).cast(d38)),
+            2,
+        ).alias("postings_lost_pct"),
+    ).orderBy("cap")

@@ -1459,3 +1459,75 @@ def morisita_horn_overlap(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# CCNet-style LM-score filter grid (avg unigram logprob thresholds);
+# values sit on the corpus's measured score distribution at the gate SFs —
+# ~5/25/50/75/95th percentiles at sf0.001 AND sf0.01 (measured via the
+# twin's own CTE chain) — so every threshold row discriminates (the
+# repetition_rules calibration rule)
+LP_SWEEP_THRESHOLDS = (-3.4200, -3.4050, -3.4015, -3.3985, -3.3940)
+
+
+def perplexity_filter_sweep(
+    documents: DataFrame, tf_table: DataFrame | None = None
+) -> DataFrame:
+    """Retention curve of an LM-score quality filter per source — the
+    CCNet move (Wenzek et al. 2020: filter/band web text by language-
+    model perplexity) priced BEFORE a corpus commits to a threshold: for
+    each cutoff in the sweep grid, how many documents and how much token
+    mass each source keeps if docs below the cutoff are dropped. The
+    per-source view is the point: a single global threshold removes
+    sources unevenly (rare-token-heavy sources score low wholesale), and
+    this table is where that shows up as a mixture shift, not after
+    training.
+
+    Score = ``unigram_logprob``'s avg per-token log-probability (the
+    corpus as its own LM — nano-fixed-point inside, deterministic
+    double out; thresholds are injected literals so comparisons are
+    engine-identical). The sweep multiplies NO rows: the bounded grid
+    is unrolled into conditional sums inside ONE per-source aggregate
+    (same posture as semdedup_threshold_sweep), and the per-threshold
+    output rows are projections of that k-source table. Retentions are
+    exact round-half-up percents.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    lp = unigram_logprob(documents, tf_table)
+    scored = lp.join(documents.select("doc_id", "source"), "doc_id")
+    aggs = []
+    for i, t in enumerate(LP_SWEEP_THRESHOLDS):
+        keep = F.col("avg_logprob") >= F.lit(float(t))
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"_t{i}")
+        )
+    per = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        *aggs,
+    )
+    out = None
+    for i, t in enumerate(LP_SWEEP_THRESHOLDS):
+        row = per.select(
+            "source",
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"_d{i}").alias("n_docs_kept"),
+            F.col(f"_t{i}").alias("n_tokens_kept"),
+            ratio_round(
+                F.col(f"_d{i}") * 100,
+                F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
+                2,
+            ).alias("doc_retention_pct"),
+            ratio_round(
+                F.col(f"_t{i}") * 100,
+                F.greatest(F.col("n_tokens"), F.lit(1).cast("long")),
+                2,
+            ).alias("token_retention_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("source", "threshold")

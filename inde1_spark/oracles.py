@@ -12066,3 +12066,441 @@ SELECT doc_id, n_tokens, top1_pct, top2_pct, dup3_pct,
         AND dup3_pct <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS keep
 FROM pcts
 """
+
+
+# ===========================================================================
+# r11 batch, second tranche (staged in r10): twins of the eight operators
+# added this round. Wide-integer arithmetic runs in HUGEINT wherever the
+# Spark side runs DECIMAL(38,0) (dec_ratio_round's documented twin rule).
+# ===========================================================================
+
+def _rrh(num: str, den: str, scale: int) -> str:
+    """SQL twin of exprs.dec_ratio_round — round-half-up in HUGEINT."""
+    p = 10**scale
+    return (
+        f"(CAST((((CAST({num} AS HUGEINT)) * {2 * p} + ({den}))"
+        f" // (2 * ({den}))) AS DOUBLE) / {p}.0)"
+    )
+
+
+from inde1_spark.operators.dedup import (  # noqa: E402
+    DF_CAP_SWEEP,
+    WINNOW_INCR_PCT,
+)
+
+# Twin of operators/dedup.py:dedup_winnow_incremental — winnow fingerprint
+# admission: md5 hash-lane split, df-capped candidate generation against the
+# index postings, exact shared-count verify over the UNCAPPED sets for
+# candidate pairs only, best-match containment verdict.
+STAGED_ORACLES["dedup_winnow_incremental"] = f"""
+WITH {_WINNOW_CTE.strip()},
+fp AS (SELECT doc_id, UNNEST(m) AS fp FROM minima),
+split AS (
+  SELECT doc_id, {_hash_bucket_sql('doc_id', 100)} < {WINNOW_INCR_PCT} AS is_batch
+  FROM documents
+),
+batch_fp AS (
+  SELECT f.doc_id AS doc_new, f.fp FROM fp f JOIN split s ON s.doc_id = f.doc_id
+  WHERE s.is_batch
+),
+index_fp AS (
+  SELECT f.doc_id AS doc_idx, f.fp FROM fp f JOIN split s ON s.doc_id = f.doc_id
+  WHERE NOT s.is_batch
+),
+capped AS (
+  SELECT doc_idx, fp FROM index_fp
+  WHERE fp IN (SELECT fp FROM index_fp GROUP BY fp
+               HAVING count(*) <= {WINNOW_MAX_FP_DF})
+),
+cand AS (
+  SELECT DISTINCT b.doc_new, c.doc_idx
+  FROM batch_fp b JOIN capped c USING (fp)
+),
+shared AS (
+  SELECT p.doc_new, p.doc_idx, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cand p
+  JOIN batch_fp b ON b.doc_new = p.doc_new
+  JOIN index_fp i ON i.doc_idx = p.doc_idx AND i.fp = b.fp
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_new, n_shared, doc_idx AS best_doc_idx
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_new
+                                     ORDER BY n_shared DESC, doc_idx ASC) AS rn
+        FROM shared)
+  WHERE rn = 1
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY 1)
+SELECT s.doc_id,
+       COALESCE(z.sz, 0) AS n_fp,
+       b.best_doc_idx,
+       COALESCE(b.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(z.sz, 0) > 0
+            THEN {_rr("COALESCE(b.n_shared, 0) * 100", "z.sz", 2)}
+            ELSE 0.0 END AS containment_pct,
+       CASE WHEN COALESCE(z.sz, 0) = 0 THEN TRUE
+            ELSE {WINNOW_OVERLAP_DEN} * COALESCE(b.n_shared, 0)
+                 < {WINNOW_OVERLAP_NUM} * z.sz END AS admitted
+FROM split s
+LEFT JOIN sizes z ON z.doc_id = s.doc_id
+LEFT JOIN best b ON b.doc_new = s.doc_id
+WHERE s.is_batch
+ORDER BY s.doc_id
+"""
+
+_CAP_VALS = ", ".join(f"({c})" for c in DF_CAP_SWEEP)
+
+# Twin of operators/dedup.py:shingle_df_cap_sweep — one shingle-DF histogram
+# feeds every cap row; pair/posting sums in HUGEINT (Spark: DECIMAL(38,0)).
+STAGED_ORACLES["shingle_df_cap_sweep"] = f"""
+WITH {_SHINGLES.strip()},
+dfs AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+hist AS (SELECT df, CAST(count(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY 1),
+caps(cap) AS (VALUES {_CAP_VALS}),
+agg AS (
+  SELECT cap,
+         SUM(CAST(df AS HUGEINT) * (df - 1) // 2 * n_shingles) AS p_all,
+         SUM(CAST(LEAST(df, cap) AS HUGEINT)
+             * (LEAST(df, cap) - 1) // 2 * n_shingles) AS p_kept,
+         SUM(CAST(df AS HUGEINT) * n_shingles) AS m_all,
+         SUM(CAST(LEAST(df, cap) AS HUGEINT) * n_shingles) AS m_kept
+  FROM caps, hist GROUP BY cap
+)
+SELECT CAST(cap AS BIGINT) AS cap,
+       CAST(p_kept AS VARCHAR) AS n_candidate_pairs,
+       {_rrh("(p_all - p_kept) * 100", "GREATEST(p_all, 1)", 2)}
+         AS pairs_shed_pct,
+       {_rrh("(m_all - m_kept) * 100", "GREATEST(m_all, 1)", 2)}
+         AS postings_lost_pct
+FROM agg ORDER BY cap
+"""
+
+# Twin of operators/analytics.py:schema_evolution_audit — day-partitioned
+# props key inventory, dominant type via the same (count desc, vtype asc)
+# total order, day-over-day added/removed/type-changed with compat verdicts.
+_SCHEMA_DAY = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+STAGED_ORACLES["schema_evolution_audit"] = f"""
+WITH kv AS (
+  SELECT {_SCHEMA_DAY} AS day, key,
+         json_extract_string(props, '$."' || key || '"') AS value
+  FROM (SELECT ts, props, unnest(json_keys(props)) AS key FROM events)
+),
+counted AS (
+  SELECT day, key,
+         CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 'int'
+              WHEN regexp_full_match(value, '-?[0-9]*\\.[0-9]+') THEN 'float'
+              ELSE 'string' END AS vtype,
+         CAST(count(*) AS BIGINT) AS n
+  FROM kv GROUP BY 1, 2, 3
+),
+dom AS (
+  SELECT day, key, vtype
+  FROM (SELECT *, row_number() OVER (PARTITION BY day, key
+                                     ORDER BY n DESC, vtype ASC) AS rn
+        FROM counted)
+  WHERE rn = 1
+),
+seq AS (
+  SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+  FROM (SELECT DISTINCT day FROM dom)
+),
+nk AS (SELECT day, CAST(count(*) AS BIGINT) AS n_keys FROM dom GROUP BY 1),
+added AS (
+  SELECT c.day, CAST(count(*) AS BIGINT) AS n_added
+  FROM dom c JOIN seq ON seq.day = c.day
+  WHERE seq.prev_day IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM dom p
+                    WHERE p.day = seq.prev_day AND p.key = c.key)
+  GROUP BY 1
+),
+removed AS (
+  SELECT seq.day, CAST(count(*) AS BIGINT) AS n_removed
+  FROM seq JOIN dom p ON p.day = seq.prev_day
+  WHERE NOT EXISTS (SELECT 1 FROM dom c
+                    WHERE c.day = seq.day AND c.key = p.key)
+  GROUP BY 1
+),
+changed AS (
+  SELECT c.day, CAST(count(*) AS BIGINT) AS n_type_changed
+  FROM dom c
+  JOIN seq ON seq.day = c.day
+  JOIN dom p ON p.day = seq.prev_day AND p.key = c.key
+  WHERE c.vtype <> p.vtype
+  GROUP BY 1
+)
+SELECT seq.day, nk.n_keys,
+       COALESCE(a.n_added, 0) AS n_added,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(t.n_type_changed, 0) AS n_type_changed,
+       CASE WHEN seq.prev_day IS NULL THEN 'baseline'
+            WHEN COALESCE(r.n_removed, 0) > 0
+                 OR COALESCE(t.n_type_changed, 0) > 0 THEN 'breaking'
+            WHEN COALESCE(a.n_added, 0) > 0 THEN 'backward_compatible'
+            ELSE 'stable' END AS verdict
+FROM seq
+JOIN nk ON nk.day = seq.day
+LEFT JOIN added a ON a.day = seq.day
+LEFT JOIN removed r ON r.day = seq.day
+LEFT JOIN changed t ON t.day = seq.day
+ORDER BY seq.day
+"""
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    COMPRESS_AUDIT_COLS,
+    DICT_MAX_NDV_PCT,
+    RLE_MIN_MEAN_RUN,
+)
+
+_CMP_STARTS = ",\n         ".join(
+    f"(row_number() OVER w = 1 OR {c} IS DISTINCT FROM lag({c}) OVER w)"
+    f" AS s_{c}"
+    for c in COMPRESS_AUDIT_COLS
+)
+_CMP_AGGS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN s_{c} THEN 1 ELSE 0 END) AS BIGINT) AS runs_{c},\n"
+    f"         CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c}"
+    for c in COMPRESS_AUDIT_COLS
+)
+_CMP_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, n_rows, ndv_{c} AS n_distinct, runs_{c} AS n_runs,
+       {_rr(f"n_rows", f"GREATEST(runs_{c}, 1)", 2)} AS mean_run_len,
+       {_rr(f"ndv_{c} * 100", "GREATEST(n_rows, 1)", 2)} AS ndv_pct,
+       CASE WHEN n_rows >= {RLE_MIN_MEAN_RUN} * runs_{c} THEN 'rle'
+            WHEN ndv_{c} * 100 <= {DICT_MAX_NDV_PCT} * n_rows THEN 'dict'
+            ELSE 'plain' END AS encoding
+FROM agg"""
+    for c in COMPRESS_AUDIT_COLS
+)
+
+# Twin of operators/analytics.py:compression_ratio_audit — one
+# day-partitioned (ts, event_id) window names every column's run starts,
+# one aggregate row carries all sums/NDVs, per-column rows are projections.
+STAGED_ORACLES["compression_ratio_audit"] = f"""
+WITH flagged AS (
+  SELECT {", ".join(COMPRESS_AUDIT_COLS)},
+         {_CMP_STARTS}
+  FROM events
+  WINDOW w AS (PARTITION BY strftime(date_trunc('day', ts), '%Y-%m-%d')
+               ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {_CMP_AGGS}
+  FROM flagged
+)
+{_CMP_ROWS}
+ORDER BY column_name
+"""
+
+from inde1_spark.operators.corpus import (  # noqa: E402
+    EPOCH_CAP_MILLI,
+    PREP_STAGES,
+)
+
+_PREP_KEEP_Q = (
+    f"(n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS}"
+    f" AND sum_len >= {GOPHER_MEAN_LEN_MIN} * n_tok"
+    f" AND sum_len <= {GOPHER_MEAN_LEN_MAX} * n_tok"
+    f" AND n_stop_distinct >= {GOPHER_MIN_STOP_HITS})"
+)
+_PREP_CONDS = {
+    "raw": "TRUE",
+    "quality": "keep_q",
+    "exact_dedup": "keep_d",
+    "split_train": "keep_d AND split = 'train'",
+    "split_val": "keep_d AND split = 'val'",
+    "split_test": "keep_d AND split = 'test'",
+}
+_PREP_AGGS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS docs_{s},\n"
+    f"         CAST(SUM(CASE WHEN {cond} THEN n_tok ELSE 0 END) AS BIGINT)"
+    f" AS toks_{s},\n"
+    f"         CAST(SUM(CASE WHEN {cond} THEN n_chr ELSE 0 END) AS BIGINT)"
+    f" AS chrs_{s}"
+    for s, cond in _PREP_CONDS.items()
+)
+_PREP_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({i} AS BIGINT) AS stage_idx, '{s}' AS stage,
+       docs_{s} AS n_docs, toks_{s} AS n_tokens, chrs_{s} AS n_chars,
+       {_rr(f"toks_{s} * 100", "GREATEST(toks_raw, 1)", 2)}
+         AS token_retention_pct
+FROM agg"""
+    for i, s in enumerate(PREP_STAGES)
+)
+
+# Twin of operators/corpus.py:corpus_prep_cost_audit — jobs.corpus_prep's
+# own stage ladder (Gopher keep -> exact dedup among survivors ->
+# source-hash split), one window on md5(text), one aggregate row.
+STAGED_ORACLES["corpus_prep_cost_audit"] = f"""
+WITH m AS (
+  SELECT doc_id, source, md5(text) AS th,
+         CAST(n_chars AS BIGINT) AS n_chr,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, th, n_chr,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> strlen(t))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(list_intersect(list_distinct(toks), [{_STOP_LIST}]))
+              AS BIGINT) AS n_stop_distinct
+  FROM m
+),
+k AS (
+  SELECT n_tok, n_chr,
+         {_PREP_KEEP_Q} AS keep_q,
+         {_PREP_KEEP_Q} AND doc_id = MIN(CASE WHEN {_PREP_KEEP_Q}
+                                              THEN doc_id END)
+                                    OVER (PARTITION BY th) AS keep_d,
+         CASE WHEN {_hash_bucket_sql('source', 100)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_hash_bucket_sql('source', 100)} < {TRAIN_PCT + VAL_PCT}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+),
+agg AS (
+  SELECT {_PREP_AGGS}
+  FROM k
+)
+{_PREP_ROWS}
+ORDER BY stage_idx
+"""
+
+# Twin of operators/corpus.py:mixture_epoch_plan — sqrt nano-grid weights
+# (the mixture_temperature spelling), HUGEINT round-half-up shares/epochs.
+STAGED_ORACLES["mixture_epoch_plan"] = f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1
+),
+scored AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+           AS q_s
+  FROM per
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+         CAST(SUM(q_s) AS BIGINT) AS q_total
+  FROM scored
+),
+calc AS (
+  SELECT source, n_tokens,
+         CAST((CAST(q_s AS HUGEINT) * 2000000 + q_total) // (2 * q_total)
+              AS BIGINT) AS weight_ppm,
+         CAST((CAST(t_total AS HUGEINT) * q_s * 2000
+               + CAST(q_total AS HUGEINT) * GREATEST(n_tokens, 1))
+              // (2 * CAST(q_total AS HUGEINT) * GREATEST(n_tokens, 1))
+              AS BIGINT) AS epochs_milli
+  FROM scored, tot
+)
+SELECT source, n_tokens, weight_ppm, epochs_milli,
+       epochs_milli > {EPOCH_CAP_MILLI} AS over_epoch_cap
+FROM calc ORDER BY source
+"""
+
+# Twin of operators/corpus.py:split_balance_audit — hash split, fixed 3-bin
+# grid, HUGEINT common-denominator TVD, denominator-cleared balance flag.
+STAGED_ORACLES["split_balance_audit"] = f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT + VAL_PCT}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+counts AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1
+),
+gs AS (SELECT split, CAST(SUM(c) AS BIGINT) AS g FROM counts GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts),
+bins(split) AS (VALUES ('train'), ('val'), ('test')),
+grid AS (
+  SELECT ps.source, b.split, ps.n_s, t.n_total,
+         COALESCE(c.c, 0) AS c, g.g
+  FROM per_source ps
+  CROSS JOIN bins b
+  LEFT JOIN counts c ON c.source = ps.source AND c.split = b.split
+  JOIN gs g ON g.split = b.split
+  CROSS JOIN tot t
+),
+piv AS (
+  SELECT source, n_s, n_total,
+         SUM(ABS(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_s))
+           AS num,
+         CAST(SUM(CASE WHEN split = 'train' THEN c ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN c ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(SUM(CASE WHEN split = 'test' THEN c ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT source, n_s AS n_docs, n_train, n_val, n_test,
+       {_rrh("num", "CAST(n_s AS HUGEINT) * n_total * 2", 4)} AS split_tvd,
+       10 * num <= CAST(n_s AS HUGEINT) * n_total AS balanced
+FROM piv ORDER BY source
+"""
+
+from inde1_spark.operators.scoring import LP_SWEEP_THRESHOLDS  # noqa: E402
+
+_LP_AGGS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN avg_logprob >= CAST({t!r} AS DOUBLE) THEN 1 ELSE 0"
+    f" END) AS BIGINT) AS d{i},\n"
+    f"         CAST(SUM(CASE WHEN avg_logprob >= CAST({t!r} AS DOUBLE)"
+    f" THEN n_tokens ELSE 0 END) AS BIGINT) AS t{i}"
+    for i, t in enumerate(LP_SWEEP_THRESHOLDS)
+)
+_LP_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT source, CAST({t!r} AS DOUBLE) AS threshold,
+       d{i} AS n_docs_kept, t{i} AS n_tokens_kept,
+       {_rr(f"d{i} * 100", "GREATEST(n_docs, 1)", 2)} AS doc_retention_pct,
+       {_rr(f"t{i} * 100", "GREATEST(n_tokens, 1)", 2)}
+         AS token_retention_pct
+FROM per"""
+    for i, t in enumerate(LP_SWEEP_THRESHOLDS)
+)
+
+# Twin of operators/scoring.py:perplexity_filter_sweep — unigram_logprob's
+# exact CTE chain, bounded grid unrolled into conditional sums, per-row
+# projections of the k-source aggregate.
+STAGED_ORACLES["perplexity_filter_sweep"] = f"""
+WITH {_TF.format(tok_filter='')},
+vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occ FROM tf GROUP BY 1),
+total AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS total_toks FROM vocab),
+lp AS (
+  SELECT tf.doc_id, tf.dl, tf.tf,
+         CAST(round(ln(CAST(vocab.n_occ AS DOUBLE) / total.total_toks)
+                    * {LOG_SCALE}.0, 0) AS BIGINT) AS lp_scaled
+  FROM tf JOIN vocab USING (term), total
+),
+doc AS (
+  SELECT doc_id, dl AS n_tokens,
+         CAST(SUM(tf * lp_scaled) AS DOUBLE) / {LOG_SCALE}.0
+           / CAST(dl AS DOUBLE) AS avg_logprob
+  FROM lp WHERE dl > 0 GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT d.doc_id, d.n_tokens, d.avg_logprob, x.source
+  FROM doc d JOIN documents x USING (doc_id)
+),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         {_LP_AGGS}
+  FROM scored GROUP BY 1
+)
+{_LP_ROWS}
+ORDER BY source, threshold
+"""
