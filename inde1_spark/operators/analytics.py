@@ -10625,7 +10625,12 @@ def compression_ratio_audit(events: DataFrame) -> DataFrame:
             for c in cols
         ],
     )
-    agg = flagged.agg(
+    from inde1_spark.operators.dedup import _persist
+
+    # the per-column output rows are 4 projections of this ONE row: persist
+    # it, or each union branch re-runs the window pass (the copartition
+    # lesson: exchange reuse across union branches is NOT guaranteed)
+    agg = _persist(flagged.agg(
         F.count("*").cast("long").alias("n_rows"),
         *[
             F.sum(F.when(F.col(f"_start_{c}"), 1).otherwise(0))
@@ -10634,7 +10639,7 @@ def compression_ratio_audit(events: DataFrame) -> DataFrame:
             for c in cols
         ],
         *[F.countDistinct(c).cast("long").alias(f"ndv_{c}") for c in cols],
-    )
+    ))
     per_col = None
     for c in cols:
         row = agg.select(

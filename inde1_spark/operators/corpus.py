@@ -1782,14 +1782,18 @@ def corpus_prep_cost_audit(documents: DataFrame) -> DataFrame:
             .alias(f"chrs_{tag}"),
         ]
 
-    agg = flags.agg(
+    from inde1_spark.operators.dedup import _persist
+
+    # six stage rows project from this ONE row: persist it, or each union
+    # branch re-runs the corpus pass (the copartition lesson)
+    agg = _persist(flags.agg(
         *_m(F.lit(True), "raw"),
         *_m(F.col("keep_q"), "quality"),
         *_m(F.col("keep_d"), "exact_dedup"),
         *_m(F.col("keep_d") & (F.col("split") == "train"), "split_train"),
         *_m(F.col("keep_d") & (F.col("split") == "val"), "split_val"),
         *_m(F.col("keep_d") & (F.col("split") == "test"), "split_test"),
-    )
+    ))
     out = None
     for i, s in enumerate(PREP_STAGES):
         row = agg.select(
@@ -1892,10 +1896,15 @@ def split_balance_audit(documents: DataFrame) -> DataFrame:
     """
     from inde1_spark.functions.exprs import dec_ratio_round
 
+    from inde1_spark.operators.dedup import _persist
+
     split = _split_label(hash_bucket(F.col("doc_id"), 100))
-    counts = documents.groupBy(
+    # counts feeds per-source totals, global split shares, the grand total
+    # AND the grid fill-in: persist the tiny (source x split) table so the
+    # corpus scan happens exactly once
+    counts = _persist(documents.groupBy(
         "source", split.alias("split")
-    ).agg(F.count("*").cast("long").alias("c"))
+    ).agg(F.count("*").cast("long").alias("c")))
     # fixed 3-bin grid so missing splits contribute their full global mass
     bins = documents.sparkSession.createDataFrame(
         [("train",), ("val",), ("test",)], "split string"

@@ -1506,11 +1506,15 @@ def perplexity_filter_sweep(
             .cast("long")
             .alias(f"_t{i}")
         )
-    per = scored.groupBy("source").agg(
+    from inde1_spark.operators.dedup import _persist
+
+    # k-source table projected once per threshold row: persist, or each
+    # union branch re-runs the whole LM pass (the copartition lesson)
+    per = _persist(scored.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         *aggs,
-    )
+    ))
     out = None
     for i, t in enumerate(LP_SWEEP_THRESHOLDS):
         row = per.select(

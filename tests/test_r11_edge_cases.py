@@ -351,3 +351,643 @@ def test_repetition_rules_plan(spark):
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     # gram scan prunes to (doc_id, text); the spine scan to doc_id alone
     assert schemas <= {"doc_id:bigint,text:string", "doc_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# second tranche (staged in r10)
+# ---------------------------------------------------------------------------
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _py_hash_bucket_str(key: str, mod: int = 100) -> int:
+    """Python mirror of hash_bucket on a STRING key (md5 of the raw text)."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % mod
+
+
+def _batch_index_ids(n_batch: int, n_index: int) -> tuple[list[int], list[int]]:
+    """First ids whose md5 bucket puts them in the 10% batch / 90% index
+    lane — self-maintaining against the hash function."""
+    batch = [i for i in range(500) if _py_hash_bucket(i) < 10][:n_batch]
+    index = [i for i in range(500) if _py_hash_bucket(i) >= 10][:n_index]
+    return batch, index
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnow_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_incremental_copy_rejected_fresh_admitted(spark):
+    from inde1_spark.operators.dedup import dedup_winnow_incremental
+
+    (b_copy, b_fresh, b_short), (i_orig, i_other) = _batch_index_ids(3, 2)
+    copied = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (b_copy, copied, "en", "s", len(copied)),          # verbatim of i_orig
+        (b_fresh, "completely unrelated words here xyzq", "en", "s", 36),
+        (b_short, "ab", "en", "s", 2),                      # < WINNOW_K chars
+        (i_orig, copied, "en", "s", len(copied)),
+        (i_other, "different standing index document text", "en", "s", 38),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_winnow_incremental(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    assert set(out) == {b_copy, b_fresh, b_short}  # index side never emitted
+    c = out[b_copy]
+    assert c["best_doc_idx"] == i_orig
+    assert c["n_shared"] == c["n_fp"] and c["containment_pct"] == 100.0
+    assert not c["admitted"]
+    f = out[b_fresh]
+    assert f["best_doc_idx"] is None and f["n_shared"] == 0
+    assert f["containment_pct"] == 0.0 and f["admitted"]
+    s = out[b_short]
+    assert s["n_fp"] == 0 and s["admitted"] and s["containment_pct"] == 0.0
+
+
+def test_winnow_incremental_batch_vs_batch_not_scored(spark):
+    from inde1_spark.operators.dedup import dedup_winnow_incremental
+
+    # two identical BATCH docs and no index copy: both admitted (in-batch
+    # dedup belongs to the batch's own pipeline, the dedup_incremental rule)
+    (b1, b2), (i1,) = _batch_index_ids(2, 1)
+    t = "some shared batch text that is long enough to fingerprint"
+    rows = [
+        (b1, t, "en", "s", len(t)),
+        (b2, t, "en", "s", len(t)),
+        (i1, "standing index content entirely different", "en", "s", 42),
+    ]
+    out = dedup_winnow_incremental(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert all(r["admitted"] for r in out)
+    assert all(r["best_doc_idx"] is None for r in out)
+
+
+def test_winnow_incremental_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["dedup_winnow_incremental"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas <= {"doc_id:bigint,text:string", "doc_id:bigint"}
+    assert "InMemoryTableScan" in r.raw  # fp table built once, read 4 ways
+
+
+# ---------------------------------------------------------------------------
+# shingle_df_cap_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_cap_sweep_exact_pair_and_posting_math(spark):
+    from inde1_spark.operators.dedup import shingle_df_cap_sweep
+
+    # one shingle with df=5 ("a b c" x5 docs), one with df=1
+    rows = [(i, "a b c", "en", "s", 5) for i in range(5)]
+    rows.append((9, "x y z", "en", "s", 5))
+    out = {
+        r["cap"]: r
+        for r in shingle_df_cap_sweep(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    assert set(out) == {4, 16, 64, 256}
+    r4 = out[4]
+    # uncapped pairs C(5,2)=10; cap 4 keeps C(4,2)=6 -> 40% shed;
+    # postings 6 -> 5 kept -> 16.67% lost
+    assert r4["n_candidate_pairs"] == "6"
+    assert r4["pairs_shed_pct"] == 40.0
+    assert r4["postings_lost_pct"] == 16.67
+    for cap in (16, 64, 256):  # cap above max df: the sweep is a no-op
+        assert out[cap]["n_candidate_pairs"] == "10"
+        assert out[cap]["pairs_shed_pct"] == 0.0
+        assert out[cap]["postings_lost_pct"] == 0.0
+
+
+def test_cap_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["shingle_df_cap_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string"}
+    assert r.raw.count("BroadcastHashJoin") + r.raw.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1  # the bounded cap grid rides a broadcast
+    assert r.sort_merge_joins == 0
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution_audit
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_verdict_ladder(spark):
+    from datetime import datetime
+
+    from inde1_spark.operators.analytics import schema_evolution_audit
+
+    def ev(eid, day, props):
+        return (eid, datetime(2024, 3, day, 12, 0, 0), 1, "view", 1.0, props)
+
+    rows = [
+        # day 1 (baseline): a int, b string (dominant 2 string vs 1 int)
+        ev(1, 1, '{"a": 1, "b": "x"}'),
+        ev(2, 1, '{"a": 2, "b": "y"}'),
+        ev(3, 1, '{"a": 3, "b": 4}'),
+        # day 2: b's dominant flips to float (breaking) + c added
+        ev(4, 2, '{"a": 1, "b": 2.5, "c": "z"}'),
+        # day 3: d added, nothing removed/changed (backward compatible)
+        ev(5, 3, '{"a": 1, "b": 2.5, "c": "z", "d": 7}'),
+        # day 4: identical inventory (stable)
+        ev(6, 4, '{"a": 1, "b": 2.5, "c": "z", "d": 7}'),
+        # day 5: d removed (breaking)
+        ev(7, 5, '{"a": 1, "b": 2.5, "c": "z"}'),
+    ]
+    out = {
+        r["day"]: r
+        for r in schema_evolution_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert out["2024-03-01"]["verdict"] == "baseline"
+    assert out["2024-03-01"]["n_keys"] == 2
+    d2 = out["2024-03-02"]
+    assert (d2["n_added"], d2["n_removed"], d2["n_type_changed"]) == (1, 0, 1)
+    assert d2["verdict"] == "breaking"
+    d3 = out["2024-03-03"]
+    assert (d3["n_added"], d3["n_removed"], d3["n_type_changed"]) == (1, 0, 0)
+    assert d3["verdict"] == "backward_compatible"
+    assert out["2024-03-04"]["verdict"] == "stable"
+    d5 = out["2024-03-05"]
+    assert (d5["n_added"], d5["n_removed"], d5["n_type_changed"]) == (0, 1, 0)
+    assert d5["verdict"] == "breaking"
+
+
+def test_schema_evolution_dominant_type_tie_breaks_alphabetical(spark):
+    from datetime import datetime
+
+    from inde1_spark.operators.analytics import schema_evolution_audit
+
+    # day 1: t is 1x int / 1x string (tie -> 'int', alphabetical);
+    # day 2: t is 2x string -> dominant string -> type change -> breaking
+    rows = [
+        (1, datetime(2024, 3, 1, 8), 1, "view", 1.0, '{"t": 1}'),
+        (2, datetime(2024, 3, 1, 9), 1, "view", 1.0, '{"t": "q"}'),
+        (3, datetime(2024, 3, 2, 8), 1, "view", 1.0, '{"t": "q"}'),
+        (4, datetime(2024, 3, 2, 9), 1, "view", 1.0, '{"t": "r"}'),
+    ]
+    out = {
+        r["day"]: r
+        for r in schema_evolution_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert out["2024-03-02"]["n_type_changed"] == 1
+    assert out["2024-03-02"]["verdict"] == "breaking"
+
+
+def test_schema_evolution_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["schema_evolution_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,props:string"}
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio_audit
+# ---------------------------------------------------------------------------
+
+
+def test_compression_audit_encoding_ladder(spark):
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import compression_ratio_audit
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            t0 + timedelta(minutes=i),
+            i,                                # user_id: all distinct
+            "A" if i < 10 else "B",           # two runs of 10
+            float(1 + i % 2),                 # alternate 1.0/2.0, ndv 2
+            "{}",                             # constant
+        )
+        for i in range(20)
+    ]
+    out = {
+        r["column_name"]: r
+        for r in compression_ratio_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    et = out["event_type"]
+    assert (et["n_runs"], et["n_distinct"]) == (2, 2)
+    assert et["mean_run_len"] == 10.0 and et["encoding"] == "rle"
+    uid = out["user_id"]
+    assert (uid["n_runs"], uid["n_distinct"]) == (20, 20)
+    assert uid["encoding"] == "plain"
+    val = out["value"]
+    assert (val["n_runs"], val["n_distinct"]) == (20, 2)
+    # ndv*100 == DICT_MAX_NDV_PCT*n exactly: the dict boundary is inclusive
+    assert val["ndv_pct"] == 10.0 and val["encoding"] == "dict"
+    pr = out["props"]
+    assert (pr["n_runs"], pr["n_distinct"]) == (1, 1)
+    assert pr["encoding"] == "rle"
+
+
+def test_compression_audit_runs_restart_per_day_and_null_safe(spark):
+    from datetime import datetime
+
+    from inde1_spark.operators.analytics import compression_ratio_audit
+
+    rows = [
+        # same constant value across two days: the run restarts at the
+        # day boundary (writers lay rows down per partition)
+        (1, datetime(2024, 3, 1, 8), 1, "A", None, "{}"),
+        (2, datetime(2024, 3, 1, 9), 1, "A", None, "{}"),
+        (3, datetime(2024, 3, 2, 8), 1, "A", 1.0, "{}"),
+    ]
+    out = {
+        r["column_name"]: r
+        for r in compression_ratio_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert out["event_type"]["n_runs"] == 2  # day boundary restarts the run
+    # null==null is NOT a run break (eqNullSafe); NDV ignores nulls
+    assert out["value"]["n_runs"] == 2
+    assert out["value"]["n_distinct"] == 1
+
+
+def test_compression_audit_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["compression_ratio_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert all(
+        set(x.split(","))
+        <= {
+            "ts:timestamp_ntz",
+            "event_id:bigint",
+            "event_type:string",
+            "user_id:bigint",
+            "value:double",
+            "props:string",
+        }
+        for x in schemas
+    )
+    assert "InMemoryTableScan" in r.raw  # one agg row feeds all 4 rows
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_cost_audit
+# ---------------------------------------------------------------------------
+
+# 50 tokens, mean word length in [3,10], two distinct stopwords -> gopher keep
+_PASSING_TEXT = "the a " + " ".join(["word"] * 48)
+
+
+def test_prep_cost_stage_funnel_exact(spark):
+    from inde1_spark.operators.corpus import corpus_prep_cost_audit
+
+    train_src = next(
+        s for s in ("s%d" % i for i in range(100))
+        if _py_hash_bucket_str(s) < 80
+    )
+    test_src = next(
+        s for s in ("s%d" % i for i in range(100))
+        if _py_hash_bucket_str(s) >= 90
+    )
+    rows = [
+        # dup pair, both gopher-passing: exactly one (min doc_id) survives
+        (1, _PASSING_TEXT, "en", train_src, len(_PASSING_TEXT)),
+        (2, _PASSING_TEXT, "en", train_src, len(_PASSING_TEXT)),
+        # gopher reject (2 tokens < 50): never reaches dedup or split
+        (3, "tiny doc", "en", train_src, 8),
+        # unique passing doc routed to test by its source hash
+        (4, _PASSING_TEXT + " extra", "en", test_src, len(_PASSING_TEXT) + 6),
+    ]
+    out = {
+        r["stage"]: r
+        for r in corpus_prep_cost_audit(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    assert [out[s]["stage_idx"] for s in (
+        "raw", "quality", "exact_dedup", "split_train", "split_val",
+        "split_test",
+    )] == [0, 1, 2, 3, 4, 5]
+    assert out["raw"]["n_docs"] == 4 and out["raw"]["token_retention_pct"] == 100.0
+    assert out["quality"]["n_docs"] == 3      # doc 3 rejected
+    assert out["exact_dedup"]["n_docs"] == 2  # doc 2 deduped against doc 1
+    assert out["split_train"]["n_docs"] == 1 and out["split_test"]["n_docs"] == 1
+    assert out["split_val"]["n_docs"] == 0
+    # monotone mass: every stage <= its predecessor, all three currencies
+    order = ["raw", "quality", "exact_dedup"]
+    for a, b in zip(order, order[1:]):
+        for m in ("n_docs", "n_tokens", "n_chars"):
+            assert out[b][m] <= out[a][m]
+    # splits partition the dedup survivors exactly
+    for m in ("n_docs", "n_tokens", "n_chars"):
+        assert (
+            out["split_train"][m] + out["split_val"][m] + out["split_test"][m]
+            == out["exact_dedup"][m]
+        )
+
+
+def test_prep_cost_matches_jobs_corpus_prep(spark):
+    """The audit's survivor set IS jobs.corpus_prep's output, by count."""
+    from inde1_spark.jobs import corpus_prep
+    from inde1_spark.operators.corpus import corpus_prep_cost_audit
+
+    rows = [
+        (i, _PASSING_TEXT + (" pad" * (i % 3)), "en", "src%d" % (i % 4), 200)
+        for i in range(12)
+    ] + [(99, "too short", "en", "src0", 9)]
+    df = spark.createDataFrame(rows, DOC_COLS)
+    prepared = corpus_prep(df)
+    audit = {
+        r["stage"]: r for r in corpus_prep_cost_audit(df).collect()
+    }
+    assert audit["exact_dedup"]["n_docs"] == prepared.count()
+    per_split = {
+        r["split"]: r["n"]
+        for r in prepared.groupBy("split").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for s in ("train", "val", "test"):
+        assert audit[f"split_{s}"]["n_docs"] == per_split.get(s, 0)
+
+
+def test_prep_cost_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["corpus_prep_cost_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string,source:string,n_chars:bigint"}
+    assert "InMemoryTableScan" in r.raw  # one agg row feeds all 6 stages
+
+
+# ---------------------------------------------------------------------------
+# mixture_epoch_plan
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_plan_sqrt_weights_exact(spark):
+    from inde1_spark.operators.corpus import mixture_epoch_plan
+
+    # a: 100 tokens, b: 1 token -> w = (10/11, 1/11) exactly on the nano grid
+    rows = [
+        (i, " ".join(["w"] * 10), "en", "a", 20) for i in range(10)
+    ] + [(100, "solo", "en", "b", 4)]
+    out = {
+        r["source"]: r
+        for r in mixture_epoch_plan(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a["n_tokens"] == 100 and b["n_tokens"] == 1
+    assert a["weight_ppm"] == 909091   # round(1e6 * 10/11)
+    assert b["weight_ppm"] == 90909    # round(1e6 * 1/11)
+    # epochs = T*w/n: a serves 101*10/11 over 100 unique -> 0.918 epochs;
+    # b serves 101/11 over 1 unique -> 9.182 epochs (over the 4-epoch cap)
+    assert a["epochs_milli"] == 918 and not a["over_epoch_cap"]
+    assert b["epochs_milli"] == 9182 and b["over_epoch_cap"]
+
+
+def test_epoch_plan_uniform_sources_one_epoch(spark):
+    from inde1_spark.operators.corpus import mixture_epoch_plan
+
+    # equal sources: sqrt flattening is a no-op, every source runs 1 epoch
+    rows = [
+        (i, " ".join(["w"] * 5), "en", "s%d" % (i % 4), 10) for i in range(8)
+    ]
+    out = mixture_epoch_plan(spark.createDataFrame(rows, DOC_COLS)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["epochs_milli"] == 1000 and not r["over_epoch_cap"]
+        assert r["weight_ppm"] == 250000
+
+
+def test_epoch_plan_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["mixture_epoch_plan"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string,source:string"}
+    assert r.sort_merge_joins == 0  # totals ride a 1-row broadcast
+
+
+# ---------------------------------------------------------------------------
+# split_balance_audit
+# ---------------------------------------------------------------------------
+
+
+def test_split_balance_single_source_is_balanced(spark):
+    from inde1_spark.operators.corpus import split_balance_audit
+
+    # one source == the whole corpus: its split distribution IS the global
+    # one, TVD exactly 0 whatever the hash did
+    rows = [(i, "t", "en", "only", 5) for i in range(40)]
+    out = split_balance_audit(spark.createDataFrame(rows, DOC_COLS)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 40
+    assert r["n_train"] + r["n_val"] + r["n_test"] == 40
+    assert r["split_tvd"] == 0.0 and r["balanced"]
+
+
+def test_split_balance_skewed_source_flagged(spark):
+    from inde1_spark.operators.corpus import split_balance_audit
+
+    train_ids = [i for i in range(500) if _py_hash_bucket(i) < 80]
+    test_ids = [i for i in range(500) if _py_hash_bucket(i) >= 90]
+    # a: one train doc; b: one test doc. Global = {train: 1, test: 1}.
+    # TVD per source = (|1*2-1*1| + |0*2-1*1|) / (2*1*2) = 0.5
+    rows = [
+        (train_ids[0], "t", "en", "a", 5),
+        (test_ids[0], "t", "en", "b", 5),
+    ]
+    out = {
+        r["source"]: r
+        for r in split_balance_audit(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    for s in ("a", "b"):
+        assert out[s]["split_tvd"] == 0.5 and not out[s]["balanced"]
+    assert out["a"]["n_train"] == 1 and out["a"]["n_test"] == 0
+    assert out["b"]["n_test"] == 1 and out["b"]["n_train"] == 0
+
+
+def test_split_balance_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["split_balance_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,source:string"}
+    assert r.sort_merge_joins == 0  # grid/fill-in ride broadcasts
+    assert "InMemoryTableScan" in r.raw  # counts built once, read 4 ways
+
+
+# ---------------------------------------------------------------------------
+# perplexity_filter_sweep
+# ---------------------------------------------------------------------------
+
+
+def _py_lp_mirror(docs):
+    """Pure-python mirror of unigram_logprob's nano-log math."""
+    import math
+
+    from inde1_spark.operators.scoring import LOG_SCALE
+
+    vocab: dict[str, int] = {}
+    for _, text in docs:
+        for t in text.split():
+            if t:
+                vocab[t] = vocab.get(t, 0) + 1
+    total = float(sum(vocab.values()))
+    out = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        lp_sum = sum(
+            n * round(math.log(vocab[t] / total) * LOG_SCALE)
+            for t, n in tf.items()
+        )
+        out[doc_id] = (len(toks), float(lp_sum) / LOG_SCALE / len(toks))
+    return out
+
+
+def _py_rr(num: int, den: int, scale: int) -> float:
+    p = 10**scale
+    return float((num * 2 * p + den) // (2 * den)) / p
+
+
+def test_perplexity_sweep_matches_pure_python_mirror(spark):
+    from inde1_spark.operators.scoring import (
+        LP_SWEEP_THRESHOLDS,
+        perplexity_filter_sweep,
+    )
+
+    # skewed vocabulary so scores straddle the corpus-calibrated grid
+    docs = [
+        (1, " ".join(["common"] * 30)),
+        (2, " ".join(["common"] * 20 + ["rare1"])),
+        (3, "rare2 rare3 rare4"),
+        (4, " ".join(["common"] * 5 + ["rare5"] * 5)),
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs]
+    got = {
+        (r["source"], r["threshold"]): r
+        for r in perplexity_filter_sweep(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    mirror = _py_lp_mirror(docs)
+    n_docs = len(mirror)
+    n_toks = sum(d for d, _ in mirror.values())
+    for t in LP_SWEEP_THRESHOLDS:
+        kept = [(d, a) for d, a in mirror.values() if a >= t]
+        r = got[("s", float(t))]
+        assert r["n_docs_kept"] == len(kept)
+        assert r["n_tokens_kept"] == sum(d for d, _ in kept)
+        assert r["doc_retention_pct"] == _py_rr(
+            len(kept) * 100, max(n_docs, 1), 2
+        )
+        assert r["token_retention_pct"] == _py_rr(
+            sum(d for d, _ in kept) * 100, max(n_toks, 1), 2
+        )
+
+
+def test_perplexity_sweep_monotone_and_uniform_corpus(spark):
+    from inde1_spark.operators.scoring import perplexity_filter_sweep
+
+    # uniform corpus: every doc scores ln(1) = 0 >= every threshold
+    rows = [(i, "w w w", "en", "u", 5) for i in range(6)]
+    out = perplexity_filter_sweep(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert all(r["doc_retention_pct"] == 100.0 for r in out)
+    # retention is monotone non-increasing as the threshold rises
+    by_thr = [r["n_docs_kept"] for r in sorted(out, key=lambda r: r["threshold"])]
+    assert by_thr == sorted(by_thr, reverse=True)
+
+
+def test_perplexity_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["perplexity_filter_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas <= {
+        "doc_id:bigint,text:string",
+        "doc_id:bigint,source:string",
+    }
+    assert "InMemoryTableScan" in r.raw  # k-source table feeds all 5 rows
+
+
+# ---------------------------------------------------------------------------
+# batch-level plan invariants (the test_plan_quality discipline)
+# ---------------------------------------------------------------------------
+
+R11_BATCH = (
+    "source_length_drift",
+    "copartition_audit",
+    "semdedup_incremental",
+    "repetition_rules",
+    "dedup_winnow_incremental",
+    "shingle_df_cap_sweep",
+    "schema_evolution_audit",
+    "compression_ratio_audit",
+    "corpus_prep_cost_audit",
+    "mixture_epoch_plan",
+    "split_balance_audit",
+    "perplexity_filter_sweep",
+)
+
+
+def test_r11_batch_plan_invariants(spark):
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.staged_queries()
+    assert sorted(R11_BATCH) == sorted(Q)
+    for name in R11_BATCH:
+        r = plan_report(Q[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in r.raw, f"{name}: cartesian"
+        assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in r.raw, f"{name}: unexpected {node}"
