@@ -2975,6 +2975,12 @@ def minhash_band_sweep(
 
 
 WINNOW_INCR_PCT = INCR_BATCH_PCT  # same hash lane as dedup_incremental
+# admission containment cut: reject iff >= half the NEW doc's fingerprints
+# are already covered by one index doc. Deliberately above dedup_winnow's
+# 7/20 pair rule: on char-gram fingerprints a loose cut rejects everything
+# (measured: the 7/20 cut rejects 44/44 at both gate SFs; 1/2 admits
+# 18/44 and 24/44 — a gate that discriminates)
+WINNOW_ADMIT_NUM, WINNOW_ADMIT_DEN = 1, 2
 
 
 def dedup_winnow_incremental(
@@ -2986,9 +2992,11 @@ def dedup_winnow_incremental(
     shape at FINGERPRINT granularity: score an incoming shard's winnowed
     rolling-hash fingerprints against the standing corpus index only, and
     admit each new document iff no index document already CONTAINS it
-    (shared fingerprints >= 7/20 of the NEW doc's fingerprint set — the
+    (shared fingerprints >= half of the NEW doc's fingerprint set — the
     containment direction, not ``dedup_winnow``'s symmetric min-size
-    rule, because admission asks "is this content already covered?").
+    rule, because admission asks "is this content already covered?";
+    the cut sits above the pair rule's 7/20 because char-gram
+    fingerprint BACKGROUND overlap is high on a shared vocabulary).
     Completes the incremental-admission family: ``dedup_incremental``
     (token-set Jaccard), ``dedup_substring_incremental`` (window
     membership mass), ``semdedup_incremental`` (embedding cosine), and
@@ -3068,8 +3076,8 @@ def dedup_winnow_incremental(
         ).otherwise(F.lit(0.0)).alias("containment_pct"),
         # a doc too short to fingerprint carries no dup evidence: admit
         F.when(sz == 0, F.lit(True)).otherwise(
-            F.lit(WINNOW_OVERLAP_DEN) * n_shared
-            < F.lit(WINNOW_OVERLAP_NUM) * sz
+            F.lit(WINNOW_ADMIT_DEN) * n_shared
+            < F.lit(WINNOW_ADMIT_NUM) * sz
         ).alias("admitted"),
     ).orderBy("doc_id")
 

@@ -12085,6 +12085,8 @@ def _rrh(num: str, den: str, scale: int) -> str:
 
 from inde1_spark.operators.dedup import (  # noqa: E402
     DF_CAP_SWEEP,
+    WINNOW_ADMIT_DEN,
+    WINNOW_ADMIT_NUM,
     WINNOW_INCR_PCT,
 )
 
@@ -12139,8 +12141,8 @@ SELECT s.doc_id,
             THEN {_rr("COALESCE(b.n_shared, 0) * 100", "z.sz", 2)}
             ELSE 0.0 END AS containment_pct,
        CASE WHEN COALESCE(z.sz, 0) = 0 THEN TRUE
-            ELSE {WINNOW_OVERLAP_DEN} * COALESCE(b.n_shared, 0)
-                 < {WINNOW_OVERLAP_NUM} * z.sz END AS admitted
+            ELSE {WINNOW_ADMIT_DEN} * COALESCE(b.n_shared, 0)
+                 < {WINNOW_ADMIT_NUM} * z.sz END AS admitted
 FROM split s
 LEFT JOIN sizes z ON z.doc_id = s.doc_id
 LEFT JOIN best b ON b.doc_new = s.doc_id

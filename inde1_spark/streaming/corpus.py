@@ -463,3 +463,100 @@ def embedding_admission_stream(
         .select("vec_new", "vec_idx", "ingest_ts", "cos_sim")
     )
     return scored.dropDuplicatesWithinWatermark(["vec_new", "vec_idx"])
+
+
+def winnow_admission_stream(
+    documents: DataFrame,
+    index: DataFrame,
+    max_fp_df: int | None = None,
+    watermark: str = DEDUP_WATERMARK,
+) -> DataFrame:
+    """Verbatim-passage CONTAINMENT detections against a standing winnow
+    index, on the live firehose — the streaming face of
+    ``dedup.dedup_winnow_incremental`` (the MOSS criterion at the ingest
+    boundary), completing the admission-stream family beside
+    ``near_dup_stream`` (token-set Jaccard) and
+    ``embedding_admission_stream`` (cosine): each arriving document
+    emits one row per index document that already CONTAINS it (shared
+    fingerprints >= half of the new doc's set, WINNOW_ADMIT), or nothing if its
+    content is fresh. The admission gate is a trivial consumer —
+    suppress doc_ids seen on this feed — the near_dup_stream rule.
+
+    Stateless by the same construction: the winnowed fingerprint set
+    computes ROW-LOCALLY on the arriving document (rolling k-gram
+    hashes -> window minima, all array folds — no explode/groupBy
+    before the join); fingerprints explode statelessly into the
+    stream-static equi-join against the standing DF-CAPPED posting
+    table (at scale: the parquet the admission pipeline maintains,
+    bucketed by fp); the exact verify is ALSO row-local —
+    |array_intersect| of the new doc's own fingerprint ARRAY against
+    the index doc's static ARRAY, over the UNCAPPED sets, so the cap
+    can only lose all-boilerplate candidates, never mis-score one (the
+    dedup_winnow_incremental contract). The only state is
+    ``dropDuplicatesWithinWatermark`` on the pair key (a pair surfaces
+    once per shared capped fingerprint).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.dedup import WINNOW_MAX_FP_DF
+    from inde1_spark.operators.text import _gram_hashes, _winnow_minima
+
+    cap = WINNOW_MAX_FP_DF if max_fp_df is None else max_fp_df
+    # --- static side: per-doc fingerprint arrays + df-capped postings ---
+    idx_arr = index.select(
+        F.col("doc_id").alias("doc_idx"),
+        _winnow_minima(_gram_hashes(F.col("text"))).alias("fp_idx"),
+    )
+    idx_post = idx_arr.select("doc_idx", F.explode("fp_idx").alias("fp"))
+    hot = (
+        idx_post.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("fp")
+    )
+    capped = idx_post.join(hot, "fp")
+    # --- stream side: row-local fingerprints -> stateless explode ---
+    base = (
+        documents.withWatermark("ingest_ts", watermark)
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            "ingest_ts",
+            _winnow_minima(_gram_hashes(F.col("text"))).alias("fp_new"),
+        )
+        .filter(F.size("fp_new") > 0)
+    )
+    cand = (
+        base.select(
+            "doc_new", "ingest_ts", "fp_new", F.explode("fp_new").alias("fp")
+        )
+        .join(capped, "fp")
+        .join(idx_arr, "doc_idx")
+    )
+    from inde1_spark.operators.dedup import (
+        WINNOW_ADMIT_DEN,
+        WINNOW_ADMIT_NUM,
+    )
+
+    n_shared = F.size(F.array_intersect(F.col("fp_new"), F.col("fp_idx")))
+    scored = (
+        cand.select(
+            "doc_new",
+            "doc_idx",
+            "ingest_ts",
+            n_shared.cast("long").alias("n_shared"),
+            F.size("fp_new").cast("long").alias("sz_new"),
+        )
+        .filter(
+            F.lit(WINNOW_ADMIT_DEN) * F.col("n_shared")
+            >= F.lit(WINNOW_ADMIT_NUM) * F.col("sz_new")
+        )
+        .select(
+            "doc_new",
+            "doc_idx",
+            "ingest_ts",
+            "n_shared",
+            ratio_round(F.col("n_shared") * 100, F.col("sz_new"), 2).alias(
+                "containment_pct"
+            ),
+        )
+    )
+    return scored.dropDuplicatesWithinWatermark(["doc_new", "doc_idx"])

@@ -822,3 +822,140 @@ def value_drift_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming schema-drift monitor (live sibling of
+# analytics.schema_evolution_audit)
+# ---------------------------------------------------------------------------
+
+SCHEMA_STREAM_OUTPUT_SCHEMA = (
+    "event_type string, key string, vtype string, prev_vtype string, "
+    "kind string"
+)
+# state: the registered key inventory as parallel arrays + the seeded flag
+SCHEMA_STREAM_STATE_SCHEMA = (
+    "keys array<string>, vtypes array<string>, seeded boolean"
+)
+SCHEMA_STREAM_WATERMARK = "10 minutes"
+
+
+def schema_drift_stream(events: DataFrame) -> DataFrame:
+    """Live payload-schema drift alarms per event type — the streaming
+    form of ``analytics.schema_evolution_audit``: the batch audit diffs
+    day partitions after the fact; the MONITOR alarms the moment a
+    producer ships a ``props`` key the registered contract has never
+    seen ('added') or a value whose inferred type contradicts the
+    registered one ('type_changed', which also re-registers the new
+    type so a flap back alarms again). The first event of each type
+    seeds its keys silently — the batch audit's 'baseline' day, as one
+    event. Removed keys are the one face a live monitor cannot see
+    (absence is not an event); the batch audit owns that direction.
+
+    Type inference is byte-for-byte the batch audit's anchored regexes
+    applied to the stringified JSON scalar, so a drained stream's alarm
+    set equals the pure-python contract replay (pinned by pytest).
+    State is the registered key->vtype inventory (bounded by the
+    payload vocabulary, a few dozen entries — far smaller than the
+    per-day histograms the drift monitors carry); rows inside a
+    micro-batch process in (ts, event_id) order, the monitors' shared
+    convention.
+    """
+    cols = ["event_type", "key", "vtype", "prev_vtype", "kind"]
+
+    def _stringify(v: Any) -> str | None:
+        # mirror from_json(map<string,string>)'s scalar rendering
+        import json as _json  # noqa: PLC0415 — worker-side import
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (dict, list)):
+            return _json.dumps(v, separators=(",", ":"))
+        return str(v)
+
+    def _vtype(v: str | None) -> str:
+        import re as _re  # noqa: PLC0415 — worker-side import
+
+        if v is not None and _re.fullmatch(r"-?[0-9]+", v):
+            return "int"
+        if v is not None and _re.fullmatch(r"-?[0-9]*\.[0-9]+", v):
+            return "float"
+        return "string"
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import json as _json  # noqa: PLC0415 — worker-side import
+
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            keys, vtypes, seeded = state.get
+            inv = dict(zip(list(keys), list(vtypes)))
+        else:
+            inv, seeded = {}, False
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for row in rows.itertuples(index=False):
+            try:
+                kv = _json.loads(row.props) or {}
+            except (TypeError, ValueError):
+                continue  # malformed payload: the S4 drop rule
+            if not isinstance(kv, dict):
+                continue
+            items = sorted(
+                (k, _vtype(_stringify(v))) for k, v in kv.items()
+            )
+            if not seeded:
+                inv.update(items)  # baseline event registers silently
+                seeded = True
+                continue
+            for k, vt in items:
+                if k not in inv:
+                    inv[k] = vt
+                    out.append(
+                        {
+                            "event_type": event_type,
+                            "key": k,
+                            "vtype": vt,
+                            "prev_vtype": None,
+                            "kind": "added",
+                        }
+                    )
+                elif inv[k] != vt:
+                    out.append(
+                        {
+                            "event_type": event_type,
+                            "key": k,
+                            "vtype": vt,
+                            "prev_vtype": inv[k],
+                            "kind": "type_changed",
+                        }
+                    )
+                    inv[k] = vt  # re-register: a flap back alarms again
+        ks = sorted(inv)
+        state.update((ks, [inv[k] for k in ks], seeded))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.withWatermark("ts", SCHEMA_STREAM_WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=SCHEMA_STREAM_OUTPUT_SCHEMA,
+            stateStructType=SCHEMA_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -773,3 +773,99 @@ def test_value_drift_stream_matches_python_replay(spark, tmp_path):
     # day 1: bins {0: 4} vs ref (.5, .5) -> TVD .5*(|1-.5| + .5) = 0.5
     assert got_map["2024-03-02"] == (4, 0.5, True)
     assert len(got_map) == 2  # flush day itself never closes
+
+
+def test_schema_drift_stream_matches_contract_replay(spark, tmp_path):
+    """Added-key and type-change alarms equal the pure-python contract
+    replay, with the drifting events crossing micro-batch boundaries;
+    the first event seeds silently; a type flap back re-alarms."""
+    import json
+    import os
+    import re as _re
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import schema_drift_stream
+
+    base = datetime(2024, 3, 1)
+    payloads = [
+        {"a": 1, "b": "x"},            # seeds: a int, b string (silent)
+        {"a": 2, "b": "y"},            # conforming: no alarm
+        {"a": 1, "b": 2.5},            # b string -> float: type_changed
+        {"a": 1, "b": 3.5, "c": 7},    # c: added
+        {"a": 1, "b": "z"},            # b float -> string: flap re-alarms
+    ]
+    rows = [
+        {
+            "event_id": i + 1,
+            "ts": (base + timedelta(minutes=i)).isoformat(),
+            "user_id": i,
+            "event_type": "m",
+            "value": 1.0,
+            "props": json.dumps(p),
+        }
+        for i, p in enumerate(payloads)
+    ]
+    data_dir = tmp_path / "schema_data"
+    data_dir.mkdir()
+    # one event per file, strictly increasing mtimes: every transition
+    # crosses a micro-batch boundary
+    for i, r in enumerate(rows):
+        p = data_dir / f"part-{i}.json"
+        p.write_text(json.dumps(r))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        schema_drift_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # pure-python contract replay (the operator's documented semantics)
+    def vtype(v):
+        s = (
+            ("true" if v else "false")
+            if isinstance(v, bool)
+            else json.dumps(v, separators=(",", ":"))
+            if isinstance(v, (dict, list))
+            else None
+            if v is None
+            else str(v)
+        )
+        if s is not None and _re.fullmatch(r"-?[0-9]+", s):
+            return "int"
+        if s is not None and _re.fullmatch(r"-?[0-9]*\.[0-9]+", s):
+            return "float"
+        return "string"
+
+    inv: dict = {}
+    expected = []
+    for i, p in enumerate(payloads):
+        items = sorted((k, vtype(v)) for k, v in p.items())
+        if i == 0:
+            inv.update(items)
+            continue
+        for k, vt in items:
+            if k not in inv:
+                inv[k] = vt
+                expected.append(("m", k, vt, None, "added"))
+            elif inv[k] != vt:
+                expected.append(("m", k, vt, inv[k], "type_changed"))
+                inv[k] = vt
+    assert [
+        (r["event_type"], r["key"], r["vtype"], r["prev_vtype"], r["kind"])
+        for r in got
+    ] == expected
+    # the fixture exercised every alarm kind incl. the flap re-alarm
+    kinds = [e[4] for e in expected]
+    assert kinds == ["type_changed", "added", "type_changed"]

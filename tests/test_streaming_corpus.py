@@ -834,3 +834,77 @@ def test_embedding_admission_stream_checkpoint_restart_no_dup(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert first_keys | second_keys == {k(r) for r in full}
+
+
+def test_winnow_admission_stream_matches_batch(spark, tmp_path):
+    """Stream the 10%-hash slice against the 90% static winnow index: the
+    doc_ids on the detection feed must be exactly the batch
+    ``dedup_winnow_incremental`` REJECTIONS, and the feed's best
+    containment per doc must equal the batch best-match verdict."""
+    from inde1_spark.operators.dedup import (
+        WINNOW_INCR_PCT,
+        dedup_winnow_incremental,
+        release_persisted,
+    )
+    from inde1_spark.operators.text import hash_bucket
+    from inde1_spark.streaming.corpus import (
+        document_stream,
+        winnow_admission_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    verdicts = {
+        r["doc_id"]: r for r in dedup_winnow_incremental(docs).collect()
+    }
+    release_persisted()
+    rejected = {d for d, r in verdicts.items() if not r["admitted"]}
+    assert rejected and len(rejected) < len(verdicts), (
+        "fixture must mix admits and rejections"
+    )
+
+    is_batch = hash_bucket(F.col("doc_id"), 100) < WINNOW_INCR_PCT
+    index = docs.filter(~is_batch)
+    feed = docs.filter(is_batch).withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id") % 3600),
+    )
+    data_dir = tmp_path / "feed"
+    data_dir.mkdir()
+    rows = feed.toJSON().collect()
+    half = len(rows) // 2
+    (data_dir / "a.json").write_text("\n".join(rows[:half]))
+    (data_dir / "b.json").write_text("\n".join(rows[half:]))
+
+    got_rows: list = []
+    q = (
+        winnow_admission_stream(document_stream(spark, str(data_dir)), index)
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert {r["doc_new"] for r in got_rows} == rejected
+    assert len({(r["doc_new"], r["doc_idx"]) for r in got_rows}) == len(
+        got_rows
+    )  # fingerprint collisions deduped to one row per pair
+    # the feed's best detection per doc equals the batch best-match verdict
+    # (max shared, ties to the lowest index doc — the batch total order)
+    best: dict = {}
+    for r in got_rows:
+        k = r["doc_new"]
+        cur = best.get(k)
+        if cur is None or (-r["n_shared"], r["doc_idx"]) < (
+            -cur["n_shared"],
+            cur["doc_idx"],
+        ):
+            best[k] = r
+    for d, r in best.items():
+        v = verdicts[d]
+        assert (r["doc_idx"], r["n_shared"]) == (
+            v["best_doc_idx"],
+            v["n_shared"],
+        )
+        assert r["containment_pct"] == v["containment_pct"]
