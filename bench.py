@@ -145,9 +145,21 @@ HEADLINE = (
     "label_propagation_communities",  # iterative LPA, lazy checkpoints (r09)
     "jm_query_likelihood",    # retrieval scoring, shuffled postings join (r09)
     "kmv_distinct_by_source", # per-source distinct-hash rank pass (r09)
-    "minhash_band_sweep",     # 30 band self-joins over one persisted signature (r10 staged)
-    "dedup_substring_incremental",  # increment-proportional admission join (r10 staged)
-    "semdedup_threshold_sweep",  # kmeans + pair verify + bounded grid (r10 staged)
+    "minhash_band_sweep",     # 30 band self-joins over one persisted signature (r10)
+    "dedup_substring_incremental",  # increment-proportional admission join (r10)
+    "semdedup_threshold_sweep",  # kmeans + pair verify + bounded grid (r10)
+    "semdedup_incremental",   # standing-split Lloyd + batch routing (r11 staged)
+    "copartition_audit",      # per-join key-count aggregates, persisted sides (r11 staged)
+    "source_length_drift",    # persisted histogram + S^2/2 broadcast grid (r11 staged)
+    "repetition_rules",       # row-local n-gram mass + corpus shuffle (r11 staged)
+    "dedup_winnow_incremental",  # capped postings join + uncapped verify (r11 staged)
+    "shingle_df_cap_sweep",   # shingle-DF histogram x bounded cap grid (r11 staged)
+    "schema_evolution_audit", # per-day JSON key inventory + lag diff (r11 staged)
+    "compression_ratio_audit",  # day-windowed run counts, 4 NDVs, one pass (r11 staged)
+    "corpus_prep_cost_audit", # gopher + md5-window dedup + split, one agg (r11 staged)
+    "perplexity_filter_sweep",  # corpus LM pass + bounded threshold grid (r11 staged)
+    "mixture_epoch_plan",     # token sums + k-row broadcast arithmetic (r11 staged)
+    "split_balance_audit",    # persisted split counts + 3-bin TVD grid (r11 staged)
 )
 
 

@@ -876,3 +876,72 @@ def test_semdedup_incremental_verdict_soundness(spark, vecs):
 
 def _py_hash_bucket_100(key: int) -> int:
     return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+
+
+# ---------------------------------------------------------------------------
+# dec_ratio_round: the wide-decimal sibling must satisfy the SAME half-up
+# spec as ratio_round — including far past ratio_round's 2^53 long ceiling
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**30),
+            st.integers(min_value=1, max_value=10**30),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_dec_ratio_round_equals_decimal_half_up_wide(spark, pairs):
+    """dec_ratio_round == Decimal ROUND_HALF_UP at magnitudes where
+    ratio_round's long spelling would overflow (operands to 1e30), with
+    the quotient still in exact-double range."""
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    # keep the rounded quotient exactly representable as a double
+    # (the operator's documented contract: percents/bounded ratios)
+    pairs = [(min(n, d * 10**6), d) for n, d in pairs]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in pairs], ["num", "den"]
+    ).select(
+        F.col("num").cast("decimal(38,0)").alias("num"),
+        F.col("den").cast("decimal(38,0)").alias("den"),
+    )
+    got = [
+        r["rr"]
+        for r in df.select(
+            dec_ratio_round(F.col("num"), F.col("den"), 4).alias("rr")
+        ).collect()
+    ]
+    for (num, den), g in zip(pairs, got):
+        assert g == _py_round_half_up(num, den, 4), (num, den)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=14),
+)
+@SETTINGS
+def test_cap_sweep_pair_identity_vs_brute_enumeration(spark, dfs, cap):
+    """shingle_df_cap_sweep's candidate-volume formula equals a literal
+    inverted-index enumeration: build postings for each df, truncate each
+    posting list to the cap (the capped join's input), and COUNT the pairs
+    the equi-join would emit. Also: shed pairs are monotone non-increasing
+    in the cap, and postings lost == sum of truncated tails."""
+    from itertools import combinations
+
+    def formula(c):
+        return sum(min(v, c) * (min(v, c) - 1) // 2 for v in dfs)
+
+    brute = 0
+    lost_postings = 0
+    for s, df in enumerate(dfs):
+        posting = [(s, d) for d in range(df)][:cap]
+        brute += sum(1 for _ in combinations(posting, 2))
+        lost_postings += max(0, df - cap)
+    assert formula(cap) == brute
+    assert formula(cap) <= formula(cap + 1)  # monotone in the cap
+    assert sum(dfs) - sum(min(v, cap) for v in dfs) == lost_postings
