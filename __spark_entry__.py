@@ -860,6 +860,26 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter_sweep": lambda sp, d: SC.perplexity_filter_sweep(
             _t(sp, d, "documents")
         ),
+        # ----- r12 batch, first tranche (accumulating behind the r11 batch) -----
+        "jonckheere_terpstra_trend": lambda sp, d: A.jonckheere_terpstra_trend(
+            _t(sp, d, "events")
+        ),
+        "mantel_haenszel_or": lambda sp, d: A.mantel_haenszel_or(
+            _t(sp, d, "events")
+        ),
+        "range_partition_plan": lambda sp, d: A.range_partition_plan(
+            _t(sp, d, "events")
+        ),
+        "join_size_estimate_audit": lambda sp, d: A.join_size_estimate_audit(
+            _t(sp, d, "events"),
+            _t(sp, d, "customer"),
+            _t(sp, d, "orders"),
+            _t(sp, d, "lineitem"),
+            _t(sp, d, "part"),
+        ),
+        "langid_calibration_audit": lambda sp, d: TX.langid_calibration_audit(
+            _t(sp, d, "documents")
+        ),
     }
 
 

@@ -10671,3 +10671,484 @@ def compression_ratio_audit(events: DataFrame) -> DataFrame:
         .alias("ndv_pct"),
         enc.alias("encoding"),
     ).orderBy("column_name")
+
+
+JT_GROUP_HOURS = 6  # day quarters: the ordered groups (0..3)
+
+
+def jonckheere_terpstra_trend(events: DataFrame) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative k-sample test across the
+    day's quarters: does ``value`` trend MONOTONICALLY as the day
+    progresses? Completes the rank-test tier — ``kruskal_wallis`` asks
+    "different anywhere" with no ordering, ``page_trend_test`` orders
+    TREATMENTS within blocks; JT is the unblocked ordered k-sample
+    member (strictly more powerful than KW against monotone shifts).
+    Groups are hour-div-6 day quarters (hour() is engine-identical
+    where dayofweek is NOT — CLAUDE.md).
+
+    Sort-free, the kruskal/mann-whitney discipline: values micro-snap
+    onto the bounded centi-grid histogram (the only corpus-volume
+    shuffle is the map-side-combined (group, v) count); U accumulates at
+    x2 scale over the grid x group-pair join — U2 = sum_{i<j} sum_v
+    cnt_j(v) * (2*cumlt_i(v) + cnt_i(v)), every term an exact integer
+    in DECIMAL(38,0). Null moments use the full tie-corrected
+    Hollander-Wolfe forms: E[U] = (N^2 - sum n_i^2)/4 and the
+    three-term variance, each quotient micro-rounded half-up in
+    decimal (the chi2 micro-grid contract), z through the digit-split
+    double chain with an explicit sign split (U - E can be negative;
+    the digit split requires nonnegative operands). Degenerate inputs
+    (all one group, or every value tied) filter out ANSI-safe.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv, dec_to_double_exact
+    from inde1_spark.operators.dedup import _persist
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def rhu_micro(num, den):
+        # round_half_up(num * 1e6 / den) in exact decimal
+        n6 = num * F.lit(1_000_000).cast("decimal(38,0)")
+        return dec_floordiv(
+            (n6 * F.lit(2).cast("decimal(38,0)") + den).cast("decimal(38,0)"),
+            (den * F.lit(2).cast("decimal(38,0)")).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)")
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    g = (F.hour("ts").cast("long") / F.lit(JT_GROUP_HOURS)).cast("long")
+    raw = events.select(g.alias("g"), y.alias("y"))
+    gmin = raw.agg(F.min("y").alias("y_min"))
+    hist = _persist(
+        raw.join(F.broadcast(gmin))
+        .select(
+            "g",
+            F.expr(f"(y - y_min) div CAST({MW_RESCALE} AS BIGINT)").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # zero-filled grid: every group needs cumlt at EVERY observed v
+    groups = hist.select("g").distinct()
+    vals = hist.select("v").distinct()
+    grid = (
+        groups.join(F.broadcast(vals))
+        .join(hist, ["g", "v"], "left")
+        .select(
+            "g", "v", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+        )
+    )
+    wcum = Window.partitionBy("g").orderBy("v")
+    cum = _persist(
+        grid.withColumn(
+            "cumlt",
+            F.coalesce(
+                F.sum("cnt").over(
+                    wcum.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    lo = cum.select(
+        F.col("g").alias("g_i"), "v",
+        F.col("cnt").alias("cnt_i"), F.col("cumlt").alias("cumlt_i"),
+    )
+    hi = cum.select(
+        F.col("g").alias("g_j"), "v", F.col("cnt").alias("cnt_j")
+    )
+    u2 = (
+        lo.join(hi, "v")
+        .filter(F.col("g_i") < F.col("g_j"))
+        .agg(
+            F.sum(
+                d38(F.col("cnt_j"))
+                * (
+                    F.lit(2).cast("decimal(38,0)") * d38(F.col("cumlt_i"))
+                    + d38(F.col("cnt_i"))
+                )
+            ).alias("u2")
+        )
+    )
+    per_g = hist.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_i"))
+    gstats = per_g.agg(
+        F.sum(d38(F.col("n_i"))).alias("n_dec"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(d38(F.col("n_i")) * d38(F.col("n_i"))).alias("sum_n2"),
+        F.sum(
+            d38(F.col("n_i"))
+            * (d38(F.col("n_i")) - F.lit(1).cast("decimal(38,0)"))
+        ).alias("sum_n_n1"),
+        F.sum(
+            d38(F.col("n_i"))
+            * (d38(F.col("n_i")) - F.lit(1).cast("decimal(38,0)"))
+            * (F.lit(2).cast("decimal(38,0)") * d38(F.col("n_i"))
+               + F.lit(5).cast("decimal(38,0)"))
+        ).alias("sum_n_n1_2n5"),
+        F.sum(
+            d38(F.col("n_i"))
+            * (d38(F.col("n_i")) - F.lit(1).cast("decimal(38,0)"))
+            * (d38(F.col("n_i")) - F.lit(2).cast("decimal(38,0)"))
+        ).alias("sum_n_n1_n2"),
+    )
+    merged = hist.groupBy("v").agg(F.sum("cnt").cast("long").alias("m"))
+    tstats = merged.agg(
+        F.sum(
+            d38(F.col("m"))
+            * (d38(F.col("m")) - F.lit(1).cast("decimal(38,0)"))
+            * (F.lit(2).cast("decimal(38,0)") * d38(F.col("m"))
+               + F.lit(5).cast("decimal(38,0)"))
+        ).alias("sum_t_t1_2t5"),
+        F.sum(
+            d38(F.col("m"))
+            * (d38(F.col("m")) - F.lit(1).cast("decimal(38,0)"))
+            * (d38(F.col("m")) - F.lit(2).cast("decimal(38,0)"))
+        ).alias("sum_t_t1_t2"),
+        F.sum(
+            d38(F.col("m"))
+            * (d38(F.col("m")) - F.lit(1).cast("decimal(38,0)"))
+        ).alias("sum_t_t1"),
+    )
+    s = u2.join(F.broadcast(gstats)).join(F.broadcast(tstats))
+    one = F.lit(1).cast("decimal(38,0)")
+    two = F.lit(2).cast("decimal(38,0)")
+    n = F.col("n_dec")
+    # the x4-scale mean: N^2 - sum n_i^2 = 4*E[U] (halved to x2 below)
+    e2 = (n * n - F.col("sum_n2")).cast("decimal(38,0)")
+    # A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1)), micro-rounded per term
+    a_term = (
+        n * (n - one) * (two * n + F.lit(5).cast("decimal(38,0)"))
+        - F.col("sum_n_n1_2n5")
+        - F.col("sum_t_t1_2t5")
+    ).cast("decimal(38,0)")
+    b_num = (F.col("sum_n_n1_n2") * F.col("sum_t_t1_t2")).cast("decimal(38,0)")
+    c_num = (F.col("sum_n_n1") * F.col("sum_t_t1")).cast("decimal(38,0)")
+    # A can go NEGATIVE under extreme ties (one block spanning most of N);
+    # floor-div semantics differ across engines for negative numerators
+    # (Spark % keeps dividend sign, DuckDB // floors), so the micro-round
+    # runs on |A| with the sign applied after — round-half-away-from-zero,
+    # mirrored verbatim in the twin
+    a_sgn = (
+        F.when(a_term < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    )
+    var_micro = (
+        a_sgn
+        * rhu_micro(
+            F.abs(a_term).cast("decimal(38,0)"),
+            F.lit(72).cast("decimal(38,0)"),
+        )
+        + rhu_micro(
+            b_num,
+            (F.lit(36).cast("decimal(38,0)") * n * (n - one) * (n - two))
+            .cast("decimal(38,0)"),
+        )
+        + rhu_micro(
+            c_num,
+            (F.lit(8).cast("decimal(38,0)") * n * (n - one)).cast(
+                "decimal(38,0)"
+            ),
+        )
+    ).cast("decimal(38,0)")
+    # U2 - E2 with an explicit sign split (digit-split needs nonnegative);
+    # E2 here is 4*E[U] at x2... E[U] = (N^2 - sum n2)/4, U2 = 2U, so the
+    # comparable x2-scale mean is (N^2 - sum n2)/2 = e2 div 2 (exact: the
+    # numerator is always even — N^2 and sum n_i^2 share parity)
+    e2h = dec_floordiv(e2, two).cast("decimal(38,0)")
+    diff = (F.col("u2") - e2h).cast("decimal(38,0)")
+    sgn = F.when(diff < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    absdiff = F.abs(diff).cast("decimal(38,0)")
+    u_minus_e = sgn * dec_to_double_exact(absdiff) / F.lit(2.0)
+    sd = F.sqrt(dec_to_double_exact(var_micro) / F.lit(1e6))
+    return (
+        s.filter(
+            (F.col("k_groups") > 1)
+            & (F.col("n_total") > F.col("k_groups"))
+            & (var_micro > 0)
+        )
+        .select(
+            "n_total",
+            "k_groups",
+            (dec_to_double_exact(F.col("u2")) / F.lit(2.0)).alias("u_stat"),
+            (dec_to_double_exact(e2h) / F.lit(2.0)).alias("mean_u"),
+            (dec_to_double_exact(var_micro) / F.lit(1e6)).alias("var_u"),
+            (u_minus_e / sd).alias("z_stat"),
+        )
+    )
+
+
+MH_EXPOSURE_HOUR = 12  # exposure: afternoon event (hour >= 12)
+
+
+def mantel_haenszel_or(events: DataFrame) -> DataFrame:
+    """Mantel-Haenszel day-stratified common odds ratio for exit-vs-entry
+    odds by time of day — the confounder-adjusted member of the
+    association tier: ``odds_ratio_daily`` prices each day's 2x2 alone
+    and ``chi2_independence`` pools everything (Simpson's-paradox bait
+    when daily volume shifts); MH pools the evidence WITHOUT pooling the
+    strata: OR_MH = sum_i(a_i*d_i/n_i) / sum_i(b_i*c_i/n_i), weighting
+    each day by its own precision. Exposure = afternoon (hour >= 12,
+    engine-identical), outcome = EXIT among the entry/exit pair.
+
+    One map-side-combinable (day, exposed, outcome) count is the only
+    corpus-volume pass; the per-day 2x2 pivots from four conditional
+    sums and each stratum quotient micro-rounds half-up in
+    DECIMAL(38,0) before the exact sums (the chi2 micro-grid contract —
+    no float accumulation order anywhere). The final ratio is ONE
+    double divide of two digit-split-exact sums. Strata with empty
+    margins contribute their true zero products; a corpus where either
+    pooled product sum is zero filters out (OR undefined), ANSI-safe.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv, dec_to_double_exact
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def rhu_micro(num, den):
+        n6 = num * F.lit(1_000_000).cast("decimal(38,0)")
+        return dec_floordiv(
+            (n6 * F.lit(2).cast("decimal(38,0)") + den).cast("decimal(38,0)"),
+            (den * F.lit(2).cast("decimal(38,0)")).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)")
+
+    base = events.filter(
+        F.col("event_type").isin(ENTRY_TYPE, EXIT_TYPE)
+    ).select(
+        _day_str().alias("day"),
+        (F.hour("ts") >= MH_EXPOSURE_HOUR).alias("exposed"),
+        (F.col("event_type") == EXIT_TYPE).alias("outcome"),
+    )
+    cell = base.groupBy("day").agg(
+        F.sum(F.when(F.col("exposed") & F.col("outcome"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("exposed") & ~F.col("outcome"), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when(~F.col("exposed") & F.col("outcome"), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(~F.col("exposed") & ~F.col("outcome"), 1).otherwise(0))
+        .cast("long").alias("d"),
+    )
+    n_i = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("long")
+    per = cell.select(
+        rhu_micro(d38(F.col("a")) * d38(F.col("d")), d38(n_i)).alias("num_q"),
+        rhu_micro(d38(F.col("b")) * d38(F.col("c")), d38(n_i)).alias("den_q"),
+    )
+    s = per.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("num_q").cast("decimal(38,0)").alias("s_num"),
+        F.sum("den_q").cast("decimal(38,0)").alias("s_den"),
+    )
+    return s.filter((F.col("s_num") > 0) & (F.col("s_den") > 0)).select(
+        "n_strata",
+        (dec_to_double_exact(F.col("s_num")) / F.lit(1e6)).alias("sum_ad_n"),
+        (dec_to_double_exact(F.col("s_den")) / F.lit(1e6)).alias("sum_bc_n"),
+        (
+            dec_to_double_exact(F.col("s_num"))
+            / dec_to_double_exact(F.col("s_den"))
+        ).alias("or_mh"),
+    )
+
+
+RANGE_PLAN_PARTS = 8  # target partition count for the range layout
+
+
+def range_partition_plan(events: DataFrame, n_parts: int = RANGE_PLAN_PARTS) -> DataFrame:
+    """Range-partitioning boundary planner over ``value`` — the RANGE
+    face of the layout-planning ladder (salting_plan prices hash skew,
+    bucketing_plan hash bucket counts, zorder/hilbert multi-column
+    clustering; repartitionByRange needs BOUNDARIES, and sampling-based
+    boundary choice is exactly what misfires on skewed columns). From
+    the exact value histogram: boundary k = the smallest grid value
+    whose cumulative count reaches k/P of the corpus, computed by an
+    integer cross-multiplied comparison on the cumulative histogram —
+    no percentile interpolation, no sampling, engine-identical.
+
+    Output per partition: its [lo, hi) boundaries on the micro grid,
+    the exact row count the layout would place there, and the balance
+    ratio vs the ideal N/P in exact round-half-up percent — the number
+    that says whether range layout is viable or the column needs the
+    salting ladder. One corpus-volume histogram shuffle (map-side
+    combined); the boundary scan is a window over the bounded grid.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.dedup import _persist
+
+    y = F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    hist = _persist(
+        events.select(y.alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    wv = Window.orderBy("v")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wv)).join(
+        F.broadcast(total)
+    )
+    # partition index of each grid value under the k/P boundary rule:
+    # value v belongs to partition min(P-1, #boundaries passed strictly
+    # below its cumulative position) — integer cross-multiplication only
+    from inde1_spark.functions.exprs import dec_floordiv
+
+    prev_cum = F.coalesce(
+        F.lag("cum").over(wv), F.lit(0).cast("long")
+    )
+    # exact integer floor((prev_cum * P) / N): the product passes 2^53
+    # long before a corpus is large, so the division must never touch a
+    # double (CLAUDE.md wide-decimal rule)
+    part = F.least(
+        dec_floordiv(
+            (prev_cum.cast("decimal(38,0)")
+             * F.lit(int(n_parts)).cast("decimal(38,0)")).cast("decimal(38,0)"),
+            F.col("n_total").cast("decimal(38,0)"),
+        ).cast("long"),
+        F.lit(int(n_parts) - 1).cast("long"),
+    )
+    assigned = cum.select(
+        part.alias("part"),
+        "v",
+        "cnt",
+        "n_total",
+    )
+    per_part = assigned.groupBy("part", "n_total").agg(
+        (F.min("v").cast("double") / F.lit(1e6)).alias("lo_value"),
+        (F.max("v").cast("double") / F.lit(1e6)).alias("hi_value"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    ideal_num = F.col("n_total")
+    return per_part.select(
+        "part",
+        "lo_value",
+        "hi_value",
+        "n_rows",
+        # balance = n_rows / (N/P) as exact percent: n_rows*P*100 / N
+        ratio_round(
+            F.col("n_rows") * F.lit(int(n_parts)) * 100, ideal_num, 2
+        ).alias("fill_pct"),
+    ).orderBy("part")
+
+
+JSE_SAMPLE_PCT = 10  # md5 hash-lane sample for the sampled estimator
+
+
+def join_size_estimate_audit(
+    events: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Join-cardinality estimation audit over the engine's canonical
+    equi-joins — the JOIN face of ``ndv_estimator_audit``'s question
+    (how far can the planner trust its statistics?): for each join the
+    warehouse actually runs, the CLASSIC System-R estimate
+    |A||B| / max(ndv_A, ndv_B), the SAMPLED estimate (per-key counts on
+    the md5 10% hash lanes of both sides, product-summed and scaled by
+    (100/pct)^2), and the EXACT result size sum_k cA(k)*cB(k) — with
+    signed relative errors. ``join_cardinality_audit`` measures one
+    join's fan-out; this prices the ESTIMATORS against truth across the
+    join log, the evidence for trusting (or not) stats-only planning at
+    a new scale.
+
+    Per join: two per-key count aggregates (map-side combined), one
+    equi-join on the key for the exact product sum, and the same pair
+    on the hash-lane samples — sample cost is pct^2 of the exact one.
+    Products and sums run in DECIMAL(38,0) (a single hot key pair can
+    pass 2^63 alone); counts emit as decimal STRINGS (the cap-sweep
+    rule) and errors as sign-split exact round-half-up percents.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv, dec_ratio_round
+    from inde1_spark.operators.dedup import _persist
+    from inde1_spark.operators.text import hash_bucket
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    joins = (
+        ("events_customer", events, "user_id", customer, "c_custkey"),
+        ("orders_customer", orders, "o_custkey", customer, "c_custkey"),
+        ("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+    )
+
+    def side(df: DataFrame, key: str, tag: str) -> tuple:
+        per_key = _persist(
+            df.select(F.col(key).alias("k")).groupBy("k").agg(
+                F.count("*").cast("long").alias(f"c_{tag}")
+            )
+        )
+        stats = per_key.agg(
+            F.coalesce(F.sum(f"c_{tag}"), F.lit(0)).cast("long").alias(f"n_{tag}"),
+            F.count("*").cast("long").alias(f"ndv_{tag}"),
+        )
+        samp = df.select(F.col(key).alias("k")).filter(
+            hash_bucket(F.col(key), 100) < JSE_SAMPLE_PCT
+        ).groupBy("k").agg(F.count("*").cast("long").alias(f"s_{tag}"))
+        return per_key, stats, samp
+
+    out = None
+    scale = (100 // JSE_SAMPLE_PCT) ** 2
+    for name, ldf, lk, rdf, rk in joins:
+        pk_l, st_l, sm_l = side(ldf, lk, "l")
+        pk_r, st_r, sm_r = side(rdf, rk, "r")
+        exact = pk_l.join(pk_r, "k").agg(
+            F.coalesce(
+                F.sum(d38(F.col("c_l")) * d38(F.col("c_r"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("exact_rows")
+        )
+        sampled = sm_l.join(sm_r, "k").agg(
+            F.coalesce(
+                F.sum(d38(F.col("s_l")) * d38(F.col("s_r"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s_rows")
+        )
+        row = (
+            st_l.join(F.broadcast(st_r))
+            .join(F.broadcast(exact))
+            .join(F.broadcast(sampled))
+        )
+        cls = (
+            d38(F.col("n_l")) * d38(F.col("n_r")),
+            F.greatest(F.col("ndv_l"), F.col("ndv_r")).cast("decimal(38,0)"),
+        )
+        est_classic = dec_floordiv(
+            (cls[0] + cls[1] - F.lit(1).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            ),
+            cls[1],
+        ).cast("decimal(38,0)")  # ceil-ish floor((ab + m - 1)/m): >=1 when a,b>=1
+        est_sampled = (
+            F.col("s_rows") * F.lit(scale).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+
+        def err(est):
+            diff = (est - F.col("exact_rows")).cast("decimal(38,0)")
+            sgn = F.when(diff < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            return sgn * dec_ratio_round(
+                (F.abs(diff) * F.lit(100).cast("decimal(38,0)")).cast(
+                    "decimal(38,0)"
+                ),
+                F.greatest(
+                    F.col("exact_rows"), F.lit(1).cast("decimal(38,0)")
+                ).cast("decimal(38,0)"),
+                2,
+            )
+
+        r = row.select(
+            F.lit(name).alias("join_name"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("ndv_l").alias("ndv_left"),
+            F.col("ndv_r").alias("ndv_right"),
+            F.col("exact_rows").cast("string").alias("exact_rows"),
+            est_classic.cast("string").alias("est_classic"),
+            est_sampled.cast("string").alias("est_sampled"),
+            err(est_classic).alias("err_classic_pct"),
+            err(est_sampled).alias("err_sampled_pct"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("join_name")

@@ -1629,3 +1629,86 @@ def repetition_rules(documents: DataFrame) -> DataFrame:
             "keep"
         ),
     )
+
+
+CALIB_N_BINS = 10  # reliability-diagram confidence bins
+
+
+def langid_calibration_audit(documents: DataFrame) -> DataFrame:
+    """Reliability diagram + per-bin calibration gaps for the lang_id
+    classifier — the eval the confusion matrix (``lang_confusion``)
+    doesn't give: accuracy says how often the argmax is right;
+    CALIBRATION says whether the classifier's confidence MEANS anything
+    (a 0.9-confidence bucket should be ~90% correct), which is what a
+    routing threshold ("trust lang_id above c, else run the expensive
+    model") actually consumes. Confidence = winning marker share
+    s_max/s_total — an exact integer ratio, binned by the integer rule
+    floor(B * s_max / s_total) clamped to B-1; docs with zero marker
+    hits carry no confidence and are excluded (both engines, same
+    filter).
+
+    One row-local scoring pass (lang_id's own expressions), one
+    map-side-combinable per-bin aggregate. Per bin: docs, correct,
+    exact round-half-up accuracy and mean-confidence percents, and the
+    |accuracy - confidence| gap in exact micro units — sum(gap * n_b)/N
+    is ECE, and every term is integer-exact: the gap numerator
+    |n_correct*1e6 - sum_conf_micro| never touches a float until the
+    final divide.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round, ratio_round
+
+    scored = lang_id(documents)
+    score_cols = [c for c in scored.columns if c.startswith("score_")]
+    s_max = F.greatest(*[F.col(c) for c in score_cols])
+    s_tot = sum(F.col(c) for c in score_cols[1:]) + F.col(score_cols[0])
+    base = scored.select(
+        (F.col("lang_pred") == F.col("lang_actual")).alias("correct"),
+        s_max.alias("s_max"),
+        s_tot.cast("long").alias("s_tot"),
+    ).filter(F.col("s_tot") > 0)
+    bin_ = F.least(
+        F.floor(
+            (F.col("s_max") * F.lit(CALIB_N_BINS)
+             - (F.col("s_max") * F.lit(CALIB_N_BINS)) % F.col("s_tot"))
+            / F.col("s_tot")
+        ).cast("long"),
+        F.lit(CALIB_N_BINS - 1).cast("long"),
+    )
+    conf_micro = ratio_round(F.col("s_max") * 1_000_000, F.col("s_tot"), 0)
+    per_bin = base.select(
+        bin_.alias("bin"),
+        "correct",
+        conf_micro.cast("long").alias("conf_micro"),
+    ).groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.sum("conf_micro").cast("long").alias("sum_conf_micro"),
+    )
+    return per_bin.select(
+        "bin",
+        "n_docs",
+        "n_correct",
+        ratio_round(F.col("n_correct") * 100, F.col("n_docs"), 2).alias(
+            "acc_pct"
+        ),
+        # micro-count numerators pass ratio_round's 2^53 long contract at
+        # ~1e10 docs/bin: the wide-decimal spelling (CLAUDE.md rule)
+        dec_ratio_round(
+            F.col("sum_conf_micro"),
+            F.col("n_docs").cast("decimal(38,0)")
+            * F.lit(10_000).cast("decimal(38,0)"),
+            2,
+        ).alias("avg_conf_pct"),
+        dec_ratio_round(
+            F.abs(
+                F.col("n_correct").cast("decimal(38,0)")
+                * F.lit(1_000_000).cast("decimal(38,0)")
+                - F.col("sum_conf_micro").cast("decimal(38,0)")
+            ) * F.lit(100).cast("decimal(38,0)"),
+            F.col("n_docs").cast("decimal(38,0)")
+            * F.lit(1_000_000).cast("decimal(38,0)"),
+            2,
+        ).alias("gap_pct"),
+    ).orderBy("bin")

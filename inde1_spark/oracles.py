@@ -12506,3 +12506,289 @@ per AS (
 {_LP_ROWS}
 ORDER BY source, threshold
 """
+
+
+# ===========================================================================
+# r12 batch, first tranche (staged in r10): twins of the five operators of
+# the planning/stats/eval extension. HUGEINT mirrors DECIMAL(38,0); every
+# possibly-negative micro-round is sign-split (round-half-away-from-zero)
+# because // floors in DuckDB while Spark's % keeps the dividend sign.
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    JSE_SAMPLE_PCT,
+    JT_GROUP_HOURS,
+    MH_EXPOSURE_HOUR,
+    RANGE_PLAN_PARTS,
+)
+
+
+def _rhu_micro_sql(num: str, den: str) -> str:
+    """(num * 1e6) / den, round-half-up, all HUGEINT (nonneg operands)."""
+    return (
+        f"((CAST({num} AS HUGEINT) * 1000000 * 2 + ({den}))"
+        f" // (2 * ({den})))"
+    )
+
+
+STAGED_ORACLES["jonckheere_terpstra_trend"] = f"""
+WITH raw AS (
+  SELECT CAST(hour(ts) AS BIGINT) // {JT_GROUP_HOURS} AS g,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+gmin AS (SELECT MIN(y) AS y_min FROM raw),
+hist AS MATERIALIZED (
+  SELECT g, (y - y_min) // {MW_RESCALE} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM raw CROSS JOIN gmin GROUP BY 1, 2
+),
+grid AS (
+  SELECT gg.g, vv.v, COALESCE(h.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT g FROM hist) gg
+  CROSS JOIN (SELECT DISTINCT v FROM hist) vv
+  LEFT JOIN hist h ON h.g = gg.g AND h.v = vv.v
+),
+cum AS MATERIALIZED (
+  SELECT g, v, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
+  FROM grid
+),
+u AS (
+  SELECT CAST(SUM(CAST(hi.cnt AS HUGEINT)
+                  * (2 * CAST(lo.cumlt AS HUGEINT) + lo.cnt)) AS HUGEINT)
+           AS u2
+  FROM cum lo JOIN cum hi ON lo.v = hi.v AND lo.g < hi.g
+),
+per_g AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_i FROM hist GROUP BY 1),
+gstats AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n_dec,
+         CAST(SUM(n_i) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(CAST(n_i AS HUGEINT) * n_i) AS HUGEINT) AS sum_n2,
+         CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1)) AS HUGEINT) AS sum_n_n1,
+         CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (2 * n_i + 5))
+              AS HUGEINT) AS sum_n_n1_2n5,
+         CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (n_i - 2)) AS HUGEINT)
+           AS sum_n_n1_n2
+  FROM per_g
+),
+merged AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS m FROM hist GROUP BY 1),
+tstats AS (
+  SELECT CAST(SUM(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)) AS HUGEINT)
+           AS sum_t_t1_2t5,
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1) * (m - 2)) AS HUGEINT)
+           AS sum_t_t1_t2,
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT) AS sum_t_t1
+  FROM merged
+),
+terms AS (
+  SELECT u.u2, g.n_total, g.k_groups,
+         (g.n_dec * g.n_dec - g.sum_n2) AS e2,
+         (g.n_dec * (g.n_dec - 1) * (2 * g.n_dec + 5)
+          - g.sum_n_n1_2n5 - t.sum_t_t1_2t5) AS a_term,
+         (g.sum_n_n1_n2 * t.sum_t_t1_t2) AS b_num,
+         (36 * g.n_dec * (g.n_dec - 1) * (g.n_dec - 2)) AS b_den,
+         (g.sum_n_n1 * t.sum_t_t1) AS c_num,
+         (8 * g.n_dec * (g.n_dec - 1)) AS c_den
+  FROM u, gstats g, tstats t
+),
+vm AS (
+  SELECT u2, n_total, k_groups, e2 // 2 AS e2h,
+         (CASE WHEN a_term < 0 THEN -1 ELSE 1 END)
+           * {_rhu_micro_sql("abs(a_term)", "CAST(72 AS HUGEINT)")}
+         + {_rhu_micro_sql("b_num", "b_den")}
+         + {_rhu_micro_sql("c_num", "c_den")} AS var_micro
+  FROM terms
+)
+SELECT n_total, k_groups,
+       {_dec2d("u2")} / 2.0 AS u_stat,
+       {_dec2d("e2h")} / 2.0 AS mean_u,
+       {_dec2d("var_micro")} / 1e6 AS var_u,
+       ((CASE WHEN u2 - e2h < 0 THEN -1.0 ELSE 1.0 END)
+        * {_dec2d("abs(u2 - e2h)")} / 2.0)
+         / sqrt({_dec2d("var_micro")} / 1e6) AS z_stat
+FROM vm
+WHERE k_groups > 1 AND n_total > k_groups AND var_micro > 0
+"""
+
+STAGED_ORACLES["mantel_haenszel_or"] = f"""
+WITH base AS (
+  SELECT {_DAY} AS day,
+         hour(ts) >= {MH_EXPOSURE_HOUR} AS exposed,
+         event_type = '{EXIT}' AS outcome
+  FROM events WHERE event_type IN ('{ENTRY}', '{EXIT}')
+),
+cell AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM base GROUP BY 1
+),
+per AS (
+  SELECT {_rhu_micro_sql("CAST(a AS HUGEINT) * d",
+                         "CAST(a + b + c + d AS HUGEINT)")} AS num_q,
+         {_rhu_micro_sql("CAST(b AS HUGEINT) * c",
+                         "CAST(a + b + c + d AS HUGEINT)")} AS den_q
+  FROM cell
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(num_q) AS HUGEINT) AS s_num,
+         CAST(SUM(den_q) AS HUGEINT) AS s_den
+  FROM per
+)
+SELECT n_strata,
+       {_dec2d("s_num")} / 1e6 AS sum_ad_n,
+       {_dec2d("s_den")} / 1e6 AS sum_bc_n,
+       {_dec2d("s_num")} / {_dec2d("s_den")} AS or_mh
+FROM s WHERE s_num > 0 AND s_den > 0
+"""
+
+STAGED_ORACLES["range_partition_plan"] = f"""
+WITH hist AS MATERIALIZED (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM hist),
+cum AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_cum
+  FROM hist
+),
+assigned AS (
+  SELECT LEAST((CAST(prev_cum AS HUGEINT) * {RANGE_PLAN_PARTS}) // t.n_total,
+               {RANGE_PLAN_PARTS - 1}) AS part,
+         v, cnt, t.n_total
+  FROM cum CROSS JOIN tot t
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(MIN(v) AS DOUBLE) / 1e6 AS lo_value,
+       CAST(MAX(v) AS DOUBLE) / 1e6 AS hi_value,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       {_rr(f"SUM(cnt) * {RANGE_PLAN_PARTS} * 100", "MAX(n_total)", 2)}
+         AS fill_pct
+FROM assigned GROUP BY part ORDER BY part
+"""
+
+
+def _jse_side_sql(table: str, key: str, tag: str) -> str:
+    return (
+        f"pk_{tag} AS MATERIALIZED (\n"
+        f"  SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c_{tag}\n"
+        f"  FROM {table} GROUP BY 1\n"
+        f"),\n"
+        f"st_{tag} AS (\n"
+        f"  SELECT CAST(COALESCE(SUM(c_{tag}), 0) AS BIGINT) AS n_{tag},\n"
+        f"         CAST(count(*) AS BIGINT) AS ndv_{tag}\n"
+        f"  FROM pk_{tag}\n"
+        f"),\n"
+        f"sm_{tag} AS (\n"
+        f"  SELECT {key} AS k, CAST(count(*) AS BIGINT) AS s_{tag}\n"
+        f"  FROM {table}\n"
+        f"  WHERE {_hash_bucket_sql(key, 100)} < {JSE_SAMPLE_PCT}\n"
+        f"  GROUP BY 1\n"
+        f")"
+    )
+
+
+def _jse_join_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    tagl, tagr = f"{name}_l", f"{name}_r"
+    scale = (100 // JSE_SAMPLE_PCT) ** 2
+    sides = (
+        _jse_side_sql(lt, lk, tagl) + ",\n" + _jse_side_sql(rt, rk, tagr)
+    )
+    err = lambda est: (  # noqa: E731 — local SQL fragment builder
+        f"(CASE WHEN ({est}) - exact_h < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * {_rrh(f'abs(({est}) - exact_h) * 100', 'GREATEST(exact_h, 1)', 2)}"
+    )
+    body = f"""  SELECT '{name}' AS join_name,
+         st.n_l AS n_left, sr.n_r AS n_right,
+         st.ndv_l AS ndv_left, sr.ndv_r AS ndv_right,
+         CAST(exact_h AS VARCHAR) AS exact_rows,
+         CAST((CAST(st.n_l AS HUGEINT) * sr.n_r
+               + GREATEST(st.ndv_l, sr.ndv_r) - 1)
+              // GREATEST(st.ndv_l, sr.ndv_r) AS VARCHAR) AS est_classic,
+         CAST(samp_h * {scale} AS VARCHAR) AS est_sampled,
+         {err(f"(CAST(st.n_l AS HUGEINT) * sr.n_r + GREATEST(st.ndv_l, sr.ndv_r) - 1) // GREATEST(st.ndv_l, sr.ndv_r)")}
+           AS err_classic_pct,
+         {err(f"samp_h * {scale}")} AS err_sampled_pct
+  FROM (SELECT n_{tagl} AS n_l, ndv_{tagl} AS ndv_l FROM st_{tagl}) st,
+       (SELECT n_{tagr} AS n_r, ndv_{tagr} AS ndv_r FROM st_{tagr}) sr,
+       (SELECT CAST(COALESCE(SUM(CAST(a.c_{tagl} AS HUGEINT) * b.c_{tagr}), 0)
+                    AS HUGEINT) AS exact_h
+        FROM pk_{tagl} a JOIN pk_{tagr} b USING (k)) e,
+       (SELECT CAST(COALESCE(SUM(CAST(a.s_{tagl} AS HUGEINT) * b.s_{tagr}), 0)
+                    AS HUGEINT) AS samp_h
+        FROM sm_{tagl} a JOIN sm_{tagr} b USING (k)) sp"""
+    return sides, body
+
+
+_JSE_JOINS = (
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+_JSE_SIDES, _JSE_BODIES = zip(
+    *[_jse_join_sql(n, lt, lk, rt, rk) for n, lt, lk, rt, rk in _JSE_JOINS]
+)
+
+STAGED_ORACLES["join_size_estimate_audit"] = f"""
+WITH {",".join(_JSE_SIDES)}
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_JSE_BODIES))}
+ORDER BY join_name
+"""
+
+from inde1_spark.operators.text import CALIB_N_BINS  # noqa: E402
+
+_CAL_SCORES = ", ".join(
+    f"{_lang_score(LANG_MARKERS[lang])} AS score_{lang}"
+    for lang in sorted(LANG_MARKERS)
+)
+_CAL_SMAX = "GREATEST(" + ", ".join(
+    f"score_{lang}" for lang in sorted(LANG_MARKERS)
+) + ")"
+_CAL_STOT = " + ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))
+
+STAGED_ORACLES["langid_calibration_audit"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang AS lang_actual, {_CAL_SCORES}
+  FROM toks
+),
+conf AS (
+  SELECT ({_build_lang_pred()}) = lang_actual AS correct,
+         {_CAL_SMAX} AS s_max,
+         CAST({_CAL_STOT} AS BIGINT) AS s_tot
+  FROM scores
+),
+binned AS (
+  SELECT LEAST((s_max * {CALIB_N_BINS}) // s_tot, {CALIB_N_BINS - 1}) AS bin,
+         correct,
+         (s_max * 1000000 * 2 + s_tot) // (2 * s_tot) AS conf_micro
+  FROM conf WHERE s_tot > 0
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(SUM(conf_micro) AS BIGINT) AS sum_conf_micro
+  FROM binned GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_correct,
+       {_rr("n_correct * 100", "n_docs", 2)} AS acc_pct,
+       {_rrh("sum_conf_micro", "CAST(n_docs AS HUGEINT) * 10000", 2)}
+         AS avg_conf_pct,
+       {_rrh("abs(CAST(n_correct AS HUGEINT) * 1000000 - sum_conf_micro) * 100",
+             "CAST(n_docs AS HUGEINT) * 1000000", 2)} AS gap_pct
+FROM per_bin ORDER BY bin
+"""

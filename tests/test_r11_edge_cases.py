@@ -984,7 +984,7 @@ def test_r11_batch_plan_invariants(spark):
     import __spark_entry__ as entrymod
 
     Q = entrymod.staged_queries()
-    assert sorted(R11_BATCH) == sorted(Q)
+    assert set(R11_BATCH) <= set(Q)  # r12 candidates accumulate behind
     for name in R11_BATCH:
         r = plan_report(Q[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in r.raw, f"{name}: cartesian"

@@ -1,0 +1,418 @@
+"""Semantics + plan invariants for the r12 STAGED batch (first tranche).
+
+Same style as test_r10/r11_edge_cases: planted micro-datasets exercise the
+property each operator's docstring claims; plan-shape pins hold the engine
+invariants (column pruning, join strategy, no cartesian) so a later change
+that breaks the 100 TB posture fails here before it reaches a gate window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+from datetime import datetime, timedelta
+from fractions import Fraction
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from inde1_spark.plans.explain import plan_report
+from tests.conftest import SF_SMOKE
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+T0 = datetime(2024, 3, 4, 0, 0, 0)
+
+
+def _py_hash_bucket(key: int, mod: int = 100) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
+
+
+def _rhu(num: int, den: int) -> int:
+    """round_half_up(num/den) for nonnegative exact ints."""
+    return (num * 2 + den) // (2 * den)
+
+
+def _events(spark, rows):
+    # rows: (event_id, hour, event_type, value)
+    return spark.createDataFrame(
+        [
+            (i, T0 + timedelta(hours=h), i, et, float(v), "{}")
+            for i, h, et, v in rows
+        ],
+        EVENT_COLS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# jonckheere_terpstra_trend
+# ---------------------------------------------------------------------------
+
+
+def _py_jt(samples: dict[int, list[float]]):
+    """Pure-python JT with ties: U, E[U], micro-rounded tie-corrected Var."""
+    groups = sorted(samples)
+    u2 = 0
+    for gi in groups:
+        for gj in groups:
+            if gi < gj:
+                for x in samples[gi]:
+                    for y in samples[gj]:
+                        u2 += 2 if x < y else (1 if x == y else 0)
+    ns = [len(samples[g]) for g in groups]
+    n = sum(ns)
+    from collections import Counter
+
+    ties = Counter(v for vs in samples.values() for v in vs)
+    e2h = (n * n - sum(x * x for x in ns)) // 2
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    )
+    b_num = sum(x * (x - 1) * (x - 2) for x in ns) * sum(
+        t * (t - 1) * (t - 2) for t in ties.values()
+    )
+    c_num = sum(x * (x - 1) for x in ns) * sum(
+        t * (t - 1) for t in ties.values()
+    )
+    sgn = -1 if a < 0 else 1
+    var_micro = (
+        sgn * _rhu(abs(a) * 10**6, 72)
+        + _rhu(b_num * 10**6, 36 * n * (n - 1) * (n - 2))
+        + _rhu(c_num * 10**6, 8 * n * (n - 1))
+    )
+    return u2 / 2.0, e2h / 2.0, var_micro / 1e6
+
+
+def test_jt_matches_pure_python_mirror(spark):
+    from inde1_spark.operators.analytics import jonckheere_terpstra_trend
+
+    # increasing trend across the four day quarters, with cross-group ties
+    samples = {
+        0: [1.0, 2.0, 2.0],
+        1: [2.0, 3.0],
+        2: [3.0, 4.0, 4.0],
+        3: [5.0, 6.0],
+    }
+    rows, eid = [], 0
+    for g, vals in samples.items():
+        for v in vals:
+            eid += 1
+            rows.append((eid, g * 6 + 1, "view", v))
+    out = jonckheere_terpstra_trend(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    u, e, var = _py_jt(samples)
+    assert r["n_total"] == 10 and r["k_groups"] == 4
+    assert r["u_stat"] == u and r["mean_u"] == e and r["var_u"] == var
+    assert r["z_stat"] == (u - e) / var**0.5
+    assert r["z_stat"] > 2.0  # the planted monotone trend is detected
+
+
+def test_jt_no_trend_and_degenerate_inputs(spark):
+    from inde1_spark.operators.analytics import jonckheere_terpstra_trend
+
+    # identical distributions in every quarter: U == E[U], z == 0
+    rows, eid = [], 0
+    for g in range(4):
+        for v in (1.0, 2.0, 3.0):
+            eid += 1
+            rows.append((eid, g * 6, "view", v))
+    r = jonckheere_terpstra_trend(_events(spark, rows)).collect()
+    assert len(r) == 1 and r[0]["z_stat"] == 0.0
+    # one group only -> filtered (no k-sample question to ask)
+    one = [(1, 1, "view", 1.0), (2, 2, "view", 2.0)]
+    assert jonckheere_terpstra_trend(_events(spark, one)).count() == 0
+    # every value tied -> zero variance -> filtered, never a divide error
+    tied = [(i, 6 * (i % 4), "view", 7.0) for i in range(1, 9)]
+    assert jonckheere_terpstra_trend(_events(spark, tied)).count() == 0
+
+
+def test_jt_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["jonckheere_terpstra_trend"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    # the global-min pass prunes to value alone; the histogram needs both
+    assert schemas <= {"ts:timestamp_ntz,value:double", "value:double"}
+    assert "InMemoryTableScan" in r.raw  # histogram built once, read 4 ways
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel_or
+# ---------------------------------------------------------------------------
+
+
+def test_mh_or_matches_hand_computed_strata(spark):
+    from inde1_spark.operators.analytics import mantel_haenszel_or
+
+    # day 1: a=2 b=1 c=1 d=2 (n=6); day 2: a=1 b=2 c=2 d=1 (n=6)
+    rows, eid = [], 0
+
+    def add(day, hour, et, k):
+        nonlocal eid
+        for _ in range(k):
+            eid += 1
+            rows.append(
+                (eid, T0 + timedelta(days=day, hours=hour), eid, et, 1.0, "{}")
+            )
+
+    add(0, 13, "click", 2); add(0, 14, "view", 1)
+    add(0, 3, "click", 1);  add(0, 4, "view", 2)
+    add(1, 13, "click", 1); add(1, 14, "view", 2)
+    add(1, 3, "click", 2);  add(1, 4, "view", 1)
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    out = mantel_haenszel_or(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    num = _rhu(2 * 2 * 10**6, 6) + _rhu(1 * 1 * 10**6, 6)
+    den = _rhu(1 * 1 * 10**6, 6) + _rhu(2 * 2 * 10**6, 6)
+    assert r["n_strata"] == 2
+    assert r["sum_ad_n"] == num / 1e6 and r["sum_bc_n"] == den / 1e6
+    assert r["or_mh"] == float(num) / float(den)
+
+
+def test_mh_or_undefined_filters_out(spark):
+    from inde1_spark.operators.analytics import mantel_haenszel_or
+
+    # no unexposed outcomes anywhere: b*c sums to zero -> OR undefined
+    rows = [
+        (1, T0 + timedelta(hours=13), 1, "click", 1.0, "{}"),
+        (2, T0 + timedelta(hours=14), 2, "view", 1.0, "{}"),
+        (3, T0 + timedelta(hours=3), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    assert mantel_haenszel_or(df).count() == 0
+
+
+def test_mh_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["mantel_haenszel_or"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,event_type:string"}
+    assert "PushedFilters" in r.raw  # the entry/exit IN-filter reaches the scan
+
+
+# ---------------------------------------------------------------------------
+# range_partition_plan
+# ---------------------------------------------------------------------------
+
+
+def test_range_plan_uniform_values_balance_exactly(spark):
+    from inde1_spark.operators.analytics import range_partition_plan
+
+    rows = [(i, i % 24, "view", float(i)) for i in range(1, 17)]
+    out = range_partition_plan(_events(spark, rows)).collect()
+    assert [r["part"] for r in out] == list(range(8))
+    assert all(r["n_rows"] == 2 and r["fill_pct"] == 100.0 for r in out)
+    # boundaries tile the domain in order without overlap
+    for a, b in zip(out, out[1:]):
+        assert a["hi_value"] < b["lo_value"]
+
+
+def test_range_plan_hot_value_overfills_one_partition(spark):
+    from inde1_spark.operators.analytics import range_partition_plan
+
+    # 12 rows of one hot value + 4 distinct: the hot value cannot split
+    # across boundaries (range layout is value-atomic), so its partition
+    # overfills and the plan SHOWS it — the salting hand-off signal
+    rows = [(i, 0, "view", 5.0) for i in range(12)]
+    rows += [(100 + j, 0, "view", float(j)) for j in range(4)]
+    out = range_partition_plan(spark.createDataFrame(
+        [
+            (i, T0 + timedelta(hours=h), i, et, float(v), "{}")
+            for i, h, et, v in rows
+        ],
+        EVENT_COLS,
+    )).collect()
+    assert sum(r["n_rows"] for r in out) == 16
+    hot = [r for r in out if r["lo_value"] <= 5.0 <= r["hi_value"]]
+    assert len(hot) == 1 and hot[0]["n_rows"] >= 12
+    assert hot[0]["fill_pct"] >= 600.0  # 12 rows vs ideal 2
+    assert len(out) <= 8
+
+
+def test_range_plan_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["range_partition_plan"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"value:double"}
+    assert "InMemoryTableScan" in r.raw  # histogram built once
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate_audit
+# ---------------------------------------------------------------------------
+
+
+def test_jse_exact_equals_brute_join_and_classic_formula(spark):
+    from inde1_spark.operators.analytics import join_size_estimate_audit
+
+    # tiny warehouse with skew on one key
+    events = spark.createDataFrame(
+        [
+            (i, T0 + timedelta(hours=i % 24), uid, "view", 1.0, "{}")
+            for i, uid in enumerate([1, 1, 1, 2, 3, 3, 9])
+        ],
+        EVENT_COLS,
+    )
+    customer = spark.createDataFrame(
+        [(k, "n", 0) for k in (1, 2, 3, 4)],
+        ["c_custkey", "c_name", "c_nationkey"],
+    )
+    orders = spark.createDataFrame(
+        [(o, k) for o, k in ((10, 1), (11, 1), (12, 2))],
+        ["o_orderkey", "o_custkey"],
+    )
+    lineitem = spark.createDataFrame(
+        [(o, p) for o, p in ((10, 7), (10, 8), (11, 7), (99, 7))],
+        ["l_orderkey", "l_partkey"],
+    )
+    part = spark.createDataFrame(
+        [(7, "x"), (8, "y")], ["p_partkey", "p_name"]
+    )
+    out = {
+        r["join_name"]: r
+        for r in join_size_estimate_audit(
+            events, customer, orders, lineitem, part
+        ).collect()
+    }
+    assert set(out) == {
+        "events_customer", "orders_customer", "lineitem_orders",
+        "lineitem_part",
+    }
+    # exact == the actual inner-join row count, per join
+    checks = (
+        ("events_customer", events.join(
+            customer, events.user_id == customer.c_custkey).count()),
+        ("orders_customer", orders.join(
+            customer, orders.o_custkey == customer.c_custkey).count()),
+        ("lineitem_orders", lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey).count()),
+        ("lineitem_part", lineitem.join(
+            part, lineitem.l_partkey == part.p_partkey).count()),
+    )
+    for name, n in checks:
+        assert out[name]["exact_rows"] == str(n), name
+    # the classic System-R formula, verbatim
+    r = out["events_customer"]
+    nl, nr = r["n_left"], r["n_right"]
+    m = max(r["ndv_left"], r["ndv_right"])
+    assert r["est_classic"] == str((nl * nr + m - 1) // m)
+    # signed error: the uniform-key assumption misprices the skewed join
+    assert r["err_classic_pct"] != 0.0
+
+
+def test_jse_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["join_size_estimate_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # every scan pruned to its single join-key column
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert all(len(x.split(",")) == 1 for x in schemas if x), schemas
+    assert "InMemoryTableScan" in r.raw  # per-key tables built once
+
+
+# ---------------------------------------------------------------------------
+# langid_calibration_audit
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_and_ece_identity(spark):
+    from inde1_spark.operators.text import (
+        CALIB_N_BINS,
+        langid_calibration_audit,
+    )
+
+    # confident-correct ('the a data' -> en 3/3), confident-wrong (labeled
+    # fr), and split-confidence docs ('the window' -> en 1 de 1 -> conf 1/2)
+    docs = [
+        (1, "the a data", "en", "s", 10),      # conf 1.0, correct
+        (2, "the a data", "fr", "s", 10),      # conf 1.0, wrong
+        (3, "the window", "en", "s", 10),      # conf 0.5, correct (tie->de? no: en vs de tie -> 'de' alphabetical)
+        (4, "window group", "de", "s", 13),    # conf 1.0, correct
+        (5, "xxx yyy", "en", "s", 7),          # no markers: excluded
+    ]
+    out = {
+        r["bin"]: r
+        for r in langid_calibration_audit(
+            spark.createDataFrame(docs, DOC_COLS)
+        ).collect()
+    }
+    # doc 3: en=1 ('the'), de=1 ('window') -> tie breaks to 'de'
+    # (alphabetically first argmax), so it is WRONG with conf 1/2 -> bin 5
+    assert set(out) == {5, CALIB_N_BINS - 1}
+    top = out[CALIB_N_BINS - 1]
+    assert (top["n_docs"], top["n_correct"]) == (3, 2)
+    assert top["acc_pct"] == 66.67 and top["avg_conf_pct"] == 100.0
+    assert top["gap_pct"] == 33.33
+    mid = out[5]
+    assert (mid["n_docs"], mid["n_correct"]) == (1, 0)
+    assert mid["acc_pct"] == 0.0 and mid["avg_conf_pct"] == 50.0
+    assert mid["gap_pct"] == 50.0
+    # ECE identity from the emitted integers: sum over bins of
+    # |n_correct*1e6 - sum_conf|/N equals the weighted gap sum
+    n_total = sum(r["n_docs"] for r in out.values())
+    ece = sum(
+        abs(r["n_correct"] * 10**6 - r["n_docs"] * round(r["avg_conf_pct"] * 10**4))
+        for r in out.values()
+    ) / (n_total * 1e6)
+    assert 0.0 <= ece <= 1.0
+
+
+def test_calibration_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["langid_calibration_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string,lang:string"}
+    assert r.exchanges <= 2  # one per-bin aggregate exchange (+ AQE read)
+
+
+# ---------------------------------------------------------------------------
+# batch-level plan invariants
+# ---------------------------------------------------------------------------
+
+R12_BATCH = (
+    "jonckheere_terpstra_trend",
+    "mantel_haenszel_or",
+    "range_partition_plan",
+    "join_size_estimate_audit",
+    "langid_calibration_audit",
+)
+
+
+def test_r12_batch_plan_invariants(spark):
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.staged_queries()
+    assert set(R12_BATCH) <= set(Q)
+    for name in R12_BATCH:
+        r = plan_report(Q[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in r.raw, f"{name}: cartesian"
+        assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in r.raw, f"{name}: unexpected {node}"
