@@ -880,6 +880,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_calibration_audit": lambda sp, d: TX.langid_calibration_audit(
             _t(sp, d, "documents")
         ),
+        "graph_modularity_audit": lambda sp, d: D.graph_modularity_audit(
+            _t(sp, d, "documents")
+        ),
+        "bm25_parameter_sweep": lambda sp, d: SC.bm25_parameter_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

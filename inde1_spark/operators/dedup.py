@@ -2568,13 +2568,12 @@ def label_propagation_communities(
     return lpa_histogram(edges, rounds)
 
 
-def lpa_histogram(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
-    """The LPA core of ``label_propagation_communities`` over an ALREADY
-    MATERIALIZED (doc_a, doc_b) edge table — shared verbatim by the batch
-    operator and the streaming incremental-recompute sink
-    (``streaming/corpus.py:lpa_communities_stream``), so stream and batch
-    provably run the same rounds. The caller owns persistence of
-    ``edges`` (it is scanned 2x per round + once for the label init).
+def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """The LPA label table (u, label) after ``rounds`` synchronous rounds
+    over an ALREADY MATERIALIZED (doc_a, doc_b) edge table — the shared
+    core under ``lpa_histogram`` (batch + streaming sink) and
+    ``graph_modularity_audit``. The caller owns persistence of ``edges``
+    (it is scanned 2x per round + once for the label init).
     """
     # undirected: both directions + self-vote (u votes its own label)
     nbrs = edges.select(
@@ -2604,7 +2603,17 @@ def lpa_histogram(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             )
             .select("u", F.col("w.label").alias("label"))
         )
-    sizes = labels.groupBy("label").agg(
+    return labels
+
+
+def lpa_histogram(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """The LPA community-size histogram over an ALREADY MATERIALIZED
+    (doc_a, doc_b) edge table — shared verbatim by the batch operator and
+    the streaming incremental-recompute sink
+    (``streaming/corpus.py:lpa_communities_stream``), so stream and batch
+    provably run the same rounds (the label core is ``lpa_labels``).
+    """
+    sizes = lpa_labels(edges, rounds).groupBy("label").agg(
         F.count("*").cast("long").alias("community_size")
     )
     return (
@@ -3150,3 +3159,110 @@ def shingle_df_cap_sweep(documents: DataFrame) -> DataFrame:
             2,
         ).alias("postings_lost_pct"),
     ).orderBy("cap")
+
+
+def graph_modularity_audit(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """Newman modularity of the LPA partition over the near-duplicate
+    graph — the EVAL for ``label_propagation_communities``: the size
+    histogram says what the communities look like; modularity says
+    whether they are REAL (Q near 0 = the partition explains no more
+    edge mass than a random graph with the same degrees — don't
+    cluster-scope dedup decisions on it; Q >~ 0.3 = dense families the
+    per-cluster curation policies can trust). Same edges, same label
+    core (``lpa_labels``), so the number audits exactly the partition
+    the production operator ships.
+
+    Exact arithmetic: Q = sum_c [L_c/m - (D_c/2m)^2] rewritten over the
+    common denominator 4m^2 — numerator sum_c (4m*L_c - D_c^2) in
+    DECIMAL(38,0) (D_c^2 passes 2^63 at ~3e9 aggregate degree), ONE
+    sign-split micro-round at the end (Q is negative for
+    anti-community partitions; negative floor-div is engine-divergent —
+    the JT rule). intra_edge_pct is the companion plain ratio. One
+    label join per edge side + three bounded aggregates after the LPA
+    rounds themselves.
+    """
+    from inde1_spark.functions.exprs import (
+        dec_floordiv,
+        dec_to_double_exact,
+        ratio_round,
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    edges = _persist(
+        dedup_ngram_jaccard(documents, threshold).select("doc_a", "doc_b")
+    )
+    labels = _persist(lpa_labels(edges, rounds))
+    la = labels.select(F.col("u").alias("doc_a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("u").alias("doc_b"), F.col("label").alias("lab_b"))
+    tagged = edges.join(la, "doc_a").join(lb, "doc_b")
+    m_tbl = edges.agg(F.count("*").cast("long").alias("m"))
+    intra = (
+        tagged.filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("l_c"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("u"))
+        .union(edges.select(F.col("doc_b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    d_c = (
+        deg.join(labels, "u")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    per_c = (
+        d_c.join(intra, "label", "left")
+        .select(
+            "label",
+            "d_c",
+            F.coalesce(F.col("l_c"), F.lit(0).cast("long")).alias("l_c"),
+        )
+        .join(F.broadcast(m_tbl))
+    )
+    num = per_c.agg(
+        F.sum(
+            F.lit(4).cast("decimal(38,0)") * d38(F.col("m")) * d38(F.col("l_c"))
+            - d38(F.col("d_c")) * d38(F.col("d_c"))
+        ).alias("q_num"),
+        F.sum("l_c").cast("long").alias("intra_edges"),
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m"),
+    )
+    n_nodes = labels.agg(F.count("*").cast("long").alias("n_nodes"))
+    den = (
+        F.lit(4).cast("decimal(38,0)")
+        * d38(F.col("m"))
+        * d38(F.col("m"))
+    ).cast("decimal(38,0)")
+    a = (
+        F.abs(F.col("q_num")).cast("decimal(38,0)")
+        * F.lit(2_000_000).cast("decimal(38,0)")
+        + den
+    ).cast("decimal(38,0)")
+    q_micro = dec_floordiv(a, den * F.lit(2).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    sgn = F.when(F.col("q_num") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        num.join(F.broadcast(n_nodes))
+        .filter(F.col("m") > 0)
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            ratio_round(F.col("intra_edges") * 100, F.col("m"), 2).alias(
+                "intra_edge_pct"
+            ),
+            (sgn * dec_to_double_exact(q_micro) / F.lit(1e6)).alias(
+                "modularity"
+            ),
+        )
+    )

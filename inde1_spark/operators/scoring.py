@@ -1535,3 +1535,120 @@ def perplexity_filter_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("source", "threshold")
+
+
+# (k1, b) grid: the default Okapi config first (the baseline the overlap
+# column compares against), then the standard tuning corners — low-k1
+# saturating, high-k1 linear-ish, b=0 (no length norm), b=1 (full norm)
+BM25_SWEEP_CONFIGS = (
+    (BM25_K1, BM25_B),
+    (0.9, 0.4),
+    (1.5, 0.75),
+    (1.2, 0.0),
+    (2.0, 1.0),
+)
+
+
+def bm25_parameter_sweep(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+    configs: tuple[tuple[float, float], ...] = BM25_SWEEP_CONFIGS,
+) -> DataFrame:
+    """(k1, b) tuning sweep for BM25 — what a retrieval stack measures
+    BEFORE changing scoring constants on a production index: for every
+    config, how much does the top-k LIST actually move vs the deployed
+    default (overlap@k — rank changes below k are free; membership
+    changes are re-ranked results a user sees), and where does the score
+    mass go (exact mean top-k score). ``bm25_score`` prices one config;
+    the sweep prices the grid from ONE corpus pass.
+
+    The token stream prefilters to the query terms row-locally, and the
+    resulting tf table is persisted — so the corpus is scanned once and
+    each config reuses the same (tiny) frequency table: per config cost
+    is a broadcast join + a top-k, not a rescan. Scores keep
+    ``bm25_score``'s exact discipline (nano-snapped idf, micro-snapped
+    per-term contributions, LONG score keys, ties to doc_id asc); k1/b
+    enter as Python-computed double literals so neither engine does
+    decimal-literal arithmetic (CLAUDE.md float-literal rule). The mean
+    divides one exact LONG sum, once.
+    """
+    from inde1_spark.operators.dedup import _persist
+
+    tf = _persist(_term_freq(documents, only_terms=query))
+    stats = _persist(
+        documents.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            (
+                F.sum(F.size(tokens("text")).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("avgdl"),
+        )
+    )
+    df_tbl = _persist(
+        tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = _log_scaled(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    base = tf.join(F.broadcast(df_tbl), "term").join(
+        F.broadcast(stats)
+    ).withColumn("idf_scaled", idf)
+
+    def topk(k1: float, b: float) -> DataFrame:
+        denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+            F.lit(float(1.0 - b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        contrib = F.round(
+            (F.col("idf_scaled").cast("double") / F.lit(float(LOG_SCALE)))
+            * (F.col("tf").cast("double") * F.lit(float(k1 + 1.0)))
+            / denom
+            * F.lit(float(SCORE_SCALE)),
+            0,
+        ).cast("long")
+        per_doc = base.withColumn("contrib", contrib).groupBy("doc_id").agg(
+            F.sum("contrib").cast("long").alias("score_key")
+        )
+        return per_doc.orderBy(
+            F.col("score_key").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
+    from inde1_spark.functions.exprs import ratio_round
+
+    default = _persist(topk(*configs[0]).select("doc_id"))
+    out = None
+    for k1, b in configs:
+        t = topk(k1, b)
+        row = (
+            t.join(F.broadcast(default), "doc_id", "left_semi")
+            .agg(F.count("*").cast("long").alias("n_overlap"))
+            .join(
+                F.broadcast(
+                    t.agg(
+                        F.count("*").cast("long").alias("n_topk"),
+                        F.coalesce(F.sum("score_key"), F.lit(0))
+                        .cast("long")
+                        .alias("sum_key"),
+                    )
+                )
+            )
+            .select(
+                F.lit(float(k1)).alias("k1"),
+                F.lit(float(b)).alias("b"),
+                F.col("n_topk"),
+                ratio_round(
+                    F.col("n_overlap") * 100,
+                    F.greatest(F.col("n_topk"), F.lit(1).cast("long")),
+                    2,
+                ).alias("overlap_default_pct"),
+                (
+                    F.col("sum_key").cast("double")
+                    / F.greatest(F.col("n_topk"), F.lit(1).cast("long"))
+                    .cast("double")
+                    / F.lit(float(SCORE_SCALE))
+                ).alias("mean_bm25"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k1", "b")

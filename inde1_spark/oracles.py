@@ -12792,3 +12792,136 @@ SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_correct,
              "CAST(n_docs AS HUGEINT) * 1000000", 2)} AS gap_pct
 FROM per_bin ORDER BY bin
 """
+
+
+def _lpa_label_ctes(rounds: int) -> str:
+    """The shared LPA unroll (edges/nbrs/labels_0..labels_R CTE chain)
+    WITHOUT the final histogram select — reused by the modularity twin."""
+    parts = [
+        f"edges AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLES['dedup_ngram_jaccard']})),",
+        "nbrs AS MATERIALIZED (",
+        "  SELECT doc_a AS u, doc_b AS v FROM edges",
+        "  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges",
+        "),",
+        "labels_0 AS MATERIALIZED (SELECT DISTINCT u, u AS label FROM nbrs),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""votes_{r} AS MATERIALIZED (
+  SELECT u, label, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+    SELECT n.u, l.label FROM nbrs n JOIN labels_{r-1} l ON n.v = l.u
+    UNION ALL SELECT u, label FROM labels_{r-1}
+  ) GROUP BY 1, 2
+),
+labels_{r} AS MATERIALIZED (
+  SELECT u, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY votes DESC, label ASC)
+             AS rn
+    FROM votes_{r}
+  ) WHERE rn = 1
+),"""
+        )
+    return "\n".join(parts)
+
+
+# Twin of operators/dedup.py:graph_modularity_audit — the exact LPA unroll
+# the production operator ships, then Newman Q over the common denominator
+# 4m^2 in HUGEINT with ONE sign-split micro-round.
+STAGED_ORACLES["graph_modularity_audit"] = f"""
+WITH {_lpa_label_ctes(LPA_ROUNDS)}
+m_tbl AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+tagged AS (
+  SELECT e.doc_a, e.doc_b, la.label AS lab_a, lb.label AS lab_b
+  FROM edges e
+  JOIN labels_{LPA_ROUNDS} la ON la.u = e.doc_a
+  JOIN labels_{LPA_ROUNDS} lb ON lb.u = e.doc_b
+),
+intra AS (
+  SELECT lab_a AS label, CAST(COUNT(*) AS BIGINT) AS l_c
+  FROM tagged WHERE lab_a = lab_b GROUP BY 1
+),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1
+),
+d_c AS (
+  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS d_c
+  FROM deg d JOIN labels_{LPA_ROUNDS} l ON l.u = d.u GROUP BY 1
+),
+per_c AS (
+  SELECT d_c.label, d_c.d_c, COALESCE(i.l_c, 0) AS l_c, m_tbl.m
+  FROM d_c LEFT JOIN intra i ON i.label = d_c.label CROSS JOIN m_tbl
+),
+num AS (
+  SELECT CAST(SUM(4 * CAST(m AS HUGEINT) * l_c
+               - CAST(d_c AS HUGEINT) * d_c) AS HUGEINT) AS q_num,
+         CAST(SUM(l_c) AS BIGINT) AS intra_edges,
+         CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(MAX(m) AS BIGINT) AS m
+  FROM per_c
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM labels_{LPA_ROUNDS})
+SELECT nn.n_nodes, num.m AS n_edges, num.n_communities,
+       {_rr("num.intra_edges * 100", "num.m", 2)} AS intra_edge_pct,
+       (CASE WHEN num.q_num < 0 THEN -1.0 ELSE 1.0 END)
+         * {_dec2d("((abs(num.q_num) * 2000000 + 4 * CAST(num.m AS HUGEINT) * num.m) // (2 * (4 * CAST(num.m AS HUGEINT) * num.m)))")}
+         / 1e6 AS modularity
+FROM num CROSS JOIN nn
+WHERE num.m > 0
+"""
+
+from inde1_spark.operators.scoring import BM25_SWEEP_CONFIGS  # noqa: E402
+
+
+def _bm25_topk_sql(k1: float, b: float, tag: str) -> str:
+    """Per-config top-k CTE pair over the shared tf/stats/dfq tables —
+    verbatim bm25_score scoring with (k1, b) injected as python-computed
+    double literals."""
+    return f"""contrib_{tag} AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (CAST(CAST(round(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                            * {LOG_SCALE}.0, 0) AS BIGINT) AS DOUBLE) / {LOG_SCALE}.0)
+           * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r})
+           / (CAST(tf.tf AS DOUBLE)
+              + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+           * {SCORE_SCALE}.0, 0) AS BIGINT) AS c
+  FROM tf JOIN dfq USING (term), stats
+),
+topk_{tag} AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_key
+  FROM contrib_{tag} GROUP BY 1
+  ORDER BY score_key DESC, doc_id ASC
+  LIMIT {BM25_TOP_K}
+)"""
+
+
+_BM25_SWEEP_CTES = ",\n".join(
+    _bm25_topk_sql(k1, b, f"c{i}")
+    for i, (k1, b) in enumerate(BM25_SWEEP_CONFIGS)
+)
+_BM25_SWEEP_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({k1!r} AS DOUBLE) AS k1, CAST({b!r} AS DOUBLE) AS b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM topk_c{i}) AS n_topk,
+       {_rr(f"(SELECT CAST(COUNT(*) AS BIGINT) FROM topk_c{i} t"
+            f" WHERE t.doc_id IN (SELECT doc_id FROM topk_c0)) * 100",
+            f"GREATEST((SELECT COUNT(*) FROM topk_c{i}), 1)", 2)}
+         AS overlap_default_pct,
+       CAST((SELECT COALESCE(SUM(score_key), 0) FROM topk_c{i}) AS DOUBLE)
+         / CAST(GREATEST((SELECT COUNT(*) FROM topk_c{i}), 1) AS DOUBLE)
+         / {SCORE_SCALE}.0 AS mean_bm25"""
+    for i, (k1, b) in enumerate(BM25_SWEEP_CONFIGS)
+)
+
+STAGED_ORACLES["bm25_parameter_sweep"] = f"""
+WITH {_TF.format(tok_filter=f'WHERE tok IN ({_QTERMS})')},
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+{_BM25_SWEEP_CTES}
+{_BM25_SWEEP_ROWS}
+ORDER BY k1, b
+"""

@@ -402,6 +402,8 @@ R12_BATCH = (
     "range_partition_plan",
     "join_size_estimate_audit",
     "langid_calibration_audit",
+    "graph_modularity_audit",
+    "bm25_parameter_sweep",
 )
 
 
@@ -416,3 +418,174 @@ def test_r12_batch_plan_invariants(spark):
         assert "BatchEvalPython" not in r.raw, f"{name}: row Python UDF"
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in r.raw, f"{name}: unexpected {node}"
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_cliques_near_half(spark):
+    from inde1_spark.operators.dedup import graph_modularity_audit
+
+    # two identical-text families (complete near-dup cliques, no cross
+    # edges): LPA converges within each; Q for two equal cliques under
+    # their own partition is exactly 1/2 (intra=all, D_c = m per side)
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_b = "one two three four five six seven eight"
+    rows = [(i, fam_a, "en", "s", len(fam_a)) for i in range(4)]
+    rows += [(10 + i, fam_b, "en", "s", len(fam_b)) for i in range(4)]
+    out = graph_modularity_audit(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_nodes"] == 8 and r["n_edges"] == 12  # 2 x C(4,2)
+    assert r["n_communities"] == 2
+    assert r["intra_edge_pct"] == 100.0
+    assert r["modularity"] == 0.5
+
+
+def test_modularity_single_family_is_zero(spark):
+    from inde1_spark.operators.dedup import graph_modularity_audit
+
+    # one clique, one community: L_c = m, D_c = 2m -> Q = 1 - 1 = 0
+    t = "same text family shared by every document here"
+    rows = [(i, t, "en", "s", len(t)) for i in range(5)]
+    out = graph_modularity_audit(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["modularity"] == 0.0
+    assert out[0]["intra_edge_pct"] == 100.0
+
+
+def test_modularity_empty_graph_filters_out(spark):
+    from inde1_spark.operators.dedup import graph_modularity_audit
+
+    rows = [
+        (1, "completely unrelated words aa bb cc", "en", "s", 30),
+        (2, "different text entirely xx yy zz qq", "en", "s", 30),
+    ]
+    assert graph_modularity_audit(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).count() == 0
+
+
+def test_modularity_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["graph_modularity_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "InMemoryTableScan" in r.raw  # edges + labels persisted
+
+
+# ---------------------------------------------------------------------------
+# bm25_parameter_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_sweep_default_row_is_identity(spark):
+    from inde1_spark.operators.scoring import (
+        BM25_B,
+        BM25_K1,
+        bm25_parameter_sweep,
+        bm25_score,
+    )
+
+    docs = [
+        (1, "query join stream query", "en", "s", 24),
+        (2, "query join other words here", "en", "s", 27),
+        (3, "stream stream stream join", "en", "s", 25),
+        (4, "nothing relevant at all", "en", "s", 23),
+        (5, "query " * 5, "en", "s", 30),
+    ]
+    df = spark.createDataFrame(docs, DOC_COLS)
+    out = {
+        (r["k1"], r["b"]): r for r in bm25_parameter_sweep(df).collect()
+    }
+    d = out[(BM25_K1, BM25_B)]
+    # the default config overlaps itself 100% and reproduces bm25_score's
+    # own top-k mean (same contributions, same snapping)
+    assert d["overlap_default_pct"] == 100.0
+    ref = bm25_score(df).collect()
+    assert d["n_topk"] == len(ref)
+    assert d["mean_bm25"] == pytest.approx(
+        sum(r["bm25"] for r in ref) / len(ref), abs=1e-9
+    )
+
+
+def test_bm25_sweep_matches_pure_python_mirror(spark):
+    import math
+
+    from inde1_spark.operators.scoring import (
+        BM25_QUERY,
+        BM25_SWEEP_CONFIGS,
+        LOG_SCALE,
+        SCORE_SCALE,
+        bm25_parameter_sweep,
+    )
+
+    docs = [
+        (1, "query", "en", "s", 5),
+        (2, "query " + " ".join(["pad"] * 30), "en", "s", 120),
+        (3, "join join", "en", "s", 9),
+        (4, "stream join query words", "en", "s", 23),
+    ]
+    df = spark.createDataFrame(docs, DOC_COLS)
+    rows = bm25_parameter_sweep(df).collect()
+    assert {r["n_topk"] for r in rows} == {4}
+    # only 4 candidate docs: every config keeps the same top-k SET
+    assert all(r["overlap_default_pct"] == 100.0 for r in rows)
+
+    # pure-python mirror of the scoring discipline (nano idf, micro
+    # contributions, LONG sums) — pins mean_bm25 exactly per config
+    toks = {i: t.split() for i, t, *_ in docs}
+    n_docs = float(len(docs))
+    dfreq = {
+        q: float(sum(1 for ts in toks.values() if q in ts))
+        for q in BM25_QUERY
+    }
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    def mean_key(k1, b):
+        keys = []
+        for i, ts in toks.items():
+            key, matched = 0, False
+            for q in BM25_QUERY:
+                tf = ts.count(q)
+                if not tf:
+                    continue
+                matched = True
+                idf = half_up(
+                    math.log((n_docs - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+                    * LOG_SCALE
+                ) / LOG_SCALE
+                denom = tf + k1 * ((1.0 - b) + b * len(ts) / (
+                    sum(len(x) for x in toks.values()) / n_docs))
+                key += half_up(idf * (tf * (k1 + 1.0)) / denom * SCORE_SCALE)
+            if matched:  # a zero key still ranks (idf can be exactly 0)
+                keys.append(key)
+        return sum(keys) / len(keys) / SCORE_SCALE
+
+    got = {(r["k1"], r["b"]): r["mean_bm25"] for r in rows}
+    for k1, b in BM25_SWEEP_CONFIGS:
+        assert got[(k1, b)] == pytest.approx(mean_key(k1, b), abs=1e-12), (
+            k1, b,
+        )
+
+
+def test_bm25_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["bm25_parameter_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    # the avgdl stats pass prunes to text alone; the tf pass needs both
+    assert schemas <= {"doc_id:bigint,text:string", "text:string"}
+    assert "InMemoryTableScan" in r.raw  # tf scanned once for all configs
+    assert "TakeOrderedAndProject" in r.raw  # top-k, never a global sort
