@@ -886,6 +886,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_parameter_sweep": lambda sp, d: SC.bm25_parameter_sweep(
             _t(sp, d, "documents")
         ),
+        "session_gap_sweep": lambda sp, d: A.session_gap_sweep(
+            _t(sp, d, "events")
+        ),
+        "predicate_selectivity_audit": lambda sp, d: (
+            A.predicate_selectivity_audit(_t(sp, d, "events"))
+        ),
     }
 
 

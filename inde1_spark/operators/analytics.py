@@ -11152,3 +11152,175 @@ def join_size_estimate_audit(
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("join_name")
+
+
+# session-gap threshold grid, minutes — brackets the deployed 60-minute gap
+SESSION_GAP_SWEEP_MIN = (15, 30, 60, 120, 240)
+
+
+def session_gap_sweep(events: DataFrame) -> DataFrame:
+    """Gap-threshold tuning sweep for sessionization — the audit that
+    picks ``sessionize_gap``'s threshold BEFORE a 100 TB sessionization
+    commits to one: for every candidate gap, the session count, mean
+    events per session, and the share of adjacent same-user event pairs
+    the threshold would split. The decision heuristic this table feeds
+    is the classic knee: session counts stabilize where the gap passes
+    the within-session inter-arrival mass.
+
+    ONE lag pass computes every per-user inter-arrival gap (the same
+    (user, ts, event_id)-ordered window sessionize_gap uses — one
+    shuffle); the sweep then unrolls the bounded grid into conditional
+    sums inside ONE aggregate (the semdedup_threshold_sweep posture —
+    no per-threshold rescans, no row multiplication). Session-count
+    identity: sessions(g) = n_users + #(gap > g); every output is exact
+    integers or round-half-up ratios from them.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("gap_s").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+    ]
+    for i, g in enumerate(SESSION_GAP_SWEEP_MIN):
+        aggs.append(
+            F.sum(F.when(F.col("gap_s") > g * 60, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_splits_{i}")
+        )
+    from inde1_spark.operators.dedup import _persist
+
+    agg = _persist(gaps.agg(*aggs))
+    out = None
+    for i, g in enumerate(SESSION_GAP_SWEEP_MIN):
+        n_sessions = F.col(f"_splits_{i}") + F.col("n_users")
+        row = agg.select(
+            F.lit(int(g)).cast("long").alias("gap_minutes"),
+            n_sessions.cast("long").alias("n_sessions"),
+            ratio_round(
+                F.col("n_events") * 100,
+                F.greatest(n_sessions, F.lit(1).cast("long")),
+                2,
+            ).alias("events_per_session_x100"),
+            ratio_round(
+                F.col(f"_splits_{i}") * 100,
+                F.greatest(
+                    F.col("n_events") - F.col("n_users"),
+                    F.lit(1).cast("long"),
+                ),
+                2,
+            ).alias("split_pair_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gap_minutes")
+
+
+# canonical scan predicates whose selectivity the planner must price
+SEL_VALUE_CUT = 50.0   # value > cut (histogram-model territory)
+SEL_HOUR_LO, SEL_HOUR_HI = 8, 18  # business-hours range predicate
+
+
+def predicate_selectivity_audit(events: DataFrame) -> DataFrame:
+    """Selectivity-estimation audit for the canonical scan predicates —
+    the FILTER face of ``join_size_estimate_audit``'s question (the
+    third member of the stats-trust family: ndv_estimator_audit prices
+    NDV, join_size the join sizes, this the filter selectivities a
+    cost model multiplies first). For each predicate: the
+    uniformity-model ESTIMATE a stats-only planner would use (equality:
+    1/ndv; range: span fraction of [min, max]) and the ACTUAL
+    selectivity, with the signed error — where the model breaks
+    (skewed types, non-uniform values, clustered hours) is exactly
+    where a plan's row estimates rot.
+
+    ONE aggregate computes every actual count AND every model input
+    (ndv, min, max) — no per-predicate rescans; the model's divisions
+    are exact round-half-up ppm on integers (the value/hour spans are
+    data-dependent but integer-derived; the micro grid makes the
+    estimate engine-identical).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round, ratio_round
+    from inde1_spark.operators.dedup import _persist
+
+    vmicro = F.floor(
+        F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    cutmicro = int(SEL_VALUE_CUT * 1e6)
+    agg = _persist(
+        events.select(
+            "event_type",
+            vmicro.alias("v"),
+            F.hour("ts").cast("long").alias("h"),
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("event_type").cast("long").alias("ndv_type"),
+            F.sum(
+                F.when(F.col("event_type") == ENTRY_TYPE, 1).otherwise(0)
+            ).cast("long").alias("act_eq"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.sum(F.when(F.col("v") > cutmicro, 1).otherwise(0))
+            .cast("long")
+            .alias("act_gt"),
+            F.sum(
+                F.when(
+                    (F.col("h") >= SEL_HOUR_LO) & (F.col("h") < SEL_HOUR_HI),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("act_hours"),
+        )
+    )
+    d38 = "decimal(38,0)"
+
+    def ppm(num, den):
+        return dec_ratio_round(
+            num.cast(d38) * F.lit(1_000_000).cast(d38),
+            F.greatest(den, F.lit(1)).cast(d38),
+            0,
+        ).cast("long")
+
+    # uniformity models, all integer-exact:
+    #   equality: rows/ndv; value range: (v_max - cut)/(v_max - v_min);
+    #   hour range: 10/24 of the clock
+    est_eq = ppm(F.lit(1), F.col("ndv_type"))
+    span = F.greatest(F.col("v_max") - F.col("v_min"), F.lit(1).cast("long"))
+    est_gt = ppm(
+        F.greatest(
+            F.least(F.col("v_max") - F.lit(cutmicro), span),
+            F.lit(0).cast("long"),
+        ),
+        span,
+    )
+    est_hours = ppm(F.lit(SEL_HOUR_HI - SEL_HOUR_LO), F.lit(24))
+
+    def row(name, est_ppm, act):
+        act_ppm = ppm(act, F.col("n_rows"))
+        diff = est_ppm - act_ppm
+        return agg.select(
+            F.lit(name).alias("predicate"),
+            F.col("n_rows"),
+            est_ppm.alias("est_ppm"),
+            act_ppm.alias("act_ppm"),
+            act.alias("n_actual"),
+            (
+                F.when(diff < 0, F.lit(-1.0))
+                .otherwise(F.lit(1.0))
+                * F.abs(diff).cast("double")
+                / F.lit(1e4)
+            ).alias("err_pp"),
+        )
+
+    out = (
+        row("event_type_eq_entry", est_eq, F.col("act_eq"))
+        .unionByName(row("value_gt_cut", est_gt, F.col("act_gt")))
+        .unionByName(row("hour_business_range", est_hours, F.col("act_hours")))
+    )
+    return out.orderBy("predicate")

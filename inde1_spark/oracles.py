@@ -12925,3 +12925,112 @@ dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 {_BM25_SWEEP_ROWS}
 ORDER BY k1, b
 """
+
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    SEL_HOUR_HI,
+    SEL_HOUR_LO,
+    SEL_VALUE_CUT,
+    SESSION_GAP_SWEEP_MIN,
+)
+
+_SGS_AGGS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN gap_s > {g * 60} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS splits_{i}"
+    for i, g in enumerate(SESSION_GAP_SWEEP_MIN)
+)
+_SGS_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({g} AS BIGINT) AS gap_minutes,
+       CAST(splits_{i} + n_users AS BIGINT) AS n_sessions,
+       {_rr("n_events * 100", f"GREATEST(splits_{i} + n_users, 1)", 2)}
+         AS events_per_session_x100,
+       {_rr(f"splits_{i} * 100", "GREATEST(n_events - n_users, 1)", 2)}
+         AS split_pair_pct
+FROM agg"""
+    for i, g in enumerate(SESSION_GAP_SWEEP_MIN)
+)
+
+# Twin of operators/analytics.py:session_gap_sweep — one lag pass over the
+# (user, ts, event_id) order, bounded grid unrolled into conditional sums.
+STAGED_ORACLES["session_gap_sweep"] = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN gap_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users,
+         {_SGS_AGGS}
+  FROM gaps
+)
+{_SGS_ROWS}
+ORDER BY gap_minutes
+"""
+
+_SEL_CUT_MICRO = int(SEL_VALUE_CUT * 1e6)
+
+
+def _sel_ppm(num: str, den: str) -> str:
+    """round_half_up(num*1e6/den) as BIGINT, HUGEINT internals."""
+    return (
+        f"CAST((CAST({num} AS HUGEINT) * 1000000 * 2 + GREATEST({den}, 1))"
+        f" // (2 * GREATEST({den}, 1)) AS BIGINT)"
+    )
+
+
+_SEL_ROWS = []
+for _name, _est, _act in (
+    ("event_type_eq_entry", _sel_ppm("1", "ndv_type"), "act_eq"),
+    (
+        "value_gt_cut",
+        _sel_ppm(
+            f"GREATEST(LEAST(v_max - {_SEL_CUT_MICRO},"
+            f" GREATEST(v_max - v_min, 1)), 0)",
+            "GREATEST(v_max - v_min, 1)",
+        ),
+        "act_gt",
+    ),
+    (
+        "hour_business_range",
+        _sel_ppm(str(SEL_HOUR_HI - SEL_HOUR_LO), "24"),
+        "act_hours",
+    ),
+):
+    _act_ppm = _sel_ppm(_act, "n_rows")
+    _SEL_ROWS.append(
+        f"""SELECT '{_name}' AS predicate, n_rows,
+       {_est} AS est_ppm,
+       {_act_ppm} AS act_ppm,
+       {_act} AS n_actual,
+       (CASE WHEN {_est} - {_act_ppm} < 0 THEN -1.0 ELSE 1.0 END)
+         * CAST(abs({_est} - {_act_ppm}) AS DOUBLE) / 1e4 AS err_pp
+FROM agg"""
+    )
+
+# Twin of operators/analytics.py:predicate_selectivity_audit — one
+# aggregate carries every actual count and model input; per-predicate rows
+# are projections; ppm round-half-up in HUGEINT.
+STAGED_ORACLES["predicate_selectivity_audit"] = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv_type,
+         CAST(SUM(CASE WHEN event_type = '{ENTRY}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS act_eq,
+         MIN(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+           AS v_min,
+         MAX(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+           AS v_max,
+         CAST(SUM(CASE WHEN CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+                             AS BIGINT) > {_SEL_CUT_MICRO}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS act_gt,
+         CAST(SUM(CASE WHEN hour(ts) >= {SEL_HOUR_LO}
+                        AND hour(ts) < {SEL_HOUR_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS act_hours
+  FROM events
+)
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_SEL_ROWS))}
+ORDER BY predicate
+"""

@@ -404,6 +404,8 @@ R12_BATCH = (
     "langid_calibration_audit",
     "graph_modularity_audit",
     "bm25_parameter_sweep",
+    "session_gap_sweep",
+    "predicate_selectivity_audit",
 )
 
 
@@ -589,3 +591,105 @@ def test_bm25_sweep_plan(spark):
     assert schemas <= {"doc_id:bigint,text:string", "text:string"}
     assert "InMemoryTableScan" in r.raw  # tf scanned once for all configs
     assert "TakeOrderedAndProject" in r.raw  # top-k, never a global sort
+
+
+# ---------------------------------------------------------------------------
+# session_gap_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_session_gap_sweep_exact_split_counts(spark):
+    from inde1_spark.operators.analytics import (
+        SESSION_GAP_SWEEP_MIN,
+        session_gap_sweep,
+    )
+
+    # one user with gaps of 20m, 45m, 90m, 300m; a second single-event user
+    offsets = [0, 20, 65, 155, 455]
+    rows = [
+        (i + 1, T0 + timedelta(minutes=m), 1, "view", 1.0, "{}")
+        for i, m in enumerate(offsets)
+    ]
+    rows.append((9, T0, 2, "view", 1.0, "{}"))
+    out = {
+        r["gap_minutes"]: r
+        for r in session_gap_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(SESSION_GAP_SWEEP_MIN)
+    # splits per threshold: >15 -> 4, >30 -> 3, >60 -> 2, >120 -> 1, >240 -> 1
+    expected_sessions = {15: 4 + 2, 30: 3 + 2, 60: 2 + 2, 120: 1 + 2, 240: 1 + 2}
+    for g, ns in expected_sessions.items():
+        assert out[g]["n_sessions"] == ns, g
+    # identity columns: events/session and split-pair share, exact half-up
+    r = out[60]
+    assert r["events_per_session_x100"] == _rhu(6 * 100 * 100, 4) / 100
+    assert r["split_pair_pct"] == 50.0  # 2 of 4 adjacent pairs split
+    # monotone: a larger gap never creates more sessions
+    ses = [out[g]["n_sessions"] for g in sorted(out)]
+    assert ses == sorted(ses, reverse=True)
+
+
+def test_session_gap_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["session_gap_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
+    assert "InMemoryTableScan" in r.raw  # one lag pass feeds all rows
+
+
+# ---------------------------------------------------------------------------
+# predicate_selectivity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_selectivity_models_vs_actuals_exact(spark):
+    from inde1_spark.operators.analytics import (
+        predicate_selectivity_audit,
+    )
+
+    # 4 types (est 25% each) but 'view' is actually 70%: equality model
+    # misprices; values uniform on [0, 100] -> range model near-exact
+    rows = []
+    for i in range(100):
+        et = "view" if i < 70 else ("click", "error", "other")[i % 3]
+        rows.append(
+            (i, T0 + timedelta(hours=i % 24), i, et, float(i), "{}")
+        )
+    out = {
+        r["predicate"]: r
+        for r in predicate_selectivity_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    eq = out["event_type_eq_entry"]
+    assert eq["n_actual"] == 70 and eq["act_ppm"] == 700_000
+    assert eq["est_ppm"] == 250_000  # 1/ndv uniformity model
+    assert eq["err_pp"] == -45.0     # the model under-prices by 45 points
+    gt = out["value_gt_cut"]
+    # values 0..99, cut 50: actual 49/100; model (99-50)/99
+    assert gt["n_actual"] == 49
+    assert gt["est_ppm"] == _rhu((99 - 50) * 10**6, 99)
+    hr = out["hour_business_range"]
+    assert hr["est_ppm"] == _rhu(10 * 10**6, 24)
+    # uniform hours 0..23 repeated: actual share ~10/24 too
+    assert abs(hr["err_pp"]) < 2.0
+
+
+def test_selectivity_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["predicate_selectivity_audit"](
+            spark, SF_SMOKE
+        )
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,event_type:string,value:double"}
+    assert "InMemoryTableScan" in r.raw  # one aggregate row, three rows out
