@@ -10667,8 +10667,11 @@ def compression_ratio_audit(events: DataFrame) -> DataFrame:
         "n_runs",
         ratio_round(F.col("n_rows"), F.greatest(F.col("n_runs"), F.lit(1)), 2)
         .alias("mean_run_len"),
-        ratio_round(F.col("n_distinct") * 100, F.col("n_rows"), 2)
-        .alias("ndv_pct"),
+        # empty-table guard matches the twin's GREATEST(n_rows, 1)
+        # (Spark ANSI throws on /0 where DuckDB returns NULL — CLAUDE.md)
+        ratio_round(
+            F.col("n_distinct") * 100, F.greatest(F.col("n_rows"), F.lit(1)), 2
+        ).alias("ndv_pct"),
         enc.alias("encoding"),
     ).orderBy("column_name")
 
@@ -11047,7 +11050,10 @@ def join_size_estimate_audit(
     warehouse actually runs, the CLASSIC System-R estimate
     |A||B| / max(ndv_A, ndv_B), the SAMPLED estimate (per-key counts on
     the md5 10% hash lanes of both sides, product-summed and scaled by
-    (100/pct)^2), and the EXACT result size sum_k cA(k)*cB(k) — with
+    100/pct — the lanes are CORRELATED: both sides hash the key VALUE,
+    so a matching key pair survives jointly with probability pct/100,
+    not (pct/100)^2, and within a surviving lane the per-key counts are
+    complete), and the EXACT result size sum_k cA(k)*cB(k) — with
     signed relative errors. ``join_cardinality_audit`` measures one
     join's fan-out; this prices the ESTIMATORS against truth across the
     join log, the evidence for trusting (or not) stats-only planning at
@@ -11055,7 +11061,8 @@ def join_size_estimate_audit(
 
     Per join: two per-key count aggregates (map-side combined), one
     equi-join on the key for the exact product sum, and the same pair
-    on the hash-lane samples — sample cost is pct^2 of the exact one.
+    on the hash-lane samples — the correlated lane means sample cost is
+    pct/100 of the exact one (the join only ever sees surviving lanes).
     Products and sums run in DECIMAL(38,0) (a single hot key pair can
     pass 2^63 alone); counts emit as decimal STRINGS (the cap-sweep
     rule) and errors as sign-split exact round-half-up percents.
@@ -11090,7 +11097,9 @@ def join_size_estimate_audit(
         return per_key, stats, samp
 
     out = None
-    scale = (100 // JSE_SAMPLE_PCT) ** 2
+    # correlated key-lane sampling: matching pairs survive with prob p,
+    # not p^2, so the unbiased scale is 1/p (r10 ADVICE item 1)
+    scale = 100 // JSE_SAMPLE_PCT
     for name, ldf, lk, rdf, rk in joins:
         pk_l, st_l, sm_l = side(ldf, lk, "l")
         pk_r, st_r, sm_r = side(rdf, rk, "r")

@@ -12699,7 +12699,8 @@ def _jse_side_sql(table: str, key: str, tag: str) -> str:
 
 def _jse_join_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
     tagl, tagr = f"{name}_l", f"{name}_r"
-    scale = (100 // JSE_SAMPLE_PCT) ** 2
+    # correlated key-lane sampling -> unbiased scale 1/p (r10 ADVICE 1)
+    scale = 100 // JSE_SAMPLE_PCT
     sides = (
         _jse_side_sql(lt, lk, tagl) + ",\n" + _jse_side_sql(rt, rk, tagr)
     )

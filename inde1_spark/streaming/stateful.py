@@ -852,9 +852,14 @@ def schema_drift_stream(events: DataFrame) -> DataFrame:
     event. Removed keys are the one face a live monitor cannot see
     (absence is not an event); the batch audit owns that direction.
 
-    Type inference is byte-for-byte the batch audit's anchored regexes
-    applied to the stringified JSON scalar, so a drained stream's alarm
-    set equals the pure-python contract replay (pinned by pytest).
+    Type inference is the batch audit's anchored regexes applied to a
+    Double.toString-compatible rendering of the JSON scalar (from_json
+    normalizes number tokens through java.lang.Double.toString, whose
+    exponent-form boundary — |x| >= 1e7 or < 1e-3 — differs from Python
+    str(); _java_double mirrors the form exactly, digits up to
+    shortest-round-trip), so a drained stream's alarm set equals both
+    the batch audit's vtypes and the pure-python contract replay
+    (pinned by pytest, incl. the boundary magnitudes).
     State is the registered key->vtype inventory (bounded by the
     payload vocabulary, a few dozen entries — far smaller than the
     per-day histograms the drift monitors carry); rows inside a
@@ -864,8 +869,51 @@ def schema_drift_stream(events: DataFrame) -> DataFrame:
     cols = ["event_type", "key", "vtype", "prev_vtype", "kind"]
 
     def _stringify(v: Any) -> str | None:
-        # mirror from_json(map<string,string>)'s scalar rendering
+        # mirror from_json(map<string,string>)'s scalar rendering.
+        # The batch audit's from_json normalizes JSON number tokens
+        # through java.lang.Double.toString (measured: '1e5' ->
+        # '100000.0', '12345678.5' -> '1.23456785E7', '0.0001' ->
+        # '1.0E-4'), which switches to exponent form at |x| >= 1e7 or
+        # < 1e-3 where Python str() switches at 1e16/1e-5 — so a plain
+        # str(v) mis-types exactly the magnitudes in between (float vs
+        # the batch's 'string'; r10 ADVICE item 3, corrected boundary).
+        # _java_double reproduces Double.toString's FORM exactly and
+        # its digits up to shortest-round-trip representation (CPython
+        # repr and Java both emit shortest digits that round-trip).
         import json as _json  # noqa: PLC0415 — worker-side import
+
+        def _java_double(x: float) -> str:
+            if x != x:
+                return "NaN"
+            if x == float("inf"):
+                return "Infinity"
+            if x == float("-inf"):
+                return "-Infinity"
+            sign = "-" if repr(x).startswith("-") else ""
+            m = abs(x)
+            if m == 0.0:
+                return sign + "0.0"
+            r = repr(m)
+            if "e" in r:
+                mant, _, e = r.partition("e")
+                exp = int(e)
+            else:
+                mant, exp = r, 0
+            ip, _, fp = mant.partition(".")
+            digits = (ip + fp).lstrip("0")
+            # decimal-point position within `digits`, from the left
+            point = len(ip) + exp - (len(ip + fp) - len((ip + fp).lstrip("0")))
+            digits = digits.rstrip("0") or "0"
+            if 1e-3 <= m < 1e7:
+                if point <= 0:
+                    return sign + "0." + "0" * (-point) + digits
+                if point >= len(digits):
+                    return sign + digits + "0" * (point - len(digits)) + ".0"
+                return sign + digits[:point] + "." + digits[point:]
+            return (
+                sign + digits[0] + "." + (digits[1:] or "0")
+                + "E" + str(point - 1)
+            )
 
         if v is None:
             return None
@@ -873,6 +921,8 @@ def schema_drift_stream(events: DataFrame) -> DataFrame:
             return "true" if v else "false"
         if isinstance(v, (dict, list)):
             return _json.dumps(v, separators=(",", ":"))
+        if isinstance(v, float):
+            return _java_double(v)
         return str(v)
 
     def _vtype(v: str | None) -> str:

@@ -554,6 +554,36 @@ def test_schema_evolution_dominant_type_tie_breaks_alphabetical(spark):
     assert out["2024-03-02"]["verdict"] == "breaking"
 
 
+def test_schema_evolution_double_tostring_boundary(spark):
+    """from_json(map<string,string>) renders number tokens through
+    java.lang.Double.toString: |x| >= 1e7 or < 1e-3 comes out in
+    exponent form ('1.23456785E7') and classifies as 'string', not
+    'float' — the boundary schema_drift_stream mirrors (r10 ADVICE 3).
+    In-range magnitudes stay decimal-form floats, so only the
+    out-of-range key alarms."""
+    from datetime import datetime
+
+    from inde1_spark.operators.analytics import schema_evolution_audit
+
+    rows = [
+        (1, datetime(2024, 3, 1, 8), 1, "view", 1.0,
+         '{"x": 2.5, "y": 3.5}'),
+        # x crosses into Double.toString exponent form -> type change;
+        # y moves within the decimal-form range -> still float, silent
+        (2, datetime(2024, 3, 2, 8), 1, "view", 1.0,
+         '{"x": 12345678.5, "y": 9999999.5}'),
+    ]
+    out = {
+        r["day"]: r
+        for r in schema_evolution_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    d2 = out["2024-03-02"]
+    assert (d2["n_added"], d2["n_removed"], d2["n_type_changed"]) == (0, 0, 1)
+    assert d2["verdict"] == "breaking"
+
+
 def test_schema_evolution_plan(spark):
     import __spark_entry__ as entrymod
 

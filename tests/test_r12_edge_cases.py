@@ -318,6 +318,28 @@ def test_jse_exact_equals_brute_join_and_classic_formula(spark):
     assert r["est_classic"] == str((nl * nr + m - 1) // m)
     # signed error: the uniform-key assumption misprices the skewed join
     assert r["err_classic_pct"] != 0.0
+    # est_sampled pin (r10 ADVICE 1): the lanes are CORRELATED — both
+    # sides hash the key VALUE — so the unbiased scale is 100/pct, and
+    # the estimate is exactly scale * sum over in-lane keys of cA*cB.
+    import hashlib
+
+    def in_lane(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100 < 10
+
+    pairs = {
+        "events_customer": ([1, 1, 1, 2, 3, 3, 9], [1, 2, 3, 4]),
+        "orders_customer": ([1, 1, 2], [1, 2, 3, 4]),
+        "lineitem_orders": ([10, 10, 11, 99], [10, 11, 12]),
+        "lineitem_part": ([7, 8, 7, 7], [7, 8]),
+    }
+    from collections import Counter
+
+    for name, (lks, rks) in pairs.items():
+        cl, cr = Counter(lks), Counter(rks)
+        expect = 10 * sum(
+            cl[k] * cr[k] for k in cl.keys() & cr.keys() if in_lane(k)
+        )
+        assert out[name]["est_sampled"] == str(expect), name
 
 
 def test_jse_plan(spark):

@@ -793,6 +793,12 @@ def test_schema_drift_stream_matches_contract_replay(spark, tmp_path):
         {"a": 1, "b": 2.5},            # b string -> float: type_changed
         {"a": 1, "b": 3.5, "c": 7},    # c: added
         {"a": 1, "b": "z"},            # b float -> string: flap re-alarms
+        # from_json renders |x| >= 1e7 through Double.toString exponent
+        # form ('1.23456785E7' -> vtype string, NOT float) — the
+        # boundary where Python str() and the batch audit diverge
+        # (r10 ADVICE item 3): d must alarm as 'added' with vtype
+        # 'string', and a must NOT alarm (int unchanged)
+        {"a": 1, "b": "z", "d": 12345678.5},
     ]
     rows = [
         {
@@ -831,8 +837,15 @@ def test_schema_drift_stream_matches_contract_replay(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    # pure-python contract replay (the operator's documented semantics)
+    # pure-python contract replay (the operator's documented semantics):
+    # floats render like java.lang.Double.toString — exponent form
+    # (never float-shaped) outside [1e-3, 1e7); in-range Python str()
+    # is already the same decimal form
     def vtype(v):
+        if isinstance(v, float) and not (
+            v == 0.0 or 1e-3 <= abs(v) < 1e7
+        ):
+            return "string"  # Double.toString exponent form
         s = (
             ("true" if v else "false")
             if isinstance(v, bool)
@@ -867,5 +880,7 @@ def test_schema_drift_stream_matches_contract_replay(spark, tmp_path):
         for r in got
     ] == expected
     # the fixture exercised every alarm kind incl. the flap re-alarm
+    # and the Double.toString boundary (d: added as string, not float)
     kinds = [e[4] for e in expected]
-    assert kinds == ["type_changed", "added", "type_changed"]
+    assert kinds == ["type_changed", "added", "type_changed", "added"]
+    assert expected[-1] == ("m", "d", "string", None, "added")
