@@ -45,28 +45,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest greens. Everything behind the window stays pinned locally by
     tests/test_oracle_parity.py, which parametrizes ALL entries.
 
-    r10 window (steady-state, second full turn): the 12 operators staged
-    through r09 (archive_prune_audit..broadcast_plan_audit — all
-    double-SF hash-green, judge-mirrored, edge-pinned, plan-pinned,
-    partition-invariant BEFORE promotion, per the staged-surface
-    invariant) enter production at the head, followed by 38
-    re-confirmations of the oldest driver rows: the 33 remaining r03-era
-    LLM-pipeline entries (knn_ivf..pivot_source_lang) and the first 5 of
-    the r04 gate-green block (cross_nation_volume..
-    late_shipment_priority). 12 + 33 + 5 = exactly 50. No promoted
-    entry's output changed after its staged hash pins (the r09-ADVICE
-    items touched only the r11-staged source_length_drift /
-    copartition_audit, fixed pre-promotion as required).
+    r11 window (steady-state, third full turn): the 12 operators staged
+    through r10 (source_length_drift..perplexity_filter_sweep — all
+    double-SF hash-green, edge-pinned, plan-pinned, partition-invariant
+    BEFORE promotion, per the staged-surface invariant) enter
+    production at the head, followed by 38 re-confirmations of the
+    oldest driver rows: the head of the 45 remaining r04-era entries
+    (small_qty_revenue..dedup_containment). 12 + 38 = exactly 50. No
+    promoted entry's output changed after its staged hash pins except
+    the r10-ADVICE compression_ratio_audit denominator guard (identical
+    output on every non-empty input; re-pinned pre-promotion).
 
     STEADY-STATE CADENCE: every window slot not taken by a new query is
     a re-confirmation. Draw the entries whose last driver row is OLDEST
     (round number, then dict order) so no query's last driver row ages
-    past ~7 rounds (326/50 = 6.5); new queries, when staged batches
+    past ~7 rounds (338/50 = 6.8); new queries, when staged batches
     promote, still jump the queue per the rotation policy above.
-    Computed oldest pool after a green r10: the 45 remaining r04-era
-    entries (small_qty_revenue..shingle_novelty) — the r11
-    re-confirmation slots come from the head of that list, then the
-    r05 block.
+    Computed oldest pool after a green r11: the 7 remaining r04-era
+    entries (hopping_window_stats..shingle_novelty), then the r05
+    block — the r12 re-confirmation slots come from there.
     """
     from inde1_spark.operators import analytics as A
     from inde1_spark.operators import corpus as C
@@ -81,7 +78,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ================= gate window (first 50) =========================
-        # --- never driver-verified: the 12 ops staged through r09 ---
+        # --- never driver-verified: the 12 ops staged through r10 ---
+        "source_length_drift": lambda sp, d: A.source_length_drift(
+            _t(sp, d, "documents")
+        ),
+        "copartition_audit": lambda sp, d: A.copartition_audit(
+            _t(sp, d, "events"),
+            _t(sp, d, "customer"),
+            _t(sp, d, "orders"),
+            _t(sp, d, "lineitem"),
+            _t(sp, d, "part"),
+        ),
+        "semdedup_incremental": lambda sp, d: CL.semdedup_incremental(
+            _t(sp, d, "embeddings")
+        ),
+        "repetition_rules": lambda sp, d: T.repetition_rules(
+            _t(sp, d, "documents")
+        ),
+        "dedup_winnow_incremental": lambda sp, d: D.dedup_winnow_incremental(
+            _t(sp, d, "documents")
+        ),
+        "shingle_df_cap_sweep": lambda sp, d: D.shingle_df_cap_sweep(
+            _t(sp, d, "documents")
+        ),
+        "schema_evolution_audit": lambda sp, d: A.schema_evolution_audit(
+            _t(sp, d, "events")
+        ),
+        "compression_ratio_audit": lambda sp, d: A.compression_ratio_audit(
+            _t(sp, d, "events")
+        ),
+        "corpus_prep_cost_audit": lambda sp, d: C.corpus_prep_cost_audit(
+            _t(sp, d, "documents")
+        ),
+        "mixture_epoch_plan": lambda sp, d: C.mixture_epoch_plan(
+            _t(sp, d, "documents")
+        ),
+        "split_balance_audit": lambda sp, d: C.split_balance_audit(
+            _t(sp, d, "documents")
+        ),
+        "perplexity_filter_sweep": lambda sp, d: SC.perplexity_filter_sweep(
+            _t(sp, d, "documents")
+        ),
+        # --- re-confirmations: head of the 45 remaining r04-era entries
+        #     (last driver rows r04 — the oldest pool after a green r10) ---
+        "small_qty_revenue": lambda sp, d: Q.small_qty_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
+        "large_volume_customers": lambda sp, d: Q.large_volume_customers(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")
+        ),
+        "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
+        "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
+        "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
+        "gap_histogram": lambda sp, d: A.gap_histogram(_t(sp, d, "events")),
+        "weekly_growth": lambda sp, d: A.weekly_growth(_t(sp, d, "events")),
+        "dau_wau": lambda sp, d: A.dau_wau(_t(sp, d, "events")),
+        "cumulative_users": lambda sp, d: A.cumulative_users(_t(sp, d, "events")),
+        "attribution_first_touch": lambda sp, d: A.attribution_first_touch(
+            _t(sp, d, "events")
+        ),
+        "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
+        "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
+        "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
+        "cluster_balance": lambda sp, d: CL.cluster_balance(
+            _t(sp, d, "embeddings")
+        ),
+        "embedding_outliers": lambda sp, d: S.embedding_outliers(
+            _t(sp, d, "embeddings")
+        ),
+        "weighted_sample": lambda sp, d: C.weighted_sample(_t(sp, d, "documents")),
+        "approx_percentiles": lambda sp, d: A.approx_percentiles(
+            _t(sp, d, "events")
+        ),
+        "dedup_incremental": lambda sp, d: D.dedup_incremental(
+            _t(sp, d, "documents")
+        ),
+        "lang_confusion": lambda sp, d: T.lang_confusion(_t(sp, d, "documents")),
+        "vocab_coverage": lambda sp, d: SC.vocab_coverage(_t(sp, d, "documents")),
+        "token_entropy": lambda sp, d: SC.token_entropy(_t(sp, d, "documents")),
+        "dup_rate_by_source": lambda sp, d: C.dup_rate_by_source(
+            _t(sp, d, "documents")
+        ),
+        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
+        "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
+            _t(sp, d, "documents"), max_shingle_df=64
+        ),
+        # contract shape (ground-truth count + recall/precision booleans):
+        # the raw pair output is engine-specific, see dedup_simhash_contract
+        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
+            _t(sp, d, "documents")
+        ),
+        "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
+            _t(sp, d, "embeddings")
+        ),
+        "min_cost_supplier": lambda sp, d: Q.min_cost_supplier(
+            _t(sp, d, "part"), _t(sp, d, "lineitem"), _t(sp, d, "supplier"),
+            _t(sp, d, "nation"), _t(sp, d, "region")
+        ),
+        "supplier_count_by_part_attr": lambda sp, d: Q.supplier_count_by_part_attr(
+            _t(sp, d, "lineitem"), _t(sp, d, "part"), _t(sp, d, "supplier")
+        ),
+        "excess_qty_suppliers": lambda sp, d: Q.excess_qty_suppliers(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
+        ),
+        "sole_late_supplier": lambda sp, d: Q.sole_late_supplier(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
+        ),
+        "grouping_sets_revenue": lambda sp, d: A.grouping_sets_revenue(
+            _t(sp, d, "events")
+        ),
+        "holt_linear": lambda sp, d: A.holt_linear(_t(sp, d, "events")),
+        "zscore_anomaly": lambda sp, d: A.zscore_anomaly(_t(sp, d, "events")),
+        "dedup_levenshtein": lambda sp, d: D.dedup_levenshtein(
+            _t(sp, d, "documents")
+        ),
+        "top_ngrams_per_lang": lambda sp, d: T.top_ngrams_per_lang(
+            _t(sp, d, "documents")
+        ),
+        "distinct_rollup_hll": lambda sp, d: A.distinct_rollup_hll(
+            _t(sp, d, "events")
+        ),
+        "dedup_containment": lambda sp, d: D.dedup_containment(
+            _t(sp, d, "documents")
+        ),
+        # ============== end gate window ===================================
+        # r10 gate-green block (all 50 hash-green in CORRECTNESS_r10;
+        # pinned locally by tests/test_oracle_parity.py every run).
         "archive_prune_audit": lambda sp, d: A.archive_prune_audit(
             _t(sp, d, "events")
         ),
@@ -192,7 +317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": lambda sp, d: Q.late_shipment_priority(
             _t(sp, d, "orders"), _t(sp, d, "lineitem")
         ),
-        # ============== end gate window ===================================
         # r09 gate-green block (all 50 hash-green in CORRECTNESS_r09;
         # pinned locally by tests/test_oracle_parity.py every run).
         "nelson_aalen_hazard": lambda sp, d: A.nelson_aalen_hazard(
@@ -695,92 +819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_users": lambda sp, d: A.top_k_users(_t(sp, d, "events")),
         "max_ts": lambda sp, d: A.max_ts(_t(sp, d, "events")),
         "set_ops": lambda sp, d: A.set_ops(_t(sp, d, "events")),
-        # r04 gate-green block, remaining 45 (all hash-green in
-        # CORRECTNESS_r04; the first 5 sit in the r10 gate window above;
+        # r04 gate-green block, remaining 7 (all hash-green in
+        # CORRECTNESS_r04; the first 5 were re-confirmed in the r10
+        # window, the next 38 sit in the r11 gate window above;
         # pinned locally by tests/test_oracle_parity.py every run).
-        "small_qty_revenue": lambda sp, d: Q.small_qty_revenue(
-            _t(sp, d, "lineitem"), _t(sp, d, "part")
-        ),
-        "large_volume_customers": lambda sp, d: Q.large_volume_customers(
-            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")
-        ),
-        "brand_filtered_revenue": lambda sp, d: Q.brand_filtered_revenue(
-            _t(sp, d, "lineitem"), _t(sp, d, "part")
-        ),
-        "funnel_steps": lambda sp, d: A.funnel_steps(_t(sp, d, "events")),
-        "transition_matrix": lambda sp, d: A.transition_matrix(_t(sp, d, "events")),
-        "time_weighted_avg": lambda sp, d: A.time_weighted_avg(_t(sp, d, "events")),
-        "gap_histogram": lambda sp, d: A.gap_histogram(_t(sp, d, "events")),
-        "weekly_growth": lambda sp, d: A.weekly_growth(_t(sp, d, "events")),
-        "dau_wau": lambda sp, d: A.dau_wau(_t(sp, d, "events")),
-        "cumulative_users": lambda sp, d: A.cumulative_users(_t(sp, d, "events")),
-        "attribution_first_touch": lambda sp, d: A.attribution_first_touch(
-            _t(sp, d, "events")
-        ),
-        "retention_cohorts": lambda sp, d: A.retention_cohorts(_t(sp, d, "events")),
-        "ewma_series": lambda sp, d: A.ewma_series(_t(sp, d, "events")),
-        "ewma_anomaly": lambda sp, d: A.ewma_anomaly(_t(sp, d, "events")),
-        "cluster_balance": lambda sp, d: CL.cluster_balance(
-            _t(sp, d, "embeddings")
-        ),
-        "embedding_outliers": lambda sp, d: S.embedding_outliers(
-            _t(sp, d, "embeddings")
-        ),
-        "weighted_sample": lambda sp, d: C.weighted_sample(_t(sp, d, "documents")),
-        "approx_percentiles": lambda sp, d: A.approx_percentiles(
-            _t(sp, d, "events")
-        ),
-        "dedup_incremental": lambda sp, d: D.dedup_incremental(
-            _t(sp, d, "documents")
-        ),
-        "lang_confusion": lambda sp, d: T.lang_confusion(_t(sp, d, "documents")),
-        "vocab_coverage": lambda sp, d: SC.vocab_coverage(_t(sp, d, "documents")),
-        "token_entropy": lambda sp, d: SC.token_entropy(_t(sp, d, "documents")),
-        "dup_rate_by_source": lambda sp, d: C.dup_rate_by_source(
-            _t(sp, d, "documents")
-        ),
-        "dedup_minhash_fast": lambda sp, d: D.dedup_minhash_fast(_t(sp, d, "documents")),
-        "dedup_minhash_capped": lambda sp, d: D.dedup_minhash_fast(
-            _t(sp, d, "documents"), max_shingle_df=64
-        ),
-        # contract shape (ground-truth count + recall/precision booleans):
-        # the raw pair output is engine-specific, see dedup_simhash_contract
-        "dedup_simhash_fast": lambda sp, d: D.dedup_simhash_contract(
-            _t(sp, d, "documents")
-        ),
-        "embedding_dim_stats": lambda sp, d: S.embedding_dim_stats(
-            _t(sp, d, "embeddings")
-        ),
-        "min_cost_supplier": lambda sp, d: Q.min_cost_supplier(
-            _t(sp, d, "part"), _t(sp, d, "lineitem"), _t(sp, d, "supplier"),
-            _t(sp, d, "nation"), _t(sp, d, "region")
-        ),
-        "supplier_count_by_part_attr": lambda sp, d: Q.supplier_count_by_part_attr(
-            _t(sp, d, "lineitem"), _t(sp, d, "part"), _t(sp, d, "supplier")
-        ),
-        "excess_qty_suppliers": lambda sp, d: Q.excess_qty_suppliers(
-            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")
-        ),
-        "sole_late_supplier": lambda sp, d: Q.sole_late_supplier(
-            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "supplier")
-        ),
-        "grouping_sets_revenue": lambda sp, d: A.grouping_sets_revenue(
-            _t(sp, d, "events")
-        ),
-        "holt_linear": lambda sp, d: A.holt_linear(_t(sp, d, "events")),
-        "zscore_anomaly": lambda sp, d: A.zscore_anomaly(_t(sp, d, "events")),
-        "dedup_levenshtein": lambda sp, d: D.dedup_levenshtein(
-            _t(sp, d, "documents")
-        ),
-        "top_ngrams_per_lang": lambda sp, d: T.top_ngrams_per_lang(
-            _t(sp, d, "documents")
-        ),
-        "distinct_rollup_hll": lambda sp, d: A.distinct_rollup_hll(
-            _t(sp, d, "events")
-        ),
-        "dedup_containment": lambda sp, d: D.dedup_containment(
-            _t(sp, d, "documents")
-        ),
         "hopping_window_stats": lambda sp, d: A.hopping_window_stats(
             _t(sp, d, "events")
         ),
@@ -803,64 +845,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """STAGED surface — operators verified but not yet driver-facing (see
-    CLAUDE.md). The r10 batch (archive_prune_audit..broadcast_plan_audit)
-    was promoted into queries() at the top of this round; entries staged
-    for r11 accumulate here behind the full five-pin checklist (double-SF
-    parity, vanilla-session dtype, edge pins, plan pins, partition
-    invariance) before any promotion. Pinned locally on every pytest run
-    by tests/test_staged_parity.py (same harness as queries()).
+    CLAUDE.md). The r11 batch (source_length_drift..
+    perplexity_filter_sweep) was promoted into queries() at the top of
+    this round; entries staged for r12 accumulate here behind the full
+    five-pin checklist (double-SF parity, vanilla-session dtype, edge
+    pins, plan pins, partition invariance) before any promotion. Pinned
+    locally on every pytest run by tests/test_staged_parity.py (same
+    harness as queries()).
     """
     from inde1_spark.operators import analytics as A  # noqa: F401
-    from inde1_spark.operators import clustering as CL  # noqa: F401
-    from inde1_spark.operators import corpus as C  # noqa: F401
     from inde1_spark.operators import dedup as D  # noqa: F401
     from inde1_spark.operators import scoring as SC  # noqa: F401
     from inde1_spark.operators import text as TX  # noqa: F401
 
     return {
-        # ----- r11 batch (promotes in the r11 window rotation) -----
-        "source_length_drift": lambda sp, d: A.source_length_drift(
-            _t(sp, d, "documents")
-        ),
-        "copartition_audit": lambda sp, d: A.copartition_audit(
-            _t(sp, d, "events"),
-            _t(sp, d, "customer"),
-            _t(sp, d, "orders"),
-            _t(sp, d, "lineitem"),
-            _t(sp, d, "part"),
-        ),
-        "semdedup_incremental": lambda sp, d: CL.semdedup_incremental(
-            _t(sp, d, "embeddings")
-        ),
-        "repetition_rules": lambda sp, d: TX.repetition_rules(
-            _t(sp, d, "documents")
-        ),
-        # ----- r11 batch, second tranche (staged in r10) -----
-        "dedup_winnow_incremental": lambda sp, d: D.dedup_winnow_incremental(
-            _t(sp, d, "documents")
-        ),
-        "shingle_df_cap_sweep": lambda sp, d: D.shingle_df_cap_sweep(
-            _t(sp, d, "documents")
-        ),
-        "schema_evolution_audit": lambda sp, d: A.schema_evolution_audit(
-            _t(sp, d, "events")
-        ),
-        "compression_ratio_audit": lambda sp, d: A.compression_ratio_audit(
-            _t(sp, d, "events")
-        ),
-        "corpus_prep_cost_audit": lambda sp, d: C.corpus_prep_cost_audit(
-            _t(sp, d, "documents")
-        ),
-        "mixture_epoch_plan": lambda sp, d: C.mixture_epoch_plan(
-            _t(sp, d, "documents")
-        ),
-        "split_balance_audit": lambda sp, d: C.split_balance_audit(
-            _t(sp, d, "documents")
-        ),
-        "perplexity_filter_sweep": lambda sp, d: SC.perplexity_filter_sweep(
-            _t(sp, d, "documents")
-        ),
-        # ----- r12 batch, first tranche (accumulating behind the r11 batch) -----
+        # ----- r12 batch, first tranche (promotes in the r12 rotation) -----
         "jonckheere_terpstra_trend": lambda sp, d: A.jonckheere_terpstra_trend(
             _t(sp, d, "events")
         ),

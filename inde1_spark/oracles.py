@@ -10774,10 +10774,10 @@ FROM calc, med
 # ===========================================================================
 # r09 batch: implemented + twinned in r08 behind the staged surface,
 # PROMOTED into ORACLES (and the head of queries()) with the r09 window
-# rotation; the r10 batch below likewise promoted with the r10 rotation.
-# STAGED_ORACLES now accumulates the r11 batch — twins live here until
-# their operators promote; tests/test_staged_parity.py pins them on every
-# run meanwhile.
+# rotation; the r10 and r11 batches below likewise promoted with their
+# rounds' rotations. STAGED_ORACLES now accumulates the r12 batch — twins
+# live here until their operators promote; tests/test_staged_parity.py
+# pins them on every run meanwhile.
 # ===========================================================================
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -11839,7 +11839,7 @@ from inde1_spark.operators.clustering import SEMDEDUP_INCR_PCT  # noqa: E402
 # Twin of operators/analytics.py:source_length_drift — pairwise TVD over
 # per-source char-length histograms with the exact common-denominator
 # integer identity (the value_drift_audit arithmetic over the S^2/2 grid).
-STAGED_ORACLES["source_length_drift"] = f"""
+ORACLES["source_length_drift"] = f"""
 WITH h AS MATERIALIZED (
   SELECT source,
          LEAST((n_chars - n_chars % {LEN_DRIFT_BIN_WIDTH})
@@ -11904,7 +11904,7 @@ _COPART_SIDES, _COPART_UNION = _copart_rows_sql()
 # Twin of operators/analytics.py:copartition_audit — per-join strategy
 # ladder over one key-count aggregate per side; pow2 bucket counts via the
 # shared binary-string-length spelling; exact integer decision columns.
-STAGED_ORACLES["copartition_audit"] = f"""
+ORACLES["copartition_audit"] = f"""
 WITH {_COPART_SIDES},
 raw AS (
 {_COPART_UNION}
@@ -11951,7 +11951,7 @@ FROM dec ORDER BY join_name
 # row-local batch routing to the final centroids, exact-cosine verify of
 # batch x same-cluster standing pairs, best-match admission verdict.
 _SEMI_D2 = _kmeans_d2(EMB_DIM)
-STAGED_ORACLES["semdedup_incremental"] = f"""
+ORACLES["semdedup_incremental"] = f"""
 WITH standing AS MATERIALIZED (
   SELECT * FROM embeddings
   WHERE {_hash_bucket_sql('vec_id', 100)} >= {SEMDEDUP_INCR_PCT}
@@ -12012,7 +12012,7 @@ from inde1_spark.operators.text import (  # noqa: E402
 # shares (top unigram / top bigram / repeated-trigram mass) with the exact
 # round-half-up percent and threshold flags; doc-id spine keeps short/empty
 # docs at 0 percent / keep.
-STAGED_ORACLES["repetition_rules"] = f"""
+ORACLES["repetition_rules"] = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
@@ -12094,7 +12094,7 @@ from inde1_spark.operators.dedup import (  # noqa: E402
 # admission: md5 hash-lane split, df-capped candidate generation against the
 # index postings, exact shared-count verify over the UNCAPPED sets for
 # candidate pairs only, best-match containment verdict.
-STAGED_ORACLES["dedup_winnow_incremental"] = f"""
+ORACLES["dedup_winnow_incremental"] = f"""
 WITH {_WINNOW_CTE.strip()},
 fp AS (SELECT doc_id, UNNEST(m) AS fp FROM minima),
 split AS (
@@ -12154,7 +12154,7 @@ _CAP_VALS = ", ".join(f"({c})" for c in DF_CAP_SWEEP)
 
 # Twin of operators/dedup.py:shingle_df_cap_sweep — one shingle-DF histogram
 # feeds every cap row; pair/posting sums in HUGEINT (Spark: DECIMAL(38,0)).
-STAGED_ORACLES["shingle_df_cap_sweep"] = f"""
+ORACLES["shingle_df_cap_sweep"] = f"""
 WITH {_SHINGLES.strip()},
 dfs AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
 hist AS (SELECT df, CAST(count(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY 1),
@@ -12181,7 +12181,7 @@ FROM agg ORDER BY cap
 # props key inventory, dominant type via the same (count desc, vtype asc)
 # total order, day-over-day added/removed/type-changed with compat verdicts.
 _SCHEMA_DAY = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
-STAGED_ORACLES["schema_evolution_audit"] = f"""
+ORACLES["schema_evolution_audit"] = f"""
 WITH kv AS (
   SELECT {_SCHEMA_DAY} AS day, key,
          json_extract_string(props, '$."' || key || '"') AS value
@@ -12278,7 +12278,7 @@ FROM agg"""
 # Twin of operators/analytics.py:compression_ratio_audit — one
 # day-partitioned (ts, event_id) window names every column's run starts,
 # one aggregate row carries all sums/NDVs, per-column rows are projections.
-STAGED_ORACLES["compression_ratio_audit"] = f"""
+ORACLES["compression_ratio_audit"] = f"""
 WITH flagged AS (
   SELECT {", ".join(COMPRESS_AUDIT_COLS)},
          {_CMP_STARTS}
@@ -12334,7 +12334,7 @@ FROM agg"""
 # Twin of operators/corpus.py:corpus_prep_cost_audit — jobs.corpus_prep's
 # own stage ladder (Gopher keep -> exact dedup among survivors ->
 # source-hash split), one window on md5(text), one aggregate row.
-STAGED_ORACLES["corpus_prep_cost_audit"] = f"""
+ORACLES["corpus_prep_cost_audit"] = f"""
 WITH m AS (
   SELECT doc_id, source, md5(text) AS th,
          CAST(n_chars AS BIGINT) AS n_chr,
@@ -12372,7 +12372,7 @@ ORDER BY stage_idx
 
 # Twin of operators/corpus.py:mixture_epoch_plan — sqrt nano-grid weights
 # (the mixture_temperature spelling), HUGEINT round-half-up shares/epochs.
-STAGED_ORACLES["mixture_epoch_plan"] = f"""
+ORACLES["mixture_epoch_plan"] = f"""
 WITH toks AS (
   SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS t
   FROM documents
@@ -12409,7 +12409,7 @@ FROM calc ORDER BY source
 
 # Twin of operators/corpus.py:split_balance_audit — hash split, fixed 3-bin
 # grid, HUGEINT common-denominator TVD, denominator-cleared balance flag.
-STAGED_ORACLES["split_balance_audit"] = f"""
+ORACLES["split_balance_audit"] = f"""
 WITH s AS (
   SELECT source,
          CASE WHEN {_hash_bucket_sql('doc_id', 100)} < {TRAIN_PCT} THEN 'train'
@@ -12476,7 +12476,7 @@ FROM per"""
 # Twin of operators/scoring.py:perplexity_filter_sweep — unigram_logprob's
 # exact CTE chain, bounded grid unrolled into conditional sums, per-row
 # projections of the k-source aggregate.
-STAGED_ORACLES["perplexity_filter_sweep"] = f"""
+ORACLES["perplexity_filter_sweep"] = f"""
 WITH {_TF.format(tok_filter='')},
 vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occ FROM tf GROUP BY 1),
 total AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS total_toks FROM vocab),

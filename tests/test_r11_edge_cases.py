@@ -1,4 +1,6 @@
-"""Semantics + plan invariants for the r11 STAGED batch.
+"""Semantics + plan invariants for the r11 batch (promoted to the
+production surface in the r11 window rotation; pins retargeted to
+queries()).
 
 Same style as test_r09/r10_edge_cases: planted micro-datasets exercise the
 property each operator's docstring claims; plan-shape pins hold the engine
@@ -87,7 +89,7 @@ def test_length_drift_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["source_length_drift"](spark, SF_SMOKE)
+        entrymod.queries()["source_length_drift"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     assert r.sort_merge_joins == 0  # grid + fill-in ride broadcasts
@@ -188,7 +190,7 @@ def test_copartition_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["copartition_audit"](spark, SF_SMOKE)
+        entrymod.queries()["copartition_audit"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     # 4 single-row x single-row combines; nothing sort-merges
@@ -271,7 +273,7 @@ def test_semdedup_incremental_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["semdedup_incremental"](spark, SF_SMOKE)
+        entrymod.queries()["semdedup_incremental"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     # centroids travel as broadcasts; the only sort-merge is the verify
@@ -344,7 +346,7 @@ def test_repetition_rules_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["repetition_rules"](spark, SF_SMOKE)
+        entrymod.queries()["repetition_rules"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     assert r.sort_merge_joins <= 1  # the doc-id spine join at most
@@ -431,7 +433,7 @@ def test_winnow_incremental_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["dedup_winnow_incremental"](spark, SF_SMOKE)
+        entrymod.queries()["dedup_winnow_incremental"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -473,7 +475,7 @@ def test_cap_sweep_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["shingle_df_cap_sweep"](spark, SF_SMOKE)
+        entrymod.queries()["shingle_df_cap_sweep"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -588,7 +590,7 @@ def test_schema_evolution_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["schema_evolution_audit"](spark, SF_SMOKE)
+        entrymod.queries()["schema_evolution_audit"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -666,7 +668,7 @@ def test_compression_audit_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["compression_ratio_audit"](spark, SF_SMOKE)
+        entrymod.queries()["compression_ratio_audit"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -770,7 +772,7 @@ def test_prep_cost_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["corpus_prep_cost_audit"](spark, SF_SMOKE)
+        entrymod.queries()["corpus_prep_cost_audit"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -824,7 +826,7 @@ def test_epoch_plan_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["mixture_epoch_plan"](spark, SF_SMOKE)
+        entrymod.queries()["mixture_epoch_plan"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -878,7 +880,7 @@ def test_split_balance_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["split_balance_audit"](spark, SF_SMOKE)
+        entrymod.queries()["split_balance_audit"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -979,7 +981,7 @@ def test_perplexity_sweep_plan(spark):
     import __spark_entry__ as entrymod
 
     r = plan_report(
-        entrymod.staged_queries()["perplexity_filter_sweep"](spark, SF_SMOKE)
+        entrymod.queries()["perplexity_filter_sweep"](spark, SF_SMOKE)
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
@@ -1013,7 +1015,7 @@ R11_BATCH = (
 def test_r11_batch_plan_invariants(spark):
     import __spark_entry__ as entrymod
 
-    Q = entrymod.staged_queries()
+    Q = entrymod.queries()
     assert set(R11_BATCH) <= set(Q)  # r12 candidates accumulate behind
     for name in R11_BATCH:
         r = plan_report(Q[name](spark, SF_SMOKE))
