@@ -891,6 +891,22 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_selectivity_audit": lambda sp, d: (
             A.predicate_selectivity_audit(_t(sp, d, "events"))
         ),
+        # ----- r12 batch, second tranche (staged in r11) -----
+        "restart_cost_audit": lambda sp, d: A.restart_cost_audit(
+            _t(sp, d, "events")
+        ),
+        "backfill_skew_audit": lambda sp, d: A.backfill_skew_audit(
+            _t(sp, d, "events")
+        ),
+        "fk_integrity_audit": lambda sp, d: A.fk_integrity_audit(
+            _t(sp, d, "events"),
+            _t(sp, d, "customer"),
+            _t(sp, d, "orders"),
+            _t(sp, d, "lineitem"),
+            _t(sp, d, "part"),
+            _t(sp, d, "documents"),
+            _t(sp, d, "embeddings"),
+        ),
     }
 
 

@@ -11333,3 +11333,264 @@ def predicate_selectivity_audit(events: DataFrame) -> DataFrame:
         .unionByName(row("hour_business_range", est_hours, F.col("act_hours")))
     )
     return out.orderBy("predicate")
+
+
+# checkpoint ages (days back from the newest day) the restart audit prices
+RESTART_AGE_DAYS = (1, 3, 7, 14)
+RESTART_STATE_GAP_S = 3600  # sessionize_gap's deployed 60-minute gap
+RESTART_REPLAY_RATE = 5000  # modeled replay throughput, events/sec
+
+
+def restart_cost_audit(
+    events: DataFrame, ages: tuple[int, ...] = RESTART_AGE_DAYS
+) -> DataFrame:
+    """End-to-end streaming restart-cost audit — what does resuming the
+    archival/alert pipeline from a checkpoint of age N days actually
+    cost? (reference intent: the consumer's committed-offset restart,
+    apps/srvc-alert/.../ParkingEventConsumer.scala:24-53, whose
+    recovery cost is the unread backlog; the engine's checkpointed
+    sinks in streaming/pipelines.py make the same promise.) For each
+    candidate checkpoint age: the events replayed (everything after the
+    checkpoint day), their share of the corpus, the modeled wall-clock
+    to drain them at a fixed replay rate, and the keyed STATE the
+    restarted job must rebuild before results are trustworthy — users
+    with an open session at the checkpoint boundary, i.e. active within
+    the sessionization gap before it (``sessionize_gap``'s 60 min).
+    ``archive_prune_audit`` prices reading LESS history; this prices
+    re-reading RECENT history, the other half of the retention/restart
+    trade.
+
+    One corpus pass builds the per-day manifest (row counts + the
+    tail-gap distinct-user count per day — the in-day offset uses
+    tz-free field extraction, engine-identical on NTZ timestamps); the
+    age grid is a bounded literal broadcast against it. All outputs are
+    exact longs or round-half-up percents; the drain estimate is an
+    exact integer ceiling.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    day = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    sec_in_day = (
+        F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    from inde1_spark.operators.dedup import _persist
+
+    # persisted: the span branch would otherwise recompute the manifest
+    # (and rescan the corpus) with user_id pruned away
+    manifest = _persist(
+        events.groupBy(day.alias("day")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(
+                F.when(
+                    sec_in_day >= 86400 - RESTART_STATE_GAP_S,
+                    F.col("user_id"),
+                )
+            ).cast("long").alias("tail_users"),
+        )
+    )
+    span = manifest.agg(
+        F.max("day").alias("max_day"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+    grid = span.select(
+        F.explode(F.array(*[F.lit(int(a)) for a in ages])).alias("age_days"),
+        "max_day",
+        "rows_total",
+    )
+    replayed = F.col("day") > F.col("max_day") - F.col("age_days")
+    at_boundary = F.col("day") == F.col("max_day") - F.col("age_days")
+    sweep = (
+        manifest.crossJoin(F.broadcast(grid))
+        .groupBy("age_days", "rows_total")
+        .agg(
+            F.sum(F.when(replayed, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_replay_events"),
+            F.coalesce(
+                F.max(F.when(at_boundary, F.col("tail_users"))), F.lit(0)
+            ).cast("long").alias("n_state_keys"),
+        )
+    )
+    return sweep.select(
+        F.col("age_days").cast("long").alias("checkpoint_age_days"),
+        "n_replay_events",
+        ratio_round(
+            F.col("n_replay_events") * 100,
+            F.greatest(F.col("rows_total"), F.lit(1).cast("long")),
+            2,
+        ).alias("replay_pct"),
+        "n_state_keys",
+        # exact ceiling: seconds to drain the backlog at the modeled rate
+        F.floor(
+            (F.col("n_replay_events") + F.lit(RESTART_REPLAY_RATE - 1))
+            / F.lit(RESTART_REPLAY_RATE)
+        ).cast("long").alias("est_replay_sec"),
+    ).orderBy("checkpoint_age_days")
+
+
+# shard-count grid for the backfill interleave model (files per wave)
+BACKFILL_SHARDS = (4, 16, 64)
+
+
+def backfill_skew_audit(
+    events: DataFrame, shard_grid: tuple[int, ...] = BACKFILL_SHARDS
+) -> DataFrame:
+    """Watermark-delay sizing for PARALLEL archive backfills — the T6
+    tuning table for availableNow replays: a batch re-read of the
+    day-partitioned archive (streaming/pipelines.py's layout) delivers
+    K shard files concurrently, so even though every shard is
+    event-time-ordered internally, the union interleaves — an event
+    from a lagging shard arrives AFTER the watermark advanced on a
+    leading one and is dropped unless withWatermark's delay covers the
+    cross-shard skew. For each candidate shard count K (deterministic
+    md5 row sharding models the file split), events are sequenced
+    within (shard, day) and the audit reports the cross-shard
+    event-time skew at equal replay depth: max/mean over (day, seq)
+    slots of max(ts)-min(ts) across shards, and the max skew rounded
+    up to whole minutes — the smallest allowed-lateness at which the
+    modeled interleave drops nothing.
+
+    Every stage is keyed: the sequencing window partitions by
+    (shard, day) — bounded at any corpus size by the day slice of one
+    shard — the skew aggregate shuffles on (day, seq), and the final
+    per-K rollup is map-side combinable; no global ordered scan (a
+    running global watermark would be inherently sequential — the
+    equal-depth slot skew is the parallelizable upper-bound form).
+    Skews are differences of truncated-second timestamps (tz offsets
+    cancel; the session_gap_sweep convention).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.text import hash_bucket
+
+    day = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    out = None
+    for k in shard_grid:
+        seqd = events.select(
+            day.alias("day"),
+            hash_bucket(F.col("event_id"), k).alias("shard"),
+            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+            "event_id",
+        ).select(
+            "day",
+            "shard",
+            "ts_s",
+            F.row_number()
+            .over(
+                Window.partitionBy("shard", "day").orderBy("ts_s", "event_id")
+            )
+            .alias("seq"),
+        )
+        slots = seqd.groupBy("day", "seq").agg(
+            (F.max("ts_s") - F.min("ts_s")).cast("long").alias("skew_s"),
+        )
+        row = slots.agg(
+            F.lit(int(k)).cast("long").alias("n_shards"),
+            F.count("*").cast("long").alias("n_slots"),
+            F.max("skew_s").cast("long").alias("max_skew_s"),
+            ratio_round(
+                F.coalesce(F.sum("skew_s"), F.lit(0)),
+                F.greatest(F.count("*"), F.lit(1)).cast("long"),
+                2,
+            ).alias("mean_skew_s"),
+            F.floor(
+                (F.max("skew_s") + F.lit(59)) / F.lit(60)
+            ).cast("long").alias("wm_delay_min"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_shards")
+
+
+def fk_integrity_audit(
+    events: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit over the warehouse's foreign-key
+    edges — the data-QUALITY face of the join family
+    (``join_cardinality_audit`` measures fan-out,
+    ``join_size_estimate_audit`` prices estimators; this one counts the
+    rows a join silently DROPS): per FK edge, the child rows whose key
+    is null, the non-null child rows with no parent (orphans an inner
+    join loses and an unguarded enrichment turns into nulls —
+    reference intent: the consumer's user lookup treats a missing user
+    as an alert-suppressing miss, apps/srvc-alert/.../UserService.scala),
+    and the parent keys never referenced (dimension dead weight). The
+    embeddings→documents edge audits the multimodal alignment
+    (doc_id == vec_id, FIXTURES §5) that every cross-modal operator
+    assumes.
+
+    Per edge: one map-side-combined per-key child count, one distinct
+    projection of the parent key, a key-equi left join between the two
+    (key-NDV-sized operands, never row-level), and bounded rollups.
+    All counts exact longs; percents exact round-half-up.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    edges = (
+        ("embeddings_documents", embeddings, "vec_id", documents, "doc_id"),
+        ("events_customer", events, "user_id", customer, "c_custkey"),
+        ("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+        ("orders_customer", orders, "o_custkey", customer, "c_custkey"),
+    )
+    out = None
+    for name, child, ck, parent, pk in edges:
+        base = child.agg(
+            F.count("*").cast("long").alias("n_child_rows"),
+            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+        ckeys = (
+            child.filter(F.col(ck).isNotNull())
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        pkeys = parent.select(F.col(pk).alias("k")).distinct()
+        joined = ckeys.join(
+            pkeys.withColumn("hit", F.lit(1)), "k", "left"
+        ).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("hit").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_orphan_rows"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_referenced_keys"),
+        )
+        nparent = pkeys.agg(
+            F.count("*").cast("long").alias("n_parent_keys")
+        )
+        row = (
+            base.join(F.broadcast(joined))
+            .join(F.broadcast(nparent))
+            .select(
+                F.lit(name).alias("edge_name"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphan_rows",
+                ratio_round(
+                    F.col("n_orphan_rows") * 100,
+                    F.greatest(F.col("n_child_rows"), F.lit(1).cast("long")),
+                    2,
+                ).alias("orphan_pct"),
+                "n_parent_keys",
+                "n_referenced_keys",
+                ratio_round(
+                    F.col("n_referenced_keys") * 100,
+                    F.greatest(F.col("n_parent_keys"), F.lit(1).cast("long")),
+                    2,
+                ).alias("coverage_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge_name")

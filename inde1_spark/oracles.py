@@ -13035,3 +13035,139 @@ WITH agg AS (
 {chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_SEL_ROWS))}
 ORDER BY predicate
 """
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    RESTART_AGE_DAYS,
+    RESTART_STATE_GAP_S,
+    RESTART_REPLAY_RATE,
+    BACKFILL_SHARDS,
+)
+
+# Twin of operators/analytics.py:restart_cost_audit — per-day manifest with
+# tz-free in-day offsets (hour/minute/truncated-second, engine-identical on
+# NTZ), bounded age grid, exact integer ceiling for the drain estimate.
+STAGED_ORACLES["restart_cost_audit"] = f"""
+WITH manifest AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT CASE
+                WHEN hour(ts) * 3600 + minute(ts) * 60
+                     + date_part('second', ts)
+                     >= 86400 - {RESTART_STATE_GAP_S}
+                THEN user_id END) AS BIGINT) AS tail_users
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT MAX(day) AS max_day, CAST(SUM(n_rows) AS BIGINT) AS rows_total
+  FROM manifest
+),
+grid AS (SELECT unnest([{", ".join(str(a) for a in RESTART_AGE_DAYS)}])
+                AS age_days),
+sweep AS (
+  SELECT g.age_days, s.rows_total,
+         CAST(SUM(CASE WHEN m.day > s.max_day - g.age_days
+                       THEN m.n_rows ELSE 0 END) AS BIGINT)
+           AS n_replay_events,
+         CAST(COALESCE(MAX(CASE WHEN m.day = s.max_day - g.age_days
+                                THEN m.tail_users END), 0) AS BIGINT)
+           AS n_state_keys
+  FROM manifest m, span s, grid g
+  GROUP BY 1, 2
+)
+SELECT CAST(age_days AS BIGINT) AS checkpoint_age_days,
+       n_replay_events,
+       {_rr("n_replay_events * 100", "GREATEST(rows_total, 1)", 2)}
+         AS replay_pct,
+       n_state_keys,
+       CAST((n_replay_events + {RESTART_REPLAY_RATE - 1})
+            // {RESTART_REPLAY_RATE} AS BIGINT) AS est_replay_sec
+FROM sweep ORDER BY checkpoint_age_days
+"""
+
+
+def _bsa_k_sql(k: int) -> tuple[str, str]:
+    shard = _hash_bucket_sql("event_id", k)
+    cte = (
+        f"slots_{k} AS (\n"
+        f"  SELECT day, seq,\n"
+        f"         CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS skew_s\n"
+        f"  FROM (SELECT day, ts_s,\n"
+        f"               row_number() OVER (PARTITION BY {shard}, day\n"
+        f"                                  ORDER BY ts_s, event_id) AS seq\n"
+        f"        FROM bsa_base)\n"
+        f"  GROUP BY 1, 2\n"
+        f")"
+    )
+    body = (
+        f"  SELECT CAST({k} AS BIGINT) AS n_shards,\n"
+        f"         CAST(COUNT(*) AS BIGINT) AS n_slots,\n"
+        f"         CAST(MAX(skew_s) AS BIGINT) AS max_skew_s,\n"
+        f"         {_rr('COALESCE(SUM(skew_s), 0)', 'GREATEST(COUNT(*), 1)', 2)}\n"
+        f"           AS mean_skew_s,\n"
+        f"         CAST((MAX(skew_s) + 59) // 60 AS BIGINT) AS wm_delay_min\n"
+        f"  FROM slots_{k}"
+    )
+    return cte, body
+
+
+_BSA_CTES, _BSA_BODIES = zip(*[_bsa_k_sql(k) for k in BACKFILL_SHARDS])
+
+# Twin of operators/analytics.py:backfill_skew_audit — per-K sequencing
+# within (shard, day), cross-shard skew per (day, seq) slot; truncated
+# epoch seconds (differences cancel tz offsets, session_gap convention).
+STAGED_ORACLES["backfill_skew_audit"] = f"""
+WITH bsa_base AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS day,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+         event_id
+  FROM events
+),
+{",".join(_BSA_CTES)}
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_BSA_BODIES))}
+ORDER BY n_shards
+"""
+
+
+def _fk_edge_sql(name: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""  SELECT '{name}' AS edge_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child_rows,
+         (SELECT CAST(SUM(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM {ct}) AS n_null_keys,
+         (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+          FROM (SELECT {ck} AS k, COUNT(*) AS cnt FROM {ct}
+                WHERE {ck} IS NOT NULL GROUP BY 1) c
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.k))
+           AS n_orphan_rows,
+         (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {pt})
+           AS n_parent_keys,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT {pk} AS k FROM {pt}) p
+          WHERE EXISTS (SELECT 1 FROM {ct} c WHERE c.{ck} = p.k))
+           AS n_referenced_keys
+"""
+
+
+_FK_EDGES = (
+    ("embeddings_documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+# Twin of operators/analytics.py:fk_integrity_audit — per-edge orphan and
+# coverage counts via NOT EXISTS / EXISTS on key-distinct subqueries.
+STAGED_ORACLES["fk_integrity_audit"] = f"""
+WITH raw AS (
+{"UNION ALL".join(_fk_edge_sql(*e) for e in _FK_EDGES)}
+)
+SELECT edge_name, n_child_rows, n_null_keys, n_orphan_rows,
+       {_rr("n_orphan_rows * 100", "GREATEST(n_child_rows, 1)", 2)}
+         AS orphan_pct,
+       n_parent_keys, n_referenced_keys,
+       {_rr("n_referenced_keys * 100", "GREATEST(n_parent_keys, 1)", 2)}
+         AS coverage_pct
+FROM raw ORDER BY edge_name
+"""

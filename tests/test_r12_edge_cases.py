@@ -715,3 +715,211 @@ def test_selectivity_plan(spark):
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"ts:timestamp_ntz,event_type:string,value:double"}
     assert "InMemoryTableScan" in r.raw  # one aggregate row, three rows out
+
+
+# ---------------------------------------------------------------------------
+# restart_cost_audit
+# ---------------------------------------------------------------------------
+
+
+def test_restart_cost_replay_and_state_exact(spark):
+    from inde1_spark.operators.analytics import restart_cost_audit
+
+    def ev(eid, day, hh, mm, uid):
+        return (
+            eid,
+            T0 + timedelta(days=day, hours=hh, minutes=mm),
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # day 0: user 1 in the tail hour (23:30), user 2 mid-day; user 7
+        # EXACTLY at 23:00:00 pins the inclusive >= boundary (86400-3600)
+        ev(1, 0, 23, 30, 1), ev(2, 0, 10, 0, 2), ev(3, 0, 23, 0, 7),
+        # day 1: users 3, 4 in tail hour; user 3 again mid-day (distinct!)
+        ev(4, 1, 23, 10, 3), ev(5, 1, 23, 50, 4), ev(6, 1, 9, 0, 3),
+        # day 2: no tail-hour activity
+        ev(7, 2, 12, 0, 5),
+        # day 3 (max_day): the replay head
+        ev(8, 3, 1, 0, 6), ev(9, 3, 2, 0, 6), ev(10, 3, 3, 0, 8),
+    ]
+    out = {
+        r["checkpoint_age_days"]: r
+        for r in restart_cost_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == {1, 3, 7, 14}
+    # age 1: checkpoint at end of day 2 -> replay day 3 only; day 2 had
+    # no tail-hour users, so no session state to rebuild
+    a1 = out[1]
+    assert (a1["n_replay_events"], a1["n_state_keys"]) == (3, 0)
+    assert a1["replay_pct"] == 30.0
+    assert a1["est_replay_sec"] == 1  # ceil(3/5000)
+    # age 3: checkpoint at end of day 0 -> replay days 1..3 (7 events);
+    # day-0 tail-hour users = {1, 7} (23:00:00 inclusive)
+    a3 = out[3]
+    assert (a3["n_replay_events"], a3["n_state_keys"]) == (7, 2)
+    assert a3["replay_pct"] == 70.0
+    # ages beyond the span: replay everything, no boundary day -> state 0
+    for age in (7, 14):
+        r = out[age]
+        assert (r["n_replay_events"], r["n_state_keys"]) == (10, 0)
+        assert r["replay_pct"] == 100.0 and r["est_replay_sec"] == 1
+
+
+def test_restart_cost_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["restart_cost_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint"}
+    assert "InMemoryTableScan" in r.raw  # manifest built once, read twice
+
+
+# ---------------------------------------------------------------------------
+# backfill_skew_audit
+# ---------------------------------------------------------------------------
+
+
+def test_backfill_skew_matches_python_mirror(spark):
+    from inde1_spark.operators.analytics import (
+        BACKFILL_SHARDS,
+        backfill_skew_audit,
+    )
+
+    # 12 events across two days, minute-spaced: the mirror recomputes
+    # shard/seq/slot skew per K from first principles
+    rows = [
+        (eid, T0 + timedelta(days=eid % 2, minutes=7 * eid), eid, "view",
+         1.0, "{}")
+        for eid in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    out = {r["n_shards"]: r for r in backfill_skew_audit(df).collect()}
+    assert set(out) == set(BACKFILL_SHARDS)
+
+    base = [
+        (eid, (T0 + timedelta(days=eid % 2)).toordinal(),  # day identity
+         int((T0 + timedelta(days=eid % 2, minutes=7 * eid))
+             .timestamp()))
+        for eid in range(1, 13)
+    ]
+    for k in BACKFILL_SHARDS:
+        slots: dict = {}
+        per_shard: dict = {}
+        for eid, day, ts_s in sorted(base, key=lambda t: (t[2], t[0])):
+            shard = _py_hash_bucket(eid, k)
+            seq = per_shard.get((shard, day), 0) + 1
+            per_shard[(shard, day)] = seq
+            slots.setdefault((day, seq), []).append(ts_s)
+        skews = [max(v) - min(v) for v in slots.values()]
+        r = out[k]
+        assert r["n_slots"] == len(skews), k
+        assert r["max_skew_s"] == max(skews), k
+        assert r["mean_skew_s"] == _rhu(sum(skews) * 100, len(skews)) / 100, k
+        assert r["wm_delay_min"] == (max(skews) + 59) // 60, k
+
+
+def test_backfill_skew_single_shard_per_slot_is_zero(spark):
+    from inde1_spark.operators.analytics import backfill_skew_audit
+
+    # one event per day: every (day, seq) slot holds a single shard's
+    # event -> skew 0 at every K, delay 0 minutes
+    rows = [
+        (eid, T0 + timedelta(days=eid), eid, "view", 1.0, "{}")
+        for eid in range(1, 5)
+    ]
+    for r in backfill_skew_audit(spark.createDataFrame(rows, EVENT_COLS)).collect():
+        assert r["max_skew_s"] == 0 and r["mean_skew_s"] == 0.0
+        assert r["wm_delay_min"] == 0 and r["n_slots"] == 4
+
+
+def test_backfill_skew_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["backfill_skew_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz"}
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_fk_integrity_orphans_nulls_coverage_exact(spark):
+    from inde1_spark.operators.analytics import fk_integrity_audit
+
+    events = spark.createDataFrame(
+        [
+            (i, T0 + timedelta(hours=i), u, "view", 1.0, "{}")
+            for i, u in enumerate([1, 1, 2, 9, None])
+        ],
+        EVENT_COLS,
+    )
+    customer = spark.createDataFrame(
+        [(k, "n", 0) for k in (1, 2, 3)], ["c_custkey", "c_name", "c_nationkey"]
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 3), (12, 7)], ["o_orderkey", "o_custkey"]
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 5), (10, 6), (11, 5), (99, 5)], ["l_orderkey", "l_partkey"]
+    )
+    part = spark.createDataFrame(
+        [(5, "x"), (6, "y"), (7, "z")], ["p_partkey", "p_name"]
+    )
+    documents = spark.createDataFrame(
+        [(d, "t", "en", "s", 1) for d in (0, 1, 2)], DOC_COLS
+    )
+    embeddings = spark.createDataFrame(
+        [(v, [0.0], 0) for v in (0, 1, 7)], ["vec_id", "embedding", "label"]
+    )
+    out = {
+        r["edge_name"]: r
+        for r in fk_integrity_audit(
+            events, customer, orders, lineitem, part, documents, embeddings
+        ).collect()
+    }
+    assert set(out) == {
+        "embeddings_documents", "events_customer", "lineitem_orders",
+        "lineitem_part", "orders_customer",
+    }
+    e = out["events_customer"]
+    assert (e["n_child_rows"], e["n_null_keys"], e["n_orphan_rows"]) == (5, 1, 1)
+    assert e["orphan_pct"] == 20.0
+    assert (e["n_parent_keys"], e["n_referenced_keys"]) == (3, 2)
+    assert e["coverage_pct"] == _rhu(2 * 100 * 100, 3) / 100  # 66.67
+    o = out["orders_customer"]
+    assert (o["n_orphan_rows"], o["n_referenced_keys"]) == (1, 2)
+    lo = out["lineitem_orders"]
+    assert (lo["n_child_rows"], lo["n_orphan_rows"]) == (4, 1)
+    assert (lo["n_parent_keys"], lo["n_referenced_keys"]) == (3, 2)
+    lp = out["lineitem_part"]
+    assert (lp["n_orphan_rows"], lp["n_referenced_keys"]) == (0, 2)
+    assert lp["orphan_pct"] == 0.0
+    ed = out["embeddings_documents"]
+    assert (ed["n_child_rows"], ed["n_orphan_rows"]) == (3, 1)
+    assert ed["orphan_pct"] == _rhu(1 * 100 * 100, 3) / 100  # 33.33
+
+
+def test_fk_integrity_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["fk_integrity_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # every scan pruned to exactly its key column
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert all(len(x.split(",")) == 1 for x in schemas if x), schemas
