@@ -854,6 +854,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness as queries()).
     """
     from inde1_spark.operators import analytics as A  # noqa: F401
+    from inde1_spark.operators import corpus as C  # noqa: F401
     from inde1_spark.operators import dedup as D  # noqa: F401
     from inde1_spark.operators import scoring as SC  # noqa: F401
     from inde1_spark.operators import text as TX  # noqa: F401
@@ -906,6 +907,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "part"),
             _t(sp, d, "documents"),
             _t(sp, d, "embeddings"),
+        ),
+        # ----- r13 batch, first tranche (accumulating behind the r12 batch) -----
+        "cdc_mask_sweep": lambda sp, d: D.cdc_mask_sweep(
+            _t(sp, d, "documents")
+        ),
+        "quality_dedup_interaction": lambda sp, d: C.quality_dedup_interaction(
+            _t(sp, d, "documents")
+        ),
+        "event_order_integrity_audit": lambda sp, d: (
+            A.event_order_integrity_audit(_t(sp, d, "events"))
         ),
     }
 

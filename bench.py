@@ -148,18 +148,30 @@ HEADLINE = (
     "minhash_band_sweep",     # 30 band self-joins over one persisted signature (r10)
     "dedup_substring_incremental",  # increment-proportional admission join (r10)
     "semdedup_threshold_sweep",  # kmeans + pair verify + bounded grid (r10)
-    "semdedup_incremental",   # standing-split Lloyd + batch routing (r11 staged)
-    "copartition_audit",      # per-join key-count aggregates, persisted sides (r11 staged)
-    "source_length_drift",    # persisted histogram + S^2/2 broadcast grid (r11 staged)
-    "repetition_rules",       # row-local n-gram mass + corpus shuffle (r11 staged)
-    "dedup_winnow_incremental",  # capped postings join + uncapped verify (r11 staged)
-    "shingle_df_cap_sweep",   # shingle-DF histogram x bounded cap grid (r11 staged)
-    "schema_evolution_audit", # per-day JSON key inventory + lag diff (r11 staged)
-    "compression_ratio_audit",  # day-windowed run counts, 4 NDVs, one pass (r11 staged)
-    "corpus_prep_cost_audit", # gopher + md5-window dedup + split, one agg (r11 staged)
-    "perplexity_filter_sweep",  # corpus LM pass + bounded threshold grid (r11 staged)
-    "mixture_epoch_plan",     # token sums + k-row broadcast arithmetic (r11 staged)
-    "split_balance_audit",    # persisted split counts + 3-bin TVD grid (r11 staged)
+    "semdedup_incremental",   # standing-split Lloyd + batch routing (r11)
+    "copartition_audit",      # per-join key-count aggregates, persisted sides (r11)
+    "source_length_drift",    # persisted histogram + S^2/2 broadcast grid (r11)
+    "repetition_rules",       # row-local n-gram mass + corpus shuffle (r11)
+    "dedup_winnow_incremental",  # capped postings join + uncapped verify (r11)
+    "shingle_df_cap_sweep",   # shingle-DF histogram x bounded cap grid (r11)
+    "schema_evolution_audit", # per-day JSON key inventory + lag diff (r11)
+    "compression_ratio_audit",  # day-windowed run counts, 4 NDVs, one pass (r11)
+    "corpus_prep_cost_audit", # gopher + md5-window dedup + split, one agg (r11)
+    "perplexity_filter_sweep",  # corpus LM pass + bounded threshold grid (r11)
+    "mixture_epoch_plan",     # token sums + k-row broadcast arithmetic (r11)
+    "split_balance_audit",    # persisted split counts + 3-bin TVD grid (r11)
+    "jonckheere_terpstra_trend",  # histogram-rank ordered k-sample test (r12 staged)
+    "mantel_haenszel_or",     # per-day stratified 2x2 fold (r12 staged)
+    "range_partition_plan",   # value-histogram range splitter (r12 staged)
+    "join_size_estimate_audit",  # per-key count passes x 4 joins + hash lanes (r12 staged)
+    "langid_calibration_audit",  # marker-score bins vs agreement (r12 staged)
+    "graph_modularity_audit", # LPA communities + edge/degree rollup (r12 staged)
+    "bm25_parameter_sweep",   # one postings pass x (k1,b) grid (r12 staged)
+    "session_gap_sweep",      # one lag pass x gap grid (r12 staged)
+    "predicate_selectivity_audit",  # one-agg estimator-vs-actual audit (r12 staged)
+    "restart_cost_audit",     # per-day manifest x checkpoint-age grid (r12 staged)
+    "backfill_skew_audit",    # (shard,day) sequencing x 3 shard counts (r12 staged)
+    "fk_integrity_audit",     # key-NDV orphan/coverage joins, 5 edges (r12 staged)
 )
 
 
@@ -211,6 +223,16 @@ def _prior_best(sf: object) -> dict[str, float]:
     return best
 
 
+# A recorded run whose own calibration probe sits this far above the
+# box's best-known speed was contended while it ran (r09/r10 driver runs:
+# cal_ratio 1.33/1.42 with per-query medians inflated to match); its
+# medians would drag the flag basis upward and mask a real regression of
+# the same magnitude. Runs beyond the cut are excluded from the MEDIAN
+# basis only — _prior_best keeps them (a min can't be inflated upward),
+# and runs that predate the probe (no calibration recorded) stay in.
+CONTENDED_CAL_RATIO = 1.2
+
+
 def _prior_median(sf: object) -> dict[str, float]:
     """Per-query MEDIAN of recorded run medians at the SAME scale factor —
     the r08 flag basis. With ~10 runs recorded, the all-time MIN is the
@@ -219,11 +241,26 @@ def _prior_median(sf: object) -> dict[str, float]:
     (r06: 14 such flags; r07: 1; r08 first pass: 8 — every one inside
     its historical spread). The median of run medians is a stable center;
     a real plan regression moves OFF it, environmental luck does not.
+
+    Since r11 the basis also excludes KNOWN-CONTENDED runs (calibration
+    > CONTENDED_CAL_RATIO x the best recorded probe): with ~22 runs
+    accumulated, several contended driver/mid-round runs would otherwise
+    enter the median window and slowly raise the yardstick.
     """
+    best_cal = _prior_best_calibration()
     vals: dict[str, list[float]] = {}
     for payload in _payloads():
         if payload.get("sf") != sf:
             continue
+        cal = payload.get("calibration_sec")
+        if cal is None and isinstance(payload.get("delta"), dict):
+            cal = payload["delta"].get("cal_sec")
+        if (
+            best_cal
+            and isinstance(cal, (int, float))
+            and float(cal) > CONTENDED_CAL_RATIO * best_cal
+        ):
+            continue  # contended while recorded: not flag-basis material
         for name, sec in (payload.get("queries") or {}).items():
             if isinstance(sec, (int, float)):
                 vals.setdefault(name, []).append(float(sec))

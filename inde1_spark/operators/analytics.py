@@ -11594,3 +11594,73 @@ def fk_integrity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("edge_name")
+
+
+def event_order_integrity_audit(events: DataFrame) -> DataFrame:
+    """Ingestion-order integrity audit — the one-row data-quality gate a
+    stream's ARCHIVE must pass before event-id-ordered replays
+    (``backfill_skew_audit``'s arrival model) or watermark tuning trust
+    it (reference intent: the generator emits monotone ids with
+    monotone timestamps, apps/srvc-io/.../GeneratorService.scala; this
+    audit measures how far a real archive has drifted from that
+    contract): duplicate event_ids (retry/at-least-once artifacts),
+    per-user event-time REGRESSIONS in id order (clock skew or
+    misordered ingestion — counted over adjacent same-user id-ordered
+    pairs, the sessionization windows' exact ordering), the users
+    affected, and null keys/timestamps.
+
+    One map-side-combinable global aggregate prices the corpus for the
+    count/NDV/null facts; the regression pass is ONE per-user window in
+    (event_id, ts) order — the same shuffle shape sessionize_gap runs.
+    Percents are exact round-half-up over the adjacent-pair count.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    base = events.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("n_dup_event_ids"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_ids"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_ts"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_users"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id", "ts")
+    lagged = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        (F.col("ts") < F.lag("ts").over(w)).alias("reg"),
+    )
+    regs = lagged.agg(
+        F.sum(F.when(F.col("reg"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ts_regressions"),
+        F.sum(F.when(F.col("reg").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_adjacent_pairs"),
+        F.countDistinct(F.when(F.col("reg"), F.col("user_id")))
+        .cast("long")
+        .alias("n_users_regressed"),
+    )
+    return base.join(F.broadcast(regs)).select(
+        "n_rows",
+        "n_dup_event_ids",
+        "n_ts_regressions",
+        "n_adjacent_pairs",
+        "n_users_regressed",
+        ratio_round(
+            F.col("n_ts_regressions") * 100,
+            F.greatest(F.col("n_adjacent_pairs"), F.lit(1).cast("long")),
+            2,
+        ).alias("regression_pct"),
+        "n_null_ids",
+        "n_null_ts",
+        "n_null_users",
+    )

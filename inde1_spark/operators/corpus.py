@@ -1964,3 +1964,90 @@ def split_balance_audit(documents: DataFrame) -> DataFrame:
             <= F.col("n_s").cast(d38) * F.col("n_total").cast(d38)
         ).alias("balanced"),
     ).orderBy("source")
+
+
+def quality_dedup_interaction(documents: DataFrame) -> DataFrame:
+    """Interaction audit between the quality filter and exact dedup — do
+    the two curation passes remove the SAME mass? Per fixed-width
+    quality decile (``quality_bins``'s row-local binning): the docs in
+    a duplicate group (md5(text) seen >= 2x), the REDUNDANT docs exact
+    dedup would actually drop (every group member but the kept min
+    doc_id — ``dedup_exact``'s keep rule), and the bin's redundancy
+    LIFT vs the corpus rate. Lift >> 1 in the low-quality bins means
+    quality filtering already removes most dup mass (a cheaper filter
+    order); lift ~1 everywhere means the passes are independent and
+    both earn their cost — the pipeline-ordering evidence
+    ``dedup_pipeline_funnel`` measures one fixed order of.
+
+    One md5-key groupBy prices the dup groups (hash only, never text),
+    one row-local quality projection, a key-equi join between them, a
+    10-row rollup; the corpus lift denominator rides a 1-row broadcast.
+    Lift is wide-decimal round-half-up (doc_count products pass 2^53
+    long before a corpus is large); bins with zero corpus redundancy
+    emit NULL lift in both engines.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round, ratio_round
+    from inde1_spark.operators.text import quality_parts
+
+    _, quality, _ = quality_parts()
+    groups = (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_in_group"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+    docs = documents.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.least(
+            F.floor(quality * F.lit(10.0)).cast("long"), F.lit(9).cast("long")
+        ).alias("bin"),
+    )
+    flagged = docs.join(groups, "text_md5").select(
+        "bin",
+        (F.col("n_in_group") >= 2).alias("is_dup_involved"),
+        (
+            (F.col("n_in_group") >= 2)
+            & (F.col("doc_id") != F.col("keep_doc_id"))
+        ).alias("is_redundant"),
+    )
+    per_bin = flagged.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup_involved"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_involved"),
+        F.sum(F.when(F.col("is_redundant"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_redundant"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("n_redundant").cast("long").alias("r_total"),
+    )
+    d38 = "decimal(38,0)"
+    return per_bin.join(F.broadcast(totals)).select(
+        "bin",
+        "n_docs",
+        "n_dup_involved",
+        "n_redundant",
+        ratio_round(
+            F.col("n_redundant") * 100,
+            F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
+            2,
+        ).alias("redundant_pct"),
+        F.when(
+            F.col("r_total") > 0,
+            dec_ratio_round(
+                (
+                    F.col("n_redundant").cast(d38)
+                    * F.col("n_total").cast(d38)
+                    * F.lit(100).cast(d38)
+                ).cast(d38),
+                (F.col("n_docs").cast(d38) * F.col("r_total").cast(d38)).cast(
+                    d38
+                ),
+                2,
+            ),
+        ).alias("lift_x100"),
+    ).orderBy("bin")

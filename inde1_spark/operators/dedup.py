@@ -3266,3 +3266,73 @@ def graph_modularity_audit(
             ),
         )
     )
+
+
+# avg-chunk-words grid the CDC mask sweep prices (brackets CDC_AVG_CHUNK)
+CDC_MASK_GRID = (8, 16, 32)
+
+
+def cdc_mask_sweep(
+    documents: DataFrame, grid: tuple[int, ...] = CDC_MASK_GRID
+) -> DataFrame:
+    """Mask-width tuning sweep for the content-defined chunker — prices
+    the ``avg_chunk`` knob BEFORE a corpus-scale chunk dedup commits to
+    one (the CDC analog of ``shingle_df_cap_sweep``): for each candidate
+    expected chunk length, the chunk volume, the realized mean length
+    (the boundary-hash health check — far off the target means the
+    corpus text defeats the bigram rule), the share of chunk
+    OCCURRENCES that are repeats of an already-seen chunk, and the
+    share of corpus WORDS a store-each-distinct-chunk-once layout
+    saves. Small masks find more shared chunks (finer granularity,
+    more metadata rows); large masks save less but cost less — this
+    table is the knee curve that decision reads.
+
+    Per grid value: the row-local chunk projection (only
+    (chunk_hash, n_words) survives it), ONE map-side-combined groupBy
+    on the hash, and a one-row rollup — identical chunk text implies
+    identical n_words, so per-hash word savings are exact. Percents
+    are exact round-half-up; word totals stay in longs (corpus word
+    count bounds them).
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    out = None
+    for a in grid:
+        per_hash = (
+            cdc_chunk_table(documents, avg_chunk=a)
+            .groupBy("chunk_hash")
+            .agg(
+                F.count("*").cast("long").alias("occ"),
+                F.min("n_words").cast("long").alias("nw"),
+            )
+        )
+        row = per_hash.agg(
+            F.lit(int(a)).cast("long").alias("avg_chunk_words"),
+            F.coalesce(F.sum("occ"), F.lit(0)).cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.coalesce(F.sum(F.col("occ") * F.col("nw")), F.lit(0))
+            .cast("long")
+            .alias("_total_words"),
+            F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("_dist_words"),
+        ).select(
+            "avg_chunk_words",
+            "n_chunks",
+            "n_distinct_chunks",
+            ratio_round(
+                F.col("_total_words"),
+                F.greatest(F.col("n_chunks"), F.lit(1).cast("long")),
+                2,
+            ).alias("mean_chunk_words"),
+            ratio_round(
+                (F.col("n_chunks") - F.col("n_distinct_chunks")) * 100,
+                F.greatest(F.col("n_chunks"), F.lit(1).cast("long")),
+                2,
+            ).alias("dup_occurrence_pct"),
+            ratio_round(
+                (F.col("_total_words") - F.col("_dist_words")) * 100,
+                F.greatest(F.col("_total_words"), F.lit(1).cast("long")),
+                2,
+            ).alias("words_saved_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("avg_chunk_words")

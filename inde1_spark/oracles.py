@@ -13171,3 +13171,168 @@ SELECT edge_name, n_child_rows, n_null_keys, n_orphan_rows,
          AS coverage_pct
 FROM raw ORDER BY edge_name
 """
+
+# ===========================================================================
+# r13 batch, tranche 1 (staged in r11): CDC mask sweep, quality x dedup
+# interaction, ingestion-order integrity.
+# ===========================================================================
+
+from inde1_spark.operators.dedup import CDC_MASK_GRID  # noqa: E402
+
+
+def _cdc_chunks_param_sql(avg_chunk: int, sfx: str) -> str:
+    """The _CDC_CHUNKS fragment with a parameterized mask width and
+    suffixed CTE names (the sweep needs several side by side)."""
+    return f"""toks_{sfx} AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+b_{sfx} AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_concat([1], list_filter(generate_series(2, len(toks)),
+           i -> (CAST(concat('0x', substr(md5(
+                   list_extract(toks, i-1) || ' ' || list_extract(toks, i)
+                 ), 1, 8)) AS BIGINT) % {avg_chunk}) = 0)) AS bp
+  FROM toks_{sfx} WHERE len(toks) >= 1
+),
+ch_{sfx} AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(bp)), k ->
+           struct_pack(
+             nw := CAST((CASE WHEN k < len(bp) THEN list_extract(bp, k+1) - 1 ELSE n END)
+                        - list_extract(bp, k) + 1 AS BIGINT),
+             h := md5(array_to_string(
+                    toks[list_extract(bp, k) :
+                         (CASE WHEN k < len(bp) THEN list_extract(bp, k+1) - 1 ELSE n END)], ' '))
+           ))) AS c
+  FROM b_{sfx}
+),
+cdc_{sfx} AS (
+  SELECT doc_id, c.nw AS n_words, c.h AS chunk_hash
+  FROM ch_{sfx} WHERE c.nw >= {CDC_MIN_WORDS}
+)"""
+
+
+def _cms_k_sql(a: int) -> tuple[str, str]:
+    sfx = f"m{a}"
+    cte = (
+        _cdc_chunks_param_sql(a, sfx)
+        + f""",
+ph_{sfx} AS (
+  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS occ,
+         CAST(min(n_words) AS BIGINT) AS nw
+  FROM cdc_{sfx} GROUP BY 1
+),
+agg_{sfx} AS (
+  SELECT CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_chunks,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(COALESCE(SUM(occ * nw), 0) AS BIGINT) AS total_w,
+         CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS dist_w
+  FROM ph_{sfx}
+)"""
+    )
+    body = f"""  SELECT CAST({a} AS BIGINT) AS avg_chunk_words,
+         n_chunks, n_distinct_chunks,
+         {_rr("total_w", "GREATEST(n_chunks, 1)", 2)} AS mean_chunk_words,
+         {_rr("(n_chunks - n_distinct_chunks) * 100", "GREATEST(n_chunks, 1)", 2)}
+           AS dup_occurrence_pct,
+         {_rr("(total_w - dist_w) * 100", "GREATEST(total_w, 1)", 2)}
+           AS words_saved_pct
+  FROM agg_{sfx}"""
+    return cte, body
+
+
+_CMS_CTES, _CMS_BODIES = zip(*[_cms_k_sql(a) for a in CDC_MASK_GRID])
+
+# Twin of operators/dedup.py:cdc_mask_sweep — the parameterized CDC chunk
+# fragment per mask width, one per-hash aggregate, one-row rollups.
+STAGED_ORACLES["cdc_mask_sweep"] = f"""
+WITH {",".join(_CMS_CTES)}
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_CMS_BODIES))}
+ORDER BY avg_chunk_words
+"""
+
+# Twin of operators/corpus.py:quality_dedup_interaction — quality decile
+# binning (the quality_bins spelling) x md5 dup-group flags; lift in
+# HUGEINT round-half-up, NULL when the corpus has zero redundancy.
+STAGED_ORACLES["quality_dedup_interaction"] = f"""
+WITH {_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id,
+         LEAST(CAST(floor(
+           {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)}
+           * 10.0) AS BIGINT), 9) AS bin
+  FROM qm
+),
+g AS (
+  SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_in_group,
+         min(doc_id) AS keep_doc_id
+  FROM documents GROUP BY 1
+),
+flagged AS (
+  SELECT q.bin,
+         (g.n_in_group >= 2) AS is_dup_involved,
+         (g.n_in_group >= 2 AND d.doc_id <> g.keep_doc_id) AS is_redundant
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN g ON g.text_md5 = md5(d.text)
+),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN is_dup_involved THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_involved,
+         CAST(SUM(CASE WHEN is_redundant THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_redundant
+  FROM flagged GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(n_redundant) AS BIGINT) AS r_total
+  FROM per_bin
+)
+SELECT bin, n_docs, n_dup_involved, n_redundant,
+       {_rr("n_redundant * 100", "GREATEST(n_docs, 1)", 2)} AS redundant_pct,
+       CASE WHEN r_total > 0 THEN
+         {_rrh("n_redundant * CAST(n_total AS HUGEINT) * 100",
+               "CAST(n_docs AS HUGEINT) * r_total", 2)}
+       END AS lift_x100
+FROM per_bin, totals ORDER BY bin
+"""
+
+# Twin of operators/analytics.py:event_order_integrity_audit — one global
+# aggregate + one per-user (event_id, ts)-ordered lag pass.
+STAGED_ORACLES["event_order_integrity_audit"] = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+           AS n_dup_event_ids,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_ids,
+         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_ts,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_users
+  FROM events
+),
+lagged AS (
+  SELECT user_id,
+         (ts < lag(ts) OVER (PARTITION BY user_id ORDER BY event_id, ts))
+           AS reg
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+regs AS (
+  SELECT CAST(SUM(CASE WHEN reg THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ts_regressions,
+         CAST(SUM(CASE WHEN reg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_adjacent_pairs,
+         CAST(COUNT(DISTINCT CASE WHEN reg THEN user_id END) AS BIGINT)
+           AS n_users_regressed
+  FROM lagged
+)
+SELECT n_rows, n_dup_event_ids, n_ts_regressions, n_adjacent_pairs,
+       n_users_regressed,
+       {_rr("n_ts_regressions * 100", "GREATEST(n_adjacent_pairs, 1)", 2)}
+         AS regression_pct,
+       n_null_ids, n_null_ts, n_null_users
+FROM base, regs
+"""

@@ -1,0 +1,256 @@
+"""Semantics + plan invariants for the r13 STAGED batch (first tranche).
+
+Same style as test_r11/r12_edge_cases: planted micro-datasets exercise the
+property each operator's docstring claims; plan-shape pins hold the engine
+invariants (column pruning, join strategy, no cartesian) so a later change
+that breaks the 100 TB posture fails here before it reaches a gate window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.plans.explain import plan_report
+from tests.conftest import SF_SMOKE
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+T0 = datetime(2024, 3, 4, 0, 0, 0)
+
+
+def _rhu(num: int, den: int) -> int:
+    """round_half_up(num/den) for nonnegative exact ints."""
+    return (num * 2 + den) // (2 * den)
+
+
+# ---------------------------------------------------------------------------
+# cdc_mask_sweep
+# ---------------------------------------------------------------------------
+
+
+def _py_cdc_chunks(text: str, avg_chunk: int, min_words: int = 4):
+    """Pure-python mirror of operators/dedup.py:cdc_chunk_table."""
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return []
+    starts = [1] + [
+        i
+        for i in range(2, len(toks) + 1)
+        if int(
+            hashlib.md5(
+                f"{toks[i - 2]} {toks[i - 1]}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        % avg_chunk
+        == 0
+    ]
+    chunks = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 1 if k + 1 < len(starts) else len(toks)
+        nw = e - s + 1
+        if nw >= min_words:
+            chunks.append((" ".join(toks[s - 1 : e]), nw))
+    return chunks
+
+
+def test_cdc_mask_sweep_matches_python_mirror(spark):
+    from inde1_spark.operators.dedup import CDC_MASK_GRID, cdc_mask_sweep
+
+    # a boilerplate sentence pasted into several otherwise-distinct docs
+    boiler = "license header text applies to every file in this repo"
+    texts = [
+        f"{boiler} alpha beta gamma delta epsilon zeta eta theta",
+        f"{boiler} one two three four five six seven eight nine ten",
+        f"{boiler} lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "completely different content with no shared words at all here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_COLS
+    )
+    out = {r["avg_chunk_words"]: r for r in cdc_mask_sweep(docs).collect()}
+    assert set(out) == set(CDC_MASK_GRID)
+    for a in CDC_MASK_GRID:
+        occ: dict[str, list[int]] = {}
+        for t in texts:
+            for chunk_text, nw in _py_cdc_chunks(t, a):
+                occ.setdefault(chunk_text, []).append(nw)
+        n_chunks = sum(len(v) for v in occ.values())
+        n_distinct = len(occ)
+        total_w = sum(sum(v) for v in occ.values())
+        dist_w = sum(v[0] for v in occ.values())
+        r = out[a]
+        assert r["n_chunks"] == n_chunks, a
+        assert r["n_distinct_chunks"] == n_distinct, a
+        assert r["mean_chunk_words"] == _rhu(total_w * 100, max(n_chunks, 1)) / 100
+        assert r["dup_occurrence_pct"] == (
+            _rhu((n_chunks - n_distinct) * 100 * 100, max(n_chunks, 1)) / 100
+        )
+        assert r["words_saved_pct"] == (
+            _rhu((total_w - dist_w) * 100 * 100, max(total_w, 1)) / 100
+        )
+
+
+def test_cdc_mask_sweep_all_unique_saves_nothing(spark):
+    from inde1_spark.operators.dedup import cdc_mask_sweep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "entirely unique words aardvark bobcat cheetah dingo", "en", "s", 50),
+            (2, "another disjoint vocabulary emu falcon gecko heron", "en", "s", 50),
+        ],
+        DOC_COLS,
+    )
+    for r in cdc_mask_sweep(docs).collect():
+        assert r["dup_occurrence_pct"] == 0.0 and r["words_saved_pct"] == 0.0
+        assert r["n_chunks"] == r["n_distinct_chunks"]
+
+
+def test_cdc_mask_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["cdc_mask_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # the sweep never consumes doc_id, so the scan prunes to text alone
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string"}
+
+
+# ---------------------------------------------------------------------------
+# quality_dedup_interaction
+# ---------------------------------------------------------------------------
+
+
+def test_quality_dedup_interaction_lift_exact(spark):
+    from inde1_spark.operators.corpus import quality_dedup_interaction
+
+    # 4 copies of a short doc (quality 0.52 -> bin 5; 3 redundant) plus
+    # 2 unique max-quality docs (quality 1.0 -> bin 9)
+    dup_text = "alpha beta gamma delta"
+    rows = [(i, dup_text, "en", "s", 20) for i in range(4)]
+    rows += [
+        (10, "unique content one primus secundus tertius", "en", "s", 500),
+        (11, "unique content two quartus quintus sextus", "en", "s", 500),
+    ]
+    out = {
+        r["bin"]: r
+        for r in quality_dedup_interaction(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    assert set(out) == {5, 9}
+    b5 = out[5]
+    assert (b5["n_docs"], b5["n_dup_involved"], b5["n_redundant"]) == (4, 4, 3)
+    assert b5["redundant_pct"] == 75.0
+    # lift = (3/4) / (3/6) = 1.5 -> 150.00 at the x100 scale
+    assert b5["lift_x100"] == 150.0
+    b9 = out[9]
+    assert (b9["n_docs"], b9["n_dup_involved"], b9["n_redundant"]) == (2, 0, 0)
+    assert b9["redundant_pct"] == 0.0 and b9["lift_x100"] == 0.0
+
+
+def test_quality_dedup_interaction_no_redundancy_null_lift(spark):
+    from inde1_spark.operators.corpus import quality_dedup_interaction
+
+    rows = [
+        (1, "unique doc number one alpha", "en", "s", 100),
+        (2, "unique doc number two beta", "en", "s", 100),
+    ]
+    out = quality_dedup_interaction(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert all(r["lift_x100"] is None for r in out)
+    assert all(r["n_redundant"] == 0 for r in out)
+
+
+def test_quality_dedup_interaction_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["quality_dedup_interaction"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas <= {
+        "doc_id:bigint,text:string",
+        "doc_id:bigint,text:string,n_chars:bigint",
+    }
+
+
+# ---------------------------------------------------------------------------
+# event_order_integrity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_event_order_integrity_exact_counts(spark):
+    from inde1_spark.operators.analytics import event_order_integrity_audit
+
+    def ev(eid, sec, uid):
+        return (
+            eid,
+            T0 + timedelta(seconds=sec) if sec is not None else None,
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: id order 1, 2 but ts regresses at id 2
+        ev(1, 100, 1), ev(2, 95, 1),
+        # user 2: ids 3, 4 in order, plus a DUPLICATE of id 1 whose ts
+        # makes id 3 a regression in (event_id, ts) order
+        ev(3, 100, 2), ev(4, 160, 2), ev(1, 220, 2),
+        # excluded from the window pass, counted in the base facts
+        ev(5, None, 3),
+        ev(6, 100, None),
+    ]
+    out = event_order_integrity_audit(
+        spark.createDataFrame(rows, EVENT_COLS)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 7
+    assert r["n_dup_event_ids"] == 1  # id 1 appears twice
+    # u1: 1 regression of 1 pair; u2 (id order 1, 3, 4): ts 220, 100, 160
+    # -> regression at id 3 only: 2 of 3 adjacent pairs total
+    assert r["n_ts_regressions"] == 2
+    assert r["n_adjacent_pairs"] == 3
+    assert r["n_users_regressed"] == 2
+    assert r["regression_pct"] == _rhu(2 * 100 * 100, 3) / 100  # 66.67
+    assert (r["n_null_ids"], r["n_null_ts"], r["n_null_users"]) == (0, 1, 1)
+
+
+def test_event_order_integrity_clean_archive_all_zero(spark):
+    from inde1_spark.operators.analytics import event_order_integrity_audit
+
+    rows = [
+        (i, T0 + timedelta(seconds=10 * i), i % 3, "view", 1.0, "{}")
+        for i in range(1, 10)
+    ]
+    r = event_order_integrity_audit(
+        spark.createDataFrame(rows, EVENT_COLS)
+    ).collect()[0]
+    assert r["n_dup_event_ids"] == 0 and r["n_ts_regressions"] == 0
+    assert r["regression_pct"] == 0.0 and r["n_users_regressed"] == 0
+
+
+def test_event_order_integrity_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["event_order_integrity_audit"](
+            spark, SF_SMOKE
+        )
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
