@@ -918,6 +918,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order_integrity_audit": lambda sp, d: (
             A.event_order_integrity_audit(_t(sp, d, "events"))
         ),
+        "minhash_perm_sweep": lambda sp, d: D.minhash_perm_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

@@ -3336,3 +3336,102 @@ def cdc_mask_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("avg_chunk_words")
+
+
+# signature-length grid the permutation sweep prices (production is 32)
+MINHASH_PERM_GRID = (8, 16, 32)
+
+
+def minhash_perm_sweep(
+    documents: DataFrame,
+    n: int = 3,
+    grid: tuple[int, ...] = MINHASH_PERM_GRID,
+) -> DataFrame:
+    """Signature-length tuning sweep for MinHash — how many permutations
+    does the ESTIMATE actually need? ``minhash_est_jaccard`` audits the
+    production 32-perm estimator pair by pair; this sweep prices the
+    knob: for each prefix length k of the SAME permutation family, the
+    per-pair estimate err vs exact Jaccard aggregated to mean/max
+    absolute error and signed bias (all ppm). Signature bytes scale
+    linearly with k — at corpus scale the signature table is the
+    resident structure, so halving k halves its footprint if the error
+    column says 16 perms suffice. Prefix subsets (not fresh families
+    per k) mean ONE signature pass prices every k.
+
+    Same md5-portable pipeline as the estimator audit (so every number
+    hash-checks against DuckDB), one persisted per-pair table feeding
+    the bounded per-k rollups. est_ppm is exact (10^6/k is integral for
+    the power-of-two grid); means are exact round-half-up; bias is
+    sign-split (ratio_round needs nonnegative operands).
+    """
+    sh, sigs, cand = _fast_audit_pipeline(documents, n, persist_sh=True)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(FAST_N_PERM)],
+    )
+    match_cols = [
+        sum(
+            F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(k)
+        ).cast("long").alias(f"m_{k}")
+        for k in grid
+    ]
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    pairs = _persist(
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", *match_cols)
+        # left join: a collision candidate with zero shared shingles must
+        # stay in the audit (est > 0, exact = 0), not silently drop
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn("jac_ppm", ratio_scaled(F.col("n_inter"), union, 6))
+    )
+    out = None
+    for k in grid:
+        est = (F.col(f"m_{k}") * F.lit(1_000_000 // k)).cast("long")
+        diff = est - F.col("jac_ppm")
+        row = pairs.agg(
+            F.lit(int(k)).cast("long").alias("n_perms"),
+            F.count("*").cast("long").alias("n_pairs"),
+            ratio_round(
+                F.coalesce(F.sum(F.abs(diff)), F.lit(0)),
+                F.greatest(F.count("*"), F.lit(1)).cast("long"),
+                2,
+            ).alias("mean_abs_err_ppm"),
+            F.coalesce(F.max(F.abs(diff)), F.lit(0))
+            .cast("long")
+            .alias("max_abs_err_ppm"),
+            (
+                F.when(F.coalesce(F.sum(diff), F.lit(0)) < 0, F.lit(-1.0))
+                .otherwise(F.lit(1.0))
+                * ratio_round(
+                    F.abs(F.coalesce(F.sum(diff), F.lit(0))),
+                    F.greatest(F.count("*"), F.lit(1)).cast("long"),
+                    2,
+                )
+            ).alias("bias_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_perms")

@@ -13336,3 +13336,86 @@ SELECT n_rows, n_dup_event_ids, n_ts_regressions, n_adjacent_pairs,
        n_null_ids, n_null_ts, n_null_users
 FROM base, regs
 """
+
+from inde1_spark.operators.dedup import MINHASH_PERM_GRID  # noqa: E402
+
+_MPS_MATCH_COLS = ",\n         ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    + f" AS BIGINT) AS m_{k}"
+    for k in MINHASH_PERM_GRID
+)
+
+
+def _mps_row_sql(k: int) -> str:
+    est = f"(m_{k} * {1_000_000 // k})"
+    diff = f"({est} - jac_ppm)"
+    return f"""  SELECT CAST({k} AS BIGINT) AS n_perms,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         {_rr(f"COALESCE(SUM(abs{diff}), 0)", "GREATEST(COUNT(*), 1)", 2)}
+           AS mean_abs_err_ppm,
+         CAST(COALESCE(MAX(abs{diff}), 0) AS BIGINT) AS max_abs_err_ppm,
+         (CASE WHEN COALESCE(SUM{diff}, 0) < 0 THEN -1.0 ELSE 1.0 END)
+           * {_rr(f"abs(COALESCE(SUM{diff}, 0))", "GREATEST(COUNT(*), 1)", 2)}
+           AS bias_ppm
+  FROM mps_pairs"""
+
+
+# Twin of operators/dedup.py:minhash_perm_sweep — the est-audit pipeline
+# with per-prefix match counts, one pair table feeding bounded per-k rows.
+STAGED_ORACLES["minhash_perm_sweep"] = f"""
+WITH {_SHINGLES.strip()},
+shid AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+           % {MINHASH_PRIME} AS sid
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}" for pid, a, b in PERMS_FAST)}
+  FROM shid GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + "concat_ws(',', " + ", ".join(
+          f"CAST(mh_{b * (FAST_N_PERM // FAST_N_BANDS) + r} AS VARCHAR)"
+          for r in range(FAST_N_PERM // FAST_N_BANDS)
+      ) + ") AS sig FROM sigs"
+      for b in range(FAST_N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+matches AS (
+  SELECT c.doc_a, c.doc_b,
+         {_MPS_MATCH_COLS}
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+mps_pairs AS (
+  SELECT m.*,
+         ((COALESCE(i.n_inter, 0) * 2000000
+           + (sa.sz + sb.sz - COALESCE(i.n_inter, 0)))
+          // (2 * (sa.sz + sb.sz - COALESCE(i.n_inter, 0)))) AS jac_ppm
+  FROM matches m
+  LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+  JOIN sizes sa ON sa.doc_id = m.doc_a
+  JOIN sizes sb ON sb.doc_id = m.doc_b
+)
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{_mps_row_sql(k)}" for i, k in enumerate(MINHASH_PERM_GRID))}
+ORDER BY n_perms
+"""

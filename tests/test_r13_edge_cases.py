@@ -254,3 +254,73 @@ def test_event_order_integrity_plan(spark):
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# minhash_perm_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_perm_sweep_identical_docs_zero_error(spark):
+    from inde1_spark.operators.dedup import (
+        MINHASH_PERM_GRID,
+        minhash_perm_sweep,
+    )
+
+    # two identical docs (jac 1.0, every perm matches at every k) plus a
+    # disjoint doc that never bands with them
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, same, "en", "s", len(same)),
+            (2, same, "en", "s", len(same)),
+            (3, "totally unrelated vocabulary zebra yak xenon walrus vole",
+             "en", "s", 50),
+        ],
+        DOC_COLS,
+    )
+    out = {r["n_perms"]: r for r in minhash_perm_sweep(docs).collect()}
+    assert set(out) == set(MINHASH_PERM_GRID)
+    for k, r in out.items():
+        assert r["n_pairs"] == 1, k
+        assert r["mean_abs_err_ppm"] == 0.0 and r["max_abs_err_ppm"] == 0
+        assert r["bias_ppm"] == 0.0
+
+
+def test_minhash_perm_sweep_k32_consistent_with_est_audit(spark):
+    from inde1_spark.operators.dedup import (
+        minhash_est_jaccard,
+        minhash_perm_sweep,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " lambda mu", "en", "s", 60),
+            (2, base + " nu xi", "en", "s", 60),
+            (3, base + " omicron pi", "en", "s", 60),
+            (4, "different words entirely quebec romeo sierra tango uniform",
+             "en", "s", 60),
+        ],
+        DOC_COLS,
+    )
+    est = minhash_est_jaccard(docs).collect()
+    sweep = {r["n_perms"]: r for r in minhash_perm_sweep(docs).collect()}
+    r32 = sweep[32]
+    assert r32["n_pairs"] == len(est)
+    # the k=32 prefix IS the production signature: per-pair errors match
+    errs = [round(r["abs_err"] * 1e6) for r in est]
+    assert r32["max_abs_err_ppm"] == max(errs)
+    assert r32["mean_abs_err_ppm"] == _rhu(sum(errs) * 100, len(errs)) / 100
+
+
+def test_minhash_perm_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["minhash_perm_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "InMemoryTableScan" in r.raw  # one pair table feeds every k row
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string"}
