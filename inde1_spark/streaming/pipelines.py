@@ -722,3 +722,46 @@ def hll_distinct_stream(
             "n_events",
         )
     )
+
+
+ORPHAN_ALARM_WATERMARK = "10 minutes"
+
+
+def orphan_alarm_stream(
+    events: DataFrame,
+    customer: DataFrame,
+    watermark: str = ORPHAN_ALARM_WATERMARK,
+) -> DataFrame:
+    """Live referential-integrity alarms — the streaming face of
+    ``analytics.fk_integrity_audit``'s events→customer edge: the batch
+    audit counts the rows an enrichment join has ALREADY silently
+    dropped; the monitor alarms the first time an unknown or null user
+    key arrives (reference intent: the consumer's user lookup treats a
+    missing user as a miss that suppresses the alert path,
+    apps/srvc-alert/.../UserService.scala — this stream makes those
+    misses visible instead of silent).
+
+    Stateless detection: a stream-static LEFT ANTI join against the
+    broadcast-sized key projection of the dimension (null keys never
+    match an anti join, so they surface too, tagged 'null_key' vs
+    'orphan'). The only state is ``dropDuplicatesWithinWatermark`` on
+    the user key — one alarm per unknown key per watermark window, the
+    admission-stream suppression rule (all null keys share one alarm
+    slot, documented). At scale the dimension side is the same
+    broadcast the enrichment itself uses — the monitor adds no shuffle.
+    """
+    keys = customer.select(F.col("c_custkey").alias("user_id")).distinct()
+    alarms = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+        .join(keys, "user_id", "left_anti")
+        .select(
+            "user_id",
+            F.when(F.col("user_id").isNull(), F.lit("null_key"))
+            .otherwise(F.lit("orphan"))
+            .alias("kind"),
+            "ts",
+            "event_id",
+        )
+    )
+    return alarms.dropDuplicatesWithinWatermark(["user_id"])

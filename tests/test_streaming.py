@@ -884,3 +884,98 @@ def test_schema_drift_stream_matches_contract_replay(spark, tmp_path):
     kinds = [e[4] for e in expected]
     assert kinds == ["type_changed", "added", "type_changed", "added"]
     assert expected[-1] == ("m", "d", "string", None, "added")
+
+
+def test_orphan_alarm_stream_matches_batch_edge(spark, tmp_path):
+    """Unknown and null user keys alarm exactly once per watermark window
+    (duplicates suppressed even across micro-batch boundaries); known
+    keys never alarm; the alarm set matches fk_integrity_audit's
+    events->customer orphan facts on the same data."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import fk_integrity_audit
+    from inde1_spark.streaming.pipelines import orphan_alarm_stream
+
+    base = datetime(2024, 3, 1)
+    uids = [1, 1, 2, 9, 9, None]
+    rows = [
+        {
+            "event_id": i + 1,
+            "ts": (base + timedelta(minutes=i)).isoformat(),
+            "user_id": u,
+            "event_type": "m",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, u in enumerate(uids)
+    ]
+    data_dir = tmp_path / "orphan_data"
+    data_dir.mkdir()
+    # one event per file, increasing mtimes: the duplicate orphan (second
+    # user-9 event) and the null arrive in LATER micro-batches
+    for i, r in enumerate(rows):
+        p = data_dir / f"part-{i}.json"
+        p.write_text(json.dumps(r))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    customer = spark.createDataFrame(
+        [(k, "n", 0) for k in (1, 2, 3)],
+        ["c_custkey", "c_name", "c_nationkey"],
+    )
+    got: list = []
+    q = (
+        orphan_alarm_stream(stream, customer)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    alarms = sorted(
+        ((r["user_id"], r["kind"], r["event_id"]) for r in got),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    # user 9 alarms once (first occurrence, event 4); the null key once
+    assert alarms == [(9, "orphan", 4), (None, "null_key", 6)]
+
+    # batch agreement: the audit counts 2 orphan ROWS for the same edge
+    events = spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                base + timedelta(minutes=r["event_id"] - 1),
+                r["user_id"],
+                "m",
+                1.0,
+                "{}",
+            )
+            for r in rows
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    docs = spark.createDataFrame(
+        [(0, "t", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    emb = spark.createDataFrame([(0, [0.0], 0)], ["vec_id", "embedding", "label"])
+    orders = spark.createDataFrame([(10, 1)], ["o_orderkey", "o_custkey"])
+    lineitem = spark.createDataFrame([(10, 5)], ["l_orderkey", "l_partkey"])
+    part = spark.createDataFrame([(5, "x")], ["p_partkey", "p_name"])
+    edge = {
+        r["edge_name"]: r
+        for r in fk_integrity_audit(
+            events, customer, orders, lineitem, part, docs, emb
+        ).collect()
+    }["events_customer"]
+    # 2 orphan rows (both user-9 events), 1 null key; the stream's
+    # distinct-key alarms are the deduped view of the same facts
+    assert edge["n_orphan_rows"] == 2 and edge["n_null_keys"] == 1
