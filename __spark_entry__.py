@@ -921,6 +921,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_perm_sweep": lambda sp, d: D.minhash_perm_sweep(
             _t(sp, d, "documents")
         ),
+        "curation_order_audit": lambda sp, d: C.curation_order_audit(
+            _t(sp, d, "documents")
+        ),
+        "text_normalization_audit": lambda sp, d: TX.text_normalization_audit(
+            _t(sp, d, "documents")
+        ),
     }
 
 

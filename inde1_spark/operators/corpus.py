@@ -2051,3 +2051,68 @@ def quality_dedup_interaction(documents: DataFrame) -> DataFrame:
             ),
         ).alias("lift_x100"),
     ).orderBy("bin")
+
+
+def curation_order_audit(documents: DataFrame) -> DataFrame:
+    """Pipeline-ORDER interaction audit: dedup-then-filter vs
+    filter-then-dedup over the engine's own gates (``dedup_exact``'s
+    keep-lowest-doc-id rule, the funnel's quality cut) — the one-row
+    answer to a real pipeline-design question ``dedup_pipeline_funnel``
+    (which measures ONE fixed order) cannot ask: when the canonical
+    copy of a duplicate group fails the quality gate, dedup-first
+    throws the whole group away, while filter-first keeps the best
+    SURVIVING copy. The rescued doc/token mass is exactly the cost of
+    running dedup before filtering; the kept sets nest (dedup-first ⊆
+    filter-first), so 'rescued' is the complete difference.
+
+    One text-hash window pass computes both keepers (min doc_id over
+    the group, and min over the quality-passing members — a null when
+    the group has none, which correctly keeps nothing); one global
+    aggregate folds both paths. Percents exact round-half-up.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+    from inde1_spark.operators.dedup import FUNNEL_QUALITY_MIN
+    from inde1_spark.operators.text import quality_parts
+
+    n_tokens, quality, _ = quality_parts()
+    w = Window.partitionBy(F.md5("text"))
+    q = quality >= F.lit(FUNNEL_QUALITY_MIN)
+    flags = documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        q.alias("q"),
+        F.min("doc_id").over(w).alias("keeper_all"),
+        F.min(F.when(q, F.col("doc_id"))).over(w).alias("keeper_q"),
+    )
+    dedup_first = F.col("q") & (F.col("doc_id") == F.col("keeper_all"))
+    filter_first = F.col("q") & (F.col("doc_id") == F.col("keeper_q"))
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(dedup_first, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dedup_first_kept"),
+        F.sum(F.when(filter_first, 1).otherwise(0))
+        .cast("long")
+        .alias("n_filter_first_kept"),
+        F.coalesce(F.sum(F.when(dedup_first, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_dedup_first"),
+        F.coalesce(F.sum(F.when(filter_first, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_filter_first"),
+    )
+    return agg.select(
+        "n_total",
+        "n_dedup_first_kept",
+        "n_filter_first_kept",
+        (F.col("n_filter_first_kept") - F.col("n_dedup_first_kept"))
+        .cast("long")
+        .alias("n_rescued"),
+        "tokens_dedup_first",
+        "tokens_filter_first",
+        ratio_round(
+            (F.col("tokens_filter_first") - F.col("tokens_dedup_first")) * 100,
+            F.greatest(F.col("tokens_filter_first"), F.lit(1).cast("long")),
+            2,
+        ).alias("rescued_token_pct"),
+    )

@@ -1712,3 +1712,49 @@ def langid_calibration_audit(documents: DataFrame) -> DataFrame:
             2,
         ).alias("gap_pct"),
     ).orderBy("bin")
+
+
+def text_normalization_audit(documents: DataFrame) -> DataFrame:
+    """Pre-tokenization hygiene audit per source — the normalization
+    debt a corpus carries into every downstream stage (tokenizers see
+    '  ' as an empty token boundary, dedup hashes treat trailing
+    whitespace as distinct content, all-caps text skews quality
+    heuristics): per source, the documents with leading/trailing
+    whitespace, internal double spaces, effectively-empty text,
+    non-ASCII bytes, and all-caps letter content — each as a count and
+    an exact round-half-up percent. The table that says whether a
+    normalization pass must ship BEFORE fingerprints are pinned
+    (normalizing afterwards invalidates every standing hash/index).
+
+    One row-local projection of boolean predicates (no regex beyond an
+    anchored ASCII class — engine-identical), one map-side-combinable
+    per-source aggregate.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    t = F.col("text")
+    has_letter = t.rlike("[A-Za-z]")
+    preds = {
+        "n_leading_ws": F.substring(t, 1, 1) == " ",
+        "n_trailing_ws": F.substring(t, -1, 1) == " ",
+        "n_double_space": F.instr(t, "  ") > 0,
+        "n_empty": F.length(F.trim(t)) == 0,
+        "n_non_ascii": t.rlike("[^\\x20-\\x7e]"),
+        "n_all_caps": has_letter & (F.upper(t) == t),
+    }
+    agg = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(name)
+            for name, p in preds.items()
+        ],
+    )
+    gnd = F.greatest(F.col("n_docs"), F.lit(1).cast("long"))
+    return agg.select(
+        "source",
+        "n_docs",
+        *[c for c in preds],
+        ratio_round(
+            sum(F.col(c) for c in preds) * 100, gnd * len(preds), 2
+        ).alias("debt_index_pct"),
+    ).orderBy("source")

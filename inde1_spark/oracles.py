@@ -13419,3 +13419,71 @@ mps_pairs AS (
 {chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{_mps_row_sql(k)}" for i, k in enumerate(MINHASH_PERM_GRID))}
 ORDER BY n_perms
 """
+
+from inde1_spark.operators.dedup import FUNNEL_QUALITY_MIN as _COA_QMIN  # noqa: E402
+
+# Twin of operators/corpus.py:curation_order_audit — both keepers from one
+# md5-partition window, one global fold; quality is the funnel's exact
+# 4-decimal cut.
+STAGED_ORACLES["curation_order_audit"] = f"""
+WITH {_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+q AS (
+  SELECT doc_id, n_tokens,
+         ({_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)}
+          >= {_COA_QMIN}) AS q
+  FROM qm
+),
+f AS (
+  SELECT d.doc_id, q.n_tokens, q.q,
+         MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper_all,
+         MIN(CASE WHEN q.q THEN d.doc_id END)
+           OVER (PARTITION BY md5(d.text)) AS keeper_q
+  FROM documents d JOIN q USING (doc_id)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN q AND doc_id = keeper_all THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dedup_first_kept,
+         CAST(SUM(CASE WHEN q AND doc_id = keeper_q THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_filter_first_kept,
+         CAST(COALESCE(SUM(CASE WHEN q AND doc_id = keeper_all
+                                THEN n_tokens END), 0) AS BIGINT)
+           AS tokens_dedup_first,
+         CAST(COALESCE(SUM(CASE WHEN q AND doc_id = keeper_q
+                                THEN n_tokens END), 0) AS BIGINT)
+           AS tokens_filter_first
+  FROM f
+)
+SELECT n_total, n_dedup_first_kept, n_filter_first_kept,
+       CAST(n_filter_first_kept - n_dedup_first_kept AS BIGINT) AS n_rescued,
+       tokens_dedup_first, tokens_filter_first,
+       {_rr("(tokens_filter_first - tokens_dedup_first) * 100",
+            "GREATEST(tokens_filter_first, 1)", 2)} AS rescued_token_pct
+FROM agg
+"""
+
+_TNA_PREDS = (
+    ("n_leading_ws", "substr(text, 1, 1) = ' '"),
+    ("n_trailing_ws", "right(text, 1) = ' '"),
+    ("n_double_space", "instr(text, '  ') > 0"),
+    ("n_empty", "length(trim(text)) = 0"),
+    ("n_non_ascii", "regexp_matches(text, '[^\\x20-\\x7e]')"),
+    (
+        "n_all_caps",
+        "regexp_matches(text, '[A-Za-z]') AND upper(text) = text",
+    ),
+)
+
+# Twin of operators/text.py:text_normalization_audit — row-local boolean
+# predicates, one per-source aggregate.
+STAGED_ORACLES["text_normalization_audit"] = f"""
+WITH agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {", ".join(f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS {n}" for n, p in _TNA_PREDS)}
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, {", ".join(n for n, _ in _TNA_PREDS)},
+       {_rr("(" + " + ".join(n for n, _ in _TNA_PREDS) + ") * 100",
+            f"GREATEST(n_docs, 1) * {len(_TNA_PREDS)}", 2)} AS debt_index_pct
+FROM agg ORDER BY source
+"""

@@ -324,3 +324,125 @@ def test_minhash_perm_sweep_plan(spark):
     assert "InMemoryTableScan" in r.raw  # one pair table feeds every k row
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"doc_id:bigint,text:string"}
+
+
+# ---------------------------------------------------------------------------
+# curation_order_audit
+# ---------------------------------------------------------------------------
+
+
+def test_curation_order_rescue_exact(spark):
+    from inde1_spark.operators.corpus import curation_order_audit
+
+    # group A: canonical copy (doc 1) FAILS quality (short, n_chars 10),
+    # doc 2 is an identical-text... no — identical text has identical
+    # quality; the rescue case needs same-text groups where copies differ
+    # in n_chars (metadata drift: same text, different recorded length).
+    # quality = (min(n_chars,500)*n + 500*n)/(1000n) for stopword-free text.
+    # 4 tokens, n_chars 10 -> (40 + 2000)/4000 = 0.51 >= 0.5 passes...
+    # use n_chars 0 -> 0.5 passes too (>=). Use stopwords to sink quality:
+    # 'the of a to' -> n_stop = 4 = n -> quality = (chars*4 + 0)/4000.
+    rows = [
+        # group A (text with all stopwords): doc 1 n_chars 100 ->
+        # (400+0)/4000 = 0.1 FAIL; doc 2 SAME text, n_chars 2000 ->
+        # (500*4)/4000 = 0.5 PASS. dedup-first keeps doc 1 -> fails ->
+        # group lost; filter-first keeps doc 2 -> rescued.
+        (1, "the of a to", "en", "s", 100),
+        (2, "the of a to", "en", "s", 2000),
+        # group B: both pass; keeper 3 kept on both paths
+        (3, "alpha beta gamma delta", "en", "s", 500),
+        (4, "alpha beta gamma delta", "en", "s", 500),
+        # unique doc failing quality: kept by neither
+        (5, "the the the the", "en", "s", 10),
+    ]
+    out = curation_order_audit(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_total"] == 5
+    assert r["n_dedup_first_kept"] == 1       # only doc 3
+    assert r["n_filter_first_kept"] == 2      # docs 3 and 2
+    assert r["n_rescued"] == 1
+    assert r["tokens_dedup_first"] == 4
+    assert r["tokens_filter_first"] == 8
+    assert r["rescued_token_pct"] == 50.0
+
+
+def test_curation_order_no_dups_paths_equal(spark):
+    from inde1_spark.operators.corpus import curation_order_audit
+
+    rows = [
+        (1, "unique alpha beta gamma", "en", "s", 500),
+        (2, "unique delta epsilon zeta", "en", "s", 500),
+    ]
+    r = curation_order_audit(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()[0]
+    assert r["n_dedup_first_kept"] == r["n_filter_first_kept"] == 2
+    assert r["n_rescued"] == 0 and r["rescued_token_pct"] == 0.0
+
+
+def test_curation_order_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["curation_order_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas <= {
+        "doc_id:bigint,text:string,n_chars:bigint",
+        "doc_id:bigint,text:string",
+    }
+
+
+# ---------------------------------------------------------------------------
+# text_normalization_audit
+# ---------------------------------------------------------------------------
+
+
+def test_text_normalization_predicates_exact(spark):
+    from inde1_spark.operators.text import text_normalization_audit
+
+    rows = [
+        (1, " leading space", "en", "a", 14),        # leading
+        (2, "trailing space ", "en", "a", 15),       # trailing
+        (3, "double  space", "en", "a", 13),         # double space
+        (4, "   ", "en", "a", 3),                    # empty + leading + trailing
+        (5, "café au lait", "en", "a", 12),     # non-ascii
+        (6, "ALL CAPS TEXT", "en", "a", 13),         # all caps
+        (7, "a perfectly normal line", "en", "b", 23),
+    ]
+    out = {
+        r["source"]: r
+        for r in text_normalization_audit(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    a = out["a"]
+    assert a["n_docs"] == 6
+    assert a["n_leading_ws"] == 2      # docs 1, 4
+    assert a["n_trailing_ws"] == 2     # docs 2, 4
+    assert a["n_double_space"] == 2    # docs 3, 4 ('   ' contains '  ')
+    assert a["n_empty"] == 1           # doc 4
+    assert a["n_non_ascii"] == 1       # doc 5
+    assert a["n_all_caps"] == 1        # doc 6
+    assert a["debt_index_pct"] == _rhu((2 + 2 + 2 + 1 + 1 + 1) * 100 * 100, 6 * 6) / 100
+    b = out["b"]
+    assert b["n_docs"] == 1 and b["debt_index_pct"] == 0.0
+    assert all(b[k] == 0 for k in (
+        "n_leading_ws", "n_trailing_ws", "n_double_space", "n_empty",
+        "n_non_ascii", "n_all_caps",
+    ))
+
+
+def test_text_normalization_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["text_normalization_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string,source:string"}
