@@ -857,6 +857,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inde1_spark.operators import corpus as C  # noqa: F401
     from inde1_spark.operators import dedup as D  # noqa: F401
     from inde1_spark.operators import scoring as SC  # noqa: F401
+    from inde1_spark.operators import similarity as S  # noqa: F401
     from inde1_spark.operators import text as TX  # noqa: F401
 
     return {
@@ -926,6 +927,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_normalization_audit": lambda sp, d: TX.text_normalization_audit(
             _t(sp, d, "documents")
+        ),
+        "pq_distortion_sweep": lambda sp, d: S.pq_distortion_sweep(
+            _t(sp, d, "embeddings")
         ),
     }
 

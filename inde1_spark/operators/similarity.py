@@ -2167,3 +2167,111 @@ def ivf_nprobe_sweep(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("n_probe")
+
+
+# subspace-count grid the PQ distortion sweep prices (production is 4)
+PQ_M_GRID = (2, 4, 8)
+
+
+def pq_distortion_sweep(
+    embeddings: DataFrame,
+    grid: tuple[int, ...] = PQ_M_GRID,
+    k_cent: int = PQ_K,
+) -> DataFrame:
+    """Subspace-count tuning sweep for product quantization — the
+    memory/accuracy knee for ``knn_pq``'s ``m_sub`` knob: for each
+    candidate subspace count, the per-vector QUANTIZATION DISTORTION
+    (squared L2 between a vector and its codebook reconstruction,
+    summed over subspaces) aggregated to mean/max, next to the bits the
+    code costs. More subspaces always reduce distortion (finer
+    factorization) and cost linearly more bits — this curve is where
+    the ADC estimate's noise floor comes from, priced BEFORE a corpus
+    commits to a compressed layout. ADC-level recall of the deployed
+    config stays ``ann_paths_recall``'s domain; this sweep isolates the
+    geometry term.
+
+    Same deterministic lowest-vec_id codebook as ``knn_pq`` (computed
+    once, broadcast; subspace slicing varies per grid value). Encoding
+    distortion is a ROW-LOCAL min-fold per subspace — zero shuffle at
+    any corpus size; the only aggregation is the one-row rollup per
+    grid value, summed in DECIMAL(38,0) (pico units pass 2^63 long
+    before a corpus is large). Distance terms snap to pico longs (the
+    kmeans rule), so every number hash-checks.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    seeds = (
+        embeddings.orderBy(F.col("vec_id").asc())
+        .limit(k_cent)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+        )
+    )
+    cb = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("seed_id", "cvec"))).alias("cb")
+    )
+
+    def d2(a, b):
+        terms = F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(PQ_DIST_SCALE)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+        )
+
+    out = None
+    for m in grid:
+        sub_dim = EMB_DIM // m
+
+        def sub(vec, mm, _sd=sub_dim):
+            return F.slice(vec, mm * _sd + 1, _sd)
+
+        # per-vector distortion: sum over subspaces of the min distance
+        # to any codebook centroid in that subspace (all row-local)
+        distortion = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mm: F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(k_cent)),
+                        lambda c: d2(
+                            sub(F.col("embedding"), mm),
+                            sub(F.element_at(F.col("cb"), c)["cvec"], mm),
+                        ),
+                    )
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        per_vec = embeddings.join(F.broadcast(cb)).select(
+            distortion.alias("dist")
+        )
+        row = per_vec.agg(
+            F.lit(int(m)).cast("long").alias("m_sub"),
+            F.lit(int(m * 3)).cast("long").alias("bits_per_vec"),
+            F.count("*").cast("long").alias("n_vectors"),
+            dec_ratio_round(
+                F.coalesce(
+                    F.sum(F.col("dist").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
+                F.greatest(F.count("*"), F.lit(1)).cast("long"),
+                0,
+            ).alias("mean_distortion_pico"),
+            F.coalesce(F.max("dist"), F.lit(0))
+            .cast("long")
+            .alias("max_distortion_pico"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m_sub")

@@ -13487,3 +13487,51 @@ SELECT source, n_docs, {", ".join(n for n, _ in _TNA_PREDS)},
             f"GREATEST(n_docs, 1) * {len(_TNA_PREDS)}", 2)} AS debt_index_pct
 FROM agg ORDER BY source
 """
+
+from inde1_spark.operators.similarity import PQ_M_GRID  # noqa: E402
+
+
+def _pds_m_sql(m: int) -> tuple[str, str]:
+    sd = EMB_DIM // m
+    cte = f"""vd_{m} AS (
+  SELECT e.vec_id, mm.m, s.c,
+         SUM(CAST(floor((CAST(e.embedding[mm.m * {sd} + u.j] AS DOUBLE)
+                         - s.cvec[mm.m * {sd} + u.j])
+                        * (CAST(e.embedding[mm.m * {sd} + u.j] AS DOUBLE)
+                           - s.cvec[mm.m * {sd} + u.j])
+                        * 1e12 + 0.5) AS BIGINT)) AS d
+  FROM embeddings e,
+       (SELECT i - 1 AS m FROM UNNEST(generate_series(1, {m})) AS t(i)) mm,
+       pds_seeds s,
+       UNNEST(generate_series(1, {sd})) AS u(j)
+  GROUP BY 1, 2, 3
+),
+dist_{m} AS (
+  SELECT vec_id, CAST(SUM(mind) AS BIGINT) AS dist
+  FROM (SELECT vec_id, m, MIN(d) AS mind FROM vd_{m} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+    body = f"""  SELECT CAST({m} AS BIGINT) AS m_sub,
+         CAST({m * 3} AS BIGINT) AS bits_per_vec,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         {_rrh("COALESCE(SUM(CAST(dist AS HUGEINT)), 0)",
+               "GREATEST(COUNT(*), 1)", 0)} AS mean_distortion_pico,
+         CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_distortion_pico
+  FROM dist_{m}"""
+    return cte, body
+
+
+_PDS_CTES, _PDS_BODIES = zip(*[_pds_m_sql(m) for m in PQ_M_GRID])
+
+# Twin of operators/similarity.py:pq_distortion_sweep — the knn_pq
+# codebook/pico-distance spelling, per-vector min distortion per m.
+STAGED_ORACLES["pq_distortion_sweep"] = f"""
+WITH pds_seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+{",".join(_PDS_CTES)}
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_PDS_BODIES))}
+ORDER BY m_sub
+"""

@@ -446,3 +446,74 @@ def test_text_normalization_plan(spark):
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"text:string,source:string"}
+
+
+# ---------------------------------------------------------------------------
+# pq_distortion_sweep
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+def test_pq_distortion_codebook_vectors_zero(spark):
+    from inde1_spark.operators.similarity import (
+        PQ_M_GRID,
+        pq_distortion_sweep,
+    )
+
+    # corpus == the 8 seed vectors: every vector IS a codebook entry in
+    # every subspace, so distortion is exactly 0 at every m
+    vecs = [[float(i + 1)] * 64 for i in range(8)]
+    out = {r["m_sub"]: r for r in pq_distortion_sweep(_emb(spark, vecs)).collect()}
+    assert set(out) == set(PQ_M_GRID)
+    for m, r in out.items():
+        assert r["n_vectors"] == 8
+        assert r["mean_distortion_pico"] == 0.0
+        assert r["max_distortion_pico"] == 0, m
+        assert r["bits_per_vec"] == 3 * m
+
+
+def test_pq_distortion_monotone_in_m_and_exact_value(spark):
+    from inde1_spark.operators.similarity import pq_distortion_sweep
+
+    # 8 seeds (constant vectors 1..8) + one probe whose halves disagree:
+    # first 32 dims ~ 2, last 32 dims ~ 7. With m=2 each half snaps to
+    # its own centroid (distortion from the 0.25 offsets only); with
+    # m=1... grid starts at 2 — pin m=2 vs m=4/8 monotonicity and the
+    # exact pico value of the probe's distortion at m=2.
+    vecs = [[float(i + 1)] * 64 for i in range(8)]
+    probe = [2.25] * 32 + [6.75] * 32
+    out = {
+        r["m_sub"]: r
+        for r in pq_distortion_sweep(_emb(spark, vecs + [probe])).collect()
+    }
+    # probe at m=2: halves quantize to centroids 2 and 7 -> per-dim
+    # (0.25)^2 = 0.0625 -> 625e8 pico per dim, 32 dims per subspace
+    per_dim = int(0.0625 * 1e12 + 0.5)
+    assert out[2]["max_distortion_pico"] == per_dim * 64
+    # larger m can only refine the factorization: max distortion never grows
+    ms = sorted(out)
+    maxes = [out[m]["max_distortion_pico"] for m in ms]
+    assert maxes == sorted(maxes, reverse=True) or len(set(maxes)) == 1
+
+
+def test_pq_distortion_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["pq_distortion_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # the plan_report regex stops at the first '>', so array<float> captures
+    # truncated (the r10 convention); seeds read (vec_id, embedding), the
+    # per-vector distortion scan prunes to embedding alone
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert all(
+        set(x.split(",")) <= {"vec_id:bigint", "embedding:array<float", ""}
+        for x in schemas
+    ), schemas
