@@ -931,6 +931,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_distortion_sweep": lambda sp, d: S.pq_distortion_sweep(
             _t(sp, d, "embeddings")
         ),
+        "lm_order_sweep": lambda sp, d: SC.lm_order_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

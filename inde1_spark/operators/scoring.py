@@ -1652,3 +1652,135 @@ def bm25_parameter_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k1", "b")
+
+
+LM_SWEEP_TRAIN_PCT = 80  # md5 doc lane: the train_test_split convention
+
+
+def lm_order_sweep(documents: DataFrame) -> DataFrame:
+    """Language-model ORDER selection on held-out data — does the
+    perplexity filter need a bigram model, or is unigram enough? The
+    per-document scorers (``unigram_logprob``, ``bigram_logprob``)
+    score against the corpus ITSELF (in-sample, MLE); this sweep does
+    the honest evaluation: train add-1-smoothed models of order 1 and 2
+    on the md5 80% doc lane and score the HELD-OUT 20%, reporting the
+    average held-out log-probability per gram and the OOV share per
+    order. Higher-order models win on held-out data only when the
+    corpus has enough transitions to estimate them — this table is that
+    decision for ``perplexity_filter_sweep``'s scorer.
+
+    One tokenize pass (persisted — four consumers), one (split, gram)
+    count shuffle per order, key-equi joins of held grams against train
+    counts, bounded rollups. Add-1: P(t) = (c+1)/(N+V) and
+    P(w2|w1) = (c_ab+1)/(c_a+V), V the train unigram vocabulary — OOV
+    grams get the uniform floor instead of -inf. ln snaps to nano longs
+    immediately (the ``_log_scaled`` contract); sums accumulate in
+    DECIMAL(38,0) (nano-scaled logprobs pass 2^63 at corpus scale);
+    the averages divide back to doubles once, mirrored operation-for-
+    operation in the twin.
+    """
+    from inde1_spark.functions.exprs import (
+        dec_ratio_round,
+        ratio_round,
+        word_ngrams,
+    )
+    from inde1_spark.operators.dedup import _persist
+    from inde1_spark.operators.text import hash_bucket
+
+    d38 = "decimal(38,0)"
+    is_train = hash_bucket(F.col("doc_id"), 100) < LM_SWEEP_TRAIN_PCT
+    base = _persist(
+        documents.select(is_train.alias("tr"), tokens("text").alias("toks"))
+    )
+    uni = (
+        base.select("tr", F.explode("toks").alias("g"))
+        .groupBy("tr", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        base.select("tr", F.explode(word_ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("tr", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tr_uni = uni.filter(F.col("tr")).select("g", F.col("c").alias("c_tr"))
+    stats = tr_uni.agg(
+        F.coalesce(F.sum("c_tr"), F.lit(0)).cast("long").alias("n_train"),
+        F.count("*").cast("long").alias("v"),
+    )
+    tr_bi = bi.filter(F.col("tr")).select("g", F.col("c").alias("c_tr"))
+    ctx = (
+        tr_bi.select(F.substring_index("g", " ", 1).alias("w1"), "c_tr")
+        .groupBy("w1")
+        .agg(F.sum("c_tr").cast("long").alias("c_a"))
+    )
+    n_train_bi = tr_bi.agg(
+        F.coalesce(F.sum("c_tr"), F.lit(0)).cast("long").alias("n_train")
+    )
+
+    def rollup(held, lp, n_train_col):
+        susp = F.col("hf").cast(d38) * F.col("lp").cast(d38)
+        agg = held.select(
+            F.col("c").alias("hf"),
+            lp.alias("lp"),
+            F.col("c_tr").isNull().alias("oov"),
+        ).agg(
+            F.coalesce(F.sum("hf"), F.lit(0)).cast("long").alias("n_held"),
+            F.coalesce(
+                F.sum(F.when(F.col("oov"), F.col("hf")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_oov"),
+            F.coalesce(
+                F.sum(susp), F.lit(0).cast(d38)
+            ).alias("lp_sum"),  # negative: ln of probs < 1
+        )
+        return agg.join(F.broadcast(n_train_col)).select(
+            F.col("n_train").alias("n_train_grams"),
+            F.col("n_held").alias("n_held_grams"),
+            ratio_round(
+                F.col("n_oov") * 100,
+                F.greatest(F.col("n_held"), F.lit(1).cast("long")),
+                2,
+            ).alias("oov_pct"),
+            (
+                dec_ratio_round(
+                    (F.lit(0).cast(d38) - F.col("lp_sum")).cast(d38),
+                    F.greatest(F.col("n_held"), F.lit(1)).cast("long"),
+                    0,
+                )
+                * F.lit(-1.0)
+                / F.lit(1e9)
+            ).alias("avg_logprob"),
+        )
+
+    g_uni = F.greatest(F.col("n_train") + F.col("v"), F.lit(1).cast("long"))
+    held_uni = (
+        uni.filter(~F.col("tr"))
+        .join(tr_uni, "g", "left")
+        .join(F.broadcast(stats))
+    )
+    lp1 = _log_scaled(
+        (F.coalesce(F.col("c_tr"), F.lit(0)) + 1).cast("double")
+        / g_uni.cast("double")
+    )
+    row1 = rollup(held_uni, lp1, stats.select("n_train")).select(
+        F.lit(1).cast("long").alias("order"), "*"
+    )
+    g_bi = F.greatest(
+        F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v"),
+        F.lit(1).cast("long"),
+    )
+    held_bi = (
+        bi.filter(~F.col("tr"))
+        .join(tr_bi, "g", "left")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(ctx, "w1", "left")
+        .join(F.broadcast(stats.select("v")))
+    )
+    lp2 = _log_scaled(
+        (F.coalesce(F.col("c_tr"), F.lit(0)) + 1).cast("double")
+        / g_bi.cast("double")
+    )
+    row2 = rollup(held_bi, lp2, n_train_bi).select(
+        F.lit(2).cast("long").alias("order"), "*"
+    )
+    return row1.unionByName(row2).orderBy("order")

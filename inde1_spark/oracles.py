@@ -13535,3 +13535,77 @@ WITH pds_seeds AS (
 {chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{b}" for i, b in enumerate(_PDS_BODIES))}
 ORDER BY m_sub
 """
+
+from inde1_spark.operators.scoring import LM_SWEEP_TRAIN_PCT  # noqa: E402
+
+
+def _lms_rollup_sql(order: int, held: str, n_train: str) -> str:
+    return f"""  SELECT CAST({order} AS BIGINT) AS "order",
+         ({n_train}) AS n_train_grams,
+         CAST(COALESCE(SUM(hf), 0) AS BIGINT) AS n_held_grams,
+         {_rr("COALESCE(SUM(CASE WHEN oov THEN hf ELSE 0 END), 0)" + " * 100",
+              "GREATEST(COALESCE(SUM(hf), 0), 1)", 2)} AS oov_pct,
+         ({_rrh("0 - COALESCE(SUM(CAST(hf AS HUGEINT) * lp), 0)",
+                "GREATEST(COALESCE(SUM(hf), 0), 1)", 0)})
+           * -1.0 / 1e9 AS avg_logprob
+  FROM {held}"""
+
+
+# Twin of operators/scoring.py:lm_order_sweep — one token pass, per-order
+# (split, gram) counts, add-1 smoothing with the train unigram vocabulary,
+# ln snapped to nano longs, HUGEINT accumulation.
+STAGED_ORACLES["lm_order_sweep"] = f"""
+WITH base AS (
+  SELECT ({_hash_bucket_sql('doc_id', 100)} < {LM_SWEEP_TRAIN_PCT}) AS tr,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT tr, g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT tr, UNNEST(toks) AS g FROM base) GROUP BY 1, 2
+),
+bi AS (
+  SELECT tr, g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT tr, toks[i] || ' ' || toks[i + 1] AS g
+        FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+tr_uni AS (SELECT g, c AS c_tr FROM uni WHERE tr),
+stats AS (
+  SELECT CAST(COALESCE(SUM(c_tr), 0) AS BIGINT) AS n_train,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM tr_uni
+),
+tr_bi AS (SELECT g, c AS c_tr FROM bi WHERE tr),
+ctx AS (
+  SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c_tr) AS BIGINT) AS c_a
+  FROM tr_bi GROUP BY 1
+),
+n_train_bi AS (
+  SELECT CAST(COALESCE(SUM(c_tr), 0) AS BIGINT) AS n_train FROM tr_bi
+),
+held_uni AS (
+  SELECT u.c AS hf, (t.c_tr IS NULL) AS oov,
+         CAST(round(ln(CAST(COALESCE(t.c_tr, 0) + 1 AS DOUBLE)
+                       / CAST(GREATEST(s.n_train + s.v, 1) AS DOUBLE))
+                    * {LOG_SCALE}.0, 0) AS BIGINT) AS lp
+  FROM uni u LEFT JOIN tr_uni t USING (g), stats s
+  WHERE NOT u.tr
+),
+held_bi AS (
+  SELECT b.c AS hf, (t.c_tr IS NULL) AS oov,
+         CAST(round(ln(CAST(COALESCE(t.c_tr, 0) + 1 AS DOUBLE)
+                       / CAST(GREATEST(COALESCE(x.c_a, 0) + s.v, 1)
+                              AS DOUBLE))
+                    * {LOG_SCALE}.0, 0) AS BIGINT) AS lp
+  FROM bi b
+  LEFT JOIN tr_bi t USING (g)
+  LEFT JOIN ctx x ON x.w1 = split_part(b.g, ' ', 1), stats s
+  WHERE NOT b.tr
+)
+{_lms_rollup_sql(1, "held_uni", "(SELECT n_train FROM stats)")}
+UNION ALL
+{_lms_rollup_sql(2, "held_bi", "(SELECT n_train FROM n_train_bi)")}
+ORDER BY "order"
+"""

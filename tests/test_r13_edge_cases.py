@@ -517,3 +517,113 @@ def test_pq_distortion_plan(spark):
         set(x.split(",")) <= {"vec_id:bigint", "embedding:array<float", ""}
         for x in schemas
     ), schemas
+
+
+# ---------------------------------------------------------------------------
+# lm_order_sweep
+# ---------------------------------------------------------------------------
+
+
+def _py_hash_bucket100(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+
+
+def _py_lm_sweep(docs):
+    """Pure-python mirror of scoring.lm_order_sweep (docs: id -> text)."""
+    import math
+    from collections import Counter
+
+    def rhu_signed_nano(x: float) -> int:
+        # Spark F.round(_, 0) / DuckDB round(): half away from zero
+        return int(math.floor(abs(x) * 1e9 + 0.5)) * (1 if x >= 0 else -1)
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in docs.items()}
+    tr_ids = {i for i in docs if _py_hash_bucket100(i) < 80}
+    uni_tr = Counter(t for i in tr_ids for t in toks[i])
+    uni_he = Counter(t for i in docs if i not in tr_ids for t in toks[i])
+    n_train, v = sum(uni_tr.values()), len(uni_tr)
+
+    def bigrams(ts):
+        return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    bi_tr = Counter(g for i in tr_ids for g in bigrams(toks[i]))
+    bi_he = Counter(
+        g for i in docs if i not in tr_ids for g in bigrams(toks[i])
+    )
+    ctx = Counter()
+    for g, c in bi_tr.items():
+        ctx[g.split(" ")[0]] += c
+    rows = {}
+    for order, he, tr_c, nt in (
+        (1, uni_he, uni_tr, n_train),
+        (2, bi_he, bi_tr, sum(bi_tr.values())),
+    ):
+        n_held = sum(he.values())
+        n_oov = sum(c for g, c in he.items() if g not in tr_c)
+        lp_sum = 0
+        for g, c in he.items():
+            den = (
+                max(n_train + v, 1)
+                if order == 1
+                else max(ctx.get(g.split(" ")[0], 0) + v, 1)
+            )
+            lp_sum += c * rhu_signed_nano(math.log((tr_c.get(g, 0) + 1) / den))
+        avg = (_rhu(-lp_sum, max(n_held, 1)) * -1.0) / 1e9 if lp_sum <= 0 else None
+        rows[order] = {
+            "n_train_grams": nt,
+            "n_held_grams": n_held,
+            "oov_pct": _rhu(n_oov * 100 * 100, max(n_held, 1)) / 100,
+            "avg_logprob": avg,
+        }
+    return rows
+
+
+def test_lm_order_sweep_matches_python_mirror(spark):
+    from inde1_spark.operators.scoring import lm_order_sweep
+
+    # ids chosen so both lanes are populated (md5 lane membership is
+    # data-independent — the mirror recomputes it; ids 8/16/19 sit in
+    # the >= 80 held lane, the rest train)
+    docs = {
+        i: txt
+        for i, txt in zip(
+            (0, 1, 2, 3, 8, 16, 19, 4),
+            [
+                "the cat sat on the mat",
+                "the dog sat on the rug",
+                "a cat and a dog",
+                "the cat ran to the dog",
+                "completely novel held words maybe",
+                "the mat and the rug",
+                "dog and cat and mat",
+                "on the mat sat a cat",
+            ],
+        )
+    }
+    tr = {i for i in docs if _py_hash_bucket100(i) < 80}
+    assert 0 < len(tr) < len(docs)  # fixture exercises both lanes
+    rows = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()], DOC_COLS
+    )
+    out = {r["order"]: r for r in lm_order_sweep(rows).collect()}
+    want = _py_lm_sweep(docs)
+    for order in (1, 2):
+        got, exp = out[order], want[order]
+        for k in ("n_train_grams", "n_held_grams", "oov_pct", "avg_logprob"):
+            assert got[k] == exp[k], (order, k, got[k], exp[k])
+    # sanity: smoothed logprobs are strictly negative and the orders
+    # genuinely differ (the sweep's decision signal is non-degenerate)
+    assert out[1]["avg_logprob"] < 0 and out[2]["avg_logprob"] < 0
+    assert out[1]["avg_logprob"] != out[2]["avg_logprob"]
+
+
+def test_lm_order_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["lm_order_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "InMemoryTableScan" in r.raw  # one tokenize pass, four consumers
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string"}
