@@ -1009,3 +1009,97 @@ def schema_drift_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingestion-order monitor (live sibling of
+# analytics.event_order_integrity_audit's regression pass)
+# ---------------------------------------------------------------------------
+
+ORDER_STREAM_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, prev_event_id long, "
+    "prev_ts timestamp, lag_s long"
+)
+# state: the id-max frontier event per user
+ORDER_STREAM_STATE_SCHEMA = "last_id long, last_ts_us long"
+ORDER_STREAM_WATERMARK = "10 minutes"
+
+
+def order_integrity_stream(events: DataFrame) -> DataFrame:
+    """Live event-time-regression alarms per user — the monitor face of
+    ``analytics.event_order_integrity_audit``'s window pass: the batch
+    audit counts, after the fact, the adjacent same-user pairs whose
+    event time runs backwards in id order; this stream alarms the
+    moment such an event ARRIVES (clock skew or misordered ingestion at
+    the producer — the archive contract the id-ordered replay model
+    rests on, broken live). One alarm row per violating event, carrying
+    the frontier it regressed against and the lag in whole seconds.
+
+    State is two longs per user (the id-max frontier event); rows
+    inside a micro-batch process in (event_id, ts) order — exactly the
+    batch audit's window order, so a drained in-order stream's alarm
+    count equals the audit's n_ts_regressions (pinned by pytest).
+    Duplicate-id accounting stays with the batch audit (exact dup
+    detection needs unbounded id-set state); an id at-or-below the
+    frontier only advances nothing and never alarms — the documented
+    at-most-once deviation under disorder, the gap_alarm convention.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [
+        "user_id", "event_id", "ts", "prev_event_id", "prev_ts", "lag_s"
+    ]
+
+    def _advance(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        last_id, last_ts_us = state.get if state.exists else (None, None)
+        out: list[dict] = []
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["event_id", "ts"]
+        )
+        for row in rows.itertuples(index=False):
+            ts_us = int(row.ts.value // 1_000)
+            if last_id is None or row.event_id > last_id:
+                if last_id is not None and ts_us < last_ts_us:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "event_id": int(row.event_id),
+                            "ts": row.ts,
+                            "prev_event_id": int(last_id),
+                            "prev_ts": pd.Timestamp(
+                                last_ts_us * 1_000
+                            ),
+                            "lag_s": int(
+                                (last_ts_us - ts_us) // 1_000_000
+                            ),
+                        }
+                    )
+                last_id, last_ts_us = int(row.event_id), ts_us
+        state.update((last_id, last_ts_us))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", ORDER_STREAM_WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=ORDER_STREAM_OUTPUT_SCHEMA,
+            stateStructType=ORDER_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

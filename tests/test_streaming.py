@@ -979,3 +979,78 @@ def test_orphan_alarm_stream_matches_batch_edge(spark, tmp_path):
     # 2 orphan rows (both user-9 events), 1 null key; the stream's
     # distinct-key alarms are the deduped view of the same facts
     assert edge["n_orphan_rows"] == 2 and edge["n_null_keys"] == 1
+
+
+def test_order_integrity_stream_matches_batch_audit(spark, tmp_path):
+    """Regression alarms across micro-batch boundaries equal the batch
+    audit's adjacent-pair regression count on the same in-order feed;
+    frontier events and lags are exact."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import event_order_integrity_audit
+    from inde1_spark.streaming.stateful import order_integrity_stream
+
+    base = datetime(2024, 3, 1)
+    # (event_id, seconds, user): u1 regresses at id 2; u2 regresses at
+    # id 6 (vs the id-5 frontier) then recovers; u3 clean
+    fixture = [
+        (1, 100, 1), (2, 95, 1), (3, 200, 1),
+        (5, 300, 2), (6, 250, 2), (7, 400, 2),
+        (8, 100, 3), (9, 150, 3),
+    ]
+    rows = [
+        {
+            "event_id": eid,
+            "ts": (base + timedelta(seconds=s)).isoformat(),
+            "user_id": u,
+            "event_type": "m",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for eid, s, u in fixture
+    ]
+    data_dir = tmp_path / "order_data"
+    data_dir.mkdir()
+    # one event per file, increasing mtimes: every frontier comparison
+    # crosses a micro-batch boundary (state does the remembering)
+    for i, r in enumerate(rows):
+        p = data_dir / f"part-{i}.json"
+        p.write_text(json.dumps(r))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        order_integrity_stream(stream)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    alarms = sorted(
+        (r["user_id"], r["event_id"], r["prev_event_id"], r["lag_s"])
+        for r in got
+    )
+    assert alarms == [(1, 2, 1, 5), (2, 6, 5, 50)]
+
+    # batch agreement: the audit counts the same regressions
+    events = spark.createDataFrame(
+        [
+            (eid, base + timedelta(seconds=s), u, "m", 1.0, "{}")
+            for eid, s, u in fixture
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    audit = event_order_integrity_audit(events).collect()[0]
+    assert audit["n_ts_regressions"] == len(alarms) == 2
+    assert audit["n_users_regressed"] == 2
