@@ -934,6 +934,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_order_sweep": lambda sp, d: SC.lm_order_sweep(
             _t(sp, d, "documents")
         ),
+        "keep_policy_audit": lambda sp, d: D.keep_policy_audit(
+            _t(sp, d, "documents")
+        ),
     }
 
 

@@ -3435,3 +3435,75 @@ def minhash_perm_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_perms")
+
+
+def keep_policy_audit(documents: DataFrame) -> DataFrame:
+    """Representative-selection POLICY audit over the near-dup clusters —
+    ``dedup_keep_best`` commits to one keep rule; this prices the three
+    candidates side by side before a destructive keep-one pass runs:
+    keep the smallest doc_id (the cheap canonical rule), the
+    best-quality member (dedup_keep_best's rule), or the longest member
+    (the keep-most-content rule). Per policy: the kept token mass, the
+    mean kept quality, and how many clusters pick a DIFFERENT keeper
+    than the min-id baseline — if that count is ~0, the cheap rule is
+    free; if it's large and the quality/token deltas matter, the
+    ranking pass earns its cost.
+
+    One pass over the cluster assignment: each policy's keeper is a
+    ``min(struct(rank_key, doc_id))`` aggregate per cluster (map-side
+    combinable — never a per-cluster sort), joined back once; the
+    rollup is three bounded rows. Quality is the exact 4-decimal ratio
+    (micro-scaled mean via exact round-half-up); token sums are longs.
+    """
+    from inde1_spark.operators.text import quality_score
+
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    members = _persist(
+        dedup_clusters(documents).join(q, "doc_id").select(
+            "cluster_id",
+            "doc_id",
+            "n_tokens",
+            # micro-int quality: an exact struct-ranking key
+            F.floor(F.col("quality") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    keepers = members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("k_min_id"),
+        F.min(
+            F.struct((-F.col("q_micro")).alias("nq"), F.col("doc_id"))
+        )["doc_id"].alias("k_best_quality"),
+        F.min(
+            F.struct((-F.col("n_tokens")).alias("nt"), F.col("doc_id"))
+        )["doc_id"].alias("k_longest"),
+    )
+    joined = members.join(keepers, "cluster_id")
+    out = None
+    for policy, kcol in (
+        ("min_id", "k_min_id"),
+        ("best_quality", "k_best_quality"),
+        ("longest", "k_longest"),
+    ):
+        kept = F.col("doc_id") == F.col(kcol)
+        row = joined.agg(
+            F.lit(policy).alias("policy"),
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            ratio_round(
+                F.coalesce(F.sum(F.when(kept, F.col("q_micro"))), F.lit(0)),
+                F.greatest(
+                    F.sum(F.when(kept, 1).otherwise(0)), F.lit(1)
+                ).cast("long"),
+                0,
+            ).alias("mean_kept_quality_micro"),
+            F.sum(
+                F.when(kept & (F.col("doc_id") != F.col("k_min_id")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_differs_from_min_id"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("policy")

@@ -13609,3 +13609,56 @@ UNION ALL
 {_lms_rollup_sql(2, "held_bi", "(SELECT n_train FROM n_train_bi)")}
 ORDER BY "order"
 """
+
+# Twin of operators/dedup.py:keep_policy_audit — the dedup_clusters oracle
+# nests as a subquery; keepers via min-struct-equivalent argmin orderings.
+
+
+def _kpa_policy_sql(policy: str, keeper: str) -> str:
+    kept = f"(doc_id = {keeper})"
+    return f"""  SELECT '{policy}' AS policy,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN {kept} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(CASE WHEN {kept} THEN n_tokens END), 0) AS BIGINT)
+           AS kept_tokens,
+         {_rr(f"COALESCE(SUM(CASE WHEN {kept} THEN q_micro END), 0)",
+              f"GREATEST(SUM(CASE WHEN {kept} THEN 1 ELSE 0 END), 1)", 0)}
+           AS mean_kept_quality_micro,
+         CAST(SUM(CASE WHEN {kept} AND doc_id <> k_min_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_differs_from_min_id
+  FROM joined"""
+
+
+STAGED_ORACLES["keep_policy_audit"] = f"""
+WITH {_QUALITY_CTES.format(stop=_STOP_LIST).strip()},
+qv AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(floor(
+           {_rr("capped_chars * gnt + 500 * (gnt - n_stop)", "1000 * gnt", 4)}
+           * 1e6 + 0.5) AS BIGINT) AS q_micro
+  FROM qm
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id, qv.n_tokens, qv.q_micro
+  FROM ({ORACLES["dedup_clusters"]}) c JOIN qv USING (doc_id)
+),
+keepers AS (
+  SELECT cluster_id,
+         MIN(doc_id) AS k_min_id,
+         (ARRAY_AGG(doc_id ORDER BY q_micro DESC, doc_id ASC))[1]
+           AS k_best_quality,
+         (ARRAY_AGG(doc_id ORDER BY n_tokens DESC, doc_id ASC))[1]
+           AS k_longest
+  FROM members GROUP BY 1
+),
+joined AS (
+  SELECT m.*, k.k_min_id, k.k_best_quality, k.k_longest
+  FROM members m JOIN keepers k USING (cluster_id)
+)
+{_kpa_policy_sql("best_quality", "k_best_quality")}
+UNION ALL
+{_kpa_policy_sql("longest", "k_longest")}
+UNION ALL
+{_kpa_policy_sql("min_id", "k_min_id")}
+ORDER BY policy
+"""

@@ -627,3 +627,71 @@ def test_lm_order_sweep_plan(spark):
     assert "InMemoryTableScan" in r.raw  # one tokenize pass, four consumers
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"doc_id:bigint,text:string"}
+
+
+# ---------------------------------------------------------------------------
+# keep_policy_audit
+# ---------------------------------------------------------------------------
+
+
+def test_keep_policy_three_rules_diverge(spark):
+    from inde1_spark.operators.dedup import keep_policy_audit
+
+    # one near-dup cluster of three docs sharing most 3-gram shingles but
+    # differing in length and quality metadata:
+    #   doc 1: shortest, mid quality   (min-id keeper)
+    #   doc 2: same text + extra words (longest)
+    #   doc 3: same text, n_chars 500  (best quality: length score 1.0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s", 60),
+        (2, base + " lambda", "en", "s", 67),  # J = 8/9 >= threshold
+        (3, base, "en", "s", 500),
+    ]
+    out = {
+        r["policy"]: r
+        for r in keep_policy_audit(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    assert set(out) == {"min_id", "best_quality", "longest"}
+    for r in out.values():
+        assert r["n_members"] == 3 and r["n_kept"] == 1
+    assert out["min_id"]["n_differs_from_min_id"] == 0
+    assert out["min_id"]["kept_tokens"] == 10
+    # longest keeps doc 2 (11 tokens); best-quality keeps doc 3
+    assert out["longest"]["kept_tokens"] == 11
+    assert out["longest"]["n_differs_from_min_id"] == 1
+    assert out["best_quality"]["n_differs_from_min_id"] == 1
+    assert (
+        out["best_quality"]["mean_kept_quality_micro"]
+        > out["min_id"]["mean_kept_quality_micro"]
+    )
+
+
+def test_keep_policy_identical_members_all_agree(spark):
+    from inde1_spark.operators.dedup import keep_policy_audit
+
+    # exact copies: every rank key ties, every policy falls back to the
+    # doc_id tie-break -> all three keep the same doc
+    txt = "one two three four five six seven eight nine ten"
+    rows = [(i, txt, "en", "s", 50) for i in (4, 7, 9)]
+    out = {
+        r["policy"]: r
+        for r in keep_policy_audit(
+            spark.createDataFrame(rows, DOC_COLS)
+        ).collect()
+    }
+    for r in out.values():
+        assert r["n_kept"] == 1 and r["n_differs_from_min_id"] == 0
+        assert r["kept_tokens"] == 10
+
+
+def test_keep_policy_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["keep_policy_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "InMemoryTableScan" in r.raw  # member table built once, 3 rollups
