@@ -937,6 +937,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_policy_audit": lambda sp, d: D.keep_policy_audit(
             _t(sp, d, "documents")
         ),
+        "hash_width_audit": lambda sp, d: D.hash_width_audit(
+            _t(sp, d, "documents")
+        ),
     }
 
 

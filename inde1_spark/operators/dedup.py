@@ -3507,3 +3507,63 @@ def keep_policy_audit(documents: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("policy")
+
+
+# hash-id widths the collision audit prices (md5-prefix bits)
+HASH_WIDTH_BITS = (32, 48, 60)
+
+
+def hash_width_audit(documents: DataFrame) -> DataFrame:
+    """Hash-id width audit — how wide must the content ids that this
+    engine builds everything on (shingle ids, chunk hashes, dedup keys)
+    actually be? For each candidate prefix width of the md5 family, the
+    MEASURED collisions among the corpus's distinct texts next to the
+    birthday-bound expectation n(n-1)/2^(w+1) (micro-exact decimal) —
+    the evidence for narrowing ids (half the shuffle bytes of every
+    hash-keyed exchange) or the alarm against it. MinHash's 31-bit sid
+    lives at the narrow end of this curve; the audit is why that is
+    safe for signatures (collisions only perturb one permutation) but
+    NOT for dedup keys.
+
+    One distinct-text pass (hash-keyed, never text-keyed downstream:
+    the persisted table carries the full md5 only), row-local prefix
+    projections, one aggregate holding every width's distinct count;
+    the width rows are projections of that single row. 60 bits is the
+    widest long-safe md5 prefix (15 hex chars).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    full = _persist(
+        documents.select(F.md5("text").alias("h")).distinct()
+    )
+    aggs = [F.count("*").cast("long").alias("n_keys")]
+    for w in HASH_WIDTH_BITS:
+        hexn = w // 4
+        aggs.append(
+            F.countDistinct(
+                F.conv(F.substring("h", 1, hexn), 16, 10).cast("long")
+            ).cast("long").alias(f"nh_{w}")
+        )
+    agg = full.agg(*aggs)
+    d38 = "decimal(38,0)"
+    out = None
+    for w in HASH_WIDTH_BITS:
+        row = agg.select(
+            F.lit(int(w)).cast("long").alias("bits"),
+            F.col("n_keys"),
+            F.col(f"nh_{w}").alias("n_hashes"),
+            (F.col("n_keys") - F.col(f"nh_{w}"))
+            .cast("long")
+            .alias("n_collisions"),
+            dec_ratio_round(
+                (
+                    F.col("n_keys").cast(d38)
+                    * (F.col("n_keys") - 1).cast(d38)
+                    * F.lit(1_000_000).cast(d38)
+                ).cast(d38),
+                F.lit(2 ** (w + 1)).cast(d38),
+                0,
+            ).cast("long").alias("expected_collisions_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bits")

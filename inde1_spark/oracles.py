@@ -13662,3 +13662,30 @@ UNION ALL
 {_kpa_policy_sql("min_id", "k_min_id")}
 ORDER BY policy
 """
+
+from inde1_spark.operators.dedup import HASH_WIDTH_BITS  # noqa: E402
+
+
+def _hwa_row_sql(w: int) -> str:
+    return f"""  SELECT CAST({w} AS BIGINT) AS bits, n_keys,
+         nh_{w} AS n_hashes,
+         CAST(n_keys - nh_{w} AS BIGINT) AS n_collisions,
+         CAST((CAST(n_keys AS HUGEINT) * (n_keys - 1) * 1000000 * 2
+               + {2 ** (w + 1)})
+              // (2 * CAST({2 ** (w + 1)} AS HUGEINT)) AS BIGINT)
+           AS expected_collisions_micro
+  FROM agg"""
+
+
+# Twin of operators/dedup.py:hash_width_audit — distinct md5 pass, prefix
+# distinct counts, HUGEINT birthday expectation.
+STAGED_ORACLES["hash_width_audit"] = f"""
+WITH full_h AS (SELECT DISTINCT md5(text) AS h FROM documents),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         {", ".join(f"CAST(COUNT(DISTINCT CAST(concat('0x', substr(h, 1, {w // 4})) AS BIGINT)) AS BIGINT) AS nh_{w}" for w in HASH_WIDTH_BITS)}
+  FROM full_h
+)
+{chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{_hwa_row_sql(w)}" for i, w in enumerate(HASH_WIDTH_BITS))}
+ORDER BY bits
+"""

@@ -695,3 +695,48 @@ def test_keep_policy_plan(spark):
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     assert "InMemoryTableScan" in r.raw  # member table built once, 3 rollups
+
+
+# ---------------------------------------------------------------------------
+# hash_width_audit
+# ---------------------------------------------------------------------------
+
+
+def test_hash_width_counts_and_birthday_bound(spark):
+    from inde1_spark.operators.dedup import HASH_WIDTH_BITS, hash_width_audit
+
+    texts = [f"document number {i} with its own words" for i in range(20)]
+    texts.append(texts[0])  # an exact copy: distinct-text pass removes it
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_COLS
+    )
+    out = {r["bits"]: r for r in hash_width_audit(docs).collect()}
+    assert set(out) == set(HASH_WIDTH_BITS)
+    for w, r in out.items():
+        assert r["n_keys"] == 20  # the copy collapsed
+        # python mirror of the prefix distinct count
+        hs = {
+            int(hashlib.md5(t.encode()).hexdigest()[: w // 4], 16)
+            for t in texts[:20]
+        }
+        assert r["n_hashes"] == len(hs), w
+        assert r["n_collisions"] == 20 - len(hs)
+        # birthday bound: round_half_up(n(n-1)*1e6 / 2^(w+1))
+        assert r["expected_collisions_micro"] == _rhu(
+            20 * 19 * 10**6, 2 ** (w + 1)
+        )
+    # wider prefixes can only separate more
+    ns = [out[w]["n_hashes"] for w in sorted(out)]
+    assert ns == sorted(ns)
+
+
+def test_hash_width_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["hash_width_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "InMemoryTableScan" in r.raw  # distinct-hash table built once
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string"}
