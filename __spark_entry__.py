@@ -940,6 +940,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_width_audit": lambda sp, d: D.hash_width_audit(
             _t(sp, d, "documents")
         ),
+        "corpus_shard_plan": lambda sp, d: C.corpus_shard_plan(
+            _t(sp, d, "documents")
+        ),
+        "state_size_profile": lambda sp, d: A.state_size_profile(
+            _t(sp, d, "events")
+        ),
     }
 
 

@@ -11664,3 +11664,63 @@ def event_order_integrity_audit(events: DataFrame) -> DataFrame:
         "n_null_ts",
         "n_null_users",
     )
+
+
+STATE_BYTES_PER_KEY = 64  # modeled per-key footprint of the session monitors
+
+
+def state_size_profile(events: DataFrame) -> DataFrame:
+    """Streaming state capacity profile per day — what keyed-state
+    footprint do the sessionization monitors (``streaming/stateful``'s
+    applyInPandasWithState family) actually carry, day over day?
+    ``restart_cost_audit`` prices the state rebuild at a handful of
+    checkpoint boundaries; this is the full daily series a capacity
+    plan reads: per day, the active users (the day's key universe), the
+    keys still OPEN at day end (active within the sessionization gap
+    before midnight — the state that survives the day), the open share,
+    the mean events per active key, and the modeled state bytes at a
+    fixed per-key footprint. A growing open share with flat activity is
+    the signature of state that never times out — the leak this table
+    catches before an executor OOMs.
+
+    ONE map-side-combinable per-day aggregate (two conditional
+    distincts share the pass); in-day offsets are tz-free field
+    extraction (the restart_cost_audit convention). Exact longs and
+    round-half-up ratios throughout.
+    """
+    from inde1_spark.functions.exprs import ratio_round
+
+    day_s = _day_str()
+    sec_in_day = (
+        F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    per_day = events.groupBy(day_s.alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_active_keys"),
+        F.countDistinct(
+            F.when(
+                sec_in_day >= 86400 - RESTART_STATE_GAP_S, F.col("user_id")
+            )
+        ).cast("long").alias("n_open_eod"),
+    )
+    return per_day.select(
+        "day",
+        "n_events",
+        "n_active_keys",
+        "n_open_eod",
+        ratio_round(
+            F.col("n_open_eod") * 100,
+            F.greatest(F.col("n_active_keys"), F.lit(1).cast("long")),
+            2,
+        ).alias("open_share_pct"),
+        ratio_round(
+            F.col("n_events") * 100,
+            F.greatest(F.col("n_active_keys"), F.lit(1).cast("long")),
+            2,
+        ).alias("events_per_key_x100"),
+        (F.col("n_open_eod") * F.lit(STATE_BYTES_PER_KEY))
+        .cast("long")
+        .alias("state_bytes_est"),
+    ).orderBy("day")

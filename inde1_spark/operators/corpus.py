@@ -2116,3 +2116,96 @@ def curation_order_audit(documents: DataFrame) -> DataFrame:
             2,
         ).alias("rescued_token_pct"),
     )
+
+
+CORPUS_SHARDS = 8      # target export shards for the plan
+SHARD_BLOCK = 1024     # doc_id block width for the two-level cumulative sum
+
+
+def corpus_shard_plan(
+    documents: DataFrame, n_shards: int = CORPUS_SHARDS
+) -> DataFrame:
+    """Token-weighted export sharding planner — ``file_compaction_plan``
+    for the CORPUS: assign contiguous doc_id ranges to ``n_shards``
+    output shards so each carries ~equal TOKENS (docs vary in length;
+    equal doc counts give unequal training shards), by the cumulative-
+    fill rule shard = floor(cum_tokens_before * S / total). Contiguity
+    preserves id-range locality (resumable exports, range-prunable
+    reads); the fill column exposes where one giant document forces
+    imbalance no contiguous plan can fix.
+
+    The cumulative sum is TWO-LEVEL so no stage sorts the corpus in one
+    task: per-doc-id-block totals first (keyed groupBy), a running sum
+    over the collapsed block table (corpus/1024 rows), then an in-block
+    running sum (window partitioned by block — bounded partitions at
+    any corpus size); cum_before = block prefix + in-block prefix. The
+    shard assignment divides in DECIMAL(38,0) (cum * S passes 2^63 at
+    corpus scale — the wide-decimal rule); fill percents are exact
+    round-half-up.
+    """
+    from inde1_spark.functions.exprs import dec_floordiv, ratio_round
+
+    d38 = "decimal(38,0)"
+    toks = documents.select(
+        "doc_id",
+        (F.floor(F.col("doc_id") / F.lit(SHARD_BLOCK))).cast("long").alias(
+            "block"
+        ),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    block_tot = toks.groupBy("block").agg(
+        F.sum("n_tokens").cast("long").alias("bt")
+    )
+    w_blocks = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    block_pre = block_tot.select(
+        "block",
+        F.coalesce(F.sum("bt").over(w_blocks), F.lit(0))
+        .cast("long")
+        .alias("block_before"),
+    )
+    w_in = Window.partitionBy("block").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = toks.withColumn(
+        "in_before",
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long"),
+    ).join(block_pre, "block")
+    total = toks.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total")
+    )
+    cum_before = (F.col("block_before") + F.col("in_before")).cast("long")
+    shard = F.least(
+        dec_floordiv(
+            (cum_before.cast(d38) * F.lit(int(n_shards)).cast(d38)).cast(d38),
+            F.greatest(F.col("total"), F.lit(1)).cast(d38),
+        ).cast("long"),
+        F.lit(int(n_shards) - 1).cast("long"),
+    )
+    assigned = cum.join(F.broadcast(total)).select(
+        shard.alias("shard"), "doc_id", "n_tokens", "total"
+    )
+    return (
+        assigned.groupBy("shard", "total")
+        .agg(
+            F.min("doc_id").alias("lo_doc_id"),
+            F.max("doc_id").alias("hi_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "lo_doc_id",
+            "hi_doc_id",
+            "n_docs",
+            "n_tokens",
+            # fill = n_tokens / (total/S) as exact percent
+            ratio_round(
+                F.col("n_tokens") * F.lit(int(n_shards)) * 100,
+                F.greatest(F.col("total"), F.lit(1).cast("long")),
+                2,
+            ).alias("fill_pct"),
+        )
+        .orderBy("shard")
+    )

@@ -13689,3 +13689,65 @@ agg AS (
 {chr(10).join(f"{'' if i == 0 else 'UNION ALL' + chr(10)}{_hwa_row_sql(w)}" for i, w in enumerate(HASH_WIDTH_BITS))}
 ORDER BY bits
 """
+
+from inde1_spark.operators.corpus import CORPUS_SHARDS  # noqa: E402
+
+# Twin of operators/corpus.py:corpus_shard_plan — single-window cumulative
+# sum (numerically identical to the engine's two-level spelling), HUGEINT
+# shard division, exact fill percents.
+STAGED_ORACLES["corpus_shard_plan"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM toks
+),
+total AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total FROM toks),
+assigned AS (
+  SELECT LEAST(CAST((CAST(cum_before AS HUGEINT) * {CORPUS_SHARDS})
+                    // GREATEST(t.total, 1) AS BIGINT),
+               {CORPUS_SHARDS - 1}) AS shard,
+         doc_id, n_tokens, t.total
+  FROM cum, total t
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       MIN(doc_id) AS lo_doc_id,
+       MAX(doc_id) AS hi_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       {_rr(f"SUM(n_tokens) * {CORPUS_SHARDS} * 100", "GREATEST(MAX(total), 1)", 2)}
+         AS fill_pct
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+from inde1_spark.operators.analytics import STATE_BYTES_PER_KEY  # noqa: E402
+
+# Twin of operators/analytics.py:state_size_profile — one per-day aggregate
+# with tz-free in-day offsets (the restart_cost_audit convention).
+STAGED_ORACLES["state_size_profile"] = f"""
+WITH per_day AS (
+  SELECT {_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_keys,
+         CAST(COUNT(DISTINCT CASE
+                WHEN hour(ts) * 3600 + minute(ts) * 60
+                     + date_part('second', ts)
+                     >= 86400 - {RESTART_STATE_GAP_S}
+                THEN user_id END) AS BIGINT) AS n_open_eod
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, n_active_keys, n_open_eod,
+       {_rr("n_open_eod * 100", "GREATEST(n_active_keys, 1)", 2)}
+         AS open_share_pct,
+       {_rr("n_events * 100", "GREATEST(n_active_keys, 1)", 2)}
+         AS events_per_key_x100,
+       CAST(n_open_eod * {STATE_BYTES_PER_KEY} AS BIGINT) AS state_bytes_est
+FROM per_day ORDER BY day
+"""

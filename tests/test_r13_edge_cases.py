@@ -740,3 +740,117 @@ def test_hash_width_plan(spark):
     assert "InMemoryTableScan" in r.raw  # distinct-hash table built once
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"text:string"}
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_plan
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shard_plan_cumulative_fill_exact(spark):
+    from inde1_spark.operators.corpus import CORPUS_SHARDS, corpus_shard_plan
+
+    # 16 docs of 4 tokens each: 64 tokens over 8 shards -> 8 tokens/shard,
+    # exactly 2 contiguous docs per shard, fill 100.00 everywhere
+    rows = [
+        (i, "alpha beta gamma delta", "en", "s", 20) for i in range(16)
+    ]
+    out = corpus_shard_plan(spark.createDataFrame(rows, DOC_COLS)).collect()
+    assert len(out) == CORPUS_SHARDS
+    for k, r in enumerate(out):
+        assert r["shard"] == k
+        assert (r["lo_doc_id"], r["hi_doc_id"]) == (2 * k, 2 * k + 1)
+        assert r["n_docs"] == 2 and r["n_tokens"] == 8
+        assert r["fill_pct"] == 100.0
+    # contiguity: ranges tile the id space in order
+    for a, b in zip(out, out[1:]):
+        assert a["hi_doc_id"] < b["lo_doc_id"]
+
+
+def test_corpus_shard_plan_giant_doc_overflows_one_shard(spark):
+    from inde1_spark.operators.corpus import corpus_shard_plan
+
+    # one 56-token giant among 8 one-token docs (64 total): the giant's
+    # shard must overfill and the audit must say by exactly how much
+    giant = " ".join(f"w{i}" for i in range(56))
+    rows = [(0, giant, "en", "s", 300)] + [
+        (i, "solo", "en", "s", 4) for i in range(1, 9)
+    ]
+    out = {r["shard"]: r for r in corpus_shard_plan(
+        spark.createDataFrame(rows, DOC_COLS)
+    ).collect()}
+    g = out[0]
+    assert g["lo_doc_id"] == 0 and g["n_tokens"] == 56
+    assert g["fill_pct"] == 700.0  # 56 / (64/8) = 7x the ideal
+    total = sum(r["n_tokens"] for r in out.values())
+    assert total == 64
+
+
+def test_corpus_shard_plan_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["corpus_shard_plan"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # two scans: the sharding pass (doc_id + text) and the total (text)
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas <= {"doc_id:bigint,text:string", "text:string"}
+    # two-level cumsum: the CORPUS-sized window partitions by block
+    # (windowspecdefinition(block#..., doc_id#...)); only the collapsed
+    # block table's running sum may run unpartitioned
+    assert re.search(
+        r"windowspecdefinition\(block#\d+L, doc_id#\d+L", r.raw
+    ), "per-doc cumsum lost its block partitioning"
+
+
+# ---------------------------------------------------------------------------
+# state_size_profile
+# ---------------------------------------------------------------------------
+
+
+def test_state_size_profile_open_keys_exact(spark):
+    from inde1_spark.operators.analytics import (
+        STATE_BYTES_PER_KEY,
+        state_size_profile,
+    )
+
+    def ev(eid, day, hh, mm, uid):
+        return (
+            eid, T0 + timedelta(days=day, hours=hh, minutes=mm), uid,
+            "view", 1.0, "{}",
+        )
+
+    rows = [
+        # day 0: users 1,2,3 active; 1 and 3 in the tail hour (3 EXACTLY
+        # at 23:00:00 — the inclusive boundary); user 1 twice
+        ev(1, 0, 10, 0, 1), ev(2, 0, 23, 30, 1), ev(3, 0, 12, 0, 2),
+        ev(4, 0, 23, 0, 3),
+        # day 1: one user, no tail activity -> zero open state
+        ev(5, 1, 9, 0, 4),
+    ]
+    out = {
+        r["day"]: r
+        for r in state_size_profile(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    d0 = out["2024-03-04"]
+    assert (d0["n_events"], d0["n_active_keys"], d0["n_open_eod"]) == (4, 3, 2)
+    assert d0["open_share_pct"] == _rhu(2 * 100 * 100, 3) / 100  # 66.67
+    assert d0["events_per_key_x100"] == _rhu(4 * 100 * 100, 3) / 100
+    assert d0["state_bytes_est"] == 2 * STATE_BYTES_PER_KEY
+    d1 = out["2024-03-05"]
+    assert (d1["n_active_keys"], d1["n_open_eod"]) == (1, 0)
+    assert d1["open_share_pct"] == 0.0 and d1["state_bytes_est"] == 0
+
+
+def test_state_size_profile_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["state_size_profile"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint"}
