@@ -946,6 +946,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_size_profile": lambda sp, d: A.state_size_profile(
             _t(sp, d, "events")
         ),
+        # ----- r14 batch, first tranche (staged in r11) -----
+        "cache_hit_curve": lambda sp, d: A.cache_hit_curve(
+            _t(sp, d, "events")
+        ),
+        "allowed_lateness_sweep": lambda sp, d: A.allowed_lateness_sweep(
+            _t(sp, d, "events")
+        ),
+        "blocking_key_sweep": lambda sp, d: D.blocking_key_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

@@ -11724,3 +11724,158 @@ def state_size_profile(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("state_bytes_est"),
     ).orderBy("day")
+
+# ---------------------------------------------------------------------------
+# cache_hit_curve: dimension-cache sizing from exact key concentration
+# ---------------------------------------------------------------------------
+
+# candidate cache sizes as a percent of the key universe
+CACHE_PCTS = (1, 2, 5, 10, 20, 50, 100)
+
+
+def cache_hit_curve(
+    events: DataFrame, pcts: tuple[int, ...] = CACHE_PCTS
+) -> DataFrame:
+    """Hit-rate curve for the enrichment dimension cache — how large must
+    the per-key cache in front of the Redis KV dimension (the S9
+    ``enrich_users`` lookup; reference intent: the per-plate dimension
+    read in apps/srvc-alert's enrichment path) be before remote lookups
+    stop dominating? For each candidate cache size s (a percent of the
+    key universe, so the table is scale-free), the STATIC-OPTIMAL hit
+    rate: cache the s hottest keys by exact frequency; every event on a
+    cached key hits except that key's one compulsory first-touch miss.
+    A real LRU can only do worse under stationary traffic, so this
+    curve is the admission bar a cache proposal must clear — if the
+    optimal curve needs 50% of the universe resident to reach 90%
+    hits, the traffic is too flat to cache and the budget belongs in
+    the broadcast/bucketing plan instead (``broadcast_plan_audit``).
+
+    Plan: ONE map-side-combinable key-frequency pass (the corpus-volume
+    shuffle); ranking + cumulative coverage are a single window over the
+    per-key table (|keys| rows, corpus-independent once keyed — the
+    corpus_shard_plan convention for a deliberate global ordered pass
+    over a SMALL table); the grid is a bounded literal explode off the
+    one-row totals, broadcast into the rank equi-join. Percents are
+    wide-decimal round-half-up (event counts can pass 2^53 at corpus
+    scale).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    freq = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    order = [F.desc("n"), F.asc("user_id")]
+    w = Window.orderBy(*order)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(wc).cast("long").alias("cum_events"),
+    )
+    totals = freq.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+    grid = totals.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+        ).alias("cache_pct"),
+        "n_keys",
+        "n_events",
+    ).select(
+        "cache_pct",
+        "n_keys",
+        "n_events",
+        F.greatest(
+            F.expr("n_keys * cache_pct div 100"), F.lit(1).cast("long")
+        ).alias("keys_cached"),
+    )
+    den = F.greatest(F.col("n_events"), F.lit(1).cast("long"))
+    return (
+        ranked.join(F.broadcast(grid), F.col("rank") == F.col("keys_cached"))
+        .select(
+            "cache_pct",
+            "keys_cached",
+            F.col("cum_events").alias("events_covered"),
+            "n_keys",
+            "n_events",
+            dec_ratio_round(
+                (F.col("cum_events") - F.col("keys_cached")) * 100, den, 2
+            ).alias("hit_pct"),
+            dec_ratio_round(F.col("cum_events") * 100, den, 2).alias(
+                "coverage_pct"
+            ),
+        )
+        .orderBy("cache_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# allowed_lateness_sweep: watermark-delay drop-rate curve on arrival order
+# ---------------------------------------------------------------------------
+
+# candidate withWatermark delays (seconds) the sweep prices
+LATENESS_DELAYS_S = (0, 60, 300, 900, 3600)
+
+
+def allowed_lateness_sweep(
+    events: DataFrame, delays: tuple[int, ...] = LATENESS_DELAYS_S
+) -> DataFrame:
+    """Allowed-lateness drop-rate curve — the direct price list for the
+    withWatermark delay knob (T6): replay the archive in event-id
+    (arrival) order PER KEY — exactly the ordering the keyed
+    sessionization monitors consume — and for each candidate delay D,
+    count the events whose event time lags the key's running event-time
+    maximum by more than D: precisely the rows a keyed watermark set to
+    D drops as late. Companions: ``event_order_integrity_audit`` alarms
+    THAT event-time regressions exist, ``backfill_skew_audit`` prices
+    the cross-shard interleave of a parallel replay; this table prices
+    the delay itself on the live arrival order, so "watermark 5 minutes"
+    becomes a measured drop count instead of folklore.
+
+    Every stage is keyed: the running maximum is ONE per-user window in
+    (event_id, ts) order (the sessionize_gap shuffle shape — no global
+    ordered scan); the delay rollup explodes a bounded literal grid and
+    map-side combines. Lateness is a difference of truncated-second
+    timestamps (tz offsets cancel; the session_gap_sweep convention);
+    drop shares are wide-decimal round-half-up (corpus-scale counts).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id", "ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_s = F.unix_timestamp("ts").cast("long")
+    late = events.select(
+        (F.max(ts_s).over(w) - ts_s).alias("lateness_s")
+    )
+    out = (
+        late.select(
+            "lateness_s",
+            F.explode(
+                F.array(*[F.lit(int(d)).cast("long") for d in delays])
+            ).alias("delay_s"),
+        )
+        .groupBy("delay_s")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("lateness_s") > F.col("delay_s"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.max("lateness_s").cast("long").alias("max_lateness_s"),
+        )
+    )
+    return out.select(
+        "delay_s",
+        "n_events",
+        "n_dropped",
+        "max_lateness_s",
+        dec_ratio_round(
+            F.col("n_dropped") * 100,
+            F.greatest(F.col("n_events"), F.lit(1).cast("long")),
+            4,
+        ).alias("drop_pct"),
+    ).orderBy("delay_s")

@@ -3567,3 +3567,144 @@ def hash_width_audit(documents: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bits")
+
+# ---------------------------------------------------------------------------
+# blocking_key_sweep: blocking-key selection for the linkage pipeline
+# ---------------------------------------------------------------------------
+
+# candidate blocking keys: (feature name, meta column) — meta built below
+BLOCKING_FEATS = (
+    ("lang", "k_lang"),
+    ("lang_source", "k_lang_source"),
+    ("len_band", "k_len_band"),
+    ("source", "k_source"),
+)
+
+
+def blocking_key_sweep(documents: DataFrame) -> DataFrame:
+    """Blocking-key selection audit for the record-linkage pipeline —
+    BEFORE ``fellegi_sunter_linkage`` scores candidate pairs, which
+    field should BLOCK the comparison space? For each candidate key
+    (lang / source / n_chars length band / lang+source composite), the
+    two classic blocking metrics priced on THIS corpus: the
+    candidate-pair bill sum_b c_b*(c_b-1)/2 with its reduction ratio
+    against the all-pairs n*(n-1)/2, and PAIR COMPLETENESS — the share
+    of true near-dup pairs (exact 3-gram Jaccard >= JACCARD_THRESHOLD,
+    the engine's dedup ground truth) the key co-blocks. High reduction
+    with high completeness is the blocking stage; high reduction with
+    low completeness is a key that silently loses matches — the number
+    this table exists to surface before a 100 TB linkage run commits to
+    a key.
+
+    Plan: block sizes come from ONE explode of a bounded per-doc
+    feature array and a (feature, value) count — map-side combinable,
+    no joins; truth pairs reuse the fellegi_sunter comparison space
+    (shingle posting-list join, never a cartesian; production caps hot
+    shingles via cap_shingle_df) and melt to bounded per-feature
+    agreement rows. Pair bills accumulate c*(c-1) in DECIMAL(38,0)
+    (LONG would wrap silently on a 100 TB hot block where DuckDB's
+    HUGEINT hard-errors — the join_cardinality_audit rule) and are
+    emitted as exact strings plus digit-split doubles; percents are
+    exact round-half-up, completeness NULL when the corpus has no
+    ground-truth pairs (both engines identically).
+    """
+    from inde1_spark.functions.exprs import (
+        dec_floordiv,
+        dec_ratio_round,
+        dec_to_double_exact,
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    meta = documents.select(
+        "doc_id",
+        F.col("lang").cast("string").alias("k_lang"),
+        F.col("source").cast("string").alias("k_source"),
+        F.expr(f"n_chars div {FS_LEN_BAND}").cast("string").alias("k_len_band"),
+        F.concat_ws("|", "lang", "source").alias("k_lang_source"),
+    )
+    kv = meta.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"), F.col(c).alias("val")
+                    )
+                    for name, c in BLOCKING_FEATS
+                ]
+            )
+        ).alias("s")
+    ).select("s.feature", "s.val")
+    blocks = kv.groupBy("feature", "val").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_key = blocks.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.max("c").cast("long").alias("max_block"),
+        F.sum((d38(F.col("c")) * (F.col("c") - 1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("pairs2"),
+        F.sum("c").cast("long").alias("n_docs"),
+    )
+
+    truth = (
+        _pair_jaccard(shingle_table(documents))
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    m1, m2 = meta.alias("m1"), meta.alias("m2")
+    tp = (
+        truth.join(m1, F.col("doc_a") == F.col("m1.doc_id"))
+        .join(m2, F.col("doc_b") == F.col("m2.doc_id"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("feature"),
+                            (F.col(f"m1.{c}") == F.col(f"m2.{c}"))
+                            .cast("long")
+                            .alias("co"),
+                        )
+                        for name, c in BLOCKING_FEATS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.feature", "s.co")
+    )
+    comp = tp.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("co"), F.lit(0)).cast("long").alias("n_coblocked"),
+    )
+
+    cand = dec_floordiv(F.col("pairs2"), F.lit(2).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    total2 = (d38(F.col("n_docs")) * (F.col("n_docs") - 1)).cast(
+        "decimal(38,0)"
+    )
+    n_true = F.coalesce(F.col("n_true_pairs"), F.lit(0).cast("long"))
+    n_cob = F.coalesce(F.col("n_coblocked"), F.lit(0).cast("long"))
+    return (
+        per_key.join(comp, "feature", "left")
+        .select(
+            "feature",
+            "n_blocks",
+            "max_block",
+            cand.cast("string").alias("cand_pairs"),
+            dec_to_double_exact(cand).alias("cand_pairs_approx"),
+            dec_ratio_round(
+                (total2 - F.col("pairs2")) * 100,
+                F.greatest(total2, F.lit(1).cast("decimal(38,0)")),
+                4,
+            ).alias("reduction_pct"),
+            n_true.alias("n_true_pairs"),
+            n_cob.alias("n_coblocked"),
+            F.when(
+                n_true > 0, ratio_round(n_cob * 100, n_true, 2)
+            ).alias("completeness_pct"),
+        )
+        .orderBy("feature")
+    )

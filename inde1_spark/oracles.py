@@ -13751,3 +13751,167 @@ SELECT day, n_events, n_active_keys, n_open_eod,
        CAST(n_open_eod * {STATE_BYTES_PER_KEY} AS BIGINT) AS state_bytes_est
 FROM per_day ORDER BY day
 """
+
+# ===========================================================================
+# r14 batch, first tranche (staged in r11): cache sizing, watermark pricing,
+# linkage blocking. Wide-integer arithmetic in HUGEINT where the Spark side
+# runs DECIMAL(38,0); truncated-second epochs via floor(epoch(ts)).
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    CACHE_PCTS,
+    LATENESS_DELAYS_S,
+)
+
+# Twin of operators/analytics.py:cache_hit_curve — identical rank order
+# (n DESC, user_id), cumulative frame, grid floor-div sizing, HUGEINT
+# round-half-up percents.
+STAGED_ORACLES["cache_hit_curve"] = f"""
+WITH freq AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+           AS rank,
+         CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_events
+  FROM freq
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_events
+  FROM freq
+),
+grid AS (
+  SELECT CAST(p AS BIGINT) AS cache_pct, n_keys, n_events,
+         GREATEST((n_keys * CAST(p AS BIGINT)) // 100, 1) AS keys_cached
+  FROM totals, UNNEST([{', '.join(str(p) for p in CACHE_PCTS)}]) AS u(p)
+)
+SELECT cache_pct, keys_cached, cum_events AS events_covered,
+       n_keys, n_events,
+       {_rrh("(cum_events - keys_cached) * 100", "GREATEST(n_events, 1)", 2)}
+         AS hit_pct,
+       {_rrh("cum_events * 100", "GREATEST(n_events, 1)", 2)}
+         AS coverage_pct
+FROM grid JOIN ranked ON ranked.rank = grid.keys_cached
+ORDER BY cache_pct
+"""
+
+# Twin of operators/analytics.py:allowed_lateness_sweep — per-key running
+# max in (event_id, ts) order over truncated-second epochs, literal delay
+# grid, HUGEINT drop shares.
+STAGED_ORACLES["allowed_lateness_sweep"] = f"""
+WITH lat AS (
+  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id, ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS lateness_s
+  FROM events
+),
+x AS (
+  SELECT lateness_s, CAST(d AS BIGINT) AS delay_s
+  FROM lat, UNNEST([{', '.join(str(d) for d in LATENESS_DELAYS_S)}]) AS u(d)
+)
+SELECT delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness_s > delay_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s,
+       {_rrh("SUM(CASE WHEN lateness_s > delay_s THEN 1 ELSE 0 END) * 100",
+             "GREATEST(COUNT(*), 1)", 4)} AS drop_pct
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+from inde1_spark.operators.dedup import FS_LEN_BAND  # noqa: E402
+
+# Twin of operators/dedup.py:blocking_key_sweep — identical candidate keys,
+# fellegi_sunter pair space + ground-truth labels, HUGEINT pair bills with
+# exact-string + digit-split-double emission.
+def _blocking_key_sweep_sql() -> str:
+    meta = f"""
+meta AS (
+  SELECT doc_id,
+         CAST(lang AS VARCHAR) AS k_lang,
+         CAST(source AS VARCHAR) AS k_source,
+         CAST(CAST(n_chars AS BIGINT) // {FS_LEN_BAND} AS VARCHAR)
+           AS k_len_band,
+         concat_ws('|', lang, source) AS k_lang_source
+  FROM documents
+)"""
+    feats = [
+        ("lang", "k_lang"),
+        ("lang_source", "k_lang_source"),
+        ("len_band", "k_len_band"),
+        ("source", "k_source"),
+    ]
+    kv_union = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS feature, {c} AS val FROM meta"
+        for name, c in feats
+    )
+    # basep carries both sides' meta columns; melt to per-feature agreement
+    tp_union = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS feature,"
+        f" CAST(a_{c} = b_{c} AS BIGINT) AS co FROM basep"
+        for name, c in feats
+    )
+    cand = "(pairs2 - (pairs2 % 2)) // 2"
+    total2 = "CAST(n_docs AS HUGEINT) * (n_docs - 1)"
+    return f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS ({_jaccard_from_inter(JACCARD_THRESHOLD)}),
+{meta},
+kv AS (
+{kv_union}
+),
+blocks AS (
+  SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS c FROM kv GROUP BY 1, 2
+),
+per_key AS (
+  SELECT feature,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(MAX(c) AS BIGINT) AS max_block,
+         SUM(CAST(c AS HUGEINT) * (c - 1)) AS pairs2,
+         CAST(SUM(c) AS BIGINT) AS n_docs
+  FROM blocks GROUP BY 1
+),
+basep AS MATERIALIZED (
+  SELECT m1.k_lang AS a_k_lang, m2.k_lang AS b_k_lang,
+         m1.k_source AS a_k_source, m2.k_source AS b_k_source,
+         m1.k_len_band AS a_k_len_band, m2.k_len_band AS b_k_len_band,
+         m1.k_lang_source AS a_k_lang_source,
+         m2.k_lang_source AS b_k_lang_source
+  FROM truth t
+  JOIN meta m1 ON m1.doc_id = t.doc_a
+  JOIN meta m2 ON m2.doc_id = t.doc_b
+),
+tp AS (
+{tp_union}
+),
+comp AS (
+  SELECT feature,
+         CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         CAST(COALESCE(SUM(co), 0) AS BIGINT) AS n_coblocked
+  FROM tp GROUP BY 1
+)
+SELECT p.feature, p.n_blocks, p.max_block,
+       CAST({cand} AS VARCHAR) AS cand_pairs,
+       {_dec2d(cand)} AS cand_pairs_approx,
+       {_rrh(f"({total2} - pairs2) * 100", f"GREATEST({total2}, 1)", 4)}
+         AS reduction_pct,
+       CAST(COALESCE(c.n_true_pairs, 0) AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(c.n_coblocked, 0) AS BIGINT) AS n_coblocked,
+       CASE WHEN COALESCE(c.n_true_pairs, 0) > 0 THEN
+         {_rr("COALESCE(c.n_coblocked, 0) * 100", "c.n_true_pairs", 2)}
+       END AS completeness_pct
+FROM per_key p LEFT JOIN comp c ON c.feature = p.feature
+ORDER BY p.feature
+"""
+
+
+STAGED_ORACLES["blocking_key_sweep"] = _blocking_key_sweep_sql()

@@ -1,0 +1,260 @@
+"""Semantics + plan invariants for the r14 STAGED batch (first tranche).
+
+Same style as test_r11/r12/r13_edge_cases: planted micro-datasets exercise
+the property each operator's docstring claims; plan-shape pins hold the
+engine invariants (column pruning, join strategy, no cartesian) so a later
+change that breaks the 100 TB posture fails here before it reaches a gate
+window.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inde1_spark.plans.explain import plan_report
+from tests.conftest import SF_SMOKE
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+T0 = datetime(2024, 3, 4, 0, 0, 0)
+
+
+def _rhu(num: int, den: int) -> int:
+    """round_half_up(num/den) for nonnegative exact ints."""
+    return (num * 2 + den) // (2 * den)
+
+
+def _ev(eid: int, uid: int, sec: int):
+    return (eid, T0 + timedelta(seconds=sec), uid, "view", 1.0, "{}")
+
+
+# ---------------------------------------------------------------------------
+# cache_hit_curve
+# ---------------------------------------------------------------------------
+
+
+def test_cache_hit_curve_exact_concentration(spark):
+    from inde1_spark.operators.analytics import CACHE_PCTS, cache_hit_curve
+
+    # frequencies 10/5/3/1/1 -> ranked cum coverage 10,15,18,19,20
+    freqs = {1: 10, 2: 5, 3: 3, 4: 1, 5: 1}
+    rows, eid = [], 0
+    for uid, k in freqs.items():
+        for _ in range(k):
+            rows.append(_ev(eid, uid, eid))
+            eid += 1
+    out = {
+        r["cache_pct"]: r
+        for r in cache_hit_curve(spark.createDataFrame(rows, EVENT_COLS)).collect()
+    }
+    assert set(out) == set(CACHE_PCTS)
+    cum = [10, 15, 18, 19, 20]
+    n_events = 20
+    for pct in CACHE_PCTS:
+        r = out[pct]
+        keys = max(1, 5 * pct // 100)
+        covered = cum[keys - 1]
+        assert r["keys_cached"] == keys, pct
+        assert r["events_covered"] == covered, pct
+        assert r["n_keys"] == 5 and r["n_events"] == n_events
+        assert r["hit_pct"] == _rhu((covered - keys) * 100 * 100, n_events) / 100
+        assert r["coverage_pct"] == _rhu(covered * 100 * 100, n_events) / 100
+    # a frequency-aware cache of 20% of this universe already covers half
+    assert out[20]["coverage_pct"] == 50.0
+    assert out[100]["hit_pct"] == 75.0  # 5 compulsory misses out of 20
+
+
+def test_cache_hit_curve_tie_break_is_total(spark):
+    from inde1_spark.operators.analytics import cache_hit_curve
+
+    # all keys equally hot: rank order must fall back to user_id, so the
+    # 1-key row always picks user 1's coverage regardless of partitioning
+    rows = [_ev(i, (i % 4) + 1, i) for i in range(8)]
+    out = {
+        r["cache_pct"]: r
+        for r in cache_hit_curve(spark.createDataFrame(rows, EVENT_COLS)).collect()
+    }
+    assert out[1]["keys_cached"] == 1 and out[1]["events_covered"] == 2
+    assert out[100]["events_covered"] == 8
+
+
+def test_cache_hit_curve_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import cache_hit_curve
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert cache_hit_curve(empty).count() == 0
+
+
+def test_cache_hit_curve_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["cache_hit_curve"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # the bounded grid broadcasts into the rank equi-join, never SMJ
+    assert r.broadcast_hash_joins >= 1 and r.sort_merge_joins == 0
+    # only the key column is consumed, so the scan prunes to user_id
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# allowed_lateness_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_allowed_lateness_sweep_keyed_running_max(spark):
+    from inde1_spark.operators.analytics import (
+        LATENESS_DELAYS_S,
+        allowed_lateness_sweep,
+    )
+
+    rows = [
+        # user 1: one 50 s event-time regression in id order
+        _ev(1, 1, 100),
+        _ev(2, 1, 50),
+        _ev(3, 1, 200),
+        # user 2: monotone
+        _ev(4, 2, 0),
+        _ev(5, 2, 10),
+        # user 3: earlier than user 1's max — keyed, so NOT late
+        _ev(6, 3, 5),
+    ]
+    out = {
+        r["delay_s"]: r
+        for r in allowed_lateness_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(LATENESS_DELAYS_S)
+    for d in LATENESS_DELAYS_S:
+        r = out[d]
+        assert r["n_events"] == 6
+        assert r["max_lateness_s"] == 50
+        expect = 1 if d < 50 else 0
+        assert r["n_dropped"] == expect, d
+        assert r["drop_pct"] == _rhu(expect * 100 * 10**4, 6) / 10**4
+
+
+def test_allowed_lateness_sweep_monotone_in_delay(spark):
+    from inde1_spark.operators.analytics import allowed_lateness_sweep
+
+    # regressions of three magnitudes: 30 s, 400 s, 4000 s
+    rows = [
+        _ev(1, 1, 5000),
+        _ev(2, 1, 4970),
+        _ev(3, 1, 4600),
+        _ev(4, 1, 1000),
+    ]
+    out = [
+        (r["delay_s"], r["n_dropped"])
+        for r in allowed_lateness_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    ]
+    assert out == [(0, 3), (60, 2), (300, 2), (900, 1), (3600, 1)]
+
+
+def test_allowed_lateness_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import allowed_lateness_sweep
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert allowed_lateness_sweep(empty).count() == 0
+
+
+def test_allowed_lateness_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["allowed_lateness_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # keyed window: the per-user hash partitioning, never a global sort of
+    # the corpus (a single-partition window would print an empty clause)
+    assert "hashpartitioning(user_id" in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# blocking_key_sweep
+# ---------------------------------------------------------------------------
+
+
+def _bks_docs(spark):
+    same = "w1 w2 w3 w4 w5"
+    rows = [
+        (1, same, "en", "a", 100),
+        (2, same, "en", "b", 100),
+        (3, same, "fr", "a", 400),
+        (4, "x1 x2 x3 x4 x5", "en", "a", 100),
+    ]
+    return spark.createDataFrame(rows, DOC_COLS)
+
+
+def test_blocking_key_sweep_metrics_exact(spark):
+    from inde1_spark.operators.dedup import blocking_key_sweep
+
+    # truth pairs: (1,2),(1,3),(2,3) — identical texts, Jaccard 1.0
+    out = {r["feature"]: r for r in blocking_key_sweep(_bks_docs(spark)).collect()}
+    assert set(out) == {"lang", "source", "len_band", "lang_source"}
+    # blocks: lang en={1,2,4} fr={3}; source a={1,3,4} b={2};
+    # len_band (FS_LEN_BAND=256) 0={1,2,4} 1={3}; lang_source {1,4},{2},{3}
+    for feat, (nb, mb, cand, cob) in {
+        "lang": (2, 3, 3, 1),       # co-blocked truth pair: (1,2)
+        "source": (2, 3, 3, 1),     # (1,3)
+        "len_band": (2, 3, 3, 1),   # (1,2)
+        "lang_source": (3, 2, 1, 0),
+    }.items():
+        r = out[feat]
+        assert r["n_blocks"] == nb, feat
+        assert r["max_block"] == mb, feat
+        assert r["cand_pairs"] == str(cand), feat
+        assert r["cand_pairs_approx"] == float(cand), feat
+        assert r["n_true_pairs"] == 3, feat
+        assert r["n_coblocked"] == cob, feat
+        # reduction vs all-pairs bill n(n-1)/2 = 6
+        assert r["reduction_pct"] == _rhu((12 - 2 * cand) * 100 * 10**4, 12) / 10**4
+        assert r["completeness_pct"] == _rhu(cob * 100 * 100, 3) / 100
+
+
+def test_blocking_key_sweep_no_truth_pairs_is_null(spark):
+    from inde1_spark.operators.dedup import blocking_key_sweep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "a", 100),
+            (2, "one two three four five", "en", "a", 100),
+        ],
+        DOC_COLS,
+    )
+    for r in blocking_key_sweep(docs).collect():
+        assert r["n_true_pairs"] == 0 and r["n_coblocked"] == 0
+        assert r["completeness_pct"] is None
+        # block metrics still priced: both docs share every candidate key
+        assert r["cand_pairs"] == "1" and r["reduction_pct"] == 0.0
+
+
+def test_blocking_key_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.dedup import blocking_key_sweep
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert blocking_key_sweep(empty).count() == 0
+
+
+def test_blocking_key_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["blocking_key_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert r.nested_loop_joins == 0
