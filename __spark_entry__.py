@@ -956,6 +956,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_key_sweep": lambda sp, d: D.blocking_key_sweep(
             _t(sp, d, "documents")
         ),
+        # ----- r14 batch, second tranche (staged in r11) -----
+        "ttl_staleness_sweep": lambda sp, d: A.ttl_staleness_sweep(
+            _t(sp, d, "events")
+        ),
+        "trigger_interval_sweep": lambda sp, d: A.trigger_interval_sweep(
+            _t(sp, d, "events")
+        ),
+        "truncation_loss_sweep": lambda sp, d: C.truncation_loss_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

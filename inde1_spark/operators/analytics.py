@@ -11879,3 +11879,174 @@ def allowed_lateness_sweep(
             4,
         ).alias("drop_pct"),
     ).orderBy("delay_s")
+
+
+# ---------------------------------------------------------------------------
+# ttl_staleness_sweep: dimension-cache TTL price list from same-key gaps
+# ---------------------------------------------------------------------------
+
+# candidate dimension-cache TTLs (seconds) the sweep prices
+TTL_DELAYS_S = (60, 300, 900, 3600, 86400)
+
+
+def ttl_staleness_sweep(
+    events: DataFrame, ttls: tuple[int, ...] = TTL_DELAYS_S
+) -> DataFrame:
+    """TTL re-fetch price list for the enrichment dimension cache —
+    ``cache_hit_curve`` sizes the cache (how many keys fit), this prices
+    its FRESHNESS knob: with entries expiring after TTL D (the S9
+    ``enrich_users_ttl`` semantics; reference intent: the per-plate
+    dimension lookup in apps/srvc-alert's enrichment path), an event is
+    a remote fetch exactly when it is its key's first touch (compulsory)
+    or when the gap since the key's previous event exceeds D (the cached
+    entry expired). Replaying the archive per key in event-time order
+    yields, per candidate TTL, the exact miss and re-fetch counts — so
+    "TTL five minutes" becomes a measured remote-read budget, and the
+    flat tail of the curve shows where longer TTLs stop paying.
+
+    Every stage is keyed: ONE per-user lag window in truncated-second
+    event-time order (the sessionize_gap shuffle shape — no global
+    ordered scan); the TTL rollup explodes a bounded literal grid and
+    map-side combines. Gaps are differences of truncated-second
+    timestamps (tz offsets cancel; the allowed_lateness_sweep
+    convention); shares are wide-decimal round-half-up (corpus-scale
+    counts).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    ts_s = F.unix_timestamp("ts").cast("long")
+    base = events.select(
+        "event_id", "user_id", ts_s.alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = base.select(
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s")
+    )
+    out = (
+        gaps.select(
+            "gap_s",
+            F.explode(
+                F.array(*[F.lit(int(t)).cast("long") for t in ttls])
+            ).alias("ttl_s"),
+        )
+        .groupBy("ttl_s")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("gap_s").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keys"),
+            F.sum(
+                F.when(F.col("gap_s") > F.col("ttl_s"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_refetch"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )
+    den = F.greatest(F.col("n_events"), F.lit(1).cast("long"))
+    return out.select(
+        "ttl_s",
+        "n_events",
+        "n_keys",
+        "n_refetch",
+        (F.col("n_keys") + F.col("n_refetch")).alias("n_miss"),
+        "max_gap_s",
+        dec_ratio_round(
+            (F.col("n_keys") + F.col("n_refetch")) * 100, den, 4
+        ).alias("miss_pct"),
+        dec_ratio_round(F.col("n_refetch") * 100, den, 4).alias(
+            "refetch_pct"
+        ),
+    ).orderBy("ttl_s")
+
+
+# ---------------------------------------------------------------------------
+# trigger_interval_sweep: micro-batch sizing from event-time bucket volumes
+# ---------------------------------------------------------------------------
+
+# candidate processing-trigger intervals (seconds) the sweep prices
+TRIGGER_INTERVALS_S = (10, 60, 300, 900, 3600)
+
+
+def trigger_interval_sweep(
+    events: DataFrame, triggers: tuple[int, ...] = TRIGGER_INTERVALS_S
+) -> DataFrame:
+    """Micro-batch sizing price list for the processing-trigger knob
+    (T1/T5): replay the archive bucketed at each candidate trigger
+    interval T and price the batch-volume distribution a
+    ``processingTime="T seconds"`` trigger would see — batches observed,
+    slots in the covered span, empty slots (idle wakeups), the largest
+    batch (the straggler that sets micro-batch latency), the mean, and
+    peak-to-mean (batch skew: a high ratio at small T says the traffic
+    is bursty and the trigger should be wider or the sink rate-limited;
+    duty near 100% with a flat peak says T can shrink safely). The
+    reference pins @every-1m cadence (BASELINE envelope); this table is
+    the measured basis for moving that dial.
+
+    One pass: per-event bucket index is exact integer math on a tz-free
+    day index (datediff vs a literal epoch date) plus field-extracted
+    in-day seconds (the state_size_profile convention — no session-tz
+    epoch in a BUCKET boundary, where offsets do NOT cancel); the grid
+    is a bounded literal explode; per-(T, bucket) counts then per-T
+    stats, both map-side combinable. Exact longs; wide-decimal
+    round-half-up ratios (corpus-scale counts).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    abs_s = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    buckets = (
+        events.select(abs_s.alias("abs_s"))
+        .select(
+            "abs_s",
+            F.explode(
+                F.array(*[F.lit(int(t)).cast("long") for t in triggers])
+            ).alias("trigger_s"),
+        )
+        .groupBy(
+            "trigger_s",
+            F.expr("abs_s div trigger_s").alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_t = buckets.groupBy("trigger_s").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_batches"),
+        F.max("n").cast("long").alias("max_batch"),
+        (F.max("bucket") - F.min("bucket") + 1).cast("long").alias(
+            "n_slots"
+        ),
+    )
+    return per_t.select(
+        "trigger_s",
+        "n_events",
+        "n_batches",
+        "n_slots",
+        (F.col("n_slots") - F.col("n_batches")).alias("n_empty"),
+        "max_batch",
+        dec_ratio_round(
+            F.col("n_events"),
+            F.greatest(F.col("n_batches"), F.lit(1).cast("long")),
+            2,
+        ).alias("mean_batch"),
+        dec_ratio_round(
+            F.col("max_batch").cast("decimal(38,0)")
+            * F.col("n_batches")
+            * 100,
+            F.greatest(F.col("n_events"), F.lit(1).cast("long")),
+            2,
+        ).alias("peak_to_mean_pct"),
+        dec_ratio_round(
+            F.col("n_batches") * 100,
+            F.greatest(F.col("n_slots"), F.lit(1).cast("long")),
+            2,
+        ).alias("duty_pct"),
+    ).orderBy("trigger_s")

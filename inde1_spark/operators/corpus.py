@@ -2209,3 +2209,84 @@ def corpus_shard_plan(
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# truncation_loss_sweep: context-length price list over the document corpus
+# ---------------------------------------------------------------------------
+
+# candidate maximum sequence lengths (tokens) the sweep prices
+SEQ_LEN_GRID = (128, 512, 2048, 8192)
+
+
+def truncation_loss_sweep(
+    documents: DataFrame, lens: tuple[int, ...] = SEQ_LEN_GRID
+) -> DataFrame:
+    """Context-length price list — what does each candidate max sequence
+    length cost in truncated documents and discarded tokens? The
+    sibling decision table to ``pack_sequences`` (which lays documents
+    into shards at ONE budget): before committing a budget, this sweep
+    prices the grid — per candidate length L, the documents longer than
+    L (their tails are cut), the share of corpus tokens those cut tails
+    contain, and the corpus maximum (the smallest L that truncates
+    nothing). A knee where token loss collapses while doc truncation is
+    still high is the signature of a few long outliers — route those to
+    ``length_outliers`` trimming instead of buying context for them.
+
+    One projection computes each document's exact whitespace token
+    count (the ``tokens`` convention shared with pack_sequences /
+    vocab_coverage); the grid is a bounded literal explode and the
+    rollup map-side combines — no shuffle keyed on anything but the
+    4-row grid. Token sums are exact longs; shares are wide-decimal
+    round-half-up (corpus-scale token counts pass 2^53 * pct).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    base = documents.select(
+        F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    out = (
+        base.select(
+            "n_tok",
+            F.explode(
+                F.array(*[F.lit(int(n)).cast("long") for n in lens])
+            ).alias("max_len"),
+        )
+        .groupBy("max_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tok") > F.col("max_len"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(
+                F.greatest(
+                    F.col("n_tok") - F.col("max_len"),
+                    F.lit(0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("tokens_lost"),
+            F.max("n_tok").cast("long").alias("max_doc_tokens"),
+        )
+    )
+    return out.select(
+        "max_len",
+        "n_docs",
+        "n_docs_truncated",
+        "n_tokens",
+        "tokens_lost",
+        "max_doc_tokens",
+        dec_ratio_round(
+            F.col("n_docs_truncated") * 100,
+            F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
+            4,
+        ).alias("trunc_doc_pct"),
+        dec_ratio_round(
+            F.col("tokens_lost") * 100,
+            F.greatest(F.col("n_tokens"), F.lit(1).cast("long")),
+            4,
+        ).alias("token_loss_pct"),
+    ).orderBy("max_len")

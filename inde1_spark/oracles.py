@@ -13915,3 +13915,120 @@ ORDER BY p.feature
 
 
 STAGED_ORACLES["blocking_key_sweep"] = _blocking_key_sweep_sql()
+
+# ===========================================================================
+# r14 batch, second tranche (staged in r11): TTL pricing, trigger sizing,
+# context-length pricing. Same conventions: HUGEINT where Spark runs
+# DECIMAL(38,0), truncated-second epochs for differences, tz-free day-index
+# plus field extraction for bucket boundaries (offsets do NOT cancel there).
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    TRIGGER_INTERVALS_S,
+    TTL_DELAYS_S,
+)
+from inde1_spark.operators.corpus import SEQ_LEN_GRID  # noqa: E402
+
+# Twin of operators/analytics.py:ttl_staleness_sweep — per-key lag in
+# (truncated-second ts, event_id) order, literal TTL grid, HUGEINT shares.
+STAGED_ORACLES["ttl_staleness_sweep"] = f"""
+WITH g AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+         AS gap_s
+  FROM events
+),
+x AS (
+  SELECT gap_s, CAST(t AS BIGINT) AS ttl_s
+  FROM g, UNNEST([{', '.join(str(t) for t in TTL_DELAYS_S)}]) AS u(t)
+),
+agg AS (
+  SELECT ttl_s,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN gap_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keys,
+         CAST(SUM(CASE WHEN gap_s > ttl_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_refetch,
+         CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+  FROM x GROUP BY 1
+)
+SELECT ttl_s, n_events, n_keys, n_refetch,
+       n_keys + n_refetch AS n_miss, max_gap_s,
+       {_rrh("(n_keys + n_refetch) * 100", "GREATEST(n_events, 1)", 4)}
+         AS miss_pct,
+       {_rrh("n_refetch * 100", "GREATEST(n_events, 1)", 4)}
+         AS refetch_pct
+FROM agg ORDER BY ttl_s
+"""
+
+# Twin of operators/analytics.py:trigger_interval_sweep — tz-free absolute
+# second (day index * 86400 + extracted in-day seconds), floor-div buckets,
+# HUGEINT-promoted peak product.
+STAGED_ORACLES["trigger_interval_sweep"] = f"""
+WITH s AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) * 86400
+         + CAST(extract(hour FROM ts) AS BIGINT) * 3600
+         + CAST(extract(minute FROM ts) AS BIGINT) * 60
+         + CAST(extract(second FROM ts) AS BIGINT) AS abs_s
+  FROM events
+),
+x AS (
+  SELECT abs_s, CAST(t AS BIGINT) AS trigger_s
+  FROM s, UNNEST([{', '.join(str(t) for t in TRIGGER_INTERVALS_S)}]) AS u(t)
+),
+b AS (
+  SELECT trigger_s, abs_s // trigger_s AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2
+),
+p AS (
+  SELECT trigger_s,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(MAX(n) AS BIGINT) AS max_batch,
+         CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS n_slots
+  FROM b GROUP BY 1
+)
+SELECT trigger_s, n_events, n_batches, n_slots,
+       n_slots - n_batches AS n_empty, max_batch,
+       {_rrh("n_events", "GREATEST(n_batches, 1)", 2)} AS mean_batch,
+       {_rrh("CAST(max_batch AS HUGEINT) * n_batches * 100",
+             "GREATEST(n_events, 1)", 2)} AS peak_to_mean_pct,
+       {_rrh("n_batches * 100", "GREATEST(n_slots, 1)", 2)} AS duty_pct
+FROM p ORDER BY trigger_s
+"""
+
+# Twin of operators/corpus.py:truncation_loss_sweep — whitespace token
+# counts (string_split + list_filter, the tokens() convention), literal
+# length grid, HUGEINT shares.
+STAGED_ORACLES["truncation_loss_sweep"] = f"""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+x AS (
+  SELECT n_tok, CAST(l AS BIGINT) AS max_len
+  FROM d, UNNEST([{', '.join(str(n) for n in SEQ_LEN_GRID)}]) AS u(l)
+),
+a AS (
+  SELECT max_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_truncated,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(GREATEST(n_tok - max_len, 0)) AS BIGINT) AS tokens_lost,
+         CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+  FROM x GROUP BY 1
+)
+SELECT max_len, n_docs, n_docs_truncated, n_tokens, tokens_lost,
+       max_doc_tokens,
+       {_rrh("n_docs_truncated * 100", "GREATEST(n_docs, 1)", 4)}
+         AS trunc_doc_pct,
+       {_rrh("tokens_lost * 100", "GREATEST(n_tokens, 1)", 4)}
+         AS token_loss_pct
+FROM a ORDER BY max_len
+"""

@@ -1,4 +1,4 @@
-"""Semantics + plan invariants for the r14 STAGED batch (first tranche).
+"""Semantics + plan invariants for the r14 STAGED batch.
 
 Same style as test_r11/r12/r13_edge_cases: planted micro-datasets exercise
 the property each operator's docstring claims; plan-shape pins hold the
@@ -258,3 +258,207 @@ def test_blocking_key_sweep_plan(spark):
     )
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     assert r.nested_loop_joins == 0
+
+
+# ---------------------------------------------------------------------------
+# ttl_staleness_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_ttl_staleness_sweep_exact_and_boundary(spark):
+    from inde1_spark.operators.analytics import TTL_DELAYS_S, ttl_staleness_sweep
+
+    # user 1: gaps 100, 400; user 2: single touch; user 3: gap EXACTLY 60
+    # (== TTL is fresh — strict >, the entry expires AFTER ttl seconds)
+    rows = [
+        _ev(1, 1, 0),
+        _ev(2, 1, 100),
+        _ev(3, 1, 500),
+        _ev(4, 2, 50),
+        _ev(5, 3, 1000),
+        _ev(6, 3, 1060),
+    ]
+    out = {
+        r["ttl_s"]: r
+        for r in ttl_staleness_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(TTL_DELAYS_S)
+    refetch = {60: 2, 300: 1, 900: 0, 3600: 0, 86400: 0}
+    for t, nr in refetch.items():
+        r = out[t]
+        assert r["n_events"] == 6 and r["n_keys"] == 3
+        assert r["n_refetch"] == nr, t
+        assert r["n_miss"] == 3 + nr
+        assert r["max_gap_s"] == 400
+        assert r["miss_pct"] == _rhu((3 + nr) * 100 * 10**4, 6) / 10**4
+        assert r["refetch_pct"] == _rhu(nr * 100 * 10**4, 6) / 10**4
+
+
+def test_ttl_staleness_sweep_single_touch_keys_max_gap_null(spark):
+    from inde1_spark.operators.analytics import ttl_staleness_sweep
+
+    rows = [_ev(1, 1, 0), _ev(2, 2, 10)]
+    for r in ttl_staleness_sweep(spark.createDataFrame(rows, EVENT_COLS)).collect():
+        assert r["n_keys"] == 2 and r["n_refetch"] == 0
+        assert r["max_gap_s"] is None  # no second touch anywhere
+        assert r["miss_pct"] == 100.0 and r["refetch_pct"] == 0.0
+
+
+def test_ttl_staleness_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import ttl_staleness_sweep
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert ttl_staleness_sweep(empty).count() == 0
+
+
+def test_ttl_staleness_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["ttl_staleness_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # keyed lag window, never a global ordered scan
+    assert "hashpartitioning(user_id" in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# trigger_interval_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_trigger_interval_sweep_exact_buckets(spark):
+    from inde1_spark.operators.analytics import (
+        TRIGGER_INTERVALS_S,
+        trigger_interval_sweep,
+    )
+
+    # offsets 0,5,9,10,65,610 — 10 is a bucket BOUNDARY at T=10
+    rows = [_ev(i, 1, s) for i, s in enumerate([0, 5, 9, 10, 65, 610])]
+    out = {
+        r["trigger_s"]: r
+        for r in trigger_interval_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(TRIGGER_INTERVALS_S)
+    # T -> (n_batches, max_batch, n_slots)
+    expect = {
+        10: (4, 3, 62),
+        60: (3, 4, 11),
+        300: (2, 5, 3),
+        900: (1, 6, 1),
+        3600: (1, 6, 1),
+    }
+    for t, (nb, mx, ns) in expect.items():
+        r = out[t]
+        assert r["n_events"] == 6
+        assert r["n_batches"] == nb, t
+        assert r["max_batch"] == mx, t
+        assert r["n_slots"] == ns, t
+        assert r["n_empty"] == ns - nb
+        assert r["mean_batch"] == _rhu(6 * 100, nb) / 100
+        assert r["peak_to_mean_pct"] == _rhu(mx * nb * 100 * 100, 6) / 100
+        assert r["duty_pct"] == _rhu(nb * 100 * 100, ns) / 100
+
+
+def test_trigger_interval_sweep_crosses_midnight(spark):
+    from inde1_spark.operators.analytics import trigger_interval_sweep
+
+    # 23:59:30 and 00:00:30 next day land in DIFFERENT 60 s buckets but
+    # ADJACENT slots — the day-index spelling keeps the absolute axis
+    # continuous across the date boundary
+    rows = [_ev(1, 1, 86400 - 30), _ev(2, 1, 86400 + 30)]
+    out = {
+        r["trigger_s"]: r
+        for r in trigger_interval_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert out[60]["n_batches"] == 2 and out[60]["n_slots"] == 2
+    assert out[3600]["n_batches"] == 2 and out[3600]["n_slots"] == 2
+    assert out[900]["n_slots"] == 2  # 95 and 96
+
+
+def test_trigger_interval_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import trigger_interval_sweep
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert trigger_interval_sweep(empty).count() == 0
+
+
+def test_trigger_interval_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["trigger_interval_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # only the timestamp feeds the bucket axis
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz"}
+
+
+# ---------------------------------------------------------------------------
+# truncation_loss_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_loss_sweep_exact_and_boundary(spark):
+    from inde1_spark.operators.corpus import SEQ_LEN_GRID, truncation_loss_sweep
+
+    # token counts 0 (empty text), 1, 128 (== L boundary, NOT truncated),
+    # 129, 10000
+    def doc(i, n):
+        return (i, " ".join(["t"] * n), "en", "a", n)
+
+    docs = spark.createDataFrame(
+        [doc(1, 0), doc(2, 1), doc(3, 128), doc(4, 129), doc(5, 10000)],
+        DOC_COLS,
+    )
+    out = {r["max_len"]: r for r in truncation_loss_sweep(docs).collect()}
+    assert set(out) == set(SEQ_LEN_GRID)
+    lost = {128: (2, 1 + 9872), 512: (1, 9488), 2048: (1, 7952), 8192: (1, 1808)}
+    for L, (nt, tl) in lost.items():
+        r = out[L]
+        assert r["n_docs"] == 5 and r["n_tokens"] == 10258
+        assert r["n_docs_truncated"] == nt, L
+        assert r["tokens_lost"] == tl, L
+        assert r["max_doc_tokens"] == 10000
+        assert r["trunc_doc_pct"] == _rhu(nt * 100 * 10**4, 5) / 10**4
+        assert r["token_loss_pct"] == _rhu(tl * 100 * 10**4, 10258) / 10**4
+
+
+def test_truncation_loss_sweep_all_short_is_zero_loss(spark):
+    from inde1_spark.operators.corpus import truncation_loss_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "a", 5), (2, "d e", "en", "a", 3)], DOC_COLS
+    )
+    for r in truncation_loss_sweep(docs).collect():
+        assert r["n_docs_truncated"] == 0 and r["tokens_lost"] == 0
+        assert r["trunc_doc_pct"] == 0.0 and r["token_loss_pct"] == 0.0
+
+
+def test_truncation_loss_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.corpus import truncation_loss_sweep
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert truncation_loss_sweep(empty).count() == 0
+
+
+def test_truncation_loss_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["truncation_loss_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"text:string"}
