@@ -966,6 +966,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss_sweep": lambda sp, d: C.truncation_loss_sweep(
             _t(sp, d, "documents")
         ),
+        # ----- r14 batch, third tranche (staged in r11) -----
+        "lsh_bucket_balance_audit": lambda sp, d: D.lsh_bucket_balance_audit(
+            _t(sp, d, "documents")
+        ),
+        "shuffle_width_sweep": lambda sp, d: A.shuffle_width_sweep(
+            _t(sp, d, "events")
+        ),
+        "retention_policy_sweep": lambda sp, d: A.retention_policy_sweep(
+            _t(sp, d, "events")
+        ),
     }
 
 

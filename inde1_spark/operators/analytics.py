@@ -12050,3 +12050,172 @@ def trigger_interval_sweep(
             2,
         ).alias("duty_pct"),
     ).orderBy("trigger_s")
+
+
+# ---------------------------------------------------------------------------
+# shuffle_width_sweep: reducer-load curve per candidate shuffle width
+# ---------------------------------------------------------------------------
+
+# candidate shuffle widths (spark.sql.shuffle.partitions) the sweep prices
+SHUFFLE_WIDTHS = (32, 128, 512, 2048)
+
+
+def shuffle_width_sweep(
+    events: DataFrame, widths: tuple[int, ...] = SHUFFLE_WIDTHS
+) -> DataFrame:
+    """Reducer-load curve for the user-keyed shuffles per candidate
+    shuffle width — ``salting_plan`` prices WHICH keys need salting at
+    ONE width; this sweep prices the width knob itself
+    (``spark.sql.shuffle.partitions`` / the AQE advisory target): for
+    each candidate P, hash every key to its reducer (the engine-portable
+    md5 bucket as the hash-partitioner proxy — avalanche-mixed like
+    Murmur3, engine-identical unlike it) and report reducers actually
+    used, idle reducers, the largest reducer's row load, the mean, and
+    peak-to-mean. Where widening P stops lowering max_load, the residual
+    peak is a single hot KEY — the salting_plan regime, not a width
+    problem; reading the two tables together separates the knobs.
+
+    ONE map-side-combinable per-key count (the only corpus-volume
+    shuffle, reused across the whole grid); the width grid is a bounded
+    literal explode over the per-key table; per-(P, reducer) loads then
+    per-P stats map-side combine. Exact longs; the peak product is
+    DECIMAL(38,0)-promoted (LONG wraps on a 100 TB hot reducer);
+    wide-decimal round-half-up ratios.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    # hash_bucket's spelling with a COLUMN modulus (the text.py helper
+    # takes a literal): identical md5-prefix hash, width from the grid
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    loads = (
+        counts.select(
+            "user_id",
+            "n",
+            F.explode(
+                F.array(*[F.lit(int(w)).cast("long") for w in widths])
+            ).alias("width"),
+        )
+        .select(
+            "width",
+            "n",
+            (h % F.col("width")).alias("reducer"),
+        )
+        .groupBy("width", "reducer")
+        .agg(
+            F.sum("n").cast("long").alias("load"),
+            F.count("*").cast("long").alias("n_keys_r"),
+        )
+    )
+    per_w = loads.groupBy("width").agg(
+        F.sum("load").cast("long").alias("n_events"),
+        F.sum("n_keys_r").cast("long").alias("n_keys"),
+        F.count("*").cast("long").alias("reducers_used"),
+        F.max("load").cast("long").alias("max_load"),
+    )
+    return per_w.select(
+        "width",
+        "n_events",
+        "n_keys",
+        "reducers_used",
+        (F.col("width") - F.col("reducers_used")).alias("n_idle"),
+        "max_load",
+        dec_ratio_round(
+            F.col("n_events"),
+            F.greatest(F.col("reducers_used"), F.lit(1).cast("long")),
+            2,
+        ).alias("mean_load"),
+        dec_ratio_round(
+            F.col("max_load").cast("decimal(38,0)")
+            * F.col("reducers_used")
+            * 100,
+            F.greatest(F.col("n_events"), F.lit(1).cast("long")),
+            2,
+        ).alias("peak_to_mean_pct"),
+    ).orderBy("width")
+
+
+# ---------------------------------------------------------------------------
+# retention_policy_sweep: archive retention-horizon price list
+# ---------------------------------------------------------------------------
+
+# candidate retention horizons (days back from the corpus frontier)
+RETENTION_HORIZONS_D = (7, 30, 90, 365)
+
+
+def retention_policy_sweep(
+    events: DataFrame, horizons: tuple[int, ...] = RETENTION_HORIZONS_D
+) -> DataFrame:
+    """Retention-horizon price list for the archive (T8's policy knob):
+    for each candidate horizon H, keep only events within H days of the
+    corpus frontier (the newest day present) and price what a
+    drop-partitions-older-than-H job would retain — events kept, the
+    day span kept, and the key universes that survive vs vanish
+    entirely (an evicted key is an enrichment dimension entry with no
+    remaining facts — the downstream-join blast radius of the policy).
+    ``archive_prune_audit`` prices READ pruning at fixed cutoffs; this
+    prices the DELETE policy itself across the grid, so "retain 90
+    days" ships with its measured cost instead of a guess.
+
+    One pass: per-event day index is the tz-free datediff-vs-literal
+    spelling (partition-boundary safe — the trigger_interval_sweep
+    convention); the frontier is a 1-row broadcast; the horizon grid is
+    a bounded literal explode and the rollup map-side combines around
+    two conditional distincts (the state_size_profile shape). Exact
+    longs and wide-decimal round-half-up shares.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    day_idx = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    days = events.select(day_idx.alias("d"), "user_id")
+    frontier = days.agg(F.max("d").alias("d_max"))
+    kept = F.col("d") > F.col("d_max") - F.col("horizon_d")
+    out = (
+        days.crossJoin(F.broadcast(frontier))
+        .select(
+            "d",
+            "user_id",
+            "d_max",
+            F.explode(
+                F.array(*[F.lit(int(h)).cast("long") for h in horizons])
+            ).alias("horizon_d"),
+        )
+        .groupBy("horizon_d")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias("n_events_kept"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
+            F.countDistinct(F.when(kept, F.col("user_id")))
+            .cast("long")
+            .alias("n_keys_kept"),
+            F.countDistinct(F.when(kept, F.col("d")))
+            .cast("long")
+            .alias("n_days_kept"),
+        )
+    )
+    return out.select(
+        "horizon_d",
+        "n_events",
+        "n_events_kept",
+        "n_keys",
+        "n_keys_kept",
+        "n_days_kept",
+        dec_ratio_round(
+            F.col("n_events_kept") * 100,
+            F.greatest(F.col("n_events"), F.lit(1).cast("long")),
+            4,
+        ).alias("kept_pct"),
+        dec_ratio_round(
+            (F.col("n_keys") - F.col("n_keys_kept")) * 100,
+            F.greatest(F.col("n_keys"), F.lit(1).cast("long")),
+            4,
+        ).alias("keys_lost_pct"),
+    ).orderBy("horizon_d")

@@ -3708,3 +3708,107 @@ def blocking_key_sweep(documents: DataFrame) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+def lsh_bucket_balance_audit(documents: DataFrame) -> DataFrame:
+    """Straggler pricing for the LSH bucket self-join — ``minhash_band_sweep``
+    prices each banding config's candidate VOLUME and recall; this audit
+    prices the production banding's load BALANCE: per band, the bucket-size
+    distribution the verify join actually shuffles on. At 100 TB the
+    bucket join's wall-clock is its largest bucket — c docs in one bucket
+    is c*(c-1)/2 verify pairs on ONE reducer — so a band whose top bucket
+    carries most of the pair bill is the df-cap/salting signal
+    (``cap_shingle_df`` / the shingle_df_cap_sweep knob) BEFORE a dedup
+    run commits to this banding. Healthy bands show top-bucket shares
+    near the uniform floor; a degenerate sig (boilerplate corpus) shows
+    one bucket owning the band.
+
+    Signatures are the engine-portable md5 shingle ids under the
+    dictionary variant's affine perms (the minhash_band_sweep spelling,
+    so the DuckDB twin reproduces every minhash bit); ONE signature
+    groupBy, one bounded per-band explode, per-(band, sig) counts —
+    map-side combinable, no joins anywhere. Pair bills accumulate
+    c*(c-1) in DECIMAL(38,0) (LONG would wrap on a 100 TB hot bucket
+    where DuckDB's HUGEINT hard-errors) and are emitted as exact
+    strings plus digit-split doubles; the top-bucket share is exact
+    round-half-up, NULL when a band has no multi-doc bucket (both
+    engines identically).
+    """
+    from inde1_spark.functions.exprs import (
+        dec_floordiv,
+        dec_ratio_round,
+        dec_to_double_exact,
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    sh = shingle_table(documents)
+    sid = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sigs = (
+        sh.select("doc_id", sid.alias("sid"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"m{i}")
+                for i, a, b in PERMS
+            ]
+        )
+    )
+    rpb = N_PERM // N_BANDS
+    banded = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{b * rpb + r}").cast("string")
+                                for r in range(rpb)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.band", "s.sig")
+    buckets = banded.groupBy("band", "sig").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_band = buckets.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("buckets_multi"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum((d38(F.col("c")) * (F.col("c") - 1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("pairs2"),
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+    cand = dec_floordiv(F.col("pairs2"), two).cast("decimal(38,0)")
+    top2 = (d38(F.col("max_bucket")) * (F.col("max_bucket") - 1)).cast(
+        "decimal(38,0)"
+    )
+    top = dec_floordiv(top2, two).cast("decimal(38,0)")
+    return per_band.select(
+        "band",
+        "n_buckets",
+        "n_docs",
+        "buckets_multi",
+        "max_bucket",
+        cand.cast("string").alias("cand_pairs"),
+        dec_to_double_exact(cand).alias("cand_pairs_approx"),
+        F.when(
+            F.col("pairs2") > 0, dec_ratio_round(top * 100, cand, 2)
+        ).alias("top_bucket_share_pct"),
+    ).orderBy("band")

@@ -14032,3 +14032,143 @@ SELECT max_len, n_docs, n_docs_truncated, n_tokens, tokens_lost,
          AS token_loss_pct
 FROM a ORDER BY max_len
 """
+
+# ===========================================================================
+# r14 batch, third tranche (staged in r11): LSH bucket balance, shuffle
+# width pricing, retention policy pricing.
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    RETENTION_HORIZONS_D,
+    SHUFFLE_WIDTHS,
+)
+from inde1_spark.operators.dedup import N_BANDS, N_PERM  # noqa: E402
+
+
+# Twin of operators/dedup.py:lsh_bucket_balance_audit — md5 shingle ids,
+# the dictionary variant's affine perms, per-(band, sig) bucket counts,
+# HUGEINT pair bills with exact-string + digit-split-double emission.
+def _lsh_bucket_balance_sql() -> str:
+    p = MINHASH_PRIME
+    mins = ",\n         ".join(
+        f"CAST(MIN(({a} * sid + {b}) % {p}) AS BIGINT) AS m{i}"
+        for i, a, b in PERMS
+    )
+    rpb = N_PERM // N_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT {j} AS band, concat_ws(',', "
+        + ", ".join(f"m{j * rpb + k}" for k in range(rpb))
+        + ") AS sig FROM mh"
+        for j in range(N_BANDS)
+    )
+    cand = "(pairs2 - (pairs2 % 2)) // 2"
+    top = "(CAST(max_bucket AS HUGEINT) * (max_bucket - 1)) // 2"
+    return f"""
+WITH {_SHINGLES.strip().rstrip()},
+sids AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {p} AS sid
+  FROM sh
+),
+mh AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM sids GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+buckets AS (
+  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bands GROUP BY 1, 2
+),
+per_band AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS buckets_multi,
+         CAST(MAX(c) AS BIGINT) AS max_bucket,
+         SUM(CAST(c AS HUGEINT) * (c - 1)) AS pairs2
+  FROM buckets GROUP BY 1
+)
+SELECT CAST(band AS BIGINT) AS band, n_buckets, n_docs, buckets_multi,
+       max_bucket,
+       CAST({cand} AS VARCHAR) AS cand_pairs,
+       {_dec2d(cand)} AS cand_pairs_approx,
+       CASE WHEN pairs2 > 0 THEN
+         {_rrh(f"({top}) * 100", f"GREATEST({cand}, 1)", 2)}
+       END AS top_bucket_share_pct
+FROM per_band ORDER BY band
+"""
+
+
+STAGED_ORACLES["lsh_bucket_balance_audit"] = _lsh_bucket_balance_sql()
+
+# Twin of operators/analytics.py:shuffle_width_sweep — md5-prefix reducer
+# assignment with the width grid as a column modulus, HUGEINT-promoted
+# peak product.
+STAGED_ORACLES["shuffle_width_sweep"] = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+loads AS (
+  SELECT CAST(w AS BIGINT) AS width,
+         (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % CAST(w AS BIGINT)) AS reducer,
+         CAST(SUM(n) AS BIGINT) AS load,
+         CAST(COUNT(*) AS BIGINT) AS n_keys_r
+  FROM counts, UNNEST([{', '.join(str(w) for w in SHUFFLE_WIDTHS)}]) AS u(w)
+  GROUP BY 1, 2
+),
+per_w AS (
+  SELECT width,
+         CAST(SUM(load) AS BIGINT) AS n_events,
+         CAST(SUM(n_keys_r) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) AS BIGINT) AS reducers_used,
+         CAST(MAX(load) AS BIGINT) AS max_load
+  FROM loads GROUP BY 1
+)
+SELECT width, n_events, n_keys, reducers_used,
+       width - reducers_used AS n_idle, max_load,
+       {_rrh("n_events", "GREATEST(reducers_used, 1)", 2)} AS mean_load,
+       {_rrh("CAST(max_load AS HUGEINT) * reducers_used * 100",
+             "GREATEST(n_events, 1)", 2)} AS peak_to_mean_pct
+FROM per_w ORDER BY width
+"""
+
+# Twin of operators/analytics.py:retention_policy_sweep — tz-free day
+# index, 1-row frontier cross join, conditional distincts, HUGEINT shares.
+STAGED_ORACLES["retention_policy_sweep"] = f"""
+WITH days AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         user_id
+  FROM events
+),
+frontier AS (SELECT MAX(d) AS d_max FROM days),
+x AS (
+  SELECT d, user_id, d_max, CAST(h AS BIGINT) AS horizon_d
+  FROM days, frontier,
+       UNNEST([{', '.join(str(h) for h in RETENTION_HORIZONS_D)}]) AS u(h)
+),
+agg AS (
+  SELECT horizon_d,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN d > d_max - horizon_d THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_events_kept,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         CAST(COUNT(DISTINCT CASE WHEN d > d_max - horizon_d
+                                  THEN user_id END) AS BIGINT)
+           AS n_keys_kept,
+         CAST(COUNT(DISTINCT CASE WHEN d > d_max - horizon_d THEN d END)
+              AS BIGINT) AS n_days_kept
+  FROM x GROUP BY 1
+)
+SELECT horizon_d, n_events, n_events_kept, n_keys, n_keys_kept, n_days_kept,
+       {_rrh("n_events_kept * 100", "GREATEST(n_events, 1)", 4)}
+         AS kept_pct,
+       {_rrh("(n_keys - n_keys_kept) * 100", "GREATEST(n_keys, 1)", 4)}
+         AS keys_lost_pct
+FROM agg ORDER BY horizon_d
+"""

@@ -462,3 +462,212 @@ def test_truncation_loss_sweep_plan(spark):
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"text:string"}
+
+
+# ---------------------------------------------------------------------------
+# lsh_bucket_balance_audit
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_balance_identical_docs_own_every_band(spark):
+    from inde1_spark.operators.dedup import N_BANDS, lsh_bucket_balance_audit
+
+    same = "a b c d e f g"
+    docs = spark.createDataFrame(
+        [
+            (1, same, "en", "a", 10),
+            (2, same, "en", "a", 10),
+            (3, same, "en", "a", 10),
+            (4, "p q r s t u v", "en", "a", 10),
+        ],
+        DOC_COLS,
+    )
+    out = lsh_bucket_balance_audit(docs).collect()
+    assert [r["band"] for r in out] == list(range(N_BANDS))
+    for r in out:
+        # the three identical docs share every band bucket; the distinct
+        # doc lands elsewhere (disjoint shingles -> disjoint sids)
+        assert r["n_docs"] == 4
+        assert r["max_bucket"] == 3 and r["buckets_multi"] == 1
+        assert r["n_buckets"] == 2
+        assert r["cand_pairs"] == "3" and r["cand_pairs_approx"] == 3.0
+        assert r["top_bucket_share_pct"] == 100.0
+
+
+def test_lsh_bucket_balance_no_collisions_is_null_share(spark):
+    from inde1_spark.operators.dedup import lsh_bucket_balance_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "a", 10),
+            (2, "one two three four", "en", "a", 10),
+        ],
+        DOC_COLS,
+    )
+    for r in lsh_bucket_balance_audit(docs).collect():
+        assert r["buckets_multi"] == 0 and r["max_bucket"] == 1
+        assert r["cand_pairs"] == "0"
+        assert r["top_bucket_share_pct"] is None
+
+
+def test_lsh_bucket_balance_empty_is_empty(spark):
+    from inde1_spark.operators.dedup import lsh_bucket_balance_audit
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert lsh_bucket_balance_audit(empty).count() == 0
+
+
+def test_lsh_bucket_balance_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["lsh_bucket_balance_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # counts-only: the signature groupBy feeds aggregates, never a join
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string"}
+
+
+# ---------------------------------------------------------------------------
+# shuffle_width_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_width_sweep_matches_python_hash(spark):
+    import hashlib
+
+    from inde1_spark.operators.analytics import SHUFFLE_WIDTHS, shuffle_width_sweep
+
+    freqs = {1: 7, 2: 5, 3: 3, 4: 2, 5: 1, 6: 1, 7: 1}
+    rows, eid = [], 0
+    for uid, k in freqs.items():
+        for _ in range(k):
+            rows.append(_ev(eid, uid, eid))
+            eid += 1
+    out = {
+        r["width"]: r
+        for r in shuffle_width_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(SHUFFLE_WIDTHS)
+    for w in SHUFFLE_WIDTHS:
+        loads = {}
+        for uid, k in freqs.items():
+            b = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % w
+            loads[b] = loads.get(b, 0) + k
+        r = out[w]
+        assert r["n_events"] == 20 and r["n_keys"] == 7
+        assert r["reducers_used"] == len(loads), w
+        assert r["n_idle"] == w - len(loads)
+        assert r["max_load"] == max(loads.values()), w
+        assert r["mean_load"] == _rhu(20 * 100, len(loads)) / 100
+        assert (
+            r["peak_to_mean_pct"]
+            == _rhu(max(loads.values()) * len(loads) * 100 * 100, 20) / 100
+        )
+
+
+def test_shuffle_width_sweep_one_hot_key_is_width_immune(spark):
+    from inde1_spark.operators.analytics import shuffle_width_sweep
+
+    # all events on one key: max_load == n_events at EVERY width — the
+    # residual peak a wider shuffle cannot fix (salting_plan's regime)
+    rows = [_ev(i, 42, i) for i in range(9)]
+    for r in shuffle_width_sweep(spark.createDataFrame(rows, EVENT_COLS)).collect():
+        assert r["reducers_used"] == 1 and r["max_load"] == 9
+        assert r["mean_load"] == 9.0 and r["peak_to_mean_pct"] == 100.0
+
+
+def test_shuffle_width_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import shuffle_width_sweep
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert shuffle_width_sweep(empty).count() == 0
+
+
+def test_shuffle_width_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["shuffle_width_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# retention_policy_sweep
+# ---------------------------------------------------------------------------
+
+
+def _ret_ev(eid: int, uid: int, age_d: int):
+    # frontier is the newest day; age_d = days before it
+    return (eid, T0 + timedelta(days=400 - age_d), uid, "view", 1.0, "{}")
+
+
+def test_retention_policy_sweep_exact_and_boundary(spark):
+    from inde1_spark.operators.analytics import (
+        RETENTION_HORIZONS_D,
+        retention_policy_sweep,
+    )
+
+    # ages 0, 6, 7, 29, 400 — age 7 is the H=7 BOUNDARY (dropped: the
+    # policy keeps strictly-younger-than-H days, frontier inclusive)
+    rows = [
+        _ret_ev(1, 1, 0),
+        _ret_ev(2, 2, 6),
+        _ret_ev(3, 3, 7),
+        _ret_ev(4, 4, 29),
+        _ret_ev(5, 1, 400),
+    ]
+    out = {
+        r["horizon_d"]: r
+        for r in retention_policy_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(RETENTION_HORIZONS_D)
+    expect = {
+        7: (2, 2, 2),    # events kept, keys kept, days kept
+        30: (4, 4, 4),
+        90: (4, 4, 4),
+        365: (4, 4, 4),
+    }
+    for h, (ne, nk, nd) in expect.items():
+        r = out[h]
+        assert r["n_events"] == 5 and r["n_keys"] == 4
+        assert r["n_events_kept"] == ne, h
+        assert r["n_keys_kept"] == nk, h
+        assert r["n_days_kept"] == nd, h
+        assert r["kept_pct"] == _rhu(ne * 100 * 10**4, 5) / 10**4
+        assert r["keys_lost_pct"] == _rhu((4 - nk) * 100 * 10**4, 4) / 10**4
+    # user 1 has an event at the frontier AND one 400 days back: the key
+    # SURVIVES every horizon (keys_lost counts fully evicted keys only)
+    assert out[7]["n_keys_kept"] == 2
+
+
+def test_retention_policy_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import retention_policy_sweep
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    assert retention_policy_sweep(empty).count() == 0
+
+
+def test_retention_policy_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["retention_policy_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # the frontier is a 1-row broadcast, never a shuffled join; its scan
+    # prunes to ts alone while the fact side reads (ts, user_id)
+    assert r.sort_merge_joins == 0
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint", "ts:timestamp_ntz"}
