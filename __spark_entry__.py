@@ -976,6 +976,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_policy_sweep": lambda sp, d: A.retention_policy_sweep(
             _t(sp, d, "events")
         ),
+        # ----- r14 batch, fourth tranche (staged in r11) -----
+        "column_completeness_audit": lambda sp, d: A.column_completeness_audit(
+            _t(sp, d, "events")
+        ),
+        "scan_split_sweep": lambda sp, d: A.scan_split_sweep(
+            _t(sp, d, "events")
+        ),
+        "rate_limit_sweep": lambda sp, d: A.rate_limit_sweep(
+            _t(sp, d, "events")
+        ),
     }
 
 

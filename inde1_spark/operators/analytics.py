@@ -12219,3 +12219,319 @@ def retention_policy_sweep(
             4,
         ).alias("keys_lost_pct"),
     ).orderBy("horizon_d")
+
+
+# ---------------------------------------------------------------------------
+# column_completeness_audit: per-column null/empty hygiene over events
+# ---------------------------------------------------------------------------
+
+# (column, is-string) roster the completeness audit walks — the events
+# table's full top-level schema
+COMPLETENESS_COLS = (
+    ("event_id", False),
+    ("event_type", True),
+    ("props", True),
+    ("ts", False),
+    ("user_id", False),
+    ("value", False),
+)
+
+
+def column_completeness_audit(events: DataFrame) -> DataFrame:
+    """Per-column completeness ledger for the events table — the hygiene
+    dashboard row every ingest contract check starts from: for each
+    top-level column, the exact null count and share, and for string
+    columns the empty-string count and share (NULL for non-strings —
+    "not applicable" stays distinguishable from "zero empties").
+    ``fk_integrity_audit`` prices null JOIN keys and
+    ``json_props_audit`` walks inside the props map; this is the
+    column-level sibling that catches a writer regressing to
+    all-null/all-empty on ANY field before those downstream audits see
+    it. At 100 TB an all-null column is also a storage/plan signal
+    (prune it; its scans and shuffles are pure waste).
+
+    One row-local explode of a bounded per-row struct array (no joins),
+    one 6-row aggregate — map-side combinable, corpus-volume work is a
+    single pass. Wide-decimal round-half-up shares.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.col(name).isNull().cast("long").alias("is_null"),
+                        (
+                            (F.col(name) == F.lit("")).cast("long")
+                            if is_str
+                            else F.lit(None).cast("long")
+                        ).alias("is_empty"),
+                    )
+                    for name, is_str in COMPLETENESS_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.is_null", "s.is_empty")
+    agg = cells.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("is_empty").cast("long").alias("n_empty"),
+    )
+    den = F.greatest(F.col("n_rows"), F.lit(1).cast("long"))
+    return agg.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        dec_ratio_round(F.col("n_null") * 100, den, 4).alias("null_pct"),
+        "n_empty",
+        F.when(
+            F.col("n_empty").isNotNull(),
+            dec_ratio_round(
+                F.coalesce(F.col("n_empty"), F.lit(0)) * 100, den, 4
+            ),
+        ).alias("empty_pct"),
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# scan_split_sweep: maxPartitionBytes price list over the daily layout
+# ---------------------------------------------------------------------------
+
+# candidate scan-split sizes (bytes) — the maxPartitionBytes knob grid
+SCAN_SPLIT_BYTES = (
+    16 * 1024 * 1024,
+    64 * 1024 * 1024,
+    128 * 1024 * 1024,
+    256 * 1024 * 1024,
+)
+
+
+def scan_split_sweep(
+    events: DataFrame, splits: tuple[int, ...] = SCAN_SPLIT_BYTES
+) -> DataFrame:
+    """Scan-granularity price list for ``spark.sql.files.maxPartitionBytes``
+    — ``shuffle_width_sweep`` prices the WRITE-side width knob; this
+    prices the READ side: with the archive laid out per day (modeled
+    bytes = rows x the file_compaction_plan row-size constant), each
+    candidate split size S yields ceil(day_bytes/S) scan tasks per day.
+    The table reports the task bill per S — total tasks (compare to the
+    cluster's core count: fewer tasks than cores is dead parallelism),
+    mean task bytes, the largest task, and the RUNT share (each day's
+    remainder task under S/2 — scheduling overhead that a smaller S
+    multiplies and day-boundary alignment causes). The smallest S whose
+    task count still saturates the cluster with a low runt share is the
+    setting.
+
+    ONE map-side-combinable per-day count, a bounded literal grid
+    explode over the per-day table, exact integer ceil/remainder math,
+    wide-decimal round-half-up shares.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    day_s = _day_str()
+    per_day = events.groupBy(day_s.alias("day")).agg(
+        (F.count("*") * F.lit(COMPACT_ROW_BYTES))
+        .cast("long")
+        .alias("day_bytes")
+    )
+    x = per_day.select(
+        "day_bytes",
+        F.explode(
+            F.array(*[F.lit(int(s)).cast("long") for s in splits])
+        ).alias("split_bytes"),
+    ).select(
+        "split_bytes",
+        "day_bytes",
+        F.expr("(day_bytes + split_bytes - 1) div split_bytes").alias(
+            "tasks_d"
+        ),
+    )
+    x = x.select(
+        "split_bytes",
+        "day_bytes",
+        "tasks_d",
+        (
+            F.col("day_bytes")
+            - (F.col("tasks_d") - 1) * F.col("split_bytes")
+        ).alias("rem_bytes"),
+    )
+    agg = x.groupBy("split_bytes").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("day_bytes").cast("long").alias("total_bytes"),
+        F.sum("tasks_d").cast("long").alias("n_tasks"),
+        F.sum(
+            F.when(F.col("rem_bytes") * 2 < F.col("split_bytes"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("runt_tasks"),
+        F.max(F.least(F.col("day_bytes"), F.col("split_bytes")))
+        .cast("long")
+        .alias("max_task_bytes"),
+    )
+    return agg.select(
+        "split_bytes",
+        "n_days",
+        "total_bytes",
+        "n_tasks",
+        "max_task_bytes",
+        dec_ratio_round(
+            F.col("total_bytes"),
+            F.greatest(F.col("n_tasks"), F.lit(1).cast("long")),
+            0,
+        ).alias("mean_task_bytes"),
+        "runt_tasks",
+        dec_ratio_round(
+            F.col("runt_tasks") * 100,
+            F.greatest(F.col("n_tasks"), F.lit(1).cast("long")),
+            2,
+        ).alias("runt_pct"),
+    ).orderBy("split_bytes")
+
+
+# ---------------------------------------------------------------------------
+# rate_limit_sweep: ingest backpressure price list (queueing replay)
+# ---------------------------------------------------------------------------
+
+# candidate drain rates as a percent of the corpus mean arrival rate
+RATE_PCTS = (50, 75, 100, 150, 300)
+
+
+def rate_limit_sweep(
+    events: DataFrame, pcts: tuple[int, ...] = RATE_PCTS
+) -> DataFrame:
+    """Backpressure price list for the ingest rate-limit knob
+    (maxOffsetsPerTrigger / sink rate caps): replay the archive's
+    per-minute arrival series against candidate drain rates R — each a
+    percent of the corpus MEAN rate, so the grid is scale-free — and
+    compute the exact queueing consequences via the Lindley recursion in
+    closed form: backlog after minute t is (C_t - min_{s<=t} C_s)
+    with C_t = cum_arrivals_t - R*t. Reported per rate: the peak
+    backlog (the buffer/lag high-water mark), the share of arrival
+    minutes spent with a backlog (how often the consumer is behind),
+    and the drain time after the last arrival. A sub-100% rate that
+    never backlogs beyond one trigger says the traffic is smooth enough
+    to under-provision; a 300% rate that still peaks says the bursts,
+    not the mean, size the pipeline.
+
+    Corpus-volume work is ONE map-side-combinable per-minute count
+    (minute index is the tz-free day-index spelling — bucket boundaries,
+    so session-tz offsets must not shift them); the bounded per-minute
+    series then carries two ordered windows per rate (cumulative sum +
+    running min — the deliberate small-table global pass, the
+    cache_hit_curve convention; empty minutes need no rows because C
+    only falls inside a gap, so each gap's minimum is priced at the
+    NEXT arrival row's just-before value). Exact longs throughout;
+    wide-decimal round-half-up shares.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    abs_s = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    arr = events.select(abs_s.alias("abs_s")).select(
+        F.expr("abs_s div 60").alias("m")
+    ).groupBy("m").agg(F.count("*").cast("long").alias("a"))
+    totals = arr.agg(
+        F.sum("a").cast("long").alias("total"),
+        F.min("m").cast("long").alias("m_min"),
+        F.max("m").cast("long").alias("m_max"),
+        F.count("*").cast("long").alias("n_minutes"),
+    )
+    grid = totals.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+        ).alias("rate_pct"),
+        "total",
+        "m_min",
+        "m_max",
+        "n_minutes",
+    ).select(
+        "rate_pct",
+        "total",
+        "m_min",
+        "m_max",
+        "n_minutes",
+        (F.col("m_max") - F.col("m_min") + 1).alias("span_min"),
+    )
+    grid = grid.select(
+        "*",
+        F.expr(
+            "(total * rate_pct + span_min * 100 - 1) div (span_min * 100)"
+        ).alias("rate_per_min"),
+    )
+    ser = arr.crossJoin(F.broadcast(grid))
+    w_cum = (
+        Window.partitionBy("rate_pct")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # relative minute index (1-based); C_t = cum - R*t; the just-before
+    # value p prices the gap's drain (C falls monotonically in a gap)
+    ser = ser.select(
+        "*",
+        (F.col("m") - F.col("m_min") + 1).alias("t"),
+        F.sum("a").over(w_cum).alias("cum"),
+    )
+    ser = ser.select(
+        "*",
+        (F.col("cum") - F.col("rate_per_min") * F.col("t")).alias("c_t"),
+        (
+            (F.col("cum") - F.col("a"))
+            - F.col("rate_per_min") * (F.col("t") - 1)
+        ).alias("p_t"),
+    )
+    ser = ser.select(
+        "*",
+        F.least(
+            F.lit(0).cast("long"), F.min("p_t").over(w_cum)
+        ).alias("min_c"),
+    )
+    ser = ser.select(
+        "*",
+        F.greatest(
+            F.lit(0).cast("long"), F.col("c_t") - F.col("min_c")
+        ).alias("backlog"),
+    )
+    agg = ser.groupBy("rate_pct").agg(
+        F.max("total").alias("n_events"),
+        F.max("n_minutes").alias("n_minutes"),
+        F.max("span_min").alias("span_min"),
+        F.max("rate_per_min").alias("rate_per_min"),
+        F.max("backlog").cast("long").alias("peak_backlog"),
+        F.sum(F.when(F.col("backlog") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("backlogged_minutes"),
+        F.max(
+            F.when(F.col("m") == F.col("m_max"), F.col("backlog"))
+        )
+        .cast("long")
+        .alias("end_backlog"),
+    )
+    return agg.select(
+        "rate_pct",
+        "n_events",
+        "n_minutes",
+        "span_min",
+        "rate_per_min",
+        "peak_backlog",
+        "backlogged_minutes",
+        dec_ratio_round(
+            F.col("backlogged_minutes") * 100,
+            F.greatest(F.col("n_minutes"), F.lit(1).cast("long")),
+            2,
+        ).alias("backlogged_pct"),
+        F.expr(
+            "(end_backlog + rate_per_min - 1) div rate_per_min"
+        ).alias("drain_min"),
+    ).orderBy("rate_pct")

@@ -14172,3 +14172,160 @@ SELECT horizon_d, n_events, n_events_kept, n_keys, n_keys_kept, n_days_kept,
          AS keys_lost_pct
 FROM agg ORDER BY horizon_d
 """
+
+# ===========================================================================
+# r14 batch, fourth tranche (staged in r11): column hygiene, scan split
+# pricing, ingest backpressure (Lindley recursion in closed form).
+# ===========================================================================
+
+from inde1_spark.operators.analytics import (  # noqa: E402
+    COMPACT_ROW_BYTES,
+    COMPLETENESS_COLS,
+    RATE_PCTS,
+    SCAN_SPLIT_BYTES,
+)
+
+
+# Twin of operators/analytics.py:column_completeness_audit — one branch per
+# column, NULL n_empty for non-strings ("not applicable", not zero).
+def _column_completeness_sql() -> str:
+    branches = []
+    for name, is_str in COMPLETENESS_COLS:
+        ne = (
+            f"CAST(SUM(CASE WHEN {name} = '' THEN 1 ELSE 0 END) AS BIGINT)"
+            if is_str
+            else "CAST(NULL AS BIGINT)"
+        )
+        branches.append(
+            f"  SELECT '{name}' AS col_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_null,"
+            f" {ne} AS n_empty FROM events"
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH cols AS (
+{union}
+)
+SELECT col_name, n_rows, n_null,
+       {_rrh("n_null * 100", "GREATEST(n_rows, 1)", 4)} AS null_pct,
+       n_empty,
+       CASE WHEN n_empty IS NOT NULL THEN
+         {_rrh("COALESCE(n_empty, 0) * 100", "GREATEST(n_rows, 1)", 4)}
+       END AS empty_pct
+FROM cols ORDER BY col_name
+"""
+
+
+STAGED_ORACLES["column_completeness_audit"] = _column_completeness_sql()
+
+# Twin of operators/analytics.py:scan_split_sweep — per-day modeled bytes,
+# exact integer ceil/remainder split math, literal split grid.
+STAGED_ORACLES["scan_split_sweep"] = f"""
+WITH per_day AS (
+  SELECT {_DAY} AS day,
+         CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS day_bytes
+  FROM events GROUP BY 1
+),
+x AS (
+  SELECT CAST(s AS BIGINT) AS split_bytes, day_bytes,
+         (day_bytes + CAST(s AS BIGINT) - 1) // CAST(s AS BIGINT) AS tasks_d
+  FROM per_day,
+       UNNEST([{', '.join(str(s) for s in SCAN_SPLIT_BYTES)}]) AS u(s)
+),
+y AS (
+  SELECT split_bytes, day_bytes, tasks_d,
+         day_bytes - (tasks_d - 1) * split_bytes AS rem_bytes
+  FROM x
+),
+agg AS (
+  SELECT split_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(day_bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(tasks_d) AS BIGINT) AS n_tasks,
+         CAST(SUM(CASE WHEN rem_bytes * 2 < split_bytes THEN 1 ELSE 0 END)
+              AS BIGINT) AS runt_tasks,
+         CAST(MAX(LEAST(day_bytes, split_bytes)) AS BIGINT)
+           AS max_task_bytes
+  FROM y GROUP BY 1
+)
+SELECT split_bytes, n_days, total_bytes, n_tasks, max_task_bytes,
+       {_rrh("total_bytes", "GREATEST(n_tasks, 1)", 0)} AS mean_task_bytes,
+       runt_tasks,
+       {_rrh("runt_tasks * 100", "GREATEST(n_tasks, 1)", 2)} AS runt_pct
+FROM agg ORDER BY split_bytes
+"""
+
+# Twin of operators/analytics.py:rate_limit_sweep — tz-free minute index,
+# per-rate ceil of the scale-free mean-rate grid, Lindley backlog via
+# cumulative-sum and running-min windows over the bounded minute series.
+STAGED_ORACLES["rate_limit_sweep"] = f"""
+WITH arr AS (
+  SELECT (CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) * 86400
+          + CAST(extract(hour FROM ts) AS BIGINT) * 3600
+          + CAST(extract(minute FROM ts) AS BIGINT) * 60
+          + CAST(extract(second FROM ts) AS BIGINT)) // 60 AS m,
+         CAST(COUNT(*) AS BIGINT) AS a
+  FROM events GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS total,
+         CAST(MIN(m) AS BIGINT) AS m_min,
+         CAST(MAX(m) AS BIGINT) AS m_max,
+         CAST(COUNT(*) AS BIGINT) AS n_minutes
+  FROM arr
+),
+grid AS (
+  SELECT CAST(p AS BIGINT) AS rate_pct, total, m_min, m_max, n_minutes,
+         m_max - m_min + 1 AS span_min,
+         (total * CAST(p AS BIGINT) + (m_max - m_min + 1) * 100 - 1)
+           // ((m_max - m_min + 1) * 100) AS rate_per_min
+  FROM totals, UNNEST([{', '.join(str(p) for p in RATE_PCTS)}]) AS u(p)
+),
+ser AS (
+  SELECT g.*, r.m, r.a,
+         r.m - g.m_min + 1 AS t,
+         CAST(SUM(r.a) OVER (PARTITION BY g.rate_pct ORDER BY r.m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM arr r, grid g
+),
+ser2 AS (
+  SELECT *, cum - rate_per_min * t AS c_t,
+         (cum - a) - rate_per_min * (t - 1) AS p_t
+  FROM ser
+),
+ser3 AS (
+  SELECT *,
+         LEAST(CAST(0 AS BIGINT),
+               MIN(p_t) OVER (PARTITION BY rate_pct ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS min_c
+  FROM ser2
+),
+ser4 AS (
+  SELECT *, GREATEST(CAST(0 AS BIGINT), c_t - min_c) AS backlog
+  FROM ser3
+),
+agg AS (
+  SELECT rate_pct,
+         CAST(MAX(total) AS BIGINT) AS n_events,
+         CAST(MAX(n_minutes) AS BIGINT) AS n_minutes,
+         CAST(MAX(span_min) AS BIGINT) AS span_min,
+         CAST(MAX(rate_per_min) AS BIGINT) AS rate_per_min,
+         CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+         CAST(SUM(CASE WHEN backlog > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS backlogged_minutes,
+         CAST(MAX(CASE WHEN m = m_max THEN backlog END) AS BIGINT)
+           AS end_backlog
+  FROM ser4 GROUP BY 1
+)
+SELECT rate_pct, n_events, n_minutes, span_min, rate_per_min, peak_backlog,
+       backlogged_minutes,
+       {_rrh("backlogged_minutes * 100", "GREATEST(n_minutes, 1)", 2)}
+         AS backlogged_pct,
+       (end_backlog + rate_per_min - 1) // rate_per_min AS drain_min
+FROM agg ORDER BY rate_pct
+"""

@@ -671,3 +671,195 @@ def test_retention_policy_sweep_plan(spark):
     assert r.sort_merge_joins == 0
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"ts:timestamp_ntz,user_id:bigint", "ts:timestamp_ntz"}
+
+
+# ---------------------------------------------------------------------------
+# column_completeness_audit
+# ---------------------------------------------------------------------------
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def test_column_completeness_audit_exact(spark):
+    from inde1_spark.operators.analytics import column_completeness_audit
+
+    rows = [
+        (1, T0, 1, "view", 1.0, "{}"),
+        (2, T0, 2, "", 2.0, "{}"),          # empty event_type
+        (3, T0, None, None, 3.0, "{}"),      # null user_id + event_type
+        (4, T0, 4, "view", None, ""),        # null value, empty props
+    ]
+    out = {
+        r["col_name"]: r
+        for r in column_completeness_audit(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    expect = {
+        # col -> (n_null, n_empty or None)
+        "event_id": (0, None),
+        "ts": (0, None),
+        "user_id": (1, None),
+        "event_type": (1, 1),
+        "value": (1, None),
+        "props": (0, 1),
+    }
+    for c, (nn, ne) in expect.items():
+        r = out[c]
+        assert r["n_rows"] == 4, c
+        assert r["n_null"] == nn, c
+        assert r["null_pct"] == _rhu(nn * 100 * 10**4, 4) / 10**4
+        assert r["n_empty"] == ne, c
+        if ne is None:
+            assert r["empty_pct"] is None, c
+        else:
+            assert r["empty_pct"] == _rhu(ne * 100 * 10**4, 4) / 10**4
+
+
+def test_column_completeness_audit_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import column_completeness_audit
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert column_completeness_audit(empty).count() == 0
+
+
+def test_column_completeness_audit_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["column_completeness_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+
+
+# ---------------------------------------------------------------------------
+# scan_split_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_scan_split_sweep_exact_ceil_and_runts(spark):
+    from inde1_spark.operators.analytics import scan_split_sweep
+
+    # day 1: 10 rows -> 640 modeled bytes; day 2: 2 rows -> 128
+    rows = [_ev(i, 1, i) for i in range(10)] + [
+        _ev(100, 1, 86400 + 1),
+        _ev(101, 1, 86400 + 2),
+    ]
+    out = {
+        r["split_bytes"]: r
+        for r in scan_split_sweep(
+            spark.createDataFrame(rows, EVENT_COLS), splits=(100, 1000)
+        ).collect()
+    }
+    r = out[100]
+    # ceil(640/100)=7 tasks rem 40 (runt), ceil(128/100)=2 rem 28 (runt)
+    assert r["n_days"] == 2 and r["total_bytes"] == 768
+    assert r["n_tasks"] == 9 and r["runt_tasks"] == 2
+    assert r["max_task_bytes"] == 100
+    assert r["mean_task_bytes"] == float(_rhu(768, 9))
+    assert r["runt_pct"] == _rhu(2 * 100 * 100, 9) / 100
+    r = out[1000]
+    # whole days fit: rem == day_bytes; 128*2 < 1000 is the only runt
+    assert r["n_tasks"] == 2 and r["runt_tasks"] == 1
+    assert r["max_task_bytes"] == 640
+    assert r["mean_task_bytes"] == 384.0 and r["runt_pct"] == 50.0
+
+
+def test_scan_split_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import scan_split_sweep
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert scan_split_sweep(empty).count() == 0
+
+
+def test_scan_split_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["scan_split_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz"}
+
+
+# ---------------------------------------------------------------------------
+# rate_limit_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_rate_limit_sweep_lindley_exact(spark):
+    from inde1_spark.operators.analytics import RATE_PCTS, rate_limit_sweep
+
+    # minute 0: 10 arrivals; minute 1 empty; minute 2: 4 — span 3, total 14
+    rows = [_ev(i, 1, i) for i in range(10)] + [
+        _ev(100 + i, 1, 120 + i) for i in range(4)
+    ]
+    out = {
+        r["rate_pct"]: r
+        for r in rate_limit_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(RATE_PCTS)
+    # R = ceil(14*pct/300); hand-rolled Lindley per R over [10, 0, 4]
+    expect = {
+        50: (3, 7, 2, 5, 2),    # R, peak, backlogged minutes, end, drain
+        75: (4, 6, 2, 2, 1),
+        100: (5, 5, 1, 0, 0),
+        150: (7, 3, 1, 0, 0),
+        300: (14, 0, 0, 0, 0),
+    }
+    for pct, (R, peak, nb, end, drain) in expect.items():
+        r = out[pct]
+        assert r["n_events"] == 14 and r["n_minutes"] == 2
+        assert r["span_min"] == 3
+        assert r["rate_per_min"] == R, pct
+        assert r["peak_backlog"] == peak, pct
+        assert r["backlogged_minutes"] == nb, pct
+        assert r["backlogged_pct"] == _rhu(nb * 100 * 100, 2) / 100
+        assert r["drain_min"] == drain, pct
+
+
+def test_rate_limit_sweep_gap_drains_fully(spark):
+    from inde1_spark.operators.analytics import rate_limit_sweep
+
+    # burst of 10, nine empty minutes, then 1 arrival: at R=1 the gap
+    # drains the whole backlog before the second burst lands
+    rows = [_ev(i, 1, i) for i in range(10)] + [_ev(99, 1, 600)]
+    out = {
+        r["rate_pct"]: r
+        for r in rate_limit_sweep(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    # pct100: R = ceil(11*100/1100) = 1
+    r = out[100]
+    assert r["rate_per_min"] == 1 and r["span_min"] == 11
+    assert r["peak_backlog"] == 9
+    assert r["backlogged_minutes"] == 1  # only the burst minute
+    assert r["drain_min"] == 0
+
+
+def test_rate_limit_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import rate_limit_sweep
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert rate_limit_sweep(empty).count() == 0
+
+
+def test_rate_limit_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["rate_limit_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert r.sort_merge_joins == 0
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz"}
