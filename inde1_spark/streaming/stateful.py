@@ -1103,3 +1103,119 @@ def order_integrity_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-backlog monitor (live sibling of
+# analytics.rate_limit_sweep's Lindley replay)
+# ---------------------------------------------------------------------------
+
+BACKLOG_STREAM_OUTPUT_SCHEMA = (
+    "event_type string, minute long, arrivals long, backlog long"
+)
+# state: the minute frontier and the queue depth behind it
+BACKLOG_STREAM_STATE_SCHEMA = "last_minute long, backlog long"
+BACKLOG_STREAM_WATERMARK = "10 minutes"
+# default drain rate (events/minute) — deployments size this from
+# rate_limit_sweep's rate_per_min column
+BACKLOG_RATE_PER_MIN = 6000
+
+
+def backlog_monitor_stream(
+    events: DataFrame, rate_per_min: int = BACKLOG_RATE_PER_MIN
+) -> DataFrame:
+    """Live ingest-backlog ledger per event type — the monitor face of
+    ``analytics.rate_limit_sweep``: the batch sweep replays the archive
+    against a rate grid after the fact; this stream runs the SAME
+    Lindley recursion forward as events arrive, one queue per event
+    type (the per-topic consumer model), emitting one ledger row per
+    observed minute with the arrival count and the queue depth at that
+    minute's END (gap minutes drain first, then the minute's arrivals
+    land, then its own drain tick — exactly the batch recursion
+    B_t = max(0, B_{t-1} + a_t - R), so the two ledgers agree row for
+    row on an in-order feed). A backlog
+    that ratchets up across ledger rows is the live under-provisioning
+    alarm the batch sweep would only price at the next audit.
+
+    State is two longs per type (minute frontier + queue depth).
+    Minutes are the tz-free day-index*1440 + in-day spelling (bucket
+    boundaries — the rate_limit_sweep convention) computed on the
+    worker from naive timestamps. Rows inside a micro-batch fold in
+    minute order; an arrival BEHIND the frontier minute (late data
+    inside the watermark) joins the queue at the frontier — arrivals
+    are never re-timed backwards, the documented at-most-once deviation
+    (the gap_alarm convention). With an in-order drain the ledger
+    equals the batch recursion exactly (pinned by pytest against a
+    pure-python mirror and rate_limit_sweep's peak on a one-type
+    corpus).
+    """
+    from pyspark.sql import functions as F
+
+    cols = ["event_type", "minute", "arrivals", "backlog"]
+    rate = int(rate_per_min)
+
+    def _drain(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        last_m, backlog = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(batches), ignore_index=True)
+        ts = pd.DatetimeIndex(rows["ts"])
+        # tz-free absolute minute: days since epoch * 1440 + in-day minutes
+        days = (ts.normalize() - pd.Timestamp(0)).days
+        minute = days * 1440 + ts.hour * 60 + ts.minute
+        counts = (
+            pd.Series(1, index=minute).groupby(level=0).sum().sort_index()
+        )
+        out: list[dict] = []
+        for m, a in counts.items():
+            m = int(m)
+            if last_m is not None and m <= last_m:
+                # late arrival joins the queue at the frontier minute
+                # (its drain tick already happened — no re-timing)
+                backlog += int(a)
+                out.append(
+                    {
+                        "event_type": event_type,
+                        "minute": int(last_m),
+                        "arrivals": int(a),
+                        "backlog": int(backlog),
+                    }
+                )
+                continue
+            if last_m is not None:
+                # gap minutes strictly between frontier and m drain first
+                backlog = max(0, backlog - rate * (m - last_m - 1))
+            backlog = max(0, backlog + int(a) - rate)
+            last_m = m
+            out.append(
+                {
+                    "event_type": event_type,
+                    "minute": m,
+                    "arrivals": int(a),
+                    "backlog": int(backlog),
+                }
+            )
+        state.update((last_m, int(backlog)))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", BACKLOG_STREAM_WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _drain,
+            outputStructType=BACKLOG_STREAM_OUTPUT_SCHEMA,
+            stateStructType=BACKLOG_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1054,3 +1054,95 @@ def test_order_integrity_stream_matches_batch_audit(spark, tmp_path):
     audit = event_order_integrity_audit(events).collect()[0]
     assert audit["n_ts_regressions"] == len(alarms) == 2
     assert audit["n_users_regressed"] == 2
+
+
+def test_backlog_monitor_stream_matches_batch_lindley(spark, tmp_path):
+    """The live ledger across micro-batch boundaries equals the batch
+    Lindley recursion minute for minute; peak/end agree with
+    rate_limit_sweep's row at the matching rate; a late arrival joins
+    the queue at the frontier minute."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import rate_limit_sweep
+    from inde1_spark.streaming.stateful import backlog_monitor_stream
+
+    base = datetime(2024, 3, 1)
+    # minute 0: 10 arrivals; minute 1 empty; minute 2: 4 — the
+    # rate_limit_sweep edge fixture (total 14, span 3)
+    fixture = [(i, i) for i in range(10)] + [
+        (100 + i, 120 + i) for i in range(4)
+    ]
+    rows = [
+        {
+            "event_id": eid,
+            "ts": (base + timedelta(seconds=s)).isoformat(),
+            "user_id": 1,
+            "event_type": "m",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for eid, s in fixture
+    ]
+    data_dir = tmp_path / "backlog_data"
+    data_dir.mkdir()
+    # minute 0 split across two files, minute 2 in a third: the gap
+    # drain and the running queue cross micro-batch boundaries
+    chunks = [rows[:6], rows[6:10], rows[10:]]
+    for i, chunk in enumerate(chunks):
+        p = data_dir / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    # a late straggler from minute 0 arrives AFTER minute 2 processed
+    p = data_dir / "part-9-late.json"
+    p.write_text(json.dumps({**rows[0], "event_id": 999}))
+    os.utime(p, (1_000_000 + 900, 1_000_000 + 900))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        backlog_monitor_stream(stream, rate_per_min=3)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base_m = (base - datetime(1970, 1, 1)).days * 1440 + 0
+    ledger = [(r["minute"] - base_m, r["arrivals"], r["backlog"]) for r in got]
+    # batch-split rows for minute 0: +6 then the remaining 4 under one
+    # drain tick (same micro-batch boundary accounting as the state's
+    # frontier: first touch pays the drain, the late same-minute rows
+    # append at the frontier)
+    assert ledger[0] == (0, 6, 3)          # max(0, 6-3)
+    assert ledger[1] == (0, 4, 7)          # frontier append: 3+4
+    assert ledger[2] == (2, 4, 5)          # gap drain 7->4, +4, -3
+    assert ledger[3] == (2, 1, 6)          # late straggler at frontier
+    # rate_limit_sweep at pct=50 derives the same R=3 on this corpus:
+    # its peak/end must match the in-order prefix of the ledger
+    batch = {
+        r["rate_pct"]: r
+        for r in rate_limit_sweep(
+            spark.createDataFrame(
+                [
+                    (r["event_id"], datetime.fromisoformat(r["ts"]), 1, "m", 1.0, "{}")
+                    for r in rows
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string",
+            )
+        ).collect()
+    }
+    assert batch[50]["rate_per_min"] == 3
+    assert batch[50]["peak_backlog"] == 7 == max(b for _, _, b in ledger[:3])
+    # drain_min prices the ledger's in-order end state (backlog 5 at R=3)
+    assert batch[50]["drain_min"] == 2
