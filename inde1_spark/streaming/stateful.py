@@ -1219,3 +1219,110 @@ def backlog_monitor_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dimension-cache refetch monitor (live sibling of
+# analytics.ttl_staleness_sweep's gap replay)
+# ---------------------------------------------------------------------------
+
+TTL_STREAM_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, gap_s long, kind string"
+)
+# state: the key's last-touch timestamp (epoch seconds)
+TTL_STREAM_STATE_SCHEMA = "last_ts_s long"
+TTL_STREAM_WATERMARK = "10 minutes"
+# default cache TTL (seconds) — deployments size this from
+# ttl_staleness_sweep's miss curve
+TTL_STREAM_DEFAULT_S = 900
+
+
+def ttl_refetch_stream(
+    events: DataFrame, ttl_s: int = TTL_STREAM_DEFAULT_S
+) -> DataFrame:
+    """Live dimension-cache remote-read monitor — the monitor face of
+    ``analytics.ttl_staleness_sweep``: the batch sweep prices every
+    candidate TTL after the fact; this stream runs ONE deployed TTL
+    forward and emits a row for each event that would go remote — the
+    key's compulsory first touch (kind='compulsory') or a touch whose
+    gap since the key's previous event exceeds the TTL, meaning the
+    cached entry expired (kind='refetch', with the exact gap). The
+    emitted row RATE is the live Redis read budget; a rising refetch
+    share against ``cache_hit_curve``'s sizing says the TTL, not the
+    capacity, is the binding knob.
+
+    State is one long per key (the last-touch second). Rows inside a
+    micro-batch fold in truncated-second event-time order with
+    event_id tie-break — the batch sweep's lag-window order, so a
+    drained in-order stream's compulsory count equals the sweep's
+    n_keys and its refetch count equals n_refetch at the same TTL
+    (pinned by pytest across micro-batch boundaries). A gap of EXACTLY
+    the TTL stays fresh (strict >, the sweep's boundary). Out-of-order
+    rows inside the watermark fold where they land in the batch's
+    sorted order against the current frontier — the at-most-once
+    deviation convention shared with the other monitors.
+    """
+    from pyspark.sql import functions as F
+
+    cols = ["user_id", "event_id", "ts", "gap_s", "kind"]
+    ttl = int(ttl_s)
+
+    def _touch(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        (last_s,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows["ts_s"] = (
+            pd.DatetimeIndex(rows["ts"]).asi8 // 1_000_000_000
+        )
+        rows = rows.sort_values(["ts_s", "event_id"])
+        out: list[dict] = []
+        for row in rows.itertuples(index=False):
+            ts_s = int(row.ts_s)
+            if last_s is None:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "event_id": int(row.event_id),
+                        "ts": row.ts,
+                        "gap_s": None,
+                        "kind": "compulsory",
+                    }
+                )
+            elif ts_s - last_s > ttl:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "event_id": int(row.event_id),
+                        "ts": row.ts,
+                        "gap_s": int(ts_s - last_s),
+                        "kind": "refetch",
+                    }
+                )
+            last_s = ts_s
+        state.update((last_s,))
+        yield pd.DataFrame(out) if out else pd.DataFrame(columns=cols)
+
+    return (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", TTL_STREAM_WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _touch,
+            outputStructType=TTL_STREAM_OUTPUT_SCHEMA,
+            stateStructType=TTL_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

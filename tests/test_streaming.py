@@ -1146,3 +1146,87 @@ def test_backlog_monitor_stream_matches_batch_lindley(spark, tmp_path):
     assert batch[50]["peak_backlog"] == 7 == max(b for _, _, b in ledger[:3])
     # drain_min prices the ledger's in-order end state (backlog 5 at R=3)
     assert batch[50]["drain_min"] == 2
+
+
+def test_ttl_refetch_stream_matches_batch_sweep(spark, tmp_path):
+    """Compulsory/refetch rows across micro-batch boundaries equal the
+    batch TTL sweep's n_keys / n_refetch at the same TTL; the == TTL
+    boundary stays fresh; gaps are exact."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.operators.analytics import ttl_staleness_sweep
+    from inde1_spark.streaming.stateful import ttl_refetch_stream
+
+    base = datetime(2024, 3, 1)
+    # the ttl_staleness_sweep edge fixture: user 1 gaps 100/400, user 2
+    # single touch, user 3 gap EXACTLY 60 (fresh at ttl=60)
+    fixture = [
+        (1, 1, 0), (2, 1, 100), (3, 1, 500),
+        (4, 2, 50),
+        (5, 3, 1000), (6, 3, 1060),
+    ]
+    rows = [
+        {
+            "event_id": eid,
+            "ts": (base + timedelta(seconds=s)).isoformat(),
+            "user_id": u,
+            "event_type": "m",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for eid, u, s in fixture
+    ]
+    data_dir = tmp_path / "ttl_data"
+    data_dir.mkdir()
+    # one event per file, increasing mtimes: every gap comparison
+    # crosses a micro-batch boundary (state does the remembering)
+    for i, r in enumerate(rows):
+        p = data_dir / f"part-{i}.json"
+        p.write_text(json.dumps(r))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    got: list = []
+    q = (
+        ttl_refetch_stream(stream, ttl_s=60)
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    comp = sorted(r["user_id"] for r in got if r["kind"] == "compulsory")
+    refetch = sorted(
+        (r["user_id"], r["event_id"], r["gap_s"])
+        for r in got
+        if r["kind"] == "refetch"
+    )
+    assert comp == [1, 2, 3]
+    assert refetch == [(1, 2, 100), (1, 3, 400)]  # gap == 60 stays fresh
+    for r in got:
+        assert (r["gap_s"] is None) == (r["kind"] == "compulsory")
+
+    batch = {
+        r["ttl_s"]: r
+        for r in ttl_staleness_sweep(
+            spark.createDataFrame(
+                [
+                    (r["event_id"], datetime.fromisoformat(r["ts"]), r["user_id"], "m", 1.0, "{}")
+                    for r in rows
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string",
+            )
+        ).collect()
+    }
+    assert batch[60]["n_keys"] == len(comp)
+    assert batch[60]["n_refetch"] == len(refetch)
