@@ -986,6 +986,13 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_sweep": lambda sp, d: A.rate_limit_sweep(
             _t(sp, d, "events")
         ),
+        # ----- r15 batch, first tranche (staged in r11) -----
+        "watermark_state_tradeoff": lambda sp, d: A.watermark_state_tradeoff(
+            _t(sp, d, "events")
+        ),
+        "key_churn_audit": lambda sp, d: A.key_churn_audit(
+            _t(sp, d, "events")
+        ),
     }
 
 

@@ -12535,3 +12535,176 @@ def rate_limit_sweep(
             "(end_backlog + rate_per_min - 1) div rate_per_min"
         ).alias("drain_min"),
     ).orderBy("rate_pct")
+
+
+# ---------------------------------------------------------------------------
+# watermark_state_tradeoff: peak keyed-state held per candidate lateness
+# ---------------------------------------------------------------------------
+
+
+def watermark_state_tradeoff(
+    events: DataFrame, delays: tuple[int, ...] = LATENESS_DELAYS_S
+) -> DataFrame:
+    """State-cost side of the allowed-lateness knob —
+    ``allowed_lateness_sweep`` prices what each watermark delay DROPS;
+    this prices what it HOLDS: with delay D, a keyed streaming aggregate
+    must keep every (key, minute-window) state cell alive until the
+    watermark passes it, so the cells live at frontier t are exactly
+    those with activity in the trailing D window. The peak of that
+    count over the replay is the state-store high-water mark the delay
+    buys, emitted in rows and modeled bytes (the state_size_profile
+    footprint constant). Reading the two tables together turns
+    "watermark 5 minutes" into its full price: dropped events on one
+    side, peak resident state on the other.
+
+    The corpus collapses to distinct (key, minute) cells FIRST (one
+    shuffle), then to a per-minute cell count (bounded series). Peak
+    concurrency is an exact sliding-window sum: each cell [m, m+D]
+    is live at t iff m is within (t-D, t], so live(t) = the trailing
+    (D+1)-minute sum of cell counts, maximized at arrival minutes
+    (between arrivals cells only age out). One RANGE frame per grid
+    delay over the bounded series (the deliberate small-table ordered
+    pass, the cache_hit_curve convention); exact longs and
+    round-half-up shares.
+    """
+    from functools import reduce
+
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    abs_s = (
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    cells = (
+        events.select("user_id", abs_s.alias("abs_s"))
+        .select("user_id", F.expr("abs_s div 60").alias("m"))
+        .distinct()
+    )
+    per_min = cells.groupBy("m").agg(
+        F.count("*").cast("long").alias("c_m")
+    )
+    branches = []
+    for d in delays:
+        d_min = int(d) // 60
+        w = (
+            Window.orderBy("m").rangeBetween(-d_min, 0)
+            if d_min > 0
+            else Window.orderBy("m").rowsBetween(0, 0)
+        )
+        branches.append(
+            per_min.select(
+                F.lit(int(d)).cast("long").alias("delay_s"),
+                F.lit(d_min).cast("long").alias("window_min"),
+                "c_m",
+                F.sum("c_m").over(w).cast("long").alias("live"),
+            )
+        )
+    allb = reduce(lambda a, b: a.unionByName(b), branches)
+    agg = allb.groupBy("delay_s").agg(
+        F.max("window_min").alias("window_min"),
+        F.sum("c_m").cast("long").alias("n_cells"),
+        F.count("*").cast("long").alias("n_minutes"),
+        F.max("live").cast("long").alias("peak_state_rows"),
+    )
+    return agg.select(
+        "delay_s",
+        "window_min",
+        "n_cells",
+        "n_minutes",
+        "peak_state_rows",
+        (F.col("peak_state_rows") * F.lit(STATE_BYTES_PER_KEY))
+        .cast("long")
+        .alias("peak_state_bytes"),
+        dec_ratio_round(
+            F.col("peak_state_rows") * 100,
+            F.greatest(F.col("n_cells"), F.lit(1).cast("long")),
+            2,
+        ).alias("peak_share_pct"),
+    ).orderBy("delay_s")
+
+
+# ---------------------------------------------------------------------------
+# key_churn_audit: daily key-universe turnover ledger
+# ---------------------------------------------------------------------------
+
+
+def key_churn_audit(events: DataFrame) -> DataFrame:
+    """Daily key-universe turnover — the dimension/state sizing signal
+    ``retention_cohorts`` (the growth triangle) does not surface: per
+    day, the active keys, the keys seen for the FIRST time (dimension
+    inserts; enrichment cache cold starts), the keys seen for the LAST
+    time in the whole archive (state the monitors could evict — the
+    ``state_size_profile`` leak check read forward), and the running
+    key-universe size. A new-key share that stays high says the key
+    space grows with the corpus (plan dimension capacity accordingly);
+    a retired share near zero says keyed state never becomes garbage
+    and needs explicit TTLs (``ttl_staleness_sweep`` prices them).
+
+    The corpus collapses to distinct (key, day) activity FIRST (the one
+    corpus-volume shuffle, the retention_cohorts opening move); per-key
+    first/last days ride the same key partitioning; everything after is
+    per-day bounded — two tiny outer joins on the day grain and one
+    running sum over the bounded day series (the deliberate small-table
+    ordered pass). Exact longs and round-half-up shares; days with
+    activity only (a day absent from the archive has no row — both
+    engines identically).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    day_s = _day_str()
+    activity = events.select(
+        "user_id", day_s.alias("day")
+    ).distinct()
+    actives = activity.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    firstlast = activity.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    news = firstlast.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    retires = firstlast.groupBy(F.col("last_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_retired")
+    )
+    per_day = (
+        actives.join(news, "day", "left")
+        .join(retires, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0).cast("long")).alias("n_new"),
+            F.coalesce(F.col("n_retired"), F.lit(0).cast("long")).alias(
+                "n_retired"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_day = per_day.select(
+        "*", F.sum("n_new").over(w).cast("long").alias("universe_size")
+    )
+    den = F.greatest(F.col("n_active"), F.lit(1).cast("long"))
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_retired",
+        "universe_size",
+        dec_ratio_round(F.col("n_new") * 100, den, 2).alias("new_pct"),
+        dec_ratio_round(F.col("n_retired") * 100, den, 2).alias(
+            "retired_pct"
+        ),
+        dec_ratio_round(
+            F.col("n_active") * 100,
+            F.greatest(F.col("universe_size"), F.lit(1).cast("long")),
+            2,
+        ).alias("active_share_pct"),
+    ).orderBy("day")

@@ -14329,3 +14329,110 @@ SELECT rate_pct, n_events, n_minutes, span_min, rate_per_min, peak_backlog,
        (end_backlog + rate_per_min - 1) // rate_per_min AS drain_min
 FROM agg ORDER BY rate_pct
 """
+
+# ===========================================================================
+# r15 batch, first tranche (staged in r11): watermark state pricing, key
+# churn ledger.
+# ===========================================================================
+
+from inde1_spark.operators.analytics import STATE_BYTES_PER_KEY  # noqa: E402
+
+
+# Twin of operators/analytics.py:watermark_state_tradeoff — distinct
+# (key, minute) cells, one RANGE frame per grid delay over the bounded
+# per-minute series (delay 0 degenerates to the row itself).
+def _watermark_state_sql() -> str:
+    abs_s = (
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT) * 86400"
+        " + CAST(extract(hour FROM ts) AS BIGINT) * 3600"
+        " + CAST(extract(minute FROM ts) AS BIGINT) * 60"
+        " + CAST(extract(second FROM ts) AS BIGINT)"
+    )
+    branches = []
+    for d in LATENESS_DELAYS_S:
+        d_min = int(d) // 60
+        frame = (
+            f"RANGE BETWEEN {d_min} PRECEDING AND CURRENT ROW"
+            if d_min > 0
+            else "ROWS BETWEEN CURRENT ROW AND CURRENT ROW"
+        )
+        branches.append(
+            f"  SELECT CAST({int(d)} AS BIGINT) AS delay_s,"
+            f" CAST({d_min} AS BIGINT) AS window_min, c_m,"
+            f" CAST(SUM(c_m) OVER (ORDER BY m {frame}) AS BIGINT) AS live"
+            f" FROM per_min"
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT user_id, ({abs_s}) // 60 AS m FROM events
+),
+per_min AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS c_m FROM cells GROUP BY 1
+),
+b AS (
+{union}
+),
+agg AS (
+  SELECT delay_s,
+         CAST(MAX(window_min) AS BIGINT) AS window_min,
+         CAST(SUM(c_m) AS BIGINT) AS n_cells,
+         CAST(COUNT(*) AS BIGINT) AS n_minutes,
+         CAST(MAX(live) AS BIGINT) AS peak_state_rows
+  FROM b GROUP BY 1
+)
+SELECT delay_s, window_min, n_cells, n_minutes, peak_state_rows,
+       CAST(peak_state_rows * {STATE_BYTES_PER_KEY} AS BIGINT)
+         AS peak_state_bytes,
+       {_rrh("peak_state_rows * 100", "GREATEST(n_cells, 1)", 2)}
+         AS peak_share_pct
+FROM agg ORDER BY delay_s
+"""
+
+
+STAGED_ORACLES["watermark_state_tradeoff"] = _watermark_state_sql()
+
+# Twin of operators/analytics.py:key_churn_audit — distinct (key, day)
+# activity, per-key first/last days, per-day outer joins, running universe.
+STAGED_ORACLES["key_churn_audit"] = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, {_DAY} AS day FROM events
+),
+actives AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM activity GROUP BY 1
+),
+firstlast AS (
+  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+  FROM activity GROUP BY 1
+),
+news AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firstlast GROUP BY 1
+),
+retires AS (
+  SELECT last_day AS day, CAST(COUNT(*) AS BIGINT) AS n_retired
+  FROM firstlast GROUP BY 1
+),
+per_day AS (
+  SELECT a.day, a.n_active,
+         CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+         CAST(COALESCE(r.n_retired, 0) AS BIGINT) AS n_retired
+  FROM actives a
+  LEFT JOIN news n ON n.day = a.day
+  LEFT JOIN retires r ON r.day = a.day
+),
+u AS (
+  SELECT *,
+         CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS universe_size
+  FROM per_day
+)
+SELECT day, n_active, n_new, n_retired, universe_size,
+       {_rrh("n_new * 100", "GREATEST(n_active, 1)", 2)} AS new_pct,
+       {_rrh("n_retired * 100", "GREATEST(n_active, 1)", 2)} AS retired_pct,
+       {_rrh("n_active * 100", "GREATEST(universe_size, 1)", 2)}
+         AS active_share_pct
+FROM u ORDER BY day
+"""

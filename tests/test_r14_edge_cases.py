@@ -1,4 +1,4 @@
-"""Semantics + plan invariants for the r14 STAGED batch.
+"""Semantics + plan invariants for the r14 STAGED batch (+ r15 tranche 1).
 
 Same style as test_r11/r12/r13_edge_cases: planted micro-datasets exercise
 the property each operator's docstring claims; plan-shape pins hold the
@@ -863,3 +863,110 @@ def test_rate_limit_sweep_plan(spark):
     assert r.sort_merge_joins == 0
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"ts:timestamp_ntz"}
+
+
+# ---------------------------------------------------------------------------
+# watermark_state_tradeoff (r15 tranche 1)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_state_tradeoff_exact_sliding_peak(spark):
+    from inde1_spark.operators.analytics import (
+        LATENESS_DELAYS_S,
+        watermark_state_tradeoff,
+    )
+
+    # cells: (u1, m0) (u2, m0) (u1, m1) (u1, m5); the two u1 events in
+    # minute 0 collapse to ONE state cell
+    rows = [
+        _ev(1, 1, 0),
+        _ev(2, 1, 30),
+        _ev(3, 2, 10),
+        _ev(4, 1, 60),
+        _ev(5, 1, 300),
+    ]
+    out = {
+        r["delay_s"]: r
+        for r in watermark_state_tradeoff(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == set(LATENESS_DELAYS_S)
+    peaks = {0: 2, 60: 3, 300: 4, 900: 4, 3600: 4}
+    for d, peak in peaks.items():
+        r = out[d]
+        assert r["n_cells"] == 4 and r["n_minutes"] == 3
+        assert r["window_min"] == d // 60
+        assert r["peak_state_rows"] == peak, d
+        assert r["peak_state_bytes"] == peak * 64
+        assert r["peak_share_pct"] == _rhu(peak * 100 * 100, 4) / 100
+
+
+def test_watermark_state_tradeoff_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import watermark_state_tradeoff
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert watermark_state_tradeoff(empty).count() == 0
+
+
+def test_watermark_state_tradeoff_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["watermark_state_tradeoff"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# key_churn_audit (r15 tranche 1)
+# ---------------------------------------------------------------------------
+
+
+def test_key_churn_audit_exact_ledger(spark):
+    from inde1_spark.operators.analytics import key_churn_audit
+
+    def ev(eid, uid, day):
+        return (eid, T0 + timedelta(days=day), uid, "view", 1.0, "{}")
+
+    # d0: {1, 2}; d1: {1, 3}; d2: {3} — u2 one-day, u1 spans d0-d1
+    rows = [ev(1, 1, 0), ev(2, 2, 0), ev(3, 1, 1), ev(4, 3, 1), ev(5, 3, 2)]
+    out = key_churn_audit(spark.createDataFrame(rows, EVENT_COLS)).collect()
+    assert [r["day"] for r in out] == ["2024-03-04", "2024-03-05", "2024-03-06"]
+    d0, d1, d2 = out
+    assert (d0["n_active"], d0["n_new"], d0["n_retired"], d0["universe_size"]) == (2, 2, 1, 2)
+    assert (d1["n_active"], d1["n_new"], d1["n_retired"], d1["universe_size"]) == (2, 1, 1, 3)
+    assert (d2["n_active"], d2["n_new"], d2["n_retired"], d2["universe_size"]) == (1, 0, 1, 3)
+    assert d0["new_pct"] == 100.0 and d0["retired_pct"] == 50.0
+    assert d1["active_share_pct"] == _rhu(2 * 100 * 100, 3) / 100
+    assert d2["retired_pct"] == 100.0 and d2["new_pct"] == 0.0
+
+
+def test_key_churn_audit_single_day_all_new_all_retired(spark):
+    from inde1_spark.operators.analytics import key_churn_audit
+
+    rows = [_ev(1, 1, 0), _ev(2, 2, 10)]
+    (r,) = key_churn_audit(spark.createDataFrame(rows, EVENT_COLS)).collect()
+    assert r["n_new"] == 2 and r["n_retired"] == 2
+    assert r["new_pct"] == 100.0 and r["retired_pct"] == 100.0
+    assert r["active_share_pct"] == 100.0
+
+
+def test_key_churn_audit_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import key_churn_audit
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert key_churn_audit(empty).count() == 0
+
+
+def test_key_churn_audit_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["key_churn_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint"}
