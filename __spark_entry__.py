@@ -993,6 +993,13 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_churn_audit": lambda sp, d: A.key_churn_audit(
             _t(sp, d, "events")
         ),
+        # ----- r15 batch, second tranche (staged in r11) -----
+        "lateness_attribution_audit": lambda sp, d: A.lateness_attribution_audit(
+            _t(sp, d, "events")
+        ),
+        "ivf_list_balance_audit": lambda sp, d: S.ivf_list_balance_audit(
+            _t(sp, d, "embeddings")
+        ),
     }
 
 

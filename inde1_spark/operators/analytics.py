@@ -12708,3 +12708,68 @@ def key_churn_audit(events: DataFrame) -> DataFrame:
             2,
         ).alias("active_share_pct"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# lateness_attribution_audit: per-day lateness ledger at the deployed delay
+# ---------------------------------------------------------------------------
+
+# the deployed watermark delay the attribution ledger prices against
+LATENESS_PROD_DELAY_S = 900
+
+
+def lateness_attribution_audit(
+    events: DataFrame, delay_s: int = LATENESS_PROD_DELAY_S
+) -> DataFrame:
+    """WHERE is the lateness coming from — ``allowed_lateness_sweep``
+    prices the delay knob on corpus totals; once a delay is deployed,
+    ops needs the attribution: per calendar day, how many events
+    regressed behind their key's event-time frontier (arrival order,
+    the same per-key running max), how many of those exceed the
+    DEPLOYED delay (the rows the production watermark actually drops),
+    and the day's worst regression. A lateness spike pinned to one day
+    is an ingestion incident to chase; a flat daily floor is clock skew
+    to fix at the producer. Days are the regressing event's own day —
+    the day the bad data LANDS, which is where the alarm should ring.
+
+    Same plan spine as the sweep: ONE per-key window in (event_id, ts)
+    arrival order over truncated-second timestamps (differences — tz
+    offsets cancel), then a per-day map-side-combinable rollup (day via
+    tz-free date_trunc formatting). Exact longs; wide-decimal
+    round-half-up shares.
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id", "ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_s = F.unix_timestamp("ts").cast("long")
+    day_s = _day_str()
+    late = events.select(
+        day_s.alias("day"),
+        (F.max(ts_s).over(w) - ts_s).alias("lateness_s"),
+    )
+    agg = late.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum(
+            F.when(F.col("lateness_s") > F.lit(int(delay_s)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped"),
+        F.max("lateness_s").cast("long").alias("max_lateness_s"),
+    )
+    den = F.greatest(F.col("n_events"), F.lit(1).cast("long"))
+    return agg.select(
+        "day",
+        "n_events",
+        "n_late",
+        "n_dropped",
+        "max_lateness_s",
+        dec_ratio_round(F.col("n_late") * 100, den, 4).alias("late_pct"),
+        dec_ratio_round(F.col("n_dropped") * 100, den, 4).alias("drop_pct"),
+    ).orderBy("day")

@@ -2275,3 +2275,47 @@ def pq_distortion_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("m_sub")
+
+
+def ivf_list_balance_audit(embeddings: DataFrame) -> DataFrame:
+    """Straggler pricing for the IVF probe join — the ``knn_ivf`` /
+    ``knn_ivf_pq`` scale path cuts the scanned corpus to the probed
+    lists' vectors, so its wall-clock and recall both ride the LIST
+    BALANCE: per inverted list (the ``label`` assignment), the vector
+    count, its share of the corpus, and the balance ratio against the
+    uniform mean (100 = perfectly even; a 500 says one probe of that
+    list scans 5x the budgeted vectors — re-train centroids or split
+    the list before a 100 TB index commits to this assignment). The
+    ANN-side sibling of ``lsh_bucket_balance_audit``'s band buckets
+    and ``shuffle_width_sweep``'s reducer loads.
+
+    ONE map-side-combinable per-label count plus a 1-row broadcast
+    total — no joins over the corpus, output bounded by |labels|.
+    Wide-decimal round-half-up shares (corpus-scale counts times 100
+    times |labels| can pass 2^53).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+
+    lists = embeddings.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    totals = lists.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    out = lists.crossJoin(F.broadcast(totals))
+    den = F.greatest(F.col("total"), F.lit(1).cast("long"))
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        "n_lists",
+        "total",
+        dec_ratio_round(F.col("n_vecs") * 100, den, 4).alias(
+            "list_share_pct"
+        ),
+        dec_ratio_round(
+            F.col("n_vecs").cast("decimal(38,0)") * F.col("n_lists") * 100,
+            den,
+            2,
+        ).alias("balance_pct"),
+    ).orderBy("label")

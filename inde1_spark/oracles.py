@@ -14436,3 +14436,57 @@ SELECT day, n_active, n_new, n_retired, universe_size,
          AS active_share_pct
 FROM u ORDER BY day
 """
+
+# ===========================================================================
+# r15 batch, second tranche (staged in r11): lateness attribution, IVF
+# list balance.
+# ===========================================================================
+
+from inde1_spark.operators.analytics import LATENESS_PROD_DELAY_S  # noqa: E402
+
+# Twin of operators/analytics.py:lateness_attribution_audit — per-key
+# running max in (event_id, ts) arrival order, per-day rollup at the
+# deployed delay.
+STAGED_ORACLES["lateness_attribution_audit"] = f"""
+WITH lat AS (
+  SELECT {_DAY} AS day,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id, ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS lateness_s
+  FROM events
+),
+agg AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+         CAST(SUM(CASE WHEN lateness_s > {LATENESS_PROD_DELAY_S}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s
+  FROM lat GROUP BY 1
+)
+SELECT day, n_events, n_late, n_dropped, max_lateness_s,
+       {_rrh("n_late * 100", "GREATEST(n_events, 1)", 4)} AS late_pct,
+       {_rrh("n_dropped * 100", "GREATEST(n_events, 1)", 4)} AS drop_pct
+FROM agg ORDER BY day
+"""
+
+# Twin of operators/similarity.py:ivf_list_balance_audit — per-label
+# counts, 1-row totals, HUGEINT-promoted balance product.
+STAGED_ORACLES["ivf_list_balance_audit"] = f"""
+WITH lists AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM embeddings GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM lists
+)
+SELECT CAST(label AS BIGINT) AS label, n_vecs, n_lists, total,
+       {_rrh("n_vecs * 100", "GREATEST(total, 1)", 4)} AS list_share_pct,
+       {_rrh("CAST(n_vecs AS HUGEINT) * n_lists * 100",
+             "GREATEST(total, 1)", 2)} AS balance_pct
+FROM lists, totals ORDER BY label
+"""

@@ -970,3 +970,108 @@ def test_key_churn_audit_plan(spark):
     assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# lateness_attribution_audit (r15 tranche 2)
+# ---------------------------------------------------------------------------
+
+
+def test_lateness_attribution_audit_per_day_and_cross_day(spark):
+    from inde1_spark.operators.analytics import lateness_attribution_audit
+
+    rows = [
+        # day 0: in-day regression of 50 s (under the 900 s deployed delay)
+        _ev(1, 1, 1000),
+        _ev(2, 1, 950),
+        _ev(3, 1, 2000),
+        # day 1 frontier, then a regressed event LANDING back on day 0:
+        # the alarm rings on the bad data's own day
+        _ev(4, 2, 86500),
+        _ev(5, 2, 86300),
+        # day 1: a 2000 s regression (over the deployed delay -> dropped)
+        _ev(6, 3, 90000),
+        _ev(7, 3, 88000),
+    ]
+    out = {
+        r["day"]: r
+        for r in lateness_attribution_audit(
+            spark.createDataFrame(rows, EVENT_COLS)
+        ).collect()
+    }
+    assert set(out) == {"2024-03-04", "2024-03-05"}
+    d0 = out["2024-03-04"]
+    # events on day 0: ids 1,2,3 and the cross-day regressed id 5
+    assert d0["n_events"] == 4
+    assert d0["n_late"] == 2          # id 2 (50 s) + id 5 (200 s)
+    assert d0["n_dropped"] == 0
+    assert d0["max_lateness_s"] == 200
+    assert d0["late_pct"] == _rhu(2 * 100 * 10**4, 4) / 10**4
+    d1 = out["2024-03-05"]
+    assert d1["n_events"] == 3 and d1["n_late"] == 1
+    assert d1["n_dropped"] == 1       # 2000 s > 900 s deployed delay
+    assert d1["max_lateness_s"] == 2000
+    assert d1["drop_pct"] == _rhu(1 * 100 * 10**4, 3) / 10**4
+
+
+def test_lateness_attribution_audit_empty_is_empty(spark):
+    from inde1_spark.operators.analytics import lateness_attribution_audit
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert lateness_attribution_audit(empty).count() == 0
+
+
+def test_lateness_attribution_audit_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["lateness_attribution_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    assert "hashpartitioning(user_id" in r.raw
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"event_id:bigint,ts:timestamp_ntz,user_id:bigint"}
+
+
+# ---------------------------------------------------------------------------
+# ivf_list_balance_audit (r15 tranche 2)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_list_balance_audit_exact(spark):
+    from inde1_spark.operators.similarity import ivf_list_balance_audit
+
+    emb = spark.createDataFrame(
+        [(i, [0.0, 1.0], 0 if i < 3 else 1) for i in range(4)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {r["label"]: r for r in ivf_list_balance_audit(emb).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_vecs"] == 3 and out[1]["n_vecs"] == 1
+    for r in out.values():
+        assert r["n_lists"] == 2 and r["total"] == 4
+    assert out[0]["list_share_pct"] == 75.0 and out[1]["list_share_pct"] == 25.0
+    # balance vs the uniform mean of 2 vecs/list: 150% and 50%
+    assert out[0]["balance_pct"] == 150.0 and out[1]["balance_pct"] == 50.0
+
+
+def test_ivf_list_balance_audit_empty_is_empty(spark):
+    from inde1_spark.operators.similarity import ivf_list_balance_audit
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label long"
+    )
+    assert ivf_list_balance_audit(empty).count() == 0
+
+
+def test_ivf_list_balance_audit_plan_prunes_embedding(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["ivf_list_balance_audit"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # counts ride the label column alone — the wide embedding array must
+    # be pruned out of the scan entirely
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"label:int"}
