@@ -1000,6 +1000,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_list_balance_audit": lambda sp, d: S.ivf_list_balance_audit(
             _t(sp, d, "embeddings")
         ),
+        "pack_budget_sweep": lambda sp, d: C.pack_budget_sweep(
+            _t(sp, d, "documents")
+        ),
     }
 
 

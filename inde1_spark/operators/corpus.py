@@ -2290,3 +2290,97 @@ def truncation_loss_sweep(
             4,
         ).alias("token_loss_pct"),
     ).orderBy("max_len")
+
+
+# ---------------------------------------------------------------------------
+# pack_budget_sweep: shard token-budget price list for the packing layout
+# ---------------------------------------------------------------------------
+
+# candidate shard token budgets the sweep prices
+PACK_BUDGET_GRID = (512, 2048, 8192, 32768)
+
+
+def pack_budget_sweep(
+    documents: DataFrame,
+    budgets: tuple[int, ...] = PACK_BUDGET_GRID,
+    packers: int = PACK_PACKERS,
+) -> DataFrame:
+    """Shard-budget price list for ``pack_sequences``' layout knob —
+    ``truncation_loss_sweep`` prices what a context budget cuts from
+    DOCUMENTS; this prices what it wastes in SHARDS: per candidate
+    budget B, the exact shard count the packer-lane layout emits
+    (ceil(lane_tokens/B) per lane — each lane's final partial shard is
+    the only slack, so bigger B means fewer, fuller shards but coarser
+    units for the trainer to shuffle), the total slack tokens, the
+    fill rate, and the documents LONGER than B (which a
+    concatenate-and-chunk layout must split across shard boundaries —
+    acceptable for pretraining, the count to watch when shards must
+    hold whole documents). Read the two sweeps together to pick the
+    budget: token loss on one side, shard fill and fragmentation on
+    the other.
+
+    ONE token-count pass feeds both aggregates (per-lane totals via the
+    engine-portable md5 lane assignment — the pack_sequences spelling —
+    and the per-doc over-budget counts); the budget grid is a bounded
+    literal explode; the two per-budget tables join on the 4-row grid.
+    Exact longs; wide-decimal round-half-up shares (corpus token counts
+    times 100 pass 2^53).
+    """
+    from inde1_spark.functions.exprs import dec_ratio_round
+    from inde1_spark.operators.text import hash_bucket
+
+    base = documents.select(
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        hash_bucket(F.col("doc_id"), packers).alias("packer"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(int(b)).cast("long") for b in budgets])
+    ).alias("budget")
+    lanes = base.groupBy("packer").agg(
+        F.sum("n_tok").cast("long").alias("lane_tokens")
+    )
+    per_budget = (
+        lanes.select("lane_tokens", grid)
+        .select(
+            "budget",
+            "lane_tokens",
+            F.expr("(lane_tokens + budget - 1) div budget").alias("shards"),
+        )
+        .groupBy("budget")
+        .agg(
+            F.count("*").cast("long").alias("n_lanes"),
+            F.sum("lane_tokens").cast("long").alias("total_tokens"),
+            F.sum("shards").cast("long").alias("n_shards"),
+        )
+    )
+    overs = (
+        base.select("n_tok", grid)
+        .groupBy("budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > F.col("budget"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_over"),
+        )
+    )
+    out = per_budget.join(F.broadcast(overs), "budget")
+    cap = F.col("n_shards") * F.col("budget")
+    return out.select(
+        "budget",
+        "n_lanes",
+        "n_docs",
+        "total_tokens",
+        "n_shards",
+        (cap - F.col("total_tokens")).alias("slack_tokens"),
+        dec_ratio_round(
+            F.col("total_tokens") * 100,
+            F.greatest(cap, F.lit(1).cast("long")),
+            2,
+        ).alias("fill_pct"),
+        "n_docs_over",
+        dec_ratio_round(
+            F.col("n_docs_over") * 100,
+            F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
+            4,
+        ).alias("over_doc_pct"),
+    ).orderBy("budget")

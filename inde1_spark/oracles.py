@@ -14490,3 +14490,46 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs, n_lists, total,
              "GREATEST(total, 1)", 2)} AS balance_pct
 FROM lists, totals ORDER BY label
 """
+
+# Twin of operators/corpus.py:pack_budget_sweep — md5 lane assignment,
+# exact ceil shard bills per lane, per-doc over-budget counts, 4-row join.
+from inde1_spark.operators.corpus import PACK_BUDGET_GRID, PACK_PACKERS  # noqa: E402
+
+STAGED_ORACLES["pack_budget_sweep"] = f"""
+WITH base AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tok,
+         {_hash_bucket_sql('doc_id', PACK_PACKERS)} AS packer
+  FROM documents
+),
+lanes AS (
+  SELECT packer, CAST(SUM(n_tok) AS BIGINT) AS lane_tokens
+  FROM base GROUP BY 1
+),
+per_budget AS (
+  SELECT CAST(b AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_lanes,
+         CAST(SUM(lane_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM((lane_tokens + CAST(b AS BIGINT) - 1) // CAST(b AS BIGINT))
+              AS BIGINT) AS n_shards
+  FROM lanes, UNNEST([{', '.join(str(b) for b in PACK_BUDGET_GRID)}]) AS u(b)
+  GROUP BY 1
+),
+overs AS (
+  SELECT CAST(b AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_tok > CAST(b AS BIGINT) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_over
+  FROM base, UNNEST([{', '.join(str(b) for b in PACK_BUDGET_GRID)}]) AS u(b)
+  GROUP BY 1
+)
+SELECT p.budget, p.n_lanes, o.n_docs, p.total_tokens, p.n_shards,
+       p.n_shards * p.budget - p.total_tokens AS slack_tokens,
+       {_rrh("p.total_tokens * 100", "GREATEST(p.n_shards * p.budget, 1)", 2)}
+         AS fill_pct,
+       o.n_docs_over,
+       {_rrh("o.n_docs_over * 100", "GREATEST(o.n_docs, 1)", 4)}
+         AS over_doc_pct
+FROM per_budget p JOIN overs o ON o.budget = p.budget
+ORDER BY p.budget
+"""

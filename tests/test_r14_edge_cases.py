@@ -1075,3 +1075,72 @@ def test_ivf_list_balance_audit_plan_prunes_embedding(spark):
     # be pruned out of the scan entirely
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"label:int"}
+
+
+# ---------------------------------------------------------------------------
+# pack_budget_sweep (r15 tranche 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_budget_sweep_exact_single_lane(spark):
+    from inde1_spark.operators.corpus import pack_budget_sweep
+
+    def doc(i, n):
+        return (i, " ".join(["t"] * n), "en", "a", n)
+
+    # one lane: token counts 7, 5, 12 -> lane total 24
+    docs = spark.createDataFrame([doc(1, 7), doc(2, 5), doc(3, 12)], DOC_COLS)
+    out = {
+        r["budget"]: r
+        for r in pack_budget_sweep(docs, budgets=(10, 12, 100), packers=1).collect()
+    }
+    r = out[10]
+    assert r["n_lanes"] == 1 and r["n_docs"] == 3 and r["total_tokens"] == 24
+    assert r["n_shards"] == 3 and r["slack_tokens"] == 6
+    assert r["fill_pct"] == 80.0
+    assert r["n_docs_over"] == 1 and r["over_doc_pct"] == _rhu(100 * 10**4, 3) / 10**4
+    r = out[12]
+    # n_tok == budget is NOT over (strict >); ceil(24/12) = 2 exact shards
+    assert r["n_shards"] == 2 and r["slack_tokens"] == 0 and r["fill_pct"] == 100.0
+    assert r["n_docs_over"] == 0
+    r = out[100]
+    assert r["n_shards"] == 1 and r["slack_tokens"] == 76
+    assert r["fill_pct"] == 24.0
+
+
+def test_pack_budget_sweep_lanes_partition_tokens(spark):
+    from inde1_spark.operators.corpus import PACK_PACKERS, pack_budget_sweep
+
+    def doc(i, n):
+        return (i, " ".join(["t"] * n), "en", "a", n)
+
+    docs = spark.createDataFrame([doc(i, 10) for i in range(20)], DOC_COLS)
+    out = pack_budget_sweep(docs).collect()
+    for r in out:
+        # lanes partition the corpus: totals are lane-invariant
+        assert r["total_tokens"] == 200 and r["n_docs"] == 20
+        assert 1 <= r["n_lanes"] <= PACK_PACKERS
+        # shards never beat the single-lane lower bound
+        assert r["n_shards"] >= (200 + r["budget"] - 1) // r["budget"]
+
+
+def test_pack_budget_sweep_empty_is_empty(spark):
+    from inde1_spark.operators.corpus import pack_budget_sweep
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert pack_budget_sweep(empty).count() == 0
+
+
+def test_pack_budget_sweep_plan(spark):
+    import __spark_entry__ as entrymod
+
+    r = plan_report(
+        entrymod.staged_queries()["pack_budget_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in r.raw and "BatchEvalPython" not in r.raw
+    # lane branch reads (doc_id, text); the over-budget branch prunes
+    # doc_id away entirely
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
+    assert schemas == {"doc_id:bigint,text:string", "text:string"}
