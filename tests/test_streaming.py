@@ -1230,3 +1230,85 @@ def test_ttl_refetch_stream_matches_batch_sweep(spark, tmp_path):
     }
     assert batch[60]["n_keys"] == len(comp)
     assert batch[60]["n_refetch"] == len(refetch)
+
+
+def test_backlog_and_ttl_streams_restart_from_checkpoint(spark, tmp_path):
+    """Restart contract for the r14 monitor siblings: after a stop, a new
+    file drains against the CHECKPOINTED state — the backlog frontier and
+    the TTL last-touch survive, already-emitted rows never re-emit."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from inde1_spark.streaming.stateful import (
+        backlog_monitor_stream,
+        ttl_refetch_stream,
+    )
+
+    base = datetime(2024, 3, 1)
+
+    def row(eid, sec):
+        return {
+            "event_id": eid,
+            "ts": (base + timedelta(seconds=sec)).isoformat(),
+            "user_id": 1,
+            "event_type": "m",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def drain(builder, data_dir, ckpt):
+        got: list = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(data_dir))
+        )
+        q = (
+            builder(stream)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # ---- backlog monitor: burst of 10 at minute 0, R=3 ----
+    bdir, bckpt = tmp_path / "bl_data", tmp_path / "bl_ckpt"
+    bdir.mkdir()
+    p = bdir / "part-0.json"
+    p.write_text("\n".join(json.dumps(row(i, i)) for i in range(10)))
+    os.utime(p, (1_000_000, 1_000_000))
+    first = drain(
+        lambda s: backlog_monitor_stream(s, rate_per_min=3), bdir, bckpt
+    )
+    assert [(r["arrivals"], r["backlog"]) for r in first] == [(10, 7)]
+    # restart with 4 arrivals at minute 2: gap drain 7->4, +4, -3 = 5
+    p = bdir / "part-1.json"
+    p.write_text("\n".join(json.dumps(row(100 + i, 120 + i)) for i in range(4)))
+    os.utime(p, (1_000_100, 1_000_100))
+    second = drain(
+        lambda s: backlog_monitor_stream(s, rate_per_min=3), bdir, bckpt
+    )
+    assert [(r["arrivals"], r["backlog"]) for r in second] == [(4, 5)]
+
+    # ---- ttl monitor: first touch, then a 100 s gap at ttl=60 ----
+    tdir, tckpt = tmp_path / "ttl_data", tmp_path / "ttl_ckpt"
+    tdir.mkdir()
+    p = tdir / "part-0.json"
+    p.write_text(json.dumps(row(1, 0)))
+    os.utime(p, (1_000_000, 1_000_000))
+    first = drain(lambda s: ttl_refetch_stream(s, ttl_s=60), tdir, tckpt)
+    assert [(r["kind"], r["gap_s"]) for r in first] == [("compulsory", None)]
+    p = tdir / "part-1.json"
+    p.write_text(json.dumps(row(2, 100)))
+    os.utime(p, (1_000_100, 1_000_100))
+    second = drain(lambda s: ttl_refetch_stream(s, ttl_s=60), tdir, tckpt)
+    # the checkpointed last-touch makes this a refetch, not a compulsory
+    assert [(r["kind"], r["gap_s"]) for r in second] == [("refetch", 100)]
