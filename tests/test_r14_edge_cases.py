@@ -1144,3 +1144,100 @@ def test_pack_budget_sweep_plan(spark):
     # doc_id away entirely
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", r.raw))
     assert schemas == {"doc_id:bigint,text:string", "text:string"}
+
+
+# ---------------------------------------------------------------------------
+# closed-form vs brute-force step simulation (seeded pseudorandom series)
+# ---------------------------------------------------------------------------
+
+
+def _lcg(seed: int):
+    # deterministic 32-bit LCG so the fixtures never drift between runs
+    state = seed & 0xFFFFFFFF
+    while True:
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        yield state
+
+
+def test_rate_limit_sweep_equals_step_recursion(spark):
+    """The closed form B_t = max(0, C_t - min(0, min prefix P)) priced only
+    at arrival rows must equal the naive minute-by-minute Lindley
+    recursion over the WHOLE span, for arbitrary bursty series."""
+    from inde1_spark.operators.analytics import RATE_PCTS, rate_limit_sweep
+
+    for seed in (7, 99, 12345):
+        g = _lcg(seed)
+        # sparse bursty series: ~20 arrival minutes over a ~200-min span
+        arrivals: dict[int, int] = {}
+        m = 0
+        for _ in range(20):
+            m += 1 + next(g) % 20
+            arrivals[m] = 1 + next(g) % 30
+        rows, eid = [], 0
+        for minute, a in arrivals.items():
+            for j in range(a):
+                rows.append(_ev(eid, 1, minute * 60 + j % 60))
+                eid += 1
+        out = {
+            r["rate_pct"]: r
+            for r in rate_limit_sweep(
+                spark.createDataFrame(rows, EVENT_COLS)
+            ).collect()
+        }
+        total = sum(arrivals.values())
+        m_min, m_max = min(arrivals), max(arrivals)
+        span = m_max - m_min + 1
+        for pct in RATE_PCTS:
+            R = -(-(total * pct) // (span * 100))  # ceil
+            # brute force over EVERY minute in the span
+            b, peak, backlogged, at = 0, 0, 0, {}
+            for t in range(m_min, m_max + 1):
+                b = max(0, b + arrivals.get(t, 0) - R)
+                peak = max(peak, b)
+                at[t] = b
+            backlogged = sum(
+                1 for t in arrivals if at[t] > 0
+            )
+            r = out[pct]
+            assert r["rate_per_min"] == R, (seed, pct)
+            assert r["peak_backlog"] == peak, (seed, pct)
+            assert r["backlogged_minutes"] == backlogged, (seed, pct)
+            end = at[m_max]
+            assert r["drain_min"] == -(-end // R), (seed, pct)
+
+
+def test_watermark_state_tradeoff_equals_liveness_scan(spark):
+    """The trailing sliding-sum closed form must equal a brute-force
+    per-minute liveness count of (key, minute) cells, for arbitrary
+    multi-key activity patterns."""
+    from inde1_spark.operators.analytics import (
+        LATENESS_DELAYS_S,
+        watermark_state_tradeoff,
+    )
+
+    for seed in (3, 4242):
+        g = _lcg(seed)
+        cells = set()
+        for _ in range(40):
+            cells.add((1 + next(g) % 5, next(g) % 90))  # (key, minute)
+        rows = [
+            _ev(i, uid, minute * 60 + 1)
+            for i, (uid, minute) in enumerate(sorted(cells))
+        ]
+        out = {
+            r["delay_s"]: r
+            for r in watermark_state_tradeoff(
+                spark.createDataFrame(rows, EVENT_COLS)
+            ).collect()
+        }
+        minutes = {m for _, m in cells}
+        for d in LATENESS_DELAYS_S:
+            dm = d // 60
+            # brute force: at every minute t, cells live iff m in [t-dm, t]
+            peak = 0
+            for t in range(min(minutes), max(minutes) + 1):
+                live = sum(1 for _, m in cells if t - dm <= m <= t)
+                peak = max(peak, live)
+            r = out[d]
+            assert r["n_cells"] == len(cells), (seed, d)
+            assert r["peak_state_rows"] == peak, (seed, d)
