@@ -1241,3 +1241,68 @@ def test_watermark_state_tradeoff_equals_liveness_scan(spark):
             r = out[d]
             assert r["n_cells"] == len(cells), (seed, d)
             assert r["peak_state_rows"] == peak, (seed, d)
+
+
+def test_lsh_bucket_balance_matches_pure_python_minhash(spark):
+    """Independent pure-python mirror of the md5-affine minhash banding —
+    catches a common-mode spelling error the DuckDB twin (which shares
+    the sid/perm spelling) could not."""
+    import hashlib
+
+    from inde1_spark.operators.dedup import (
+        MINHASH_PRIME,
+        N_BANDS,
+        N_PERM,
+        PERMS,
+        lsh_bucket_balance_audit,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs today",
+        "the quick brown fox jumps over the lazy dog",  # dup of doc 0
+        "sphinx of black quartz judge my vow now then",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "a", len(t)) for i, t in enumerate(texts)], DOC_COLS
+    )
+
+    def shingles(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def sig(text):
+        sids = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+            for s in shingles(text)
+        ]
+        return [
+            min((a * s + b) % MINHASH_PRIME for s in sids)
+            for _i, a, b in PERMS
+        ]
+
+    rpb = N_PERM // N_BANDS
+    expected = {}
+    for band in range(N_BANDS):
+        buckets: dict[str, int] = {}
+        for t in texts:
+            key = ",".join(str(v) for v in sig(t)[band * rpb : (band + 1) * rpb])
+            buckets[key] = buckets.get(key, 0) + 1
+        pairs = sum(c * (c - 1) // 2 for c in buckets.values())
+        expected[band] = (
+            len(buckets),
+            max(buckets.values()),
+            sum(1 for c in buckets.values() if c >= 2),
+            str(pairs),
+        )
+    out = {r["band"]: r for r in lsh_bucket_balance_audit(docs).collect()}
+    assert set(out) == set(expected)
+    for band, (nb, mx, multi, pairs) in expected.items():
+        r = out[band]
+        assert r["n_buckets"] == nb, band
+        assert r["max_bucket"] == mx, band
+        assert r["buckets_multi"] == multi, band
+        assert r["cand_pairs"] == pairs, band
+    # the exact-dup pair must co-bucket in EVERY band
+    assert all(r["max_bucket"] >= 2 for r in out.values())
