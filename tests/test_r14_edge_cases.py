@@ -1306,3 +1306,71 @@ def test_lsh_bucket_balance_matches_pure_python_minhash(spark):
         assert r["cand_pairs"] == pairs, band
     # the exact-dup pair must co-bucket in EVERY band
     assert all(r["max_bucket"] >= 2 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# cross-operator consistency web over the real smoke corpus
+# ---------------------------------------------------------------------------
+
+
+def test_r14_ops_agree_on_shared_totals(spark):
+    """Independent staged ops must agree on the totals they share — a
+    regression in any one's corpus pass breaks the web even if its own
+    oracle twin drifts in lockstep."""
+    import __spark_entry__ as entrymod
+
+    SQ = entrymod.staged_queries()
+
+    def rows(name):
+        return SQ[name](spark, SF_SMOKE).collect()
+
+    cache = rows("cache_hit_curve")
+    ttl = rows("ttl_staleness_sweep")
+    trig = rows("trigger_interval_sweep")
+    rate = rows("rate_limit_sweep")
+    ret = rows("retention_policy_sweep")
+    churn = rows("key_churn_audit")
+    scan = rows("scan_split_sweep")
+    lat = rows("allowed_lateness_sweep")
+    attr = rows("lateness_attribution_audit")
+    state = rows("watermark_state_tradeoff")
+
+    n_events = cache[0]["n_events"]
+    n_keys = cache[0]["n_keys"]
+    assert n_events > 0 and n_keys > 0
+
+    # every events-table sweep sees the same corpus
+    assert all(r["n_events"] == n_events for r in ttl)
+    assert all(r["n_events"] == n_events for r in trig)
+    assert all(r["n_events"] == n_events for r in rate)
+    assert all(r["n_events"] == n_events for r in ret)
+    assert all(r["n_events"] == n_events for r in lat)
+    assert sum(r["n_events"] for r in attr) == n_events
+
+    # key universes agree: cache ranking, TTL compulsory misses, churn's
+    # final running universe, retention's per-horizon total
+    assert all(r["n_keys"] == n_keys for r in ttl)
+    assert churn[-1]["universe_size"] == n_keys
+    assert sum(r["n_new"] for r in churn) == n_keys
+    assert sum(r["n_retired"] for r in churn) == n_keys
+    assert all(r["n_keys"] == n_keys for r in ret)
+
+    # the modeled storage pass rides the same row count
+    assert all(r["total_bytes"] == n_events * 64 for r in scan)
+
+    # lateness: the corpus-wide worst regression equals the worst daily
+    # one, and the 900 s drop counts agree between sweep and attribution
+    assert max(r["max_lateness_s"] for r in lat) == max(
+        r["max_lateness_s"] for r in attr
+    )
+    (d900,) = [r["n_dropped"] for r in lat if r["delay_s"] == 900]
+    assert sum(r["n_dropped"] for r in attr) == d900
+
+    # state cells: every delay row carries the same cell universe, and
+    # the peak can never exceed the cells that exist
+    n_cells = state[0]["n_cells"]
+    assert all(r["n_cells"] == n_cells for r in state)
+    assert all(r["peak_state_rows"] <= n_cells for r in state)
+    # peaks are monotone in the delay
+    peaks = [r["peak_state_rows"] for r in sorted(state, key=lambda r: r["delay_s"])]
+    assert peaks == sorted(peaks)
