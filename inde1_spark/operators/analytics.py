@@ -3920,7 +3920,7 @@ def markov_stationary(
                 .cast("long")
                 .alias("p_nano"),
             )
-        )
+        , bounded=True)
     return pi.join(F.broadcast(rowtot.withColumnRenamed("u", "s")), "s", "left").select(
         F.col("s").alias("state"),
         F.coalesce("tot", F.lit(0).cast("long")).alias("n_out_transitions"),
@@ -7628,7 +7628,7 @@ def hitting_time_markov(
                 )
                 .alias("t_nano"),
             )
-        )
+        , bounded=True)
     return (
         t.join(rowtot.select(F.col("u").alias("s"), "tot"), "s", "left")
         .select(

@@ -207,7 +207,7 @@ def semdedup(
     # localCheckpoint makes the k-means chain a lineage leaf so Lloyd's
     # iterations run once, not once per join side (still no eager action —
     # CLAUDE.md invariant)
-    asg = _lazy_checkpoint(kmeans_assign(embeddings, k, iters))
+    asg = _lazy_checkpoint(kmeans_assign(embeddings, k, iters), bounded=True)
 
     # candidate-first verify (same shape as dedup_minhash): the cluster
     # self-join emits ID-ONLY pairs — with k coarse keys it runs on at most
@@ -690,7 +690,7 @@ def semdedup_incremental(
     # the final centroids feed BOTH assigns below; a lazy localCheckpoint
     # makes the Lloyd chain a lineage leaf (k rows materialized once, still
     # no eager action — the semdedup/connected_components pattern)
-    cents = _lazy_checkpoint(cents)
+    cents = _lazy_checkpoint(cents, bounded=True)
 
     s_asg = _assign(standing, cents).select(
         F.col("cluster"), F.col("vec_id").alias("vec_idx")

@@ -81,11 +81,53 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def _lazy_checkpoint(df: DataFrame) -> DataFrame:
+# Reduce width for BOUNDED checkpointed round plans (see _lazy_checkpoint):
+# every exchange in such a plan carries a key space bounded by a constant
+# (vocab-capped graph nodes, k*dims centroid cells, per-query top-k rows),
+# so a handful of reduce partitions is right at ANY corpus size — the map
+# side keeps the scan's full parallelism and partial aggregation collapses
+# the data before the exchange either way.
+BOUNDED_ROUND_PARTITIONS = 8
+
+
+def _lazy_checkpoint(df: DataFrame, bounded: bool = False) -> DataFrame:
     # localCheckpoint persists the underlying RDD OUTSIDE the cache manager
     # (DataFrame.unpersist can't see it), so register the LogicalRDD's java
     # RDD handle for release_persisted() to unpersist directly.
-    df = df.localCheckpoint(eager=False)
+    #
+    # bounded=True — for iteration chains whose checkpointed plans only
+    # shuffle BOUNDED key spaces (kmeans (cid, dim) cells, vocab-capped
+    # word graphs, bounded Markov state sets) — additionally disables AQE
+    # and pins a small shuffle width for the plan->RDD conversion: with
+    # AQE on, toRdd() on an adaptive plan MATERIALIZES every query stage
+    # eagerly (each exchange becomes its own job with full scheduler
+    # round-trips), so an 8-round unroll paid ~6 jobs per round at build
+    # time; with AQE off the rounds stay lazy RDD lineage and execute
+    # inside the consuming action as ordinary stages (r11 A/B:
+    # semdedup_incremental 3.74s -> 1.92s, semdedup_threshold_sweep
+    # 3.53s -> 2.39s, identical output). The fixed small width replaces
+    # the coalescing AQE would have done on those kB-sized exchanges and
+    # is scale-safe BY DEFINITION of bounded (the reduce side never grows
+    # with the corpus). Corpus-scale round tables (connected components,
+    # k-core peels, LPA labels) keep the default: their exchanges need
+    # AQE's byte-based sizing, and the measured A/B regressed 2-3x without
+    # it. Session confs are restored immediately; the consuming query
+    # itself still runs with AQE.
+    sp = df.sparkSession
+    if bounded:
+        old_aqe = sp.conf.get("spark.sql.adaptive.enabled", "true")
+        old_width = sp.conf.get("spark.sql.shuffle.partitions", "200")
+        sp.conf.set("spark.sql.adaptive.enabled", "false")
+        sp.conf.set(
+            "spark.sql.shuffle.partitions", str(BOUNDED_ROUND_PARTITIONS)
+        )
+        try:
+            df = df.localCheckpoint(eager=False)
+        finally:
+            sp.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            sp.conf.set("spark.sql.shuffle.partitions", old_width)
+    else:
+        df = df.localCheckpoint(eager=False)
     try:
         _PERSISTED.append(df._jdf.queryExecution().analyzed().rdd())
     except Exception:

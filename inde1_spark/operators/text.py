@@ -1183,7 +1183,7 @@ def keyword_textrank(
                 .cast("long")
                 .alias("r_nano"),
             )
-        )
+        , bounded=True)
     return (
         rank.orderBy(F.desc("r_nano"), F.asc("u"))
         .limit(k)

@@ -32,13 +32,29 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_shipdate",),
 }
 
+# Inferred-schema memo per table path. The testdata tables are immutable
+# inputs; re-inferring their schema on every load costs a footer-read job
+# plus two full py4j schema fetches per call (~270 ms/call measured on
+# local[32] — the schemas.py doctrine is "never infer on the hot path",
+# and at 100 TB an inference pass per query is a real extra scan). The
+# memo holds SCHEMAS only — every query still reads all data from parquet.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table (TESTDATA.md)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        schema = df.schema
+        _SCHEMA_CACHE[path] = schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
     for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if fields.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 

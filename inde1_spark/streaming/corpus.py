@@ -420,7 +420,7 @@ def embedding_admission_stream(
     cents = _init_centroids(index, kk)
     for _ in range(it):
         cents = _update(_assign(index, cents))
-    cents = _lazy_checkpoint(cents)
+    cents = _lazy_checkpoint(cents, bounded=True)
     members = _assign(index, cents).select(
         "cluster",
         F.col("vec_id").alias("vec_idx"),
