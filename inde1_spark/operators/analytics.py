@@ -11091,35 +11091,34 @@ def join_size_estimate_audit(
             F.coalesce(F.sum(f"c_{tag}"), F.lit(0)).cast("long").alias(f"n_{tag}"),
             F.count("*").cast("long").alias(f"ndv_{tag}"),
         )
-        samp = df.select(F.col(key).alias("k")).filter(
-            hash_bucket(F.col(key), 100) < JSE_SAMPLE_PCT
-        ).groupBy("k").agg(F.count("*").cast("long").alias(f"s_{tag}"))
-        return per_key, stats, samp
+        return per_key, stats
 
     out = None
     # correlated key-lane sampling: matching pairs survive with prob p,
     # not p^2, so the unbiased scale is 1/p (r10 ADVICE item 1)
     scale = 100 // JSE_SAMPLE_PCT
     for name, ldf, lk, rdf, rk in joins:
-        pk_l, st_l, sm_l = side(ldf, lk, "l")
-        pk_r, st_r, sm_r = side(rdf, rk, "r")
-        exact = pk_l.join(pk_r, "k").agg(
+        pk_l, st_l = side(ldf, lk, "l")
+        pk_r, st_r = side(rdf, rk, "r")
+        # The sample lane hashes the KEY VALUE, so a key's sampled count
+        # is its full count when the key is in-lane and 0 otherwise —
+        # s_l(k)*s_r(k) = c_l(k)*c_r(k)*1[in_lane(k)]. The sampled product
+        # sum therefore falls out of the SAME per-key join as the exact
+        # one (r11: removes two corpus re-scans, a second join and their
+        # jobs per audited join, and prices the md5 lane per DISTINCT key
+        # instead of per raw row — the bigger saving at corpus scale).
+        in_lane = hash_bucket(F.col("k"), 100) < JSE_SAMPLE_PCT
+        prods = pk_l.join(pk_r, "k").agg(
             F.coalesce(
                 F.sum(d38(F.col("c_l")) * d38(F.col("c_r"))),
                 F.lit(0).cast("decimal(38,0)"),
-            ).alias("exact_rows")
-        )
-        sampled = sm_l.join(sm_r, "k").agg(
+            ).alias("exact_rows"),
             F.coalesce(
-                F.sum(d38(F.col("s_l")) * d38(F.col("s_r"))),
+                F.sum(F.when(in_lane, d38(F.col("c_l")) * d38(F.col("c_r")))),
                 F.lit(0).cast("decimal(38,0)"),
-            ).alias("s_rows")
+            ).alias("s_rows"),
         )
-        row = (
-            st_l.join(F.broadcast(st_r))
-            .join(F.broadcast(exact))
-            .join(F.broadcast(sampled))
-        )
+        row = st_l.join(F.broadcast(st_r)).join(F.broadcast(prods))
         cls = (
             d38(F.col("n_l")) * d38(F.col("n_r")),
             F.greatest(F.col("ndv_l"), F.col("ndv_r")).cast("decimal(38,0)"),

@@ -61,6 +61,19 @@ DIST_SCALE = 1_000_000_000_000  # (x-y)^2 terms snapped to pico precision
 SNAP_SCALE = 1_000_000_000  # centroid components live at nano precision
 
 
+def _dist_scaled_sql(emb: str, cvec: str) -> str:
+    """SQL text of the exact fixed-point squared L2 distance (see
+    _dist_scaled) — one py4j round-trip per use instead of ~20 Column
+    calls; the parsed expression tree is identical (integer literal cast
+    to DOUBLE == the injected double literal; FLOOR(double) is BIGINT)."""
+    return (
+        f"aggregate(zip_with({emb}, {cvec}, (x, y) -> "
+        "CAST(FLOOR((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) "
+        f"* CAST({DIST_SCALE} AS DOUBLE) + 0.5D) AS BIGINT)), "
+        "0L, (acc, t) -> acc + t)"
+    )
+
+
 def _dist_scaled(emb: Column, cvec: Column) -> Column:
     """Exact fixed-point squared L2 distance between a float-array point
     and a double-array centroid, as a LONG (order-independent sum)."""
@@ -107,14 +120,10 @@ def _assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     cents = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _dist_scaled(F.col("embedding"), c["cvec"]).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        + _dist_scaled_sql("embedding", "c.cvec")
+        + " AS d, c.cid AS cid)))"
     )
     return (
         embeddings.join(F.broadcast(cents))
@@ -144,12 +153,9 @@ def _update(assigned: DataFrame) -> DataFrame:
     by_dim = assigned.select(
         F.col("cluster").alias("cid"),
         F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(
-                    (x.cast("double") + F.lit(1.0)) * F.lit(float(SNAP_SCALE))
-                    + F.lit(0.5)
-                ).cast("long"),
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR((CAST(x AS DOUBLE) "
+                f"+ 1.0D) * CAST({SNAP_SCALE} AS DOUBLE) + 0.5D) AS BIGINT))"
             )
         ).alias("dim", "vs"),
     )

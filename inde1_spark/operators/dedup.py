@@ -288,11 +288,13 @@ def minhash_signatures(
     mins, one shuffle on doc_id. (A pid-exploded variant costs k x the
     shuffle volume for identical results.)
     """
+    # one SQL string per signature column instead of ~10 py4j Column calls
+    # each: the k-perm agg used to cost ~10k gateway round-trips per build
+    # (r11 measured ~0.8s for k=32 on an idle local[32]); the expression
+    # trees are identical (int literals, same arithmetic, same aliases)
     return sh_ids.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"mh_{pid}"
-            )
+            F.expr(f"min(({a} * sid + {b}) % {MINHASH_PRIME}) AS mh_{pid}")
             for pid, a, b in perms
         ]
     )
@@ -358,26 +360,19 @@ def banded_signature(sigs: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
     recall test) — one spelling of the banding math.
     """
     rows_per_band = n_perm // n_bands
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # single selectExpr string (inline == explode-struct + project, same
+    # rows in array order) — the per-band struct/concat loop built ~300
+    # py4j Columns per call before r11
+    structs = ", ".join(
+        f"struct({b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS sig)"
+        for b in range(n_bands)
+    )
+    return sigs.selectExpr("doc_id", f"inline(array({structs}))")
 
 
 def band_candidates(bands: DataFrame) -> DataFrame:
@@ -1760,18 +1755,20 @@ def minhash_est_jaccard(documents: DataFrame, n: int = 3) -> DataFrame:
     the exact scaled ratio), divided back to doubles only for output.
     """
     sh, sigs, cand = _fast_audit_pipeline(documents, n, persist_sh=True)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(FAST_N_PERM)],
+    sa = sigs.selectExpr(
+        "doc_id AS doc_a", *[f"mh_{i} AS a_{i}" for i in range(FAST_N_PERM)]
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(FAST_N_PERM)],
+    sb = sigs.selectExpr(
+        "doc_id AS doc_b", *[f"mh_{i} AS b_{i}" for i in range(FAST_N_PERM)]
     )
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-        for i in range(FAST_N_PERM)
-    ).cast("long")
+    matches = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)"
+            for i in range(FAST_N_PERM)
+        )
+        + " AS BIGINT)"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -2944,9 +2941,7 @@ def minhash_band_sweep(
         .groupBy("doc_id")
         .agg(
             *[
-                F.min(
-                    (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"m{i}")
+                F.expr(f"min(({a} * sid + {b}) % {MINHASH_PRIME}) AS m{i}")
                 for i, a, b in PERMS
             ]
         )
@@ -2959,20 +2954,20 @@ def minhash_band_sweep(
     n_exact = truth.agg(F.count("*").cast("long").alias("n_exact"))
 
     # ONE band table over every (config, band) and ONE cfg-keyed bucket
-    # self-join — the same shape as the DuckDB twin; four sequential
-    # per-config joins would rescan the signature table and launch four
-    # jobs for identical total work
-    bands = None
-    for cfg_idx, (n_bands, rpb) in enumerate(BAND_SWEEP_CONFIGS):
-        for j in range(n_bands):
-            cols = [F.col(f"m{j * rpb + k}") for k in range(rpb)]
-            one = sigs.select(
-                "doc_id",
-                F.lit(cfg_idx).alias("cfg"),
-                F.lit(j).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("sig"),
-            )
-            bands = one if bands is None else bands.unionByName(one)
+    # self-join — the same shape as the DuckDB twin. r11: the (cfg, band)
+    # fan-out is a single row-local inline(array(...)) over ONE scan of
+    # the persisted signature table — the previous 30-branch union scanned
+    # the cache 30 times and carried 30 stages of per-branch overhead for
+    # an identical row multiset.
+    entries = ", ".join(
+        f"struct({cfg_idx} AS cfg, {j} AS band, "
+        "md5(concat_ws(',', "
+        + ", ".join(f"m{j * rpb + k}" for k in range(rpb))
+        + ")) AS sig)"
+        for cfg_idx, (n_bands, rpb) in enumerate(BAND_SWEEP_CONFIGS)
+        for j in range(n_bands)
+    )
+    bands = sigs.selectExpr("doc_id", f"inline(array({entries}))")
     ba = bands.select(F.col("doc_id").alias("doc_a"), "cfg", "band", "sig")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "cfg", "band", "sig")
     cand = (

@@ -1565,13 +1565,19 @@ def bm25_parameter_sweep(
 
     The token stream prefilters to the query terms row-locally, and the
     resulting tf table is persisted — so the corpus is scanned once and
-    each config reuses the same (tiny) frequency table: per config cost
-    is a broadcast join + a top-k, not a rescan. Scores keep
-    ``bm25_score``'s exact discipline (nano-snapped idf, micro-snapped
-    per-term contributions, LONG score keys, ties to doc_id asc); k1/b
-    enter as Python-computed double literals so neither engine does
-    decimal-literal arithmetic (CLAUDE.md float-literal rule). The mean
-    divides one exact LONG sum, once.
+    each config reuses the same (tiny) frequency table. The whole grid's
+    per-doc score keys come out of ONE aggregation over that table (one
+    LONG sum column per config — integer sums, so identical to summing
+    each config separately); per config cost is then a top-k over the
+    persisted per-doc table plus one broadcast-join+aggregate pass that
+    produces overlap and score mass together (the r11 shape — the
+    previous per-config plan evaluated its top-k subtree twice, once for
+    the semi-join and once for the stats, 58 jobs per run vs ~15 now).
+    Scores keep ``bm25_score``'s exact discipline (nano-snapped idf,
+    micro-snapped per-term contributions, LONG score keys, ties to
+    doc_id asc); k1/b enter as Python-computed double literals so
+    neither engine does decimal-literal arithmetic (CLAUDE.md
+    float-literal rule). The mean divides one exact LONG sum, once.
     """
     from inde1_spark.operators.dedup import _persist
 
@@ -1595,43 +1601,51 @@ def bm25_parameter_sweep(
         F.broadcast(stats)
     ).withColumn("idf_scaled", idf)
 
-    def topk(k1: float, b: float) -> DataFrame:
+    def contrib(k1: float, b: float) -> Column:
         denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
             F.lit(float(1.0 - b))
             + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
         )
-        contrib = F.round(
+        return F.round(
             (F.col("idf_scaled").cast("double") / F.lit(float(LOG_SCALE)))
             * (F.col("tf").cast("double") * F.lit(float(k1 + 1.0)))
             / denom
             * F.lit(float(SCORE_SCALE)),
             0,
         ).cast("long")
-        per_doc = base.withColumn("contrib", contrib).groupBy("doc_id").agg(
-            F.sum("contrib").cast("long").alias("score_key")
+
+    per_doc = _persist(
+        base.groupBy("doc_id").agg(
+            *[
+                F.sum(contrib(k1, b)).cast("long").alias(f"sk_{i}")
+                for i, (k1, b) in enumerate(configs)
+            ]
         )
-        return per_doc.orderBy(
-            F.col("score_key").desc(), F.col("doc_id").asc()
-        ).limit(k)
+    )
+
+    def topk(i: int) -> DataFrame:
+        return (
+            per_doc.select("doc_id", F.col(f"sk_{i}").alias("score_key"))
+            .orderBy(F.col("score_key").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
 
     from inde1_spark.functions.exprs import ratio_round
 
-    default = _persist(topk(*configs[0]).select("doc_id"))
+    default = _persist(
+        topk(0).select("doc_id", F.lit(1).alias("_in_default"))
+    )
     out = None
-    for k1, b in configs:
-        t = topk(k1, b)
+    for i, (k1, b) in enumerate(configs):
         row = (
-            t.join(F.broadcast(default), "doc_id", "left_semi")
-            .agg(F.count("*").cast("long").alias("n_overlap"))
-            .join(
-                F.broadcast(
-                    t.agg(
-                        F.count("*").cast("long").alias("n_topk"),
-                        F.coalesce(F.sum("score_key"), F.lit(0))
-                        .cast("long")
-                        .alias("sum_key"),
-                    )
-                )
+            topk(i)
+            .join(F.broadcast(default), "doc_id", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_topk"),
+                F.coalesce(F.sum("score_key"), F.lit(0))
+                .cast("long")
+                .alias("sum_key"),
+                F.count("_in_default").cast("long").alias("n_overlap"),
             )
             .select(
                 F.lit(float(k1)).alias("k1"),
