@@ -3900,6 +3900,14 @@ def markov_stationary(
     # re-embed the corpus window pass) and lazily checkpoint the pi chain
     # (kmeans/components invariant: plan stays linear, no eager action)
     em = _persist(edges.join(rowtot, "u"))
+    # one SQL string for the damping update (identical tree: the repr'd
+    # double literals ARE the doubles the injected lits produced) — ~25
+    # gateway calls per round otherwise
+    upd_sql = (
+        f"CAST(FLOOR(({(1.0 - MARKOV_DAMPING)!r}D / k) * 1.0E9 "
+        f"+ {MARKOV_DAMPING!r}D * coalesce(m_nano, 0L) + 0.5D) AS BIGINT) "
+        "AS p_nano"
+    )
     for _ in range(iters):
         contrib = em.join(
             pi.select(F.col("s").alias("u"), "p_nano"), "u"
@@ -3908,19 +3916,9 @@ def markov_stationary(
         )
         inc = contrib.groupBy("s").agg(F.sum("m").cast("long").alias("m_nano"))
         pi = _lazy_checkpoint(
-            pi.join(inc, "s", "left").select(
-                "s",
-                "k",
-                F.floor(
-                    (F.lit(1.0 - MARKOV_DAMPING) / F.col("k")) * F.lit(1e9)
-                    + F.lit(MARKOV_DAMPING)
-                    * F.coalesce(F.col("m_nano"), F.lit(0).cast("long"))
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("p_nano"),
-            )
-        , bounded=True)
+            pi.join(inc, "s", "left").selectExpr("s", "k", upd_sql),
+            bounded=True,
+        )
     return pi.join(F.broadcast(rowtot.withColumnRenamed("u", "s")), "s", "left").select(
         F.col("s").alias("state"),
         F.coalesce("tot", F.lit(0).cast("long")).alias("n_out_transitions"),
@@ -7618,17 +7616,15 @@ def hitting_time_markov(
             .groupBy("s")
             .agg(F.sum("m").cast("long").alias("m_nano"))
         )
+        tq = str(target).replace("'", "''")
         t = _lazy_checkpoint(
-            states.join(inc, "s", "left").select(
+            states.join(inc, "s", "left").selectExpr(
                 "s",
-                F.when(F.col("s") == F.lit(target), F.lit(0).cast("long"))
-                .otherwise(
-                    F.lit(1_000_000_000)
-                    + F.coalesce(F.col("m_nano"), F.lit(0).cast("long"))
-                )
-                .alias("t_nano"),
-            )
-        , bounded=True)
+                f"CASE WHEN s = '{tq}' THEN 0L ELSE 1000000000 "
+                "+ coalesce(m_nano, 0L) END AS t_nano",
+            ),
+            bounded=True,
+        )
     return (
         t.join(rowtot.select(F.col("u").alias("s"), "tot"), "s", "left")
         .select(

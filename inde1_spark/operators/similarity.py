@@ -1031,50 +1031,32 @@ def embedding_top_component(
         F.sequence(F.lit(1), dd), lambda _: F.lit(int(PI_V_SCALE)).cast("long")
     )
     cur = mrow.select("n_vecs", "trace", "mx", mat.alias("mat"), v0.alias("v"))
-    for _ in range(iters):
-        u = F.transform(
-            F.col("mat"),
-            lambda row: F.aggregate(
-                F.zip_with(
-                    row,
-                    F.col("v"),
-                    lambda m, x: F.floor(m * x.cast("double") + F.lit(0.5)).cast(
-                        "long"
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            ),
-        )
-        cur = cur.select("n_vecs", "trace", "mx", "mat", u.alias("u"))
-        nrm = F.greatest(
-            F.sqrt(
-                F.aggregate(
-                    F.col("u"), F.lit(0).cast("long"), lambda a, x: a + x * x
-                ).cast("double")
-            ),
-            F.lit(1e-12),
-        )
-        vn = F.transform(
-            F.col("u"),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(PI_V_SCALE) / nrm + F.lit(0.5)
-            ).cast("long"),
-        )
-        cur = cur.select("n_vecs", "trace", "mx", "mat", vn.alias("v"))
-    # Rayleigh quotient from one more snapped mat-vec
-    u = F.transform(
-        F.col("mat"),
-        lambda row: F.aggregate(
-            F.zip_with(
-                row,
-                F.col("v"),
-                lambda m, x: F.floor(m * x.cast("double") + F.lit(0.5)).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        ),
+    # one SQL string per round instead of ~50 gateway Column calls — the
+    # parsed trees are identical (0.5D/1.0E-12/1.0E6 are the same doubles
+    # the injected literals produced; FLOOR(double) is already BIGINT)
+    u_sql = (
+        "transform(mat, row -> aggregate(zip_with(row, v, "
+        "(m, x) -> CAST(FLOOR(m * CAST(x AS DOUBLE) + 0.5D) AS BIGINT)), "
+        "0L, (a, b) -> a + b))"
     )
+    nrm_sql = (
+        "GREATEST(SQRT(CAST(aggregate(u, 0L, (a, x) -> a + x * x) "
+        "AS DOUBLE)), 1.0E-12)"
+    )
+    vn_sql = (
+        "transform(u, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0E6 / "
+        + nrm_sql
+        + " + 0.5D) AS BIGINT))"
+    )
+    for _ in range(iters):
+        cur = cur.select(
+            "n_vecs", "trace", "mx", "mat", F.expr(u_sql).alias("u")
+        )
+        cur = cur.select(
+            "n_vecs", "trace", "mx", "mat", F.expr(vn_sql).alias("v")
+        )
+    # Rayleigh quotient from one more snapped mat-vec
+    u = F.expr(u_sql)
     cur = cur.select("n_vecs", "trace", "mx", "mat", "v", u.alias("u"))
     num = F.aggregate(
         F.zip_with(F.col("v"), F.col("u"), lambda a, b: a * b),

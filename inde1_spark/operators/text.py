@@ -1163,27 +1163,24 @@ def keyword_textrank(
         .cast("long")
         .alias("r_nano"),
     )
+    # one SQL string for the damping update (identical tree: repr'd double
+    # literals are the same doubles) — ~25 gateway calls per round otherwise
+    upd_sql = (
+        f"CAST(FLOOR(({(1.0 - TEXTRANK_DAMPING)!r}D / n_nodes) * 1.0E9 "
+        f"+ {TEXTRANK_DAMPING!r}D * coalesce(s_nano, 0L) + 0.5D) AS BIGINT) "
+        "AS r_nano"
+    )
     for _ in range(iters):
         contrib = edges.join(rank, "u").select(
             F.col("v").alias("u"), F.expr("(r_nano * w) div wout").alias("c")
         )
         s = contrib.groupBy("u").agg(F.sum("c").cast("long").alias("s_nano"))
         rank = _lazy_checkpoint(
-            rank.join(s, "u", "left").select(
-                "u",
-                "wout",
-                "n_nodes",
-                F.floor(
-                    (F.lit(1.0 - TEXTRANK_DAMPING) / F.col("n_nodes"))
-                    * F.lit(1e9)
-                    + F.lit(TEXTRANK_DAMPING)
-                    * F.coalesce(F.col("s_nano"), F.lit(0).cast("long"))
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("r_nano"),
-            )
-        , bounded=True)
+            rank.join(s, "u", "left").selectExpr(
+                "u", "wout", "n_nodes", upd_sql
+            ),
+            bounded=True,
+        )
     return (
         rank.orderBy(F.desc("r_nano"), F.asc("u"))
         .limit(k)
