@@ -1321,25 +1321,19 @@ def pagerank_dup_graph(
         .cast("long")
         .alias("r_nano"),
     )
+    # one SQL string for the damping update (same trees; see markov_stationary)
+    upd_sql = (
+        f"CAST(FLOOR(({(1.0 - PAGERANK_DAMPING)!r}D / n_nodes) * 1.0E9 "
+        f"+ {PAGERANK_DAMPING!r}D * coalesce(s_nano, 0L) + 0.5D) AS BIGINT) "
+        "AS r_nano"
+    )
     for _ in range(iters):
         contrib = edges.join(rank, "u").select(
             F.col("v").alias("u"), F.expr("r_nano div deg").alias("c")
         )
         s = contrib.groupBy("u").agg(F.sum("c").cast("long").alias("s_nano"))
         rank = _lazy_checkpoint(
-            rank.join(s, "u", "left").select(
-                "u",
-                "deg",
-                "n_nodes",
-                F.floor(
-                    (F.lit(1.0 - PAGERANK_DAMPING) / F.col("n_nodes")) * F.lit(1e9)
-                    + F.lit(PAGERANK_DAMPING)
-                    * F.coalesce(F.col("s_nano"), F.lit(0).cast("long"))
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("r_nano"),
-            )
+            rank.join(s, "u", "left").selectExpr("u", "deg", "n_nodes", upd_sql)
         )
     return rank.select(
         F.col("u").alias("doc_id"),

@@ -7,7 +7,8 @@ record how many Spark jobs/stages/tasks the steady-state rep launched.
 Optionally writes .explain("formatted") to plans/r11/<name>_before.txt.
 
 Usage: python tools/profile_bench.py [name ...]   (default: full HEADLINE)
-Env: SPARK_GRAFT_PROFILE_EXPLAIN=1 to write plan files.
+Env: SPARK_GRAFT_PROFILE_EXPLAIN=1 to write plan files;
+     SPARK_GRAFT_PROFILE_SUFFIX=_after (default _before) names them.
 NEVER run concurrently with pytest or bench.py.
 """
 
@@ -24,6 +25,7 @@ sys.path.insert(0, HERE)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_REPS = 3
 WRITE_EXPLAIN = os.environ.get("SPARK_GRAFT_PROFILE_EXPLAIN", "0") == "1"
+PLAN_SUFFIX = os.environ.get("SPARK_GRAFT_PROFILE_SUFFIX", "_before")
 PLANS_DIR = os.path.join(HERE, "plans", "r11")
 
 
@@ -104,7 +106,7 @@ def main() -> None:
             plan = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            with open(os.path.join(PLANS_DIR, f"{name}_before.txt"), "w") as f:
+            with open(os.path.join(PLANS_DIR, f"{name}{PLAN_SUFFIX}.txt"), "w") as f:
                 f.write(plan)
             release_persisted()
         sc.setJobDescription(None)
