@@ -26,6 +26,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Corpus load with the guide §2.5 unsplittable-input mitigation.
+
+    Used by the queries whose map-side CPU (tokenize/ngram/frequency
+    aggregation) dominates their runtime — measured 2-3x faster with the
+    scan parallelized (r12). Self-disabling when the parquet layout
+    already splits to the session's parallelism (real-scale inputs)."""
+    from inde1_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name, scan_parallel=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: single-pass hourly parking-style aggregate (SURVEY §7.2.1)."""
     from inde1_spark.operators.analytics import hourly_stats
@@ -117,7 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "perplexity_filter_sweep": lambda sp, d: SC.perplexity_filter_sweep(
-            _t(sp, d, "documents")
+            _tp(sp, d, "documents")
         ),
         # --- re-confirmations: head of the 45 remaining r04-era entries
         #     (last driver rows r04 — the oldest pool after a green r10) ---
@@ -411,9 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": lambda sp, d: T.winnow_fingerprints(_t(sp, d, "documents")),
         "dedup_clusters": lambda sp, d: D.dedup_clusters(_t(sp, d, "documents")),
         "dedup_keep_best": lambda sp, d: D.dedup_keep_best(_t(sp, d, "documents")),
-        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_t(sp, d, "documents")),
+        "tfidf_top_terms": lambda sp, d: SC.tfidf_top_terms(_tp(sp, d, "documents")),
         "bm25_score": lambda sp, d: SC.bm25_score(_t(sp, d, "documents")),
-        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_t(sp, d, "documents")),
+        "unigram_logprob": lambda sp, d: SC.unigram_logprob(_tp(sp, d, "documents")),
         "knn_brute_cosine": lambda sp, d: S.knn_brute_cosine(_t(sp, d, "embeddings")),
         "knn_lsh_bucketed": lambda sp, d: S.knn_lsh_bucketed(_t(sp, d, "embeddings")),
         # r08 gate-green block (all 50 hash-green in CORRECTNESS_r08;
@@ -622,7 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "isotonic_daily": lambda sp, d: A.isotonic_daily(_t(sp, d, "events")),
         "kneser_ney_logprob": lambda sp, d: SC.kneser_ney_logprob(
-            _t(sp, d, "documents")
+            _tp(sp, d, "documents")
         ),
         "diversity_profile": lambda sp, d: C.diversity_profile(
             _t(sp, d, "documents")
@@ -735,7 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "documents")
         ),
         "impact_postings": lambda sp, d: SC.impact_postings(
-            _t(sp, d, "documents")
+            _tp(sp, d, "documents")
         ),
         "profile_columns": lambda sp, d: A.profile_columns(_t(sp, d, "events")),
         # r05 gate-green block (all 50 hash-green in CORRECTNESS_r05;

@@ -215,6 +215,23 @@ def unigram_logprob(
     Single-query plans stay persist-free (ReuseExchange covers the tf
     double-consumption); pass ``tf_table=shared_term_freq(docs)`` to share
     the frequency pass across several scoring ops in one session.
+
+    No dl > 0 filter: every tf row has dl >= 1 by construction (a doc
+    with zero tokens produces no exploded rows), so the guard was a no-op
+    on rows — but Catalyst pushed it below the scoring branch's tf
+    aggregate only, de-canonicalizing the two tf subtrees so AQE's
+    exchange reuse never fired and the corpus was tokenized TWICE per
+    query (r11 verdict item 1). Without it the vocab branch is a
+    ReusedExchange of the scoring branch's tf exchange: one tokenize.
+
+    The lp_sum <= 0 guard is provably always TRUE (n_occ <= total_toks
+    so every lp_scaled = round(ln(p <= 1)*1e9) <= 0, and tf >= 1 — a sum
+    of nonpositive longs is nonpositive): it removes no row. It exists so
+    a downstream consumer that doesn't read the score (bench.py's
+    count()) cannot prune lp_sum — pruning it collapses the scoring
+    branch's tf aggregate to a distinct and breaks the canonical
+    equality, putting the extra corpus scans back (measured: 3 scans
+    under count() without the guard, 1 with).
     """
     tf = tf_table if tf_table is not None else _term_freq(documents)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("n_occ"))
@@ -230,7 +247,7 @@ def unigram_logprob(
     return (
         lp.groupBy("doc_id", "dl")
         .agg(F.sum(F.col("tf") * F.col("lp_scaled")).alias("lp_sum"))
-        .filter(F.col("dl") > 0)
+        .filter(F.col("lp_sum") <= 0)
         .select(
             "doc_id",
             F.col("dl").alias("n_tokens"),
@@ -1144,10 +1161,20 @@ def kneser_ney_logprob(documents: DataFrame) -> DataFrame:
 
     Scale: same three AQE-splittable shuffles as bigram_logprob plus one
     more bounded-key reduce (right continuation counts); the bigram type
-    table is persisted for its four consumers.
+    table is NOT persisted (r12): a cached vocab forces the cache-fill
+    plan into its own query execution, so the corpus tokenize+ngram pass
+    ran TWICE (once for the fill, once for the scoring join — AQE stage
+    reuse cannot cross executions). Unpersisted, every consumer's subtree
+    is canonically identical and AQE reuses the bf exchange once and the
+    vocab exchange three times: ONE corpus pass at any scale. Two guards
+    keep the subtrees canonical: the dl >= 2 doc filter is omitted (a doc
+    with a bigram has dl >= 2 by construction — the pushed-down filter
+    de-canonicalized the scoring branch), and rights/btot count vocab
+    rows via count(when(c_ab >= 1, 1)) — exactly count(*) since c_ab is
+    a sum of counts >= 1 — so RemoveRedundantAggregates cannot collapse
+    their (unused-c_ab) branches into a separate text-only corpus scan.
     """
     from inde1_spark.functions.exprs import word_ngrams
-    from inde1_spark.operators.dedup import _persist
 
     def lnn(c):
         return F.round(F.log(c.cast("double")) * F.lit(1e9), 0).cast("long")
@@ -1162,22 +1189,23 @@ def kneser_ney_logprob(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", "dl", "bigram")
         .agg(F.count("*").cast("long").alias("bf"))
     )
-    # persisted: feeds lefts, rights, the type total and the scoring join
-    vocab = _persist(
-        bf.groupBy("bigram").agg(F.sum("bf").cast("long").alias("c_ab"))
-    )
+    vocab = bf.groupBy("bigram").agg(F.sum("bf").cast("long").alias("c_ab"))
     w1w2 = vocab.select(
         "bigram",
         F.substring_index("bigram", " ", 1).alias("w1"),
         F.substring_index("bigram", " ", -1).alias("w2"),
         "c_ab",
     )
+
+    def nz_count():
+        return F.count(F.when(F.col("c_ab") >= 1, 1)).cast("long")
+
     lefts = w1w2.groupBy("w1").agg(
         F.sum("c_ab").cast("long").alias("c_a"),
-        F.count("*").cast("long").alias("n1p"),
+        nz_count().alias("n1p"),
     )
-    rights = w1w2.groupBy("w2").agg(F.count("*").cast("long").alias("n1m"))
-    btot = vocab.agg(F.count("*").cast("long").alias("b_types"))
+    rights = w1w2.groupBy("w2").agg(nz_count().alias("n1m"))
+    btot = vocab.agg(nz_count().alias("b_types"))
     num = (F.lit(4) * F.col("c_ab") - F.lit(KN_DISCOUNT_X4)) * F.col(
         "b_types"
     ) + F.lit(KN_DISCOUNT_X4) * F.col("n1p") * F.col("n1m")
@@ -1192,7 +1220,12 @@ def kneser_ney_logprob(documents: DataFrame) -> DataFrame:
         bf.join(sv, "bigram")
         .groupBy("doc_id", "dl")
         .agg(F.sum(F.col("bf") * F.col("lp_scaled")).alias("lp_sum"))
-        .filter(F.col("dl") >= 2)
+        # always-true count()-pruning guard (see unigram_logprob): each
+        # interpolated-KN P(w2|w1) <= 1 (the per-context terms are positive
+        # and sum to exactly 1 over w2, with integer num <= den), so every
+        # lp_scaled <= 0 and bf >= 1 — lp_sum <= 0 removes no row but keeps
+        # the scoring branch's bf aggregate canonical under a bare count()
+        .filter(F.col("lp_sum") <= 0)
         .select(
             "doc_id",
             (F.col("dl") - 1).alias("n_bigrams"),
@@ -1506,35 +1539,37 @@ def perplexity_filter_sweep(
             .cast("long")
             .alias(f"_t{i}")
         )
-    from inde1_spark.operators.dedup import _persist
-
-    # k-source table projected once per threshold row: persist, or each
-    # union branch re-runs the whole LM pass (the copartition lesson)
-    per = _persist(scored.groupBy("source").agg(
+    per = scored.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         *aggs,
-    ))
-    out = None
-    for i, t in enumerate(LP_SWEEP_THRESHOLDS):
-        row = per.select(
-            "source",
-            F.lit(float(t)).alias("threshold"),
-            F.col(f"_d{i}").alias("n_docs_kept"),
-            F.col(f"_t{i}").alias("n_tokens_kept"),
-            ratio_round(
-                F.col(f"_d{i}") * 100,
-                F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
-                2,
-            ).alias("doc_retention_pct"),
-            ratio_round(
-                F.col(f"_t{i}") * 100,
-                F.greatest(F.col("n_tokens"), F.lit(1).cast("long")),
-                2,
-            ).alias("token_retention_pct"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("source", "threshold")
+    )
+    # r12: the k-source table fans out to the threshold grid via ONE
+    # inline(array(...)) generator over a single pass (the
+    # minhash_band_sweep pattern) — the old per-threshold union needed
+    # the table persisted because each branch re-read it; one consumer
+    # needs neither the union nor the persist (Union 4 -> 0 in the plan)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"_d{i}").alias("n_docs_kept"),
+                F.col(f"_t{i}").alias("n_tokens_kept"),
+                ratio_round(
+                    F.col(f"_d{i}") * 100,
+                    F.greatest(F.col("n_docs"), F.lit(1).cast("long")),
+                    2,
+                ).alias("doc_retention_pct"),
+                ratio_round(
+                    F.col(f"_t{i}") * 100,
+                    F.greatest(F.col("n_tokens"), F.lit(1).cast("long")),
+                    2,
+                ).alias("token_retention_pct"),
+            )
+            for i, t in enumerate(LP_SWEEP_THRESHOLDS)
+        ]
+    )
+    return per.select("source", F.inline(grid)).orderBy("source", "threshold")
 
 
 # (k1, b) grid: the default Okapi config first (the baseline the overlap

@@ -16,6 +16,8 @@ filters on data columns so the vectorized parquet reader skips row groups.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,9 +42,46 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 # memo holds SCHEMAS only — every query still reads all data from parquet.
 _SCHEMA_CACHE: dict[str, object] = {}
 
+# Row-group count memo per table path (metadata only, read once from the
+# parquet footer). Parquet files split across scan tasks only at row-group
+# boundaries: a single-row-group file is an UNSPLITTABLE input, so every
+# map-side operation between the scan and the first exchange runs on ONE
+# core no matter how many the session has (guide §2.5 "input skew: one
+# huge unsplittable file"). The driver testdata is exactly that shape
+# (one row group per table at every SF — measured: the sf0.1 corpus
+# tokenize pass took 2.0 s single-task vs 0.65 s after repartition(32)).
+_ROW_GROUP_CACHE: dict[str, int] = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table (TESTDATA.md)."""
+def _row_groups(path: str) -> int:
+    n = _ROW_GROUP_CACHE.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).num_row_groups
+        except Exception:
+            n = 0  # unknown layout: assume splittable, change nothing
+        _ROW_GROUP_CACHE[path] = n
+    return n
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, scan_parallel: bool = False
+) -> DataFrame:
+    """Read one driver testdata parquet table (TESTDATA.md).
+
+    ``scan_parallel=True`` opts a query into the guide §2.5 unsplittable-
+    input mitigation: when the parquet layout provides fewer row groups
+    than the session's parallelism, a round-robin ``repartition`` is
+    inserted right after the read so the map-side CPU between the scan
+    and the first exchange uses every core. Opt-IN per query because the
+    extra exchange only pays for itself when that map-side work dominates
+    (the tokenize/ngram scoring family measured 2-3x faster; row-local
+    text ops and prefiltered retrieval measured 15-30% SLOWER — the
+    round-robin shuffle of raw text is pure overhead there). At real
+    scale the row-group count exceeds any core count and the condition
+    disables itself: no repartition, no extra shuffle of the corpus.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     schema = _SCHEMA_CACHE.get(path)
@@ -56,6 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if fields.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if scan_parallel:
+        floor = int(
+            os.environ.get(
+                "SPARK_GRAFT_SCAN_MIN_TASKS", spark.sparkContext.defaultParallelism
+            )
+        )
+        if 0 < _row_groups(path) < floor:
+            # deterministic round-robin (sortBeforeRepartition is on by
+            # default); every downstream aggregate follows DESIGN.md §3's
+            # order-exact arithmetic, so results are partition-invariant
+            df = df.repartition(floor)
     return df
 
 

@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_REPS = 3
 WRITE_EXPLAIN = os.environ.get("SPARK_GRAFT_PROFILE_EXPLAIN", "0") == "1"
 PLAN_SUFFIX = os.environ.get("SPARK_GRAFT_PROFILE_SUFFIX", "_before")
-PLANS_DIR = os.path.join(HERE, "plans", "r11")
+PLANS_DIR = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
 
 
 def main() -> None:
