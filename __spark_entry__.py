@@ -622,7 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, d, "lineitem")
         ),
         "jsd_sources": lambda sp, d: SC.jsd_sources(_t(sp, d, "documents")),
-        "hilbert_layout": lambda sp, d: A.hilbert_layout(_t(sp, d, "events")),
+        "hilbert_layout": lambda sp, d: A.hilbert_layout(_tp(sp, d, "events")),
         "brown_forsythe": lambda sp, d: A.brown_forsythe(_t(sp, d, "events")),
         "holt_winters": lambda sp, d: A.holt_winters(_t(sp, d, "events")),
         "fellegi_sunter_linkage": lambda sp, d: D.fellegi_sunter_linkage(

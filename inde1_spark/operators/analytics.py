@@ -11201,13 +11201,15 @@ def session_gap_sweep(events: DataFrame) -> DataFrame:
             .cast("long")
             .alias(f"_splits_{i}")
         )
-    from inde1_spark.operators.dedup import _persist
+    agg = gaps.agg(*aggs)
 
-    agg = _persist(gaps.agg(*aggs))
-    out = None
-    for i, g in enumerate(SESSION_GAP_SWEEP_MIN):
+    # r12: bounded grid fans out of the 1-row aggregate via ONE
+    # inline(array(...)) generator (the minhash_band_sweep pattern) —
+    # the old per-gap union needed the aggregate persisted because each
+    # branch re-read it; one consumer needs neither union nor persist
+    def _row(i: int, g: int):
         n_sessions = F.col(f"_splits_{i}") + F.col("n_users")
-        row = agg.select(
+        return F.struct(
             F.lit(int(g)).cast("long").alias("gap_minutes"),
             n_sessions.cast("long").alias("n_sessions"),
             ratio_round(
@@ -11224,8 +11226,9 @@ def session_gap_sweep(events: DataFrame) -> DataFrame:
                 2,
             ).alias("split_pair_pct"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("gap_minutes")
+
+    grid = F.array(*[_row(i, g) for i, g in enumerate(SESSION_GAP_SWEEP_MIN)])
+    return agg.select(F.inline(grid)).orderBy("gap_minutes")
 
 
 # canonical scan predicates whose selectivity the planner must price

@@ -377,11 +377,12 @@ def cross_source_overlap(
     (2.9 s cold). The window partition is a shingle's posting list,
     bounded by the source count — never corpus-sized.
     """
+    from inde1_spark.operators.dedup import _spread_by_key
+
     # repartition before shingling — the dedup.shingle_table rule: a
     # single-file corpus otherwise runs the CPU-heavy explode on one core
     sh = (
-        documents.select("doc_id", "source", "text")
-        .repartition("doc_id")
+        _spread_by_key(documents.select("doc_id", "source", "text"), "doc_id")
         .select(
             "source",
             F.explode(word_shingles(tokens("text"), n)).alias("shingle"),
@@ -1782,34 +1783,36 @@ def corpus_prep_cost_audit(documents: DataFrame) -> DataFrame:
             .alias(f"chrs_{tag}"),
         ]
 
-    from inde1_spark.operators.dedup import _persist
-
-    # six stage rows project from this ONE row: persist it, or each union
-    # branch re-runs the corpus pass (the copartition lesson)
-    agg = _persist(flags.agg(
+    agg = flags.agg(
         *_m(F.lit(True), "raw"),
         *_m(F.col("keep_q"), "quality"),
         *_m(F.col("keep_d"), "exact_dedup"),
         *_m(F.col("keep_d") & (F.col("split") == "train"), "split_train"),
         *_m(F.col("keep_d") & (F.col("split") == "val"), "split_val"),
         *_m(F.col("keep_d") & (F.col("split") == "test"), "split_test"),
-    ))
-    out = None
-    for i, s in enumerate(PREP_STAGES):
-        row = agg.select(
-            F.lit(i).cast("long").alias("stage_idx"),
-            F.lit(s).alias("stage"),
-            F.col(f"docs_{s}").alias("n_docs"),
-            F.col(f"toks_{s}").alias("n_tokens"),
-            F.col(f"chrs_{s}").alias("n_chars"),
-            ratio_round(
-                F.col(f"toks_{s}") * 100,
-                F.greatest(F.col("toks_raw"), F.lit(1).cast("long")),
-                2,
-            ).alias("token_retention_pct"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("stage_idx")
+    )
+    # r12: the six stage rows fan out of the 1-row aggregate via ONE
+    # inline(array(...)) generator (minhash_band_sweep pattern) — the old
+    # per-stage union needed the aggregate persisted because each branch
+    # re-read it; one consumer needs neither the union nor the persist
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"docs_{s}").alias("n_docs"),
+                F.col(f"toks_{s}").alias("n_tokens"),
+                F.col(f"chrs_{s}").alias("n_chars"),
+                ratio_round(
+                    F.col(f"toks_{s}") * 100,
+                    F.greatest(F.col("toks_raw"), F.lit(1).cast("long")),
+                    2,
+                ).alias("token_retention_pct"),
+            )
+            for i, s in enumerate(PREP_STAGES)
+        ]
+    )
+    return agg.select(F.inline(grid)).orderBy("stage_idx")
 
 
 EPOCH_CAP_MILLI = 4000  # ~4 epochs: the data-constrained diminishing-returns line

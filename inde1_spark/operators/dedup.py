@@ -81,6 +81,23 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_by_key(df: DataFrame, key: str) -> DataFrame:
+    """Keyed re-spread at an EXPLICIT partition count.
+
+    The CPU-heavy map work downstream (shingle explodes, vector folds)
+    must not serialize onto one core when the input is a single
+    unsplittable file. The explicit COUNT matters (r12): these inputs
+    are tiny in BYTES, so AQE's byte-based coalescing folded a
+    keyed-only ``repartition`` back to ONE partition and the explode ran
+    single-threaded anyway. Width = the session's shuffle.partitions, so
+    a later groupBy on the same key still reuses the exchange (§2.4).
+    """
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return df.repartition(n_part, key)
+
+
 # Reduce width for BOUNDED checkpointed round plans (see _lazy_checkpoint):
 # every exchange in such a plan carries a key space bounded by a constant
 # (vocab-capped graph nodes, k*dims centroid cells, per-query top-k rows),
@@ -160,7 +177,7 @@ def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
     has thousands of splits and Catalyst elides this into the existing
     exchange).
     """
-    return documents.select("doc_id", "text").repartition("doc_id").select(
+    return _spread_by_key(documents.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(word_shingles(tokens("text"), n)).alias("shingle")
     )
 
@@ -822,7 +839,7 @@ def dedup_embedding_oracle(
     nature — this is the exact GROUND TRUTH; the scale path is
     ``dedup_embedding_lsh`` (sign-bucket candidates, no cross join).
     """
-    e = embeddings.repartition("vec_id").select(
+    e = _spread_by_key(embeddings, "vec_id").select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
     )
     a = e.select(
@@ -900,7 +917,7 @@ def dedup_embedding_lsh(
     parallel and AQE elides the no-op exchange).
     """
     e = _persist(
-        embeddings.repartition("vec_id").select(
+        _spread_by_key(embeddings, "vec_id").select(
             "vec_id",
             "embedding",
             norm_exact(F.col("embedding")).alias("nrm"),
@@ -1452,7 +1469,12 @@ def cdc_chunk_table(
     HOF-CSE rule.
     """
     toks_col = tokens("text")
-    d = documents.select("doc_id", *carry, toks_col.alias("toks")).filter(
+    # batch inputs re-spread before the chunk math (one md5 per token
+    # bigram — the heaviest row-local pass in the dedup family): a
+    # single-file corpus would otherwise run it all on one core (r12;
+    # streaming callers keep their micro-batch partitioning)
+    src = documents if documents.isStreaming else _spread_by_key(documents, "doc_id")
+    d = src.select("doc_id", *carry, toks_col.alias("toks")).filter(
         F.size("toks") >= 1
     )
     n = F.size(F.col("toks"))
@@ -2689,8 +2711,12 @@ def dedup_substring_windows(
     """
     from inde1_spark.functions.exprs import ratio_round, word_ngrams
 
-    tokenized = documents.select(
-        "doc_id", tokens("text").alias("toks")
+    # re-spread before the per-position window explode + md5 (the heavy
+    # map pass, and it runs TWICE: the dfreq branch and the join-back
+    # branch exchange separately) — a single-file corpus would pin both
+    # passes to one core (r12)
+    tokenized = _spread_by_key(
+        documents.select("doc_id", tokens("text").alias("toks")), "doc_id"
     ).filter(F.size("toks") >= w)
     wins = tokenized.select(
         "doc_id",

@@ -36,10 +36,25 @@ K_BUCKETED = 3
 LSH_SIGN_DIMS = 4  # 2^4 = 16 buckets
 
 
+def _spread(embeddings: DataFrame) -> DataFrame:
+    """vec_id-keyed re-spread at an EXPLICIT partition count.
+
+    Vector math is CPU-bound; a single-file corpus must not pin the
+    dot-product loops to one core (see dedup.shingle_table). The explicit
+    COUNT matters (r12, CLAUDE.md rule): embeddings are tiny in BYTES, so
+    AQE's byte-based coalescing folded the keyed-only ``repartition``
+    back to ONE partition and every downstream decimal fold (norms, ADC
+    scans, cosine verifies) ran single-threaded — knn_brute_cosine
+    measured 13 consecutive 1-task stages before this.
+    """
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return embeddings.repartition(n_part, "vec_id")
+
+
 def _with_norm(embeddings: DataFrame) -> DataFrame:
-    # repartition: vector math is CPU-bound; a single-file corpus must not
-    # pin the dot-product loop to one core (see dedup.shingle_table)
-    return embeddings.repartition("vec_id").select(
+    return _spread(embeddings).select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
     )
 
@@ -220,28 +235,49 @@ def knn_lsh_bucketed(
     ~= corpus * (dims+1) / 2^dims. Recall vs the brute baseline is pinned
     in tests/test_similarity_recall.py.
     """
-    e = _with_norm(embeddings).withColumn(
-        "bucket", sign_bucket(F.col("embedding"), dims)
+    # r12 candidate-first verify (the semdedup/dedup_minhash shape): the
+    # bucket join matches IDS ONLY — with 2^dims bucket keys the join runs
+    # on at most 2^dims tasks and AQE's byte-based coalescing merges the
+    # kB-sized id pairs onto fewer still, which previously serialized the
+    # exact-decimal cosine folds onto a couple of cores (and multiprobe
+    # shuffled every query PAYLOAD once per probe). Candidates re-spread
+    # across the full shuffle width before the payload joins (explicit
+    # COUNT — CLAUDE.md rule), so verification runs at full parallelism
+    # and each embedding payload moves once, keyed by its own id (§8:
+    # shuffle keys and metadata, attach the heavy bytes last).
+    ids = _spread(embeddings).select(
+        "vec_id", sign_bucket(F.col("embedding"), dims).alias("bucket")
     )
-    qcols = [
+    q_ids = ids.filter(F.col("vec_id") < n_queries)
+    if multiprobe:
+        q_ids = q_ids.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_buckets(F.col("bucket"), dims)).alias("bucket"),
+        )
+    else:
+        q_ids = q_ids.select(F.col("vec_id").alias("query_id"), "bucket")
+    n_ids = ids.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand = (
+        q_ids.join(n_ids, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .repartition(n_part, "query_id", "neighbor_id")
+    )
+    e = _with_norm(embeddings)
+    eq = e.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
         F.col("nrm").alias("nrm_q"),
-    ]
-    qbase = e.filter(F.col("vec_id") < n_queries)
-    if multiprobe:
-        q = qbase.select(
-            *qcols, F.explode(probe_buckets(F.col("bucket"), dims)).alias("bucket")
-        )
-    else:
-        q = qbase.select(*qcols, "bucket")
-    n = e.select(
+    )
+    en = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_n"),
         F.col("nrm").alias("nrm_n"),
-        "bucket",
     )
-    pairs = q.join(n, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = cand.join(eq, "query_id").join(en, "neighbor_id")
     scored = _cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -672,7 +708,7 @@ def embedding_random_projection(
             ).alias("s"),
         )
     )
-    vecs = embeddings.repartition("vec_id").select("vec_id", fx.alias("fx"))
+    vecs = _spread(embeddings).select("vec_id", fx.alias("fx"))
     proj = vecs.join(F.broadcast(signs)).select(
         "vec_id",
         "proj_dim",
@@ -751,7 +787,7 @@ def knn_two_stage(
         ).alias("smat")
     )
     with_fx = (
-        embeddings.repartition("vec_id")
+        _spread(embeddings)
         .select("vec_id", "embedding", fx.alias("fx"))
         .crossJoin(F.broadcast(smat_df))
     )
@@ -904,7 +940,7 @@ def embedding_top_component(
         # the row-local spelling; both paths produce identical moments
         # (pinned by tests/test_similarity_recall.py).
         ex = _persist(
-            embeddings.repartition("vec_id")
+            _spread(embeddings)
             .select("vec_id", fx.alias("fx"))
             .select("vec_id", F.posexplode("fx").alias("dim0", "x"))
             .select("vec_id", (F.col("dim0") + 1).alias("i"), "x")
@@ -928,7 +964,7 @@ def embedding_top_component(
         # zero corpus-side shuffle, d^2/2 interpreted struct builds per row.
         # Same LONG products, same decimal promotion at the sum — moments
         # are bit-identical to the join path.
-        emb_fx = embeddings.repartition("vec_id").select(fx.alias("fx"))
+        emb_fx = _spread(embeddings).select(fx.alias("fx"))
         dd = F.size(F.col("fx"))
         pair_structs = F.flatten(
             F.transform(
@@ -1250,7 +1286,7 @@ def knn_pq(
             )
         )["c"],
     )
-    enc = embeddings.repartition("vec_id").join(F.broadcast(cb)).select(
+    enc = _spread(embeddings).join(F.broadcast(cb)).select(
         F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
     )
     # query-side exact distance table: dt[m][c] (longs)
@@ -1696,7 +1732,7 @@ def knn_ivf_pq(
         )["c"],
     )
     enc = (
-        embeddings.repartition("vec_id")
+        _spread(embeddings)
         .join(F.broadcast(cb))
         .select(
             F.col("vec_id").alias("neighbor_id"), F.col("label"), codes.alias("codes")
@@ -1996,7 +2032,7 @@ def embedding_cka(embeddings: DataFrame, half: int = CKA_HALF) -> DataFrame:
     def d38(c):
         return c.cast("decimal(38,0)")
 
-    base = embeddings.repartition("vec_id").select("vec_id", "embedding")
+    base = _spread(embeddings).select("vec_id", "embedding")
     ex = base.select(
         "vec_id", F.posexplode(F.slice("embedding", 1, half)).alias("i", "x")
     )

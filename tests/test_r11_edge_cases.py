@@ -989,7 +989,13 @@ def test_perplexity_sweep_plan(spark):
         "doc_id:bigint,text:string",
         "doc_id:bigint,source:string",
     }
-    assert "InMemoryTableScan" in r.raw  # k-source table feeds all 5 rows
+    # r12: the threshold grid fans out of the k-source aggregate via ONE
+    # inline(array(...)) generator — no per-threshold union branches, so
+    # the persist (and its InMemoryTableScan) is gone and the plan holds
+    # a single Generate over the aggregate
+    assert "Union" not in r.raw
+    assert "InMemoryTableScan" not in r.raw
+    assert r.raw.count("Generate") >= 1
 
 
 # ---------------------------------------------------------------------------
