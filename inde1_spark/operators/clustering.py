@@ -212,8 +212,19 @@ def semdedup(
     # the self-join below references the assignment twice; a lazy
     # localCheckpoint makes the k-means chain a lineage leaf so Lloyd's
     # iterations run once, not once per join side (still no eager action —
-    # CLAUDE.md invariant)
-    asg = _lazy_checkpoint(kmeans_assign(embeddings, k, iters), bounded=True)
+    # CLAUDE.md invariant). r12: TWO leaves — the bounded centroid chain
+    # first, then the final assignment — so the assignment's
+    # analysis/conversion sees a k-row leaf instead of the full unrolled
+    # Lloyd tree (build 2.2-3.0 s -> ~2.0 s, count −0.1 s, same rows;
+    # a no-checkpoint variant re-executes the chain per join side and
+    # measured 3.0 -> 4.0 s total — documented negative).
+    cents = _init_centroids(embeddings, k)
+    for _ in range(iters):
+        cents = _update(_assign(embeddings, cents))
+    cents = _lazy_checkpoint(cents, bounded=True)
+    asg = _lazy_checkpoint(
+        _assign(embeddings, cents).select("vec_id", "cluster"), bounded=True
+    )
 
     # candidate-first verify (same shape as dedup_minhash): the cluster
     # self-join emits ID-ONLY pairs — with k coarse keys it runs on at most

@@ -1557,72 +1557,82 @@ def knn_mmr_rerank(
             "query_id", "na", "nb", micro(F.col("cos_sim")).alias("sim")
         )
     )
-    w_rel = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("neighbor_id").asc()
+    # r12: the greedy selection is ROW-LOCAL. The pool is <= ``pool`` rows
+    # per query and the pairwise-similarity table <= pool*(pool-1), so
+    # after one collect_list per query the k sequential rounds are pure
+    # bounded array expressions — no per-rank anti-join/aggregate/window,
+    # no per-rank lazy checkpoint (the old unroll paid ~6 scheduler jobs
+    # per rank at build time), no unions. Semantics mirror the old unroll
+    # exactly: rank 1 = max (rel, id asc); rank r scores every remaining
+    # candidate 7*rel - 3*max(sim to selected), ties to the smallest id.
+    # Each pick is materialized as its OWN projection column so the
+    # argmin expressions never re-evaluate a previous round per element
+    # (the HOF-CSE rule).
+    pools = cands.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("neighbor_id").alias("nid"), "rel"))
+        ).alias("pool_arr")
     )
-    from inde1_spark.operators.dedup import _lazy_checkpoint
+    sims = psim.groupBy("query_id").agg(
+        F.collect_list(F.struct("na", "nb", "sim")).alias("sim_arr")
+    )
+    g = pools.join(sims, "query_id", "left").withColumn(
+        "sim_arr",
+        F.coalesce("sim_arr", F.expr("CAST(array() AS array<struct<na:bigint,nb:bigint,sim:bigint>>)")),
+    )
 
-    # every round's selection is referenced TWICE downstream (the output
-    # union and the selected set, which the next round's anti-join AND
-    # redundancy join both read) — without a lineage leaf per round the
-    # plan doubles per rank (2^k copies of the window/argmax subtree, the
-    # coverage_select lesson). Lazy localCheckpoint keeps it linear; each
-    # leaf is only n_queries rows.
-    out = _lazy_checkpoint(
-        cands.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("long").alias("mmr_rank"),
-            "neighbor_id",
-            F.col("rel").alias("rel_micro"),
-            F.lit(0).cast("long").alias("redundancy_micro"),
-        )
+    # rank 1: min struct(-rel, nid) == (rel desc, id asc)
+    g = g.withColumn(
+        "p1",
+        F.array_min(
+            F.expr(
+                "transform(pool_arr, c -> struct(-c.rel AS nrel, c.nid AS nid,"
+                " c.rel AS rel))"
+            )
+        ),
     )
-    selected = out.select("query_id", F.col("neighbor_id").alias("sid"))
+
+    def red_expr(cand_id: str, sel_ids: list[str]) -> str:
+        sel = ", ".join(sel_ids)
+        return (
+            f"array_max(transform(filter(sim_arr, p -> p.na = {cand_id} AND "
+            f"array_contains(array({sel}), p.nb)), p -> p.sim))"
+        )
+
+    # rank r: min struct(-(7*rel - 3*red), nid) over the remaining pool
     for r in range(2, k + 1):
-        rem = cands.join(
-            selected.withColumnRenamed("sid", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+        prev = [f"p{i}.nid" for i in range(1, r)]
+        not_sel = " AND ".join(f"c.nid != {p}" for p in prev)
+        red = red_expr("c.nid", prev)
+        g = g.withColumn(
+            f"p{r}",
+            F.expr(
+                f"array_min(transform(filter(pool_arr, c -> {not_sel}), "
+                f"c -> struct(-({MMR_NUM} * c.rel - {MMR_DEN - MMR_NUM} * "
+                f"coalesce({red}, 0L)) AS nscore, c.nid AS nid, c.rel AS rel, "
+                f"coalesce({red}, 0L) AS red)))"
+            ),
         )
-        red = (
-            rem.join(
-                psim.select(
-                    "query_id", F.col("na").alias("neighbor_id"), "nb", "sim"
-                ),
-                ["query_id", "neighbor_id"],
-            )
-            .join(
-                selected.select("query_id", F.col("sid").alias("nb")),
-                ["query_id", "nb"],
-            )
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg(F.max("sim").alias("red"))
+    rows = ", ".join(
+        [
+            "struct(CAST(1 AS BIGINT) AS mmr_rank, p1.nid AS neighbor_id, "
+            "p1.rel AS rel_micro, CAST(0 AS BIGINT) AS redundancy_micro)"
+        ]
+        + [
+            f"struct(CAST({r} AS BIGINT) AS mmr_rank, p{r}.nid AS neighbor_id,"
+            f" p{r}.rel AS rel_micro, p{r}.red AS redundancy_micro)"
+            for r in range(2, k + 1)
+        ]
+    )
+    return (
+        g.select(
+            "query_id",
+            F.expr(
+                f"inline(filter(array({rows}), s -> s.neighbor_id IS NOT NULL))"
+            ),
         )
-        w_score = Window.partitionBy("query_id").orderBy(
-            (
-                F.lit(MMR_NUM) * F.col("rel")
-                - F.lit(MMR_DEN - MMR_NUM) * F.col("red")
-            ).desc(),
-            F.col("neighbor_id").asc(),
-        )
-        sel_r = _lazy_checkpoint(
-            red.withColumn("rn", F.row_number().over(w_score))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(r).cast("long").alias("mmr_rank"),
-                "neighbor_id",
-                F.col("rel").alias("rel_micro"),
-                F.col("red").alias("redundancy_micro"),
-            )
-        )
-        out = out.unionByName(sel_r)
-        selected = selected.unionByName(
-            sel_r.select("query_id", F.col("neighbor_id").alias("sid"))
-        )
-    return out.orderBy("query_id", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    )
 
 
 def knn_ivf_pq(
