@@ -2636,6 +2636,11 @@ def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     ).union(
         edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
+    # r12: cache the adjacency PARTITIONED BY the per-round join key —
+    # InMemoryTableScan keeps the child's outputPartitioning, so every
+    # round's neighbor join reads it shuffle-free instead of re-exchanging
+    # 2|E| rows per round (A/B: build 2.9-3.1 -> 2.5-2.9 s, same rows)
+    nbrs = _persist(_spread_by_key(nbrs, "v"))
     labels = (
         nbrs.select("u")
         .distinct()

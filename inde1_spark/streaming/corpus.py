@@ -334,6 +334,12 @@ def lpa_batch_sink(state_dir: str, out_dir: str):
             lpa_histogram(graph).write.mode("overwrite").parquet(out_dir)
         finally:
             graph.unpersist()
+            # lpa_labels caches its v-partitioned adjacency internally
+            # (r12); release it per micro-batch or availableNow backfills
+            # accumulate one stale cache per batch
+            from inde1_spark.operators.dedup import release_persisted
+
+            release_persisted()
 
     return _apply
 
